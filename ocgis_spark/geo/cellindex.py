@@ -1,0 +1,164 @@
+"""Z-order (Morton) spatial cell index — the engine's H3/S2 analogue.
+
+The container ships no h3/s2 bindings, so the distributed spatial index the
+north rule requires is a deterministic Z-order curve over a configurable
+lon/lat grid. It plays the exact role H3 plays in the design (SURVEY.md
+§2.3): a coarse cell id computed per row (vectorized), a driver-side
+*covering* (cell set) of a broadcast query polygon, and ring expansion for
+kNN candidate generation. Replaces the reference's per-process R-tree
+(``src/ocgis/spatial/index.py:5-87``) with a shuffle-friendly key.
+
+Bit interleaving gives spatial locality: nearby cells share id prefixes, so
+``repartitionByRange(zcell)`` co-locates spatial neighborhoods and a
+cell-prefix is a natural salting unit for hot (dense) regions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import geometry as G
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """A rectilinear CF grid (ocgis ``Grid``, ``src/ocgis/spatial/grid.py:181``)
+    in factorized form: origin + resolution + shape. Cell (y, x) centroid is
+    ``(lat0 + (y + .5) * res, lon0 + (x + .5) * res)``; bounds are ±res/2.
+
+    The golden instance mirrors the reference's ``make_test_data`` fixture
+    (``test/test_simple/make_test_data.py:35-120``): 4x4 cells, 1° res,
+    centroid lons -105..-102, lats 37..40 → extent [-105.5, -101.5] x
+    [36.5, 40.5].
+    """
+
+    lon0: float = -105.5  # west edge
+    lat0: float = 36.5  # south edge
+    res: float = 1.0
+    nx: int = 4
+    ny: int = 4
+
+    @property
+    def lon1(self) -> float:
+        return self.lon0 + self.nx * self.res
+
+    @property
+    def lat1(self) -> float:
+        return self.lat0 + self.ny * self.res
+
+    def scaled(self, n: int) -> "GridSpec":
+        """Same extent, n x n cells (FIXTURES.md §2 scaled instances)."""
+        return GridSpec(
+            self.lon0, self.lat0, (self.lon1 - self.lon0) / n, n, n
+        )
+
+    def cell_of(self, lon: np.ndarray, lat: np.ndarray):
+        cx = np.floor((np.asarray(lon) - self.lon0) / self.res).astype("i8")
+        cy = np.floor((np.asarray(lat) - self.lat0) / self.res).astype("i8")
+        return cy, cx
+
+    def centroid(self, cy, cx):
+        lon = self.lon0 + (np.asarray(cx) + 0.5) * self.res
+        lat = self.lat0 + (np.asarray(cy) + 0.5) * self.res
+        return lat, lon
+
+    def bounds(self, cy, cx):
+        lat_c, lon_c = self.centroid(cy, cx)
+        h = self.res / 2.0
+        return lon_c - h, lat_c - h, lon_c + h, lat_c + h
+
+
+# ---- Morton encoding (vectorized, 32 bits per axis → 64-bit cell id) ----
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_M8 = np.uint64(0x00FF00FF00FF00FF)
+_M16 = np.uint64(0x0000FFFF0000FFFF)
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & _M16
+    v = (v | (v << np.uint64(8))) & _M8
+    v = (v | (v << np.uint64(4))) & _M4
+    v = (v | (v << np.uint64(2))) & _M2
+    v = (v | (v << np.uint64(1))) & _M1
+    return v
+
+
+def _unpart1by1(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & _M1
+    v = (v | (v >> np.uint64(1))) & _M2
+    v = (v | (v >> np.uint64(2))) & _M4
+    v = (v | (v >> np.uint64(4))) & _M8
+    v = (v | (v >> np.uint64(8))) & _M16
+    v = (v | (v >> np.uint64(16))) & np.uint64(0xFFFFFFFF)
+    return v
+
+
+def zencode(cy: np.ndarray, cx: np.ndarray) -> np.ndarray:
+    """Interleave (cy, cx) → int64 Morton cell id. Negative/out-of-grid
+    indices map to -1 (callers filter)."""
+    cy = np.asarray(cy, dtype="i8")
+    cx = np.asarray(cx, dtype="i8")
+    bad = (cy < 0) | (cx < 0) | (cy >= 1 << 31) | (cx >= 1 << 31)
+    code = (_part1by1(np.where(bad, 0, cy).astype(np.uint64)) << np.uint64(1)) | _part1by1(
+        np.where(bad, 0, cx).astype(np.uint64)
+    )
+    out = code.astype("i8")
+    out[bad] = -1
+    return out
+
+
+def zdecode(z: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    z = np.asarray(z, dtype="i8").astype(np.uint64)
+    cx = _unpart1by1(z)
+    cy = _unpart1by1(z >> np.uint64(1))
+    return cy.astype("i8"), cx.astype("i8")
+
+
+def zprefix(z: np.ndarray, level_drop: int = 4) -> np.ndarray:
+    """Parent cell id: drop ``level_drop`` Z-levels (2*level_drop low bits).
+    The coarse key for salting / tile grouping."""
+    return np.asarray(z, dtype="i8") >> np.int64(2 * level_drop)
+
+
+# ---- polygon covering (driver-side, broadcast) ----
+
+def covering_cells(
+    spec: GridSpec, rings: list[np.ndarray], refine: bool = True
+) -> np.ndarray:
+    """Cell ids whose box intersects the polygon (closed test — a superset
+    of any keep_touches choice; the exact UDF refines). Mirrors the
+    reference's buffered-envelope "hint mask" (``grid.py:1234-1272``) but as
+    an explicit broadcast cell set."""
+    pts = np.vstack(rings)
+    minx, miny = pts[:, 0].min(), pts[:, 1].min()
+    maxx, maxy = pts[:, 0].max(), pts[:, 1].max()
+    x0 = max(int(np.floor((minx - spec.lon0) / spec.res)), 0)
+    x1 = min(int(np.floor((maxx - spec.lon0) / spec.res)), spec.nx - 1)
+    y0 = max(int(np.floor((miny - spec.lat0) / spec.res)), 0)
+    y1 = min(int(np.floor((maxy - spec.lat0) / spec.res)), spec.ny - 1)
+    if x1 < x0 or y1 < y0:
+        return np.empty(0, dtype="i8")
+    yy, xx = np.meshgrid(np.arange(y0, y1 + 1), np.arange(x0, x1 + 1), indexing="ij")
+    cy, cx = yy.ravel(), xx.ravel()
+    if refine and not G._rings_is_axis_rect(rings):
+        bminx, bminy, bmaxx, bmaxy = spec.bounds(cy, cx)
+        keep, _ = G.boxes_intersect_polygon(
+            bminx, bminy, bmaxx, bmaxy, rings, keep_touches=True
+        )
+        cy, cx = cy[keep], cx[keep]
+    return zencode(cy, cx)
+
+
+def ring_cells(spec: GridSpec, cy: int, cx: int, k: int) -> np.ndarray:
+    """Chebyshev disk of radius k around (cy, cx), clipped to the grid —
+    kNN candidate expansion (H3 grid_disk analogue)."""
+    ys = np.arange(max(cy - k, 0), min(cy + k, spec.ny - 1) + 1)
+    xs = np.arange(max(cx - k, 0), min(cx + k, spec.nx - 1) + 1)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    return zencode(yy.ravel(), xx.ravel())

@@ -1,0 +1,233 @@
+"""Vectorized planar geometry predicates.
+
+Re-implements (NumPy, batch-vectorized) the per-element Shapely math the
+reference runs in Python loops:
+
+* point-in-polygon with boundary ("touch") classification —
+  reference ``GeometryProcessor.iter_intersects``
+  (``src/ocgis/variable/geom.py:154-185``) and grid PIP
+  (``src/ocgis/spatial/grid.py:31-100,555-724``);
+* cell-box x polygon intersection (clip) area —
+  reference ``grid.py:688-705`` / ``geom.py:718-764``;
+* ``keep_touches`` semantics: auto True for point abstraction, False for
+  polygon abstraction (``grid.py:627-631``, ``spatial_subset.py:117-121``).
+
+Everything operates on arrays of query points / boxes against ONE polygon
+(the broadcast selection geometry) — matching the reference's join shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS_AREA = 1e-12
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area of a closed ring (positive if CCW)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """Area of polygon with holes: |outer| - sum(|holes|)."""
+    if not rings:
+        return 0.0
+    area = abs(ring_area(rings[0]))
+    for hole in rings[1:]:
+        area -= abs(ring_area(hole))
+    return area
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: strict interior test for many points
+    against one ring (boundary points are NOT guaranteed in/out — combine
+    with :func:`points_on_ring` for boundary semantics)."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    cond = (y0 > py) != (y1 > py)
+    # x coordinate of edge at scanline y; guard division on non-crossing edges
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / np.where(y1 == y0, np.inf, y1 - y0)
+    crossings = cond & (px < xint)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def points_on_ring(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray, tol: float = 1e-12
+) -> np.ndarray:
+    """True where (px, py) lies on a segment of the ring (within tol)."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px2 = px[:, None]
+    py2 = py[:, None]
+    dx, dy = x1 - x0, y1 - y0
+    seg_len2 = dx * dx + dy * dy
+    seg_len2 = np.where(seg_len2 == 0, 1.0, seg_len2)
+    t = ((px2 - x0) * dx + (py2 - y0) * dy) / seg_len2
+    t = np.clip(t, 0.0, 1.0)
+    cx = x0 + t * dx
+    cy = y0 + t * dy
+    d2 = (px2 - cx) ** 2 + (py2 - cy) ** 2
+    return (d2 <= tol * tol).any(axis=1)
+
+
+def points_in_polygon(
+    px: np.ndarray,
+    py: np.ndarray,
+    rings: list[np.ndarray],
+    keep_touches: bool = True,
+) -> np.ndarray:
+    """Point-in-polygon over many points vs one polygon (outer + holes).
+
+    ``keep_touches=True`` (reference point-abstraction default,
+    ``grid.py:627-631``): boundary points count as inside.
+    """
+    inside = points_in_ring(px, py, rings[0])
+    for hole in rings[1:]:
+        inside &= ~points_in_ring(px, py, hole)
+    boundary = points_on_ring(px, py, rings[0])
+    for hole in rings[1:]:
+        boundary |= points_on_ring(px, py, hole)
+    if keep_touches:
+        return inside | boundary
+    return inside & ~boundary
+
+
+def clip_ring_by_box(
+    ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
+) -> np.ndarray:
+    """Sutherland–Hodgman clip of one ring against an axis-aligned box
+    (the box is convex, so S-H is exact for simple subject rings).
+    Returns the clipped (possibly empty) closed ring."""
+    pts = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+
+    def clip_half(pts: np.ndarray, axis: int, bound: float, keep_le: bool):
+        if len(pts) == 0:
+            return pts
+        v = pts[:, axis]
+        inside = v <= bound if keep_le else v >= bound
+        nxt = np.roll(np.arange(len(pts)), -1)
+        out = []
+        for i in range(len(pts)):
+            j = nxt[i]
+            a, b = pts[i], pts[j]
+            ain, bin_ = inside[i], inside[j]
+            if ain:
+                out.append(a)
+            if ain != bin_:
+                da = b[axis] - a[axis]
+                t = 0.0 if da == 0 else (bound - a[axis]) / da
+                out.append(a + t * (b - a))
+        return np.array(out) if out else np.empty((0, 2))
+
+    pts = clip_half(pts, 0, minx, keep_le=False)
+    pts = clip_half(pts, 0, maxx, keep_le=True)
+    pts = clip_half(pts, 1, miny, keep_le=False)
+    pts = clip_half(pts, 1, maxy, keep_le=True)
+    if len(pts) == 0:
+        return np.empty((0, 2))
+    return np.vstack([pts, pts[:1]])
+
+
+def box_polygon_clip_area(
+    rings: list[np.ndarray], minx: float, miny: float, maxx: float, maxy: float
+) -> float:
+    """Area of (box ∩ polygon). Holes subtract their own clipped area."""
+    if not rings:
+        return 0.0
+    outer = clip_ring_by_box(rings[0], minx, miny, maxx, maxy)
+    if len(outer) == 0:
+        return 0.0
+    area = abs(ring_area(outer))
+    for hole in rings[1:]:
+        clipped = clip_ring_by_box(hole, minx, miny, maxx, maxy)
+        if len(clipped):
+            area -= abs(ring_area(clipped))
+    return max(area, 0.0)
+
+
+def boxes_intersect_polygon(
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+    rings: list[np.ndarray],
+    keep_touches: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """For arrays of boxes vs one polygon return ``(keep_mask, clip_area)``.
+
+    Fast paths: (a) bbox reject, (b) axis-aligned-rectangle polygon →
+    closed-form overlap area (fully vectorized, no per-box loop). The general
+    path runs Sutherland–Hodgman per *candidate* box only — candidates have
+    already been thinned by the coarse cell join (SURVEY.md §2.3 phase 1).
+
+    ``keep_touches=False`` (polygon abstraction, ``grid.py:627-631``): a box
+    sharing only an edge/corner with the polygon (clip area == 0) is dropped.
+    ``keep_touches=True``: boundary contact keeps the box.
+    """
+    n = len(minx)
+    areas = np.zeros(n, dtype="f8")
+    outer = rings[0]
+    pminx, pminy = outer[:, 0].min(), outer[:, 1].min()
+    pmaxx, pmaxy = outer[:, 0].max(), outer[:, 1].max()
+
+    touch_ok = (minx <= pmaxx) & (maxx >= pminx) & (miny <= pmaxy) & (maxy >= pminy)
+
+    is_rect = _rings_is_axis_rect(rings)
+    if is_rect:
+        ox = np.minimum(maxx, pmaxx) - np.maximum(minx, pminx)
+        oy = np.minimum(maxy, pmaxy) - np.maximum(miny, pminy)
+        areas = np.maximum(ox, 0.0) * np.maximum(oy, 0.0)
+        areas[~touch_ok] = 0.0
+    else:
+        cand = np.nonzero(touch_ok)[0]
+        for i in cand:
+            areas[i] = box_polygon_clip_area(
+                rings, minx[i], miny[i], maxx[i], maxy[i]
+            )
+    if keep_touches:
+        keep = touch_ok & ((areas > EPS_AREA) | _boxes_touch_polygon(
+            minx, miny, maxx, maxy, rings, touch_ok, areas
+        ))
+    else:
+        keep = areas > EPS_AREA
+    return keep, areas
+
+
+def _rings_is_axis_rect(rings: list[np.ndarray]) -> bool:
+    if len(rings) != 1:
+        return False
+    r = rings[0]
+    pts = r[:-1] if (r[0] == r[-1]).all() else r
+    if len(pts) != 4:
+        return False
+    xs, ys = np.unique(pts[:, 0]), np.unique(pts[:, 1])
+    return len(xs) == 2 and len(ys) == 2
+
+
+def _boxes_touch_polygon(minx, miny, maxx, maxy, rings, touch_ok, areas):
+    """Boundary-contact test for zero-area candidates: any polygon vertex on
+    the box border, or any box corner on/inside the polygon."""
+    n = len(minx)
+    out = np.zeros(n, dtype=bool)
+    verts = rings[0]
+    idx = np.nonzero(touch_ok & (areas <= EPS_AREA))[0]
+    for i in idx:
+        vx, vy = verts[:, 0], verts[:, 1]
+        on_border = (
+            ((np.isclose(vx, minx[i]) | np.isclose(vx, maxx[i]))
+             & (vy >= miny[i]) & (vy <= maxy[i]))
+            | ((np.isclose(vy, miny[i]) | np.isclose(vy, maxy[i]))
+               & (vx >= minx[i]) & (vx <= maxx[i]))
+        )
+        if on_border.any():
+            out[i] = True
+            continue
+        cx = np.array([minx[i], maxx[i], maxx[i], minx[i]])
+        cy = np.array([miny[i], miny[i], maxy[i], maxy[i]])
+        hit = points_in_polygon(cx, cy, rings, keep_touches=True)
+        out[i] = bool(hit.any())
+    return out

@@ -1,0 +1,125 @@
+"""Unit tests for the pure-NumPy geometry kernel (no Spark needed).
+
+Golden values mirror the reference's test_simple fixtures
+(/root/reference/src/ocgis/test/test_simple/test_simple.py:552-577).
+"""
+
+import numpy as np
+import pytest
+
+from ocgis_spark.geo import geometry as G
+from ocgis_spark.geo import wkb
+from ocgis_spark.geo.cellindex import GridSpec, covering_cells, ring_cells, zdecode, zencode
+
+
+def rect_ring(minx, miny, maxx, maxy):
+    return np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]], dtype="f8"
+    )
+
+
+GOLDEN = GridSpec()  # 4x4 @ 1 deg, extent [-105.5,-101.5]x[36.5,40.5]
+
+
+def golden_value(cy, cx):
+    # quadrant values 1 NW / 2 NE / 3 SW / 4 SE (make_test_data.py:61-65)
+    north = cy >= 2
+    east = cx >= 2
+    return np.where(north, np.where(east, 2.0, 1.0), np.where(east, 4.0, 3.0))
+
+
+def test_wkb_roundtrip():
+    ring = rect_ring(-104.5, 37.5, -102.5, 39.5)
+    buf = wkb.polygon_to_wkb([ring])
+    kind, rings = wkb.parse_wkb(buf)
+    assert kind == "polygon"
+    np.testing.assert_allclose(rings[0], ring)
+    assert wkb.wkb_bounds(buf) == (-104.5, 37.5, -102.5, 39.5)
+    kind2, (x, y) = wkb.parse_wkb(wkb.point_to_wkb(-104.0, 38.5))
+    assert kind2 == "point" and (x, y) == (-104.0, 38.5)
+    mp = wkb.multipolygon_to_wkb([[ring], [rect_ring(0, 0, 1, 1)]])
+    kind3, polys = wkb.parse_wkb(mp)
+    assert kind3 == "multipolygon" and len(polys) == 2
+
+
+def test_intersects_golden_ugid1():
+    """ugid=1 poly lat (37.5,39.5) lon (-104.5,-102.5), polygon abstraction
+    keep_touches=False -> the 2x2 block with values [[1,2],[3,4]]."""
+    rings = [rect_ring(-104.5, 37.5, -102.5, 39.5)]
+    yy, xx = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    cy, cx = yy.ravel(), xx.ravel()
+    minx, miny, maxx, maxy = GOLDEN.bounds(cy, cx)
+    keep, areas = G.boxes_intersect_polygon(minx, miny, maxx, maxy, rings, keep_touches=False)
+    kept = sorted(zip(cy[keep].tolist(), cx[keep].tolist()))
+    assert kept == [(1, 1), (1, 2), (2, 1), (2, 2)]
+    vals = sorted(golden_value(cy[keep], cx[keep]).tolist())
+    assert vals == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_intersects_keep_touches_true_widens():
+    rings = [rect_ring(-104.5, 37.5, -102.5, 39.5)]
+    yy, xx = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    cy, cx = yy.ravel(), xx.ravel()
+    minx, miny, maxx, maxy = GOLDEN.bounds(cy, cx)
+    keep, _ = G.boxes_intersect_polygon(minx, miny, maxx, maxy, rings, keep_touches=True)
+    assert keep.sum() == 16  # every cell at least touches the box
+
+
+def test_clip_golden_ugid2():
+    """ugid=2 poly lat (38,39) lon (-104,-103): 4 cells, areas mean 0.25,
+    area-weighted mean value 2.5, union area 1.0 (test_simple.py:560-577)."""
+    rings = [rect_ring(-104.0, 38.0, -103.0, 39.0)]
+    yy, xx = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    cy, cx = yy.ravel(), xx.ravel()
+    minx, miny, maxx, maxy = GOLDEN.bounds(cy, cx)
+    keep, areas = G.boxes_intersect_polygon(minx, miny, maxx, maxy, rings, keep_touches=False)
+    assert keep.sum() == 4
+    np.testing.assert_allclose(areas[keep], 0.25)
+    assert abs(areas[keep].sum() - 1.0) < 1e-12
+    vals = golden_value(cy[keep], cx[keep])
+    wmean = float((vals * areas[keep]).sum() / areas[keep].sum())
+    assert wmean == pytest.approx(2.5)
+
+
+def test_pip_triangle_boundary():
+    tri = [np.array([[0, 0], [4, 0], [0, 4], [0, 0]], dtype="f8")]
+    px = np.array([1.0, 2.0, 0.0, 3.9, 2.0])
+    py = np.array([1.0, 2.0, 0.0, 3.9, 0.0])
+    inside_kt = G.points_in_polygon(px, py, tri, keep_touches=True)
+    assert inside_kt.tolist() == [True, True, True, False, True]
+    inside_nt = G.points_in_polygon(px, py, tri, keep_touches=False)
+    # (0,0) is a vertex -> boundary -> excluded when keep_touches=False
+    assert inside_nt.tolist() == [True, False, False, False, False]
+
+
+def test_clip_area_nonrect():
+    tri = [np.array([[0, 0], [2, 0], [0, 2], [0, 0]], dtype="f8")]
+    # unit box [0,1]^2 clipped by the triangle: area = 1 - 0 = ... triangle
+    # covers the box except corner above x+y=2 -> full box is inside? box
+    # corner (1,1) on hypotenuse; area of box∩tri = 1 - 0.0 = 1? No:
+    # x+y<=2 holds on the whole box, equality only at (1,1) -> area 1.
+    a = G.box_polygon_clip_area(tri, 0, 0, 1, 1)
+    assert a == pytest.approx(1.0)
+    a2 = G.box_polygon_clip_area(tri, 1, 1, 2, 2)
+    assert a2 == pytest.approx(0.0, abs=1e-12)
+    a3 = G.box_polygon_clip_area(tri, 0.5, 0.5, 1.5, 1.5)
+    assert a3 == pytest.approx(1.0 - 0.5, rel=1e-9)  # cut corner triangle area 0.5
+
+
+def test_zorder_roundtrip_and_covering():
+    cy = np.array([0, 1, 2, 3, 1000])
+    cx = np.array([3, 2, 1, 0, 4095])
+    z = zencode(cy, cx)
+    dy, dx = zdecode(z)
+    assert (dy == cy).all() and (dx == cx).all()
+    rings = [rect_ring(-104.5, 37.5, -102.5, 39.5)]
+    cells = covering_cells(GOLDEN, rings)
+    cyz, cxz = zdecode(cells)
+    assert sorted(zip(cyz.tolist(), cxz.tolist())) == [
+        (y, x) for y in range(1, 4) for x in range(1, 4)
+    ]  # closed covering includes touching row/col 3
+    disk = ring_cells(GOLDEN, 1, 1, 1)
+    dyy, dxx = zdecode(disk)
+    assert sorted(zip(dyy.tolist(), dxx.tolist())) == [
+        (y, x) for y in range(0, 3) for x in range(0, 3)
+    ]
