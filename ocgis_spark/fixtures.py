@@ -1,0 +1,150 @@
+"""Deterministic synthetic geospatial inputs, derived from the driver's
+tables with arithmetic BOTH Spark SQL and DuckDB evaluate identically.
+
+Why derivation instead of generation: the correctness gate
+(``__spark_entry__.oracle_sql``) runs DuckDB over the same pre-registered
+parquet views, so any input the engine consumes must be reconstructible in
+pure SQL on both sides. Every document gets a deterministic (lon, lat)
+inside the reference's golden grid extent via a multiplicative-hash
+low-discrepancy fill (FIXTURES.md §1), plus a skew knob: 30 % of docs land
+in one dense cell to exercise salting (north rule).
+
+Grid layout mirrors the reference fixture
+(``/root/reference/src/ocgis/test/test_simple/make_test_data.py:35-120``):
+extent [-105.5, -101.5] x [36.5, 40.5]; the scaled document grid is 64x64
+(res = 0.0625°); values follow the NW=1/NE=2/SW=3/SE=4 quadrant rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from .geo.cellindex import GridSpec
+
+GOLDEN_GRID = GridSpec()  # 4x4 @ 1°
+DOC_GRID = GOLDEN_GRID.scaled(64)  # 64x64 @ 0.0625°
+
+# dense ("skew") cell for the hotspot knob: cell (y=44, x=20)
+_DENSE_X, _DENSE_Y = 20, 44
+SKEW_FRACTION_PCT = 30  # doc_id % 10 < 3
+
+
+def _f(x: float) -> str:
+    """Format a float so the literal parses identically in both dialects."""
+    return repr(float(x))
+
+
+def lonlat_exprs(grid: GridSpec = DOC_GRID) -> tuple[str, str]:
+    """Dialect-shared SQL expressions assigning each doc_id a deterministic
+    (lon, lat). Uniform docs use two coprime multiplicative hashes; skewed
+    docs are jittered strictly inside the dense cell."""
+    res, w = grid.res, grid.lon1 - grid.lon0
+    h = grid.lat1 - grid.lat0
+    dlon0 = grid.lon0 + _DENSE_X * res
+    dlat0 = grid.lat0 + _DENSE_Y * res
+    lon = (
+        f"CASE WHEN doc_id % 10 < 3 THEN {_f(dlon0)} + ({_f(res)} * 0.05) + "
+        f"(CAST((doc_id * 97) % 997 AS DOUBLE) / 997.0) * ({_f(res)} * 0.9) "
+        f"ELSE {_f(grid.lon0)} + (CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0) * {_f(w)} END"
+    )
+    lat = (
+        f"CASE WHEN doc_id % 10 < 3 THEN {_f(dlat0)} + ({_f(res)} * 0.05) + "
+        f"(CAST((doc_id * 89) % 991 AS DOUBLE) / 991.0) * ({_f(res)} * 0.9) "
+        f"ELSE {_f(grid.lat0)} + (CAST((doc_id * 40503 + 12345) % 999983 AS DOUBLE) / 999983.0) * {_f(h)} END"
+    )
+    return lon, lat
+
+
+def docs_geo_sql(grid: GridSpec = DOC_GRID, table: str = "documents") -> str:
+    """SELECT deriving the geo-located document table. Runs verbatim in
+    Spark SQL and DuckDB (the oracle embeds it as a subquery)."""
+    lon, lat = lonlat_exprs(grid)
+    value = (
+        f"CASE WHEN cell_y >= {grid.ny // 2} THEN "
+        f"CASE WHEN cell_x >= {grid.nx // 2} THEN 2.0 ELSE 1.0 END "
+        f"ELSE CASE WHEN cell_x >= {grid.nx // 2} THEN 4.0 ELSE 3.0 END END"
+    )
+    return (
+        "SELECT doc_id, text, lang, source, n_chars, lon, lat, cell_x, cell_y, "
+        f"cell_y * {grid.nx} + cell_x AS cell_id, {value} AS value FROM ("
+        "SELECT *, "
+        f"CAST(floor((lon - ({_f(grid.lon0)})) / {_f(grid.res)}) AS INT) AS cell_x, "
+        f"CAST(floor((lat - ({_f(grid.lat0)})) / {_f(grid.res)}) AS INT) AS cell_y "
+        f"FROM (SELECT doc_id, text, lang, source, n_chars, {lon} AS lon, {lat} AS lat "
+        f"FROM {table}) t0) t1"
+    )
+
+
+def cell_bounds_exprs(grid: GridSpec = DOC_GRID) -> dict[str, str]:
+    """SQL expressions for the bounds of the cell owning (cell_x, cell_y)."""
+    return {
+        "lon_lb": f"{_f(grid.lon0)} + cell_x * {_f(grid.res)}",
+        "lon_ub": f"{_f(grid.lon0)} + (cell_x + 1) * {_f(grid.res)}",
+        "lat_lb": f"{_f(grid.lat0)} + cell_y * {_f(grid.res)}",
+        "lat_ub": f"{_f(grid.lat0)} + (cell_y + 1) * {_f(grid.res)}",
+    }
+
+
+def register_docs_geo(
+    spark: SparkSession, sf_dir: str, grid: GridSpec = DOC_GRID
+) -> DataFrame:
+    """Read the driver's documents parquet and derive the geo table."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(docs_geo_sql(grid))
+
+
+# ---- query geometries (FIXTURES.md §4 goldens, scaled grid) ----
+
+def rect_ring(minx: float, miny: float, maxx: float, maxy: float) -> np.ndarray:
+    return np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]],
+        dtype="f8",
+    )
+
+
+#: ugid=1 analogue on the doc grid: the golden 2°x2° interior box.
+QUERY_RECT = (-104.5, 37.5, -102.5, 39.5)
+
+#: convex pentagon for the exact-PIP path (CCW; covers the grid center).
+QUERY_PENTAGON = np.array(
+    [
+        [-104.9, 38.0],
+        [-103.1, 37.3],
+        [-102.2, 38.9],
+        [-103.3, 40.2],
+        [-104.7, 39.8],
+        [-104.9, 38.0],
+    ],
+    dtype="f8",
+)
+
+#: disjoint polygon (ugid=5 analogue — empty result / allow_empty path).
+QUERY_DISJOINT = rect_ring(10.0, 10.0, 12.0, 12.0)
+
+#: kNN query point (ugid=3 analogue, scaled grid).
+QUERY_POINT = (-104.0, 38.5)
+
+
+def rect_pred_sql(rect=QUERY_RECT, lon="lon", lat="lat") -> str:
+    """Point-in-rectangle predicate (keep_touches=True: closed box)."""
+    minx, miny, maxx, maxy = rect
+    return (
+        f"{lon} >= {_f(minx)} AND {lon} <= {_f(maxx)} AND "
+        f"{lat} >= {_f(miny)} AND {lat} <= {_f(maxy)}"
+    )
+
+
+def convex_pred_sql(ring: np.ndarray = QUERY_PENTAGON, lon="lon", lat="lat") -> str:
+    """Half-plane conjunction: point inside (or on) a CCW convex ring.
+    Identical IEEE arithmetic in both engines → exact oracle for the
+    two-phase PIP join."""
+    terms = []
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        terms.append(
+            f"(({_f(x2)} - {_f(x1)}) * ({lat} - {_f(y1)}) - "
+            f"({_f(y2)} - {_f(y1)}) * ({lon} - {_f(x1)})) >= 0.0"
+        )
+    return " AND ".join(terms)

@@ -74,6 +74,34 @@ def points_on_ring(
     return (d2 <= tol * tol).any(axis=1)
 
 
+def ring_is_convex_ccw(ring: np.ndarray) -> bool:
+    """True if the closed ring is convex and counter-clockwise."""
+    pts = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+    n = len(pts)
+    if n < 3:
+        return False
+    cross = []
+    for i in range(n):
+        a, b, c = pts[i], pts[(i + 1) % n], pts[(i + 2) % n]
+        cross.append((b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]))
+    cross = np.array(cross)
+    return bool((cross >= 0).all() and (cross > 0).any())
+
+
+def points_in_convex_ccw(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray, keep_touches: bool = True
+) -> np.ndarray:
+    """Half-plane conjunction for a convex CCW ring, with the EXACT same
+    IEEE expression as :func:`ocgis_spark.fixtures.convex_pred_sql` —
+    ``(x2-x1)*(py-y1) - (y2-y1)*(px-x1) >= 0`` per edge — so the Spark
+    result is bit-identical to the SQL oracle."""
+    out = np.ones(len(px), dtype=bool)
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        d = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        out &= (d >= 0.0) if keep_touches else (d > 0.0)
+    return out
+
+
 def points_in_polygon(
     px: np.ndarray,
     py: np.ndarray,

@@ -1,0 +1,169 @@
+"""Deduplication family for training-data pipelines.
+
+* exact: hash-groupBy on normalized text (one shuffle; map-side combine);
+* MinHash + LSH banding: shingle → minhash (md5-based, so the DuckDB
+  oracle computes byte-identical signatures) → band → bucket self-join →
+  exact Jaccard verify on candidates only;
+* SimHash: per-bit majority vote over token hashes, bucket on the
+  signature;
+* n-gram Jaccard: exact verification metric on LSH candidates.
+
+Scale notes: nothing here pairs the full corpus — candidate pairs come
+only from equal LSH bands (bounded bucket join); token explosion is a
+single map + two shuffles (groupBy doc, groupBy band). Verification joins
+are candidate-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+BAND_SIZE = 4  # 2 bands of 4 hashes (band collision prob = jaccard^4)
+SIM_BITS = 16
+SHINGLE_LEN = 12  # character shingles
+
+
+def normalize(text="text"):
+    col = F.expr(text) if isinstance(text, str) else text
+    return F.lower(F.trim(col))
+
+
+def exact_dups(df: DataFrame, text="text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: canonical id + count."""
+    return (
+        df.select(F.col("doc_id"), normalize(text).alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_n"))
+        .filter(F.col("dup_n") > 1)
+        .select("canonical_id", "dup_n")
+    )
+
+
+def _doc_tokens(df: DataFrame, text: str = "text") -> DataFrame:
+    """Distinct whitespace tokens per doc (unigram shingles — used by
+    SimHash, where per-doc output keeps the small vocab harmless)."""
+    return (
+        df.select("doc_id", F.explode(F.split(normalize(text), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def doc_shingles(df: DataFrame, text: str = "text", n: int = SHINGLE_LEN) -> DataFrame:
+    """Distinct character n-gram shingles per doc. Character shingles keep
+    the shingle space large even on a tiny vocabulary, so LSH buckets stay
+    sparse (unigram-token sets on a 30-word vocab would put the whole
+    corpus in one bucket → O(n²) candidate pairs)."""
+    idx = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    ).alias("i")
+    return (
+        df.select("doc_id", F.col(text), idx)
+        .select("doc_id", F.substring(F.col(text), F.col("i"), n).alias("tok"))
+        .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, text: str = "text") -> DataFrame:
+    """N md5-based minhashes per doc: h_i(doc) = min over shingles of
+    md5(i || '#' || shingle). String min is lexicographic in both engines
+    (oracle computes byte-identical signatures)."""
+    toks = doc_shingles(df, text)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band (doc_a < doc_b)."""
+    n_bands = N_MINHASH // BAND_SIZE
+    bands = []
+    for b in range(n_bands):
+        cols = [f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    a = all_bands.alias("a")
+    b2 = all_bands.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame, toks: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: |A∩B| / |A∪B| ≥ t."""
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(df: DataFrame, text: str = "text", threshold: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ t
+    (Jaccard over the same character-shingle sets)."""
+    toks = doc_shingles(df, text)
+    sigs = minhash_signatures(df, text)
+    return jaccard_verify(lsh_candidates(sigs), toks, threshold)
+
+
+def simhash(df: DataFrame, text: str = "text") -> DataFrame:
+    """SIM_BITS-bit SimHash: bit b votes -1/+1 per token from one hex char
+    of md5(b || '#' || token); sign of the vote sum sets the bit. Matches
+    the oracle hex-digit-parity rule exactly."""
+    toks = _doc_tokens(df, text)
+    bit_cols = []
+    for b in range(SIM_BITS):
+        vote = F.when(
+            F.substring(F.md5(F.concat(F.lit(f"{b}#"), F.col("tok"))), 1, 1).isin(
+                *"01234567"
+            ),
+            -1,
+        ).otherwise(1)
+        bit_cols.append(F.sum(vote).alias(f"v{b}"))
+    votes = toks.groupBy("doc_id").agg(*bit_cols)
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(SIM_BITS)
+    ]
+    return votes.select("doc_id", F.concat(*bits).alias("simhash"))

@@ -1,0 +1,89 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+* brute-force cosine top-k: JVM-side higher-order functions
+  (`zip_with` + `aggregate`) — no Python in the hot path;
+* LSH-bucketed variant (scale path): sign-of-dot-product against P
+  deterministic hyperplanes (the first P corpus vectors, so the DuckDB
+  oracle can rebuild the exact same planes) → bucket join → exact cosine
+  within bucket.
+
+At 100 TB the query side is broadcast; the corpus is scanned once. The
+LSH variant turns the all-pairs product into a bucket-equijoin (shuffle on
+a short string key, AQE-skew-splittable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    # cast BEFORE multiplying: float*float would round to float32 and break
+    # bit-parity with the DuckDB oracle's double arithmetic
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (queries broadcast).
+    Returns (query_id, vec_id, cos, rank); self-matches excluded."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_buckets(emb: DataFrame, planes: DataFrame, n_planes: int = 4) -> DataFrame:
+    """Bucket id = concatenated signs of dot(v, plane_p) for the P
+    deterministic hyperplanes (first P corpus vectors by vec_id)."""
+    p = planes.select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_emb")
+    )
+    signed = (
+        emb.crossJoin(F.broadcast(p))
+        .select(
+            "vec_id",
+            "plane_id",
+            F.when(_dot(F.col("embedding"), F.col("p_emb")) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            .alias("bit"),
+        )
+    )
+    return (
+        signed.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("plane_id", "bit"))), lambda s: s["bit"])
+            ).alias("bucket")
+        )
+    )

@@ -1,0 +1,240 @@
+"""Two-phase spatial subset — the engine core (SURVEY.md §2.3).
+
+Reference semantics re-expressed Spark-first:
+
+* ``SpatialSubsetOperation.get_spatial_subset`` ('intersects' / 'clip'),
+  ``/root/reference/src/ocgis/spatial/spatial_subset.py:53-175``;
+* bbox "hint mask" pre-filter (``spatial/grid.py:633-661,1234-1272``) →
+  **phase 1**: broadcast join of row cell ids against the driver-side cell
+  covering of the query polygon (H3-covering analogue, Z-grid here);
+* exact PIP / box-intersect refine with ``keep_touches`` auto-rules
+  (``grid.py:627-631``: True for point abstraction, False for polygon) →
+  **phase 2**: Arrow-vectorized pandas UDF over candidate rows only;
+* ``optimized_bbox_subset`` fast path (``ops/core.py:116``) → pure range
+  predicates, no geometry at all;
+* clip = intersection area per surviving cell (``grid.py:688-705``);
+* ``allow_empty=False`` raising ``ExtentError`` (``ops/engine.py:497-506``).
+
+Axis-aligned-rectangle query polygons take a no-UDF fast path: both phases
+collapse to Catalyst range predicates (whole-stage codegen, pushed to the
+parquet scan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..geo import geometry as G
+from ..geo.cellindex import GridSpec, covering_cells, zdecode
+
+
+class ExtentError(RuntimeError):
+    """Empty spatial subset with allow_empty=False (ops/engine.py:497-506)."""
+
+
+def encode_cells(
+    df: DataFrame, grid: GridSpec, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Attach (cell_x, cell_y, cell_id) — pure JVM arithmetic, no UDF."""
+    cx = F.floor((F.col(lon) - F.lit(grid.lon0)) / F.lit(grid.res)).cast("int")
+    cy = F.floor((F.col(lat) - F.lit(grid.lat0)) / F.lit(grid.res)).cast("int")
+    out = df.withColumn("cell_x", cx).withColumn("cell_y", cy)
+    return out.withColumn(
+        "cell_id", (F.col("cell_y") * F.lit(grid.nx) + F.col("cell_x")).cast("bigint")
+    )
+
+
+def _rings_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
+    pts = np.vstack(rings)
+    return (
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
+    )
+
+
+def coarse_filter(
+    spark: SparkSession,
+    df: DataFrame,
+    grid: GridSpec,
+    rings: list[np.ndarray],
+) -> DataFrame:
+    """Phase 1: semi-join rows whose cell is in the polygon's cell covering.
+    The covering is computed driver-side (small) and broadcast — the
+    distributed replacement for the reference's R-tree
+    (``spatial/index.py:5-87``)."""
+    cells = covering_cells(grid, rings)
+    if len(cells) == 0:
+        return df.limit(0)
+    cy, cx = zdecode(cells)
+    cov = spark.createDataFrame(
+        [(int(y), int(x)) for y, x in zip(cy, cx)], "cov_y int, cov_x int"
+    )
+    return df.join(
+        F.broadcast(cov),
+        (df["cell_y"] == cov["cov_y"]) & (df["cell_x"] == cov["cov_x"]),
+        "leftsemi",
+    )
+
+
+def bbox_filter(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    lon: str = "lon",
+    lat: str = "lat",
+    closed: bool = True,
+) -> DataFrame:
+    """``optimized_bbox_subset``: range predicates only — Catalyst pushes
+    these into the parquet scan (PushedFilters)."""
+    minx, miny, maxx, maxy = bbox
+    if closed:
+        cond = (
+            (F.col(lon) >= minx) & (F.col(lon) <= maxx)
+            & (F.col(lat) >= miny) & (F.col(lat) <= maxy)
+        )
+    else:
+        cond = (
+            (F.col(lon) > minx) & (F.col(lon) < maxx)
+            & (F.col(lat) > miny) & (F.col(lat) < maxy)
+        )
+    return df.filter(cond)
+
+
+def _is_axis_rect(rings: list[np.ndarray]) -> bool:
+    return G._rings_is_axis_rect(rings)
+
+
+def refine_points(
+    df: DataFrame,
+    rings: list[np.ndarray],
+    keep_touches: bool = True,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Phase 2 for point abstraction: exact PIP on candidates.
+    Rect polygons → pure SQL; general polygons → Arrow pandas UDF
+    (vectorized ray casting, no per-row Python)."""
+    if _is_axis_rect(rings):
+        return bbox_filter(df, _rings_bbox(rings), lon, lat, closed=keep_touches)
+
+    rings_bc = [np.asarray(r, dtype="f8") for r in rings]
+    convex = len(rings_bc) == 1 and G.ring_is_convex_ccw(rings_bc[0])
+
+    @F.pandas_udf("boolean")
+    def pip(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        px = lon_s.to_numpy("f8")
+        py = lat_s.to_numpy("f8")
+        if convex:
+            # half-plane path: bit-identical to the SQL oracle predicate
+            mask = G.points_in_convex_ccw(px, py, rings_bc[0], keep_touches)
+        else:
+            mask = G.points_in_polygon(px, py, rings_bc, keep_touches)
+        return pd.Series(mask)
+
+    return df.filter(pip(F.col(lon), F.col(lat)))
+
+
+def cell_bounds(df: DataFrame, grid: GridSpec) -> DataFrame:
+    """Attach the owning cell's bounds (ocgis bounds variables,
+    ``variable/base.py:1429``) — pure arithmetic."""
+    return (
+        df.withColumn("lon_lb", F.lit(grid.lon0) + F.col("cell_x") * F.lit(grid.res))
+        .withColumn("lon_ub", F.lit(grid.lon0) + (F.col("cell_x") + 1) * F.lit(grid.res))
+        .withColumn("lat_lb", F.lit(grid.lat0) + F.col("cell_y") * F.lit(grid.res))
+        .withColumn("lat_ub", F.lit(grid.lat0) + (F.col("cell_y") + 1) * F.lit(grid.res))
+    )
+
+
+def refine_boxes(
+    df: DataFrame,
+    grid: GridSpec,
+    rings: list[np.ndarray],
+    keep_touches: bool = False,
+    with_area: bool = False,
+) -> DataFrame:
+    """Phase 2 for polygon abstraction: cell-box vs polygon intersect, the
+    ``GridGeometryProcessor`` semantics (``grid.py:31-100,555-724``).
+    Needs ``cell_x``/``cell_y``; emits ``clip_area`` when ``with_area``.
+
+    Rect fast path: overlap area in closed form (greatest/least — JVM).
+    """
+    df = cell_bounds(df, grid)
+    if _is_axis_rect(rings):
+        minx, miny, maxx, maxy = _rings_bbox(rings)
+        ox = F.least(F.col("lon_ub"), F.lit(maxx)) - F.greatest(F.col("lon_lb"), F.lit(minx))
+        oy = F.least(F.col("lat_ub"), F.lit(maxy)) - F.greatest(F.col("lat_lb"), F.lit(miny))
+        area = F.greatest(ox, F.lit(0.0)) * F.greatest(oy, F.lit(0.0))
+        out = df.withColumn("clip_area", area)
+        if keep_touches:
+            keep = (
+                (F.col("lon_lb") <= maxx) & (F.col("lon_ub") >= minx)
+                & (F.col("lat_lb") <= maxy) & (F.col("lat_ub") >= miny)
+            )
+        else:
+            keep = F.col("clip_area") > G.EPS_AREA
+        out = out.filter(keep)
+        return out if with_area else out.drop("clip_area")
+
+    rings_bc = [np.asarray(r, dtype="f8") for r in rings]
+    kt = keep_touches
+
+    @F.pandas_udf("double")
+    def clip_area_udf(
+        lon_lb: pd.Series, lat_lb: pd.Series, lon_ub: pd.Series, lat_ub: pd.Series
+    ) -> pd.Series:
+        keep, areas = G.boxes_intersect_polygon(
+            lon_lb.to_numpy("f8"),
+            lat_lb.to_numpy("f8"),
+            lon_ub.to_numpy("f8"),
+            lat_ub.to_numpy("f8"),
+            rings_bc,
+            keep_touches=kt,
+        )
+        out = np.where(keep, areas, -1.0)  # -1 marks "drop"
+        return pd.Series(out)
+
+    out = df.withColumn(
+        "clip_area",
+        clip_area_udf(F.col("lon_lb"), F.col("lat_lb"), F.col("lon_ub"), F.col("lat_ub")),
+    ).filter(F.col("clip_area") >= 0.0)
+    return out if with_area else out.drop("clip_area")
+
+
+def spatial_subset(
+    spark: SparkSession,
+    df: DataFrame,
+    grid: GridSpec,
+    rings: list[np.ndarray],
+    operation: str = "intersects",
+    abstraction: str = "point",
+    keep_touches: bool | None = None,
+    optimized_bbox: bool = False,
+    allow_empty: bool = True,
+) -> DataFrame:
+    """The top-level dispatcher (``spatial_subset.py:53-175`` analogue).
+
+    ``operation``: 'intersects' (filter) or 'clip' (filter + clip_area).
+    ``abstraction``: 'point' (row lon/lat vs polygon) or 'polygon' (owning
+    cell box vs polygon). ``keep_touches`` default: point→True,
+    polygon→False (``grid.py:627-631``).
+    """
+    if keep_touches is None:
+        keep_touches = abstraction == "point"
+    if optimized_bbox:
+        return bbox_filter(df, _rings_bbox(rings), closed=keep_touches)
+    cand = coarse_filter(spark, df, grid, rings)
+    if abstraction == "point":
+        if operation == "clip":
+            raise ValueError("clip requires polygon abstraction (cell boxes)")
+        out = refine_points(cand, rings, keep_touches)
+    else:
+        out = refine_boxes(
+            cand, grid, rings, keep_touches, with_area=(operation == "clip")
+        )
+    if not allow_empty and len(out.take(1)) == 0:
+        raise ExtentError("spatial subset returned no rows (allow_empty=False)")
+    return out

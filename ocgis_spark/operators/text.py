@@ -1,0 +1,75 @@
+"""Text analysis for large-scale training-data pipelines: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+All pure `pyspark.sql.functions` — JVM-side, whole-stage codegen, no UDF.
+
+Every operator has an exact DuckDB-SQL oracle (same expressions), so each
+is a first-class `queries()` entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+#: BPE-ish token regex: words | numbers | single punctuation
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens_col(text: str = "text"):
+    """Whitespace tokens as array (shared split rule with the oracle)."""
+    return F.split(F.col(text), " ")
+
+
+def token_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace + regex token counts (SURVEY.md training-data ops)."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_col(text)).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col(text), F.lit(TOKEN_RE)).cast("bigint").alias("re_tokens"),
+        F.length(text).cast("bigint").alias("n_chars_calc"),
+    )
+
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic: en if common-English-word share of
+    whitespace tokens ≥ 0.05, else unknown."""
+    toks = tokens_col(text)
+    stop_n = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    ratio = stop_n.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return df.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length / punctuation / word-length quality signals + composite."""
+    toks = tokens_col(text)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    punct = F.regexp_count(F.col(text), F.lit("[^A-Za-z0-9 ]")).cast("double")
+    mean_tok_len = n_chars / n_tokens
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = len_score * (F.lit(1.0) - punct_ratio)
+    return df.select(
+        "doc_id",
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted distinct token
+    set — key for fuzzy-dup grouping (locale-free, deterministic)."""
+    toks = F.array_sort(F.array_distinct(tokens_col(text)))
+    return df.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks)).alias("fp"),
+    )

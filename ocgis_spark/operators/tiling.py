@@ -1,0 +1,90 @@
+"""Raster↔vector tile schema + chunk assignment — the reference's
+``GridChunker`` pipeline re-expressed relationally.
+
+Semantics reproduced:
+
+* ``get_tile_schema(nrow, ncol, tdim)`` — row-major tile grid with
+  half-open index bounds (``/root/reference/src/ocgis/calc/tile.py:6-32``);
+* destination tiles partition the grid (every destination cell in exactly
+  one tile); source cells may appear in multiple tiles because each tile's
+  extent is buffered by ``2 x resolution`` before the source subset
+  (``spatial/grid_chunker.py:503-689``, buffer modifier
+  ``constants.py:512``);
+* the per-tile index/bounds rows the chunker writes
+  (``grid_chunker.py:781-818``) become a small broadcast DataFrame.
+
+Destination assignment is pure index arithmetic (no join at all); source
+assignment is a broadcast range join cells x tiles — at 100 TB the big side
+is scanned once, never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..geo.cellindex import GridSpec
+
+BUFFER_RESOLUTION_MODIFIER = 2.0  # constants.py:512
+
+
+def tile_schema_df(
+    spark: SparkSession, grid: GridSpec, tdim: int, buffer_res: float | None = None
+) -> DataFrame:
+    """All tiles as rows: index bounds (half-open) + buffered extent."""
+    if buffer_res is None:
+        buffer_res = BUFFER_RESOLUTION_MODIFIER * grid.res
+    ntx = (grid.nx + tdim - 1) // tdim
+    nty = (grid.ny + tdim - 1) // tdim
+    rows = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            y0, y1 = ty * tdim, min((ty + 1) * tdim, grid.ny)
+            x0, x1 = tx * tdim, min((tx + 1) * tdim, grid.nx)
+            rows.append(
+                (
+                    ty * ntx + tx,
+                    y0, y1, x0, x1,
+                    grid.lon0 + x0 * grid.res - buffer_res,
+                    grid.lat0 + y0 * grid.res - buffer_res,
+                    grid.lon0 + x1 * grid.res + buffer_res,
+                    grid.lat0 + y1 * grid.res + buffer_res,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "tile_id int, y_start int, y_stop int, x_start int, x_stop int, "
+        "buffered_minx double, buffered_miny double, buffered_maxx double, "
+        "buffered_maxy double",
+    )
+
+
+def assign_dest_tiles(df: DataFrame, grid: GridSpec, tdim: int) -> DataFrame:
+    """Destination tile id per row — index arithmetic, exactly-one rule
+    (``grid_chunker.py:29-35``: destination elements globally unique)."""
+    ntx = (grid.nx + tdim - 1) // tdim
+    tile = (
+        F.floor(F.col("cell_y") / tdim) * F.lit(ntx) + F.floor(F.col("cell_x") / tdim)
+    ).cast("int")
+    return df.withColumn("tile_id", tile)
+
+
+def assign_source_tiles(
+    df: DataFrame, tiles: DataFrame, grid: GridSpec
+) -> DataFrame:
+    """Source assignment: a cell belongs to every tile whose buffered extent
+    intersects the cell box (closed test) — source duplication across tile
+    boundaries is intended (``grid_chunker.py:503-689``)."""
+    lon_lb = F.lit(grid.lon0) + F.col("cell_x") * F.lit(grid.res)
+    lon_ub = F.lit(grid.lon0) + (F.col("cell_x") + 1) * F.lit(grid.res)
+    lat_lb = F.lit(grid.lat0) + F.col("cell_y") * F.lit(grid.res)
+    lat_ub = F.lit(grid.lat0) + (F.col("cell_y") + 1) * F.lit(grid.res)
+    cond = (
+        (lon_lb <= tiles["buffered_maxx"]) & (lon_ub >= tiles["buffered_minx"])
+        & (lat_lb <= tiles["buffered_maxy"]) & (lat_ub >= tiles["buffered_miny"])
+    )
+    return df.join(F.broadcast(tiles.select("tile_id", "buffered_minx",
+                                            "buffered_miny", "buffered_maxx",
+                                            "buffered_maxy")), cond, "inner").drop(
+        "buffered_minx", "buffered_miny", "buffered_maxx", "buffered_maxy"
+    )

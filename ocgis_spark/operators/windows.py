@@ -1,0 +1,135 @@
+"""Window and sequence calcs over per-key time series.
+
+Reference semantics:
+
+* ``moving_window`` centered rolling stat, 'valid' mode trims edges —
+  ``/root/reference/src/ocgis/calc/library/statistics.py:12-135``;
+* ``convolve_1d`` along time — ``math.py:48-109``;
+* ``duration`` longest qualifying run per group — gaps-and-islands
+  (``calc/library/index/duration.py:10-95``);
+* ``freq_duration`` run-length histogram (``duration.py:98-153``);
+* ``freezethaw`` sequential per-series scan (``freeze_thaw.py:9-110``) →
+  ``applyInPandas`` (inherently sequential per series, parallel across
+  series).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def moving_window(
+    df: DataFrame, key: str, ts: str, value: str, width: int = 5,
+    stat: str = "avg", mode: str = "valid", tiebreak: str | None = None,
+) -> DataFrame:
+    """Centered rolling stat of odd width per key, ordered by time.
+    'valid' mode keeps only full windows (``statistics.py:60-75``).
+    ``tiebreak`` makes ordering deterministic under equal timestamps."""
+    assert width % 2 == 1, "width must be odd (statistics.py:30)"
+    half = width // 2
+    order = [ts, tiebreak] if tiebreak else [ts]
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(-half, half)
+    fn = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+          "std": F.stddev_samp, "median": F.median}[stat]
+    out = df.withColumn("mw", fn(value).over(w)).withColumn(
+        "mw_n", F.count(value).over(w)
+    )
+    if mode == "valid":
+        out = out.filter(F.col("mw_n") == width)
+    return out.drop("mw_n")
+
+
+def convolve_1d(
+    df: DataFrame, key: str, ts: str, value: str, weights: list[float],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Centered 1-D convolution via lag/lead dot product — stays in
+    whole-stage codegen (no UDF). Odd-length kernels only; edges trimmed
+    ('valid')."""
+    assert len(weights) % 2 == 1
+    half = len(weights) // 2
+    order = [ts, tiebreak] if tiebreak else [ts]
+    w = Window.partitionBy(key).orderBy(*order)
+    acc = None
+    for i, wt in enumerate(weights):
+        off = i - half
+        col = F.lag(value, -off).over(w) if off != 0 else F.col(value)
+        term = col * F.lit(float(wt))
+        acc = term if acc is None else acc + term
+    cnt = F.count(value).over(w.rowsBetween(-half, half))
+    return df.withColumn("conv", acc).withColumn("_n", cnt).filter(
+        F.col("_n") == len(weights)
+    ).drop("_n")
+
+
+def _islands(df: DataFrame, key: str, ts: str, cond, tiebreak: str | None = None) -> DataFrame:
+    """Tag qualifying rows with island ids (gaps-and-islands)."""
+    order = [ts, tiebreak] if tiebreak else [ts]
+    w = Window.partitionBy(key).orderBy(*order)
+    flagged = df.withColumn("_q", F.when(cond, 1).otherwise(0))
+    return (
+        flagged.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_rq",
+            F.row_number().over(
+                Window.partitionBy(key, "_q").orderBy(*order)
+            ),
+        )
+        .withColumn("_island", F.col("_rn") - F.col("_rq"))
+    )
+
+
+def duration(
+    df: DataFrame, key: str, ts: str, value: str, threshold: float,
+    operation: str = "gt", summary: str = "max", tiebreak: str | None = None,
+) -> DataFrame:
+    """Longest (or mean/...) consecutive-run length where value meets the
+    threshold, per key (``duration.py:10-95``)."""
+    col = F.col(value)
+    cond = {"gt": col > threshold, "gte": col >= threshold,
+            "lt": col < threshold, "lte": col <= threshold}[operation]
+    isl = _islands(df, key, ts, cond, tiebreak).filter(F.col("_q") == 1)
+    runs = isl.groupBy(key, "_island").agg(F.count(F.lit(1)).alias("run_len"))
+    fn = {"max": F.max, "mean": F.avg, "min": F.min}[summary]
+    return runs.groupBy(key).agg(fn("run_len").cast("double").alias("duration"))
+
+
+def freq_duration(
+    df: DataFrame, key: str, ts: str, value: str, threshold: float,
+    operation: str = "gt", tiebreak: str | None = None,
+) -> DataFrame:
+    """Histogram of run lengths per key (``duration.py:98-153`` structured
+    (duration, count) records → plain rows here)."""
+    col = F.col(value)
+    cond = {"gt": col > threshold, "gte": col >= threshold,
+            "lt": col < threshold, "lte": col <= threshold}[operation]
+    isl = _islands(df, key, ts, cond, tiebreak).filter(F.col("_q") == 1)
+    runs = isl.groupBy(key, "_island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy(key, "run_len").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def freezethaw(
+    df: DataFrame, key: str, ts: str, value: str, threshold: float = 15.0
+) -> DataFrame:
+    """Freeze/thaw-style transition count from a cumulative scan per series
+    (``freeze_thaw.py:9-110``): count sign changes of the centered value's
+    running state once cumulative |excursion| exceeds ``threshold``.
+    Sequential per series → applyInPandas (parallel across keys)."""
+    schema = f"{key} bigint, transitions bigint"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        v = pdf[value].to_numpy()
+        state, acc, trans = 0, 0.0, 0
+        for x in v:
+            acc += x - threshold
+            new_state = 1 if acc > 0 else (-1 if acc < 0 else state)
+            if state != 0 and new_state != 0 and new_state != state:
+                trans += 1
+            if new_state != 0:
+                state = new_state
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "transitions": [trans]})
+
+    return df.select(key, ts, value).groupBy(key).applyInPandas(fn, schema)
