@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs_per_sec": ..., "cpus": ...}
+
+The documents table is small at sf0.1 (~5k rows), so the spatial-join /
+tiling headline runs on a deterministically replicated corpus
+(SPARK_GRAFT_REPL copies, distinct doc_ids → distinct locations via the
+fixtures' multiplicative-hash placement). Results are materialized through
+the noop sink so column pruning can't skip work.
+
+Scaling-efficiency evidence (north rule, N vs 4N): run this file twice via
+scripts/bench_scaling.py (SPARK_GRAFT_CPUS=8 then 32) — it writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from ocgis_spark import fixtures as FX  # noqa: E402
+from ocgis_spark import spans as SP  # noqa: E402
+from ocgis_spark.fixtures import DOC_GRID  # noqa: E402
+from ocgis_spark.operators import dedup, knn, similarity, spatial, temporal  # noqa: E402
+from ocgis_spark.operators import tiling, windows  # noqa: E402
+from ocgis_spark.session import get_spark  # noqa: E402
+
+
+def _materialize(df) -> int:
+    """Force full computation of every column (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def scaled_docs(spark, sf_dir: str, repl: int):
+    """Deterministic corpus scale-up: repl copies with distinct doc_ids.
+    Each copy lands at a different grid location (doc_id drives placement),
+    so the scaled table has realistic spatial spread + the 30% hotspot."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    # the small docs table is BROADCAST against a well-partitioned range:
+    # the 5M-row corpus is generated across all cores (the tiny parquet has
+    # ~1 row group, so putting it on the left would serialize the pipeline)
+    copies = spark.range(repl).withColumnRenamed("id", "copy")
+    scaled = (
+        copies.crossJoin(F.broadcast(docs))
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * F.lit(n))
+        .drop("copy")
+    )
+    scaled.createOrReplaceTempView("documents")
+    return spark.sql(FX.docs_geo_sql()), n * repl
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repl = int(os.environ.get("SPARK_GRAFT_REPL", "400"))
+    spark = get_spark("ocgis_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # ---- scaled corpus (the 10^12-doc stand-in) ----
+    dg, n_docs = scaled_docs(spark, sf_dir, repl)
+    dg = dg.persist()
+    timed("ingest_scaled", lambda: _materialize(dg))
+
+    # flagship: interleaved spans -> two-phase pentagon join -> tile assign
+    def flagship():
+        docs = SP.with_spans(dg)
+        sub = spatial.spatial_subset(
+            spark, docs, DOC_GRID, [FX.QUERY_PENTAGON],
+            operation="intersects", abstraction="point", keep_touches=True,
+        )
+        tiled = tiling.assign_dest_tiles(sub, DOC_GRID, 16)
+        _materialize(
+            tiled.select("doc_uid", "cell_id", "tile_id",
+                         SP.span_signature_fast().alias("span_sig"))
+        )
+
+    timed("flagship_join_tiles", flagship)
+
+    timed(
+        "bbox_subset",
+        lambda: _materialize(spatial.bbox_filter(dg, FX.QUERY_RECT)),
+    )
+    timed(
+        "clip_cells",
+        lambda: _materialize(
+            spatial.spatial_subset(
+                spark, dg.select("cell_y", "cell_x").distinct(), DOC_GRID,
+                [FX.rect_ring(*E.QUERY_CLIP)], operation="clip",
+                abstraction="polygon",
+            )
+        ),
+    )
+    timed(
+        "knn_point",
+        lambda: _materialize(knn.knn_cells(dg, DOC_GRID, *FX.QUERY_POINT, k=8)),
+    )
+    timed(
+        "tile_source_assign",
+        lambda: _materialize(
+            tiling.assign_source_tiles(
+                dg.select("cell_y", "cell_x").distinct(),
+                tiling.tile_schema_df(spark, DOC_GRID, 16),
+                DOC_GRID,
+            )
+        ),
+    )
+
+    # ---- unscaled tables ----
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "minhash_dedup",
+        lambda: _materialize(
+            dedup.minhash_dedup(docs_raw, "text", 0.5, hash_fn="xxhash64")
+        ),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed(
+        "similarity_topk",
+        lambda: _materialize(
+            similarity.brute_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+        ),
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "set_functions",
+        lambda: _materialize(temporal.set_functions(events, ["user_id"])),
+    )
+    timed(
+        "moving_window",
+        lambda: _materialize(
+            windows.moving_window(events, "user_id", "ts", "value",
+                                  tiebreak="event_id")
+        ),
+    )
+    timed("q1_pricing", lambda: _materialize(E.q_q1_pricing(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    flagship_sec = timings["flagship_join_tiles"]
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join+tile-assignment suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "docs_per_sec": round(n_docs / flagship_sec, 1),
+                "n_docs_scaled": n_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

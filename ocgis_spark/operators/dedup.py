@@ -66,15 +66,26 @@ def doc_shingles(df: DataFrame, text: str = "text", n: int = SHINGLE_LEN) -> Dat
     )
 
 
-def minhash_signatures(df: DataFrame, text: str = "text") -> DataFrame:
-    """N md5-based minhashes per doc: h_i(doc) = min over shingles of
-    md5(i || '#' || shingle). String min is lexicographic in both engines
-    (oracle computes byte-identical signatures)."""
+def minhash_signatures(
+    df: DataFrame, text: str = "text", hash_fn: str = "md5"
+) -> DataFrame:
+    """N minhashes per doc: h_i(doc) = min over shingles of hash(i, shingle).
+
+    ``hash_fn='md5'``: md5(i || '#' || shingle) — byte-identical in DuckDB,
+    used by the correctness gate. ``hash_fn='xxhash64'``: seeded xxhash64 —
+    pure JVM, ~8x cheaper, the 100 TB path (identical banding semantics,
+    no SQL oracle)."""
     toks = doc_shingles(df, text)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("tok")))).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("tok")))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
     return toks.groupBy("doc_id").agg(*aggs)
 
 
@@ -139,11 +150,14 @@ def jaccard_verify(
     return out
 
 
-def minhash_dedup(df: DataFrame, text: str = "text", threshold: float = 0.5) -> DataFrame:
+def minhash_dedup(
+    df: DataFrame, text: str = "text", threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ t
     (Jaccard over the same character-shingle sets)."""
     toks = doc_shingles(df, text)
-    sigs = minhash_signatures(df, text)
+    sigs = minhash_signatures(df, text, hash_fn)
     return jaccard_verify(lsh_candidates(sigs), toks, threshold)
 
 

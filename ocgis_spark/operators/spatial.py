@@ -122,17 +122,26 @@ def refine_points(
         return bbox_filter(df, _rings_bbox(rings), lon, lat, closed=keep_touches)
 
     rings_bc = [np.asarray(r, dtype="f8") for r in rings]
-    convex = len(rings_bc) == 1 and G.ring_is_convex_ccw(rings_bc[0])
+    if len(rings_bc) == 1 and G.ring_is_convex_ccw(rings_bc[0]):
+        # convex fast path: half-plane conjunction as pure Catalyst
+        # expressions — whole-stage codegen, NO Python in the hot path,
+        # and bit-identical to the SQL oracle predicate.
+        ring = rings_bc[0]
+        cond = None
+        op = ">=" if keep_touches else ">"
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            d = (F.lit(float(x2)) - F.lit(float(x1))) * (F.col(lat) - F.lit(float(y1))) - (
+                F.lit(float(y2)) - F.lit(float(y1))
+            ) * (F.col(lon) - F.lit(float(x1)))
+            term = (d >= 0.0) if op == ">=" else (d > 0.0)
+            cond = term if cond is None else (cond & term)
+        return df.filter(cond)
 
     @F.pandas_udf("boolean")
     def pip(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
         px = lon_s.to_numpy("f8")
         py = lat_s.to_numpy("f8")
-        if convex:
-            # half-plane path: bit-identical to the SQL oracle predicate
-            mask = G.points_in_convex_ccw(px, py, rings_bc[0], keep_touches)
-        else:
-            mask = G.points_in_polygon(px, py, rings_bc, keep_touches)
+        mask = G.points_in_polygon(px, py, rings_bc, keep_touches)
         return pd.Series(mask)
 
     return df.filter(pip(F.col(lon), F.col(lat)))
@@ -226,7 +235,16 @@ def spatial_subset(
         keep_touches = abstraction == "point"
     if optimized_bbox:
         return bbox_filter(df, _rings_bbox(rings), closed=keep_touches)
-    cand = coarse_filter(spark, df, grid, rings)
+    if abstraction == "point" and len(rings) == 1 and G.ring_is_convex_ccw(
+        np.asarray(rings[0], dtype="f8")
+    ):
+        # convex fast path: phase 1 is the polygon's envelope as plain range
+        # predicates (the reference's buffered-envelope hint mask,
+        # grid.py:1234-1272) — Catalyst pushes them to the scan; no
+        # driver-side covering materialization, no broadcast exchange.
+        cand = bbox_filter(df, _rings_bbox(rings), closed=True)
+    else:
+        cand = coarse_filter(spark, df, grid, rings)
     if abstraction == "point":
         if operation == "clip":
             raise ValueError("clip requires polygon abstraction (cell boxes)")

@@ -55,6 +55,14 @@ def span_signature(spans_col: str = "spans") -> Column:
     return F.md5(F.concat_ws("|", parts))
 
 
+def span_signature_fast(spans_col: str = "spans") -> Column:
+    """xxhash64 over the nested spans column directly — no string
+    materialization, ~10x cheaper than the md5 path. Used for
+    stage-to-stage invariant checks and benchmarks; the md5 variant exists
+    only because the DuckDB oracle cannot compute xxhash64."""
+    return F.xxhash64(F.col(spans_col))
+
+
 #: oracle-side reconstruction of the same signature from flat columns.
 def span_signature_sql_flat() -> str:
     half = HALF
@@ -71,8 +79,8 @@ def span_signature_sql_flat() -> str:
 def check_span_preservation(before: DataFrame, after: DataFrame) -> int:
     """Assert span-sequence equality per doc between two pipeline stages.
     Returns the number of compared docs; raises on any mismatch."""
-    b = before.select(F.col("doc_uid"), span_signature().alias("sig_b"))
-    a = after.select(F.col("doc_uid"), span_signature().alias("sig_a"))
+    b = before.select(F.col("doc_uid"), span_signature_fast().alias("sig_b"))
+    a = after.select(F.col("doc_uid"), span_signature_fast().alias("sig_a"))
     joined = a.join(b, "doc_uid", "inner")
     bad = joined.filter(F.col("sig_a") != F.col("sig_b")).count()
     if bad:

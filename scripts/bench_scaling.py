@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule): run the flagship
+spatial-join + tile-assignment job at N and 4N local cores on identical
+input, report throughput at both + scaling efficiency, write BENCH.md.
+
+Methodology (for stable, honest numbers):
+* flagship job only (spans → two-phase polygon subset → tile assign →
+  span signature), on a deterministically scaled corpus that FITS in the
+  executor cache at both levels — otherwise the small-parallelism run
+  measures cache eviction, not compute, and the ratio comes out
+  superlinear;
+* per level: 1 warm-up run + 3 measured runs, median reported;
+* parallelism levels sit INSIDE the container's linear-CPU range
+  (measured with a multi-process spin probe; see BENCH.md text).
+
+Efficiency = (T_4N / T_N) / 4, T = docs/sec. North rule: ≥ 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_LEVEL_CODE = """
+import time, sys, os, json
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from ocgis_spark.session import get_spark
+from ocgis_spark import fixtures as FX, spans as SP
+from ocgis_spark.fixtures import DOC_GRID
+from ocgis_spark.operators import spatial, tiling
+import bench as B
+
+cpus = {cpus}
+spark = get_spark(cpus=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+dg, n = B.scaled_docs(spark, {sf_dir!r}, {repl})
+dg = dg.persist()
+dg.write.format("noop").mode("overwrite").save()  # populate cache
+
+def flagship():
+    docs = SP.with_spans(dg)
+    sub = spatial.spatial_subset(spark, docs, DOC_GRID, [FX.QUERY_PENTAGON],
+                                 abstraction="point")
+    tiled = tiling.assign_dest_tiles(sub, DOC_GRID, 16)
+    tiled.select("doc_uid", "cell_id", "tile_id",
+                 SP.span_signature_fast().alias("s")
+                 ).write.format("noop").mode("overwrite").save()
+
+flagship()  # warm-up (JIT, codegen, shuffle services)
+times = []
+for _ in range(3):
+    t0 = time.time(); flagship(); times.append(time.time() - t0)
+print("RESULT " + json.dumps({{"cpus": cpus, "n_docs": n, "times": times}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, sf_dir: str, repl: int) -> dict:
+    code = _LEVEL_CODE.format(repo=REPO, cpus=cpus, sf_dir=sf_dir, repl=repl)
+    env = dict(os.environ, SPARK_DRIVER_MEM="48g")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=1800, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repl = int(os.environ.get("SPARK_GRAFT_REPL", "4000"))
+    n_small = int(os.environ.get("SPARK_GRAFT_N_SMALL", "2"))
+    n_big = int(os.environ.get("SPARK_GRAFT_N_BIG", "8"))
+
+    print(f"running flagship at local[{n_small}] ...", file=sys.stderr)
+    r_small = run_level(n_small, sf_dir, repl)
+    print(f"running flagship at local[{n_big}] ...", file=sys.stderr)
+    r_big = run_level(n_big, sf_dir, repl)
+
+    n_docs = r_big["n_docs"]
+    t_small = statistics.median(r_small["times"])
+    t_big = statistics.median(r_big["times"])
+    tput_s, tput_b = n_docs / t_small, n_docs / t_big
+    eff = (tput_b / tput_s) / (n_big / n_small)
+
+    lines = [
+        "# BENCH — measured throughput + scaling efficiency",
+        "",
+        f"_generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} "
+        f"on a 32-vCPU container, input {sf_dir}, scaled corpus "
+        f"{n_docs:,} docs_",
+        "",
+        "## Two-parallelism scaling (north rule: N vs 4N, eff ≥ 0.8)",
+        "",
+        "Job: interleaved-span docs → Z-cell encode → two-phase polygon",
+        "subset (coarse covering join + exact refine) → destination tile",
+        "assignment → span-sequence signature, materialized via noop sink.",
+        "",
+        "No multi-executor cluster exists in this sandbox, so per the",
+        "driver's instruction the same job runs at two local parallelism",
+        "levels on identical input; 1 warm-up + median of 3 runs per level.",
+        "Levels sit inside the container's linear-CPU range: a",
+        "multi-process spin probe scales 0.96-linearly to 8 procs",
+        "(1→12.7M, 2→25.6M, 4→50.2M, 8→97.7M iters/3s) but only ~2.3x",
+        "from 8→32 (SMT: 32 vCPUs over ~16 physical cores), so 8-vs-32",
+        "would measure the hardware ceiling (~0.58), not the engine.",
+        "",
+        "| level | median wall | throughput |",
+        "|---|---|---|",
+        f"| local[{n_small}] (N) | {t_small:.2f} s | {tput_s:,.0f} docs/sec |",
+        f"| local[{n_big}] (4N) | {t_big:.2f} s | {tput_b:,.0f} docs/sec |",
+        "",
+        f"**Scaling efficiency = ({tput_b:,.0f} / {tput_s:,.0f}) / 4 = "
+        f"{eff:.3f}**" + ("  ✅ ≥ 0.8" if eff >= 0.8 else "  ❌ < 0.8"),
+        "",
+        "Raw runs (seconds):",
+        "```json",
+        json.dumps(r_small),
+        json.dumps(r_big),
+        "```",
+        "",
+        "## Suite timings",
+        "",
+        "See the driver-recorded `BENCH_r{N}.json` (bench.py at local[32],",
+        "sf0.1): per-query wall-clock for the full operator suite.",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
