@@ -1,0 +1,127 @@
+"""Dedup quality (planted near-dups), hash-fn equivalence, multimodal stub,
+and salting/skew control."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark import spans as SP
+from ocgis_spark.operators import dedup, multimodal, partitioning
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpus_with_dups(spark, docs):
+    base = docs.selectExpr("doc_id", "lower(trim(text)) AS text")
+    mutants = docs.selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        "lower(trim(substr(text, 1, greatest(length(text) - 10, 1)))) AS text",
+    )
+    return base.unionByName(mutants)
+
+
+def test_minhash_finds_planted_dups(spark, corpus_with_dups):
+    pairs = dedup.minhash_dedup(corpus_with_dups, "text", threshold=0.5).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # most originals should pair with their own mutant
+    planted = {(i, i + 1000000) for i in range(500)}
+    hits = found & planted
+    assert len(hits) > 400  # LSH recall on ~0.95-jaccard pairs
+    for r in pairs:
+        assert r.jaccard >= 0.5
+
+
+def test_minhash_xxhash64_equivalent_candidates(spark, corpus_with_dups):
+    """Both hash functions drive the same LSH mechanics; verified pairs
+    (post exact-Jaccard) must be near-identical sets."""
+    a = {(r.doc_a, r.doc_b)
+         for r in dedup.minhash_dedup(corpus_with_dups, "text", 0.5, "md5").collect()}
+    b = {(r.doc_a, r.doc_b)
+         for r in dedup.minhash_dedup(corpus_with_dups, "text", 0.5, "xxhash64").collect()}
+    # candidate generation is probabilistic per hash family; require heavy overlap
+    inter = len(a & b)
+    assert inter / max(len(a), 1) > 0.9
+    assert inter / max(len(b), 1) > 0.9
+
+
+def test_exact_dups_on_planted_copies(spark, docs):
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    out = dedup.exact_dups(doubled, "text").collect()
+    assert len(out) == 500
+    assert all(r.dup_n == 2 for r in out)
+
+
+def test_simhash_identical_for_same_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta epsilon")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert out[1] == out[2]  # same token set -> same signature
+    assert out[1] != out[3]
+    assert len(out[1]) == dedup.SIM_BITS
+
+
+def test_multimodal_stub(spark, docs):
+    ds = SP.with_spans(docs)
+    feats = multimodal.extract_features(ds, real=False)
+    rows = feats.collect()
+    assert len(rows) == 500  # one media span per doc
+    r = rows[0]
+    assert r.kind in ("image", "audio")
+    assert r.feat_bytes == len(r.media_ref) * 1024
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(real=True)
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    """One key holds 90% of rows; salting must spread it across tasks."""
+    df = spark.createDataFrame(
+        [(i, 7 if i % 10 else i) for i in range(10000)], "doc_id bigint, cell_prefix bigint"
+    )
+    hot = partitioning.detect_hot_keys(df, "cell_prefix", fraction_threshold=0.5,
+                                       sample_fraction=1.0)
+    assert hot == [7]
+    salted = partitioning.salted_repartition(df, "cell_prefix", n_salt=8, hot_keys=hot)
+    # the hot key fans out over all 8 salt buckets; cold keys keep salt 0
+    fan = {r.cell_prefix: r.n_salts for r in
+           salted.groupBy("cell_prefix")
+           .agg(F.countDistinct("salt").alias("n_salts")).collect()}
+    assert fan[7] == 8
+    assert all(v == 1 for k, v in fan.items() if k != 7)
+    # with AQE coalescing disabled (tiny test data would be merged into one
+    # partition otherwise), the physical spread is visible too
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        salted2 = partitioning.salted_repartition(df, "cell_prefix", n_salt=8,
+                                                  hot_keys=hot)
+        sizes = [
+            r.n for r in salted2.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        # without salting the hot key would pin ~9000 rows to one partition
+        assert max(sizes) < 4000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # salt column is deterministic (resume-safe)
+    s1 = salted.select("doc_id", "salt").collect()
+    s2 = partitioning.salted_repartition(df, "cell_prefix", n_salt=8, hot_keys=hot
+                                         ).select("doc_id", "salt").collect()
+    assert {(r.doc_id, r.salt) for r in s1} == {(r.doc_id, r.salt) for r in s2}
+
+
+def test_cell_prefix(spark):
+    df = spark.createDataFrame([(0, 0), (7, 7), (8, 8), (63, 63)],
+                               "cell_y int, cell_x int")
+    out = {(r.cell_y, r.cell_x): r.cell_prefix
+           for r in partitioning.with_cell_prefix(df).collect()}
+    assert out[(0, 0)] == 0 and out[(7, 7)] == 0
+    assert out[(8, 8)] == 4097  # (1)*4096 + 1
+    assert out[(63, 63)] == 7 * 4096 + 7

@@ -1,0 +1,105 @@
+"""Spark-side golden tests replicating the reference's test_simple spatial
+assertions (/root/reference/src/ocgis/test/test_simple/test_simple.py:552-599)
+on the 4x4/1° grid, plus the non-convex UDF refine path vs a NumPy oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark.fixtures import GOLDEN_GRID, rect_ring
+from ocgis_spark.geo import geometry as G
+from ocgis_spark.operators import aggregate as agg
+from ocgis_spark.operators import spatial
+
+
+def test_intersects_golden_quadrant(spark, golden_cells):
+    rings = [rect_ring(-104.5, 37.5, -102.5, 39.5)]
+    out = spatial.spatial_subset(
+        spark, golden_cells, GOLDEN_GRID, rings,
+        abstraction="polygon", keep_touches=False,
+    )
+    rows = {(r.cell_y, r.cell_x): r.value for r in out.collect()}
+    assert rows == {(1, 1): 3.0, (1, 2): 4.0, (2, 1): 1.0, (2, 2): 2.0}
+
+
+def test_clip_aggregate_golden(spark, golden_cells):
+    """clip areas mean 0.25, union 1.0, area-weighted mean 2.5."""
+    rings = [rect_ring(-104.0, 38.0, -103.0, 39.0)]
+    clipped = spatial.spatial_subset(
+        spark, golden_cells, GOLDEN_GRID, rings,
+        operation="clip", abstraction="polygon",
+    )
+    res = agg.area_weighted_mean(clipped, "value", "clip_area").collect()[0]
+    assert res["wmean"] == pytest.approx(2.5)
+    assert res["union_area"] == pytest.approx(1.0)
+    assert res["n"] == 4
+
+
+def test_extent_error_on_empty(spark, golden_cells):
+    rings = [rect_ring(50.0, 50.0, 51.0, 51.0)]
+    with pytest.raises(spatial.ExtentError):
+        spatial.spatial_subset(
+            spark, golden_cells, GOLDEN_GRID, rings,
+            abstraction="polygon", allow_empty=False,
+        )
+    out = spatial.spatial_subset(
+        spark, golden_cells, GOLDEN_GRID, rings,
+        abstraction="polygon", allow_empty=True,
+    )
+    assert out.count() == 0
+
+
+def test_nonconvex_pip_udf_matches_numpy(spark):
+    """L-shaped (non-convex) polygon exercises the pandas-UDF refine path;
+    oracle = the same NumPy kernel applied driver-side."""
+    ring = np.array(
+        [[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]], dtype="f8"
+    )
+    rng = np.random.default_rng(42)
+    px = rng.uniform(-1, 5, 500)
+    py = rng.uniform(-1, 5, 500)
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(px, py))],
+        "id int, lon double, lat double",
+    )
+    got = {
+        r.id
+        for r in spatial.refine_points(df, [ring], keep_touches=True).collect()
+    }
+    expected = set(
+        np.nonzero(G.points_in_polygon(px, py, [ring], keep_touches=True))[0].tolist()
+    )
+    assert got == expected
+    assert 0 < len(got) < 500
+
+
+def test_clip_nonrect_udf_matches_numpy(spark, golden_cells):
+    """Triangle clip exercises the Sutherland–Hodgman UDF path."""
+    tri = [np.array([[-105.5, 36.5], [-101.5, 36.5], [-105.5, 40.5], [-105.5, 36.5]])]
+    out = spatial.spatial_subset(
+        spark, golden_cells, GOLDEN_GRID, tri,
+        operation="clip", abstraction="polygon",
+    ).collect()
+    for r in out:
+        minx, miny, maxx, maxy = GOLDEN_GRID.bounds(r.cell_y, r.cell_x)
+        expect = G.box_polygon_clip_area(tri, minx, miny, maxx, maxy)
+        assert r.clip_area == pytest.approx(expect, rel=1e-12)
+    total = sum(r.clip_area for r in out)
+    assert total == pytest.approx(8.0, rel=1e-9)  # half the 16 deg^2 grid
+
+
+def test_optimized_bbox_matches_two_phase_for_rect(spark, golden_cells):
+    df = golden_cells.withColumn(
+        "lon", F.lit(-105.0) + F.col("cell_x") * 1.0
+    ).withColumn("lat", F.lit(37.0) + F.col("cell_y") * 1.0)
+    rect = (-104.5, 37.5, -102.5, 39.5)
+    a = spatial.spatial_subset(
+        spark, df, GOLDEN_GRID, [rect_ring(*rect)],
+        abstraction="point", optimized_bbox=True,
+    )
+    b = spatial.spatial_subset(
+        spark, df, GOLDEN_GRID, [rect_ring(*rect)], abstraction="point"
+    )
+    assert {(r.cell_y, r.cell_x) for r in a.collect()} == {
+        (r.cell_y, r.cell_x) for r in b.collect()
+    }
