@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ocgis_spark import fixtures as FX
 from ocgis_spark import spans as SP
 from ocgis_spark.fixtures import DOC_GRID
-from ocgis_spark.operators import calcmath, dedup, knn, similarity, spatial, temporal
+from ocgis_spark.operators import calcmath, crs, dedup, knn, regrid, similarity, spatial, temporal
 from ocgis_spark.operators import text as textops
 from ocgis_spark.operators import tiling, windows
 from ocgis_spark.operators import aggregate as agg
@@ -401,6 +401,41 @@ def q_join_agg(spark, sf_dir):
     )
 
 
+def q_regrid(spark, sf_dir):
+    """Sparse-weight regrid: 64x64 -> 16x16 conservative block mean
+    (ESMF-weight application as join + grouped sum)."""
+    src = _docs_geo(spark, sf_dir).select(
+        F.col("cell_id").cast("bigint").alias("src_id"), "value"
+    ).distinct()
+    w = regrid.conservative_weights(spark, DOC_GRID, factor=4)
+    return regrid.apply_weights(src, w, value="value")
+
+
+def q_units_conform(spark, sf_dir):
+    """cfunits-conform analogue: linear factor+offset conversion."""
+    ev = _events(spark, sf_dir)
+    return crs.conform_units(ev, "value", 1.8, 32.0, out="tas_f").select(
+        "event_id", "tas_f"
+    )
+
+
+def q_wrap_lon(spark, sf_dir):
+    """Wrapped/unwrapped coordinate round trip (spatial/wrap.py)."""
+    dg = _docs_geo(spark, sf_dir)
+    out = dg.withColumn("ulon", crs.unwrap_lon("lon"))
+    out = out.withColumn("wlon", crs.wrap_lon("ulon"))
+    return out.select("doc_id", "ulon", "wlon")
+
+
+def q_daily_perc(spark, sf_dir):
+    """Day-of-year percentile basis (daily_perc, statistics.py:138-352)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.dayofyear("ts").alias("doy"))
+        .agg(F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"))
+    )
+
+
 # ------------------------------------------------------------- oracles
 
 def _penta_pred(lon="lon", lat="lat"):
@@ -736,6 +771,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents UNION ALL "
             "SELECT doc_id, source FROM documents) u) d GROUP BY source"
         ),
+        "regrid": (
+            f"SELECT dst_id, sum(s * value) AS dst_value, sum(s) AS weight_sum "
+            f"FROM (SELECT CAST(floor(floor(src_id / {DOC_GRID.nx}) / 4) * {DOC_GRID.nx // 4} "
+            f"+ floor((src_id % {DOC_GRID.nx}) / 4) AS BIGINT) AS dst_id, 0.0625 AS s, value "
+            f"FROM (SELECT DISTINCT CAST(cell_id AS BIGINT) AS src_id, value FROM ({_DG}) dg) src) t "
+            f"GROUP BY dst_id"
+        ),
+        "units_conform": (
+            "SELECT event_id, value * 1.8 + 32.0 AS tas_f FROM events"
+        ),
+        "wrap_lon": (
+            f"SELECT doc_id, ulon, CASE WHEN ulon > 180.0 THEN ulon - 360.0 ELSE ulon END AS wlon "
+            f"FROM (SELECT doc_id, CASE WHEN lon < 0.0 THEN lon + 360.0 ELSE lon END AS ulon "
+            f"FROM ({_DG}) dg) t"
+        ),
+        "daily_perc": (
+            "SELECT CAST(dayofyear(ts) AS INT) AS doy, "
+            "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY 1"
+        ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_base, "
@@ -792,6 +846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_expr": q_eval_expr,
         "snippet_first": q_snippet_first,
         "multifile_union": q_multifile_union,
+        "regrid": q_regrid,
+        "units_conform": q_units_conform,
+        "wrap_lon": q_wrap_lon,
+        "daily_perc": q_daily_perc,
         "q1_pricing": q_q1_pricing,
         "join_agg": q_join_agg,
     }

@@ -1,0 +1,77 @@
+"""Streaming variants of the core pipeline.
+
+* ``stream_documents`` — file-source stream over a parquet directory (new
+  files = new micro-batches; ``Trigger.AvailableNow`` drains everything
+  present, which is how the tests compare stream vs batch results);
+* ``streaming_span_stats`` — the interleaved-span construction + per-source
+  aggregation as an incremental query;
+* ``streaming_windowed_counts`` — event-time tumbling windows with a
+  watermark for late data (the canonical Structured Streaming shape).
+
+All transformations are the SAME DataFrame functions the batch engine uses
+— Structured Streaming runs the identical logical plan incrementally, so
+there is no second implementation to keep in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import spans as SP
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of documents (``path`` must be a DIRECTORY —
+    Spark's file stream source watches directories; schema pinned from a
+    batch peek because streaming sources require an explicit schema)."""
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_span_stats(docs_stream: DataFrame) -> DataFrame:
+    """Per-source doc counts + media-span counts over the stream."""
+    with_s = SP.with_spans(docs_stream)
+    return (
+        with_s.select(
+            "source",
+            F.size(F.filter("spans", lambda s: s["kind"] != "text")).alias("n_media"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_media").alias("n_media_spans"),
+        )
+    )
+
+
+def streaming_windowed_counts(
+    events_stream: DataFrame, window: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("mean_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type", "n", "mean_value",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
+    """Drain all currently-available input into an in-memory sink and stop.
+    Returns the finished StreamingQuery (results at table ``query_name``)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
