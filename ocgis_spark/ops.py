@@ -1,0 +1,263 @@
+"""OcgOperations — the reference's primary entry point
+(``/root/reference/src/ocgis/ops/core.py:61-185``) as a typed config that
+composes the engine's DataFrame operators into one plan and executes it.
+
+Parameter names follow the reference (``ops/parms/definition.py``); the
+execution order mirrors ``OperationsEngine._process_subsettables_``
+(``ops/engine.py:158-385``): nonspatial subsets → snippet/slice → spatial
+subset (per geometry) → select_nearest → aggregation/calcs → converter.
+Cross-parameter validation replicates ``_validate_`` (``core.py:324-416``).
+Unlike the reference's eager per-geometry generator, everything here is ONE
+lazy Catalyst plan per selection geometry, unioned with a ``ugid`` column
+(the SpatialCollection analogue, SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import conv
+from .geo import wkb as WKB
+from .geo.cellindex import GridSpec
+from .operators import aggregate as agg_ops
+from .operators import calc_registry, calcmath, knn as knn_ops, spatial, temporal
+from .request import Field, RequestDataset
+
+
+class DefinitionValidationError(ValueError):
+    """Cross-parameter validation failure (ops/core.py:324-416)."""
+
+
+@dataclass
+class OcgOperations:
+    dataset: Any  # RequestDataset | Field | DataFrame
+    geom: Any = None  # rings ndarray(s) | WKB bytes | (minx,miny,maxx,maxy)
+    spatial_operation: str = "intersects"  # 'intersects' | 'clip'
+    abstraction: str = "point"  # 'point' | 'polygon'
+    aggregate: bool = False
+    select_nearest: bool = False
+    calc: list[dict] | None = None  # [{'func': 'mean', 'name': 'mean', ...}]
+    calc_grouping: list | None = None  # ['month'] | ['year','month'] | 'day'
+    calc_sample_size: bool = False
+    time_range: tuple[str, str] | None = None
+    time_region: dict | None = None  # {'month': [...], 'year': [...], 'day': [...]}
+    level_range: tuple[float, float] | None = None
+    snippet: bool = False
+    allow_empty: bool = True
+    optimized_bbox_subset: bool = False
+    keep_touches: bool | None = None
+    search_radius_mult: float = 2.0
+    output_format: str = "ocgis"
+    prefix: str = "ocgis_spark_output"
+    dir_output: str = "."
+    grid: GridSpec | None = None
+    melted: bool = False
+
+    def __post_init__(self):
+        self._validate()
+
+    # ---- validation (core.py:324-416 analogue) ----
+    def _validate(self):
+        if self.spatial_operation not in ("intersects", "clip"):
+            raise DefinitionValidationError(
+                f"spatial_operation {self.spatial_operation!r} invalid"
+            )
+        if self.spatial_operation == "clip" and self.abstraction == "point":
+            raise DefinitionValidationError(
+                "clip requires polygon abstraction (cell geometries)"
+            )
+        if self.output_format not in conv.get_converter_map():
+            raise DefinitionValidationError(
+                f"output_format {self.output_format!r} not in "
+                f"{sorted(conv.get_converter_map())}"
+            )
+        if self.calc:
+            for c in self.calc:
+                if "func" not in c:
+                    raise DefinitionValidationError("calc entries need 'func'")
+                if not str(c["func"]).startswith("eval="):
+                    try:
+                        calc_registry.get(c["func"])
+                    except KeyError as e:
+                        raise DefinitionValidationError(str(e)) from None
+        if self.calc_grouping and not self.calc:
+            raise DefinitionValidationError("calc_grouping requires calc")
+        if self.select_nearest and self.spatial_operation == "clip":
+            raise DefinitionValidationError(
+                "select_nearest is incompatible with clip"
+            )
+
+    # ---- geometry coercion ----
+    def _rings(self) -> list[np.ndarray] | None:
+        g = self.geom
+        if g is None:
+            return None
+        if isinstance(g, (bytes, bytearray)):
+            kind, data = WKB.parse_wkb(bytes(g))
+            if kind == "polygon":
+                return data
+            if kind == "point":
+                # point selection: buffer by search_radius_mult x resolution
+                # (ops/engine.py:515-531)
+                grid = self._grid()
+                r = self.search_radius_mult * grid.res
+                x, y = data
+                from .fixtures import rect_ring
+
+                return [rect_ring(x - r, y - r, x + r, y + r)]
+            raise DefinitionValidationError(f"unsupported WKB kind {kind}")
+        if isinstance(g, tuple) and len(g) == 4:
+            from .fixtures import rect_ring
+
+            return [rect_ring(*g)]
+        if isinstance(g, np.ndarray):
+            return [g]
+        if isinstance(g, list):
+            return [np.asarray(r, dtype="f8") for r in g]
+        raise DefinitionValidationError(f"cannot interpret geom {type(g)}")
+
+    def _grid(self) -> GridSpec:
+        if self.grid is not None:
+            return self.grid
+        if isinstance(self.dataset, Field) and self.dataset.grid is not None:
+            return self.dataset.grid
+        if isinstance(self.dataset, RequestDataset) and self.dataset.grid is not None:
+            return self.dataset.grid
+        raise DefinitionValidationError("a GridSpec is required (grid=...)")
+
+    # ---- execution (engine.py:53-385 analogue) ----
+    def execute(self, spark: SparkSession):
+        if isinstance(self.dataset, RequestDataset):
+            fld = self.dataset.get(spark)
+        elif isinstance(self.dataset, Field):
+            fld = self.dataset
+        else:
+            from .request import DEFAULT_DIMENSION_MAP
+
+            fld = Field(self.dataset, dict(DEFAULT_DIMENSION_MAP), self.grid)
+        df = fld.df
+        dm = fld.dimension_map
+        ts = dm.get("time", "ts")
+        value = dm.get("value", "value")
+
+        # nonspatial subsets (engine.py:387-406)
+        if self.time_range is not None:
+            if "ts_lb" not in df.columns:
+                df = temporal.with_time_bounds(df, ts)
+            df = temporal.time_range(df, *self.time_range)
+        if self.time_region is not None:
+            df = temporal.time_region(
+                df,
+                months=self.time_region.get("month"),
+                years=self.time_region.get("year"),
+                days=self.time_region.get("day"),
+                ts=ts,
+            )
+        if self.level_range is not None and "level" in df.columns:
+            lo, hi = self.level_range
+            df = df.filter(F.col("level").between(lo, hi))
+        if self.snippet and ts in df.columns:
+            fld2 = Field(df, dm, fld.grid)
+            df = fld2.get_field_slice({"time": 0}).df
+
+        # spatial subset per geometry (engine.py:287-385)
+        rings = self._rings()
+        grid = self._grid() if (rings is not None or self.select_nearest) else None
+        if rings is not None:
+            df = spatial.spatial_subset(
+                spark, df, grid, rings,
+                operation=self.spatial_operation,
+                abstraction=self.abstraction,
+                keep_touches=self.keep_touches,
+                optimized_bbox=self.optimized_bbox_subset,
+                allow_empty=self.allow_empty,
+            )
+
+        if self.select_nearest:
+            if not isinstance(self.geom, (bytes, bytearray)):
+                raise DefinitionValidationError(
+                    "select_nearest needs a point WKB geom"
+                )
+            kind, (qx, qy) = WKB.parse_wkb(bytes(self.geom))
+            nearest = knn_ops.knn_cells(df, grid, qx, qy, k=1).select(
+                "cell_y", "cell_x"
+            )
+            df = df.join(F.broadcast(nearest), ["cell_y", "cell_x"], "leftsemi")
+
+        # aggregation / calcs (engine.py:573-613; calc/engine.py:48-157)
+        if self.aggregate:
+            weight = "clip_area" if self.spatial_operation == "clip" else None
+            if weight and weight in df.columns:
+                df = agg_ops.area_weighted_mean(df, value, weight)
+            else:
+                df = agg_ops.spatial_mean_unweighted(df, value)
+        elif self.calc:
+            df, keys = self._with_grouping_keys(df, ts)
+            outs = []
+            for c in self.calc:
+                func = c["func"]
+                if str(func).startswith("eval="):
+                    df = calcmath.eval_expr(df, func[len("eval="):])
+                    continue
+                parms = {k: v for k, v in c.items() if k not in ("func", "name")}
+                out = calc_registry.get(func)(df, keys, value=value, ts=ts, **parms)
+                if "name" in c and func in out.columns:
+                    out = out.withColumnRenamed(func, c["name"])
+                if self.calc_sample_size:
+                    n = df.groupBy(*keys).agg(F.count(value).alias("n"))
+                    out = out.join(n, keys)
+                outs.append(out)
+            if outs:
+                df = outs[0]
+                for o in outs[1:]:
+                    df = df.join(o, keys, "outer")
+
+        # converter (interpreter.py:120-134)
+        writer = conv.get_converter_map()[self.output_format]
+        ops_doc = {k: str(v) for k, v in self.__dict__.items() if k != "dataset"}
+        if self.output_format == "ocgis":
+            return writer(df)
+        import os
+
+        path = os.path.join(self.dir_output, self.prefix)
+        return writer(df, path, ops_doc)
+
+    def _with_grouping_keys(
+        self, df: DataFrame, ts: str
+    ) -> tuple[DataFrame, list[str]]:
+        """Derive calc_grouping key columns (temporal.py:227-271 analogue):
+        calendar parts become year()/month()/... columns; season lists
+        become (season, season_year) with the DJF December year shift."""
+        g = self.calc_grouping
+        if not g:
+            keys = [c for c in ("cell_y", "cell_x", "user_id") if c in df.columns][:1]
+            return df, keys
+        if isinstance(g, str):
+            g = [g]
+        if isinstance(g[0], (list, tuple)):  # season lists, e.g. [[12,1,2],...]
+            label, syear = temporal.season_expr(ts)
+            df = df.withColumn("season", label).withColumn("season_year", syear)
+            wanted = {
+                frozenset(s): True for s in g
+            }
+            names = {frozenset([12, 1, 2]): "DJF", frozenset([3, 4, 5]): "MAM",
+                     frozenset([6, 7, 8]): "JJA", frozenset([9, 10, 11]): "SON"}
+            labels = [names[k] for k in wanted if k in names]
+            df = df.filter(F.col("season").isin(labels))
+            return df, ["season", "season_year"]
+        keys = []
+        fns = {"year": F.year, "month": F.month, "day": F.dayofmonth,
+               "hour": F.hour}
+        for part in g:
+            if part == "all":
+                continue
+            if part not in fns:
+                raise DefinitionValidationError(f"unknown grouping {part!r}")
+            df = df.withColumn(part, fns[part](ts))
+            keys.append(part)
+        return df, keys

@@ -1,0 +1,189 @@
+"""OcgOperations / RequestDataset / converters — entry-point parity tests
+mirroring the reference's operation-level test_simple assertions
+(/root/reference/src/ocgis/test/test_simple/test_simple.py)."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark.fixtures import GOLDEN_GRID, rect_ring
+from ocgis_spark.geo import wkb as WKB
+from ocgis_spark.ops import DefinitionValidationError, OcgOperations
+from ocgis_spark.request import Field, RequestDataset
+
+
+@pytest.fixture(scope="module")
+def golden_field(spark):
+    """make_test_data analogue: 4x4 grid x 61 daily steps from 2000-03-01,
+    quadrant values (make_test_data.py:35-120)."""
+    rows = []
+    t0 = dt.datetime(2000, 3, 1, 12)
+    for i in range(61):
+        ts = t0 + dt.timedelta(days=i)
+        for cy in range(4):
+            for cx in range(4):
+                north, east = cy >= 2, cx >= 2
+                val = (1.0 if (north and not east) else 2.0 if north
+                       else 3.0 if not east else 4.0)
+                rows.append((ts, cy, cx, -105.0 + cx, 37.0 + cy, val))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, cell_y int, cell_x int, lon double, lat double, value double"
+    )
+    return Field(df, {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+                 GOLDEN_GRID)
+
+
+def test_ops_intersects_golden(spark, golden_field):
+    ops = OcgOperations(
+        dataset=golden_field,
+        geom=(-104.5, 37.5, -102.5, 39.5),
+        spatial_operation="intersects",
+        abstraction="polygon",
+        snippet=True,
+    )
+    out = ops.execute(spark)
+    vals = sorted(r.value for r in out.collect())
+    assert vals == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_ops_clip_aggregate_golden(spark, golden_field):
+    ops = OcgOperations(
+        dataset=golden_field,
+        geom=(-104.0, 38.0, -103.0, 39.0),
+        spatial_operation="clip",
+        abstraction="polygon",
+        aggregate=True,
+        snippet=True,
+    )
+    res = ops.execute(spark).collect()[0]
+    assert res["wmean"] == pytest.approx(2.5)
+    assert res["union_area"] == pytest.approx(1.0)
+
+
+def test_ops_calc_monthly_mean(spark, golden_field):
+    ops = OcgOperations(
+        dataset=golden_field,
+        geom=(-104.5, 37.5, -102.5, 39.5),
+        abstraction="polygon",
+        calc=[{"func": "mean", "name": "mean"}],
+        calc_grouping=["year", "month"],
+        calc_sample_size=True,
+    )
+    out = {(r.year, r.month): (r.mean, r.n) for r in ops.execute(spark).collect()}
+    # March: 31 days x 4 cells; April: 30 x 4 (61 steps 3/1..4/30)
+    assert out[(2000, 3)] == (pytest.approx(2.5), 31 * 4)
+    assert out[(2000, 4)] == (pytest.approx(2.5), 30 * 4)
+
+
+def test_ops_seasonal_grouping(spark, golden_field):
+    ops = OcgOperations(
+        dataset=golden_field,
+        calc=[{"func": "mean", "name": "mean"}],
+        calc_grouping=[[3, 4, 5]],
+        grid=GOLDEN_GRID,
+    )
+    rows = ops.execute(spark).collect()
+    assert len(rows) == 1  # all 61 steps are MAM 2000
+    assert rows[0]["season"] == "MAM" and rows[0]["mean"] == pytest.approx(2.5)
+
+
+def test_ops_point_buffer_and_nearest(spark, golden_field):
+    pt = WKB.point_to_wkb(-104.0, 38.5)
+    ops = OcgOperations(
+        dataset=golden_field, geom=pt, select_nearest=True, snippet=True,
+    )
+    out = ops.execute(spark).collect()
+    cells = {(r.cell_y, r.cell_x) for r in out}
+    assert cells == {(1, 1)}  # golden nearest cell (FIXTURES.md ugid=3)
+
+
+def test_ops_time_range_and_region(spark, golden_field):
+    ops = OcgOperations(
+        dataset=golden_field,
+        time_range=("2000-03-10 00:00:00", "2000-03-12 23:59:59"),
+        grid=GOLDEN_GRID,
+    )
+    out = ops.execute(spark)
+    days = {r.ts.day for r in out.select("ts").distinct().collect()}
+    # ±12h bounds widen the selection to 3/9 12:00 (ub 3/10 00:00 >= lo);
+    # 3/13 12:00 is excluded (lb 3/13 00:00 > hi)
+    assert days == {9, 10, 11, 12}
+    ops2 = OcgOperations(
+        dataset=golden_field, time_region={"month": [4], "day": [1, 2]},
+        grid=GOLDEN_GRID,
+    )
+    assert ops2.execute(spark).count() == 2 * 16
+
+
+def test_ops_eval_calc(spark, golden_field):
+    ops = OcgOperations(
+        dataset=golden_field,
+        calc=[{"func": "eval=tas2=value + 2.0"}],
+        grid=GOLDEN_GRID, snippet=True,
+    )
+    out = ops.execute(spark)
+    assert out.filter(F.col("tas2") != F.col("value") + 2.0).count() == 0
+
+
+def test_ops_icclim_su(spark, golden_field):
+    ops = OcgOperations(
+        dataset=golden_field,
+        calc=[{"func": "icclim_SU", "threshold": 2.5}],
+        calc_grouping=["month"],
+        grid=GOLDEN_GRID,
+    )
+    out = {r.month: r.SU for r in ops.execute(spark).collect()}
+    # values 3,4 exceed 2.5: 8 cells x days
+    assert out[3] == 8 * 31 and out[4] == 8 * 30
+
+
+def test_ops_validation_errors(spark, golden_field):
+    with pytest.raises(DefinitionValidationError, match="polygon abstraction"):
+        OcgOperations(dataset=golden_field, geom=(0, 0, 1, 1),
+                      spatial_operation="clip", abstraction="point")
+    with pytest.raises(DefinitionValidationError, match="unknown calc"):
+        OcgOperations(dataset=golden_field, calc=[{"func": "nope"}])
+    with pytest.raises(DefinitionValidationError, match="requires calc"):
+        OcgOperations(dataset=golden_field, calc_grouping=["month"])
+    with pytest.raises(DefinitionValidationError, match="output_format"):
+        OcgOperations(dataset=golden_field, output_format="netcdf4-python")
+
+
+def test_ops_csv_converter_with_meta(spark, golden_field, tmp_path):
+    ops = OcgOperations(
+        dataset=golden_field,
+        geom=(-104.5, 37.5, -102.5, 39.5),
+        abstraction="polygon", snippet=True,
+        output_format="csv", prefix="golden_sub", dir_output=str(tmp_path),
+    )
+    path = ops.execute(spark)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 4
+    meta = json.load(open(path + ".conv_meta.json"))
+    assert meta["format"] == "csv" and "value" in meta["columns"]
+    assert meta["operations"]["spatial_operation"] == "intersects"
+
+
+def test_request_dataset_multi_uri_and_variable(spark, tmp_path):
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    df = spark.range(5).select(
+        F.col("id"), F.lit(1.0).alias("tas"), F.lit(2.0).alias("pr"),
+        F.current_timestamp().alias("ts"),
+    )
+    df.write.parquet(p1)
+    df.write.parquet(p2)
+    rd = RequestDataset(uri=[p1, p2], variable="tas", rename_variable="tas_r")
+    fld = rd.get(spark)
+    assert fld.df.count() == 10
+    assert "tas_r" in fld.df.columns and "pr" not in fld.df.columns
+    assert fld.dimension_map["value"] == "tas_r"
+
+
+def test_field_slice(spark, golden_field):
+    sl = golden_field.get_field_slice({"time": 0, "y": 1})
+    rows = sl.df.collect()
+    assert len(rows) == 4  # one time step, one row of cells
+    assert all(r.lat == 38.0 for r in rows)
