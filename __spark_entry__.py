@@ -401,6 +401,32 @@ def q_join_agg(spark, sf_dir):
     )
 
 
+def q_intersects_multi(spark, sf_dir):
+    """Multi-geometry subset in one plan (SpatialCollection analogue):
+    two rectangles + the convex pentagon, output keyed by ugid."""
+    dg = _docs_geo(spark, sf_dir)
+    polys = [
+        (1, [FX.rect_ring(*_RECT)]),
+        (2, [FX.rect_ring(-105.25, 39.5, -104.25, 40.25)]),
+        (3, [_PENTA]),
+    ]
+    out = spatial.spatial_subset_many(spark, dg, DOC_GRID, polys)
+    return out.select("ugid", "doc_id", "cell_id")
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch kNN: 10 query points (first 10 docs) x k=3 nearest doc-cells."""
+    dg = _docs_geo(spark, sf_dir)
+    pts = dg.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+    )
+    out = knn.knn_join(pts, dg, DOC_GRID, k=3)
+    return out.select("qid", "cell_y", "cell_x",
+                      F.round("dist", 9).alias("dist"), "rank")
+
+
 def q_regrid(spark, sf_dir):
     """Sparse-weight regrid: 64x64 -> 16x16 conservative block mean
     (ESMF-weight application as join + grouped sum)."""
@@ -771,6 +797,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents UNION ALL "
             "SELECT doc_id, source FROM documents) u) d GROUP BY source"
         ),
+        "intersects_multi": (
+            f"SELECT 1 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)} "
+            f"UNION ALL SELECT 2 AS ugid, doc_id, cell_id FROM ({_DG}) dg "
+            f"WHERE {FX.rect_pred_sql((-105.25, 39.5, -104.25, 40.25))} "
+            f"UNION ALL SELECT 3 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {_penta_pred()}"
+        ),
+        "knn_join": (
+            f"WITH pts AS (SELECT doc_id AS qid, lon AS qlon, lat AS qlat FROM ({_DG}) dg WHERE doc_id < 10), "
+            f"cells AS (SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg), "
+            f"scored AS (SELECT p.qid, c.cell_y, c.cell_x, "
+            f"sqrt((({DOC_GRID.lon0!r} + (c.cell_x + 0.5) * {DOC_GRID.res!r}) - p.qlon) * "
+            f"(({DOC_GRID.lon0!r} + (c.cell_x + 0.5) * {DOC_GRID.res!r}) - p.qlon) + "
+            f"(({DOC_GRID.lat0!r} + (c.cell_y + 0.5) * {DOC_GRID.res!r}) - p.qlat) * "
+            f"(({DOC_GRID.lat0!r} + (c.cell_y + 0.5) * {DOC_GRID.res!r}) - p.qlat)) AS dist "
+            f"FROM pts p CROSS JOIN cells c) "
+            f"SELECT qid, cell_y, cell_x, round(dist, 9) AS dist, CAST(rn AS INT) AS rank FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cell_y, cell_x) AS rn "
+            f"FROM scored) t WHERE rn <= 3"
+        ),
         "regrid": (
             f"SELECT dst_id, sum(s * value) AS dst_value, sum(s) AS weight_sum "
             f"FROM (SELECT CAST(floor(floor(src_id / {DOC_GRID.nx}) / 4) * {DOC_GRID.nx // 4} "
@@ -846,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_expr": q_eval_expr,
         "snippet_first": q_snippet_first,
         "multifile_union": q_multifile_union,
+        "intersects_multi": q_intersects_multi,
+        "knn_join": q_knn_join,
         "regrid": q_regrid,
         "units_conform": q_units_conform,
         "wrap_lon": q_wrap_lon,

@@ -23,6 +23,88 @@ from pyspark.sql import functions as F
 from ..geo.cellindex import GridSpec
 
 
+def knn_join(
+    points: DataFrame,
+    cells: DataFrame,
+    grid: GridSpec,
+    k: int = 1,
+    r0: int | None = None,
+    qid: str = "qid",
+    qlon: str = "qlon",
+    qlat: str = "qlat",
+) -> DataFrame:
+    """Batch kNN: k nearest cells for EVERY query point in one plan.
+
+    Each point explodes to its Chebyshev disk of cell coordinates (pure
+    ``sequence``/``explode`` arithmetic, no geometry), equi-joins the cell
+    table on (cell_y, cell_x), then ``row_number`` picks the top k by exact
+    centroid distance. Points whose k-th distance is not provably inside
+    the disk (k-th dist > (r-0.5)·res, the same exhaustiveness bound as
+    :func:`knn_cells`) are re-run with a doubled radius — the driver loop
+    shrinks to the unsatisfied residue, so the common case is one pass.
+    """
+    if r0 is None:
+        r0 = max(1, int(math.ceil(math.sqrt(k))))
+    cells = cells.select("cell_y", "cell_x").distinct()
+    lat_c = F.lit(grid.lat0) + (F.col("cell_y") + 0.5) * F.lit(grid.res)
+    lon_c = F.lit(grid.lon0) + (F.col("cell_x") + 0.5) * F.lit(grid.res)
+
+    def pass_at(pts: DataFrame, r: int) -> DataFrame:
+        qcx = F.floor((F.col(qlon) - F.lit(grid.lon0)) / F.lit(grid.res)).cast("int")
+        qcy = F.floor((F.col(qlat) - F.lit(grid.lat0)) / F.lit(grid.res)).cast("int")
+        disk = (
+            pts.withColumn("_qcx", qcx)
+            .withColumn("_qcy", qcy)
+            .withColumn(
+                "cell_y",
+                F.explode(F.sequence(F.col("_qcy") - r, F.col("_qcy") + r)),
+            )
+            .withColumn(
+                "cell_x",
+                F.explode(F.sequence(F.col("_qcx") - r, F.col("_qcx") + r)),
+            )
+        )
+        joined = disk.join(cells, ["cell_y", "cell_x"], "inner")
+        dist = F.sqrt(
+            (lon_c - F.col(qlon)) * (lon_c - F.col(qlon))
+            + (lat_c - F.col(qlat)) * (lat_c - F.col(qlat))
+        )
+        w = Window.partitionBy(qid).orderBy("dist", "cell_y", "cell_x")
+        return (
+            joined.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("_qcx", "_qcy")
+        )
+
+    # Expansion loop kept FLAT: on any unsatisfied point the whole pass is
+    # re-run at the doubled radius (iteratively unioning per-point retries
+    # would nest windows/joins into an exponentially growing plan). The
+    # common case is a single pass; retries are rare and the disk explode
+    # is cheap arithmetic.
+    r = r0
+    max_r = 2 * max(grid.nx, grid.ny)  # query points may lie off-grid
+    while True:
+        result = pass_at(points, r)
+        if r >= max_r:
+            break
+        kth = result.groupBy(qid).agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth")
+        )
+        # left join from the FULL point set: a point with zero hits has no
+        # stats row at all and must still be retried
+        stats = points.select(qid).join(kth, qid, "left")
+        n_bad = stats.filter(
+            F.col("n").isNull()
+            | (F.col("n") < k)
+            | (F.col("kth") > (r - 0.5) * grid.res)
+        ).count()
+        if n_bad == 0:
+            break
+        r *= 2
+    return result.select(qid, "cell_y", "cell_x", "dist", "rank")
+
+
 def knn_cells(
     df: DataFrame,
     grid: GridSpec,

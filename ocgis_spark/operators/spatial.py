@@ -213,6 +213,108 @@ def refine_boxes(
     return out if with_area else out.drop("clip_area")
 
 
+def spatial_subset_many(
+    spark: SparkSession,
+    df: DataFrame,
+    grid: GridSpec,
+    polys: list[tuple[int, list[np.ndarray]]],
+    abstraction: str = "point",
+    keep_touches: bool | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Subset by MANY selection geometries in ONE plan — the
+    ``SpatialCollection`` analogue (SURVEY.md §1.4): output rows carry a
+    ``ugid`` column; a row matching several geometries appears once per
+    match (the reference's per-UGID container tree, flattened).
+
+    Phase 1: one broadcast covering table (ugid, cell) for all polygons.
+    Phase 2: a single CASE-chained exact predicate — rect and convex rings
+    compile to pure Catalyst expressions; any non-convex ring falls back to
+    one Arrow pandas UDF handling all ugids in a batch. The reference
+    iterates geometries serially (``ops/engine.py:287-385``); here all
+    geometries share one scan of the big side.
+    """
+    if keep_touches is None:
+        keep_touches = abstraction == "point"
+    if abstraction != "point":
+        raise NotImplementedError(
+            "spatial_subset_many currently supports point abstraction; "
+            "loop spatial_subset for polygon-abstraction multi-geometry"
+        )
+    from ..geo.cellindex import covering_cells, zdecode
+
+    rows = []
+    for ugid, rings in polys:
+        cells = covering_cells(grid, rings)
+        cy, cx = zdecode(cells)
+        rows.extend((int(ugid), int(y), int(x)) for y, x in zip(cy, cx))
+    cov = spark.createDataFrame(rows, "ugid int, cov_y int, cov_x int")
+    cand = df.join(
+        F.broadcast(cov),
+        (df["cell_y"] == cov["cov_y"]) & (df["cell_x"] == cov["cov_x"]),
+        "inner",
+    ).drop("cov_y", "cov_x")
+
+    exprs = {}
+    udf_polys = {}
+    for ugid, rings in polys:
+        rings = [np.asarray(r, dtype="f8") for r in rings]
+        if _is_axis_rect(rings):
+            minx, miny, maxx, maxy = _rings_bbox(rings)
+            if keep_touches:
+                e = (
+                    (F.col(lon) >= minx) & (F.col(lon) <= maxx)
+                    & (F.col(lat) >= miny) & (F.col(lat) <= maxy)
+                )
+            else:
+                e = (
+                    (F.col(lon) > minx) & (F.col(lon) < maxx)
+                    & (F.col(lat) > miny) & (F.col(lat) < maxy)
+                )
+            exprs[ugid] = e
+        elif len(rings) == 1 and G.ring_is_convex_ccw(rings[0]):
+            e = None
+            for (x1, y1), (x2, y2) in zip(rings[0][:-1], rings[0][1:]):
+                d = (F.lit(float(x2)) - F.lit(float(x1))) * (
+                    F.col(lat) - F.lit(float(y1))
+                ) - (F.lit(float(y2)) - F.lit(float(y1))) * (
+                    F.col(lon) - F.lit(float(x1))
+                )
+                term = (d >= 0.0) if keep_touches else (d > 0.0)
+                e = term if e is None else (e & term)
+            exprs[ugid] = e
+        else:
+            udf_polys[int(ugid)] = rings
+
+    cond = None
+    for ugid, e in exprs.items():
+        c = (F.col("ugid") == ugid) & e
+        cond = c if cond is None else (cond | c)
+
+    if udf_polys:
+        kt = keep_touches
+
+        @F.pandas_udf("boolean")
+        def pip_many(ugid_s: pd.Series, lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+            px = lon_s.to_numpy("f8")
+            py = lat_s.to_numpy("f8")
+            ug = ugid_s.to_numpy()
+            out = np.zeros(len(px), dtype=bool)
+            for u, rings in udf_polys.items():
+                m = ug == u
+                if m.any():
+                    out[m] = G.points_in_polygon(px[m], py[m], rings, kt)
+            return pd.Series(out)
+
+        udf_cond = F.col("ugid").isin(list(udf_polys)) & pip_many(
+            F.col("ugid"), F.col(lon), F.col(lat)
+        )
+        cond = udf_cond if cond is None else (cond | udf_cond)
+
+    return cand.filter(cond)
+
+
 def spatial_subset(
     spark: SparkSession,
     df: DataFrame,
