@@ -1,0 +1,160 @@
+"""Unstructured-mesh (UGRID/SCRIP/ESMF) subset — the reference's
+``GridUnstruct`` / ``PolygonGC`` path re-expressed relationally.
+
+Reference model (``/root/reference/src/ocgis/spatial/geomc.py``): flat node
+coordinate arrays + an element→node connectivity index (``cindex``,
+``geomc.py:129-157``, ragged). Spatial subset = vectorized node-bounds
+select (``get_xyz_select``, ``geomc.py:818-846``) then exact PIP over
+polygons built from connectivity (``geomc.py:472-633``), with the
+``no_touching`` rule preventing duplicate elements across decomposition
+chunks (``grid.py:1241-1253``).
+
+Spark shape: ``nodes(node_id, x, y)`` and ``elements(elem_id,
+cindex: array<bigint>)``. Element bboxes come from explode + join +
+groupBy min/max (pure relational); the exact phase gathers each candidate
+element's ring with ``collect_list(struct(ord, x, y))`` sorted by
+connectivity position and runs the NumPy PIP/clip kernel in one Arrow UDF.
+At scale only candidates (post bbox filter) are ever assembled into rings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import geometry as G
+
+
+def element_nodes(elements: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Explode connectivity: (elem_id, ord, node_id, x, y)."""
+    ex = elements.select(
+        "elem_id", F.posexplode("cindex").alias("ord", "node_id")
+    )
+    return ex.join(nodes, "node_id", "inner")
+
+
+def element_bounds(elements: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-element bbox — the relational form of the node-bounds select."""
+    en = element_nodes(elements, nodes)
+    return en.groupBy("elem_id").agg(
+        F.min("x").alias("minx"), F.min("y").alias("miny"),
+        F.max("x").alias("maxx"), F.max("y").alias("maxy"),
+    )
+
+
+def subset_elements(
+    elements: DataFrame,
+    nodes: DataFrame,
+    rings: list[np.ndarray],
+    keep_touches: bool = False,
+    operation: str = "intersects",
+) -> DataFrame:
+    """Two-phase unstructured subset.
+
+    Phase 1: element bbox vs polygon bbox (closed) — pure relational.
+    Phase 2: assemble candidate rings (sorted collect_list) and run the
+    exact box-free polygon∩polygon test in one Arrow UDF: element kept if
+    its polygon intersects the selection polygon (area > 0 when
+    ``keep_touches=False`` — the ``no_touching`` duplicate-avoidance rule).
+    ``operation='clip'`` adds the intersection area.
+    """
+    rings_bc = [np.asarray(r, dtype="f8") for r in rings]
+    pts = np.vstack(rings_bc[0])
+    pminx, pminy = float(pts[:, 0].min()), float(pts[:, 1].min())
+    pmaxx, pmaxy = float(pts[:, 0].max()), float(pts[:, 1].max())
+
+    bounds = element_bounds(elements, nodes)
+    cand_ids = bounds.filter(
+        (F.col("minx") <= pmaxx) & (F.col("maxx") >= pminx)
+        & (F.col("miny") <= pmaxy) & (F.col("maxy") >= pminy)
+    ).select("elem_id")
+
+    en = element_nodes(elements, nodes).join(
+        F.broadcast(cand_ids), "elem_id", "leftsemi"
+    )
+    ring_rows = en.groupBy("elem_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ord", "x", "y"))
+        ).alias("ring")
+    )
+
+    kt = keep_touches
+    want_clip = operation == "clip"
+
+    @F.pandas_udf("double")
+    def elem_clip_area(rings_s: pd.Series) -> pd.Series:
+        out = np.empty(len(rings_s), dtype="f8")
+        for i, ring in enumerate(rings_s):
+            arr = np.array([[p["x"], p["y"]] for p in ring], dtype="f8")
+            arr = np.vstack([arr, arr[:1]])
+            # polygon∩polygon via S-H against the element's bbox-free ring:
+            # clip the SELECTION polygon by the element polygon would need
+            # convex clip region; elements are convex cells (quad/tri) in
+            # CF meshes — clip selection rings by the element ring is valid
+            # when the element is convex. For robustness use the symmetric
+            # test: area(selection ∩ element bbox refinement) via the
+            # generic kernel on the element treated as clip region.
+            area = _poly_poly_area(rings_bc, arr)
+            touches = False
+            if area <= G.EPS_AREA:
+                # boundary contact: any element vertex on/in selection?
+                hit = G.points_in_polygon(arr[:-1, 0], arr[:-1, 1], rings_bc, True)
+                sel = rings_bc[0]
+                hit2 = G.points_in_polygon(sel[:-1, 0], sel[:-1, 1], [arr], True)
+                touches = bool(hit.any() or hit2.any())
+            if area > G.EPS_AREA:
+                out[i] = area
+            elif touches and kt:
+                out[i] = 0.0
+            else:
+                out[i] = -1.0
+        return pd.Series(out)
+
+    scored = ring_rows.withColumn("clip_area", elem_clip_area(F.col("ring")))
+    kept = scored.filter(F.col("clip_area") >= 0.0).drop("ring")
+    if not want_clip:
+        kept = kept.drop("clip_area")
+    return kept
+
+
+def _poly_poly_area(sel_rings: list[np.ndarray], elem_ring: np.ndarray) -> float:
+    """Area of selection∩element for a CONVEX element ring: successive
+    Sutherland–Hodgman clips of the selection rings by each element edge
+    half-plane."""
+    def clip_by_convex(subject: np.ndarray) -> float:
+        pts = subject[:-1] if (subject[0] == subject[-1]).all() else subject
+        # ensure element ring CCW
+        er = elem_ring[:-1] if (elem_ring[0] == elem_ring[-1]).all() else elem_ring
+        if G.ring_area(np.vstack([er, er[:1]])) < 0:
+            er = er[::-1]
+        poly = pts
+        n = len(er)
+        for i in range(n):
+            x1, y1 = er[i]
+            x2, y2 = er[(i + 1) % n]
+            if len(poly) == 0:
+                return 0.0
+            keep = (x2 - x1) * (poly[:, 1] - y1) - (y2 - y1) * (poly[:, 0] - x1) >= 0
+            out = []
+            m = len(poly)
+            for j in range(m):
+                a, b = poly[j], poly[(j + 1) % m]
+                ain, bin_ = keep[j], keep[(j + 1) % m]
+                if ain:
+                    out.append(a)
+                if ain != bin_:
+                    da = (x2 - x1) * (b[1] - y1) - (y2 - y1) * (b[0] - x1)
+                    dA = (x2 - x1) * (a[1] - y1) - (y2 - y1) * (a[0] - x1)
+                    t = dA / (dA - da)
+                    out.append(a + t * (b - a))
+            poly = np.array(out) if out else np.empty((0, 2))
+        if len(poly) < 3:
+            return 0.0
+        return abs(G.ring_area(np.vstack([poly, poly[:1]])))
+
+    area = clip_by_convex(sel_rings[0])
+    for hole in sel_rings[1:]:
+        area -= clip_by_convex(hole)
+    return max(area, 0.0)

@@ -53,6 +53,22 @@ def time_region(
     return out
 
 
+def time_subset_func(df: DataFrame, fn, ts: str = "ts") -> DataFrame:
+    """Arbitrary Python predicate over datetimes — the reference's
+    ``time_subset_func`` (``temporal.py:345-378``): ``fn`` receives a
+    pandas Series of datetimes and returns a boolean mask. Arrow-batched;
+    use only when the predicate is genuinely not SQL-expressible."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no inline type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint resolver can't see the local pd import
+    def _pred(s):
+        return pd.Series(fn(s))
+
+    return df.filter(pandas_udf(_pred, "boolean")(F.col(ts)))
+
+
 def season_expr(ts: str = "ts"):
     """Season label + season year (Dec counts toward the NEXT year's DJF —
     ``temporal.py:467-597`` year-split rule)."""

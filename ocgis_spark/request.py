@@ -95,12 +95,20 @@ class RequestDataset:
     dimension_map: dict[str, str] = dc_field(default_factory=lambda: dict(DEFAULT_DIMENSION_MAP))
     grid: GridSpec | None = None
     predicate: object = None  # variable-name filter fn (core.py:121-124)
+    driver: str = "parquet"  # 'parquet' | 'csv' (DriverCSV, csv_.py:1-79)
+
+    def _read_one(self, spark: SparkSession, uri: str) -> DataFrame:
+        if self.driver == "csv":
+            return spark.read.option("header", True).option(
+                "inferSchema", True
+            ).csv(uri)
+        return spark.read.parquet(uri)
 
     def get(self, spark: SparkSession) -> Field:
         uris = self.uri if isinstance(self.uri, list) else [self.uri]
-        df = spark.read.parquet(uris[0])
+        df = self._read_one(spark, uris[0])
         for u in uris[1:]:
-            df = df.unionByName(spark.read.parquet(u), allowMissingColumns=True)
+            df = df.unionByName(self._read_one(spark, u), allowMissingColumns=True)
         if self.predicate is not None:
             keep = [c for c in df.columns if self.predicate(c)
                     or c in self.dimension_map.values()]

@@ -1,0 +1,78 @@
+"""Unstructured (UGRID-style) mesh subset: nodes + connectivity -> element
+polygons, replicating the golden structured results on an equivalent mesh
+(reference geomc.py semantics incl. the no_touching rule)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark.fixtures import rect_ring
+from ocgis_spark.geo import unstructured as U
+
+
+@pytest.fixture(scope="module")
+def quad_mesh(spark):
+    """5x5 nodes / 4x4 quad elements == the golden 4x4 grid as a mesh.
+    Node (r, c) at lon -105.5 + c, lat 36.5 + r; element id = cy*4+cx."""
+    nodes = [
+        (r * 5 + c, -105.5 + c * 1.0, 36.5 + r * 1.0)
+        for r in range(5) for c in range(5)
+    ]
+    elems = []
+    for cy in range(4):
+        for cx in range(4):
+            n0 = cy * 5 + cx
+            elems.append((cy * 4 + cx, [n0, n0 + 1, n0 + 6, n0 + 5]))
+    ndf = spark.createDataFrame(nodes, "node_id bigint, x double, y double")
+    edf = spark.createDataFrame(elems, "elem_id bigint, cindex array<bigint>")
+    return edf, ndf
+
+
+def test_element_bounds(spark, quad_mesh):
+    edf, ndf = quad_mesh
+    b = {r.elem_id: (r.minx, r.miny, r.maxx, r.maxy)
+         for r in U.element_bounds(edf, ndf).collect()}
+    assert b[0] == (-105.5, 36.5, -104.5, 37.5)
+    assert b[15] == (-102.5, 39.5, -101.5, 40.5)
+
+
+def test_unstruct_intersects_golden(spark, quad_mesh):
+    """Same ugid=1 polygon -> same 2x2 element block, touching elements
+    dropped (no_touching / keep_touches=False)."""
+    edf, ndf = quad_mesh
+    rings = [rect_ring(-104.5, 37.5, -102.5, 39.5)]
+    kept = {r.elem_id for r in
+            U.subset_elements(edf, ndf, rings, keep_touches=False).collect()}
+    # elements (cy, cx) in {1,2}x{1,2}: ids 5, 6, 9, 10
+    assert kept == {5, 6, 9, 10}
+
+
+def test_unstruct_keep_touches_widens(spark, quad_mesh):
+    edf, ndf = quad_mesh
+    rings = [rect_ring(-104.5, 37.5, -102.5, 39.5)]
+    kept = {r.elem_id for r in
+            U.subset_elements(edf, ndf, rings, keep_touches=True).collect()}
+    assert kept == set(range(16))  # every element at least touches
+
+
+def test_unstruct_clip_areas(spark, quad_mesh):
+    edf, ndf = quad_mesh
+    rings = [rect_ring(-104.0, 38.0, -103.0, 39.0)]  # golden ugid=2
+    out = {r.elem_id: r.clip_area for r in
+           U.subset_elements(edf, ndf, rings, operation="clip").collect()}
+    assert sorted(out) == [5, 6, 9, 10]
+    for a in out.values():
+        assert a == pytest.approx(0.25)
+
+
+def test_unstruct_triangle_elements(spark):
+    """Triangle mesh: two triangles splitting the unit square."""
+    nodes = [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 1.0, 1.0), (3, 0.0, 1.0)]
+    elems = [(0, [0, 1, 2]), (1, [0, 2, 3])]
+    ndf = spark.createDataFrame(nodes, "node_id bigint, x double, y double")
+    edf = spark.createDataFrame(elems, "elem_id bigint, cindex array<bigint>")
+    rings = [rect_ring(0.6, 0.0, 1.0, 0.4)]  # lower-right corner
+    out = {r.elem_id: r.clip_area for r in
+           U.subset_elements(edf, ndf, rings, operation="clip").collect()}
+    assert set(out) == {0}
+    # triangle 0 is x>=y half; rect [0.6,1]x[0,0.4] lies fully in it
+    assert out[0] == pytest.approx(0.16)
