@@ -75,18 +75,7 @@ def minhash_signatures(
     used by the correctness gate. ``hash_fn='xxhash64'``: seeded xxhash64 —
     pure JVM, ~8x cheaper, the 100 TB path (identical banding semantics,
     no SQL oracle)."""
-    toks = doc_shingles(df, text)
-    if hash_fn == "md5":
-        aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("tok")))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
-    else:
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    return minhash_signatures_from_tokens(doc_shingles(df, text), hash_fn)
 
 
 def lsh_candidates(sigs: DataFrame) -> DataFrame:
@@ -152,13 +141,37 @@ def jaccard_verify(
 
 def minhash_dedup(
     df: DataFrame, text: str = "text", threshold: float = 0.5,
-    hash_fn: str = "md5",
+    hash_fn: str = "md5", cache_tokens: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ t
-    (Jaccard over the same character-shingle sets)."""
+    (Jaccard over the same character-shingle sets).
+
+    The shingle set feeds FIVE plan branches (signatures, both sides of the
+    intersection join, both size lookups); without caching, Catalyst
+    re-explodes the corpus once per branch (seen as 6 repeated Exchanges in
+    the physical plan), so the token set is persisted for the lifetime of
+    the query."""
     toks = doc_shingles(df, text)
-    sigs = minhash_signatures(df, text, hash_fn)
+    if cache_tokens:
+        toks = toks.persist()
+    sigs = minhash_signatures_from_tokens(toks, hash_fn)
     return jaccard_verify(lsh_candidates(sigs), toks, threshold)
+
+
+def minhash_signatures_from_tokens(
+    toks: DataFrame, hash_fn: str = "md5"
+) -> DataFrame:
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("tok")))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    return toks.groupBy("doc_id").agg(*aggs)
 
 
 def simhash(df: DataFrame, text: str = "text") -> DataFrame:
