@@ -120,9 +120,12 @@ class CheckpointManager:
 
 
 def lineage_fingerprint(df: DataFrame, cols: list[str]) -> str:
-    """Order-insensitive input fingerprint (sum of xxhash64 per row) —
+    """Order-insensitive input fingerprint (bit_xor of xxhash64 per row —
+    XOR commutes and cannot overflow, so it is safe under ANSI mode) —
     recorded in the manifest so a resume can detect changed inputs."""
     h = df.select(
-        F.sum(F.xxhash64(*[F.col(c) for c in cols])).alias("h")
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(cols) + "))"
+        ).alias("h")
     ).collect()[0]["h"]
     return f"xx64:{h}"

@@ -51,6 +51,21 @@ def is_wrapped_state(df: DataFrame, lon: str = "lon") -> str:
     return "unknown"
 
 
+def split_bbox_at_seam(
+    minx: float, miny: float, maxx: float, maxy: float
+) -> list[tuple[float, float, float, float]]:
+    """Split a selection bbox that crosses the antimeridian into two boxes
+    — the reference's unwrapped-target split (``crs.py:276-307``). Input in
+    wrapped coordinates (-180..180) with ``minx > maxx`` signalling a seam
+    crossing; output boxes are both seam-free."""
+    if minx <= maxx:
+        return [(minx, miny, maxx, maxy)]
+    return [
+        (minx, miny, MERIDIAN_180TH, maxy),
+        (-MERIDIAN_180TH, miny, maxx, maxy),
+    ]
+
+
 def conform_units(
     df: DataFrame, value: str, factor: float, offset: float = 0.0,
     out: str | None = None,

@@ -217,6 +217,16 @@ class OcgOperations:
                 for o in outs[1:]:
                     df = df.join(o, keys, "outer")
 
+        # melted output (csv converter's melted form, conv/csv_.py):
+        # data variables stacked to (variable, value) rows
+        if self.melted and value in df.columns:
+            keep = [c for c in df.columns if c != value]
+            df = df.select(
+                *keep,
+                F.lit(value).alias("variable"),
+                F.col(value).alias("value"),
+            )
+
         # converter (interpreter.py:120-134)
         writer = conv.get_converter_map()[self.output_format]
         ops_doc = {k: str(v) for k, v in self.__dict__.items() if k != "dataset"}

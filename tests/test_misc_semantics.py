@@ -1,0 +1,52 @@
+"""Seam split, melted output, mask (NULL) semantics, eval whitelist."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark.fixtures import GOLDEN_GRID
+from ocgis_spark.operators import temporal
+from ocgis_spark.operators.calc_registry import validate_eval_expr
+from ocgis_spark.operators.crs import split_bbox_at_seam
+from ocgis_spark.ops import OcgOperations
+from ocgis_spark.request import Field
+
+
+def test_split_bbox_at_seam():
+    # normal box: untouched
+    assert split_bbox_at_seam(-10, 0, 10, 5) == [(-10, 0, 10, 5)]
+    # crossing the antimeridian (minx > maxx in wrapped coords)
+    parts = split_bbox_at_seam(170.0, -5.0, -170.0, 5.0)
+    assert parts == [(170.0, -5.0, 180.0, 5.0), (-180.0, -5.0, -170.0, 5.0)]
+    widths = sum(p[2] - p[0] for p in parts)
+    assert widths == pytest.approx(20.0)
+
+
+def test_mask_null_semantics(spark):
+    """ocgis masked values == SQL NULL: excluded from aggs and counts
+    (mask cascade, grid.py:1282-1284 -> WHERE/NULL, SURVEY §1.4)."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 3.0), (2, None)], "k int, value double"
+    )
+    out = {r.k: (r["mean"], r.n) for r in
+           temporal.set_functions(df, ["k"]).collect()}
+    assert out[1] == (2.0, 2)  # null skipped, sample size 2
+    assert out[2][1] == 0
+
+
+def test_melted_output(spark, golden_cells):
+    fld = Field(
+        golden_cells.withColumn("lon", F.lit(-105.0) + F.col("cell_x"))
+        .withColumn("lat", F.lit(37.0) + F.col("cell_y")),
+        {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+        GOLDEN_GRID,
+    )
+    ops = OcgOperations(dataset=fld, melted=True, grid=GOLDEN_GRID)
+    out = ops.execute(spark)
+    assert "variable" in out.columns and "value" in out.columns
+    assert out.filter(F.col("variable") == "value").count() == 16
+
+
+def test_eval_whitelist():
+    validate_eval_expr("exp(value) + log(2.0)")
+    with pytest.raises(ValueError, match="whitelist"):
+        validate_eval_expr("reflect('java.lang.Runtime', 'exec')")
