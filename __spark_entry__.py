@@ -427,6 +427,24 @@ def q_knn_join(spark, sf_dir):
                       F.round("dist", 9).alias("dist"), "rank")
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics: per-UGID aggregation over the multi-geometry
+    subset — the SpatialCollection -> spatial-average path in one plan
+    (ops/engine.py:573-613 over many selection geometries)."""
+    dg = _docs_geo(spark, sf_dir)
+    polys = [
+        (1, [FX.rect_ring(*_RECT)]),
+        (2, [FX.rect_ring(-105.25, 39.5, -104.25, 40.25)]),
+        (3, [_PENTA]),
+    ]
+    sub = spatial.spatial_subset_many(spark, dg, DOC_GRID, polys)
+    return sub.groupBy("ugid").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cell_id").alias("n_cells"),
+    )
+
+
 def q_regrid(spark, sf_dir):
     """Sparse-weight regrid: 64x64 -> 16x16 conservative block mean
     (ESMF-weight application as join + grouped sum)."""
@@ -816,6 +834,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cell_y, cell_x) AS rn "
             f"FROM scored) t WHERE rn <= 3"
         ),
+        "zonal_stats": (
+            f"SELECT ugid, round(avg(value), 6) AS mean_value, count(*) AS n, "
+            f"count(DISTINCT cell_id) AS n_cells FROM ("
+            f"SELECT 1 AS ugid, value, cell_id FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)} "
+            f"UNION ALL SELECT 2 AS ugid, value, cell_id FROM ({_DG}) dg "
+            f"WHERE {FX.rect_pred_sql((-105.25, 39.5, -104.25, 40.25))} "
+            f"UNION ALL SELECT 3 AS ugid, value, cell_id FROM ({_DG}) dg WHERE {_penta_pred()}) u "
+            f"GROUP BY ugid"
+        ),
         "regrid": (
             f"SELECT dst_id, sum(s * value) AS dst_value, sum(s) AS weight_sum "
             f"FROM (SELECT CAST(floor(floor(src_id / {DOC_GRID.nx}) / 4) * {DOC_GRID.nx // 4} "
@@ -892,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_first": q_snippet_first,
         "multifile_union": q_multifile_union,
         "intersects_multi": q_intersects_multi,
+        "zonal_stats": q_zonal_stats,
         "knn_join": q_knn_join,
         "regrid": q_regrid,
         "units_conform": q_units_conform,

@@ -60,10 +60,13 @@ def docs_geo_sql(grid: GridSpec = DOC_GRID, table: str = "documents") -> str:
     """SELECT deriving the geo-located document table. Runs verbatim in
     Spark SQL and DuckDB (the oracle embeds it as a subquery)."""
     lon, lat = lonlat_exprs(grid)
+    # CAST: Spark parses bare `2.0` literals as DECIMAL, DuckDB as DOUBLE —
+    # without the cast, averages of `value` diverge in rounding behavior
     value = (
-        f"CASE WHEN cell_y >= {grid.ny // 2} THEN "
+        f"CAST(CASE WHEN cell_y >= {grid.ny // 2} THEN "
         f"CASE WHEN cell_x >= {grid.nx // 2} THEN 2.0 ELSE 1.0 END "
-        f"ELSE CASE WHEN cell_x >= {grid.nx // 2} THEN 4.0 ELSE 3.0 END END"
+        f"ELSE CASE WHEN cell_x >= {grid.nx // 2} THEN 4.0 ELSE 3.0 END END "
+        f"AS DOUBLE)"
     )
     return (
         "SELECT doc_id, text, lang, source, n_chars, lon, lat, cell_x, cell_y, "
