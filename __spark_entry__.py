@@ -230,6 +230,80 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(emb, planes)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH bucket candidates -> exact cosine.
+    Mutated copies (v + tiny doc-specific nudge on one axis) are planted so
+    true positives exist."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mut = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * 1.01),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    planes = emb.filter(F.col("vec_id") < 4)
+    return similarity.embedding_near_dups(corpus, planes, threshold=0.98)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard for the planted (original, mutant) pairs."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(CORPUS_SQL)
+    toks = (
+        corpus.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+        )
+        .groupBy("doc_id")
+        # collect_list does NOT guarantee order — sort by position
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ).alias("ws")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("ws") - 3, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2), F.element_at("ws", i + 3)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    pairs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("g"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("g"))
+    inter = (
+        pairs.join(ta, "doc_a").join(tb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+                    ).alias("jaccard"),
+        )
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = SP.with_spans(_read(spark, sf_dir, "documents"))
     return multimodal.extract_features(docs, real=False)
@@ -705,6 +779,47 @@ def oracle_sql() -> dict[str, str]:
             "THEN '1' ELSE '0' END AS bit FROM embeddings e CROSS JOIN planes p) "
             "SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket FROM sb GROUP BY vec_id"
         ),
+        "embedding_near_dups": (
+            "WITH corpus AS ("
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+            "UNION ALL SELECT vec_id + 100000, "
+            "list_prepend(CAST(embedding[1] AS DOUBLE) * 1.01, "
+            "CAST(embedding[2:] AS DOUBLE[])) FROM embeddings), "
+            "planes AS (SELECT vec_id AS plane_id, CAST(embedding AS DOUBLE[]) AS p "
+            "FROM embeddings WHERE vec_id < 4), "
+            "sb AS (SELECT c.vec_id, p.plane_id, CASE WHEN "
+            "list_dot_product(c.e, p.p) >= 0 THEN '1' ELSE '0' END AS bit "
+            "FROM corpus c CROSS JOIN planes p), "
+            "bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket "
+            "FROM sb GROUP BY vec_id), "
+            "pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk a "
+            "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), "
+            "scored AS (SELECT p.vec_a, p.vec_b, round("
+            "list_dot_product(ca.e, cb.e) / (sqrt(list_dot_product(ca.e, ca.e)) * "
+            "sqrt(list_dot_product(cb.e, cb.e))), 6) AS cos "
+            "FROM pairs p JOIN corpus ca ON ca.vec_id = p.vec_a "
+            "JOIN corpus cb ON cb.vec_id = p.vec_b) "
+            "SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.98"
+        ),
+        "ngram_jaccard": (
+            f"WITH corpus AS ({CORPUS_SQL}), "
+            "ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus), "
+            "seq AS (SELECT doc_id, w, "
+            "unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ws), "
+            "toks AS (SELECT DISTINCT doc_id, "
+            "w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS g "
+            "FROM seq), "
+            "pairs AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM documents), "
+            "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p "
+            "JOIN toks ta ON ta.doc_id = p.doc_a "
+            "JOIN toks tb ON tb.doc_id = p.doc_b AND tb.g = ta.g "
+            "GROUP BY p.doc_a, p.doc_b), "
+            "szs AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id) "
+            "SELECT i.doc_a, i.doc_b, "
+            "round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard "
+            "FROM inter i JOIN szs sa ON sa.doc_id = i.doc_a "
+            "JOIN szs sb ON sb.doc_id = i.doc_b"
+        ),
         "multimodal_features": (
             "SELECT concat('doc', CAST(doc_id AS VARCHAR)) AS doc_uid, "
             "CAST(1 AS INT) AS span_idx, "
@@ -901,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "similarity_topk": q_similarity_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
         "multimodal_features": q_multimodal_features,
         "time_range": q_time_range,
         "time_region": q_time_region,

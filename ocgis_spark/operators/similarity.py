@@ -63,6 +63,31 @@ def brute_topk(
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame, planes: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: vectors sharing
+    a hyperplane-sign bucket are candidate pairs; exact cosine ≥ threshold
+    verifies. The corpus is never all-paired — only bucket-equijoined
+    (AQE-splittable shuffle on the short bucket key)."""
+    b = lsh_buckets(emb, planes)
+    e = emb.join(b, "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    pairs = a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a", "vec_b",
+        F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
 def lsh_buckets(emb: DataFrame, planes: DataFrame, n_planes: int = 4) -> DataFrame:
     """Bucket id = concatenated signs of dot(v, plane_p) for the P
     deterministic hyperplanes (first P corpus vectors by vec_id)."""
