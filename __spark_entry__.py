@@ -24,6 +24,8 @@ from ocgis_spark.operators import text as textops
 from ocgis_spark.operators import tiling, windows
 from ocgis_spark.operators import aggregate as agg
 from ocgis_spark.operators import multimodal
+from ocgis_spark.ops import OcgOperations
+from ocgis_spark.request import Field
 
 # ---------------------------------------------------------------- helpers
 
@@ -501,6 +503,20 @@ def q_knn_join(spark, sf_dir):
                       F.round("dist", 9).alias("dist"), "rank")
 
 
+def q_ops_facade(spark, sf_dir):
+    """End-to-end through the OcgOperations facade itself: intersects by
+    the golden rect + unweighted spatial aggregation (point abstraction)."""
+    dg = _docs_geo(spark, sf_dir)
+    fld = Field(dg, {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+                DOC_GRID)
+    ops = OcgOperations(
+        dataset=fld, geom=_RECT, spatial_operation="intersects",
+        abstraction="point", aggregate=True,
+    )
+    out = ops.execute(spark)
+    return out.select(F.round("wmean", 6).alias("wmean"), "n")
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics: per-UGID aggregation over the multi-geometry
     subset — the SpatialCollection -> spatial-average path in one plan
@@ -949,6 +965,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cell_y, cell_x) AS rn "
             f"FROM scored) t WHERE rn <= 3"
         ),
+        "ops_facade": (
+            f"SELECT round(avg(value), 6) AS wmean, count(*) AS n "
+            f"FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)}"
+        ),
         "zonal_stats": (
             f"SELECT ugid, round(avg(value), 6) AS mean_value, count(*) AS n, "
             f"count(DISTINCT cell_id) AS n_cells FROM ("
@@ -1036,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_first": q_snippet_first,
         "multifile_union": q_multifile_union,
         "intersects_multi": q_intersects_multi,
+        "ops_facade": q_ops_facade,
         "zonal_stats": q_zonal_stats,
         "knn_join": q_knn_join,
         "regrid": q_regrid,
