@@ -425,6 +425,31 @@ def q_eval_expr(spark, sf_dir):
     return calcmath.eval_expr(ev, "tas2=value + 2.0").select("event_id", "tas2")
 
 
+def q_icclim_su(spark, sf_dir):
+    """ICCLIM SU (summer days analogue): count of value > 60 per user per
+    month, through the calc registry."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir).withColumn("month", F.month("ts"))
+    return calc_registry.get("icclim_SU")(ev, ["user_id", "month"],
+                                          value="value", threshold=60.0)
+
+
+def q_icclim_cdd(spark, sf_dir):
+    """ICCLIM CDD analogue: longest run of value < 20 per user."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir)
+    return calc_registry.get("icclim_CDD")(
+        ev, ["user_id"], value="value", threshold=20.0, ts="ts",
+        tiebreak="event_id",
+    )
+
+
+def q_daily_perc_window(spark, sf_dir):
+    """Day-of-year percentile basis with a ±2-day window (daily_perc)."""
+    out = temporal.daily_perc(_events(spark, sf_dir), 0.9, window=5)
+    return out.select("basis_doy", F.round("perc", 6).alias("perc"))
+
+
 def q_snippet_first(spark, sf_dir):
     """snippet/slice semantics: first time step per series (t_idx = 0)."""
     from pyspark.sql import Window
@@ -935,6 +960,30 @@ def oracle_sql() -> dict[str, str]:
         "eval_expr": (
             "SELECT event_id, value + 2.0 AS tas2 FROM events"
         ),
+        "icclim_SU": (
+            "SELECT user_id, CAST(month(ts) AS INT) AS month, "
+            "CAST(sum(CASE WHEN value > 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS SU "
+            "FROM events GROUP BY user_id, month(ts)"
+        ),
+        "icclim_CDD": (
+            "WITH flagged AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN value < 20.0 THEN 1 ELSE 0 END AS q FROM events), "
+            "isl AS (SELECT user_id, q, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - "
+            "row_number() OVER (PARTITION BY user_id, q ORDER BY ts, event_id) AS island "
+            "FROM flagged), "
+            "runs AS (SELECT user_id, island, count(*) AS run_len FROM isl "
+            "WHERE q = 1 GROUP BY user_id, island) "
+            "SELECT user_id, CAST(max(run_len) AS DOUBLE) AS CDD "
+            "FROM runs GROUP BY user_id"
+        ),
+        "daily_perc_window": (
+            "SELECT basis_doy, round(quantile_cont(v, 0.9), 6) AS perc FROM ("
+            "SELECT ((CAST(dayofyear(ts) AS INT) + off + 364) % 365) + 1 AS basis_doy, "
+            "value AS v FROM events, "
+            "(SELECT unnest(generate_series(-2, 2)) AS off) o) t "
+            "GROUP BY basis_doy"
+        ),
         "snippet_first": (
             "SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM ("
             "SELECT user_id, event_id, ts, row_number() OVER "
@@ -1053,6 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_perc": q_freq_perc,
         "heat_index": q_heat_index,
         "eval_expr": q_eval_expr,
+        "icclim_SU": q_icclim_su,
+        "icclim_CDD": q_icclim_cdd,
+        "daily_perc_window": q_daily_perc_window,
         "snippet_first": q_snippet_first,
         "multifile_union": q_multifile_union,
         "intersects_multi": q_intersects_multi,

@@ -53,6 +53,33 @@ def time_region(
     return out
 
 
+def daily_perc(
+    df: DataFrame, percentile: float = 0.9, window: int = 5,
+    ts: str = "ts", value: str = "value",
+) -> DataFrame:
+    """ICCLIM-style day-of-year percentile basis with a ±window over years
+    (``statistics.py:138-352``): the basis for doy d pools every year's
+    values with doy in [d-w, d+w]. Expressed as an explode of day offsets
+    (each row contributes to 2w+1 doy bins) + per-bin exact percentile —
+    one shuffle, no self-join."""
+    assert window % 2 == 1
+    half = window // 2
+    contrib = df.select(
+        F.explode(
+            F.sequence(F.lit(-half), F.lit(half))
+        ).alias("off"),
+        F.dayofyear(ts).alias("doy"),
+        F.col(value).alias("v"),
+    ).select(
+        # wrap around the year boundary like the reference's doy arithmetic
+        ((F.col("doy") + F.col("off") + 364) % 365 + 1).alias("basis_doy"),
+        "v",
+    )
+    return contrib.groupBy("basis_doy").agg(
+        F.percentile("v", F.lit(percentile)).alias("perc")
+    )
+
+
 def time_subset_func(df: DataFrame, fn, ts: str = "ts") -> DataFrame:
     """Arbitrary Python predicate over datetimes — the reference's
     ``time_subset_func`` (``temporal.py:345-378``): ``fn`` receives a

@@ -187,3 +187,17 @@ def test_field_slice(spark, golden_field):
     rows = sl.df.collect()
     assert len(rows) == 4  # one time step, one row of cells
     assert all(r.lat == 38.0 for r in rows)
+
+
+def test_ops_level_range(spark, golden_field):
+    with_level = Field(
+        golden_field.df.withColumn(
+            "level", F.when(F.col("cell_x") < 2, 50).otherwise(150)
+        ),
+        golden_field.dimension_map, golden_field.grid,
+    )
+    ops = OcgOperations(dataset=with_level, level_range=(0, 100),
+                        grid=GOLDEN_GRID, snippet=True)
+    out = ops.execute(spark)
+    assert out.count() == 8  # west half only
+    assert out.filter(F.col("level") > 100).count() == 0
