@@ -560,6 +560,31 @@ def q_zonal_stats(spark, sf_dir):
     )
 
 
+def q_zonal_weighted(spark, sf_dir):
+    """Per-UGID area-weighted zonal statistics over a multi-geometry CLIP —
+    the canonical ocgis clip+aggregate, all selection geometries in one
+    plan (weights = clip areas)."""
+    cells = _distinct_cells(spark, sf_dir)
+    half_y, half_x = DOC_GRID.ny // 2, DOC_GRID.nx // 2
+    polys = [
+        (1, _rect_rings(QUERY_CLIP)),
+        (2, _rect_rings((-105.25, 39.5, -104.25, 40.25))),
+    ]
+    sub = spatial.spatial_subset_many(
+        spark, cells, DOC_GRID, polys, abstraction="polygon",
+        keep_touches=False,
+    )
+    with_val = sub.withColumn(
+        "value",
+        F.when(
+            F.col("cell_y") >= half_y,
+            F.when(F.col("cell_x") >= half_x, 2.0).otherwise(1.0),
+        ).otherwise(F.when(F.col("cell_x") >= half_x, 4.0).otherwise(3.0)),
+    )
+    return agg.area_weighted_mean(with_val, "value", "clip_area",
+                                  keys=["ugid"])
+
+
 def q_regrid(spark, sf_dir):
     """Sparse-weight regrid: 64x64 -> 16x16 conservative block mean
     (ESMF-weight application as join + grouped sum)."""
@@ -1027,6 +1052,21 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL SELECT 3 AS ugid, value, cell_id FROM ({_DG}) dg WHERE {_penta_pred()}) u "
             f"GROUP BY ugid"
         ),
+        "zonal_weighted": (
+            f"SELECT ugid, sum(value * clip_area) / sum(clip_area) AS wmean, "
+            f"sum(clip_area) AS union_area, count(*) AS n FROM ("
+            f"SELECT 1 AS ugid, cell_y, cell_x, "
+            f"greatest(least({_CB['lon_ub']}, -103.171875) - greatest({_CB['lon_lb']}, -104.296875), 0.0) * "
+            f"greatest(least({_CB['lat_ub']}, 39.265625) - greatest({_CB['lat_lb']}, 37.703125), 0.0) AS clip_area "
+            f"FROM (SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg) c "
+            f"UNION ALL SELECT 2 AS ugid, cell_y, cell_x, "
+            f"greatest(least({_CB['lon_ub']}, -104.25) - greatest({_CB['lon_lb']}, -105.25), 0.0) * "
+            f"greatest(least({_CB['lat_ub']}, 40.25) - greatest({_CB['lat_lb']}, 39.5), 0.0) AS clip_area "
+            f"FROM (SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg) c) u "
+            f"CROSS JOIN (SELECT 1 AS one) o "
+            f"WHERE clip_area > 1e-12 "
+            f"GROUP BY ugid"
+        ).replace("value * clip_area", "(CASE WHEN cell_y >= 32 THEN CASE WHEN cell_x >= 32 THEN 2.0 ELSE 1.0 END ELSE CASE WHEN cell_x >= 32 THEN 4.0 ELSE 3.0 END END) * clip_area"),
         "regrid": (
             f"SELECT dst_id, sum(s * value) AS dst_value, sum(s) AS weight_sum "
             f"FROM (SELECT CAST(floor(floor(src_id / {DOC_GRID.nx}) / 4) * {DOC_GRID.nx // 4} "
@@ -1110,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersects_multi": q_intersects_multi,
         "ops_facade": q_ops_facade,
         "zonal_stats": q_zonal_stats,
+        "zonal_weighted": q_zonal_weighted,
         "knn_join": q_knn_join,
         "regrid": q_regrid,
         "units_conform": q_units_conform,

@@ -237,11 +237,8 @@ def spatial_subset_many(
     """
     if keep_touches is None:
         keep_touches = abstraction == "point"
-    if abstraction != "point":
-        raise NotImplementedError(
-            "spatial_subset_many currently supports point abstraction; "
-            "loop spatial_subset for polygon-abstraction multi-geometry"
-        )
+    if abstraction == "polygon":
+        return _subset_many_boxes(spark, df, grid, polys, keep_touches)
     from ..geo.cellindex import covering_cells, zdecode
 
     rows = []
@@ -313,6 +310,93 @@ def spatial_subset_many(
         cond = udf_cond if cond is None else (cond | udf_cond)
 
     return cand.filter(cond)
+
+
+def _subset_many_boxes(
+    spark: SparkSession,
+    df: DataFrame,
+    grid: GridSpec,
+    polys: list[tuple[int, list[np.ndarray]]],
+    keep_touches: bool,
+) -> DataFrame:
+    """Polygon-abstraction multi-geometry clip: per (row, ugid) the owning
+    cell's box is intersected with that ugid's polygon; emits ``clip_area``.
+    Rect polygons compile to closed-form overlap expressions chained per
+    ugid; non-rect polygons share one Arrow UDF keyed by ugid. This is the
+    canonical ocgis 'clip + aggregate per selection geometry' input
+    (``ops/engine.py:287-385`` looped; here one plan)."""
+    from ..geo.cellindex import covering_cells, zdecode
+
+    rows = []
+    for ugid, rings in polys:
+        cells = covering_cells(grid, rings)
+        cy, cx = zdecode(cells)
+        rows.extend((int(ugid), int(y), int(x)) for y, x in zip(cy, cx))
+    cov = spark.createDataFrame(rows, "ugid int, cov_y int, cov_x int")
+    cand = df.join(
+        F.broadcast(cov),
+        (df["cell_y"] == cov["cov_y"]) & (df["cell_x"] == cov["cov_x"]),
+        "inner",
+    ).drop("cov_y", "cov_x")
+    cand = cell_bounds(cand, grid)
+
+    area_expr = None
+    udf_polys = {}
+    for ugid, rings in polys:
+        rings = [np.asarray(r, dtype="f8") for r in rings]
+        if _is_axis_rect(rings):
+            minx, miny, maxx, maxy = _rings_bbox(rings)
+            ox = F.least(F.col("lon_ub"), F.lit(maxx)) - F.greatest(
+                F.col("lon_lb"), F.lit(minx)
+            )
+            oy = F.least(F.col("lat_ub"), F.lit(maxy)) - F.greatest(
+                F.col("lat_lb"), F.lit(miny)
+            )
+            a = F.greatest(ox, F.lit(0.0)) * F.greatest(oy, F.lit(0.0))
+            area_expr = (
+                F.when(F.col("ugid") == ugid, a)
+                if area_expr is None
+                else area_expr.when(F.col("ugid") == ugid, a)
+            )
+        else:
+            udf_polys[int(ugid)] = rings
+
+    if udf_polys:
+        kt_udf = keep_touches
+
+        @F.pandas_udf("double")
+        def clip_many(
+            ugid_s: pd.Series, lon_lb: pd.Series, lat_lb: pd.Series,
+            lon_ub: pd.Series, lat_ub: pd.Series,
+        ) -> pd.Series:
+            ug = ugid_s.to_numpy()
+            out = np.full(len(ug), -1.0)
+            for u, rings in udf_polys.items():
+                m = ug == u
+                if m.any():
+                    keep, areas = G.boxes_intersect_polygon(
+                        lon_lb.to_numpy("f8")[m], lat_lb.to_numpy("f8")[m],
+                        lon_ub.to_numpy("f8")[m], lat_ub.to_numpy("f8")[m],
+                        rings, keep_touches=kt_udf,
+                    )
+                    vals = np.where(keep, areas, -1.0)
+                    out[m] = vals
+            return pd.Series(out)
+
+        udf_area = clip_many(
+            F.col("ugid"), F.col("lon_lb"), F.col("lat_lb"),
+            F.col("lon_ub"), F.col("lat_ub"),
+        )
+        area_expr = (
+            udf_area if area_expr is None
+            else area_expr.otherwise(udf_area)
+        )
+    out = cand.withColumn("clip_area", area_expr)
+    if keep_touches:
+        keep_cond = F.col("clip_area") >= 0.0
+    else:
+        keep_cond = F.col("clip_area") > G.EPS_AREA
+    return out.filter(keep_cond)
 
 
 def spatial_subset(

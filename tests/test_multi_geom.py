@@ -82,3 +82,29 @@ def test_knn_join_expansion_on_sparse_cells(spark):
     out = knn.knn_join(pts, cells, DOC_GRID, k=2).collect()
     assert len(out) == 2
     assert {(r.cell_y, r.cell_x) for r in out} <= {(0, 0), (0, 1), (1, 0)}
+
+
+def test_multi_geom_polygon_abstraction_clip(spark):
+    """Mixed rect + pentagon multi-geometry CLIP on cell boxes: per-ugid
+    areas match the single-geometry operator."""
+    dg = register_docs_geo(spark, SF)
+    cells = dg.select("cell_y", "cell_x").distinct()
+    polys = [
+        (1, [rect_ring(-104.5, 37.5, -102.5, 39.5)]),
+        (2, [QUERY_PENTAGON]),
+    ]
+    many = spatial.spatial_subset_many(
+        spark, cells, DOC_GRID, polys, abstraction="polygon",
+        keep_touches=False,
+    )
+    for ugid, rings in polys:
+        single = spatial.spatial_subset(
+            spark, cells, DOC_GRID, rings, operation="clip",
+            abstraction="polygon", keep_touches=False,
+        )
+        got = {(r.cell_y, r.cell_x): r.clip_area
+               for r in many.filter(F.col("ugid") == ugid).collect()}
+        want = {(r.cell_y, r.cell_x): r.clip_area for r in single.collect()}
+        assert set(got) == set(want), ugid
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12), (ugid, k)
