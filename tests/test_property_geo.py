@@ -80,11 +80,17 @@ def test_clip_area_bounded_and_consistent(seed):
     w, h = rng.uniform(0.1, 2.0, 2)
     a = G.box_polygon_clip_area([ring], bx, by, bx + w, by + h)
     assert -1e-12 <= a <= min(w * h, poly_area) + 1e-9
-    # shrink a box around the centroid -> fully inside -> area == box area
+    # a box whose 4 corners are strictly inside clips to exactly its area
+    # (for THIN polygons the vertex centroid can sit near an edge and the
+    # box pokes out — hypothesis found that case, so gate on the corners)
     cx, cy = ring[:-1, 0].mean(), ring[:-1, 1].mean()
     eps = 0.01
-    inside = G.box_polygon_clip_area([ring], cx - eps, cy - eps, cx + eps, cy + eps)
-    assert inside == pytest_approx(4 * eps * eps)
+    corners_x = np.array([cx - eps, cx + eps, cx + eps, cx - eps])
+    corners_y = np.array([cy - eps, cy - eps, cy + eps, cy + eps])
+    if G.points_in_polygon(corners_x, corners_y, [ring], keep_touches=False).all():
+        inside = G.box_polygon_clip_area([ring], cx - eps, cy - eps,
+                                         cx + eps, cy + eps)
+        assert inside == pytest_approx(4 * eps * eps)
 
 
 def pytest_approx(x, rel=1e-9):
