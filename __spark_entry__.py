@@ -6,7 +6,9 @@ Every operator from SURVEY.md §2 that is SQL-expressible has BOTH a
 inputs are derived deterministically from the driver's tables
 (ocgis_spark.fixtures), so even the two-phase spatial join has an exact SQL
 oracle. Non-SQL-expressible ops (checkpoint/resume, freezethaw scan, span
-preservation across stages) are covered by pytest and rows-only checks.
+preservation across stages, streaming, unstructured meshes) are covered by
+pytest. 52 query/oracle pairs; see README.md for the SURVEY §2 coverage map
+and scripts/check_oracles.py for the local parity harness.
 """
 
 from __future__ import annotations

@@ -103,7 +103,9 @@ class OcgOperations:
                 return data
             if kind == "point":
                 # point selection: buffer by search_radius_mult x resolution
-                # (ops/engine.py:515-531)
+                # (ops/engine.py:515-531). The reference buffers with
+                # cap_style=3 (SQUARE caps) — so the square buffer here is
+                # semantics-exact, not an approximation.
                 grid = self._grid()
                 r = self.search_radius_mult * grid.res
                 x, y = data

@@ -50,3 +50,23 @@ def test_eval_whitelist():
     validate_eval_expr("exp(value) + log(2.0)")
     with pytest.raises(ValueError, match="whitelist"):
         validate_eval_expr("reflect('java.lang.Runtime', 'exec')")
+
+
+def test_360_longitude_wrap_parity(spark):
+    """test_360.py analogue: a 0..360 ('unwrapped') document table wrapped
+    at ingest yields the same subset as the natively wrapped table."""
+    from ocgis_spark.fixtures import DOC_GRID, QUERY_RECT, register_docs_geo, rect_ring
+    from ocgis_spark.operators import crs, spatial
+
+    dg = register_docs_geo(spark, "/root/testdata/sf0.001")
+    # simulate an unwrapped source: shift into 0..360, then wrap at ingest
+    unwrapped = dg.withColumn("lon", crs.unwrap_lon("lon"))
+    assert crs.is_wrapped_state(unwrapped) == "unwrapped"
+    rewrapped = unwrapped.withColumn("lon", crs.wrap_lon("lon"))
+    a = spatial.spatial_subset(
+        spark, dg, DOC_GRID, [rect_ring(*QUERY_RECT)], abstraction="point"
+    )
+    b = spatial.spatial_subset(
+        spark, rewrapped, DOC_GRID, [rect_ring(*QUERY_RECT)], abstraction="point"
+    )
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
