@@ -1065,7 +1065,6 @@ def oracle_sql() -> dict[str, str]:
             f"greatest(least({_CB['lon_ub']}, -104.25) - greatest({_CB['lon_lb']}, -105.25), 0.0) * "
             f"greatest(least({_CB['lat_ub']}, 40.25) - greatest({_CB['lat_lb']}, 39.5), 0.0) AS clip_area "
             f"FROM (SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg) c) u "
-            f"CROSS JOIN (SELECT 1 AS one) o "
             f"WHERE clip_area > 1e-12 "
             f"GROUP BY ugid"
         ).replace("value * clip_area", "(CASE WHEN cell_y >= 32 THEN CASE WHEN cell_x >= 32 THEN 2.0 ELSE 1.0 END ELSE CASE WHEN cell_x >= 32 THEN 4.0 ELSE 3.0 END END) * clip_area"),

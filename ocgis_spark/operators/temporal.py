@@ -21,10 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SEASONS = {3: "MAM", 4: "MAM", 5: "MAM", 6: "JJA", 7: "JJA", 8: "JJA",
-            9: "SON", 10: "SON", 11: "SON", 12: "DJF", 1: "DJF", 2: "DJF"}
-
-
 def with_time_bounds(df: DataFrame, ts: str = "ts", hours: int = 12) -> DataFrame:
     """Synthesize ±h bounds (ocgis time bounds, FIXTURES.md §3)."""
     return df.withColumn(
