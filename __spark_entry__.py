@@ -52,6 +52,14 @@ CORPUS_SQL = (
 )
 
 
+def _tune(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs the oracle parity depends on — the driver
+    may hand us a session with Spark-4 defaults (ANSI on, local tz)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _us(col: str):
     """Epoch microseconds from a (possibly NTZ) timestamp column — parity
     with DuckDB's epoch_us over naive parquet timestamps (session tz UTC)."""
@@ -59,11 +67,12 @@ def _us(col: str):
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return FX.register_docs_geo(spark, sf_dir)
+    return FX.register_docs_geo(_tune(spark), sf_dir)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,4 +1173,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_pipeline_flagship(spark, "/root/testdata/sf0.001")
+    return q_pipeline_flagship(_tune(spark), "/root/testdata/sf0.001")

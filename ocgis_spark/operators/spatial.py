@@ -70,6 +70,15 @@ def coarse_filter(
     cells = covering_cells(grid, rings)
     if len(cells) == 0:
         return df.limit(0)
+    if len(cells) > 2_000_000:
+        # covering too large to broadcast sensibly (very fine grid or a
+        # near-global polygon): degrade to the envelope range predicate —
+        # still a correct superset, the exact phase refines
+        minx, miny, maxx, maxy = _rings_bbox(rings)
+        return cell_bounds(df, grid).filter(
+            (F.col("lon_lb") <= maxx) & (F.col("lon_ub") >= minx)
+            & (F.col("lat_lb") <= maxy) & (F.col("lat_ub") >= miny)
+        ).drop("lon_lb", "lon_ub", "lat_lb", "lat_ub")
     cy, cx = zdecode(cells)
     cov = spark.createDataFrame(
         [(int(y), int(x)) for y, x in zip(cy, cx)], "cov_y int, cov_x int"
