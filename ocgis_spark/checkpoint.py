@@ -96,7 +96,13 @@ class CheckpointManager:
 
         t0 = time.time()
         (
-            pending_df.write.format("parquet")
+            # repartition on the tile key first: without it every task
+            # writes a file into every tile directory (tasks x tiles small
+            # files at cluster scale); with it each tile is written by the
+            # task(s) owning its shuffle partition. Hot tiles can be salted
+            # upstream (operators.partitioning) before reaching this sink.
+            pending_df.repartition(F.col(tile_col))
+            .write.format("parquet")
             .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(tile_col)

@@ -94,3 +94,32 @@ def test_checkpoint_no_duplicates_after_partial_overlap(spark, docs_spans, tmp_p
     cp.run_stage(spark, tiled)
     back = spark.read.parquet(cp.data_dir)
     assert back.count() == tiled.count()
+
+
+def test_checkpoint_one_file_per_tile(spark, docs_spans, tmp_path):
+    """The pre-write repartition keeps file counts bounded: each tile dir
+    holds O(1) files, not O(tasks)."""
+    import glob
+    import os
+
+    tiled = tiling.assign_dest_tiles(
+        docs_spans.drop("spans").repartition(16), DOC_GRID, 16
+    ).select("doc_uid", "tile_id")
+    cp = CheckpointManager(str(tmp_path / "ckpt3"))
+    cp.run_stage(spark, tiled)
+    for d in glob.glob(os.path.join(cp.data_dir, "tile_id=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) <= 2, (d, files)
+
+
+def test_parquet_converter_with_meta(spark, docs_spans, tmp_path):
+    import json
+
+    from ocgis_spark import conv
+
+    path = str(tmp_path / "out_parquet")
+    conv.convert_parquet(docs_spans.drop("spans"), path, {"op": "test"})
+    back = spark.read.parquet(path)
+    assert back.count() == docs_spans.count()
+    meta = json.load(open(path + ".conv_meta.json"))
+    assert meta["format"] == "parquet" and meta["operations"]["op"] == "test"
