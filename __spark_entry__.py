@@ -317,6 +317,60 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN: 8 centroid lists, nprobe=2, exact top-3 within
+    the probed lists."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id").between(100, 104))
+    return similarity.ivf_topk(emb, cents, queries, k=3, nprobe=2)
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session per user; emits
+    per-session stats (a canonical training-pipeline event op)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ won't cast straight to long; go through TIMESTAMP (epoch seconds)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(_us("ts")).alias("start_us"),
+        F.max(_us("ts")).alias("end_us"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_top_tokens(spark, sf_dir):
+    """Heavy hitters: top-20 whitespace tokens by frequency."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = SP.with_spans(_read(spark, sf_dir, "documents"))
     return multimodal.extract_features(docs, real=False)
@@ -897,6 +951,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN szs sa ON sa.doc_id = i.doc_a "
             "JOIN szs sb ON sb.doc_id = i.doc_b"
         ),
+        "ivf_topk": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+            "c AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8), "
+            "assign AS (SELECT vec_id, emb, cid AS bucket FROM ("
+            "SELECT v.vec_id, v.emb, c.cid, row_number() OVER ("
+            "PARTITION BY v.vec_id ORDER BY round(list_dot_product(v.emb, c.c_emb) / "
+            "(sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) DESC, c.cid) AS rn "
+            "FROM e v CROSS JOIN c) t WHERE rn = 1), "
+            "q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id BETWEEN 100 AND 104), "
+            "probes AS (SELECT query_id, q_emb, cid AS bucket FROM ("
+            "SELECT q.query_id, q.q_emb, c.cid, row_number() OVER ("
+            "PARTITION BY q.query_id ORDER BY round(list_dot_product(q.q_emb, c.c_emb) / "
+            "(sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) DESC, c.cid) AS rn "
+            "FROM q CROSS JOIN c) t WHERE rn <= 2), "
+            "cand AS (SELECT p.query_id, a.vec_id, "
+            "round(list_dot_product(p.q_emb, a.emb) / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * "
+            "sqrt(list_dot_product(a.emb, a.emb))), 6) AS cos "
+            "FROM probes p JOIN assign a ON a.bucket = p.bucket AND a.vec_id <> p.query_id) "
+            "SELECT query_id, vec_id, cos, CAST(rn AS INT) AS rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn "
+            "FROM cand) t WHERE rn <= 3"
+        ),
+        "sessionize": (
+            "WITH flagged AS (SELECT user_id, event_id, ts, value, "
+            "CASE WHEN lag(epoch(ts)) OVER w IS NULL "
+            "OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sess AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us, "
+            "round(sum(value), 6) AS sum_value "
+            "FROM sess GROUP BY user_id, session_id"
+        ),
+        "top_tokens": (
+            "SELECT tok, n, CAST(rn AS INT) AS rank FROM ("
+            "SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rn FROM ("
+            "SELECT tok, count(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
+            "WHERE tok <> '' GROUP BY tok) c) r WHERE rn <= 20"
+        ),
         "multimodal_features": (
             "SELECT concat('doc', CAST(doc_id AS VARCHAR)) AS doc_uid, "
             "CAST(1 AS INT) AS span_idx, "
@@ -1137,6 +1232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "ivf_topk": q_ivf_topk,
+        "sessionize": q_sessionize,
+        "top_tokens": q_top_tokens,
         "multimodal_features": q_multimodal_features,
         "time_range": q_time_range,
         "time_region": q_time_region,

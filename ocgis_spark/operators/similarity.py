@@ -88,6 +88,67 @@ def embedding_near_dups(
     return scored.filter(F.col("cos") >= threshold)
 
 
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid by
+    cosine (ties → smallest centroid id). Centroids are broadcast; one
+    window per vector picks the argmax — the inverted-file list key."""
+    c = centroids.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        "vec_id", "embedding", "cid",
+        F.round(cosine_expr(F.col("embedding"), F.col("c_emb")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, centroids: DataFrame, queries: DataFrame,
+    k: int = 3, nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: probe the query's ``nprobe`` nearest centroid buckets,
+    exact cosine within them. The scale path when hyperplane LSH recall is
+    insufficient: corpus scanned once to build lists, queries touch only
+    probed lists."""
+    lists = ivf_assign(emb, centroids)
+    c = centroids.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    qprobe = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        .crossJoin(F.broadcast(c))
+        .select(
+            "query_id", "q_emb", "cid",
+            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", F.col("cid").alias("bucket"))
+    )
+    cand = probes.join(lists, "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_buckets(emb: DataFrame, planes: DataFrame, n_planes: int = 4) -> DataFrame:
     """Bucket id = concatenated signs of dot(v, plane_p) for the P
     deterministic hyperplanes (first P corpus vectors by vec_id)."""
