@@ -371,6 +371,34 @@ def q_top_tokens(spark, sf_dir):
     )
 
 
+def q_clean_text(spark, sf_dir):
+    """Text normalization stage: strip digits, collapse whitespace, trim,
+    lowercase — with before/after length accounting."""
+    docs = _read(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[0-9]+", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.length("text").cast("bigint").alias("len_before"),
+        F.length(cleaned).cast("bigint").alias("len_after"),
+    )
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash split: md5(doc_id) first hex char 0-b -> train
+    (75%), else test — stable across engines and reruns."""
+    docs = _read(spark, sf_dir, "documents")
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(first.isin(*"0123456789ab"), "train").otherwise("test").alias("split"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = SP.with_spans(_read(spark, sf_dir, "documents"))
     return multimodal.extract_features(docs, real=False)
@@ -992,6 +1020,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
             "WHERE tok <> '' GROUP BY tok) c) r WHERE rn <= 20"
         ),
+        "clean_text": (
+            "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[0-9]+', '', 'g'), ' +', ' ', 'g'))) AS clean_md5, "
+            "CAST(length(text) AS BIGINT) AS len_before, "
+            "CAST(length(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[0-9]+', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS len_after "
+            "FROM documents"
+        ),
+        "train_test_split": (
+            "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+            "IN ('0','1','2','3','4','5','6','7','8','9','a','b') "
+            "THEN 'train' ELSE 'test' END AS split FROM documents"
+        ),
         "multimodal_features": (
             "SELECT concat('doc', CAST(doc_id AS VARCHAR)) AS doc_uid, "
             "CAST(1 AS INT) AS span_idx, "
@@ -1233,6 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
+        "clean_text": q_clean_text,
+        "train_test_split": q_train_test_split,
         "sessionize": q_sessionize,
         "top_tokens": q_top_tokens,
         "multimodal_features": q_multimodal_features,
