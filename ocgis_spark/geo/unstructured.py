@@ -21,10 +21,52 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import geometry as G
+
+
+def corners_to_mesh(corners: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Convert a SCRIP/ESMF-style corner-array table into the
+    nodes + connectivity model.
+
+    Input schema (the relational form of SCRIP's ``grid_corner_lon/lat`` or
+    an ESMF unstructured mesh, reference ``driver/nc_scrip.py`` /
+    ``driver/nc_esmf_unstruct.py``):
+    ``elem_id bigint, corner_lons array<double>, corner_lats array<double>``.
+
+    Returns ``(elements, nodes)`` where shared corners are deduplicated
+    into one node id per distinct coordinate (exact-equality dedup — SCRIP
+    files repeat corner coordinates bit-identically)."""
+    exploded = corners.select(
+        "elem_id",
+        F.posexplode(F.arrays_zip("corner_lons", "corner_lats")).alias(
+            "ord", "c"
+        ),
+    ).select(
+        "elem_id", "ord",
+        F.col("c.corner_lons").alias("x"),
+        F.col("c.corner_lats").alias("y"),
+    )
+    nodes = (
+        exploded.select("x", "y").distinct()
+        .withColumn(
+            "node_id",
+            (F.row_number().over(Window.orderBy("x", "y")) - 1).cast("bigint"),
+        )
+    )
+    en = exploded.join(nodes, ["x", "y"])
+    elements = (
+        en.groupBy("elem_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "node_id"))),
+                lambda s: s["node_id"],
+            ).alias("cindex")
+        )
+    )
+    return elements, nodes.select("node_id", "x", "y")
 
 
 def element_nodes(elements: DataFrame, nodes: DataFrame) -> DataFrame:

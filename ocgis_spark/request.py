@@ -78,6 +78,15 @@ class Field:
             out = out.join(F.broadcast(ranked), col, "leftsemi")
         return Field(out, self.dimension_map, self.grid)
 
+    def write(self, path: str, driver: str = "parquet") -> str:
+        """Persist the field (``Field.write``, reference
+        ``collection/field.py:1050-1073``) via the converter registry —
+        every sink also emits a conv_meta lineage record."""
+        from . import conv
+
+        writer = conv.get_converter_map()[driver]
+        return writer(self.df, path, {"dimension_map": self.dimension_map})
+
     def rename_variable(self, old: str, new: str) -> "Field":
         dm = {k: (new if v == old else v) for k, v in self.dimension_map.items()}
         return Field(self.df.withColumnRenamed(old, new), dm, self.grid)

@@ -76,3 +76,51 @@ def test_unstruct_triangle_elements(spark):
     assert set(out) == {0}
     # triangle 0 is x>=y half; rect [0.6,1]x[0,0.4] lies fully in it
     assert out[0] == pytest.approx(0.16)
+
+
+def test_scrip_corners_to_mesh_roundtrip(spark, quad_mesh):
+    """SCRIP-style corner arrays -> mesh; subset result identical to the
+    directly built connectivity mesh."""
+    from ocgis_spark.fixtures import rect_ring
+
+    corners = []
+    for cy in range(4):
+        for cx in range(4):
+            x0, y0 = -105.5 + cx, 36.5 + cy
+            corners.append(
+                (cy * 4 + cx,
+                 [x0, x0 + 1.0, x0 + 1.0, x0],
+                 [y0, y0, y0 + 1.0, y0 + 1.0])
+            )
+    cdf = spark.createDataFrame(
+        corners,
+        "elem_id bigint, corner_lons array<double>, corner_lats array<double>",
+    )
+    elems, nodes = U.corners_to_mesh(cdf)
+    assert nodes.count() == 25  # shared corners deduplicated
+    rings = [rect_ring(-104.5, 37.5, -102.5, 39.5)]
+    kept = {r.elem_id for r in
+            U.subset_elements(elems, nodes, rings, keep_touches=False).collect()}
+    assert kept == {5, 6, 9, 10}
+
+
+def test_field_write_and_mask_semantics(spark, tmp_path):
+    """Field.write via converter registry + value_mask -> NULL filtering
+    (the mask cascade as a WHERE, SURVEY §1.4)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ocgis_spark.request import Field
+
+    df = spark.createDataFrame(
+        [(0, 1.0, False), (1, 2.0, True), (2, 3.0, False)],
+        "cell bigint, value double, value_mask boolean",
+    )
+    unmasked = df.filter(~F.col("value_mask"))
+    fld = Field(unmasked, {"value": "value"}, None)
+    path = fld.write(str(tmp_path / "fld_out"))
+    back = spark.read.parquet(path)
+    assert back.count() == 2 and back.agg(F.avg("value")).collect()[0][0] == 2.0
+    meta = json.load(open(path + ".conv_meta.json"))
+    assert "dimension_map" in meta["operations"]
