@@ -371,6 +371,12 @@ def q_top_tokens(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size overlapping token chunks (size 32, stride 24)."""
+    return textops.chunk_documents(_read(spark, sf_dir, "documents"),
+                                   size=32, stride=24)
+
+
 def q_clean_text(spark, sf_dir):
     """Text normalization stage: strip digits, collapse whitespace, trim,
     lowercase — with before/after length accounting."""
@@ -1020,6 +1026,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
             "WHERE tok <> '' GROUP BY tok) c) r WHERE rn <= 20"
         ),
+        "chunk_documents": (
+            "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "nc AS (SELECT doc_id, w, CAST(greatest(ceil((len(w) - 32) / 24.0) + 1, 1) AS INT) AS n FROM ws), "
+            "ch AS (SELECT doc_id, w, unnest(generate_series(0, n - 1)) AS chunk_id FROM nc) "
+            "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, "
+            "array_to_string(w[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)], ' ') AS chunk_text, "
+            "CAST(len(string_split(array_to_string(w[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)], ' '), ' ')) AS BIGINT) AS n_tokens "
+            "FROM ch"
+        ),
         "clean_text": (
             "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
             "'[0-9]+', '', 'g'), ' +', ' ', 'g'))) AS clean_md5, "
@@ -1274,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
+        "chunk_documents": q_chunk_documents,
         "clean_text": q_clean_text,
         "train_test_split": q_train_test_split,
         "sessionize": q_sessionize,

@@ -65,6 +65,35 @@ def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame, size: int = 32, stride: int = 24, text: str = "text"
+) -> DataFrame:
+    """Split documents into fixed-token-count chunks with overlap (the
+    universal LLM training-data shaping op): chunk i covers whitespace
+    tokens [i*stride, i*stride + size). Pure built-ins: split + sequence
+    explode + slice + array_join — no UDF, one narrow map."""
+    toks = F.split(F.col(text), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(stride)) + 1, F.lit(1)
+    ).cast("int")
+    return (
+        df.select("doc_id", toks.alias("ws"), n_chunks.alias("nc"))
+        .select(
+            "doc_id", "ws",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice("ws", F.col("chunk_id") * stride + 1, size), " "
+            ).alias("chunk_text"),
+        )
+        .withColumn("n_tokens", F.size(F.split("chunk_text", " ")).cast("bigint"))
+    )
+
+
 def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 over the sorted distinct token
     set — key for fuzzy-dup grouping (locale-free, deterministic)."""
