@@ -719,6 +719,59 @@ def q_daily_perc(spark, sf_dir):
     )
 
 
+# --- rows-only entries (genuinely non-SQL-expressible; no oracle twin,
+# the driver records the weaker rows-only check) ---
+
+def q_freezethaw(spark, sf_dir):
+    """Sequential cumulative-scan transitions per series (applyInPandas)."""
+    return windows.freezethaw(_events(spark, sf_dir), "user_id", "ts",
+                              "value", threshold=50.0)
+
+
+def q_nonconvex_clip(spark, sf_dir):
+    """L-shaped (non-convex) polygon clip — exercises the Sutherland-
+    Hodgman Arrow-UDF path on cell boxes."""
+    import numpy as np
+
+    l_shape = np.array(
+        [[-105.4, 36.6], [-103.0, 36.6], [-103.0, 38.0], [-104.2, 38.0],
+         [-104.2, 40.0], [-105.4, 40.0], [-105.4, 36.6]], dtype="f8"
+    )
+    cells = _distinct_cells(spark, sf_dir)
+    out = spatial.spatial_subset(
+        spark, cells, DOC_GRID, [l_shape], operation="clip",
+        abstraction="polygon",
+    )
+    return out.select("cell_y", "cell_x", F.round("clip_area", 9).alias("clip_area"))
+
+
+def q_unstructured_subset(spark, sf_dir):
+    """UGRID-style mesh subset built from the doc grid's cells as a
+    corner-array (SCRIP) table."""
+    from ocgis_spark.geo import unstructured as U
+
+    g = DOC_GRID
+    cells = _distinct_cells(spark, sf_dir)
+    corners = cells.select(
+        (F.col("cell_y") * g.nx + F.col("cell_x")).cast("bigint").alias("elem_id"),
+        F.array(
+            F.lit(g.lon0) + F.col("cell_x") * g.res,
+            F.lit(g.lon0) + (F.col("cell_x") + 1) * g.res,
+            F.lit(g.lon0) + (F.col("cell_x") + 1) * g.res,
+            F.lit(g.lon0) + F.col("cell_x") * g.res,
+        ).alias("corner_lons"),
+        F.array(
+            F.lit(g.lat0) + F.col("cell_y") * g.res,
+            F.lit(g.lat0) + F.col("cell_y") * g.res,
+            F.lit(g.lat0) + (F.col("cell_y") + 1) * g.res,
+            F.lit(g.lat0) + (F.col("cell_y") + 1) * g.res,
+        ).alias("corner_lats"),
+    )
+    elems, nodes = U.corners_to_mesh(corners)
+    return U.subset_elements(elems, nodes, [FX.rect_ring(*_RECT)],
+                             keep_touches=False)
+
+
 # ------------------------------------------------------------- oracles
 
 def _penta_pred(lon="lon", lat="lat"):
@@ -1324,6 +1377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrap_lon": q_wrap_lon,
         "daily_perc": q_daily_perc,
         "q1_pricing": q_q1_pricing,
+        "freezethaw": q_freezethaw,
+        "nonconvex_clip": q_nonconvex_clip,
+        "unstructured_subset": q_unstructured_subset,
         "join_agg": q_join_agg,
     }
 
