@@ -90,20 +90,26 @@ def embedding_near_dups(
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid by
-    cosine (ties → smallest centroid id). Centroids are broadcast; one
-    window per vector picks the argmax — the inverted-file list key."""
-    c = centroids.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    cosine (ties → smallest centroid id).
+
+    Centroids are collected driver-side (they are always few) and inlined
+    as literal arrays, so the assignment is a pure narrow map —
+    ``greatest`` over (cos, -cid) structs — with ZERO shuffle of the
+    corpus. (The first implementation crossJoined + windowed, which
+    shuffled every vector just to pick an argmax.)"""
+    cents = sorted(
+        ((int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for r in centroids.collect()),
+        key=lambda t: t[0],
     )
-    scored = emb.crossJoin(F.broadcast(c)).select(
-        "vec_id", "embedding", "cid",
-        F.round(cosine_expr(F.col("embedding"), F.col("c_emb")), 6).alias("ccos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("bucket"))
+    structs = []
+    for cid, vec in cents:
+        lit_vec = F.array(*[F.lit(x) for x in vec])
+        cos = F.round(cosine_expr(F.col("embedding"), lit_vec), 6)
+        structs.append(F.struct(cos.alias("c"), F.lit(-cid).alias("negid")))
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    return emb.select(
+        "vec_id", "embedding", (-best["negid"]).cast("int").alias("bucket")
     )
 
 
