@@ -1,0 +1,72 @@
+"""Pandas-oracle properties for the pipeline ops (sessionize, chunking)."""
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocgis_spark.operators import text as textops
+
+
+def test_sessionize_matches_pandas(spark):
+    """Random gaps: Spark sessionization == pandas cumsum-of-breaks."""
+    rng = np.random.default_rng(42)
+    rows = []
+    t = dt.datetime(2024, 1, 1)
+    for i in range(500):
+        t += dt.timedelta(seconds=int(rng.integers(10, 5000)))
+        rows.append((i, t, int(rng.integers(0, 5))))
+    df = spark.createDataFrame(rows, "event_id int, ts timestamp, user_id int")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = df.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = {
+        (r.user_id, r.event_id): r.session_id for r in sess.collect()
+    }
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    expect = {}
+    for uid, grp in pdf.groupby("user_id"):
+        gaps = grp["ts"].diff().dt.total_seconds()
+        breaks = (gaps.isna() | (gaps > 1800)).astype(int)
+        sids = breaks.cumsum()
+        for eid, sid in zip(grp["event_id"], sids):
+            expect[(uid, eid)] = sid
+    assert got == expect
+
+
+def test_chunking_covers_every_token(spark):
+    """Chunk union covers all tokens; consecutive chunks overlap by
+    size - stride tokens; token totals are consistent."""
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(100))),
+         (1, " ".join(f"u{i}" for i in range(7))),
+         (2, "single")],
+        "doc_id bigint, text string",
+    )
+    out = textops.chunk_documents(df, size=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    # doc 0: 100 tokens -> ceil((100-32)/24)+1 = 4 chunks
+    assert len(by_doc[0]) == 4
+    seen = set()
+    for cid, toks in sorted(by_doc[0].items()):
+        if cid > 0:
+            prev = by_doc[0][cid - 1]
+            assert prev[-8:] == toks[:8]  # overlap = 32 - 24
+        seen.update(toks)
+    assert seen == {f"t{i}" for i in range(100)}
+    # short docs: one chunk, whole text
+    assert by_doc[1] == {0: [f"u{i}" for i in range(7)]}
+    assert by_doc[2] == {0: ["single"]}
