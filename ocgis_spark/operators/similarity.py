@@ -64,24 +64,39 @@ def brute_topk(
 
 
 def embedding_near_dups(
-    emb: DataFrame, planes: DataFrame, threshold: float = 0.95
+    emb: DataFrame, planes: DataFrame, threshold: float = 0.95,
+    bands: int = 1, planes_per_band: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: vectors sharing
-    a hyperplane-sign bucket are candidate pairs; exact cosine ≥ threshold
-    verifies. The corpus is never all-paired — only bucket-equijoined
-    (AQE-splittable shuffle on the short bucket key)."""
-    b = lsh_buckets(emb, planes)
-    e = emb.join(b, "vec_id")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        "bucket",
-    )
-    c = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        "bucket",
-    )
-    pairs = a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.select(
+    a hyperplane-sign bucket in ANY band are candidate pairs; exact cosine
+    ≥ threshold verifies. Banding (independent plane sets, candidates
+    unioned) trades compute for recall exactly like MinHash bands:
+    recall ≈ 1 - (1 - r)^bands. The corpus is never all-paired — only
+    bucket-equijoined (AQE-splittable shuffle on a short key)."""
+    pair_sets = []
+    for b_i in range(bands):
+        band_planes = planes.filter(
+            (F.col("vec_id") >= b_i * planes_per_band)
+            & (F.col("vec_id") < (b_i + 1) * planes_per_band)
+        )
+        b = lsh_buckets(emb, band_planes)
+        e = emb.join(b, "vec_id")
+        a = e.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+            "bucket",
+        )
+        c = e.select(F.col("vec_id").alias("vec_b"), "bucket")
+        pair_sets.append(
+            a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+        )
+    pairs = pair_sets[0]
+    for p in pair_sets[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.distinct()
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    scored = pairs.join(ea, "vec_a").join(eb, "vec_b").select(
         "vec_a", "vec_b",
         F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
     )

@@ -125,3 +125,31 @@ def test_cell_prefix(spark):
     assert out[(0, 0)] == 0 and out[(7, 7)] == 0
     assert out[(8, 8)] == 4097  # (1)*4096 + 1
     assert out[(63, 63)] == 7 * 4096 + 7
+
+
+def test_embedding_near_dup_banding_improves_recall(spark):
+    """2 independent plane bands find a superset of single-band pairs."""
+    from ocgis_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mut = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * 1.01),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    planes = emb.filter(F.col("vec_id") < 8)
+    one = {(r.vec_a, r.vec_b) for r in similarity.embedding_near_dups(
+        corpus, planes, 0.98, bands=1).collect()}
+    two = {(r.vec_a, r.vec_b) for r in similarity.embedding_near_dups(
+        corpus, planes, 0.98, bands=2).collect()}
+    assert one <= two
+    planted = {(i, i + 100000) for i in range(500)}
+    # at this corpus size a single band already has full recall; banding
+    # must never lose pairs and must recover every planted dup
+    assert len(two & planted) >= len(one & planted)
+    assert len(two & planted) == 500
