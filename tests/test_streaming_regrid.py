@@ -120,3 +120,46 @@ def test_transform_crs_stub():
 
     with pytest.raises(NotImplementedError, match="pyproj"):
         transform_crs(None, "EPSG:4326", "EPSG:3857")
+
+
+def test_streaming_spatial_subset_same_operator(spark, tmp_path):
+    """The SAME spatial_subset operator runs unchanged on a STREAM: the
+    two-phase subset is stateless (bbox/half-plane predicates + broadcast
+    covering), so continuous ingest gets the identical plan. Stream results
+    == batch results."""
+    from ocgis_spark.fixtures import (
+        DOC_GRID, QUERY_PENTAGON, docs_geo_sql, register_docs_geo,
+    )
+    from ocgis_spark.operators import spatial, tiling
+
+    src = _stage_dir(tmp_path, "/root/testdata/sf0.001/documents.parquet",
+                     "docs_geo_in")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream.createOrReplaceTempView("documents_stream")
+    dg_stream = spark.sql(docs_geo_sql(table="documents_stream"))
+    assert dg_stream.isStreaming
+
+    sub = spatial.spatial_subset(
+        spark, dg_stream, DOC_GRID, [QUERY_PENTAGON], abstraction="point"
+    )
+    tiled = tiling.assign_dest_tiles(sub, DOC_GRID, 16)
+    agg = tiled.groupBy("tile_id").count()
+    q = (
+        agg.writeStream.format("memory").queryName("stream_subset_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.tile_id: r["count"] for r in
+           spark.sql("SELECT * FROM stream_subset_t").collect()}
+
+    dg_batch = register_docs_geo(spark, "/root/testdata/sf0.001")
+    sub_b = spatial.spatial_subset(
+        spark, dg_batch, DOC_GRID, [QUERY_PENTAGON], abstraction="point"
+    )
+    expected = {r.tile_id: r["count"] for r in
+                tiling.assign_dest_tiles(sub_b, DOC_GRID, 16)
+                .groupBy("tile_id").count().collect()}
+    assert got == expected and sum(got.values()) > 0
