@@ -49,3 +49,36 @@ def test_cabinet_feeds_multi_subset(spark, tmp_path):
     counts = {r.ugid: r.n for r in
               out.groupBy("ugid").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts[1] > 0 and counts[2] > 0
+
+
+def test_wkb_scalar_functions(spark, tmp_path):
+    from ocgis_spark.geo import wkb as WKB
+    from ocgis_spark.operators import geomfuncs as GF
+
+    uri = str(tmp_path / "geoms3")
+    write_geom_table(
+        spark, uri,
+        [
+            (1, "poly", [rect_ring(0.0, 0.0, 2.0, 3.0)]),
+            (2, "point", (5.0, 5.0)),
+            (3, "multipoly", [[rect_ring(0, 0, 1, 1)], [rect_ring(2, 2, 4, 4)]]),
+        ],
+    )
+    df = spark.read.parquet(uri)
+    out = {r.ugid: r for r in df.select(
+        "ugid",
+        GF.wkb_area("geom_wkb").alias("area"),
+        GF.wkb_centroid("geom_wkb").alias("c"),
+        GF.wkb_bounds("geom_wkb").alias("b"),
+    ).collect()}
+    assert out[1].area == 6.0
+    assert (out[1].c.x, out[1].c.y) == (1.0, 1.5)
+    assert out[2].area == 0.0 and (out[2].c.x, out[2].c.y) == (5.0, 5.0)
+    assert out[3].area == 1.0 + 4.0
+    assert (out[3].b.minx, out[3].b.maxy) == (0.0, 4.0)
+    # square-cap buffer grows the envelope by r on every side
+    buffered = df.filter(F.col("ugid") == 1).select(
+        GF.wkb_bounds(GF.wkb_buffer_box(F.col("geom_wkb"), 0.5)).alias("b")
+    ).collect()[0].b
+    assert (buffered.minx, buffered.miny, buffered.maxx, buffered.maxy) == (
+        -0.5, -0.5, 2.5, 3.5)
