@@ -116,34 +116,21 @@ def knn_cells(
 ) -> DataFrame:
     """k nearest distinct cells (by centroid distance) to (qlon, qlat)
     among the cells present in ``df``. Returns
-    ``cell_y, cell_x, dist`` ordered by (dist, cell_y, cell_x)."""
-    qcx = int(math.floor((qlon - grid.lon0) / grid.res))
-    qcy = int(math.floor((qlat - grid.lat0) / grid.res))
+    ``cell_y, cell_x, dist, rank`` ordered by (dist, cell_y, cell_x).
 
-    cells = df.select(cell_y, cell_x).distinct()
-    lat_c = F.lit(grid.lat0) + (F.col(cell_y) + 0.5) * F.lit(grid.res)
-    lon_c = F.lit(grid.lon0) + (F.col(cell_x) + 0.5) * F.lit(grid.res)
-    dist = F.sqrt(
-        (lon_c - F.lit(qlon)) * (lon_c - F.lit(qlon))
-        + (lat_c - F.lit(qlat)) * (lat_c - F.lit(qlat))
+    Thin wrapper over the batch :func:`knn_join` with a single query row —
+    one distributed plan end to end. (The first implementation drove a
+    collect-per-iteration loop from the driver: a full Spark job per ring
+    expansion, seconds of latency per probe on a shared cluster.)"""
+    spark = df.sparkSession
+    pts = spark.createDataFrame(
+        [(0, float(qlon), float(qlat))], "qid int, qlon double, qlat double"
     )
-
-    r = max(1, int(math.ceil(math.sqrt(k))))
-    grid_diam = max(grid.nx, grid.ny)
-    while True:
-        disk = cells.filter(
-            (F.col(cell_x) >= qcx - r) & (F.col(cell_x) <= qcx + r)
-            & (F.col(cell_y) >= qcy - r) & (F.col(cell_y) <= qcy + r)
-        ).withColumn("dist", dist)
-        top = disk.orderBy("dist", cell_y, cell_x).limit(k).collect()
-        if len(top) >= k and top[-1]["dist"] <= (r - 0.5) * grid.res:
-            break
-        if r >= grid_diam:  # disk covers the whole grid — exhaustive
-            break
-        r *= 2
-    w = Window.orderBy("dist", cell_y, cell_x)
-    return (
-        disk.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(cell_y, cell_x, "dist", "rank")
+    cells = df.select(
+        F.col(cell_y).alias("cell_y"), F.col(cell_x).alias("cell_x")
+    )
+    out = knn_join(pts, cells, grid, k=k)
+    return out.select(
+        F.col("cell_y").alias(cell_y), F.col("cell_x").alias(cell_x),
+        "dist", "rank",
     )

@@ -14,6 +14,8 @@ a short string key, AQE-skew-splittable).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,14 +75,12 @@ def embedding_near_dups(
     unioned) trades compute for recall exactly like MinHash bands:
     recall ≈ 1 - (1 - r)^bands. The corpus is never all-paired — only
     bucket-equijoined (AQE-splittable shuffle on a short key)."""
+    all_planes = _collect_planes(planes)
     pair_sets = []
     for b_i in range(bands):
-        band_planes = planes.filter(
-            (F.col("vec_id") >= b_i * planes_per_band)
-            & (F.col("vec_id") < (b_i + 1) * planes_per_band)
-        )
-        b = lsh_buckets(emb, band_planes)
-        e = emb.join(b, "vec_id")
+        band_vecs = all_planes[b_i * planes_per_band:(b_i + 1) * planes_per_band]
+        # bucket attached as a narrow expression — no corpus self-join
+        e = emb.withColumn("bucket", bucket_expr(band_vecs))
         a = e.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
             "bucket",
@@ -103,28 +103,50 @@ def embedding_near_dups(
     return scored.filter(F.col("cos") >= threshold)
 
 
+def _round_half_up(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
+    """HALF_UP (away from zero) rounding — matches Spark's ``round`` and
+    DuckDB's ``round`` (np.round is banker's rounding and would diverge on
+    exact midpoints)."""
+    scale = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid by
     cosine (ties → smallest centroid id).
 
-    Centroids are collected driver-side (they are always few) and inlined
-    as literal arrays, so the assignment is a pure narrow map —
-    ``greatest`` over (cos, -cid) structs — with ZERO shuffle of the
-    corpus. (The first implementation crossJoined + windowed, which
-    shuffled every vector just to pick an argmax.)"""
+    Centroids are collected driver-side (they are always few relative to
+    the corpus) into ONE dense matrix captured by an Arrow pandas UDF; the
+    assignment is a single ``argmax(emb @ C.T / norms)`` per Arrow batch —
+    a pure narrow map with ZERO shuffle of the corpus, and O(1) plan size
+    regardless of centroid count. (Two earlier designs failed at scale: a
+    crossJoin+window shuffled the whole corpus; inlining each centroid as
+    array literals inside ``greatest()`` made the Catalyst plan itself
+    O(K·D) — ~3M expression nodes at a realistic 4k×768 IVF.)
+
+    Ties break to the smallest centroid id (reference argmin-order rule):
+    centroid rows are sorted by id and ``np.argmax`` returns the first
+    maximum."""
     cents = sorted(
         ((int(r["vec_id"]), [float(x) for x in r["embedding"]])
          for r in centroids.collect()),
         key=lambda t: t[0],
     )
-    structs = []
-    for cid, vec in cents:
-        lit_vec = F.array(*[F.lit(x) for x in vec])
-        cos = F.round(cosine_expr(F.col("embedding"), lit_vec), 6)
-        structs.append(F.struct(cos.alias("c"), F.lit(-cid).alias("negid")))
-    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    cids = np.array([c for c, _ in cents], dtype="i4")
+    C = np.array([v for _, v in cents], dtype="f8")  # (K, D)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    @F.pandas_udf("int")
+    def nearest_cid(emb_s: pd.Series) -> pd.Series:
+        M = np.array(emb_s.tolist(), dtype="f8")  # (B, D)
+        norms = np.sqrt((M * M).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        # dot / (|v|*|c|), rounded HALF_UP at 6 — the oracle's expression
+        cos = _round_half_up(M @ C.T / (norms[:, None] * cnorm[None, :]), 6)
+        return pd.Series(cids[np.argmax(cos, axis=1)])
+
     return emb.select(
-        "vec_id", "embedding", (-best["negid"]).cast("int").alias("bucket")
+        "vec_id", "embedding", nearest_cid(F.col("embedding")).alias("bucket")
     )
 
 
@@ -170,27 +192,32 @@ def ivf_topk(
     )
 
 
-def lsh_buckets(emb: DataFrame, planes: DataFrame, n_planes: int = 4) -> DataFrame:
-    """Bucket id = concatenated signs of dot(v, plane_p) for the P
-    deterministic hyperplanes (first P corpus vectors by vec_id)."""
-    p = planes.select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_emb")
-    )
-    signed = (
-        emb.crossJoin(F.broadcast(p))
-        .select(
-            "vec_id",
-            "plane_id",
-            F.when(_dot(F.col("embedding"), F.col("p_emb")) >= 0, F.lit("1"))
+def _collect_planes(planes: DataFrame) -> list[list[float]]:
+    """Driver-side plane vectors, ordered by plane id (they are always few)."""
+    rows = sorted(planes.collect(), key=lambda r: int(r["vec_id"]))
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def bucket_expr(plane_vecs: list[list[float]], emb_col: str = "embedding"):
+    """Bucket id = concatenated signs of dot(v, plane_p) — the P planes are
+    inlined as literal arrays (P stays small by construction), so the bucket
+    is a pure narrow-map Catalyst expression: no shuffle, no ×P row
+    multiplication. The earlier design crossJoined the corpus with the
+    planes and groupBy'd it back just to concatenate P bits — a corpus-sized
+    shuffle for a per-row computation."""
+    bits = []
+    for vec in plane_vecs:
+        lit_vec = F.array(*[F.lit(x) for x in vec])
+        bits.append(
+            F.when(_dot(F.col(emb_col), lit_vec) >= 0, F.lit("1"))
             .otherwise(F.lit("0"))
-            .alias("bit"),
         )
-    )
-    return (
-        signed.groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(F.struct("plane_id", "bit"))), lambda s: s["bit"])
-            ).alias("bucket")
-        )
+    return F.concat(*bits)
+
+
+def lsh_buckets(emb: DataFrame, planes: DataFrame, n_planes: int = 4) -> DataFrame:
+    """Hyperplane-sign LSH bucket per vector (planes = the first P corpus
+    vectors by vec_id, so the DuckDB oracle can rebuild them exactly)."""
+    return emb.select(
+        "vec_id", bucket_expr(_collect_planes(planes)).alias("bucket")
     )

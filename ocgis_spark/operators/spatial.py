@@ -80,8 +80,9 @@ def coarse_filter(
             & (F.col("lat_lb") <= maxy) & (F.col("lat_ub") >= miny)
         ).drop("lon_lb", "lon_ub", "lat_lb", "lat_ub")
     cy, cx = zdecode(cells)
+    # pandas frame → one Arrow block transfer (not py4j row-by-row)
     cov = spark.createDataFrame(
-        [(int(y), int(x)) for y, x in zip(cy, cx)], "cov_y int, cov_x int"
+        pd.DataFrame({"cov_y": cy.astype("int32"), "cov_x": cx.astype("int32")})
     )
     return df.join(
         F.broadcast(cov),
@@ -222,6 +223,31 @@ def refine_boxes(
     return out if with_area else out.drop("clip_area")
 
 
+def _covering_many(
+    spark: SparkSession,
+    grid: GridSpec,
+    polys: list[tuple[int, list[np.ndarray]]],
+) -> DataFrame:
+    """(ugid, cov_y, cov_x) covering table for many polygons, built as one
+    pandas frame → single Arrow block transfer to the JVM."""
+    ug_parts, cy_parts, cx_parts = [], [], []
+    for ugid, rings in polys:
+        cells = covering_cells(grid, rings)
+        cy, cx = zdecode(cells)
+        ug_parts.append(np.full(len(cy), int(ugid), dtype="i4"))
+        cy_parts.append(cy.astype("i4"))
+        cx_parts.append(cx.astype("i4"))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ugid": np.concatenate(ug_parts),
+                "cov_y": np.concatenate(cy_parts),
+                "cov_x": np.concatenate(cx_parts),
+            }
+        )
+    )
+
+
 def spatial_subset_many(
     spark: SparkSession,
     df: DataFrame,
@@ -248,14 +274,7 @@ def spatial_subset_many(
         keep_touches = abstraction == "point"
     if abstraction == "polygon":
         return _subset_many_boxes(spark, df, grid, polys, keep_touches)
-    from ..geo.cellindex import covering_cells, zdecode
-
-    rows = []
-    for ugid, rings in polys:
-        cells = covering_cells(grid, rings)
-        cy, cx = zdecode(cells)
-        rows.extend((int(ugid), int(y), int(x)) for y, x in zip(cy, cx))
-    cov = spark.createDataFrame(rows, "ugid int, cov_y int, cov_x int")
+    cov = _covering_many(spark, grid, polys)
     cand = df.join(
         F.broadcast(cov),
         (df["cell_y"] == cov["cov_y"]) & (df["cell_x"] == cov["cov_x"]),
@@ -334,14 +353,7 @@ def _subset_many_boxes(
     ugid; non-rect polygons share one Arrow UDF keyed by ugid. This is the
     canonical ocgis 'clip + aggregate per selection geometry' input
     (``ops/engine.py:287-385`` looped; here one plan)."""
-    from ..geo.cellindex import covering_cells, zdecode
-
-    rows = []
-    for ugid, rings in polys:
-        cells = covering_cells(grid, rings)
-        cy, cx = zdecode(cells)
-        rows.extend((int(ugid), int(y), int(x)) for y, x in zip(cy, cx))
-    cov = spark.createDataFrame(rows, "ugid int, cov_y int, cov_x int")
+    cov = _covering_many(spark, grid, polys)
     cand = df.join(
         F.broadcast(cov),
         (df["cell_y"] == cov["cov_y"]) & (df["cell_x"] == cov["cov_x"]),
