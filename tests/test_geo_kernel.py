@@ -123,3 +123,28 @@ def test_zorder_roundtrip_and_covering():
     assert sorted(zip(dyy.tolist(), dxx.tolist())) == [
         (y, x) for y in range(0, 3) for x in range(0, 3)
     ]
+
+
+def test_batch_clip_matches_scalar_nonconvex():
+    """VERDICT r1 #3: the batch Sutherland–Hodgman (boundary boxes) +
+    center-PIP (interior boxes) kernel must agree with the scalar kernel."""
+    rng = np.random.RandomState(11)
+    ang = np.linspace(0, 2 * np.pi, 13)[:-1]
+    rad = np.where(np.arange(12) % 2 == 0, 3.0, 1.2)
+    star = np.c_[rad * np.cos(ang) + 2, rad * np.sin(ang) + 2]
+    star = np.vstack([star, star[:1]])
+    hole = np.array(
+        [[1.7, 1.7], [2.3, 1.7], [2.3, 2.3], [1.7, 2.3], [1.7, 1.7]], "f8"
+    )
+    n = 2000
+    minx = rng.uniform(-1, 4, n)
+    miny = rng.uniform(-1, 4, n)
+    maxx = minx + rng.uniform(0.01, 2, n)
+    maxy = miny + rng.uniform(0.01, 2, n)
+    for rings in ([star], [star, hole]):
+        batch = G.batch_box_polygon_clip_areas(rings, minx, miny, maxx, maxy)
+        scalar = np.array([
+            G.box_polygon_clip_area(rings, minx[i], miny[i], maxx[i], maxy[i])
+            for i in range(n)
+        ])
+        assert np.allclose(batch, scalar, rtol=1e-12, atol=1e-13)
