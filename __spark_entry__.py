@@ -23,7 +23,7 @@ from ocgis_spark import spans as SP
 from ocgis_spark.fixtures import DOC_GRID
 from ocgis_spark.operators import calcmath, crs, dedup, knn, regrid, similarity, spatial, temporal
 from ocgis_spark.operators import text as textops
-from ocgis_spark.operators import tiling, windows
+from ocgis_spark.operators import tiling, vectorgrid, windows
 from ocgis_spark.operators import aggregate as agg
 from ocgis_spark.operators import multimodal
 from ocgis_spark.ops import OcgOperations
@@ -719,6 +719,58 @@ def q_daily_perc(spark, sf_dir):
     )
 
 
+def q_bbox_subset_nonuniform(spark, sf_dir):
+    """bbox subset with NON-UNIFORM cell assignment (VectorGridSpec):
+    searchsorted Arrow UDF replaces floor arithmetic (grid.py:350-362)."""
+    dg = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    enc = vectorgrid.encode_cells(dg, FX.VEC_GRID)
+    out = spatial.bbox_filter(enc, _RECT, closed=True)
+    return out.select("doc_id", "vcx", "vcy")
+
+
+def q_clip_cells_nonuniform(spark, sf_dir):
+    """Clip on the stretched grid: per-cell intersection area with the
+    non-aligned rectangle, bounds from the broadcast edge tables."""
+    dg = _docs_geo(spark, sf_dir).select("lon", "lat")
+    enc = vectorgrid.encode_cells(dg, FX.VEC_GRID)
+    cells = enc.select("vcx", "vcy").distinct()
+    out = vectorgrid.clip_rect_cells(cells, spark, FX.VEC_GRID, QUERY_CLIP)
+    return out.select("vcx", "vcy", "clip_area")
+
+
+def q_intersects_pentagon_nonuniform(spark, sf_dir):
+    """Two-phase subset on the non-uniform grid (covering via per-axis
+    binary search; exact phase shared with the uniform path)."""
+    dg = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    enc = vectorgrid.encode_cells(dg, FX.VEC_GRID)
+    out = vectorgrid.spatial_subset(
+        spark, enc, FX.VEC_GRID, [_PENTA], operation="intersects",
+        abstraction="point", keep_touches=True,
+    )
+    return out.select("doc_id", "vcx", "vcy")
+
+
+#: shear factor for the curvilinear fixture (lon += K·(lat - lat0))
+CURV_K = 0.25
+
+
+def q_curvilinear_subset(spark, sf_dir):
+    """Curvilinear-grid centroid subset: 2-D coordinates (sheared grid —
+    lon depends on BOTH indices, expand_grid semantics grid.py:1287-1348);
+    exact PIP through the engine's refine kernel."""
+    g = DOC_GRID
+    cells = _distinct_cells(spark, sf_dir)
+    clat = F.lit(g.lat0) + (F.col("cell_y") + 0.5) * F.lit(g.res)
+    clon = (
+        F.lit(g.lon0) + (F.col("cell_x") + 0.5) * F.lit(g.res)
+        + F.lit(CURV_K) * ((F.col("cell_y") + 0.5) * F.lit(g.res))
+    )
+    cc = cells.withColumn("clon", clon).withColumn("clat", clat)
+    out = spatial.refine_points(cc, [_PENTA], keep_touches=True,
+                                lon="clon", lat="clat")
+    return out.select("cell_y", "cell_x", "clon", "clat")
+
+
 # --- rows-only entries (genuinely non-SQL-expressible; no oracle twin,
 # the driver records the weaker rows-only check) ---
 
@@ -743,6 +795,27 @@ def q_nonconvex_clip(spark, sf_dir):
         abstraction="polygon",
     )
     return out.select("cell_y", "cell_x", F.round("clip_area", 9).alias("clip_area"))
+
+
+def q_curvilinear_clip(spark, sf_dir):
+    """Curvilinear cell-polygon clip: sheared 2-D corner arrays → mesh →
+    exact polygon∩parallelogram areas (rows-only; pytest asserts the
+    analytic areas)."""
+    import numpy as np
+
+    from ocgis_spark.fixtures import GOLDEN_GRID
+
+    vg = __import__("ocgis_spark.geo.cellindex", fromlist=["VectorGridSpec"])
+    spec = vg.VectorGridSpec.from_edges(
+        np.linspace(GOLDEN_GRID.lon0, GOLDEN_GRID.lon1, 9),
+        np.linspace(GOLDEN_GRID.lat0, GOLDEN_GRID.lat1, 9),
+    )
+    X, Y = vectorgrid.expand_edges(spec)
+    X, Y = vectorgrid.shear_grid(X, Y, CURV_K)
+    out = vectorgrid.curvilinear_subset(
+        spark, X, Y, [_PENTA], operation="clip", keep_touches=False
+    )
+    return out.select("elem_id", F.round("clip_area", 9).alias("clip_area"))
 
 
 def q_unstructured_subset(spark, sf_dir):
@@ -866,6 +939,51 @@ def _cos_sql(a: str, b: str) -> str:
         f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
         f"(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
         f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+def _nonuniform_sql(kind: str) -> str:
+    """Oracles for the VectorGridSpec queries: cell assignment via range
+    join against the VALUES bounds tables (identical floats to the Spark
+    operators' captured edge arrays)."""
+    vx, vy = FX.vec_bounds_values_sql()
+    assign = (
+        f"SELECT dg.doc_id, dg.lon, dg.lat, vx.vcx, vy.vcy FROM ({_DG}) dg "
+        f"JOIN ({vx}) vx ON dg.lon >= vx.lon_lb AND dg.lon < vx.lon_ub "
+        f"JOIN ({vy}) vy ON dg.lat >= vy.lat_lb AND dg.lat < vy.lat_ub"
+    )
+    if kind == "bbox":
+        return (
+            f"SELECT doc_id, vcx, vcy FROM ({assign}) a "
+            f"WHERE {FX.rect_pred_sql(_RECT)}"
+        )
+    if kind == "pentagon":
+        return (
+            f"SELECT doc_id, vcx, vcy FROM ({assign}) a WHERE {_penta_pred()}"
+        )
+    minx, miny, maxx, maxy = QUERY_CLIP
+    return (
+        f"WITH cells AS (SELECT DISTINCT vcx, vcy FROM ({assign}) a) "
+        f"SELECT vcx, vcy, clip_area FROM ("
+        f"SELECT c.vcx, c.vcy, "
+        f"greatest(least(vx.lon_ub, {maxx!r}) - greatest(vx.lon_lb, {minx!r}), 0.0) * "
+        f"greatest(least(vy.lat_ub, {maxy!r}) - greatest(vy.lat_lb, {miny!r}), 0.0) AS clip_area "
+        f"FROM cells c JOIN ({vx}) vx ON vx.vcx = c.vcx "
+        f"JOIN ({vy}) vy ON vy.vcy = c.vcy) t "
+        f"WHERE clip_area > 1e-12"
+    )
+
+
+def _curvilinear_sql() -> str:
+    g = DOC_GRID
+    lon0, lat0, res = repr(g.lon0), repr(g.lat0), repr(g.res)
+    clat = f"{lat0} + (cell_y + 0.5) * {res}"
+    clon = f"{lon0} + (cell_x + 0.5) * {res} + {CURV_K!r} * ((cell_y + 0.5) * {res})"
+    return (
+        f"SELECT cell_y, cell_x, clon, clat FROM ("
+        f"SELECT cell_y, cell_x, {clon} AS clon, {clat} AS clat "
+        f"FROM (SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg) c) t "
+        f"WHERE {FX.convex_pred_sql(_PENTA, 'clon', 'clat')}"
     )
 
 
@@ -1300,6 +1418,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(dayofyear(ts) AS INT) AS doy, "
             "round(quantile_cont(value, 0.9), 6) AS p90 FROM events GROUP BY 1"
         ),
+        "bbox_subset_nonuniform": _nonuniform_sql("bbox"),
+        "clip_cells_nonuniform": _nonuniform_sql("clip"),
+        "intersects_pentagon_nonuniform": _nonuniform_sql("pentagon"),
+        "curvilinear_subset": _curvilinear_sql(),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_base, "
@@ -1325,6 +1447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersects_cells_rect": q_intersects_cells_rect,
         "clip_cells": q_clip_cells,
         "clip_aggregate": q_clip_aggregate,
+        "bbox_subset_nonuniform": q_bbox_subset_nonuniform,
+        "clip_cells_nonuniform": q_clip_cells_nonuniform,
+        "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
+        "curvilinear_subset": q_curvilinear_subset,
+        "curvilinear_clip": q_curvilinear_clip,
         "knn_point": q_knn_point,
         "tile_dest_counts": q_tile_dest_counts,
         "tile_source_assign": q_tile_source_assign,

@@ -99,6 +99,50 @@ def register_docs_geo(
     return spark.sql(docs_geo_sql(grid))
 
 
+# ---- non-uniform (vector-coordinate) grid fixture ----
+
+def nonuniform_edges(
+    lo: float, hi: float, n: int,
+    pattern: tuple[float, ...] = (1.0, 1.75, 1.25, 2.0, 1.5),
+) -> np.ndarray:
+    """Deterministic non-uniform edge vector: cell widths cycle through
+    ``pattern`` and are normalized to span [lo, hi] — a Gaussian-grid-like
+    stretched axis. Computed ONCE driver-side; both the Spark operators
+    (captured arrays) and the DuckDB oracle (VALUES literals) consume the
+    identical floats, so parity is exact by construction."""
+    w = np.array([pattern[i % len(pattern)] for i in range(n)], dtype="f8")
+    cum = np.concatenate([[0.0], np.cumsum(w)])
+    return lo + cum / cum[-1] * (hi - lo)
+
+
+def _vg():
+    from .geo.cellindex import VectorGridSpec
+
+    return VectorGridSpec.from_edges(
+        nonuniform_edges(GOLDEN_GRID.lon0, GOLDEN_GRID.lon1, 24),
+        nonuniform_edges(GOLDEN_GRID.lat0, GOLDEN_GRID.lat1, 20),
+    )
+
+
+VEC_GRID = _vg()  # 24x20 stretched grid over the golden extent
+
+
+def vec_bounds_values_sql(vg=VEC_GRID) -> tuple[str, str]:
+    """(vx, vy) VALUES tables of the non-uniform cell bounds — the oracle's
+    twin of :func:`ocgis_spark.operators.vectorgrid.bounds_tables`."""
+    xb, yb = vg.xb(), vg.yb()
+    vx = ", ".join(
+        f"({i}, {_f(xb[i])}, {_f(xb[i + 1])})" for i in range(vg.nx)
+    )
+    vy = ", ".join(
+        f"({i}, {_f(yb[i])}, {_f(yb[i + 1])})" for i in range(vg.ny)
+    )
+    return (
+        f"SELECT * FROM (VALUES {vx}) AS vx(vcx, lon_lb, lon_ub)",
+        f"SELECT * FROM (VALUES {vy}) AS vy(vcy, lat_lb, lat_ub)",
+    )
+
+
 # ---- query geometries (FIXTURES.md §4 goldens, scaled grid) ----
 
 def rect_ring(minx: float, miny: float, maxx: float, maxy: float) -> np.ndarray:

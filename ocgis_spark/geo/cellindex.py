@@ -70,6 +70,76 @@ class GridSpec:
         return lon_c - h, lat_c - h, lon_c + h, lat_c + h
 
 
+@dataclass(frozen=True)
+class VectorGridSpec:
+    """A NON-UNIFORM rectilinear grid from coordinate *edge* vectors — the
+    reference ``Grid`` built from arbitrary coordinate variables with bounds
+    (``src/ocgis/spatial/grid.py:350-362``; 1-D→2-D expansion
+    ``grid.py:1287-1348``). Real CF data (Gaussian grids, stretched ocean
+    grids) violates :class:`GridSpec`'s constant-resolution assumption;
+    this spec carries the ascending edge arrays instead.
+
+    ``x_edges`` has nx+1 entries, ``y_edges`` ny+1; cell (y, x) spans
+    ``[x_edges[x], x_edges[x+1]) × [y_edges[y], y_edges[y+1])`` (half-open,
+    matching the uniform grid's floor assignment)."""
+
+    x_edges: tuple[float, ...]
+    y_edges: tuple[float, ...]
+
+    @classmethod
+    def from_edges(cls, x_edges, y_edges) -> "VectorGridSpec":
+        return cls(
+            tuple(float(v) for v in x_edges), tuple(float(v) for v in y_edges)
+        )
+
+    @property
+    def nx(self) -> int:
+        return len(self.x_edges) - 1
+
+    @property
+    def ny(self) -> int:
+        return len(self.y_edges) - 1
+
+    def xb(self) -> np.ndarray:
+        return np.asarray(self.x_edges, dtype="f8")
+
+    def yb(self) -> np.ndarray:
+        return np.asarray(self.y_edges, dtype="f8")
+
+    def cell_of(self, lon: np.ndarray, lat: np.ndarray):
+        """searchsorted assignment: O(log n) per point, vectorized; -1 marks
+        out-of-grid. ``side='right'`` ⇒ a point exactly on an interior edge
+        belongs to the cell whose lower bound it is (lb <= v < ub)."""
+        cx = np.searchsorted(self.xb(), np.asarray(lon, "f8"), side="right") - 1
+        cy = np.searchsorted(self.yb(), np.asarray(lat, "f8"), side="right") - 1
+        cx = np.where((cx < 0) | (cx >= self.nx), -1, cx).astype("i8")
+        cy = np.where((cy < 0) | (cy >= self.ny), -1, cy).astype("i8")
+        return cy, cx
+
+    def bounds(self, cy, cx):
+        xb, yb = self.xb(), self.yb()
+        cy = np.asarray(cy, dtype="i8")
+        cx = np.asarray(cx, dtype="i8")
+        return xb[cx], yb[cy], xb[cx + 1], yb[cy + 1]
+
+    def centroid(self, cy, cx):
+        minx, miny, maxx, maxy = self.bounds(cy, cx)
+        return (miny + maxy) / 2.0, (minx + maxx) / 2.0
+
+    def covering_index_ranges(
+        self, minx: float, miny: float, maxx: float, maxy: float
+    ) -> tuple[int, int, int, int]:
+        """(x0, x1, y0, y1) inclusive index ranges of cells whose box
+        intersects the given bbox (closed test)."""
+        xb, yb = self.xb(), self.yb()
+        # closed test: cell x intersects iff xb[x] <= maxx AND xb[x+1] >= minx
+        x0 = max(int(np.searchsorted(xb, minx, side="left")) - 1, 0)
+        x1 = min(int(np.searchsorted(xb, maxx, side="right")) - 1, self.nx - 1)
+        y0 = max(int(np.searchsorted(yb, miny, side="left")) - 1, 0)
+        y1 = min(int(np.searchsorted(yb, maxy, side="right")) - 1, self.ny - 1)
+        return x0, x1, y0, y1
+
+
 # ---- Morton encoding (vectorized, 32 bits per axis → 64-bit cell id) ----
 
 _M1 = np.uint64(0x5555555555555555)

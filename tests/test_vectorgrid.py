@@ -1,0 +1,113 @@
+"""Non-uniform (VectorGridSpec) + curvilinear grid semantics.
+
+Reference behavior: ``Grid`` accepts arbitrary coordinate vectors with
+bounds (``src/ocgis/spatial/grid.py:350-362``) and 2-D curvilinear
+coordinates via ``expand_grid`` (``grid.py:1287-1348``); subset/clip treat
+each cell as its bounds polygon.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark import fixtures as FX
+from ocgis_spark.geo import geometry as G
+from ocgis_spark.geo.cellindex import VectorGridSpec
+from ocgis_spark.operators import vectorgrid as VG
+
+
+def test_cell_of_matches_range_join_semantics():
+    vg = FX.VEC_GRID
+    rng = np.random.RandomState(5)
+    lon = rng.uniform(vg.x_edges[0] - 0.5, vg.x_edges[-1] + 0.5, 2000)
+    lat = rng.uniform(vg.y_edges[0] - 0.5, vg.y_edges[-1] + 0.5, 2000)
+    cy, cx = vg.cell_of(lon, lat)
+    xb, yb = vg.xb(), vg.yb()
+    for i in range(0, 2000, 37):
+        # brute-force lb <= v < ub
+        ex = np.nonzero((lon[i] >= xb[:-1]) & (lon[i] < xb[1:]))[0]
+        ey = np.nonzero((lat[i] >= yb[:-1]) & (lat[i] < yb[1:]))[0]
+        assert cx[i] == (ex[0] if len(ex) else -1)
+        assert cy[i] == (ey[0] if len(ey) else -1)
+
+
+def test_encode_cells_spark_matches_numpy(spark):
+    vg = FX.VEC_GRID
+    rng = np.random.RandomState(6)
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(-106, -101, 500),
+        "lat": rng.uniform(36, 41, 500),
+    })
+    df = spark.createDataFrame(pdf)
+    out = VG.encode_cells(df, vg).toPandas()
+    cy, cx = vg.cell_of(pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+    assert (out["vcx"].to_numpy() == cx).all()
+    assert (out["vcy"].to_numpy() == cy).all()
+
+
+def test_clip_rect_total_area(spark):
+    """Rect strictly inside the grid: clipped cell areas sum to rect area."""
+    vg = FX.VEC_GRID
+    cells = spark.createDataFrame(
+        pd.DataFrame({
+            "vcx": np.tile(np.arange(vg.nx, dtype="i4"), vg.ny),
+            "vcy": np.repeat(np.arange(vg.ny, dtype="i4"), vg.nx),
+        })
+    )
+    rect = (-104.3, 37.6, -102.7, 39.4)
+    out = VG.clip_rect_cells(cells, spark, vg, rect).toPandas()
+    assert out["clip_area"].sum() == pytest.approx(
+        (rect[2] - rect[0]) * (rect[3] - rect[1]), rel=1e-12
+    )
+
+
+def test_nonuniform_polygon_clip_matches_scalar_kernel(spark):
+    vg = FX.VEC_GRID
+    cells = spark.createDataFrame(
+        pd.DataFrame({
+            "vcx": np.tile(np.arange(vg.nx, dtype="i4"), vg.ny),
+            "vcy": np.repeat(np.arange(vg.ny, dtype="i4"), vg.nx),
+        })
+    )
+    out = VG.spatial_subset(
+        spark, cells, vg, [FX.QUERY_PENTAGON], operation="clip",
+        abstraction="polygon", keep_touches=False,
+    ).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        minx, miny, maxx, maxy = vg.bounds([int(r.vcy)], [int(r.vcx)])
+        exp = G.box_polygon_clip_area(
+            [FX.QUERY_PENTAGON], minx[0], miny[0], maxx[0], maxy[0]
+        )
+        assert r.clip_area == pytest.approx(exp, rel=1e-12)
+    # total clip area == pentagon area (pentagon strictly inside the grid)
+    assert out["clip_area"].sum() == pytest.approx(
+        G.polygon_area([FX.QUERY_PENTAGON]), rel=1e-9
+    )
+
+
+def test_curvilinear_clip_analytic(spark):
+    """Sheared grid (parallelogram cells): clip by a polygon covering the
+    whole mesh -> per-cell areas equal the parallelogram area; clip by a
+    small rect inside one cell -> exactly the rect area."""
+    from ocgis_spark.fixtures import GOLDEN_GRID as GG
+
+    spec = VectorGridSpec.from_edges(
+        np.linspace(GG.lon0, GG.lon1, 5), np.linspace(GG.lat0, GG.lat1, 5)
+    )
+    X, Y = VG.expand_edges(spec)
+    Xs, Ys = VG.shear_grid(X, Y, 0.25)
+    # cover-everything polygon
+    big = FX.rect_ring(GG.lon0 - 2, GG.lat0 - 2, GG.lon1 + 4, GG.lat1 + 2)
+    out = VG.curvilinear_subset(spark, Xs, Ys, [big], operation="clip").toPandas()
+    assert len(out) == 16
+    cell_area = (X[0, 1] - X[0, 0]) * (Y[1, 0] - Y[0, 0])  # shear preserves area
+    assert np.allclose(out["clip_area"], cell_area, rtol=1e-9)
+
+    # small rect strictly inside the sheared cell (0, 0)
+    cxl = Xs[0, 0] + 0.25 * (Y[1, 0] - Y[0, 0]) + 0.05
+    rect = FX.rect_ring(cxl + 0.1, Y[0, 0] + 0.3, cxl + 0.4, Y[0, 0] + 0.6)
+    out2 = VG.curvilinear_subset(spark, Xs, Ys, [rect], operation="clip").toPandas()
+    assert len(out2) == 1
+    assert out2["clip_area"].iloc[0] == pytest.approx(0.3 * 0.3, rel=1e-9)
