@@ -753,6 +753,32 @@ def q_intersects_pentagon_nonuniform(spark, sf_dir):
 #: shear factor for the curvilinear fixture (lon += K·(lat - lat0))
 CURV_K = 0.25
 
+#: rotated-pole fixture: CORDEX-Europe-like pole; doc coords shifted into a
+#: small rotated window around the rotated origin
+ROT_POLE = (-162.0, 39.25)
+ROT_DLON, ROT_DLAT = 103.5, -38.5
+ROT_RECT = (16.0000005, 49.5000005, 20.0000005, 52.0000005)
+
+
+def q_rotated_pole_subset(spark, sf_dir):
+    """Subset THROUGH a rotated-pole grid: rotated coords → geographic via
+    the native spherical-trig transform (no pyproj), then a geographic
+    bbox subset — the reference's CFRotatedPole detour
+    (ops/engine.py:413-437) as pure column math. Coordinates rounded at 6
+    on both engines before the predicate (trig libm vs JVM ulp guard)."""
+    dg = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    rlon = F.col("lon") + F.lit(ROT_DLON)
+    rlat = F.col("lat") + F.lit(ROT_DLAT)
+    glon, glat = crs.rotated_to_lonlat(rlon, rlat, *ROT_POLE)
+    out = dg.withColumn("glon", F.round(glon, 6)).withColumn(
+        "glat", F.round(glat, 6)
+    )
+    minx, miny, maxx, maxy = ROT_RECT
+    return out.filter(
+        (F.col("glon") >= minx) & (F.col("glon") <= maxx)
+        & (F.col("glat") >= miny) & (F.col("glat") <= maxy)
+    ).select("doc_id", "glon", "glat")
+
 
 def q_curvilinear_subset(spark, sf_dir):
     """Curvilinear-grid centroid subset: 2-D coordinates (sheared grid —
@@ -971,6 +997,20 @@ def _nonuniform_sql(kind: str) -> str:
         f"FROM cells c JOIN ({vx}) vx ON vx.vcx = c.vcx "
         f"JOIN ({vy}) vy ON vy.vcy = c.vcy) t "
         f"WHERE clip_area > 1e-12"
+    )
+
+
+def _rotated_pole_sql() -> str:
+    glon, glat = crs.rotated_pole_sql(
+        f"(lon + {ROT_DLON!r})", f"(lat + {ROT_DLAT!r})", *ROT_POLE
+    )
+    minx, miny, maxx, maxy = ROT_RECT
+    return (
+        f"SELECT doc_id, glon, glat FROM ("
+        f"SELECT doc_id, round({glon}, 6) AS glon, round({glat}, 6) AS glat "
+        f"FROM ({_DG}) dg) t "
+        f"WHERE glon >= {minx!r} AND glon <= {maxx!r} "
+        f"AND glat >= {miny!r} AND glat <= {maxy!r}"
     )
 
 
@@ -1422,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "clip_cells_nonuniform": _nonuniform_sql("clip"),
         "intersects_pentagon_nonuniform": _nonuniform_sql("pentagon"),
         "curvilinear_subset": _curvilinear_sql(),
+        "rotated_pole_subset": _rotated_pole_sql(),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_base, "
@@ -1452,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,
         "curvilinear_clip": q_curvilinear_clip,
+        "rotated_pole_subset": q_rotated_pole_subset,
         "knn_point": q_knn_point,
         "tile_dest_counts": q_tile_dest_counts,
         "tile_source_assign": q_tile_source_assign,

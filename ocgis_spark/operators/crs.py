@@ -87,6 +87,101 @@ def spherical_to_cartesian(
     )
 
 
+def _clamp1(c: Column) -> Column:
+    return F.greatest(F.least(c, F.lit(1.0)), F.lit(-1.0))
+
+
+def rotated_to_lonlat(
+    rlon, rlat, pole_lon: float, pole_lat: float
+) -> tuple[Column, Column]:
+    """CF rotated-pole → geographic, closed-form spherical trig as pure
+    Catalyst column expressions (NO pyproj needed — the reference's
+    ``CFRotatedPole`` detour, ``variable/crs.py:1134``,
+    ``ops/engine.py:413-437``, shells out to PROJ ob_tran for exactly this
+    rotation).
+
+    Convention (CF ``grid_north_pole_longitude``/``latitude`` = λp, φp):
+    the rotated system's north pole sits at geographic (λp, φp) and the
+    rotated origin (0°, 0°) maps to (λp ± 180°, 90° − φp) — the familiar
+    CORDEX layout (e.g. pole (−162, 39.25): origin → (18°E, 50.75°N)).
+
+      φg = asin( sinφr·sinφp + cosφr·cosλr·cosφp )
+      λg = λp + atan2( −cosφr·sinλr, sinφr·cosφp − cosφr·cosλr·sinφp )
+    """
+    rl = F.radians(rlon if isinstance(rlon, Column) else F.col(rlon))
+    rp = F.radians(rlat if isinstance(rlat, Column) else F.col(rlat))
+    sp, cp = F.sin(F.radians(F.lit(float(pole_lat)))), F.cos(F.radians(F.lit(float(pole_lat))))
+    z = F.sin(rp) * sp + F.cos(rp) * F.cos(rl) * cp
+    glat = F.degrees(F.asin(_clamp1(z)))
+    glon = F.lit(float(pole_lon)) + F.degrees(
+        F.atan2(-F.cos(rp) * F.sin(rl), F.sin(rp) * cp - F.cos(rp) * F.cos(rl) * sp)
+    )
+    # normalize to (-180, 180]
+    glon = F.when(glon > 180.0, glon - 360.0).when(glon <= -180.0, glon + 360.0).otherwise(glon)
+    return glon, glat
+
+
+def lonlat_to_rotated(
+    lon, lat, pole_lon: float, pole_lat: float
+) -> tuple[Column, Column]:
+    """Geographic → CF rotated-pole (inverse of :func:`rotated_to_lonlat`;
+    same structure with λ′ = λ − λp):
+
+      φr = asin( sinφg·sinφp + cosφg·cosλ′·cosφp )
+      λr = atan2( −cosφg·sinλ′, sinφg·cosφp − cosφg·cosλ′·sinφp )
+    """
+    lo = lon if isinstance(lon, Column) else F.col(lon)
+    la = F.radians(lat if isinstance(lat, Column) else F.col(lat))
+    lp = F.radians(lo - F.lit(float(pole_lon)))
+    sp, cp = F.sin(F.radians(F.lit(float(pole_lat)))), F.cos(F.radians(F.lit(float(pole_lat))))
+    z = F.sin(la) * sp + F.cos(la) * F.cos(lp) * cp
+    rlat = F.degrees(F.asin(_clamp1(z)))
+    rlon = F.degrees(
+        F.atan2(-F.cos(la) * F.sin(lp), F.sin(la) * cp - F.cos(la) * F.cos(lp) * sp)
+    )
+    return rlon, rlat
+
+
+def rotated_pole_sql(
+    rlon_expr: str, rlat_expr: str, pole_lon: float, pole_lat: float
+) -> tuple[str, str]:
+    """Dialect-neutral SQL twin of :func:`rotated_to_lonlat` (identical
+    operation tree) for the DuckDB oracle."""
+    sp = f"sin(radians({pole_lat!r}))"
+    cp = f"cos(radians({pole_lat!r}))"
+    rl = f"radians({rlon_expr})"
+    rp = f"radians({rlat_expr})"
+    z = f"sin({rp}) * {sp} + cos({rp}) * cos({rl}) * {cp}"
+    glat = f"degrees(asin(greatest(least({z}, 1.0), -1.0)))"
+    glon_raw = (
+        f"{pole_lon!r} + degrees(atan2(-cos({rp}) * sin({rl}), "
+        f"sin({rp}) * {cp} - cos({rp}) * cos({rl}) * {sp}))"
+    )
+    glon = (
+        f"CASE WHEN ({glon_raw}) > 180.0 THEN ({glon_raw}) - 360.0 "
+        f"WHEN ({glon_raw}) <= -180.0 THEN ({glon_raw}) + 360.0 "
+        f"ELSE ({glon_raw}) END"
+    )
+    return glon, glat
+
+
+def transform_rotated_pole(
+    df: DataFrame,
+    pole_lon: float,
+    pole_lat: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    inverse: bool = False,
+    out_lon: str = "glon",
+    out_lat: str = "glat",
+) -> DataFrame:
+    """DataFrame-level rotated-pole transform (both directions) — pure
+    column math, whole-stage codegen, zero shuffle."""
+    fn = lonlat_to_rotated if inverse else rotated_to_lonlat
+    glon, glat = fn(F.col(lon), F.col(lat), pole_lon, pole_lat)
+    return df.withColumn(out_lon, glon).withColumn(out_lat, glat)
+
+
 def transform_crs(df: DataFrame, src_crs: str, dst_crs: str) -> DataFrame:
     """General PROJ transform — requires pyproj (not in this container).
     Mirrors ``update_crs`` (``geom.py:1131-1182``, ``grid.py:1104-1127``)."""
