@@ -780,6 +780,34 @@ def q_rotated_pole_subset(spark, sf_dir):
     ).select("doc_id", "glon", "glat")
 
 
+#: seam-crossing wrapped selection bbox on unwrapped (0..360) data
+SEAM_RING_WRAPPED = (
+    (170.0, 37.25), (-103.25, 37.25), (-103.25, 39.75), (170.0, 39.75),
+    (170.0, 37.25),
+)
+
+
+def q_seam_subset(spark, sf_dir):
+    """Antimeridian handling: docs re-expressed on an unwrapped (0..360)
+    grid; the selection polygon crosses the 180th meridian in wrapped
+    coords and is auto-unwrapped/split inside spatial_subset
+    (reference crs.py:276-307, test_simple/test_360.py)."""
+    import numpy as np
+
+    g = DOC_GRID
+    ug = type(g)(g.lon0 + 360.0, g.lat0, g.res, g.nx, g.ny)
+    dg = _docs_geo(spark, sf_dir).withColumn(
+        "ulon", F.col("lon") + F.lit(360.0)
+    )
+    ring = np.array(SEAM_RING_WRAPPED, dtype="f8")
+    out = spatial.spatial_subset(
+        spark, dg, ug, [ring], operation="intersects", abstraction="point",
+        keep_touches=True, lon="ulon", lat="lat",
+        data_wrapped_state="unwrapped",
+    )
+    return out.select("doc_id", "ulon", "lat")
+
+
 def q_curvilinear_subset(spark, sf_dir):
     """Curvilinear-grid centroid subset: 2-D coordinates (sheared grid —
     lon depends on BOTH indices, expand_grid semantics grid.py:1287-1348);
@@ -1463,6 +1491,11 @@ def oracle_sql() -> dict[str, str]:
         "intersects_pentagon_nonuniform": _nonuniform_sql("pentagon"),
         "curvilinear_subset": _curvilinear_sql(),
         "rotated_pole_subset": _rotated_pole_sql(),
+        "seam_subset": (
+            f"SELECT doc_id, lon + 360.0 AS ulon, lat FROM ({_DG}) dg "
+            f"WHERE lon + 360.0 >= 170.0 AND lon + 360.0 <= 256.75 "
+            f"AND lat >= 37.25 AND lat <= 39.75"
+        ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_base, "
@@ -1494,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curvilinear_subset": q_curvilinear_subset,
         "curvilinear_clip": q_curvilinear_clip,
         "rotated_pole_subset": q_rotated_pole_subset,
+        "seam_subset": q_seam_subset,
         "knn_point": q_knn_point,
         "tile_dest_counts": q_tile_dest_counts,
         "tile_source_assign": q_tile_source_assign,

@@ -66,6 +66,53 @@ def split_bbox_at_seam(
     ]
 
 
+def unwrap_rings_pieces(rings):
+    """Prepare a selection polygon given in WRAPPED coords (-180..180] for
+    subsetting UNWRAPPED (0..360) data — the reference's automatic
+    geometry preparation (``prepare_geometry_variable``, ``crs.py:276-307``,
+    wired in ``spatial_subset.py:264-277``), which round 1 left uncalled.
+
+    Returns a list of polygon pieces (each ``[outer_ring]``), all seam-free
+    in 0..360 space:
+
+    * ring crossing the 180th meridian (consecutive |Δlon| > 180): unwrap
+      its negative lons (+360) — it becomes CONTINUOUS in 0..360; 1 piece;
+    * ring spanning lon 0 (mixed-sign lons, no 180 crossing): split at the
+      unwrap seam; the western piece shifts +360; up to 2 pieces;
+    * all-negative ring: shift +360; non-negative ring: unchanged.
+
+    Holes are not supported on seam paths (reference selections crossing
+    the seam are bboxes/simple polygons; documented in FIDELITY.md)."""
+    import numpy as np
+
+    from ..geo import geometry as G
+
+    if len(rings) > 1:
+        raise ValueError("seam splitting supports single-ring polygons only")
+    outer = np.asarray(rings[0], dtype="f8")
+    lons = outer[:, 0]
+    if np.abs(np.diff(lons)).max() > MERIDIAN_180TH:
+        r = outer.copy()
+        r[r[:, 0] < 0.0, 0] += 360.0
+        return [[r]]
+    if (lons < 0).any() and (lons >= 0).any():
+        east = G.clip_ring_by_box(outer, 0.0, -1e30, 1e30, 1e30)
+        west = G.clip_ring_by_box(outer, -1e30, -1e30, 0.0, 1e30)
+        pieces = []
+        if len(east) >= 4:
+            pieces.append([east])
+        if len(west) >= 4:
+            w = west.copy()
+            w[:, 0] += 360.0
+            pieces.append([w])
+        return pieces
+    if (lons < 0).all():
+        r = outer.copy()
+        r[:, 0] += 360.0
+        return [[r]]
+    return [[outer]]
+
+
 def conform_units(
     df: DataFrame, value: str, factor: float, offset: float = 0.0,
     out: str | None = None,

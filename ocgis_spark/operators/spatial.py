@@ -430,6 +430,9 @@ def spatial_subset(
     keep_touches: bool | None = None,
     optimized_bbox: bool = False,
     allow_empty: bool = True,
+    lon: str = "lon",
+    lat: str = "lat",
+    data_wrapped_state: str | None = None,
 ) -> DataFrame:
     """The top-level dispatcher (``spatial_subset.py:53-175`` analogue).
 
@@ -437,11 +440,51 @@ def spatial_subset(
     ``abstraction``: 'point' (row lon/lat vs polygon) or 'polygon' (owning
     cell box vs polygon). ``keep_touches`` default: point→True,
     polygon→False (``grid.py:627-631``).
+
+    ``data_wrapped_state='unwrapped'``: the data uses 0..360 longitudes
+    while the selection polygon is given in wrapped (-180..180] coords —
+    the polygon is automatically unwrapped and, when it spans the unwrap
+    seam, SPLIT into seam-free pieces whose results are combined
+    (intersects: union+distinct; clip: per-row clip areas summed across
+    pieces) — the reference's ``prepare_geometry_variable`` wiring
+    (``crs.py:276-307``, ``spatial_subset.py:264-277``).
     """
     if keep_touches is None:
         keep_touches = abstraction == "point"
+
+    if data_wrapped_state == "unwrapped":
+        from . import crs as _crs
+
+        pieces = _crs.unwrap_rings_pieces(rings)
+        if len(pieces) == 1:
+            rings = pieces[0]
+        else:
+            parts = [
+                spatial_subset(
+                    spark, df, grid, piece, operation, abstraction,
+                    keep_touches, optimized_bbox, allow_empty=True,
+                    lon=lon, lat=lat,
+                )
+                for piece in pieces
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            if operation == "clip":
+                keys = [c for c in out.columns if c != "clip_area"]
+                out = out.groupBy(*keys).agg(
+                    F.sum("clip_area").alias("clip_area")
+                )
+            else:
+                out = out.distinct()
+            if not allow_empty and len(out.take(1)) == 0:
+                raise ExtentError(
+                    "spatial subset returned no rows (allow_empty=False)"
+                )
+            return out
+
     if optimized_bbox:
-        return bbox_filter(df, _rings_bbox(rings), closed=keep_touches)
+        return bbox_filter(df, _rings_bbox(rings), lon, lat, closed=keep_touches)
     if abstraction == "point" and len(rings) == 1 and G.ring_is_convex_ccw(
         np.asarray(rings[0], dtype="f8")
     ):
@@ -449,13 +492,13 @@ def spatial_subset(
         # predicates (the reference's buffered-envelope hint mask,
         # grid.py:1234-1272) — Catalyst pushes them to the scan; no
         # driver-side covering materialization, no broadcast exchange.
-        cand = bbox_filter(df, _rings_bbox(rings), closed=True)
+        cand = bbox_filter(df, _rings_bbox(rings), lon, lat, closed=True)
     else:
         cand = coarse_filter(spark, df, grid, rings)
     if abstraction == "point":
         if operation == "clip":
             raise ValueError("clip requires polygon abstraction (cell boxes)")
-        out = refine_points(cand, rings, keep_touches)
+        out = refine_points(cand, rings, keep_touches, lon, lat)
     else:
         out = refine_boxes(
             cand, grid, rings, keep_touches, with_area=(operation == "clip")
