@@ -543,6 +543,39 @@ def q_icclim_cdd(spark, sf_dir):
     )
 
 
+def q_icclim_tx90p(spark, sf_dir):
+    """TX90p: the daily_perc doy basis APPLIED as a per-doy threshold —
+    exceedance counts per (user, month). Closes the reference loop
+    statistics.py:138-352 -> library_icclim.py TX90p."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir).withColumn("month", F.month("ts"))
+    out = calc_registry.get("icclim_TX90p")(
+        ev, ["user_id", "month"], value="value", ts="ts", window=5
+    )
+    return out.select("user_id", "month", "TX90p")
+
+
+def q_icclim_rx5day(spark, sf_dir):
+    """RX5day: max 5-step rolling total per (user, month) — rolling via a
+    single window frame, no self-join."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir).withColumn("month", F.month("ts"))
+    out = calc_registry.get("icclim_RX5day")(
+        ev, ["user_id", "month"], series_key="user_id", value="value",
+        ts="ts", tiebreak="event_id",
+    )
+    return out.select("user_id", "month", F.round("RX5day", 6).alias("RX5day"))
+
+
+def q_icclim_hd17(spark, sf_dir):
+    """HD17 heating degree days per user."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir)
+    out = calc_registry.get("icclim_HD17")(ev, ["user_id"], value="value",
+                                           base=40.0)
+    return out.select("user_id", F.round("HD17", 6).alias("HD17"))
+
+
 def q_daily_perc_window(spark, sf_dir):
     """Day-of-year percentile basis with a ±2-day window (daily_perc)."""
     out = temporal.daily_perc(_events(spark, sf_dir), 0.9, window=5)
@@ -1403,6 +1436,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(max(run_len) AS DOUBLE) AS CDD "
             "FROM runs GROUP BY user_id"
         ),
+        "icclim_TX90p": (
+            "WITH basis AS (SELECT ((CAST(dayofyear(ts) AS INT) + off + 364) % 365) + 1 AS basis_doy, "
+            "value AS v FROM events, (SELECT unnest(generate_series(-2, 2)) AS off) o), "
+            "p AS (SELECT basis_doy, round(quantile_cont(v, 0.9), 6) AS perc "
+            "FROM basis GROUP BY basis_doy) "
+            "SELECT user_id, CAST(month(ts) AS INT) AS month, "
+            "CAST(sum(CASE WHEN e.value > p.perc THEN 1 ELSE 0 END) AS BIGINT) AS TX90p "
+            "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy "
+            "GROUP BY user_id, month(ts)"
+        ),
+        "icclim_RX5day": (
+            "SELECT user_id, CAST(month(ts) AS INT) AS month, "
+            "round(max(mw), 6) AS RX5day FROM ("
+            "SELECT user_id, ts, sum(value) OVER w AS mw, count(value) OVER w AS n "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) t "
+            "WHERE n = 5 GROUP BY user_id, month(ts)"
+        ),
+        "icclim_HD17": (
+            "SELECT user_id, round(sum(greatest(40.0 - value, 0.0)), 6) AS HD17 "
+            "FROM events GROUP BY user_id"
+        ),
         "daily_perc_window": (
             "SELECT basis_doy, round(quantile_cont(v, 0.9), 6) AS perc FROM ("
             "SELECT ((CAST(dayofyear(ts) AS INT) + off + 364) % 365) + 1 AS basis_doy, "
@@ -1567,6 +1622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_expr": q_eval_expr,
         "icclim_SU": q_icclim_su,
         "icclim_CDD": q_icclim_cdd,
+        "icclim_TX90p": q_icclim_tx90p,
+        "icclim_RX5day": q_icclim_rx5day,
+        "icclim_HD17": q_icclim_hd17,
         "daily_perc_window": q_daily_perc_window,
         "snippet_first": q_snippet_first,
         "multifile_union": q_multifile_union,

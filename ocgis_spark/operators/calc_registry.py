@@ -153,6 +153,164 @@ def _gd4(df, keys, value="value", base=4.0, **_):
     )
 
 
+def percentile_exceedance(
+    df: DataFrame,
+    keys: list[str],
+    basis: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    direction: str = "gt",
+    out: str = "n_exceed",
+) -> DataFrame:
+    """Apply a day-of-year percentile basis as a per-doy threshold: count
+    rows whose value exceeds (``gt``) / falls below (``lt``) the basis
+    percentile for their doy, per group — the missing application step of
+    the reference's ``daily_perc`` (``statistics.py:138-352``; ICCLIM
+    TX90p/TN90p families, ``contrib/library_icclim.py:286-509``).
+
+    ``basis``: (basis_doy, perc) from :func:`temporal.daily_perc` — ≤366
+    rows, broadcast; the join is a narrow broadcast equijoin on doy, so
+    the events table is scanned once with no extra shuffle."""
+    b = basis.select(
+        F.col("basis_doy").alias("_doy"), F.round("perc", 6).alias("_perc")
+    )
+    joined = df.join(
+        F.broadcast(b), F.dayofyear(F.col(ts)).cast("int") == F.col("_doy")
+    )
+    cmp = (
+        (F.col(value) > F.col("_perc"))
+        if direction == "gt"
+        else (F.col(value) < F.col("_perc"))
+    )
+    return joined.groupBy(*keys).agg(
+        F.sum(F.when(cmp, 1).otherwise(0)).alias(out)
+    )
+
+
+def _mk_percentile_index(name: str, percentile: float, direction: str):
+    def calc(df, keys, value="value", ts="ts", basis=None, window=5, **_):
+        if basis is None:
+            basis = temporal.daily_perc(df, percentile, window=window,
+                                        ts=ts, value=value)
+        return percentile_exceedance(df, keys, basis, value, ts, direction,
+                                     out=name.split("_", 1)[1])
+    _REGISTRY[name] = calc
+
+
+# TX90p family: warm/cold day/night/mean exceedance counts vs the doy basis
+for _nm, _p, _d in [
+    ("icclim_TX90p", 0.9, "gt"), ("icclim_TX10p", 0.1, "lt"),
+    ("icclim_TN90p", 0.9, "gt"), ("icclim_TN10p", 0.1, "lt"),
+    ("icclim_TG90p", 0.9, "gt"), ("icclim_TG10p", 0.1, "lt"),
+]:
+    _mk_percentile_index(_nm, _p, _d)
+
+
+@register("icclim_ID")
+def _id(df, keys, value="value", threshold=0.0, **_):
+    """Icing days: count of tasmax < 0°C."""
+    return _agg(df, keys, value).agg(
+        F.sum(F.when(F.col(value) < threshold, 1).otherwise(0)).alias("ID")
+    )
+
+
+@register("icclim_HD17")
+def _hd17(df, keys, value="value", base=17.0, **_):
+    """Heating degree days: sum of max(17 - tas, 0)."""
+    return _agg(df, keys, value).agg(
+        F.sum(F.greatest(F.lit(float(base)) - F.col(value), F.lit(0.0))).alias("HD17")
+    )
+
+
+@register("icclim_PRCPTOT")
+def _prcptot(df, keys, value="value", wet=1.0, **_):
+    """Total precipitation on wet days (v >= 1 mm)."""
+    return _agg(df, keys, value).agg(
+        F.sum(F.when(F.col(value) >= wet, F.col(value)).otherwise(0.0)).alias("PRCPTOT")
+    )
+
+
+@register("icclim_RR1")
+def _rr1(df, keys, value="value", wet=1.0, **_):
+    return _agg(df, keys, value).agg(
+        F.sum(F.when(F.col(value) >= wet, 1).otherwise(0)).alias("RR1")
+    )
+
+
+@register("icclim_SDII")
+def _sdii(df, keys, value="value", wet=1.0, **_):
+    """Simple daily intensity: mean precip over wet days."""
+    return _agg(df, keys, value).agg(
+        F.avg(F.when(F.col(value) >= wet, F.col(value))).alias("SDII")
+    )
+
+
+for _nm, _thr in [("icclim_R10mm", 10.0), ("icclim_R20mm", 20.0)]:
+    def _mk_rcount(name=_nm, thr=_thr):
+        def calc(df, keys, value="value", **_):
+            return _agg(df, keys, value).agg(
+                F.sum(F.when(F.col(value) >= thr, 1).otherwise(0)).alias(
+                    name.split("_", 1)[1]
+                )
+            )
+        return calc
+    _REGISTRY[_nm] = _mk_rcount()
+
+
+@register("icclim_RX1day")
+def _rx1day(df, keys, value="value", **_):
+    return _agg(df, keys, value).agg(F.max(value).alias("RX1day"))
+
+
+@register("icclim_RX5day")
+def _rx5day(df, keys, series_key="user_id", value="value", ts="ts",
+            tiebreak=None, **_):
+    """Max 5-step rolling precipitation total per group (window assigned
+    to its CENTER row's group, 'valid' windows only)."""
+    mw = windows.moving_window(df, series_key, ts, value, width=5,
+                               stat="sum", mode="valid", tiebreak=tiebreak)
+    return mw.groupBy(*keys).agg(F.max("mw").alias("RX5day"))
+
+
+@register("icclim_CSU")
+def _csu(df, keys, value="value", threshold=25.0, ts="ts", tiebreak=None, **_):
+    """Max consecutive summer days (v > threshold)."""
+    assert len(keys) == 1
+    out = windows.duration(df, keys[0], ts, value, threshold, "gt", "max", tiebreak)
+    return out.withColumnRenamed("duration", "CSU")
+
+
+@register("icclim_CFD")
+def _cfd(df, keys, value="value", threshold=0.0, ts="ts", tiebreak=None, **_):
+    """Max consecutive frost days (v < threshold)."""
+    assert len(keys) == 1
+    out = windows.duration(df, keys[0], ts, value, threshold, "lt", "max", tiebreak)
+    return out.withColumnRenamed("duration", "CFD")
+
+
+@register("icclim_ETR")
+def _etr(df, keys, tasmax="tasmax", tasmin="tasmin", **_):
+    """Extreme temperature range: max(tasmax) - min(tasmin)."""
+    return df.groupBy(*keys).agg(
+        (F.max(tasmax) - F.min(tasmin)).alias("ETR")
+    )
+
+
+@register("icclim_vDTR")
+def _vdtr(df, keys, series_key="user_id", tasmax="tasmax", tasmin="tasmin",
+          ts="ts", tiebreak=None, **_):
+    """Mean absolute day-to-day DTR difference."""
+    from pyspark.sql import Window as W
+
+    order = [ts, tiebreak] if tiebreak else [ts]
+    w = W.partitionBy(series_key).orderBy(*order)
+    dtr = F.col(tasmax) - F.col(tasmin)
+    diff = F.abs(dtr - F.lag(dtr).over(w))
+    return df.withColumn("_d", diff).groupBy(*keys).agg(
+        F.avg("_d").alias("vDTR")
+    )
+
+
 def validate_eval_expr(expr: str) -> None:
     """Whitelist validation mirroring the reference's parse check
     (``calc/eval_function.py:60-110``): only known functions allowed."""

@@ -132,3 +132,37 @@ def test_seam_crossing_subset_unwrapped_data(spark):
     for piece in C.unwrap_rings_pieces([ring2]):
         lons = piece[0][:, 0]
         assert (lons >= 0).all() and (lons <= 360).all()
+
+
+def test_icclim_registry_tail(spark):
+    """Registry carries the ICCLIM tail as compositions; spot-check
+    semantics of SDII / ETR / RX1day / percentile family wiring."""
+    import pandas as pd
+
+    from ocgis_spark.operators import calc_registry as CR
+
+    names = set(CR.registry())
+    for nm in ["icclim_TX90p", "icclim_TX10p", "icclim_TN90p", "icclim_TN10p",
+               "icclim_TG90p", "icclim_TG10p", "icclim_ID", "icclim_HD17",
+               "icclim_PRCPTOT", "icclim_RR1", "icclim_SDII", "icclim_R10mm",
+               "icclim_R20mm", "icclim_RX1day", "icclim_RX5day", "icclim_CSU",
+               "icclim_CFD", "icclim_ETR", "icclim_vDTR"]:
+        assert nm in names
+    assert sum(n.startswith("icclim_") for n in names) >= 25
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": [1] * 6,
+        "value": [0.5, 2.0, 0.0, 12.0, 25.0, 0.9],
+        "tasmax": [10.0, 12.0, 9.0, 15.0, 20.0, 11.0],
+        "tasmin": [2.0, 3.0, 1.0, 5.0, 8.0, 2.5],
+    }))
+    sdii = CR.get("icclim_SDII")(df, ["g"]).collect()[0]["SDII"]
+    assert sdii == (2.0 + 12.0 + 25.0) / 3  # wet days only
+    etr = CR.get("icclim_ETR")(df, ["g"]).collect()[0]["ETR"]
+    assert etr == 20.0 - 1.0
+    rx1 = CR.get("icclim_RX1day")(df, ["g"]).collect()[0]["RX1day"]
+    assert rx1 == 25.0
+    prcptot = CR.get("icclim_PRCPTOT")(df, ["g"]).collect()[0]["PRCPTOT"]
+    assert prcptot == 39.0
+    r10 = CR.get("icclim_R10mm")(df, ["g"]).collect()[0]["R10mm"]
+    assert r10 == 2
