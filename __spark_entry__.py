@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -138,6 +139,52 @@ def q_clip_aggregate(spark, sf_dir):
         ).otherwise(F.when(F.col("cell_x") >= half_x, 4.0).otherwise(3.0)),
     )
     return agg.area_weighted_mean(with_val, "value", "clip_area", keys=None)
+
+
+def q_union_geometry(spark, sf_dir):
+    """get_unioned GEOMETRY output: dissolve the clip-clamped cell boxes
+    into one union polygon (rectilinear edge-cancellation union, no GEOS)
+    — for a rectangular clip over a full grid the union must come out as
+    EXACTLY the clip rectangle (5-vertex CCW ring), which the oracle states
+    analytically."""
+    from ocgis_spark.geo import wkb as WKB
+
+    minx, miny, maxx, maxy = QUERY_CLIP
+    g = DOC_GRID
+    # the FULL grid's cells (docs at small SF occupy cells sparsely; the
+    # dissolve semantics need the contiguous cell set)
+    cells = spark.range(g.nx * g.ny).select(
+        (F.col("id") % g.nx).cast("int").alias("cell_x"),
+        F.floor(F.col("id") / g.nx).cast("int").alias("cell_y"),
+    )
+    sub = spatial.spatial_subset(
+        spark, cells, DOC_GRID, _rect_rings(QUERY_CLIP), operation="clip",
+        abstraction="polygon", keep_touches=False,
+    )
+    clamped = (
+        sub.withColumn("cminx", F.greatest("lon_lb", F.lit(minx)))
+        .withColumn("cminy", F.greatest("lat_lb", F.lit(miny)))
+        .withColumn("cmaxx", F.least("lon_ub", F.lit(maxx)))
+        .withColumn("cmaxy", F.least("lat_ub", F.lit(maxy)))
+    )
+    u = agg.union_geometry(
+        clamped, keys=None, minx="cminx", miny="cminy",
+        maxx="cmaxx", maxy="cmaxy",
+    )
+
+    @F.pandas_udf("string")
+    def ring_str(wkb_s: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb_s:
+            kind, rings = WKB.parse_wkb(bytes(b))
+            out.append(";".join(f"{x!r},{y!r}" for x, y in rings[0]))
+        return pd.Series(out)
+
+    return u.select(
+        "n_polys", "n_rings", "n_vertices",
+        F.round("union_area", 9).alias("union_area"),
+        ring_str(F.col("union_wkb")).alias("ring_str"),
+    )
 
 
 def q_knn_point(spark, sf_dir):
@@ -674,6 +721,25 @@ def q_ops_facade(spark, sf_dir):
     return out.select(F.round("wmean", 6).alias("wmean"), "n")
 
 
+#: second selection rect for agg_selection (overlaps _RECT)
+AGG_SEL_RECT2 = (-105.0, 39.0, -104.0, 40.25)
+
+
+def q_agg_selection(spark, sf_dir):
+    """agg_selection=True: union the selection geometries before
+    subsetting (definition.py:74) — one multi-geometry plan, rows deduped
+    across overlapping selections, then spatial aggregation."""
+    dg = _docs_geo(spark, sf_dir)
+    fld = Field(dg, {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+                DOC_GRID)
+    ops = OcgOperations(
+        dataset=fld, geom=[_RECT, AGG_SEL_RECT2], agg_selection=True,
+        spatial_operation="intersects", abstraction="point", aggregate=True,
+    )
+    out = ops.execute(spark)
+    return out.select(F.round("wmean", 6).alias("wmean"), "n")
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics: per-UGID aggregation over the multi-geometry
     subset — the SpatialCollection -> spatial-average path in one plan
@@ -1058,6 +1124,23 @@ def _nonuniform_sql(kind: str) -> str:
         f"FROM cells c JOIN ({vx}) vx ON vx.vcx = c.vcx "
         f"JOIN ({vy}) vy ON vy.vcy = c.vcy) t "
         f"WHERE clip_area > 1e-12"
+    )
+
+
+def _union_geometry_sql() -> str:
+    """Analytic expected answer: the union of the clip-clamped cells IS the
+    clip rectangle — stated as literals, independent of the union code."""
+    minx, miny, maxx, maxy = QUERY_CLIP
+    ring = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)]
+    ring_str = ";".join(f"{x!r},{y!r}" for x, y in ring)
+    # shoelace of the expected ring (same reduction the engine reports)
+    area = 0.5 * abs(
+        sum(x0 * y1 - x1 * y0 for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]))
+    )
+    return (
+        f"SELECT CAST(1 AS INT) AS n_polys, CAST(1 AS INT) AS n_rings, "
+        f"CAST(5 AS INT) AS n_vertices, round({area!r}, 9) AS union_area, "
+        f"'{ring_str}' AS ring_str"
     )
 
 
@@ -1499,6 +1582,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT round(avg(value), 6) AS wmean, count(*) AS n "
             f"FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)}"
         ),
+        "agg_selection": (
+            f"SELECT round(avg(value), 6) AS wmean, count(*) AS n "
+            f"FROM ({_DG}) dg WHERE ({FX.rect_pred_sql(_RECT)}) "
+            f"OR ({FX.rect_pred_sql(AGG_SEL_RECT2)})"
+        ),
         "zonal_stats": (
             f"SELECT ugid, round(avg(value), 6) AS mean_value, count(*) AS n, "
             f"count(DISTINCT cell_id) AS n_cells FROM ("
@@ -1546,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "intersects_pentagon_nonuniform": _nonuniform_sql("pentagon"),
         "curvilinear_subset": _curvilinear_sql(),
         "rotated_pole_subset": _rotated_pole_sql(),
+        "union_geometry": _union_geometry_sql(),
         "seam_subset": (
             f"SELECT doc_id, lon + 360.0 AS ulon, lat FROM ({_DG}) dg "
             f"WHERE lon + 360.0 >= 170.0 AND lon + 360.0 <= 256.75 "
@@ -1583,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curvilinear_clip": q_curvilinear_clip,
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
+        "union_geometry": q_union_geometry,
+        "agg_selection": q_agg_selection,
         "knn_point": q_knn_point,
         "tile_dest_counts": q_tile_dest_counts,
         "tile_source_assign": q_tile_source_assign,

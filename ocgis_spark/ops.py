@@ -40,6 +40,11 @@ class OcgOperations:
     spatial_operation: str = "intersects"  # 'intersects' | 'clip'
     abstraction: str = "point"  # 'point' | 'polygon'
     aggregate: bool = False
+    #: union ALL selection geometries into one selection before subsetting
+    #: (``ops/parms/definition.py:74``); ``geom`` is then a LIST of
+    #: geometries. Relationally: one multi-geometry subset plan, ugid
+    #: dropped, rows deduped — a row in several selections appears once.
+    agg_selection: bool = False
     select_nearest: bool = False
     calc: list[dict] | None = None  # [{'func': 'mean', 'name': 'mean', ...}]
     calc_grouping: list | None = None  # ['month'] | ['year','month'] | 'day'
@@ -90,6 +95,12 @@ class OcgOperations:
         if self.select_nearest and self.spatial_operation == "clip":
             raise DefinitionValidationError(
                 "select_nearest is incompatible with clip"
+            )
+        if self.agg_selection and self.spatial_operation == "clip":
+            raise DefinitionValidationError(
+                "agg_selection=True supports 'intersects' (a clip against a "
+                "unioned selection needs geometric union of the selections; "
+                "use aggregate.union_geometry + per-ugid clip instead)"
             )
 
     # ---- geometry coercion ----
@@ -168,7 +179,23 @@ class OcgOperations:
             df = fld2.get_field_slice({"time": 0}).df
 
         # spatial subset per geometry (engine.py:287-385)
-        rings = self._rings()
+        if self.agg_selection and isinstance(self.geom, list):
+            grid = self._grid()
+            polys = []
+            for i, g in enumerate(self.geom):
+                one = OcgOperations(
+                    dataset=self.dataset, geom=g, grid=grid,
+                    abstraction=self.abstraction,
+                )._rings()
+                polys.append((i + 1, one))
+            sub = spatial.spatial_subset_many(
+                spark, df, grid, polys, abstraction=self.abstraction,
+                keep_touches=self.keep_touches,
+            )
+            df = sub.drop("ugid").distinct()
+            rings = None
+        else:
+            rings = self._rings()
         grid = self._grid() if (rings is not None or self.select_nearest) else None
         if rings is not None:
             df = spatial.spatial_subset(

@@ -1,0 +1,115 @@
+"""Rectilinear polygon union (edge cancellation + left-turn tracing) —
+the reference's ``get_unioned`` geometry output (``geom.py:870-1075``) and
+the golden ``test_simple`` clip+aggregate union-area assertion."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark.geo import geometry as G
+from ocgis_spark.geo import rectunion as RU
+from ocgis_spark.geo import wkb as WKB
+
+
+def _boxes(specs):
+    a = np.array(specs, dtype="f8")
+    return a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+
+
+def test_single_box():
+    polys = RU.union_boxes(*_boxes([(0, 0, 1, 1)]))
+    assert len(polys) == 1 and len(polys[0]) == 1
+    ring = polys[0][0]
+    assert len(ring) == 5
+    assert G.ring_area(ring) == 1.0  # CCW
+    assert tuple(ring[0]) == (0.0, 0.0)  # canonical start
+
+
+def test_row_of_cells_merges_collinear():
+    polys = RU.union_boxes(*_boxes([(0, 0, 1, 1), (1, 0, 2, 1), (2, 0, 3, 1)]))
+    ring = polys[0][0]
+    assert len(ring) == 5  # interior edges cancelled, collinear merged
+    assert G.ring_area(ring) == 3.0
+
+
+def test_disjoint_boxes_multipolygon():
+    polys = RU.union_boxes(*_boxes([(0, 0, 1, 1), (5, 5, 6, 6)]))
+    assert len(polys) == 2
+    assert RU.union_area(polys) == 2.0
+
+
+def test_corner_touching_boxes_stay_separate_rings():
+    polys = RU.union_boxes(*_boxes([(0, 0, 1, 1), (1, 1, 2, 2)]))
+    assert len(polys) == 2
+    assert RU.union_area(polys) == 2.0
+
+
+def test_ring_of_boxes_has_hole():
+    specs = []
+    for i in range(3):
+        for j in range(3):
+            if not (i == 1 and j == 1):
+                specs.append((i, j, i + 1, j + 1))
+    polys = RU.union_boxes(*_boxes(specs))
+    assert len(polys) == 1
+    assert len(polys[0]) == 2  # outer + hole
+    assert G.ring_area(polys[0][0]) == 9.0
+    assert G.ring_area(polys[0][1]) == -1.0  # hole is CW
+    assert RU.union_area(polys) == 8.0
+
+
+def test_union_wkb_roundtrip():
+    b = RU.union_wkb(*_boxes([(0, 0, 1, 1), (1, 0, 2, 1)]))
+    kind, rings = WKB.parse_wkb(b)
+    assert kind == "polygon"
+    assert G.ring_area(rings[0]) == 2.0
+
+
+def test_golden_clip_union_area_one(spark, golden_cells):
+    """Reference test_simple golden: clip the 4x4/1-deg grid by a 1x1
+    square -> union area exactly 1.0 and the union IS that square."""
+    from ocgis_spark.fixtures import rect_ring
+    from ocgis_spark.geo.cellindex import GridSpec
+    from ocgis_spark.operators import aggregate as AG
+    from ocgis_spark.operators import spatial
+
+    gg = GridSpec()
+    rect = (-104.0, 38.0, -103.0, 39.0)
+    sub = spatial.spatial_subset(
+        spark, golden_cells, gg, [rect_ring(*rect)], operation="clip",
+        abstraction="polygon", keep_touches=False,
+    )
+    clamped = (
+        sub.withColumn("cminx", F.greatest("lon_lb", F.lit(rect[0])))
+        .withColumn("cminy", F.greatest("lat_lb", F.lit(rect[1])))
+        .withColumn("cmaxx", F.least("lon_ub", F.lit(rect[2])))
+        .withColumn("cmaxy", F.least("lat_ub", F.lit(rect[3])))
+    )
+    u = AG.union_geometry(
+        clamped, keys=None, minx="cminx", miny="cminy",
+        maxx="cmaxx", maxy="cmaxy",
+    ).collect()[0]
+    assert u["union_area"] == pytest.approx(1.0, abs=1e-12)
+    kind, rings = WKB.parse_wkb(bytes(u["union_wkb"]))
+    assert kind == "polygon" and len(rings) == 1
+    assert len(rings[0]) == 5
+    assert set(map(tuple, rings[0][:-1])) == {
+        (-104.0, 38.0), (-103.0, 38.0), (-103.0, 39.0), (-104.0, 39.0)
+    }
+
+
+def test_union_geometry_per_ugid(spark, golden_cells):
+    """agg_selection-style per-key dissolve: two ugids, separate unions."""
+    import pandas as pd
+
+    from ocgis_spark.operators import aggregate as AG
+
+    pdf = pd.DataFrame({
+        "ugid": [1, 1, 2],
+        "lon_lb": [0.0, 1.0, 10.0], "lat_lb": [0.0, 0.0, 0.0],
+        "lon_ub": [1.0, 2.0, 11.0], "lat_ub": [1.0, 1.0, 1.0],
+    })
+    u = AG.union_geometry(spark.createDataFrame(pdf), keys=["ugid"]).toPandas()
+    u = u.sort_values("ugid").reset_index(drop=True)
+    assert list(u["union_area"]) == [2.0, 1.0]
+    assert list(u["n_vertices"]) == [5, 5]
