@@ -457,6 +457,33 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(docs, real=False)
 
 
+#: CF-calendar fixtures: signed day offsets derived from event ids
+CF_OFF_EXPR = "(event_id % 40000) - 10000"
+CF_UNITS_360 = "days since 1850-01-07"
+CF_UNITS_NOLEAP = "days since 1850-03-15"
+
+
+def q_cf_decode_360day(spark, sf_dir):
+    """360-day CF calendar decode (cftime analogue, temporal.py:783-822):
+    signed day offsets -> (year, month, day, doy), pure arithmetic."""
+    from ocgis_spark.operators import cfcalendar as CF
+    ev = _events(spark, sf_dir).withColumn("cf_off", F.expr(CF_OFF_EXPR))
+    out = CF.decode_time(ev, "cf_off", "360_day", CF_UNITS_360)
+    return out.select("event_id", "cf_year", "cf_month", "cf_day", "cf_doy")
+
+
+def q_cf_noleap_group(spark, sf_dir):
+    """Temporal group-by on a noleap calendar axis: counts + means per
+    (cf_year, cf_month) — no proleptic-Gregorian timestamps anywhere."""
+    from ocgis_spark.operators import cfcalendar as CF
+    ev = _events(spark, sf_dir).withColumn("cf_off", F.expr(CF_OFF_EXPR))
+    dec = CF.decode_time(ev, "cf_off", "noleap", CF_UNITS_NOLEAP)
+    return dec.groupBy("cf_year", "cf_month").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
 def q_time_range(spark, sf_dir):
     ev = temporal.with_time_bounds(_events(spark, sf_dir))
     out = temporal.time_range(ev, "2024-01-05 00:00:00", "2024-01-10 00:00:00")
@@ -1158,6 +1185,25 @@ def _rotated_pole_sql() -> str:
     )
 
 
+def _cf_sql(kind: str) -> str:
+    from ocgis_spark.operators import cfcalendar as CF
+
+    if kind == "360":
+        ex = CF.decode_exprs(f"({CF_OFF_EXPR})", "360_day", CF_UNITS_360)
+        return (
+            f"SELECT event_id, {ex['cf_year']} AS cf_year, "
+            f"{ex['cf_month']} AS cf_month, {ex['cf_day']} AS cf_day, "
+            f"{ex['cf_doy']} AS cf_doy FROM events"
+        )
+    ex = CF.decode_exprs(f"({CF_OFF_EXPR})", "noleap", CF_UNITS_NOLEAP)
+    return (
+        f"SELECT cf_year, cf_month, count(*) AS n, "
+        f"round(avg(value), 6) AS mean_value FROM ("
+        f"SELECT {ex['cf_year']} AS cf_year, {ex['cf_month']} AS cf_month, "
+        f"value FROM events) t GROUP BY cf_year, cf_month"
+    )
+
+
 def _curvilinear_sql() -> str:
     g = DOC_GRID
     lon0, lat0, res = repr(g.lon0), repr(g.lat0), repr(g.res)
@@ -1411,6 +1457,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(concat('ref://', CAST(doc_id AS VARCHAR))) AS BIGINT) * 1024 AS feat_bytes, "
             "md5(concat('ref://', CAST(doc_id AS VARCHAR))) AS feat_hash FROM documents"
         ),
+        "cf_decode_360day": _cf_sql("360"),
+        "cf_noleap_group": _cf_sql("noleap"),
         "time_range": (
             "SELECT event_id, epoch_us(ts) AS ts_us FROM events "
             "WHERE ts + INTERVAL 12 HOUR >= TIMESTAMP '2024-01-05 00:00:00' "
@@ -1697,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "top_tokens": q_top_tokens,
         "multimodal_features": q_multimodal_features,
+        "cf_decode_360day": q_cf_decode_360day,
+        "cf_noleap_group": q_cf_noleap_group,
         "time_range": q_time_range,
         "time_region": q_time_region,
         "group_month": q_group_month,

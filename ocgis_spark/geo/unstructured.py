@@ -200,3 +200,33 @@ def _poly_poly_area(sel_rings: list[np.ndarray], elem_ring: np.ndarray) -> float
     for hole in sel_rings[1:]:
         area -= clip_by_convex(hole)
     return max(area, 0.0)
+
+
+def decompose_elements(
+    elements: DataFrame,
+    nodes: DataFrame,
+    chunks: list[tuple[int, tuple[float, float, float, float]]],
+) -> DataFrame:
+    """Assign every element to EXACTLY ONE decomposition chunk — the
+    reference's ``no_touching`` duplicate-avoidance rule for unstructured
+    decomposition (``geomc.py:472-633``; grid chunk guard
+    ``grid.py:1241-1253``): an element whose bbox touches several chunk
+    bboxes (shared chunk edges) is claimed by the smallest chunk id, so a
+    chunked run never processes an element twice and never drops one.
+
+    ``chunks``: [(chunk_id, (minx, miny, maxx, maxy)), ...]. Returns
+    (elem_id, chunk_id). Elements outside every chunk are omitted (callers
+    choose whether that is an error)."""
+    spark = elements.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), float(b[0]), float(b[1]), float(b[2]), float(b[3]))
+         for c, b in chunks],
+        "chunk_id int, cminx double, cminy double, cmaxx double, cmaxy double",
+    )
+    bounds = element_bounds(elements, nodes)
+    cand = bounds.join(
+        F.broadcast(cdf),
+        (F.col("minx") <= F.col("cmaxx")) & (F.col("maxx") >= F.col("cminx"))
+        & (F.col("miny") <= F.col("cmaxy")) & (F.col("maxy") >= F.col("cminy")),
+    )
+    return cand.groupBy("elem_id").agg(F.min("chunk_id").alias("chunk_id"))

@@ -28,3 +28,44 @@ def test_time_subset_func(spark):
     days = sorted(r.ts.day for r in out.collect())
     # March 2000 Mondays: 6, 13, 20, 27
     assert days == [6, 13, 20, 27]
+
+
+def test_netcdf_ingest_axis_discovery():
+    """jobs/ingest_netcdf.py CF axis discovery (driver/nc.py:373-440) works
+    without netCDF4: attribute crawl over a stub dataset."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ingest_netcdf",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "ingest_netcdf.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class V:
+        def __init__(self, **attrs):
+            self.__dict__.update(attrs)
+            self.ndim = attrs.get("ndim", 1)
+
+    class DS:
+        variables = {
+            "time": V(units="days since 1950-01-01", calendar="noleap"),
+            "plev": V(standard_name="air_pressure"),
+            "rlat": V(units="degrees_north"),
+            "rlon": V(units="degrees_east"),
+            "tas": V(ndim=3),
+        }
+
+    dmap = mod.discover_dimension_map(DS())
+    assert dmap == {"time": "time", "level": "plev", "y": "rlat", "x": "rlon"}
+
+    class DS2:  # axis attributes win
+        variables = {
+            "t": V(axis="T"), "lat": V(axis="Y"), "lon": V(axis="X"),
+            "pr": V(ndim=3),
+        }
+
+    assert mod.discover_dimension_map(DS2()) == {
+        "time": "t", "y": "lat", "x": "lon"
+    }

@@ -124,3 +124,40 @@ def test_field_write_and_mask_semantics(spark, tmp_path):
     assert back.count() == 2 and back.agg(F.avg("value")).collect()[0][0] == 2.0
     meta = json.load(open(path + ".conv_meta.json"))
     assert "dimension_map" in meta["operations"]
+
+
+def test_no_touching_decomposition_no_duplicates(spark):
+    """no_touching rule (geomc.py:472-633): a 2x2 chunk decomposition of a
+    quad mesh assigns every element to exactly one chunk even though
+    boundary elements touch two chunk bboxes."""
+    import pandas as pd
+
+    from ocgis_spark.geo import unstructured as U
+
+    # 6x6 unit-cell mesh over [0,6]^2
+    rows = []
+    for j in range(6):
+        for i in range(6):
+            rows.append({
+                "elem_id": j * 6 + i,
+                "corner_lons": [float(i), float(i + 1), float(i + 1), float(i)],
+                "corner_lats": [float(j), float(j), float(j + 1), float(j + 1)],
+            })
+    corners = spark.createDataFrame(pd.DataFrame(rows))
+    elems, nodes = U.corners_to_mesh(corners)
+
+    chunks = [
+        (0, (0.0, 0.0, 3.0, 3.0)), (1, (3.0, 0.0, 6.0, 3.0)),
+        (2, (0.0, 3.0, 3.0, 6.0)), (3, (3.0, 3.0, 6.0, 6.0)),
+    ]
+    out = U.decompose_elements(elems, nodes, chunks).toPandas()
+    assert len(out) == 36  # full coverage
+    assert out["elem_id"].is_unique  # zero duplicates
+    # interior elements go to their containing chunk; boundary-touching
+    # elements to the smallest chunk id
+    got = dict(zip(out.elem_id, out.chunk_id))
+    assert got[0] == 0   # strictly inside chunk 0
+    assert got[2] == 0   # spans [2,3]: touches chunk 1's edge -> smallest id
+    assert got[3] == 0   # spans [3,4]: touches chunk 0's edge -> smallest id
+    assert got[4] == 1   # spans [4,5]: strictly inside chunk 1
+    assert got[35] == 3  # strictly inside chunk 3
