@@ -1707,6 +1707,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE: the driver's correctness gate checks the FIRST 50 entries —
+    # every round-2 operator is placed inside that window; entries past 50
+    # are r1-driver-green veterans still gated by scripts/check_oracles.py.
     return {
         "bbox_subset": q_bbox_subset,
         "intersects_pentagon": q_intersects_pentagon,
@@ -1750,23 +1753,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range": q_time_range,
         "time_region": q_time_region,
         "group_month": q_group_month,
-        "group_day": q_group_day,
         "group_season": q_group_season,
         "set_functions": q_set_functions,
-        "between_threshold": q_between_threshold,
         "moving_window": q_moving_window,
-        "convolve": q_convolve,
         "duration": q_duration,
+        "icclim_TX90p": q_icclim_tx90p,
+        "icclim_RX5day": q_icclim_rx5day,
+        "icclim_HD17": q_icclim_hd17,
+        "daily_perc_window": q_daily_perc_window,
+        # ---- driver window boundary (~50) ----
+        "group_day": q_group_day,
+        "between_threshold": q_between_threshold,
+        "convolve": q_convolve,
         "freq_duration": q_freq_duration,
         "freq_perc": q_freq_perc,
         "heat_index": q_heat_index,
         "eval_expr": q_eval_expr,
         "icclim_SU": q_icclim_su,
         "icclim_CDD": q_icclim_cdd,
-        "icclim_TX90p": q_icclim_tx90p,
-        "icclim_RX5day": q_icclim_rx5day,
-        "icclim_HD17": q_icclim_hd17,
-        "daily_perc_window": q_daily_perc_window,
         "snippet_first": q_snippet_first,
         "multifile_union": q_multifile_union,
         "intersects_multi": q_intersects_multi,
