@@ -118,6 +118,16 @@ def main() -> None:
         "knn_point",
         lambda: _materialize(knn.knn_cells(dg, DOC_GRID, *FX.QUERY_POINT, k=8)),
     )
+
+    def knn_batch():
+        pts = dg.filter(F.col("doc_id") < 1000).select(
+            F.col("doc_id").alias("qid"), F.col("lon").alias("qlon"),
+            F.col("lat").alias("qlat"),
+        )
+        _materialize(knn.knn_join(pts, dg.select("cell_y", "cell_x"),
+                                  DOC_GRID, k=3))
+
+    timed("knn_join_batch", knn_batch)
     timed(
         "tile_source_assign",
         lambda: _materialize(
@@ -128,6 +138,24 @@ def main() -> None:
             )
         ),
     )
+
+    # round-2 headliners on the scaled corpus
+    from ocgis_spark.operators import crs as crs_ops  # noqa: E402
+    from ocgis_spark.operators import vectorgrid as vg_ops  # noqa: E402
+
+    def rotated_pole():
+        glon, glat = crs_ops.rotated_to_lonlat(
+            F.col("lon") + 103.5, F.col("lat") - 38.5, -162.0, 39.25
+        )
+        _materialize(dg.select("doc_id", glon.alias("glon"), glat.alias("glat")))
+
+    timed("rotated_pole_transform", rotated_pole)
+
+    def nonuniform_encode():
+        enc = vg_ops.encode_cells(dg.select("doc_id", "lon", "lat"), FX.VEC_GRID)
+        _materialize(spatial.bbox_filter(enc, FX.QUERY_RECT))
+
+    timed("nonuniform_encode_subset", nonuniform_encode)
 
     # ---- unscaled tables ----
     docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -45,7 +45,11 @@ def knn_join(
     """
     if r0 is None:
         r0 = max(1, int(math.ceil(math.sqrt(k))))
-    cells = cells.select("cell_y", "cell_x").distinct()
+    # the distinct cell relation is tiny (bounded by grid size, spillable)
+    # but derives from a full corpus scan — cache it so the exhaustiveness
+    # check and the caller's final action reuse one scan instead of
+    # rescanning the corpus per job
+    cells = cells.select("cell_y", "cell_x").distinct().persist()
     lat_c = F.lit(grid.lat0) + (F.col("cell_y") + 0.5) * F.lit(grid.res)
     lon_c = F.lit(grid.lon0) + (F.col("cell_x") + 0.5) * F.lit(grid.res)
 
@@ -64,7 +68,9 @@ def knn_join(
                 F.explode(F.sequence(F.col("_qcx") - r, F.col("_qcx") + r)),
             )
         )
-        joined = disk.join(cells, ["cell_y", "cell_x"], "inner")
+        # the exploded disk (n_points × (2r+1)² rows) is the small side —
+        # broadcast it so the corpus-derived cells relation never shuffles
+        joined = cells.join(F.broadcast(disk), ["cell_y", "cell_x"], "inner")
         dist = F.sqrt(
             (lon_c - F.col(qlon)) * (lon_c - F.col(qlon))
             + (lat_c - F.col(qlat)) * (lat_c - F.col(qlat))
@@ -84,8 +90,15 @@ def knn_join(
     # is cheap arithmetic.
     r = r0
     max_r = 2 * max(grid.nx, grid.ny)  # query points may lie off-grid
+    prev = None
     while True:
-        result = pass_at(points, r)
+        # persist the pass: the exhaustiveness count below fully computes
+        # it, and the caller's action then reads k·n_points cached rows
+        # instead of recomputing the join+window
+        result = pass_at(points, r).persist()
+        if prev is not None:
+            prev.unpersist()
+        prev = result
         if r >= max_r:
             break
         kth = result.groupBy(qid).agg(
@@ -93,7 +106,7 @@ def knn_join(
         )
         # left join from the FULL point set: a point with zero hits has no
         # stats row at all and must still be retried
-        stats = points.select(qid).join(kth, qid, "left")
+        stats = points.select(qid).join(F.broadcast(kth), qid, "left")
         n_bad = stats.filter(
             F.col("n").isNull()
             | (F.col("n") < k)
