@@ -876,6 +876,29 @@ def q_intersects_pentagon_nonuniform(spark, sf_dir):
     return out.select("doc_id", "vcx", "vcy")
 
 
+VEC_TDIM = 8  # 24x20 vector grid -> 3x3 tiles
+
+
+def q_tile_dest_counts_nonuniform(spark, sf_dir):
+    """Destination tile assignment on the NON-UNIFORM grid (GridChunker on
+    vector coordinates): index-block arithmetic, one tile per doc."""
+    dg = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    enc = vectorgrid.encode_cells(dg, FX.VEC_GRID)
+    out = tiling.assign_dest_tiles_vector(enc, FX.VEC_GRID, VEC_TDIM)
+    return out.groupBy("tile_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_tile_source_assign_nonuniform(spark, sf_dir):
+    """Buffered source assignment on the non-uniform grid: bounds from the
+    edge vectors, broadcast range join (duplication across tile boundaries
+    intended)."""
+    dg = _docs_geo(spark, sf_dir).select("lon", "lat")
+    enc = vectorgrid.encode_cells(dg, FX.VEC_GRID).select("vcx", "vcy").distinct()
+    tiles = tiling.tile_schema_vector_df(spark, FX.VEC_GRID, VEC_TDIM)
+    out = tiling.assign_source_tiles_vector(enc, tiles, spark, FX.VEC_GRID)
+    return out.select("vcx", "vcy", "tile_id")
+
+
 #: shear factor for the curvilinear fixture (lon += K·(lat - lat0))
 CURV_K = 0.25
 
@@ -1201,6 +1224,54 @@ def _cf_sql(kind: str) -> str:
         f"round(avg(value), 6) AS mean_value FROM ("
         f"SELECT {ex['cf_year']} AS cf_year, {ex['cf_month']} AS cf_month, "
         f"value FROM events) t GROUP BY cf_year, cf_month"
+    )
+
+
+def _tile_vec_sql(kind: str) -> str:
+    """Oracles for vector-grid tiling: tile extents replicated with the
+    SAME Python float arithmetic as tile_schema_vector_df, emitted as
+    literals."""
+    import numpy as np
+
+    vg = FX.VEC_GRID
+    vx, vy = FX.vec_bounds_values_sql()
+    xb, yb = vg.xb(), vg.yb()
+    ntx = (vg.nx + VEC_TDIM - 1) // VEC_TDIM
+    nty = (vg.ny + VEC_TDIM - 1) // VEC_TDIM
+    assign = (
+        f"SELECT dg.doc_id, vx.vcx, vy.vcy FROM ({_DG}) dg "
+        f"JOIN ({vx}) vx ON dg.lon >= vx.lon_lb AND dg.lon < vx.lon_ub "
+        f"JOIN ({vy}) vy ON dg.lat >= vy.lat_lb AND dg.lat < vy.lat_ub"
+    )
+    if kind == "dest":
+        return (
+            f"SELECT CAST(floor(vcy / {VEC_TDIM}) * {ntx} + floor(vcx / {VEC_TDIM}) AS INT) "
+            f"AS tile_id, count(*) AS n_docs FROM ({assign}) a GROUP BY 1"
+        )
+    buf = tiling.BUFFER_RESOLUTION_MODIFIER * float(
+        max(np.diff(xb).max(), np.diff(yb).max())
+    )
+    rows = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            y0, y1 = ty * VEC_TDIM, min((ty + 1) * VEC_TDIM, vg.ny)
+            x0, x1 = tx * VEC_TDIM, min((tx + 1) * VEC_TDIM, vg.nx)
+            rows.append(
+                f"({ty * ntx + tx}, {float(xb[x0]) - buf!r}, "
+                f"{float(yb[y0]) - buf!r}, {float(xb[x1]) + buf!r}, "
+                f"{float(yb[y1]) + buf!r})"
+            )
+    tiles = (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(tile_id, bminx, bminy, bmaxx, bmaxy)"
+    )
+    return (
+        f"WITH cells AS (SELECT DISTINCT vcx, vcy FROM ({assign}) a) "
+        f"SELECT c.vcx, c.vcy, t.tile_id FROM cells c "
+        f"JOIN ({vx}) vx ON vx.vcx = c.vcx "
+        f"JOIN ({vy}) vy ON vy.vcy = c.vcy "
+        f"JOIN ({tiles}) t ON vx.lon_lb <= t.bmaxx AND vx.lon_ub >= t.bminx "
+        f"AND vy.lat_lb <= t.bmaxy AND vy.lat_ub >= t.bminy"
     )
 
 
@@ -1681,6 +1752,8 @@ def oracle_sql() -> dict[str, str]:
         "clip_cells_nonuniform": _nonuniform_sql("clip"),
         "intersects_pentagon_nonuniform": _nonuniform_sql("pentagon"),
         "curvilinear_subset": _curvilinear_sql(),
+        "tile_dest_counts_nonuniform": _tile_vec_sql("dest"),
+        "tile_source_assign_nonuniform": _tile_vec_sql("source"),
         "rotated_pole_subset": _rotated_pole_sql(),
         "union_geometry": _union_geometry_sql(),
         "seam_subset": (
@@ -1721,6 +1794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,
         "curvilinear_clip": q_curvilinear_clip,
+        "tile_dest_counts_nonuniform": q_tile_dest_counts_nonuniform,
+        "tile_source_assign_nonuniform": q_tile_source_assign_nonuniform,
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
         "union_geometry": q_union_geometry,
@@ -1756,12 +1831,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_season": q_group_season,
         "set_functions": q_set_functions,
         "moving_window": q_moving_window,
-        "duration": q_duration,
         "icclim_TX90p": q_icclim_tx90p,
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,
         "daily_perc_window": q_daily_perc_window,
         # ---- driver window boundary (~50) ----
+        "duration": q_duration,
         "group_day": q_group_day,
         "between_threshold": q_between_threshold,
         "convolve": q_convolve,

@@ -69,6 +69,81 @@ def assign_dest_tiles(df: DataFrame, grid: GridSpec, tdim: int) -> DataFrame:
     return df.withColumn("tile_id", tile)
 
 
+def tile_schema_vector_df(
+    spark: SparkSession, vg, tdim: int, buffer_res: float | None = None
+) -> DataFrame:
+    """GridChunker tile schema for a NON-UNIFORM (VectorGridSpec) grid:
+    index bounds stay half-open row-major; buffered extents come from the
+    edge vectors; the buffer defaults to 2 × the MAX cell size (the
+    reference buffers by resolution — the conservative equivalent on a
+    stretched grid, guaranteeing the source superset property)."""
+    import numpy as np
+
+    xb, yb = vg.xb(), vg.yb()
+    if buffer_res is None:
+        buffer_res = BUFFER_RESOLUTION_MODIFIER * float(
+            max(np.diff(xb).max(), np.diff(yb).max())
+        )
+    ntx = (vg.nx + tdim - 1) // tdim
+    nty = (vg.ny + tdim - 1) // tdim
+    rows = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            y0, y1 = ty * tdim, min((ty + 1) * tdim, vg.ny)
+            x0, x1 = tx * tdim, min((tx + 1) * tdim, vg.nx)
+            rows.append(
+                (
+                    ty * ntx + tx, y0, y1, x0, x1,
+                    float(xb[x0]) - buffer_res, float(yb[y0]) - buffer_res,
+                    float(xb[x1]) + buffer_res, float(yb[y1]) + buffer_res,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "tile_id int, y_start int, y_stop int, x_start int, x_stop int, "
+        "buffered_minx double, buffered_miny double, buffered_maxx double, "
+        "buffered_maxy double",
+    )
+
+
+def assign_dest_tiles_vector(df: DataFrame, vg, tdim: int,
+                             cell_x: str = "vcx", cell_y: str = "vcy") -> DataFrame:
+    """Destination tiles on a vector grid: still pure index arithmetic
+    (tile membership is by INDEX block, independent of cell widths)."""
+    ntx = (vg.nx + tdim - 1) // tdim
+    tile = (
+        F.floor(F.col(cell_y) / tdim) * F.lit(ntx) + F.floor(F.col(cell_x) / tdim)
+    ).cast("int")
+    return df.withColumn("tile_id", tile)
+
+
+def assign_source_tiles_vector(
+    df: DataFrame, tiles: DataFrame, spark: SparkSession, vg,
+    cell_x: str = "vcx", cell_y: str = "vcy",
+) -> DataFrame:
+    """Source assignment on a vector grid: cell bounds attach via the
+    broadcast per-axis bounds tables, then the same broadcast range join."""
+    from . import vectorgrid as VG
+
+    b = df
+    if "lon_lb" not in df.columns:
+        renamed = df
+        if cell_x != "vcx":
+            renamed = renamed.withColumnRenamed(cell_x, "vcx")
+        if cell_y != "vcy":
+            renamed = renamed.withColumnRenamed(cell_y, "vcy")
+        b = VG.with_cell_bounds(renamed, spark, vg)
+    cond = (
+        (b["lon_lb"] <= tiles["buffered_maxx"]) & (b["lon_ub"] >= tiles["buffered_minx"])
+        & (b["lat_lb"] <= tiles["buffered_maxy"]) & (b["lat_ub"] >= tiles["buffered_miny"])
+    )
+    return b.join(
+        F.broadcast(tiles.select("tile_id", "buffered_minx", "buffered_miny",
+                                 "buffered_maxx", "buffered_maxy")),
+        cond, "inner",
+    ).drop("buffered_minx", "buffered_miny", "buffered_maxx", "buffered_maxy")
+
+
 def assign_source_tiles(
     df: DataFrame, tiles: DataFrame, grid: GridSpec
 ) -> DataFrame:
