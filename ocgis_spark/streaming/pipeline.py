@@ -75,3 +75,16 @@ def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
     )
     q.awaitTermination()
     return q
+
+
+def streaming_dedup(
+    docs_stream: DataFrame, key_expr: str = "lower(trim(substr(text, 1, 40)))"
+) -> DataFrame:
+    """Exact dedup on a document STREAM: normalized-key `dropDuplicates`
+    (stateful across micro-batches) — the streaming form of
+    ``operators.dedup.exact_dups``'s keep-first semantics. State holds one
+    row per distinct key; at scale, bound it with a watermark on an event-
+    time column (``dropDuplicatesWithinWatermark``) — unbounded here
+    because the batch operator is also corpus-global."""
+    keyed = docs_stream.withColumn("_dk", F.expr(key_expr))
+    return keyed.dropDuplicates(["_dk"]).drop("_dk")

@@ -57,3 +57,42 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
         assert final[uid] == n
     # state really spanned batches: some key must appear twice
     assert (rows.groupby("user_id").size() > 1).any()
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """stream == batch: stateful dropDuplicates over micro-batches yields
+    exactly the batch distinct-key count, regardless of batch boundaries."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocgis_spark.streaming import pipeline as P
+
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches with cross-file duplicates
+    docs1 = pd.DataFrame({"doc_id": range(0, 40),
+                          "text": [f"doc body {i % 15} payload" for i in range(40)]})
+    docs2 = pd.DataFrame({"doc_id": range(40, 80),
+                          "text": [f"doc body {i % 25} payload" for i in range(40)]})
+    spark.createDataFrame(docs1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(docs2).coalesce(1).write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    expected = (
+        batch.withColumn("_dk", F.expr("lower(trim(substr(text, 1, 40)))"))
+        .select("_dk").distinct().count()
+    )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = P.streaming_dedup(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0]["n"]
+    assert got == expected == 25
