@@ -150,6 +150,64 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    k: int = 8,
+    max_sample: int = 10_000,
+    iters: int = 10,
+) -> DataFrame:
+    """Train IVF coarse-quantizer centroids: spherical k-means on a
+    deterministic hash-ordered sample.
+
+    Scale shape: the sample is a ``TakeOrdered`` over ``xxhash64(vec_id)``
+    — one corpus pass with per-partition top-k, no full sort, and the same
+    sample regardless of partitioning (resume-stable). Training runs
+    driver-side on ≤``max_sample`` vectors (k-means on a bounded sample is
+    the standard IVF build — FAISS trains exactly this way); assignment of
+    the FULL corpus stays distributed via :func:`ivf_assign`.
+
+    Returns (vec_id=cid, embedding) shaped like the centroid tables
+    ``ivf_assign``/``ivf_topk`` already take."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")))
+        .limit(max_sample)
+        .collect()
+    )
+    X = np.array([[float(v) for v in r["embedding"]] for r in rows], dtype="f8")
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    X = X / norms[:, None]
+    # deterministic farthest-point init (greedy k-means++ without the
+    # randomness): next seed = the point least similar to its nearest
+    # already-chosen centroid — avoids the merged-cluster local optima of
+    # naive first-k init
+    seeds = [0]
+    best = X @ X[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))
+        seeds.append(nxt)
+        best = np.maximum(best, X @ X[nxt])
+    C = X[seeds].copy()
+    for _ in range(iters):
+        sim = X @ C.T
+        assign = np.argmax(sim, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members) == 0:
+                # reseed empty cluster to the globally worst-served point
+                C[j] = X[int(np.argmin(sim.max(axis=1)))]
+                continue
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            C[j] = m / (n if n > 0 else 1.0)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(k, dtype="i8"),
+        "embedding": [row.astype("f8") for row in C],
+    })
+    return emb.sparkSession.createDataFrame(pdf)
+
+
 def ivf_topk(
     emb: DataFrame, centroids: DataFrame, queries: DataFrame,
     k: int = 3, nprobe: int = 2,
