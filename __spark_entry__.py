@@ -876,6 +876,18 @@ def q_intersects_pentagon_nonuniform(spark, sf_dir):
     return out.select("doc_id", "vcx", "vcy")
 
 
+def q_split_selection(spark, sf_dir):
+    """Split a selection polygon into per-tile pieces (chunked-regrid
+    source geometry): rect selection x 4x4 tile grid -> rectangular pieces
+    whose areas/vertex counts the oracle states in closed form."""
+    out = tiling.split_selection_by_tiles(
+        spark, DOC_GRID, TDIM, _rect_rings(QUERY_CLIP)
+    )
+    return out.select(
+        "tile_id", F.round("piece_area", 9).alias("piece_area"), "n_vertices"
+    )
+
+
 VEC_TDIM = 8  # 24x20 vector grid -> 3x3 tiles
 
 
@@ -1224,6 +1236,38 @@ def _cf_sql(kind: str) -> str:
         f"round(avg(value), 6) AS mean_value FROM ("
         f"SELECT {ex['cf_year']} AS cf_year, {ex['cf_month']} AS cf_month, "
         f"value FROM events) t GROUP BY cf_year, cf_month"
+    )
+
+
+def _split_selection_sql() -> str:
+    """Closed form: piece = rect ∩ UNbuffered tile extent; rectangular
+    pieces always have 5 ring vertices."""
+    g = DOC_GRID
+    minx, miny, maxx, maxy = QUERY_CLIP
+    ntx = (g.nx + TDIM - 1) // TDIM
+    nty = (g.ny + TDIM - 1) // TDIM
+    rows = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            y0, y1 = ty * TDIM, min((ty + 1) * TDIM, g.ny)
+            x0, x1 = tx * TDIM, min((tx + 1) * TDIM, g.nx)
+            rows.append(
+                f"({ty * ntx + tx}, {g.lon0 + x0 * g.res!r}, "
+                f"{g.lat0 + y0 * g.res!r}, {g.lon0 + x1 * g.res!r}, "
+                f"{g.lat0 + y1 * g.res!r})"
+            )
+    tiles = (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(tile_id, tminx, tminy, tmaxx, tmaxy)"
+    )
+    area = (
+        f"greatest(least(tmaxx, {maxx!r}) - greatest(tminx, {minx!r}), 0.0) * "
+        f"greatest(least(tmaxy, {maxy!r}) - greatest(tminy, {miny!r}), 0.0)"
+    )
+    return (
+        f"SELECT tile_id, round({area}, 9) AS piece_area, "
+        f"CAST(5 AS INT) AS n_vertices FROM ({tiles}) t "
+        f"WHERE {area} > 1e-12"
     )
 
 
@@ -1752,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         "clip_cells_nonuniform": _nonuniform_sql("clip"),
         "intersects_pentagon_nonuniform": _nonuniform_sql("pentagon"),
         "curvilinear_subset": _curvilinear_sql(),
+        "split_selection": _split_selection_sql(),
         "tile_dest_counts_nonuniform": _tile_vec_sql("dest"),
         "tile_source_assign_nonuniform": _tile_vec_sql("source"),
         "rotated_pole_subset": _rotated_pole_sql(),
@@ -1796,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curvilinear_clip": q_curvilinear_clip,
         "tile_dest_counts_nonuniform": q_tile_dest_counts_nonuniform,
         "tile_source_assign_nonuniform": q_tile_source_assign_nonuniform,
+        "split_selection": q_split_selection,
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
         "union_geometry": q_union_geometry,
@@ -1830,12 +1876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_month": q_group_month,
         "group_season": q_group_season,
         "set_functions": q_set_functions,
-        "moving_window": q_moving_window,
         "icclim_TX90p": q_icclim_tx90p,
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,
         "daily_perc_window": q_daily_perc_window,
         # ---- driver window boundary (~50) ----
+        "moving_window": q_moving_window,
         "duration": q_duration,
         "group_day": q_group_day,
         "between_threshold": q_between_threshold,

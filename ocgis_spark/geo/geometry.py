@@ -396,6 +396,29 @@ def boxes_intersect_polygon(
     return keep, areas
 
 
+def split_polygon_by_boxes(
+    rings: list[np.ndarray],
+    boxes: list[tuple[float, float, float, float]],
+) -> list[tuple[int, list[np.ndarray]]]:
+    """Split one polygon into per-box pieces (Sutherland–Hodgman against
+    each box) — the reference's grid-splitter semantics for chunked
+    processing (``grid_chunker.py``: per-tile source geometry). Returns
+    ``[(box_index, piece_rings), ...]``; empty intersections omitted; holes
+    clipped alongside and kept only when non-degenerate."""
+    out = []
+    for i, (minx, miny, maxx, maxy) in enumerate(boxes):
+        piece = clip_ring_by_box(rings[0], minx, miny, maxx, maxy)
+        if len(piece) < 4 or abs(ring_area(piece)) <= EPS_AREA:
+            continue
+        piece_rings = [piece]
+        for hole in rings[1:]:
+            h = clip_ring_by_box(hole, minx, miny, maxx, maxy)
+            if len(h) >= 4 and abs(ring_area(h)) > EPS_AREA:
+                piece_rings.append(h)
+        out.append((i, piece_rings))
+    return out
+
+
 def _rings_is_axis_rect(rings: list[np.ndarray]) -> bool:
     if len(rings) != 1:
         return False

@@ -144,6 +144,46 @@ def assign_source_tiles_vector(
     ).drop("buffered_minx", "buffered_miny", "buffered_maxx", "buffered_maxy")
 
 
+def split_selection_by_tiles(
+    spark: SparkSession, grid: GridSpec, tdim: int, rings,
+) -> DataFrame:
+    """Split a selection polygon into per-tile pieces (UNbuffered tile
+    extents) — the chunked-regrid source-geometry split, emitted as a
+    broadcastable DataFrame (tile_id, piece_wkb, piece_area, n_vertices).
+    Pieces are computed driver-side (n_tiles is small by construction) and
+    shipped as one Arrow block; each tile's worker then clips only against
+    its own piece."""
+    import numpy as np
+    import pandas as pd
+
+    from ..geo import geometry as G
+    from ..geo import wkb as WKB
+
+    ntx = (grid.nx + tdim - 1) // tdim
+    nty = (grid.ny + tdim - 1) // tdim
+    boxes, tile_ids = [], []
+    for ty in range(nty):
+        for tx in range(ntx):
+            y0, y1 = ty * tdim, min((ty + 1) * tdim, grid.ny)
+            x0, x1 = tx * tdim, min((tx + 1) * tdim, grid.nx)
+            boxes.append((
+                grid.lon0 + x0 * grid.res, grid.lat0 + y0 * grid.res,
+                grid.lon0 + x1 * grid.res, grid.lat0 + y1 * grid.res,
+            ))
+            tile_ids.append(ty * ntx + tx)
+    rings = [np.asarray(r, dtype="f8") for r in rings]
+    pieces = G.split_polygon_by_boxes(rings, boxes)
+    pdf = pd.DataFrame({
+        "tile_id": [tile_ids[i] for i, _ in pieces],
+        "piece_wkb": [bytearray(WKB.polygon_to_wkb(p)) for _, p in pieces],
+        "piece_area": [G.polygon_area(p) for _, p in pieces],
+        "n_vertices": [int(sum(len(r) for r in p)) for _, p in pieces],
+    })
+    schema = ("tile_id int, piece_wkb binary, piece_area double, "
+              "n_vertices int")
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def assign_source_tiles(
     df: DataFrame, tiles: DataFrame, grid: GridSpec
 ) -> DataFrame:

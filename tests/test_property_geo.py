@@ -115,3 +115,32 @@ def test_covering_is_superset_of_member_cells(seed):
                                         keep_touches=True)
     member = set(zencode(cy[keep], cx[keep]).tolist())
     assert member <= cov
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=40, deadline=None)
+def test_batch_clip_matches_scalar_property(seed):
+    """Property: the two-tier batch kernel equals the scalar kernel for
+    random star-shaped polygons and random box batches."""
+    rng = np.random.RandomState(seed)
+    V = rng.randint(4, 24)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, V))
+    # drop near-duplicate angles (degenerate edges)
+    keep = np.concatenate([[True], np.diff(ang) > 1e-3])
+    ang = ang[keep]
+    if len(ang) < 3:
+        return
+    rad = rng.uniform(0.3, 3.0, len(ang))
+    ring = np.c_[rad * np.cos(ang), rad * np.sin(ang)]
+    ring = np.vstack([ring, ring[:1]])
+    n = 64
+    minx = rng.uniform(-3.5, 3.0, n)
+    miny = rng.uniform(-3.5, 3.0, n)
+    maxx = minx + rng.uniform(0.05, 2.0, n)
+    maxy = miny + rng.uniform(0.05, 2.0, n)
+    batch = G.batch_box_polygon_clip_areas([ring], minx, miny, maxx, maxy)
+    scalar = np.array([
+        G.box_polygon_clip_area([ring], minx[i], miny[i], maxx[i], maxy[i])
+        for i in range(n)
+    ])
+    assert np.allclose(batch, scalar, rtol=1e-10, atol=1e-12)

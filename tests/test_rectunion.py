@@ -113,3 +113,22 @@ def test_union_geometry_per_ugid(spark, golden_cells):
     u = u.sort_values("ugid").reset_index(drop=True)
     assert list(u["union_area"]) == [2.0, 1.0]
     assert list(u["n_vertices"]) == [5, 5]
+
+
+def test_split_polygon_by_boxes_conserves_area():
+    """Non-rect split: pentagon pieces over a 2x2 box grid sum to the
+    pentagon area; every piece lies inside its box."""
+    from ocgis_spark.fixtures import QUERY_PENTAGON
+
+    boxes = []
+    for x0 in (-106.0, -103.5):
+        for y0 in (36.0, 38.75):
+            boxes.append((x0, y0, x0 + 2.5, y0 + 2.75))
+    pieces = G.split_polygon_by_boxes([QUERY_PENTAGON], boxes)
+    total = sum(G.polygon_area(p) for _, p in pieces)
+    assert total == pytest.approx(G.polygon_area([QUERY_PENTAGON]), rel=1e-12)
+    for i, p in pieces:
+        minx, miny, maxx, maxy = boxes[i]
+        pts = np.vstack(p[0])
+        assert pts[:, 0].min() >= minx - 1e-12 and pts[:, 0].max() <= maxx + 1e-12
+        assert pts[:, 1].min() >= miny - 1e-12 and pts[:, 1].max() <= maxy + 1e-12
