@@ -118,7 +118,12 @@ class OcgOperations:
                 # cap_style=3 (SQUARE caps) — so the square buffer here is
                 # semantics-exact, not an approximation.
                 grid = self._grid()
-                r = self.search_radius_mult * grid.res
+                res = getattr(grid, "res", None)
+                if res is None:  # VectorGridSpec: conservative max cell size
+                    res = float(
+                        max(np.diff(grid.xb()).max(), np.diff(grid.yb()).max())
+                    )
+                r = self.search_radius_mult * res
                 x, y = data
                 from .fixtures import rect_ring
 
@@ -198,16 +203,47 @@ class OcgOperations:
             rings = self._rings()
         grid = self._grid() if (rings is not None or self.select_nearest) else None
         if rings is not None:
-            df = spatial.spatial_subset(
-                spark, df, grid, rings,
-                operation=self.spatial_operation,
-                abstraction=self.abstraction,
-                keep_touches=self.keep_touches,
-                optimized_bbox=self.optimized_bbox_subset,
-                allow_empty=self.allow_empty,
-            )
+            from .geo.cellindex import VectorGridSpec
+
+            if isinstance(grid, VectorGridSpec):
+                # non-uniform grid: searchsorted cell encode (if absent)
+                # then the vector-grid two-phase subset
+                from .operators import vectorgrid as vg_ops
+
+                if "vcx" not in df.columns:
+                    dm_x = dm.get("x", "lon")
+                    dm_y = dm.get("y", "lat")
+                    df = vg_ops.encode_cells(df, grid, lon=dm_x, lat=dm_y)
+                out = vg_ops.spatial_subset(
+                    spark, df, grid, rings,
+                    operation=self.spatial_operation,
+                    abstraction=self.abstraction,
+                    keep_touches=self.keep_touches,
+                    lon=dm.get("x", "lon"), lat=dm.get("y", "lat"),
+                )
+                if not self.allow_empty and len(out.take(1)) == 0:
+                    raise spatial.ExtentError(
+                        "spatial subset returned no rows (allow_empty=False)"
+                    )
+                df = out
+            else:
+                df = spatial.spatial_subset(
+                    spark, df, grid, rings,
+                    operation=self.spatial_operation,
+                    abstraction=self.abstraction,
+                    keep_touches=self.keep_touches,
+                    optimized_bbox=self.optimized_bbox_subset,
+                    allow_empty=self.allow_empty,
+                )
 
         if self.select_nearest:
+            from .geo.cellindex import VectorGridSpec
+
+            if isinstance(grid, VectorGridSpec):
+                raise DefinitionValidationError(
+                    "select_nearest requires a uniform GridSpec (ring-"
+                    "expansion kNN bound assumes constant resolution)"
+                )
             if not isinstance(self.geom, (bytes, bytearray)):
                 raise DefinitionValidationError(
                     "select_nearest needs a point WKB geom"

@@ -201,3 +201,36 @@ def test_ops_level_range(spark, golden_field):
     out = ops.execute(spark)
     assert out.count() == 8  # west half only
     assert out.filter(F.col("level") > 100).count() == 0
+
+
+def test_facade_vector_grid_clip(spark):
+    """OcgOperations dispatches to the vector-grid subset when grid is a
+    VectorGridSpec: clip areas match the direct operator path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocgis_spark import fixtures as FX
+    from ocgis_spark.operators import vectorgrid as VG
+    from ocgis_spark.ops import OcgOperations
+    from ocgis_spark.request import Field
+
+    vg = FX.VEC_GRID
+    import numpy as np
+    pdf = pd.DataFrame({
+        "lon": np.linspace(-105.4, -101.6, 300),
+        "lat": np.linspace(36.6, 40.4, 300),
+        "value": np.arange(300, dtype="f8"),
+        "ts": pd.Timestamp("2024-01-01"),
+    })
+    df = spark.createDataFrame(pdf)
+    fld = Field(df, {"time": "ts", "x": "lon", "y": "lat", "value": "value"}, vg)
+    rect = (-104.3, 37.6, -102.7, 39.4)
+    ops = OcgOperations(dataset=fld, geom=rect, spatial_operation="clip",
+                        abstraction="polygon", grid=vg)
+    out = ops.execute(spark).toPandas()
+    direct = VG.spatial_subset(
+        spark, VG.encode_cells(df, vg), vg, [FX.rect_ring(*rect)],
+        operation="clip", abstraction="polygon",
+    ).toPandas()
+    assert len(out) == len(direct) > 0
+    assert out["clip_area"].sum() == direct["clip_area"].sum()
