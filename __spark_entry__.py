@@ -876,6 +876,27 @@ def q_intersects_pentagon_nonuniform(spark, sf_dir):
     return out.select("doc_id", "vcx", "vcy")
 
 
+def q_regrid_nonuniform(spark, sf_dir):
+    """Conservative regrid between two DIFFERENT non-uniform grids: the
+    per-axis overlap factorization applied via broadcast joins — no weight
+    matrix ever materialized (ESMF CONSERVE semantics on rectilinear
+    geometry, regrid/base.py:646-839)."""
+    vg, dst = FX.VEC_GRID, FX.VEC_GRID_DST
+    src = spark.range(vg.nx * vg.ny).select(
+        (F.col("id") % vg.nx).cast("int").alias("vcx"),
+        F.floor(F.col("id") / vg.nx).cast("int").alias("vcy"),
+    ).withColumn(
+        "value",
+        ((F.col("vcy") * vg.nx + F.col("vcx")) % 7).cast("double"),
+    )
+    out = regrid.apply_conservative_vector(src, spark, vg, dst)
+    return out.select(
+        "dst_id",
+        F.round("dst_value", 6).alias("dst_value"),
+        F.round("weight_sum", 6).alias("weight_sum"),
+    )
+
+
 def q_split_selection(spark, sf_dir):
     """Split a selection polygon into per-tile pieces (chunked-regrid
     source geometry): rect selection x 4x4 tile grid -> rectangular pieces
@@ -1236,6 +1257,38 @@ def _cf_sql(kind: str) -> str:
         f"round(avg(value), 6) AS mean_value FROM ("
         f"SELECT {ex['cf_year']} AS cf_year, {ex['cf_month']} AS cf_month, "
         f"value FROM events) t GROUP BY cf_year, cf_month"
+    )
+
+
+def _regrid_nonuniform_sql() -> str:
+    vg, dst = FX.VEC_GRID, FX.VEC_GRID_DST
+    vx, vy = FX.vec_bounds_values_sql(vg)
+    dx, dy = FX.vec_bounds_values_sql(dst)
+    # rename the dst tables' columns
+    dx = dx.replace("vx(vcx, lon_lb, lon_ub)", "dxb(dcx, dlon_lb, dlon_ub)")
+    dy = dy.replace("vy(vcy, lat_lb, lat_ub)", "dyb(dcy, dlat_lb, dlat_ub)")
+    n = vg.nx * vg.ny
+    return (
+        f"WITH src AS (SELECT CAST(i % {vg.nx} AS INT) AS vcx, "
+        f"CAST(floor(CAST(i AS DOUBLE) / {vg.nx}) AS INT) AS vcy, "
+        f"CAST((CAST(floor(CAST(i AS DOUBLE) / {vg.nx}) AS BIGINT) * {vg.nx} + i % {vg.nx}) % 7 AS DOUBLE) AS value "
+        f"FROM (SELECT unnest(generate_series(0, {n - 1})) AS i) t), "
+        f"ovx AS (SELECT vx.vcx, d.dcx, "
+        f"least(vx.lon_ub, d.dlon_ub) - greatest(vx.lon_lb, d.dlon_lb) AS wx "
+        f"FROM ({vx}) vx JOIN ({dx}) d "
+        f"ON least(vx.lon_ub, d.dlon_ub) - greatest(vx.lon_lb, d.dlon_lb) > 0), "
+        f"ovy AS (SELECT vy.vcy, d.dcy, "
+        f"least(vy.lat_ub, d.dlat_ub) - greatest(vy.lat_lb, d.dlat_lb) AS wy, "
+        f"d.dlat_ub - d.dlat_lb AS dh "
+        f"FROM ({vy}) vy JOIN ({dy}) d "
+        f"ON least(vy.lat_ub, d.dlat_ub) - greatest(vy.lat_lb, d.dlat_lb) > 0), "
+        f"dw AS (SELECT dcx, dlon_ub - dlon_lb AS dwv FROM ({dx}) d) "
+        f"SELECT CAST(ovy.dcy AS BIGINT) * {dst.nx} + ovx.dcx AS dst_id, "
+        f"round(sum(ovx.wx * ovy.wy / (dw.dwv * ovy.dh) * src.value), 6) AS dst_value, "
+        f"round(sum(ovx.wx * ovy.wy / (dw.dwv * ovy.dh)), 6) AS weight_sum "
+        f"FROM src JOIN ovx ON ovx.vcx = src.vcx JOIN ovy ON ovy.vcy = src.vcy "
+        f"JOIN dw ON dw.dcx = ovx.dcx "
+        f"GROUP BY 1"
     )
 
 
@@ -1797,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "intersects_pentagon_nonuniform": _nonuniform_sql("pentagon"),
         "curvilinear_subset": _curvilinear_sql(),
         "split_selection": _split_selection_sql(),
+        "regrid_nonuniform": _regrid_nonuniform_sql(),
         "tile_dest_counts_nonuniform": _tile_vec_sql("dest"),
         "tile_source_assign_nonuniform": _tile_vec_sql("source"),
         "rotated_pole_subset": _rotated_pole_sql(),
@@ -1842,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dest_counts_nonuniform": q_tile_dest_counts_nonuniform,
         "tile_source_assign_nonuniform": q_tile_source_assign_nonuniform,
         "split_selection": q_split_selection,
+        "regrid_nonuniform": q_regrid_nonuniform,
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
         "union_geometry": q_union_geometry,
@@ -1875,12 +1930,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_region": q_time_region,
         "group_month": q_group_month,
         "group_season": q_group_season,
-        "set_functions": q_set_functions,
         "icclim_TX90p": q_icclim_tx90p,
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,
         "daily_perc_window": q_daily_perc_window,
         # ---- driver window boundary (~50) ----
+        "set_functions": q_set_functions,
         "moving_window": q_moving_window,
         "duration": q_duration,
         "group_day": q_group_day,

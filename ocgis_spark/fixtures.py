@@ -127,6 +127,20 @@ def _vg():
 VEC_GRID = _vg()  # 24x20 stretched grid over the golden extent
 
 
+def _vg_dst():
+    from .geo.cellindex import VectorGridSpec
+
+    return VectorGridSpec.from_edges(
+        nonuniform_edges(GOLDEN_GRID.lon0, GOLDEN_GRID.lon1, 10,
+                         pattern=(1.25, 1.0, 1.75)),
+        nonuniform_edges(GOLDEN_GRID.lat0, GOLDEN_GRID.lat1, 8,
+                         pattern=(2.0, 1.0, 1.5)),
+    )
+
+
+VEC_GRID_DST = _vg_dst()  # 10x8 differently-stretched destination grid
+
+
 def vec_bounds_values_sql(vg=VEC_GRID) -> tuple[str, str]:
     """(vx, vy) VALUES tables of the non-uniform cell bounds — the oracle's
     twin of :func:`ocgis_spark.operators.vectorgrid.bounds_tables`."""

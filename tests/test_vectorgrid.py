@@ -111,3 +111,48 @@ def test_curvilinear_clip_analytic(spark):
     out2 = VG.curvilinear_subset(spark, Xs, Ys, [rect], operation="clip").toPandas()
     assert len(out2) == 1
     assert out2["clip_area"].iloc[0] == pytest.approx(0.3 * 0.3, rel=1e-9)
+
+
+def test_conservative_regrid_vector_properties(spark):
+    """Conservation: with full mutual coverage, every dst weight_sum == 1
+    and the area-weighted integral is preserved; the applied (join) path
+    equals the materialized-weights path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocgis_spark.operators import regrid as RG
+
+    src, dst = FX.VEC_GRID, FX.VEC_GRID_DST
+    cells = spark.range(src.nx * src.ny).select(
+        (F.col("id") % src.nx).cast("int").alias("vcx"),
+        F.floor(F.col("id") / src.nx).cast("int").alias("vcy"),
+    ).withColumn("value", ((F.col("vcy") * 3 + F.col("vcx")) % 5).cast("double"))
+
+    out = RG.apply_conservative_vector(cells, spark, src, dst).toPandas()
+    assert len(out) == dst.nx * dst.ny
+    assert np.allclose(out["weight_sum"], 1.0, atol=1e-12)
+
+    # integral conservation: sum(dst_value * dst_area) == sum(v * src_area)
+    dxb, dyb = dst.xb(), dst.yb()
+    d_area = {
+        dy * dst.nx + dx: (dxb[dx + 1] - dxb[dx]) * (dyb[dy + 1] - dyb[dy])
+        for dy in range(dst.ny) for dx in range(dst.nx)
+    }
+    dst_integral = sum(r.dst_value * d_area[r.dst_id] for r in out.itertuples())
+    sxb, syb = src.xb(), src.yb()
+    cpdf = cells.toPandas()
+    src_integral = sum(
+        r.value * (sxb[r.vcx + 1] - sxb[r.vcx]) * (syb[r.vcy + 1] - syb[r.vcy])
+        for r in cpdf.itertuples()
+    )
+    assert dst_integral == pytest.approx(src_integral, rel=1e-12)
+
+    # parity with the materialized weight table
+    w = RG.conservative_weights_vector(spark, src, dst)
+    sv = cells.withColumn(
+        "src_id", (F.col("vcy").cast("bigint") * src.nx + F.col("vcx"))
+    )
+    out2 = RG.apply_weights(sv, w).toPandas().sort_values("dst_id")
+    out = out.sort_values("dst_id")
+    assert np.allclose(out["dst_value"].to_numpy(), out2["dst_value"].to_numpy(),
+                       rtol=1e-12)
