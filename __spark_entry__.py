@@ -897,6 +897,22 @@ def q_regrid_nonuniform(spark, sf_dir):
     )
 
 
+def q_knn_point_nonuniform(spark, sf_dir):
+    """k=5 nearest cells on the stretched grid (index-disk expansion with
+    the min-cell-width exhaustiveness bound)."""
+    vg = FX.VEC_GRID
+    cells = spark.range(vg.nx * vg.ny).select(
+        (F.col("id") % vg.nx).cast("int").alias("vcx"),
+        F.floor(F.col("id") / vg.nx).cast("int").alias("vcy"),
+    )
+    pts = spark.createDataFrame(
+        [(0, float(FX.QUERY_POINT[0]), float(FX.QUERY_POINT[1]))],
+        "qid int, qlon double, qlat double",
+    )
+    out = knn.knn_join_vector(pts, cells, vg, k=5)
+    return out.select("vcy", "vcx", F.round("dist", 9).alias("dist"), "rank")
+
+
 def q_split_selection(spark, sf_dir):
     """Split a selection polygon into per-tile pieces (chunked-regrid
     source geometry): rect selection x 4x4 tile grid -> rectangular pieces
@@ -1289,6 +1305,25 @@ def _regrid_nonuniform_sql() -> str:
         f"FROM src JOIN ovx ON ovx.vcx = src.vcx JOIN ovy ON ovy.vcy = src.vcy "
         f"JOIN dw ON dw.dcx = ovx.dcx "
         f"GROUP BY 1"
+    )
+
+
+def _knn_vec_sql() -> str:
+    vg = FX.VEC_GRID
+    vx, vy = FX.vec_bounds_values_sql(vg)
+    qx, qy = FX.QUERY_POINT
+    dist = (
+        f"sqrt(((lon_lb + lon_ub) / 2.0 - ({qx!r})) * "
+        f"((lon_lb + lon_ub) / 2.0 - ({qx!r})) + "
+        f"((lat_lb + lat_ub) / 2.0 - ({qy!r})) * "
+        f"((lat_lb + lat_ub) / 2.0 - ({qy!r})))"
+    )
+    return (
+        f"SELECT vcy, vcx, round(dist, 9) AS dist, CAST(rn AS INT) AS rank "
+        f"FROM (SELECT vcy, vcx, dist, row_number() OVER "
+        f"(ORDER BY dist, vcy, vcx) AS rn FROM ("
+        f"SELECT vy.vcy, vx.vcx, {dist} AS dist "
+        f"FROM ({vx}) vx CROSS JOIN ({vy}) vy) d) r WHERE rn <= 5"
     )
 
 
@@ -1851,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "curvilinear_subset": _curvilinear_sql(),
         "split_selection": _split_selection_sql(),
         "regrid_nonuniform": _regrid_nonuniform_sql(),
+        "knn_point_nonuniform": _knn_vec_sql(),
         "tile_dest_counts_nonuniform": _tile_vec_sql("dest"),
         "tile_source_assign_nonuniform": _tile_vec_sql("source"),
         "rotated_pole_subset": _rotated_pole_sql(),
@@ -1897,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_source_assign_nonuniform": q_tile_source_assign_nonuniform,
         "split_selection": q_split_selection,
         "regrid_nonuniform": q_regrid_nonuniform,
+        "knn_point_nonuniform": q_knn_point_nonuniform,
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
         "union_geometry": q_union_geometry,
@@ -1928,13 +1965,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_noleap_group": q_cf_noleap_group,
         "time_range": q_time_range,
         "time_region": q_time_region,
-        "group_month": q_group_month,
-        "group_season": q_group_season,
         "icclim_TX90p": q_icclim_tx90p,
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,
         "daily_perc_window": q_daily_perc_window,
         # ---- driver window boundary (~50) ----
+        "group_month": q_group_month,
+        "group_season": q_group_season,
         "set_functions": q_set_functions,
         "moving_window": q_moving_window,
         "duration": q_duration,

@@ -118,6 +118,98 @@ def knn_join(
     return result.select(qid, "cell_y", "cell_x", "dist", "rank")
 
 
+def knn_join_vector(
+    points: DataFrame,
+    cells: DataFrame,
+    vg,
+    k: int = 1,
+    r0: int | None = None,
+    qid: str = "qid",
+    qlon: str = "qlon",
+    qlat: str = "qlat",
+) -> DataFrame:
+    """Batch kNN on a NON-UNIFORM (VectorGridSpec) grid: the same
+    index-disk expansion as :func:`knn_join`, with
+
+    * query cell indices via searchsorted (Arrow, narrow);
+    * exact centroid distances from the broadcast per-axis bounds tables;
+    * the exhaustiveness bound using the MINIMUM cell width: a cell whose
+      Chebyshev index distance exceeds r lies at least (r − 0.5)·w_min
+      away, so once the k-th distance is within that, the disk is provably
+      exhaustive even on a stretched axis.
+    """
+    import math as _math
+
+    import numpy as np
+
+    from . import vectorgrid as VG
+
+    if r0 is None:
+        r0 = max(1, int(_math.ceil(_math.sqrt(k))))
+    w_min = float(min(np.diff(vg.xb()).min(), np.diff(vg.yb()).min()))
+    spark = points.sparkSession
+    cells = cells.select(
+        F.col("vcy").alias("cell_y"), F.col("vcx").alias("cell_x")
+    ).distinct().persist()
+    bx, by = VG.bounds_tables(spark, vg)
+    pts = VG.encode_cells(points, vg, lon=qlon, lat=qlat,
+                          out_x="_qcx", out_y="_qcy")
+
+    def pass_at(r: int) -> DataFrame:
+        disk = (
+            pts.withColumn(
+                "cell_y", F.explode(F.sequence(F.col("_qcy") - r, F.col("_qcy") + r))
+            )
+            .withColumn(
+                "cell_x", F.explode(F.sequence(F.col("_qcx") - r, F.col("_qcx") + r))
+            )
+        )
+        joined = cells.join(F.broadcast(disk), ["cell_y", "cell_x"], "inner")
+        joined = (
+            joined.join(F.broadcast(bx), joined["cell_x"] == bx["vcx"])
+            .join(F.broadcast(by), joined["cell_y"] == by["vcy"])
+        )
+        lon_c = (F.col("lon_lb") + F.col("lon_ub")) / 2.0
+        lat_c = (F.col("lat_lb") + F.col("lat_ub")) / 2.0
+        dist = F.sqrt(
+            (lon_c - F.col(qlon)) * (lon_c - F.col(qlon))
+            + (lat_c - F.col(qlat)) * (lat_c - F.col(qlat))
+        )
+        w = Window.partitionBy(qid).orderBy("dist", "cell_y", "cell_x")
+        return (
+            joined.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    r = r0
+    max_r = 2 * max(vg.nx, vg.ny)
+    prev = None
+    while True:
+        result = pass_at(r).persist()
+        if prev is not None:
+            prev.unpersist()
+        prev = result
+        if r >= max_r:
+            break
+        kth = result.groupBy(qid).agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist").alias("kth")
+        )
+        stats = points.select(qid).join(F.broadcast(kth), qid, "left")
+        n_bad = stats.filter(
+            F.col("n").isNull()
+            | (F.col("n") < k)
+            | (F.col("kth") > (r - 0.5) * w_min)
+        ).count()
+        if n_bad == 0:
+            break
+        r *= 2
+    return result.select(
+        qid, F.col("cell_y").alias("vcy"), F.col("cell_x").alias("vcx"),
+        "dist", "rank",
+    )
+
+
 def knn_cells(
     df: DataFrame,
     grid: GridSpec,
