@@ -1308,6 +1308,28 @@ def _regrid_nonuniform_sql() -> str:
     )
 
 
+def _nonconvex_clip_sql() -> str:
+    """L-shape = R1 ∪ R2 (axis rects) ⇒ cell clip area = a(∩R1) + a(∩R2)
+    − a(∩(R1∩R2)) — exact closed form for the S-H kernel's output."""
+    cb = _CB
+
+    def ov(minx, miny, maxx, maxy):
+        return (
+            f"(greatest(least({cb['lon_ub']}, {maxx!r}) - greatest({cb['lon_lb']}, {minx!r}), 0.0) * "
+            f"greatest(least({cb['lat_ub']}, {maxy!r}) - greatest({cb['lat_lb']}, {miny!r}), 0.0))"
+        )
+
+    a1 = ov(-105.4, 36.6, -103.0, 38.0)   # bottom bar
+    a2 = ov(-105.4, 36.6, -104.2, 40.0)   # left bar
+    a12 = ov(-105.4, 36.6, -104.2, 38.0)  # their intersection
+    area = f"({a1} + {a2} - {a12})"
+    return (
+        f"SELECT cell_y, cell_x, round({area}, 9) AS clip_area "
+        f"FROM (SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg) c "
+        f"WHERE {area} > 1e-12"
+    )
+
+
 def _knn_vec_sql() -> str:
     vg = FX.VEC_GRID
     vx, vy = FX.vec_bounds_values_sql(vg)
@@ -1887,6 +1909,18 @@ def oracle_sql() -> dict[str, str]:
         "split_selection": _split_selection_sql(),
         "regrid_nonuniform": _regrid_nonuniform_sql(),
         "knn_point_nonuniform": _knn_vec_sql(),
+        # the L-shape is the union of two rectangles -> its clip area has a
+        # closed inclusion-exclusion form the oracle can state exactly,
+        # upgrading this from a rows-only check to a value-hash check
+        "nonconvex_clip": _nonconvex_clip_sql(),
+        "unstructured_subset": (
+            f"SELECT CAST(cell_y * {DOC_GRID.nx} + cell_x AS BIGINT) AS elem_id "
+            f"FROM (SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg) c "
+            f"WHERE {_CB['lon_lb']} < {FX.QUERY_RECT[2]!r} "
+            f"AND {_CB['lon_ub']} > {FX.QUERY_RECT[0]!r} "
+            f"AND {_CB['lat_lb']} < {FX.QUERY_RECT[3]!r} "
+            f"AND {_CB['lat_ub']} > {FX.QUERY_RECT[1]!r}"
+        ),
         "tile_dest_counts_nonuniform": _tile_vec_sql("dest"),
         "tile_source_assign_nonuniform": _tile_vec_sql("source"),
         "rotated_pole_subset": _rotated_pole_sql(),
