@@ -271,6 +271,20 @@ def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_dedup(_corpus(spark, sf_dir), "text", threshold=0.5)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Fuzzy-dedup clusters: connected components over the verified
+    MinHash pairs (min-label propagation; A~B, B~C collapse to one
+    cluster). Oracle = recursive-CTE transitive closure."""
+    pairs = dedup.minhash_dedup(
+        _corpus(spark, sf_dir), "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    comp = dedup.duplicate_components(pairs)
+    return comp.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").selectExpr(
         "doc_id", "lower(trim(text)) AS text"
@@ -1553,6 +1567,19 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY norm HAVING count(*) > 1"
         ),
         "minhash_pairs": _minhash_oracle(),
+        "dedup_components": (
+            "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+            + _minhash_oracle()
+            + ") mh), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "reach(node, label) AS ("
+            "SELECT node, node FROM nodes "
+            "UNION "
+            "SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst) "
+            "SELECT node, min(label) AS component FROM reach GROUP BY node"
+        ),
         "simhash": _simhash_oracle(),
         "similarity_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), "
@@ -1983,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "similarity_topk": q_similarity_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,

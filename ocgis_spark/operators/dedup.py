@@ -194,3 +194,71 @@ def simhash(df: DataFrame, text: str = "text") -> DataFrame:
         for b in range(SIM_BITS)
     ]
     return votes.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS — the keep-one-per-
+    cluster step a fuzzy-dedup pipeline runs after MinHash verification
+    (pairs alone over-remove: A~B, B~C must collapse to ONE cluster even
+    if A!~C directly).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round joins labels across edges (both directions) and takes the min;
+    stops when a round changes nothing. Rounds needed = graph diameter —
+    near-dup clusters are tiny/dense, so 2-3 rounds in practice; the loop
+    is join + min-agg (shuffle on node id, AQE-coalesced), nothing is
+    collected. At extreme scale swap in large-star/small-star; the
+    convergence check is one count per round.
+
+    Returns (node, component) with component = min doc id reachable."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # candidate labels flowing across edges
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component").unionByName(nbr)
+            .groupBy("node").agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Drop every near-duplicate except the smallest doc id of its
+    component (docs in no pair survive untouched)."""
+    comp = duplicate_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(doc_id)
+    )
+    return docs.join(losers, doc_id, "left_anti")

@@ -153,3 +153,25 @@ def test_embedding_near_dup_banding_improves_recall(spark):
     # must never lose pairs and must recover every planted dup
     assert len(two & planted) >= len(one & planted)
     assert len(two & planted) == 500
+
+
+def test_duplicate_components_chain_and_keep_canonical(spark):
+    """A~B, B~C, D~E: two components; dedup keeps exactly one doc per
+    component plus all unpaired docs."""
+    import pandas as pd
+
+    from ocgis_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    )
+    comp = dedup.duplicate_components(pairs).toPandas()
+    got = dict(zip(comp.node, comp.component))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 99],
+                      "text": ["a"] * 6})
+    )
+    kept = dedup.dedup_keep_canonical(docs, pairs).toPandas()
+    assert sorted(kept.doc_id) == [1, 10, 99]
