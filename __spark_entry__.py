@@ -378,6 +378,48 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+#: decontamination fixture: bench = first 25 docs; train = the rest plus
+#: PLANTED leaks (suffix copies of bench docs — share long word runs)
+DECON_TRAIN_SQL = (
+    "SELECT doc_id, text FROM documents WHERE doc_id >= 25 "
+    "UNION ALL SELECT doc_id + 2000000 AS doc_id, substr(text, 5) AS text "
+    "FROM documents WHERE doc_id < 25"
+)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag train docs sharing any word 8-gram
+    with the benchmark set (bench n-grams broadcast; corpus scanned once)."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    train = spark.sql(DECON_TRAIN_SQL)
+    bench = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id < 25")
+    return textops.decontaminate(train, bench, n=8)
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition signal: top word-2gram fraction per doc."""
+    return textops.repetition_ratio(_read(spark, sf_dir, "documents"), n=2)
+
+
+def q_embedding_near_dups_ivf(spark, sf_dir):
+    """Near-dup pairs bucketed by the IVF coarse quantizer (second
+    bucketing scheme beside hyperplane LSH) — planted mutants as in
+    embedding_near_dups."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mut = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * 1.01),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(mut)
+    cents = emb.filter(F.col("vec_id") < 8)
+    return similarity.embedding_near_dups_ivf(corpus, cents, threshold=0.98)
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN: 8 centroid lists, nprobe=2, exact top-3 within
     the probed lists."""
@@ -1638,6 +1680,55 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN szs sa ON sa.doc_id = i.doc_a "
             "JOIN szs sb ON sb.doc_id = i.doc_b"
         ),
+        "decontaminate": (
+            f"WITH train AS ({DECON_TRAIN_SQL}), "
+            "bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 25), "
+            "tg AS (SELECT DISTINCT doc_id, "
+            "w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] || ' ' || "
+            "w[CAST(i AS INT)+3] || ' ' || w[CAST(i AS INT)+4] || ' ' || w[CAST(i AS INT)+5] || ' ' || "
+            "w[CAST(i AS INT)+6] || ' ' || w[CAST(i AS INT)+7] AS g FROM ("
+            "SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t) s), "
+            "bg AS (SELECT DISTINCT "
+            "w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] || ' ' || "
+            "w[CAST(i AS INT)+3] || ' ' || w[CAST(i AS INT)+4] || ' ' || w[CAST(i AS INT)+5] || ' ' || "
+            "w[CAST(i AS INT)+6] || ' ' || w[CAST(i AS INT)+7] AS g FROM ("
+            "SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t) s) "
+            "SELECT tg.doc_id, count(*) AS n_hits FROM tg JOIN bg ON tg.g = bg.g "
+            "GROUP BY tg.doc_id"
+        ),
+        "repetition_ratio": (
+            "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "seq AS (SELECT doc_id, w, "
+            "unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i FROM ws), "
+            "grams AS (SELECT doc_id, "
+            "w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g FROM seq), "
+            "counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g) "
+            "SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac, "
+            "round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS distinct_frac, "
+            "CAST(sum(c) AS BIGINT) AS n_ngrams FROM counts GROUP BY doc_id"
+        ),
+        "embedding_near_dups_ivf": (
+            "WITH corpus AS ("
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+            "UNION ALL SELECT vec_id + 100000, "
+            "list_prepend(CAST(embedding[1] AS DOUBLE) * 1.01, "
+            "CAST(embedding[2:] AS DOUBLE[])) FROM embeddings), "
+            "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb "
+            "FROM embeddings WHERE vec_id < 8), "
+            "assign AS (SELECT vec_id, e, cid AS bucket FROM ("
+            "SELECT v.vec_id, v.e, c.cid, row_number() OVER ("
+            "PARTITION BY v.vec_id ORDER BY round(list_dot_product(v.e, c.c_emb) / "
+            "(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) DESC, c.cid) AS rn "
+            "FROM corpus v CROSS JOIN c) t WHERE rn = 1), "
+            "pairs AS (SELECT a.vec_id AS vec_a, a.e AS ea, b.vec_id AS vec_b, b.e AS eb "
+            "FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+            "SELECT vec_a, vec_b, cos FROM (SELECT vec_a, vec_b, "
+            "round(list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea)) * "
+            "sqrt(list_dot_product(eb, eb))), 6) AS cos FROM pairs) s "
+            "WHERE cos >= 0.98"
+        ),
         "ivf_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
             "c AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8), "
@@ -2015,8 +2106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
+        "decontaminate": q_decontaminate,
+        "repetition_ratio": q_repetition_ratio,
         "chunk_documents": q_chunk_documents,
         "clean_text": q_clean_text,
         "train_test_split": q_train_test_split,
@@ -2025,13 +2119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "cf_decode_360day": q_cf_decode_360day,
         "cf_noleap_group": q_cf_noleap_group,
-        "time_range": q_time_range,
-        "time_region": q_time_region,
         "icclim_TX90p": q_icclim_tx90p,
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,
         "daily_perc_window": q_daily_perc_window,
         # ---- driver window boundary (~50) ----
+        "time_range": q_time_range,
+        "time_region": q_time_region,
         "group_month": q_group_month,
         "group_season": q_group_season,
         "set_functions": q_set_functions,

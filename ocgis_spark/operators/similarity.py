@@ -150,6 +150,29 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def embedding_near_dups_ivf(
+    emb: DataFrame, centroids: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-duplicate pairs bucketed by the IVF coarse quantizer
+    (the second bucketing scheme beside hyperplane LSH): candidates only
+    from equal nearest-centroid buckets, exact cosine verifies. Misses
+    pairs straddling a centroid boundary (recall/cost knob: more centroids
+    → fewer candidates, lower recall — same trade as nprobe)."""
+    lists = ivf_assign(emb, centroids)
+    a = lists.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    b = lists.select(F.col("vec_id").alias("vec_b"),
+                     F.col("embedding").alias("emb_b"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a", "vec_b",
+        F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
 def ivf_train(
     emb: DataFrame,
     k: int = 8,

@@ -102,3 +102,70 @@ def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", toks)).alias("fp"),
     )
+
+
+def repetition_ratio(df: DataFrame, text: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of a document's
+    word n-grams taken by its single most frequent n-gram, plus the
+    distinct-ngram fraction. High top-fraction ⇒ boilerplate/looping text.
+    Pure relational: explode n-grams (position-ordered), two grouped
+    aggregations — no UDFs."""
+    ws = df.select(
+        "doc_id", F.posexplode(F.split(F.col(text), " ")).alias("pos", "w")
+    ).groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+        ).alias("ws")
+    )
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("ws", i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_frac"),
+        F.sum("c").alias("n_ngrams"),
+    )
+
+
+def decontaminate(
+    train: DataFrame, bench: DataFrame, text: str = "text", n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ANY word
+    n-gram with any benchmark doc (the standard n-gram-overlap rule).
+    Shape at scale: bench n-grams are the SMALL side (benchmarks are tiny
+    vs the corpus) — distinct + broadcast; the corpus n-grams stream
+    through one broadcast semi-ish join, then a per-doc count. Returns
+    (doc_id, n_hits) for contaminated docs only."""
+    def ngrams(df):
+        ws = df.select(
+            "doc_id", F.posexplode(F.split(F.col(text), " ")).alias("pos", "w")
+        ).groupBy("doc_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ).alias("ws")
+        )
+        return ws.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("ws", i + j + 1) for j in range(n)]
+                    ),
+                )
+            ).alias("g"),
+        ).distinct()
+
+    bench_grams = ngrams(bench).select("g").distinct()
+    hits = ngrams(train).join(F.broadcast(bench_grams), "g")
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
