@@ -2112,8 +2112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "chunk_documents": q_chunk_documents,
-        "clean_text": q_clean_text,
-        "train_test_split": q_train_test_split,
         "sessionize": q_sessionize,
         "top_tokens": q_top_tokens,
         "multimodal_features": q_multimodal_features,
@@ -2124,6 +2122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_HD17": q_icclim_hd17,
         "daily_perc_window": q_daily_perc_window,
         # ---- driver window boundary (~50) ----
+        "clean_text": q_clean_text,
+        "train_test_split": q_train_test_split,
         "time_range": q_time_range,
         "time_region": q_time_region,
         "group_month": q_group_month,
