@@ -285,6 +285,22 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_fuzzy_dedup_e2e(spark, sf_dir):
+    """End-to-end fuzzy dedup: MinHash+LSH pairs → connected components →
+    keep the smallest doc id per cluster — the full pipeline a training
+    corpus runs, summarized as (n_kept, n_dropped)."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.minhash_dedup(corpus, "text", threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    kept = dedup.dedup_keep_canonical(corpus, pairs)
+    n_total = corpus.count()
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.lit(n_total) - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").selectExpr(
         "doc_id", "lower(trim(text)) AS text"
@@ -1623,6 +1639,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, min(label) AS component FROM reach GROUP BY node"
         ),
         "simhash": _simhash_oracle(),
+        "fuzzy_dedup_e2e": (
+            "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+            + _minhash_oracle()
+            + ") mh), "
+            f"corpus AS ({CORPUS_SQL}), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "reach(node, label) AS ("
+            "SELECT node, node FROM nodes "
+            "UNION "
+            "SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst), "
+            "comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node), "
+            "losers AS (SELECT node FROM comp WHERE node <> component) "
+            "SELECT count(*) AS n_kept, "
+            "(SELECT count(*) FROM corpus) - count(*) AS n_dropped "
+            "FROM corpus c WHERE c.doc_id NOT IN (SELECT node FROM losers)"
+        ),
         "similarity_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), "
             "scored AS (SELECT q.query_id, e.vec_id, "
@@ -2102,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "dedup_components": q_dedup_components,
+        "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
         "simhash": q_simhash,
         "similarity_topk": q_similarity_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
