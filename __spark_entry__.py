@@ -1351,10 +1351,11 @@ def _cf_sql(kind: str) -> str:
 def _regrid_nonuniform_sql() -> str:
     vg, dst = FX.VEC_GRID, FX.VEC_GRID_DST
     vx, vy = FX.vec_bounds_values_sql(vg)
-    dx, dy = FX.vec_bounds_values_sql(dst)
-    # rename the dst tables' columns
-    dx = dx.replace("vx(vcx, lon_lb, lon_ub)", "dxb(dcx, dlon_lb, dlon_ub)")
-    dy = dy.replace("vy(vcy, lat_lb, lat_ub)", "dyb(dcy, dlat_lb, dlat_ub)")
+    dx0, dy0 = FX.vec_bounds_values_sql(dst)
+    dx = (f"SELECT vcx AS dcx, lon_lb AS dlon_lb, lon_ub AS dlon_ub "
+          f"FROM ({dx0}) dxi")
+    dy = (f"SELECT vcy AS dcy, lat_lb AS dlat_lb, lat_ub AS dlat_ub "
+          f"FROM ({dy0}) dyi")
     n = vg.nx * vg.ny
     return (
         f"WITH src AS (SELECT CAST(i % {vg.nx} AS INT) AS vcx, "
@@ -1438,8 +1439,12 @@ def _split_selection_sql() -> str:
                 f"{g.lat0 + y0 * g.res!r}, {g.lon0 + x1 * g.res!r}, "
                 f"{g.lat0 + y1 * g.res!r})"
             )
+    # CAST to DOUBLE: DuckDB parses the long decimal literals as DECIMAL
+    # and would do exact decimal arithmetic on the clip products otherwise
     tiles = (
-        "SELECT * FROM (VALUES " + ", ".join(rows)
+        "SELECT tile_id, CAST(tminx AS DOUBLE) AS tminx, "
+        "CAST(tminy AS DOUBLE) AS tminy, CAST(tmaxx AS DOUBLE) AS tmaxx, "
+        "CAST(tmaxy AS DOUBLE) AS tmaxy FROM (VALUES " + ", ".join(rows)
         + ") AS t(tile_id, tminx, tminy, tmaxx, tmaxy)"
     )
     area = (
@@ -1483,9 +1488,9 @@ def _tile_vec_sql(kind: str) -> str:
             y0, y1 = ty * VEC_TDIM, min((ty + 1) * VEC_TDIM, vg.ny)
             x0, x1 = tx * VEC_TDIM, min((tx + 1) * VEC_TDIM, vg.nx)
             rows.append(
-                f"({ty * ntx + tx}, {float(xb[x0]) - buf!r}, "
-                f"{float(yb[y0]) - buf!r}, {float(xb[x1]) + buf!r}, "
-                f"{float(yb[y1]) + buf!r})"
+                f"({ty * ntx + tx}, {FX._f(float(xb[x0]) - buf)}, "
+                f"{FX._f(float(yb[y0]) - buf)}, {FX._f(float(xb[x1]) + buf)}, "
+                f"{FX._f(float(yb[y1]) + buf)})"
             )
     tiles = (
         "SELECT * FROM (VALUES " + ", ".join(rows)

@@ -31,8 +31,15 @@ SKEW_FRACTION_PCT = 30  # doc_id % 10 < 3
 
 
 def _f(x: float) -> str:
-    """Format a float so the literal parses identically in both dialects."""
-    return repr(float(x))
+    """Format a float so the literal parses identically in both dialects.
+
+    E-notation forces a DOUBLE literal: DuckDB parses a bare 17-digit
+    decimal as DECIMAL(17,14) and its decimal→double conversion (int/10^14
+    in floating point) can be 1 ulp off the correctly-rounded string parse
+    — enough to flip clip areas at the 1e-15 level. `1.5E0` parses as
+    DOUBLE in BOTH Spark SQL and DuckDB."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "E0"
 
 
 def lonlat_exprs(grid: GridSpec = DOC_GRID) -> tuple[str, str]:
@@ -143,7 +150,11 @@ VEC_GRID_DST = _vg_dst()  # 10x8 differently-stretched destination grid
 
 def vec_bounds_values_sql(vg=VEC_GRID) -> tuple[str, str]:
     """(vx, vy) VALUES tables of the non-uniform cell bounds — the oracle's
-    twin of :func:`ocgis_spark.operators.vectorgrid.bounds_tables`."""
+    twin of :func:`ocgis_spark.operators.vectorgrid.bounds_tables`.
+
+    Every float column is CAST to DOUBLE: DuckDB parses long decimal
+    literals as DECIMAL and would otherwise do exact decimal arithmetic on
+    the bounds (≈2e-15 off the engine's IEEE-double results)."""
     xb, yb = vg.xb(), vg.yb()
     vx = ", ".join(
         f"({i}, {_f(xb[i])}, {_f(xb[i + 1])})" for i in range(vg.nx)
@@ -152,8 +163,12 @@ def vec_bounds_values_sql(vg=VEC_GRID) -> tuple[str, str]:
         f"({i}, {_f(yb[i])}, {_f(yb[i + 1])})" for i in range(vg.ny)
     )
     return (
-        f"SELECT * FROM (VALUES {vx}) AS vx(vcx, lon_lb, lon_ub)",
-        f"SELECT * FROM (VALUES {vy}) AS vy(vcy, lat_lb, lat_ub)",
+        f"SELECT vcx, CAST(lon_lb AS DOUBLE) AS lon_lb, "
+        f"CAST(lon_ub AS DOUBLE) AS lon_ub "
+        f"FROM (VALUES {vx}) AS vx(vcx, lon_lb, lon_ub)",
+        f"SELECT vcy, CAST(lat_lb AS DOUBLE) AS lat_lb, "
+        f"CAST(lat_ub AS DOUBLE) AS lat_ub "
+        f"FROM (VALUES {vy}) AS vy(vcy, lat_lb, lat_ub)",
     )
 
 
