@@ -17,6 +17,7 @@ import json
 import os
 import time
 
+import pandas as pd  # noqa: F401 (pandas_udf type-hint resolution)
 from pyspark.sql import DataFrame
 
 
@@ -27,6 +28,7 @@ def get_converter_map() -> dict[str, object]:
         "csv": convert_csv,
         "wkb-parquet": convert_parquet,  # WKB column is already binary
         "meta-json": convert_meta_only,
+        "geojson": convert_geojson,
     }
 
 
@@ -64,3 +66,56 @@ def convert_csv(df: DataFrame, path: str, ops_doc=None):
 
 def convert_meta_only(df: DataFrame, path: str, ops_doc=None):
     return _write_meta(df, path, "meta-json", ops_doc)
+
+
+def geojson_feature_expr(geom_col: str = "geom", prop_cols: list[str] | None = None):
+    """Column factory: GeoJSON Feature string from a WKB geometry column +
+    property columns — the fiona/GeoJSON sink (``conv/fiona_.py``) without
+    GDAL: pure string assembly in an Arrow pandas UDF (geometry) + JVM
+    ``to_json`` (properties)."""
+    from pyspark.sql import functions as F
+
+    from .geo import wkb as WKB
+
+    @F.pandas_udf("string")
+    def geom_json(wkb_s: pd.Series) -> pd.Series:
+        import json as _json
+
+        out = []
+        for b in wkb_s:
+            if b is None:
+                out.append(None)
+                continue
+            kind, data = WKB.parse_wkb(bytes(b))
+            if kind == "point":
+                gj = {"type": "Point", "coordinates": [data[0], data[1]]}
+            elif kind == "polygon":
+                gj = {"type": "Polygon",
+                      "coordinates": [[[x, y] for x, y in r] for r in data]}
+            else:
+                gj = {"type": "MultiPolygon",
+                      "coordinates": [[[[x, y] for x, y in r] for r in p]
+                                      for p in data]}
+            out.append(_json.dumps(gj, separators=(",", ":")))
+        return pd.Series(out)
+
+    props = F.to_json(F.struct(*[F.col(c) for c in (prop_cols or [])]))
+    return F.concat(
+        F.lit('{"type":"Feature","geometry":'),
+        geom_json(F.col(geom_col)),
+        F.lit(',"properties":'),
+        props,
+        F.lit("}"),
+    )
+
+
+def convert_geojson(df: DataFrame, path: str, ops_doc=None,
+                    geom_col: str = "geom", prop_cols: list[str] | None = None):
+    """GeoJSON sink: one Feature per row as line-delimited text (the
+    streaming-friendly GeoJSONSeq layout; wrap in a FeatureCollection
+    reader-side if needed)."""
+    if prop_cols is None:
+        prop_cols = [c for c in df.columns if c != geom_col]
+    out = df.select(geojson_feature_expr(geom_col, prop_cols).alias("value"))
+    out.write.mode("overwrite").text(path)
+    return _write_meta(df, path, "geojson", ops_doc)

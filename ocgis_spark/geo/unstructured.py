@@ -230,3 +230,40 @@ def decompose_elements(
         & (F.col("miny") <= F.col("cmaxy")) & (F.col("maxy") >= F.col("cminy")),
     )
     return cand.groupBy("elem_id").agg(F.min("chunk_id").alias("chunk_id"))
+
+
+def from_ugrid(
+    node_df: DataFrame, face_node_df: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """UGRID loader: the UGRID mesh topology (node coordinate variables +
+    ``face_node_connectivity``, reference ``driver/nc_ugrid.py`` /
+    ``spatial/geomc.py:129-157``) maps DIRECTLY onto this module's
+    relational model — UGRID's face→node table IS the (elem_id, cindex)
+    connectivity, so the loader only normalizes column names/types.
+
+    ``node_df``: (node_id, x, y); ``face_node_df`` either
+    (face_id, node_ids array<bigint>) or exploded (face_id, ord, node_id).
+    Returns (elements, nodes) ready for subset_elements/decompose_elements."""
+    nodes = node_df.select(
+        F.col("node_id").cast("bigint").alias("node_id"),
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    )
+    cols = set(face_node_df.columns)
+    if "node_ids" in cols:
+        elements = face_node_df.select(
+            F.col("face_id").cast("bigint").alias("elem_id"),
+            F.col("node_ids").cast("array<bigint>").alias("cindex"),
+        )
+    else:
+        elements = (
+            face_node_df.groupBy(F.col("face_id").alias("elem_id"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "node_id"))),
+                    lambda s: s["node_id"].cast("bigint"),
+                ).alias("cindex")
+            )
+            .select(F.col("elem_id").cast("bigint"), "cindex")
+        )
+    return elements, nodes

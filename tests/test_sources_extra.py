@@ -69,3 +69,58 @@ def test_netcdf_ingest_axis_discovery():
     assert mod.discover_dimension_map(DS2()) == {
         "time": "t", "y": "lat", "x": "lon"
     }
+
+
+def test_geojson_sink_roundtrip(spark, tmp_path):
+    """GeoJSON sink: WKB polygons + properties -> line-delimited Features
+    that json-parse back to the same geometry."""
+    import json
+
+    import pandas as pd
+
+    from ocgis_spark import conv
+    from ocgis_spark.geo import wkb as WKB
+
+    pdf = pd.DataFrame({
+        "ugid": [1, 2],
+        "geom": [bytearray(WKB.box_to_wkb(0, 0, 1, 1)),
+                 bytearray(WKB.point_to_wkb(2.5, 3.5))],
+        "name": ["box", "pt"],
+    })
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "gj")
+    conv.convert_geojson(df, out, geom_col="geom")
+    lines = []
+    import glob
+    for f in glob.glob(out + "/part-*"):
+        lines += [ln for ln in open(f).read().splitlines() if ln]
+    feats = sorted((json.loads(ln) for ln in lines),
+                   key=lambda f: f["properties"]["ugid"])
+    assert feats[0]["geometry"]["type"] == "Polygon"
+    assert feats[0]["geometry"]["coordinates"][0][0] == [0.0, 0.0]
+    assert feats[0]["properties"] == {"ugid": 1, "name": "box"}
+    assert feats[1]["geometry"] == {"type": "Point", "coordinates": [2.5, 3.5]}
+
+
+def test_from_ugrid_loader(spark):
+    """UGRID node + face_node tables -> mesh; subset matches expectations."""
+    import numpy as np
+    import pandas as pd
+
+    from ocgis_spark.fixtures import rect_ring
+    from ocgis_spark.geo import unstructured as U
+
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "node_id": [0, 1, 2, 3, 4, 5],
+        "x": [0.0, 1.0, 2.0, 0.0, 1.0, 2.0],
+        "y": [0.0, 0.0, 0.0, 1.0, 1.0, 1.0],
+    }))
+    faces = spark.createDataFrame(pd.DataFrame({
+        "face_id": [0, 1],
+        "node_ids": [[0, 1, 4, 3], [1, 2, 5, 4]],
+    }))
+    elems, nd = U.from_ugrid(nodes, faces)
+    out = U.subset_elements(
+        elems, nd, [rect_ring(-0.5, -0.5, 0.9, 1.5)], keep_touches=False
+    ).toPandas()
+    assert list(out.elem_id) == [0]  # only the left quad strictly overlaps
