@@ -239,20 +239,27 @@ class OcgOperations:
         if self.select_nearest:
             from .geo.cellindex import VectorGridSpec
 
-            if isinstance(grid, VectorGridSpec):
-                raise DefinitionValidationError(
-                    "select_nearest requires a uniform GridSpec (ring-"
-                    "expansion kNN bound assumes constant resolution)"
-                )
             if not isinstance(self.geom, (bytes, bytearray)):
                 raise DefinitionValidationError(
                     "select_nearest needs a point WKB geom"
                 )
             kind, (qx, qy) = WKB.parse_wkb(bytes(self.geom))
-            nearest = knn_ops.knn_cells(df, grid, qx, qy, k=1).select(
-                "cell_y", "cell_x"
-            )
-            df = df.join(F.broadcast(nearest), ["cell_y", "cell_x"], "leftsemi")
+            if isinstance(grid, VectorGridSpec):
+                pts = spark.createDataFrame(
+                    [(0, float(qx), float(qy))],
+                    "qid int, qlon double, qlat double",
+                )
+                nearest = knn_ops.knn_join_vector(
+                    pts, df.select("vcx", "vcy"), grid, k=1
+                ).select("vcy", "vcx")
+                df = df.join(F.broadcast(nearest), ["vcy", "vcx"], "leftsemi")
+            else:
+                nearest = knn_ops.knn_cells(df, grid, qx, qy, k=1).select(
+                    "cell_y", "cell_x"
+                )
+                df = df.join(
+                    F.broadcast(nearest), ["cell_y", "cell_x"], "leftsemi"
+                )
 
         # aggregation / calcs (engine.py:573-613; calc/engine.py:48-157)
         if self.aggregate:

@@ -234,3 +234,44 @@ def test_facade_vector_grid_clip(spark):
     ).toPandas()
     assert len(out) == len(direct) > 0
     assert out["clip_area"].sum() == direct["clip_area"].sum()
+
+
+def test_facade_vector_grid_select_nearest(spark):
+    """select_nearest on a VectorGridSpec: rows collapse to the single
+    nearest occupied cell."""
+    import numpy as np
+    import pandas as pd
+
+    from ocgis_spark import fixtures as FX
+    from ocgis_spark.geo import wkb as WKB
+    from ocgis_spark.operators import vectorgrid as VG
+    from ocgis_spark.ops import OcgOperations
+    from ocgis_spark.request import Field
+
+    vg = FX.VEC_GRID
+    pdf = pd.DataFrame({
+        "lon": np.linspace(-105.4, -101.6, 200),
+        "lat": np.linspace(36.6, 40.4, 200),
+        "value": np.arange(200, dtype="f8"),
+        "ts": pd.Timestamp("2024-01-01"),
+    })
+    df = VG.encode_cells(spark.createDataFrame(pdf), vg)
+    fld = Field(df, {"time": "ts", "x": "lon", "y": "lat", "value": "value"}, vg)
+    ops = OcgOperations(
+        dataset=fld, geom=bytes(WKB.point_to_wkb(*FX.QUERY_POINT)),
+        select_nearest=True, grid=vg,
+    )
+    out = ops.execute(spark).toPandas()
+    assert len(out) > 0
+    assert out[["vcx", "vcy"]].drop_duplicates().shape[0] == 1
+    # the chosen cell must be the argmin centroid distance among occupied
+    occ = df.select("vcx", "vcy").distinct().toPandas()
+    qx, qy = FX.QUERY_POINT
+    best, bd = None, 1e18
+    for r in occ.itertuples():
+        minx, miny, maxx, maxy = vg.bounds([int(r.vcy)], [int(r.vcx)])
+        cx, cy = (minx[0] + maxx[0]) / 2, (miny[0] + maxy[0]) / 2
+        d = ((cx - qx) ** 2 + (cy - qy) ** 2) ** 0.5
+        if d < bd or (d == bd and (r.vcy, r.vcx) < best):
+            best, bd = (r.vcy, r.vcx), d
+    assert (out["vcy"].iloc[0], out["vcx"].iloc[0]) == best
