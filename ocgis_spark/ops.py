@@ -262,7 +262,36 @@ class OcgOperations:
                 )
 
         # aggregation / calcs (engine.py:573-613; calc/engine.py:48-157)
-        if self.aggregate:
+        if self.aggregate and self.calc:
+            # reference semantics (test_simple.test_calc, calc_raw=False):
+            # spatially aggregate PER TIME STEP, then run the temporal calc
+            # over the aggregated series
+            weight = "clip_area" if self.spatial_operation == "clip" else None
+            gb = df.groupBy(ts)
+            if weight and weight in df.columns:
+                df = gb.agg(
+                    (F.sum(F.col(value) * F.col(weight)) / F.sum(weight)).alias(value)
+                )
+            else:
+                df = gb.agg(F.avg(value).alias(value))
+            df, keys = self._with_grouping_keys(df, ts)
+            outs = []
+            for c in self.calc:
+                func = c["func"]
+                if str(func).startswith("eval="):
+                    df = calcmath.eval_expr(df, func[len("eval="):])
+                    continue
+                parms = {k: v for k, v in c.items()
+                         if k not in ("func", "name")}
+                out = calc_registry.get(func)(df, keys, value=value, ts=ts, **parms)
+                if "name" in c and func in out.columns:
+                    out = out.withColumnRenamed(func, c["name"])
+                outs.append(out)
+            if outs:
+                df = outs[0]
+                for o in outs[1:]:
+                    df = df.join(o, keys, "outer")
+        elif self.aggregate:
             weight = "clip_area" if self.spatial_operation == "clip" else None
             if weight and weight in df.columns:
                 df = agg_ops.area_weighted_mean(df, value, weight)
