@@ -75,3 +75,28 @@ def test_decode_exprs_run_in_duckdb():
         f"{ex['cf_day']} AS d, {ex['cf_doy']} AS doy FROM (SELECT 59 AS v)"
     ).fetchone()
     assert row == (2000, 3, 1, 60)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(min_value=-200_000, max_value=200_000),
+       st.sampled_from(["360_day", "noleap", "all_leap"]))
+@settings(max_examples=80, deadline=None)
+def test_decode_roundtrip_property(off, calendar):
+    """Property: decode is a bijection — re-encoding (year, doy) returns
+    the absolute day offset, and fields stay in range."""
+    ex = CF.decode_exprs("v", calendar, "days since 2000-01-01")
+    import duckdb
+
+    y, m, d, doy = duckdb.sql(
+        f"SELECT {ex['cf_year']}, {ex['cf_month']}, {ex['cf_day']}, "
+        f"{ex['cf_doy']} FROM (SELECT {off} AS v)"
+    ).fetchone()
+    ylen = {"360_day": 360, "noleap": 365, "all_leap": 366}[calendar]
+    assert 1 <= m <= 12 and d >= 1 and 1 <= doy <= ylen
+    # re-encode: absolute day = (y - 2000)*ylen + doy - 1 must equal off
+    assert (y - 2000) * ylen + doy - 1 == off
+    if calendar == "360_day":
+        assert d <= 30 and doy == (m - 1) * 30 + d

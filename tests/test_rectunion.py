@@ -132,3 +132,27 @@ def test_split_polygon_by_boxes_conserves_area():
         pts = np.vstack(p[0])
         assert pts[:, 0].min() >= minx - 1e-12 and pts[:, 0].max() <= maxx + 1e-12
         assert pts[:, 1].min() >= miny - 1e-12 and pts[:, 1].max() <= maxy + 1e-12
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(min_value=0, max_value=100_000))
+@settings(max_examples=60, deadline=None)
+def test_union_of_random_grid_subset_conserves_area(seed):
+    """Property: union of a random subset of grid cells has area == cell
+    count (unit cells), rings close, outer areas positive."""
+    rng = np.random.RandomState(seed)
+    n = rng.randint(1, 7)
+    taken = set()
+    while len(taken) < rng.randint(1, n * n + 1):
+        taken.add((rng.randint(0, n), rng.randint(0, n)))
+    specs = [(float(x), float(y), float(x + 1), float(y + 1)) for x, y in taken]
+    a = np.array(specs)
+    polys = RU.union_boxes(a[:, 0], a[:, 1], a[:, 2], a[:, 3])
+    assert RU.union_area(polys) == pytest.approx(len(taken), abs=1e-12)
+    for p in polys:
+        assert G.ring_area(p[0]) > 0
+        for ring in p:
+            assert (ring[0] == ring[-1]).all()
