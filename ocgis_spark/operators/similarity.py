@@ -158,7 +158,9 @@ def embedding_near_dups_ivf(
     from equal nearest-centroid buckets, exact cosine verifies. Misses
     pairs straddling a centroid boundary (recall/cost knob: more centroids
     → fewer candidates, lower recall — same trade as nprobe)."""
-    lists = ivf_assign(emb, centroids)
+    # persist: the self-join would otherwise re-run the assignment UDF on
+    # both sides (the executedPlan duplicates the subtree per join branch)
+    lists = ivf_assign(emb, centroids).persist()
     a = lists.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
         "bucket",
