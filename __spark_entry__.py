@@ -969,6 +969,24 @@ def q_regrid_nonuniform(spark, sf_dir):
     )
 
 
+def q_zonal_stats_nonuniform(spark, sf_dir):
+    """Multi-geometry zonal statistics on the NON-UNIFORM grid: two
+    selection geometries share one scan (SpatialCollection analogue),
+    per-ugid means + distinct-cell counts."""
+    dg = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat", "value")
+    enc = vectorgrid.encode_cells(dg, FX.VEC_GRID)
+    polys = [(1, [FX.rect_ring(*_RECT)]), (2, [_PENTA])]
+    sub = vectorgrid.spatial_subset_many(
+        spark, enc, FX.VEC_GRID, polys, abstraction="point",
+        keep_touches=True,
+    )
+    return sub.groupBy("ugid").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vcy", "vcx").alias("n_cells"),
+    )
+
+
 def q_knn_point_nonuniform(spark, sf_dir):
     """k=5 nearest cells on the stretched grid (index-disk expansion with
     the min-cell-width exhaustiveness bound)."""
@@ -1400,6 +1418,24 @@ def _nonconvex_clip_sql() -> str:
         f"SELECT cell_y, cell_x, round({area}, 9) AS clip_area "
         f"FROM (SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg) c "
         f"WHERE {area} > 1e-12"
+    )
+
+
+def _zonal_vec_sql() -> str:
+    vx, vy = FX.vec_bounds_values_sql()
+    assign = (
+        f"SELECT dg.doc_id, dg.lon, dg.lat, dg.value, vx.vcx, vy.vcy "
+        f"FROM ({_DG}) dg "
+        f"JOIN ({vx}) vx ON dg.lon >= vx.lon_lb AND dg.lon < vx.lon_ub "
+        f"JOIN ({vy}) vy ON dg.lat >= vy.lat_lb AND dg.lat < vy.lat_ub"
+    )
+    return (
+        f"SELECT ugid, round(avg(value), 6) AS mean_value, count(*) AS n, "
+        f"count(DISTINCT (vcy, vcx)) AS n_cells FROM ("
+        f"SELECT 1 AS ugid, value, vcy, vcx FROM ({assign}) a "
+        f"WHERE {FX.rect_pred_sql(_RECT)} "
+        f"UNION ALL SELECT 2 AS ugid, value, vcy, vcx FROM ({assign}) a "
+        f"WHERE {_penta_pred()}) u GROUP BY ugid"
     )
 
 
@@ -2066,6 +2102,7 @@ def oracle_sql() -> dict[str, str]:
         "split_selection": _split_selection_sql(),
         "regrid_nonuniform": _regrid_nonuniform_sql(),
         "knn_point_nonuniform": _knn_vec_sql(),
+        "zonal_stats_nonuniform": _zonal_vec_sql(),
         # the L-shape is the union of two rectangles -> its clip area has a
         # closed inclusion-exclusion form the oracle can state exactly,
         # upgrading this from a rows-only check to a value-hash check
@@ -2125,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_selection": q_split_selection,
         "regrid_nonuniform": q_regrid_nonuniform,
         "knn_point_nonuniform": q_knn_point_nonuniform,
+        "zonal_stats_nonuniform": q_zonal_stats_nonuniform,
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
         "union_geometry": q_union_geometry,
@@ -2151,7 +2189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
-        "chunk_documents": q_chunk_documents,
         "sessionize": q_sessionize,
         "top_tokens": q_top_tokens,
         "multimodal_features": q_multimodal_features,
@@ -2162,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_HD17": q_icclim_hd17,
         "daily_perc_window": q_daily_perc_window,
         # ---- driver window boundary (~50) ----
+        "chunk_documents": q_chunk_documents,
         "clean_text": q_clean_text,
         "train_test_split": q_train_test_split,
         "time_range": q_time_range,

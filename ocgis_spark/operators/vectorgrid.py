@@ -253,3 +253,120 @@ def curvilinear_subset(
     return U.subset_elements(
         elems, nodes, rings, keep_touches=keep_touches, operation=operation
     )
+
+
+def spatial_subset_many(
+    spark: SparkSession,
+    df: DataFrame,
+    vg: VectorGridSpec,
+    polys: list,
+    abstraction: str = "point",
+    keep_touches: bool | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Multi-geometry subset on a NON-UNIFORM grid (the SpatialCollection
+    analogue, mirroring ``spatial.spatial_subset_many``): one broadcast
+    (ugid, vcy, vcx) covering for all polygons, then a single CASE-chained
+    exact phase (rect/convex → Catalyst; general rings → one Arrow UDF).
+    All ugids share one scan of the big side."""
+    from . import spatial as S
+
+    if keep_touches is None:
+        keep_touches = abstraction == "point"
+    ug_parts, cy_parts, cx_parts = [], [], []
+    for ugid, rings in polys:
+        cy, cx = covering_cells(vg, rings)
+        ug_parts.append(np.full(len(cy), int(ugid), dtype="i4"))
+        cy_parts.append(cy.astype("i4"))
+        cx_parts.append(cx.astype("i4"))
+    cov = spark.createDataFrame(
+        pd.DataFrame({
+            "ugid": np.concatenate(ug_parts),
+            "vcy": np.concatenate(cy_parts),
+            "vcx": np.concatenate(cx_parts),
+        })
+    )
+    cand = df.join(
+        F.broadcast(cov),
+        (df["vcy"] == cov["vcy"]) & (df["vcx"] == cov["vcx"]),
+        "inner",
+    ).drop(cov["vcy"]).drop(cov["vcx"])
+    if abstraction == "point":
+        # the exact phase is grid-independent — reuse the uniform path's
+        # CASE-chained predicate machinery by faking a per-ugid filter
+        exprs = None
+        udf_polys = {}
+        for ugid, rings in polys:
+            rings = [np.asarray(r, dtype="f8") for r in rings]
+            if G._rings_is_axis_rect(rings):
+                pts = np.vstack(rings)
+                minx, miny = float(pts[:, 0].min()), float(pts[:, 1].min())
+                maxx, maxy = float(pts[:, 0].max()), float(pts[:, 1].max())
+                if keep_touches:
+                    e = ((F.col(lon) >= minx) & (F.col(lon) <= maxx)
+                         & (F.col(lat) >= miny) & (F.col(lat) <= maxy))
+                else:
+                    e = ((F.col(lon) > minx) & (F.col(lon) < maxx)
+                         & (F.col(lat) > miny) & (F.col(lat) < maxy))
+            elif len(rings) == 1 and G.ring_is_convex_ccw(rings[0]):
+                e = None
+                for (x1, y1), (x2, y2) in zip(rings[0][:-1], rings[0][1:]):
+                    d = (F.lit(float(x2)) - F.lit(float(x1))) * (
+                        F.col(lat) - F.lit(float(y1))
+                    ) - (F.lit(float(y2)) - F.lit(float(y1))) * (
+                        F.col(lon) - F.lit(float(x1))
+                    )
+                    term = (d >= 0.0) if keep_touches else (d > 0.0)
+                    e = term if e is None else (e & term)
+            else:
+                udf_polys[int(ugid)] = rings
+                continue
+            c = (F.col("ugid") == int(ugid)) & e
+            exprs = c if exprs is None else (exprs | c)
+        if udf_polys:
+            kt = keep_touches
+
+            @F.pandas_udf("boolean")
+            def pip_many(ugid_s: pd.Series, lon_s: pd.Series,
+                         lat_s: pd.Series) -> pd.Series:
+                px, py = lon_s.to_numpy("f8"), lat_s.to_numpy("f8")
+                ug = ugid_s.to_numpy()
+                out = np.zeros(len(px), dtype=bool)
+                for u, rings in udf_polys.items():
+                    m = ug == u
+                    if m.any():
+                        out[m] = G.points_in_polygon(px[m], py[m], rings, kt)
+                return pd.Series(out)
+
+            uc = F.col("ugid").isin(list(udf_polys)) & pip_many(
+                F.col("ugid"), F.col(lon), F.col(lat))
+            exprs = uc if exprs is None else (exprs | uc)
+        return cand.filter(exprs)
+    # polygon abstraction: bounds + per-ugid batch clip in one Arrow UDF
+    b = with_cell_bounds(cand, spark, vg)
+    udf_polys = {int(u): [np.asarray(r, "f8") for r in rs] for u, rs in polys}
+    kt = keep_touches
+
+    @F.pandas_udf("double")
+    def clip_many(ugid_s: pd.Series, lon_lb: pd.Series, lat_lb: pd.Series,
+                  lon_ub: pd.Series, lat_ub: pd.Series) -> pd.Series:
+        ug = ugid_s.to_numpy()
+        out = np.full(len(ug), -1.0)
+        for u, rings in udf_polys.items():
+            m = ug == u
+            if m.any():
+                keep, areas = G.boxes_intersect_polygon(
+                    lon_lb.to_numpy("f8")[m], lat_lb.to_numpy("f8")[m],
+                    lon_ub.to_numpy("f8")[m], lat_ub.to_numpy("f8")[m],
+                    rings, keep_touches=kt,
+                )
+                out[m] = np.where(keep, areas, -1.0)
+        return pd.Series(out)
+
+    out = b.withColumn(
+        "clip_area",
+        clip_many(F.col("ugid"), F.col("lon_lb"), F.col("lat_lb"),
+                  F.col("lon_ub"), F.col("lat_ub")),
+    ).filter(F.col("clip_area") >= 0.0 if kt else F.col("clip_area") > G.EPS_AREA)
+    return out.drop("lon_lb", "lon_ub", "lat_lb", "lat_ub")
