@@ -156,3 +156,71 @@ def test_conservative_regrid_vector_properties(spark):
     out = out.sort_values("dst_id")
     assert np.allclose(out["dst_value"].to_numpy(), out2["dst_value"].to_numpy(),
                        rtol=1e-12)
+
+
+def test_vector_multi_geometry_clip_matches_scalar(spark):
+    """spatial_subset_many polygon abstraction on the vector grid: per-ugid
+    clip areas match the scalar kernel for both a rect and the pentagon."""
+    vg = FX.VEC_GRID
+    cells = spark.createDataFrame(
+        pd.DataFrame({
+            "vcx": np.tile(np.arange(vg.nx, dtype="i4"), vg.ny),
+            "vcy": np.repeat(np.arange(vg.ny, dtype="i4"), vg.nx),
+        })
+    )
+    rect = FX.rect_ring(-104.3, 37.6, -102.7, 39.4)
+    polys = [(1, [rect]), (2, [FX.QUERY_PENTAGON])]
+    out = VG.spatial_subset_many(
+        spark, cells, vg, polys, abstraction="polygon", keep_touches=False
+    ).toPandas()
+    assert set(out["ugid"]) == {1, 2}
+    for _, r in out.iterrows():
+        minx, miny, maxx, maxy = vg.bounds([int(r.vcy)], [int(r.vcx)])
+        rings = [rect] if r.ugid == 1 else [FX.QUERY_PENTAGON]
+        exp = G.box_polygon_clip_area(rings, minx[0], miny[0], maxx[0], maxy[0])
+        assert r.clip_area == pytest.approx(exp, rel=1e-12)
+    # per-ugid totals conserve the selection areas
+    tot = out.groupby("ugid")["clip_area"].sum()
+    assert tot[1] == pytest.approx(1.6 * 1.8, rel=1e-9)
+    assert tot[2] == pytest.approx(G.polygon_area([FX.QUERY_PENTAGON]), rel=1e-9)
+
+
+def test_streaming_subset_on_vector_grid(spark, tmp_path):
+    """The same vector-grid subset operator runs unchanged on a document
+    STREAM (stream == batch per-cell counts)."""
+    from pyspark.sql import functions as F
+
+    vg = FX.VEC_GRID
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(3000),
+        "lon": rng.uniform(-105.5, -101.5, 3000),
+        "lat": rng.uniform(36.5, 40.5, 3000),
+    })
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    batch = VG.encode_cells(spark.read.parquet(src), vg)
+    rect = (-104.3, 37.6, -102.7, 39.4)
+    from ocgis_spark.operators import spatial
+    b_out = (
+        spatial.bbox_filter(batch, rect)
+        .groupBy("vcx", "vcy").count().toPandas()
+        .sort_values(["vcx", "vcy"]).reset_index(drop=True)
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    s_enc = VG.encode_cells(stream, vg)
+    s_out = spatial.bbox_filter(s_enc, rect).groupBy("vcx", "vcy").count()
+    q = (
+        s_out.writeStream.format("memory").queryName("vec_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM vec_stream").toPandas()
+        .sort_values(["vcx", "vcy"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, b_out)
