@@ -311,6 +311,44 @@ def _vdtr(df, keys, series_key="user_id", tasmax="tasmax", tasmin="tasmin",
     )
 
 
+# ---- multivariate / scalar calcs (math.py:33-45, calc/base.py:771) ----
+# These are ROW-LEVEL functions (the reference's AbstractMultivariate /
+# univariate non-set functions): they add a column instead of aggregating.
+# OcgOperations applies them in place; with calc_grouping set it then
+# takes the per-group mean of the computed column (the reference's
+# temporal aggregation of multivariate output).
+
+SCALAR_CALCS: dict[str, Callable] = {}
+
+
+def register_scalar(name: str):
+    def deco(fn):
+        SCALAR_CALCS[name] = fn
+        return fn
+    return deco
+
+
+@register_scalar("divide")
+def _divide(df: DataFrame, out: str, arr1: str = "value", arr2: str = "value",
+            **_) -> DataFrame:
+    return df.withColumn(out, F.col(arr1) / F.col(arr2))
+
+
+@register_scalar("ln")
+def _ln(df: DataFrame, out: str, value: str = "value", **_) -> DataFrame:
+    return df.withColumn(out, F.log(F.col(value)))
+
+
+@register_scalar("exp")
+def _exp(df: DataFrame, out: str, value: str = "value", **_) -> DataFrame:
+    return df.withColumn(out, F.exp(F.col(value)))
+
+
+@register_scalar("abs")
+def _abs(df: DataFrame, out: str, value: str = "value", **_) -> DataFrame:
+    return df.withColumn(out, F.abs(F.col(value)))
+
+
 def validate_eval_expr(expr: str) -> None:
     """Whitelist validation mirroring the reference's parse check
     (``calc/eval_function.py:60-110``): only known functions allowed."""

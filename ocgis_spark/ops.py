@@ -85,7 +85,8 @@ class OcgOperations:
             for c in self.calc:
                 if "func" not in c:
                     raise DefinitionValidationError("calc entries need 'func'")
-                if not str(c["func"]).startswith("eval="):
+                func = str(c["func"])
+                if not func.startswith("eval=") and func not in calc_registry.SCALAR_CALCS:
                     try:
                         calc_registry.get(c["func"])
                     except KeyError as e:
@@ -300,10 +301,19 @@ class OcgOperations:
         elif self.calc:
             df, keys = self._with_grouping_keys(df, ts)
             outs = []
+            scalar_cols = []
             for c in self.calc:
                 func = c["func"]
                 if str(func).startswith("eval="):
                     df = calcmath.eval_expr(df, func[len("eval="):])
+                    continue
+                if func in calc_registry.SCALAR_CALCS:
+                    # row-level (multivariate) calc: adds a column in place
+                    # (AbstractMultivariateFunction, calc/base.py:771)
+                    name = c.get("name", func)
+                    kwds = dict(c.get("kwds", {}))
+                    df = calc_registry.SCALAR_CALCS[func](df, name, **kwds)
+                    scalar_cols.append(name)
                     continue
                 parms = {k: v for k, v in c.items() if k not in ("func", "name")}
                 out = calc_registry.get(func)(df, keys, value=value, ts=ts, **parms)
@@ -317,6 +327,12 @@ class OcgOperations:
                 df = outs[0]
                 for o in outs[1:]:
                     df = df.join(o, keys, "outer")
+            elif scalar_cols and self.calc_grouping:
+                # temporal aggregation of multivariate output
+                # (test_simple.test_calc_multivariate: grouped shape)
+                df = df.groupBy(*keys).agg(
+                    *[F.avg(c).alias(c) for c in scalar_cols]
+                )
 
         # melted output (csv converter's melted form, conv/csv_.py):
         # data variables stacked to (variable, value) rows

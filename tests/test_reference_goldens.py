@@ -89,3 +89,44 @@ def test_aggregate_only_returns_2_5(spark):
     row = out.collect()[0]
     assert row["wmean"] == pytest.approx(2.5)
     assert row["n"] == 16
+
+
+def test_calc_multivariate_divide(spark):
+    """test_simple.test_calc_multivariate: divide(var1, var2); grouped by
+    month -> per-group mean of the quotient (golden: value/2 -> 1.25)."""
+    df = _golden_ts(spark, n_days=40).withColumn("var2", F.lit(2.0))
+    ops = OcgOperations(
+        dataset=Field(df, {"time": "ts", "x": "lon", "y": "lat",
+                           "value": "value"}, GOLDEN_GRID),
+        calc=[{"func": "divide", "name": "divide",
+               "kwds": {"arr1": "value", "arr2": "var2"}}],
+        calc_grouping=["month"],
+    )
+    out = ops.execute(spark).toPandas()
+    assert len(out) == 2  # the 40 days span 2 months
+    assert np.allclose(out["divide"], 1.25)
+
+    # ungrouped: row-level column, mean still 1.25
+    ops2 = OcgOperations(
+        dataset=Field(df, {"time": "ts", "x": "lon", "y": "lat",
+                           "value": "value"}, GOLDEN_GRID),
+        calc=[{"func": "divide", "name": "divide",
+               "kwds": {"arr1": "value", "arr2": "var2"}}],
+    )
+    out2 = ops2.execute(spark)
+    assert out2.agg(F.avg("divide")).collect()[0][0] == pytest.approx(1.25)
+
+
+def test_snippet_time_region_combination(spark):
+    """test_simple.test_snippet_time_region: both subsets compose."""
+    df = _golden_ts(spark, n_days=61)
+    ops = OcgOperations(
+        dataset=Field(df, {"time": "ts", "x": "lon", "y": "lat",
+                           "value": "value"}, GOLDEN_GRID),
+        time_region={"month": [4]}, snippet=True,
+    )
+    out = ops.execute(spark).toPandas()
+    # snippet keeps only the first remaining time step (April 1) x 16 cells
+    assert len(out) == 16
+    assert set(pd.to_datetime(out["ts"]).dt.month) == {4}
+    assert set(pd.to_datetime(out["ts"]).dt.day) == {1}
