@@ -174,6 +174,39 @@ def minhash_signatures_from_tokens(
     return toks.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_narrow(
+    df: DataFrame, text: str = "text", hash_fn: str = "xxhash64",
+    n: int = SHINGLE_LEN,
+) -> DataFrame:
+    """MinHash signatures as a pure NARROW MAP: build the shingle array
+    per row and take ``array_min`` of the transformed hashes — min is
+    duplicate-insensitive, so skipping the distinct/groupBy changes
+    nothing. ZERO shuffle: the signature stage of a 100-TB banding run
+    costs one scan. (The groupBy form stays for pipelines that need the
+    exploded token set anyway — exact-Jaccard verification reuses it.)
+
+    Shingling matches :func:`doc_shingles` exactly (raw column; callers
+    pre-normalize, as minhash_dedup's corpus derivation does)."""
+    col = F.col(text)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
+        lambda i: col.substr(i, F.lit(n)),
+    )
+    # NOTE: the lambda must be UNARY — F.transform passes the array index
+    # as a second argument to binary callables (a `lambda s, i=i:` closure
+    # silently receives the position instead of the captured seed)
+    def mk(i: int):
+        if hash_fn == "md5":
+            return lambda s: F.md5(F.concat(F.lit(f"{i}#"), s))
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    cols = [
+        F.array_min(F.transform(shingles, mk(i))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return df.select("doc_id", *cols)
+
+
 def simhash(df: DataFrame, text: str = "text") -> DataFrame:
     """SIM_BITS-bit SimHash: bit b votes -1/+1 per token from one hex char
     of md5(b || '#' || token); sign of the vote sum sets the bit. Matches

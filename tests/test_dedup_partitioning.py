@@ -175,3 +175,20 @@ def test_duplicate_components_chain_and_keep_canonical(spark):
     )
     kept = dedup.dedup_keep_canonical(docs, pairs).toPandas()
     assert sorted(kept.doc_id) == [1, 10, 99]
+
+
+def test_minhash_narrow_signatures_match_grouped(spark):
+    """The zero-shuffle array_min signature path is bit-identical to the
+    explode+groupBy path (min is duplicate-insensitive), for both hash
+    families, and its plan has no Exchange."""
+    from ocgis_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn in ("md5", "xxhash64"):
+        a = dedup.minhash_signatures(docs, "text", hash_fn=fn).toPandas()
+        b = dedup.minhash_signatures_narrow(docs, "text", hash_fn=fn).toPandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+    plan = dedup.minhash_signatures_narrow(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
