@@ -556,6 +556,16 @@ def q_cf_noleap_group(spark, sf_dir):
     )
 
 
+def q_cf_daily_perc_360(spark, sf_dir):
+    """Calendar-aware daily_perc: doy basis on the 360-day calendar (wraps
+    at 360, not 365) — daily_perc x cfcalendar composition."""
+    from ocgis_spark.operators import cfcalendar as CF
+    ev = _events(spark, sf_dir).withColumn("cf_off", F.expr(CF_OFF_EXPR))
+    out = CF.cf_daily_perc(ev, "cf_off", "360_day", CF_UNITS_360,
+                           percentile=0.9, window=5)
+    return out.select("basis_doy", F.round("perc", 6).alias("perc"))
+
+
 def q_time_range(spark, sf_dir):
     ev = temporal.with_time_bounds(_events(spark, sf_dir))
     out = temporal.time_range(ev, "2024-01-05 00:00:00", "2024-01-10 00:00:00")
@@ -1357,6 +1367,15 @@ def _cf_sql(kind: str) -> str:
             f"{ex['cf_month']} AS cf_month, {ex['cf_day']} AS cf_day, "
             f"{ex['cf_doy']} AS cf_doy FROM events"
         )
+    if kind == "daily_perc":
+        ex = CF.decode_exprs(f"({CF_OFF_EXPR})", "360_day", CF_UNITS_360)
+        return (
+            f"SELECT basis_doy, round(quantile_cont(v, 0.9), 6) AS perc FROM ("
+            f"SELECT (({ex['cf_doy']} - 1 + off + 360) % 360) + 1 AS basis_doy, "
+            f"value AS v FROM events, "
+            f"(SELECT unnest(generate_series(-2, 2)) AS off) o) t "
+            f"GROUP BY basis_doy"
+        )
     ex = CF.decode_exprs(f"({CF_OFF_EXPR})", "noleap", CF_UNITS_NOLEAP)
     return (
         f"SELECT cf_year, cf_month, count(*) AS n, "
@@ -1877,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cf_decode_360day": _cf_sql("360"),
         "cf_noleap_group": _cf_sql("noleap"),
+        "cf_daily_perc_360": _cf_sql("daily_perc"),
         "time_range": (
             "SELECT event_id, epoch_us(ts) AS ts_us FROM events "
             "WHERE ts + INTERVAL 12 HOUR >= TIMESTAMP '2024-01-05 00:00:00' "
@@ -2194,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "cf_decode_360day": q_cf_decode_360day,
         "cf_noleap_group": q_cf_noleap_group,
+        "cf_daily_perc_360": q_cf_daily_perc_360,
         "icclim_TX90p": q_icclim_tx90p,
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,

@@ -134,3 +134,35 @@ def cf_time_region(
     if days:
         out = out.filter(F.col("cf_day").isin([int(d) for d in days]))
     return out
+
+
+def cf_daily_perc(
+    df: DataFrame,
+    col: str,
+    calendar: str,
+    units: str,
+    percentile: float = 0.9,
+    window: int = 5,
+    value: str = "value",
+) -> DataFrame:
+    """Day-of-year percentile basis on a CF-calendar axis — the
+    calendar-aware form of ``temporal.daily_perc`` (``statistics.py:
+    138-352``): each row contributes to the 2w+1 doy bins around its own
+    calendar doy, wrapping at the calendar's year length (360/365/366)
+    instead of 365. One shuffle, no self-join."""
+    assert window % 2 == 1
+    half = window // 2
+    cal = _ALIASES.get(calendar, calendar)
+    ylen = _YEAR_LEN[cal]
+    dec = decode_time(df, col, calendar, units)
+    contrib = dec.select(
+        F.explode(F.sequence(F.lit(-half), F.lit(half))).alias("off"),
+        F.col("cf_doy").alias("doy"),
+        F.col(value).alias("v"),
+    ).select(
+        ((F.col("doy") - 1 + F.col("off") + ylen) % ylen + 1).alias("basis_doy"),
+        "v",
+    )
+    return contrib.groupBy("basis_doy").agg(
+        F.percentile("v", F.lit(float(percentile))).alias("perc")
+    )
