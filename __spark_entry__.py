@@ -2218,8 +2218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_TX90p": q_icclim_tx90p,
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,
-        "daily_perc_window": q_daily_perc_window,
         # ---- driver window boundary (~50) ----
+        "daily_perc_window": q_daily_perc_window,
         "chunk_documents": q_chunk_documents,
         "clean_text": q_clean_text,
         "train_test_split": q_train_test_split,
