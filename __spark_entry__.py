@@ -2210,7 +2210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "sessionize": q_sessionize,
-        "top_tokens": q_top_tokens,
         "multimodal_features": q_multimodal_features,
         "cf_decode_360day": q_cf_decode_360day,
         "cf_noleap_group": q_cf_noleap_group,
@@ -2219,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,
         # ---- driver window boundary (~50) ----
+        "top_tokens": q_top_tokens,
         "daily_perc_window": q_daily_perc_window,
         "chunk_documents": q_chunk_documents,
         "clean_text": q_clean_text,
