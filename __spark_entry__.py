@@ -997,6 +997,31 @@ def q_zonal_stats_nonuniform(spark, sf_dir):
     )
 
 
+def q_zonal_weighted_nonuniform(spark, sf_dir):
+    """Per-ugid area-weighted zonal stats over a multi-geometry CLIP on the
+    NON-UNIFORM grid — the full clip+aggregate path with vector bounds."""
+    vg = FX.VEC_GRID
+    cells = spark.range(vg.nx * vg.ny).select(
+        (F.col("id") % vg.nx).cast("int").alias("vcx"),
+        F.floor(F.col("id") / vg.nx).cast("int").alias("vcy"),
+    )
+    polys = [
+        (1, _rect_rings(QUERY_CLIP)),
+        (2, _rect_rings((-105.25, 39.5, -104.25, 40.25))),
+    ]
+    sub = vectorgrid.spatial_subset_many(
+        spark, cells, vg, polys, abstraction="polygon", keep_touches=False,
+    )
+    with_val = sub.withColumn(
+        "value", ((F.col("vcy") * 3 + F.col("vcx")) % 5).cast("double")
+    )
+    out = agg.area_weighted_mean(with_val, "value", "clip_area", keys=["ugid"])
+    return out.select(
+        "ugid", F.round("wmean", 6).alias("wmean"),
+        F.round("union_area", 9).alias("union_area"), "n",
+    )
+
+
 def q_knn_point_nonuniform(spark, sf_dir):
     """k=5 nearest cells on the stretched grid (index-disk expansion with
     the min-cell-width exhaustiveness bound)."""
@@ -1455,6 +1480,41 @@ def _zonal_vec_sql() -> str:
         f"WHERE {FX.rect_pred_sql(_RECT)} "
         f"UNION ALL SELECT 2 AS ugid, value, vcy, vcx FROM ({assign}) a "
         f"WHERE {_penta_pred()}) u GROUP BY ugid"
+    )
+
+
+def _zonal_weighted_vec_sql() -> str:
+    vg = FX.VEC_GRID
+    vx, vy = FX.vec_bounds_values_sql(vg)
+    cells = (
+        f"SELECT CAST(i % {vg.nx} AS INT) AS vcx, "
+        f"CAST(floor(CAST(i AS DOUBLE) / {vg.nx}) AS INT) AS vcy "
+        f"FROM (SELECT unnest(generate_series(0, {vg.nx * vg.ny - 1})) AS i) t"
+    )
+    value = (
+        f"CAST((CAST(vcy AS BIGINT) * 3 + vcx) % 5 AS DOUBLE)"
+    )
+
+    def clip(rect):
+        minx, miny, maxx, maxy = rect
+        return (
+            f"greatest(least(lon_ub, {FX._f(maxx)}) - greatest(lon_lb, {FX._f(minx)}), 0.0) * "
+            f"greatest(least(lat_ub, {FX._f(maxy)}) - greatest(lat_lb, {FX._f(miny)}), 0.0)"
+        )
+
+    a1 = clip(QUERY_CLIP)
+    a2 = clip((-105.25, 39.5, -104.25, 40.25))
+    return (
+        f"WITH cells AS ({cells}), "
+        f"b AS (SELECT c.vcx, c.vcy, vx.lon_lb, vx.lon_ub, vy.lat_lb, vy.lat_ub "
+        f"FROM cells c JOIN ({vx}) vx ON vx.vcx = c.vcx "
+        f"JOIN ({vy}) vy ON vy.vcy = c.vcy), "
+        f"u AS (SELECT 1 AS ugid, vcx, vcy, {a1} AS clip_area FROM b "
+        f"UNION ALL SELECT 2 AS ugid, vcx, vcy, {a2} AS clip_area FROM b) "
+        f"SELECT ugid, round(sum(value * clip_area) / sum(clip_area), 6) AS wmean, "
+        f"round(sum(clip_area), 9) AS union_area, count(*) AS n FROM ("
+        f"SELECT ugid, vcx, vcy, clip_area, {value} AS value FROM u "
+        f"WHERE clip_area > 1e-12) t GROUP BY ugid"
     )
 
 
@@ -2123,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         "regrid_nonuniform": _regrid_nonuniform_sql(),
         "knn_point_nonuniform": _knn_vec_sql(),
         "zonal_stats_nonuniform": _zonal_vec_sql(),
+        "zonal_weighted_nonuniform": _zonal_weighted_vec_sql(),
         # the L-shape is the union of two rectangles -> its clip area has a
         # closed inclusion-exclusion form the oracle can state exactly,
         # upgrading this from a rows-only check to a value-hash check
@@ -2183,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regrid_nonuniform": q_regrid_nonuniform,
         "knn_point_nonuniform": q_knn_point_nonuniform,
         "zonal_stats_nonuniform": q_zonal_stats_nonuniform,
+        "zonal_weighted_nonuniform": q_zonal_weighted_nonuniform,
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
         "union_geometry": q_union_geometry,
@@ -2210,7 +2272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "sessionize": q_sessionize,
-        "multimodal_features": q_multimodal_features,
         "cf_decode_360day": q_cf_decode_360day,
         "cf_noleap_group": q_cf_noleap_group,
         "cf_daily_perc_360": q_cf_daily_perc_360,
@@ -2218,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,
         # ---- driver window boundary (~50) ----
+        "multimodal_features": q_multimodal_features,
         "top_tokens": q_top_tokens,
         "daily_perc_window": q_daily_perc_window,
         "chunk_documents": q_chunk_documents,

@@ -21,7 +21,7 @@ ROUND2_OPS = [
     "split_selection", "regrid_nonuniform", "knn_point_nonuniform",
     "dedup_components", "fuzzy_dedup_e2e", "decontaminate",
     "repetition_ratio", "embedding_near_dups_ivf", "zonal_stats_nonuniform",
-    "cf_daily_perc_360",
+    "cf_daily_perc_360", "zonal_weighted_nonuniform",
 ]
 
 #: 11+ digits after the decimal point NOT followed by an exponent marker
