@@ -226,11 +226,15 @@ def ivf_train(
             m = members.mean(axis=0)
             n = np.linalg.norm(m)
             C[j] = m / (n if n > 0 else 1.0)
+    # list cells + explicit schema: numpy-array cells only infer under
+    # Arrow; a plain session must not be required to run this.
     pdf = pd.DataFrame({
         "vec_id": np.arange(k, dtype="i8"),
-        "embedding": [row.astype("f8") for row in C],
+        "embedding": [row.astype("f8").tolist() for row in C],
     })
-    return emb.sparkSession.createDataFrame(pdf)
+    return emb.sparkSession.createDataFrame(
+        pdf, schema="vec_id bigint, embedding array<double>"
+    )
 
 
 def ivf_topk(

@@ -226,14 +226,21 @@ def corner_table(spark: SparkSession, X: np.ndarray, Y: np.ndarray) -> DataFrame
     lats = np.stack(
         [Y[jj, ii], Y[jj, ii + 1], Y[jj + 1, ii + 1], Y[jj + 1, ii]], axis=1
     )
+    # Explicit schema + list cells: schema inference over numpy-array
+    # cells only works when Arrow is enabled — a plain SparkSession falls
+    # back to row-wise inference and raises CANNOT_INFER_TYPE_FOR_FIELD.
     pdf = pd.DataFrame(
         {
             "elem_id": (jj * nx + ii).astype("i8"),
-            "corner_lons": list(lons),
-            "corner_lats": list(lats),
+            "corner_lons": [r.tolist() for r in lons],
+            "corner_lats": [r.tolist() for r in lats],
         }
     )
-    return spark.createDataFrame(pdf)
+    return spark.createDataFrame(
+        pdf,
+        schema="elem_id bigint, corner_lons array<double>, "
+               "corner_lats array<double>",
+    )
 
 
 def curvilinear_subset(

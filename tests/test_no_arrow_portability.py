@@ -1,0 +1,75 @@
+"""Portability: every pandas→Spark conversion with array-typed columns
+must work WITHOUT Arrow (the driver's vanilla SparkSession has
+``spark.sql.execution.arrow.pyspark.enabled=false``; round-2's
+``curvilinear_clip`` red row was exactly this — numpy-array cells fail
+row-wise schema inference with CANNOT_INFER_TYPE_FOR_FIELD).
+
+Arrow enablement is a runtime conf, so we toggle it off on the shared
+session, exercise the conversion sites, and restore it."""
+import contextlib
+
+import numpy as np
+import pytest
+
+from ocgis_spark.operators import vectorgrid as VG
+from ocgis_spark.operators import similarity as SIM
+
+
+@contextlib.contextmanager
+def no_arrow(spark):
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_corner_table_without_arrow(spark):
+    vg = VG.VectorGridSpec(
+        x_edges=(0.0, 1.0, 2.5, 4.0), y_edges=(0.0, 2.0, 3.0)
+    )
+    X, Y = VG.expand_edges(vg)
+    X, Y = VG.shear_grid(X, Y, 0.1)
+    with no_arrow(spark):
+        df = VG.corner_table(spark, X, Y)
+        rows = df.orderBy("elem_id").collect()
+    assert len(rows) == 6
+    assert [f.name for f in df.schema.fields] == [
+        "elem_id", "corner_lons", "corner_lats"
+    ]
+    assert len(rows[0]["corner_lons"]) == 4
+    # ll corner of elem 0 is the (sheared) grid origin
+    assert rows[0]["corner_lats"][0] == 0.0
+
+
+def test_curvilinear_clip_without_arrow(spark):
+    """The exact shape of the driver's red row: a curvilinear clip run on
+    a session with Arrow disabled."""
+    vg = VG.VectorGridSpec(
+        x_edges=tuple(np.linspace(0.0, 4.0, 5)),
+        y_edges=tuple(np.linspace(0.0, 3.0, 4)),
+    )
+    X, Y = VG.expand_edges(vg)
+    X, Y = VG.shear_grid(X, Y, 0.2)
+    ring = np.array([[0.5, 0.5], [3.5, 0.5], [3.5, 2.5], [0.5, 2.5]])
+    with no_arrow(spark):
+        out = VG.curvilinear_subset(spark, X, Y, [ring], operation="clip")
+        got = out.collect()
+    assert len(got) > 0
+
+
+def test_ivf_train_without_arrow(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(64, 8))
+    rows = [(int(i), mat[i].tolist()) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with no_arrow(spark):
+        cent = SIM.ivf_train(emb, k=4, iters=3)
+        got = cent.orderBy("vec_id").collect()
+    assert len(got) == 4
+    for r in got:
+        v = np.array(r["embedding"])
+        assert v.shape == (8,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
