@@ -116,49 +116,120 @@ def subset_elements(
     en = element_nodes(elements, nodes).join(
         F.broadcast(cand_ids), "elem_id", "leftsemi"
     )
-    ring_rows = en.groupBy("elem_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("ord", "x", "y"))
-        ).alias("ring")
+    ring_rows = (
+        en.groupBy("elem_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ord", "x", "y"))).alias(
+                "ring"
+            )
+        )
+        .select(
+            "elem_id",
+            F.transform("ring", lambda s: s["x"]).alias("xs"),
+            F.transform("ring", lambda s: s["y"]).alias("ys"),
+        )
     )
 
     kt = keep_touches
     want_clip = operation == "clip"
 
     @F.pandas_udf("double")
-    def elem_clip_area(rings_s: pd.Series) -> pd.Series:
-        out = np.empty(len(rings_s), dtype="f8")
-        for i, ring in enumerate(rings_s):
-            arr = np.array([[p["x"], p["y"]] for p in ring], dtype="f8")
-            arr = np.vstack([arr, arr[:1]])
-            # polygon∩polygon via S-H against the element's bbox-free ring:
-            # clip the SELECTION polygon by the element polygon would need
-            # convex clip region; elements are convex cells (quad/tri) in
-            # CF meshes — clip selection rings by the element ring is valid
-            # when the element is convex. For robustness use the symmetric
-            # test: area(selection ∩ element bbox refinement) via the
-            # generic kernel on the element treated as clip region.
-            area = _poly_poly_area(rings_bc, arr)
-            touches = False
-            if area <= G.EPS_AREA:
-                # boundary contact: any element vertex on/in selection?
-                hit = G.points_in_polygon(arr[:-1, 0], arr[:-1, 1], rings_bc, True)
-                sel = rings_bc[0]
-                hit2 = G.points_in_polygon(sel[:-1, 0], sel[:-1, 1], [arr], True)
-                touches = bool(hit.any() or hit2.any())
-            if area > G.EPS_AREA:
-                out[i] = area
-            elif touches and kt:
-                out[i] = 0.0
-            else:
-                out[i] = -1.0
-        return pd.Series(out)
+    def elem_clip_area(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(score_elements_batch(rings_bc, xs, ys, kt))
 
-    scored = ring_rows.withColumn("clip_area", elem_clip_area(F.col("ring")))
-    kept = scored.filter(F.col("clip_area") >= 0.0).drop("ring")
+    scored = ring_rows.withColumn(
+        "clip_area", elem_clip_area("xs", "ys")
+    ).drop("xs", "ys")
+    kept = scored.filter(F.col("clip_area") >= 0.0)
     if not want_clip:
         kept = kept.drop("clip_area")
     return kept
+
+
+def _dense_corners(
+    xs: "pd.Series", ys: "pd.Series"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow list columns → dense padded (N, A, 2) corner array + valid
+    counts. Ragged rows (tri vs quad meshes) are padded by repeating the
+    last valid vertex — a zero-length pseudo-edge, a no-op for every
+    downstream pass (half-plane clip, shoelace, ray casting)."""
+    lx, ly = list(xs), list(ys)
+    n = len(lx)
+    lens = np.fromiter((len(v) for v in lx), dtype="i8", count=n)
+    a = int(lens.max()) if n else 0
+    elem = np.empty((n, a, 2), dtype="f8")
+    mask = np.arange(a)[None, :] < lens[:, None]
+    elem[:, :, 0][mask] = np.concatenate(lx)
+    elem[:, :, 1][mask] = np.concatenate(ly)
+    if not mask.all():
+        rows = np.arange(n)
+        padx = elem[rows, lens - 1, 0]
+        pady = elem[rows, lens - 1, 1]
+        elem[:, :, 0] = np.where(mask, elem[:, :, 0], padx[:, None])
+        elem[:, :, 1] = np.where(mask, elem[:, :, 1], pady[:, None])
+    return elem, lens
+
+
+def score_elements_batch(
+    sel_rings: list[np.ndarray],
+    xs: "pd.Series",
+    ys: "pd.Series",
+    keep_touches: bool,
+) -> np.ndarray:
+    """Batch phase-2 exact kernel for convex mesh elements: clip_area per
+    element (−1 = drop, 0 = boundary touch kept). Replaces the per-element
+    Python loop (VERDICT r2 finding #2) with the same two-tier split as
+    the box path (``geometry.batch_box_polygon_clip_areas``):
+
+    * interior/exterior tier — element bbox overlaps no selection-edge
+      bbox, so the element is wholly in or out; one vectorized PIP on a
+      single corner decides, and inside elements get their exact shoelace
+      area (== the S-H result for a fully contained clip region);
+    * boundary tier — batch general-edge Sutherland–Hodgman
+      (:func:`geometry.batch_convex_clip_areas`), A passes over the whole
+      tier at once;
+    * only boundary-tier rows with zero area (perimeter contact
+      candidates, O(perimeter) of the selection) fall back to the scalar
+      vertex-containment touch test."""
+    elem, _lens = _dense_corners(xs, ys)
+    n = elem.shape[0]
+    if n == 0:
+        return np.empty(0, dtype="f8")
+    x, y = elem[:, :, 0], elem[:, :, 1]
+    xn, yn = np.roll(x, -1, axis=1), np.roll(y, -1, axis=1)
+    signed = 0.5 * (x * yn - xn * y).sum(axis=1)
+    neg = signed < 0
+    if neg.any():
+        elem[neg] = elem[neg, ::-1, :]
+    elem_area = np.abs(signed)
+
+    bminx, bmaxx = x.min(axis=1), x.max(axis=1)
+    bminy, bmaxy = y.min(axis=1), y.max(axis=1)
+    near = np.zeros(n, dtype=bool)
+    for ring in sel_rings:
+        near |= G._boxes_near_ring(ring, bminx, bminy, bmaxx, bmaxy)
+
+    area = np.zeros(n, dtype="f8")
+    interior = ~near
+    if interior.any():
+        inside = G.points_in_polygon(
+            elem[interior, 0, 0], elem[interior, 0, 1], sel_rings, True
+        )
+        area[interior] = np.where(inside, elem_area[interior], 0.0)
+    if near.any():
+        area[near] = G.batch_convex_clip_areas(sel_rings, elem[near])
+
+    out = np.where(area > G.EPS_AREA, area, -1.0)
+    zero_near = near & (area <= G.EPS_AREA)
+    if zero_near.any():
+        sel = sel_rings[0]
+        for i in np.nonzero(zero_near)[0]:
+            arr = np.vstack([elem[i], elem[i, :1]])
+            hit = G.points_in_polygon(arr[:-1, 0], arr[:-1, 1], sel_rings, True)
+            hit2 = G.points_in_polygon(sel[:-1, 0], sel[:-1, 1], [arr], True)
+            if (hit.any() or hit2.any()) and keep_touches:
+                out[i] = 0.0
+    return out
 
 
 def _poly_poly_area(sel_rings: list[np.ndarray], elem_ring: np.ndarray) -> float:
