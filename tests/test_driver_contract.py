@@ -1,7 +1,9 @@
 """Guards on the driver contract (__spark_entry__):
 
 * every oracle key has a query; rows-only set is the documented pair;
-* every round-2 operator sits inside the driver's first-50 check window;
+* every entry that still needs a driver-green row sits inside the
+  driver's first-50 check window (round-3 rule: the 11 veterans that were
+  never driver-checked, the r2 red row, and every new round-3 operator);
 * no oracle SQL contains a bare long decimal literal (DuckDB would parse
   it as DECIMAL and drift 1 ulp on conversion — the E-notation rule in
   CLAUDE.md / fixtures._f).
@@ -11,17 +13,14 @@ import re
 
 import __spark_entry__ as E
 
-ROUND2_OPS = [
-    "bbox_subset_nonuniform", "clip_cells_nonuniform",
-    "intersects_pentagon_nonuniform", "curvilinear_subset",
-    "curvilinear_clip", "rotated_pole_subset", "seam_subset",
-    "union_geometry", "agg_selection", "icclim_TX90p", "icclim_RX5day",
-    "icclim_HD17", "cf_decode_360day", "cf_noleap_group",
-    "tile_dest_counts_nonuniform", "tile_source_assign_nonuniform",
-    "split_selection", "regrid_nonuniform", "knn_point_nonuniform",
-    "dedup_components", "fuzzy_dedup_e2e", "decontaminate",
-    "repetition_ratio", "embedding_near_dups_ivf", "zonal_stats_nonuniform",
-    "cf_daily_perc_360", "zonal_weighted_nonuniform",
+#: entries with no driver-green row in CORRECTNESS_r01 ∪ r02 (VERDICT r2
+#: "what's wrong" #3 veterans + the curvilinear_clip red row), plus every
+#: operator ADDED in round 3 — extend this list when adding queries.
+ROUND3_WINDOW_OPS = [
+    "curvilinear_clip",
+    "zonal_weighted", "knn_join", "regrid", "units_conform", "wrap_lon",
+    "daily_perc", "q1_pricing", "freezethaw", "nonconvex_clip",
+    "unstructured_subset", "join_agg",
 ]
 
 #: 11+ digits after the decimal point NOT followed by an exponent marker
@@ -35,10 +34,10 @@ def test_oracles_subset_of_queries():
     assert rows_only == {"curvilinear_clip", "freezethaw"}
 
 
-def test_round2_ops_inside_driver_window():
+def test_round3_ops_inside_driver_window():
     order = list(E.queries())
-    late = [n for n in ROUND2_OPS if order.index(n) >= 50]
-    assert late == [], f"round-2 ops outside the first-50 window: {late}"
+    late = [n for n in ROUND3_WINDOW_OPS if order.index(n) >= 50]
+    assert late == [], f"round-3 ops outside the first-50 window: {late}"
 
 
 def test_no_bare_long_float_literals_in_oracles():
