@@ -732,6 +732,61 @@ def q_icclim_hd17(spark, sf_dir):
     return out.select("user_id", F.round("HD17", 6).alias("HD17"))
 
 
+def q_icclim_wsdi(spark, sf_dir):
+    """WSDI (warm spell duration index): days in runs of >= min_len
+    consecutive steps above the doy 90th-percentile basis, summed per
+    user — reference contrib/library_icclim.py:54 (min_len=2 at this
+    fixture scale so spells exist; the operator default is ICCLIM's 6)."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir)
+    out = calc_registry.get("icclim_WSDI")(
+        ev, ["user_id"], value="value", ts="ts", window=5, min_len=2,
+        tiebreak="event_id",
+    )
+    return out.select("user_id", "WSDI")
+
+
+def q_icclim_csdi(spark, sf_dir):
+    """CSDI (cold spell duration index): the WSDI shape below the doy
+    10th-percentile basis — reference contrib/library_icclim.py:55."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir)
+    out = calc_registry.get("icclim_CSDI")(
+        ev, ["user_id"], value="value", ts="ts", window=5, min_len=2,
+        tiebreak="event_id",
+    )
+    return out.select("user_id", "CSDI")
+
+
+def q_icclim_r95p(spark, sf_dir):
+    """R95p: count of wet days (v >= 1) above the per-user 95th wet-day
+    percentile — reference contrib/library_icclim.py:58."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir)
+    out = calc_registry.get("icclim_R95p")(ev, ["user_id"], value="value")
+    return out.select("user_id", "R95p")
+
+
+def q_icclim_r95ptot(spark, sf_dir):
+    """R95pTOT: precipitation fraction (%) due to very wet days —
+    reference contrib/library_icclim.py:59."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir)
+    out = calc_registry.get("icclim_R95pTOT")(ev, ["user_id"], value="value")
+    return out.select("user_id", "R95pTOT")
+
+
+def q_icclim_txx(spark, sf_dir):
+    """TXx: max of the daily max per (user, month) — reference
+    contrib/library_icclim.py:23."""
+    from ocgis_spark.operators import calc_registry
+    ev = _events(spark, sf_dir).withColumn("month", F.month("ts"))
+    out = calc_registry.get("icclim_TXx")(
+        ev, ["user_id", "month"], value="value"
+    )
+    return out.select("user_id", "month", F.round("TXx", 6).alias("TXx"))
+
+
 def q_daily_perc_window(spark, sf_dir):
     """Day-of-year percentile basis with a ±2-day window (daily_perc)."""
     out = temporal.daily_perc(_events(spark, sf_dir), 0.9, window=5)
@@ -2075,6 +2130,59 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy "
             "GROUP BY user_id, month(ts)"
         ),
+        "icclim_WSDI": (
+            "WITH basis AS (SELECT ((CAST(dayofyear(ts) AS INT) + off + 364) % 365) + 1 AS basis_doy, "
+            "value AS v FROM events, (SELECT unnest(generate_series(-2, 2)) AS off) o), "
+            "p AS (SELECT basis_doy, round(quantile_cont(v, 0.9), 6) AS perc "
+            "FROM basis GROUP BY basis_doy), "
+            "j AS (SELECT e.user_id, e.ts, e.event_id, "
+            "CASE WHEN e.value > p.perc THEN 1 ELSE 0 END AS q "
+            "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy), "
+            "isl AS (SELECT user_id, q, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - "
+            "row_number() OVER (PARTITION BY user_id, q ORDER BY ts, event_id) AS island "
+            "FROM j), "
+            "runs AS (SELECT user_id, island, count(*) AS run_len FROM isl "
+            "WHERE q = 1 GROUP BY user_id, island) "
+            "SELECT user_id, CAST(sum(run_len) AS BIGINT) AS WSDI "
+            "FROM runs WHERE run_len >= 2 GROUP BY user_id"
+        ),
+        "icclim_CSDI": (
+            "WITH basis AS (SELECT ((CAST(dayofyear(ts) AS INT) + off + 364) % 365) + 1 AS basis_doy, "
+            "value AS v FROM events, (SELECT unnest(generate_series(-2, 2)) AS off) o), "
+            "p AS (SELECT basis_doy, round(quantile_cont(v, 0.1), 6) AS perc "
+            "FROM basis GROUP BY basis_doy), "
+            "j AS (SELECT e.user_id, e.ts, e.event_id, "
+            "CASE WHEN e.value < p.perc THEN 1 ELSE 0 END AS q "
+            "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy), "
+            "isl AS (SELECT user_id, q, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - "
+            "row_number() OVER (PARTITION BY user_id, q ORDER BY ts, event_id) AS island "
+            "FROM j), "
+            "runs AS (SELECT user_id, island, count(*) AS run_len FROM isl "
+            "WHERE q = 1 GROUP BY user_id, island) "
+            "SELECT user_id, CAST(sum(run_len) AS BIGINT) AS CSDI "
+            "FROM runs WHERE run_len >= 2 GROUP BY user_id"
+        ),
+        "icclim_R95p": (
+            "WITH wp AS (SELECT user_id, round(quantile_cont(value, 0.95), 6) AS wp "
+            "FROM events WHERE value >= 1.0E0 GROUP BY user_id) "
+            "SELECT e.user_id, CAST(sum(CASE WHEN e.value >= 1.0E0 AND e.value > wp.wp "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS R95p "
+            "FROM events e JOIN wp ON e.user_id = wp.user_id GROUP BY e.user_id"
+        ),
+        "icclim_R95pTOT": (
+            "WITH wp AS (SELECT user_id, round(quantile_cont(value, 0.95), 6) AS wp "
+            "FROM events WHERE value >= 1.0E0 GROUP BY user_id) "
+            "SELECT e.user_id, round(100.0E0 * "
+            "sum(CASE WHEN e.value >= 1.0E0 AND e.value > wp.wp THEN e.value ELSE CAST(0.0 AS DOUBLE) END) / "
+            "sum(CASE WHEN e.value >= 1.0E0 THEN e.value ELSE CAST(0.0 AS DOUBLE) END), 6) AS R95pTOT "
+            "FROM events e JOIN wp ON e.user_id = wp.user_id GROUP BY e.user_id"
+        ),
+        "icclim_TXx": (
+            "SELECT user_id, CAST(month(ts) AS INT) AS month, "
+            "round(max(value), 6) AS TXx FROM events GROUP BY user_id, month(ts)"
+        ),
         "icclim_RX5day": (
             "SELECT user_id, CAST(month(ts) AS INT) AS month, "
             "round(max(mw), 6) AS RX5day FROM ("
@@ -2275,13 +2383,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
+        "icclim_WSDI": q_icclim_wsdi,
+        "icclim_CSDI": q_icclim_csdi,
+        "icclim_R95p": q_icclim_r95p,
+        "icclim_R95pTOT": q_icclim_r95ptot,
+        "icclim_TXx": q_icclim_txx,
+        "icclim_TX90p": q_icclim_tx90p,
+        # ---- driver window boundary (~50) ----
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "cf_decode_360day": q_cf_decode_360day,
         "cf_noleap_group": q_cf_noleap_group,
         "cf_daily_perc_360": q_cf_daily_perc_360,
-        "icclim_TX90p": q_icclim_tx90p,
-        # ---- driver window boundary (~50) ----
         "icclim_RX5day": q_icclim_rx5day,
         "icclim_HD17": q_icclim_hd17,
         "tile_dest_counts_nonuniform": q_tile_dest_counts_nonuniform,

@@ -311,6 +311,155 @@ def _vdtr(df, keys, series_key="user_id", tasmax="tasmax", tasmin="tasmin",
     )
 
 
+# ---- simple statistic indices (TG/TN/TX means, TXx/TXn/TNx/TNn extremes,
+# SD snow-depth family — contrib/library_icclim.py:17-46) ----
+
+def _mk_simple(name: str, agg_fn, col_default: str):
+    def calc(df, keys, value=None, **_):
+        v = value or col_default
+        return df.groupBy(*keys).agg(agg_fn(v).alias(name.split("_", 1)[1]))
+    _REGISTRY[name] = calc
+
+
+for _nm, _fn, _col in [
+    ("icclim_TG", F.avg, "value"), ("icclim_TN", F.avg, "tasmin"),
+    ("icclim_TX", F.avg, "tasmax"),
+    ("icclim_TXx", F.max, "tasmax"), ("icclim_TXn", F.min, "tasmax"),
+    ("icclim_TNx", F.max, "tasmin"), ("icclim_TNn", F.min, "tasmin"),
+    ("icclim_SD", F.avg, "value"),
+]:
+    _mk_simple(_nm, _fn, _col)
+
+
+for _nm, _thr in [("icclim_SD1", 1.0), ("icclim_SD5cm", 5.0),
+                  ("icclim_SD50cm", 50.0)]:
+    def _mk_sdcount(name=_nm, thr=_thr):
+        def calc(df, keys, value="value", **_):
+            return _agg(df, keys, value).agg(
+                F.sum(F.when(F.col(value) >= thr, 1).otherwise(0)).alias(
+                    name.split("_", 1)[1]
+                )
+            )
+        return calc
+    _REGISTRY[_nm] = _mk_sdcount()
+
+
+# ---- precip percentile family (R75p/R95p/R99p + pTOT fractions,
+# contrib/library_icclim.py:56-61): the threshold is the percentile of
+# WET-day precipitation over the base period (flat, not per-doy) ----
+
+def wet_percentile_basis(
+    df: DataFrame, keys: list[str], percentile: float,
+    value: str = "value", wet: float = 1.0,
+) -> DataFrame:
+    """Per-group percentile of wet-day (v >= wet) precipitation — the
+    R{75,95,99}p base-period threshold. One groupBy over the wet subset;
+    at scale the basis is tiny (one row per group) and broadcast back."""
+    return df.filter(F.col(value) >= wet).groupBy(*keys).agg(
+        F.round(F.percentile(value, F.lit(float(percentile))), 6).alias("_wp")
+    )
+
+
+def _mk_precip_percentile(name: str, percentile: float, tot: bool):
+    out = name.split("_", 1)[1]
+
+    def calc(df, keys, value="value", wet=1.0, basis=None, **_):
+        b = basis if basis is not None else wet_percentile_basis(
+            df, keys, percentile, value, wet
+        )
+        j = df.join(F.broadcast(b), keys)
+        wetc = F.col(value) >= wet
+        exceed = wetc & (F.col(value) > F.col("_wp"))
+        if tot:
+            # R95pTOT: precipitation fraction due to very wet days (%)
+            return j.groupBy(*keys).agg(
+                F.round(
+                    100.0
+                    * F.sum(F.when(exceed, F.col(value)).otherwise(0.0))
+                    / F.sum(F.when(wetc, F.col(value)).otherwise(0.0)),
+                    6,
+                ).alias(out)
+            )
+        return j.groupBy(*keys).agg(
+            F.sum(F.when(exceed, 1).otherwise(0)).alias(out)
+        )
+
+    _REGISTRY[name] = calc
+
+
+for _nm, _p, _tot in [
+    ("icclim_R75p", 0.75, False), ("icclim_R75pTOT", 0.75, True),
+    ("icclim_R95p", 0.95, False), ("icclim_R95pTOT", 0.95, True),
+    ("icclim_R99p", 0.99, False), ("icclim_R99pTOT", 0.99, True),
+]:
+    _mk_precip_percentile(_nm, _p, _tot)
+
+
+# ---- spell-duration percentile indices (WSDI/CSDI,
+# contrib/library_icclim.py:54-55): days in runs of >= min_len consecutive
+# days beyond the day-of-year percentile basis ----
+
+def spell_duration_index(
+    df: DataFrame,
+    keys: list[str],
+    basis: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    direction: str = "gt",
+    min_len: int = 6,
+    tiebreak: str | None = None,
+    out: str = "WSDI",
+) -> DataFrame:
+    """WSDI/CSDI shape: broadcast-join the ≤366-row doy basis, flag
+    exceedance, gaps-and-islands run-length per series, keep runs of
+    ``min_len``+ days, sum their full lengths per group. Composes
+    :func:`percentile_exceedance`'s basis join with ``windows.duration``'s
+    island logic — one broadcast join + the two window passes islands
+    need; nothing new shuffles beyond the per-series sort."""
+    assert len(keys) == 1
+    series_key = keys[0]
+    b = basis.select(
+        F.col("basis_doy").alias("_doy"), F.round("perc", 6).alias("_perc")
+    )
+    j = df.join(
+        F.broadcast(b), F.dayofyear(F.col(ts)).cast("int") == F.col("_doy")
+    )
+    cmp = (
+        (F.col(value) > F.col("_perc"))
+        if direction == "gt"
+        else (F.col(value) < F.col("_perc"))
+    )
+    isl = windows._islands(j, series_key, ts, cmp, tiebreak).filter(
+        F.col("_q") == 1
+    )
+    runs = isl.groupBy(series_key, "_island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.filter(F.col("run_len") >= min_len)
+        .groupBy(series_key)
+        .agg(F.sum("run_len").cast("bigint").alias(out))
+    )
+
+
+def _mk_spell_index(name: str, percentile: float, direction: str):
+    out = name.split("_", 1)[1]
+
+    def calc(df, keys, value="value", ts="ts", basis=None, window=5,
+             min_len=6, tiebreak=None, **_):
+        if basis is None:
+            basis = temporal.daily_perc(df, percentile, window=window,
+                                        ts=ts, value=value)
+        return spell_duration_index(df, keys, basis, value, ts, direction,
+                                    min_len, tiebreak, out=out)
+
+    _REGISTRY[name] = calc
+
+
+_mk_spell_index("icclim_WSDI", 0.9, "gt")
+_mk_spell_index("icclim_CSDI", 0.1, "lt")
+
+
 # ---- multivariate / scalar calcs (math.py:33-45, calc/base.py:771) ----
 # These are ROW-LEVEL functions (the reference's AbstractMultivariate /
 # univariate non-set functions): they add a column instead of aggregating.

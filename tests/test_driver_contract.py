@@ -21,6 +21,9 @@ ROUND3_WINDOW_OPS = [
     "zonal_weighted", "knn_join", "regrid", "units_conform", "wrap_lon",
     "daily_perc", "q1_pricing", "freezethaw", "nonconvex_clip",
     "unstructured_subset", "join_agg",
+    # round-3 additions
+    "icclim_WSDI", "icclim_CSDI", "icclim_R95p", "icclim_R95pTOT",
+    "icclim_TXx",
 ]
 
 #: 11+ digits after the decimal point NOT followed by an exponent marker
