@@ -1896,14 +1896,16 @@ def oracle_sql() -> dict[str, str]:
             "w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] || ' ' || "
             "w[CAST(i AS INT)+3] || ' ' || w[CAST(i AS INT)+4] || ' ' || w[CAST(i AS INT)+5] || ' ' || "
             "w[CAST(i AS INT)+6] || ' ' || w[CAST(i AS INT)+7] AS g FROM ("
-            "SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i "
-            "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t) s), "
+            "SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t "
+            "WHERE len(w) >= 8) s), "
             "bg AS (SELECT DISTINCT "
             "w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] || ' ' || "
             "w[CAST(i AS INT)+3] || ' ' || w[CAST(i AS INT)+4] || ' ' || w[CAST(i AS INT)+5] || ' ' || "
             "w[CAST(i AS INT)+6] || ' ' || w[CAST(i AS INT)+7] AS g FROM ("
-            "SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i "
-            "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t) s) "
+            "SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t "
+            "WHERE len(w) >= 8) s) "
             "SELECT tg.doc_id, count(*) AS n_hits FROM tg JOIN bg ON tg.g = bg.g "
             "GROUP BY tg.doc_id"
         ),

@@ -261,6 +261,7 @@ def duplicate_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iters):
         # candidate labels flowing across edges
         nbr = (
@@ -282,6 +283,16 @@ def duplicate_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # propagation advances one hop per round, so a chain with graph
+        # diameter > max_iters would otherwise return silently SPLIT
+        # components (ADVICE r2) — fail loudly; callers raise max_iters
+        # (or swap in large-star/small-star for log-diameter rounds).
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); the pair graph has "
+            f"diameter > {max_iters} — raise max_iters"
+        )
     return labels
 
 

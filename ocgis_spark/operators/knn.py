@@ -115,6 +115,12 @@ def knn_join(
         if n_bad == 0:
             break
         r *= 2
+    # materialize the final pass (no-op when the exhaustiveness count
+    # already did), then release the cells cache — repeated calls in a
+    # long session must not accumulate cached relations (ADVICE r2).
+    # Callers should unpersist the returned result when done with it.
+    result.count()
+    cells.unpersist()
     return result.select(qid, "cell_y", "cell_x", "dist", "rank")
 
 
@@ -154,6 +160,23 @@ def knn_join_vector(
     bx, by = VG.bounds_tables(spark, vg)
     pts = VG.encode_cells(points, vg, lon=qlon, lat=qlat,
                           out_x="_qcx", out_y="_qcy")
+    # Off-grid probes encode to -1 (cell_of clamps BOTH out-of-range sides
+    # to the sentinel), which would anchor the expansion disk at the wrong
+    # corner and force ~log2(2·max(nx,ny)) full fallback passes (ADVICE
+    # r2). Clamp to the nearest valid index per axis instead — the uniform
+    # grid's floor arithmetic does this implicitly.
+    xb_arr, yb_arr = vg.xb(), vg.yb()
+    pts = pts.withColumn(
+        "_qcx",
+        F.when(F.col(qlon) >= F.lit(float(xb_arr[-1])), F.lit(vg.nx - 1))
+        .when(F.col(qlon) < F.lit(float(xb_arr[0])), F.lit(0))
+        .otherwise(F.col("_qcx")).cast("int"),
+    ).withColumn(
+        "_qcy",
+        F.when(F.col(qlat) >= F.lit(float(yb_arr[-1])), F.lit(vg.ny - 1))
+        .when(F.col(qlat) < F.lit(float(yb_arr[0])), F.lit(0))
+        .otherwise(F.col("_qcy")).cast("int"),
+    )
 
     def pass_at(r: int) -> DataFrame:
         disk = (
@@ -204,6 +227,8 @@ def knn_join_vector(
         if n_bad == 0:
             break
         r *= 2
+    result.count()
+    cells.unpersist()
     return result.select(
         qid, F.col("cell_y").alias("vcy"), F.col("cell_x").alias("vcx"),
         "dist", "rank",

@@ -157,7 +157,13 @@ def embedding_near_dups_ivf(
     (the second bucketing scheme beside hyperplane LSH): candidates only
     from equal nearest-centroid buckets, exact cosine verifies. Misses
     pairs straddling a centroid boundary (recall/cost knob: more centroids
-    → fewer candidates, lower recall — same trade as nprobe)."""
+    → fewer candidates, lower recall — same trade as nprobe).
+
+    The bucket-assignment relation stays persisted while the returned
+    (lazy) plan is alive — both sides of the self-join read it. In a
+    long-lived session, release it after consuming the result:
+    ``spark.catalog.clearCache()`` or unpersist your own
+    ``ivf_assign(...).persist()`` handle passed through this shape."""
     # persist: the self-join would otherwise re-run the assignment UDF on
     # both sides (the executedPlan duplicates the subtree per join branch)
     lists = ivf_assign(emb, centroids).persist()

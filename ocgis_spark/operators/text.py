@@ -154,11 +154,14 @@ def decontaminate(
                 lambda s: s["w"],
             ).alias("ws")
         )
-        return ws.select(
+        # docs with fewer than n words have no n-gram at all (ADVICE r2:
+        # element_at past the array end yields null and concat_ws would
+        # emit a truncated pseudo-gram, falsely flagging short docs)
+        return ws.filter(F.size("ws") >= n).select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
+                    F.sequence(F.lit(0), F.size("ws") - n),
                     lambda i: F.concat_ws(
                         " ", *[F.element_at("ws", i + j + 1) for j in range(n)]
                     ),

@@ -93,6 +93,20 @@ class OcgOperations:
                         raise DefinitionValidationError(str(e)) from None
         if self.calc_grouping and not self.calc:
             raise DefinitionValidationError("calc_grouping requires calc")
+        if self.aggregate and self.calc:
+            # ADVICE r2: the aggregate+calc branch collapses the frame to
+            # (ts, value) before running calcs, so row-level scalar calcs
+            # (whose operand columns no longer exist) cannot follow it —
+            # reject here instead of KeyError-ing inside execute()
+            for c in self.calc:
+                f = str(c.get("func"))
+                if not f.startswith("eval=") and f in calc_registry.SCALAR_CALCS:
+                    raise DefinitionValidationError(
+                        f"aggregate=True cannot be combined with row-level "
+                        f"scalar calc {f!r} (spatial aggregation collapses "
+                        f"its operand columns); run the scalar calc without "
+                        f"aggregate, or aggregate its output"
+                    )
         if self.select_nearest and self.spatial_operation == "clip":
             raise DefinitionValidationError(
                 "select_nearest is incompatible with clip"

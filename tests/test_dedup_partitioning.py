@@ -192,3 +192,21 @@ def test_minhash_narrow_signatures_match_grouped(spark):
         assert a.equals(b)
     plan = dedup.minhash_signatures_narrow(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_duplicate_components_raises_on_nonconvergence(spark):
+    """ADVICE r2: min-label propagation advances one hop per round — a
+    chain with diameter > max_iters must fail loudly, not return split
+    components."""
+    import pytest
+    from ocgis_spark.operators import dedup
+
+    # a 6-node chain: diameter 5, so max_iters=1 cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_components(pairs, max_iters=1)
+    # and with enough rounds the same chain collapses to one component
+    comp = dedup.duplicate_components(pairs, max_iters=10)
+    assert {r["component"] for r in comp.collect()} == {1}

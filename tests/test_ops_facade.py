@@ -150,6 +150,11 @@ def test_ops_validation_errors(spark, golden_field):
         OcgOperations(dataset=golden_field, calc_grouping=["month"])
     with pytest.raises(DefinitionValidationError, match="output_format"):
         OcgOperations(dataset=golden_field, output_format="netcdf4-python")
+    # ADVICE r2: aggregate=True + row-level scalar calc must be rejected
+    # at validation (execute() would KeyError after the columns collapse)
+    with pytest.raises(DefinitionValidationError, match="scalar calc"):
+        OcgOperations(dataset=golden_field, aggregate=True,
+                      calc=[{"func": "divide"}])
 
 
 def test_ops_csv_converter_with_meta(spark, golden_field, tmp_path):

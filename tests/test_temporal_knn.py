@@ -81,3 +81,62 @@ def test_freezethaw_transitions(spark):
     out = windows.freezethaw(df, "cell", "ts", "value", threshold=15.0).collect()
     # cumulative excursions: +5,+10,0,-10,-20 (flip to -), +-5, +10 (flip to +), -4 (flip to -)
     assert out[0].transitions == 3
+
+
+def test_knn_join_releases_cells_cache(spark):
+    """ADVICE r2: knn_join must unpersist its internal cells relation —
+    repeated calls in a long session must not accumulate cached RDDs."""
+    from ocgis_spark.fixtures import GOLDEN_GRID
+    from ocgis_spark.operators import knn
+
+    cells = spark.createDataFrame(
+        [(y, x) for y in range(4) for x in range(4)],
+        "cell_y int, cell_x int",
+    )
+    pts = spark.createDataFrame(
+        [(0, -104.1, 38.2), (1, -103.2, 37.1)],
+        "qid int, qlon double, qlat double",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = knn.knn_join(pts, cells, GOLDEN_GRID, k=2)
+    assert out.count() == 4
+    out.unpersist()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 1  # only the documented result cache at most
+
+
+def test_knn_join_vector_offgrid_probe_clamped(spark):
+    """ADVICE r2: probes beyond the grid edge used to encode to -1 and
+    anchor the disk at the wrong corner. They must return the true
+    nearest cells (and do so without needing the max_r fallback)."""
+    import numpy as np
+    from ocgis_spark.fixtures import VEC_GRID
+    from ocgis_spark.operators import knn
+
+    vg = VEC_GRID
+    cells = spark.range(vg.nx * vg.ny).select(
+        (F.col("id") % vg.nx).cast("int").alias("vcx"),
+        F.floor(F.col("id") / vg.nx).cast("int").alias("vcy"),
+    )
+    # four probes beyond each grid edge + one far corner
+    xb, yb = vg.xb(), vg.yb()
+    probes = [
+        (0, float(xb[-1] + 5.0), float((yb[0] + yb[-1]) / 2)),
+        (1, float(xb[0] - 5.0), float((yb[0] + yb[-1]) / 2)),
+        (2, float((xb[0] + xb[-1]) / 2), float(yb[-1] + 3.0)),
+        (3, float(xb[-1] + 4.0), float(yb[-1] + 4.0)),
+    ]
+    pts = spark.createDataFrame(probes, "qid int, qlon double, qlat double")
+    got = knn.knn_join_vector(pts, cells, vg, k=1).collect()
+    assert len(got) == 4
+    # brute-force truth
+    cy, cx = np.meshgrid(np.arange(vg.ny), np.arange(vg.nx), indexing="ij")
+    cy, cx = cy.ravel(), cx.ravel()
+    lonc = (xb[cx] + xb[cx + 1]) / 2.0
+    latc = (yb[cy] + yb[cy + 1]) / 2.0
+    for qid, qlon, qlat in probes:
+        d = np.sqrt((lonc - qlon) ** 2 + (latc - qlat) ** 2)
+        best = float(d.min())
+        row = [r for r in got if r["qid"] == qid][0]
+        assert row["dist"] == pytest.approx(best, rel=1e-12), f"probe {qid}"
