@@ -787,6 +787,17 @@ def q_icclim_txx(spark, sf_dir):
     return out.select("user_id", "month", F.round("TXx", 6).alias("TXx"))
 
 
+def q_transform_mercator(spark, sf_dir):
+    """General CRS transform (update_crs analogue): project doc lon/lat
+    to web mercator (EPSG:4326→EPSG:3857) via the native closed-form
+    path of transform_crs — pure Catalyst columns, zero Python."""
+    dg = _docs_geo(spark, sf_dir)
+    out = crs.transform_crs(dg, "EPSG:4326", "EPSG:3857")
+    return out.select(
+        "doc_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
 def q_daily_perc_window(spark, sf_dir):
     """Day-of-year percentile basis with a ±2-day window (daily_perc)."""
     out = temporal.daily_perc(_events(spark, sf_dir), 0.9, window=5)
@@ -2181,6 +2192,11 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN e.value >= 1.0E0 THEN e.value ELSE CAST(0.0 AS DOUBLE) END), 6) AS R95pTOT "
             "FROM events e JOIN wp ON e.user_id = wp.user_id GROUP BY e.user_id"
         ),
+        "transform_mercator": (
+            f"SELECT doc_id, round(6378137.0E0 * radians(lon), 6) AS x, "
+            f"round(6378137.0E0 * ln(tan(pi() / 4.0E0 + radians(lat) / 2.0E0)), 6) AS y "
+            f"FROM ({_DG}) dg"
+        ),
         "icclim_TXx": (
             "SELECT user_id, CAST(month(ts) AS INT) AS month, "
             "round(max(value), 6) AS TXx FROM events GROUP BY user_id, month(ts)"
@@ -2390,8 +2406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_R95p": q_icclim_r95p,
         "icclim_R95pTOT": q_icclim_r95ptot,
         "icclim_TXx": q_icclim_txx,
-        "icclim_TX90p": q_icclim_tx90p,
+        "transform_mercator": q_transform_mercator,
         # ---- driver window boundary (~50) ----
+        "icclim_TX90p": q_icclim_tx90p,
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "cf_decode_360day": q_cf_decode_360day,
