@@ -787,6 +787,47 @@ def q_icclim_txx(spark, sf_dir):
     return out.select("user_id", "month", F.round("TXx", 6).alias("TXx"))
 
 
+def q_agg_selection_clip(spark, sf_dir):
+    """agg_selection=True + clip: the selection rectangles are DISSOLVED
+    (rectunion edge-cancellation) and every doc's cell is clipped against
+    the union polygon — the reference's clip-vs-unioned-selection
+    (field.py:422-469), closed in round 3 for rectilinear selections."""
+    dg = _docs_geo(spark, sf_dir)
+    fld = Field(dg, {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+                DOC_GRID)
+    ops = OcgOperations(
+        dataset=fld, geom=[_RECT, AGG_SEL_RECT2], agg_selection=True,
+        spatial_operation="clip", abstraction="polygon",
+    )
+    out = ops.execute(spark)
+    return out.select(
+        "doc_id", "cell_id", F.round("clip_area", 9).alias("clip_area")
+    )
+
+
+def _agg_selection_clip_sql() -> str:
+    """Per-cell area of (cell ∩ (A ∪ B)) stated by inclusion-exclusion:
+    |∩A| + |∩B| − |∩(A∩B)| — the analytic twin of the dissolve+clip."""
+    def ov(rect):
+        minx, miny, maxx, maxy = rect
+        return (
+            f"greatest(least({_CB['lon_ub']}, {FX._f(maxx)}) - "
+            f"greatest({_CB['lon_lb']}, {FX._f(minx)}), 0.0) * "
+            f"greatest(least({_CB['lat_ub']}, {FX._f(maxy)}) - "
+            f"greatest({_CB['lat_lb']}, {FX._f(miny)}), 0.0)"
+        )
+
+    a, b = _RECT, AGG_SEL_RECT2
+    c = (max(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]), min(a[3], b[3]))
+    assert c[0] < c[2] and c[1] < c[3]  # fixtures overlap by construction
+    area = f"({ov(a)}) + ({ov(b)}) - ({ov(c)})"
+    return (
+        f"SELECT doc_id, cell_id, round(clip_area, 9) AS clip_area FROM ("
+        f"SELECT doc_id, cell_id, {area} AS clip_area FROM ({_DG}) dg) t "
+        f"WHERE clip_area > 1e-12"
+    )
+
+
 def q_transform_mercator(spark, sf_dir):
     """General CRS transform (update_crs analogue): project doc lon/lat
     to web mercator (EPSG:4326→EPSG:3857) via the native closed-form
@@ -2192,6 +2233,7 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN e.value >= 1.0E0 THEN e.value ELSE CAST(0.0 AS DOUBLE) END), 6) AS R95pTOT "
             "FROM events e JOIN wp ON e.user_id = wp.user_id GROUP BY e.user_id"
         ),
+        "agg_selection_clip": _agg_selection_clip_sql(),
         "transform_mercator": (
             f"SELECT doc_id, round(6378137.0E0 * radians(lon), 6) AS x, "
             f"round(6378137.0E0 * ln(tan(pi() / 4.0E0 + radians(lat) / 2.0E0)), 6) AS y "
@@ -2386,7 +2428,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
         "union_geometry": q_union_geometry,
-        "agg_selection": q_agg_selection,
         "knn_point": q_knn_point,
         "spans_stats": q_spans_stats,
         "pipeline_flagship": q_pipeline_flagship,
@@ -2407,8 +2448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_R95pTOT": q_icclim_r95ptot,
         "icclim_TXx": q_icclim_txx,
         "transform_mercator": q_transform_mercator,
+        "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
         "icclim_TX90p": q_icclim_tx90p,
+        "agg_selection": q_agg_selection,
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "cf_decode_360day": q_cf_decode_360day,

@@ -138,6 +138,32 @@ def union_boxes(
     return polys
 
 
+def disjointify_boxes(
+    minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decompose possibly-OVERLAPPING boxes into disjoint sub-boxes on the
+    grid induced by all box edges (covered = sub-cell center inside any
+    input box). :func:`union_boxes`'s edge cancellation assumes a disjoint
+    partition (grid cells); overlapping selection rectangles must pass
+    through here first or interior edges fail to cancel and the dissolve
+    double-counts the overlap."""
+    minx, miny = np.asarray(minx, "f8"), np.asarray(miny, "f8")
+    maxx, maxy = np.asarray(maxx, "f8"), np.asarray(maxy, "f8")
+    xs = np.unique(np.concatenate([minx, maxx]))
+    ys = np.unique(np.concatenate([miny, maxy]))
+    X0, Y0 = np.meshgrid(xs[:-1], ys[:-1])
+    X1, Y1 = np.meshgrid(xs[1:], ys[1:])
+    X0, Y0, X1, Y1 = X0.ravel(), Y0.ravel(), X1.ravel(), Y1.ravel()
+    cx, cy = (X0 + X1) / 2.0, (Y0 + Y1) / 2.0
+    cov = np.zeros(len(X0), dtype=bool)
+    for i in range(len(minx)):
+        cov |= (
+            (cx >= minx[i]) & (cx <= maxx[i])
+            & (cy >= miny[i]) & (cy <= maxy[i])
+        )
+    return X0[cov], Y0[cov], X1[cov], Y1[cov]
+
+
 def union_wkb(minx, miny, maxx, maxy) -> bytes:
     """Union of boxes as WKB (Polygon if single outer, else MultiPolygon)."""
     polys = union_boxes(minx, miny, maxx, maxy)

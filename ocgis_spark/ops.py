@@ -111,12 +111,9 @@ class OcgOperations:
             raise DefinitionValidationError(
                 "select_nearest is incompatible with clip"
             )
-        if self.agg_selection and self.spatial_operation == "clip":
-            raise DefinitionValidationError(
-                "agg_selection=True supports 'intersects' (a clip against a "
-                "unioned selection needs geometric union of the selections; "
-                "use aggregate.union_geometry + per-ugid clip instead)"
-            )
+        # agg_selection + clip is supported for rectilinear selections via
+        # the rectunion dissolve (round 3); non-rectilinear inputs are
+        # rejected in execute() once the geometries are coerced to rings.
 
     # ---- geometry coercion ----
     def _rings(self) -> list[np.ndarray] | None:
@@ -208,11 +205,54 @@ class OcgOperations:
                     abstraction=self.abstraction,
                 )._rings()
                 polys.append((i + 1, one))
-            sub = spatial.spatial_subset_many(
-                spark, df, grid, polys, abstraction=self.abstraction,
-                keep_touches=self.keep_touches,
-            )
-            df = sub.drop("ugid").distinct()
+            if self.spatial_operation == "clip":
+                # clip against the UNIONED selection (field.py:422-469):
+                # dissolve rectilinear selections with the rectunion
+                # edge-cancellation union, then clip against each dissolved
+                # polygon; disjoint pieces' per-row areas sum
+                from .geo import geometry as G
+                from .geo import rectunion
+
+                bad = [u for u, r in polys if not G._rings_is_axis_rect(r)]
+                if bad:
+                    raise DefinitionValidationError(
+                        "agg_selection with clip requires axis-aligned "
+                        "rectangular selection geometries (rectilinear "
+                        f"dissolve); geometries {bad} are not — union them "
+                        "upstream or clip per-ugid via spatial_subset_many"
+                    )
+                rects = np.array(
+                    [[r[0][:, 0].min(), r[0][:, 1].min(),
+                      r[0][:, 0].max(), r[0][:, 1].max()] for _, r in polys]
+                )
+                upolys = rectunion.union_boxes(
+                    *rectunion.disjointify_boxes(
+                        rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+                    )
+                )
+                parts = [
+                    spatial.spatial_subset(
+                        spark, df, grid, p, operation="clip",
+                        abstraction=self.abstraction,
+                        keep_touches=self.keep_touches,
+                    )
+                    for p in upolys
+                ]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                if len(parts) > 1:
+                    keys = [c for c in out.columns if c != "clip_area"]
+                    out = out.groupBy(*keys).agg(
+                        F.sum("clip_area").alias("clip_area")
+                    )
+                df = out
+            else:
+                sub = spatial.spatial_subset_many(
+                    spark, df, grid, polys, abstraction=self.abstraction,
+                    keep_touches=self.keep_touches,
+                )
+                df = sub.drop("ugid").distinct()
             rings = None
         else:
             rings = self._rings()

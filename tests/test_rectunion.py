@@ -156,3 +156,59 @@ def test_union_of_random_grid_subset_conserves_area(seed):
         assert G.ring_area(p[0]) > 0
         for ring in p:
             assert (ring[0] == ring[-1]).all()
+
+
+def test_disjointify_overlapping_boxes():
+    """Overlapping selection rectangles must dissolve to the exact union
+    area (union_boxes alone double-counts overlap — its edge cancellation
+    assumes a disjoint partition)."""
+    import numpy as np
+    from ocgis_spark.geo import rectunion as RU
+
+    # two rects overlapping in [1,2]x[1,2]
+    minx = np.array([0.0, 1.0]); miny = np.array([0.0, 1.0])
+    maxx = np.array([2.0, 3.0]); maxy = np.array([2.0, 3.0])
+    polys = RU.union_boxes(*RU.disjointify_boxes(minx, miny, maxx, maxy))
+    assert RU.union_area(polys) == pytest.approx(4.0 + 4.0 - 1.0)
+    # disjoint inputs pass through unchanged in area
+    minx2 = np.array([0.0, 5.0]); maxx2 = np.array([1.0, 6.0])
+    miny2 = np.array([0.0, 0.0]); maxy2 = np.array([1.0, 1.0])
+    polys2 = RU.union_boxes(*RU.disjointify_boxes(minx2, miny2, maxx2, maxy2))
+    assert len(polys2) == 2
+    assert RU.union_area(polys2) == pytest.approx(2.0)
+
+
+def test_agg_selection_clip_facade(spark):
+    """ops facade: agg_selection + clip dissolves rectilinear selections;
+    total clipped area over a full cell grid equals the union area."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from ocgis_spark.fixtures import GOLDEN_GRID
+    from ocgis_spark.ops import DefinitionValidationError, OcgOperations
+    from ocgis_spark.request import Field
+
+    g = GOLDEN_GRID
+    cells = spark.range(g.nx * g.ny).select(
+        (F.col("id") % g.nx).cast("int").alias("cell_x"),
+        F.floor(F.col("id") / g.nx).cast("int").alias("cell_y"),
+    ).withColumn("lon", F.lit(g.lon0) + (F.col("cell_x") + 0.5) * g.res) \
+     .withColumn("lat", F.lit(g.lat0) + (F.col("cell_y") + 0.5) * g.res) \
+     .withColumn("value", F.lit(1.0))
+    fld = Field(cells, {"x": "lon", "y": "lat", "value": "value"}, g)
+    # two overlapping interior rects
+    r1 = (-105.2, 37.2, -103.7, 38.7)
+    r2 = (-104.2, 38.2, -102.7, 39.7)
+    ops = OcgOperations(dataset=fld, geom=[r1, r2], agg_selection=True,
+                        spatial_operation="clip", abstraction="polygon")
+    out = ops.execute(spark)
+    total = out.agg(F.sum("clip_area")).collect()[0][0]
+    want = 1.5 * 1.5 * 2 - 0.5 * 0.5  # union area by inclusion-exclusion
+    assert total == pytest.approx(want, abs=1e-9)
+    # non-rectilinear selection still rejected
+    import ocgis_spark.geo.wkb as WKB
+    tri = WKB.polygon_to_wkb([np.array(
+        [[-105.0, 37.0], [-104.0, 37.0], [-104.5, 38.0], [-105.0, 37.0]])])
+    ops2 = OcgOperations(dataset=fld, geom=[r1, tri], agg_selection=True,
+                         spatial_operation="clip", abstraction="polygon")
+    with pytest.raises(DefinitionValidationError, match="rectangular"):
+        ops2.execute(spark)
