@@ -83,36 +83,53 @@ def unwrap_rings_pieces(rings):
       unwrap seam; the western piece shifts +360; up to 2 pieces;
     * all-negative ring: shift +360; non-negative ring: unchanged.
 
-    Holes are not supported on seam paths (reference selections crossing
-    the seam are bboxes/simple polygons; documented in FIDELITY.md)."""
+    Holes travel with their outer (round 3, closing the r2 gap): on the
+    unwrap path every ring's negative lons shift together; on the split
+    path each hole is clipped by the same seam half-planes and its pieces
+    attach to the matching outer piece (the generic S-H splitter handles
+    rings uniformly — reference splits arbitrary geometries the same way,
+    ``crs.py:276-307``)."""
     import numpy as np
 
     from ..geo import geometry as G
 
-    if len(rings) > 1:
-        raise ValueError("seam splitting supports single-ring polygons only")
-    outer = np.asarray(rings[0], dtype="f8")
+    all_rings = [np.asarray(r, dtype="f8") for r in rings]
+    outer, holes = all_rings[0], all_rings[1:]
     lons = outer[:, 0]
     if np.abs(np.diff(lons)).max() > MERIDIAN_180TH:
-        r = outer.copy()
-        r[r[:, 0] < 0.0, 0] += 360.0
-        return [[r]]
+        out = []
+        for r in all_rings:
+            r = r.copy()
+            r[r[:, 0] < 0.0, 0] += 360.0
+            out.append(r)
+        return [out]
     if (lons < 0).any() and (lons >= 0).any():
-        east = G.clip_ring_by_box(outer, 0.0, -1e30, 1e30, 1e30)
-        west = G.clip_ring_by_box(outer, -1e30, -1e30, 0.0, 1e30)
         pieces = []
+        east = G.clip_ring_by_box(outer, 0.0, -1e30, 1e30, 1e30)
         if len(east) >= 4:
-            pieces.append([east])
+            piece = [east]
+            for h in holes:
+                he = G.clip_ring_by_box(h, 0.0, -1e30, 1e30, 1e30)
+                if len(he) >= 4 and abs(G.ring_area(he)) > G.EPS_AREA:
+                    piece.append(he)
+            pieces.append(piece)
+        west = G.clip_ring_by_box(outer, -1e30, -1e30, 0.0, 1e30)
         if len(west) >= 4:
             w = west.copy()
             w[:, 0] += 360.0
-            pieces.append([w])
+            piece = [w]
+            for h in holes:
+                hw = G.clip_ring_by_box(h, -1e30, -1e30, 0.0, 1e30)
+                if len(hw) >= 4 and abs(G.ring_area(hw)) > G.EPS_AREA:
+                    hw = hw.copy()
+                    hw[:, 0] += 360.0
+                    piece.append(hw)
+            pieces.append(piece)
         return pieces
     if (lons < 0).all():
-        r = outer.copy()
-        r[:, 0] += 360.0
-        return [[r]]
-    return [[outer]]
+        return [[(lambda r: r + np.array([360.0, 0.0]))(r.copy())
+                 for r in all_rings]]
+    return [all_rings]
 
 
 def conform_units(

@@ -166,3 +166,51 @@ def test_icclim_registry_tail(spark):
     assert prcptot == 39.0
     r10 = CR.get("icclim_R10mm")(df, ["g"]).collect()[0]["R10mm"]
     assert r10 == 2
+
+
+def test_unwrap_rings_with_holes():
+    """Round-3: seam-crossing polygons WITH HOLES split correctly — the
+    hole travels with its outer on both the unwrap and split paths, and
+    piece areas sum to (outer - hole)."""
+    import numpy as np
+    from ocgis_spark.geo import geometry as G
+    from ocgis_spark.operators import crs as C
+
+    def closed(pts):
+        a = np.array(pts, dtype="f8")
+        return np.vstack([a, a[:1]])
+
+    # 1) 180-crossing outer [170..-170] with a hole [175..-175]
+    outer = closed([[170.0, -10.0], [-170.0, -10.0], [-170.0, 10.0],
+                    [170.0, 10.0]])
+    hole = closed([[175.0, -5.0], [-175.0, -5.0], [-175.0, 5.0],
+                   [175.0, 5.0]])
+    pieces = C.unwrap_rings_pieces([outer, hole])
+    assert len(pieces) == 1 and len(pieces[0]) == 2
+    area = G.polygon_area(pieces[0])
+    assert area == pytest.approx(20.0 * 20.0 - 10.0 * 10.0)
+    assert (pieces[0][0][:, 0] >= 170.0).all()  # unwrapped to 0..360
+
+    # 2) lon-0-spanning outer [-20..20] with a hole [-10..10]
+    outer2 = closed([[-20.0, -10.0], [20.0, -10.0], [20.0, 10.0],
+                     [-20.0, 10.0]])
+    hole2 = closed([[-10.0, -5.0], [10.0, -5.0], [10.0, 5.0],
+                    [-10.0, 5.0]])
+    pieces2 = C.unwrap_rings_pieces([outer2, hole2])
+    assert len(pieces2) == 2
+    total = sum(G.polygon_area(p) for p in pieces2)
+    assert total == pytest.approx(40.0 * 20.0 - 20.0 * 10.0)
+    # each piece carries its half of the hole
+    assert all(len(p) == 2 for p in pieces2)
+    # western piece fully shifted into 0..360
+    west = [p for p in pieces2 if p[0][:, 0].max() > 180.0][0]
+    assert (west[0][:, 0] >= 340.0).all()
+    assert (west[1][:, 0] >= 350.0).all()
+
+    # 3) hole entirely on one side of the seam attaches only there
+    hole3 = closed([[5.0, -5.0], [15.0, -5.0], [15.0, 5.0], [5.0, 5.0]])
+    pieces3 = C.unwrap_rings_pieces([outer2, hole3])
+    n_holes = sorted(len(p) - 1 for p in pieces3)
+    assert n_holes == [0, 1]
+    total3 = sum(G.polygon_area(p) for p in pieces3)
+    assert total3 == pytest.approx(40.0 * 20.0 - 10.0 * 10.0)
