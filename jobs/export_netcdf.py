@@ -52,12 +52,10 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+    from ocgis_spark.ncmodel import coordinate_vectors, densify_slabs
+
     df = spark.read.parquet(args.input)
-    lats = [r[0] for r in df.select("lat").distinct().orderBy("lat").collect()]
-    lons = [r[0] for r in df.select("lon").distinct().orderBy("lon").collect()]
-    times = [r[0] for r in df.select("ts").distinct().orderBy("ts").collect()]
-    lat_ix = {v: i for i, v in enumerate(lats)}
-    lon_ix = {v: i for i, v in enumerate(lons)}
+    times, lats, lons = coordinate_vectors(df, args.variable)
 
     ds = netCDF4.Dataset(args.output, "w")
     try:
@@ -82,16 +80,10 @@ def main() -> None:
         )
         if args.units:
             vv.units = args.units
-        # stream one time slab at a time (bounded driver memory)
-        for ti, ts in enumerate(times):
-            rows = (
-                df.filter(F.col("ts") == ts)
-                .select("lat", "lon", args.variable)
-                .collect()
-            )
-            slab = np.full((len(lats), len(lons)), np.nan)
-            for r in rows:
-                slab[lat_ix[r["lat"]], lon_ix[r["lon"]]] = r[args.variable]
+        # one distributed pass (sort + toLocalIterator), one slab of
+        # driver memory at a time — NOT a filter-scan per time step
+        for ti, _ts, slab in densify_slabs(df, times, lats, lons,
+                                           args.variable):
             vv[ti] = slab
     finally:
         ds.close()

@@ -40,50 +40,23 @@ try:
 except ImportError:  # pragma: no cover - not available in this container
     HAVE_NETCDF = False
 
-#: CF axis discovery table (driver/nc.py:373-440): attribute → role
-_AXIS_ATTRS = {
-    "T": "time", "Z": "level", "Y": "y", "X": "x",
-}
-_STANDARD_NAMES = {
-    "time": "time", "height": "level", "air_pressure": "level",
-    "latitude": "y", "longitude": "x",
-}
-
-
-def discover_dimension_map(ds) -> dict[str, str]:
-    """CF axis discovery: returns {role: variable_name} for
-    time/level/y/x, mirroring the reference's metadata crawl."""
-    dmap: dict[str, str] = {}
-    for name, var in ds.variables.items():
-        axis = getattr(var, "axis", None)
-        if axis in _AXIS_ATTRS:
-            dmap.setdefault(_AXIS_ATTRS[axis], name)
-            continue
-        sn = getattr(var, "standard_name", None)
-        if sn in _STANDARD_NAMES:
-            dmap.setdefault(_STANDARD_NAMES[sn], name)
-            continue
-        units = str(getattr(var, "units", ""))
-        if units.startswith(("days since", "hours since", "seconds since")):
-            dmap.setdefault("time", name)
-        elif units in ("degrees_north", "degree_north"):
-            dmap.setdefault("y", name)
-        elif units in ("degrees_east", "degree_east"):
-            dmap.setdefault("x", name)
-    missing = {"time", "y", "x"} - set(dmap)
-    if missing:
-        raise ValueError(f"CF axis discovery failed for roles {sorted(missing)}")
-    return dmap
+# conversion semantics (axis discovery, melt) live in ocgis_spark.ncmodel
+# so they are testable without netCDF4; this job keeps only the file
+# open / num2date behind the guarded import
+from ocgis_spark.ncmodel import (  # noqa: E402
+    discover_dimension_map,
+    melt_slabs,
+    pick_data_variable,
+)
 
 
 def melt_file(path: str, variable: str | None, chunk_rows: int):
     """Yield pandas chunks of long-form rows from one NetCDF file."""
     import numpy as np
-    import pandas as pd
 
     ds = netCDF4.Dataset(path)
     try:
-        dmap = discover_dimension_map(ds)
+        dmap = discover_dimension_map(ds.variables)
         tvar = ds.variables[dmap["time"]]
         times = netCDF4.num2date(
             tvar[:], tvar.units,
@@ -93,27 +66,14 @@ def melt_file(path: str, variable: str | None, chunk_rows: int):
         lats = np.asarray(ds.variables[dmap["y"]][:], dtype="f8")
         lons = np.asarray(ds.variables[dmap["x"]][:], dtype="f8")
         if variable is None:
-            roles = set(dmap.values())
-            cands = [n for n, v in ds.variables.items()
-                     if n not in roles and v.ndim >= 3]
-            variable = cands[0]
+            variable = pick_data_variable(ds.variables, dmap)
         v = ds.variables[variable]
-        # stream time-major slabs so one chunk ≈ chunk_rows rows
-        per_t = lats.size * lons.size
-        step = max(1, chunk_rows // per_t)
-        glon, glat = np.meshgrid(lons, lats)
-        for t0 in range(0, len(times), step):
-            t1 = min(t0 + step, len(times))
-            slab = np.ma.filled(np.asarray(v[t0:t1], dtype="f8"), np.nan)
-            nt = t1 - t0
-            yield pd.DataFrame({
-                "ts": np.repeat(times[t0:t1], per_t),
-                "lat": np.tile(glat.ravel(), nt),
-                "lon": np.tile(glon.ravel(), nt),
-                "value": slab.reshape(nt, -1).ravel(),
-                "variable": variable,
-                "source": os.path.basename(path),
-            })
+
+        def get_slab(t0, t1):
+            return np.ma.filled(np.asarray(v[t0:t1], dtype="f8"), np.nan)
+
+        yield from melt_slabs(times, lats, lons, get_slab, variable,
+                              os.path.basename(path), chunk_rows)
     finally:
         ds.close()
 

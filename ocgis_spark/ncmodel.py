@@ -1,0 +1,136 @@
+"""NetCDF-CF ↔ long-form row-model conversion logic, factored out of
+``jobs/ingest_netcdf.py`` / ``jobs/export_netcdf.py`` so the semantics are
+testable WITHOUT netCDF4 (not shipped in this container, FIDELITY.md):
+the jobs keep only the file open / ``num2date`` / array write behind the
+guarded import, everything else lives here.
+
+Reference parity: CF axis discovery mirrors the metadata crawl of
+``/root/reference/src/ocgis/driver/nc.py:373-440``; the melt produces the
+``(ts, lat, lon, value)`` long form the DataFrame engine operates on, and
+``densify_slabs`` is the inverse (the NetCDF converter's hyperslab,
+``conv/nc.py``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+#: CF axis discovery table (driver/nc.py:373-440): attribute → role
+_AXIS_ATTRS = {
+    "T": "time", "Z": "level", "Y": "y", "X": "x",
+}
+_STANDARD_NAMES = {
+    "time": "time", "height": "level", "air_pressure": "level",
+    "latitude": "y", "longitude": "x",
+}
+
+
+def discover_dimension_map(variables) -> dict[str, str]:
+    """CF axis discovery: {role: variable_name} for time/level/y/x.
+
+    ``variables``: any mapping name → object with optional ``axis`` /
+    ``standard_name`` / ``units`` attributes (a ``netCDF4.Dataset
+    .variables`` dict, or any duck-typed stand-in). Precedence per
+    variable: ``axis`` attr, then ``standard_name``, then ``units``
+    heuristics — the reference's crawl order."""
+    dmap: dict[str, str] = {}
+    for name, var in variables.items():
+        axis = getattr(var, "axis", None)
+        if axis in _AXIS_ATTRS:
+            dmap.setdefault(_AXIS_ATTRS[axis], name)
+            continue
+        sn = getattr(var, "standard_name", None)
+        if sn in _STANDARD_NAMES:
+            dmap.setdefault(_STANDARD_NAMES[sn], name)
+            continue
+        units = str(getattr(var, "units", ""))
+        if units.startswith(("days since", "hours since", "seconds since")):
+            dmap.setdefault("time", name)
+        elif units in ("degrees_north", "degree_north"):
+            dmap.setdefault("y", name)
+        elif units in ("degrees_east", "degree_east"):
+            dmap.setdefault("x", name)
+    missing = {"time", "y", "x"} - set(dmap)
+    if missing:
+        raise ValueError(f"CF axis discovery failed for roles {sorted(missing)}")
+    return dmap
+
+
+def pick_data_variable(variables, dmap: dict[str, str]) -> str:
+    """First non-axis variable with rank >= 3 (the reference's default
+    data-variable selection when none is named)."""
+    roles = set(dmap.values())
+    cands = [n for n, v in variables.items()
+             if n not in roles and getattr(v, "ndim", 0) >= 3]
+    if not cands:
+        raise ValueError("no data variable of rank >= 3 found")
+    return cands[0]
+
+
+def melt_slabs(times, lats, lons, get_slab, variable: str, source: str,
+               chunk_rows: int = 2_000_000):
+    """Yield pandas chunks of long-form rows ``(ts, lat, lon, value,
+    variable, source)`` from a dense (time, lat, lon) hyperslab accessor.
+
+    ``get_slab(t0, t1)`` must return the ``(t1-t0, ny, nx)`` float array
+    (masked values already filled with NaN). Chunks are time-major slabs
+    sized so one chunk ≈ ``chunk_rows`` rows — the streaming shape that
+    bounds ingest memory regardless of file size."""
+    lats = np.asarray(lats, dtype="f8")
+    lons = np.asarray(lons, dtype="f8")
+    per_t = lats.size * lons.size
+    step = max(1, chunk_rows // per_t)
+    glon, glat = np.meshgrid(lons, lats)
+    nt_total = len(times)
+    for t0 in range(0, nt_total, step):
+        t1 = min(t0 + step, nt_total)
+        slab = np.asarray(get_slab(t0, t1), dtype="f8")
+        nt = t1 - t0
+        yield pd.DataFrame({
+            "ts": np.repeat(times[t0:t1], per_t),
+            "lat": np.tile(glat.ravel(), nt),
+            "lon": np.tile(glon.ravel(), nt),
+            "value": slab.reshape(nt, -1).ravel(),
+            "variable": variable,
+            "source": source,
+        })
+
+
+def coordinate_vectors(df, variable: str = "value"):
+    """(times, lats, lons) sorted-distinct coordinate vectors of a
+    long-form DataFrame (three small aggregations)."""
+    lats = [r[0] for r in df.select("lat").distinct().orderBy("lat").collect()]
+    lons = [r[0] for r in df.select("lon").distinct().orderBy("lon").collect()]
+    times = [r[0] for r in df.select("ts").distinct().orderBy("ts").collect()]
+    return times, lats, lons
+
+
+def densify_slabs(df, times, lats, lons, variable: str = "value"):
+    """Yield ``(time_index, ts, 2-D slab)`` in time order from long-form
+    rows — the NetCDF export's hyperslab reconstruction.
+
+    ONE distributed pass: ``orderBy(ts)`` + ``toLocalIterator`` streams
+    sorted rows to the driver with bounded memory (one slab at a time),
+    instead of one full filter-scan per time step. Missing cells stay
+    NaN. The driver-side fill loop is inherent to a single-file ``.nc``
+    write (the array write itself is serial)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    lat_ix = {v: i for i, v in enumerate(lats)}
+    lon_ix = {v: i for i, v in enumerate(lons)}
+    t_ix = {v: i for i, v in enumerate(times)}
+    cur = None
+    slab = None
+    for r in (
+        df.select("ts", "lat", "lon", variable)
+        .orderBy("ts", "lat", "lon")
+        .toLocalIterator()
+    ):
+        if r["ts"] != cur:
+            if cur is not None:
+                yield t_ix[cur], cur, slab
+            cur = r["ts"]
+            slab = np.full((len(lats), len(lons)), np.nan)
+        slab[lat_ix[r["lat"]], lon_ix[r["lon"]]] = r[variable]
+    if cur is not None:
+        yield t_ix[cur], cur, slab

@@ -30,45 +30,85 @@ def test_time_subset_func(spark):
     assert days == [6, 13, 20, 27]
 
 
+class _V:
+    def __init__(self, **attrs):
+        self.__dict__.update(attrs)
+        self.ndim = attrs.get("ndim", 1)
+
+
 def test_netcdf_ingest_axis_discovery():
-    """jobs/ingest_netcdf.py CF axis discovery (driver/nc.py:373-440) works
-    without netCDF4: attribute crawl over a stub dataset."""
-    import importlib.util
-    import os
+    """CF axis discovery (driver/nc.py:373-440) works without netCDF4:
+    attribute crawl over a stub variables mapping (ocgis_spark.ncmodel,
+    which jobs/ingest_netcdf.py delegates to)."""
+    from ocgis_spark import ncmodel
 
-    spec = importlib.util.spec_from_file_location(
-        "ingest_netcdf",
-        os.path.join(os.path.dirname(__file__), "..", "jobs", "ingest_netcdf.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-
-    class V:
-        def __init__(self, **attrs):
-            self.__dict__.update(attrs)
-            self.ndim = attrs.get("ndim", 1)
-
-    class DS:
-        variables = {
-            "time": V(units="days since 1950-01-01", calendar="noleap"),
-            "plev": V(standard_name="air_pressure"),
-            "rlat": V(units="degrees_north"),
-            "rlon": V(units="degrees_east"),
-            "tas": V(ndim=3),
-        }
-
-    dmap = mod.discover_dimension_map(DS())
+    variables = {
+        "time": _V(units="days since 1950-01-01", calendar="noleap"),
+        "plev": _V(standard_name="air_pressure"),
+        "rlat": _V(units="degrees_north"),
+        "rlon": _V(units="degrees_east"),
+        "tas": _V(ndim=3),
+    }
+    dmap = ncmodel.discover_dimension_map(variables)
     assert dmap == {"time": "time", "level": "plev", "y": "rlat", "x": "rlon"}
+    assert ncmodel.pick_data_variable(variables, dmap) == "tas"
 
-    class DS2:  # axis attributes win
-        variables = {
-            "t": V(axis="T"), "lat": V(axis="Y"), "lon": V(axis="X"),
-            "pr": V(ndim=3),
-        }
-
-    assert mod.discover_dimension_map(DS2()) == {
+    variables2 = {  # axis attributes win
+        "t": _V(axis="T"), "lat": _V(axis="Y"), "lon": _V(axis="X"),
+        "pr": _V(ndim=3),
+    }
+    assert ncmodel.discover_dimension_map(variables2) == {
         "time": "t", "y": "lat", "x": "lon"
     }
+
+
+def test_netcdf_melt_densify_roundtrip(spark):
+    """The ingest melt and the export densify are exact inverses on a
+    synthetic (time, lat, lon) hyperslab — exercising the full job logic
+    (driver/nc.py:344-440 / conv/nc.py semantics) without netCDF4."""
+    import datetime as dt
+
+    import numpy as np
+
+    from ocgis_spark import ncmodel
+
+    rng = np.random.default_rng(3)
+    nt, ny, nx = 7, 4, 5
+    dense = rng.normal(size=(nt, ny, nx))
+    dense[2, 1, 3] = np.nan  # masked cell survives the round trip as NaN
+    times = [dt.datetime(2024, 3, 1) + dt.timedelta(days=i) for i in range(nt)]
+    lats = np.linspace(30.0, 33.0, ny)
+    lons = np.linspace(-100.0, -96.0, nx)
+
+    # melt in 2 chunks (chunk_rows forces step < nt)
+    chunks = list(ncmodel.melt_slabs(
+        times, lats, lons, lambda t0, t1: dense[t0:t1],
+        "tas", "synthetic.nc", chunk_rows=3 * ny * nx,
+    ))
+    assert len(chunks) == 3  # 7 steps at 3 per chunk
+    import pandas as pd
+
+    long = pd.concat(chunks, ignore_index=True)
+    assert len(long) == nt * ny * nx
+    assert set(long["variable"]) == {"tas"}
+
+    df = spark.createDataFrame(long)
+    t2, la2, lo2 = ncmodel.coordinate_vectors(df)
+    assert list(la2) == list(lats) and list(lo2) == list(lons)
+    assert len(t2) == nt
+
+    back = np.full((nt, ny, nx), np.nan)
+    seen = []
+    for ti, ts, slab in ncmodel.densify_slabs(df, t2, la2, lo2):
+        back[ti] = slab
+        seen.append(ti)
+    assert seen == list(range(nt))  # time order, one slab each
+    np.testing.assert_array_equal(
+        np.isnan(back), np.isnan(dense)
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(back), np.nan_to_num(dense), rtol=0, atol=0
+    )
 
 
 def test_geojson_sink_roundtrip(spark, tmp_path):
