@@ -113,15 +113,6 @@ def test_spherical_to_cartesian(spark):
     assert out[2].cart_z == pytest.approx(1.0)
 
 
-def test_transform_crs_stub():
-    import pyspark.sql as _
-
-    from ocgis_spark.operators.crs import transform_crs
-
-    with pytest.raises(NotImplementedError, match="pyproj"):
-        transform_crs(None, "EPSG:4326", "EPSG:3857")
-
-
 def test_streaming_spatial_subset_same_operator(spark, tmp_path):
     """The SAME spatial_subset operator runs unchanged on a STREAM: the
     two-phase subset is stateless (bbox/half-plane predicates + broadcast
