@@ -56,14 +56,23 @@ def doc_shingles(df: DataFrame, text: str = "text", n: int = SHINGLE_LEN) -> Dat
     the shingle space large even on a tiny vocabulary, so LSH buckets stay
     sparse (unigram-token sets on a 30-word vocab would put the whole
     corpus in one bucket → O(n²) candidate pairs)."""
-    idx = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
-    ).alias("i")
-    return (
-        df.select("doc_id", F.col(text), idx)
-        .select("doc_id", F.substring(F.col(text), F.col("i"), n).alias("tok"))
-        .distinct()
+    # dedup WITHIN the doc via array_distinct (a local array op) instead
+    # of a global .distinct(): shingle uniqueness is per-document, so the
+    # corpus-wide shuffle of the EXPLODED relation the old distinct paid
+    # was pure waste (round 3). The explode is a ~text_length× row
+    # expander, so rebalance the (much smaller) doc table first when the
+    # scan is under-split — a no-op on real multi-split inputs, and it
+    # keeps the 64-hash signature map on all cores for small local files.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, "doc_id")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+            lambda i: F.col(text).substr(i, F.lit(n)),
+        )
     )
+    return df.select("doc_id", F.explode(shingles).alias("tok"))
 
 
 def minhash_signatures(
@@ -112,16 +121,31 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
 def jaccard_verify(
     pairs: DataFrame, toks: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs only: |A∩B| / |A∪B| ≥ t."""
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    """Exact Jaccard on candidate pairs only: |A∩B| / |A∪B| ≥ t.
+
+    Scale shape: every relation here is first semi-filtered to the docs
+    that actually appear in a candidate pair — set sizes and the
+    intersection join touch O(candidates), not O(corpus) (round 3; the
+    old per-doc size aggregation shuffled the full shingle relation even
+    when LSH produced a handful of pairs)."""
+    # persist the candidate pairs: cand_docs/ta/tb/sizes all branch off
+    # them, and an unpersisted LSH pipeline would re-run once per branch
+    pairs = pairs.persist()
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks_c = toks.join(cand_docs, "doc_id", "leftsemi")
+    ta = toks_c.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks_c.select(F.col("doc_id").alias("doc_b"), "tok")
     inter = (
         pairs.join(ta, "doc_a")
         .join(tb, ["doc_b", "tok"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = toks_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -248,18 +272,27 @@ def duplicate_components(
     collected. At extreme scale swap in large-star/small-star; the
     convergence check is one count per round.
 
-    Returns (node, component) with component = min doc id reachable."""
+    Returns (node, component) with component = min doc id reachable.
+
+    Iteration hygiene: every round's frame is ``localCheckpoint``-ed, not
+    just persisted — persist caches DATA but the logical plan still nests
+    one level per round, and Catalyst re-analyzes the whole plan at every
+    action, so round latency grows without bound (measured 4 s → 12 s →
+    38 s per round at sf0.01 before truncation). Checkpointing pins each
+    round to its materialized result; round cost is then constant. On a
+    cluster, set a checkpoint dir and swap in ``checkpoint()`` if
+    executor loss must be survivable mid-loop."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     changed = 0
     for _ in range(max_iters):
@@ -271,18 +304,16 @@ def duplicate_components(
         new_labels = (
             labels.select("node", "component").unionByName(nbr)
             .groupBy("node").agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node")
             .filter(F.col("component") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         # propagation advances one hop per round, so a chain with graph
         # diameter > max_iters would otherwise return silently SPLIT
