@@ -327,6 +327,94 @@ def duplicate_components(
     return labels
 
 
+def duplicate_components_star(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the extreme-scale variant of :func:`duplicate_components`: rounds
+    scale with O(log² n) INDEPENDENT of graph diameter, so a
+    million-link duplicate chain converges in a handful of rounds where
+    one-hop min-label propagation would need a round per link.
+
+    * large-star: every node attaches its STRICTLY LARGER neighbors to
+      the minimum of its neighborhood (incl. itself);
+    * small-star: with edges oriented large→small, every node attaches
+      its smaller neighbors (and itself) to the neighborhood minimum.
+
+    Both steps are one groupBy + one join over the edge list; each round
+    is ``localCheckpoint``-ed (see :func:`duplicate_components` for why
+    persist alone is not enough in iterative plans). Converged when the
+    oriented edge set stops changing; at that point the graph is a
+    forest of stars and the edge list IS the (node, component) labeling.
+
+    Returns (node, component) for every node in ``pairs`` — same
+    contract as :func:`duplicate_components`."""
+    E = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iters):
+        # ---- large-star ----
+        nbrs = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        E1 = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star (orient large→small first) ----
+        oriented = E1.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("node"), F.col("m"), F.col("u").alias("center"))
+        )
+        E2 = (
+            small.select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                mins2.select(F.col("u"), F.col("m").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = E2.exceptAll(E).count() + E.exceptAll(E2).count()
+        E = E2
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_components_star did not converge in {max_iters} "
+            f"rounds — raise max_iters (rounds grow ~log² of the largest "
+            f"component)"
+        )
+    # converged edge set is a star forest oriented large→small: every
+    # non-root node has exactly one outgoing edge to its component root
+    labels = E.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = E.select(F.col("v").alias("node")).distinct().join(
+        labels.select(F.col("node")), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    return labels.unionByName(roots)
+
+
 def dedup_keep_canonical(
     docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id"
 ) -> DataFrame:

@@ -9,7 +9,7 @@ Methodology (for stable, honest numbers):
   executor cache at both levels — otherwise the small-parallelism run
   measures cache eviction, not compute, and the ratio comes out
   superlinear;
-* per level: 1 warm-up run + 3 measured runs, median reported;
+* per level: 2 warm-up runs + 5 measured runs, median reported;
 * parallelism levels sit INSIDE the container's linear-CPU range
   (measured with a multi-process spin probe; see BENCH.md text).
 
@@ -66,12 +66,15 @@ def nonuniform():
     enc = VG.encode_cells(dg4.select("doc_id", "lon", "lat"), FX.VEC_GRID)
     spatial.bbox_filter(enc, FX.QUERY_RECT).write.format("noop").mode("overwrite").save()
 
-flagship()  # warm-up (JIT, codegen, shuffle services)
-nonuniform()
+# 2 warm-ups per job (JIT, codegen, Arrow python-worker pool spin-up —
+# one was not enough for the UDF job, whose first post-warm run still
+# trended 25% high), then median of 5
+for _ in range(2):
+    flagship(); nonuniform()
 times, nu_times = [], []
-for _ in range(3):
+for _ in range(5):
     t0 = time.time(); flagship(); times.append(time.time() - t0)
-for _ in range(3):
+for _ in range(5):
     t0 = time.time(); nonuniform(); nu_times.append(time.time() - t0)
 print("RESULT " + json.dumps({{"cpus": cpus, "n_docs": n, "times": times,
                                "nu_times": nu_times}}))
@@ -134,7 +137,7 @@ def main() -> None:
         "",
         "No multi-executor cluster exists in this sandbox, so per the",
         "driver's instruction the same job runs at two local parallelism",
-        "levels on identical input; 1 warm-up + median of 3 runs per level.",
+        "levels on identical input; 2 warm-ups + median of 5 runs per level.",
         "Levels sit inside the container's linear-CPU range: a",
         "multi-process spin probe scales 0.96-linearly to 8 procs",
         "(1→12.7M, 2→25.6M, 4→50.2M, 8→97.7M iters/3s) but only ~2.3x",

@@ -210,3 +210,38 @@ def test_duplicate_components_raises_on_nonconvergence(spark):
     # and with enough rounds the same chain collapses to one component
     comp = dedup.duplicate_components(pairs, max_iters=10)
     assert {r["component"] for r in comp.collect()} == {1}
+
+
+def test_star_components_match_min_label(spark):
+    """Large-star/small-star components == min-label components on random
+    graphs (the extreme-scale variant must be a drop-in)."""
+    import random
+
+    from ocgis_spark.operators import dedup
+
+    rng = random.Random(11)
+    nodes = list(range(1, 120))
+    edges = set()
+    for _ in range(150):
+        u, v = rng.sample(nodes, 2)
+        edges.add((min(u, v), max(u, v)))
+    pairs = spark.createDataFrame(sorted(edges), "doc_a bigint, doc_b bigint")
+    want = {(r["node"], r["component"])
+            for r in dedup.duplicate_components(pairs, max_iters=50).collect()}
+    got = {(r["node"], r["component"])
+           for r in dedup.duplicate_components_star(pairs).collect()}
+    assert got == want
+
+
+def test_star_components_deep_chain_few_rounds(spark):
+    """A 60-link chain (diameter 60) converges within the default star
+    round budget — one-hop min-label propagation would need 60 rounds."""
+    from ocgis_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 61)], "doc_a bigint, doc_b bigint"
+    )
+    comp = dedup.duplicate_components_star(pairs, max_iters=10)
+    rows = comp.collect()
+    assert {r["component"] for r in rows} == {1}
+    assert {r["node"] for r in rows} == set(range(1, 62))
