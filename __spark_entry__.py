@@ -285,6 +285,40 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def _components_oracle() -> str:
+    """Recursive-CTE transitive closure — shared by BOTH component
+    implementations (min-label and large-star/small-star), which must
+    produce identical (node, component) labelings."""
+    return (
+        "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+        + _minhash_oracle()
+        + ") mh), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "reach(node, label) AS ("
+        "SELECT node, node FROM nodes "
+        "UNION "
+        "SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst) "
+        "SELECT node, min(label) AS component FROM reach GROUP BY node"
+    )
+
+
+def q_dedup_components_star(spark, sf_dir):
+    """Same clusters via alternating large-star/small-star — the
+    O(log²n)-round variant whose round count is independent of graph
+    diameter (the 10^12-doc path). Shares the recursive-CTE oracle with
+    the min-label implementation: both must produce identical labels."""
+    pairs = dedup.minhash_dedup(
+        _corpus(spark, sf_dir), "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    comp = dedup.duplicate_components_star(pairs)
+    return comp.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def q_fuzzy_dedup_e2e(spark, sf_dir):
     """End-to-end fuzzy dedup: MinHash+LSH pairs → connected components →
     keep the smallest doc id per cluster — the full pipeline a training
@@ -1852,19 +1886,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY norm HAVING count(*) > 1"
         ),
         "minhash_pairs": _minhash_oracle(),
-        "dedup_components": (
-            "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
-            + _minhash_oracle()
-            + ") mh), "
-            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
-            "UNION SELECT doc_b, doc_a FROM pairs), "
-            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
-            "reach(node, label) AS ("
-            "SELECT node, node FROM nodes "
-            "UNION "
-            "SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst) "
-            "SELECT node, min(label) AS component FROM reach GROUP BY node"
-        ),
+        "dedup_components": _components_oracle(),
+        "dedup_components_star": _components_oracle(),
         "simhash": _simhash_oracle(),
         "fuzzy_dedup_e2e": (
             "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
@@ -2434,8 +2457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "dedup_components": q_dedup_components,
+        "dedup_components_star": q_dedup_components_star,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
-        "simhash": q_simhash,
         "similarity_topk": q_similarity_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2450,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "simhash": q_simhash,
         "icclim_TX90p": q_icclim_tx90p,
         "agg_selection": q_agg_selection,
         "decontaminate": q_decontaminate,
