@@ -32,6 +32,7 @@ def knn_join(
     qid: str = "qid",
     qlon: str = "qlon",
     qlat: str = "qlat",
+    qcell_bounds: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """Batch kNN: k nearest cells for EVERY query point in one plan.
 
@@ -42,14 +43,32 @@ def knn_join(
     the disk (k-th dist > (r-0.5)·res, the same exhaustiveness bound as
     :func:`knn_cells`) are re-run with a doubled radius — the driver loop
     shrinks to the unsatisfied residue, so the common case is one pass.
+
+    ``qcell_bounds`` (min_cx, min_cy, max_cx, max_cy): when the callers
+    know the query points' cell-index envelope (single probe, clustered
+    batch), the cell relation is RANGE-FILTERED to the r-buffered
+    envelope BEFORE the distinct — the predicate reaches the scan
+    (partition/row-group pruning on a cell-partitioned layout) and the
+    distinct shuffles only disk-sized input instead of every distinct
+    cell in the corpus. Results are identical: the disk equi-join keeps a
+    subset of that envelope anyway.
     """
     if r0 is None:
         r0 = max(1, int(math.ceil(math.sqrt(k))))
-    # the distinct cell relation is tiny (bounded by grid size, spillable)
-    # but derives from a full corpus scan — cache it so the exhaustiveness
-    # check and the caller's final action reuse one scan instead of
-    # rescanning the corpus per job
-    cells = cells.select("cell_y", "cell_x").distinct().persist()
+    raw = cells.select("cell_y", "cell_x")
+    # without an envelope, the distinct cell relation is tiny (bounded by
+    # grid size) but derives from a full corpus scan — cache it so the
+    # exhaustiveness check and the caller's final action reuse one scan
+    shared = None if qcell_bounds is not None else raw.distinct().persist()
+
+    def cells_for(r: int) -> DataFrame:
+        if shared is not None:
+            return shared
+        cx0, cy0, cx1, cy1 = qcell_bounds
+        return raw.filter(
+            F.col("cell_x").between(cx0 - r, cx1 + r)
+            & F.col("cell_y").between(cy0 - r, cy1 + r)
+        ).distinct()
     lat_c = F.lit(grid.lat0) + (F.col("cell_y") + 0.5) * F.lit(grid.res)
     lon_c = F.lit(grid.lon0) + (F.col("cell_x") + 0.5) * F.lit(grid.res)
 
@@ -70,7 +89,9 @@ def knn_join(
         )
         # the exploded disk (n_points × (2r+1)² rows) is the small side —
         # broadcast it so the corpus-derived cells relation never shuffles
-        joined = cells.join(F.broadcast(disk), ["cell_y", "cell_x"], "inner")
+        joined = cells_for(r).join(
+            F.broadcast(disk), ["cell_y", "cell_x"], "inner"
+        )
         dist = F.sqrt(
             (lon_c - F.col(qlon)) * (lon_c - F.col(qlon))
             + (lat_c - F.col(qlat)) * (lat_c - F.col(qlat))
@@ -120,7 +141,8 @@ def knn_join(
     # long session must not accumulate cached relations (ADVICE r2).
     # Callers should unpersist the returned result when done with it.
     result.count()
-    cells.unpersist()
+    if shared is not None:
+        shared.unpersist()
     return result.select(qid, "cell_y", "cell_x", "dist", "rank")
 
 
@@ -259,7 +281,13 @@ def knn_cells(
     cells = df.select(
         F.col(cell_y).alias("cell_y"), F.col(cell_x).alias("cell_x")
     )
-    out = knn_join(pts, cells, grid, k=k)
+    # single probe: the query cell is known driver-side, so hand knn_join
+    # the 1-cell envelope — the cell relation is range-filtered (scan
+    # predicate) instead of fully distinct-ed
+    qcx = int(math.floor((qlon - grid.lon0) / grid.res))
+    qcy = int(math.floor((qlat - grid.lat0) / grid.res))
+    out = knn_join(pts, cells, grid, k=k,
+                   qcell_bounds=(qcx, qcy, qcx, qcy))
     return out.select(
         F.col("cell_y").alias(cell_y), F.col("cell_x").alias(cell_x),
         "dist", "rank",
