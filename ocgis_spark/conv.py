@@ -29,6 +29,7 @@ def get_converter_map() -> dict[str, object]:
         "wkb-parquet": convert_parquet,  # WKB column is already binary
         "meta-json": convert_meta_only,
         "geojson": convert_geojson,
+        "shapefile": convert_shapefile,
     }
 
 
@@ -119,3 +120,23 @@ def convert_geojson(df: DataFrame, path: str, ops_doc=None,
     out = df.select(geojson_feature_expr(geom_col, prop_cols).alias("value"))
     out.write.mode("overwrite").text(path)
     return _write_meta(df, path, "geojson", ops_doc)
+
+
+def convert_shapefile(df: DataFrame, path: str, ops_doc=None,
+                      geom_col: str = "geom", prop_cols: list[str] | None = None):
+    """ESRI shapefile sink (.shp/.shx/.dbf) — real file triplet via the
+    pure-struct writer (``geo/shp.py``; reference ``conv/fiona_.py``).
+    A shapefile is a single seekable triplet, so rows are collected
+    driver-side (same posture as the NetCDF export); use 'wkb-parquet'
+    for the distributed vector sink. ``path`` is the base path without
+    extension."""
+    from .geo import shp as SHP
+
+    if prop_cols is None:
+        prop_cols = [c for c in df.columns if c != geom_col]
+    rows = df.select(geom_col, *prop_cols).collect()
+    geoms = [bytes(r[geom_col]) for r in rows]
+    attrs = [{c: r[c] for c in prop_cols} for r in rows]
+    SHP.write_shapefile(path, geoms, attrs)
+    _write_meta(df, path, "shapefile", ops_doc)
+    return path + ".shp"

@@ -1,0 +1,146 @@
+"""Shapefile sink round-trip: write .shp/.shx/.dbf with the pure-struct
+writer and re-read them with an INDEPENDENT minimal parser (this file),
+validating headers, offsets, ring orientation, coordinates, and dbf
+attributes — the fiona sink (reference conv/fiona_.py) without GDAL."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocgis_spark.geo import shp as SHP
+from ocgis_spark.geo import wkb as WKB
+from ocgis_spark.geo import geometry as G
+
+
+def _read_shp(path):
+    buf = open(path, "rb").read()
+    code, flen_words = struct.unpack(">i", buf[:4])[0], struct.unpack(">i", buf[24:28])[0]
+    version, shape_type = struct.unpack("<2i", buf[28:36])
+    assert code == 9994 and version == 1000
+    assert flen_words * 2 == len(buf)
+    recs, off = [], 100
+    while off < len(buf):
+        recno, clen = struct.unpack(">2i", buf[off:off + 8])
+        off += 8
+        st, minx, miny, maxx, maxy = struct.unpack("<i4d", buf[off:off + 36])
+        nparts, npts = struct.unpack("<2i", buf[off + 36:off + 44])
+        parts = struct.unpack(f"<{nparts}i", buf[off + 44:off + 44 + 4 * nparts])
+        pts = np.frombuffer(
+            buf, "<f8", count=2 * npts, offset=off + 44 + 4 * nparts
+        ).reshape(npts, 2)
+        recs.append((recno, st, (minx, miny, maxx, maxy), parts, pts.copy()))
+        off += clen * 2
+    return shape_type, recs
+
+
+def _read_shx(path):
+    buf = open(path, "rb").read()
+    out = []
+    for off in range(100, len(buf), 8):
+        out.append(struct.unpack(">2i", buf[off:off + 8]))
+    return out
+
+
+def _read_dbf(path):
+    buf = open(path, "rb").read()
+    nrec, hdr, rsz = struct.unpack("<IHH", buf[4:12])
+    fields, off = [], 32
+    while buf[off] != 0x0D:
+        name = buf[off:off + 11].rstrip(b"\x00").decode()
+        ftype = chr(buf[off + 11])
+        flen = buf[off + 16]
+        fields.append((name, ftype, flen))
+        off += 32
+    rows = []
+    for i in range(nrec):
+        r = buf[hdr + i * rsz: hdr + (i + 1) * rsz]
+        assert r[:1] == b" "
+        vals, p = {}, 1
+        for name, ftype, flen in fields:
+            raw = r[p:p + flen].decode().strip()
+            vals[name] = float(raw) if ftype == "N" and raw else raw
+            p += flen
+        rows.append(vals)
+    return fields, rows
+
+
+@pytest.fixture()
+def tri_and_holed(tmp_path):
+    tri = WKB.polygon_to_wkb([np.array(
+        [[0.0, 0.0], [4.0, 0.0], [2.0, 3.0], [0.0, 0.0]])])
+    holed = WKB.polygon_to_wkb([
+        np.array([[10.0, 10.0], [20.0, 10.0], [20.0, 20.0], [10.0, 20.0],
+                  [10.0, 10.0]]),
+        np.array([[13.0, 13.0], [17.0, 13.0], [17.0, 17.0], [13.0, 17.0],
+                  [13.0, 13.0]]),
+    ])
+    base = str(tmp_path / "cells")
+    SHP.write_shapefile(
+        base, [tri, holed],
+        attrs=[{"ugid": 1, "name": "tri"}, {"ugid": 2, "name": "holed"}],
+        fields=[("ugid", "N", 11, 0), ("name", "C", 16, 0)],
+    )
+    return base
+
+
+def test_shp_structure_and_orientation(tri_and_holed):
+    shape_type, recs = _read_shp(tri_and_holed + ".shp")
+    assert shape_type == SHP.SHP_POLYGON
+    assert [r[0] for r in recs] == [1, 2]
+    # record 2: two rings, outer CW, hole CCW
+    _, st, bbox, parts, pts = recs[1]
+    assert st == SHP.SHP_POLYGON and len(parts) == 2
+    assert bbox == (10.0, 10.0, 20.0, 20.0)
+    outer = pts[parts[0]:parts[1]]
+    hole = pts[parts[1]:]
+    assert G.ring_area(outer) < 0  # CW
+    assert G.ring_area(hole) > 0   # CCW
+    assert abs(G.ring_area(outer)) == pytest.approx(100.0)
+    assert abs(G.ring_area(hole)) == pytest.approx(16.0)
+
+
+def test_shx_offsets_match(tri_and_holed):
+    shape_type, recs = _read_shp(tri_and_holed + ".shp")
+    idx = _read_shx(tri_and_holed + ".shx")
+    assert len(idx) == 2
+    # offsets must point at each record header in the .shp
+    buf = open(tri_and_holed + ".shp", "rb").read()
+    for i, (off_words, clen) in enumerate(idx):
+        recno = struct.unpack(">i", buf[off_words * 2: off_words * 2 + 4])[0]
+        assert recno == i + 1
+
+
+def test_dbf_attrs(tri_and_holed):
+    fields, rows = _read_dbf(tri_and_holed + ".dbf")
+    assert [f[0] for f in fields] == ["ugid", "name"]
+    assert rows[0]["ugid"] == 1.0 and rows[0]["name"] == "tri"
+    assert rows[1]["ugid"] == 2.0 and rows[1]["name"] == "holed"
+
+
+def test_converter_end_to_end(spark, tmp_path):
+    """Spark df with WKB geoms -> 'shapefile' converter -> parse back."""
+    from ocgis_spark import conv
+
+    g1 = WKB.polygon_to_wkb([np.array(
+        [[-105.0, 37.0], [-104.0, 37.0], [-104.0, 38.0], [-105.0, 38.0],
+         [-105.0, 37.0]])])
+    df = spark.createDataFrame(
+        [(1, bytearray(g1), 2.5)], "ugid int, geom binary, wmean double"
+    )
+    out = conv.get_converter_map()["shapefile"](
+        df, str(tmp_path / "zones"), geom_col="geom"
+    )
+    assert out.endswith(".shp")
+    _, recs = _read_shp(out)
+    assert len(recs) == 1
+    fields, rows = _read_dbf(str(tmp_path / "zones.dbf"))
+    assert rows[0]["ugid"] == 1.0 and rows[0]["wmean"] == 2.5
+    # multipolygon WKB also writes (two parts, one record)
+    mp = WKB.multipolygon_to_wkb([
+        [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])],
+        [np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]])],
+    ])
+    SHP.write_shapefile(str(tmp_path / "mp"), [mp])
+    _, recs2 = _read_shp(str(tmp_path / "mp.shp"))
+    assert len(recs2) == 1 and len(recs2[0][3]) == 2
