@@ -33,6 +33,22 @@ class DefinitionValidationError(ValueError):
     """Cross-parameter validation failure (ops/core.py:324-416)."""
 
 
+#: known linear unit conversions for ``conform_units_to`` strings — the
+#: cf_units subset the reference's test workloads actually exercise
+#: (units.py / definition.py ``ConformUnitsTo``); arbitrary pairs go
+#: through an explicit (factor, offset) tuple
+UNIT_CONVERSIONS: dict[str, tuple[float, float]] = {
+    "K->C": (1.0, -273.15),
+    "C->K": (1.0, 273.15),
+    "C->F": (1.8, 32.0),
+    "F->C": (1.0 / 1.8, -32.0 / 1.8),
+    "m->km": (0.001, 0.0),
+    "km->m": (1000.0, 0.0),
+    "kg m-2 s-1->mm day-1": (86400.0, 0.0),
+    "mm day-1->kg m-2 s-1": (1.0 / 86400.0, 0.0),
+}
+
+
 @dataclass
 class OcgOperations:
     dataset: Any  # RequestDataset | Field | DataFrame
@@ -62,6 +78,36 @@ class OcgOperations:
     dir_output: str = "."
     grid: GridSpec | None = None
     melted: bool = False
+    #: linear units conversion of the value column before calcs —
+    #: (factor, offset) tuple or a known pair string like 'K->C'
+    #: (``conform_units_to``, definition.py / units.py analogue)
+    conform_units_to: Any = None
+    #: arbitrary Python predicate over a pandas Series of datetimes
+    #: (reference ``time_subset_func``, temporal.py:345-378)
+    time_subset_func: Any = None
+    #: 'wrap' | 'unwrap' the DATA longitudes before subsetting
+    #: (reference ``spatial_wrapping``)
+    spatial_wrapping: str | None = None
+    #: wrap OUTPUT longitudes back to -180..180 (reference ``vector_wrap``)
+    vector_wrap: bool = False
+    #: transform output coordinates to this CRS (adds x/y columns via
+    #: transform_crs — reference ``output_crs``, crs.py:458+)
+    output_crs: str | None = None
+    #: label-based positional slice per axis, e.g. {'time': 0}
+    #: (reference ``slice``; renamed: ``slice`` is a builtin)
+    slice_: dict | None = None
+    #: filter a GeomCabinet selection (geom=str uri) to these UGIDs
+    #: (reference ``geom_select_uid``/``select_ugid``)
+    geom_select_uid: list | None = None
+    #: SQL where clause applied to the GeomCabinet attribute table
+    #: (reference ``geom_select_sql_where``)
+    geom_select_sql_where: str | None = None
+    #: aggregate=True + calc: run calcs over RAW pooled values instead of
+    #: the spatially aggregated series (reference ``calc_raw``)
+    calc_raw: bool = False
+    #: conservative regrid of the value column to this destination
+    #: VectorGridSpec after subsetting (reference ``regrid_destination``)
+    regrid_destination: Any = None
 
     def __post_init__(self):
         self._validate()
@@ -114,6 +160,28 @@ class OcgOperations:
         # agg_selection + clip is supported for rectilinear selections via
         # the rectunion dissolve (round 3); non-rectilinear inputs are
         # rejected in execute() once the geometries are coerced to rings.
+        if self.spatial_wrapping not in (None, "wrap", "unwrap"):
+            raise DefinitionValidationError(
+                f"spatial_wrapping {self.spatial_wrapping!r} invalid "
+                "(None | 'wrap' | 'unwrap')"
+            )
+        if self.calc_raw and not (self.aggregate and self.calc):
+            raise DefinitionValidationError(
+                "calc_raw=True requires aggregate=True and calc"
+            )
+        if self.conform_units_to is not None:
+            if not (
+                isinstance(self.conform_units_to, (tuple, list))
+                and len(self.conform_units_to) == 2
+            ) and str(self.conform_units_to) not in UNIT_CONVERSIONS:
+                raise DefinitionValidationError(
+                    f"conform_units_to must be (factor, offset) or one of "
+                    f"{sorted(UNIT_CONVERSIONS)}"
+                )
+        if self.regrid_destination is not None and self.select_nearest:
+            raise DefinitionValidationError(
+                "regrid_destination is incompatible with select_nearest"
+            )
 
     # ---- geometry coercion ----
     def _rings(self) -> list[np.ndarray] | None:
@@ -175,6 +243,26 @@ class OcgOperations:
         ts = dm.get("time", "ts")
         value = dm.get("value", "value")
 
+        # data-coordinate wrapping (engine.py spatial_wrapping prep)
+        if self.spatial_wrapping is not None:
+            from .operators import crs as crs_ops
+
+            lon_col = dm.get("x", "lon")
+            fn = (crs_ops.wrap_lon if self.spatial_wrapping == "wrap"
+                  else crs_ops.unwrap_lon)
+            df = df.withColumn(lon_col, fn(F.col(lon_col)))
+
+        # units conform BEFORE any calc (engine.py:158-190 prep order)
+        if self.conform_units_to is not None:
+            from .operators import crs as crs_ops
+
+            cu = self.conform_units_to
+            factor, offset = (
+                cu if isinstance(cu, (tuple, list))
+                else UNIT_CONVERSIONS[str(cu)]
+            )
+            df = crs_ops.conform_units(df, value, float(factor), float(offset))
+
         # nonspatial subsets (engine.py:387-406)
         if self.time_range is not None:
             if "ts_lb" not in df.columns:
@@ -191,12 +279,65 @@ class OcgOperations:
         if self.level_range is not None and "level" in df.columns:
             lo, hi = self.level_range
             df = df.filter(F.col("level").between(lo, hi))
+        if self.time_subset_func is not None:
+            df = temporal.time_subset_func(df, self.time_subset_func, ts=ts)
         if self.snippet and ts in df.columns:
             fld2 = Field(df, dm, fld.grid)
             df = fld2.get_field_slice({"time": 0}).df
+        if self.slice_:
+            df = Field(df, dm, fld.grid).get_field_slice(self.slice_).df
+
+        # GeomCabinet selection (geom = table uri string): resolve to the
+        # [(ugid, rings), ...] list with UID / SQL-where pushdown
+        # (reference geom='state_boundaries' + select_ugid/select_sql_where,
+        # util/geom_cabinet.py:215-276)
+        cabinet_polys = None
+        if isinstance(self.geom, str):
+            from .geom_cabinet import GeomCabinet
+
+            cabinet_polys = GeomCabinet(self.geom).iter_geoms(
+                spark, select_uid=self.geom_select_uid,
+                select_sql_where=self.geom_select_sql_where,
+            )
+            if not cabinet_polys:
+                raise DefinitionValidationError(
+                    f"geom {self.geom!r} selected no geometries"
+                )
+
+        # multi-geometry selection WITHOUT agg_selection: the reference's
+        # SpatialCollection — one subset per selection geometry keyed by
+        # ugid (engine.py:287-385); ours is ONE multi-geometry plan
+        if cabinet_polys is not None or (
+            isinstance(self.geom, list) and not self.agg_selection
+        ):
+            grid = self._grid()
+            if cabinet_polys is not None:
+                polys = cabinet_polys
+            else:
+                polys = [
+                    (i + 1, OcgOperations(
+                        dataset=self.dataset, geom=g, grid=grid,
+                        abstraction=self.abstraction,
+                    )._rings())
+                    for i, g in enumerate(self.geom)
+                ]
+            df = spatial.spatial_subset_many(
+                spark, df, grid, polys, abstraction=self.abstraction,
+                keep_touches=self.keep_touches,
+            )
+            if not self.allow_empty and len(df.take(1)) == 0:
+                raise spatial.ExtentError(
+                    "spatial subset returned no rows (allow_empty=False)"
+                )
+            rings = None
+            self_geom_handled = True
+        else:
+            self_geom_handled = False
 
         # spatial subset per geometry (engine.py:287-385)
-        if self.agg_selection and isinstance(self.geom, list):
+        if self_geom_handled:
+            pass
+        elif self.agg_selection and isinstance(self.geom, list):
             grid = self._grid()
             polys = []
             for i, g in enumerate(self.geom):
@@ -316,19 +457,46 @@ class OcgOperations:
                     F.broadcast(nearest), ["cell_y", "cell_x"], "leftsemi"
                 )
 
+        # conservative regrid to the destination grid (engine.py:437-470,
+        # regrid/base.py:646-839) — non-uniform grids only; the value
+        # column is re-expressed on destination cells before calcs
+        if self.regrid_destination is not None:
+            from .geo.cellindex import VectorGridSpec
+            from .operators import regrid as regrid_ops
+            from .operators import vectorgrid as vg_ops
+
+            src_grid = self._grid()
+            if not (isinstance(src_grid, VectorGridSpec)
+                    and isinstance(self.regrid_destination, VectorGridSpec)):
+                raise DefinitionValidationError(
+                    "regrid_destination needs VectorGridSpec source and "
+                    "destination grids (uniform grids: wrap with "
+                    "VectorGridSpec.from_edges)"
+                )
+            if "vcx" not in df.columns:
+                df = vg_ops.encode_cells(
+                    df, src_grid, lon=dm.get("x", "lon"), lat=dm.get("y", "lat")
+                )
+            df = regrid_ops.apply_conservative_vector(
+                df, spark, src_grid, self.regrid_destination, value=value
+            ).withColumnRenamed("dst_value", value)
+
         # aggregation / calcs (engine.py:573-613; calc/engine.py:48-157)
         if self.aggregate and self.calc:
-            # reference semantics (test_simple.test_calc, calc_raw=False):
-            # spatially aggregate PER TIME STEP, then run the temporal calc
-            # over the aggregated series
+            # reference semantics (test_simple.test_calc):
+            # calc_raw=False — spatially aggregate PER TIME STEP, then run
+            # the temporal calc over the aggregated series;
+            # calc_raw=True — calcs pool the RAW (unaggregated) values
+            # (calc/base.py calc_raw), so the spatial pre-agg is skipped
             weight = "clip_area" if self.spatial_operation == "clip" else None
-            gb = df.groupBy(ts)
-            if weight and weight in df.columns:
-                df = gb.agg(
-                    (F.sum(F.col(value) * F.col(weight)) / F.sum(weight)).alias(value)
-                )
-            else:
-                df = gb.agg(F.avg(value).alias(value))
+            if not self.calc_raw:
+                gb = df.groupBy(ts)
+                if weight and weight in df.columns:
+                    df = gb.agg(
+                        (F.sum(F.col(value) * F.col(weight)) / F.sum(weight)).alias(value)
+                    )
+                else:
+                    df = gb.agg(F.avg(value).alias(value))
             df, keys = self._with_grouping_keys(df, ts)
             outs = []
             for c in self.calc:
@@ -387,6 +555,24 @@ class OcgOperations:
                 df = df.groupBy(*keys).agg(
                     *[F.avg(c).alias(c) for c in scalar_cols]
                 )
+
+        # output-side coordinate treatments (engine.py:573-613 epilogue)
+        lon_col, lat_col = dm.get("x", "lon"), dm.get("y", "lat")
+        if self.vector_wrap and lon_col in df.columns:
+            from .operators import crs as crs_ops
+
+            df = df.withColumn(lon_col, crs_ops.wrap_lon(F.col(lon_col)))
+        if self.output_crs is not None:
+            from .operators import crs as crs_ops
+
+            if lon_col not in df.columns or lat_col not in df.columns:
+                raise DefinitionValidationError(
+                    "output_crs needs coordinate columns in the output "
+                    f"({lon_col!r}/{lat_col!r} not present)"
+                )
+            df = crs_ops.transform_crs(
+                df, "EPSG:4326", self.output_crs, lon=lon_col, lat=lat_col
+            )
 
         # melted output (csv converter's melted form, conv/csv_.py):
         # data variables stacked to (variable, value) rows
