@@ -971,6 +971,25 @@ def q_ops_facade(spark, sf_dir):
     return out.select(F.round("wmean", 6).alias("wmean"), "n")
 
 
+def q_ops_chain(spark, sf_dir):
+    """Facade chain exercising the round-3 parameter parity in ONE plan:
+    units conform (v' = 2v + 1) → rect intersects → output_crs
+    (EPSG:3857 web mercator coordinates appended)."""
+    dg = _docs_geo(spark, sf_dir)
+    fld = Field(dg, {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+                DOC_GRID)
+    ops = OcgOperations(
+        dataset=fld, geom=_RECT, spatial_operation="intersects",
+        abstraction="point", conform_units_to=(2.0, 1.0),
+        output_crs="EPSG:3857",
+    )
+    out = ops.execute(spark)
+    return out.select(
+        "doc_id", F.round("value", 6).alias("value2"),
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+    )
+
+
 #: second selection rect for agg_selection (overlaps _RECT)
 AGG_SEL_RECT2 = (-105.0, 39.0, -104.0, 40.25)
 
@@ -2319,6 +2338,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT round(avg(value), 6) AS wmean, count(*) AS n "
             f"FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)}"
         ),
+        "ops_chain": (
+            f"SELECT doc_id, round(value * 2.0E0 + 1.0E0, 6) AS value2, "
+            f"round(6378137.0E0 * radians(lon), 6) AS x, "
+            f"round(6378137.0E0 * ln(tan(pi() / 4.0E0 + radians(lat) / 2.0E0)), 6) AS y "
+            f"FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)}"
+        ),
         "agg_selection": (
             f"SELECT round(avg(value), 6) AS wmean, count(*) AS n "
             f"FROM ({_DG}) dg WHERE ({FX.rect_pred_sql(_RECT)}) "
@@ -2458,8 +2483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "dedup_components": q_dedup_components,
         "dedup_components_star": q_dedup_components_star,
+        "ops_chain": q_ops_chain,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
-        "similarity_topk": q_similarity_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
@@ -2473,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "similarity_topk": q_similarity_topk,
         "simhash": q_simhash,
         "icclim_TX90p": q_icclim_tx90p,
         "agg_selection": q_agg_selection,
