@@ -30,6 +30,7 @@ from . import geometry as G
 from . import wkb as WKB
 
 SHP_POLYGON = 5
+SHP_NULL = 0
 
 
 def _rings_oriented(polys: list[list[np.ndarray]]) -> list[np.ndarray]:
@@ -155,3 +156,103 @@ def write_shapefile(
                         "ascii", "replace"))
         dbf.write(b"\x1a")
     return shp_path, shx_path, dbf_path
+
+
+# ---- reader (GeomCabinet's shapefile scan, reference util/geom_cabinet
+# via fiona — here: the same struct layout in reverse) ----
+
+def _split_polygons(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Shapefile polygon records interleave outers (CW) and holes (CCW)
+    with no explicit nesting: group each hole with the outer containing
+    its first vertex (the standard reconstruction)."""
+    outers = [[r] for r in rings if G.ring_area(r) < 0]  # CW = outer
+    if not outers:  # degenerate: treat everything as outers
+        return [[r] for r in rings]
+    for h in rings:
+        if G.ring_area(h) < 0:
+            continue
+        px, py = np.array([h[0, 0]]), np.array([h[0, 1]])
+        for poly in outers:
+            if G.points_in_polygon(px, py, [poly[0]], keep_touches=True)[0]:
+                poly.append(h)
+                break
+    return outers
+
+
+def read_shapefile(path_base: str) -> list[tuple[int, list[list[np.ndarray]], dict]]:
+    """Read ``path_base``.shp (+ .dbf if present) →
+    ``[(fid, [[outer, holes...], ...], attrs), ...]``. Rings come back in
+    WKB orientation (outer CCW, holes CW) ready for
+    ``wkb.polygon_to_wkb`` / the subset kernels."""
+    shp = open(path_base + ".shp", "rb").read()
+    if struct.unpack(">i", shp[:4])[0] != 9994:
+        raise ValueError(f"{path_base}.shp: not a shapefile (bad file code)")
+    feats = []
+    off = 100
+    while off < len(shp):
+        recno, clen = struct.unpack(">2i", shp[off:off + 8])
+        off += 8
+        (stype,) = struct.unpack("<i", shp[off:off + 4])
+        if stype == SHP_NULL:
+            feats.append((recno, []))
+        elif stype == SHP_POLYGON:
+            nparts, npts = struct.unpack("<2i", shp[off + 36:off + 44])
+            parts = struct.unpack(
+                f"<{nparts}i", shp[off + 44:off + 44 + 4 * nparts]
+            )
+            pts = np.frombuffer(
+                shp, "<f8", count=2 * npts, offset=off + 44 + 4 * nparts
+            ).reshape(npts, 2).copy()
+            bounds = list(parts) + [npts]
+            rings = [pts[bounds[i]:bounds[i + 1]] for i in range(nparts)]
+            polys = _split_polygons(rings)
+            # reorient to WKB convention: outer CCW, holes CW
+            out_polys = []
+            for poly in polys:
+                fixed = []
+                for i, r in enumerate(poly):
+                    area = G.ring_area(r)
+                    if (i == 0 and area < 0) or (i > 0 and area > 0):
+                        r = r[::-1]
+                    fixed.append(np.ascontiguousarray(r))
+                out_polys.append(fixed)
+            feats.append((recno, out_polys))
+        else:
+            raise ValueError(f"unsupported shape type {stype}")
+        off += clen * 2
+
+    attrs_rows: list[dict] = [{} for _ in feats]
+    try:
+        dbf = open(path_base + ".dbf", "rb").read()
+    except FileNotFoundError:
+        dbf = None
+    if dbf:
+        nrec, hdr, rsz = struct.unpack("<IHH", dbf[4:12])
+        fields, f_off = [], 32
+        while dbf[f_off] != 0x0D:
+            name = dbf[f_off:f_off + 11].rstrip(b"\x00").decode("ascii")
+            ftype = chr(dbf[f_off + 11])
+            flen = dbf[f_off + 16]
+            fields.append((name, ftype, flen))
+            f_off += 32
+        for i in range(min(nrec, len(feats))):
+            rec = dbf[hdr + i * rsz: hdr + (i + 1) * rsz]
+            vals, p = {}, 1
+            for name, ftype, flen in fields:
+                raw = rec[p:p + flen].decode("ascii", "replace").strip()
+                if ftype == "N" and raw:
+                    vals[name] = float(raw) if "." in raw else int(raw)
+                else:
+                    vals[name] = raw
+                p += flen
+            attrs_rows[i] = vals
+        # a UGID/FID-style numeric field overrides the record number
+    out = []
+    for (recno, polys), attrs in zip(feats, attrs_rows):
+        fid = recno
+        for key in ("UGID", "ugid", "FID", "fid"):
+            if key in attrs and isinstance(attrs[key], (int, float)):
+                fid = int(attrs[key])
+                break
+        out.append((fid, polys, attrs))
+    return out

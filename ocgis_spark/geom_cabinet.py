@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import SparkSession
 
+from .geo import shp as SHP
 from .geo import wkb as WKB
 
 
@@ -29,7 +30,32 @@ class GeomCabinet:
     ) -> list[tuple[int, list[np.ndarray]]]:
         """Return [(ugid, rings), ...] honoring UID and SQL-where pushdown
         (``geom_cabinet.py:215-276``). Multipolygons yield one entry per
-        part with the same ugid (exploded parts keep membership)."""
+        part with the same ugid (exploded parts keep membership).
+
+        ``uri`` may be a WKB-parquet catalog (the distributed layout) or a
+        real ``.shp`` path / shapefile base path — the reference's primary
+        selection source (state boundaries etc.), read by the pure-struct
+        parser in ``geo.shp`` (round 3; no fiona/GDAL)."""
+        base = self.uri[:-4] if self.uri.endswith(".shp") else self.uri
+        import os
+
+        if os.path.exists(base + ".shp"):
+            out_shp: list[tuple[int, list[np.ndarray]]] = []
+            uid_set = (
+                {int(u) for u in select_uid} if select_uid is not None else None
+            )
+            for fid, polys, _attrs in SHP.read_shapefile(base):
+                if uid_set is not None and fid not in uid_set:
+                    continue
+                if select_sql_where:
+                    raise ValueError(
+                        "select_sql_where needs the WKB-parquet catalog "
+                        "layout (attribute pushdown); shapefiles support "
+                        "select_uid only"
+                    )
+                for rings in polys:
+                    out_shp.append((fid, rings))
+            return out_shp
         df = spark.read.parquet(self.uri)
         if select_uid is not None:
             df = df.filter(df["ugid"].isin([int(u) for u in select_uid]))

@@ -144,3 +144,66 @@ def test_converter_end_to_end(spark, tmp_path):
     SHP.write_shapefile(str(tmp_path / "mp"), [mp])
     _, recs2 = _read_shp(str(tmp_path / "mp.shp"))
     assert len(recs2) == 1 and len(recs2[0][3]) == 2
+
+
+def test_read_shapefile_roundtrip(tri_and_holed):
+    """writer -> reader round trip: geometry (incl. hole nesting and WKB
+    re-orientation) and dbf attributes identical."""
+    feats = SHP.read_shapefile(tri_and_holed)
+    assert len(feats) == 2
+    fid, polys, attrs = feats[1]
+    assert fid == 2 and attrs["name"] == "holed"
+    assert len(polys) == 1 and len(polys[0]) == 2
+    outer, hole = polys[0]
+    assert G.ring_area(outer) > 0   # WKB convention: outer CCW
+    assert G.ring_area(hole) < 0    # hole CW
+    assert abs(G.ring_area(outer)) == pytest.approx(100.0)
+    assert abs(G.ring_area(hole)) == pytest.approx(16.0)
+    # fid prefers the UGID-style numeric attribute
+    assert feats[0][0] == 1
+
+
+def test_geom_cabinet_reads_shapefile(spark, tri_and_holed):
+    """GeomCabinet consumes a real .shp selection source (the reference's
+    state-boundaries pattern) with UID pushdown."""
+    from ocgis_spark.geom_cabinet import GeomCabinet
+
+    cab = GeomCabinet(tri_and_holed + ".shp")
+    geoms = cab.iter_geoms(spark)
+    assert {u for u, _ in geoms} == {1, 2}
+    only2 = cab.iter_geoms(spark, select_uid=[2])
+    assert {u for u, _ in only2} == {2}
+    # rings usable by the subset kernels: area of the holed polygon
+    rings = only2[0][1]
+    assert G.polygon_area(rings) == pytest.approx(84.0)
+
+
+def test_ops_facade_shapefile_selection(spark, tmp_path):
+    """End to end: OcgOperations(geom='<...>.shp') subsets by a shapefile
+    selection — the reference's canonical invocation shape."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from ocgis_spark.fixtures import GOLDEN_GRID, rect_ring
+    from ocgis_spark.ops import OcgOperations
+    from ocgis_spark.request import Field
+
+    g = GOLDEN_GRID
+    sel = WKB.polygon_to_wkb([rect_ring(
+        g.lon0, g.lat0, g.lon0 + 2 * g.res, g.lat0 + 2 * g.res)])
+    base = str(tmp_path / "sel")
+    SHP.write_shapefile(base, [sel], attrs=[{"UGID": 7}],
+                        fields=[("UGID", "N", 11, 0)])
+    rows = []
+    for cy in range(4):
+        for cx in range(4):
+            rows.append((dt.datetime(2024, 1, 1), cy, cx,
+                         g.lon0 + (cx + 0.5) * g.res,
+                         g.lat0 + (cy + 0.5) * g.res, 1.0))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, cell_y int, cell_x int, lon double, "
+              "lat double, value double")
+    fld = Field(df, {"time": "ts", "x": "lon", "y": "lat", "value": "value"}, g)
+    out = OcgOperations(dataset=fld, geom=base + ".shp",
+                        abstraction="polygon").execute(spark)
+    assert out.count() == 4  # the 2x2 block
+    assert {r["ugid"] for r in out.select("ugid").distinct().collect()} == {7}
