@@ -92,6 +92,19 @@ class VectorGridSpec:
             tuple(float(v) for v in x_edges), tuple(float(v) for v in y_edges)
         )
 
+    @classmethod
+    def from_centroids(cls, x_centers, y_centers) -> "VectorGridSpec":
+        """Grid whose cell EDGES are extrapolated from coordinate
+        centroids — the reference's ``set_extrapolated_bounds``
+        (``variable/base.py:945-975`` via ``get_bounds_from_1d``,
+        ``util/helpers.py:195-258``): interior edges are two-point means,
+        end edges mirror the first/last midpoint. CF files routinely ship
+        center coordinates without bounds; this is how they become
+        clip-able cell polygons."""
+        return cls.from_edges(
+            edges_from_centroids(x_centers), edges_from_centroids(y_centers)
+        )
+
     @property
     def nx(self) -> int:
         return len(self.x_edges) - 1
@@ -232,3 +245,17 @@ def ring_cells(spec: GridSpec, cy: int, cx: int, k: int) -> np.ndarray:
     xs = np.arange(max(cx - k, 0), min(cx + k, spec.nx - 1) + 1)
     yy, xx = np.meshgrid(ys, xs, indexing="ij")
     return zencode(yy.ravel(), xx.ravel())
+
+
+def edges_from_centroids(centers) -> np.ndarray:
+    """n centroids → n+1 ascending cell edges: interior edges are the
+    midpoints of consecutive centroids; the two end edges mirror the
+    nearest midpoint about the end centroid (reference
+    ``get_bounds_vector_from_centroids``, ``util/helpers.py:224-258``)."""
+    c = np.asarray(centers, dtype="f8")
+    if c.ndim != 1 or len(c) < 2:
+        raise ValueError("centroid arrays must be 1-D with length >= 2")
+    mids = (c[:-1] + c[1:]) / 2.0
+    first = c[0] - (mids[0] - c[0])
+    last = c[-1] + (c[-1] - mids[-1])
+    return np.concatenate([[first], mids, [last]])

@@ -155,6 +155,16 @@ def write_shapefile(
                     dbf.write(str(v)[:flen].ljust(flen).encode(
                         "ascii", "replace"))
         dbf.write(b"\x1a")
+
+    # .prj sidecar: WGS84 — the engine's working CRS; desktop GIS tools
+    # refuse to georeference the triplet without it
+    with open(path_base + ".prj", "w") as prj:
+        prj.write(
+            'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+            'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+            'PRIMEM["Greenwich",0.0],'
+            'UNIT["Degree",0.0174532925199433]]'
+        )
     return shp_path, shx_path, dbf_path
 
 

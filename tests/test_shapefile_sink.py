@@ -207,3 +207,8 @@ def test_ops_facade_shapefile_selection(spark, tmp_path):
                         abstraction="polygon").execute(spark)
     assert out.count() == 4  # the 2x2 block
     assert {r["ugid"] for r in out.select("ugid").distinct().collect()} == {7}
+
+
+def test_prj_sidecar(tri_and_holed):
+    prj = open(tri_and_holed + ".prj").read()
+    assert prj.startswith('GEOGCS["GCS_WGS_1984"')

@@ -224,3 +224,26 @@ def test_streaming_subset_on_vector_grid(spark, tmp_path):
         .sort_values(["vcx", "vcy"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, b_out)
+
+
+def test_edges_from_centroids_matches_reference():
+    """set_extrapolated_bounds semantics (helpers.py:195-258): interior
+    edges = consecutive-centroid midpoints, end edges mirrored."""
+    import numpy as np
+    from ocgis_spark.geo.cellindex import VectorGridSpec, edges_from_centroids
+
+    np.testing.assert_allclose(
+        edges_from_centroids([1.0, 2.0, 3.0]), [0.5, 1.5, 2.5, 3.5]
+    )
+    # non-uniform spacing: end edges mirror the nearest midpoint
+    np.testing.assert_allclose(
+        edges_from_centroids([0.0, 1.0, 4.0]), [-0.5, 0.5, 2.5, 5.5]
+    )
+    vg = VectorGridSpec.from_centroids([1.0, 2.0, 3.0], [10.0, 20.0])
+    assert vg.nx == 3 and vg.ny == 2
+    # every centroid falls inside its own cell
+    cy, cx = vg.cell_of(np.array([1.0, 2.0, 3.0]), np.array([10.0, 20.0, 20.0]))
+    assert list(cx) == [0, 1, 2] and list(cy) == [0, 1, 1]
+    import pytest
+    with pytest.raises(ValueError):
+        edges_from_centroids([1.0])
