@@ -127,7 +127,12 @@ def jaccard_verify(
     that actually appear in a candidate pair — set sizes and the
     intersection join touch O(candidates), not O(corpus) (round 3; the
     old per-doc size aggregation shuffled the full shingle relation even
-    when LSH produced a handful of pairs)."""
+    when LSH produced a handful of pairs).
+
+    The candidate-pair relation stays persisted while the returned plan
+    is alive (four branches read it). Long-lived sessions should release
+    it after consuming the result (``spark.catalog.clearCache()`` or pass
+    an explicitly persisted ``pairs`` and unpersist your handle)."""
     # persist the candidate pairs: cand_docs/ta/tb/sizes all branch off
     # them, and an unpersisted LSH pipeline would re-run once per branch
     pairs = pairs.persist()

@@ -307,8 +307,8 @@ class OcgOperations:
         # multi-geometry selection WITHOUT agg_selection: the reference's
         # SpatialCollection — one subset per selection geometry keyed by
         # ugid (engine.py:287-385); ours is ONE multi-geometry plan
-        if cabinet_polys is not None or (
-            isinstance(self.geom, list) and not self.agg_selection
+        if not self.agg_selection and (
+            cabinet_polys is not None or isinstance(self.geom, list)
         ):
             grid = self._grid()
             if cabinet_polys is not None:
@@ -334,18 +334,24 @@ class OcgOperations:
         else:
             self_geom_handled = False
 
-        # spatial subset per geometry (engine.py:287-385)
+        # spatial subset per geometry (engine.py:287-385); agg_selection
+        # unions the selection set first — cabinet selections included
         if self_geom_handled:
             pass
-        elif self.agg_selection and isinstance(self.geom, list):
+        elif self.agg_selection and (
+            cabinet_polys is not None or isinstance(self.geom, list)
+        ):
             grid = self._grid()
-            polys = []
-            for i, g in enumerate(self.geom):
-                one = OcgOperations(
-                    dataset=self.dataset, geom=g, grid=grid,
-                    abstraction=self.abstraction,
-                )._rings()
-                polys.append((i + 1, one))
+            if cabinet_polys is not None:
+                polys = cabinet_polys
+            else:
+                polys = []
+                for i, g in enumerate(self.geom):
+                    one = OcgOperations(
+                        dataset=self.dataset, geom=g, grid=grid,
+                        abstraction=self.abstraction,
+                    )._rings()
+                    polys.append((i + 1, one))
             if self.spatial_operation == "clip":
                 # clip against the UNIONED selection (field.py:422-469):
                 # dissolve rectilinear selections with the rectunion

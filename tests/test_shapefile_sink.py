@@ -212,3 +212,35 @@ def test_ops_facade_shapefile_selection(spark, tmp_path):
 def test_prj_sidecar(tri_and_holed):
     prj = open(tri_and_holed + ".prj").read()
     assert prj.startswith('GEOGCS["GCS_WGS_1984"')
+
+
+def test_ops_facade_shapefile_agg_selection(spark, tmp_path):
+    """geom='<...>.shp' + agg_selection=True unions the cabinet
+    selections (rows deduped, no ugid column)."""
+    import datetime as dt
+    from ocgis_spark.fixtures import GOLDEN_GRID, rect_ring
+    from ocgis_spark.ops import OcgOperations
+    from ocgis_spark.request import Field
+
+    g = GOLDEN_GRID
+    s1 = WKB.polygon_to_wkb([rect_ring(
+        g.lon0, g.lat0, g.lon0 + 2 * g.res, g.lat0 + 2 * g.res)])
+    s2 = WKB.polygon_to_wkb([rect_ring(
+        g.lon0 + g.res, g.lat0 + g.res, g.lon0 + 3 * g.res,
+        g.lat0 + 3 * g.res)])
+    base = str(tmp_path / "sel2")
+    SHP.write_shapefile(base, [s1, s2],
+                        attrs=[{"UGID": 1}, {"UGID": 2}],
+                        fields=[("UGID", "N", 11, 0)])
+    rows = [(dt.datetime(2024, 1, 1), cy, cx,
+             g.lon0 + (cx + 0.5) * g.res, g.lat0 + (cy + 0.5) * g.res, 1.0)
+            for cy in range(4) for cx in range(4)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, cell_y int, cell_x int, lon double, "
+              "lat double, value double")
+    fld = Field(df, {"time": "ts", "x": "lon", "y": "lat", "value": "value"}, g)
+    out = OcgOperations(dataset=fld, geom=base + ".shp", agg_selection=True,
+                        abstraction="polygon").execute(spark)
+    # union of the two overlapping 2x2 blocks = 7 distinct cells, deduped
+    assert "ugid" not in out.columns
+    assert out.count() == 7
