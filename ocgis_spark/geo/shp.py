@@ -85,6 +85,8 @@ def write_shapefile(
 
     ``fields``: [(name, 'N'|'C', length, decimals)] — inferred from the
     first attr row if omitted. Returns the three paths."""
+    if not geoms_wkb:
+        raise ValueError("write_shapefile needs at least one geometry")
     attrs = attrs or [{} for _ in geoms_wkb]
     records = []
     gminx = gminy = float("inf")
