@@ -873,6 +873,21 @@ def q_transform_mercator(spark, sf_dir):
     )
 
 
+def q_asof_calibration(spark, sf_dir):
+    """AS-OF join (custom operator Spark lacks natively): every event
+    gets the most recent calibration value per user — union-and-carry,
+    ONE shuffle, no range-join row explosion. Oracle: DuckDB ASOF JOIN."""
+    ev = _events(spark, sf_dir)
+    calib = ev.filter(F.col("event_id") % 17 == 0).select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("cal")
+    )
+    out = windows.asof_join(
+        ev.select("user_id", "event_id", "ts"), calib, "user_id",
+        ts="ts", right_ts="cts", value_cols=["cal"],
+    )
+    return out.select("event_id", F.round("cal", 6).alias("cal"))
+
+
 def q_daily_perc_window(spark, sf_dir):
     """Day-of-year percentile basis with a ±2-day window (daily_perc)."""
     out = temporal.daily_perc(_events(spark, sf_dir), 0.9, window=5)
@@ -2226,6 +2241,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy "
             "GROUP BY user_id, month(ts)"
         ),
+        "asof_calibration": (
+            "SELECT e.event_id, round(c.cal, 6) AS cal "
+            "FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts AS cts, value AS cal FROM events "
+            "WHERE event_id % 17 = 0) c "
+            "ON e.user_id = c.user_id AND e.ts >= c.cts"
+        ),
         "icclim_WSDI": (
             "WITH basis AS (SELECT ((CAST(dayofyear(ts) AS INT) + off + 364) % 365) + 1 AS basis_doy, "
             "value AS v FROM events, (SELECT unnest(generate_series(-2, 2)) AS off) o), "
@@ -2484,9 +2506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_components_star": q_dedup_components_star,
         "ops_chain": q_ops_chain,
+        "asof_calibration": q_asof_calibration,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
         "ann_lsh_buckets": q_ann_lsh_buckets,
-        "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
@@ -2498,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "embedding_near_dups": q_embedding_near_dups,
         "similarity_topk": q_similarity_topk,
         "simhash": q_simhash,
         "icclim_TX90p": q_icclim_tx90p,

@@ -20,6 +20,79 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    right_ts: str | None = None,
+    value_cols: list[str] | None = None,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """AS-OF join: attach to every left row the MOST RECENT right row with
+    ``right.ts <= left.ts`` per key (calibration lookups, slowly-changing
+    dimensions). Spark has no native as-of join; the scalable shape is the
+    union-and-carry trick, NOT a range join:
+
+    * union both sides tagged by origin (right rows carry their payload,
+      left rows null);
+    * one shuffle on the key, sort by (ts, origin) inside the window;
+    * ``last(payload, ignorenulls=True)`` over the unbounded-preceding
+      frame carries the latest right payload forward onto each left row.
+
+    One exchange total, no row explosion — a range join would blow up as
+    |left|×|matching-interval| and a per-key collect would not scale past
+    one executor. Ties (equal timestamps) resolve to the right row
+    (origin sorts right-before-left), matching DuckDB/pandas
+    ``merge_asof(allow_exact_matches=True)``.
+
+    ``tolerance``: optional max staleness in the ts unit — matches older
+    than ``left.ts - tolerance`` become nulls (pandas merge_asof
+    semantics). Returns left columns + the right value columns (null when
+    no right row precedes)."""
+    rts = right_ts or ts
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, rts)]
+    lt = left.withColumn("_origin", F.lit(1))
+    for c in value_cols:
+        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    lt = lt.withColumn("_rts", F.lit(None).cast(right.schema[rts].dataType))
+    rt = right.select(
+        F.col(key),
+        F.col(rts).alias(ts),
+        F.lit(0).alias("_origin"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(rts).alias("_rts"),
+    )
+    for c in left.columns:
+        if c not in (key, ts):
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.unionByName(rt.select(lt.columns))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_origin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[c for c in left.columns],
+        "_origin",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+          for c in value_cols],
+        F.last("_rts", ignorenulls=True).over(w).alias("_c_ts"),
+    ).filter(F.col("_origin") == 1)
+    stale = (
+        F.col("_c_ts").isNull()
+        | (F.col(ts).cast("double") - F.col("_c_ts").cast("double")
+           > F.lit(float(tolerance)))
+        if tolerance is not None else F.lit(False)
+    )
+    out = carried.select(
+        *left.columns,
+        *[F.when(~stale, F.col(f"_c_{c}")).alias(c) for c in value_cols],
+    )
+    return out
+
+
 def moving_window(
     df: DataFrame, key: str, ts: str, value: str, width: int = 5,
     stat: str = "avg", mode: str = "valid", tiebreak: str | None = None,

@@ -140,3 +140,47 @@ def test_knn_join_vector_offgrid_probe_clamped(spark):
         best = float(d.min())
         row = [r for r in got if r["qid"] == qid][0]
         assert row["dist"] == pytest.approx(best, rel=1e-12), f"probe {qid}"
+
+
+def test_asof_join_semantics(spark):
+    """as-of join: most recent right row per key at or before left.ts;
+    exact-timestamp matches included; tolerance nulls stale matches."""
+    from ocgis_spark.operators import windows as W
+
+    left = spark.createDataFrame(
+        [(1, 4.0, "z"), (1, 10.0, "a"), (1, 15.0, "e"), (1, 20.0, "b"),
+         (2, 7.0, "c")],
+        "k bigint, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 100.0), (1, 15.0, 200.0), (3, 1.0, 9.0)],
+        "k bigint, ts double, cal double",
+    )
+    got = {(r["k"], r["ts"]): r["cal"]
+           for r in W.asof_join(left, right, "k").collect()}
+    assert got == {(1, 4.0): None, (1, 10.0): 100.0, (1, 15.0): 200.0,
+                   (1, 20.0): 200.0, (2, 7.0): None}
+    # tolerance: a match older than 4 units becomes null
+    got2 = {(r["k"], r["ts"]): r["cal"]
+            for r in W.asof_join(left, right, "k", tolerance=4.0).collect()}
+    assert got2[(1, 20.0)] is None  # 20 - 15 = 5 > 4
+    assert got2[(1, 15.0)] == 200.0  # exact match, staleness 0
+
+
+def test_asof_join_single_exchange(spark):
+    """the union-and-carry shape: exactly ONE (non-broadcast) exchange."""
+    from ocgis_spark.operators import windows as W
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").cast("double").alias("ts")
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 10).cast("double").alias("ts"),
+        F.col("id").cast("double").alias("cal"),
+    )
+    out = W.asof_join(left, right, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_ex <= 2  # union shuffle (+ possible AQE read); no join explosion
+    assert "BatchEvalPython" not in plan
