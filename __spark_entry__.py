@@ -888,6 +888,22 @@ def q_asof_calibration(spark, sf_dir):
     return out.select("event_id", F.round("cal", 6).alias("cal"))
 
 
+def q_range_join_density(spark, sf_dir):
+    """Range (interval) join: per event, how many same-user events fall
+    within ±1 hour — bucketed equi-join (floor(ts/width) buckets, exact
+    BETWEEN post-filter), never a per-key cross product."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", _us("ts").cast("double").alias("us")
+    )
+    HOUR = 3600.0 * 1e6
+    pairs = windows.interval_join(
+        ev, ev.select("user_id", "us"), "user_id", "us", -HOUR, HOUR
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_nearby")
+    )
+
+
 def q_daily_perc_window(spark, sf_dir):
     """Day-of-year percentile basis with a ±2-day window (daily_perc)."""
     out = temporal.daily_perc(_events(spark, sf_dir), 0.9, window=5)
@@ -2241,6 +2257,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy "
             "GROUP BY user_id, month(ts)"
         ),
+        "range_join_density": (
+            "SELECT e.event_id, count(*) AS n_nearby FROM "
+            "(SELECT user_id, event_id, CAST(epoch_us(ts) AS DOUBLE) AS us FROM events) e "
+            "JOIN (SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS us FROM events) x "
+            "ON e.user_id = x.user_id "
+            "AND x.us BETWEEN e.us - 3600000000.0E0 AND e.us + 3600000000.0E0 "
+            "GROUP BY e.event_id"
+        ),
         "asof_calibration": (
             "SELECT e.event_id, round(c.cal, 6) AS cal "
             "FROM events e ASOF LEFT JOIN "
@@ -2507,8 +2531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": q_dedup_components_star,
         "ops_chain": q_ops_chain,
         "asof_calibration": q_asof_calibration,
+        "range_join_density": q_range_join_density,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
@@ -2520,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "similarity_topk": q_similarity_topk,
         "simhash": q_simhash,

@@ -93,6 +93,49 @@ def asof_join(
     return out
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    lo: float,
+    hi: float,
+    right_ts: str | None = None,
+) -> DataFrame:
+    """Range (interval) join: pair every left row with the right rows
+    whose time falls in ``[left.ts + lo, left.ts + hi]`` per key
+    (``ts`` numeric — epoch micros/seconds; convert timestamps first).
+
+    Naive theta-joins on the inequality degenerate to per-key cross
+    products. The scalable shape is BUCKETED: right rows hash to
+    ``floor(ts / w)`` with ``w = hi - lo``; each left row's window spans
+    at most TWO such buckets, exploded as an array — so the join is an
+    equi-join on (key, bucket) with the exact BETWEEN as a post-filter.
+    Join fan-out is |matches| + O(|left|), never |left|x|right|, and the
+    equi-keys shuffle/broadcast like any other join (AQE handles skew).
+
+    Returns left columns + right columns suffixed ``_r`` (right ``key``
+    dropped, right ts as ``{ts}_r``)."""
+    if hi <= lo:
+        raise ValueError("interval_join needs hi > lo")
+    rts = right_ts or ts
+    w = float(hi - lo)
+    rt = right.select(
+        F.col(key),
+        F.col(rts).alias(f"{ts}_r"),
+        *[F.col(c).alias(f"{c}_r") for c in right.columns if c not in (key, rts)],
+    ).withColumn("_b", F.floor(F.col(f"{ts}_r") / F.lit(w)).cast("long"))
+    lo_b = F.floor((F.col(ts) + F.lit(float(lo))) / F.lit(w)).cast("long")
+    hi_b = F.floor((F.col(ts) + F.lit(float(hi))) / F.lit(w)).cast("long")
+    lt = left.withColumn("_b", F.explode(F.sequence(lo_b, hi_b)))
+    out = lt.join(rt, [key, "_b"]).filter(
+        F.col(f"{ts}_r").between(
+            F.col(ts) + F.lit(float(lo)), F.col(ts) + F.lit(float(hi))
+        )
+    )
+    return out.drop("_b")
+
+
 def moving_window(
     df: DataFrame, key: str, ts: str, value: str, width: int = 5,
     stat: str = "avg", mode: str = "valid", tiebreak: str | None = None,

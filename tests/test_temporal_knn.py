@@ -184,3 +184,27 @@ def test_asof_join_single_exchange(spark):
     n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_ex <= 2  # union shuffle (+ possible AQE read); no join explosion
     assert "BatchEvalPython" not in plan
+
+
+def test_interval_join_bucketing(spark):
+    """range join: exact membership vs brute force; plan stays an
+    equi-join (no cartesian / NestedLoop)."""
+    import numpy as np
+    from ocgis_spark.operators import windows as W
+
+    rng = np.random.default_rng(5)
+    rows = [(int(k), float(t)) for k, t in
+            zip(rng.integers(0, 4, 200), rng.uniform(0, 1000, 200))]
+    df = spark.createDataFrame(rows, "k bigint, ts double")
+    out = W.interval_join(df, df.select("k", "ts"), "k", "ts", -50.0, 50.0)
+    got = out.groupBy("k", "ts").count().collect()
+    by = {}
+    for k, t in rows:
+        by.setdefault(k, []).append(t)
+    for r in got:
+        want = sum(1 for t in by[r["k"]]
+                   if r["ts"] - 50.0 <= t <= r["ts"] + 50.0)
+        assert r["count"] == want, (r["k"], r["ts"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
