@@ -208,3 +208,37 @@ def test_interval_join_bucketing(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """independent oracle: pandas merge_asof(by=key) on random data."""
+    import numpy as np
+    import pandas as pd
+    from ocgis_spark.operators import windows as W
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "ts": np.round(rng.uniform(0, 100, 300), 6),
+    }).drop_duplicates(["k", "ts"])
+    right = pd.DataFrame({
+        "k": rng.integers(0, 6, 60),
+        "ts": np.round(rng.uniform(0, 100, 60), 6),
+        "cal": np.arange(60, dtype="f8"),
+    }).drop_duplicates(["k", "ts"])
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="k", direction="backward",
+    )
+    got_rows = W.asof_join(
+        spark.createDataFrame(left, "k bigint, ts double"),
+        spark.createDataFrame(right, "k bigint, ts double, cal double"),
+        "k",
+    ).collect()
+    got = {(r["k"], r["ts"]): r["cal"] for r in got_rows}
+    for _, row in want.iterrows():
+        g = got[(row["k"], row["ts"])]
+        if pd.isna(row["cal"]):
+            assert g is None, (row["k"], row["ts"])
+        else:
+            assert g == row["cal"], (row["k"], row["ts"])
