@@ -119,3 +119,44 @@ def test_ivf_train_beats_naive_centroids(spark):
 
     naive = emb.filter(F.col("vec_id") < k)
     assert mean_max_cos(trained) > mean_max_cos(naive) + 0.05
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """Honest ANN quality metric: IVF top-k recall@10 vs brute-force
+    cosine on the driver embeddings fixture. With nprobe=4 of 8 trained
+    centroids, recall must clear 0.7 (the coarse-quantizer trade
+    documented in similarity.py); nprobe=8 (exhaustive probing) must be
+    exact."""
+    from ocgis_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 15)
+    cent = SIM.ivf_train(emb, k=8, iters=10)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"] if "qid" in r.__fields__ else r["query_id"],
+                           set()).add(r["vec_id"] if "vec_id" in r.__fields__
+                                      else r["hit_id"])
+        return out
+
+    brute = SIM.brute_topk(emb, queries, k=10)
+    bcols = brute.columns
+    ivf4 = SIM.ivf_topk(emb, cent, queries, k=10, nprobe=4)
+    ivf8 = SIM.ivf_topk(emb, cent, queries, k=10, nprobe=8)
+
+    def as_sets(df):
+        qcol = [c for c in df.columns if "query" in c or c == "qid"][0]
+        hcol = [c for c in df.columns if c != qcol and ("vec" in c or "hit" in c)][0]
+        out = {}
+        for r in df.collect():
+            out.setdefault(r[qcol], set()).add(r[hcol])
+        return out
+
+    b, i4, i8 = as_sets(brute), as_sets(ivf4), as_sets(ivf8)
+    recalls4 = [len(b[q] & i4.get(q, set())) / len(b[q]) for q in b]
+    recall4 = sum(recalls4) / len(recalls4)
+    assert recall4 >= 0.7, f"IVF nprobe=4 recall {recall4:.2f}"
+    recalls8 = [len(b[q] & i8.get(q, set())) / len(b[q]) for q in b]
+    assert sum(recalls8) / len(recalls8) == pytest.approx(1.0), "nprobe=all must be exact"
