@@ -49,7 +49,13 @@ def asof_join(
     ``tolerance``: optional max staleness in the ts unit — matches older
     than ``left.ts - tolerance`` become nulls (pandas merge_asof
     semantics). Returns left columns + the right value columns (null when
-    no right row precedes)."""
+    no right row precedes).
+
+    Scale note: the carry is a per-key ordered window, so one KEY's rows
+    sort within one task — the usual window skew consideration. For a
+    pathologically hot key, pre-carry per (key, time-bucket) and stitch
+    bucket boundaries (two-phase carry); unnecessary for keyed telemetry
+    with bounded per-key cardinality."""
     rts = right_ts or ts
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, rts)]
