@@ -904,6 +904,20 @@ def q_range_join_density(spark, sf_dir):
     )
 
 
+def q_frame_sample_plan(spark, sf_dir):
+    """Multimodal frame-sampling plan: media spans + n_frames metadata →
+    every-10th frame work-list (pure built-ins, zero UDF — the fan-out a
+    video decode fleet consumes)."""
+    docs = _read(spark, sf_dir, "documents")
+    spans = multimodal.media_spans(SP.with_spans(docs))
+    sp = spans.filter(F.col("kind") == "image").withColumn(
+        "n_frames",
+        ((F.length("media_ref") * 7) % 100 + 30).cast("int"),
+    )
+    out = multimodal.sample_frames_plan(sp, every_n=10)
+    return out.select("doc_uid", "media_ref", "n_frames", "frame_idx")
+
+
 def q_daily_perc_window(spark, sf_dir):
     """Day-of-year percentile basis with a ±2-day window (daily_perc)."""
     out = temporal.daily_perc(_events(spark, sf_dir), 0.9, window=5)
@@ -2257,6 +2271,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy "
             "GROUP BY user_id, month(ts)"
         ),
+        "frame_sample_plan": (
+            "WITH m AS (SELECT concat('doc', CAST(doc_id AS VARCHAR)) AS doc_uid, "
+            "concat('ref://', CAST(doc_id AS VARCHAR)) AS media_ref FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "w AS (SELECT doc_uid, media_ref, "
+            "CAST((length(media_ref) * 7) % 100 + 30 AS INT) AS n_frames FROM m) "
+            "SELECT doc_uid, media_ref, n_frames, "
+            "CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT) AS frame_idx "
+            "FROM w"
+        ),
         "range_join_density": (
             "SELECT e.event_id, count(*) AS n_nearby FROM "
             "(SELECT user_id, event_id, CAST(epoch_us(ts) AS DOUBLE) AS us FROM events) e "
@@ -2532,9 +2556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_chain": q_ops_chain,
         "asof_calibration": q_asof_calibration,
         "range_join_density": q_range_join_density,
+        "frame_sample_plan": q_frame_sample_plan,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
-        "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
@@ -2544,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "similarity_topk": q_similarity_topk,
