@@ -904,6 +904,51 @@ def q_range_join_density(spark, sf_dir):
     )
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash banding near-dups on the mutated corpus: 4 bands of 4 bits
+    bucket candidates (pigeonhole-exact for hamming<=3), per-position
+    Hamming verifies — the SimHash path now mirrors the MinHash pipeline
+    end to end (bucket join, never all-pairs)."""
+    corpus = _corpus(spark, sf_dir)
+    return dedup.simhash_near_dups(corpus, "text", max_hamming=1, bands=4)
+
+
+def _simhash_near_dups_sql() -> str:
+    nb = dedup.SIM_BITS
+    L = dedup.SHINGLE_LEN
+    votes = ", ".join(
+        f"CAST(sum(CASE WHEN substr(md5('{b}#' || tok), 1, 1) IN "
+        f"('0','1','2','3','4','5','6','7') THEN -1 ELSE 1 END) AS BIGINT) AS v{b}"
+        for b in range(nb)
+    )
+    bits = ", ".join(
+        f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(nb)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(sa, {i}, 1) <> substr(sb, {i}, 1) THEN 1 ELSE 0 END"
+        for i in range(1, nb + 1)
+    )
+    width = nb // 4
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+seq AS (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text) - {L - 1}, 1))) AS i
+        FROM corpus),
+toks AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {L}) AS tok FROM seq),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+s AS (SELECT doc_id, concat({bits}) AS simhash FROM votes),
+banded AS (SELECT doc_id, simhash,
+  concat(CAST(b AS VARCHAR), ':', substr(simhash, 1 + b * {width}, {width})) AS band
+  FROM s, (SELECT unnest(generate_series(0, 3)) AS b) bb),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming FROM pairs) t
+WHERE hamming <= 1
+"""
+
+
 def q_frame_sample_plan(spark, sf_dir):
     """Multimodal frame-sampling plan: media spans + n_frames metadata →
     every-10th frame work-list (pure built-ins, zero UDF — the fan-out a
@@ -2271,6 +2316,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy "
             "GROUP BY user_id, month(ts)"
         ),
+        "simhash_near_dups": _simhash_near_dups_sql(),
         "frame_sample_plan": (
             "WITH m AS (SELECT concat('doc', CAST(doc_id AS VARCHAR)) AS doc_uid, "
             "concat('ref://', CAST(doc_id AS VARCHAR)) AS media_ref FROM documents "
@@ -2557,9 +2603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_calibration": q_asof_calibration,
         "range_join_density": q_range_join_density,
         "frame_sample_plan": q_frame_sample_plan,
+        "simhash_near_dups": q_simhash_near_dups,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
-        "ivf_topk": q_ivf_topk,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,
@@ -2568,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "ivf_topk": q_ivf_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,

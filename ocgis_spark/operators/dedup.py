@@ -236,11 +236,18 @@ def minhash_signatures_narrow(
     return df.select("doc_id", *cols)
 
 
-def simhash(df: DataFrame, text: str = "text") -> DataFrame:
+def simhash(df: DataFrame, text: str = "text",
+            tokens: str = "unigram") -> DataFrame:
     """SIM_BITS-bit SimHash: bit b votes -1/+1 per token from one hex char
     of md5(b || '#' || token); sign of the vote sum sets the bit. Matches
-    the oracle hex-digit-parity rule exactly."""
-    toks = _doc_tokens(df, text)
+    the oracle hex-digit-parity rule exactly.
+
+    ``tokens='shingle'`` votes over character n-gram shingles instead of
+    whitespace unigrams — on small shared vocabularies unigram signatures
+    collapse corpus-wide (every doc shares most words), while shingles
+    keep them doc-specific; use shingles for near-dup banding."""
+    toks = (doc_shingles(df, text) if tokens == "shingle"
+            else _doc_tokens(df, text))
     bit_cols = []
     for b in range(SIM_BITS):
         vote = F.when(
@@ -256,6 +263,66 @@ def simhash(df: DataFrame, text: str = "text") -> DataFrame:
         for b in range(SIM_BITS)
     ]
     return votes.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs — the banding step the bare signature
+    lacks: split the SIM_BITS signature into ``bands`` equal bit bands;
+    candidates share at least one band verbatim (a pair within
+    ``max_hamming`` bits must agree on ≥1 band when
+    ``max_hamming < bands`` — pigeonhole, same guarantee as MinHash/LSH
+    banding); exact Hamming distance verifies.
+
+    Relational throughout: band buckets are substrings of the bit-string
+    signature (bucket join, never all-pairs); the Hamming sum is
+    SIM_BITS per-position compares — pure codegen, dialect-identical to
+    the DuckDB oracle. Returns (doc_a, doc_b, hamming)."""
+    if SIM_BITS % bands != 0:
+        raise ValueError("bands must divide SIM_BITS")
+    width = SIM_BITS // bands
+    sigs = simhash(df, text, tokens="shingle")
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.substring("simhash", 1 + b * width, width),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band",
+    )
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = None
+    for i in range(1, SIM_BITS + 1):
+        term = F.when(
+            F.substring("sig_a", i, 1) != F.substring("sig_b", i, 1), 1
+        ).otherwise(0)
+        ham = term if ham is None else ham + term
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def duplicate_components(

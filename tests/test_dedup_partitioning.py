@@ -245,3 +245,23 @@ def test_star_components_deep_chain_few_rounds(spark):
     rows = comp.collect()
     assert {r["component"] for r in rows} == {1}
     assert {r["node"] for r in rows} == set(range(1, 62))
+
+
+def test_simhash_near_dups_finds_mutations(spark):
+    """near-copies (trailing chars cut) land within hamming<=2 of their
+    original (a 3-char cut can flip up to ~2 of 16 bits); unrelated docs
+    with distinct shingle sets do not pair."""
+    from ocgis_spark.operators import dedup
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog repeatedly"),
+        (2, "completely different content about spark shuffles and joins"),
+        (3, "orthogonal third text mentioning geodesic grids and tiles"),
+    ]
+    rows = list(base) + [(100 + i, t[:-3]) for i, t in base]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in dedup.simhash_near_dups(df, max_hamming=2).collect()}
+    assert {(1, 101), (2, 102), (3, 103)} <= got
+    # unrelated originals must not pair
+    assert not {(1, 2), (1, 3), (2, 3)} & got

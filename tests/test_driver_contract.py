@@ -25,7 +25,7 @@ ROUND3_WINDOW_OPS = [
     "icclim_WSDI", "icclim_CSDI", "icclim_R95p", "icclim_R95pTOT",
     "icclim_TXx", "transform_mercator", "agg_selection_clip",
     "dedup_components_star", "ops_chain", "asof_calibration",
-    "range_join_density", "frame_sample_plan",
+    "range_join_density", "frame_sample_plan", "simhash_near_dups",
 ]
 
 #: 11+ digits after the decimal point NOT followed by an exponent marker
