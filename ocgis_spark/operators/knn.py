@@ -155,6 +155,7 @@ def knn_join_vector(
     qid: str = "qid",
     qlon: str = "qlon",
     qlat: str = "qlat",
+    qcell_bounds: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """Batch kNN on a NON-UNIFORM (VectorGridSpec) grid: the same
     index-disk expansion as :func:`knn_join`, with
@@ -164,7 +165,10 @@ def knn_join_vector(
     * the exhaustiveness bound using the MINIMUM cell width: a cell whose
       Chebyshev index distance exceeds r lies at least (r − 0.5)·w_min
       away, so once the k-th distance is within that, the disk is provably
-      exhaustive even on a stretched axis.
+      exhaustive even on a stretched axis;
+    * ``qcell_bounds`` (min_cx, min_cy, max_cx, max_cy): known probe
+      envelope → the cell relation is range-filtered to the r-buffered
+      envelope before the distinct (scan pruning), as in :func:`knn_join`.
     """
     import math as _math
 
@@ -176,9 +180,19 @@ def knn_join_vector(
         r0 = max(1, int(_math.ceil(_math.sqrt(k))))
     w_min = float(min(np.diff(vg.xb()).min(), np.diff(vg.yb()).min()))
     spark = points.sparkSession
-    cells = cells.select(
+    raw = cells.select(
         F.col("vcy").alias("cell_y"), F.col("vcx").alias("cell_x")
-    ).distinct().persist()
+    )
+    shared = None if qcell_bounds is not None else raw.distinct().persist()
+
+    def cells_for(r: int) -> DataFrame:
+        if shared is not None:
+            return shared
+        cx0, cy0, cx1, cy1 = qcell_bounds
+        return raw.filter(
+            F.col("cell_x").between(cx0 - r, cx1 + r)
+            & F.col("cell_y").between(cy0 - r, cy1 + r)
+        ).distinct()
     bx, by = VG.bounds_tables(spark, vg)
     pts = VG.encode_cells(points, vg, lon=qlon, lat=qlat,
                           out_x="_qcx", out_y="_qcy")
@@ -209,7 +223,9 @@ def knn_join_vector(
                 "cell_x", F.explode(F.sequence(F.col("_qcx") - r, F.col("_qcx") + r))
             )
         )
-        joined = cells.join(F.broadcast(disk), ["cell_y", "cell_x"], "inner")
+        joined = cells_for(r).join(
+            F.broadcast(disk), ["cell_y", "cell_x"], "inner"
+        )
         joined = (
             joined.join(F.broadcast(bx), joined["cell_x"] == bx["vcx"])
             .join(F.broadcast(by), joined["cell_y"] == by["vcy"])
@@ -250,7 +266,8 @@ def knn_join_vector(
             break
         r *= 2
     result.count()
-    cells.unpersist()
+    if shared is not None:
+        shared.unpersist()
     return result.select(
         qid, F.col("cell_y").alias("vcy"), F.col("cell_x").alias("vcx"),
         "dist", "rank",

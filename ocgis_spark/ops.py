@@ -451,8 +451,14 @@ class OcgOperations:
                     [(0, float(qx), float(qy))],
                     "qid int, qlon double, qlat double",
                 )
+                # single probe: hand the known query cell envelope down so
+                # the cell relation is range-filtered pre-distinct
+                qcy_a, qcx_a = grid.cell_of(np.array([qx]), np.array([qy]))
+                qcx0 = int(min(max(qcx_a[0], 0), grid.nx - 1))
+                qcy0 = int(min(max(qcy_a[0], 0), grid.ny - 1))
                 nearest = knn_ops.knn_join_vector(
-                    pts, df.select("vcx", "vcy"), grid, k=1
+                    pts, df.select("vcx", "vcy"), grid, k=1,
+                    qcell_bounds=(qcx0, qcy0, qcx0, qcy0),
                 ).select("vcy", "vcx")
                 df = df.join(F.broadcast(nearest), ["vcy", "vcx"], "leftsemi")
             else:
