@@ -106,6 +106,37 @@ def test_knn_join_releases_cells_cache(spark):
     assert after <= before + 1  # only the documented result cache at most
 
 
+def test_knn_join_vector_qcell_bounds_parity(spark):
+    """qcell_bounds envelope prefilter must not change results: the cell
+    relation is range-filtered to the r-buffered probe envelope before the
+    distinct, so the pruned and unpruned plans return identical neighbors."""
+    from ocgis_spark.fixtures import VEC_GRID
+    from ocgis_spark.operators import knn
+
+    vg = VEC_GRID
+    cells = spark.range(vg.nx * vg.ny).select(
+        (F.col("id") % vg.nx).cast("int").alias("vcx"),
+        F.floor(F.col("id") / vg.nx).cast("int").alias("vcy"),
+    # thin the relation so expansion has to grow past r0 for some probes
+    ).filter((F.col("vcx") + F.col("vcy")) % 3 != 1)
+    xb, yb = vg.xb(), vg.yb()
+    qx = float((xb[3] + xb[4]) / 2)
+    qy = float((yb[5] + yb[6]) / 2)
+    pts = spark.createDataFrame(
+        [(0, qx, qy)], "qid int, qlon double, qlat double")
+    import numpy as np
+    qcy, qcx = vg.cell_of(np.array([qx]), np.array([qy]))
+    bounds = (int(qcx[0]), int(qcy[0]), int(qcx[0]), int(qcy[0]))
+    base = {(r["vcy"], r["vcx"], r["rank"]): r["dist"]
+            for r in knn.knn_join_vector(pts, cells, vg, k=4).collect()}
+    pruned = {(r["vcy"], r["vcx"], r["rank"]): r["dist"]
+              for r in knn.knn_join_vector(
+                  pts, cells, vg, k=4, qcell_bounds=bounds).collect()}
+    assert base.keys() == pruned.keys() and len(base) == 4
+    for key in base:
+        assert pruned[key] == pytest.approx(base[key], rel=1e-12)
+
+
 def test_knn_join_vector_offgrid_probe_clamped(spark):
     """ADVICE r2: probes beyond the grid edge used to encode to -1 and
     anchor the disk at the wrong corner. They must return the true
