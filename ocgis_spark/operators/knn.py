@@ -33,6 +33,7 @@ def knn_join(
     qlon: str = "qlon",
     qlat: str = "qlat",
     qcell_bounds: tuple[int, int, int, int] | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Batch kNN: k nearest cells for EVERY query point in one plan.
 
@@ -52,6 +53,15 @@ def knn_join(
     distinct shuffles only disk-sized input instead of every distinct
     cell in the corpus. Results are identical: the disk equi-join keeps a
     subset of that envelope anyway.
+
+    ``eager``: opt-in for SMALL point sets (single probe, driver-built
+    batch). Each radius pass is collected (≤ k·n_points rows), the
+    exhaustiveness bound is checked driver-side, and the final result is
+    returned as a LOCAL relation — the caller's action then touches no
+    cluster state. Collapses the 3-sequential-job floor (pass +
+    exhaustiveness count + final materialize) to ONE job in the common
+    single-pass case. Never use it when points is itself a large
+    distributed relation.
     """
     if r0 is None:
         r0 = max(1, int(math.ceil(math.sqrt(k))))
@@ -111,6 +121,30 @@ def knn_join(
     # is cheap arithmetic.
     r = r0
     max_r = 2 * max(grid.nx, grid.ny)  # query points may lie off-grid
+    sel_cols = [qid, "cell_y", "cell_x", "dist", "rank"]
+    if eager:
+        qids = [row[0] for row in points.select(qid).collect()]
+        while True:
+            sel = pass_at(points, r).select(*sel_cols)
+            rows = sel.collect()
+            if r >= max_r:
+                break
+            per: dict = {}
+            for row in rows:
+                n, kth = per.get(row[0], (0, 0.0))
+                per[row[0]] = (n + 1, max(kth, row[3]))
+            bound = (r - 0.5) * grid.res
+
+            def _ok(q):
+                n, kth = per.get(q, (0, float("inf")))
+                return n >= k and kth <= bound
+
+            if all(_ok(q) for q in qids):
+                break
+            r *= 2
+        if shared is not None:
+            shared.unpersist()
+        return points.sparkSession.createDataFrame(rows, schema=sel.schema)
     prev = None
     while True:
         # persist the pass: the exhaustiveness count below fully computes
@@ -156,6 +190,7 @@ def knn_join_vector(
     qlon: str = "qlon",
     qlat: str = "qlat",
     qcell_bounds: tuple[int, int, int, int] | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Batch kNN on a NON-UNIFORM (VectorGridSpec) grid: the same
     index-disk expansion as :func:`knn_join`, with
@@ -168,7 +203,10 @@ def knn_join_vector(
       exhaustive even on a stretched axis;
     * ``qcell_bounds`` (min_cx, min_cy, max_cx, max_cy): known probe
       envelope → the cell relation is range-filtered to the r-buffered
-      envelope before the distinct (scan pruning), as in :func:`knn_join`.
+      envelope before the distinct (scan pruning), as in :func:`knn_join`;
+    * ``eager``: small-point-set fast path — collect each pass, verify
+      the bound driver-side, return a local relation (one Spark job in
+      the common case; see :func:`knn_join`).
     """
     import math as _math
 
@@ -245,6 +283,33 @@ def knn_join_vector(
 
     r = r0
     max_r = 2 * max(vg.nx, vg.ny)
+    sel_cols = [qid, "cell_y", "cell_x", "dist", "rank"]
+    if eager:
+        qids = [row[0] for row in points.select(qid).collect()]
+        while True:
+            sel = pass_at(r).select(*sel_cols)
+            rows = sel.collect()
+            if r >= max_r:
+                break
+            per: dict = {}
+            for row in rows:
+                n, kth = per.get(row[0], (0, 0.0))
+                per[row[0]] = (n + 1, max(kth, row[3]))
+            bound = (r - 0.5) * w_min
+
+            def _ok(q):
+                n, kth = per.get(q, (0, float("inf")))
+                return n >= k and kth <= bound
+
+            if all(_ok(q) for q in qids):
+                break
+            r *= 2
+        if shared is not None:
+            shared.unpersist()
+        return spark.createDataFrame(rows, schema=sel.schema).select(
+            qid, F.col("cell_y").alias("vcy"), F.col("cell_x").alias("vcx"),
+            "dist", "rank",
+        )
     prev = None
     while True:
         result = pass_at(r).persist()
@@ -304,7 +369,7 @@ def knn_cells(
     qcx = int(math.floor((qlon - grid.lon0) / grid.res))
     qcy = int(math.floor((qlat - grid.lat0) / grid.res))
     out = knn_join(pts, cells, grid, k=k,
-                   qcell_bounds=(qcx, qcy, qcx, qcy))
+                   qcell_bounds=(qcx, qcy, qcx, qcy), eager=True)
     return out.select(
         F.col("cell_y").alias(cell_y), F.col("cell_x").alias(cell_x),
         "dist", "rank",

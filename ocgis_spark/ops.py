@@ -458,7 +458,7 @@ class OcgOperations:
                 qcy0 = int(min(max(qcy_a[0], 0), grid.ny - 1))
                 nearest = knn_ops.knn_join_vector(
                     pts, df.select("vcx", "vcy"), grid, k=1,
-                    qcell_bounds=(qcx0, qcy0, qcx0, qcy0),
+                    qcell_bounds=(qcx0, qcy0, qcx0, qcy0), eager=True,
                 ).select("vcy", "vcx")
                 df = df.join(F.broadcast(nearest), ["vcy", "vcx"], "leftsemi")
             else:

@@ -273,3 +273,66 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert g is None, (row["k"], row["ts"])
         else:
             assert g == row["cal"], (row["k"], row["ts"])
+
+
+def test_knn_eager_parity_uniform_and_vector(spark):
+    """eager=True (collect-per-pass, local-relation result) must return
+    exactly the lazy plan's neighbors on both grid types, including when
+    the disk has to expand past r0 (thinned cell relation)."""
+    import numpy as np
+    from ocgis_spark.fixtures import VEC_GRID
+    from ocgis_spark.operators import knn
+
+    cells = spark.createDataFrame(
+        [(y, x) for y in range(6) for x in range(6) if (x + y) % 3 != 1],
+        "cell_y int, cell_x int",
+    )
+    pts = spark.createDataFrame(
+        [(0, -104.1, 38.2), (1, -103.2, 37.1), (2, -107.0, 42.0)],
+        "qid int, qlon double, qlat double",
+    )
+    lazy = {(r["qid"], r["cell_y"], r["cell_x"], r["rank"]): r["dist"]
+            for r in knn.knn_join(pts, cells, GOLDEN_GRID, k=3).collect()}
+    eager = {(r["qid"], r["cell_y"], r["cell_x"], r["rank"]): r["dist"]
+             for r in knn.knn_join(
+                 pts, cells, GOLDEN_GRID, k=3, eager=True).collect()}
+    assert lazy.keys() == eager.keys() and len(lazy) == 9
+    for key in lazy:
+        assert eager[key] == lazy[key]
+
+    vg = VEC_GRID
+    vcells = spark.range(vg.nx * vg.ny).select(
+        (F.col("id") % vg.nx).cast("int").alias("vcx"),
+        F.floor(F.col("id") / vg.nx).cast("int").alias("vcy"),
+    ).filter((F.col("vcx") + F.col("vcy")) % 3 != 1)
+    xb, yb = vg.xb(), vg.yb()
+    vpts = spark.createDataFrame(
+        [(0, float((xb[3] + xb[4]) / 2), float((yb[5] + yb[6]) / 2)),
+         (1, float(xb[-1] + 5.0), float((yb[0] + yb[-1]) / 2))],
+        "qid int, qlon double, qlat double",
+    )
+    vlazy = {(r["qid"], r["vcy"], r["vcx"], r["rank"]): r["dist"]
+             for r in knn.knn_join_vector(vpts, vcells, vg, k=4).collect()}
+    veager = {(r["qid"], r["vcy"], r["vcx"], r["rank"]): r["dist"]
+              for r in knn.knn_join_vector(
+                  vpts, vcells, vg, k=4, eager=True).collect()}
+    assert vlazy.keys() == veager.keys() and len(vlazy) == 8
+    for key in vlazy:
+        assert veager[key] == vlazy[key]
+
+
+def test_knn_eager_leaves_no_cache(spark):
+    """The eager path must not leave persisted relations behind (the lazy
+    path documents one result cache; eager returns a local relation)."""
+    from ocgis_spark.operators import knn
+
+    cells = spark.createDataFrame(
+        [(y, x) for y in range(4) for x in range(4)],
+        "cell_y int, cell_x int",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = knn.knn_cells(cells, GOLDEN_GRID, -104.0, 38.5, k=4)
+    assert out.count() == 4
+    after = jsc.getPersistentRDDs().size()
+    assert after == before
