@@ -23,6 +23,7 @@ from ocgis_spark import fixtures as FX
 from ocgis_spark import spans as SP
 from ocgis_spark.fixtures import DOC_GRID
 from ocgis_spark.operators import calcmath, crs, dedup, knn, regrid, similarity, spatial, temporal
+from ocgis_spark.operators import sampling as SMP
 from ocgis_spark.operators import text as textops
 from ocgis_spark.operators import tiling, vectorgrid, windows
 from ocgis_spark.operators import aggregate as agg
@@ -561,6 +562,52 @@ def q_train_test_split(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     docs = SP.with_spans(_read(spark, sf_dir, "documents"))
     return multimodal.extract_features(docs, real=False)
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detect + redact (corpus scrubbing stage). The synthetic corpus
+    carries no PII, so the scanned column appends deterministic contact
+    strings (fixtures.pii_text_expr — shared derivation, both dialects);
+    realistic patterns are pytest-covered."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    with_pii = spark.sql(
+        f"SELECT doc_id, {FX.pii_text_expr()} AS text FROM documents"
+    )
+    return textops.pii_scan(with_pii)
+
+
+def q_word_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy (perplexity proxy for quality
+    filtering)."""
+    return textops.word_entropy(_read(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sampling (domain mixing): keep-set
+    derived from the row's own key, reproducible across engines and
+    partitionings — Spark's RNG-based sampleBy cannot be oracle-checked."""
+    from ocgis_spark.operators import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, FX.STRATIFIED_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+def q_regrid_bilinear(spark, sf_dir):
+    """Bilinear regrid to off-centroid destination points (ESMF
+    regrid_method='bilinear' analogue; regrid/base.py:646-700)."""
+    _tune(spark)
+    x, y = FX.bilinear_dst_exprs()
+    dst = spark.sql(
+        f"SELECT dst_id, {x} AS x, {y} AS y FROM "
+        f"(SELECT id AS dst_id FROM range({FX.BILINEAR_NDST}))"
+    )
+    src = spark.sql(
+        f"SELECT src_id, {FX.BILINEAR_SRC_VALUE} AS value FROM "
+        f"(SELECT id AS src_id FROM range({DOC_GRID.nx * DOC_GRID.ny}))"
+    )
+    return regrid.bilinear_regrid(src, dst, DOC_GRID)
 
 
 #: CF-calendar fixtures: signed day offsets derived from event ids
@@ -1884,6 +1931,51 @@ def _curvilinear_sql() -> str:
     )
 
 
+def _pii_scan_sql() -> str:
+    """PII counts + redaction over the derived contact-bearing column.
+    DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+    default); patterns are backslash-free so Java regex and RE2 agree."""
+    em, ssn, ph = textops.PII_EMAIL_RE, textops.PII_SSN_RE, textops.PII_PHONE_RE
+    return (
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(t, '{em}')) AS n_emails, "
+        f"len(regexp_extract_all(t, '{ssn}')) AS n_ssns, "
+        f"len(regexp_extract_all(regexp_replace(t, '{ssn}', '[SSN]', 'g'), "
+        f"'{ph}')) AS n_phones, "
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{ssn}', '[SSN]', 'g'), "
+        f"'{em}', '[EMAIL]', 'g'), '{ph}', '[PHONE]', 'g') AS redacted "
+        f"FROM (SELECT doc_id, {FX.pii_text_expr()} AS t FROM documents) p"
+    )
+
+
+def _regrid_bilinear_sql() -> str:
+    """Bilinear stencil in closed form: explode the 2x2 corners via a
+    4-row CTE, join the per-cell source values, grouped weighted sum.
+    Destination points are interior, so no clamping branch is needed."""
+    x, y = FX.bilinear_dst_exprs()
+    g = DOC_GRID
+    gx = f"((x - ({FX._f(g.lon0)})) / {FX._f(g.res)} - 0.5E0)"
+    gy = f"((y - ({FX._f(g.lat0)})) / {FX._f(g.res)} - 0.5E0)"
+    return (
+        f"WITH dst AS (SELECT range AS dst_id FROM range({FX.BILINEAR_NDST})), "
+        f"d2 AS (SELECT dst_id, {x} AS x, {y} AS y FROM dst), "
+        f"p AS (SELECT dst_id, CAST(floor({gx}) AS INT) AS i0, "
+        f"CAST(floor({gy}) AS INT) AS j0, "
+        f"{gx} - floor({gx}) AS fx, {gy} - floor({gy}) AS fy FROM d2), "
+        "c(dx, dy) AS (SELECT 0, 0 UNION ALL SELECT 1, 0 "
+        "UNION ALL SELECT 0, 1 UNION ALL SELECT 1, 1), "
+        f"src AS (SELECT range AS src_id, {FX.BILINEAR_SRC_VALUE} AS v "
+        f"FROM range({g.nx * g.ny})), "
+        "j AS (SELECT p.dst_id, "
+        f"CAST(p.j0 + c.dy AS BIGINT) * {g.nx} + p.i0 + c.dx AS src_id, "
+        "(CASE WHEN c.dx = 0 THEN 1.0 - p.fx ELSE p.fx END) * "
+        "(CASE WHEN c.dy = 0 THEN 1.0 - p.fy ELSE p.fy END) AS s "
+        "FROM p CROSS JOIN c) "
+        "SELECT j.dst_id, round(sum(j.s * src.v), 6) AS dst_value "
+        "FROM j JOIN src USING (src_id) GROUP BY j.dst_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cb = _CB
     minx, miny, maxx, maxy = QUERY_CLIP
@@ -2187,6 +2279,26 @@ def oracle_sql() -> dict[str, str]:
             "IN ('0','1','2','3','4','5','6','7','8','9','a','b') "
             "THEN 'train' ELSE 'test' END AS split FROM documents"
         ),
+        "pii_scan": _pii_scan_sql(),
+        "word_entropy": (
+            "SELECT doc_id, round(log2(n) - s / n, 6) AS entropy, "
+            "CAST(n AS BIGINT) AS n_tokens FROM ("
+            "SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s FROM ("
+            "SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents) g WHERE w <> '' GROUP BY doc_id, w) h "
+            "GROUP BY doc_id) z"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            f"((doc_id * {SMP.HASH_MULT}) % {SMP.HASH_MOD}) % 1000 < ("
+            + "".join(
+                f"CASE WHEN lang = '{v}' THEN {p} ELSE "
+                for v, p in sorted(FX.STRATIFIED_RATES.items(), reverse=True)
+            )
+            + "0" + " END" * len(FX.STRATIFIED_RATES) + ")"
+        ),
+        "regrid_bilinear": _regrid_bilinear_sql(),
         "multimodal_features": (
             "SELECT concat('doc', CAST(doc_id AS VARCHAR)) AS doc_uid, "
             "CAST(1 AS INT) AS span_idx, "
@@ -2577,21 +2689,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg": q_join_agg,
         "bbox_subset": q_bbox_subset,
         "intersects_pentagon": q_intersects_pentagon,
-        "intersects_cells_rect": q_intersects_cells_rect,
         "clip_cells": q_clip_cells,
-        "clip_aggregate": q_clip_aggregate,
+        "pii_scan": q_pii_scan,
+        "word_entropy": q_word_entropy,
+        "stratified_sample": q_stratified_sample,
+        "regrid_bilinear": q_regrid_bilinear,
         "bbox_subset_nonuniform": q_bbox_subset_nonuniform,
         "clip_cells_nonuniform": q_clip_cells_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,
-        "split_selection": q_split_selection,
         "regrid_nonuniform": q_regrid_nonuniform,
         "knn_point_nonuniform": q_knn_point_nonuniform,
         "zonal_stats_nonuniform": q_zonal_stats_nonuniform,
         "zonal_weighted_nonuniform": q_zonal_weighted_nonuniform,
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
-        "union_geometry": q_union_geometry,
         "knn_point": q_knn_point,
         "spans_stats": q_spans_stats,
         "pipeline_flagship": q_pipeline_flagship,
@@ -2614,6 +2726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "intersects_cells_rect": q_intersects_cells_rect,
+        "clip_aggregate": q_clip_aggregate,
+        "split_selection": q_split_selection,
+        "union_geometry": q_union_geometry,
         "ivf_topk": q_ivf_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh_buckets": q_ann_lsh_buckets,

@@ -224,3 +224,48 @@ def convex_pred_sql(ring: np.ndarray = QUERY_PENTAGON, lon="lon", lat="lat") -> 
             f"({_f(y2)} - {_f(y1)}) * ({lon} - {_f(x1)})) >= 0.0"
         )
     return " AND ".join(terms)
+
+
+# ---- bilinear regrid fixture (dst points + per-cell src values) ----
+
+#: 16x12 destination points strictly inside the DOC_GRID interior (no
+#: stencil clamping), with non-integer fractional offsets so every corner
+#: weight is non-trivial.
+BILINEAR_NDST = 192
+
+
+def bilinear_dst_exprs(grid: GridSpec = DOC_GRID) -> tuple[str, str]:
+    """Dialect-shared (x, y) expressions for destination point dst_id."""
+    jx = "CAST(dst_id % 16 AS DOUBLE)"
+    jy = "CAST(floor(dst_id / 16) AS DOUBLE)"
+    x = f"{_f(grid.lon0)} + {_f(grid.res)} * (1.7E0 + 3.8E0 * {jx})"
+    y = f"{_f(grid.lat0)} + {_f(grid.res)} * (2.3E0 + 5.1E0 * {jy})"
+    return x, y
+
+
+#: per-cell source value that VARIES cell to cell (quadrant-constant
+#: values would hide stencil index bugs).
+BILINEAR_SRC_VALUE = "CAST((src_id * 31) % 97 AS DOUBLE)"
+
+
+# ---- PII fixture: the synthetic corpus has no PII, so the driver query
+# scans a deterministically derived contact-bearing column (the operator
+# itself is pattern-driven; pytest covers realistic strings) ----
+
+def pii_text_expr() -> str:
+    """Dialect-shared expression appending synthetic contact info to each
+    document: every doc gets an email, every third an SSN, two of five a
+    phone — counts vary per doc so the oracle is non-trivial."""
+    return (
+        "concat(text, ' contact user', CAST(doc_id AS STRING), "
+        "'@example.com ssn ', "
+        "CASE WHEN doc_id % 3 = 0 THEN '123-45-6789' ELSE 'none' END, "
+        "' phone ', "
+        "CASE WHEN doc_id % 5 < 2 THEN concat('555-01', "
+        "CAST(10 + doc_id % 90 AS STRING)) ELSE 'n/a' END)"
+    )
+
+
+#: per-language per-mille quota for the stratified-sampling fixture
+#: (downsample dominant en, keep the rest at higher rates).
+STRATIFIED_RATES = {"en": 200, "de": 500, "fr": 600, "es": 700, "zh": 900}

@@ -1,0 +1,66 @@
+"""Deterministic sampling for training-data pipelines.
+
+Spark's ``df.sample`` / ``sampleBy`` draw from a per-partition RNG whose
+output depends on partitioning — unacceptable for reproducible corpus
+construction (and impossible to oracle-check). These operators derive the
+keep/drop decision from the row's OWN key via a multiplicative hash, so
+
+* the sample is identical across engines, partitionings, and reruns;
+* it is a pure narrow filter (no shuffle, pushes past projections);
+* re-running on a grown corpus keeps every previously-kept row whose key
+  is unchanged (stable incremental sampling).
+
+Mirrors the reference's deterministic test-data subsetting (snippet /
+slice semantics, ``src/ocgis/collection/field.py`` time slicing) but
+generalized to quota sampling by stratum — the "domain mixing" stage of a
+corpus pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative hash constant (2^32 / phi); the modulus is prime
+#: so small strides in the key don't alias to strides in the bucket.
+HASH_MULT = 2654435761
+HASH_MOD = 999979
+
+
+def hash_bucket(key: Column, buckets: int = 1000) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key column.
+    Dialect-neutral: ``((key * M) % P) % buckets`` with BIGINT arithmetic
+    reproduces bit-for-bit in DuckDB."""
+    return ((key.cast("bigint") * F.lit(HASH_MULT)) % F.lit(HASH_MOD)) % F.lit(buckets)
+
+
+def uniform_sample(
+    df: DataFrame, rate_permille: int, key: str = "doc_id"
+) -> DataFrame:
+    """Keep ~rate_permille/1000 of rows, deterministically by key."""
+    return df.filter(hash_bucket(F.col(key)) < F.lit(rate_permille))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    stratum: str = "lang",
+    key: str = "doc_id",
+    default_permille: int = 0,
+) -> DataFrame:
+    """Per-stratum quota sampling (domain/language mixing): keep a row iff
+    its hash bucket < the stratum's per-mille rate. One CASE chain over a
+    narrow filter — no shuffle, no RNG, exactly reproducible. Strata not
+    listed get ``default_permille``."""
+    rate = F.lit(default_permille)
+    for value, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(stratum) == value, F.lit(int(permille))).otherwise(rate)
+    return df.filter(hash_bucket(F.col(key)) < rate)
+
+
+def split_column(key: Column, permille_train: int = 750) -> Column:
+    """'train' / 'test' label from the same hash family (three-way splits
+    chain another threshold)."""
+    return F.when(
+        hash_bucket(key) < F.lit(permille_train), F.lit("train")
+    ).otherwise(F.lit("test"))

@@ -172,3 +172,52 @@ def decontaminate(
     bench_grams = ngrams(bench).select("g").distinct()
     hits = ngrams(train).join(F.broadcast(bench_grams), "g")
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+#: PII patterns — backslash-free so the same literal works in Java regex
+#: (Spark) and RE2 (DuckDB). Character classes + bounded repetition only.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_SSN_RE = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
+    """PII detection + redaction (training-data scrubbing stage): per-doc
+    counts of email / SSN / phone-shaped matches and a redacted copy with
+    each replaced by a typed placeholder. Pure ``regexp_count`` /
+    ``regexp_replace`` built-ins — one narrow JVM map over the scan, no
+    shuffle. SSNs are redacted before phones (a 3-2-4 SSN contains a
+    3-4 phone-shaped suffix; the phone count excludes redacted SSNs the
+    same way)."""
+    ssn_free = F.regexp_replace(F.col(text), PII_SSN_RE, "[SSN]")
+    redacted = F.regexp_replace(
+        F.regexp_replace(ssn_free, PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE, "[PHONE]",
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count(F.col(text), F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col(text), F.lit(PII_SSN_RE)).cast("bigint").alias("n_ssns"),
+        F.regexp_count(ssn_free, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def word_entropy(df: DataFrame, text: str = "text") -> DataFrame:
+    """Shannon entropy (bits) of a document's whitespace-token
+    distribution — a perplexity proxy for quality filtering (low entropy ⇒
+    repetitive/boilerplate text). H = log2(n) − Σ c·log2(c) / n via one
+    (doc, word) count + one per-doc aggregation; all JVM-side."""
+    words = df.select(
+        "doc_id", F.explode(tokens_col(text)).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("entropy"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )

@@ -26,6 +26,7 @@ ROUND3_WINDOW_OPS = [
     "icclim_TXx", "transform_mercator", "agg_selection_clip",
     "dedup_components_star", "ops_chain", "asof_calibration",
     "range_join_density", "frame_sample_plan", "simhash_near_dups",
+    "pii_scan", "word_entropy", "stratified_sample", "regrid_bilinear",
 ]
 
 #: 11+ digits after the decimal point NOT followed by an exponent marker

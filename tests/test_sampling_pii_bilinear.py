@@ -1,0 +1,159 @@
+"""Round-3 pipeline additions: PII scan/redaction on realistic strings,
+deterministic stratified sampling properties, word-entropy vs a manual
+computation, and bilinear regrid vs NumPy ground truth."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark.fixtures import GOLDEN_GRID
+from ocgis_spark.operators import regrid, sampling
+from ocgis_spark.operators import text as textops
+
+
+def test_pii_scan_realistic(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "reach me at jane.doe+spam@mail-host.co.uk or 555-0199 now"),
+            (1, "ssn 078-05-1120 email bob_99@example.org phone 800-1234"),
+            (2, "no pii here at all"),
+            (3, "two mails: a@b.io c.d@e-f.com and ssn 123-45-6789"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.pii_scan(docs).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1
+    assert out[1]["n_ssns"] == 1 and out[1]["n_emails"] == 1
+    # the SSN is redacted BEFORE phone counting, so its 2-4 tail must not
+    # produce a phantom phone; the standalone 800-1234 still counts
+    assert out[1]["n_phones"] == 1
+    assert out[2]["n_emails"] == out[2]["n_ssns"] == out[2]["n_phones"] == 0
+    assert out[2]["redacted"] == "no pii here at all"
+    assert out[3]["n_emails"] == 2 and out[3]["n_ssns"] == 1
+    assert "[EMAIL]" in out[1]["redacted"] and "[SSN]" in out[1]["redacted"]
+    assert "078-05-1120" not in out[1]["redacted"]
+    assert "[PHONE]" in out[0]["redacted"]
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)],
+        "doc_id bigint, lang string",
+    )
+    rates = {"en": 100, "de": 500, "fr": 1000}
+    a = sampling.stratified_sample(docs, rates).collect()
+    b = sampling.stratified_sample(docs.repartition(7), rates).collect()
+    # identical under any partitioning (no RNG), and a subset of the input
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    by_lang = {}
+    for r in a:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    # fr keeps everything (rate 1000‰); others land near their quota
+    assert by_lang["fr"] == 1000
+    assert 50 <= by_lang["en"] <= 150
+    assert 400 <= by_lang["de"] <= 600
+    # unlisted stratum drops entirely by default
+    extra = spark.createDataFrame([(9001, "xx")], "doc_id bigint, lang string")
+    assert sampling.stratified_sample(extra, rates).count() == 0
+
+
+def test_uniform_sample_stable_under_growth(spark):
+    small = spark.range(1000).select(F.col("id").alias("doc_id"))
+    big = spark.range(2000).select(F.col("id").alias("doc_id"))
+    keep_small = {r["doc_id"] for r in sampling.uniform_sample(small, 300).collect()}
+    keep_big = {r["doc_id"] for r in sampling.uniform_sample(big, 300).collect()}
+    # growing the corpus never evicts a previously-kept key
+    assert keep_small <= keep_big
+
+
+def test_word_entropy_manual(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b c d"), (2, "a a b b c c d d"), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.word_entropy(docs).collect()}
+    assert out[0]["entropy"] == 0.0 and out[0]["n_tokens"] == 4
+    assert out[1]["entropy"] == 2.0
+    assert out[2]["entropy"] == 2.0 and out[2]["n_tokens"] == 8
+    assert out[3]["entropy"] == 0.0
+    # mixed distribution: H(1/2, 1/4, 1/4)
+    mixed = spark.createDataFrame([(9, "a a b c")], "doc_id bigint, text string")
+    got = textops.word_entropy(mixed).collect()[0]["entropy"]
+    assert got == pytest.approx(1.5, abs=1e-9)
+
+
+def _np_bilinear(grid, xs, ys, V):
+    """Reference stencil: V is (ny, nx) cell values, constant-extrapolated
+    past the outermost centroids."""
+    out = []
+    for x, y in zip(xs, ys):
+        gx = (x - grid.lon0) / grid.res - 0.5
+        gy = (y - grid.lat0) / grid.res - 0.5
+        i0 = int(min(max(math.floor(gx), 0), grid.nx - 2))
+        j0 = int(min(max(math.floor(gy), 0), grid.ny - 2))
+        fx = min(max(gx - i0, 0.0), 1.0)
+        fy = min(max(gy - j0, 0.0), 1.0)
+        out.append(
+            (1 - fx) * (1 - fy) * V[j0, i0]
+            + fx * (1 - fy) * V[j0, i0 + 1]
+            + (1 - fx) * fy * V[j0 + 1, i0]
+            + fx * fy * V[j0 + 1, i0 + 1]
+        )
+    return np.array(out)
+
+
+def test_bilinear_matches_numpy_including_edges(spark):
+    g = GOLDEN_GRID  # 4x4 @ 1 deg
+    rng = np.random.RandomState(7)
+    V = rng.uniform(0.0, 10.0, size=(g.ny, g.nx))
+    src = spark.createDataFrame(
+        [(int(j * g.nx + i), float(V[j, i]))
+         for j in range(g.ny) for i in range(g.nx)],
+        "src_id bigint, value double",
+    )
+    # interior fractional points + points past every edge (clamp path)
+    pts = [
+        (-104.2, 38.7), (-103.1, 37.9), (-102.6, 39.4),
+        (-105.4, 38.0),   # west of first centroid -> clamp fx=0 at i0=0
+        (-101.6, 40.4),   # beyond NE centroid -> clamp both
+        (-104.0, 36.6),   # south edge
+    ]
+    dst = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "dst_id bigint, x double, y double",
+    )
+    got = {r["dst_id"]: r["dst_value"]
+           for r in regrid.bilinear_regrid(src, dst, g).collect()}
+    want = _np_bilinear(g, [p[0] for p in pts], [p[1] for p in pts], V)
+    for i in range(len(pts)):
+        assert got[i] == pytest.approx(want[i], abs=1e-6)
+
+
+def test_bilinear_reproduces_linear_field_exactly(spark):
+    """Bilinear interpolation is exact on fields linear in (x, y) — the
+    standard consistency check for stencil/weight bugs."""
+    g = GOLDEN_GRID
+    a, b, c = 2.0, -3.0, 0.5
+
+    def f(x, y):
+        return a * x + b * y + c
+
+    src = spark.createDataFrame(
+        [
+            (int(j * g.nx + i),
+             float(f(g.lon0 + (i + 0.5) * g.res, g.lat0 + (j + 0.5) * g.res)))
+            for j in range(g.ny) for i in range(g.nx)
+        ],
+        "src_id bigint, value double",
+    )
+    pts = [(-104.3, 38.1), (-103.7, 39.2), (-102.9, 37.6)]
+    dst = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "dst_id bigint, x double, y double",
+    )
+    got = {r["dst_id"]: r["dst_value"]
+           for r in regrid.bilinear_regrid(src, dst, g).collect()}
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == pytest.approx(f(x, y), abs=1e-6)
