@@ -108,6 +108,20 @@ def q_intersects_pentagon(spark, sf_dir):
     return out.select("doc_id", "cell_id")
 
 
+def q_nonconvex_intersects(spark, sf_dir):
+    """Two-phase intersects over a NON-CONVEX (L-shaped) ring, point
+    abstraction — the split-covering path: interior-cell rows skip the
+    Arrow PIP entirely (cellindex.covering_cells_split), only
+    boundary-cell rows are refined. Oracle: the L is the union of two
+    closed rects, so the predicate is their disjunction."""
+    dg = _docs_geo(spark, sf_dir)
+    out = spatial.spatial_subset(
+        spark, dg, DOC_GRID, [FX.QUERY_LSHAPE], operation="intersects",
+        abstraction="point", keep_touches=True,
+    )
+    return out.select("doc_id", "cell_id")
+
+
 def q_intersects_cells_rect(spark, sf_dir):
     """Polygon abstraction, keep_touches=False: strict-overlap cell select."""
     cells = _distinct_cells(spark, sf_dir)
@@ -2007,6 +2021,11 @@ def oracle_sql() -> dict[str, str]:
         "intersects_pentagon": (
             f"SELECT doc_id, cell_id FROM ({_DG}) dg WHERE {_penta_pred()}"
         ),
+        "nonconvex_intersects": (
+            f"SELECT doc_id, cell_id FROM ({_DG}) dg WHERE "
+            f"({FX.rect_pred_sql(FX.L_RECT_A)}) OR "
+            f"({FX.rect_pred_sql(FX.L_RECT_B)})"
+        ),
         "intersects_cells_rect": (
             f"SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg "
             f"WHERE {cb['lon_lb']} < {rmaxx!r} AND {cb['lon_ub']} > {rminx!r} "
@@ -2690,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_subset": q_bbox_subset,
         "intersects_pentagon": q_intersects_pentagon,
         "clip_cells": q_clip_cells,
+        "nonconvex_intersects": q_nonconvex_intersects,
         "pii_scan": q_pii_scan,
         "word_entropy": q_word_entropy,
         "stratified_sample": q_stratified_sample,
@@ -2707,7 +2727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_point": q_knn_point,
         "spans_stats": q_spans_stats,
         "pipeline_flagship": q_pipeline_flagship,
-        "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "dedup_components": q_dedup_components,
         "dedup_components_star": q_dedup_components_star,
@@ -2726,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "dedup_exact": q_dedup_exact,
         "intersects_cells_rect": q_intersects_cells_rect,
         "clip_aggregate": q_clip_aggregate,
         "split_selection": q_split_selection,

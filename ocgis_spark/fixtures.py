@@ -269,3 +269,18 @@ def pii_text_expr() -> str:
 #: per-language per-mille quota for the stratified-sampling fixture
 #: (downsample dominant en, keep the rest at higher rates).
 STRATIFIED_RATES = {"en": 200, "de": 500, "fr": 600, "es": 700, "zh": 900}
+
+
+#: non-convex L-shaped selection == the union of two CLOSED axis rects —
+#: the oracle is the disjunction of their range predicates, while the
+#: engine sees ONE general (non-convex) ring, exercising the
+#: interior/boundary split-covering PIP path end to end.
+L_RECT_A = (-105.0, 37.0, -103.0, 38.5)
+L_RECT_B = (-105.0, 38.5, -104.2, 40.0)
+QUERY_LSHAPE = np.array(
+    [
+        [-105.0, 37.0], [-103.0, 37.0], [-103.0, 38.5], [-104.2, 38.5],
+        [-104.2, 40.0], [-105.0, 40.0], [-105.0, 37.0],
+    ],
+    dtype="f8",
+)

@@ -238,6 +238,60 @@ def covering_cells(
     return zencode(cy, cx)
 
 
+def covering_cells_split(
+    spec: GridSpec, rings: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split the polygon covering into (interior, boundary) cell ids.
+
+    Interior cells lie STRICTLY inside the polygon — rows in them need no
+    exact point-in-polygon refine (they skip the Arrow transfer entirely;
+    at fine grids the interior is O(area/res²) cells vs O(perimeter/res)
+    boundary cells, so this is the bulk of the corpus). Classification is
+    conservative with no false interiors:
+
+    * every cell whose 1-cell-dilated window overlaps ANY ring segment's
+      bbox is marked possible-boundary (a superset of cells the boundary
+      actually crosses — the polygon edge cannot enter a cell without its
+      segment bbox overlapping the dilated window);
+    * unmarked covering cells are wholly inside or outside; the center
+      point's ray-cast decides (holes included). Center-outside unmarked
+      cells (cannot occur for a true covering) fall back to boundary.
+    """
+    cov = covering_cells(spec, rings)
+    if len(cov) == 0:
+        return cov, cov
+    cy, cx = zdecode(cov)
+    y0, y1 = int(cy.min()), int(cy.max())
+    x0, x1 = int(cx.min()), int(cx.max())
+    marked = np.zeros((y1 - y0 + 1, x1 - x0 + 1), dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype="f8")
+        sx0 = np.minimum(r[:-1, 0], r[1:, 0])
+        sx1 = np.maximum(r[:-1, 0], r[1:, 0])
+        sy0 = np.minimum(r[:-1, 1], r[1:, 1])
+        sy1 = np.maximum(r[:-1, 1], r[1:, 1])
+        ix0 = np.floor((sx0 - spec.lon0) / spec.res).astype("i8") - 1
+        ix1 = np.floor((sx1 - spec.lon0) / spec.res).astype("i8") + 1
+        iy0 = np.floor((sy0 - spec.lat0) / spec.res).astype("i8") - 1
+        iy1 = np.floor((sy1 - spec.lat0) / spec.res).astype("i8") + 1
+        ix0 = np.clip(ix0, x0, x1) - x0
+        ix1 = np.clip(ix1, x0, x1) - x0
+        iy0 = np.clip(iy0, y0, y1) - y0
+        iy1 = np.clip(iy1, y0, y1) - y0
+        for a, b, c, d in zip(iy0, iy1, ix0, ix1):
+            marked[a:b + 1, c:d + 1] = True
+    m = marked[cy - y0, cx - x0]
+    ccx = spec.lon0 + (cx + 0.5) * spec.res
+    ccy = spec.lat0 + (cy + 0.5) * spec.res
+    inside = np.zeros(len(cov), dtype=bool)
+    if (~m).any():
+        inside[~m] = G.points_in_polygon(
+            ccx[~m], ccy[~m], [np.asarray(r, dtype="f8") for r in rings], True
+        )
+    interior = (~m) & inside
+    return cov[interior], cov[~interior]
+
+
 def ring_cells(spec: GridSpec, cy: int, cx: int, k: int) -> np.ndarray:
     """Chebyshev disk of radius k around (cy, cx), clipped to the grid —
     kNN candidate expansion (H3 grid_disk analogue)."""

@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..geo import geometry as G
-from ..geo.cellindex import GridSpec, covering_cells, zdecode
+from ..geo.cellindex import (
+    GridSpec,
+    covering_cells,
+    covering_cells_split,
+    zdecode,
+)
 
 
 class ExtentError(RuntimeError):
@@ -81,6 +86,24 @@ def coarse_filter(
         ).drop("lon_lb", "lon_ub", "lat_lb", "lat_ub")
     cy, cx = zdecode(cells)
     # pandas frame → one Arrow block transfer (not py4j row-by-row)
+    cov = spark.createDataFrame(
+        pd.DataFrame({"cov_y": cy.astype("int32"), "cov_x": cx.astype("int32")})
+    )
+    return df.join(
+        F.broadcast(cov),
+        (df["cell_y"] == cov["cov_y"]) & (df["cell_x"] == cov["cov_x"]),
+        "leftsemi",
+    )
+
+
+def _cell_semijoin(
+    spark: SparkSession, df: DataFrame, zcells: np.ndarray
+) -> DataFrame:
+    """leftsemi-join rows whose (cell_y, cell_x) is in the z-coded set
+    (one Arrow block → broadcast, same shape as coarse_filter)."""
+    if len(zcells) == 0:
+        return df.limit(0)
+    cy, cx = zdecode(zcells)
     cov = spark.createDataFrame(
         pd.DataFrame({"cov_y": cy.astype("int32"), "cov_x": cx.astype("int32")})
     )
@@ -493,6 +516,34 @@ def spatial_subset(
         # grid.py:1234-1272) — Catalyst pushes them to the scan; no
         # driver-side covering materialization, no broadcast exchange.
         cand = bbox_filter(df, _rings_bbox(rings), lon, lat, closed=True)
+    elif (
+        abstraction == "point"
+        and not _is_axis_rect(rings)
+        and operation != "clip"
+    ):
+        # general-ring point path: split the covering into interior cells
+        # (strictly inside — their rows are provably in, NO Arrow PIP, the
+        # bulk of the corpus at fine grids) and boundary cells (the only
+        # rows that pay the exact refine). Classification is conservative
+        # (cellindex.covering_cells_split), so results are identical.
+        int_z, bnd_z = covering_cells_split(grid, rings)
+        if len(int_z) + len(bnd_z) > 2_000_000:
+            cand = coarse_filter(spark, df, grid, rings)
+            out = refine_points(cand, rings, keep_touches, lon, lat)
+        else:
+            refined = refine_points(
+                _cell_semijoin(spark, df, bnd_z), rings, keep_touches,
+                lon, lat,
+            )
+            out = (
+                _cell_semijoin(spark, df, int_z).unionByName(refined)
+                if len(int_z) else refined
+            )
+        if not allow_empty and len(out.take(1)) == 0:
+            raise ExtentError(
+                "spatial subset returned no rows (allow_empty=False)"
+            )
+        return out
     else:
         cand = coarse_filter(spark, df, grid, rings)
     if abstraction == "point":

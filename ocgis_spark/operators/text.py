@@ -176,7 +176,7 @@ def decontaminate(
 
 #: PII patterns — backslash-free so the same literal works in Java regex
 #: (Spark) and RE2 (DuckDB). Character classes + bounded repetition only.
-PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 PII_SSN_RE = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
 PII_PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
 

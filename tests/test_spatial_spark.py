@@ -2,6 +2,7 @@
 assertions (/root/reference/src/ocgis/test/test_simple/test_simple.py:552-599)
 on the 4x4/1° grid, plus the non-convex UDF refine path vs a NumPy oracle."""
 
+import pandas as pd
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -103,3 +104,81 @@ def test_optimized_bbox_matches_two_phase_for_rect(spark, golden_cells):
     assert {(r.cell_y, r.cell_x) for r in a.collect()} == {
         (r.cell_y, r.cell_x) for r in b.collect()
     }
+
+
+def test_split_covering_parity_and_interior_skip(spark):
+    """covering_cells_split must (a) partition the covering, (b) contain
+    no false interiors, and (c) leave spatial_subset results identical to
+    the direct-PIP path on a non-convex ring."""
+    import numpy as np
+
+    from ocgis_spark.fixtures import DOC_GRID, QUERY_LSHAPE
+    from ocgis_spark.geo import geometry as G
+    from ocgis_spark.geo.cellindex import (
+        covering_cells, covering_cells_split, zdecode,
+    )
+
+    rings = [QUERY_LSHAPE]
+    cov = set(covering_cells(DOC_GRID, rings).tolist())
+    int_z, bnd_z = covering_cells_split(DOC_GRID, rings)
+    assert set(int_z.tolist()) | set(bnd_z.tolist()) == cov
+    assert not (set(int_z.tolist()) & set(bnd_z.tolist()))
+    assert len(int_z) > 0  # the L interior is many cells at 64x64
+    # no false interior: every corner of every interior cell is inside
+    cy, cx = zdecode(int_z)
+    bminx, bminy, bmaxx, bmaxy = DOC_GRID.bounds(cy, cx)
+    for xs, ys in [(bminx, bminy), (bmaxx, bminy), (bminx, bmaxy), (bmaxx, bmaxy)]:
+        assert G.points_in_polygon(xs, ys, rings, True).all()
+
+    # end-to-end parity: split path (spatial_subset) vs direct PIP
+    rng = np.random.RandomState(11)
+    n = 4000
+    lon = rng.uniform(DOC_GRID.lon0, DOC_GRID.lon1, n)
+    lat = rng.uniform(DOC_GRID.lat0, DOC_GRID.lat1, n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n), "lon": lon, "lat": lat})
+    )
+    enc = spatial.encode_cells(df, DOC_GRID)
+    got = {
+        r["doc_id"]
+        for r in spatial.spatial_subset(
+            spark, enc, DOC_GRID, rings, operation="intersects",
+            abstraction="point", keep_touches=True,
+        ).collect()
+    }
+    want = set(
+        np.arange(n)[G.points_in_polygon(lon, lat, rings, True)].tolist()
+    )
+    assert got == want
+
+
+def test_split_covering_ring_with_hole(spark):
+    """A square annulus (outer ring + hole): interior split must exclude
+    the hole and results must match direct ray-cast PIP."""
+    import numpy as np
+
+    from ocgis_spark.fixtures import DOC_GRID, rect_ring
+    from ocgis_spark.geo import geometry as G
+
+    outer = rect_ring(-105.0, 37.0, -102.0, 40.0)
+    hole = rect_ring(-104.2, 37.8, -103.0, 39.2)
+    rings = [outer, hole]
+    rng = np.random.RandomState(3)
+    n = 3000
+    lon = rng.uniform(DOC_GRID.lon0, DOC_GRID.lon1, n)
+    lat = rng.uniform(DOC_GRID.lat0, DOC_GRID.lat1, n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n), "lon": lon, "lat": lat})
+    )
+    enc = spatial.encode_cells(df, DOC_GRID)
+    got = {
+        r["doc_id"]
+        for r in spatial.spatial_subset(
+            spark, enc, DOC_GRID, rings, operation="intersects",
+            abstraction="point", keep_touches=True,
+        ).collect()
+    }
+    want = set(
+        np.arange(n)[G.points_in_polygon(lon, lat, rings, True)].tolist()
+    )
+    assert got == want
