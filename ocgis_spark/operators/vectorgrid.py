@@ -135,6 +135,45 @@ def covering_cells(
     return cy, cx
 
 
+def covering_cells_split(
+    vg: VectorGridSpec, rings: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(int_cy, int_cx, bnd_cy, bnd_cx): interior/boundary partition of the
+    covering — the non-uniform twin of
+    :func:`ocgis_spark.geo.cellindex.covering_cells_split` (conservative
+    segment-bbox marking via 1-cell-dilated searchsorted index ranges,
+    center ray-cast for the rest; no false interiors)."""
+    cy, cx = covering_cells(vg, rings)
+    if len(cy) == 0:
+        return cy, cx, cy, cx
+    y0, y1 = int(cy.min()), int(cy.max())
+    x0, x1 = int(cx.min()), int(cx.max())
+    marked = np.zeros((y1 - y0 + 1, x1 - x0 + 1), dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype="f8")
+        for (ax, ay), (bx_, by_) in zip(r[:-1], r[1:]):
+            ix0, ix1, iy0, iy1 = vg.covering_index_ranges(
+                min(ax, bx_), min(ay, by_), max(ax, bx_), max(ay, by_)
+            )
+            ix0 = max(ix0 - 1, x0) - x0
+            ix1 = min(ix1 + 1, x1) - x0
+            iy0 = max(iy0 - 1, y0) - y0
+            iy1 = min(iy1 + 1, y1) - y0
+            if ix1 >= ix0 and iy1 >= iy0:
+                marked[iy0:iy1 + 1, ix0:ix1 + 1] = True
+    m = marked[cy - y0, cx - x0]
+    bminx, bminy, bmaxx, bmaxy = vg.bounds(cy, cx)
+    ccx = (bminx + bmaxx) / 2.0
+    ccy = (bminy + bmaxy) / 2.0
+    inside = np.zeros(len(cy), dtype=bool)
+    if (~m).any():
+        inside[~m] = G.points_in_polygon(
+            ccx[~m], ccy[~m], [np.asarray(r, dtype="f8") for r in rings], True
+        )
+    interior = (~m) & inside
+    return cy[interior], cx[interior], cy[~interior], cx[~interior]
+
+
 def spatial_subset(
     spark: SparkSession,
     df: DataFrame,
@@ -153,15 +192,35 @@ def spatial_subset(
 
     if keep_touches is None:
         keep_touches = abstraction == "point"
-    cy, cx = covering_cells(vg, rings)
-    cov = spark.createDataFrame(
-        pd.DataFrame({"vcy": cy.astype("i4"), "vcx": cx.astype("i4")})
-    )
-    cand = df.join(F.broadcast(cov), ["vcy", "vcx"], "leftsemi")
+
+    def semijoin(cy_, cx_):
+        cov = spark.createDataFrame(
+            pd.DataFrame({"vcy": cy_.astype("i4"), "vcx": cx_.astype("i4")})
+        )
+        return df.join(F.broadcast(cov), ["vcy", "vcx"], "leftsemi")
+
     if abstraction == "point":
         if operation == "clip":
             raise ValueError("clip requires polygon abstraction (cell boxes)")
-        return S.refine_points(cand, rings, keep_touches, lon, lat)
+        rings_f = [np.asarray(r, dtype="f8") for r in rings]
+        general = not G._rings_is_axis_rect(rings_f) and not (
+            len(rings_f) == 1 and G.ring_is_convex_ccw(rings_f[0])
+        )
+        if general:
+            # general ring: interior-cell rows skip the Arrow PIP (same
+            # split as the uniform path — transfer scales with perimeter)
+            icy, icx, bcy, bcx = covering_cells_split(vg, rings)
+            refined = S.refine_points(
+                semijoin(bcy, bcx), rings, keep_touches, lon, lat
+            )
+            return (
+                semijoin(icy, icx).unionByName(refined)
+                if len(icy) else refined
+            )
+        cy, cx = covering_cells(vg, rings)
+        return S.refine_points(semijoin(cy, cx), rings, keep_touches, lon, lat)
+    cy, cx = covering_cells(vg, rings)
+    cand = semijoin(cy, cx)
     # polygon abstraction: attach per-cell bounds, then the shared batch
     # box-vs-polygon kernel
     b = with_cell_bounds(cand, spark, vg)

@@ -247,3 +247,47 @@ def test_edges_from_centroids_matches_reference():
     import pytest
     with pytest.raises(ValueError):
         edges_from_centroids([1.0])
+
+
+def test_vector_split_covering_nonconvex_parity(spark):
+    """Non-uniform grid, non-convex ring, point abstraction: the
+    interior/boundary split path must match direct ray-cast PIP."""
+    import numpy as np
+    import pandas as pd
+
+    from ocgis_spark.fixtures import VEC_GRID, QUERY_LSHAPE
+    from ocgis_spark.geo import geometry as G
+    from ocgis_spark.operators import vectorgrid as VG
+
+    vg = VEC_GRID
+    icy, icx, bcy, bcx = VG.covering_cells_split(vg, [QUERY_LSHAPE])
+    cov_cy, cov_cx = VG.covering_cells(vg, [QUERY_LSHAPE])
+    assert len(icy) + len(bcy) == len(cov_cy)
+    # no false interior: all 4 corners of interior cells are inside
+    if len(icy):
+        bminx, bminy, bmaxx, bmaxy = vg.bounds(icy, icx)
+        for xs, ys in [(bminx, bminy), (bmaxx, bminy), (bminx, bmaxy),
+                       (bmaxx, bmaxy)]:
+            assert G.points_in_polygon(xs, ys, [QUERY_LSHAPE], True).all()
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    lon = rng.uniform(vg.xb()[0], vg.xb()[-1], n)
+    lat = rng.uniform(vg.yb()[0], vg.yb()[-1], n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n), "lon": lon, "lat": lat})
+    )
+    enc = VG.encode_cells(df, vg)
+    got = {
+        r["doc_id"]
+        for r in VG.spatial_subset(
+            spark, enc, vg, [QUERY_LSHAPE], operation="intersects",
+            abstraction="point", keep_touches=True,
+        ).collect()
+    }
+    want = set(
+        np.arange(n)[
+            G.points_in_polygon(lon, lat, [QUERY_LSHAPE], True)
+        ].tolist()
+    )
+    assert got == want
