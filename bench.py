@@ -157,6 +157,40 @@ def main() -> None:
 
     timed("nonuniform_encode_subset", nonuniform_encode)
 
+    # round-3 headliners: split-covering non-convex subset, PII scrub
+    # throughput, and the zero-shuffle bilinear stencil over 1M points
+    from ocgis_spark.operators import regrid as regrid_ops  # noqa: E402
+    from ocgis_spark.operators import text as textops  # noqa: E402
+
+    timed(
+        "nonconvex_subset",
+        lambda: _materialize(
+            spatial.spatial_subset(
+                spark, dg, DOC_GRID, [FX.QUERY_LSHAPE],
+                operation="intersects", abstraction="point",
+                keep_touches=True,
+            )
+        ),
+    )
+    timed("pii_scan_scaled", lambda: _materialize(textops.pii_scan(dg)))
+
+    def bilinear_1m():
+        g = DOC_GRID
+        dst = spark.range(1_000_000).select(
+            F.col("id").alias("dst_id"),
+            (F.lit(g.lon0) + (F.col("id") % 997).cast("double") / 997.0
+             * F.lit(g.lon1 - g.lon0)).alias("x"),
+            (F.lit(g.lat0) + (F.col("id") % 991).cast("double") / 991.0
+             * F.lit(g.lat1 - g.lat0)).alias("y"),
+        )
+        src = spark.range(g.nx * g.ny).select(
+            F.col("id").alias("src_id"),
+            ((F.col("id") * 31) % 97).cast("double").alias("value"),
+        )
+        _materialize(regrid_ops.bilinear_regrid(src, dst, g))
+
+    timed("bilinear_1M", bilinear_1m)
+
     # ---- unscaled tables ----
     docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(

@@ -39,10 +39,20 @@ def polygon_area(rings: list[np.ndarray]) -> float:
     return area
 
 
-def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized even-odd ray casting: strict interior test for many points
-    against one ring (boundary points are NOT guaranteed in/out — combine
-    with :func:`points_on_ring` for boundary semantics)."""
+#: element budget for the (points × segments) broadcast kernels: the point
+#: chunk is sized so each 2-D temporary stays ≈ _PIP_ELEMS·8 B (a few MB,
+#: cache/TLB friendly) regardless of ring vertex count — 32 concurrent
+#: Python workers on one box must not each churn hundred-MB temporaries.
+_PIP_ELEMS = 400_000
+
+
+def _pip_chunk(n_segments: int) -> int:
+    return max(256, _PIP_ELEMS // max(n_segments, 1))
+
+
+def _points_in_ring_block(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray
+) -> np.ndarray:
     x0, y0 = ring[:-1, 0], ring[:-1, 1]
     x1, y1 = ring[1:, 0], ring[1:, 1]
     px = px[:, None]
@@ -55,10 +65,26 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     return (crossings.sum(axis=1) % 2).astype(bool)
 
 
-def points_on_ring(
-    px: np.ndarray, py: np.ndarray, ring: np.ndarray, tol: float = 1e-12
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: strict interior test for many points
+    against one ring (boundary points are NOT guaranteed in/out — combine
+    with :func:`points_on_ring` for boundary semantics). Chunked over
+    points so the broadcast temporaries stay cache-sized at any ring
+    vertex count."""
+    n = len(px)
+    chunk = _pip_chunk(len(ring) - 1)
+    if n <= chunk:
+        return _points_in_ring_block(px, py, ring)
+    out = np.empty(n, dtype=bool)
+    for s in range(0, n, chunk):
+        e = s + chunk
+        out[s:e] = _points_in_ring_block(px[s:e], py[s:e], ring)
+    return out
+
+
+def _points_on_ring_block(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray, tol: float
 ) -> np.ndarray:
-    """True where (px, py) lies on a segment of the ring (within tol)."""
     x0, y0 = ring[:-1, 0], ring[:-1, 1]
     x1, y1 = ring[1:, 0], ring[1:, 1]
     px2 = px[:, None]
@@ -72,6 +98,22 @@ def points_on_ring(
     cy = y0 + t * dy
     d2 = (px2 - cx) ** 2 + (py2 - cy) ** 2
     return (d2 <= tol * tol).any(axis=1)
+
+
+def points_on_ring(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray, tol: float = 1e-12
+) -> np.ndarray:
+    """True where (px, py) lies on a segment of the ring (within tol).
+    Chunked over points (see :func:`points_in_ring`)."""
+    n = len(px)
+    chunk = _pip_chunk(len(ring) - 1)
+    if n <= chunk:
+        return _points_on_ring_block(px, py, ring, tol)
+    out = np.empty(n, dtype=bool)
+    for s in range(0, n, chunk):
+        e = s + chunk
+        out[s:e] = _points_on_ring_block(px[s:e], py[s:e], ring, tol)
+    return out
 
 
 def ring_is_convex_ccw(ring: np.ndarray) -> bool:

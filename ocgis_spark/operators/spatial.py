@@ -141,16 +141,43 @@ def _is_axis_rect(rings: list[np.ndarray]) -> bool:
     return G._rings_is_axis_rect(rings)
 
 
+def interior_raster(
+    int_cy: np.ndarray, int_cx: np.ndarray
+) -> tuple[int, int, np.ndarray] | None:
+    """(y0, x0, bool raster) lookup table over the interior covering cells
+    — shipped into the PIP UDF closure so interior rows cost one O(1)
+    array index instead of an O(ring segments) ray cast."""
+    if len(int_cy) == 0:
+        return None
+    y0, x0 = int(int_cy.min()), int(int_cx.min())
+    R = np.zeros(
+        (int(int_cy.max()) - y0 + 1, int(int_cx.max()) - x0 + 1), dtype=bool
+    )
+    R[int_cy - y0, int_cx - x0] = True
+    return y0, x0, R
+
+
 def refine_points(
     df: DataFrame,
     rings: list[np.ndarray],
     keep_touches: bool = True,
     lon: str = "lon",
     lat: str = "lat",
+    interior: tuple[int, int, np.ndarray] | None = None,
+    cell_y: str = "cell_y",
+    cell_x: str = "cell_x",
 ) -> DataFrame:
     """Phase 2 for point abstraction: exact PIP on candidates.
     Rect polygons → pure SQL; general polygons → Arrow pandas UDF
-    (vectorized ray casting, no per-row Python)."""
+    (vectorized ray casting, no per-row Python).
+
+    ``interior`` (from :func:`interior_raster` over the
+    ``covering_cells_split`` interior set): rows whose cell is strictly
+    inside the polygon short-circuit to True with one raster lookup — the
+    ray cast runs only on boundary-cell rows, so per-row Python work
+    scales with the polygon PERIMETER, not its area. Matters for
+    many-segment selection polygons (coastlines): the ray cast is
+    O(segments) per row, the lookup O(1). Same one-scan plan shape."""
     if _is_axis_rect(rings):
         return bbox_filter(df, _rings_bbox(rings), lon, lat, closed=keep_touches)
 
@@ -169,6 +196,33 @@ def refine_points(
             term = (d >= 0.0) if op == ">=" else (d > 0.0)
             cond = term if cond is None else (cond & term)
         return df.filter(cond)
+
+    if interior is not None:
+        iy0, ix0, R = interior
+        H, W = R.shape
+
+        @F.pandas_udf("boolean")
+        def pip_int(
+            lon_s: pd.Series, lat_s: pd.Series,
+            cy_s: pd.Series, cx_s: pd.Series,
+        ) -> pd.Series:
+            px = lon_s.to_numpy("f8")
+            py = lat_s.to_numpy("f8")
+            ry = cy_s.to_numpy("i8") - iy0
+            rx = cx_s.to_numpy("i8") - ix0
+            inb = (ry >= 0) & (ry < H) & (rx >= 0) & (rx < W)
+            mask = np.zeros(len(px), dtype=bool)
+            mask[inb] = R[ry[inb], rx[inb]]
+            rest = ~mask
+            if rest.any():
+                mask[rest] = G.points_in_polygon(
+                    px[rest], py[rest], rings_bc, keep_touches
+                )
+            return pd.Series(mask)
+
+        return df.filter(
+            pip_int(F.col(lon), F.col(lat), F.col(cell_y), F.col(cell_x))
+        )
 
     @F.pandas_udf("boolean")
     def pip(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
@@ -521,23 +575,23 @@ def spatial_subset(
         and not _is_axis_rect(rings)
         and operation != "clip"
     ):
-        # general-ring point path: split the covering into interior cells
-        # (strictly inside — their rows are provably in, NO Arrow PIP, the
-        # bulk of the corpus at fine grids) and boundary cells (the only
-        # rows that pay the exact refine). Classification is conservative
-        # (cellindex.covering_cells_split), so results are identical.
+        # general-ring point path: ONE covering semijoin (same plan shape
+        # as before), but the covering's interior/boundary split ships
+        # into the PIP UDF as a raster — interior-cell rows (the bulk at
+        # fine grids) short-circuit to an O(1) lookup and only boundary
+        # rows pay the O(segments) ray cast. Classification is
+        # conservative (cellindex.covering_cells_split): identical rows.
         int_z, bnd_z = covering_cells_split(grid, rings)
         if len(int_z) + len(bnd_z) > 2_000_000:
+            # degraded covering: envelope predicate + plain ray cast
             cand = coarse_filter(spark, df, grid, rings)
             out = refine_points(cand, rings, keep_touches, lon, lat)
         else:
-            refined = refine_points(
-                _cell_semijoin(spark, df, bnd_z), rings, keep_touches,
-                lon, lat,
-            )
-            out = (
-                _cell_semijoin(spark, df, int_z).unionByName(refined)
-                if len(int_z) else refined
+            cand = _cell_semijoin(spark, df, np.concatenate([int_z, bnd_z]))
+            icy, icx = zdecode(int_z)
+            out = refine_points(
+                cand, rings, keep_touches, lon, lat,
+                interior=interior_raster(icy, icx),
             )
         if not allow_empty and len(out.take(1)) == 0:
             raise ExtentError(

@@ -207,15 +207,17 @@ def spatial_subset(
             len(rings_f) == 1 and G.ring_is_convex_ccw(rings_f[0])
         )
         if general:
-            # general ring: interior-cell rows skip the Arrow PIP (same
-            # split as the uniform path — transfer scales with perimeter)
+            # general ring: one covering semijoin; the interior cells ship
+            # into the PIP UDF as a raster so interior rows cost an O(1)
+            # lookup and only boundary rows pay the O(segments) ray cast
             icy, icx, bcy, bcx = covering_cells_split(vg, rings)
-            refined = S.refine_points(
-                semijoin(bcy, bcx), rings, keep_touches, lon, lat
+            cand = semijoin(
+                np.concatenate([icy, bcy]), np.concatenate([icx, bcx])
             )
-            return (
-                semijoin(icy, icx).unionByName(refined)
-                if len(icy) else refined
+            return S.refine_points(
+                cand, rings, keep_touches, lon, lat,
+                interior=S.interior_raster(icy, icx),
+                cell_y="vcy", cell_x="vcx",
             )
         cy, cx = covering_cells(vg, rings)
         return S.refine_points(semijoin(cy, cx), rings, keep_touches, lon, lat)
