@@ -1463,9 +1463,16 @@ def q_curvilinear_subset(spark, sf_dir):
 # the driver records the weaker rows-only check) ---
 
 def q_freezethaw(spark, sf_dir):
-    """Sequential cumulative-scan transitions per series (applyInPandas)."""
-    return windows.freezethaw(_events(spark, sf_dir), "user_id", "ts",
-                              "value", threshold=50.0)
+    """Cumulative-excursion transition count per series — relational
+    (windowed prefix sum + sign fill + lag). Values floored to integers so
+    the cumulative sums are EXACT in both engines (no float-rounding sign
+    ambiguity at acc == 0); event_id tiebreak makes tie order, and thus
+    the oracle, deterministic."""
+    ev = _events(spark, sf_dir).withColumn(
+        "vi", F.floor("value").cast("double")
+    )
+    return windows.freezethaw(ev, "user_id", "ts", "vi", threshold=50.0,
+                              tiebreak="event_id")
 
 
 def q_nonconvex_clip(spark, sf_dir):
@@ -2412,6 +2419,23 @@ def oracle_sql() -> dict[str, str]:
         "freq_perc": (
             "SELECT event_type, round(quantile_cont(value, 0.9), 6) AS perc "
             "FROM events GROUP BY event_type"
+        ),
+        "freezethaw": (
+            "SELECT user_id, CAST(sum(CASE WHEN prev IS NOT NULL AND "
+            "st IS NOT NULL AND prev <> st THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS transitions FROM ("
+            "SELECT user_id, st, lag(st) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ("
+            "SELECT user_id, ts, event_id, last_value(sg IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st FROM ("
+            "SELECT user_id, ts, event_id, CASE WHEN acc > 0.0 THEN 1 "
+            "WHEN acc < 0.0 THEN -1 ELSE NULL END AS sg FROM ("
+            "SELECT user_id, ts, event_id, "
+            "sum(CAST(floor(value) AS DOUBLE) - 50.0) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc "
+            "FROM events) a) s) f) g GROUP BY user_id"
         ),
         "heat_index": (
             f"SELECT event_id, {hi_sql} AS heat_index FROM ("

@@ -233,25 +233,45 @@ def freq_duration(
 
 
 def freezethaw(
-    df: DataFrame, key: str, ts: str, value: str, threshold: float = 15.0
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    threshold: float = 15.0,
+    tiebreak: str | None = None,
 ) -> DataFrame:
-    """Freeze/thaw-style transition count from a cumulative scan per series
-    (``freeze_thaw.py:9-110``): count sign changes of the centered value's
-    running state once cumulative |excursion| exceeds ``threshold``.
-    Sequential per series → applyInPandas (parallel across keys)."""
-    schema = f"{key} bigint, transitions bigint"
+    """Freeze/thaw-style transition count per series
+    (``freeze_thaw.py:9-110``): count sign changes of the running state
+    once the cumulative excursion Σ(v − threshold) crosses zero, zeros
+    carrying the previous state.
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts)
-        v = pdf[value].to_numpy()
-        state, acc, trans = 0, 0.0, 0
-        for x in v:
-            acc += x - threshold
-            new_state = 1 if acc > 0 else (-1 if acc < 0 else state)
-            if state != 0 and new_state != 0 and new_state != state:
-                trans += 1
-            if new_state != 0:
-                state = new_state
-        return pd.DataFrame({key: [pdf[key].iloc[0]], "transitions": [trans]})
-
-    return df.select(key, ts, value).groupBy(key).applyInPandas(fn, schema)
+    The "sequential" scan is really a windowed prefix sum, so the whole
+    operator is relational: cumulative-sum window → sign (NULL at exactly
+    zero) → gaps-and-islands fill (``last ignorenulls``) → lag compare →
+    grouped count. No applyInPandas (the r1–r3 version): per-series
+    groups had to fit one worker's memory, while window frames spill and
+    stay JVM-side. ``tiebreak`` orders equal timestamps deterministically
+    (required for an exact oracle)."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    wcum = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy(key).orderBy(*order)
+    cols = [key, ts] + ([tiebreak] if tiebreak else []) + [value]
+    d = df.select(*dict.fromkeys(cols)).withColumn(
+        "_acc", F.sum(F.col(value) - F.lit(threshold)).over(wcum)
+    )
+    sg = F.when(F.col("_acc") > 0, F.lit(1)).when(F.col("_acc") < 0, F.lit(-1))
+    d = d.withColumn("_st", F.last(sg, ignorenulls=True).over(wcum))
+    d = d.withColumn("_prev", F.lag("_st").over(wlag))
+    flip = F.when(
+        F.col("_prev").isNotNull()
+        & F.col("_st").isNotNull()
+        & (F.col("_prev") != F.col("_st")),
+        1,
+    ).otherwise(0)
+    return d.groupBy(key).agg(
+        F.sum(flip).cast("bigint").alias("transitions")
+    )

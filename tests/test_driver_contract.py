@@ -38,7 +38,7 @@ def test_oracles_subset_of_queries():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"curvilinear_clip", "freezethaw"}
+    assert rows_only == {"curvilinear_clip"}
 
 
 def test_round3_ops_inside_driver_window():
