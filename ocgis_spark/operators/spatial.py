@@ -396,21 +396,54 @@ def spatial_subset_many(
 
     if udf_polys:
         kt = keep_touches
+        # per-ugid interior rasters: strictly-inside cells resolve with an
+        # O(1) lookup inside the UDF; the O(segments) ray cast runs only
+        # on boundary-cell rows (same trick as refine_points(interior=…))
+        rasters = {}
+        for u, rings in udf_polys.items():
+            int_z, bnd_z = covering_cells_split(grid, rings)
+            if len(int_z) + len(bnd_z) <= 2_000_000:
+                ras = interior_raster(*zdecode(int_z))
+                if ras is not None:
+                    rasters[u] = ras
 
         @F.pandas_udf("boolean")
-        def pip_many(ugid_s: pd.Series, lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        def pip_many(
+            ugid_s: pd.Series, lon_s: pd.Series, lat_s: pd.Series,
+            cy_s: pd.Series, cx_s: pd.Series,
+        ) -> pd.Series:
             px = lon_s.to_numpy("f8")
             py = lat_s.to_numpy("f8")
+            cy = cy_s.to_numpy("i8")
+            cx = cx_s.to_numpy("i8")
             ug = ugid_s.to_numpy()
             out = np.zeros(len(px), dtype=bool)
             for u, rings in udf_polys.items():
                 m = ug == u
-                if m.any():
-                    out[m] = G.points_in_polygon(px[m], py[m], rings, kt)
+                if not m.any():
+                    continue
+                sub = np.zeros(int(m.sum()), dtype=bool)
+                ras = rasters.get(u)
+                if ras is not None:
+                    y0, x0, R = ras
+                    ry = cy[m] - y0
+                    rx = cx[m] - x0
+                    inb = (
+                        (ry >= 0) & (ry < R.shape[0])
+                        & (rx >= 0) & (rx < R.shape[1])
+                    )
+                    sub[inb] = R[ry[inb], rx[inb]]
+                rest = ~sub
+                if rest.any():
+                    sub[rest] = G.points_in_polygon(
+                        px[m][rest], py[m][rest], rings, kt
+                    )
+                out[m] = sub
             return pd.Series(out)
 
         udf_cond = F.col("ugid").isin(list(udf_polys)) & pip_many(
-            F.col("ugid"), F.col(lon), F.col(lat)
+            F.col("ugid"), F.col(lon), F.col(lat),
+            F.col("cell_y"), F.col("cell_x"),
         )
         cond = udf_cond if cond is None else (cond | udf_cond)
 

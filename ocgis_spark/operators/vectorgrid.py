@@ -393,22 +393,50 @@ def spatial_subset_many(
             c = (F.col("ugid") == int(ugid)) & e
             exprs = c if exprs is None else (exprs | c)
         if udf_polys:
+            from . import spatial as S
+
             kt = keep_touches
+            # per-ugid interior rasters (see spatial.spatial_subset_many):
+            # interior-cell rows resolve via O(1) lookup in the UDF
+            rasters = {}
+            for u, rings_u in udf_polys.items():
+                icy, icx, bcy, bcx = covering_cells_split(vg, rings_u)
+                if len(icy) + len(bcy) <= 2_000_000:
+                    ras = S.interior_raster(icy, icx)
+                    if ras is not None:
+                        rasters[u] = ras
 
             @F.pandas_udf("boolean")
             def pip_many(ugid_s: pd.Series, lon_s: pd.Series,
-                         lat_s: pd.Series) -> pd.Series:
+                         lat_s: pd.Series, cy_s: pd.Series,
+                         cx_s: pd.Series) -> pd.Series:
                 px, py = lon_s.to_numpy("f8"), lat_s.to_numpy("f8")
+                cy_a, cx_a = cy_s.to_numpy("i8"), cx_s.to_numpy("i8")
                 ug = ugid_s.to_numpy()
                 out = np.zeros(len(px), dtype=bool)
                 for u, rings in udf_polys.items():
                     m = ug == u
-                    if m.any():
-                        out[m] = G.points_in_polygon(px[m], py[m], rings, kt)
+                    if not m.any():
+                        continue
+                    sub = np.zeros(int(m.sum()), dtype=bool)
+                    ras = rasters.get(u)
+                    if ras is not None:
+                        y0, x0, R = ras
+                        ry = cy_a[m] - y0
+                        rx = cx_a[m] - x0
+                        inb = ((ry >= 0) & (ry < R.shape[0])
+                               & (rx >= 0) & (rx < R.shape[1]))
+                        sub[inb] = R[ry[inb], rx[inb]]
+                    rest = ~sub
+                    if rest.any():
+                        sub[rest] = G.points_in_polygon(
+                            px[m][rest], py[m][rest], rings, kt)
+                    out[m] = sub
                 return pd.Series(out)
 
             uc = F.col("ugid").isin(list(udf_polys)) & pip_many(
-                F.col("ugid"), F.col(lon), F.col(lat))
+                F.col("ugid"), F.col(lon), F.col(lat),
+                F.col("vcy"), F.col("vcx"))
             exprs = uc if exprs is None else (exprs | uc)
         return cand.filter(exprs)
     # polygon abstraction: bounds + per-ugid batch clip in one Arrow UDF

@@ -8,14 +8,13 @@ Reference semantics:
 * ``duration`` longest qualifying run per group — gaps-and-islands
   (``calc/library/index/duration.py:10-95``);
 * ``freq_duration`` run-length histogram (``duration.py:98-153``);
-* ``freezethaw`` sequential per-series scan (``freeze_thaw.py:9-110``) →
-  ``applyInPandas`` (inherently sequential per series, parallel across
-  series).
+* ``freezethaw`` cumulative-excursion transition count
+  (``freeze_thaw.py:9-110``) → relational windowed prefix sum (the
+  "sequential" state is a cumulative sum; no applyInPandas).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

@@ -291,3 +291,41 @@ def test_vector_split_covering_nonconvex_parity(spark):
         ].tolist()
     )
     assert got == want
+
+
+def test_vector_multi_geom_nonconvex_point_parity(spark):
+    """spatial_subset_many POINT abstraction on the vector grid with a
+    non-convex ugid: the per-ugid interior-raster UDF must match the
+    driver-side ray cast for every geometry kind in the same plan."""
+    import numpy as np
+    import pandas as pd
+
+    from ocgis_spark.fixtures import (
+        QUERY_LSHAPE, QUERY_PENTAGON, VEC_GRID, rect_ring,
+    )
+    from ocgis_spark.geo import geometry as G
+    from ocgis_spark.operators import vectorgrid as VG
+
+    vg = VEC_GRID
+    rng = np.random.RandomState(23)
+    n = 2500
+    lon = rng.uniform(vg.xb()[0], vg.xb()[-1], n)
+    lat = rng.uniform(vg.yb()[0], vg.yb()[-1], n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n), "lon": lon, "lat": lat})
+    )
+    enc = VG.encode_cells(df, vg)
+    polys = [
+        (1, [rect_ring(-104.5, 37.5, -102.5, 39.5)]),
+        (2, [QUERY_PENTAGON]),
+        (3, [QUERY_LSHAPE]),  # non-convex -> interior-raster UDF path
+    ]
+    out = VG.spatial_subset_many(spark, enc, vg, polys, abstraction="point")
+    got = {
+        u: {r["doc_id"] for r in out.filter(F.col("ugid") == u).collect()}
+        for u in (1, 2, 3)
+    }
+    for u, rings in polys:
+        mask = G.points_in_polygon(lon, lat, rings, keep_touches=True)
+        assert got[u] == set(np.arange(n)[mask].tolist()), f"ugid {u}"
+    assert got[3]
