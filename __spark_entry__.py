@@ -122,6 +122,26 @@ def q_nonconvex_intersects(spark, sf_dir):
     return out.select("doc_id", "cell_id")
 
 
+def q_regrid_bilinear_nonuniform(spark, sf_dir):
+    """Bilinear regrid between two NON-UNIFORM grids (the other ESMF
+    regrid_method, stretched axes): searchsorted 2x2 stencil → 4-entry
+    sparse weight table → the standard weights join. Oracle consumes the
+    IDENTICAL driver-side floats as a VALUES table (parity by
+    construction, like the vec-bounds oracles)."""
+    _tune(spark)
+    src = spark.sql(
+        f"SELECT src_id, CAST((src_id * 31) % 97 AS DOUBLE) AS value FROM "
+        f"(SELECT id AS src_id FROM range({FX.VEC_GRID.nx * FX.VEC_GRID.ny}))"
+    )
+    w = regrid.bilinear_weights_vector(spark, FX.VEC_GRID, FX.VEC_GRID_DST)
+    out = regrid.apply_weights(src, w)
+    return out.select(
+        "dst_id",
+        F.round("dst_value", 6).alias("dst_value"),
+        F.round("weight_sum", 6).alias("weight_sum"),
+    )
+
+
 def q_intersects_cells_rect(spark, sf_dir):
     """Polygon abstraction, keep_touches=False: strict-overlap cell select."""
     cells = _distinct_cells(spark, sf_dir)
@@ -1969,6 +1989,26 @@ def _pii_scan_sql() -> str:
     )
 
 
+def _regrid_bilinear_vec_sql() -> str:
+    """VALUES twin of regrid.bilinear_weights_vector — the same numpy
+    floats (regrid._bilinear_weight_rows), so parity is exact by
+    construction."""
+    sid, did, s = regrid._bilinear_weight_rows(FX.VEC_GRID, FX.VEC_GRID_DST)
+    vals = ", ".join(
+        f"({int(a)}, {int(b)}, {FX._f(float(c))})"
+        for a, b, c in zip(sid, did, s)
+    )
+    n_src = FX.VEC_GRID.nx * FX.VEC_GRID.ny
+    return (
+        "SELECT dst_id, round(sum(s * value), 6) AS dst_value, "
+        "round(sum(s), 6) AS weight_sum FROM ("
+        "SELECT CAST(sid AS BIGINT) AS src_id, CAST(did AS BIGINT) AS dst_id, "
+        f"CAST(s AS DOUBLE) AS s FROM (VALUES {vals}) w(sid, did, s)) w2 "
+        "JOIN (SELECT range AS src_id, CAST((range * 31) % 97 AS DOUBLE) AS "
+        f"value FROM range({n_src})) src USING (src_id) GROUP BY dst_id"
+    )
+
+
 def _regrid_bilinear_sql() -> str:
     """Bilinear stencil in closed form: explode the 2x2 corners via a
     4-row CTE, join the per-cell source values, grouped weighted sum.
@@ -2325,6 +2365,7 @@ def oracle_sql() -> dict[str, str]:
             + "0" + " END" * len(FX.STRATIFIED_RATES) + ")"
         ),
         "regrid_bilinear": _regrid_bilinear_sql(),
+        "regrid_bilinear_nonuniform": _regrid_bilinear_vec_sql(),
         "multimodal_features": (
             "SELECT concat('doc', CAST(doc_id AS VARCHAR)) AS doc_uid, "
             "CAST(1 AS INT) AS span_idx, "
@@ -2730,7 +2771,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nonconvex_clip": q_nonconvex_clip,
         "unstructured_subset": q_unstructured_subset,
         "join_agg": q_join_agg,
-        "bbox_subset": q_bbox_subset,
         "intersects_pentagon": q_intersects_pentagon,
         "clip_cells": q_clip_cells,
         "nonconvex_intersects": q_nonconvex_intersects,
@@ -2738,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_entropy": q_word_entropy,
         "stratified_sample": q_stratified_sample,
         "regrid_bilinear": q_regrid_bilinear,
+        "regrid_bilinear_nonuniform": q_regrid_bilinear_nonuniform,
         "bbox_subset_nonuniform": q_bbox_subset_nonuniform,
         "clip_cells_nonuniform": q_clip_cells_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
@@ -2769,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "bbox_subset": q_bbox_subset,
         "dedup_exact": q_dedup_exact,
         "intersects_cells_rect": q_intersects_cells_rect,
         "clip_aggregate": q_clip_aggregate,

@@ -108,6 +108,9 @@ class OcgOperations:
     #: conservative regrid of the value column to this destination
     #: VectorGridSpec after subsetting (reference ``regrid_destination``)
     regrid_destination: Any = None
+    #: reference ``regrid_options``: {'regrid_method': 'conservative'
+    #: (default) | 'bilinear'} (regrid/base.py:646-700)
+    regrid_options: dict | None = None
 
     def __post_init__(self):
         self._validate()
@@ -489,9 +492,30 @@ class OcgOperations:
                 df = vg_ops.encode_cells(
                     df, src_grid, lon=dm.get("x", "lon"), lat=dm.get("y", "lat")
                 )
-            df = regrid_ops.apply_conservative_vector(
-                df, spark, src_grid, self.regrid_destination, value=value
-            ).withColumnRenamed("dst_value", value)
+            method = (self.regrid_options or {}).get(
+                "regrid_method", "conservative"
+            )
+            if method == "bilinear":
+                w = regrid_ops.bilinear_weights_vector(
+                    spark, src_grid, self.regrid_destination
+                )
+                src_vals = df.withColumn(
+                    "src_id",
+                    F.col("vcy").cast("bigint") * F.lit(src_grid.nx)
+                    + F.col("vcx"),
+                )
+                df = regrid_ops.apply_weights(
+                    src_vals, w, value=value
+                ).withColumnRenamed("dst_value", value)
+            elif method == "conservative":
+                df = regrid_ops.apply_conservative_vector(
+                    df, spark, src_grid, self.regrid_destination, value=value
+                ).withColumnRenamed("dst_value", value)
+            else:
+                raise DefinitionValidationError(
+                    f"regrid_method {method!r} invalid "
+                    "(conservative | bilinear)"
+                )
 
         # aggregation / calcs (engine.py:573-613; calc/engine.py:48-157)
         if self.aggregate and self.calc:

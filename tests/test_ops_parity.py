@@ -153,3 +153,36 @@ def test_regrid_destination_conserves_total(spark, field):
     got = out.agg(F.avg("value")).first()[0]
     want = one_t.agg(F.avg("value")).first()[0]
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_regrid_destination_bilinear_facade(spark, field):
+    """regrid_options={'regrid_method': 'bilinear'} routes through the
+    4-entry weight table; on a constant field the result is constant
+    (weights sum to 1), and an invalid method raises."""
+    from ocgis_spark.geo.cellindex import VectorGridSpec
+
+    g = GOLDEN_GRID
+    src = VectorGridSpec.from_edges(
+        np.linspace(g.lon0, g.lon0 + 4 * g.res, 5),
+        np.linspace(g.lat0, g.lat0 + 4 * g.res, 5),
+    )
+    dst = VectorGridSpec.from_edges(
+        np.linspace(g.lon0, g.lon0 + 4 * g.res, 3),
+        np.linspace(g.lat0, g.lat0 + 4 * g.res, 3),
+    )
+    one_t = field.df.filter(F.dayofmonth("ts") == 1).withColumn(
+        "value", F.lit(7.25)
+    )
+    fld = Field(one_t, {"time": "ts", "x": "lon", "y": "lat",
+                        "value": "value"}, src)
+    out = OcgOperations(dataset=fld, grid=src, regrid_destination=dst,
+                        regrid_options={"regrid_method": "bilinear"}
+                        ).execute(spark)
+    rows = out.collect()
+    assert len(rows) == 4  # 2x2 destination
+    for r in rows:
+        assert r["value"] == pytest.approx(7.25, abs=1e-12)
+    with pytest.raises(DefinitionValidationError, match="regrid_method"):
+        OcgOperations(dataset=fld, grid=src, regrid_destination=dst,
+                      regrid_options={"regrid_method": "patch"}
+                      ).execute(spark)

@@ -157,3 +157,45 @@ def test_bilinear_reproduces_linear_field_exactly(spark):
            for r in regrid.bilinear_regrid(src, dst, g).collect()}
     for i, (x, y) in enumerate(pts):
         assert got[i] == pytest.approx(f(x, y), abs=1e-6)
+
+
+def test_bilinear_weights_vector_facade(spark):
+    """regrid_options={'regrid_method': 'bilinear'} through OcgOperations:
+    weights sum to 1 per destination and a linear field reproduces
+    exactly at interior destination centers (stretched axes)."""
+    from pyspark.sql import functions as F
+
+    from ocgis_spark.fixtures import VEC_GRID, VEC_GRID_DST
+    from ocgis_spark.operators import regrid as regrid_ops
+
+    w = regrid_ops.bilinear_weights_vector(spark, VEC_GRID, VEC_GRID_DST)
+    sums = {r["dst_id"]: r["ws"] for r in
+            w.groupBy("dst_id").agg(F.sum("s").alias("ws")).collect()}
+    assert len(sums) == VEC_GRID_DST.nx * VEC_GRID_DST.ny
+    for v in sums.values():
+        assert v == pytest.approx(1.0, abs=1e-12)
+
+    # linear field on src centers -> exact at dst centers (interior,
+    # no clamping: both grids share the same extent so dst centers lie
+    # inside the src-center hull except at the very edge cells; verify
+    # only non-clamped destinations)
+    a, b, c = 1.5, -2.0, 3.0
+    sxc = (VEC_GRID.xb()[:-1] + VEC_GRID.xb()[1:]) / 2.0
+    syc = (VEC_GRID.yb()[:-1] + VEC_GRID.yb()[1:]) / 2.0
+    src = spark.createDataFrame(
+        [(int(j * VEC_GRID.nx + i), float(a * sxc[i] + b * syc[j] + c))
+         for j in range(VEC_GRID.ny) for i in range(VEC_GRID.nx)],
+        "src_id bigint, value double",
+    )
+    out = {r["dst_id"]: r["dst_value"]
+           for r in regrid_ops.apply_weights(src, w).collect()}
+    dxc = (VEC_GRID_DST.xb()[:-1] + VEC_GRID_DST.xb()[1:]) / 2.0
+    dyc = (VEC_GRID_DST.yb()[:-1] + VEC_GRID_DST.yb()[1:]) / 2.0
+    import numpy as np
+    for j in range(VEC_GRID_DST.ny):
+        for i in range(VEC_GRID_DST.nx):
+            x, y = dxc[i], dyc[j]
+            if not (sxc[0] <= x <= sxc[-1] and syc[0] <= y <= syc[-1]):
+                continue  # clamped edge stencil: constant extrapolation
+            want = a * x + b * y + c
+            assert out[j * VEC_GRID_DST.nx + i] == pytest.approx(want, abs=1e-9)
