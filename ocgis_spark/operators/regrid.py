@@ -287,6 +287,42 @@ def _bilinear_weight_rows(src, dst):
     )
 
 
+def nearest_weights_vector(
+    spark: SparkSession, src, dst
+) -> DataFrame:
+    """ESMF ``regrid_method='nearest_stod'`` (nearest source to
+    destination) between two rectilinear grids as a 1-entry-per-dst
+    weight table: on separable axes the nearest source CENTER factorizes
+    per axis (|x−cx| then |y−cy| independently), so the stencil is exact
+    without any distance search. Ties (dst center equidistant between two
+    src centers) resolve to the LOWER index, matching numpy searchsorted
+    side='left' arithmetic deterministically."""
+    import numpy as np
+    import pandas as pd
+
+    def nearest(c: np.ndarray, x: np.ndarray) -> np.ndarray:
+        i = np.clip(np.searchsorted(c, x) - 1, 0, len(c) - 2)
+        right_closer = (c[i + 1] - x) < (x - c[i])
+        return (i + right_closer.astype("i8")).astype("i8")
+
+    sxc = (src.xb()[:-1] + src.xb()[1:]) / 2.0
+    syc = (src.yb()[:-1] + src.yb()[1:]) / 2.0
+    dxc = (dst.xb()[:-1] + dst.xb()[1:]) / 2.0
+    dyc = (dst.yb()[:-1] + dst.yb()[1:]) / 2.0
+    ix = nearest(sxc, dxc)
+    jy = nearest(syc, dyc)
+    dj, di = np.meshgrid(np.arange(dst.ny), np.arange(dst.nx), indexing="ij")
+    dj, di = dj.ravel(), di.ravel()
+    pdf = pd.DataFrame({
+        "src_id": (jy[dj] * src.nx + ix[di]).astype("i8"),
+        "dst_id": (dj * dst.nx + di).astype("i8"),
+        "s": np.ones(len(dj)),
+    })
+    return spark.createDataFrame(
+        pdf, schema="src_id bigint, dst_id bigint, s double"
+    )
+
+
 def apply_weights(
     src_values: DataFrame,
     weights: DataFrame,

@@ -109,7 +109,7 @@ class OcgOperations:
     #: VectorGridSpec after subsetting (reference ``regrid_destination``)
     regrid_destination: Any = None
     #: reference ``regrid_options``: {'regrid_method': 'conservative'
-    #: (default) | 'bilinear'} (regrid/base.py:646-700)
+    #: (default) | 'bilinear' | 'nearest_stod'} (regrid/base.py:646-700)
     regrid_options: dict | None = None
 
     def __post_init__(self):
@@ -495,10 +495,13 @@ class OcgOperations:
             method = (self.regrid_options or {}).get(
                 "regrid_method", "conservative"
             )
-            if method == "bilinear":
-                w = regrid_ops.bilinear_weights_vector(
-                    spark, src_grid, self.regrid_destination
+            if method in ("bilinear", "nearest_stod"):
+                build = (
+                    regrid_ops.bilinear_weights_vector
+                    if method == "bilinear"
+                    else regrid_ops.nearest_weights_vector
                 )
+                w = build(spark, src_grid, self.regrid_destination)
                 src_vals = df.withColumn(
                     "src_id",
                     F.col("vcy").cast("bigint") * F.lit(src_grid.nx)
@@ -514,7 +517,7 @@ class OcgOperations:
             else:
                 raise DefinitionValidationError(
                     f"regrid_method {method!r} invalid "
-                    "(conservative | bilinear)"
+                    "(conservative | bilinear | nearest_stod)"
                 )
 
         # aggregation / calcs (engine.py:573-613; calc/engine.py:48-157)

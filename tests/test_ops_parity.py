@@ -186,3 +186,39 @@ def test_regrid_destination_bilinear_facade(spark, field):
         OcgOperations(dataset=fld, grid=src, regrid_destination=dst,
                       regrid_options={"regrid_method": "patch"}
                       ).execute(spark)
+
+
+def test_regrid_nearest_stod(spark, field):
+    """nearest_stod: every destination takes exactly its nearest source
+    center's value (brute-force distance argmin oracle)."""
+    from ocgis_spark.geo.cellindex import VectorGridSpec
+    from ocgis_spark.operators import regrid as regrid_ops
+
+    g = GOLDEN_GRID
+    src = VectorGridSpec.from_edges(
+        np.array([g.lon0, g.lon0 + 0.7, g.lon0 + 1.5, g.lon0 + 2.9,
+                  g.lon0 + 4.0]),
+        np.array([g.lat0, g.lat0 + 1.2, g.lat0 + 2.1, g.lat0 + 4.0]),
+    )
+    dst = VectorGridSpec.from_edges(
+        np.array([g.lon0, g.lon0 + 1.3, g.lon0 + 2.5, g.lon0 + 4.0]),
+        np.array([g.lat0, g.lat0 + 1.9, g.lat0 + 4.0]),
+    )
+    vals = {int(j * src.nx + i): float(i * 10 + j)
+            for j in range(src.ny) for i in range(src.nx)}
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in vals.items()], "src_id bigint, value double"
+    )
+    w = regrid_ops.nearest_weights_vector(spark, src, dst)
+    got = {r["dst_id"]: r["dst_value"]
+           for r in regrid_ops.apply_weights(sdf, w).collect()}
+    sxc = (src.xb()[:-1] + src.xb()[1:]) / 2.0
+    syc = (src.yb()[:-1] + src.yb()[1:]) / 2.0
+    dxc = (dst.xb()[:-1] + dst.xb()[1:]) / 2.0
+    dyc = (dst.yb()[:-1] + dst.yb()[1:]) / 2.0
+    for j in range(dst.ny):
+        for i in range(dst.nx):
+            bi = int(np.argmin(np.abs(sxc - dxc[i])))
+            bj = int(np.argmin(np.abs(syc - dyc[j])))
+            assert got[j * dst.nx + i] == vals[bj * src.nx + bi], (i, j)
+    assert len(got) == dst.nx * dst.ny
