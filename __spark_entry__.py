@@ -616,6 +616,17 @@ def q_word_entropy(spark, sf_dir):
     return textops.word_entropy(_read(spark, sf_dir, "documents"))
 
 
+def q_lexicon_score(spark, sf_dir):
+    """fastText-style linear quality scorer: broadcast lexicon join +
+    sigmoid (model-driven corpus filtering)."""
+    docs = _read(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(FX.LEXICON.items())],
+        "w string, weight double",
+    )
+    return textops.lexicon_score(docs, w, bias=FX.LEXICON_BIAS)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language quota sampling (domain mixing): keep-set
     derived from the row's own key, reproducible across engines and
@@ -2346,6 +2357,21 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'train' ELSE 'test' END AS split FROM documents"
         ),
         "pii_scan": _pii_scan_sql(),
+        "lexicon_score": (
+            "SELECT d.doc_id, round(1.0 / (1.0 + exp(-(coalesce(s.z, 0.0) "
+            f"+ ({FX._f(FX.LEXICON_BIAS)})))), 6) AS score "
+            "FROM documents d LEFT JOIN ("
+            "SELECT doc_id, sum(c * weight) AS z FROM ("
+            "SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents) g WHERE w <> '' GROUP BY doc_id, w) h "
+            "JOIN (VALUES "
+            + ", ".join(
+                f"('{k}', {FX._f(v)})" for k, v in sorted(FX.LEXICON.items())
+            )
+            + ") lex(w, weight) USING (w) GROUP BY doc_id) s "
+            "ON d.doc_id = s.doc_id"
+        ),
         "word_entropy": (
             "SELECT doc_id, round(log2(n) - s / n, 6) AS entropy, "
             "CAST(n AS BIGINT) AS n_tokens FROM ("
@@ -2772,10 +2798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unstructured_subset": q_unstructured_subset,
         "join_agg": q_join_agg,
         "intersects_pentagon": q_intersects_pentagon,
-        "clip_cells": q_clip_cells,
         "nonconvex_intersects": q_nonconvex_intersects,
         "pii_scan": q_pii_scan,
         "word_entropy": q_word_entropy,
+        "lexicon_score": q_lexicon_score,
         "stratified_sample": q_stratified_sample,
         "regrid_bilinear": q_regrid_bilinear,
         "regrid_bilinear_nonuniform": q_regrid_bilinear_nonuniform,
@@ -2810,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "clip_cells": q_clip_cells,
         "bbox_subset": q_bbox_subset,
         "dedup_exact": q_dedup_exact,
         "intersects_cells_rect": q_intersects_cells_rect,

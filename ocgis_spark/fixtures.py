@@ -284,3 +284,12 @@ QUERY_LSHAPE = np.array(
     ],
     dtype="f8",
 )
+
+
+#: tiny quality lexicon over the synthetic vocabulary (fastText-scorer
+#: fixture; real pipelines broadcast trained weights the same way).
+LEXICON = {
+    "fast": 0.8, "slow": -0.9, "value": 0.15, "table": -0.2,
+    "spark": 0.5, "data": 0.1,
+}
+LEXICON_BIAS = -0.05

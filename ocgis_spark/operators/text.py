@@ -203,6 +203,39 @@ def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def lexicon_score(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    text: str = "text",
+) -> DataFrame:
+    """Linear lexicon scorer — the shape of fastText-style quality
+    classifiers (Dolma/FineWeb-style model filtering): score =
+    sigmoid(bias + Σ w(token)·count(token)). ``weights`` is a small
+    (word, w) relation — broadcast; the corpus explodes to (doc, word)
+    counts once and inner-joins the lexicon, so per-doc cost is O(tokens)
+    and the model ships like any other broadcast dim table (swap in real
+    trained weights without touching the plan). Docs containing no
+    lexicon word get score = sigmoid(bias) via the left join re-attach."""
+    counts = (
+        df.select("doc_id", F.explode(tokens_col(text)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    hits = counts.join(F.broadcast(weights), "w").groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("weight")).alias("_z")
+    )
+    z = F.coalesce(F.col("_z"), F.lit(0.0)) + F.lit(float(bias))
+    return (
+        df.select("doc_id").join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        )
+    )
+
+
 def word_entropy(df: DataFrame, text: str = "text") -> DataFrame:
     """Shannon entropy (bits) of a document's whitespace-token
     distribution — a perplexity proxy for quality filtering (low entropy ⇒

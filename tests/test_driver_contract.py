@@ -27,7 +27,7 @@ ROUND3_WINDOW_OPS = [
     "dedup_components_star", "ops_chain", "asof_calibration",
     "range_join_density", "frame_sample_plan", "simhash_near_dups",
     "pii_scan", "word_entropy", "stratified_sample", "regrid_bilinear",
-    "nonconvex_intersects", "regrid_bilinear_nonuniform",
+    "nonconvex_intersects", "regrid_bilinear_nonuniform", "lexicon_score",
 ]
 
 #: 11+ digits after the decimal point NOT followed by an exponent marker

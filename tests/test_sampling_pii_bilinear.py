@@ -199,3 +199,21 @@ def test_bilinear_weights_vector_facade(spark):
                 continue  # clamped edge stencil: constant extrapolation
             want = a * x + b * y + c
             assert out[j * VEC_GRID_DST.nx + i] == pytest.approx(want, abs=1e-9)
+
+
+def test_lexicon_score_manual(spark):
+    import math as m
+
+    docs = spark.createDataFrame(
+        [(0, "fast fast slow"), (1, "nothing matches here"), (2, "slow")],
+        "doc_id bigint, text string",
+    )
+    w = spark.createDataFrame(
+        [("fast", 0.8), ("slow", -0.9)], "w string, weight double"
+    )
+    out = {r["doc_id"]: r["score"]
+           for r in textops.lexicon_score(docs, w, bias=0.1).collect()}
+    sig = lambda z: 1.0 / (1.0 + m.exp(-z))
+    assert out[0] == pytest.approx(sig(2 * 0.8 - 0.9 + 0.1), abs=1e-6)
+    assert out[1] == pytest.approx(sig(0.1), abs=1e-6)  # no hits -> bias
+    assert out[2] == pytest.approx(sig(-0.9 + 0.1), abs=1e-6)
