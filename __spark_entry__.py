@@ -616,6 +616,14 @@ def q_word_entropy(spark, sf_dir):
     return textops.word_entropy(_read(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-batch sequence packing: bucketed first-fit-in-order pack
+    assignment (integer window arithmetic, exact oracle)."""
+    return textops.pack_sequences(
+        _read(spark, sf_dir, "documents"), capacity=256, n_buckets=8
+    )
+
+
 def q_lexicon_score(spark, sf_dir):
     """fastText-style linear quality scorer: broadcast lexicon join +
     sigmoid (model-driven corpus filtering)."""
@@ -2357,6 +2365,17 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'train' ELSE 'test' END AS split FROM documents"
         ),
         "pii_scan": _pii_scan_sql(),
+        "pack_sequences": (
+            "SELECT doc_id, bucket, n_tokens, CAST(bucket * 1000000 + "
+            "floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id FROM ("
+            "SELECT doc_id, bucket, n_tokens, sum(n_tokens) OVER ("
+            "PARTITION BY bucket ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM (SELECT doc_id, "
+            f"((doc_id * {SMP.HASH_MULT}) % {SMP.HASH_MOD}) % 8 AS bucket, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents) b) c"
+        ),
         "lexicon_score": (
             "SELECT d.doc_id, round(1.0 / (1.0 + exp(-(coalesce(s.z, 0.0) "
             f"+ ({FX._f(FX.LEXICON_BIAS)})))), 6) AS score "
@@ -2802,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "word_entropy": q_word_entropy,
         "lexicon_score": q_lexicon_score,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "regrid_bilinear": q_regrid_bilinear,
         "regrid_bilinear_nonuniform": q_regrid_bilinear_nonuniform,
@@ -2816,7 +2836,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
         "knn_point": q_knn_point,
-        "spans_stats": q_spans_stats,
         "pipeline_flagship": q_pipeline_flagship,
         "minhash_pairs": q_minhash_pairs,
         "dedup_components": q_dedup_components,
@@ -2836,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "spans_stats": q_spans_stats,
         "clip_cells": q_clip_cells,
         "bbox_subset": q_bbox_subset,
         "dedup_exact": q_dedup_exact,

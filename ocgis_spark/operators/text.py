@@ -174,6 +174,50 @@ def decontaminate(
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 2048,
+    n_buckets: int = 32,
+    text: str = "text",
+) -> DataFrame:
+    """Sequence packing for training-batch construction: assign documents
+    to fixed-capacity token packs. True first-fit packing is sequential;
+    the distributed-deterministic rule used here is FIRST-FIT-IN-ORDER
+    WITHIN HASH BUCKETS: docs hash to ``n_buckets`` independent streams
+    (parallelism — each bucket packs concurrently), and within a bucket
+    the running token total assigns ``pack_id = floor(cum_before /
+    capacity)`` in doc_id order. A document straddling a boundary starts
+    in the pack its prefix sum lands in (packs can overflow by at most
+    one document — the standard concat-then-chunk training layout).
+    Pure integer window arithmetic: reproducible anywhere, exact oracle.
+    At cluster scale the only shuffle is the bucket window partition."""
+    from .sampling import hash_bucket
+
+    n = F.size(tokens_col(text)).cast("bigint")
+    d = df.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), n_buckets).alias("bucket"),
+        n.alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        (
+            F.col("bucket") * F.lit(1_000_000)
+            + F.floor(cum_before / F.lit(capacity))
+        ).cast("bigint").alias("pack_id"),
+    )
+
+
 #: PII patterns — backslash-free so the same literal works in Java regex
 #: (Spark) and RE2 (DuckDB). Character classes + bounded repetition only.
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"

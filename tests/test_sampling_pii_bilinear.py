@@ -217,3 +217,26 @@ def test_lexicon_score_manual(spark):
     assert out[0] == pytest.approx(sig(2 * 0.8 - 0.9 + 0.1), abs=1e-6)
     assert out[1] == pytest.approx(sig(0.1), abs=1e-6)  # no hits -> bias
     assert out[2] == pytest.approx(sig(-0.9 + 0.1), abs=1e-6)
+
+
+def test_pack_sequences_properties(spark):
+    """Bucketed first-fit-in-order: within a bucket, pack ids are
+    non-decreasing in doc_id order; the tokens BEFORE each doc determine
+    its pack; total tokens per pack (minus its last doc's possible
+    overflow) stay under capacity."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (7 + (i * 13) % 40))) for i in range(400)],
+        "doc_id bigint, text string",
+    )
+    cap = 64
+    out = textops.pack_sequences(docs, capacity=cap, n_buckets=4).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(out) == 400
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == b * 1_000_000 + cum // cap, r
+            cum += r["n_tokens"]
