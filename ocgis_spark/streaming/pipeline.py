@@ -62,13 +62,20 @@ def streaming_windowed_counts(
     )
 
 
-def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
+def run_available_now(
+    df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+):
     """Drain all currently-available input into an in-memory sink and stop.
-    Returns the finished StreamingQuery (results at table ``query_name``)."""
+    Returns the finished StreamingQuery (results at table ``query_name``).
+    ``output_mode``: 'complete' for aggregations (default), 'append' for
+    stateless maps/filters (Spark rejects complete without aggregation)."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

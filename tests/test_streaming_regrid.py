@@ -154,3 +154,24 @@ def test_streaming_spatial_subset_same_operator(spark, tmp_path):
                 tiling.assign_dest_tiles(sub_b, DOC_GRID, 16)
                 .groupBy("tile_id").count().collect()}
     assert got == expected and sum(got.values()) > 0
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """pii_scan is a narrow map, so the SAME operator runs unchanged on a
+    stream (corpus scrubbing as a continuous ingest stage); availableNow
+    result == batch result row for row."""
+    from ocgis_spark.operators import text as textops
+
+    stream = SPL.stream_documents(
+        spark, _stage_dir(tmp_path, f"{SF}/documents.parquet", "pii_in")
+    )
+    scrubbed = textops.pii_scan(stream)
+    assert scrubbed.isStreaming
+    SPL.run_available_now(scrubbed, "pii_t", str(tmp_path / "ck_pii"),
+                          output_mode="append")
+    got = {r.doc_id: (r.n_emails, r.n_ssns, r.n_phones, r.redacted)
+           for r in spark.sql("SELECT * FROM pii_t").collect()}
+    batch = {r.doc_id: (r.n_emails, r.n_ssns, r.n_phones, r.redacted)
+             for r in textops.pii_scan(
+                 spark.read.parquet(f"{SF}/documents.parquet")).collect()}
+    assert got == batch and len(got) > 0
