@@ -1998,13 +1998,20 @@ def _pii_scan_sql() -> str:
     em, ssn, ph = textops.PII_EMAIL_RE, textops.PII_SSN_RE, textops.PII_PHONE_RE
     return (
         "SELECT doc_id, "
-        f"len(regexp_extract_all(t, '{em}')) AS n_emails, "
-        f"len(regexp_extract_all(t, '{ssn}')) AS n_ssns, "
-        f"len(regexp_extract_all(regexp_replace(t, '{ssn}', '[SSN]', 'g'), "
-        f"'{ph}')) AS n_phones, "
-        f"regexp_replace(regexp_replace(regexp_replace(t, '{ssn}', '[SSN]', 'g'), "
-        f"'{em}', '[EMAIL]', 'g'), '{ph}', '[PHONE]', 'g') AS redacted "
-        f"FROM (SELECT doc_id, {FX.pii_text_expr()} AS t FROM documents) p"
+        "CAST((length(e_red) - length(replace(e_red, '[EMAIL]', ''))) / 7 "
+        "- (length(ssn_free) - length(replace(ssn_free, '[EMAIL]', ''))) / 7 "
+        "AS BIGINT) AS n_emails, "
+        "CAST((length(t) - length(ssn_free)) / 6 AS BIGINT) AS n_ssns, "
+        "CAST(length(e_red) - length(redacted) AS BIGINT) AS n_phones, "
+        "redacted FROM ("
+        f"SELECT doc_id, t, ssn_free, e_red, regexp_replace(e_red, '{ph}', "
+        "'[PHONE]', 'g') AS redacted FROM ("
+        f"SELECT doc_id, t, ssn_free, regexp_replace(ssn_free, '{em}', "
+        "'[EMAIL]', 'g') AS e_red FROM ("
+        f"SELECT doc_id, t, regexp_replace(t, '{ssn}', '[SSN]', 'g') "
+        "AS ssn_free FROM ("
+        f"SELECT doc_id, {FX.pii_text_expr()} AS t FROM documents"
+        ") p0) p1) p2) p3"
     )
 
 

@@ -228,22 +228,47 @@ PII_PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
 def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
     """PII detection + redaction (training-data scrubbing stage): per-doc
     counts of email / SSN / phone-shaped matches and a redacted copy with
-    each replaced by a typed placeholder. Pure ``regexp_count`` /
-    ``regexp_replace`` built-ins — one narrow JVM map over the scan, no
-    shuffle. SSNs are redacted before phones (a 3-2-4 SSN contains a
-    3-4 phone-shaped suffix; the phone count excludes redacted SSNs the
-    same way)."""
-    ssn_free = F.regexp_replace(F.col(text), PII_SSN_RE, "[SSN]")
-    redacted = F.regexp_replace(
-        F.regexp_replace(ssn_free, PII_EMAIL_RE, "[EMAIL]"),
-        PII_PHONE_RE, "[PHONE]",
-    )
-    return df.select(
+    each replaced by a typed placeholder. One narrow JVM map, no shuffle.
+
+    Redaction runs in SSN → email → phone order, so a 3-2-4 SSN's 3-4
+    tail is never double-counted as a phone and a phone-shaped string
+    inside an email address counts as email only. The counts are derived
+    from the redaction passes themselves — SSN/phone matches are fixed
+    width, so the length delta per pass divides into a count, and emails
+    count via placeholder occurrences (cheap literal replaces, guarded
+    against pre-existing '[EMAIL]' literals) — three regex traversals
+    total instead of six (counts were ~half the scan cost)."""
+    # chained projections: each intermediate is a NAMED column, so every
+    # regex pass runs exactly once regardless of how many downstream
+    # expressions reference it (no reliance on subexpression elimination
+    # across the duplicated expression trees)
+    d = df.select(
         "doc_id",
-        F.regexp_count(F.col(text), F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(F.col(text), F.lit(PII_SSN_RE)).cast("bigint").alias("n_ssns"),
-        F.regexp_count(ssn_free, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
-        redacted.alias("redacted"),
+        F.col(text).alias("_t"),
+        F.regexp_replace(F.col(text), PII_SSN_RE, "[SSN]").alias("_sf"),
+    )
+    d = d.withColumn(
+        "_er", F.regexp_replace(F.col("_sf"), PII_EMAIL_RE, "[EMAIL]")
+    ).withColumn(
+        "redacted", F.regexp_replace(F.col("_er"), PII_PHONE_RE, "[PHONE]")
+    )
+
+    def occ(col, marker):
+        return (
+            F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))
+        ) / F.lit(len(marker))
+
+    # SSN: 11 chars -> '[SSN]' (5): delta 6 per match. Phone: 8 ->
+    # '[PHONE]' (7): delta 1 per match.
+    n_ssns = (F.length("_t") - F.length("_sf")) / F.lit(6)
+    n_phones = F.length("_er") - F.length("redacted")
+    n_emails = occ(F.col("_er"), "[EMAIL]") - occ(F.col("_sf"), "[EMAIL]")
+    return d.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ssns.cast("bigint").alias("n_ssns"),
+        n_phones.cast("bigint").alias("n_phones"),
+        "redacted",
     )
 
 
