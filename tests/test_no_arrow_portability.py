@@ -73,3 +73,32 @@ def test_ivf_train_without_arrow(spark):
         v = np.array(r["embedding"])
         assert v.shape == (8,)
         assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+def test_round3_conversion_sites_without_arrow(spark):
+    """Round-3 createDataFrame sites (bilinear/nearest weights, interior
+    covering semijoin, kNN eager local relation) under a no-Arrow
+    session — the driver's environment."""
+    from ocgis_spark.fixtures import (
+        DOC_GRID, GOLDEN_GRID, QUERY_LSHAPE, VEC_GRID, VEC_GRID_DST,
+    )
+    from ocgis_spark.geo.cellindex import covering_cells_split
+    from ocgis_spark.operators import knn, regrid, spatial
+
+    with no_arrow(spark):
+        w = regrid.bilinear_weights_vector(spark, VEC_GRID, VEC_GRID_DST)
+        assert w.count() == 4 * VEC_GRID_DST.nx * VEC_GRID_DST.ny
+        nw = regrid.nearest_weights_vector(spark, VEC_GRID, VEC_GRID_DST)
+        assert nw.count() == VEC_GRID_DST.nx * VEC_GRID_DST.ny
+
+        int_z, bnd_z = covering_cells_split(DOC_GRID, [QUERY_LSHAPE])
+        cells = spark.createDataFrame(
+            [(y, x) for y in range(4) for x in range(4)],
+            "cell_y int, cell_x int",
+        )
+        assert spatial._cell_semijoin(
+            spark, cells, np.concatenate([int_z, bnd_z])
+        ).count() >= 0
+
+        out = knn.knn_cells(cells, GOLDEN_GRID, -104.0, 38.5, k=3)
+        assert out.count() == 3
