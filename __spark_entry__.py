@@ -624,6 +624,30 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end Dolma-style corpus build in ONE plan: entropy quality
+    gate → fingerprint exact-dedup (keep min doc_id) → deterministic
+    per-language quota sample → per-language doc/token stats. Every stage
+    is one of the registry operators; the oracle replays the identical
+    composition in SQL."""
+    from ocgis_spark.operators import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    ent = textops.word_entropy(docs)
+    gated = docs.join(
+        ent.filter(F.col("entropy") >= 2.5).select("doc_id", "n_tokens"),
+        "doc_id",
+    )
+    fp = textops.fingerprint(gated)
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(keep.select("doc_id"), "doc_id")
+    samp = sampling.stratified_sample(deduped, FX.STRATIFIED_RATES)
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
 def q_lexicon_score(spark, sf_dir):
     """fastText-style linear quality scorer: broadcast lexicon join +
     sigmoid (model-driven corpus filtering)."""
@@ -2372,6 +2396,34 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'train' ELSE 'test' END AS split FROM documents"
         ),
         "pii_scan": _pii_scan_sql(),
+        "corpus_pipeline": (
+            "WITH ent AS (SELECT doc_id, round(log2(n) - s / n, 6) AS "
+            "entropy, CAST(n AS BIGINT) AS n_tokens FROM ("
+            "SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s FROM ("
+            "SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents) g WHERE w <> '' GROUP BY doc_id, w) h "
+            "GROUP BY doc_id) z), "
+            "gated AS (SELECT d.doc_id, d.lang, d.text, e.n_tokens "
+            "FROM documents d JOIN ent e ON d.doc_id = e.doc_id "
+            "WHERE e.entropy >= 2.5), "
+            "keep AS (SELECT min(doc_id) AS doc_id FROM ("
+            "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            "string_split(text, ' '))), ' ')) AS fp FROM gated) f "
+            "GROUP BY fp), "
+            "deduped AS (SELECT g.* FROM gated g JOIN keep k "
+            "ON g.doc_id = k.doc_id), "
+            "samp AS (SELECT * FROM deduped WHERE "
+            f"((doc_id * {SMP.HASH_MULT}) % {SMP.HASH_MOD}) % 1000 < ("
+            + "".join(
+                f"CASE WHEN lang = '{v}' THEN {p} ELSE "
+                for v, p in sorted(FX.STRATIFIED_RATES.items(), reverse=True)
+            )
+            + "0" + " END" * len(FX.STRATIFIED_RATES) + ")) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM samp "
+            "GROUP BY lang"
+        ),
         "pack_sequences": (
             "SELECT doc_id, bucket, n_tokens, CAST(bucket * 1000000 + "
             "floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id FROM ("
@@ -2823,12 +2875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nonconvex_clip": q_nonconvex_clip,
         "unstructured_subset": q_unstructured_subset,
         "join_agg": q_join_agg,
-        "intersects_pentagon": q_intersects_pentagon,
         "nonconvex_intersects": q_nonconvex_intersects,
         "pii_scan": q_pii_scan,
         "word_entropy": q_word_entropy,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
+        "corpus_pipeline": q_corpus_pipeline,
         "stratified_sample": q_stratified_sample,
         "regrid_bilinear": q_regrid_bilinear,
         "regrid_bilinear_nonuniform": q_regrid_bilinear_nonuniform,
@@ -2862,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "intersects_pentagon": q_intersects_pentagon,
         "spans_stats": q_spans_stats,
         "clip_cells": q_clip_cells,
         "bbox_subset": q_bbox_subset,

@@ -28,7 +28,7 @@ ROUND3_WINDOW_OPS = [
     "range_join_density", "frame_sample_plan", "simhash_near_dups",
     "pii_scan", "word_entropy", "stratified_sample", "regrid_bilinear",
     "nonconvex_intersects", "regrid_bilinear_nonuniform", "lexicon_score",
-    "pack_sequences",
+    "pack_sequences", "corpus_pipeline",
 ]
 
 #: 11+ digits after the decimal point NOT followed by an exponent marker
