@@ -1573,7 +1573,15 @@ def q_curvilinear_clip(spark, sf_dir):
     out = vectorgrid.curvilinear_subset(
         spark, X, Y, [_PENTA], operation="clip", keep_touches=False
     )
-    return out.select("elem_id", F.round("clip_area", 9).alias("clip_area"))
+    # +1e-9 before rounding (both sides): the sheared-cell areas are
+    # dyadic rationals (k = 0.25, 0.5-deg cells) that can land EXACTLY on
+    # a .5 rounding boundary at any decimal precision; the shared nudge
+    # moves the boundary off the dyadic points while 4e-13 engine/oracle
+    # agreement keeps both on the same side.
+    return out.select(
+        "elem_id",
+        F.round(F.col("clip_area") + F.lit(1.0e-9), 6).alias("clip_area"),
+    )
 
 
 def q_unstructured_subset(spark, sf_dir):
@@ -1999,6 +2007,75 @@ def _tile_vec_sql(kind: str) -> str:
         f"JOIN ({vy}) vy ON vy.vcy = c.vcy "
         f"JOIN ({tiles}) t ON vx.lon_lb <= t.bmaxx AND vx.lon_ub >= t.bminx "
         f"AND vy.lat_lb <= t.bmaxy AND vy.lat_ub >= t.bminy"
+    )
+
+
+def _curvilinear_clip_sql() -> str:
+    """Exact oracle for the curvilinear (sheared-parallelogram) clip —
+    closes the last rows-only check. Convex∩convex area via half-plane
+    SLAB INTEGRATION, all in closed form: the pentagon's edges and the
+    cell's sheared sides are lines x = s·y + t, so the slice width
+    len(y) = max(0, min(uppers) − max(lowers)) is piecewise linear with
+    breakpoints only at pairwise line crossings. Candidates (pentagon
+    pair crossings as literals + pentagon×cell-side crossings as per-cell
+    expressions + the cell's y-bounds) are clamped/sorted/deduped; the
+    midpoint rule is exact on each linear piece. Engine (batch S-H
+    shoelace) and oracle agree to ~4e-13; both round to 6."""
+    import numpy as np
+
+    g = FX.GOLDEN_GRID
+    K, YM, LON0, NX, D = CURV_K, g.lat0, g.lon0, 8, 0.5
+    P = FX.QUERY_PENTAGON
+    uppers, lowers = [], []
+    for (x1, y1), (x2, y2) in zip(P[:-1], P[1:]):
+        a = y1 - y2
+        b = x2 - x1
+        c = -(a * x1 + b * y1)
+        (uppers if a < 0 else lowers).append((-b / a, -c / a))
+    lines = uppers + lowers
+    fixed = []
+    for i in range(len(lines)):
+        for j in range(i + 1, len(lines)):
+            s1, t1 = lines[i]
+            s2, t2 = lines[j]
+            if s1 != s2:
+                fixed.append((t2 - t1) / (s1 - s2))
+    fixed += [float(y) for _, y in P[:-1]]
+    _f = FX._f
+    cell_cross = []
+    for s_e, t_e in lines:
+        if s_e != K:
+            cell_cross.append(f"(tl - ({_f(t_e)})) / ({_f(s_e - K)})")
+            cell_cross.append(f"(tr - ({_f(t_e)})) / ({_f(s_e - K)})")
+    cand = ", ".join(["y0", "y1"] + [_f(v) for v in fixed] + cell_cross)
+    up = ", ".join(
+        [f"({_f(s)}) * ym2 + ({_f(t)})" for s, t in uppers]
+        + [f"({_f(K)}) * ym2 + tr"]
+    )
+    lo = ", ".join(
+        [f"({_f(s)}) * ym2 + ({_f(t)})" for s, t in lowers]
+        + [f"({_f(K)}) * ym2 + tl"]
+    )
+    return (
+        f"WITH cells AS (SELECT range AS elem_id, range % {NX} AS i, "
+        f"CAST(floor(range / {NX}) AS BIGINT) AS j FROM range(64)), "
+        f"geo AS (SELECT elem_id, "
+        f"({_f(LON0)} + {_f(D)} * i) - {_f(K)} * {_f(YM)} AS tl, "
+        f"({_f(LON0)} + {_f(D)} * (i + 1)) - {_f(K)} * {_f(YM)} AS tr, "
+        f"{_f(YM)} + {_f(D)} * j AS y0, {_f(YM)} + {_f(D)} * (j + 1) AS y1 "
+        f"FROM cells), "
+        f"cand AS (SELECT elem_id, y0, y1, tl, tr, unnest([{cand}]) AS yc "
+        "FROM geo), "
+        "cl AS (SELECT DISTINCT elem_id, tl, tr, "
+        "least(greatest(yc, y0), y1) AS p FROM cand), "
+        "seg AS (SELECT elem_id, tl, tr, p, lead(p) OVER ("
+        "PARTITION BY elem_id ORDER BY p) AS q FROM cl), "
+        f"terms AS (SELECT elem_id, greatest(0.0, least({up}) - "
+        f"greatest({lo})) * (q - p) AS a FROM ("
+        "SELECT *, (p + q) / 2.0 AS ym2 FROM seg "
+        "WHERE q IS NOT NULL AND q > p) t) "
+        "SELECT elem_id, round(sum(a) + 1.0E-9, 6) AS clip_area "
+        "FROM terms GROUP BY elem_id HAVING sum(a) > 0.0"
     )
 
 
@@ -2811,6 +2888,7 @@ def oracle_sql() -> dict[str, str]:
         "clip_cells_nonuniform": _nonuniform_sql("clip"),
         "intersects_pentagon_nonuniform": _nonuniform_sql("pentagon"),
         "curvilinear_subset": _curvilinear_sql(),
+        "curvilinear_clip": _curvilinear_clip_sql(),
         "split_selection": _split_selection_sql(),
         "regrid_nonuniform": _regrid_nonuniform_sql(),
         "knn_point_nonuniform": _knn_vec_sql(),

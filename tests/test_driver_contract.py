@@ -39,7 +39,7 @@ def test_oracles_subset_of_queries():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"curvilinear_clip"}
+    assert rows_only == set()  # every query has an exact oracle
 
 
 def test_round3_ops_inside_driver_window():
