@@ -23,6 +23,7 @@ from ocgis_spark import fixtures as FX
 from ocgis_spark import spans as SP
 from ocgis_spark.fixtures import DOC_GRID
 from ocgis_spark.operators import calcmath, crs, dedup, knn, regrid, similarity, spatial, temporal
+from ocgis_spark.operators import layout, trend
 from ocgis_spark.operators import sampling as SMP
 from ocgis_spark.operators import text as textops
 from ocgis_spark.operators import tiling, vectorgrid, windows
@@ -2164,6 +2165,76 @@ def _regrid_bilinear_sql() -> str:
     )
 
 
+# ---- round-3 late additions: trend/anomaly, z-order layout, shuffle ----
+
+#: day index of 2024-01-01 (epoch_us // 86.4e9) — subtracting it keeps the
+#: OLS x-values small so n·Σx²−(Σx)² stays integer-exact in double.
+_DAY0 = 19723
+
+
+def q_trend_per_series(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    x = (F.floor(_us("ts") / F.lit(86400000000.0)) - F.lit(_DAY0)).cast("double")
+    return trend.trend_slope(ev.withColumn("_x", x), ["user_id"], "_x", "value")
+
+
+def q_anomaly_climatology(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hour = (
+        "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000.0) "
+        "AS BIGINT) % 24"
+    )
+    return trend.anomaly(ev, ["user_id"], hour, "value").select(
+        "event_id", "clim", "anom"
+    )
+
+
+def q_zorder_keys(spark, sf_dir):
+    d = _docs_geo(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "cell_id",
+        layout.morton_key(F.col("cell_x"), F.col("cell_y")).alias("zkey"),
+    )
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = SMP.shuffle_corpus(docs, num_files=8)
+    return out.select(
+        "doc_id", SMP.shuffle_key(F.col("doc_id")).alias("shuf"), "lang"
+    )
+
+
+def q_train_split(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", SMP.split_column(F.col("doc_id")).alias("split")
+    )
+
+
+def _trend_sql() -> str:
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    return (
+        f"SELECT user_id, round({slope}, 6) AS slope, "
+        f"round((sy - ({slope}) * sx) / n, 6) AS intercept, "
+        "CAST(n AS BIGINT) AS n_obs FROM ("
+        "SELECT user_id, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, "
+        "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM ("
+        "SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000.0) AS DOUBLE) "
+        f"- {_DAY0}.0 AS x, value AS y FROM events) t GROUP BY user_id) g"
+    )
+
+
+def _anomaly_sql() -> str:
+    return (
+        "SELECT event_id, round(avg(value) OVER w, 6) AS clim, "
+        "round(value - avg(value) OVER w, 6) AS anom FROM events "
+        "WINDOW w AS (PARTITION BY user_id, "
+        "CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) % 24)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cb = _CB
     minx, miny, maxx, maxy = QUERY_CLIP
@@ -2188,6 +2259,22 @@ def oracle_sql() -> dict[str, str]:
     )
     hi_sql = calcmath.heat_index_sql("tas", "rhs")
     return {
+        "trend_per_series": _trend_sql(),
+        "anomaly_climatology": _anomaly_sql(),
+        "zorder_keys": (
+            f"SELECT doc_id, cell_id, "
+            f"{layout.morton_key_sql('cell_x', 'cell_y')} AS zkey "
+            f"FROM ({_DG}) dg"
+        ),
+        "corpus_shuffle": (
+            f"SELECT doc_id, (doc_id * {SMP.HASH_MULT}) % {SMP.HASH_MOD} "
+            "AS shuf, lang FROM documents"
+        ),
+        "train_split": (
+            f"SELECT doc_id, CASE WHEN ((doc_id * {SMP.HASH_MULT}) % "
+            f"{SMP.HASH_MOD}) % 1000 < 750 THEN 'train' ELSE 'test' END "
+            "AS split FROM documents"
+        ),
         "bbox_subset": (
             f"SELECT doc_id, lon, lat, cell_id FROM ({_DG}) dg "
             f"WHERE {FX.rect_pred_sql(_RECT)}"
@@ -2962,16 +3049,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "regrid_bilinear": q_regrid_bilinear,
         "regrid_bilinear_nonuniform": q_regrid_bilinear_nonuniform,
+        "trend_per_series": q_trend_per_series,
+        "anomaly_climatology": q_anomaly_climatology,
+        "zorder_keys": q_zorder_keys,
+        "corpus_shuffle": q_corpus_shuffle,
+        "train_split": q_train_split,
         "bbox_subset_nonuniform": q_bbox_subset_nonuniform,
         "clip_cells_nonuniform": q_clip_cells_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,
         "regrid_nonuniform": q_regrid_nonuniform,
-        "knn_point_nonuniform": q_knn_point_nonuniform,
-        "zonal_stats_nonuniform": q_zonal_stats_nonuniform,
-        "zonal_weighted_nonuniform": q_zonal_weighted_nonuniform,
-        "rotated_pole_subset": q_rotated_pole_subset,
-        "seam_subset": q_seam_subset,
         "knn_point": q_knn_point,
         "pipeline_flagship": q_pipeline_flagship,
         "minhash_pairs": q_minhash_pairs,
@@ -2992,6 +3079,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "knn_point_nonuniform": q_knn_point_nonuniform,
+        "zonal_stats_nonuniform": q_zonal_stats_nonuniform,
+        "zonal_weighted_nonuniform": q_zonal_weighted_nonuniform,
+        "rotated_pole_subset": q_rotated_pole_subset,
+        "seam_subset": q_seam_subset,
         "intersects_pentagon": q_intersects_pentagon,
         "spans_stats": q_spans_stats,
         "clip_cells": q_clip_cells,

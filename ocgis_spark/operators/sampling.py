@@ -58,6 +58,30 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key)) < rate)
 
 
+def shuffle_key(key: Column) -> Column:
+    """Deterministic pseudo-random ordering key from the row's own id —
+    the 'global shuffle' stage of corpus construction. Sorting by
+    (shuffle_key, key) is a total order that is identical across engines
+    and reruns, unlike ``orderBy(rand())``."""
+    return (key.cast("bigint") * F.lit(HASH_MULT)) % F.lit(HASH_MOD)
+
+
+def shuffle_corpus(df: DataFrame, key: str = "doc_id", num_files: int | None = None) -> DataFrame:
+    """Order the corpus pseudo-randomly without a global bottleneck:
+    range-partition on the shuffle key (Spark samples range boundaries —
+    one exchange, balanced files) and sort within partitions. The
+    concatenation of output files in partition order IS the shuffled
+    corpus; no single-partition window/row_number anywhere."""
+    sk = shuffle_key(F.col(key)).alias("_shuf")
+    out = df.withColumn("_shuf", sk)
+    parts = [out["_shuf"], F.col(key)]
+    if num_files:
+        out = out.repartitionByRange(num_files, *parts)
+    else:
+        out = out.repartitionByRange(*parts)
+    return out.sortWithinPartitions(*parts).drop("_shuf")
+
+
 def split_column(key: Column, permille_train: int = 750) -> Column:
     """'train' / 'test' label from the same hash family (three-way splits
     chain another threshold)."""

@@ -1,0 +1,164 @@
+"""Trend/anomaly calcs, Z-order layout, and deterministic corpus shuffle."""
+
+import glob
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark.operators import layout, sampling, trend
+
+
+def _ref_spread(x: int) -> int:
+    x &= 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def _ref_morton(x: int, y: int) -> int:
+    return _ref_spread(x) | (_ref_spread(y) << 1)
+
+
+# ---- trend / anomaly ----
+
+
+def test_trend_slope_matches_polyfit(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for key in range(5):
+        xs = rng.integers(0, 40, size=30)
+        ys = 0.5 * key * xs + rng.normal(0, 1, size=30)
+        rows += [(key, float(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "k int, x double, y double")
+    got = {
+        r["k"]: (r["slope"], r["intercept"], r["n_obs"])
+        for r in trend.trend_slope(df, ["k"], "x", "y").collect()
+    }
+    for key in range(5):
+        pts = [(x, y) for k, x, y in rows if k == key]
+        slope, intercept = np.polyfit([p[0] for p in pts], [p[1] for p in pts], 1)
+        assert got[key][0] == pytest.approx(slope, abs=1e-5)
+        assert got[key][1] == pytest.approx(intercept, abs=1e-5)
+        assert got[key][2] == 30
+
+
+def test_trend_slope_degenerate_x_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, 5.0), (1, 2.0, 7.0)], "k int, x double, y double"
+    )
+    row = trend.trend_slope(df, ["k"], "x", "y").collect()[0]
+    assert row["slope"] is None
+
+
+def test_anomaly_matches_pandas(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), int(rng.integers(0, 3)), int(rng.integers(0, 4)), float(rng.normal(50, 10)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "row_id int, k int, grp int, v double")
+    out = trend.anomaly(df, ["k"], "grp", "v").collect()
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["row_id", "k", "grp", "v"])
+    clim = pdf.groupby(["k", "grp"])["v"].transform("mean")
+    expect = dict(zip(pdf["row_id"], pdf["v"] - clim))
+    for r in out:
+        assert r["anom"] == pytest.approx(expect[r["row_id"]], abs=1e-5)
+
+
+# ---- Z-order layout ----
+
+
+def test_morton_key_spark_matches_reference(spark):
+    df = spark.range(4096).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+    got = df.select("x", "y", layout.morton_key(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == _ref_morton(r["x"], r["y"])
+
+
+def test_morton_key_16bit_extremes(spark):
+    vals = [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (0xABCD, 0x1234)]
+    df = spark.createDataFrame(vals, "x int, y int")
+    for r in df.select("x", "y", layout.morton_key(F.col("x"), F.col("y")).alias("z")).collect():
+        assert r["z"] == _ref_morton(r["x"], r["y"])
+
+
+def _file_key_ranges(spark, path):
+    """Per-parquet-file [min, max] of the recomputed Morton key."""
+    df = spark.read.parquet(path).withColumn(
+        "_z", layout.morton_key(F.col("cell_x"), F.col("cell_y"))
+    ).withColumn("_f", F.input_file_name())
+    return [
+        (r["mn"], r["mx"])
+        for r in df.groupBy("_f").agg(F.min("_z").alias("mn"), F.max("_z").alias("mx")).collect()
+    ]
+
+
+def test_zorder_write_prunes_bbox_to_few_files(spark, tmp_path):
+    # 64x64 grid of cells, several rows per cell
+    df = spark.range(16384).select(
+        (F.col("id") % 4096).alias("cid"),
+        (F.col("id") % 64).cast("int").alias("cell_x"),
+        ((F.col("id") % 4096) / 64).cast("int").alias("cell_y"),
+    )
+    zpath = str(tmp_path / "zsorted")
+    layout.zorder_write(df, zpath, num_files=16)
+
+    ranges = sorted(_file_key_ranges(spark, zpath))
+    assert len(ranges) == 16
+    # range partitioning => file key intervals must not overlap
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2
+
+    # an 8x8 bbox covers a handful of Z-runs -> few candidate files
+    keys = {_ref_morton(x, y) for x in range(8, 16) for y in range(8, 16)}
+    klo, khi = min(keys), max(keys)
+    touched = sum(1 for lo, hi in ranges if not (hi < klo or lo > khi))
+
+    # same data written unordered: almost every file intersects the bbox range
+    upath = str(tmp_path / "unordered")
+    df.repartition(16).write.parquet(upath)
+    uranges = _file_key_ranges(spark, upath)
+    utouched = sum(1 for lo, hi in uranges if not (hi < klo or lo > khi))
+
+    assert utouched == 16
+    assert touched <= 4
+
+
+# ---- deterministic corpus shuffle ----
+
+
+def test_shuffle_corpus_total_order_and_content(spark, tmp_path):
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = sampling.shuffle_corpus(df, num_files=8)
+    path = str(tmp_path / "shuffled")
+    out.write.parquet(path)
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 8
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    seen = []
+    prev_max = None
+    for f in files:
+        pdf = pq.read_table(f).to_pandas()
+        ks = [
+            (d * sampling.HASH_MULT % sampling.HASH_MOD, d) for d in pdf["doc_id"]
+        ]
+        assert ks == sorted(ks)  # sorted within the file
+        if ks:
+            if prev_max is not None:
+                assert prev_max <= ks[0]  # files are globally ordered
+            prev_max = ks[-1]
+        seen += list(pdf["doc_id"])
+    assert sorted(seen) == list(range(5000))  # a permutation, nothing lost
+    # it IS a shuffle: the concatenated order differs from insertion order
+    assert seen != list(range(5000))
