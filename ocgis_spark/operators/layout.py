@@ -60,17 +60,82 @@ def morton_key_sql(x_expr: str, y_expr: str) -> str:
 
 def zorder_write(
     df: DataFrame, path: str, cell_x: str = "cell_x", cell_y: str = "cell_y",
-    num_files: int = 8,
+    num_files: int = 8, key_col: str = "zkey",
 ) -> None:
     """Write df as parquet laid out along the Z-curve: range-partition on
     the Morton key (one exchange; Spark samples range boundaries, so file
     sizes balance even under spatial skew) and sort within each file so
-    row-group min/max statistics are tight."""
-    keyed = df.withColumn("_zkey", morton_key(F.col(cell_x), F.col(cell_y)))
+    row-group min/max statistics are tight. The key column is PERSISTED
+    (``key_col``) — that is what lets ``bbox_scan_zordered`` push Z-range
+    predicates down to parquet row-group statistics on read."""
+    keyed = df.withColumn(key_col, morton_key(F.col(cell_x), F.col(cell_y)))
     (
-        keyed.repartitionByRange(num_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        keyed.repartitionByRange(num_files, key_col)
+        .sortWithinPartitions(key_col)
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def morton_ranges(
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    bits: int = 16, max_ranges: int = 32,
+) -> list[tuple[int, int]]:
+    """Decompose an inclusive cell bbox into ≤ max_ranges inclusive
+    Z-key intervals (quadtree descent, the BIGMIN idea): a quadrant fully
+    inside the bbox contributes its whole contiguous Z-run; partial
+    quadrants recurse. Runs driver-side over CELL indices (O(perimeter ·
+    levels) nodes — independent of data size). Coarsening past
+    ``max_ranges`` merges the smallest gaps, which only ADDS keys — safe
+    because callers keep the exact bbox post-filter."""
+    out: list[tuple[int, int]] = []
+
+    def rec(level: int, zbase: int, cx: int, cy: int) -> None:
+        s = 1 << level
+        if cx + s - 1 < x_lo or cx > x_hi or cy + s - 1 < y_lo or cy > y_hi:
+            return
+        if cx >= x_lo and cx + s - 1 <= x_hi and cy >= y_lo and cy + s - 1 <= y_hi:
+            out.append((zbase, zbase + (1 << (2 * level)) - 1))
+            return
+        h, sub = s >> 1, 1 << (2 * (level - 1))
+        rec(level - 1, zbase, cx, cy)
+        rec(level - 1, zbase + sub, cx + h, cy)
+        rec(level - 1, zbase + 2 * sub, cx, cy + h)
+        rec(level - 1, zbase + 3 * sub, cx + h, cy + h)
+
+    rec(bits, 0, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        i = min(
+            range(len(merged) - 1),
+            key=lambda i: merged[i + 1][0] - merged[i][1],
+        )
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def bbox_scan_zordered(
+    spark, path: str, x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+    cell_x: str = "cell_x", cell_y: str = "cell_y", key_col: str = "zkey",
+    bits: int = 16, max_ranges: int = 32,
+) -> DataFrame:
+    """Read a Z-ordered layout for a cell bbox: OR-of-BETWEEN Z-range
+    predicates reach the parquet scan (PushedFilters), so row groups whose
+    [min, max] zkey interval misses every range are never decompressed —
+    at 100 TB the scan touches O(bbox) bytes, not O(corpus). The exact
+    bbox predicate stays as the (also pushed) correctness filter, so the
+    coarsened ranges never admit wrong rows."""
+    df = spark.read.parquet(path)
+    pred = F.lit(False)
+    for lo, hi in morton_ranges(x_lo, x_hi, y_lo, y_hi, bits, max_ranges):
+        pred = pred | F.col(key_col).between(F.lit(lo), F.lit(hi))
+    return df.filter(pred).filter(
+        F.col(cell_x).between(x_lo, x_hi) & F.col(cell_y).between(y_lo, y_hi)
     )

@@ -132,6 +132,48 @@ def test_zorder_write_prunes_bbox_to_few_files(spark, tmp_path):
     assert touched <= 4
 
 
+def test_morton_ranges_exact_cover():
+    # with an unbounded budget the ranges cover EXACTLY the bbox cells
+    for bbox in [(3, 11, 5, 14), (0, 0, 0, 0), (0, 31, 7, 7), (10, 20, 10, 20)]:
+        x0, x1, y0, y1 = bbox
+        ranges = layout.morton_ranges(x0, x1, y0, y1, bits=6, max_ranges=10**9)
+        covered = set()
+        for lo, hi in ranges:
+            covered.update(range(lo, hi + 1))
+        expect = {_ref_morton(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)}
+        assert covered == expect
+
+
+def test_morton_ranges_coarsen_is_superset():
+    x0, x1, y0, y1 = 3, 27, 5, 21
+    exact = layout.morton_ranges(x0, x1, y0, y1, bits=6, max_ranges=10**9)
+    coarse = layout.morton_ranges(x0, x1, y0, y1, bits=6, max_ranges=4)
+    assert len(coarse) <= 4
+    exact_keys = {k for lo, hi in exact for k in range(lo, hi + 1)}
+    coarse_keys = {k for lo, hi in coarse for k in range(lo, hi + 1)}
+    assert exact_keys <= coarse_keys
+
+
+def test_bbox_scan_zordered_parity_and_pushdown(spark, tmp_path):
+    df = spark.range(16384).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 64).cast("int").alias("cell_x"),
+        ((F.col("id") % 4096) / 64).cast("int").alias("cell_y"),
+    )
+    path = str(tmp_path / "zlayout")
+    layout.zorder_write(df, path, num_files=16)
+
+    got = layout.bbox_scan_zordered(spark, path, 8, 15, 8, 15)
+    expect = spark.read.parquet(path).filter(
+        F.col("cell_x").between(8, 15) & F.col("cell_y").between(8, 15)
+    )
+    assert sorted(r["row_id"] for r in got.collect()) == sorted(
+        r["row_id"] for r in expect.collect()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "zkey" in plan
+
+
 # ---- deterministic corpus shuffle ----
 
 
