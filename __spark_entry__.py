@@ -23,7 +23,7 @@ from ocgis_spark import fixtures as FX
 from ocgis_spark import spans as SP
 from ocgis_spark.fixtures import DOC_GRID
 from ocgis_spark.operators import calcmath, crs, dedup, knn, regrid, similarity, spatial, temporal
-from ocgis_spark.operators import layout, trend
+from ocgis_spark.operators import layout, sketch, trend
 from ocgis_spark.operators import sampling as SMP
 from ocgis_spark.operators import text as textops
 from ocgis_spark.operators import tiling, vectorgrid, windows
@@ -265,12 +265,14 @@ def q_pipeline_flagship(spark, sf_dir):
     """Flagship: interleaved docs → cell encode → two-phase pentagon subset
     → destination tile assign, span signature preserved end-to-end."""
     dg = _docs_geo(spark, sf_dir)
-    docs = SP.with_spans(dg)
+    # subset on the narrow lon/lat columns first; span structs are built
+    # only for survivors (identical result — the subset never reads spans)
     sub = spatial.spatial_subset(
-        spark, docs, DOC_GRID, [_PENTA], operation="intersects",
+        spark, dg, DOC_GRID, [_PENTA], operation="intersects",
         abstraction="point", keep_touches=True,
     )
-    tiled = tiling.assign_dest_tiles(sub, DOC_GRID, TDIM)
+    docs = SP.with_spans(sub)
+    tiled = tiling.assign_dest_tiles(docs, DOC_GRID, TDIM)
     return tiled.select(
         "doc_uid", "cell_id", "tile_id", SP.span_signature().alias("span_sig")
     )
@@ -2213,6 +2215,11 @@ def q_train_split(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return sketch.hll_estimate(sketch.hll_sketch(docs, ["lang"], "doc_id"), ["lang"])
+
+
 def _trend_sql() -> str:
     slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
     return (
@@ -2275,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
             f"{SMP.HASH_MOD}) % 1000 < 750 THEN 'train' ELSE 'test' END "
             "AS split FROM documents"
         ),
+        "hll_distinct": sketch.hll_estimate_sql(["lang"], "doc_id", "documents"),
         "bbox_subset": (
             f"SELECT doc_id, lon, lat, cell_id FROM ({_DG}) dg "
             f"WHERE {FX.rect_pred_sql(_RECT)}"
@@ -3054,10 +3062,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "corpus_shuffle": q_corpus_shuffle,
         "train_split": q_train_split,
+        "hll_distinct": q_hll_distinct,
         "bbox_subset_nonuniform": q_bbox_subset_nonuniform,
         "clip_cells_nonuniform": q_clip_cells_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
-        "curvilinear_subset": q_curvilinear_subset,
         "regrid_nonuniform": q_regrid_nonuniform,
         "knn_point": q_knn_point,
         "pipeline_flagship": q_pipeline_flagship,
@@ -3079,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "curvilinear_subset": q_curvilinear_subset,
         "knn_point_nonuniform": q_knn_point_nonuniform,
         "zonal_stats_nonuniform": q_zonal_stats_nonuniform,
         "zonal_weighted_nonuniform": q_zonal_weighted_nonuniform,

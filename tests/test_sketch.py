@@ -1,0 +1,51 @@
+"""HLL-shape distinct sketch: accuracy, mergeability, state size."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark.operators import sketch
+
+
+def test_estimate_accuracy(spark):
+    # 6000 distinct values across 3 keys, with heavy duplication
+    df = spark.range(24000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 6000).alias("v")
+    )
+    est = {
+        r["k"]: r["est_distinct"]
+        for r in sketch.hll_estimate(sketch.hll_sketch(df, ["k"], "v"), ["k"]).collect()
+    }
+    # per key: 2000 distinct values; m=256 -> ~1.04/sqrt(m) ~ 6.5% stderr
+    for k in range(3):
+        assert est[k] == pytest.approx(2000, rel=0.2)
+
+
+def test_merge_equals_whole(spark):
+    df = spark.range(10000).select(
+        F.lit("a").alias("k"), (F.col("id") % 3777).alias("v")
+    )
+    lo = df.filter(F.col("v") % 2 == 0)
+    hi = df.filter(F.col("v") % 2 == 1)
+    merged = sketch.hll_merge(
+        sketch.hll_sketch(lo, ["k"], "v"), sketch.hll_sketch(hi, ["k"], "v")
+    )
+    whole = sketch.hll_sketch(df, ["k"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_state_is_bounded(spark):
+    df = spark.range(200000).select(F.lit("k").alias("k"), F.col("id").alias("v"))
+    sk = sketch.hll_sketch(df, ["k"], "v")
+    assert sk.count() <= sketch.M_REGS
+
+
+def test_rho_sql_matches_python(spark):
+    # rho = 1-based lowest-set-bit position of floor(h/m)
+    rows = spark.sql(
+        f"SELECT h, {sketch.rho_sql('h')} AS rho FROM "
+        "(SELECT explode(sequence(256, 4096)) AS h)"
+    ).collect()
+    for r in rows:
+        q = r["h"] // sketch.M_REGS
+        expect = (q & -q).bit_length() if q else sketch.RHO_MAX + 1
+        assert r["rho"] == min(expect, sketch.RHO_MAX + 1), r["h"]
