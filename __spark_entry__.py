@@ -2220,6 +2220,13 @@ def q_hll_distinct(spark, sf_dir):
     return sketch.hll_estimate(sketch.hll_sketch(docs, ["lang"], "doc_id"), ["lang"])
 
 
+def q_histo_quantile(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return sketch.histogram_quantile(
+        ev, ["event_type"], "value", 0.9, 0.0, 128.0
+    )
+
+
 def _trend_sql() -> str:
     slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
     return (
@@ -2283,6 +2290,9 @@ def oracle_sql() -> dict[str, str]:
             "AS split FROM documents"
         ),
         "hll_distinct": sketch.hll_estimate_sql(["lang"], "doc_id", "documents"),
+        "histo_quantile": sketch.histogram_quantile_sql(
+            ["event_type"], "value", "events", 0.9, 0.0, 128.0
+        ),
         "bbox_subset": (
             f"SELECT doc_id, lon, lat, cell_id FROM ({_DG}) dg "
             f"WHERE {FX.rect_pred_sql(_RECT)}"
@@ -3063,9 +3073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "train_split": q_train_split,
         "hll_distinct": q_hll_distinct,
+        "histo_quantile": q_histo_quantile,
         "bbox_subset_nonuniform": q_bbox_subset_nonuniform,
         "clip_cells_nonuniform": q_clip_cells_nonuniform,
-        "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "regrid_nonuniform": q_regrid_nonuniform,
         "knn_point": q_knn_point,
         "pipeline_flagship": q_pipeline_flagship,
@@ -3087,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,
         "knn_point_nonuniform": q_knn_point_nonuniform,
         "zonal_stats_nonuniform": q_zonal_stats_nonuniform,

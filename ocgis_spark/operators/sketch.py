@@ -112,6 +112,84 @@ def hll_estimate(sketch: DataFrame, keys: list[str], ndigits: int = 4) -> DataFr
     return agg.select(*keys, F.round(est, ndigits).alias("est_distinct"))
 
 
+def histogram_quantile(
+    df: DataFrame,
+    keys: list[str],
+    v: str,
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 512,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fixed-bin histogram quantile: the bounded-memory percentile path
+    (reference DailyPercentile sorts whole series per group,
+    ``calc/library/statistics.py:138+`` — exact but O(n log n) per group
+    with full-value shuffles; at 100 TB a (key, bin) count table of at
+    most ``bins`` rows per key replaces it, ±(hi-lo)/2·bins error).
+
+    nearest-rank on binned counts, midpoint representative. Out-of-range
+    values clamp into the edge bins. Deterministic and dialect-neutral —
+    the DuckDB oracle (``histogram_quantile_sql``) reproduces it exactly.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(v).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    counts = df.select(*keys, b.alias("bin")).groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.partitionBy(*keys).orderBy("bin")
+    wall = Window.partitionBy(*keys)
+    ranked = counts.select(
+        *keys,
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    target = F.ceil(F.lit(q) * ranked["n"].cast("double"))
+    hit = ranked.groupBy(*keys).agg(
+        F.min(F.when(ranked["cum"] >= target, F.col("bin"))).alias("_b")
+    )
+    est = F.lit(lo) + (hit["_b"].cast("double") + F.lit(0.5)) * F.lit(width)
+    return hit.select(*keys, F.round(est, ndigits).alias("quantile"))
+
+
+def histogram_quantile_sql(
+    keys: list[str], value_expr: str, table: str, q: float,
+    lo: float, hi: float, bins: int = 512,
+) -> str:
+    """Oracle twin of :func:`histogram_quantile` (shared arithmetic)."""
+    ks = ", ".join(keys)
+    width = (hi - lo) / bins
+
+    def _f(x: float) -> str:
+        # E-notation double literal, parses identically in both dialects
+        # (fixtures._f convention)
+        r = repr(float(x))
+        return r if ("e" in r or "E" in r) else r + "E0"
+
+    wrepr, lorepr, qrepr = _f(width), _f(lo), _f(q)
+    return (
+        f"SELECT {ks}, round({lorepr} + (CAST(b AS DOUBLE) + 0.5) * {wrepr}, 6) "
+        f"AS quantile FROM ("
+        f"SELECT {ks}, min(CASE WHEN cum >= ceil({qrepr} * CAST(n AS DOUBLE)) "
+        f"THEN bin END) AS b FROM ("
+        f"SELECT {ks}, bin, sum(cnt) OVER (PARTITION BY {ks} ORDER BY bin) AS cum, "
+        f"sum(cnt) OVER (PARTITION BY {ks}) AS n FROM ("
+        f"SELECT {ks}, bin, count(*) AS cnt FROM ("
+        f"SELECT {ks}, least({bins - 1}, greatest(0, "
+        f"CAST(floor((CAST({value_expr} AS DOUBLE) - {lorepr}) / {wrepr}) AS INT)"
+        f")) AS bin FROM {table}) g GROUP BY {ks}, bin) c) w GROUP BY {ks}) z"
+    )
+
+
 def hll_estimate_sql(keys: list[str], value_expr: str, table: str) -> str:
     """The whole pipeline (sketch + estimate) as one DuckDB/Spark-shared
     SQL string — the oracle twin of hll_sketch |> hll_estimate."""

@@ -39,6 +39,33 @@ def test_state_is_bounded(spark):
     assert sk.count() <= sketch.M_REGS
 
 
+def test_histogram_quantile_near_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(0.0, 100.0, size=5000)
+    df = spark.createDataFrame(
+        [(int(i % 2), float(v)) for i, v in enumerate(vals)], "k int, v double"
+    )
+    got = {
+        r["k"]: r["quantile"]
+        for r in sketch.histogram_quantile(df, ["k"], "v", 0.9, 0.0, 128.0).collect()
+    }
+    width = 128.0 / 512
+    for k in range(2):
+        exact = float(np.quantile(vals[k::2], 0.9))
+        assert abs(got[k] - exact) <= width + 0.05
+
+
+def test_histogram_quantile_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 1.0), ("a", 500.0)], "k string, v double"
+    )
+    row = sketch.histogram_quantile(df, ["k"], "v", 1.0, 0.0, 128.0).collect()[0]
+    # max clamps into the top bin
+    assert row["quantile"] == pytest.approx(128.0 - 128.0 / 512 / 2)
+
+
 def test_rho_sql_matches_python(spark):
     # rho = 1-based lowest-set-bit position of floor(h/m)
     rows = spark.sql(
