@@ -71,11 +71,11 @@ def main() -> None:
     # this process is idle), so 3 reps routinely miss the steady-state floor
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
-    def timed(name, fn):
+    def timed(name, fn, n_reps=None):
         # min over reps: first run pays JIT/codegen/shuffle-file warmup;
         # the min is the steady-state number a long-running cluster sees
         best = None
-        for _ in range(reps):
+        for _ in range(n_reps or reps):
             t0 = time.time()
             fn()
             dt = time.time() - t0
@@ -106,7 +106,9 @@ def main() -> None:
                          SP.span_signature_fast().alias("span_sig"))
         )
 
-    timed("flagship_join_tiles", flagship)
+    # the headline docs/sec derives from this one number — give it double
+    # the samples against external-load spikes
+    timed("flagship_join_tiles", flagship, n_reps=2 * reps)
 
     timed(
         "bbox_subset",
