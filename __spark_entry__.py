@@ -2227,6 +2227,17 @@ def q_histo_quantile(spark, sf_dir):
     )
 
 
+def q_hll_merge_halves(spark, sf_dir):
+    """Mergeability under the driver gate: sketch two disjoint halves,
+    merge, estimate — must equal the whole-table estimate BIT-FOR-BIT
+    (registers are identical by construction), so the oracle is simply
+    the whole-table pipeline."""
+    docs = _read(spark, sf_dir, "documents")
+    lo = sketch.hll_sketch(docs.filter(F.col("doc_id") % 2 == 0), ["lang"], "doc_id")
+    hi = sketch.hll_sketch(docs.filter(F.col("doc_id") % 2 == 1), ["lang"], "doc_id")
+    return sketch.hll_estimate(sketch.hll_merge(lo, hi), ["lang"])
+
+
 def _trend_sql() -> str:
     slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
     return (
@@ -2293,6 +2304,7 @@ def oracle_sql() -> dict[str, str]:
         "histo_quantile": sketch.histogram_quantile_sql(
             ["event_type"], "value", "events", 0.9, 0.0, 128.0
         ),
+        "hll_merge_halves": sketch.hll_estimate_sql(["lang"], "doc_id", "documents"),
         "bbox_subset": (
             f"SELECT doc_id, lon, lat, cell_id FROM ({_DG}) dg "
             f"WHERE {FX.rect_pred_sql(_RECT)}"
@@ -3074,9 +3086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "hll_distinct": q_hll_distinct,
         "histo_quantile": q_histo_quantile,
+        "hll_merge_halves": q_hll_merge_halves,
         "bbox_subset_nonuniform": q_bbox_subset_nonuniform,
         "clip_cells_nonuniform": q_clip_cells_nonuniform,
-        "regrid_nonuniform": q_regrid_nonuniform,
         "knn_point": q_knn_point,
         "pipeline_flagship": q_pipeline_flagship,
         "minhash_pairs": q_minhash_pairs,
@@ -3097,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         # ---- driver window boundary (~50) ----
+        "regrid_nonuniform": q_regrid_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,
         "knn_point_nonuniform": q_knn_point_nonuniform,
