@@ -7,8 +7,9 @@ inputs are derived deterministically from the driver's tables
 (ocgis_spark.fixtures), so even the two-phase spatial join has an exact SQL
 oracle. Non-SQL-expressible ops (checkpoint/resume, freezethaw scan, span
 preservation across stages, streaming, unstructured meshes) are covered by
-pytest. 52 query/oracle pairs; see README.md for the SURVEY §2 coverage map
-and scripts/check_oracles.py for the local parity harness.
+pytest. 118 query/oracle pairs (ALL exact — zero rows-only checks); see
+README.md for the SURVEY §2 coverage map and scripts/check_oracles.py for
+the local parity harness.
 """
 
 from __future__ import annotations
