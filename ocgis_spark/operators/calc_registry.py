@@ -93,6 +93,40 @@ def _freq_perc(df, keys, value="value", percentile=0.9, **_):
     )
 
 
+@register("trend")
+def _trend(df, keys, value="value", x="ts", **_):
+    """Per-key OLS trend of value against x. When x is a timestamp column
+    it is converted to a day index first (reference users fit trends
+    against time)."""
+    from . import trend as trend_mod
+
+    xcol = x
+    if dict(df.dtypes).get(x, "").startswith("timestamp"):
+        xcol = "_trend_x"
+        df = df.withColumn(
+            xcol, F.floor(F.unix_micros(F.col(x).cast("timestamp"))
+                          / F.lit(86400000000.0)).cast("double")
+        )
+        # center per key: absolute epoch-day indices (~2e4) put
+        # n·Σx²−(Σx)² deep into cancellation territory; the slope is
+        # shift-invariant and the intercept becomes "value at the key's
+        # first day" (documented)
+        from pyspark.sql import Window
+
+        df = df.withColumn(
+            xcol,
+            F.col(xcol) - F.min(xcol).over(Window.partitionBy(*keys)),
+        )
+    return trend_mod.trend_slope(df, keys, xcol, value)
+
+
+@register("anomaly")
+def _anomaly(df, keys, value="value", group_expr="extract(month from ts)", **_):
+    from . import trend as trend_mod
+
+    return trend_mod.anomaly(df, keys, group_expr, value)
+
+
 @register("duration")
 def _duration(df, keys, value="value", threshold=0.0, operation="gt",
               summary="max", ts="ts", tiebreak=None, **_):

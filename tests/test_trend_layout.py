@@ -70,6 +70,24 @@ def test_anomaly_matches_pandas(spark):
         assert r["anom"] == pytest.approx(expect[r["row_id"]], abs=1e-5)
 
 
+def test_trend_calc_registered_centers_timestamps(spark):
+    from ocgis_spark.operators import calc_registry as CR
+
+    rows = []
+    for day in range(20):
+        # value = 2*day + 5 exactly; ts at absolute 2024 dates
+        rows.append((1, f"2024-01-{day + 1:02d} 12:00:00", float(2 * day + 5)))
+    df = spark.createDataFrame(rows, "k int, ts_s string, value double").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = CR.get("trend")(df, ["k"]).collect()[0]
+    assert out["slope"] == pytest.approx(2.0, abs=1e-9)
+    # intercept is relative to the key's FIRST day (centered x)
+    assert out["intercept"] == pytest.approx(5.0, abs=1e-9)
+    anom = CR.get("anomaly")(df, ["k"]).collect()
+    assert all(abs(r["clim"] - 24.0) < 1e-9 for r in anom)  # single month
+
+
 # ---- Z-order layout ----
 
 
