@@ -84,6 +84,22 @@ def run_available_now(
     return q
 
 
+def streaming_hll_sketch(
+    docs_stream: DataFrame, keys: list[str], value: str
+) -> DataFrame:
+    """HLL register table maintained over a STREAM: the (key, bucket) max
+    aggregation is an incremental-friendly stateful agg (max is monotone,
+    so complete-mode state = exactly the register table, bounded at
+    m rows per key regardless of stream length). Registers equal the
+    batch sketch over the same data — asserted stream==batch in pytest;
+    estimate with `operators.sketch.hll_estimate` on the drained table."""
+    from ocgis_spark.operators import sketch as SK
+
+    b, r = SK.sketch_sql(value)
+    reg = docs_stream.selectExpr(*keys, f"{b} AS bucket", f"{r} AS rho")
+    return reg.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+
+
 def streaming_dedup(
     docs_stream: DataFrame, key_expr: str = "lower(trim(substr(text, 1, 40)))"
 ) -> DataFrame:

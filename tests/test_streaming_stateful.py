@@ -96,3 +96,37 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0]["n"]
     assert got == expected == 25
+
+
+def test_streaming_hll_sketch_matches_batch(spark, tmp_path):
+    """stream == batch: the (key, bucket) max registers drained from the
+    stream equal the batch sketch bit-for-bit, so the estimate is the
+    SAME number a batch job would publish."""
+    import pandas as pd
+
+    from ocgis_spark.operators import sketch as SK
+    from ocgis_spark.streaming import pipeline as P
+
+    src = str(tmp_path / "hll_src")
+    d1 = pd.DataFrame({"lang": ["en"] * 30 + ["de"] * 10, "doc_id": range(40)})
+    d2 = pd.DataFrame({"lang": ["en"] * 20 + ["de"] * 20, "doc_id": range(20, 60)})
+    spark.createDataFrame(d1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(d2).coalesce(1).write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    expect = sorted(
+        map(tuple, SK.hll_sketch(batch, ["lang"], "doc_id").collect())
+    )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = P.streaming_hll_sketch(stream, ["lang"], "doc_id")
+    P.run_available_now(out, "hll_stream", str(tmp_path / "ck_hll"))
+    got = sorted(map(tuple, spark.sql("SELECT * FROM hll_stream").collect()))
+    assert got == expect
+    # and the estimates agree too (same registers -> same number)
+    est_b = SK.hll_estimate(SK.hll_sketch(batch, ["lang"], "doc_id"), ["lang"])
+    est_s = SK.hll_estimate(spark.table("hll_stream"), ["lang"])
+    assert sorted(map(tuple, est_b.collect())) == sorted(map(tuple, est_s.collect()))
