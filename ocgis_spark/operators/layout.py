@@ -42,8 +42,27 @@ def _spread_bits(c: Column) -> Column:
 
 
 def morton_key(cell_x: Column, cell_y: Column) -> Column:
-    """Interleave two 16-bit non-negative ints: y bits odd, x bits even."""
+    """Interleave two 16-bit non-negative ints: y bits odd, x bits even.
+
+    Domain: [0, 65535] per axis — bits above 16 are silently dropped by
+    the spread masks, so out-of-domain inputs COLLIDE. ``zorder_write``
+    guards the domain with ``morton_key_checked`` (ADVICE r3)."""
     return _spread_bits(cell_x) + _spread_bits(cell_y) * F.lit(2)
+
+
+def morton_key_checked(cell_x: Column, cell_y: Column) -> Column:
+    """morton_key with an in-plan domain guard: any row outside
+    [0, 65535]² raises at execution time (same single pass — no extra
+    validation scan over the write input, which matters at 100 TB)."""
+    ok = cell_x.between(0, 0xFFFF) & cell_y.between(0, 0xFFFF)
+    err = F.raise_error(
+        F.concat(
+            F.lit("zorder_write: cell index outside [0, 65535]: ("),
+            cell_x.cast("string"), F.lit(", "), cell_y.cast("string"),
+            F.lit(") — keys would collide"),
+        )
+    )
+    return F.when(ok, morton_key(cell_x, cell_y)).otherwise(err.cast("bigint"))
 
 
 def spread_bits_sql(expr: str) -> str:
@@ -67,8 +86,12 @@ def zorder_write(
     sizes balance even under spatial skew) and sort within each file so
     row-group min/max statistics are tight. The key column is PERSISTED
     (``key_col``) — that is what lets ``bbox_scan_zordered`` push Z-range
-    predicates down to parquet row-group statistics on read."""
-    keyed = df.withColumn(key_col, morton_key(F.col(cell_x), F.col(cell_y)))
+    predicates down to parquet row-group statistics on read. Cell indices
+    outside the 16-bit non-negative Morton domain raise mid-write rather
+    than silently colliding (ADVICE r3)."""
+    keyed = df.withColumn(
+        key_col, morton_key_checked(F.col(cell_x), F.col(cell_y))
+    )
     (
         keyed.repartitionByRange(num_files, key_col)
         .sortWithinPartitions(key_col)

@@ -129,11 +129,14 @@ def histogram_quantile(
     most ``bins`` rows per key replaces it, ±(hi-lo)/2·bins error).
 
     nearest-rank on binned counts, midpoint representative. Out-of-range
-    values clamp into the edge bins. Deterministic and dialect-neutral —
-    the DuckDB oracle (``histogram_quantile_sql``) reproduces it exactly.
+    values clamp into the edge bins; NULLs are dropped (floor(NULL) would
+    otherwise clamp into bin 0 and skew the quantile low — ADVICE r3).
+    Deterministic and dialect-neutral — the DuckDB oracle
+    (``histogram_quantile_sql``) reproduces it exactly.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(v).isNotNull())
     width = (hi - lo) / bins
     b = F.least(
         F.lit(bins - 1),
@@ -166,15 +169,10 @@ def histogram_quantile_sql(
     lo: float, hi: float, bins: int = 512,
 ) -> str:
     """Oracle twin of :func:`histogram_quantile` (shared arithmetic)."""
+    from ..fixtures import _f
+
     ks = ", ".join(keys)
     width = (hi - lo) / bins
-
-    def _f(x: float) -> str:
-        # E-notation double literal, parses identically in both dialects
-        # (fixtures._f convention)
-        r = repr(float(x))
-        return r if ("e" in r or "E" in r) else r + "E0"
-
     wrepr, lorepr, qrepr = _f(width), _f(lo), _f(q)
     return (
         f"SELECT {ks}, round({lorepr} + (CAST(b AS DOUBLE) + 0.5) * {wrepr}, 6) "
@@ -186,7 +184,8 @@ def histogram_quantile_sql(
         f"SELECT {ks}, bin, count(*) AS cnt FROM ("
         f"SELECT {ks}, least({bins - 1}, greatest(0, "
         f"CAST(floor((CAST({value_expr} AS DOUBLE) - {lorepr}) / {wrepr}) AS INT)"
-        f")) AS bin FROM {table}) g GROUP BY {ks}, bin) c) w GROUP BY {ks}) z"
+        f")) AS bin FROM {table} WHERE ({value_expr}) IS NOT NULL) g "
+        f"GROUP BY {ks}, bin) c) w GROUP BY {ks}) z"
     )
 
 
@@ -207,7 +206,7 @@ def hll_estimate_sql(keys: list[str], value_expr: str, table: str) -> str:
     )
     return (
         f"SELECT {ks}, round({est}, 4) AS est_distinct FROM ("
-        f"SELECT {ks}, sum(power(2.0, -CAST(rho AS DOUBLE))) AS s, "
+        f"SELECT {ks}, sum(power(2.0E0, -CAST(rho AS DOUBLE))) AS s, "
         f"CAST(count(*) AS BIGINT) AS nz FROM ("
         f"SELECT {ks}, bucket, max(rho) AS rho FROM ("
         f"SELECT {ks}, {b} AS bucket, {r} AS rho FROM {table}) g "

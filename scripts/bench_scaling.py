@@ -176,6 +176,13 @@ def main() -> None:
         "cache-scan-bound job's run-to-run variance on this shared box",
         "swamps the N-vs-4N signal.)",
         "",
+        "METHODOLOGY BREAK (r3, per ADVICE): bench.py's headline flagship",
+        "docs/sec reads PRE-MATERIALIZED spans (built at ingest, where",
+        "BASELINE input_hint puts them) and uses min-of-10 reps since r3;",
+        "r1/r2 built spans inside the timed run with min-of-3. Headline",
+        "numbers from rounds ≤ 2 are therefore NOT directly comparable to",
+        "r3+ (measured solo effect: 0.61–0.79 s → 0.33–0.44 s on 2M docs).",
+        "",
         "No multi-executor cluster exists in this sandbox, so per the",
         "driver's instruction the same job runs at two local parallelism",
         "levels on identical input; 3 warm-ups + median of 7 runs per level.",

@@ -76,3 +76,20 @@ def test_rho_sql_matches_python(spark):
         q = r["h"] // sketch.M_REGS
         expect = (q & -q).bit_length() if q else sketch.RHO_MAX + 1
         assert r["rho"] == min(expect, sketch.RHO_MAX + 1), r["h"]
+
+
+def test_histogram_quantile_ignores_nulls(spark):
+    # NULLs must not be counted as low-edge values (ADVICE r3): the
+    # quantile over [null x 50, 100.0 x 50] is the quantile of the 100s.
+    rows = [("a", None)] * 50 + [("a", 100.0)] * 50
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = sketch.histogram_quantile(df, ["k"], "v", 0.5, 0.0, 128.0).collect()
+    assert got[0]["quantile"] == pytest.approx(100.0, abs=128.0 / 512)
+    # oracle twin drops them identically
+    import duckdb
+
+    df.toPandas().to_parquet("/tmp/_hq_nulls.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT * FROM '/tmp/_hq_nulls.parquet'")
+    sql = sketch.histogram_quantile_sql(["k"], "v", "t", 0.5, 0.0, 128.0)
+    assert con.execute(sql).fetchall()[0][1] == got[0]["quantile"]

@@ -222,3 +222,23 @@ def test_shuffle_corpus_total_order_and_content(spark, tmp_path):
     assert sorted(seen) == list(range(5000))  # a permutation, nothing lost
     # it IS a shuffle: the concatenated order differs from insertion order
     assert seen != list(range(5000))
+
+
+def test_morton_key_checked_rejects_out_of_domain(spark):
+    import pytest as _pt
+
+    bad = spark.createDataFrame([(70000, 3)], "x int, y int").select(
+        layout.morton_key_checked(F.col("x"), F.col("y")).alias("z")
+    )
+    with _pt.raises(Exception, match="65535"):
+        bad.collect()
+    neg = spark.createDataFrame([(3, -1)], "x int, y int").select(
+        layout.morton_key_checked(F.col("x"), F.col("y")).alias("z")
+    )
+    with _pt.raises(Exception, match="65535"):
+        neg.collect()
+    ok = spark.createDataFrame([(65535, 0), (0, 65535)], "x int, y int").select(
+        "x", "y", layout.morton_key_checked(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in ok.collect():
+        assert r["z"] == _ref_morton(r["x"], r["y"])
