@@ -1001,6 +1001,53 @@ def q_transform_mercator(spark, sf_dir):
     )
 
 
+#: CF conic/polar parameter dicts shared by queries + oracles (reference
+#: CFLambertConformal/CFAlbersEqualArea/CFPolarStereographic,
+#: variable/crs.py:1071-1113) — NARCCAP-style Lambert, CONUS Albers,
+#: NSIDC-style north polar stereographic
+_LCC_NARCCAP = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
+                "lon_0": -97.0, "x_0": 3325000.0, "y_0": 2700000.0}
+_AEA_CONUS = {"proj": "aea", "lat_1": 29.5, "lat_2": 45.5, "lat_0": 23.0,
+              "lon_0": -96.0}
+_STERE_N70 = {"proj": "stere", "lat_0": 90.0, "lon_0": -45.0, "lat_ts": 70.0}
+
+
+def _q_transform_param(spark, sf_dir, spec):
+    dg = _docs_geo(spark, sf_dir)
+    out = crs.transform_crs(dg, "EPSG:4326", spec)
+    return out.select(
+        "doc_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
+def q_transform_lcc(spark, sf_dir):
+    """Lambert conformal conic (CFLambertConformal, crs.py:1082) as a
+    native closed-form Catalyst transform — the NARCCAP/CORDEX regional
+    grid CRS; Snyder 15-1..15-4 on the reference sphere."""
+    return _q_transform_param(spark, sf_dir, _LCC_NARCCAP)
+
+
+def q_transform_albers(spark, sf_dir):
+    """Albers equal-area conic (CFAlbersEqualArea, crs.py:1071) —
+    Snyder 14-1..14-4, native columns, zero Python."""
+    return _q_transform_param(spark, sf_dir, _AEA_CONUS)
+
+
+def q_transform_stereo(spark, sf_dir):
+    """North polar stereographic (CFPolarStereographic, crs.py:1100)
+    with true scale at 70°N — Snyder 21-7..21-12."""
+    return _q_transform_param(spark, sf_dir, _STERE_N70)
+
+
+def _transform_param_sql(spec) -> str:
+    emit = crs._PARAM_PROJS[spec["proj"]][0]
+    ex, ey = emit(spec)
+    return (
+        f"SELECT doc_id, round({ex}, 6) AS x, round({ey}, 6) AS y "
+        f"FROM ({_DG}) dg"
+    )
+
+
 def q_asof_calibration(spark, sf_dir):
     """AS-OF join (custom operator Spark lacks natively): every event
     gets the most recent calibration value per user — union-and-carry,
@@ -2887,6 +2934,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN wp ON e.user_id = wp.user_id GROUP BY e.user_id"
         ),
         "agg_selection_clip": _agg_selection_clip_sql(),
+        "transform_lcc": _transform_param_sql(_LCC_NARCCAP),
+        "transform_albers": _transform_param_sql(_AEA_CONUS),
+        "transform_stereo": _transform_param_sql(_STERE_N70),
         "transform_mercator": (
             f"SELECT doc_id, round(6378137.0E0 * radians(lon), 6) AS x, "
             f"round(6378137.0E0 * ln(tan(pi() / 4.0E0 + radians(lat) / 2.0E0)), 6) AS y "
@@ -3109,6 +3159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_TXx": q_icclim_txx,
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
+        "transform_lcc": q_transform_lcc,
+        "transform_albers": q_transform_albers,
+        "transform_stereo": q_transform_stereo,
         # ---- driver window boundary (~50) ----
         "regrid_nonuniform": q_regrid_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,

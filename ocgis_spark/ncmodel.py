@@ -134,3 +134,85 @@ def densify_slabs(df, times, lats, lons, variable: str = "value"):
         slab[lat_ix[r["lat"]], lon_ix[r["lon"]]] = r[variable]
     if cur is not None:
         yield t_ix[cur], cur, slab
+
+
+def crs_from_cf_attrs(attrs: dict):
+    """Map a CF ``grid_mapping`` variable's attributes to a
+    ``transform_crs`` spec — the reference's CF-metadata→CRS dispatch
+    (``/root/reference/src/ocgis/variable/crs.py:888-1030`` with the
+    concrete classes CFLambertConformal ``crs.py:1082``,
+    CFAlbersEqualArea ``crs.py:1071``, CFPolarStereographic
+    ``crs.py:1100``, CFRotatedPole ``crs.py:1134``, CFSpherical
+    ``crs.py:1031``).
+
+    Returns ``"EPSG:4326"`` for latitude_longitude, a parametric dict
+    (``{'proj': 'lcc' | 'aea' | 'stere', ...}``) for the conic/polar
+    family (consumed natively by ``operators.crs.transform_crs``), or a
+    ``{'proj': 'rotated_pole', ...}`` dict for rotated lat-lon (consumed
+    by ``operators.crs.transform_rotated_pole``)."""
+    name = attrs.get("grid_mapping_name")
+    if name in (None, "latitude_longitude"):
+        return "EPSG:4326"
+
+    def _pair(v):
+        # CF standard_parallel: scalar or [lat_1, lat_2]
+        if isinstance(v, (list, tuple, np.ndarray)):
+            v = list(v)
+            return float(v[0]), float(v[-1])
+        return float(v), float(v)
+
+    if name == "lambert_conformal_conic":
+        lat1, lat2 = _pair(attrs["standard_parallel"])
+        return {
+            "proj": "lcc", "lat_1": lat1, "lat_2": lat2,
+            "lat_0": float(attrs.get("latitude_of_projection_origin", 0.0)),
+            "lon_0": float(attrs.get("longitude_of_central_meridian", 0.0)),
+            "x_0": float(attrs.get("false_easting", 0.0)),
+            "y_0": float(attrs.get("false_northing", 0.0)),
+        }
+    if name == "albers_conical_equal_area":
+        lat1, lat2 = _pair(attrs["standard_parallel"])
+        return {
+            "proj": "aea", "lat_1": lat1, "lat_2": lat2,
+            "lat_0": float(attrs.get("latitude_of_projection_origin", 0.0)),
+            "lon_0": float(attrs.get("longitude_of_central_meridian", 0.0)),
+            "x_0": float(attrs.get("false_easting", 0.0)),
+            "y_0": float(attrs.get("false_northing", 0.0)),
+        }
+    if name == "polar_stereographic":
+        spec = {
+            "proj": "stere",
+            "lat_0": float(attrs.get("latitude_of_projection_origin", 90.0)),
+            "lon_0": float(
+                attrs.get("straight_vertical_longitude_from_pole", 0.0)
+            ),
+            "x_0": float(attrs.get("false_easting", 0.0)),
+            "y_0": float(attrs.get("false_northing", 0.0)),
+        }
+        # CF: exactly one of standard_parallel / scale_factor; the
+        # reference defaults scale_factor to 1.0 (crs.py:1108-1113)
+        if attrs.get("standard_parallel") is not None:
+            spec["lat_ts"] = float(attrs["standard_parallel"])
+        else:
+            spec["k_0"] = float(
+                attrs.get("scale_factor_at_projection_origin",
+                          attrs.get("scale_factor", 1.0))
+            )
+        return spec
+    if name in ("rotated_latitude_longitude", "rotated_pole",
+                "rotated_lat_lon"):
+        return {
+            "proj": "rotated_pole",
+            "grid_north_pole_longitude": float(
+                attrs["grid_north_pole_longitude"]
+            ),
+            "grid_north_pole_latitude": float(
+                attrs["grid_north_pole_latitude"]
+            ),
+        }
+    raise NotImplementedError(
+        f"grid_mapping_name {name!r} has no native transform "
+        "(supported: latitude_longitude, lambert_conformal_conic, "
+        "albers_conical_equal_area, polar_stereographic, "
+        "rotated_latitude_longitude)"
+    )

@@ -309,11 +309,47 @@ def transform_crs(
     ``variable/geom.py:1131-1182`` / ``spatial/grid.py:1104-1127``).
 
     Spherical closed-form pairs (web mercator EPSG:3857, equidistant
-    cylindrical EPSG:4087) run as pure Catalyst column math. Arbitrary
-    PROJ CRSs run through an Arrow pandas UDF with an executor-side
-    cached ``pyproj.Transformer`` (``always_xy=True``) — one vectorized
+    cylindrical EPSG:4087) run as pure Catalyst column math, as do the
+    CF conic/polar parameter-dict CRSs (``{'proj': 'lcc' | 'aea' |
+    'stere', ...}`` — reference CFLambertConformal/CFAlbersEqualArea/
+    CFPolarStereographic, ``crs.py:1071-1113``; build the dict from CF
+    attrs with ``ncmodel.crs_from_cf_attrs``). Arbitrary PROJ CRSs run
+    through an Arrow pandas UDF with an executor-side cached
+    ``pyproj.Transformer`` (``always_xy=True``) — one vectorized
     ``transform`` call per Arrow batch; raises NotImplementedError when
     pyproj is absent (not shipped in this container, FIDELITY.md)."""
+    src_is_dict = isinstance(src_crs, dict)
+    dst_is_dict = isinstance(dst_crs, dict)
+    if src_is_dict or dst_is_dict:
+        if _is_geographic(src_crs) and dst_is_dict:
+            return transform_param_crs(
+                df, dst_crs, lon=lon, lat=lat, out_x=out_x, out_y=out_y
+            )
+        if src_is_dict and _is_geographic(dst_crs):
+            return transform_param_crs(
+                df, src_crs, lon=lon, lat=lat, out_x=out_x, out_y=out_y,
+                inverse=True,
+            )
+        if src_is_dict and dst_is_dict:
+            if src_crs == dst_crs:
+                return df.withColumn(out_x, F.col(lon)).withColumn(
+                    out_y, F.col(lat)
+                )
+            # chain through geographic: inverse(src) then forward(dst) —
+            # still two narrow column maps, one codegen stage
+            mid = transform_param_crs(
+                df, src_crs, lon=lon, lat=lat,
+                out_x="_glon", out_y="_glat", inverse=True,
+            )
+            out = transform_param_crs(
+                mid, dst_crs, lon="_glon", lat="_glat",
+                out_x=out_x, out_y=out_y,
+            )
+            return out.drop("_glon", "_glat")
+        raise NotImplementedError(
+            "parametric CRS dicts compose only with geographic "
+            "(EPSG:4326 / {'proj': 'longlat'}) endpoints or each other"
+        )
     key = (_norm_crs(src_crs), _norm_crs(dst_crs))
     if key[0] == key[1]:
         return df.withColumn(out_x, F.col(lon)).withColumn(out_y, F.col(lat))
@@ -351,3 +387,247 @@ def transform_crs(
         .withColumn(out_y, F.col("_xy.y"))
         .drop("_xy")
     )
+
+
+# ---------------------------------------------------------------------------
+# CF conic / polar projection family — native closed-form spherical
+# transforms (Snyder 1987, "Map Projections: A Working Manual", eqs
+# 14-1..14-11 [Albers], 15-1..15-5 [Lambert conformal], 21-7..21-15
+# [polar stereographic]). The reference ships these as PROJ-backed CF
+# coordinate systems: CFLambertConformal
+# (/root/reference/src/ocgis/variable/crs.py:1082), CFAlbersEqualArea
+# (crs.py:1071), CFPolarStereographic (crs.py:1100) — the standard
+# regional-climate-model CRSs (NARCCAP / CORDEX grids arrive in Lambert
+# conformal). Here each is a pair of dialect-neutral SQL emitters
+# (identical text runs in Spark SQL and DuckDB — the oracle twin is the
+# SAME string), wrapped as Catalyst columns via F.expr: whole-stage
+# codegen, zero Python, zero shuffle.
+#
+# Sphere radius defaults to the reference's Spherical semi-major
+# (6370997.0, crs.py:803); override with params['R'].
+# ---------------------------------------------------------------------------
+
+R_SPHERE = 6370997.0  # reference Spherical default (crs.py:803)
+
+
+def _pf(x: float) -> str:
+    """Dialect-neutral DOUBLE literal (fixtures._f, imported lazily to
+    keep operators importable without the fixtures module)."""
+    from ..fixtures import _f
+
+    return _f(x)
+
+
+def _dlon_sql(lon: str, lon0: float) -> str:
+    """(lon - lon0) wrapped into (-180, 180] — one CASE wrap (inputs are
+    geographic degrees, |delta| < 540)."""
+    d = f"(({lon}) - {_pf(lon0)})"
+    return (
+        f"(CASE WHEN {d} > 180.0E0 THEN {d} - 360.0E0 "
+        f"WHEN {d} <= -180.0E0 THEN {d} + 360.0E0 ELSE {d} END)"
+    )
+
+
+def _lcc_constants(p: dict) -> tuple[float, float, float, float]:
+    """(n, R*F, rho0, R) for a Lambert-conformal-conic parameter dict."""
+    R = float(p.get("R", R_SPHERE))
+    lat1 = math.radians(float(p["lat_1"]))
+    lat2 = math.radians(float(p.get("lat_2", p["lat_1"])))
+    lat0 = math.radians(float(p.get("lat_0", 0.0)))
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(lat1)
+    else:
+        n = math.log(math.cos(lat1) / math.cos(lat2)) / math.log(
+            math.tan(math.pi / 4 + lat2 / 2) / math.tan(math.pi / 4 + lat1 / 2)
+        )
+    if abs(n) < 1e-12:
+        raise ValueError("lcc: standard parallels symmetric about the "
+                         "equator degenerate (n = 0); use mercator")
+    Fc = math.cos(lat1) * math.tan(math.pi / 4 + lat1 / 2) ** n / n
+    rho0 = R * Fc / math.tan(math.pi / 4 + lat0 / 2) ** n
+    return n, R * Fc, rho0, R
+
+
+def lcc_sql(p: dict, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """Forward Lambert conformal conic (sphere), Snyder 15-1..15-4:
+    x = rho sin(theta) + x_0, y = rho0 - rho cos(theta) + y_0 with
+    rho = R F / tan^n(pi/4 + phi/2), theta = n (lambda - lambda0)."""
+    n, RF, rho0, _ = _lcc_constants(p)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    rho = (
+        f"({_pf(RF)} / power(tan(pi() / 4.0E0 + radians({lat}) / 2.0E0), "
+        f"{_pf(n)}))"
+    )
+    theta = f"({_pf(n)} * radians({_dlon_sql(lon, lon0)}))"
+    x = f"({rho} * sin({theta}) + {_pf(x0)})"
+    y = f"({_pf(rho0 + y0)} - {rho} * cos({theta}))"
+    return x, y
+
+
+def lcc_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
+    """Inverse Lambert conformal conic (sphere), Snyder 15-5:
+    phi = 2 atan((R F / rho)^(1/n)) - pi/2, lambda = lambda0 + theta/n."""
+    n, RF, rho0, _ = _lcc_constants(p)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    s = 1.0 if n >= 0 else -1.0
+    xp = f"(({x}) - {_pf(x0)})"
+    yp = f"({_pf(rho0)} - (({y}) - {_pf(y0)}))"
+    rho = f"({_pf(s)} * sqrt({xp} * {xp} + {yp} * {yp}))"
+    theta = f"atan2({_pf(s)} * {xp}, {_pf(s)} * {yp})"
+    glat = (
+        f"degrees(2.0E0 * atan(power({_pf(RF)} / {rho}, {_pf(1.0 / n)})) "
+        f"- pi() / 2.0E0)"
+    )
+    glon = f"(degrees({theta}) / {_pf(n)} + {_pf(lon0)})"
+    return glon, glat
+
+
+def _aea_constants(p: dict) -> tuple[float, float, float, float]:
+    """(n, C, rho0, R) for an Albers-equal-area parameter dict."""
+    R = float(p.get("R", R_SPHERE))
+    lat1 = math.radians(float(p["lat_1"]))
+    lat2 = math.radians(float(p.get("lat_2", p["lat_1"])))
+    lat0 = math.radians(float(p.get("lat_0", 0.0)))
+    n = (math.sin(lat1) + math.sin(lat2)) / 2.0
+    if abs(n) < 1e-12:
+        raise ValueError("aea: standard parallels symmetric about the "
+                         "equator degenerate (n = 0)")
+    C = math.cos(lat1) ** 2 + 2.0 * n * math.sin(lat1)
+    rho0 = R * math.sqrt(C - 2.0 * n * math.sin(lat0)) / n
+    return n, C, rho0, R
+
+
+def aea_sql(p: dict, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """Forward Albers equal-area conic (sphere), Snyder 14-1..14-4:
+    rho = R sqrt(C - 2 n sin(phi)) / n, theta = n (lambda - lambda0)."""
+    n, C, rho0, R = _aea_constants(p)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    rho = (
+        f"({_pf(R / n)} * sqrt({_pf(C)} - {_pf(2.0 * n)} * "
+        f"sin(radians({lat}))))"
+    )
+    theta = f"({_pf(n)} * radians({_dlon_sql(lon, lon0)}))"
+    x = f"({rho} * sin({theta}) + {_pf(x0)})"
+    y = f"({_pf(rho0 + y0)} - {rho} * cos({theta}))"
+    return x, y
+
+
+def aea_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
+    """Inverse Albers equal-area conic (sphere), Snyder 14-8..14-11:
+    phi = asin((C - (rho n / R)^2) / (2 n)) — rho^2 used directly, no
+    sqrt round-trip."""
+    n, C, rho0, _ = _aea_constants(p)
+    R = float(p.get("R", R_SPHERE))
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    s = 1.0 if n >= 0 else -1.0
+    xp = f"(({x}) - {_pf(x0)})"
+    yp = f"({_pf(rho0)} - (({y}) - {_pf(y0)}))"
+    rho2 = f"({xp} * {xp} + {yp} * {yp})"
+    theta = f"atan2({_pf(s)} * {xp}, {_pf(s)} * {yp})"
+    glat = (
+        f"degrees(asin(({_pf(C)} - {_pf((n / R) ** 2)} * {rho2}) "
+        f"/ {_pf(2.0 * n)}))"
+    )
+    glon = f"(degrees({theta}) / {_pf(n)} + {_pf(lon0)})"
+    return glon, glat
+
+
+def _stere_constants(p: dict) -> tuple[float, float, float]:
+    """(sgn, 2 R k0, R) for a polar-stereographic parameter dict. k0
+    derives from lat_ts when present — true scale at the standard
+    parallel: k0 = (1 + sin|lat_ts|)/2 (Snyder 21-7 with k0 chosen so
+    k(lat_ts) = 1); CFPolarStereographic defaults scale_factor to 1.0
+    when neither is given (reference crs.py:1108-1113)."""
+    lat0 = float(p.get("lat_0", 90.0))
+    if abs(abs(lat0) - 90.0) > 1e-9:
+        raise ValueError(
+            f"stere: only the polar aspects are supported (lat_0 = ±90, "
+            f"got {lat0}) — the CF grid mapping is polar_stereographic"
+        )
+    sgn = 1.0 if lat0 > 0 else -1.0
+    R = float(p.get("R", R_SPHERE))
+    if p.get("lat_ts") is not None:
+        k0 = (1.0 + math.sin(math.radians(abs(float(p["lat_ts"]))))) / 2.0
+    else:
+        k0 = float(p.get("k_0", 1.0))
+    return sgn, 2.0 * R * k0, R
+
+
+def stere_sql(p: dict, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """Forward polar stereographic (sphere), Snyder 21-7..21-12:
+    rho = 2 R k0 tan(pi/4 - sgn·phi/2); x = rho sin(dl),
+    y = -sgn · rho cos(dl) (north: y decreases away from the pole)."""
+    sgn, RK2, _ = _stere_constants(p)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    rho = (
+        f"({_pf(RK2)} * tan(pi() / 4.0E0 - {_pf(sgn)} * radians({lat}) "
+        f"/ 2.0E0))"
+    )
+    dl = f"radians({_dlon_sql(lon, lon0)})"
+    x = f"({rho} * sin({dl}) + {_pf(x0)})"
+    y = f"({_pf(-sgn)} * {rho} * cos({dl}) + {_pf(y0)})"
+    return x, y
+
+
+def stere_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
+    """Inverse polar stereographic (sphere), Snyder 21-14..21-15:
+    phi = sgn (pi/2 - 2 atan(rho / 2 R k0)); lambda = lambda0 +
+    atan2(x', -sgn y')."""
+    sgn, RK2, _ = _stere_constants(p)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    xp = f"(({x}) - {_pf(x0)})"
+    yp = f"(({y}) - {_pf(y0)})"
+    rho = f"sqrt({xp} * {xp} + {yp} * {yp})"
+    glat = (
+        f"({_pf(sgn)} * degrees(pi() / 2.0E0 - 2.0E0 * "
+        f"atan({rho} / {_pf(RK2)})))"
+    )
+    glon = f"(degrees(atan2({xp}, {_pf(-sgn)} * {yp})) + {_pf(lon0)})"
+    return glon, glat
+
+
+#: proj name -> (forward emitter lon/lat->x/y, inverse emitter x/y->lon/lat)
+_PARAM_PROJS = {
+    "lcc": (lcc_sql, lcc_inv_sql),
+    "aea": (aea_sql, aea_inv_sql),
+    "stere": (stere_sql, stere_inv_sql),
+}
+
+
+def _is_geographic(crs) -> bool:
+    if isinstance(crs, dict):
+        return crs.get("proj") in ("longlat", "latlong")
+    return _norm_crs(crs) == "EPSG:4326"
+
+
+def transform_param_crs(
+    df: DataFrame,
+    params: dict,
+    lon: str = "lon",
+    lat: str = "lat",
+    out_x: str = "x",
+    out_y: str = "y",
+    inverse: bool = False,
+) -> DataFrame:
+    """Apply one parametric conic/polar projection (or its inverse) as
+    native Catalyst columns. ``params`` is a PROJ-style dict, e.g.
+    ``{'proj': 'lcc', 'lat_1': 30, 'lat_2': 60, 'lat_0': 47.5,
+    'lon_0': -97, 'x_0': 0, 'y_0': 0}``."""
+    proj = params.get("proj")
+    if proj not in _PARAM_PROJS:
+        raise NotImplementedError(
+            f"parametric proj {proj!r} not supported (native: "
+            f"{sorted(_PARAM_PROJS)})"
+        )
+    fwd, inv = _PARAM_PROJS[proj]
+    if inverse:
+        ex, ey = inv(params, x=lon, y=lat)
+    else:
+        ex, ey = fwd(params, lon=lon, lat=lat)
+    return df.withColumn(out_x, F.expr(ex)).withColumn(out_y, F.expr(ey))

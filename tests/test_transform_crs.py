@@ -82,3 +82,215 @@ def test_pyproj_generic_path(spark, coords):
         ex, ey = tr.transform(r["lon"], r["lat"])
         assert r["x"] == pytest.approx(ex, rel=1e-12)
         assert r["y"] == pytest.approx(ey, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# CF conic / polar family (r4): Snyder-sphere closed forms as native
+# Catalyst columns (reference CFLambertConformal crs.py:1082,
+# CFAlbersEqualArea crs.py:1071, CFPolarStereographic crs.py:1100)
+# ---------------------------------------------------------------------------
+
+LCC_NARCCAP = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
+               "lon_0": -97.0, "x_0": 3325000.0, "y_0": 2700000.0}
+AEA_CONUS = {"proj": "aea", "lat_1": 29.5, "lat_2": 45.5, "lat_0": 23.0,
+             "lon_0": -96.0}
+STERE_N = {"proj": "stere", "lat_0": 90.0, "lon_0": -45.0, "lat_ts": 70.0}
+STERE_S = {"proj": "stere", "lat_0": -90.0, "lon_0": 0.0, "k_0": 0.97276}
+
+
+def test_lcc_constants_match_snyder_example():
+    # Snyder (1987) p. 295 sphere example: R=1, lat_1=33, lat_2=45,
+    # lat_0=23, lon_0=-96; published n=0.6304777, F=1.9550002,
+    # rho_0=1.5071429
+    p = {"proj": "lcc", "lat_1": 33.0, "lat_2": 45.0, "lat_0": 23.0,
+         "lon_0": -96.0, "R": 1.0}
+    n, RF, rho0, _ = crs._lcc_constants(p)
+    assert n == pytest.approx(0.6304777, abs=1e-7)
+    assert RF == pytest.approx(1.9550002, abs=1e-7)
+    assert rho0 == pytest.approx(1.5071429, abs=1e-7)
+
+
+def test_lcc_forward_matches_snyder_example(spark):
+    # point (35 N, 75 W) -> x=0.2966785, y=0.2462112 (Snyder p. 295)
+    p = {"proj": "lcc", "lat_1": 33.0, "lat_2": 45.0, "lat_0": 23.0,
+         "lon_0": -96.0, "R": 1.0}
+    df = spark.createDataFrame([(-75.0, 35.0)], "lon double, lat double")
+    r = crs.transform_crs(df, "EPSG:4326", p).collect()[0]
+    assert r["x"] == pytest.approx(0.2966785, abs=1e-7)
+    assert r["y"] == pytest.approx(0.2462112, abs=1e-7)
+
+
+def test_aea_forward_matches_snyder_example(spark):
+    # Snyder p. 291 sphere example -> x=0.2952720, y=0.2416774
+    p = dict(AEA_CONUS, R=1.0)
+    df = spark.createDataFrame([(-75.0, 35.0)], "lon double, lat double")
+    r = crs.transform_crs(df, "EPSG:4326", p).collect()[0]
+    assert r["x"] == pytest.approx(0.2952720, abs=1e-7)
+    assert r["y"] == pytest.approx(0.2416774, abs=1e-7)
+
+
+@pytest.mark.parametrize("p", [LCC_NARCCAP, AEA_CONUS, STERE_N, STERE_S])
+def test_param_crs_round_trip(spark, p):
+    pts = [(-105.3, 38.2), (-101.5, 36.5), (-97.0, 47.5), (-75.0, 35.0),
+           (-39.0, 62.0), (10.0, -70.0) if p is STERE_S else (20.0, 55.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = crs.transform_crs(df, "EPSG:4326", p)
+    back = crs.transform_crs(
+        fwd, p, "EPSG:4326", lon="x", lat="y", out_x="lon2", out_y="lat2"
+    )
+    for r in back.collect():
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
+
+
+def test_aea_preserves_area(spark):
+    # equal-area property: a 0.1° cell projected to AEA planar coords has
+    # area == R² · spherical cell area (the defining invariant)
+    import numpy as np
+
+    p = AEA_CONUS
+    R = crs.R_SPHERE
+    lon0, lat0, d = -102.35, 39.15, 0.1
+    corners = [(lon0, lat0), (lon0 + d, lat0), (lon0 + d, lat0 + d),
+               (lon0, lat0 + d)]
+    df = spark.createDataFrame(corners, "lon double, lat double")
+    xy = [(r["x"], r["y"])
+          for r in crs.transform_crs(df, "EPSG:4326", p).collect()]
+    # planar polygon area (shoelace)
+    a = 0.0
+    for i in range(4):
+        x1, y1 = xy[i]
+        x2, y2 = xy[(i + 1) % 4]
+        a += x1 * y2 - x2 * y1
+    planar = abs(a) / 2.0
+    spherical = (
+        R * R * math.radians(d)
+        * (math.sin(math.radians(lat0 + d)) - math.sin(math.radians(lat0)))
+    )
+    assert planar == pytest.approx(spherical, rel=1e-6)
+
+
+def test_lcc_conformal_scale_true_at_standard_parallels(spark):
+    # k = n·rho / (R·cos(phi)) must be 1 exactly at lat_1 and lat_2
+    p = LCC_NARCCAP
+    n, RF, _, R = crs._lcc_constants(p)
+    for lat in (p["lat_1"], p["lat_2"]):
+        rho = RF / math.tan(math.pi / 4 + math.radians(lat) / 2) ** n
+        k = n * rho / (R * math.cos(math.radians(lat)))
+        assert k == pytest.approx(1.0, rel=1e-12)
+
+
+def test_stere_true_scale_at_lat_ts():
+    # k = 2k0 / (1 + sin(phi)) == 1 at the standard parallel
+    sgn, RK2, R = crs._stere_constants(STERE_N)
+    k0 = RK2 / (2 * R)
+    assert 2 * k0 / (1 + math.sin(math.radians(70.0))) == pytest.approx(
+        1.0, rel=1e-12
+    )
+
+
+def test_param_sql_is_dialect_neutral():
+    # the SAME SQL strings that back the Catalyst columns run in DuckDB
+    # and agree to the last ulp-ish with Spark (oracle-twin guarantee)
+    import duckdb
+
+    from ocgis_spark.session import get_spark
+
+    spark = get_spark(cpus=2)
+    pts = [(-105.3, 38.2), (-97.0, 47.5), (-39.0, 82.0), (-101.5, 36.5)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ", ".join(f"(CAST({x} AS DOUBLE), CAST({y} AS DOUBLE))"
+                    for x, y in pts)
+        + ") t(lon, lat)"
+    )
+    sdf = spark.createDataFrame(pts, "lon double, lat double")
+    for p in (LCC_NARCCAP, AEA_CONUS, STERE_N):
+        emit = crs._PARAM_PROJS[p["proj"]][0]
+        ex, ey = emit(p)
+        duck = con.execute(
+            f"SELECT {ex} AS x, {ey} AS y FROM pts ORDER BY lon"
+        ).fetchall()
+        got = sorted(
+            (r["x"], r["y"])
+            for r in sdf.selectExpr(f"{ex} AS x", f"{ey} AS y", "lon")
+            .collect()
+        )
+        for (dx, dy), (sx, sy) in zip(sorted(duck), got):
+            assert sx == pytest.approx(dx, abs=1e-6)
+            assert sy == pytest.approx(dy, abs=1e-6)
+
+
+def test_param_crs_plan_is_pure_codegen(spark):
+    df = spark.createDataFrame([(-97.0, 45.0)], "lon double, lat double")
+    plan = crs.transform_crs(df, "EPSG:4326", LCC_NARCCAP)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stere_rejects_non_polar():
+    with pytest.raises(ValueError, match="polar"):
+        crs._stere_constants({"proj": "stere", "lat_0": 45.0})
+
+
+def test_crs_from_cf_attrs_mappings():
+    from ocgis_spark.ncmodel import crs_from_cf_attrs
+
+    lcc = crs_from_cf_attrs({
+        "grid_mapping_name": "lambert_conformal_conic",
+        "standard_parallel": [30.0, 60.0],
+        "longitude_of_central_meridian": -97.0,
+        "latitude_of_projection_origin": 47.5,
+        "false_easting": 3325000.0, "false_northing": 2700000.0,
+    })
+    assert lcc == {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0,
+                   "lat_0": 47.5, "lon_0": -97.0,
+                   "x_0": 3325000.0, "y_0": 2700000.0}
+    # scalar standard_parallel -> lat_1 == lat_2 (tangent cone)
+    aea = crs_from_cf_attrs({
+        "grid_mapping_name": "albers_conical_equal_area",
+        "standard_parallel": 50.0,
+    })
+    assert aea["lat_1"] == aea["lat_2"] == 50.0
+    st = crs_from_cf_attrs({
+        "grid_mapping_name": "polar_stereographic",
+        "standard_parallel": 71.0,
+        "straight_vertical_longitude_from_pole": -39.0,
+        "latitude_of_projection_origin": 90.0,
+    })
+    assert st["proj"] == "stere" and st["lat_ts"] == 71.0
+    rp = crs_from_cf_attrs({
+        "grid_mapping_name": "rotated_latitude_longitude",
+        "grid_north_pole_longitude": -162.0,
+        "grid_north_pole_latitude": 39.25,
+    })
+    assert rp["proj"] == "rotated_pole"
+    assert crs_from_cf_attrs({"grid_mapping_name": "latitude_longitude"}) \
+        == "EPSG:4326"
+    with pytest.raises(NotImplementedError, match="geostationary"):
+        crs_from_cf_attrs({"grid_mapping_name": "geostationary"})
+
+
+def test_cf_attrs_end_to_end_transform(spark):
+    # CF attrs -> spec -> native transform -> round trip (the NARCCAP
+    # day-one path: subset a Lambert-conformal file)
+    from ocgis_spark.ncmodel import crs_from_cf_attrs
+
+    spec = crs_from_cf_attrs({
+        "grid_mapping_name": "lambert_conformal_conic",
+        "standard_parallel": [30.0, 60.0],
+        "longitude_of_central_meridian": -97.0,
+        "latitude_of_projection_origin": 47.5,
+    })
+    df = spark.createDataFrame(
+        [(-105.3, 38.2), (-89.0, 44.0)], "lon double, lat double"
+    )
+    back = crs.transform_crs(
+        crs.transform_crs(df, "EPSG:4326", spec), spec, "EPSG:4326",
+        lon="x", lat="y", out_x="lon2", out_y="lat2",
+    )
+    for r in back.collect():
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
