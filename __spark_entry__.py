@@ -1001,6 +1001,45 @@ def q_transform_mercator(spark, sf_dir):
     )
 
 
+#: custom seasonal partition shared by query + oracle: one interannual
+#: set (Nov-Dec-Jan) + one plain set, with the 'unique' per-start-year
+#: split (reference calc_grouping seasonal lists + flags,
+#: variable/temporal.py:467-597,661-692)
+_CUSTOM_SEASONS = [[11, 12, 1], [2, 3, 4]]
+
+
+def q_group_season_custom(spark, sf_dir):
+    """Arbitrary seasonal month-sets with the 'unique' flag: Nov-Dec-Jan
+    crosses the year boundary (Dec-Y groups with Jan-(Y+1), keyed by the
+    start year; incomplete boundary seasons dropped), Feb-Mar-Apr stays
+    calendar-year — the reference's general calc_grouping seasonal path
+    (temporal.py:467-597, 661-692, 1008-1090)."""
+    orders = _read(spark, sf_dir, "orders")
+    out = temporal.group_custom_seasons(
+        orders, _CUSTOM_SEASONS, ts="o_orderdate", value="o_totalprice",
+        year_flag="unique",
+    )
+    return out.select(
+        "season", "season_year", "n",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+def _group_season_custom_sql() -> str:
+    lab, sy = temporal.custom_season_sql(
+        _CUSTOM_SEASONS, "o_orderdate", "start"
+    )
+    return (
+        "SELECT season, season_year, n, mean_value FROM ("
+        "SELECT season, season_year, CAST(count(*) AS BIGINT) AS n, "
+        "round(avg(v), 6) AS mean_value, count(DISTINCT m) AS nm FROM ("
+        f"SELECT {lab} AS season, {sy} AS season_year, "
+        "o_totalprice AS v, month(o_orderdate) AS m FROM orders "
+        f"WHERE {lab} IS NOT NULL) t GROUP BY season, season_year) g "
+        "WHERE CASE WHEN season = '11-12-1' THEN nm = 3 ELSE TRUE END"
+    )
+
+
 #: CF conic/polar parameter dicts shared by queries + oracles (reference
 #: CFLambertConformal/CFAlbersEqualArea/CFPolarStereographic,
 #: variable/crs.py:1071-1113) — NARCCAP-style Lambert, CONUS Albers,
@@ -2934,6 +2973,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN wp ON e.user_id = wp.user_id GROUP BY e.user_id"
         ),
         "agg_selection_clip": _agg_selection_clip_sql(),
+        "group_season_custom": _group_season_custom_sql(),
         "transform_lcc": _transform_param_sql(_LCC_NARCCAP),
         "transform_albers": _transform_param_sql(_AEA_CONUS),
         "transform_stereo": _transform_param_sql(_STERE_N70),
@@ -3162,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_lcc": q_transform_lcc,
         "transform_albers": q_transform_albers,
         "transform_stereo": q_transform_stereo,
+        "group_season_custom": q_group_season_custom,
         # ---- driver window boundary (~50) ----
         "regrid_nonuniform": q_regrid_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,

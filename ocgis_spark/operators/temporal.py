@@ -187,3 +187,175 @@ def freq_perc(
     return df.groupBy(*keys).agg(
         F.percentile(value, F.lit(percentile)).alias("perc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary seasonal month-sets + 'year'/'unique' flags — the reference's
+# general calc_grouping seasonal path (``variable/temporal.py:467-597``
+# [_get_grouping_other_ seasonal branch], ``:661-692``
+# [_get_grouping_seasonal_unique_], ``:918-931`` [get_is_interannual],
+# ``:1008-1090`` [get_time_regions interannual year split]). The repo's
+# canonical DJF/MAM/JJA/SON fast path stays in season_expr; these handle
+# any disjoint month partition, e.g. [[11, 12, 1], [2, 3, 4]].
+# ---------------------------------------------------------------------------
+
+_CANONICAL_SEASONS = {
+    frozenset([12, 1, 2]): "DJF", frozenset([3, 4, 5]): "MAM",
+    frozenset([6, 7, 8]): "JJA", frozenset([9, 10, 11]): "SON",
+}
+
+
+def season_label_of(months) -> str:
+    """Stable label for one month set: the canonical name when the set is
+    a canonical season, else the months joined in the given order."""
+    return _CANONICAL_SEASONS.get(
+        frozenset(int(m) for m in months)
+    ) or "-".join(str(int(m)) for m in months)
+
+
+def _validate_month_sets(month_sets) -> list[list[int]]:
+    sets = [[int(m) for m in s] for s in month_sets]
+    seen: set[int] = set()
+    for s in sets:
+        if not s:
+            raise ValueError("empty season month set")
+        for m in s:
+            if not 1 <= m <= 12:
+                raise ValueError(f"month {m} outside 1..12")
+            if m in seen:
+                raise ValueError(
+                    f"month {m} appears in more than one season set "
+                    "(seasons must partition months)"
+                )
+            seen.add(m)
+    return sets
+
+
+def is_interannual(months) -> bool:
+    """True when a season crosses the year boundary
+    (``get_is_interannual``, temporal.py:918-931): contains 12 AND 1."""
+    s = {int(m) for m in months}
+    return 12 in s and 1 in s
+
+
+def _head_months(months) -> list[int]:
+    """The January-side run of an interannual season — the months that
+    belong to the FOLLOWING calendar year (get_time_regions splits the
+    descending-sorted season at the first gap > 1, temporal.py:1038-1049:
+    e.g. [11, 12, 1, 2] → year-Y part [11, 12], year-Y+1 part [1, 2])."""
+    head: list[int] = []
+    for m in sorted({int(x) for x in months}):
+        if m == (head[-1] + 1 if head else 1):
+            head.append(m)
+        else:
+            break
+    return head
+
+
+def custom_season_expr(
+    month_sets, ts: str = "ts", year_mode: str | None = None
+):
+    """(label, year) Columns for an arbitrary disjoint month partition.
+
+    ``year_mode``:
+
+    * ``None`` — no year column (reference plain seasonal grouping pools
+      all years per season, temporal.py:552-570);
+    * ``'calendar'`` — the row's calendar year (the reference ``'year'``
+      flag matches rows on their own year with NO wrap shift,
+      temporal.py:556-563);
+    * ``'start'`` — the season's starting year (the ``'unique'`` flag's
+      interannual split: Dec-Y + Jan/Feb-(Y+1) form the group keyed by
+      Y, temporal.py:1028-1049), i.e. January-side months map to
+      ``year - 1``.
+    """
+    sets = _validate_month_sets(month_sets)
+    m = F.month(ts)
+    label = F.lit(None).cast("string")
+    for s in sets:
+        label = F.when(m.isin(*s), F.lit(season_label_of(s))).otherwise(label)
+    if year_mode is None:
+        return label, None
+    if year_mode == "calendar":
+        return label, F.year(ts)
+    if year_mode != "start":
+        raise ValueError(f"year_mode {year_mode!r}: None|'calendar'|'start'")
+    shift = F.lit(0)
+    for s in sets:
+        if is_interannual(s):
+            head = _head_months(s)
+            if head:
+                shift = F.when(m.isin(*head), F.lit(-1)).otherwise(shift)
+    return label, F.year(ts) + shift
+
+
+def custom_season_sql(
+    month_sets, ts: str = "ts", year_mode: str | None = None
+) -> tuple[str, str | None]:
+    """Dialect-neutral SQL twin of :func:`custom_season_expr` (the DuckDB
+    oracle runs the identical strings)."""
+    sets = _validate_month_sets(month_sets)
+    cases = " ".join(
+        f"WHEN month({ts}) IN ({', '.join(str(m) for m in s)}) "
+        f"THEN '{season_label_of(s)}'"
+        for s in sets
+    )
+    label = f"(CASE {cases} END)"
+    if year_mode is None:
+        return label, None
+    if year_mode == "calendar":
+        return label, f"CAST(year({ts}) AS INT)"
+    shifts = []
+    for s in sets:
+        if is_interannual(s):
+            head = _head_months(s)
+            if head:
+                shifts.append(
+                    f"WHEN month({ts}) IN ({', '.join(map(str, head))}) "
+                    f"THEN -1"
+                )
+    shift = f"(CASE {' '.join(shifts)} ELSE 0 END)" if shifts else "0"
+    return label, f"(CAST(year({ts}) AS INT) + {shift})"
+
+
+def group_custom_seasons(
+    df: DataFrame,
+    month_sets,
+    ts: str = "ts",
+    value: str = "value",
+    year_flag: str | None = None,
+) -> DataFrame:
+    """Seasonal aggregation over an arbitrary month partition — count +
+    mean per group, mirroring :func:`group_season`.
+
+    ``year_flag``: ``None`` pools years per season; ``'year'`` groups by
+    (season, calendar year); ``'unique'`` groups by (season, season
+    start-year) with the interannual Dec→Jan year split AND drops
+    incomplete interannual groups (a wrapped season at the data boundary
+    missing its December-side or January-side months — the reference
+    skips those via get_time_regions' IndexError path,
+    temporal.py:1049-1057; we require every month of the season present,
+    which coincides on contiguous data and is exactly expressible
+    relationally)."""
+    sets = _validate_month_sets(month_sets)
+    mode = {None: None, "year": "calendar", "unique": "start"}[year_flag]
+    label, syear = custom_season_expr(sets, ts, year_mode=mode)
+    out = df.withColumn("season", label).filter(F.col("season").isNotNull())
+    keys = ["season"]
+    if syear is not None:
+        out = out.withColumn("season_year", syear)
+        keys.append("season_year")
+    agg = out.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value).alias("mean_value"),
+        F.countDistinct(F.month(ts)).alias("_nm"),
+    )
+    if year_flag == "unique":
+        need = F.lit(None).cast("int")
+        for s in sets:
+            if is_interannual(s):
+                need = F.when(
+                    F.col("season") == season_label_of(s), F.lit(len(s))
+                ).otherwise(need)
+        agg = agg.filter(need.isNull() | (F.col("_nm") == need))
+    return agg.drop("_nm")

@@ -645,17 +645,53 @@ class OcgOperations:
             return df, keys
         if isinstance(g, str):
             g = [g]
-        if isinstance(g[0], (list, tuple)):  # season lists, e.g. [[12,1,2],...]
-            label, syear = temporal.season_expr(ts)
-            df = df.withColumn("season", label).withColumn("season_year", syear)
-            wanted = {
-                frozenset(s): True for s in g
-            }
-            names = {frozenset([12, 1, 2]): "DJF", frozenset([3, 4, 5]): "MAM",
-                     frozenset([6, 7, 8]): "JJA", frozenset([9, 10, 11]): "SON"}
-            labels = [names[k] for k in wanted if k in names]
-            df = df.filter(F.col("season").isin(labels))
-            return df, ["season", "season_year"]
+        if any(isinstance(s, (list, tuple)) for s in g):
+            # seasonal month-set grouping, ANY disjoint partition plus the
+            # 'year'/'unique' flags (reference temporal.py:467-597,661-692;
+            # canonical [[12,1,2],...] is just the special case)
+            sets = [s for s in g if isinstance(s, (list, tuple))]
+            flags = [s for s in g if isinstance(s, str)]
+            bad = [f for f in flags if f not in ("year", "unique")]
+            if bad:
+                raise DefinitionValidationError(
+                    f"seasonal calc_grouping flags {bad!r} invalid "
+                    "('year' | 'unique')"
+                )
+            year_flag = (
+                "unique" if "unique" in flags
+                else ("year" if "year" in flags else None)
+            )
+            mode = {None: None, "year": "calendar", "unique": "start"}[
+                year_flag
+            ]
+            label, syear = temporal.custom_season_expr(sets, ts, mode)
+            df = df.withColumn("season", label).filter(
+                F.col("season").isNotNull()
+            )
+            keys = ["season"]
+            if syear is not None:
+                df = df.withColumn("season_year", syear)
+                keys.append("season_year")
+            if year_flag == "unique":
+                # drop incomplete interannual groups (missing months at
+                # the data boundary) BEFORE the calc aggregation: one
+                # window pass sharing the group keys
+                from pyspark.sql import Window
+
+                need = F.lit(None).cast("int")
+                for s in sets:
+                    if temporal.is_interannual(s):
+                        need = F.when(
+                            F.col("season")
+                            == temporal.season_label_of(s),
+                            F.lit(len(list(s))),
+                        ).otherwise(need)
+                w = Window.partitionBy(*keys)
+                nm = F.size(F.collect_set(F.month(ts)).over(w))
+                df = df.withColumn("_nm", nm).filter(
+                    need.isNull() | (F.col("_nm") == need)
+                ).drop("_nm")
+            return df, keys
         keys = []
         fns = {"year": F.year, "month": F.month, "day": F.dayofmonth,
                "hour": F.hour}

@@ -336,3 +336,122 @@ def test_knn_eager_leaves_no_cache(spark):
     assert out.count() == 4
     after = jsc.getPersistentRDDs().size()
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary seasonal month-sets + 'year'/'unique' flags (r4; reference
+# calc_grouping seasonal path, variable/temporal.py:467-597, 661-692)
+# ---------------------------------------------------------------------------
+
+
+def _monthly_df(spark, years=(2000, 2001, 2002)):
+    # one row per (year, month), value = month number
+    rows = [
+        (f"{y}-{m:02d}-15 00:00:00", float(m))
+        for y in years for m in range(1, 13)
+    ]
+    return spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+
+
+def test_custom_seasons_pooled_across_years(spark):
+    out = {
+        r["season"]: (r["n"], r["mean_value"])
+        for r in temporal.group_custom_seasons(
+            _monthly_df(spark), [[1, 2, 3], [4, 5, 6]], year_flag=None
+        ).collect()
+    }
+    # plain seasonal grouping pools every year (temporal.py:552-570)
+    assert out["1-2-3"] == (9, pytest.approx(2.0))
+    assert out["4-5-6"] == (9, pytest.approx(5.0))
+
+
+def test_custom_seasons_year_flag_is_calendar_year(spark):
+    # the reference 'year' flag matches rows on their OWN calendar year —
+    # no Dec→Jan shift (temporal.py:556-563): Dec-2000 groups with
+    # Jan/Feb-2000, not 2001
+    out = {
+        (r["season"], r["season_year"]): r["n"]
+        for r in temporal.group_custom_seasons(
+            _monthly_df(spark), [[12, 1, 2]], year_flag="year"
+        ).collect()
+    }
+    assert out[("DJF", 2000)] == 3 and out[("DJF", 2002)] == 3
+
+
+def test_custom_seasons_unique_interannual_split(spark):
+    # 'unique': Dec-Y + Jan/Feb-(Y+1) keyed by start year Y
+    # (get_time_regions split, temporal.py:1028-1049); boundary seasons
+    # missing a month are dropped (start-1999 lacks Dec-1999, start-2002
+    # lacks Jan/Feb-2003)
+    out = {
+        (r["season"], r["season_year"]): r["n"]
+        for r in temporal.group_custom_seasons(
+            _monthly_df(spark), [[12, 1, 2]], year_flag="unique"
+        ).collect()
+    }
+    assert set(out) == {("DJF", 2000), ("DJF", 2001)}
+    assert all(n == 3 for n in out.values())
+
+
+def test_custom_seasons_non_canonical_with_unique(spark):
+    # [[11,12,1],[2,3,4]]: first set interannual (head run = [1]),
+    # second plain — plain sets keep every (season, year) pair
+    out = {
+        (r["season"], r["season_year"]): r["n"]
+        for r in temporal.group_custom_seasons(
+            _monthly_df(spark), [[11, 12, 1], [2, 3, 4]],
+            year_flag="unique",
+        ).collect()
+    }
+    assert out[("11-12-1", 2000)] == 3  # Nov,Dec-2000 + Jan-2001
+    assert ("11-12-1", 1999) not in out  # Jan-2000 alone: incomplete
+    assert ("11-12-1", 2002) not in out  # Nov,Dec-2002 alone: incomplete
+    assert out[("2-3-4", 2000)] == 3 and out[("2-3-4", 2002)] == 3
+
+
+def test_custom_seasons_sorted_seasons_golden():
+    # get_sorted_seasons doctest golden (temporal.py:981-1005): sorting
+    # by max month orders [[9,10,11],[12,1,2],[6,7,8]] as JJA, SON, DJF;
+    # our labels are order-independent, so assert the label mapping the
+    # reference's sort relies on
+    assert temporal.season_label_of([9, 10, 11]) == "SON"
+    assert temporal.season_label_of([12, 1, 2]) == "DJF"
+    assert temporal.season_label_of([6, 7, 8]) == "JJA"
+    assert temporal.is_interannual([12, 1, 2]) and not temporal.is_interannual(
+        [9, 10, 11]
+    )
+    # interannual split golden (temporal.py:1038-1049): [11,12,1,2] →
+    # year-Y months [11,12], year-Y+1 months [1,2]
+    assert temporal._head_months([11, 12, 1, 2]) == [1, 2]
+
+
+def test_custom_seasons_validation():
+    with pytest.raises(ValueError, match="more than one"):
+        temporal._validate_month_sets([[1, 2], [2, 3]])
+    with pytest.raises(ValueError, match="outside"):
+        temporal._validate_month_sets([[0, 1]])
+
+
+def test_facade_custom_seasons_unique(spark):
+    from ocgis_spark.ops import DefinitionValidationError, OcgOperations
+    from ocgis_spark.request import Field
+
+    df = _monthly_df(spark)
+    field = Field(df=df, dimension_map={"time": "ts"})
+    out = OcgOperations(
+        dataset=field,
+        calc=[{"func": "mean", "name": "mean"}],
+        calc_grouping=[[12, 1, 2], "unique"],
+    ).execute(spark)
+    got = {
+        (r["season"], r["season_year"]): r["mean"] for r in out.collect()
+    }
+    assert set(got) == {("DJF", 2000), ("DJF", 2001)}
+    assert got[("DJF", 2000)] == pytest.approx((12.0 + 1.0 + 2.0) / 3)
+    with pytest.raises(DefinitionValidationError, match="invalid"):
+        OcgOperations(
+            dataset=field, calc=[{"func": "mean", "name": "mean"}],
+            calc_grouping=[[1, 2, 3], "bogus"],
+        ).execute(spark)
