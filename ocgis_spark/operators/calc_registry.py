@@ -127,6 +127,36 @@ def _anomaly(df, keys, value="value", group_expr="extract(month from ts)", **_):
     return trend_mod.anomaly(df, keys, group_expr, value)
 
 
+@register("hll_distinct")
+def _hll_distinct(df, keys, value="value", ts="ts", **_):
+    """Approximate per-key distinct count via the mergeable HLL-shape
+    register sketch (operators/sketch.py) — the 100-TB COUNT(DISTINCT)
+    replacement: per-partition state is at most m rows per key, sketches
+    from separate batches merge with a groupBy max. Facade-reachable so
+    users never import operators.sketch directly (VERDICT r3 #8)."""
+    from . import sketch as sketch_mod
+
+    return sketch_mod.hll_estimate(
+        sketch_mod.hll_sketch(df, keys, value), keys
+    )
+
+
+@register("approx_quantile_hist")
+def _approx_quantile_hist(
+    df, keys, value="value", ts="ts", percentile=0.9,
+    lo=0.0, hi=100.0, bins=512, **_,
+):
+    """Bounded-memory per-key quantile via the fixed-bin histogram sketch
+    (operators/sketch.py): ≤ bins rows per key reach the shuffle instead
+    of a full-value sort — the scale path for DailyPercentile-style
+    percentiles (reference calc/library/statistics.py:138+)."""
+    from . import sketch as sketch_mod
+
+    return sketch_mod.histogram_quantile(
+        df, keys, value, percentile, lo, hi, bins=bins
+    )
+
+
 @register("duration")
 def _duration(df, keys, value="value", threshold=0.0, operation="gt",
               summary="max", ts="ts", tiebreak=None, **_):

@@ -172,6 +172,18 @@ class OcgOperations:
             raise DefinitionValidationError(
                 "calc_raw=True requires aggregate=True and calc"
             )
+        if self.regrid_options is not None:
+            method = self.regrid_options.get("regrid_method", "conservative")
+            if method not in ("conservative", "bilinear", "nearest_stod"):
+                # reference users also pass 'patch' (ESMF patch recovery,
+                # regrid/base.py:646-700) — documented n/a in SURVEY (needs
+                # ESMF's finite-element machinery); fail loudly at
+                # validation, not KeyError mid-plan (VERDICT r3 #7)
+                raise DefinitionValidationError(
+                    f"regrid_method {method!r} is not supported "
+                    "(supported: conservative | bilinear | nearest_stod; "
+                    "'patch' needs ESMF patch recovery — see SURVEY §2.3)"
+                )
         if self.conform_units_to is not None:
             if not (
                 isinstance(self.conform_units_to, (tuple, list))

@@ -280,3 +280,35 @@ def test_facade_vector_grid_select_nearest(spark):
         if d < bd or (d == bd and (r.vcy, r.vcx) < best):
             best, bd = (r.vcy, r.vcx), d
     assert (out["vcy"].iloc[0], out["vcx"].iloc[0]) == best
+
+
+def test_regrid_patch_rejected_at_validation(golden_field):
+    with pytest.raises(DefinitionValidationError, match="patch"):
+        OcgOperations(
+            dataset=golden_field,
+            regrid_options={"regrid_method": "patch"},
+        )
+
+
+def test_sketch_calcs_reachable_via_registry(spark):
+    # VERDICT r3 #8: hll_distinct / approx_quantile_hist as facade calcs
+    from ocgis_spark.operators import calc_registry
+
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("k"),
+        (F.col("id") % 700).cast("double").alias("value"),
+    )
+    est = {
+        r["k"]: r["est_distinct"]
+        for r in calc_registry.get("hll_distinct")(df, ["k"]).collect()
+    }
+    for k in (0, 1):
+        assert est[k] == pytest.approx(700 / 2, rel=0.25)
+    q = {
+        r["k"]: r["quantile"]
+        for r in calc_registry.get("approx_quantile_hist")(
+            df, ["k"], percentile=0.5, lo=0.0, hi=700.0, bins=700
+        ).collect()
+    }
+    # exact: nearest-rank median of (id % 700) per parity + bin midpoint
+    assert q[0] == pytest.approx(342.5) and q[1] == pytest.approx(343.5)
