@@ -30,10 +30,12 @@ def get_converter_map() -> dict[str, object]:
         "meta-json": convert_meta_only,
         "geojson": convert_geojson,
         "shapefile": convert_shapefile,
+        "csv-shp": convert_csv_shp,
     }
 
 
-def _write_meta(df: DataFrame, path: str, fmt: str, ops_doc: dict | None) -> str:
+def _write_meta(df: DataFrame, path: str, fmt: str, ops_doc: dict | None,
+                extra: dict | None = None) -> str:
     meta = {
         "format": fmt,
         "path": path,
@@ -42,6 +44,8 @@ def _write_meta(df: DataFrame, path: str, fmt: str, ops_doc: dict | None) -> str
         "written_at": time.time(),
         "operations": ops_doc or {},
     }
+    if extra:
+        meta.update(extra)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     meta_path = path.rstrip("/") + ".conv_meta.json"
     with open(meta_path, "w") as f:
@@ -140,3 +144,91 @@ def convert_shapefile(df: DataFrame, path: str, ops_doc=None,
     SHP.write_shapefile(path, geoms, attrs)
     _write_meta(df, path, "shapefile", ops_doc)
     return path + ".shp"
+
+
+def convert_csv_shp(df: DataFrame, path: str, ops_doc=None,
+                    geom_col: str = "geom", ugid_col: str = "ugid"):
+    """CSV + companion-shapefile sink — the reference's
+    CsvShapefileConverter (``conv/csv_.py:18-129``): tabular rows go to
+    a CSV keyed by GID; geometry is factored out ONCE per distinct shape
+    into ``<path>_shp/<basename>_gid.shp`` (attrs GID [+ UGID]), and,
+    when a UGID selection column is present,
+    ``<path>_shp/<basename>_ugid.shp`` holds one multi-part record per
+    selection id. The conv_meta record links all three artifacts.
+
+    Scale posture: the CSV write stays fully distributed; only the
+    DISTINCT geometry set is collected driver-side (selection-sized —
+    the same posture as ``convert_shapefile``: a shapefile is a single
+    seekable triplet)."""
+    from pyspark.sql import functions as F
+
+    from .geo import shp as SHP
+    from .geo import wkb as WKB
+
+    if geom_col not in df.columns:
+        raise ValueError(
+            f"csv-shp needs a {geom_col!r} WKB geometry column "
+            "(attach cell/selection geometry before converting)"
+        )
+    has_ugid = ugid_col in df.columns
+
+    # distinct geometries (+ their selection id when present), collected
+    # driver-side; GID = dense id over byte-sorted WKB (deterministic
+    # under any partitioning)
+    sel = [ugid_col, geom_col] if has_ugid else [geom_col]
+    rows = df.select(*sel).distinct().collect()
+    by_geom: dict[bytes, dict] = {}
+    for r in rows:
+        g = bytes(r[geom_col])
+        e = by_geom.setdefault(g, {"ugids": set()})
+        if has_ugid and r[ugid_col] is not None:
+            e["ugids"].add(int(r[ugid_col]))
+    wkbs = sorted(by_geom)
+    gid_of = {g: i + 1 for i, g in enumerate(wkbs)}
+
+    # companion 1: per-geometry GID shapefile (reference <prefix>_gid.shp)
+    base = os.path.basename(path.rstrip("/"))
+    shp_dir = path.rstrip("/") + "_shp"
+    os.makedirs(shp_dir, exist_ok=True)
+    gid_base = os.path.join(shp_dir, base + "_gid")
+    attrs = []
+    for g in wkbs:
+        a = {"GID": gid_of[g]}
+        if has_ugid:
+            a["UGID"] = min(by_geom[g]["ugids"]) if by_geom[g]["ugids"] else 0
+        attrs.append(a)
+    SHP.write_shapefile(gid_base, wkbs, attrs)
+
+    # companion 2: per-UGID multi-part selection shapefile
+    ugid_base = None
+    if has_ugid:
+        parts: dict[int, list] = {}
+        for g in wkbs:
+            for u in by_geom[g]["ugids"]:
+                kind, data = WKB.parse_wkb(g)
+                polys = [data] if kind == "polygon" else list(data)
+                parts.setdefault(u, []).extend(polys)
+        ugids = sorted(parts)
+        ugid_base = os.path.join(shp_dir, base + "_ugid")
+        SHP.write_shapefile(
+            ugid_base,
+            [WKB.multipolygon_to_wkb(parts[u]) for u in ugids],
+            [{"UGID": u} for u in ugids],
+        )
+
+    # the CSV: geometry binary replaced by its GID (broadcast equi-join
+    # on the WKB bytes — the dim side is the distinct-geometry set)
+    spark = df.sparkSession
+    gid_df = spark.createDataFrame(
+        [(bytearray(g), i) for g, i in gid_of.items()],
+        f"{geom_col} binary, GID int",
+    )
+    keep = [c for c in df.columns if c != geom_col]
+    out = df.join(F.broadcast(gid_df), geom_col, "left").select("GID", *keep)
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+    companions = {"gid_shp": gid_base + ".shp"}
+    if ugid_base:
+        companions["ugid_shp"] = ugid_base + ".shp"
+    _write_meta(out, path, "csv-shp", ops_doc, extra={"companions": companions})
+    return path

@@ -244,3 +244,67 @@ def test_ops_facade_shapefile_agg_selection(spark, tmp_path):
     # union of the two overlapping 2x2 blocks = 7 distinct cells, deduped
     assert "ugid" not in out.columns
     assert out.count() == 7
+
+
+def test_csv_shp_companion_roundtrip(spark, tmp_path):
+    """csv-shp sink (CsvShapefileConverter parity, conv/csv_.py:18-129):
+    CSV keyed by GID + companion _gid.shp/_ugid.shp that read back
+    through the independent parser with matching geometry + attrs."""
+    import csv as csvmod
+    import glob
+
+    from ocgis_spark import conv
+    from ocgis_spark.geo import shp as SHP
+    from ocgis_spark.geo import wkb as WKB
+
+    boxes = {1: (0.0, 0.0, 1.0, 1.0), 2: (2.0, 0.0, 3.0, 1.5)}
+    rows = []
+    for ugid, b in boxes.items():
+        for t in range(3):
+            rows.append((ugid, f"2000-01-0{t+1}", float(ugid * 10 + t),
+                         bytearray(WKB.box_to_wkb(*b))))
+    df = spark.createDataFrame(
+        rows, "ugid int, ts string, value double, geom binary"
+    )
+    out = str(tmp_path / "csvshp")
+    conv.convert_csv_shp(df, out)
+
+    # CSV: GID column replaces the geometry binary; 6 data rows
+    got = []
+    for f in glob.glob(out + "/part-*.csv"):
+        with open(f) as fh:
+            got += list(csvmod.DictReader(fh))
+    assert len(got) == 6
+    assert set(got[0]) == {"GID", "ugid", "ts", "value"}
+    gid_by_ugid = {int(r["ugid"]): int(r["GID"]) for r in got}
+    assert len(set(gid_by_ugid.values())) == 2
+
+    # companion GID shapefile: one record per distinct geometry, UGID attr
+    recs = SHP.read_shapefile(str(tmp_path / "csvshp_shp" / "csvshp_gid"))
+    assert len(recs) == 2
+    for _, polys, attrs in recs:
+        u, g = int(attrs["UGID"]), int(attrs["GID"])
+        assert gid_by_ugid[u] == g
+        ring = polys[0][0]
+        minx, miny, maxx, maxy = boxes[u]
+        assert ring[:, 0].min() == minx and ring[:, 0].max() == maxx
+        assert ring[:, 1].min() == miny and ring[:, 1].max() == maxy
+
+    # companion UGID shapefile: one (multi-part) record per selection id
+    urecs = SHP.read_shapefile(str(tmp_path / "csvshp_shp" / "csvshp_ugid"))
+    assert sorted(int(a["UGID"]) for _, _, a in urecs) == [1, 2]
+
+    # conv_meta links the companions
+    import json
+
+    meta = json.load(open(out + ".conv_meta.json"))
+    assert meta["format"] == "csv-shp"
+    assert meta["companions"]["gid_shp"].endswith("csvshp_gid.shp")
+    assert meta["companions"]["ugid_shp"].endswith("csvshp_ugid.shp")
+
+
+def test_csv_shp_via_facade(spark, tmp_path):
+    """output_format='csv-shp' through OcgOperations (converter map)."""
+    from ocgis_spark.conv import get_converter_map
+
+    assert "csv-shp" in get_converter_map()
