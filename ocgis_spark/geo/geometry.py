@@ -583,3 +583,65 @@ def _boxes_touch_polygon(minx, miny, maxx, maxy, rings, touch_ok, areas):
         hit = points_in_polygon(cx, cy, rings, keep_touches=True)
         out[i] = bool(hit.any())
     return out
+
+
+def _segments_intersect(a0, a1, b0, b1) -> np.ndarray:
+    """Pairwise proper/improper segment intersection between two segment
+    sets: a0/a1 (n,2) and b0/b1 (m,2) -> (n, m) bool. Standard
+    orientation test (cross-product signs) incl. collinear-overlap via
+    bbox checks — exact enough for a driver-side selection-geometry
+    overlap decision (selection sets are small; O(n·m) broadcast)."""
+    def cross(o, d, p):
+        # (d - o) x (p - o) for every (seg, point) pair
+        return ((d[:, None, 0] - o[:, None, 0]) * (p[None, :, 1] - o[:, None, 1])
+                - (d[:, None, 1] - o[:, None, 1]) * (p[None, :, 0] - o[:, None, 0]))
+
+    d1 = cross(a0, a1, b0)       # (n, m): b0 vs line(a)
+    d2 = cross(a0, a1, b1)       # (n, m)
+    d3t = cross(b0, b1, a0)      # (m, n): a0 vs line(b)
+    d4t = cross(b0, b1, a1)      # (m, n)
+    proper = ((d1 * d2) < 0) & ((d3t.T * d4t.T) < 0)
+
+    # collinear/touching: an ENDPOINT with zero cross lying within the
+    # other segment's bbox
+    def on(dv, p0, p1, q):
+        # dv: (len(p), len(q)) cross of q against segments (p0, p1)
+        near = dv == 0.0
+        inx = (
+            (q[None, :, 0] >= np.minimum(p0[:, None, 0], p1[:, None, 0]))
+            & (q[None, :, 0] <= np.maximum(p0[:, None, 0], p1[:, None, 0]))
+            & (q[None, :, 1] >= np.minimum(p0[:, None, 1], p1[:, None, 1]))
+            & (q[None, :, 1] <= np.maximum(p0[:, None, 1], p1[:, None, 1]))
+        )
+        return near & inx
+
+    touch = (
+        on(d1, a0, a1, b0) | on(d2, a0, a1, b1)
+        | on(d3t, b0, b1, a0).T | on(d4t, b0, b1, a1).T
+    )
+    return proper | touch
+
+
+def rings_overlap(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> bool:
+    """Exact 'do two polygons overlap (share interior or boundary)' test
+    on their OUTER rings — the driver-side disjointness gate for
+    agg_selection dissolve over arbitrary (non-rectilinear) selections
+    (reference get_unioned unions any geometry set, geom.py:870-1075;
+    two selections whose outers are disjoint union trivially). Holes are
+    ignored: treating holed polygons as filled is conservative (may call
+    overlap where interiors are disjoint), which only narrows what we
+    accept — never wrong output."""
+    A, B = np.asarray(rings_a[0], float), np.asarray(rings_b[0], float)
+    # bbox reject
+    if (A[:, 0].max() < B[:, 0].min() or B[:, 0].max() < A[:, 0].min()
+            or A[:, 1].max() < B[:, 1].min() or B[:, 1].max() < A[:, 1].min()):
+        return False
+    # vertex containment either way
+    if points_in_ring(B[:, 0], B[:, 1], A).any():
+        return True
+    if points_in_ring(A[:, 0], A[:, 1], B).any():
+        return True
+    # any edge crossing (covers identical/edge-touching polygons)
+    a0, a1 = A, np.roll(A, -1, axis=0)
+    b0, b1 = B, np.roll(B, -1, axis=0)
+    return bool(_segments_intersect(a0, a1, b0, b1).any())

@@ -377,21 +377,39 @@ class OcgOperations:
 
                 bad = [u for u, r in polys if not G._rings_is_axis_rect(r)]
                 if bad:
-                    raise DefinitionValidationError(
-                        "agg_selection with clip requires axis-aligned "
-                        "rectangular selection geometries (rectilinear "
-                        f"dissolve); geometries {bad} are not — union them "
-                        "upstream or clip per-ugid via spatial_subset_many"
+                    # non-rectilinear selections: the union still exists
+                    # when the selections are pairwise DISJOINT (the
+                    # common case — distinct watersheds/states): clip per
+                    # geometry and sum per-cell areas. Only genuinely
+                    # OVERLAPPING non-rectilinear selections lack a
+                    # dissolve here (reference get_unioned,
+                    # geom.py:870-1075 — needs GEOS; FIDELITY.md)
+                    over = [
+                        (polys[i][0], polys[j][0])
+                        for i in range(len(polys))
+                        for j in range(i + 1, len(polys))
+                        if G.rings_overlap(polys[i][1], polys[j][1])
+                    ]
+                    if over:
+                        raise DefinitionValidationError(
+                            "agg_selection with clip over OVERLAPPING "
+                            "non-rectilinear selection geometries has no "
+                            f"dissolve path (overlapping ugid pairs: {over}); "
+                            "rectilinear selections dissolve via rectunion, "
+                            "disjoint ones clip per-geometry — union "
+                            "overlapping irregular selections upstream"
+                        )
+                    upolys = [r for _, r in polys]
+                else:
+                    rects = np.array(
+                        [[r[0][:, 0].min(), r[0][:, 1].min(),
+                          r[0][:, 0].max(), r[0][:, 1].max()] for _, r in polys]
                     )
-                rects = np.array(
-                    [[r[0][:, 0].min(), r[0][:, 1].min(),
-                      r[0][:, 0].max(), r[0][:, 1].max()] for _, r in polys]
-                )
-                upolys = rectunion.union_boxes(
-                    *rectunion.disjointify_boxes(
-                        rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+                    upolys = rectunion.union_boxes(
+                        *rectunion.disjointify_boxes(
+                            rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+                        )
                     )
-                )
                 parts = [
                     spatial.spatial_subset(
                         spark, df, grid, p, operation="clip",

@@ -148,3 +148,34 @@ def test_batch_clip_matches_scalar_nonconvex():
             for i in range(n)
         ])
         assert np.allclose(batch, scalar, rtol=1e-12, atol=1e-13)
+
+
+def test_rings_overlap_cases():
+    """Exact polygon-overlap gate for the disjoint-selection dissolve
+    (r4): containment, edge-cross with no interior vertices, touching,
+    identity, and disjointness."""
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    def sq(x0, y0, s):
+        return [np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float
+        )]
+
+    assert not G.rings_overlap(sq(0, 0, 1), sq(2, 2, 1))
+    assert G.rings_overlap(sq(0, 0, 1), sq(0.5, 0.5, 1))  # partial overlap
+    assert G.rings_overlap(sq(0, 0, 1), sq(1, 0, 1))      # edge touch
+    assert G.rings_overlap(sq(0, 0, 1), sq(0, 0, 1))      # identical
+    assert G.rings_overlap(sq(-5, -5, 10), sq(0, 0, 1))   # containment
+    assert G.rings_overlap(sq(0, 0, 1), sq(-5, -5, 10))   # contained
+    # plus-sign cross: edges intersect, no vertex of either inside other
+    r1 = [np.array([[0, 1], [3, 1], [3, 2], [0, 2]], float)]
+    r2 = [np.array([[1, 0], [2, 0], [2, 3], [1, 3]], float)]
+    assert G.rings_overlap(r1, r2)
+    # concave C-shape whose bbox contains a disjoint square
+    c = [np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [3, 3],
+                   [3, 4], [0, 4]], float)]
+    inner = [np.array([[1.8, 1.5], [2.5, 1.5], [2.5, 2.5], [1.8, 2.5]],
+                      float)]
+    assert not G.rings_overlap(c, inner)

@@ -204,11 +204,22 @@ def test_agg_selection_clip_facade(spark):
     total = out.agg(F.sum("clip_area")).collect()[0][0]
     want = 1.5 * 1.5 * 2 - 0.5 * 0.5  # union area by inclusion-exclusion
     assert total == pytest.approx(want, abs=1e-9)
-    # non-rectilinear selection still rejected
+    # OVERLAPPING non-rectilinear selection: still rejected (no GEOS
+    # dissolve), with the narrowed message naming the overlapping pair
     import ocgis_spark.geo.wkb as WKB
     tri = WKB.polygon_to_wkb([np.array(
         [[-105.0, 37.0], [-104.0, 37.0], [-104.5, 38.0], [-105.0, 37.0]])])
     ops2 = OcgOperations(dataset=fld, geom=[r1, tri], agg_selection=True,
                          spatial_operation="clip", abstraction="polygon")
-    with pytest.raises(DefinitionValidationError, match="rectangular"):
+    with pytest.raises(DefinitionValidationError, match="OVERLAPPING"):
         ops2.execute(spark)
+    # DISJOINT non-rectilinear selections clip per-geometry (r4: the
+    # common get_unioned case — distinct irregular regions): total area
+    # = rect + triangle
+    tri2 = WKB.polygon_to_wkb([np.array(
+        [[-102.9, 37.0], [-102.0, 37.0], [-102.45, 37.9], [-102.9, 37.0]])])
+    ops3 = OcgOperations(dataset=fld, geom=[r1, tri2], agg_selection=True,
+                         spatial_operation="clip", abstraction="polygon")
+    total3 = ops3.execute(spark).agg(F.sum("clip_area")).collect()[0][0]
+    want3 = 1.5 * 1.5 + 0.5 * 0.9 * 0.9
+    assert total3 == pytest.approx(want3, abs=1e-9)
