@@ -3143,12 +3143,63 @@ def oracle_sql() -> dict[str, str]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: the driver's correctness gate checks the FIRST 50 entries.
-    # Round-3 window = the 11 veterans that never had a driver-green row
-    # (VERDICT r2 "what's wrong" #3) + curvilinear_clip (the r2 red row,
-    # now Arrow-independent) + every new round-3 operator; entries past
-    # the boundary are r1/r2-driver-green and stay gated by
-    # scripts/check_oracles.py.
+    # Round-4 window = the 4 new r4 operators + all 27 entries whose
+    # most recent driver-green row was r1 (VERDICT r3 "what's wrong"
+    # #2) + 19 r2-green entries whose underlying code changed in r3
+    # (text/dedup/similarity/spatial). Everything past the boundary is
+    # r2/r3-driver-green and stays gated by scripts/check_oracles.py.
     return {
+        "transform_lcc": q_transform_lcc,
+        "transform_albers": q_transform_albers,
+        "transform_stereo": q_transform_stereo,
+        "group_season_custom": q_group_season_custom,
+        "multimodal_features": q_multimodal_features,
+        "top_tokens": q_top_tokens,
+        "daily_perc_window": q_daily_perc_window,
+        "chunk_documents": q_chunk_documents,
+        "clean_text": q_clean_text,
+        "train_test_split": q_train_test_split,
+        "time_range": q_time_range,
+        "time_region": q_time_region,
+        "group_month": q_group_month,
+        "group_season": q_group_season,
+        "set_functions": q_set_functions,
+        "moving_window": q_moving_window,
+        "duration": q_duration,
+        "group_day": q_group_day,
+        "between_threshold": q_between_threshold,
+        "convolve": q_convolve,
+        "freq_duration": q_freq_duration,
+        "freq_perc": q_freq_perc,
+        "heat_index": q_heat_index,
+        "eval_expr": q_eval_expr,
+        "icclim_SU": q_icclim_su,
+        "icclim_CDD": q_icclim_cdd,
+        "snippet_first": q_snippet_first,
+        "multifile_union": q_multifile_union,
+        "intersects_multi": q_intersects_multi,
+        "ops_facade": q_ops_facade,
+        "zonal_stats": q_zonal_stats,
+        "clip_cells": q_clip_cells,
+        "similarity_topk": q_similarity_topk,
+        "bbox_subset": q_bbox_subset,
+        "tile_source_assign": q_tile_source_assign,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dups": q_embedding_near_dups,
+        "simhash": q_simhash,
+        "ivf_topk": q_ivf_topk,
+        "decontaminate": q_decontaminate,
+        "repetition_ratio": q_repetition_ratio,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "sessionize": q_sessionize,
+        "spans_stats": q_spans_stats,
+        "union_geometry": q_union_geometry,
+        # ---- driver window boundary (50) ----
         "curvilinear_clip": q_curvilinear_clip,
         "zonal_weighted": q_zonal_weighted,
         "knn_join": q_knn_join,
@@ -3199,11 +3250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_TXx": q_icclim_txx,
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
-        "transform_lcc": q_transform_lcc,
-        "transform_albers": q_transform_albers,
-        "transform_stereo": q_transform_stereo,
-        "group_season_custom": q_group_season_custom,
-        # ---- driver window boundary (~50) ----
         "regrid_nonuniform": q_regrid_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,
@@ -3213,24 +3259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotated_pole_subset": q_rotated_pole_subset,
         "seam_subset": q_seam_subset,
         "intersects_pentagon": q_intersects_pentagon,
-        "spans_stats": q_spans_stats,
-        "clip_cells": q_clip_cells,
-        "bbox_subset": q_bbox_subset,
-        "dedup_exact": q_dedup_exact,
         "intersects_cells_rect": q_intersects_cells_rect,
         "clip_aggregate": q_clip_aggregate,
         "split_selection": q_split_selection,
-        "union_geometry": q_union_geometry,
-        "ivf_topk": q_ivf_topk,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "embedding_near_dups": q_embedding_near_dups,
-        "similarity_topk": q_similarity_topk,
-        "simhash": q_simhash,
         "icclim_TX90p": q_icclim_tx90p,
         "agg_selection": q_agg_selection,
-        "decontaminate": q_decontaminate,
-        "repetition_ratio": q_repetition_ratio,
         "cf_decode_360day": q_cf_decode_360day,
         "cf_noleap_group": q_cf_noleap_group,
         "cf_daily_perc_360": q_cf_daily_perc_360,
@@ -3239,39 +3272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dest_counts_nonuniform": q_tile_dest_counts_nonuniform,
         "tile_source_assign_nonuniform": q_tile_source_assign_nonuniform,
         "tile_dest_counts": q_tile_dest_counts,
-        "tile_source_assign": q_tile_source_assign,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "sessionize": q_sessionize,
-        "multimodal_features": q_multimodal_features,
-        "top_tokens": q_top_tokens,
-        "daily_perc_window": q_daily_perc_window,
-        "chunk_documents": q_chunk_documents,
-        "clean_text": q_clean_text,
-        "train_test_split": q_train_test_split,
-        "time_range": q_time_range,
-        "time_region": q_time_region,
-        "group_month": q_group_month,
-        "group_season": q_group_season,
-        "set_functions": q_set_functions,
-        "moving_window": q_moving_window,
-        "duration": q_duration,
-        "group_day": q_group_day,
-        "between_threshold": q_between_threshold,
-        "convolve": q_convolve,
-        "freq_duration": q_freq_duration,
-        "freq_perc": q_freq_perc,
-        "heat_index": q_heat_index,
-        "eval_expr": q_eval_expr,
-        "icclim_SU": q_icclim_su,
-        "icclim_CDD": q_icclim_cdd,
-        "snippet_first": q_snippet_first,
-        "multifile_union": q_multifile_union,
-        "intersects_multi": q_intersects_multi,
-        "ops_facade": q_ops_facade,
-        "zonal_stats": q_zonal_stats,
     }
 
 

@@ -1,9 +1,9 @@
 """Guards on the driver contract (__spark_entry__):
 
 * every oracle key has a query; rows-only set is the documented pair;
-* every entry that still needs a driver-green row sits inside the
-  driver's first-50 check window (round-3 rule: the 11 veterans that were
-  never driver-checked, the r2 red row, and every new round-3 operator);
+* every entry that still needs a driver-green refresh sits inside the
+  driver's first-50 check window (round-4 rule: every new r4 operator
+  plus the 27 entries whose last driver-green row was r1);
 * no oracle SQL contains a bare long decimal literal (DuckDB would parse
   it as DECIMAL and drift 1 ulp on conversion — the E-notation rule in
   CLAUDE.md / fixtures._f).
@@ -13,22 +13,21 @@ import re
 
 import __spark_entry__ as E
 
-#: entries with no driver-green row in CORRECTNESS_r01 ∪ r02 (VERDICT r2
-#: "what's wrong" #3 veterans + the curvilinear_clip red row), plus every
-#: operator ADDED in round 3 — extend this list when adding queries.
-ROUND3_WINDOW_OPS = [
-    "curvilinear_clip",
-    "zonal_weighted", "knn_join", "regrid", "units_conform", "wrap_lon",
-    "daily_perc", "q1_pricing", "freezethaw", "nonconvex_clip",
-    "unstructured_subset", "join_agg",
-    # round-3 additions
-    "icclim_WSDI", "icclim_CSDI", "icclim_R95p", "icclim_R95pTOT",
-    "icclim_TXx", "transform_mercator", "agg_selection_clip",
-    "dedup_components_star", "ops_chain", "asof_calibration",
-    "range_join_density", "frame_sample_plan", "simhash_near_dups",
-    "pii_scan", "word_entropy", "stratified_sample", "regrid_bilinear",
-    "nonconvex_intersects", "regrid_bilinear_nonuniform", "lexicon_score",
-    "pack_sequences", "corpus_pipeline",
+#: the round-4 refresh window (VERDICT r3 "what's wrong" #2): every new
+#: r4 operator + all 27 entries whose last driver-green row was r1 —
+#: extend with new operators when adding queries.
+ROUND4_WINDOW_OPS = [
+    # round-4 additions
+    "transform_lcc", "transform_albers", "transform_stereo",
+    "group_season_custom",
+    # r1-stale refresh batch
+    "multimodal_features", "top_tokens", "daily_perc_window",
+    "chunk_documents", "clean_text", "train_test_split", "time_range",
+    "time_region", "group_month", "group_season", "set_functions",
+    "moving_window", "duration", "group_day", "between_threshold",
+    "convolve", "freq_duration", "freq_perc", "heat_index", "eval_expr",
+    "icclim_SU", "icclim_CDD", "snippet_first", "multifile_union",
+    "intersects_multi", "ops_facade", "zonal_stats",
 ]
 
 #: 11+ digits after the decimal point NOT followed by an exponent marker
@@ -42,10 +41,10 @@ def test_oracles_subset_of_queries():
     assert rows_only == set()  # every query has an exact oracle
 
 
-def test_round3_ops_inside_driver_window():
+def test_round4_ops_inside_driver_window():
     order = list(E.queries())
-    late = [n for n in ROUND3_WINDOW_OPS if order.index(n) >= 50]
-    assert late == [], f"round-3 ops outside the first-50 window: {late}"
+    late = [n for n in ROUND4_WINDOW_OPS if order.index(n) >= 50]
+    assert late == [], f"round-4 ops outside the first-50 window: {late}"
 
 
 def test_no_bare_long_float_literals_in_oracles():
