@@ -46,17 +46,41 @@ def brute_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (queries broadcast).
-    Returns (query_id, vec_id, cos, rank); self-matches excluded."""
+    Returns (query_id, vec_id, cos, rank); self-matches excluded.
+
+    The broadcast cross-score is a |queries|× row expander over the
+    corpus, so an under-split scan (one local parquet file) would run
+    the whole cosine stage on ONE core — rebalance the corpus side up to
+    the session parallelism first (a no-op on real multi-split inputs;
+    profiled r4: the suite's similarity_topk stage was 1 task / 32
+    idle cores, the actual cause of the r2→r3 'regression')."""
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        emb = emb.repartition(sc.defaultParallelism)
+    # hoist the norms to per-ROW columns before the expander join: array
+    # HOFs run interpreted (no codegen), so norm-per-PAIR would pay
+    # 2·|queries| redundant 64-element aggregates per corpus row — the
+    # hoisted form computes each norm once and reuses the scalar (same
+    # expression, same evaluation order: bit-identical to the oracle)
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
-    joined = emb.crossJoin(F.broadcast(q)).filter(
+    emb_n = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("e_nrm")
+    )
+    joined = emb_n.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = joined.select(
         "query_id",
         "vec_id",
-        F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("e_nrm")),
+            6,
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
