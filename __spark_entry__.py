@@ -1049,6 +1049,8 @@ _LCC_NARCCAP = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
 _AEA_CONUS = {"proj": "aea", "lat_1": 29.5, "lat_2": 45.5, "lat_0": 23.0,
               "lon_0": -96.0}
 _STERE_N70 = {"proj": "stere", "lat_0": 90.0, "lon_0": -45.0, "lat_ts": 70.0}
+_OMERC_NARCCAP = {"proj": "omerc", "lat_0": 47.5, "lonc": -97.0,
+                  "alpha": 55.0, "k_0": 1.0}
 
 
 def _q_transform_param(spark, sf_dir, spec):
@@ -1076,6 +1078,13 @@ def q_transform_stereo(spark, sf_dir):
     """North polar stereographic (CFPolarStereographic, crs.py:1100)
     with true scale at 70°N — Snyder 21-7..21-12."""
     return _q_transform_param(spark, sf_dir, _STERE_N70)
+
+
+def q_transform_omerc(spark, sf_dir):
+    """Oblique Mercator from central point + azimuth
+    (CFNarccapObliqueMercator, crs.py:1117-1130) — Snyder 9-1..9-8
+    spherical, unrotated u/v axes (FIDELITY.md)."""
+    return _q_transform_param(spark, sf_dir, _OMERC_NARCCAP)
 
 
 def _transform_param_sql(spec) -> str:
@@ -2977,6 +2986,7 @@ def oracle_sql() -> dict[str, str]:
         "transform_lcc": _transform_param_sql(_LCC_NARCCAP),
         "transform_albers": _transform_param_sql(_AEA_CONUS),
         "transform_stereo": _transform_param_sql(_STERE_N70),
+        "transform_omerc": _transform_param_sql(_OMERC_NARCCAP),
         "transform_mercator": (
             f"SELECT doc_id, round(6378137.0E0 * radians(lon), 6) AS x, "
             f"round(6378137.0E0 * ln(tan(pi() / 4.0E0 + radians(lat) / 2.0E0)), 6) AS y "
@@ -3153,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_albers": q_transform_albers,
         "transform_stereo": q_transform_stereo,
         "group_season_custom": q_group_season_custom,
+        "transform_omerc": q_transform_omerc,
         "multimodal_features": q_multimodal_features,
         "top_tokens": q_top_tokens,
         "daily_perc_window": q_daily_perc_window,
@@ -3198,8 +3209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "sessionize": q_sessionize,
         "spans_stats": q_spans_stats,
-        "union_geometry": q_union_geometry,
         # ---- driver window boundary (50) ----
+        "union_geometry": q_union_geometry,
         "curvilinear_clip": q_curvilinear_clip,
         "zonal_weighted": q_zonal_weighted,
         "knn_join": q_knn_join,

@@ -199,6 +199,21 @@ def crs_from_cf_attrs(attrs: dict):
                           attrs.get("scale_factor", 1.0))
             )
         return spec
+    if name == "transverse_mercator":
+        # the reference maps this CF name to its NARCCAP oblique
+        # Mercator (CFNarccapObliqueMercator, crs.py:1117-1130:
+        # lonc/alpha/k_0, alpha defaulting to 360 ≡ transverse aspect)
+        return {
+            "proj": "omerc",
+            "lat_0": float(attrs.get("latitude_of_projection_origin", 0.0)),
+            "lonc": float(attrs.get("longitude_of_central_meridian", 0.0)),
+            "alpha": float(attrs.get("alpha", 360.0)),
+            "k_0": float(
+                attrs.get("scale_factor_at_central_meridian", 1.0)
+            ),
+            "x_0": float(attrs.get("false_easting", 0.0)),
+            "y_0": float(attrs.get("false_northing", 0.0)),
+        }
     if name in ("rotated_latitude_longitude", "rotated_pole",
                 "rotated_lat_lon"):
         return {
@@ -214,5 +229,5 @@ def crs_from_cf_attrs(attrs: dict):
         f"grid_mapping_name {name!r} has no native transform "
         "(supported: latitude_longitude, lambert_conformal_conic, "
         "albers_conical_equal_area, polar_stereographic, "
-        "rotated_latitude_longitude)"
+        "transverse_mercator, rotated_latitude_longitude)"
     )

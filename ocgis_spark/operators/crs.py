@@ -631,3 +631,80 @@ def transform_param_crs(
     else:
         ex, ey = fwd(params, lon=lon, lat=lat)
     return df.withColumn(out_x, F.expr(ex)).withColumn(out_y, F.expr(ey))
+
+
+def _omerc_constants(p: dict) -> tuple[float, float, float, float]:
+    """(sin(phi_p), cos(phi_p), lon0, R·k0) for an oblique-Mercator
+    parameter dict given as central point + azimuth (Snyder 9-7/9-8:
+    the oblique pole from a central line through (lat_0, lonc) with
+    azimuth alpha; lambda0 = lambda_p + pi/2). The reference's
+    CFNarccapObliqueMercator (crs.py:1117-1130) carries exactly these
+    CF attrs, defaulting alpha to 360 (≡ the transverse aspect — its
+    grid_mapping_name is 'transverse_mercator')."""
+    phic = math.radians(float(p.get("lat_0", 0.0)))
+    lamc = math.radians(float(p.get("lonc", p.get("lon_0", 0.0))))
+    beta = math.radians(float(p.get("alpha", 360.0)))
+    R = float(p.get("R", R_SPHERE))
+    k0 = float(p.get("k_0", 1.0))
+    phip = math.asin(math.cos(phic) * math.sin(beta))
+    lamp = math.atan2(
+        -math.cos(beta), -math.sin(phic) * math.sin(beta)
+    ) + lamc
+    lam0 = lamp + math.pi / 2.0
+    # normalize into (-pi, pi]
+    lam0 = (lam0 + math.pi) % (2.0 * math.pi) - math.pi
+    return math.sin(phip), math.cos(phip), math.degrees(lam0), R * k0
+
+
+def omerc_sql(p: dict, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """Forward spherical oblique Mercator, Snyder 9-3/9-4 (unrotated
+    u,v axes — see FIDELITY.md on the PROJ 'omerc' grid-rotation
+    convention): with A = sin(phi_p) sin(phi) - cos(phi_p) cos(phi)
+    sin(dl), x = R k0 atan2(tan(phi) cos(phi_p) + sin(phi_p) sin(dl),
+    cos(dl)), y = R k0 atanh(A) (atanh via ln — no tanh dependency in
+    either dialect)."""
+    sp, cp, lon0, RK = _omerc_constants(p)
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    dl = f"radians({_dlon_sql(lon, lon0)})"
+    phi = f"radians({lat})"
+    A = (
+        f"({_pf(sp)} * sin({phi}) - {_pf(cp)} * cos({phi}) * sin({dl}))"
+    )
+    x = (
+        f"({_pf(RK)} * atan2(tan({phi}) * {_pf(cp)} + {_pf(sp)} * "
+        f"sin({dl}), cos({dl})) + {_pf(x0)})"
+    )
+    y = (
+        f"({_pf(RK)} * 0.5E0 * ln((1.0E0 + {A}) / (1.0E0 - {A})) "
+        f"+ {_pf(y0)})"
+    )
+    return x, y
+
+
+def omerc_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
+    """Inverse spherical oblique Mercator, Snyder 9-9/9-10 (hyperbolics
+    expanded to exp so the string is dialect-neutral):
+    phi = asin(sin(phi_p) tanh(v) + cos(phi_p) sin(u) / cosh(v)),
+    lambda = lambda0 + atan2(sin(phi_p) sin(u) - cos(phi_p) sinh(v),
+    cos(u)) with u = (x-x0)/(R k0), v = (y-y0)/(R k0)."""
+    sp, cp, lon0, RK = _omerc_constants(p)
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    u = f"((({x}) - {_pf(x0)}) / {_pf(RK)})"
+    v = f"((({y}) - {_pf(y0)}) / {_pf(RK)})"
+    ev = f"exp({v})"
+    env = f"exp(0.0E0 - {v})"
+    sinh_v = f"(({ev} - {env}) / 2.0E0)"
+    cosh_v = f"(({ev} + {env}) / 2.0E0)"
+    tanh_v = f"(({ev} - {env}) / ({ev} + {env}))"
+    glat = (
+        f"degrees(asin({_pf(sp)} * {tanh_v} + {_pf(cp)} * sin({u}) "
+        f"/ {cosh_v}))"
+    )
+    glon = (
+        f"(degrees(atan2({_pf(sp)} * sin({u}) - {_pf(cp)} * {sinh_v}, "
+        f"cos({u}))) + {_pf(lon0)})"
+    )
+    return glon, glat
+
+
+_PARAM_PROJS["omerc"] = (omerc_sql, omerc_inv_sql)

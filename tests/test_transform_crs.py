@@ -294,3 +294,83 @@ def test_cf_attrs_end_to_end_transform(spark):
     for r in back.collect():
         assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
         assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
+
+
+OMERC_NARCCAP = {"proj": "omerc", "lat_0": 47.5, "lonc": -97.0,
+                 "alpha": 55.0, "k_0": 1.0}
+
+
+def test_omerc_round_trip(spark):
+    pts = [(-105.3, 38.2), (-97.0, 47.5), (-89.0, 44.0), (-60.0, 20.0),
+           (-120.0, 55.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = crs.transform_crs(df, "EPSG:4326", OMERC_NARCCAP)
+    back = crs.transform_crs(
+        fwd, OMERC_NARCCAP, "EPSG:4326", lon="x", lat="y",
+        out_x="lon2", out_y="lat2",
+    )
+    for r in back.collect():
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
+
+
+def test_omerc_central_line_properties(spark):
+    # the central point lies on the oblique equator (v = 0), and a small
+    # great-circle step along azimuth alpha stays on it to second order
+    df = spark.createDataFrame(
+        [(-97.0, 47.5)], "lon double, lat double"
+    )
+    r = crs.transform_crs(df, "EPSG:4326", OMERC_NARCCAP).collect()[0]
+    assert r["y"] == pytest.approx(0.0, abs=1e-6)
+    d = 0.01
+    lat2 = 47.5 + d * math.cos(math.radians(55.0))
+    lon2 = -97.0 + d * math.sin(math.radians(55.0)) / math.cos(
+        math.radians(47.5)
+    )
+    df2 = spark.createDataFrame([(lon2, lat2)], "lon double, lat double")
+    r2 = crs.transform_crs(df2, "EPSG:4326", OMERC_NARCCAP).collect()[0]
+    step = d * math.pi / 180.0 * crs.R_SPHERE
+    # v residual second-order in the step; u (measured from the oblique
+    # origin at lambda0, not the central point) ADVANCES by the step
+    assert abs(r2["y"]) < 0.001 * step
+    assert r2["x"] - r["x"] == pytest.approx(step, rel=0.01)
+
+
+def test_omerc_alpha360_is_transverse_aspect(spark):
+    # alpha=360 (the reference default, CFNarccapObliqueMercator
+    # crs.py:1127-1130) puts the oblique pole on the equator: the
+    # projection is the transverse aspect — x along the meridian
+    # (R·k0·(phi) at dl=0), y = -R·k0·atanh(cos(phi)·sin(dl))
+    p = {"proj": "omerc", "lat_0": 0.0, "lonc": -97.0, "alpha": 360.0,
+         "k_0": 1.0, "R": 1.0}
+    df = spark.createDataFrame(
+        [(-97.0, 30.0), (-96.0, 0.0)], "lon double, lat double"
+    )
+    out = {(r["lon"], r["lat"]): (r["x"], r["y"])
+           for r in crs.transform_crs(df, "EPSG:4326", p)
+           .select("lon", "lat", "x", "y").collect()}
+    x, y = out[(-97.0, 30.0)]
+    assert x == pytest.approx(math.radians(30.0), abs=1e-12)
+    assert y == pytest.approx(0.0, abs=1e-12)
+    x, y = out[(-96.0, 0.0)]
+    B = math.cos(0.0) * math.sin(math.radians(1.0))
+    assert y == pytest.approx(-math.atanh(B), abs=1e-12)
+
+
+def test_cf_transverse_mercator_attrs_map_to_omerc():
+    from ocgis_spark.ncmodel import crs_from_cf_attrs
+
+    spec = crs_from_cf_attrs({
+        "grid_mapping_name": "transverse_mercator",
+        "latitude_of_projection_origin": 47.5,
+        "longitude_of_central_meridian": -97.0,
+        "scale_factor_at_central_meridian": 1.0,
+        "alpha": 55.0,
+    })
+    assert spec["proj"] == "omerc" and spec["alpha"] == 55.0
+    # alpha defaults to 360 like the reference class
+    spec2 = crs_from_cf_attrs({
+        "grid_mapping_name": "transverse_mercator",
+        "longitude_of_central_meridian": -97.0,
+    })
+    assert spec2["alpha"] == 360.0
