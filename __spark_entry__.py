@@ -1303,6 +1303,26 @@ def q_ops_chain(spark, sf_dir):
     )
 
 
+def q_ops_chain_lcc(spark, sf_dir):
+    """Facade chain with a PARAMETRIC output CRS (r4): units conform →
+    rect intersects → output_crs as a CF Lambert-conformal dict — the
+    whole chain (incl. the Snyder closed forms) folds into one narrow
+    codegen map over the scan, exactly like the EPSG:3857 ops_chain."""
+    dg = _docs_geo(spark, sf_dir)
+    fld = Field(dg, {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+                DOC_GRID)
+    ops = OcgOperations(
+        dataset=fld, geom=_RECT, spatial_operation="intersects",
+        abstraction="point", conform_units_to=(2.0, 1.0),
+        output_crs=_LCC_NARCCAP,
+    )
+    out = ops.execute(spark)
+    return out.select(
+        "doc_id", F.round("value", 6).alias("value2"),
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+    )
+
+
 #: second selection rect for agg_selection (overlaps _RECT)
 AGG_SEL_RECT2 = (-105.0, 39.0, -104.0, 40.25)
 
@@ -3055,6 +3075,13 @@ def oracle_sql() -> dict[str, str]:
             f"round(6378137.0E0 * ln(tan(pi() / 4.0E0 + radians(lat) / 2.0E0)), 6) AS y "
             f"FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)}"
         ),
+        "ops_chain_lcc": (
+            lambda ex_ey=crs._PARAM_PROJS["lcc"][0](_LCC_NARCCAP): (
+                f"SELECT doc_id, round(value * 2.0E0 + 1.0E0, 6) AS value2, "
+                f"round({ex_ey[0]}, 6) AS x, round({ex_ey[1]}, 6) AS y "
+                f"FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)}"
+            )
+        )(),
         "agg_selection": (
             f"SELECT round(avg(value), 6) AS wmean, count(*) AS n "
             f"FROM ({_DG}) dg WHERE ({FX.rect_pred_sql(_RECT)}) "
@@ -3164,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_stereo": q_transform_stereo,
         "group_season_custom": q_group_season_custom,
         "transform_omerc": q_transform_omerc,
+        "ops_chain_lcc": q_ops_chain_lcc,
         "multimodal_features": q_multimodal_features,
         "top_tokens": q_top_tokens,
         "daily_perc_window": q_daily_perc_window,
@@ -3208,8 +3236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "sessionize": q_sessionize,
-        "spans_stats": q_spans_stats,
         # ---- driver window boundary (50) ----
+        "spans_stats": q_spans_stats,
         "union_geometry": q_union_geometry,
         "curvilinear_clip": q_curvilinear_clip,
         "zonal_weighted": q_zonal_weighted,

@@ -312,3 +312,26 @@ def test_sketch_calcs_reachable_via_registry(spark):
     }
     # exact: nearest-rank median of (id % 700) per parity + bin midpoint
     assert q[0] == pytest.approx(342.5) and q[1] == pytest.approx(343.5)
+
+
+def test_output_crs_accepts_parametric_dict(spark, golden_field):
+    """output_crs as a CF parameter dict (r4): the facade routes it
+    through the native Snyder closed forms — plan stays pure codegen."""
+    lcc = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
+           "lon_0": -97.0}
+    out = OcgOperations(
+        dataset=golden_field, output_crs=lcc, snippet=True
+    ).execute(spark)
+    assert {"x", "y"} <= set(out.columns)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = out.select("lon", "lat", "x", "y").limit(2).collect()
+    from ocgis_spark.operators import crs as crs_ops
+
+    back = crs_ops.transform_crs(
+        spark.createDataFrame(rows), lcc, "EPSG:4326",
+        lon="x", lat="y", out_x="lon2", out_y="lat2",
+    )
+    for r in back.collect():
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
