@@ -428,6 +428,17 @@ def _dlon_sql(lon: str, lon0: float) -> str:
     )
 
 
+def _wrap_out_sql(expr: str) -> str:
+    """Wrap an inverse-transform longitude back into (-180, 180] — the
+    raw atan2-based recovery lands in (lon0-180, lon0+180], which can
+    exceed the wrapped domain for far-from-center points."""
+    return (
+        f"(CASE WHEN ({expr}) > 180.0E0 THEN ({expr}) - 360.0E0 "
+        f"WHEN ({expr}) <= -180.0E0 THEN ({expr}) + 360.0E0 "
+        f"ELSE ({expr}) END)"
+    )
+
+
 def _lcc_constants(p: dict) -> tuple[float, float, float, float]:
     """(n, R*F, rho0, R) for a Lambert-conformal-conic parameter dict."""
     R = float(p.get("R", R_SPHERE))
@@ -480,7 +491,7 @@ def lcc_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
         f"degrees(2.0E0 * atan(power({_pf(RF)} / {rho}, {_pf(1.0 / n)})) "
         f"- pi() / 2.0E0)"
     )
-    glon = f"(degrees({theta}) / {_pf(n)} + {_pf(lon0)})"
+    glon = _wrap_out_sql(f"degrees({theta}) / {_pf(n)} + {_pf(lon0)}")
     return glon, glat
 
 
@@ -532,7 +543,7 @@ def aea_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
         f"degrees(asin(({_pf(C)} - {_pf((n / R) ** 2)} * {rho2}) "
         f"/ {_pf(2.0 * n)}))"
     )
-    glon = f"(degrees({theta}) / {_pf(n)} + {_pf(lon0)})"
+    glon = _wrap_out_sql(f"degrees({theta}) / {_pf(n)} + {_pf(lon0)}")
     return glon, glat
 
 
@@ -588,7 +599,7 @@ def stere_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
         f"({_pf(sgn)} * degrees(pi() / 2.0E0 - 2.0E0 * "
         f"atan({rho} / {_pf(RK2)})))"
     )
-    glon = f"(degrees(atan2({xp}, {_pf(-sgn)} * {yp})) + {_pf(lon0)})"
+    glon = _wrap_out_sql(f"degrees(atan2({xp}, {_pf(-sgn)} * {yp})) + {_pf(lon0)}")
     return glon, glat
 
 
@@ -700,9 +711,9 @@ def omerc_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
         f"degrees(asin({_pf(sp)} * {tanh_v} + {_pf(cp)} * sin({u}) "
         f"/ {cosh_v}))"
     )
-    glon = (
-        f"(degrees(atan2({_pf(sp)} * sin({u}) - {_pf(cp)} * {sinh_v}, "
-        f"cos({u}))) + {_pf(lon0)})"
+    glon = _wrap_out_sql(
+        f"degrees(atan2({_pf(sp)} * sin({u}) - {_pf(cp)} * {sinh_v}, "
+        f"cos({u}))) + {_pf(lon0)}"
     )
     return glon, glat
 

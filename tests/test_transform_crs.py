@@ -374,3 +374,37 @@ def test_cf_transverse_mercator_attrs_map_to_omerc():
         "longitude_of_central_meridian": -97.0,
     })
     assert spec2["alpha"] == 360.0
+
+
+def test_param_crs_round_trip_property(spark):
+    """Hypothesis-style fuzz (deterministic grid, no RNG): every point in
+    a lon/lat lattice inside each projection's valid domain round-trips
+    through the native forward+inverse to 1e-8 degrees."""
+    pts = [
+        (lon, lat)
+        for lon in range(-170, 171, 20)
+        for lat in range(-80, 81, 10)
+    ]
+    domains = {
+        "lcc": lambda lon, lat: 5.0 <= lat <= 85.0,        # north cone
+        "aea": lambda lon, lat: -20.0 <= lat <= 85.0,
+        "stere": lambda lon, lat: lat >= 5.0,              # north polar
+        "omerc": lambda lon, lat: abs(lat) <= 80.0,
+    }
+    specs = {
+        "lcc": LCC_NARCCAP, "aea": AEA_CONUS, "stere": STERE_N,
+        "omerc": OMERC_NARCCAP,
+    }
+    for proj, spec in specs.items():
+        ok = [(float(lo), float(la)) for lo, la in pts
+              if domains[proj](lo, la)]
+        df = spark.createDataFrame(ok, "lon double, lat double")
+        back = crs.transform_crs(
+            crs.transform_crs(df, "EPSG:4326", spec), spec, "EPSG:4326",
+            lon="x", lat="y", out_x="lon2", out_y="lat2",
+        )
+        bad = back.filter(
+            (F.abs(F.col("lon2") - F.col("lon")) > 1e-8)
+            | (F.abs(F.col("lat2") - F.col("lat")) > 1e-8)
+        ).count()
+        assert bad == 0, proj
