@@ -1008,6 +1008,14 @@ def q_transform_mercator(spark, sf_dir):
 _CUSTOM_SEASONS = [[11, 12, 1], [2, 3, 4]]
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (smoothed idf, lexical tie-break) —
+    keyword extraction over the documents table; vocab-sized broadcast,
+    no corpus-sized join sides."""
+    docs = _read(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, top_k=3)
+
+
 def q_group_season_custom(spark, sf_dir):
     """Arbitrary seasonal month-sets with the 'unique' flag: Nov-Dec-Jan
     crosses the year boundary (Dec-Y groups with Jan-(Y+1), keyed by the
@@ -3003,6 +3011,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_selection_clip": _agg_selection_clip_sql(),
         "group_season_custom": _group_season_custom_sql(),
+        "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "transform_lcc": _transform_param_sql(_LCC_NARCCAP),
         "transform_albers": _transform_param_sql(_AEA_CONUS),
         "transform_stereo": _transform_param_sql(_STERE_N70),
@@ -3192,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_season_custom": q_group_season_custom,
         "transform_omerc": q_transform_omerc,
         "ops_chain_lcc": q_ops_chain_lcc,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "multimodal_features": q_multimodal_features,
         "top_tokens": q_top_tokens,
         "daily_perc_window": q_daily_perc_window,
@@ -3235,8 +3245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
-        "sessionize": q_sessionize,
         # ---- driver window boundary (50) ----
+        "sessionize": q_sessionize,
         "spans_stats": q_spans_stats,
         "union_geometry": q_union_geometry,
         "curvilinear_clip": q_curvilinear_clip,

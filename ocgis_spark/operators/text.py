@@ -323,3 +323,78 @@ def word_entropy(df: DataFrame, text: str = "text") -> DataFrame:
         ).alias("entropy"),
         F.sum("c").cast("bigint").alias("n_tokens"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text: str = "text", top_k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the relevance/keyword extractor
+    of a training-data pipeline (e.g. topic tagging, boilerplate
+    detection via degenerate top terms).
+
+    idf = ln((N + 1) / (df_t + 1)) + 1 (smoothed, sklearn convention);
+    score = tf · idf, ties broken lexically. Plan shape at 100 TB: one
+    (doc, term) hash count (map-side partials), a VOCAB-sized document-
+    frequency aggregate broadcast back onto it, and the per-doc top-k
+    window — no corpus-sized join sides, no Python.
+    """
+    from pyspark.sql import Window
+
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        # under-split local scans would run the explode + counts on one
+        # core (dedup-shingle pattern); no-op on real multi-split inputs
+        df = df.repartition(sc.defaultParallelism, "doc_id")
+    words = df.select(
+        "doc_id", F.explode(tokens_col(text)).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    n_docs = df.select(F.countDistinct("doc_id").alias("nd"))
+    dfreq = (
+        words.groupBy("w")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w",
+            (
+                F.log((F.col("nd").cast("double") + F.lit(1.0))
+                      / (F.col("df_t") + F.lit(1.0)))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    scored = tf.join(F.broadcast(dfreq), "w").select(
+        "doc_id", "w", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "w", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", text: str = "text",
+                        top_k: int = 3) -> str:
+    """Oracle twin of :func:`tfidf_top_terms` (same split rule as the
+    other token ops: split on single space, empty tokens dropped)."""
+    return (
+        f"WITH words AS ("
+        f"SELECT doc_id, unnest(string_split({text}, ' ')) AS w FROM {table}"
+        f"), filt AS (SELECT doc_id, w FROM words WHERE w <> ''), "
+        f"tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf "
+        f"FROM filt GROUP BY doc_id, w), "
+        f"nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd "
+        f"FROM {table}), "
+        f"idf AS (SELECT w, ln((nd + 1.0E0) / (CAST(count(DISTINCT doc_id) "
+        f"AS DOUBLE) + 1.0E0)) + 1.0E0 AS idf FROM filt, nd GROUP BY w, nd), "
+        f"scored AS (SELECT tf.doc_id, tf.w, round(tf.tf * idf.idf, 6) AS "
+        f"tfidf FROM tf JOIN idf ON tf.w = idf.w) "
+        f"SELECT doc_id, w, tfidf, CAST(rn AS INT) AS rank FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY doc_id "
+        f"ORDER BY tfidf DESC, w ASC) AS rn FROM scored) t WHERE rn <= {top_k}"
+    )

@@ -70,3 +70,27 @@ def test_chunking_covers_every_token(spark):
     # short docs: one chunk, whole text
     assert by_doc[1] == {0: [f"u{i}" for i in range(7)]}
     assert by_doc[2] == {0: ["single"]}
+
+
+def test_tfidf_top_terms_golden(spark):
+    """TF-IDF keyword extraction: the distinctive term of each doc wins;
+    the term shared by every doc gets the idf floor."""
+    import math as _m
+
+    import pytest
+    from ocgis_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple common"), (2, "banana common"),
+         (3, "cherry cherry cherry common")],
+        "doc_id int, text string",
+    )
+    out = {(r["doc_id"], r["rank"]): (r["w"], r["tfidf"])
+           for r in T.tfidf_top_terms(docs, top_k=2).collect()}
+    assert out[(1, 1)][0] == "apple"
+    assert out[(2, 1)][0] == "banana"
+    assert out[(3, 1)][0] == "cherry"
+    # smoothed idf: unique term ln(4/2)+1; shared term ln(4/4)+1 = 1
+    assert out[(1, 1)][1] == pytest.approx(
+        round(2 * (_m.log(4 / 2) + 1), 6))
+    assert out[(1, 2)] == ("common", 1.0)
