@@ -2362,6 +2362,70 @@ def q_hll_merge_halves(spark, sf_dir):
     return sketch.hll_estimate(sketch.hll_merge(lo, hi), ["lang"])
 
 
+#: fixed probe terms for the count-min frequency queries (shared between
+#: the Spark probe relation and the oracle SQL); 'zebra' is absent from
+#: the synthetic vocabulary and must estimate to 0
+_CMS_PROBES = ["join", "hash", "customer", "vector", "zebra", "the"]
+
+
+def _cms_probes_df(spark):
+    return spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
+
+
+def _cms_corpus_tokens(docs):
+    """(tok, occ) pre-aggregation — hash once per distinct token, not per
+    occurrence (vocab-sized relation feeds the sketch)."""
+    return (
+        docs.selectExpr("explode(split(text, ' ')) AS tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+
+
+_CMS_CORPUS_SQL = (
+    "SELECT tok, count(*) AS occ FROM (SELECT unnest(string_split(text, ' ')) "
+    "AS tok FROM documents) u GROUP BY tok"
+)
+_CMS_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS term" for t in _CMS_PROBES
+)
+
+
+def q_cms_freq(spark, sf_dir):
+    """Count-min frequency estimates for a fixed probe-term set over the
+    whole corpus token stream — the mergeable 100-TB replacement for a
+    long-tail term-frequency aggregation (operators/sketch.py cms_*).
+    The oracle replays the ENGINE-IDENTICAL sketch (md5-slice hashing
+    matches byte-for-byte across Spark SQL and DuckDB)."""
+    docs = _read(spark, sf_dir, "documents")
+    sk = sketch.cms_sketch(_cms_corpus_tokens(docs), [], "tok", weight="occ")
+    return sketch.cms_estimate(sk, _cms_probes_df(spark))
+
+
+def q_cms_merge_halves(spark, sf_dir):
+    """CMS mergeability under the driver gate: sketch two disjoint
+    halves, merge (sum), estimate — counts are additive so the merged
+    estimate equals the whole-stream estimate BIT-FOR-BIT; the oracle is
+    simply the whole-corpus pipeline."""
+    docs = _read(spark, sf_dir, "documents")
+    lo = sketch.cms_sketch(
+        _cms_corpus_tokens(docs.filter(F.col("doc_id") % 2 == 0)),
+        [], "tok", weight="occ",
+    )
+    hi = sketch.cms_sketch(
+        _cms_corpus_tokens(docs.filter(F.col("doc_id") % 2 == 1)),
+        [], "tok", weight="occ",
+    )
+    return sketch.cms_estimate(sketch.cms_merge(lo, hi), _cms_probes_df(spark))
+
+
+def q_dup_ngram_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (ExactSubstr dedup at word-window
+    granularity): per-doc duplicated-window counts + fraction
+    (operators/text.py dup_ngram_spans)."""
+    return textops.dup_ngram_spans(_read(spark, sf_dir, "documents"))
+
+
 def _trend_sql() -> str:
     slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
     return (
@@ -2429,6 +2493,11 @@ def oracle_sql() -> dict[str, str]:
             ["event_type"], "value", "events", 0.9, 0.0, 128.0
         ),
         "hll_merge_halves": sketch.hll_estimate_sql(["lang"], "doc_id", "documents"),
+        "cms_freq": sketch.cms_estimate_sql(_CMS_PROBES_SQL, _CMS_CORPUS_SQL),
+        "cms_merge_halves": sketch.cms_estimate_sql(
+            _CMS_PROBES_SQL, _CMS_CORPUS_SQL
+        ),
+        "dup_ngram_spans": textops.dup_ngram_spans_sql(),
         "bbox_subset": (
             f"SELECT doc_id, lon, lat, cell_id FROM ({_DG}) dg "
             f"WHERE {FX.rect_pred_sql(_RECT)}"
@@ -3189,11 +3258,12 @@ def oracle_sql() -> dict[str, str]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: the driver's correctness gate checks the FIRST 50 entries.
-    # Round-4 window = the 4 new r4 operators + all 27 entries whose
-    # most recent driver-green row was r1 (VERDICT r3 "what's wrong"
-    # #2) + 19 r2-green entries whose underlying code changed in r3
-    # (text/dedup/similarity/spatial). Everything past the boundary is
-    # r2/r3-driver-green and stays gated by scripts/check_oracles.py.
+    # Round-4 window = the 10 new r4 operators (CF projections, custom
+    # seasons, tfidf, CMS sketch x2, dup-span dedup) + all 27 entries
+    # whose most recent driver-green row was r1 (VERDICT r3 "what's
+    # wrong" #2) + 13 r2-green entries whose underlying code changed in
+    # r3 (text/dedup/similarity/spatial). Everything past the boundary
+    # is r2/r3-driver-green and stays gated by scripts/check_oracles.py.
     return {
         "transform_lcc": q_transform_lcc,
         "transform_albers": q_transform_albers,
@@ -3242,10 +3312,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "token_counts": q_token_counts,
+        # new-in-this-session ops take the last 3 window slots (fresh code
+        # needs a driver row more than an unchanged r2-green scalar op);
+        # the three displaced text scalars sit right after the boundary
+        # and rotate back in next round
+        "cms_freq": q_cms_freq,
+        "cms_merge_halves": q_cms_merge_halves,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        # ---- driver window boundary (50) ----
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
-        # ---- driver window boundary (50) ----
         "sessionize": q_sessionize,
         "spans_stats": q_spans_stats,
         "union_geometry": q_union_geometry,

@@ -189,6 +189,136 @@ def histogram_quantile_sql(
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimation (Cormode & Muthukrishnan
+# 2005). At 100 TB, "how often does term X appear per shard/day" is a
+# vocabulary-sized aggregation whose long tail dominates the shuffle; the
+# CMS replaces it with fixed-size per-key state (DEPTH x WIDTH counters)
+# built in one map-side-combinable aggregation. Counter tables MERGE by
+# ``sum`` (counts add exactly), so daily sketches combine into monthly
+# estimates without revisiting the raw corpus — same posture as the HLL
+# register table above. Estimates are one-sided: est >= true, with
+# overshoot bounded by collisions (~ 2N/WIDTH at depth 4, asserted in
+# pytest).
+#
+# Hashing must be ENGINE-IDENTICAL in Spark SQL and DuckDB (the oracle
+# replays the whole pipeline): both dialects ship lowercase-hex ``md5``,
+# ``substring`` and ``instr``, so row r's 32-bit hash is hex-decoded from
+# md5 chars [8r+1, 8r+8] via an unrolled instr('0123..ef', c)-1 polynomial
+# — pure built-ins, whole-stage codegen on the Spark side, no UDF.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+_HEX = "0123456789abcdef"
+
+
+def md5_slice_int_sql(expr: str, row: int) -> str:
+    """BIGINT from md5 hex chars [8*row+1, 8*row+8] (1-based), identical
+    text in Spark SQL and DuckDB."""
+    start = 8 * row + 1
+    # each term is cast to BIGINT BEFORE the multiply: digit * 16^7 can
+    # reach 15 * 2^28 > 2^31, and 32-bit arithmetic would wrap silently
+    # with ansi off (Spark) while DuckDB promotes — a cross-engine hash
+    # divergence the small-vocab parity check cannot catch
+    terms = " + ".join(
+        f"CAST(instr('{_HEX}', substring(md5({expr}), {start + i}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def cms_bucket_sql(expr: str, row: int) -> str:
+    return f"({md5_slice_int_sql(expr, row)} % {CMS_WIDTH})"
+
+
+def cms_sketch(
+    df: DataFrame, keys: list[str], value: str, weight: str | None = None
+) -> DataFrame:
+    """Per-key counter table (keys..., r, bucket, cnt).
+
+    Callers SHOULD pre-aggregate to (value, occurrences) before sketching
+    a high-volume stream (hash once per distinct value, not per
+    occurrence) and pass the count column as ``weight`` — the registry
+    query does exactly that. One hash aggregation; map-side partial sums
+    bound the shuffle to DEPTH*WIDTH rows per key per partition."""
+    w = weight if weight else "1"
+    rows = [
+        df.selectExpr(
+            *keys,
+            f"{r} AS r",
+            f"{cms_bucket_sql(value, r)} AS bucket",
+            f"CAST({w} AS BIGINT) AS w",
+        )
+        for r in range(CMS_DEPTH)
+    ]
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out.groupBy(*keys, "r", "bucket").agg(F.sum("w").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge counter tables: union + sum — exact (counts are additive),
+    so merged-estimate == whole-stream-estimate bit-for-bit."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("r", "bucket", "cnt")]
+    return out.groupBy(*keys, "r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, value: str = "term"
+) -> DataFrame:
+    """Point estimates for a (small) probe relation: min over the DEPTH
+    rows of the counter each hash lands in. Probe side is broadcast; a
+    probe whose bucket is absent from the sketch contributes 0 (left join
+    + coalesce), so unseen terms estimate to 0 unless every row collides."""
+    buckets = ", ".join(cms_bucket_sql(value, r) for r in range(CMS_DEPTH))
+    keyed = probes.selectExpr(
+        value, f"posexplode(array({buckets})) AS (r, bucket)"
+    )
+    # the aggregated sketch is at most DEPTH*WIDTH rows per key — broadcast
+    # it so the probe lookup is shuffle-free
+    joined = keyed.join(F.broadcast(sketch), ["r", "bucket"], "left")
+    return (
+        joined.withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(value)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def cms_estimate_sql(
+    probes_sql: str, corpus_tokens_sql: str, value: str = "term"
+) -> str:
+    """Oracle twin of pre-agg |> cms_sketch |> cms_estimate as one DuckDB
+    string. ``corpus_tokens_sql`` must yield (tok, occ) — the
+    pre-aggregated (value, occurrences) relation; ``probes_sql`` yields
+    one ``value`` column."""
+    per_row = " UNION ALL ".join(
+        f"SELECT {r} AS r, {cms_bucket_sql('tok', r)} AS bucket, "
+        f"CAST(occ AS BIGINT) AS w FROM toks"
+        for r in range(CMS_DEPTH)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {value}, {r} AS r, {cms_bucket_sql(value, r)} AS bucket "
+        f"FROM probes"
+        for r in range(CMS_DEPTH)
+    )
+    return (
+        f"WITH toks AS ({corpus_tokens_sql}), "
+        f"probes AS ({probes_sql}), "
+        f"sk AS (SELECT r, bucket, CAST(sum(w) AS BIGINT) AS cnt FROM "
+        f"({per_row}) u GROUP BY r, bucket), "
+        f"pk AS ({probe_rows}) "
+        f"SELECT pk.{value}, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) "
+        f"AS est_count FROM pk LEFT JOIN sk "
+        f"ON sk.r = pk.r AND sk.bucket = pk.bucket GROUP BY pk.{value}"
+    )
+
+
 def hll_estimate_sql(keys: list[str], value_expr: str, table: str) -> str:
     """The whole pipeline (sketch + estimate) as one DuckDB/Spark-shared
     SQL string — the oracle twin of hll_sketch |> hll_estimate."""

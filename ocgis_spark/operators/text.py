@@ -398,3 +398,87 @@ def tfidf_top_terms_sql(table: str = "documents", text: str = "text",
         f"SELECT *, row_number() OVER (PARTITION BY doc_id "
         f"ORDER BY tfidf DESC, w ASC) AS rn FROM scored) t WHERE rn <= {top_k}"
     )
+
+
+def dup_ngram_spans(df: DataFrame, text: str = "text", n: int = 8) -> DataFrame:
+    """Exact-substring duplicate detection at word-window granularity —
+    the relational form of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    length-``n`` word window occurring verbatim in >= 2 DISTINCT documents
+    is a duplicated span. Per document: total windows, duplicated windows,
+    duplicated fraction (docs shorter than ``n`` words have no window and
+    are excluded, matching :func:`decontaminate`'s short-doc rule).
+
+    Plan shape at 100 TB: windows are hashed to md5 immediately so the
+    corpus-wide gram aggregate and the join back move fixed 32-char keys
+    instead of arbitrary-length text; the whole operator is two hash
+    aggregations (map-side partials) plus one equi-join on the gram key —
+    no all-pairs stage, no Python. The reference has no text dedup; this
+    extends the pipeline family (SURVEY.md training-data ops) alongside
+    minhash/simhash, which catch NEAR-duplicates but miss verbatim spans
+    embedded in otherwise-distinct documents.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, "doc_id")
+    ws = df.select("doc_id", F.split(F.col(text), " ").alias("ws")).filter(
+        F.size("ws") >= n
+    )
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("ws", i + F.lit(1), F.lit(n)))
+                ),
+            )
+        ).alias("gk"),
+    )
+    dup = (
+        grams.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gk")
+    )
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    dd = grams.join(dup, "gk").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    out = tot.join(dd, "doc_id", "left")
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint")
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        n_dup.alias("n_dup"),
+        F.round(
+            n_dup.cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
+def dup_ngram_spans_sql(table: str = "documents", text: str = "text",
+                        n: int = 8) -> str:
+    """Oracle twin of :func:`dup_ngram_spans` (DuckDB list slicing +
+    array_to_string reproduce the identical window strings, md5 matches
+    byte-for-byte across engines)."""
+    return (
+        f"WITH ws AS (SELECT doc_id, string_split({text}, ' ') AS w "
+        f"FROM {table}), "
+        f"ok AS (SELECT doc_id, w FROM ws WHERE len(w) >= {n}), "
+        f"grams AS (SELECT doc_id, md5(array_to_string("
+        f"w[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')) AS gk FROM ("
+        f"SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) "
+        f"AS i FROM ok) s), "
+        f"dup AS (SELECT gk FROM grams GROUP BY gk "
+        f"HAVING count(DISTINCT doc_id) >= 2), "
+        f"tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams "
+        f"FROM grams GROUP BY doc_id), "
+        f"dd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup "
+        f"FROM grams JOIN dup USING (gk) GROUP BY doc_id) "
+        f"SELECT doc_id, t.n_grams, "
+        f"CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup, "
+        f"round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / "
+        f"CAST(t.n_grams AS DOUBLE), 6) AS dup_frac "
+        f"FROM tot t LEFT JOIN dd d USING (doc_id)"
+    )

@@ -240,3 +240,51 @@ def test_pack_sequences_properties(spark):
         for r in rows:
             assert r["pack_id"] == b * 1_000_000 + cum // cap, r
             cum += r["n_tokens"]
+
+
+# ---- exact-substring duplicate spans ----
+
+
+def test_dup_ngram_spans_planted_duplicate(spark):
+    from ocgis_spark.operators import text as T
+
+    span = " ".join(f"s{i}" for i in range(8))  # verbatim 8-word span
+    rows = [
+        (0, "alpha beta " + span + " gamma delta epsilon"),
+        (1, span + " zeta eta theta iota kappa"),
+        (2, "totally different words one two three four five six seven"),
+        (3, "short doc"),  # < 8 words: no window at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in T.dup_ngram_spans(df).collect()}
+    # doc 3 has no window and is excluded entirely
+    assert set(got) == {0, 1, 2}
+    # the planted span is the ONLY window shared across docs
+    assert got[0]["n_dup"] == 1 and got[1]["n_dup"] == 1
+    assert got[2]["n_dup"] == 0 and got[2]["dup_frac"] == 0.0
+    # window counts: len(words) - 8 + 1
+    assert got[0]["n_grams"] == 13 - 8 + 1
+    assert got[1]["n_grams"] == 13 - 8 + 1
+
+
+def test_dup_ngram_spans_within_doc_repeat_not_flagged(spark):
+    from ocgis_spark.operators import text as T
+
+    # the same 8-gram twice in ONE doc is repetition (repetition_ratio's
+    # job), not cross-document duplication
+    span = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(0, span + " x " + span), (1, "u0 u1 u2 u3 u4 u5 u6 u7 u8")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in T.dup_ngram_spans(df).collect()}
+    assert got[0]["n_dup"] == 0
+    assert got[1]["n_dup"] == 0
+
+
+def test_dup_ngram_spans_no_python_in_plan(spark):
+    from ocgis_spark.operators import text as T
+
+    df = spark.createDataFrame([(0, "a b c d e f g h i")], "doc_id bigint, text string")
+    plan = T.dup_ngram_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

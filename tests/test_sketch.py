@@ -93,3 +93,82 @@ def test_histogram_quantile_ignores_nulls(spark):
     con.execute("CREATE VIEW t AS SELECT * FROM '/tmp/_hq_nulls.parquet'")
     sql = sketch.histogram_quantile_sql(["k"], "v", "t", 0.5, 0.0, 128.0)
     assert con.execute(sql).fetchall()[0][1] == got[0]["quantile"]
+
+
+# ---- count-min sketch ----
+
+
+def test_cms_estimate_one_sided_and_tight(spark):
+    # 500 distinct tokens, zipf-ish occurrence weights
+    rows = [(f"tok{i}", 1 + (1000 // (i + 1))) for i in range(500)]
+    df = spark.createDataFrame(rows, "tok string, occ int")
+    sk = sketch.cms_sketch(df, [], "tok", weight="occ")
+    probes = spark.createDataFrame(
+        [("tok0",), ("tok7",), ("tok499",), ("absent",)], "term string"
+    )
+    est = {r["term"]: r["est_count"] for r in sketch.cms_estimate(sk, probes).collect()}
+    true = dict(rows)
+    total = sum(w for _, w in rows)
+    for t in ("tok0", "tok7", "tok499"):
+        assert est[t] >= true[t]  # CMS never under-estimates
+        # standard bound: overshoot <= 2N/WIDTH with prob 1 - 2^-DEPTH;
+        # generous factor for the tiny width
+        assert est[t] <= true[t] + 4 * total / sketch.CMS_WIDTH
+    assert est["absent"] <= 4 * total / sketch.CMS_WIDTH
+
+
+def test_cms_merge_equals_whole(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i % 97}", 1) for i in range(4000)], "i int, tok string, occ int"
+    )
+    lo = df.filter("i % 2 = 0").drop("i")
+    hi = df.filter("i % 2 = 1").drop("i")
+    df = df.drop("i")
+    merged = sketch.cms_merge(
+        sketch.cms_sketch(lo, [], "tok", weight="occ"),
+        sketch.cms_sketch(hi, [], "tok", weight="occ"),
+    )
+    whole = sketch.cms_sketch(df, [], "tok", weight="occ")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_state_is_bounded(spark):
+    df = spark.range(50000).selectExpr("CAST(id AS STRING) AS tok")
+    sk = sketch.cms_sketch(df, [], "tok")
+    assert sk.count() <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
+
+
+def test_cms_no_python_in_plan(spark):
+    df = spark.createDataFrame([("a", 1)], "tok string, occ int")
+    sk = sketch.cms_sketch(df, [], "tok", weight="occ")
+    probes = spark.createDataFrame([("a",)], "term string")
+    plan = sketch.cms_estimate(sk, probes)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_hash_parity_with_duckdb(spark):
+    """Bucket-level cross-engine parity: estimates can match by luck on
+    a collision-free vocab, so assert the HASHES agree (this is the test
+    that catches 32-bit overflow divergence between engines)."""
+    import duckdb
+
+    toks = [f"tok-{i}" for i in range(64)] + ["", "a", "the quick brown fox"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        (r["tok"], r["r"]): r["bucket"]
+        for r in df.selectExpr(
+            "tok",
+            "posexplode(array({})) AS (r, bucket)".format(
+                ", ".join(sketch.cms_bucket_sql("tok", k) for k in range(sketch.CMS_DEPTH))
+            ),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(tok VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in toks])
+    for k in range(sketch.CMS_DEPTH):
+        for tok, b in con.execute(
+            f"SELECT tok, {sketch.cms_bucket_sql('tok', k)} FROM t"
+        ).fetchall():
+            assert got[(tok, k)] == b, (tok, k)
+    assert all(0 <= b < sketch.CMS_WIDTH for b in got.values())
