@@ -244,19 +244,16 @@ def cms_sketch(
     query does exactly that. One hash aggregation; map-side partial sums
     bound the shuffle to DEPTH*WIDTH rows per key per partition."""
     w = weight if weight else "1"
-    rows = [
-        df.selectExpr(
-            *keys,
-            f"{r} AS r",
-            f"{cms_bucket_sql(value, r)} AS bucket",
-            f"CAST({w} AS BIGINT) AS w",
-        )
-        for r in range(CMS_DEPTH)
-    ]
-    out = rows[0]
-    for x in rows[1:]:
-        out = out.unionByName(x)
-    return out.groupBy(*keys, "r", "bucket").agg(F.sum("w").alias("cnt"))
+    # ONE posexplode pass, not a DEPTH-way union: a union would re-derive
+    # the (usually aggregated) input once per depth row — DEPTH extra
+    # corpus scans at 100 TB
+    buckets = ", ".join(cms_bucket_sql(value, r) for r in range(CMS_DEPTH))
+    rows = df.selectExpr(
+        *keys,
+        f"posexplode(array({buckets})) AS (r, bucket)",
+        f"CAST({w} AS BIGINT) AS w",
+    )
+    return rows.groupBy(*keys, "r", "bucket").agg(F.sum("w").alias("cnt"))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
