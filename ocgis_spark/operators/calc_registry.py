@@ -157,6 +157,35 @@ def _approx_quantile_hist(
     )
 
 
+@register("cms_topfreq")
+def _cms_topfreq(df, keys, value="value", probes=None, **_):
+    """Approximate per-probe frequency via the mergeable count-min
+    counter sketch (operators/sketch.py cms_*) — the 100-TB replacement
+    for a long-tail term-frequency aggregation: per-partition state is at
+    most DEPTH·WIDTH rows, counter tables from separate batches merge
+    with a groupBy sum. ``probes`` is the list of values to estimate
+    (required — CMS answers point queries, it does not enumerate)."""
+    from . import sketch as sketch_mod
+
+    if not probes:
+        raise ValueError(
+            "cms_topfreq needs probes=[...] — a count-min sketch answers "
+            "point-frequency queries, it cannot enumerate items"
+        )
+    if keys:
+        raise NotImplementedError(
+            "cms_topfreq is registered corpus-global; per-key probe "
+            "estimation composes cms_sketch(df, keys, ...) with a keyed "
+            "probe join — use operators.sketch directly"
+        )
+    pdf = df.sparkSession.createDataFrame(
+        [(p,) for p in probes], f"{value} string"
+    )
+    return sketch_mod.cms_estimate(
+        sketch_mod.cms_sketch(df, [], value), pdf, value=value
+    )
+
+
 @register("duration")
 def _duration(df, keys, value="value", threshold=0.0, operation="gt",
               summary="max", ts="ts", tiebreak=None, **_):

@@ -100,6 +100,33 @@ def streaming_hll_sketch(
     return reg.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
 
 
+def streaming_cms_sketch(
+    docs_stream: DataFrame, keys: list[str], value: str,
+    weight: str | None = None,
+) -> DataFrame:
+    """Count-min counter table maintained over a STREAM: the
+    (key, r, bucket) SUM aggregation is incremental-friendly (sum is
+    associative and commutative), so complete-mode state = exactly the
+    counter table, bounded at DEPTH*WIDTH rows per key regardless of
+    stream length. Counters equal the batch sketch over the same data —
+    asserted stream==batch in pytest; estimate with
+    `operators.sketch.cms_estimate` on the drained table. Together with
+    `streaming_hll_sketch` this gives the streaming half of the mergeable-
+    sketch pair: distinct counts (max-merge) and frequencies (sum-merge)."""
+    from ocgis_spark.operators import sketch as SK
+
+    w = weight if weight else "1"
+    buckets = ", ".join(
+        SK.cms_bucket_sql(value, r) for r in range(SK.CMS_DEPTH)
+    )
+    rows = docs_stream.selectExpr(
+        *keys,
+        f"posexplode(array({buckets})) AS (r, bucket)",
+        f"CAST({w} AS BIGINT) AS w",
+    )
+    return rows.groupBy(*keys, "r", "bucket").agg(F.sum("w").alias("cnt"))
+
+
 def streaming_dedup(
     docs_stream: DataFrame, key_expr: str = "lower(trim(substr(text, 1, 40)))"
 ) -> DataFrame:

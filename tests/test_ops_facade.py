@@ -335,3 +335,27 @@ def test_output_crs_accepts_parametric_dict(spark, golden_field):
     for r in back.collect():
         assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
         assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
+
+
+def test_cms_topfreq_facade_calc(spark):
+    """cms_topfreq registry calc: probe-term frequency estimates through
+    the facade registry, no operators.sketch import needed."""
+    import pytest as _pt
+
+    from ocgis_spark.operators import calc_registry
+
+    df = spark.createDataFrame(
+        [(f"t{i % 11}",) for i in range(330)], "value string"
+    )
+    est = {
+        r["value"]: r["est_count"]
+        for r in calc_registry.get("cms_topfreq")(
+            df, [], probes=["t0", "t5", "missing"]
+        ).collect()
+    }
+    assert est["t0"] >= 30 and est["t5"] >= 30  # one-sided
+    assert est["missing"] <= 10
+    with _pt.raises(ValueError):
+        calc_registry.get("cms_topfreq")(df, [])
+    with _pt.raises(NotImplementedError):
+        calc_registry.get("cms_topfreq")(df, ["value"], probes=["t0"])

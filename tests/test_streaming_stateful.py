@@ -130,3 +130,35 @@ def test_streaming_hll_sketch_matches_batch(spark, tmp_path):
     est_b = SK.hll_estimate(SK.hll_sketch(batch, ["lang"], "doc_id"), ["lang"])
     est_s = SK.hll_estimate(spark.table("hll_stream"), ["lang"])
     assert sorted(map(tuple, est_b.collect())) == sorted(map(tuple, est_s.collect()))
+
+
+def test_streaming_cms_sketch_matches_batch(spark, tmp_path):
+    """stream == batch for the count-min counters: sum-merge state drained
+    from the stream equals the batch sketch bit-for-bit, so probe
+    estimates are the SAME numbers a batch job would publish."""
+    import pandas as pd
+
+    from ocgis_spark.operators import sketch as SK
+    from ocgis_spark.streaming import pipeline as P
+
+    src = str(tmp_path / "cms_src")
+    d1 = pd.DataFrame({"tok": [f"w{i % 13}" for i in range(40)]})
+    d2 = pd.DataFrame({"tok": [f"w{i % 7}" for i in range(30)]})
+    spark.createDataFrame(d1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(d2).coalesce(1).write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    expect = sorted(map(tuple, SK.cms_sketch(batch, [], "tok").collect()))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = P.streaming_cms_sketch(stream, [], "tok")
+    P.run_available_now(out, "cms_stream", str(tmp_path / "ck_cms"))
+    got = sorted(map(tuple, spark.sql("SELECT * FROM cms_stream").collect()))
+    assert got == expect
+    probes = spark.createDataFrame([("w0",), ("w5",), ("nope",)], "term string")
+    est_b = SK.cms_estimate(SK.cms_sketch(batch, [], "tok"), probes)
+    est_s = SK.cms_estimate(spark.table("cms_stream"), probes)
+    assert sorted(map(tuple, est_b.collect())) == sorted(map(tuple, est_s.collect()))
