@@ -202,6 +202,85 @@ def clip_ring_by_box(
     return np.vstack([pts, pts[:1]])
 
 
+def clip_ring_by_halfplane(
+    ring: np.ndarray, a: np.ndarray, b: np.ndarray, keep_left: bool = True
+) -> np.ndarray:
+    """Sutherland–Hodgman clip of one ring against a single half-plane
+    bounded by the directed line a→b: ``keep_left`` keeps the d >= 0 side
+    of d = (bx-ax)(py-ay) - (by-ay)(px-ax) (the CCW-interior convention of
+    :func:`points_in_convex_ccw`). Exact for CONVEX subject rings (a
+    convex region cut by a line stays one piece); simple-but-nonconvex
+    subjects can produce degenerate bridging edges, so callers gate on
+    :func:`ring_is_convex_ccw`. Returns a closed ring or an empty array."""
+    pts = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+    if len(pts) == 0:
+        return np.empty((0, 2))
+    d = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (pts[:, 0] - a[0])
+    if not keep_left:
+        d = -d
+    inside = d >= 0.0
+    out = []
+    n = len(pts)
+    for i in range(n):
+        j = (i + 1) % n
+        if inside[i]:
+            out.append(pts[i])
+        if inside[i] != inside[j]:
+            t = d[i] / (d[i] - d[j])
+            out.append(pts[i] + t * (pts[j] - pts[i]))
+    if not out:
+        return np.empty((0, 2))
+    arr = np.array(out)
+    return np.vstack([arr, arr[:1]])
+
+
+def _orient_ccw(ring: np.ndarray) -> np.ndarray:
+    r = ring if (ring[0] == ring[-1]).all() else np.vstack([ring, ring[:1]])
+    return r if ring_area(r) >= 0 else r[::-1].copy()
+
+
+def convex_union_pieces(outers: list[np.ndarray]) -> list[np.ndarray]:
+    """Decompose the union of (possibly overlapping) CONVEX rings into
+    interior-DISJOINT convex pieces — the missing `get_unioned` branch for
+    overlapping non-rectilinear selections (reference
+    ``src/ocgis/variable/geom.py:870-1075`` unions arbitrary geometry sets
+    via GEOS; here the engine's own clip kernel does it for the convex
+    family without GEOS).
+
+    Sweep: keep a running piece list; each new ring contributes only its
+    part OUTSIDE every existing piece, computed by successive half-plane
+    subtraction (for each edge of an existing convex piece, the fragment
+    beyond that edge splits off as its own convex piece; the remainder —
+    fragment ∩ piece — is already covered and is dropped). Every fragment
+    stays convex, so Sutherland–Hodgman remains exact throughout. Piece
+    areas therefore SUM to the union area (asserted in pytest)."""
+    pieces: list[np.ndarray] = []
+    for outer in outers:
+        ring = _orient_ccw(np.asarray(outer, dtype="f8"))
+        if not ring_is_convex_ccw(ring):
+            raise ValueError("convex_union_pieces: ring is not convex")
+        frags = [ring]
+        for piece in list(pieces):
+            nxt: list[np.ndarray] = []
+            for f in frags:
+                rem = f
+                for k in range(len(piece) - 1):
+                    if len(rem) == 0:
+                        break
+                    outside = clip_ring_by_halfplane(
+                        rem, piece[k], piece[k + 1], keep_left=False
+                    )
+                    if len(outside) >= 4 and abs(ring_area(outside)) > EPS_AREA:
+                        nxt.append(outside)
+                    rem = clip_ring_by_halfplane(
+                        rem, piece[k], piece[k + 1], keep_left=True
+                    )
+                # rem == f ∩ piece: covered by `piece`, dropped
+            frags = nxt
+        pieces.extend(frags)
+    return pieces
+
+
 def box_polygon_clip_area(
     rings: list[np.ndarray], minx: float, miny: float, maxx: float, maxy: float
 ) -> float:

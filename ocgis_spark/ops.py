@@ -391,15 +391,36 @@ class OcgOperations:
                         if G.rings_overlap(polys[i][1], polys[j][1])
                     ]
                     if over:
-                        raise DefinitionValidationError(
-                            "agg_selection with clip over OVERLAPPING "
-                            "non-rectilinear selection geometries has no "
-                            f"dissolve path (overlapping ugid pairs: {over}); "
-                            "rectilinear selections dissolve via rectunion, "
-                            "disjoint ones clip per-geometry — union "
-                            "overlapping irregular selections upstream"
+                        # overlapping CONVEX hole-free selections dissolve
+                        # via half-plane difference decomposition into
+                        # interior-disjoint convex pieces (the engine-side
+                        # get_unioned branch, geom.py:870-1075) — the
+                        # per-piece clip areas then sum without double
+                        # counting the overlap region
+                        convex_ok = all(
+                            len(r) == 1
+                            and G.ring_is_convex_ccw(G._orient_ccw(r[0]))
+                            for _, r in polys
                         )
-                    upolys = [r for _, r in polys]
+                        if not convex_ok:
+                            raise DefinitionValidationError(
+                                "agg_selection with clip over OVERLAPPING "
+                                "non-convex (or holed) selection geometries "
+                                f"has no dissolve path (overlapping ugid "
+                                f"pairs: {over}); rectilinear selections "
+                                "dissolve via rectunion, overlapping CONVEX "
+                                "ones via half-plane decomposition, "
+                                "disjoint ones clip per-geometry — union "
+                                "other irregular selections upstream"
+                            )
+                        upolys = [
+                            [p]
+                            for p in G.convex_union_pieces(
+                                [r[0] for _, r in polys]
+                            )
+                        ]
+                    else:
+                        upolys = [r for _, r in polys]
                 else:
                     rects = np.array(
                         [[r[0][:, 0].min(), r[0][:, 1].min(),

@@ -179,3 +179,86 @@ def test_rings_overlap_cases():
     inner = [np.array([[1.8, 1.5], [2.5, 1.5], [2.5, 2.5], [1.8, 2.5]],
                       float)]
     assert not G.rings_overlap(c, inner)
+
+
+# ---- convex union decomposition (overlapping agg_selection dissolve) ----
+
+
+def _sq(x0, y0, s):
+    import numpy as np
+
+    return np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]],
+        dtype="f8",
+    )
+
+
+def test_clip_ring_by_halfplane_splits_square():
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    sq = _sq(0, 0, 2)
+    a, b = np.array([1.0, -1.0]), np.array([1.0, 3.0])  # vertical line x=1, up
+    left = G.clip_ring_by_halfplane(sq, a, b, keep_left=True)
+    right = G.clip_ring_by_halfplane(sq, a, b, keep_left=False)
+    assert abs(abs(G.ring_area(left)) - 2.0) < 1e-12
+    assert abs(abs(G.ring_area(right)) - 2.0) < 1e-12
+    # the two halves tile the square
+    assert abs(abs(G.ring_area(left)) + abs(G.ring_area(right)) - 4.0) < 1e-12
+
+
+def test_convex_union_pieces_overlapping_squares():
+    from ocgis_spark.geo import geometry as G
+
+    # two unit-4 squares overlapping in a 1x2 strip: union area = 4+4-2
+    pieces = G.convex_union_pieces([_sq(0, 0, 2), _sq(1, 0, 2)])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - 6.0) < 1e-10
+    # every piece is convex CCW (prereq for the clip-based area kernels)
+    assert all(G.ring_is_convex_ccw(p) for p in pieces)
+
+
+def test_convex_union_pieces_triple_overlap_and_containment():
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    big = _sq(0, 0, 4)
+    inside = _sq(1, 1, 1)           # fully contained: contributes nothing
+    hang = _sq(3, 3, 2)             # overlaps corner: contributes 4 - 1
+    tri = np.array([[4, 0], [6, 0], [6, 2], [4, 0]], dtype="f8")  # edge-touch
+    pieces = G.convex_union_pieces([big, inside, hang, tri])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - (16.0 + 3.0 + 2.0)) < 1e-10
+
+
+def test_convex_union_pieces_disjoint_passthrough():
+    from ocgis_spark.geo import geometry as G
+
+    pieces = G.convex_union_pieces([_sq(0, 0, 1), _sq(5, 5, 2)])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - 5.0) < 1e-12
+    assert len(pieces) == 2
+
+
+def test_convex_union_pieces_rejects_nonconvex():
+    import numpy as np
+    import pytest
+
+    from ocgis_spark.geo import geometry as G
+
+    lshape = np.array(
+        [[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]], dtype="f8"
+    )
+    with pytest.raises(ValueError):
+        G.convex_union_pieces([lshape])
+
+
+def test_convex_union_pieces_cw_input_reoriented():
+    from ocgis_spark.geo import geometry as G
+
+    cw = _sq(0, 0, 2)[::-1].copy()  # clockwise orientation
+    pieces = G.convex_union_pieces([cw, _sq(1, 1, 2)])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - (4 + 4 - 1)) < 1e-10

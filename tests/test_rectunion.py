@@ -204,15 +204,26 @@ def test_agg_selection_clip_facade(spark):
     total = out.agg(F.sum("clip_area")).collect()[0][0]
     want = 1.5 * 1.5 * 2 - 0.5 * 0.5  # union area by inclusion-exclusion
     assert total == pytest.approx(want, abs=1e-9)
-    # OVERLAPPING non-rectilinear selection: still rejected (no GEOS
-    # dissolve), with the narrowed message naming the overlapping pair
+    # OVERLAPPING non-rectilinear CONVEX selection (r4 session 2): the
+    # half-plane difference decomposition dissolves rect + triangle;
+    # union area by inclusion-exclusion: 2.25 + 0.5 - 0.32 (the triangle
+    # part above y=37.2 is a similar triangle of height 0.8)
     import ocgis_spark.geo.wkb as WKB
     tri = WKB.polygon_to_wkb([np.array(
         [[-105.0, 37.0], [-104.0, 37.0], [-104.5, 38.0], [-105.0, 37.0]])])
     ops2 = OcgOperations(dataset=fld, geom=[r1, tri], agg_selection=True,
                          spatial_operation="clip", abstraction="polygon")
-    with pytest.raises(DefinitionValidationError, match="OVERLAPPING"):
-        ops2.execute(spark)
+    total2 = ops2.execute(spark).agg(F.sum("clip_area")).collect()[0][0]
+    assert total2 == pytest.approx(2.25 + 0.5 - 0.32, abs=1e-9)
+    # OVERLAPPING NON-CONVEX selection: still rejected (needs GEOS),
+    # message names the overlapping pair and the convex narrowing
+    lshape = WKB.polygon_to_wkb([np.array(
+        [[-105.0, 37.0], [-104.0, 37.0], [-104.0, 37.5], [-104.5, 37.5],
+         [-104.5, 38.0], [-105.0, 38.0], [-105.0, 37.0]])])
+    ops2b = OcgOperations(dataset=fld, geom=[r1, lshape], agg_selection=True,
+                          spatial_operation="clip", abstraction="polygon")
+    with pytest.raises(DefinitionValidationError, match="non-convex"):
+        ops2b.execute(spark)
     # DISJOINT non-rectilinear selections clip per-geometry (r4: the
     # common get_unioned case — distinct irregular regions): total area
     # = rect + triangle
