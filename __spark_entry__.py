@@ -990,6 +990,90 @@ def _agg_selection_clip_sql() -> str:
     )
 
 
+#: right triangle overlapping QUERY_RECT's NE corner (legs axis-parallel,
+#: hypotenuse slope -1 on grid-aligned coords): vertices (xl,yb) (xr,yb)
+#: (xl,yt) — region {x>=xl, y>=yb, y <= -x - 63}
+_TRI_XL, _TRI_XR, _TRI_YB, _TRI_YT = -103.5, -101.5, 38.5, 40.5
+_TRI_M, _TRI_B = -1.0, -63.0  # hypotenuse y = m x + b
+
+
+def q_agg_selection_clip_convex(spark, sf_dir):
+    """agg_selection + clip over OVERLAPPING CONVEX non-rectilinear
+    selections (rect + right triangle): dissolved engine-side via
+    half-plane difference decomposition into interior-disjoint convex
+    pieces (geo/geometry.py convex_union_pieces — the get_unioned branch
+    for the convex family, reference geom.py:870-1075), then per-piece
+    S-H clip with per-cell area sums."""
+    import numpy as np
+
+    from ocgis_spark.geo import wkb as WKB
+
+    dg = _docs_geo(spark, sf_dir)
+    fld = Field(dg, {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+                DOC_GRID)
+    tri = WKB.polygon_to_wkb([np.array(
+        [[_TRI_XL, _TRI_YB], [_TRI_XR, _TRI_YB], [_TRI_XL, _TRI_YT],
+         [_TRI_XL, _TRI_YB]])])
+    ops = OcgOperations(
+        dataset=fld, geom=[_RECT, tri], agg_selection=True,
+        spatial_operation="clip", abstraction="polygon",
+    )
+    out = ops.execute(spark)
+    return out.select(
+        "doc_id", "cell_id", F.round("clip_area", 9).alias("clip_area")
+    )
+
+
+def _below_line_box_area_sql(X0, X1, Y0, Y1) -> str:
+    """Closed-form SQL for area(cell ∩ [X0,X1]x[Y0,Y1] ∩ {y <= m x + b})
+    with the fixed hypotenuse (m = _TRI_M < 0): full-height strip up to
+    the y1-crossing, then the linear wedge down to the y0-crossing —
+    exact per piece (the integrand is linear between the clamped
+    breakpoints). Box bounds combine the literal selection box with the
+    per-cell bounds from cell_bounds_exprs."""
+    m, b = _TRI_M, _TRI_B
+    assert m < 0
+    f = FX._f
+    x0 = f"greatest({_CB['lon_lb']}, {f(X0)})"
+    x1 = f"greatest(least({_CB['lon_ub']}, {f(X1)}), {x0})"
+    y0 = f"greatest({_CB['lat_lb']}, {f(Y0)})"
+    y1 = f"greatest(least({_CB['lat_ub']}, {f(Y1)}), {y0})"
+    c1 = f"least(greatest((({y1}) - {f(b)}) / {f(m)}, {x0}), {x1})"
+    c0 = f"least(greatest((({y0}) - {f(b)}) / {f(m)}, {x0}), {x1})"
+    return (
+        f"((({y1}) - ({y0})) * (({c1}) - ({x0})) "
+        f"+ {f(m / 2.0)} * (({c0}) * ({c0}) - ({c1}) * ({c1})) "
+        f"+ ({f(b)} - ({y0})) * (({c0}) - ({c1})))"
+    )
+
+
+def _agg_selection_clip_convex_sql() -> str:
+    """Inclusion–exclusion twin of the convex dissolve: |cell∩R| +
+    |cell∩T| − |cell∩(R∩T)|, where the triangle terms use the
+    single-slope slab integral (R∩T is again an axis-box ∩ the same
+    half-plane, so one helper covers both)."""
+    minx, miny, maxx, maxy = _RECT
+    f = FX._f
+
+    a_rect = (
+        f"(greatest(least({_CB['lon_ub']}, {f(maxx)}) - "
+        f"greatest({_CB['lon_lb']}, {f(minx)}), 0.0) * "
+        f"greatest(least({_CB['lat_ub']}, {f(maxy)}) - "
+        f"greatest({_CB['lat_lb']}, {f(miny)}), 0.0))"
+    )
+    a_tri = _below_line_box_area_sql(_TRI_XL, _TRI_XR, _TRI_YB, _TRI_YT)
+    a_int = _below_line_box_area_sql(
+        max(minx, _TRI_XL), min(maxx, _TRI_XR),
+        max(miny, _TRI_YB), min(maxy, _TRI_YT),
+    )
+    area = f"({a_rect} + {a_tri} - {a_int})"
+    return (
+        f"SELECT doc_id, cell_id, round(clip_area, 9) AS clip_area FROM ("
+        f"SELECT doc_id, cell_id, {area} AS clip_area FROM ({_DG}) dg) t "
+        f"WHERE clip_area > 1e-12"
+    )
+
+
 def q_transform_mercator(spark, sf_dir):
     """General CRS transform (update_crs analogue): project doc lon/lat
     to web mercator (EPSG:4326→EPSG:3857) via the native closed-form
@@ -3079,6 +3163,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN wp ON e.user_id = wp.user_id GROUP BY e.user_id"
         ),
         "agg_selection_clip": _agg_selection_clip_sql(),
+        "agg_selection_clip_convex": _agg_selection_clip_convex_sql(),
         "group_season_custom": _group_season_custom_sql(),
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "transform_lcc": _transform_param_sql(_LCC_NARCCAP),
@@ -3376,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_TXx": q_icclim_txx,
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
+        "agg_selection_clip_convex": q_agg_selection_clip_convex,
         "regrid_nonuniform": q_regrid_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,

@@ -253,7 +253,15 @@ def convex_union_pieces(outers: list[np.ndarray]) -> list[np.ndarray]:
     beyond that edge splits off as its own convex piece; the remainder —
     fragment ∩ piece — is already covered and is dropped). Every fragment
     stays convex, so Sutherland–Hodgman remains exact throughout. Piece
-    areas therefore SUM to the union area (asserted in pytest)."""
+    areas therefore SUM to the union area (asserted in pytest).
+
+    Emitted fragments are cleaned of consecutive duplicate vertices: a
+    half-plane clip whose boundary passes through a subject vertex emits
+    that vertex twice (once as "inside vertex", once as the crossing
+    point), and a degenerate repeated corner can later fool shape
+    classifiers (a triangle whose 4 stored points all sit on bbox corners
+    previously passed ``_rings_is_axis_rect`` and was clipped as the full
+    box — full-cell areas for cells entirely outside the piece)."""
     pieces: list[np.ndarray] = []
     for outer in outers:
         ring = _orient_ccw(np.asarray(outer, dtype="f8"))
@@ -267,9 +275,9 @@ def convex_union_pieces(outers: list[np.ndarray]) -> list[np.ndarray]:
                 for k in range(len(piece) - 1):
                     if len(rem) == 0:
                         break
-                    outside = clip_ring_by_halfplane(
+                    outside = _dedupe_closed_ring(clip_ring_by_halfplane(
                         rem, piece[k], piece[k + 1], keep_left=False
-                    )
+                    ))
                     if len(outside) >= 4 and abs(ring_area(outside)) > EPS_AREA:
                         nxt.append(outside)
                     rem = clip_ring_by_halfplane(
@@ -279,6 +287,17 @@ def convex_union_pieces(outers: list[np.ndarray]) -> list[np.ndarray]:
             frags = nxt
         pieces.extend(frags)
     return pieces
+
+
+def _dedupe_closed_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices from a closed ring (keeping the
+    closing vertex). Returns the input unchanged when already clean."""
+    if len(ring) < 2:
+        return ring
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = (ring[1:] != ring[:-1]).any(axis=1)
+    keep[-1] = True  # closing vertex always kept
+    return ring if keep.all() else ring[keep].copy()
 
 
 def box_polygon_clip_area(
@@ -636,7 +655,12 @@ def _rings_is_axis_rect(rings: list[np.ndarray]) -> bool:
     if len(pts) != 4:
         return False
     xs, ys = np.unique(pts[:, 0]), np.unique(pts[:, 1])
-    return len(xs) == 2 and len(ys) == 2
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    # the 4 points must be the 4 DISTINCT corners — a triangle with a
+    # duplicated corner vertex also has 4 stored points all on bbox
+    # corners and must NOT take the closed-form full-box path
+    return len(np.unique(pts, axis=0)) == 4
 
 
 def _boxes_touch_polygon(minx, miny, maxx, maxy, rings, touch_ok, areas):

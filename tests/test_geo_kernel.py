@@ -262,3 +262,41 @@ def test_convex_union_pieces_cw_input_reoriented():
     pieces = G.convex_union_pieces([cw, _sq(1, 1, 2)])
     total = sum(abs(G.ring_area(p)) for p in pieces)
     assert abs(total - (4 + 4 - 1)) < 1e-10
+
+
+def test_convex_union_pieces_no_degenerate_vertices():
+    """rect + right-triangle whose dissolve fragment has a clip plane
+    through a subject vertex: the raw S-H output repeats that corner, and
+    the repeated-corner triangle (4 stored points all on bbox corners)
+    must neither survive in the output nor classify as an axis rect —
+    r4 regression: full-cell clip areas for cells outside the piece."""
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    rect = np.array(
+        [[-104.5, 37.5], [-102.5, 37.5], [-102.5, 39.5], [-104.5, 39.5],
+         [-104.5, 37.5]]
+    )
+    tri = np.array(
+        [[-103.5, 38.5], [-101.5, 38.5], [-103.5, 40.5], [-103.5, 38.5]]
+    )
+    pieces = G.convex_union_pieces([rect, tri])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - 5.0) < 1e-10
+    for p in pieces:
+        # no consecutive duplicate vertices in any emitted piece
+        assert (np.abs(p[1:] - p[:-1]).max(axis=1) > 0).all()
+    # a corner-duplicated triangle is NOT an axis rect
+    degenerate = np.array(
+        [[-102.5, 39.5], [-102.5, 39.5], [-103.5, 40.5], [-103.5, 39.5],
+         [-102.5, 39.5]]
+    )
+    assert not G._rings_is_axis_rect([degenerate])
+    # cell entirely above the hypotenuse clips to zero area vs every piece
+    keep, area = G.boxes_intersect_polygon(
+        np.array([-102.8125]), np.array([40.0]),
+        np.array([-102.75]), np.array([40.0625]),
+        [pieces[2]], keep_touches=False,
+    )
+    assert not keep[0] and area[0] == 0.0
