@@ -1024,15 +1024,17 @@ def q_agg_selection_clip_convex(spark, sf_dir):
     )
 
 
-def _below_line_box_area_sql(X0, X1, Y0, Y1) -> str:
+def _below_line_box_area_sql(X0, X1, Y0, Y1, m=None, b=None) -> str:
     """Closed-form SQL for area(cell ∩ [X0,X1]x[Y0,Y1] ∩ {y <= m x + b})
-    with the fixed hypotenuse (m = _TRI_M < 0): full-height strip up to
-    the y1-crossing, then the linear wedge down to the y0-crossing —
-    exact per piece (the integrand is linear between the clamped
-    breakpoints). Box bounds combine the literal selection box with the
-    per-cell bounds from cell_bounds_exprs."""
-    m, b = _TRI_M, _TRI_B
-    assert m < 0
+    for either slope sign (defaults: the convex-test hypotenuse): the
+    full-height strip on the line's high side of the y1-crossing, then
+    the linear wedge down to the y0-crossing — exact per piece (the
+    integrand is linear between the clamped breakpoints). Box bounds
+    combine the literal selection box with the per-cell bounds from
+    cell_bounds_exprs."""
+    m = _TRI_M if m is None else m
+    b = _TRI_B if b is None else b
+    assert m != 0
     f = FX._f
     x0 = f"greatest({_CB['lon_lb']}, {f(X0)})"
     x1 = f"greatest(least({_CB['lon_ub']}, {f(X1)}), {x0})"
@@ -1040,10 +1042,29 @@ def _below_line_box_area_sql(X0, X1, Y0, Y1) -> str:
     y1 = f"greatest(least({_CB['lat_ub']}, {f(Y1)}), {y0})"
     c1 = f"least(greatest((({y1}) - {f(b)}) / {f(m)}, {x0}), {x1})"
     c0 = f"least(greatest((({y0}) - {f(b)}) / {f(m)}, {x0}), {x1})"
+    if m < 0:
+        # line decreasing: full-height for x < c1, wedge on [c1, c0]
+        return (
+            f"((({y1}) - ({y0})) * (({c1}) - ({x0})) "
+            f"+ {f(m / 2.0)} * (({c0}) * ({c0}) - ({c1}) * ({c1})) "
+            f"+ ({f(b)} - ({y0})) * (({c0}) - ({c1})))"
+        )
+    # line increasing: wedge on [c0, c1], full-height for x > c1
     return (
-        f"((({y1}) - ({y0})) * (({c1}) - ({x0})) "
-        f"+ {f(m / 2.0)} * (({c0}) * ({c0}) - ({c1}) * ({c1})) "
-        f"+ ({f(b)} - ({y0})) * (({c0}) - ({c1})))"
+        f"((({y1}) - ({y0})) * (({x1}) - ({c1})) "
+        f"+ {f(m / 2.0)} * (({c1}) * ({c1}) - ({c0}) * ({c0})) "
+        f"+ ({f(b)} - ({y0})) * (({c1}) - ({c0})))"
+    )
+
+
+def _box_area_sql(X0, X1, Y0, Y1) -> str:
+    """Closed-form SQL for area(cell ∩ [X0,X1]x[Y0,Y1])."""
+    f = FX._f
+    return (
+        f"(greatest(least({_CB['lon_ub']}, {f(X1)}) - "
+        f"greatest({_CB['lon_lb']}, {f(X0)}), 0.0) * "
+        f"greatest(least({_CB['lat_ub']}, {f(Y1)}) - "
+        f"greatest({_CB['lat_lb']}, {f(Y0)}), 0.0))"
     )
 
 
@@ -1067,6 +1088,82 @@ def _agg_selection_clip_convex_sql() -> str:
         max(miny, _TRI_YB), min(maxy, _TRI_YT),
     )
     area = f"({a_rect} + {a_tri} - {a_int})"
+    return (
+        f"SELECT doc_id, cell_id, round(clip_area, 9) AS clip_area FROM ("
+        f"SELECT doc_id, cell_id, {area} AS clip_area FROM ({_DG}) dg) t "
+        f"WHERE clip_area > 1e-12"
+    )
+
+
+#: concave chevron overlapping QUERY_RECT: axis box [XL,XR]x[YB,YT] minus
+#: the notch triangle cut from the top by two slope±1 edges meeting at M.
+#: All coordinates are binary-exact (multiples of 1/16).
+_CHEV_XL, _CHEV_XR, _CHEV_YB, _CHEV_YT = -103.0625, -101.8125, 39.0, 40.625
+_CHEV_MX, _CHEV_MY = -102.4375, 40.0
+_CHEV_BL = _CHEV_MY + _CHEV_MX          # left notch edge:  y = -x + BL (= -x - 62.4375)
+_CHEV_BR = _CHEV_MY - _CHEV_MX          # right notch edge: y =  x + BR (= x + 142.4375)
+
+
+def _chevron_ring():
+    import numpy as np
+
+    return np.array([
+        [_CHEV_XL, _CHEV_YB], [_CHEV_XR, _CHEV_YB], [_CHEV_XR, _CHEV_YT],
+        [_CHEV_MX, _CHEV_MY], [_CHEV_XL, _CHEV_YT], [_CHEV_XL, _CHEV_YB],
+    ])
+
+
+def q_agg_selection_clip_concave(spark, sf_dir):
+    """agg_selection + clip over OVERLAPPING selections where one is
+    NON-CONVEX (rect + concave chevron): the facade ear-clips the
+    chevron into triangles (geo/geometry.py triangulate_ring) and feeds
+    them through the same convex half-plane dissolve — closing the last
+    `get_unioned` branch (reference geom.py:870-1075) for the hole-free
+    simple-polygon family."""
+    from ocgis_spark.geo import wkb as WKB
+
+    dg = _docs_geo(spark, sf_dir)
+    fld = Field(dg, {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+                DOC_GRID)
+    chev = WKB.polygon_to_wkb([_chevron_ring()])
+    ops = OcgOperations(
+        dataset=fld, geom=[_RECT, chev], agg_selection=True,
+        spatial_operation="clip", abstraction="polygon",
+    )
+    out = ops.execute(spark)
+    return out.select(
+        "doc_id", "cell_id", F.round("clip_area", 9).alias("clip_area")
+    )
+
+
+def _agg_selection_clip_concave_sql() -> str:
+    """Inclusion–exclusion twin of the concave dissolve: |cell∩R| +
+    |cell∩Ch| − |cell∩(R∩Ch)|. The chevron term is its bounding box
+    minus the notch triangle, and the notch splits at M's x into two
+    single-slope slabs (area above a ±1-slope line = slab box − the
+    below-line slab integral). R∩Ch is notch-free (the notch sits above
+    the rect top), so the intersection term is a plain axis box."""
+    minx, miny, maxx, maxy = _RECT
+
+    a_rect = _box_area_sql(minx, maxx, miny, maxy)
+    a_chbox = _box_area_sql(_CHEV_XL, _CHEV_XR, _CHEV_YB, _CHEV_YT)
+    # notch-left slab: above y = -x + (MY + MX) on [XL, MX]
+    t_left = (
+        f"({_box_area_sql(_CHEV_XL, _CHEV_MX, _CHEV_YB, _CHEV_YT)} - "
+        f"{_below_line_box_area_sql(_CHEV_XL, _CHEV_MX, _CHEV_YB, _CHEV_YT, m=-1.0, b=_CHEV_BL)})"
+    )
+    # notch-right slab: above y = x + (MY - MX) on [MX, XR]
+    t_right = (
+        f"({_box_area_sql(_CHEV_MX, _CHEV_XR, _CHEV_YB, _CHEV_YT)} - "
+        f"{_below_line_box_area_sql(_CHEV_MX, _CHEV_XR, _CHEV_YB, _CHEV_YT, m=1.0, b=_CHEV_BR)})"
+    )
+    a_chev = f"({a_chbox} - {t_left} - {t_right})"
+    assert _CHEV_MY >= maxy, "notch must sit above the rect top"
+    a_int = _box_area_sql(
+        max(minx, _CHEV_XL), min(maxx, _CHEV_XR),
+        max(miny, _CHEV_YB), min(maxy, _CHEV_YT),
+    )
+    area = f"({a_rect} + {a_chev} - {a_int})"
     return (
         f"SELECT doc_id, cell_id, round(clip_area, 9) AS clip_area FROM ("
         f"SELECT doc_id, cell_id, {area} AS clip_area FROM ({_DG}) dg) t "
@@ -3164,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_selection_clip": _agg_selection_clip_sql(),
         "agg_selection_clip_convex": _agg_selection_clip_convex_sql(),
+        "agg_selection_clip_concave": _agg_selection_clip_concave_sql(),
         "group_season_custom": _group_season_custom_sql(),
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "transform_lcc": _transform_param_sql(_LCC_NARCCAP),
@@ -3462,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
         "agg_selection_clip_convex": q_agg_selection_clip_convex,
+        "agg_selection_clip_concave": q_agg_selection_clip_concave,
         "regrid_nonuniform": q_regrid_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,

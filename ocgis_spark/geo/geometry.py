@@ -289,6 +289,86 @@ def convex_union_pieces(outers: list[np.ndarray]) -> list[np.ndarray]:
     return pieces
 
 
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a SIMPLE (hole-free, non-self-
+    intersecting) polygon into CCW closed triangle rings whose areas sum
+    to the polygon area.
+
+    Driver-side only, on selection geometries (tens of vertices): O(n^2)
+    is fine. This is the bridge that lets overlapping NON-convex
+    selections dissolve through :func:`convex_union_pieces` (reference
+    ``src/ocgis/variable/geom.py:870-1075`` ``get_unioned`` does this via
+    GEOS ``unary_union``; here the ears feed the same half-plane
+    decomposition the convex family uses)."""
+    r = _orient_ccw(np.asarray(ring, dtype="f8"))
+    pts = list(map(tuple, _dedupe_closed_ring(r)[:-1]))
+    tris: list[np.ndarray] = []
+
+    def _cross(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    guard = 0
+    while len(pts) > 3:
+        n = len(pts)
+        clipped = False
+        for i in range(n):
+            a, b, c = pts[i - 1], pts[i], pts[(i + 1) % n]
+            cr = _cross(a, b, c)
+            if abs(cr) <= EPS_AREA:       # collinear: drop the vertex
+                pts.pop(i)
+                clipped = True
+                break
+            if cr < 0:                    # reflex vertex: not an ear
+                continue
+            # ear test: no OTHER vertex inside (or on) triangle (a, b, c)
+            blocked = False
+            for j in range(n):
+                p = pts[j]
+                if p in (a, b, c):
+                    continue
+                if (
+                    _cross(a, b, p) >= -EPS_AREA
+                    and _cross(b, c, p) >= -EPS_AREA
+                    and _cross(c, a, p) >= -EPS_AREA
+                ):
+                    blocked = True
+                    break
+            if blocked:
+                continue
+            tris.append(np.array([a, b, c, a], dtype="f8"))
+            pts.pop(i)
+            clipped = True
+            break
+        guard += 1
+        if not clipped or guard > 10_000:
+            raise ValueError(
+                "triangulate_ring: no ear found — polygon is likely "
+                "self-intersecting or degenerate"
+            )
+    if len(pts) == 3 and abs(_cross(*pts)) > EPS_AREA:
+        tris.append(np.array([*pts, pts[0]], dtype="f8"))
+    # post-condition: ear areas tile the polygon exactly — a self-
+    # intersecting ring (which ear clipping cannot detect locally) fails
+    # this because its shoelace area cancels across the crossing
+    total = sum(abs(ring_area(t)) for t in tris)
+    target = abs(ring_area(r))
+    if abs(total - target) > 1e-9 * max(1.0, target):
+        raise ValueError(
+            "triangulate_ring: ear areas do not tile the ring "
+            f"({total} vs {target}) — polygon is self-intersecting"
+        )
+    return tris
+
+
+def convex_decompose(ring: np.ndarray) -> list[np.ndarray]:
+    """A simple ring as a list of interior-disjoint convex CCW pieces:
+    itself when already convex, its ear-clipping triangles otherwise."""
+    r = _orient_ccw(np.asarray(ring, dtype="f8"))
+    if ring_is_convex_ccw(r):
+        return [r]
+    return triangulate_ring(r)
+
+
 def _dedupe_closed_ring(ring: np.ndarray) -> np.ndarray:
     """Drop consecutive duplicate vertices from a closed ring (keeping the
     closing vertex). Returns the input unchanged when already clean."""

@@ -300,6 +300,77 @@ def refine_boxes(
     return out if with_area else out.drop("clip_area")
 
 
+def clip_disjoint_pieces(
+    spark: SparkSession,
+    df: DataFrame,
+    grid: GridSpec,
+    pieces: list[list[np.ndarray]],
+    keep_touches: bool = False,
+) -> DataFrame:
+    """Clip every cell against a set of interior-DISJOINT polygons in ONE
+    pass — the dissolved-`agg_selection` execution plan (reference
+    ``field.py:422-469`` clips against the one unioned geometry).
+
+    Phase 1 is a single semijoin against the UNION of the pieces' cell
+    coverings; phase 2 ships the whole piece list into one Arrow UDF
+    closure (CLAUDE.md: lookup structures ride the closure, never extra
+    scans) and sums per-piece Sutherland–Hodgman areas per row — exact,
+    because the pieces are interior-disjoint by construction. Replaces
+    the former per-piece ``spatial_subset`` × ``unionByName`` ×
+    ``groupBy``-sum plan: P scans + P Arrow stages + 1 shuffle collapse
+    to 1 scan + 1 Arrow stage + 0 shuffles, independent of piece count.
+    """
+    covs = [covering_cells(grid, rings) for rings in pieces]
+    nonempty = [z for z in covs if len(z)]
+    if not nonempty:
+        return cell_bounds(df.limit(0), grid).withColumn(
+            "clip_area", F.lit(0.0)
+        )
+    allz = np.unique(np.concatenate(nonempty))
+    if len(allz) > 2_000_000:
+        # covering too large to broadcast: envelope range predicate over
+        # all pieces (correct superset; the exact phase refines)
+        pts = np.vstack([np.vstack(rings) for rings in pieces])
+        minx, miny = pts[:, 0].min(), pts[:, 1].min()
+        maxx, maxy = pts[:, 0].max(), pts[:, 1].max()
+        cand = cell_bounds(df, grid).filter(
+            (F.col("lon_lb") <= maxx) & (F.col("lon_ub") >= minx)
+            & (F.col("lat_lb") <= maxy) & (F.col("lat_ub") >= miny)
+        )
+    else:
+        cand = cell_bounds(_cell_semijoin(spark, df, allz), grid)
+
+    pieces_bc = [[np.asarray(r, dtype="f8") for r in rings]
+                 for rings in pieces]
+    kt = keep_touches
+
+    @F.pandas_udf("double")
+    def total_clip_area_udf(
+        lon_lb: pd.Series, lat_lb: pd.Series,
+        lon_ub: pd.Series, lat_ub: pd.Series,
+    ) -> pd.Series:
+        lx = lon_lb.to_numpy("f8")
+        ly = lat_lb.to_numpy("f8")
+        ux = lon_ub.to_numpy("f8")
+        uy = lat_ub.to_numpy("f8")
+        total = np.zeros(len(lx), dtype="f8")
+        keep = np.zeros(len(lx), dtype=bool)
+        for rings in pieces_bc:
+            k, a = G.boxes_intersect_polygon(
+                lx, ly, ux, uy, rings, keep_touches=kt
+            )
+            total += a
+            keep |= k
+        return pd.Series(np.where(keep, total, -1.0))  # -1 marks "drop"
+
+    return cand.withColumn(
+        "clip_area",
+        total_clip_area_udf(
+            F.col("lon_lb"), F.col("lat_lb"), F.col("lon_ub"), F.col("lat_ub")
+        ),
+    ).filter(F.col("clip_area") >= 0.0)
+
+
 def _covering_many(
     spark: SparkSession,
     grid: GridSpec,

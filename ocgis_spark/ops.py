@@ -391,33 +391,32 @@ class OcgOperations:
                         if G.rings_overlap(polys[i][1], polys[j][1])
                     ]
                     if over:
-                        # overlapping CONVEX hole-free selections dissolve
+                        # overlapping hole-free SIMPLE selections dissolve
                         # via half-plane difference decomposition into
                         # interior-disjoint convex pieces (the engine-side
                         # get_unioned branch, geom.py:870-1075) — the
                         # per-piece clip areas then sum without double
-                        # counting the overlap region
-                        convex_ok = all(
-                            len(r) == 1
-                            and G.ring_is_convex_ccw(G._orient_ccw(r[0]))
-                            for _, r in polys
-                        )
-                        if not convex_ok:
+                        # counting the overlap region. Non-convex outers
+                        # first ear-clip into triangles (interior-disjoint
+                        # within one polygon), so the same convex sweep
+                        # covers the whole simple-polygon family.
+                        holed = [u for u, r in polys if len(r) != 1]
+                        if holed:
                             raise DefinitionValidationError(
                                 "agg_selection with clip over OVERLAPPING "
-                                "non-convex (or holed) selection geometries "
-                                f"has no dissolve path (overlapping ugid "
-                                f"pairs: {over}); rectilinear selections "
-                                "dissolve via rectunion, overlapping CONVEX "
-                                "ones via half-plane decomposition, "
-                                "disjoint ones clip per-geometry — union "
-                                "other irregular selections upstream"
+                                "selection geometries WITH HOLES has no "
+                                f"dissolve path (holed ugids: {holed}, "
+                                f"overlapping ugid pairs: {over}); "
+                                "hole-free simple selections dissolve via "
+                                "triangulation + half-plane decomposition "
+                                "— union holed selections upstream"
                             )
+                        convex_inputs: list[np.ndarray] = []
+                        for _, r in polys:
+                            convex_inputs.extend(G.convex_decompose(r[0]))
                         upolys = [
                             [p]
-                            for p in G.convex_union_pieces(
-                                [r[0] for _, r in polys]
-                            )
+                            for p in G.convex_union_pieces(convex_inputs)
                         ]
                     else:
                         upolys = [r for _, r in polys]
@@ -431,23 +430,16 @@ class OcgOperations:
                             rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
                         )
                     )
-                parts = [
-                    spatial.spatial_subset(
-                        spark, df, grid, p, operation="clip",
-                        abstraction=self.abstraction,
-                        keep_touches=self.keep_touches,
-                    )
-                    for p in upolys
-                ]
-                out = parts[0]
-                for p in parts[1:]:
-                    out = out.unionByName(p)
-                if len(parts) > 1:
-                    keys = [c for c in out.columns if c != "clip_area"]
-                    out = out.groupBy(*keys).agg(
-                        F.sum("clip_area").alias("clip_area")
-                    )
-                df = out
+                # ONE pass over the corpus regardless of piece count:
+                # union-of-coverings semijoin + a single Arrow refine
+                # whose closure carries every dissolved piece (per-row
+                # area = sum of per-piece clip areas; exact — pieces are
+                # interior-disjoint)
+                kt = self.keep_touches if self.keep_touches is not None \
+                    else False  # polygon abstraction default (grid.py:627-631)
+                df = spatial.clip_disjoint_pieces(
+                    spark, df, grid, upolys, keep_touches=kt,
+                )
             else:
                 sub = spatial.spatial_subset_many(
                     spark, df, grid, polys, abstraction=self.abstraction,

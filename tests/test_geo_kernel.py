@@ -300,3 +300,58 @@ def test_convex_union_pieces_no_degenerate_vertices():
         [pieces[2]], keep_touches=False,
     )
     assert not keep[0] and area[0] == 0.0
+
+
+def test_triangulate_ring_chevron_and_convex_decompose():
+    import numpy as np
+    import pytest
+
+    from ocgis_spark.geo import geometry as G
+
+    chev = np.array(
+        [[0, 0], [4, 0], [4, 3], [2, 1], [0, 3], [0, 0]], dtype="f8"
+    )
+    tris = G.triangulate_ring(chev)
+    assert len(tris) == 3
+    total = sum(abs(G.ring_area(t)) for t in tris)
+    assert abs(total - abs(G.ring_area(chev))) < 1e-12
+    assert all(G.ring_is_convex_ccw(t) for t in tris)
+    # CW input reorients; convex input passes through unsplit
+    tris_cw = G.triangulate_ring(chev[::-1].copy())
+    assert abs(sum(abs(G.ring_area(t)) for t in tris_cw) - total) < 1e-12
+    assert len(G.convex_decompose(_sq(0, 0, 2))) == 1
+    assert len(G.convex_decompose(chev)) == 3
+    # collinear vertex is dropped, not an infinite loop
+    col = np.array(
+        [[0, 0], [1, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype="f8"
+    )
+    t2 = G.triangulate_ring(col)
+    assert abs(sum(abs(G.ring_area(t)) for t in t2) - 4.0) < 1e-12
+    # self-intersecting bowtie raises rather than silently mis-tiling
+    bow = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype="f8")
+    with pytest.raises(ValueError):
+        G.triangulate_ring(bow)
+
+
+def test_convex_union_pieces_accepts_triangulated_concave():
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    # concave chevron (area 8) overlapping a square (area 4) in a 1x2
+    # strip entirely below the notch: union = 8 + 4 - 2
+    chev = np.array(
+        [[0, 0], [4, 0], [4, 3], [2, 1], [0, 3], [0, 0]], dtype="f8"
+    )
+    sq = _sq(3, -1, 2)  # [3,5]x[-1,1]: overlap [3,4]x[0,1] = 1? -> compute
+    pieces = G.convex_union_pieces(G.convex_decompose(chev) + [sq])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    # overlap of sq with chevron: x in [3,4], y in [0,1]; notch line at
+    # x>=2 is y = x - ... chevron edge B(4,0)->C(4,3) vertical; notch
+    # edges meet at (2,1): right notch edge from (4,3) to (2,1) is
+    # y = x - 1, so inside-chevron requires y <= x - 1 OR y below?
+    # chevron interior = bbox minus notch triangle {y > x-1 and y > -x+3}
+    # overlap strip [3,4]x[0,1]: notch needs y > x-1 (>=2) -> inactive;
+    # full 1x1 square inside chevron minus nothing = 1.0
+    assert abs(total - (8.0 + 4.0 - 1.0)) < 1e-10
+    assert all(G.ring_is_convex_ccw(p) for p in pieces)

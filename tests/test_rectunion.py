@@ -215,15 +215,29 @@ def test_agg_selection_clip_facade(spark):
                          spatial_operation="clip", abstraction="polygon")
     total2 = ops2.execute(spark).agg(F.sum("clip_area")).collect()[0][0]
     assert total2 == pytest.approx(2.25 + 0.5 - 0.32, abs=1e-9)
-    # OVERLAPPING NON-CONVEX selection: still rejected (needs GEOS),
-    # message names the overlapping pair and the convex narrowing
+    # OVERLAPPING NON-CONVEX selection (r4 session 3): ear-clipping
+    # triangulation feeds the same convex sweep. L-shape area 0.75;
+    # overlap with r1 = 1.0x0.3 (lower arm above y=37.2) + 0.5x0.5
+    # (upper arm) = 0.55; union = 2.25 + 0.75 - 0.55
     lshape = WKB.polygon_to_wkb([np.array(
         [[-105.0, 37.0], [-104.0, 37.0], [-104.0, 37.5], [-104.5, 37.5],
          [-104.5, 38.0], [-105.0, 38.0], [-105.0, 37.0]])])
     ops2b = OcgOperations(dataset=fld, geom=[r1, lshape], agg_selection=True,
                           spatial_operation="clip", abstraction="polygon")
-    with pytest.raises(DefinitionValidationError, match="non-convex"):
-        ops2b.execute(spark)
+    total2b = ops2b.execute(spark).agg(F.sum("clip_area")).collect()[0][0]
+    assert total2b == pytest.approx(2.25 + 0.75 - 0.55, abs=1e-9)
+    # OVERLAPPING selection WITH A HOLE: the one remaining rejection —
+    # message names the holed ugid
+    holed = WKB.polygon_to_wkb([
+        np.array([[-105.0, 37.0], [-104.0, 37.0], [-104.0, 38.0],
+                  [-105.0, 38.0], [-105.0, 37.0]]),
+        np.array([[-104.7, 37.3], [-104.3, 37.3], [-104.3, 37.7],
+                  [-104.7, 37.7], [-104.7, 37.3]]),
+    ])
+    ops2c = OcgOperations(dataset=fld, geom=[r1, holed], agg_selection=True,
+                          spatial_operation="clip", abstraction="polygon")
+    with pytest.raises(DefinitionValidationError, match="HOLES"):
+        ops2c.execute(spark)
     # DISJOINT non-rectilinear selections clip per-geometry (r4: the
     # common get_unioned case — distinct irregular regions): total area
     # = rect + triangle
