@@ -369,6 +369,85 @@ def convex_decompose(ring: np.ndarray) -> list[np.ndarray]:
     return triangulate_ring(r)
 
 
+def trapezoid_decompose(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Decompose a polygon WITH HOLES (even-odd rule over its rings) into
+    interior-disjoint convex CCW trapezoids via vertical-slab sweep.
+
+    Strictly more general than :func:`triangulate_ring`: holes and
+    multiple boundary components need no bridging — every ring just
+    contributes edge crossings. Slab boundaries sit at every vertex x,
+    so edge order is constant within a slab interior and each even-odd
+    span is one trapezoid with parallel vertical sides (always convex).
+    Piece areas sum to outer − holes (checked; a mismatch means the
+    input self-intersects). Driver-side on selection geometries only —
+    O(V^2) pieces worst case, never corpus-sized."""
+    edges = []
+    for ring in rings:
+        r = np.asarray(ring, dtype="f8")
+        r = r if (r[0] == r[-1]).all() else np.vstack([r, r[:1]])
+        for p, q in zip(r[:-1], r[1:]):
+            if p[0] != q[0]:        # vertical edges never cross a slab mid
+                edges.append((p, q))
+    if not edges:
+        return []
+    xs = np.unique(np.concatenate([np.asarray(r, dtype="f8")[:, 0]
+                                   for r in rings]))
+    pieces: list[np.ndarray] = []
+    for x0, x1 in zip(xs[:-1], xs[1:]):
+        if x1 - x0 <= 0:
+            continue
+        xm = 0.5 * (x0 + x1)
+        cross = []
+        for p, q in edges:
+            if min(p[0], q[0]) < xm < max(p[0], q[0]):
+                t0 = (x0 - p[0]) / (q[0] - p[0])
+                t1 = (x1 - p[0]) / (q[0] - p[0])
+                tm = (xm - p[0]) / (q[0] - p[0])
+                cross.append((
+                    p[1] + tm * (q[1] - p[1]),   # sort key: y at slab mid
+                    p[1] + t0 * (q[1] - p[1]),   # y at x0
+                    p[1] + t1 * (q[1] - p[1]),   # y at x1
+                ))
+        if len(cross) % 2:
+            raise ValueError(
+                "trapezoid_decompose: odd crossing count — ring is not "
+                "closed or self-intersects at a slab boundary"
+            )
+        cross.sort()
+        for i in range(0, len(cross), 2):
+            _, lo0, lo1 = cross[i]
+            _, up0, up1 = cross[i + 1]
+            if lo0 > up0 + 1e-12 or lo1 > up1 + 1e-12:
+                raise ValueError(
+                    "trapezoid_decompose: paired boundary edges cross "
+                    "inside a slab — polygon is self-intersecting"
+                )
+            quad = np.array([
+                [x0, lo0], [x1, lo1], [x1, up1], [x0, up0], [x0, lo0],
+            ])
+            quad = _dedupe_closed_ring(quad)
+            if len(quad) >= 4 and abs(ring_area(quad)) > EPS_AREA:
+                pieces.append(quad)
+    total = sum(abs(ring_area(p)) for p in pieces)
+    target = polygon_area([np.asarray(r, dtype="f8") for r in rings])
+    if abs(total - target) > 1e-9 * max(1.0, target):
+        raise ValueError(
+            "trapezoid_decompose: piece areas do not tile the polygon "
+            f"({total} vs {target}) — input is self-intersecting or holes "
+            "are not strictly inside the outer ring"
+        )
+    return pieces
+
+
+def polygon_convex_pieces(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """A polygon (outer + optional holes) as interior-disjoint convex CCW
+    pieces: the ring itself (convex, hole-free), its ear triangles
+    (non-convex, hole-free), or its slab trapezoids (holes)."""
+    if len(rings) == 1:
+        return convex_decompose(rings[0])
+    return trapezoid_decompose(rings)
+
+
 def _dedupe_closed_ring(ring: np.ndarray) -> np.ndarray:
     """Drop consecutive duplicate vertices from a closed ring (keeping the
     closing vertex). Returns the input unchanged when already clean."""

@@ -391,29 +391,23 @@ class OcgOperations:
                         if G.rings_overlap(polys[i][1], polys[j][1])
                     ]
                     if over:
-                        # overlapping hole-free SIMPLE selections dissolve
-                        # via half-plane difference decomposition into
-                        # interior-disjoint convex pieces (the engine-side
-                        # get_unioned branch, geom.py:870-1075) — the
-                        # per-piece clip areas then sum without double
-                        # counting the overlap region. Non-convex outers
-                        # first ear-clip into triangles (interior-disjoint
-                        # within one polygon), so the same convex sweep
-                        # covers the whole simple-polygon family.
-                        holed = [u for u, r in polys if len(r) != 1]
-                        if holed:
-                            raise DefinitionValidationError(
-                                "agg_selection with clip over OVERLAPPING "
-                                "selection geometries WITH HOLES has no "
-                                f"dissolve path (holed ugids: {holed}, "
-                                f"overlapping ugid pairs: {over}); "
-                                "hole-free simple selections dissolve via "
-                                "triangulation + half-plane decomposition "
-                                "— union holed selections upstream"
-                            )
+                        # overlapping SIMPLE selections (holes allowed)
+                        # dissolve via half-plane difference decomposition
+                        # into interior-disjoint convex pieces (the
+                        # engine-side get_unioned branch, geom.py:870-1075)
+                        # — the per-piece clip areas then sum without
+                        # double counting the overlap region. Non-convex
+                        # hole-free outers ear-clip into triangles; holed
+                        # polygons vertical-slab sweep into trapezoids
+                        # (both interior-disjoint within one polygon), so
+                        # the same convex sweep covers the whole
+                        # simple-polygon-with-holes family. A hole covered
+                        # by another selection re-enters the union through
+                        # that selection's own pieces — even-odd semantics
+                        # compose correctly under the sweep.
                         convex_inputs: list[np.ndarray] = []
                         for _, r in polys:
-                            convex_inputs.extend(G.convex_decompose(r[0]))
+                            convex_inputs.extend(G.polygon_convex_pieces(r))
                         upolys = [
                             [p]
                             for p in G.convex_union_pieces(convex_inputs)

@@ -355,3 +355,87 @@ def test_convex_union_pieces_accepts_triangulated_concave():
     # full 1x1 square inside chevron minus nothing = 1.0
     assert abs(total - (8.0 + 4.0 - 1.0)) < 1e-10
     assert all(G.ring_is_convex_ccw(p) for p in pieces)
+
+
+def test_trapezoid_decompose_square_with_hole():
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    outer = _sq(0, 0, 4)
+    hole = np.array([[1, 1], [2, 1], [2, 3], [1, 3], [1, 1]], dtype="f8")
+    pieces = G.trapezoid_decompose([outer, hole])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - (16.0 - 2.0)) < 1e-10
+    # every piece is convex CCW (prereq for convex_union_pieces and the
+    # clip-based area kernels)
+    assert all(G.ring_is_convex_ccw(p) for p in pieces)
+    # no piece intrudes into the hole: clip each piece to the hole box
+    hole_elem = np.array(
+        [[[1, 1], [2, 1], [2, 3], [1, 3]]], dtype="f8"
+    )
+    for p in pieces:
+        a = G.batch_convex_clip_areas([p], hole_elem)[0]
+        assert a < 1e-12
+
+
+def test_trapezoid_decompose_nonconvex_outer_with_hole():
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    # L-shape (area 12) with a square hole (area 1) in its lower arm
+    lshape = np.array(
+        [[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]],
+        dtype="f8",
+    )
+    hole = np.array(
+        [[2.5, 0.5], [3.5, 0.5], [3.5, 1.5], [2.5, 1.5], [2.5, 0.5]],
+        dtype="f8",
+    )
+    pieces = G.polygon_convex_pieces([lshape, hole])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - 11.0) < 1e-10
+    assert all(G.ring_is_convex_ccw(p) for p in pieces)
+
+
+def test_trapezoid_decompose_bowtie_raises():
+    import numpy as np
+    import pytest
+
+    from ocgis_spark.geo import geometry as G
+
+    bow = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype="f8")
+    # force the trapezoid path by passing a hole alongside the bowtie
+    hole = np.array(
+        [[0.9, 0.9], [1.1, 0.9], [1.1, 1.1], [0.9, 1.1], [0.9, 0.9]],
+        dtype="f8",
+    )
+    with pytest.raises(ValueError):
+        G.trapezoid_decompose([bow, hole])
+
+
+def test_polygon_convex_pieces_dispatch_and_union_with_holes():
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    # single-ring input dispatches to the ear-clip path (3 triangles)
+    chev = np.array(
+        [[0, 0], [4, 0], [4, 3], [2, 1], [0, 3], [0, 0]], dtype="f8"
+    )
+    assert len(G.polygon_convex_pieces([chev])) == 3
+    # two overlapping HOLED squares through the full union sweep: squares
+    # [0,4]^2 and [2,6]x[0,4], each with a 1x1 hole; A's hole at
+    # [1,2]x[1,2] (outside B -> stays excluded), B's hole at [3,4]x[1,2]
+    # (inside A -> re-enters the union through A's pieces).
+    # union = 4*6 - 1 (A's hole only) = 23
+    a = [_sq(0, 0, 4),
+         np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype="f8")]
+    b = [np.array([[2, 0], [6, 0], [6, 4], [2, 4], [2, 0]], dtype="f8"),
+         np.array([[3, 1], [4, 1], [4, 2], [3, 2], [3, 1]], dtype="f8")]
+    pieces = G.convex_union_pieces(
+        G.polygon_convex_pieces(a) + G.polygon_convex_pieces(b)
+    )
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - 23.0) < 1e-10

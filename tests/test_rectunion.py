@@ -226,18 +226,22 @@ def test_agg_selection_clip_facade(spark):
                           spatial_operation="clip", abstraction="polygon")
     total2b = ops2b.execute(spark).agg(F.sum("clip_area")).collect()[0][0]
     assert total2b == pytest.approx(2.25 + 0.75 - 0.55, abs=1e-9)
-    # OVERLAPPING selection WITH A HOLE: the one remaining rejection —
-    # message names the holed ugid
+    # OVERLAPPING selection WITH A HOLE (r4 session 4): trapezoid
+    # decomposition feeds the same convex sweep. The hole straddles r1's
+    # south edge (y=37.2) so even-odd semantics are discriminated: the
+    # hole part INSIDE r1 (0.4 x 0.25) re-enters the union through r1's
+    # pieces; the part OUTSIDE (0.4 x 0.15) stays excluded. Union =
+    # area(r1 ∪ outer) − hole\r1 = (2.25 + 1.0 − 0.8) − 0.06 = 2.39
     holed = WKB.polygon_to_wkb([
         np.array([[-105.0, 37.0], [-104.0, 37.0], [-104.0, 38.0],
                   [-105.0, 38.0], [-105.0, 37.0]]),
-        np.array([[-104.7, 37.3], [-104.3, 37.3], [-104.3, 37.7],
-                  [-104.7, 37.7], [-104.7, 37.3]]),
+        np.array([[-104.7, 37.05], [-104.3, 37.05], [-104.3, 37.45],
+                  [-104.7, 37.45], [-104.7, 37.05]]),
     ])
     ops2c = OcgOperations(dataset=fld, geom=[r1, holed], agg_selection=True,
                           spatial_operation="clip", abstraction="polygon")
-    with pytest.raises(DefinitionValidationError, match="HOLES"):
-        ops2c.execute(spark)
+    total2c = ops2c.execute(spark).agg(F.sum("clip_area")).collect()[0][0]
+    assert total2c == pytest.approx(2.39, abs=1e-9)
     # DISJOINT non-rectilinear selections clip per-geometry (r4: the
     # common get_unioned case — distinct irregular regions): total area
     # = rect + triangle
