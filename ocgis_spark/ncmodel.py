@@ -136,6 +136,24 @@ def densify_slabs(df, times, lats, lons, variable: str = "value"):
         yield t_ix[cur], cur, slab
 
 
+def _attach_datum(attrs: dict, spec: dict) -> dict:
+    """Carry file-declared datum attrs into the transform spec (the
+    reference honors them through PROJ, ``crs.py:888-1030``): CF
+    ``earth_radius`` forces the sphere; ``semi_major_axis`` +
+    ``inverse_flattening``/``semi_minor_axis`` select the ellipsoidal
+    closed forms in ``operators.crs``. Absent attrs keep the
+    reference's Spherical default (crs.py:803)."""
+    if attrs.get("earth_radius") is not None:
+        spec["R"] = float(attrs["earth_radius"])
+    elif attrs.get("semi_major_axis") is not None:
+        spec["a"] = float(attrs["semi_major_axis"])
+        if attrs.get("inverse_flattening") not in (None, 0, 0.0):
+            spec["rf"] = float(attrs["inverse_flattening"])
+        elif attrs.get("semi_minor_axis") is not None:
+            spec["b"] = float(attrs["semi_minor_axis"])
+    return spec
+
+
 def crs_from_cf_attrs(attrs: dict):
     """Map a CF ``grid_mapping`` variable's attributes to a
     ``transform_crs`` spec — the reference's CF-metadata→CRS dispatch
@@ -163,22 +181,22 @@ def crs_from_cf_attrs(attrs: dict):
 
     if name == "lambert_conformal_conic":
         lat1, lat2 = _pair(attrs["standard_parallel"])
-        return {
+        return _attach_datum(attrs, {
             "proj": "lcc", "lat_1": lat1, "lat_2": lat2,
             "lat_0": float(attrs.get("latitude_of_projection_origin", 0.0)),
             "lon_0": float(attrs.get("longitude_of_central_meridian", 0.0)),
             "x_0": float(attrs.get("false_easting", 0.0)),
             "y_0": float(attrs.get("false_northing", 0.0)),
-        }
+        })
     if name == "albers_conical_equal_area":
         lat1, lat2 = _pair(attrs["standard_parallel"])
-        return {
+        return _attach_datum(attrs, {
             "proj": "aea", "lat_1": lat1, "lat_2": lat2,
             "lat_0": float(attrs.get("latitude_of_projection_origin", 0.0)),
             "lon_0": float(attrs.get("longitude_of_central_meridian", 0.0)),
             "x_0": float(attrs.get("false_easting", 0.0)),
             "y_0": float(attrs.get("false_northing", 0.0)),
-        }
+        })
     if name == "polar_stereographic":
         spec = {
             "proj": "stere",
@@ -198,7 +216,7 @@ def crs_from_cf_attrs(attrs: dict):
                 attrs.get("scale_factor_at_projection_origin",
                           attrs.get("scale_factor", 1.0))
             )
-        return spec
+        return _attach_datum(attrs, spec)
     if name == "transverse_mercator":
         # the reference maps this CF name to its NARCCAP oblique
         # Mercator (CFNarccapObliqueMercator, crs.py:1117-1130:

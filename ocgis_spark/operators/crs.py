@@ -441,7 +441,7 @@ def _wrap_out_sql(expr: str) -> str:
 
 def _lcc_constants(p: dict) -> tuple[float, float, float, float]:
     """(n, R*F, rho0, R) for a Lambert-conformal-conic parameter dict."""
-    R = float(p.get("R", R_SPHERE))
+    R = float(p.get("R", p.get("a", R_SPHERE)))
     lat1 = math.radians(float(p["lat_1"]))
     lat2 = math.radians(float(p.get("lat_2", p["lat_1"])))
     lat0 = math.radians(float(p.get("lat_0", 0.0)))
@@ -497,7 +497,7 @@ def lcc_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
 
 def _aea_constants(p: dict) -> tuple[float, float, float, float]:
     """(n, C, rho0, R) for an Albers-equal-area parameter dict."""
-    R = float(p.get("R", R_SPHERE))
+    R = float(p.get("R", p.get("a", R_SPHERE)))
     lat1 = math.radians(float(p["lat_1"]))
     lat2 = math.radians(float(p.get("lat_2", p["lat_1"])))
     lat0 = math.radians(float(p.get("lat_0", 0.0)))
@@ -531,7 +531,7 @@ def aea_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
     phi = asin((C - (rho n / R)^2) / (2 n)) — rho^2 used directly, no
     sqrt round-trip."""
     n, C, rho0, _ = _aea_constants(p)
-    R = float(p.get("R", R_SPHERE))
+    R = float(p.get("R", p.get("a", R_SPHERE)))
     lon0 = float(p.get("lon_0", 0.0))
     x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
     s = 1.0 if n >= 0 else -1.0
@@ -560,7 +560,7 @@ def _stere_constants(p: dict) -> tuple[float, float, float]:
             f"got {lat0}) — the CF grid mapping is polar_stereographic"
         )
     sgn = 1.0 if lat0 > 0 else -1.0
-    R = float(p.get("R", R_SPHERE))
+    R = float(p.get("R", p.get("a", R_SPHERE)))
     if p.get("lat_ts") is not None:
         k0 = (1.0 + math.sin(math.radians(abs(float(p["lat_ts"]))))) / 2.0
     else:
@@ -603,11 +603,336 @@ def stere_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
     return glon, glat
 
 
+# ---- ellipsoidal datum support --------------------------------------
+# The reference defaults every CF CRS to its Spherical datum
+# (crs.py:803) but honors file-declared ellipsoids through PROJ
+# (crs.py:888-1030: semi_major_axis / inverse_flattening attrs land in
+# the proj4 dict). The closed forms below are Snyder (1987) ellipsoidal
+# eqs; inverses use the conformal/authalic latitude SERIES (Snyder 3-5 /
+# 3-18) instead of PROJ's fixed-point iteration so the SAME dialect-
+# neutral SQL string backs Catalyst and the DuckDB oracle — series
+# truncation error is O(e^10) rad (conformal) / O(e^8) rad (authalic),
+# sub-millimeter for every geodetic ellipsoid.
+
+#: ellps/datum name -> (semi-major axis a, inverse flattening rf | None,
+#: semi-minor axis b when rf is None)
+_ELLPS = {
+    "WGS84": (6378137.0, 298.257223563, None),
+    "GRS80": (6378137.0, 298.257222101, None),
+    "WGS72": (6378135.0, 298.26, None),
+    "clrk66": (6378206.4, None, 6356583.8),
+    "intl": (6378388.0, 297.0, None),
+}
+
+
+def ellipsoid_of(p: dict):
+    """(a, e2) when the parameter dict declares an ellipsoid, else None
+    (spherical path). Accepts PROJ-style ``a``/``b``/``rf``/``es`` keys,
+    CF-style ``semi_major_axis``/``semi_minor_axis``/
+    ``inverse_flattening``, or an ``ellps``/``datum`` name. ``R`` /
+    ``earth_radius`` forces the sphere; a bare ``a`` with no flattening
+    is a sphere of radius a (PROJ semantics)."""
+    if p.get("R") is not None or p.get("earth_radius") is not None:
+        return None
+    a = p.get("a", p.get("semi_major_axis"))
+    b = p.get("b", p.get("semi_minor_axis"))
+    rf = p.get("rf", p.get("inverse_flattening"))
+    es = p.get("es")
+    name = p.get("ellps", p.get("datum"))
+    if a is None:
+        if name is None or name == "sphere":
+            return None
+        try:
+            a, rf, b = _ELLPS[name]
+        except KeyError:
+            raise NotImplementedError(
+                f"unknown ellps/datum {name!r} (known: {sorted(_ELLPS)})"
+            )
+    a = float(a)
+    if es is not None:
+        e2 = float(es)
+    elif rf not in (None, 0, 0.0):
+        fl = 1.0 / float(rf)
+        e2 = fl * (2.0 - fl)
+    elif b is not None:
+        e2 = 1.0 - (float(b) / a) ** 2
+    else:
+        return None
+    if e2 <= 0.0:
+        return None
+    return a, e2
+
+
+def _t_of(phi: float, e: float) -> float:
+    """Snyder 15-9: the conformal-latitude half-angle ratio t(phi)."""
+    s = e * math.sin(phi)
+    return math.tan(math.pi / 4.0 - phi / 2.0) / (
+        (1.0 - s) / (1.0 + s)
+    ) ** (e / 2.0)
+
+
+def _m_of(phi: float, e2: float) -> float:
+    """Snyder 14-15: m(phi) = cos(phi)/sqrt(1 - e2 sin^2 phi)."""
+    s = math.sin(phi)
+    return math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+
+
+def _q_of(phi: float, e: float, e2: float) -> float:
+    """Snyder 3-12: the equal-area auxiliary q(phi)."""
+    s = math.sin(phi)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _t_sql(phirad: str, e: float) -> str:
+    """t(phi) as dialect-neutral SQL over a radians expression."""
+    s = f"({_pf(e)} * sin({phirad}))"
+    return (
+        f"(tan(pi() / 4.0E0 - ({phirad}) / 2.0E0) / "
+        f"power((1.0E0 - {s}) / (1.0E0 + {s}), {_pf(e / 2.0)}))"
+    )
+
+
+def _q_sql(phirad: str, e: float, e2: float) -> str:
+    """q(phi) as dialect-neutral SQL over a radians expression."""
+    s = f"sin({phirad})"
+    return (
+        f"({_pf(1.0 - e2)} * ({s} / (1.0E0 - {_pf(e2)} * {s} * {s}) - "
+        f"{_pf(1.0 / (2.0 * e))} * ln((1.0E0 - {_pf(e)} * {s}) / "
+        f"(1.0E0 + {_pf(e)} * {s}))))"
+    )
+
+
+def _conf_phi_sql(chi: str, e2: float) -> str:
+    """phi from the conformal latitude chi, Snyder 3-5 series (through
+    e^8; next term O(e^10) ~ 1e-12 rad for WGS84)."""
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    A = e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0
+    B = 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0
+    C = 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0
+    D = 4279.0 * e8 / 161280.0
+    return (
+        f"(({chi}) + {_pf(A)} * sin(2.0E0 * ({chi})) "
+        f"+ {_pf(B)} * sin(4.0E0 * ({chi})) "
+        f"+ {_pf(C)} * sin(6.0E0 * ({chi})) "
+        f"+ {_pf(D)} * sin(8.0E0 * ({chi})))"
+    )
+
+
+def _auth_phi_sql(beta: str, e2: float) -> str:
+    """phi from the authalic latitude beta, Snyder 3-18 series (through
+    e^6; next term O(e^8) ~ 3e-10 rad for WGS84)."""
+    e4, e6 = e2 * e2, e2 ** 3
+    A = e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0
+    B = 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0
+    C = 761.0 * e6 / 45360.0
+    return (
+        f"(({beta}) + {_pf(A)} * sin(2.0E0 * ({beta})) "
+        f"+ {_pf(B)} * sin(4.0E0 * ({beta})) "
+        f"+ {_pf(C)} * sin(6.0E0 * ({beta})))"
+    )
+
+
+def _lcc_ell_constants(p: dict, a: float, e2: float):
+    """(n, a*F, rho0) for the ellipsoidal Lambert conformal conic
+    (Snyder 15-7/15-8/15-10)."""
+    e = math.sqrt(e2)
+    lat1 = math.radians(float(p["lat_1"]))
+    lat2 = math.radians(float(p.get("lat_2", p["lat_1"])))
+    lat0 = math.radians(float(p.get("lat_0", 0.0)))
+    t1, t2, t0 = _t_of(lat1, e), _t_of(lat2, e), _t_of(lat0, e)
+    m1, m2 = _m_of(lat1, e2), _m_of(lat2, e2)
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(lat1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    if abs(n) < 1e-12:
+        raise ValueError("lcc: standard parallels symmetric about the "
+                         "equator degenerate (n = 0); use mercator")
+    aF = a * m1 / (n * t1 ** n)
+    rho0 = aF * t0 ** n
+    return n, aF, rho0
+
+
+def _lcc_ell_sql(p: dict, lon: str, lat: str) -> tuple[str, str]:
+    """Forward ellipsoidal LCC, Snyder 15-1/15-2 with rho = a F t^n."""
+    a, e2 = ellipsoid_of(p)
+    n, aF, rho0 = _lcc_ell_constants(p, a, e2)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    t = _t_sql(f"radians({lat})", math.sqrt(e2))
+    rho = f"({_pf(aF)} * power({t}, {_pf(n)}))"
+    theta = f"({_pf(n)} * radians({_dlon_sql(lon, lon0)}))"
+    x = f"({rho} * sin({theta}) + {_pf(x0)})"
+    y = f"({_pf(rho0 + y0)} - {rho} * cos({theta}))"
+    return x, y
+
+
+def _lcc_ell_inv_sql(p: dict, x: str, y: str) -> tuple[str, str]:
+    """Inverse ellipsoidal LCC: t = (rho/(aF))^(1/n), chi = pi/2 -
+    2 atan(t), phi = conformal series (Snyder 15-11 + 3-5)."""
+    a, e2 = ellipsoid_of(p)
+    n, aF, rho0 = _lcc_ell_constants(p, a, e2)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    s = 1.0 if n >= 0 else -1.0
+    xp = f"(({x}) - {_pf(x0)})"
+    yp = f"({_pf(rho0)} - (({y}) - {_pf(y0)}))"
+    rho = f"({_pf(s)} * sqrt({xp} * {xp} + {yp} * {yp}))"
+    theta = f"atan2({_pf(s)} * {xp}, {_pf(s)} * {yp})"
+    t = f"power({rho} / {_pf(aF)}, {_pf(1.0 / n)})"
+    chi = f"(pi() / 2.0E0 - 2.0E0 * atan({t}))"
+    glat = f"degrees({_conf_phi_sql(chi, e2)})"
+    glon = _wrap_out_sql(f"degrees({theta}) / {_pf(n)} + {_pf(lon0)}")
+    return glon, glat
+
+
+def _aea_ell_constants(p: dict, a: float, e2: float):
+    """(n, C, rho0, qp) for the ellipsoidal Albers equal-area conic
+    (Snyder 14-13/14-14)."""
+    e = math.sqrt(e2)
+    lat1 = math.radians(float(p["lat_1"]))
+    lat2 = math.radians(float(p.get("lat_2", p["lat_1"])))
+    lat0 = math.radians(float(p.get("lat_0", 0.0)))
+    m1, m2 = _m_of(lat1, e2), _m_of(lat2, e2)
+    q1, q2 = _q_of(lat1, e, e2), _q_of(lat2, e, e2)
+    q0 = _q_of(lat0, e, e2)
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(lat1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if abs(n) < 1e-12:
+        raise ValueError("aea: standard parallels symmetric about the "
+                         "equator degenerate (n = 0)")
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    qp = _q_of(math.pi / 2.0, e, e2)
+    return n, C, rho0, qp
+
+
+def _aea_ell_sql(p: dict, lon: str, lat: str) -> tuple[str, str]:
+    """Forward ellipsoidal Albers, Snyder 14-1..14-4 with
+    rho = (a/n) sqrt(C - n q)."""
+    a, e2 = ellipsoid_of(p)
+    n, C, rho0, _ = _aea_ell_constants(p, a, e2)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    q = _q_sql(f"radians({lat})", math.sqrt(e2), e2)
+    rho = f"({_pf(a / n)} * sqrt({_pf(C)} - {_pf(n)} * {q}))"
+    theta = f"({_pf(n)} * radians({_dlon_sql(lon, lon0)}))"
+    x = f"({rho} * sin({theta}) + {_pf(x0)})"
+    y = f"({_pf(rho0 + y0)} - {rho} * cos({theta}))"
+    return x, y
+
+
+def _aea_ell_inv_sql(p: dict, x: str, y: str) -> tuple[str, str]:
+    """Inverse ellipsoidal Albers: q = (C - (rho n / a)^2)/n, beta =
+    asin(q/qp), phi = authalic series (Snyder 14-19 + 3-18). The asin
+    argument is clamped — rounding can push |q/qp| past 1 at the
+    pole."""
+    a, e2 = ellipsoid_of(p)
+    n, C, rho0, qp = _aea_ell_constants(p, a, e2)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    s = 1.0 if n >= 0 else -1.0
+    xp = f"(({x}) - {_pf(x0)})"
+    yp = f"({_pf(rho0)} - (({y}) - {_pf(y0)}))"
+    rho2 = f"({xp} * {xp} + {yp} * {yp})"
+    theta = f"atan2({_pf(s)} * {xp}, {_pf(s)} * {yp})"
+    q = f"(({_pf(C)} - {_pf((n / a) ** 2)} * {rho2}) / {_pf(n)})"
+    beta = (
+        f"asin(least(greatest({q} / {_pf(qp)}, -1.0E0), 1.0E0))"
+    )
+    glat = f"degrees({_auth_phi_sql(beta, e2)})"
+    glon = _wrap_out_sql(f"degrees({theta}) / {_pf(n)} + {_pf(lon0)}")
+    return glon, glat
+
+
+def _stere_ell_coef(p: dict, a: float, e2: float) -> tuple[float, float]:
+    """(sgn, coef) with rho = coef * t(sgn*phi) for the ellipsoidal
+    polar stereographic: lat_ts form Snyder 21-34 (a m(ts)/t(ts)), k0
+    form Snyder 21-33 (2 a k0 / sqrt((1+e)^(1+e) (1-e)^(1-e)))."""
+    e = math.sqrt(e2)
+    lat0 = float(p.get("lat_0", 90.0))
+    if abs(abs(lat0) - 90.0) > 1e-9:
+        raise ValueError(
+            f"stere: only the polar aspects are supported (lat_0 = ±90, "
+            f"got {lat0}) — the CF grid mapping is polar_stereographic"
+        )
+    sgn = 1.0 if lat0 > 0 else -1.0
+    if p.get("lat_ts") is not None:
+        ts = math.radians(abs(float(p["lat_ts"])))
+        coef = a * _m_of(ts, e2) / _t_of(ts, e)
+    else:
+        k0 = float(p.get("k_0", 1.0))
+        coef = (
+            2.0 * a * k0
+            / math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        )
+    return sgn, coef
+
+
+def _stere_ell_sql(p: dict, lon: str, lat: str) -> tuple[str, str]:
+    """Forward ellipsoidal polar stereographic, Snyder 21-30..21-34."""
+    a, e2 = ellipsoid_of(p)
+    sgn, coef = _stere_ell_coef(p, a, e2)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    t = _t_sql(f"({_pf(sgn)} * radians({lat}))", math.sqrt(e2))
+    rho = f"({_pf(coef)} * {t})"
+    dl = f"radians({_dlon_sql(lon, lon0)})"
+    x = f"({rho} * sin({dl}) + {_pf(x0)})"
+    y = f"({_pf(-sgn)} * {rho} * cos({dl}) + {_pf(y0)})"
+    return x, y
+
+
+def _stere_ell_inv_sql(p: dict, x: str, y: str) -> tuple[str, str]:
+    """Inverse ellipsoidal polar stereographic: t = rho/coef, chi =
+    pi/2 - 2 atan(t), phi = sgn * conformal series (Snyder 21-39 +
+    3-5)."""
+    a, e2 = ellipsoid_of(p)
+    sgn, coef = _stere_ell_coef(p, a, e2)
+    lon0 = float(p.get("lon_0", 0.0))
+    x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    xp = f"(({x}) - {_pf(x0)})"
+    yp = f"(({y}) - {_pf(y0)})"
+    t = f"(sqrt({xp} * {xp} + {yp} * {yp}) / {_pf(coef)})"
+    chi = f"(pi() / 2.0E0 - 2.0E0 * atan({t}))"
+    glat = f"({_pf(sgn)} * degrees({_conf_phi_sql(chi, e2)}))"
+    glon = _wrap_out_sql(
+        f"degrees(atan2({xp}, {_pf(-sgn)} * {yp})) + {_pf(lon0)}"
+    )
+    return glon, glat
+
+
+def _dispatch_ell(fwd_sph, fwd_ell, inv_sph, inv_ell):
+    """Wrap a (forward, inverse) emitter pair to route to the
+    ellipsoidal twins when the parameter dict declares a datum. The
+    spherical strings are byte-identical to the undispatched emitters
+    (existing oracles unchanged)."""
+
+    def fwd(p, lon="lon", lat="lat"):
+        if ellipsoid_of(p) is not None:
+            return fwd_ell(p, lon, lat)
+        return fwd_sph(p, lon=lon, lat=lat)
+
+    def inv(p, x="x", y="y"):
+        if ellipsoid_of(p) is not None:
+            return inv_ell(p, x, y)
+        return inv_sph(p, x=x, y=y)
+
+    return fwd, inv
+
+
 #: proj name -> (forward emitter lon/lat->x/y, inverse emitter x/y->lon/lat)
 _PARAM_PROJS = {
-    "lcc": (lcc_sql, lcc_inv_sql),
-    "aea": (aea_sql, aea_inv_sql),
-    "stere": (stere_sql, stere_inv_sql),
+    "lcc": _dispatch_ell(lcc_sql, _lcc_ell_sql, lcc_inv_sql, _lcc_ell_inv_sql),
+    "aea": _dispatch_ell(aea_sql, _aea_ell_sql, aea_inv_sql, _aea_ell_inv_sql),
+    "stere": _dispatch_ell(
+        stere_sql, _stere_ell_sql, stere_inv_sql, _stere_ell_inv_sql
+    ),
 }
 
 
@@ -652,10 +977,16 @@ def _omerc_constants(p: dict) -> tuple[float, float, float, float]:
     CFNarccapObliqueMercator (crs.py:1117-1130) carries exactly these
     CF attrs, defaulting alpha to 360 (≡ the transverse aspect — its
     grid_mapping_name is 'transverse_mercator')."""
+    if ellipsoid_of(p) is not None:
+        raise NotImplementedError(
+            "omerc: native path is spherical only (the reference's "
+            "CFNarccapObliqueMercator default) — ellipsoidal Hotine "
+            "routes through the guarded pyproj path"
+        )
     phic = math.radians(float(p.get("lat_0", 0.0)))
     lamc = math.radians(float(p.get("lonc", p.get("lon_0", 0.0))))
     beta = math.radians(float(p.get("alpha", 360.0)))
-    R = float(p.get("R", R_SPHERE))
+    R = float(p.get("R", p.get("a", R_SPHERE)))
     k0 = float(p.get("k_0", 1.0))
     phip = math.asin(math.cos(phic) * math.sin(beta))
     lamp = math.atan2(

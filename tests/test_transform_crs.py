@@ -408,3 +408,207 @@ def test_param_crs_round_trip_property(spark):
             | (F.abs(F.col("lat2") - F.col("lat")) > 1e-8)
         ).count()
         assert bad == 0, proj
+
+
+# ---- ellipsoidal datum family (Snyder ellipsoidal forms) ------------
+
+LCC_CLRK = {"proj": "lcc", "lat_1": 33.0, "lat_2": 45.0, "lat_0": 23.0,
+            "lon_0": -96.0, "ellps": "clrk66"}
+AEA_CLRK = {"proj": "aea", "lat_1": 29.5, "lat_2": 45.5, "lat_0": 23.0,
+            "lon_0": -96.0, "ellps": "clrk66"}
+STERE_INTL_S = {"proj": "stere", "lat_0": -90.0, "lat_ts": -71.0,
+                "lon_0": -100.0, "ellps": "intl"}
+LCC_WGS84 = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
+             "lon_0": -97.0, "ellps": "WGS84"}
+STERE_NSIDC = {"proj": "stere", "lat_0": 90.0, "lat_ts": 70.0,
+               "lon_0": -45.0, "a": 6378137.0, "rf": 298.257223563}
+
+
+def test_lcc_ellipsoidal_matches_snyder_example(spark):
+    # Snyder (1987) p. 296-297, Clarke 1866: (35 N, 75 W) ->
+    # x = 1,894,410.9 m, y = 1,564,649.5 m
+    df = spark.createDataFrame([(-75.0, 35.0)], "lon double, lat double")
+    r = crs.transform_crs(df, "EPSG:4326", LCC_CLRK).collect()[0]
+    assert r["x"] == pytest.approx(1894410.9, abs=0.5)
+    assert r["y"] == pytest.approx(1564649.5, abs=0.5)
+
+
+def test_aea_ellipsoidal_matches_snyder_example(spark):
+    # Snyder p. 292, Clarke 1866: (35 N, 75 W) ->
+    # x = 1,885,472.7 m, y = 1,535,925.0 m
+    df = spark.createDataFrame([(-75.0, 35.0)], "lon double, lat double")
+    r = crs.transform_crs(df, "EPSG:4326", AEA_CLRK).collect()[0]
+    assert r["x"] == pytest.approx(1885472.7, abs=0.5)
+    assert r["y"] == pytest.approx(1535925.0, abs=0.5)
+
+
+def test_stere_ellipsoidal_matches_snyder_example(spark):
+    # Snyder p. 315, International 1924, south polar with lat_ts=-71:
+    # (75 S, 150 E) -> x = -1,540,033.6 m, y = -560,526.4 m
+    df = spark.createDataFrame([(150.0, -75.0)], "lon double, lat double")
+    r = crs.transform_crs(df, "EPSG:4326", STERE_INTL_S).collect()[0]
+    assert r["x"] == pytest.approx(-1540033.6, abs=0.5)
+    assert r["y"] == pytest.approx(-560526.4, abs=0.5)
+
+
+@pytest.mark.parametrize("p", [LCC_CLRK, AEA_CLRK, STERE_INTL_S,
+                               LCC_WGS84, STERE_NSIDC])
+def test_ellipsoidal_round_trip(spark, p):
+    south = p.get("lat_0", 0) == -90.0
+    pts = [(-105.3, -38.2 if south else 38.2),
+           (-75.0, -35.0 if south else 35.0),
+           (150.0, -75.0 if south else 75.0),
+           (-39.0, -62.0 if south else 62.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = crs.transform_crs(df, "EPSG:4326", p)
+    back = crs.transform_crs(
+        fwd, p, "EPSG:4326", lon="x", lat="y", out_x="lon2", out_y="lat2"
+    )
+    # inverse latitude goes through the conformal/authalic SERIES —
+    # truncation ~1e-12 rad (conformal) / ~3e-10 rad (authalic), so
+    # 1e-6 deg covers every case with margin
+    for r in back.collect():
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-6)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-6)
+
+
+def test_ellipsoidal_reduces_to_sphere():
+    # rf -> inf degenerates to the sphere of radius a: ellipsoidal SQL
+    # must converge to the spherical SQL's values
+    import duckdb
+
+    p_ell = dict(LCC_WGS84, ellps=None, a=6378137.0, rf=1e9)
+    p_sph = {k: v for k, v in LCC_WGS84.items() if k != "ellps"}
+    p_sph["R"] = 6378137.0
+    ex, ey = crs._lcc_ell_sql(p_ell, "lon", "lat")
+    sx, sy = crs.lcc_sql(p_sph)
+    r = duckdb.sql(
+        f"SELECT {ex} AS ex, {ey} AS ey, {sx} AS sx, {sy} AS sy FROM "
+        f"(SELECT CAST(-75.0 AS DOUBLE) AS lon, CAST(35.0 AS DOUBLE) AS lat)"
+    ).fetchone()
+    assert r[0] == pytest.approx(r[2], rel=1e-8)
+    assert r[1] == pytest.approx(r[3], rel=1e-8)
+
+
+def _duck_xy(p, lon, lat):
+    import duckdb
+
+    fwd = {"lcc": crs._lcc_ell_sql, "aea": crs._aea_ell_sql,
+           "stere": crs._stere_ell_sql}[p["proj"]]
+    x, y = fwd(p, "lon", "lat")
+    return duckdb.sql(
+        f"SELECT {x} AS x, {y} AS y FROM (SELECT CAST({lon!r} AS DOUBLE) "
+        f"AS lon, CAST({lat!r} AS DOUBLE) AS lat)"
+    ).fetchone()
+
+
+def test_lcc_ellipsoidal_conformal_isotropy():
+    # conformality: scale along the meridian == scale along the parallel
+    # (finite differences against the ellipsoid's M and N radii)
+    a, e2 = crs.ellipsoid_of(LCC_WGS84)
+    for lon, lat in ((-97.0, 45.0), (-80.0, 33.5)):
+        d = 1e-5
+        x0, y0 = _duck_xy(LCC_WGS84, lon, lat)
+        xl, yl = _duck_xy(LCC_WGS84, lon + d, lat)
+        xp, yp = _duck_xy(LCC_WGS84, lon, lat + d)
+        w2 = 1.0 - e2 * math.sin(math.radians(lat)) ** 2
+        N = a / math.sqrt(w2)                 # prime-vertical radius
+        M = a * (1.0 - e2) / w2 ** 1.5        # meridian radius
+        k = math.hypot(xl - x0, yl - y0) / (
+            N * math.cos(math.radians(lat)) * math.radians(d))
+        h = math.hypot(xp - x0, yp - y0) / (M * math.radians(d))
+        assert k == pytest.approx(h, rel=1e-5)
+
+
+def test_aea_ellipsoidal_equal_area_jacobian():
+    # equal-area: |J| = M * N cos(phi) (the ellipsoid area element)
+    a, e2 = crs.ellipsoid_of(AEA_CLRK)
+    for lon, lat in ((-96.0, 35.0), (-110.0, 44.5)):
+        d = 1e-5
+        x0, y0 = _duck_xy(AEA_CLRK, lon, lat)
+        xl, yl = _duck_xy(AEA_CLRK, lon + d, lat)
+        xp, yp = _duck_xy(AEA_CLRK, lon, lat + d)
+        dd = math.radians(d)
+        J = abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (dd * dd)
+        w2 = 1.0 - e2 * math.sin(math.radians(lat)) ** 2
+        N = a / math.sqrt(w2)
+        M = a * (1.0 - e2) / w2 ** 1.5
+        assert J == pytest.approx(M * N * math.cos(math.radians(lat)),
+                                  rel=1e-4)
+
+
+def test_stere_ellipsoidal_true_scale_at_lat_ts():
+    # k == 1 exactly at the standard parallel (finite diff along it)
+    a, e2 = crs.ellipsoid_of(STERE_NSIDC)
+    lat = STERE_NSIDC["lat_ts"]
+    d = 1e-5
+    x0, y0 = _duck_xy(STERE_NSIDC, 30.0, lat)
+    xl, yl = _duck_xy(STERE_NSIDC, 30.0 + d, lat)
+    w2 = 1.0 - e2 * math.sin(math.radians(lat)) ** 2
+    N = a / math.sqrt(w2)
+    k = math.hypot(xl - x0, yl - y0) / (
+        N * math.cos(math.radians(lat)) * math.radians(d))
+    assert k == pytest.approx(1.0, rel=1e-6)
+
+
+def test_ellipsoidal_sql_dialect_neutral(spark):
+    # the SAME strings back Catalyst and DuckDB (oracle-twin guarantee)
+    import duckdb
+
+    pts = [(-105.3, 38.2), (-97.0, 47.5), (-39.0, 82.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for p in (LCC_WGS84, STERE_NSIDC):
+        fwd = {"lcc": crs._lcc_ell_sql,
+               "stere": crs._stere_ell_sql}[p["proj"]]
+        x, y = fwd(p, "lon", "lat")
+        got = sorted(
+            (r["x"], r["y"])
+            for r in df.selectExpr(f"{x} AS x", f"{y} AS y").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE pts AS SELECT * FROM (VALUES "
+            + ", ".join(f"(CAST({lo!r} AS DOUBLE), CAST({la!r} AS DOUBLE))"
+                        for lo, la in pts)
+            + ") t(lon, lat)"
+        )
+        want = sorted(con.sql(f"SELECT {x} AS x, {y} AS y FROM pts").fetchall())
+        for (gx, gy), (wx, wy) in zip(got, want):
+            assert gx == pytest.approx(wx, rel=1e-12)
+            assert gy == pytest.approx(wy, rel=1e-12)
+
+
+def test_cf_attrs_datum_routing(spark):
+    from ocgis_spark.ncmodel import crs_from_cf_attrs
+
+    # semi_major_axis + inverse_flattening -> ellipsoidal native path
+    spec = crs_from_cf_attrs({
+        "grid_mapping_name": "lambert_conformal_conic",
+        "standard_parallel": [33.0, 45.0],
+        "latitude_of_projection_origin": 23.0,
+        "longitude_of_central_meridian": -96.0,
+        "semi_major_axis": 6378206.4, "semi_minor_axis": 6356583.8,
+    })
+    assert crs.ellipsoid_of(spec) == pytest.approx(
+        (6378206.4, 1.0 - (6356583.8 / 6378206.4) ** 2))
+    df = spark.createDataFrame([(-75.0, 35.0)], "lon double, lat double")
+    r = crs.transform_crs(df, "EPSG:4326", spec).collect()[0]
+    assert r["x"] == pytest.approx(1894410.9, abs=0.5)  # Snyder p.296
+    # earth_radius forces the sphere
+    spec_r = crs_from_cf_attrs({
+        "grid_mapping_name": "polar_stereographic",
+        "latitude_of_projection_origin": 90.0,
+        "standard_parallel": 70.0, "earth_radius": 6371000.0,
+    })
+    assert crs.ellipsoid_of(spec_r) is None and spec_r["R"] == 6371000.0
+
+
+def test_omerc_rejects_ellipsoid():
+    with pytest.raises(NotImplementedError, match="spherical only"):
+        crs.omerc_sql({"proj": "omerc", "lat_0": 47.5, "lonc": -97.0,
+                       "alpha": 360.0, "ellps": "WGS84"})
+
+
+def test_unknown_ellps_name_raises():
+    with pytest.raises(NotImplementedError, match="unknown ellps"):
+        crs.ellipsoid_of({"proj": "lcc", "lat_1": 30.0, "ellps": "bessel99"})
