@@ -1171,6 +1171,69 @@ def _agg_selection_clip_concave_sql() -> str:
     )
 
 
+#: holed selection for the dissolve-with-holes path: axis outer box O
+#: minus axis hole H, overlapping QUERY_RECT with the hole straddling the
+#: rect's SW corner (so even-odd semantics are discriminated: the hole
+#: part inside R re-enters the union through R; the part outside stays
+#: excluded). All bounds are multiples of 1/4 — binary exact.
+_HOLED_O = (-105.25, 36.75, -103.75, 38.25)
+_HOLED_H = (-104.75, 37.25, -104.25, 37.75)
+
+
+def q_agg_selection_clip_holed(spark, sf_dir):
+    """agg_selection + clip over OVERLAPPING selections where one has a
+    HOLE: the facade vertical-slab sweeps the holed polygon into
+    interior-disjoint convex trapezoids (geo/geometry.py
+    trapezoid_decompose) and feeds them through the same convex
+    half-plane dissolve — the final `get_unioned` branch (reference
+    geom.py:870-1075, holes via GEOS unary_union)."""
+    import numpy as np
+
+    from ocgis_spark.geo import wkb as WKB
+
+    dg = _docs_geo(spark, sf_dir)
+    fld = Field(dg, {"time": "ts", "x": "lon", "y": "lat", "value": "value"},
+                DOC_GRID)
+    ox0, oy0, ox1, oy1 = _HOLED_O
+    hx0, hy0, hx1, hy1 = _HOLED_H
+    holed = WKB.polygon_to_wkb([
+        np.array([[ox0, oy0], [ox1, oy0], [ox1, oy1], [ox0, oy1],
+                  [ox0, oy0]]),
+        np.array([[hx0, hy0], [hx1, hy0], [hx1, hy1], [hx0, hy1],
+                  [hx0, hy0]]),
+    ])
+    ops = OcgOperations(
+        dataset=fld, geom=[_RECT, holed], agg_selection=True,
+        spatial_operation="clip", abstraction="polygon",
+    )
+    out = ops.execute(spark)
+    return out.select(
+        "doc_id", "cell_id", F.round("clip_area", 9).alias("clip_area")
+    )
+
+
+def _agg_selection_clip_holed_sql() -> str:
+    """Inclusion–exclusion twin of the holed dissolve. With H ⊂ O:
+    |cell ∩ (R ∪ (O∖H))| = |cell∩R| + |cell∩O| − |cell∩H|
+    − |cell∩R∩O| + |cell∩R∩H| — every term a plain axis box."""
+    rx0, ry0, rx1, ry1 = _RECT
+    ox0, oy0, ox1, oy1 = _HOLED_O
+    hx0, hy0, hx1, hy1 = _HOLED_H
+    a_r = _box_area_sql(rx0, rx1, ry0, ry1)
+    a_o = _box_area_sql(ox0, ox1, oy0, oy1)
+    a_h = _box_area_sql(hx0, hx1, hy0, hy1)
+    a_ro = _box_area_sql(max(rx0, ox0), min(rx1, ox1),
+                         max(ry0, oy0), min(ry1, oy1))
+    a_rh = _box_area_sql(max(rx0, hx0), min(rx1, hx1),
+                         max(ry0, hy0), min(ry1, hy1))
+    area = f"({a_r} + {a_o} - {a_h} - {a_ro} + {a_rh})"
+    return (
+        f"SELECT doc_id, cell_id, round(clip_area, 9) AS clip_area FROM ("
+        f"SELECT doc_id, cell_id, {area} AS clip_area FROM ({_DG}) dg) t "
+        f"WHERE clip_area > 1e-12"
+    )
+
+
 def q_transform_mercator(spark, sf_dir):
     """General CRS transform (update_crs analogue): project doc lon/lat
     to web mercator (EPSG:4326→EPSG:3857) via the native closed-form
@@ -1238,6 +1301,8 @@ _LCC_NARCCAP = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
 _AEA_CONUS = {"proj": "aea", "lat_1": 29.5, "lat_2": 45.5, "lat_0": 23.0,
               "lon_0": -96.0}
 _STERE_N70 = {"proj": "stere", "lat_0": 90.0, "lon_0": -45.0, "lat_ts": 70.0}
+_LCC_WGS84 = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
+              "lon_0": -97.0, "a": 6378137.0, "rf": 298.257223563}
 _OMERC_NARCCAP = {"proj": "omerc", "lat_0": 47.5, "lonc": -97.0,
                   "alpha": 55.0, "k_0": 1.0}
 
@@ -1267,6 +1332,14 @@ def q_transform_stereo(spark, sf_dir):
     """North polar stereographic (CFPolarStereographic, crs.py:1100)
     with true scale at 70°N — Snyder 21-7..21-12."""
     return _q_transform_param(spark, sf_dir, _STERE_N70)
+
+
+def q_transform_lcc_wgs84(spark, sf_dir):
+    """ELLIPSOIDAL Lambert conformal conic (file-declared WGS84 datum —
+    the reference honors semi_major_axis/inverse_flattening through
+    PROJ, crs.py:888-1030): Snyder 15-7..15-11 closed forms as native
+    Catalyst columns; same dialect-neutral SQL backs the oracle."""
+    return _q_transform_param(spark, sf_dir, _LCC_WGS84)
 
 
 def q_transform_omerc(spark, sf_dir):
@@ -3262,9 +3335,11 @@ def oracle_sql() -> dict[str, str]:
         "agg_selection_clip": _agg_selection_clip_sql(),
         "agg_selection_clip_convex": _agg_selection_clip_convex_sql(),
         "agg_selection_clip_concave": _agg_selection_clip_concave_sql(),
+        "agg_selection_clip_holed": _agg_selection_clip_holed_sql(),
         "group_season_custom": _group_season_custom_sql(),
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "transform_lcc": _transform_param_sql(_LCC_NARCCAP),
+        "transform_lcc_wgs84": _transform_param_sql(_LCC_WGS84),
         "transform_albers": _transform_param_sql(_AEA_CONUS),
         "transform_stereo": _transform_param_sql(_STERE_N70),
         "transform_omerc": _transform_param_sql(_OMERC_NARCCAP),
@@ -3449,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is r2/r3-driver-green and stays gated by scripts/check_oracles.py.
     return {
         "transform_lcc": q_transform_lcc,
+        "transform_lcc_wgs84": q_transform_lcc_wgs84,
         "transform_albers": q_transform_albers,
         "transform_stereo": q_transform_stereo,
         "group_season_custom": q_group_season_custom,
@@ -3486,15 +3562,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "bbox_subset": q_bbox_subset,
         "tile_source_assign": q_tile_source_assign,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
+        "agg_selection_clip_convex": q_agg_selection_clip_convex,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "simhash": q_simhash,
         "ivf_topk": q_ivf_topk,
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
-        "token_counts": q_token_counts,
+        "agg_selection_clip_concave": q_agg_selection_clip_concave,
         # new-in-this-session ops take the last 3 window slots (fresh code
         # needs a driver row more than an unchanged r2-green scalar op);
         # the three displaced text scalars sit right after the boundary
@@ -3502,7 +3577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": q_cms_freq,
         "cms_merge_halves": q_cms_merge_halves,
         "dup_ngram_spans": q_dup_ngram_spans,
+        "agg_selection_clip_holed": q_agg_selection_clip_holed,
         # ---- driver window boundary (50) ----
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
@@ -3559,8 +3638,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_TXx": q_icclim_txx,
         "transform_mercator": q_transform_mercator,
         "agg_selection_clip": q_agg_selection_clip,
-        "agg_selection_clip_convex": q_agg_selection_clip_convex,
-        "agg_selection_clip_concave": q_agg_selection_clip_concave,
         "regrid_nonuniform": q_regrid_nonuniform,
         "intersects_pentagon_nonuniform": q_intersects_pentagon_nonuniform,
         "curvilinear_subset": q_curvilinear_subset,
