@@ -3565,7 +3565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_selection_clip_convex": q_agg_selection_clip_convex,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
-        "simhash": q_simhash,
         "ivf_topk": q_ivf_topk,
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
@@ -3582,6 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
