@@ -324,6 +324,30 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_index_hits(spark, sf_dir):
+    """Ingest-time near-dup screen: documents with doc_id % 3 != 0
+    probed against the LSH band index of the % 3 == 0 'historical'
+    corpus (dedup.lsh_band_index + near_dup_hits — the stream-static
+    screen's batch twin; md5 family for the oracle)."""
+    corpus = _corpus(spark, sf_dir)
+    hist = corpus.filter(F.col("doc_id") % 3 == 0)
+    probe = corpus.filter(F.col("doc_id") % 3 != 0)
+    idx = dedup.lsh_band_index(hist, "text", hash_fn="md5")
+    out = dedup.near_dup_hits(probe, idx, "text", hash_fn="md5")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def _index_hits_oracle() -> str:
+    return _lsh_cte_prefix() + """
+hits AS (SELECT DISTINCT CAST(p.doc_id AS BIGINT) AS doc_id
+         FROM bands p JOIN bands h
+         ON p.band = h.band AND p.band_key = h.band_key
+         AND h.doc_id % 3 = 0
+         WHERE p.doc_id % 3 <> 0)
+SELECT doc_id FROM hits
+"""
+
+
 def _components_oracle() -> str:
     """Recursive-CTE transitive closure — shared by BOTH component
     implementations (min-label and large-star/small-star), which must
@@ -2020,7 +2044,10 @@ def _tile_values_sql():
     )
 
 
-def _minhash_oracle() -> str:
+def _lsh_cte_prefix() -> str:
+    """Shared corpus→shingles→signatures→bands CTE chain (md5 family) —
+    one derivation backs the minhash-pair, component, and index-screen
+    oracles."""
     n = dedup.N_MINHASH
     bs = dedup.BAND_SIZE
     sig_cols = ", ".join(
@@ -2041,7 +2068,11 @@ seq AS (SELECT doc_id, text,
         FROM corpus),
 toks AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {L}) AS tok FROM seq),
 sigs AS (SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id),
-bands AS ({bands}),
+bands AS ({bands}),"""
+
+
+def _minhash_oracle() -> str:
+    return _lsh_cte_prefix() + """
 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -2844,6 +2875,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY norm HAVING count(*) > 1"
         ),
         "minhash_pairs": _minhash_oracle(),
+        "dedup_index_hits": _index_hits_oracle(),
         "dedup_components": _components_oracle(),
         "dedup_components_star": _components_oracle(),
         "simhash": _simhash_oracle(),
@@ -3565,7 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_selection_clip_convex": q_agg_selection_clip_convex,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
-        "ivf_topk": q_ivf_topk,
+        "dedup_index_hits": q_dedup_index_hits,
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "agg_selection_clip_concave": q_agg_selection_clip_concave,
@@ -3582,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,

@@ -236,6 +236,53 @@ def minhash_signatures_narrow(
     return df.select("doc_id", *cols)
 
 
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from a signature frame as ONE narrow map
+    + posexplode — band_key text identical to :func:`lsh_candidates`'s
+    ``concat_ws('|', mh...)`` per band, without its N-band union (one
+    scan instead of N)."""
+    n_bands = N_MINHASH // BAND_SIZE
+    arr = F.array(*[
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        )
+        for b in range(n_bands)
+    ])
+    return sigs.select(
+        "doc_id", F.posexplode(arr).alias("band", "band_key")
+    )
+
+
+def lsh_band_index(
+    df: DataFrame, text: str = "text", hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Distinct (band, band_key) bucket table over a historical corpus —
+    the STATIC side of ingest-time near-dup screening. At 100 TB this is
+    built once per index refresh (narrow signature map → posexplode →
+    distinct, the only shuffle) and written bucketed by (band, band_key)
+    so every subsequent probe join is co-located."""
+    sigs = minhash_signatures_narrow(df, text, hash_fn)
+    return band_keys(sigs).select("band", "band_key").distinct()
+
+
+def near_dup_hits(
+    df_new: DataFrame, index: DataFrame, text: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """doc_ids among ``df_new`` sharing ≥ 1 LSH band bucket with an
+    indexed corpus (:func:`lsh_band_index`) — the ingest-time screen
+    that keeps NEW data from re-adding near-duplicates of the training
+    corpus. The same plan runs on a batch frame or a readStream source
+    unchanged: narrow signatures → posexplode → (stream-)static LEFT
+    SEMI equi-join on (band, band_key) → per-doc dedup. Streaming state
+    holds only emitted hit ids (bound it with a watermark +
+    ``dropDuplicatesWithinWatermark`` when ids can recur across
+    batches); nothing ever pairs documents."""
+    sigs = minhash_signatures_narrow(df_new, text, hash_fn)
+    hits = band_keys(sigs).join(index, ["band", "band_key"], "left_semi")
+    return hits.select("doc_id").dropDuplicates(["doc_id"])
+
+
 def simhash(df: DataFrame, text: str = "text",
             tokens: str = "unigram") -> DataFrame:
     """SIM_BITS-bit SimHash: bit b votes -1/+1 per token from one hex char

@@ -138,3 +138,17 @@ def streaming_dedup(
     because the batch operator is also corpus-global."""
     keyed = docs_stream.withColumn("_dk", F.expr(key_expr))
     return keyed.dropDuplicates(["_dk"]).drop("_dk")
+
+
+def streaming_near_dup_hits(
+    docs_stream: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Ingest-time near-dup screen over a STREAM: each micro-batch's
+    documents are minhash-banded (narrow map) and stream-static LEFT
+    SEMI joined against the historical ``lsh_band_index`` bucket table —
+    stateless per batch except the emitted-id dedup (state = hit ids;
+    see ``operators.dedup.near_dup_hits``). Hits equal the batch screen
+    over the same files — asserted stream==batch in pytest."""
+    from ocgis_spark.operators import dedup as D
+
+    return D.near_dup_hits(docs_stream, index)

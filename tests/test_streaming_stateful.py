@@ -162,3 +162,64 @@ def test_streaming_cms_sketch_matches_batch(spark, tmp_path):
     est_b = SK.cms_estimate(SK.cms_sketch(batch, [], "tok"), probes)
     est_s = SK.cms_estimate(spark.table("cms_stream"), probes)
     assert sorted(map(tuple, est_b.collect())) == sorted(map(tuple, est_s.collect()))
+
+
+def test_streaming_near_dup_hits_matches_batch(spark, tmp_path):
+    """stream == batch: the stream-static LSH band screen flags exactly
+    the docs the batch screen flags, across micro-batch boundaries."""
+    import pandas as pd
+
+    from ocgis_spark.operators import dedup as D
+    from ocgis_spark.streaming import pipeline as P
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "colorless green ideas sleep furiously in the long grass field",
+        "a completely different document about spark physical planning",
+        "yet another unrelated body of text with its own vocabulary",
+    ]
+    hist = pd.DataFrame({
+        "doc_id": range(100, 104), "text": [t for t in base]
+    })
+    # probes: 0/1 duplicate history (deterministic all-band hit — the
+    # probabilistic near-dup recall of the banding itself is covered by
+    # the minhash oracle queries), 2/3 are novel
+    probe1 = pd.DataFrame({
+        "doc_id": [0, 2],
+        "text": [base[0],
+                 "nothing like anything indexed before, fresh content one"],
+    })
+    probe2 = pd.DataFrame({
+        "doc_id": [1, 3],
+        "text": [base[1],
+                 "fresh content two, equally unlike the historical corpus"],
+    })
+    src = str(tmp_path / "probe_src")
+    spark.createDataFrame(probe1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(probe2).coalesce(1).write.mode("append").parquet(src)
+
+    index = D.lsh_band_index(spark.createDataFrame(hist)).persist()
+    batch_probe = spark.read.parquet(src)
+    expected = sorted(
+        r["doc_id"] for r in D.near_dup_hits(batch_probe, index).collect()
+    )
+    assert expected == [0, 1]  # indexed copies hit, novel docs don't
+
+    stream = (
+        spark.readStream.schema(batch_probe.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = P.streaming_near_dup_hits(stream, index)
+    q = (
+        out.writeStream.format("memory").queryName("ndh_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ndh"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM ndh_stream").collect()
+    )
+    assert got == expected
+    index.unpersist()
