@@ -439,3 +439,76 @@ def test_polygon_convex_pieces_dispatch_and_union_with_holes():
     )
     total = sum(abs(G.ring_area(p)) for p in pieces)
     assert abs(total - 23.0) < 1e-10
+
+
+def test_dissolve_union_area_fuzz_vs_raster():
+    """Independent oracle for the full dissolve stack (trapezoid/ear
+    decomposition + half-plane union sweep): union area of random holed
+    boxes and random convex polygons vs a fine-grid rasterization of the
+    same even-odd/union semantics."""
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(6):
+        polys = []  # list of ring-lists
+        for _ in range(rng.integers(2, 5)):
+            kind = rng.integers(0, 2)
+            x0, y0 = rng.uniform(0, 6, 2)
+            w, h = rng.uniform(1.5, 4, 2)
+            if kind == 0:
+                # axis box with a strictly interior hole
+                hx0 = x0 + w * rng.uniform(0.15, 0.4)
+                hy0 = y0 + h * rng.uniform(0.15, 0.4)
+                hw = w * rng.uniform(0.15, 0.35)
+                hh = h * rng.uniform(0.15, 0.35)
+                outer = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                                  [x0, y0 + h], [x0, y0]])
+                hole = np.array([[hx0, hy0], [hx0 + hw, hy0],
+                                 [hx0 + hw, hy0 + hh], [hx0, hy0 + hh],
+                                 [hx0, hy0]])
+                polys.append([outer, hole])
+            else:
+                # random convex polygon (hull of random points)
+                pts = np.column_stack([
+                    x0 + rng.uniform(0, w, 12), y0 + rng.uniform(0, h, 12)
+                ])
+                c = pts.mean(axis=0)
+                ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+                hullish = pts[np.argsort(ang)]
+                # keep only hull vertices via cross-product filter
+                keep = []
+                m = len(hullish)
+                for i in range(m):
+                    a, b, cc = hullish[i - 1], hullish[i], hullish[(i + 1) % m]
+                    if (b[0] - a[0]) * (cc[1] - a[1]) - (b[1] - a[1]) * (cc[0] - a[0]) > 1e-12:
+                        keep.append(b)
+                if len(keep) < 3:
+                    continue
+                ring = np.vstack(keep + [keep[0]])
+                if not G.ring_is_convex_ccw(ring):
+                    continue
+                polys.append([ring])
+        if len(polys) < 2:
+            continue
+        pieces = G.convex_union_pieces(
+            [p for rings in polys for p in G.polygon_convex_pieces(rings)]
+        )
+        got = sum(abs(G.ring_area(p)) for p in pieces)
+        # raster oracle: even-odd per polygon, OR across polygons
+        n = 900
+        xs = np.linspace(-0.5, 10.5, n)
+        ys = np.linspace(-0.5, 10.5, n)
+        X, Y = np.meshgrid(xs, ys)
+        P = np.column_stack([X.ravel(), Y.ravel()])
+        inside_any = np.zeros(len(P), dtype=bool)
+        for rings in polys:
+            inside = np.zeros(len(P), dtype=bool)
+            for r in rings:
+                inside ^= G.points_in_ring(P[:, 0], P[:, 1], r)
+            inside_any |= inside
+        cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+        want = inside_any.sum() * cell
+        # raster error ~ perimeter * pixel ≈ 0.04 * total edge length
+        assert got == pytest.approx(want, abs=0.05 * max(got, 1.0) + 0.5)
