@@ -644,6 +644,24 @@ def q_word_entropy(spark, sf_dir):
     return textops.word_entropy(_read(spark, sf_dir, "documents"))
 
 
+def q_lm_score(spark, sf_dir):
+    """Add-k bigram-LM average log-likelihood per doc (perplexity quality
+    gate, CCNet/Dolma shape) — narrow per-row bigram zip + vocab-bounded
+    LM aggs."""
+    return textops.lm_score(_read(spark, sf_dir, "documents"))
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature (alpha=0.5) domain rebalance over lang strata: output
+    mixture proportional to sqrt(n_d); deterministic hash-bucket keep
+    set (sqrt/division are IEEE correctly-rounded in both engines, so
+    the boundary rows cannot flip vs the oracle)."""
+    from ocgis_spark.operators import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    return sampling.temperature_mixture(docs, "lang").select("doc_id", "lang")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-batch sequence packing: bucketed first-fit-in-order pack
     assignment (integer window arithmetic, exact oracle)."""
@@ -3123,6 +3141,19 @@ def oracle_sql() -> dict[str, str]:
             + ") lex(w, weight) USING (w) GROUP BY doc_id) s "
             "ON d.doc_id = s.doc_id"
         ),
+        "lm_score": textops.lm_score_sql(),
+        "temperature_mix": (
+            "WITH c AS (SELECT lang, count(*) AS n_d FROM documents "
+            "GROUP BY lang), "
+            "m AS (SELECT min(n_d) AS n_min FROM c), "
+            "r AS (SELECT lang, floor(1000.0E0 * "
+            "sqrt(CAST(n_min AS DOUBLE) / CAST(n_d AS DOUBLE))) AS rate_pm "
+            "FROM c CROSS JOIN m) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN r "
+            "ON d.lang = r.lang "
+            f"WHERE ((CAST(d.doc_id AS BIGINT) * {SMP.HASH_MULT}) "
+            f"% {SMP.HASH_MOD}) % 1000 < r.rate_pm"
+        ),
         "word_entropy": (
             "SELECT doc_id, round(log2(n) - s / n, 6) AS entropy, "
             "CAST(n AS BIGINT) AS n_tokens FROM ("
@@ -3595,8 +3626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_subset": q_bbox_subset,
         "tile_source_assign": q_tile_source_assign,
         "agg_selection_clip_convex": q_agg_selection_clip_convex,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "embedding_near_dups": q_embedding_near_dups,
+        "temperature_mix": q_temperature_mix,
+        "lm_score": q_lm_score,
         "dedup_index_hits": q_dedup_index_hits,
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
@@ -3615,6 +3646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ivf_topk": q_ivf_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,

@@ -88,3 +88,37 @@ def split_column(key: Column, permille_train: int = 750) -> Column:
     return F.when(
         hash_bucket(key) < F.lit(permille_train), F.lit("train")
     ).otherwise(F.lit("test"))
+
+
+def temperature_mixture(
+    df: DataFrame, stratum: str = "lang", key: str = "doc_id",
+) -> DataFrame:
+    """Temperature-balanced domain mixing (alpha = 0.5): subsample each
+    stratum so the output mixture is proportional to n_d^alpha instead
+    of n_d — the standard multilingual/domain rebalance (small domains
+    upweighted relative to their raw share). The smallest stratum keeps
+    everything; stratum d keeps rate_d = sqrt(n_min / n_d), realized
+    through the deterministic hash bucket (no RNG, partitioning-
+    independent).
+
+    alpha is FIXED at 1/2 so the per-stratum rate is a single IEEE
+    sqrt + division — both correctly rounded, hence bit-identical in
+    Spark and DuckDB (a general pow() is not guaranteed to round the
+    same across engines, which would flip boundary rows between the
+    query and its oracle). Other temperatures: compose uniform_sample
+    with an externally computed rate table.
+
+    Plan: one stratum-count hash agg, a broadcast rate join, a narrow
+    filter — the corpus is read once and never shuffled."""
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_d"))
+    n_min = counts.agg(F.min("n_d").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        stratum,
+        F.floor(
+            F.lit(1000.0)
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_d").cast("double"))
+        ).alias("rate_pm"),
+    )
+    return df.join(F.broadcast(rates), stratum).filter(
+        hash_bucket(F.col(key)) < F.col("rate_pm")
+    )

@@ -482,3 +482,96 @@ def dup_ngram_spans_sql(table: str = "documents", text: str = "text",
         f"CAST(t.n_grams AS DOUBLE), 6) AS dup_frac "
         f"FROM tot t LEFT JOIN dd d USING (doc_id)"
     )
+
+
+def lm_score(
+    df: DataFrame, text: str = "text", k: float = 0.5,
+    cache_pairs: bool = True,
+) -> DataFrame:
+    """Average bigram log-likelihood per document under an add-k-smoothed
+    corpus bigram LM — the perplexity quality gate of a training-data
+    pipeline (CCNet/Dolma-style filtering: low avg log-likelihood ⇒
+    out-of-distribution / garbled text).
+
+    ll(doc) = mean over consecutive token pairs of
+    ln((c(w1,w2) + k) / (c(w1) + k·V)), with c(·) corpus bigram counts,
+    c(w1) = Σ_w2 c(w1,w2) (context count) and V = |distinct w2|.
+
+    Plan shape at 100 TB: bigrams come from a NARROW per-row zip (no
+    positional self-join); the LM tables are vocab²-bounded hash aggs
+    with map-side partials; the scoring join is plain equi-join on
+    (w1, w2) — AQE broadcasts when the LM fits, shuffles otherwise.
+    Train on a sample by passing a sampled frame to a separate counts
+    build if the full-corpus LM is not wanted. The bigram relation feeds
+    THREE branches (both LM tables and the scoring join) — it is
+    persisted by default so the corpus is exploded once, not three
+    times (the minhash_dedup token-cache pattern)."""
+    arr = tokens_col(text)
+    sz = F.size(arr)
+    pairs = df.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, F.greatest(sz - 1, F.lit(0))),
+                F.slice(arr, 2, F.greatest(sz - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2").filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    if cache_pairs:
+        pairs = pairs.persist()
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = pairs.agg(
+        F.countDistinct("w2").cast("double").alias("v")
+    )
+    scored = (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("v"))
+            ).alias("ll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("ll"), 6).alias("avg_ll"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+    )
+
+
+def lm_score_sql(table: str = "documents", text: str = "text",
+                 k: float = 0.5) -> str:
+    """Oracle twin of :func:`lm_score` (same raw-position adjacency:
+    consecutive single-space-split tokens, pairs with an empty side
+    dropped after pairing)."""
+    from ..fixtures import _f
+
+    kf = _f(k)
+    return (
+        f"WITH toks AS (SELECT doc_id, string_split({text}, ' ') AS a "
+        f"FROM {table}), "
+        f"big0 AS (SELECT doc_id, a[CAST(i AS INT)] AS w1, "
+        f"a[CAST(i AS INT) + 1] AS w2 FROM ("
+        f"SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i "
+        f"FROM toks) t), "
+        f"big AS (SELECT * FROM big0 WHERE w1 <> '' AND w2 <> ''), "
+        f"c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 "
+        f"FROM big GROUP BY w1, w2), "
+        f"c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1), "
+        f"v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM big), "
+        f"scored AS (SELECT b.doc_id, "
+        f"ln((c12.c12 + {kf}) / (c1.c1 + {kf} * v.v)) AS ll "
+        f"FROM big b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2 "
+        f"JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v) "
+        f"SELECT doc_id, round(avg(ll), 6) AS avg_ll, "
+        f"CAST(count(*) AS BIGINT) AS n_bigrams "
+        f"FROM scored GROUP BY doc_id"
+    )

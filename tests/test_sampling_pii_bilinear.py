@@ -288,3 +288,64 @@ def test_dup_ngram_spans_no_python_in_plan(spark):
     df = spark.createDataFrame([(0, "a b c d e f g h i")], "doc_id bigint, text string")
     plan = T.dup_ngram_spans(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_score_manual(spark):
+    """Hand-computed add-k bigram LM on a 2-doc corpus."""
+    import math
+
+    from ocgis_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.lm_score(docs, k=0.5).collect()}
+    # corpus bigrams: doc1: (a,b),(b,a),(a,b); doc2: (a,b),(b,c)
+    # c12: (a,b)=3, (b,a)=1, (b,c)=1 ; c1: a=3, b=2 ; V=|{a,b,c}|=3
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (2 + 0.5 * 3)
+    p_bc = (1 + 0.5) / (2 + 0.5 * 3)
+    want1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    want2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert out[1]["avg_ll"] == pytest.approx(want1, abs=1e-6)
+    assert out[2]["avg_ll"] == pytest.approx(want2, abs=1e-6)
+    # higher-probability text scores higher
+    assert out[1]["avg_ll"] > out[2]["avg_ll"]
+
+
+def test_temperature_mixture_rebalances(spark):
+    """alpha=0.5 mixing: kept counts approach n_min * sqrt(n_d / n_min)
+    (i.e. proportional to sqrt(n_d)), smallest stratum kept whole."""
+    import pandas as pd
+
+    from ocgis_spark.operators import sampling
+
+    rows = []
+    sizes = {"en": 6400, "fr": 1600, "sw": 100}
+    i = 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang"])
+    )
+    kept = (
+        sampling.temperature_mixture(df, "lang")
+        .groupBy("lang").count().collect()
+    )
+    got = {r["lang"]: r["count"] for r in kept}
+    assert got["sw"] == 100                       # min stratum: keep all
+    # en rate = floor(1000*sqrt(100/6400)) = 125 permille -> ~800 docs;
+    # fr rate = floor(1000*sqrt(100/1600)) = 250 permille -> ~400 docs;
+    # the hash is deterministic, tolerance covers bucket granularity
+    assert abs(got["en"] - 800) < 80
+    assert abs(got["fr"] - 400) < 60
+    # determinism: second run identical
+    kept2 = (
+        sampling.temperature_mixture(df, "lang")
+        .groupBy("lang").count().collect()
+    )
+    assert {r["lang"]: r["count"] for r in kept2} == got
