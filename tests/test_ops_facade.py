@@ -337,6 +337,36 @@ def test_output_crs_accepts_parametric_dict(spark, golden_field):
         assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
 
 
+def test_output_crs_parametric_dict_with_datum(spark, golden_field):
+    """output_crs dict carrying a file-declared ellipsoid (r4s4): the
+    facade reaches the native ELLIPSOIDAL Snyder path — still pure
+    codegen, and the output differs from the spherical result (the datum
+    actually took effect)."""
+    sph = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
+           "lon_0": -97.0}
+    ell = dict(sph, ellps="WGS84")
+    out_e = OcgOperations(
+        dataset=golden_field, output_crs=ell, snippet=True
+    ).execute(spark)
+    plan = out_e._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    out_s = OcgOperations(
+        dataset=golden_field, output_crs=sph, snippet=True
+    ).execute(spark)
+    re, rs = out_e.select("x", "y").first(), out_s.select("x", "y").first()
+    assert abs(re["x"] - rs["x"]) > 100.0 or abs(re["y"] - rs["y"]) > 100.0
+    from ocgis_spark.operators import crs as crs_ops
+
+    rows = out_e.select("lon", "lat", "x", "y").limit(2).collect()
+    back = crs_ops.transform_crs(
+        spark.createDataFrame(rows), ell, "EPSG:4326",
+        lon="x", lat="y", out_x="lon2", out_y="lat2",
+    )
+    for r in back.collect():
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-6)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-6)
+
+
 def test_cms_topfreq_facade_calc(spark):
     """cms_topfreq registry calc: probe-term frequency estimates through
     the facade registry, no operators.sketch import needed."""
