@@ -3632,10 +3632,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "agg_selection_clip_concave": q_agg_selection_clip_concave,
-        # new-in-this-session ops take the last 3 window slots (fresh code
-        # needs a driver row more than an unchanged r2-green scalar op);
-        # the three displaced text scalars sit right after the boundary
-        # and rotate back in next round
+        # r4 window policy: every op whose code is NEW this round holds a
+        # first-50 slot (fresh code needs a driver row most); the displaced
+        # entries — dedup_exact, token_counts, ngram_jaccard, simhash,
+        # ivf_topk, ann_lsh_buckets, embedding_near_dups, all green and
+        # unchanged since r2 — sit right after the boundary and should
+        # rotate back in during r5
         "cms_freq": q_cms_freq,
         "cms_merge_halves": q_cms_merge_halves,
         "dup_ngram_spans": q_dup_ngram_spans,
