@@ -346,9 +346,33 @@ def transform_crs(
                 out_x=out_x, out_y=out_y,
             )
             return out.drop("_glon", "_glat")
+        # parametric <-> native closed-form EPSG (e.g. NARCCAP lcc ->
+        # web mercator for tile pyramids): chain through geographic —
+        # still narrow column maps in one codegen stage
+        if src_is_dict and ("EPSG:4326", _norm_crs(dst_crs)) in _NATIVE_TRANSFORMS:
+            mid = transform_param_crs(
+                df, src_crs, lon=lon, lat=lat,
+                out_x="_glon", out_y="_glat", inverse=True,
+            )
+            out = transform_crs(
+                mid, "EPSG:4326", dst_crs, lon="_glon", lat="_glat",
+                out_x=out_x, out_y=out_y,
+            )
+            return out.drop("_glon", "_glat")
+        if dst_is_dict and (_norm_crs(src_crs), "EPSG:4326") in _NATIVE_TRANSFORMS:
+            mid = transform_crs(
+                df, src_crs, "EPSG:4326", lon=lon, lat=lat,
+                out_x="_glon", out_y="_glat",
+            )
+            out = transform_param_crs(
+                mid, dst_crs, lon="_glon", lat="_glat",
+                out_x=out_x, out_y=out_y,
+            )
+            return out.drop("_glon", "_glat")
         raise NotImplementedError(
-            "parametric CRS dicts compose only with geographic "
-            "(EPSG:4326 / {'proj': 'longlat'}) endpoints or each other"
+            "parametric CRS dicts compose with geographic (EPSG:4326 / "
+            "{'proj': 'longlat'}), with each other, or with the native "
+            f"closed-form EPSG pairs {sorted(set(k[1] for k in _NATIVE_TRANSFORMS if k[0] == 'EPSG:4326'))}"
         )
     key = (_norm_crs(src_crs), _norm_crs(dst_crs))
     if key[0] == key[1]:

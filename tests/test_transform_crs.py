@@ -612,3 +612,36 @@ def test_omerc_rejects_ellipsoid():
 def test_unknown_ellps_name_raises():
     with pytest.raises(NotImplementedError, match="unknown ellps"):
         crs.ellipsoid_of({"proj": "lcc", "lat_1": 30.0, "ellps": "bessel99"})
+
+
+def test_param_to_native_epsg_composition(spark):
+    """Parametric dict <-> native EPSG closed-form pairs compose through
+    geographic (lcc -> web mercator and back), staying pure codegen."""
+    pts = [(-105.3, 38.2), (-97.0, 47.5), (-80.0, 33.5)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    lcc = dict(LCC_NARCCAP)
+    planar = crs.transform_crs(df, "EPSG:4326", lcc)
+    merc = crs.transform_crs(
+        planar, lcc, "EPSG:3857", lon="x", lat="y",
+        out_x="mx", out_y="my",
+    )
+    plan = merc._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    direct = crs.transform_crs(df, "EPSG:4326", "EPSG:3857")
+    for chained, want in zip(
+        merc.select("mx", "my").collect(),
+        direct.select("x", "y").collect(),
+    ):
+        assert chained["mx"] == pytest.approx(want["x"], abs=1e-6)
+        assert chained["my"] == pytest.approx(want["y"], abs=1e-6)
+    # and native EPSG -> parametric dict (the reverse leg)
+    back = crs.transform_crs(
+        direct, "EPSG:3857", lcc, lon="x", lat="y",
+        out_x="px", out_y="py",
+    )
+    for r, want in zip(
+        back.select("px", "py").collect(),
+        planar.select("x", "y").collect(),
+    ):
+        assert r["px"] == pytest.approx(want["x"], abs=1e-6)
+        assert r["py"] == pytest.approx(want["y"], abs=1e-6)
