@@ -422,6 +422,8 @@ LCC_WGS84 = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
              "lon_0": -97.0, "ellps": "WGS84"}
 STERE_NSIDC = {"proj": "stere", "lat_0": 90.0, "lat_ts": 70.0,
                "lon_0": -45.0, "a": 6378137.0, "rf": 298.257223563}
+UPS_N = {"proj": "stere", "lat_0": 90.0, "k_0": 0.994, "lon_0": 0.0,
+         "ellps": "WGS84"}  # Universal Polar Stereographic (k0 form)
 
 
 def test_lcc_ellipsoidal_matches_snyder_example(spark):
@@ -452,7 +454,7 @@ def test_stere_ellipsoidal_matches_snyder_example(spark):
 
 
 @pytest.mark.parametrize("p", [LCC_CLRK, AEA_CLRK, STERE_INTL_S,
-                               LCC_WGS84, STERE_NSIDC])
+                               LCC_WGS84, STERE_NSIDC, UPS_N])
 def test_ellipsoidal_round_trip(spark, p):
     south = p.get("lat_0", 0) == -90.0
     pts = [(-105.3, -38.2 if south else 38.2),
@@ -557,8 +559,8 @@ def test_ellipsoidal_sql_dialect_neutral(spark):
 
     pts = [(-105.3, 38.2), (-97.0, 47.5), (-39.0, 82.0)]
     df = spark.createDataFrame(pts, "lon double, lat double")
-    for p in (LCC_WGS84, STERE_NSIDC):
-        fwd = {"lcc": crs._lcc_ell_sql,
+    for p in (LCC_WGS84, STERE_NSIDC, AEA_CLRK, UPS_N):
+        fwd = {"lcc": crs._lcc_ell_sql, "aea": crs._aea_ell_sql,
                "stere": crs._stere_ell_sql}[p["proj"]]
         x, y = fwd(p, "lon", "lat")
         got = sorted(
@@ -645,3 +647,14 @@ def test_param_to_native_epsg_composition(spark):
     ):
         assert r["px"] == pytest.approx(want["x"], abs=1e-6)
         assert r["py"] == pytest.approx(want["y"], abs=1e-6)
+
+
+def test_stere_ellipsoidal_k0_is_pole_scale():
+    """k0-form normalization (Snyder 21-33): the scale factor
+    k = rho / (a m(phi)) tends to k0 at the pole."""
+    a, e2 = crs.ellipsoid_of(UPS_N)
+    e = math.sqrt(e2)
+    sgn, coef = crs._stere_ell_coef(UPS_N, a, e2)
+    phi = math.radians(89.9999)
+    k = coef * crs._t_of(phi, e) / (a * crs._m_of(phi, e2))
+    assert k == pytest.approx(0.994, rel=1e-7)
