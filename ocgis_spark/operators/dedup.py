@@ -205,7 +205,7 @@ def minhash_signatures_from_tokens(
 
 def minhash_signatures_narrow(
     df: DataFrame, text: str = "text", hash_fn: str = "xxhash64",
-    n: int = SHINGLE_LEN,
+    n: int = SHINGLE_LEN, carry: tuple = (),
 ) -> DataFrame:
     """MinHash signatures as a pure NARROW MAP: build the shingle array
     per row and take ``array_min`` of the transformed hashes — min is
@@ -215,7 +215,9 @@ def minhash_signatures_narrow(
     exploded token set anyway — exact-Jaccard verification reuses it.)
 
     Shingling matches :func:`doc_shingles` exactly (raw column; callers
-    pre-normalize, as minhash_dedup's corpus derivation does)."""
+    pre-normalize, as minhash_dedup's corpus derivation does). ``carry``
+    names extra columns to keep alongside the signature (e.g. an
+    event-time column for watermarked streaming)."""
     col = F.col(text)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
@@ -233,10 +235,10 @@ def minhash_signatures_narrow(
         F.array_min(F.transform(shingles, mk(i))).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    return df.select("doc_id", *cols)
+    return df.select("doc_id", *carry, *cols)
 
 
-def band_keys(sigs: DataFrame) -> DataFrame:
+def band_keys(sigs: DataFrame, carry: tuple = ()) -> DataFrame:
     """(doc_id, band, band_key) from a signature frame as ONE narrow map
     + posexplode — band_key text identical to :func:`lsh_candidates`'s
     ``concat_ws('|', mh...)`` per band, without its N-band union (one
@@ -249,7 +251,7 @@ def band_keys(sigs: DataFrame) -> DataFrame:
         for b in range(n_bands)
     ])
     return sigs.select(
-        "doc_id", F.posexplode(arr).alias("band", "band_key")
+        "doc_id", *carry, F.posexplode(arr).alias("band", "band_key")
     )
 
 
@@ -267,7 +269,8 @@ def lsh_band_index(
 
 def near_dup_hits(
     df_new: DataFrame, index: DataFrame, text: str = "text",
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "xxhash64", event_time: str | None = None,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """doc_ids among ``df_new`` sharing ≥ 1 LSH band bucket with an
     indexed corpus (:func:`lsh_band_index`) — the ingest-time screen
@@ -275,12 +278,22 @@ def near_dup_hits(
     corpus. The same plan runs on a batch frame or a readStream source
     unchanged: narrow signatures → posexplode → (stream-)static LEFT
     SEMI equi-join on (band, band_key) → per-doc dedup. Streaming state
-    holds only emitted hit ids (bound it with a watermark +
-    ``dropDuplicatesWithinWatermark`` when ids can recur across
-    batches); nothing ever pairs documents."""
-    sigs = minhash_signatures_narrow(df_new, text, hash_fn)
-    hits = band_keys(sigs).join(index, ["band", "band_key"], "left_semi")
-    return hits.select("doc_id").dropDuplicates(["doc_id"])
+    holds only emitted hit ids; pass ``event_time`` to bound it with a
+    watermark (``dropDuplicatesWithinWatermark`` — state expires after
+    ``watermark_delay``, the right call when a doc_id cannot recur
+    later than that). Nothing ever pairs documents."""
+    stream_wm = event_time is not None and df_new.isStreaming
+    if stream_wm:
+        df_new = df_new.withWatermark(event_time, watermark_delay)
+    carry = (event_time,) if event_time else ()
+    sigs = minhash_signatures_narrow(df_new, text, hash_fn, carry=carry)
+    hits = band_keys(sigs, carry=carry).join(
+        index, ["band", "band_key"], "left_semi"
+    )
+    hits = hits.select("doc_id", *carry)
+    if stream_wm:
+        return hits.dropDuplicatesWithinWatermark(["doc_id"])
+    return hits.dropDuplicates(["doc_id"])
 
 
 def simhash(df: DataFrame, text: str = "text",

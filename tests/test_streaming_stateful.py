@@ -223,3 +223,47 @@ def test_streaming_near_dup_hits_matches_batch(spark, tmp_path):
     )
     assert got == expected
     index.unpersist()
+
+
+def test_streaming_near_dup_hits_watermarked(spark, tmp_path):
+    """event_time + watermark bounds the hit-id dedup state
+    (dropDuplicatesWithinWatermark) without changing the drained result."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ocgis_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    hist = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [base]})
+    )
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    probe = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [base, "entirely novel content with nothing indexed"],
+        "ts": [t0, t0 + dt.timedelta(minutes=1)],
+    })
+    src = str(tmp_path / "wm_src")
+    spark.createDataFrame(probe).coalesce(1).write.mode("overwrite").parquet(src)
+    index = D.lsh_band_index(hist).persist()
+    batch_df = spark.read.parquet(src)
+    # batch path with event_time: plain dropDuplicates, hit carries ts
+    got_batch = D.near_dup_hits(batch_df, index, event_time="ts").collect()
+    assert [r["doc_id"] for r in got_batch] == [0]
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = D.near_dup_hits(stream, index, event_time="ts",
+                          watermark_delay="5 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("ndh_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id FROM ndh_wm").collect()
+    assert [r["doc_id"] for r in got] == [0]
+    index.unpersist()
