@@ -349,3 +349,35 @@ def test_temperature_mixture_rebalances(spark):
         .groupBy("lang").count().collect()
     )
     assert {r["lang"]: r["count"] for r in kept2} == got
+
+
+def test_new_pipeline_ops_plans_stay_jvm_side(spark):
+    """Plan audit assertions (PLANS.md r4s4 rows): no Python evaluation
+    anywhere; the near-dup probe joins LEFT SEMI (never pairs docs); the
+    mixture rate join broadcasts."""
+    import pandas as pd
+
+    from ocgis_spark.operators import dedup as D
+    from ocgis_spark.operators import sampling
+    from ocgis_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(8),
+            "text": [f"alpha beta gamma delta {i}" for i in range(8)],
+            "lang": ["en", "fr"] * 4,
+        })
+    )
+    idx = D.lsh_band_index(docs.filter("doc_id % 2 = 0"))
+    plans = {
+        "screen": D.near_dup_hits(docs.filter("doc_id % 2 = 1"), idx),
+        "lm": T.lm_score(docs, cache_pairs=False),
+        "mix": sampling.temperature_mixture(docs, "lang"),
+    }
+    for name, df in plans.items():
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+    screen_plan = plans["screen"]._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in screen_plan
+    mix_plan = plans["mix"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in mix_plan
