@@ -25,6 +25,7 @@ from ocgis_spark import spans as SP
 from ocgis_spark.fixtures import DOC_GRID
 from ocgis_spark.operators import calcmath, crs, dedup, knn, regrid, similarity, spatial, temporal
 from ocgis_spark.operators import layout, sketch, trend
+from ocgis_spark.operators import graph as GR
 from ocgis_spark.operators import sampling as SMP
 from ocgis_spark.operators import text as textops
 from ocgis_spark.operators import tiling, vectorgrid, windows
@@ -321,6 +322,26 @@ def q_dedup_components(spark, sf_dir):
     return comp.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("component").cast("bigint").alias("component"),
+    )
+
+
+_HOST_EDGES_SQL = (
+    "SELECT doc_id % 97 AS src, (doc_id * 31) % 97 AS dst "
+    "FROM documents WHERE doc_id % 97 <> (doc_id * 31) % 97"
+)
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    """PageRank quality prior over a derived host link graph (the
+    CommonCrawl-pipeline signal; engine-side addition next to connected
+    components): power iteration with dangling-mass redistribution,
+    K=5 to match the unrolled-SQL oracle."""
+    from ocgis_spark.operators import graph as graph_ops
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(_HOST_EDGES_SQL)
+    return graph_ops.pagerank(edges, iters=5).select(
+        F.col("node").cast("bigint").alias("node"), "rank"
     )
 
 
@@ -2894,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_pairs": _minhash_oracle(),
         "dedup_index_hits": _index_hits_oracle(),
+        "pagerank_hosts": GR.pagerank_sql(_HOST_EDGES_SQL, iters=5),
         "dedup_components": _components_oracle(),
         "dedup_components_star": _components_oracle(),
         "simhash": _simhash_oracle(),
@@ -3629,7 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "lm_score": q_lm_score,
         "dedup_index_hits": q_dedup_index_hits,
-        "decontaminate": q_decontaminate,
+        "pagerank_hosts": q_pagerank_hosts,
         "repetition_ratio": q_repetition_ratio,
         "agg_selection_clip_concave": q_agg_selection_clip_concave,
         # r4 window policy: every op whose code is NEW this round holds a
@@ -3648,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ivf_topk": q_ivf_topk,
+        "decontaminate": q_decontaminate,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,

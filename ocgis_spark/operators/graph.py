@@ -1,0 +1,128 @@
+"""Link-graph operators for corpus curation.
+
+PageRank as a quality prior: web-scale training corpora weight or
+filter documents by the rank of their source host in the crawl link
+graph (the CommonCrawl-derived pipelines' standard signal). The
+reference has no graph operators — this family is an engine-side
+addition alongside connected components (``dedup.duplicate_components``).
+
+Scale shape: one power-iteration round = an equi-join of the edge list
+with the current rank vector + a hash aggregation on the destination —
+both shuffle on node id and nothing is ever collected; the dangling
+mass is a single scalar agg broadcast back. Rounds are
+``localCheckpoint``-ed (the components-loop hygiene: persist alone
+leaves a plan that grows one nesting level per round and re-analyzes
+every action).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list.
+
+    Nodes = union of both endpoints; ranks start uniform at 1/N; each
+    round distributes rank/outdeg along out-edges, with the dangling
+    mass (rank parked on nodes without out-edges) redistributed
+    uniformly — so ranks sum to 1 every round:
+
+        r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/deg(u) + dangling/N)
+
+    Returns (node, rank). Exact twin: :func:`pagerank_sql` unrolls the
+    same recurrence as dialect-neutral SQL for a fixed iteration count.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct().localCheckpoint()
+    )
+    n_count = nodes.count()  # one scalar; the only driver-side value
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_count))
+    base = (1.0 - damping) / n_count
+    for _ in range(iters):
+        linked = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
+        contribs = (
+            linked.filter(F.col("deg").isNotNull())
+            .join(e, "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            linked.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                       + F.col("dm") / F.lit(float(n_count)))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_sql(
+    edges_sql: str, iters: int = 5, damping: float = 0.85
+) -> str:
+    """Dialect-neutral unrolled-SQL twin of :func:`pagerank` for a FIXED
+    iteration count: the oracle the correctness gate runs. ``edges_sql``
+    must yield (src, dst)."""
+    from ..fixtures import _f
+
+    d = _f(damping)
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) e0),",
+        "nodes AS (SELECT src AS node FROM e UNION "
+        "SELECT dst AS node FROM e),",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM e GROUP BY src),",
+        "r0 AS (SELECT node, 1.0E0 / nn.n AS rank FROM nodes "
+        "CROSS JOIN nn),",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cur = f"r{i}"
+        parts.append(
+            f"in{i} AS (SELECT e.dst AS node, sum(p.rank / o.deg) AS "
+            f"inflow FROM {prev} p JOIN outdeg o ON p.node = o.src "
+            f"JOIN e ON e.src = p.node GROUP BY e.dst),"
+        )
+        parts.append(
+            f"dm{i} AS (SELECT coalesce(sum(p.rank), 0.0E0) AS dm "
+            f"FROM {prev} p LEFT JOIN outdeg o ON p.node = o.src "
+            f"WHERE o.src IS NULL),"
+        )
+        parts.append(
+            f"{cur} AS (SELECT nodes.node, "
+            f"(1.0E0 - {d}) / nn.n + {d} * "
+            f"(coalesce(i.inflow, 0.0E0) + dm{i}.dm / nn.n) AS rank "
+            f"FROM nodes LEFT JOIN in{i} i ON nodes.node = i.node "
+            f"CROSS JOIN nn CROSS JOIN dm{i}),"
+        )
+        prev = cur
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\n"
+        f"SELECT node, round(rank, 6) AS rank FROM {prev}"
+    )

@@ -1,0 +1,62 @@
+"""PageRank operator (graph quality prior; engine-side addition)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocgis_spark.operators import graph as G
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # symmetric cycle: stationary distribution is uniform at every
+    # damping and iteration count
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    out = {r["node"]: r["rank"] for r in G.pagerank(edges, iters=7).collect()}
+    for v in out.values():
+        assert v == pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # B has no out-edges: its rank must be redistributed, keeping the
+    # total at 1 (a naive implementation leaks it)
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    out = {r["node"]: r["rank"] for r in G.pagerank(edges, iters=10).collect()}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-5)
+    assert out[1] > out[0]  # the sink receives everything A sends
+
+
+def test_pagerank_authority_ordering(spark):
+    # star: every node links to 0 -> node 0 must dominate
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long"
+    )
+    out = {r["node"]: r["rank"] for r in G.pagerank(edges, iters=15).collect()}
+    assert out[0] == max(out.values())
+    assert out[0] > 3 * out[2]
+
+
+def test_pagerank_matches_unrolled_sql(spark):
+    # the DataFrame loop and the unrolled-SQL twin agree on a pseudo-
+    # random graph at the oracle's fixed iteration count
+    n = 50
+    rows = [(i % 23, (i * 31 + 7) % 23) for i in range(n)]
+    rows = [(a, b) for a, b in rows if a != b]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(edges, iters=5).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in rows)
+        + ") t(src, dst)"
+    )
+    sql = G.pagerank_sql("SELECT src, dst FROM edges", iters=5)
+    want = dict(con.sql(sql).fetchall())
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
