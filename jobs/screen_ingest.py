@@ -43,6 +43,7 @@ def _session(app: str) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .getOrCreate()
     )
 
@@ -58,6 +59,14 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64,
                     help="index output files, keyed by (band, band_key)")
     args = ap.parse_args()
+
+    # fail at the CLI, not deep inside a running session
+    need = {"build-index": ["corpus"], "screen": ["new", "out"],
+            "stream": ["new", "out", "checkpoint"]}[args.mode]
+    missing = [k for k in need if getattr(args, k) is None]
+    if missing:
+        ap.error(f"mode {args.mode!r} requires " +
+                 ", ".join(f"--{m}" for m in missing))
 
     from ocgis_spark.operators import dedup
 

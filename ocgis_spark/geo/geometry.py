@@ -429,14 +429,34 @@ def trapezoid_decompose(rings: list[np.ndarray]) -> list[np.ndarray]:
             if len(quad) >= 4 and abs(ring_area(quad)) > EPS_AREA:
                 pieces.append(quad)
     total = sum(abs(ring_area(p)) for p in pieces)
-    target = polygon_area([np.asarray(r, dtype="f8") for r in rings])
+    target = _evenodd_area([np.asarray(r, dtype="f8") for r in rings])
     if abs(total - target) > 1e-9 * max(1.0, target):
         raise ValueError(
             "trapezoid_decompose: piece areas do not tile the polygon "
-            f"({total} vs {target}) — input is self-intersecting or holes "
-            "are not strictly inside the outer ring"
+            f"({total} vs {target}) — input is self-intersecting or a "
+            "ring touches another ring's boundary"
         )
     return pieces
+
+
+def _evenodd_area(rlist: list[np.ndarray]) -> float:
+    """Area of the even-odd region over arbitrary non-crossing rings:
+    each ring contributes |area| signed by its nesting DEPTH (+ even,
+    − odd), so disjoint components add while holes (and islands inside
+    holes) alternate — unlike ``polygon_area``, which assumes
+    rings[1:] are all holes of rings[0]. A single boundary vertex
+    stands in for the whole ring (rings may not cross, so its
+    containment parity is ring-wide)."""
+    total = 0.0
+    for i, r in enumerate(rlist):
+        depth = 0
+        px = np.array([r[0, 0]])
+        py = np.array([r[0, 1]])
+        for j, o in enumerate(rlist):
+            if j != i and bool(points_in_ring(px, py, o)[0]):
+                depth += 1
+        total += abs(ring_area(r)) * (1.0 if depth % 2 == 0 else -1.0)
+    return total
 
 
 def polygon_convex_pieces(rings: list[np.ndarray]) -> list[np.ndarray]:

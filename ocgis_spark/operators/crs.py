@@ -663,15 +663,21 @@ def ellipsoid_of(p: dict):
     rf = p.get("rf", p.get("inverse_flattening"))
     es = p.get("es")
     name = p.get("ellps", p.get("datum"))
-    if a is None:
-        if name is None or name == "sphere":
-            return None
+    if name is not None and name != "sphere":
+        # PROJ semantics: an explicit a/b/rf/es key overrides the SAME
+        # field of the named ellipsoid, the rest is kept — a bare 'a'
+        # next to 'ellps' resizes the ellipsoid, it does not flatten it
         try:
-            a, rf, b = _ELLPS[name]
+            na, nrf, nb = _ELLPS[name]
         except KeyError:
             raise NotImplementedError(
                 f"unknown ellps/datum {name!r} (known: {sorted(_ELLPS)})"
             )
+        a = na if a is None else a
+        if rf is None and b is None and es is None:
+            rf, b = nrf, nb
+    if a is None:
+        return None
     a = float(a)
     if es is not None:
         e2 = float(es)

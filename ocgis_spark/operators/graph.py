@@ -48,6 +48,10 @@ def pagerank(
         .distinct().localCheckpoint()
     )
     n_count = nodes.count()  # one scalar; the only driver-side value
+    if n_count == 0:
+        # empty edge list (e.g. every candidate edge was a self-loop):
+        # an empty rank vector, not a ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_count))
     base = (1.0 - damping) / n_count

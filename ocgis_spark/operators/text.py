@@ -505,7 +505,11 @@ def lm_score(
     build if the full-corpus LM is not wanted. The bigram relation feeds
     THREE branches (both LM tables and the scoring join) — it is
     persisted by default so the corpus is exploded once, not three
-    times (the minhash_dedup token-cache pattern)."""
+    times (the minhash_dedup token-cache pattern). The cache lives as
+    long as the returned plan: long-lived sessions should release it
+    after consuming the result (``spark.catalog.clearCache()``) or pass
+    ``cache_pairs=False`` — the same contract as
+    ``dedup.jaccard_verify``'s candidate cache."""
     arr = tokens_col(text)
     sz = F.size(arr)
     pairs = df.select(

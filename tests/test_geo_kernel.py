@@ -512,3 +512,25 @@ def test_dissolve_union_area_fuzz_vs_raster():
         want = inside_any.sum() * cell
         # raster error ~ perimeter * pixel ≈ 0.04 * total edge length
         assert got == pytest.approx(want, abs=0.05 * max(got, 1.0) + 0.5)
+
+
+def test_trapezoid_decompose_disjoint_components():
+    """Even-odd over DISJOINT boundary components (the docstring's
+    'multiple components need no bridging' claim): areas ADD — the
+    tiling check must not mistake the second component for a hole."""
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    a = _sq(0, 0, 2)
+    b = _sq(5, 5, 3)
+    pieces = G.trapezoid_decompose([a, b])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - (4.0 + 9.0)) < 1e-10
+    # and a three-level nest: outer - hole + island
+    outer = _sq(0, 0, 8)
+    hole = _sq(1, 1, 6)
+    island = _sq(3, 3, 2)
+    pieces = G.trapezoid_decompose([outer, hole, island])
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - (64.0 - 36.0 + 4.0)) < 1e-10

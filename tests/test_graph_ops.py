@@ -60,3 +60,8 @@ def test_pagerank_matches_unrolled_sql(spark):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert G.pagerank(edges, iters=3).count() == 0

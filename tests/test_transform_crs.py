@@ -658,3 +658,19 @@ def test_stere_ellipsoidal_k0_is_pole_scale():
     phi = math.radians(89.9999)
     k = coef * crs._t_of(phi, e) / (a * crs._m_of(phi, e2))
     assert k == pytest.approx(0.994, rel=1e-7)
+
+
+def test_ellipsoid_of_a_with_ellps_keeps_flattening():
+    """PROJ semantics: an explicit 'a' next to 'ellps' resizes the named
+    ellipsoid — it must NOT silently degrade to a sphere of radius a."""
+    ell = crs.ellipsoid_of({"proj": "lcc", "lat_1": 30.0,
+                            "a": 6378137.0, "ellps": "GRS80"})
+    assert ell is not None
+    a, e2 = ell
+    assert a == 6378137.0 and e2 == pytest.approx(0.00669438, abs=1e-7)
+    # bare a, no name: sphere of radius a
+    assert crs.ellipsoid_of({"proj": "lcc", "a": 6378137.0}) is None
+    # explicit rf beside the name wins over the name's rf
+    a2, e22 = crs.ellipsoid_of({"proj": "lcc", "ellps": "WGS84", "rf": 300.0})
+    f = 1.0 / 300.0
+    assert e22 == pytest.approx(f * (2 - f), rel=1e-12)
