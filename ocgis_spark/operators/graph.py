@@ -55,7 +55,12 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_count))
     base = (1.0 - damping) / n_count
-    for _ in range(iters):
+    # pin the lineage every few rounds, not every round: plan nesting
+    # over 3 rounds is still cheap to analyze, and each localCheckpoint
+    # is an eager job — this cuts the fixed per-round scheduling cost 3x
+    # while keeping round cost bounded (the components-loop lesson)
+    checkpoint_every = 3
+    for it in range(iters):
         linked = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
         contribs = (
             linked.filter(F.col("deg").isNotNull())
@@ -80,8 +85,9 @@ def pagerank(
                        + F.col("dm") / F.lit(float(n_count)))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
