@@ -683,6 +683,30 @@ def q_temperature_mix(spark, sf_dir):
     return sampling.temperature_mixture(docs, "lang").select("doc_id", "lang")
 
 
+def q_feature_hash_embed(spark, sf_dir):
+    """Hashing-trick text embedding (dims=16, md5-slice buckets —
+    byte-identical in DuckDB): the vocabulary-free text vector for
+    retrieval/dedup preprocessing; exploded to scalars for comparison."""
+    emb = textops.feature_hash_embed(_read(spark, sf_dir, "documents"))
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("doc_id", F.col("dim").cast("int").alias("dim"),
+             F.round("val", 6).alias("val"))
+
+
+def q_hash_embed_topk(spark, sf_dir):
+    """End-to-end retrieval chain: feature-hash embed -> exact cosine
+    top-k (integer-valued vectors make dot/norm exact, so the full
+    chain oracle-checks bit-for-bit). Zero-norm vectors (all buckets
+    cancelled) are excluded on both sides."""
+    emb = textops.feature_hash_embed(_read(spark, sf_dir, "documents"))
+    nonzero = emb.filter(
+        F.expr("aggregate(embedding, 0.0D, (a, x) -> a + x * x) > 0.0D")
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    queries = nonzero.filter(F.col("vec_id") < 5)
+    return similarity.brute_topk(nonzero, queries, k=3)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-batch sequence packing: bucketed first-fit-in-order pack
     assignment (integer window arithmetic, exact oracle)."""
@@ -3164,6 +3188,8 @@ def oracle_sql() -> dict[str, str]:
             "ON d.doc_id = s.doc_id"
         ),
         "lm_score": textops.lm_score_sql(),
+        "feature_hash_embed": textops.feature_hash_embed_sql(),
+        "hash_embed_topk": textops.hash_embed_topk_sql(),
         "temperature_mix": (
             "WITH c AS (SELECT lang, count(*) AS n_d FROM documents "
             "GROUP BY lang), "
@@ -3652,7 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "dedup_index_hits": q_dedup_index_hits,
         "pagerank_hosts": q_pagerank_hosts,
-        "repetition_ratio": q_repetition_ratio,
+        "hash_embed_topk": q_hash_embed_topk,
         "agg_selection_clip_concave": q_agg_selection_clip_concave,
         # r4 window policy: every op whose code is NEW this round holds a
         # first-50 slot (fresh code needs a driver row most); the displaced
@@ -3671,6 +3697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ivf_topk": q_ivf_topk,
         "decontaminate": q_decontaminate,
+        "repetition_ratio": q_repetition_ratio,
+        "feature_hash_embed": q_feature_hash_embed,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,

@@ -579,3 +579,120 @@ def lm_score_sql(table: str = "documents", text: str = "text",
         f"CAST(count(*) AS BIGINT) AS n_bigrams "
         f"FROM scored GROUP BY doc_id"
     )
+
+
+def feature_hash_embed(
+    df: DataFrame, text: str = "text", dims: int = 16
+) -> DataFrame:
+    """Hashing-trick text embedding (feature hashing / \"the hashing
+    vectorizer\"): token t adds ±1 to dimension ``md5_32(t) % dims``
+    (sign from an independent md5 slice). No vocabulary, no training,
+    fixed memory — the standard cheap text vector for dedup/retrieval
+    preprocessing at corpus scale.
+
+    The md5-slice hash is byte-identical in DuckDB, and the resulting
+    vectors are INTEGER-valued, so downstream dot products and norms are
+    exact and the whole embed→cosine-retrieval chain oracle-checks
+    bit-for-bit (no FP summation-order drift). Docs with no non-empty
+    tokens produce no row. Plan: one explode + two hash aggs, the map
+    rebuilt into a dense ``array<double>`` per doc — no UDFs."""
+    from .sketch import md5_slice_int_sql
+
+    toks = df.select(
+        "doc_id", F.explode(tokens_col(text)).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = F.expr(f"({md5_slice_int_sql('tok', 0)} % {dims})")
+    sgn = F.expr(
+        f"CASE WHEN {md5_slice_int_sql('tok', 1)} % 2 = 0 "
+        f"THEN 1.0E0 ELSE -1.0E0 END"
+    )
+    per = (
+        toks.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("v"))
+    )
+    m = per.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("v")))
+        ).alias("m")
+    )
+    return m.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda j: F.coalesce(F.element_at(F.col("m"), j), F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
+def _hash_embed_cte(table: str = "documents", text: str = "text",
+                    dims: int = 16) -> str:
+    """Shared CTE chain: per-(doc, bucket) signed counts — the sparse
+    form both hash-embed oracles build on."""
+    from .sketch import md5_slice_int_sql
+
+    s0 = md5_slice_int_sql("tok", 0)
+    s1 = md5_slice_int_sql("tok", 1)
+    return (
+        f"WITH toks0 AS (SELECT doc_id, unnest(string_split({text}, ' ')) "
+        f"AS tok FROM {table}), "
+        f"toks AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''), "
+        f"b AS (SELECT doc_id, ({s0} % {dims}) AS bucket, "
+        f"CASE WHEN {s1} % 2 = 0 THEN 1.0E0 ELSE -1.0E0 END AS sgn "
+        f"FROM toks), "
+        f"per AS (SELECT doc_id, bucket, sum(sgn) AS v FROM b "
+        f"GROUP BY doc_id, bucket)"
+    )
+
+
+def feature_hash_embed_sql(table: str = "documents", text: str = "text",
+                           dims: int = 16) -> str:
+    """Oracle twin of :func:`feature_hash_embed`, exploded to
+    (doc_id, dim, val) scalars for value comparison."""
+    return (
+        _hash_embed_cte(table, text, dims) + ", "
+        f"docs AS (SELECT DISTINCT doc_id FROM toks), "
+        f"dims AS (SELECT unnest(generate_series(0, {dims - 1})) AS dim) "
+        f"SELECT d.doc_id, CAST(dim AS INT) AS dim, "
+        f"round(coalesce(p.v, 0.0E0), 6) AS val "
+        f"FROM docs d CROSS JOIN dims "
+        f"LEFT JOIN per p ON p.doc_id = d.doc_id AND p.bucket = dim"
+    )
+
+
+def hash_embed_topk_sql(table: str = "documents", text: str = "text",
+                        dims: int = 16, n_queries: int = 5,
+                        k: int = 3) -> str:
+    """Oracle for the embed → cosine top-k retrieval chain. Vectors are
+    integer-valued, so dot/norm are exact in both engines and the
+    rounded cos + (cos DESC, vec_id ASC) ranking cannot diverge."""
+    return (
+        _hash_embed_cte(table, text, dims) + ", "
+        f"nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM per "
+        f"GROUP BY doc_id), "
+        f"q AS (SELECT p.* FROM per p JOIN nrm ON nrm.doc_id = p.doc_id "
+        f"WHERE p.doc_id < {n_queries} AND nrm.nrm > 0.0E0), "
+        f"c AS (SELECT p.* FROM per p JOIN nrm ON nrm.doc_id = p.doc_id "
+        f"WHERE nrm.nrm > 0.0E0), "
+        f"qd AS (SELECT DISTINCT doc_id FROM q), "
+        f"cd AS (SELECT DISTINCT doc_id FROM c), "
+        f"rawdot AS (SELECT q.doc_id AS query_id, c.doc_id AS vec_id, "
+        f"sum(q.v * c.v) AS dot FROM q JOIN c ON q.bucket = c.bucket "
+        f"GROUP BY q.doc_id, c.doc_id), "
+        # zero-overlap pairs score cos=0 in the dense engine-side dot —
+        # the oracle's pair domain must be the full cross product, not
+        # just bucket-sharing pairs, or a sparse query's tail of the
+        # top-k diverges
+        f"dots AS (SELECT qd.doc_id AS query_id, cd.doc_id AS vec_id, "
+        f"coalesce(r.dot, 0.0E0) AS dot FROM qd CROSS JOIN cd "
+        f"LEFT JOIN rawdot r ON r.query_id = qd.doc_id "
+        f"AND r.vec_id = cd.doc_id WHERE cd.doc_id <> qd.doc_id), "
+        f"scored AS (SELECT query_id, vec_id, "
+        f"round(dot / (nq.nrm * nc.nrm), 6) AS cos FROM dots "
+        f"JOIN nrm nq ON nq.doc_id = query_id "
+        f"JOIN nrm nc ON nc.doc_id = vec_id) "
+        f"SELECT query_id, vec_id, cos, CAST(rn AS INT) AS rank FROM ("
+        f"SELECT s.*, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cos DESC, vec_id ASC) AS rn FROM scored s) t "
+        f"WHERE rn <= {k}"
+    )

@@ -381,3 +381,29 @@ def test_new_pipeline_ops_plans_stay_jvm_side(spark):
     assert "LeftSemi" in screen_plan
     mix_plan = plans["mix"]._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in mix_plan
+
+
+def test_feature_hash_embed_properties(spark):
+    """Hashing-trick embedding: dense dims, integer-valued entries,
+    identical docs -> identical vectors (cos 1), token order ignored."""
+    from ocgis_spark.operators import similarity
+    from ocgis_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
+         (3, "totally different words here now"), (4, "")],
+        "doc_id long, text string",
+    )
+    emb = {r["doc_id"]: r["embedding"]
+           for r in T.feature_hash_embed(docs).collect()}
+    assert 4 not in emb                   # empty doc: no row
+    assert len(emb[1]) == 16
+    assert all(v == int(v) for v in emb[1])   # integer-valued
+    assert emb[1] == emb[2]               # bag-of-words: order-free
+    assert emb[1] != emb[3]
+    e = spark.createDataFrame(
+        [(k, v) for k, v in emb.items()],
+        "vec_id long, embedding array<double>",
+    )
+    top = similarity.brute_topk(e, e.filter("vec_id = 1"), k=1).collect()
+    assert top[0]["vec_id"] == 2 and top[0]["cos"] == 1.0
