@@ -683,6 +683,16 @@ def q_temperature_mix(spark, sf_dir):
     return sampling.temperature_mixture(docs, "lang").select("doc_id", "lang")
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """ROLLUP corpus accounting: per-(lang, split) token/doc/char
+    budgets, per-lang subtotals, and the grand total in ONE map-side-
+    partial aggregation (the training-pipeline dashboard query)."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "split", SMP.split_column(F.col("doc_id"))
+    )
+    return textops.corpus_rollup(docs, strata=("lang", "split"))
+
+
 def q_feature_hash_embed(spark, sf_dir):
     """Hashing-trick text embedding (dims=16, md5-slice buckets —
     byte-identical in DuckDB): the vocabulary-free text vector for
@@ -3189,6 +3199,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lm_score": textops.lm_score_sql(),
         "feature_hash_embed": textops.feature_hash_embed_sql(),
+        "corpus_rollup": textops.corpus_rollup_sql(strata_sql={
+            "lang": "lang",
+            "split": (
+                f"CASE WHEN ((doc_id * {SMP.HASH_MULT}) % "
+                f"{SMP.HASH_MOD}) % 1000 < 750 "
+                "THEN 'train' ELSE 'test' END"
+            ),
+        }),
         "hash_embed_topk": textops.hash_embed_topk_sql(),
         "temperature_mix": (
             "WITH c AS (SELECT lang, count(*) AS n_d FROM documents "
@@ -3699,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "feature_hash_embed": q_feature_hash_embed,
+        "corpus_rollup": q_corpus_rollup,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,

@@ -696,3 +696,55 @@ def hash_embed_topk_sql(table: str = "documents", text: str = "text",
         f"ORDER BY cos DESC, vec_id ASC) AS rn FROM scored s) t "
         f"WHERE rn <= {k}"
     )
+
+
+def corpus_rollup(
+    df: DataFrame, strata: tuple = ("lang",), text: str = "text"
+) -> DataFrame:
+    """Multi-level corpus accounting in ONE pass: docs / whitespace
+    tokens / chars per stratum combination PLUS every subtotal level and
+    the grand total, via ROLLUP (per-(lang, split) numbers, per-lang
+    numbers, and the corpus total come out of a single map-side-partial
+    aggregation instead of L separate jobs — the token-budget dashboard
+    query of a training-data pipeline).
+
+    Subtotal rows label the rolled-up stratum 'ALL' and carry a
+    ``grouping_id`` bitmask (Spark ``grouping_id()`` == the SQL-standard
+    ``GROUPING_ID``, identical in DuckDB) so a real stratum value 'ALL'
+    cannot be confused with a subtotal."""
+    nt = F.size(F.filter(tokens_col(text), lambda t: t != ""))
+    base = df.select(
+        *strata, nt.alias("_nt"), F.length(text).alias("_nc")
+    )
+    out = base.rollup(*strata).agg(
+        F.grouping_id().cast("int").alias("grouping_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.sum("_nc").cast("bigint").alias("n_chars"),
+    )
+    return out.select(
+        *[F.coalesce(F.col(c), F.lit("ALL")).alias(c) for c in strata],
+        "grouping_id", "n_docs", "n_tokens", "n_chars",
+    )
+
+
+def corpus_rollup_sql(table: str = "documents", strata_sql=None,
+                      text: str = "text") -> str:
+    """Oracle twin of :func:`corpus_rollup`. ``strata_sql`` maps output
+    column name -> dialect-neutral SQL expression (defaults to the raw
+    ``lang`` column)."""
+    strata_sql = strata_sql or {"lang": "lang"}
+    names = list(strata_sql)
+    sel = ", ".join(f"{v} AS {k}" for k, v in strata_sql.items())
+    cols = ", ".join(names)
+    outer = ", ".join(f"coalesce({k}, 'ALL') AS {k}" for k in names)
+    return (
+        f"WITH base AS (SELECT {sel}, "
+        f"len(list_filter(string_split({text}, ' '), x -> x <> '')) AS nt, "
+        f"length({text}) AS nc FROM {table}) "
+        f"SELECT {outer}, CAST(GROUPING({cols}) AS INT) AS grouping_id, "
+        f"CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(nt) AS BIGINT) AS n_tokens, "
+        f"CAST(sum(nc) AS BIGINT) AS n_chars "
+        f"FROM base GROUP BY ROLLUP({cols})"
+    )
