@@ -683,6 +683,16 @@ def q_temperature_mix(spark, sf_dir):
     return sampling.temperature_mixture(docs, "lang").select("doc_id", "lang")
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Char-trigram-profile language ID (Cavnar–Trenkle shape): train
+    split builds per-language top-k trigram profiles, test split
+    classifies by profile coverage. NOTE the synthetic corpus carries no
+    real language signal (same vocabulary for every lang label), so
+    is_correct sits at chance here — the gate checks engine parity; the
+    planted-corpus pytest checks discrimination."""
+    return textops.lang_id_ngram(_read(spark, sf_dir, "documents"))
+
+
 def q_corpus_rollup(spark, sf_dir):
     """ROLLUP corpus accounting: per-(lang, split) token/doc/char
     budgets, per-lang subtotals, and the grand total in ONE map-side-
@@ -3199,6 +3209,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lm_score": textops.lm_score_sql(),
         "feature_hash_embed": textops.feature_hash_embed_sql(),
+        "lang_id_ngram": textops.lang_id_ngram_sql(),
         "corpus_rollup": textops.corpus_rollup_sql(strata_sql={
             "lang": "lang",
             "split": (
@@ -3718,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "feature_hash_embed": q_feature_hash_embed,
         "corpus_rollup": q_corpus_rollup,
+        "lang_id_ngram": q_lang_id_ngram,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,

@@ -748,3 +748,98 @@ def corpus_rollup_sql(table: str = "documents", strata_sql=None,
         f"CAST(sum(nc) AS BIGINT) AS n_chars "
         f"FROM base GROUP BY ROLLUP({cols})"
     )
+
+
+def lang_id_ngram(
+    df: DataFrame, text: str = "text", lang: str = "lang",
+    profile_k: int = 40, n: int = 3,
+) -> DataFrame:
+    """Character-n-gram-profile language ID (the Cavnar–Trenkle shape
+    that fastText-less pipelines actually run): per-language profiles =
+    the top-``profile_k`` character trigrams of the TRAIN split (by
+    corpus frequency, ties lexical); a doc's predicted language is the
+    one whose profile covers the most of the doc's distinct trigrams
+    (ties broken by language name). Returns (doc_id, pred_lang,
+    is_correct) on the TEST split — self-evaluating against the label
+    column.
+
+    Plan at 100 TB: profiles are a (n_langs × k)-row broadcast table
+    from one hash agg over the train split; classification is one
+    distinct-trigram explode + broadcast join + per-doc argmax window.
+    Everything is deterministic (hash split, lexical tie-breaks) and
+    byte-identical in the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    from .sampling import split_column
+
+    lowered = F.lower(F.col(text))
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1),
+                                        F.lit(1))),
+        lambda i: lowered.substr(i, F.lit(n)),
+    ))
+    base = df.select(
+        "doc_id", F.col(lang).alias("lang"),
+        split_column(F.col("doc_id")).alias("split"),
+        F.explode(grams).alias("g"),
+    ).filter(F.length("g") == n)
+    train = base.filter(F.col("split") == "train")
+    counts = train.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    profile = (
+        counts.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= profile_k)
+        .select(F.col("lang").alias("cand"), "g")
+    )
+    test = base.filter(F.col("split") == "test")
+    scores = (
+        test.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    ws = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("cand")
+    )
+    return (
+        scores.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") == 1)
+        .select(
+            "doc_id",
+            F.col("cand").alias("pred_lang"),
+            (F.col("cand") == F.col("lang")).alias("is_correct"),
+        )
+    )
+
+
+def lang_id_ngram_sql(table: str = "documents", text: str = "text",
+                      lang: str = "lang", profile_k: int = 40,
+                      n: int = 3) -> str:
+    """Oracle twin of :func:`lang_id_ngram` (same hash split, same
+    lexical tie-breaks)."""
+    from .sampling import HASH_MOD, HASH_MULT
+
+    split = (f"CASE WHEN ((doc_id * {HASH_MULT}) % {HASH_MOD}) % 1000 "
+             f"< 750 THEN 'train' ELSE 'test' END")
+    return (
+        f"WITH g0 AS (SELECT doc_id, {lang} AS lang, {split} AS split, "
+        f"unnest(generate_series(1, greatest(length(lower({text})) - "
+        f"{n - 1}, 1))) AS i, lower({text}) AS lt FROM {table}), "
+        f"base AS (SELECT DISTINCT doc_id, lang, split, "
+        f"substr(lt, CAST(i AS INT), {n}) AS g FROM g0 "
+        f"WHERE length(substr(lt, CAST(i AS INT), {n})) = {n}), "
+        f"counts AS (SELECT lang, g, count(*) AS c FROM base "
+        f"WHERE split = 'train' GROUP BY lang, g), "
+        f"profile AS (SELECT lang AS cand, g FROM ("
+        f"SELECT c.*, row_number() OVER (PARTITION BY lang "
+        f"ORDER BY c DESC, g ASC) AS r FROM counts c) t "
+        f"WHERE r <= {profile_k}), "
+        f"scores AS (SELECT b.doc_id, b.lang, p.cand, count(*) AS hits "
+        f"FROM base b JOIN profile p ON b.g = p.g "
+        f"WHERE b.split = 'test' GROUP BY b.doc_id, b.lang, p.cand) "
+        f"SELECT doc_id, cand AS pred_lang, cand = lang AS is_correct "
+        f"FROM (SELECT s.*, row_number() OVER (PARTITION BY doc_id "
+        f"ORDER BY hits DESC, cand ASC) AS r FROM scores s) t "
+        f"WHERE r = 1"
+    )

@@ -407,3 +407,33 @@ def test_feature_hash_embed_properties(spark):
     )
     top = similarity.brute_topk(e, e.filter("vec_id = 1"), k=1).collect()
     assert top[0]["vec_id"] == 2 and top[0]["cos"] == 1.0
+
+
+def test_lang_id_ngram_discriminates_planted_corpus(spark):
+    """On a corpus with REAL per-language character distributions the
+    trigram profiles classify the test split correctly (the sf fixture
+    has no language signal, so discrimination is asserted here)."""
+    import pandas as pd
+
+    from ocgis_spark.operators import text as T
+
+    vocab = {
+        "en": "the quick brown fox jumps over lazy dogs with vigor",
+        "de": "der schnelle braune fuchs springt ueber faule hunde",
+        "fr": "le renard brun rapide saute par dessus les chiens",
+    }
+    rows = []
+    i = 0
+    for lang, base in vocab.items():
+        words = base.split()
+        for _ in range(40):
+            txt = " ".join(words[(i + j) % len(words)] for j in range(12))
+            rows.append((i, lang, txt))
+            i += 1
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    )
+    out = T.lang_id_ngram(docs, profile_k=30).collect()
+    assert len(out) > 10
+    acc = sum(1 for r in out if r["is_correct"]) / len(out)
+    assert acc > 0.9
