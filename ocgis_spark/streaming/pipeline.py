@@ -152,3 +152,70 @@ def streaming_near_dup_hits(
     from ocgis_spark.operators import dedup as D
 
     return D.near_dup_hits(docs_stream, index)
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_s: int = 1800,
+    state_timeout_min: int = 120,
+) -> DataFrame:
+    """Per-EVENT session labeling over a stream — the custom stateful
+    operator built-in session_window cannot express (session_window
+    aggregates per session; training pipelines need the label ON each
+    event row). ``applyInPandasWithState`` keeps (last_epoch,
+    session_id) per user; a gap > ``gap_s`` starts a new session,
+    matching the batch lag/cumsum sessionizer exactly (same (ts,
+    event_id) order, same strict-> comparison, sessions numbered from
+    1). Idle users' state expires after ``state_timeout_min`` of
+    processing time — state is O(active users), not O(events).
+
+    Assumes per-user event-time order ACROSS micro-batches (bound late
+    arrivals upstream with a watermark + sort, or accept that a
+    reordered event may split a session — the same contract every
+    incremental sessionizer carries)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("session_id", IntegerType()),
+    ])
+    state_schema = StructType([
+        StructField("last_epoch", LongType()),
+        StructField("sid", IntegerType()),
+    ])
+
+    def label(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_epoch, sid = state.get
+        else:
+            last_epoch, sid = None, 0
+        out_uid, out_eid, out_sid = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            epochs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+            for eid, epoch in zip(pdf["event_id"].tolist(), epochs):
+                if last_epoch is None or epoch - last_epoch > gap_s:
+                    sid += 1
+                last_epoch = epoch
+                out_uid.append(key[0])
+                out_eid.append(eid)
+                out_sid.append(sid)
+        state.update((last_epoch, sid))
+        state.setTimeoutDuration(state_timeout_min * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": out_uid, "event_id": out_eid, "session_id": out_sid}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        label, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -267,3 +267,71 @@ def test_streaming_near_dup_hits_watermarked(spark, tmp_path):
     got = spark.sql("SELECT doc_id FROM ndh_wm").collect()
     assert [r["doc_id"] for r in got] == [0]
     index.unpersist()
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """stream == batch: per-event session labels from the
+    applyInPandasWithState sessionizer equal the batch lag/cumsum
+    labels, including sessions SPANNING a micro-batch boundary (state
+    carries last_epoch/sid across batches)."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ocgis_spark.streaming import pipeline as P
+
+    t0 = dt.datetime(2026, 3, 1, 9, 0, 0)
+
+    def ev(uid, eid, minutes):
+        return (uid, eid, t0 + dt.timedelta(minutes=minutes))
+
+    # user 1: session A (0, 10 min), batch boundary, then 20 min (same
+    # session — gap 10 min), then 120 min (new session).
+    # user 2: one event per batch, 45-min gap -> two sessions.
+    f1 = pd.DataFrame([ev(1, 10, 0), ev(1, 11, 10), ev(2, 20, 5)],
+                      columns=["user_id", "event_id", "ts"])
+    f2 = pd.DataFrame([ev(1, 12, 20), ev(1, 13, 140), ev(2, 21, 50)],
+                      columns=["user_id", "event_id", "ts"])
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(f1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(f2).coalesce(1).write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    expected = sorted(
+        (r["user_id"], r["event_id"], r["session_id"])
+        for r in batch.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        ).withColumn(
+            "session_id",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("int"),
+        ).select("user_id", "event_id", "session_id").collect()
+    )
+    assert expected == [(1, 10, 1), (1, 11, 1), (1, 12, 1), (1, 13, 2),
+                        (2, 20, 1), (2, 21, 2)]
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = P.streaming_sessionize(stream)
+    q = (
+        out.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["event_id"], r["session_id"])
+        for r in spark.sql(
+            "SELECT user_id, event_id, session_id FROM sess_stream"
+        ).collect()
+    )
+    assert got == expected
