@@ -203,6 +203,29 @@ class OcgOperations:
         g = self.geom
         if g is None:
             return None
+        if isinstance(g, dict):
+            # GeoJSON geometry dicts (the modern counterpart of the
+            # reference's shapely-object geom inputs, ops/parms.py Geom):
+            # convert to WKB and fall through to the WKB branch
+            t = g.get("type")
+            co = g.get("coordinates")
+            if t == "Polygon":
+                g = WKB.polygon_to_wkb(
+                    [np.asarray(r, dtype="f8") for r in co]
+                )
+            elif t == "Point":
+                g = WKB.point_to_wkb(float(co[0]), float(co[1]))
+            elif t == "MultiPolygon":
+                raise DefinitionValidationError(
+                    "GeoJSON MultiPolygon: pass one entry per part — "
+                    "geom=[{'type': 'Polygon', 'coordinates': part}, ...] "
+                    "(the multi-geometry SpatialCollection path)"
+                )
+            else:
+                raise DefinitionValidationError(
+                    f"unsupported GeoJSON geometry type {t!r} "
+                    "(Polygon | Point; MultiPolygon via a geom list)"
+                )
         if isinstance(g, (bytes, bytearray)):
             kind, data = WKB.parse_wkb(bytes(g))
             if kind == "polygon":

@@ -389,3 +389,44 @@ def test_cms_topfreq_facade_calc(spark):
         calc_registry.get("cms_topfreq")(df, [])
     with _pt.raises(NotImplementedError):
         calc_registry.get("cms_topfreq")(df, ["value"], probes=["t0"])
+
+
+def test_geom_accepts_geojson_dicts(spark, golden_field):
+    """geom as GeoJSON dicts (single Polygon, list of Polygons for the
+    multi path, Point with square buffer) — parity with the equivalent
+    WKB/tuple inputs."""
+    import numpy as np
+
+    poly = {"type": "Polygon", "coordinates": [
+        [[-104.5, 37.5], [-102.5, 37.5], [-102.5, 39.5],
+         [-104.5, 39.5], [-104.5, 37.5]],
+    ]}
+    out_gj = OcgOperations(dataset=golden_field, geom=poly).execute(spark)
+    out_bb = OcgOperations(
+        dataset=golden_field, geom=(-104.5, 37.5, -102.5, 39.5)
+    ).execute(spark)
+    cells = lambda df: sorted(
+        (r["cell_y"], r["cell_x"])
+        for r in df.select("cell_y", "cell_x").collect()
+    )
+    assert cells(out_gj) == cells(out_bb) and len(cells(out_gj)) > 0
+    # list of dicts -> multi-geometry path with ugid column
+    two = OcgOperations(
+        dataset=golden_field,
+        geom=[poly, {"type": "Polygon", "coordinates": [
+            [[-103.0, 39.0], [-102.0, 39.0], [-102.0, 40.0],
+             [-103.0, 40.0], [-103.0, 39.0]]]}],
+    ).execute(spark)
+    assert "ugid" in two.columns and two.count() > 0
+    # point buffers like the WKB point path
+    pt = {"type": "Point", "coordinates": [-103.4, 38.6]}
+    out_pt = OcgOperations(
+        dataset=golden_field, geom=pt, abstraction="point"
+    ).execute(spark)
+    assert out_pt.count() > 0
+    # MultiPolygon names the list form
+    with pytest.raises(DefinitionValidationError, match="MultiPolygon"):
+        OcgOperations(
+            dataset=golden_field,
+            geom={"type": "MultiPolygon", "coordinates": []},
+        ).execute(spark)
