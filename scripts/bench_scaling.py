@@ -83,6 +83,22 @@ if which in ("both", "flag"):
     jobs.append(("times", flagship))
 if which in ("both", "nu"):
     jobs.append(("nu_times", nonuniform))
+if which == "screen":
+    # r4 ingest near-dup screen: the INDEX build is the amortized nightly
+    # cost (outside the timer, persisted); the timed job is the recurring
+    # probe — narrow minhash map (8 seeded xxhash64 over 12-char shingle
+    # arrays: per-row compute-bound) + band semi-join + hit dedup. The
+    # replicated corpus repeats the base texts, so the index stays small
+    # (distinct bands of the base set) — the measurement isolates
+    # probe-side scaling, which is the per-ingest recurring cost.
+    from ocgis_spark.operators import dedup as DD
+    idx = DD.lsh_band_index(dg.filter(F.col("doc_id") % 2 == 0), "text").persist()
+    idx.write.format("noop").mode("overwrite").save()
+    probe_src = dg.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").persist()
+    probe_src.write.format("noop").mode("overwrite").save()
+    def screen():
+        DD.near_dup_hits(probe_src, idx).write.format("noop").mode("overwrite").save()
+    jobs.append(("screen_times", screen))
 out = {{"cpus": cpus, "n_docs": n}}
 for _ in range(3):
     for _, fn in jobs:
@@ -97,7 +113,8 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, sf_dir: str, repl: int, which: str = "both") -> dict:
+def run_level(cpus: int, sf_dir: str, repl: int, which: str = "both",
+              _retry: bool = True) -> dict:
     code = _LEVEL_CODE.format(
         repo=REPO, cpus=cpus, sf_dir=sf_dir, repl=repl, which=which
     )
@@ -112,6 +129,14 @@ def run_level(cpus: int, sf_dir: str, repl: int, which: str = "both") -> dict:
         if line.startswith("RESULT "):
             print(line, file=sys.stderr)  # keep partial evidence in the log
             return json.loads(line[len("RESULT "):])
+    if _retry:
+        # one retry: a transient Arrow python-worker crash killed a whole
+        # 35-min evidence run once (r4s4); the level subprocess is
+        # self-contained, so rerunning it is safe and cheap relative to
+        # losing the run
+        print(f"level {cpus}/{which} failed, retrying once:\n"
+              f"{out.stderr[-800:]}", file=sys.stderr)
+        return run_level(cpus, sf_dir, repl, which, _retry=False)
     raise RuntimeError(
         f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
@@ -141,6 +166,11 @@ def main() -> None:
     print(f"running Arrow job at local[{nu_big_lvl}] ...", file=sys.stderr)
     r_nu_big = run_level(nu_big_lvl, sf_dir, repl, which="nu")
 
+    print(f"running screen probe at local[{n_small}] ...", file=sys.stderr)
+    r_sc_small = run_level(n_small, sf_dir, repl, which="screen")
+    print(f"running screen probe at local[{n_big}] ...", file=sys.stderr)
+    r_sc_big = run_level(n_big, sf_dir, repl, which="screen")
+
     vol_mult = int(os.environ.get("SPARK_GRAFT_VOL_MULT", "3"))
     print("running data-size point at local[32] ...", file=sys.stderr)
     r_vol = run_level(32, sf_dir, repl * vol_mult, which="flag")
@@ -157,6 +187,12 @@ def main() -> None:
         nu_big_lvl / nu_small_lvl
     )
     t_vol = statistics.median(r_vol["times"])
+    sc_docs = n_docs // 2
+    sc_small = statistics.median(r_sc_small["screen_times"])
+    sc_big = statistics.median(r_sc_big["screen_times"])
+    sc_eff = ((sc_docs / sc_big) / (sc_docs / sc_small)) / (
+        n_big / n_small
+    )
 
     lines = [
         "# BENCH — measured throughput + scaling efficiency",
@@ -230,6 +266,31 @@ def main() -> None:
         "```json",
         json.dumps(r_nu_small),
         json.dumps(r_nu_big),
+        "```",
+        "",
+        "## Third job: ingest near-dup screen probe (r4 operator family)",
+        "",
+        "The recurring per-ingest cost of `dedup.near_dup_hits`: narrow",
+        "minhash signature map (8 seeded xxhash64 folds over the per-row",
+        "12-char shingle array — per-row compute-bound, pure codegen) +",
+        f"LSH band semi-join + hit dedup, probing {sc_docs:,} docs against",
+        "a pre-built band index (the index build is the amortized nightly",
+        "cost and sits outside the timer, as in production; the replicated",
+        "corpus keeps the index base-set-sized, so the measurement",
+        "isolates probe-side scaling):",
+        "",
+        "| level | median wall | throughput |",
+        "|---|---|---|",
+        f"| local[{n_small}] (N) | {sc_small:.2f} s | {sc_docs / sc_small:,.0f} docs/sec |",
+        f"| local[{n_big}] (4N) | {sc_big:.2f} s | {sc_docs / sc_big:,.0f} docs/sec |",
+        "",
+        f"**Scaling efficiency = {sc_eff:.3f}**"
+        + ("  ✅ ≥ 0.8" if sc_eff >= 0.8 else "  ❌ < 0.8"),
+        "",
+        "Raw runs (seconds):",
+        "```json",
+        json.dumps(r_sc_small),
+        json.dumps(r_sc_big),
         "```",
         "",
         f"## Data-size scaling (fixed local[32], {vol_mult}× corpus)",
