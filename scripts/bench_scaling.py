@@ -204,14 +204,16 @@ def main() -> None:
     print(f"running Arrow job at local[{nu_big_lvl}] ...", file=sys.stderr)
     r_nu_big = run_level(nu_big_lvl, sf_dir, repl, which="nu")
 
-    # the screen probe runs ~6x the flagship's per-doc work (8 minhash
-    # folds over a 12-char shingle array vs one span signature), so it
-    # gets a quarter-size corpus: at the full 20M the N-level spends
-    # ~2.5 min/rep and the 10-run evidence loop blows the level timeout,
-    # while the ratio only needs each rep compute-bound (4N reps are
-    # still ~10 s >> scheduling overhead at the smaller size)
+    # the screen probe runs ~25x the flagship's per-doc work (8 minhash
+    # mins over a ~290-element shingle array vs one span signature --
+    # ~0.5 ms*core/doc measured even on the codegen grouped form), so it
+    # gets a 40x smaller corpus: the N-vs-4N ratio only needs each rep
+    # compute-bound, and at repl/40 the N-level rep is ~60 s (>> the
+    # ~0.3 s scheduling floor) while the 10-pass evidence loop fits the
+    # level timeout with margin -- at repl/4 the N level alone blew the
+    # 1800 s cap twice
     repl_sc = int(os.environ.get("SPARK_GRAFT_SCREEN_REPL",
-                                 str(max(1, repl // 4))))
+                                 str(max(1, repl // 40))))
     print(f"running screen probe at local[{n_small}] ...", file=sys.stderr)
     r_sc_small = run_level(n_small, sf_dir, repl_sc, which="screen")
     print(f"running screen probe at local[{n_big}] ...", file=sys.stderr)
