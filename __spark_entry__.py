@@ -703,6 +703,15 @@ def q_corpus_rollup(spark, sf_dir):
     return textops.corpus_rollup(docs, strata=("lang", "split"))
 
 
+def q_chunk_spans(spark, sf_dir):
+    """Context-window chunker over the interleaved span sequences
+    (BASELINE input shape): token-budget chunks, spans atomic and
+    order-preserving — reading back in (doc_id, chunk_id, pos) order
+    reproduces the original sequence (the north-rule invariant)."""
+    docs = SP.with_spans(_read(spark, sf_dir, "documents"))
+    return SP.chunk_spans(docs.select("doc_id", "spans"), max_tokens=32)
+
+
 def q_feature_hash_embed(spark, sf_dir):
     """Hashing-trick text embedding (dims=16, md5-slice buckets —
     byte-identical in DuckDB): the vocabulary-free text vector for
@@ -3208,6 +3217,7 @@ def oracle_sql() -> dict[str, str]:
             "ON d.doc_id = s.doc_id"
         ),
         "lm_score": textops.lm_score_sql(),
+        "chunk_spans": SP.chunk_spans_sql_flat(max_tokens=32),
         "feature_hash_embed": textops.feature_hash_embed_sql(),
         "lang_id_ngram": textops.lang_id_ngram_sql(),
         "corpus_rollup": textops.corpus_rollup_sql(strata_sql={
@@ -3728,6 +3738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "feature_hash_embed": q_feature_hash_embed,
+        "chunk_spans": q_chunk_spans,
         "corpus_rollup": q_corpus_rollup,
         "lang_id_ngram": q_lang_id_ngram,
         "ann_lsh_buckets": q_ann_lsh_buckets,

@@ -76,6 +76,132 @@ def span_signature_sql_flat() -> str:
     )
 
 
+def chunk_spans(
+    df: DataFrame, max_tokens: int = 32, media_token_cost: int = 64,
+    spans: str = "spans",
+) -> DataFrame:
+    """Split each doc's interleaved span sequence into token-budget
+    chunks — the context-window splitter of a training pipeline, over
+    the BASELINE input shape. Spans are ATOMIC (never split mid-span;
+    a media blob or a text run is indivisible) and ORDER-PRESERVING:
+    reading the output back in (doc_id, chunk_id, pos) order reproduces
+    the original span sequence exactly (the north-rule per-row
+    invariant, pytest-asserted via :func:`span_signature`).
+
+    Chunking contract (the fixed-boundary streaming-chunker form, which
+    is a pure prefix-sum — no sequential per-doc state, so it stays one
+    window pass at 100 TB): a span belongs to the boundary interval
+    ``floor(exclusive_prefix_tokens / max_tokens)`` — i.e. the chunk
+    where it STARTS; a straddling span overruns its chunk rather than
+    splitting. Boundary indices are then renumbered densely per doc so
+    chunk_ids are contiguous (a span longer than ``max_tokens`` would
+    otherwise skip indices). Text spans cost their non-empty whitespace
+    token count; media spans cost ``media_token_cost`` (the fixed
+    patch/frame token budget multimodal LMs charge).
+
+    Plan: posexplode → two same-key windows (prefix sum, dense rank)
+    → narrow maps: ONE exchange on doc_id. Returns one row per span:
+    (doc_id, chunk_id, pos, kind, span_text, media_ref, span_offset,
+    span_tokens)."""
+    from pyspark.sql import Window
+
+    ex = df.select("doc_id", F.posexplode(spans).alias("pos", "s"))
+    cost = F.when(
+        F.col("s.kind") == "text",
+        F.size(F.filter(F.split(F.col("s.text"), " "), lambda t: t != "")),
+    ).otherwise(F.lit(media_token_cost)).cast("bigint")
+    ex = ex.withColumn("span_tokens", cost)
+    wsum = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ex = ex.withColumn(
+        "boundary",
+        F.floor(
+            F.coalesce(F.sum("span_tokens").over(wsum), F.lit(0))
+            / F.lit(max_tokens)
+        ).cast("int"),
+    )
+    wrank = Window.partitionBy("doc_id").orderBy("boundary")
+    return ex.select(
+        "doc_id",
+        (F.dense_rank().over(wrank) - 1).cast("int").alias("chunk_id"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("int").alias("span_offset"),
+        "span_tokens",
+    )
+
+
+def chunk_spans_packed(
+    df: DataFrame, max_tokens: int = 32, media_token_cost: int = 64,
+    spans: str = "spans",
+) -> DataFrame:
+    """:func:`chunk_spans` re-packed to one row per chunk with the spans
+    array rebuilt in order (posexplode + array_sort(struct) — never
+    collect_list order, per repo convention) and the chunk token total.
+    Schema: (doc_id, chunk_id, spans, n_tokens) — the training-sequence
+    shape downstream packers consume."""
+    flat = chunk_spans(df, max_tokens, media_token_cost, spans)
+    packed = flat.groupBy("doc_id", "chunk_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                "pos", "kind",
+                F.col("span_text").alias("text"),
+                "media_ref",
+                F.col("span_offset").alias("offset"),
+            ))
+        ).alias("_sp"),
+        F.sum("span_tokens").alias("n_tokens"),
+    )
+    return packed.select(
+        "doc_id", "chunk_id",
+        F.transform(
+            F.col("_sp"),
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+        "n_tokens",
+    )
+
+
+def chunk_spans_sql_flat(
+    max_tokens: int = 32, media_token_cost: int = 64,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`chunk_spans`, deriving the 3-span
+    interleaved sequence from the flat table (same construction as
+    SPANS_SQL) and applying the identical prefix-sum boundary rule."""
+    half = HALF
+    return (
+        f"WITH sp AS ("
+        f"SELECT doc_id, 0 AS pos, 'text' AS kind, "
+        f"substr(text, 1, {half}) AS span_text, '' AS media_ref, "
+        f"0 AS span_offset FROM {table} "
+        f"UNION ALL SELECT doc_id, 1, "
+        f"CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END, '', "
+        f"concat('ref://', CAST(doc_id AS STRING)), {half} FROM {table} "
+        f"UNION ALL SELECT doc_id, 2, 'text', substr(text, {half} + 1), "
+        f"'', {half} FROM {table}), "
+        f"tok AS (SELECT *, CAST(CASE WHEN kind = 'text' THEN "
+        f"len(list_filter(string_split(span_text, ' '), x -> x <> '')) "
+        f"ELSE {media_token_cost} END AS BIGINT) AS span_tokens FROM sp), "
+        f"cum AS (SELECT *, CAST(floor(coalesce(sum(span_tokens) OVER ("
+        f"PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"/ {max_tokens}) AS INT) AS boundary FROM tok) "
+        f"SELECT doc_id, CAST(dense_rank() OVER (PARTITION BY doc_id "
+        f"ORDER BY boundary) - 1 AS INT) AS chunk_id, "
+        f"CAST(pos AS INT) AS pos, kind, span_text, media_ref, "
+        f"CAST(span_offset AS INT) AS span_offset, span_tokens FROM cum"
+    )
+
+
 def check_span_preservation(before: DataFrame, after: DataFrame) -> int:
     """Assert span-sequence equality per doc between two pipeline stages.
     Returns the number of compared docs; raises on any mismatch."""

@@ -123,3 +123,65 @@ def test_parquet_converter_with_meta(spark, docs_spans, tmp_path):
     assert back.count() == docs_spans.count()
     meta = json.load(open(path + ".conv_meta.json"))
     assert meta["format"] == "parquet" and meta["operations"]["op"] == "test"
+
+
+def test_chunk_spans_reassembly_invariant(spark, docs_spans):
+    """Chunking preserves the span sequence exactly: re-concatenating
+    every doc's chunks in (chunk_id, pos) order reproduces the original
+    span_signature — the north-rule per-row invariant, through the
+    context-window splitter."""
+    src = docs_spans.select("doc_id", "spans")
+    flat = SP.chunk_spans(src, max_tokens=32)
+    rebuilt = (
+        flat.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "chunk_id", "pos", "kind",
+                    F.col("span_text").alias("text"),
+                    "media_ref",
+                    F.col("span_offset").alias("offset"),
+                ))),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"), s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans")
+        )
+    )
+    n = SP.check_span_preservation(
+        src.selectExpr("concat('doc', CAST(doc_id AS STRING)) AS doc_uid",
+                       "spans"),
+        rebuilt.selectExpr("concat('doc', CAST(doc_id AS STRING)) AS doc_uid",
+                           "spans"),
+    )
+    assert n == src.count() > 0
+
+
+def test_chunk_spans_properties(spark, docs_spans):
+    """chunk_id is dense from 0 and non-decreasing with pos; a doc whose
+    total cost fits max_tokens yields exactly one chunk; the packed form
+    agrees with the flat form on chunk token totals."""
+    src = docs_spans.select("doc_id", "spans")
+    flat = SP.chunk_spans(src, max_tokens=32).toPandas()
+    for _, g in flat.groupby("doc_id"):
+        g = g.sort_values("pos")
+        cid = g["chunk_id"].tolist()
+        assert cid[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(cid, cid[1:]))
+
+    # one giant budget -> one chunk per doc
+    one = SP.chunk_spans(src, max_tokens=10**6).toPandas()
+    assert (one["chunk_id"] == 0).all()
+
+    packed = SP.chunk_spans_packed(src, max_tokens=32).toPandas()
+    want = (
+        flat.groupby(["doc_id", "chunk_id"])["span_tokens"].sum()
+        .reset_index(name="n_tokens")
+    )
+    got = packed[["doc_id", "chunk_id", "n_tokens"]]
+    merged = want.merge(got, on=["doc_id", "chunk_id"],
+                        suffixes=("_w", "_g"))
+    assert len(merged) == len(want) == len(got)
+    assert (merged["n_tokens_w"] == merged["n_tokens_g"]).all()
