@@ -3728,8 +3728,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": q_cms_freq,
         "cms_merge_halves": q_cms_merge_halves,
         "dup_ngram_spans": q_dup_ngram_spans,
-        "agg_selection_clip_holed": q_agg_selection_clip_holed,
+        # chunk_spans (new r4s5) takes the window slot of the third
+        # agg_selection_clip variant: convex+concave stay driver-checked,
+        # the holed case keeps its local/pytest gates below the boundary
+        "chunk_spans": q_chunk_spans,
         # ---- driver window boundary (50) ----
+        "agg_selection_clip_holed": q_agg_selection_clip_holed,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3738,7 +3742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "feature_hash_embed": q_feature_hash_embed,
-        "chunk_spans": q_chunk_spans,
         "corpus_rollup": q_corpus_rollup,
         "lang_id_ngram": q_lang_id_ngram,
         "ann_lsh_buckets": q_ann_lsh_buckets,

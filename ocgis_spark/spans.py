@@ -82,7 +82,10 @@ def chunk_spans(
 ) -> DataFrame:
     """Split each doc's interleaved span sequence into token-budget
     chunks — the context-window splitter of a training pipeline, over
-    the BASELINE input shape. Spans are ATOMIC (never split mid-span;
+    the BASELINE input shape (the interleaved counterpart of
+    ``operators.text.chunk_documents``, which chunks FLAT text with
+    token overlap; this one must keep media spans whole and the
+    text/media order intact). Spans are ATOMIC (never split mid-span;
     a media blob or a text run is indivisible) and ORDER-PRESERVING:
     reading the output back in (doc_id, chunk_id, pos) order reproduces
     the original span sequence exactly (the north-rule per-row

@@ -20,7 +20,7 @@ ROUND4_WINDOW_OPS = [
     # round-4 additions
     "transform_lcc", "transform_albers", "transform_stereo",
     "group_season_custom", "transform_omerc", "ops_chain_lcc",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "chunk_spans",
     # r1-stale refresh batch
     "multimodal_features", "top_tokens", "daily_perc_window",
     "chunk_documents", "clean_text", "train_test_split", "time_range",
