@@ -744,6 +744,22 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_training_sequences(spark, sf_dir):
+    """End-to-end training-sequence assembly over the BASELINE
+    interleaved shape in ONE plan: span construction → context-window
+    chunking (spans atomic, order preserved) → bucketed first-fit pack
+    assignment of the chunks into fixed-capacity sequences. The oracle
+    replays the identical chunk CTE + window math in SQL."""
+    docs = SP.with_spans(_read(spark, sf_dir, "documents"))
+    chunks = SP.chunk_spans_packed(
+        docs.select("doc_id", "spans"), max_tokens=32
+    )
+    return textops.pack_sequences(
+        chunks, capacity=128, n_buckets=8,
+        weight="n_tokens", order=("doc_id", "chunk_id"),
+    )
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """End-to-end Dolma-style corpus build in ONE plan: entropy quality
     gate → fingerprint exact-dedup (keep min doc_id) → deterministic
@@ -3218,6 +3234,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lm_score": textops.lm_score_sql(),
         "chunk_spans": SP.chunk_spans_sql_flat(max_tokens=32),
+        "training_sequences": (
+            "WITH flat AS ("
+            + SP.chunk_spans_sql_flat(max_tokens=32)
+            + "), ch AS (SELECT doc_id, chunk_id, "
+            "CAST(sum(span_tokens) AS BIGINT) AS n_tokens FROM flat "
+            "GROUP BY doc_id, chunk_id), "
+            "b AS (SELECT doc_id, chunk_id, "
+            f"((doc_id * {SMP.HASH_MULT}) % {SMP.HASH_MOD}) % 8 AS bucket, "
+            "n_tokens FROM ch), "
+            "c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket "
+            "ORDER BY doc_id, chunk_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM b) "
+            "SELECT doc_id, chunk_id, bucket, n_tokens, "
+            "CAST(bucket * 1000000 + floor((cum - n_tokens) / 128.0) "
+            "AS BIGINT) AS pack_id FROM c"
+        ),
         "feature_hash_embed": textops.feature_hash_embed_sql(),
         "lang_id_ngram": textops.lang_id_ngram_sql(),
         "corpus_rollup": textops.corpus_rollup_sql(strata_sql={
@@ -3742,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "feature_hash_embed": q_feature_hash_embed,
+        "training_sequences": q_training_sequences,
         "corpus_rollup": q_corpus_rollup,
         "lang_id_ngram": q_lang_id_ngram,
         "ann_lsh_buckets": q_ann_lsh_buckets,

@@ -179,6 +179,8 @@ def pack_sequences(
     capacity: int = 2048,
     n_buckets: int = 32,
     text: str = "text",
+    weight: str | None = None,
+    order: tuple = ("doc_id",),
 ) -> DataFrame:
     """Sequence packing for training-batch construction: assign documents
     to fixed-capacity token packs. True first-fit packing is sequential;
@@ -190,25 +192,33 @@ def pack_sequences(
     in the pack its prefix sum lands in (packs can overflow by at most
     one document — the standard concat-then-chunk training layout).
     Pure integer window arithmetic: reproducible anywhere, exact oracle.
-    At cluster scale the only shuffle is the bucket window partition."""
+    At cluster scale the only shuffle is the bucket window partition.
+
+    Pre-weighted units (e.g. span chunks from ``spans.chunk_spans_packed``
+    that already carry ``n_tokens``) pack by passing ``weight`` (a bigint
+    column name — skips the whitespace tokenizer) and ``order`` (the unit
+    key columns, e.g. ``("doc_id", "chunk_id")``; the first one also
+    drives the bucket hash, so a doc's chunks pack in the same bucket,
+    contiguously)."""
     from .sampling import hash_bucket
 
-    n = F.size(tokens_col(text)).cast("bigint")
+    n = (F.col(weight).cast("bigint") if weight
+         else F.size(tokens_col(text)).cast("bigint"))
     d = df.select(
-        "doc_id",
-        hash_bucket(F.col("doc_id"), n_buckets).alias("bucket"),
+        *order,
+        hash_bucket(F.col(order[0]), n_buckets).alias("bucket"),
         n.alias("n_tokens"),
     )
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return d.select(
-        "doc_id",
+        *order,
         "bucket",
         "n_tokens",
         (

@@ -242,6 +242,35 @@ def test_pack_sequences_properties(spark):
             cum += r["n_tokens"]
 
 
+def test_pack_sequences_weighted_units(spark):
+    """The weighted path (pre-tokenized units with composite keys, e.g.
+    span chunks) obeys the same first-fit-in-order rule over the given
+    weight column, every unit packs exactly once, and a doc's chunks
+    land in one bucket in chunk order."""
+    units = spark.createDataFrame(
+        [(i, c, 5 + ((i * 7 + c) * 13) % 30)
+         for i in range(100) for c in range(3)],
+        "doc_id bigint, chunk_id int, n_tokens bigint",
+    )
+    cap = 48
+    out = textops.pack_sequences(
+        units, capacity=cap, n_buckets=4,
+        weight="n_tokens", order=("doc_id", "chunk_id"),
+    ).collect()
+    assert len(out) == 300
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    doc_buckets = {}
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == b * 1_000_000 + cum // cap, r
+            cum += r["n_tokens"]
+            assert doc_buckets.setdefault(r["doc_id"], b) == b
+
+
 # ---- exact-substring duplicate spans ----
 
 
