@@ -218,8 +218,29 @@ def minhash_signatures_grouped(
     pre-explode, so the map-side partial min already collapses each doc
     to one row and the exchange ships exactly the narrow form's output.
     Streaming paths must keep the narrow form (a stream groupBy would
-    need watermarked state; the narrow map is stateless)."""
-    toks = doc_shingles(df, text, carry=carry)
+    need watermarked state; the narrow map is stateless).
+
+    Shingles come from explode(sequence) + a substr PROJECTION rather
+    than ``doc_shingles``'s transform-lambda array (another interpreted
+    per-element path; a further measured −28%): Generate → Project →
+    partial agg fuse into one codegen stage, so the text column carried
+    through the explode never materializes per row. No array_distinct —
+    min is duplicate-insensitive, so in-doc repeats only add agg rows to
+    the same codegen loop. Values stay bit-identical (parity-tested)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, "doc_id")
+    n = SHINGLE_LEN
+    ex = df.select(
+        "doc_id", *carry, F.col(text).alias("_t"),
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))
+        )).alias("_i"),
+    )
+    toks = ex.select(
+        "doc_id", *carry,
+        F.col("_t").substr(F.col("_i"), F.lit(n)).alias("tok"),
+    )
     if hash_fn == "md5":
         aggs = [
             F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("tok")))).alias(f"mh{i}")
