@@ -104,30 +104,46 @@ def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def _word_ngrams(df: DataFrame, text: str, n: int,
+                 min_words: int) -> DataFrame:
+    """(doc_id, g) word n-grams in one codegen stage: explode the
+    position sequence, then slice/array_join the split array as plain
+    projections. ``min_words >= n`` drops docs too short for a full
+    n-gram (decontaminate's contract, ADVICE r2); ``min_words=1`` keeps
+    one (possibly truncated) gram per short doc (repetition_ratio's
+    historical contract, mirrored by its oracle). Values are identical
+    to the old concat_ws/element_at lambda build — array_join over a
+    short slice == concat_ws with the nulls it skipped."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, "doc_id")
+    base = df.select("doc_id", F.split(F.col(text), " ").alias("ws"))
+    if min_words > 1:
+        base = base.filter(F.size("ws") >= min_words)
+        last = F.size("ws") - n + 1
+    else:
+        last = F.greatest(F.size("ws") - n + 1, F.lit(1))
+    ex = base.select(
+        "doc_id", "ws",
+        F.explode(F.sequence(F.lit(1), last)).alias("_i"),
+    )
+    return ex.select(
+        "doc_id",
+        F.array_join(F.slice("ws", F.col("_i"), n), " ").alias("g"),
+    )
+
+
 def repetition_ratio(df: DataFrame, text: str = "text", n: int = 2) -> DataFrame:
     """Gopher-style repetition quality signal: the fraction of a document's
     word n-grams taken by its single most frequent n-gram, plus the
     distinct-ngram fraction. High top-fraction ⇒ boilerplate/looping text.
     Pure relational: explode n-grams (position-ordered), two grouped
-    aggregations — no UDFs."""
-    ws = df.select(
-        "doc_id", F.posexplode(F.split(F.col(text), " ")).alias("pos", "w")
-    ).groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
-        ).alias("ws")
-    )
-    grams = ws.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("ws", i + j + 1) for j in range(n)]
-                ),
-            )
-        ).alias("g"),
-    )
+    aggregations — no UDFs. N-grams come straight off the F.split array
+    via explode(positions) + slice/array_join PROJECTIONS (one codegen
+    stage; the earlier posexplode → collect_list → transform rebuild
+    paid a full corpus shuffle to reconstruct the array split() already
+    returns in order, plus the interpreted lambda evaluator — r4s5)."""
+    grams = _word_ngrams(df, text, n, min_words=1)
     counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     return counts.groupBy("doc_id").agg(
         F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"),
@@ -145,29 +161,11 @@ def decontaminate(
     vs the corpus) — distinct + broadcast; the corpus n-grams stream
     through one broadcast semi-ish join, then a per-doc count. Returns
     (doc_id, n_hits) for contaminated docs only."""
+    # min_words=n: docs with fewer than n words have no n-gram at all
+    # (ADVICE r2 — a truncated pseudo-gram would falsely flag short
+    # docs); generation is one codegen stage, no corpus shuffle (r4s5)
     def ngrams(df):
-        ws = df.select(
-            "doc_id", F.posexplode(F.split(F.col(text), " ")).alias("pos", "w")
-        ).groupBy("doc_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ).alias("ws")
-        )
-        # docs with fewer than n words have no n-gram at all (ADVICE r2:
-        # element_at past the array end yields null and concat_ws would
-        # emit a truncated pseudo-gram, falsely flagging short docs)
-        return ws.filter(F.size("ws") >= n).select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - n),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at("ws", i + j + 1) for j in range(n)]
-                    ),
-                )
-            ).alias("g"),
-        ).distinct()
+        return _word_ngrams(df, text, n, min_words=n).distinct()
 
     bench_grams = ngrams(bench).select("g").distinct()
     hits = ngrams(train).join(F.broadcast(bench_grams), "g")
