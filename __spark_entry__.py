@@ -1534,7 +1534,7 @@ def _simhash_near_dups_sql() -> str:
     nb = dedup.SIM_BITS
     L = dedup.SHINGLE_LEN
     votes = ", ".join(
-        f"CAST(sum(CASE WHEN substr(md5('{b}#' || tok), 1, 1) IN "
+        f"CAST(sum(CASE WHEN substr(h, {b + 1}, 1) IN "
         f"('0','1','2','3','4','5','6','7') THEN -1 ELSE 1 END) AS BIGINT) AS v{b}"
         for b in range(nb)
     )
@@ -1552,7 +1552,8 @@ seq AS (SELECT doc_id, text,
         unnest(generate_series(1, greatest(length(text) - {L - 1}, 1))) AS i
         FROM corpus),
 toks AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {L}) AS tok FROM seq),
-votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id),
 s AS (SELECT doc_id, concat({bits}) AS simhash FROM votes),
 banded AS (SELECT doc_id, simhash,
   concat(CAST(b AS VARCHAR), ':', substr(simhash, 1 + b * {width}, {width})) AS band
@@ -2202,7 +2203,7 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.5
 def _simhash_oracle() -> str:
     nb = dedup.SIM_BITS
     votes = ", ".join(
-        f"CAST(sum(CASE WHEN substr(md5('{b}#' || tok), 1, 1) IN "
+        f"CAST(sum(CASE WHEN substr(h, {b + 1}, 1) IN "
         f"('0','1','2','3','4','5','6','7') THEN -1 ELSE 1 END) AS BIGINT) AS v{b}"
         for b in range(nb)
     )
@@ -2214,7 +2215,8 @@ WITH toks AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
     FROM documents) t WHERE tok <> ''),
-votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id)
 SELECT doc_id, concat({bits}) AS simhash FROM votes
 """
 

@@ -354,9 +354,12 @@ def near_dup_hits(
 
 def simhash(df: DataFrame, text: str = "text",
             tokens: str = "unigram") -> DataFrame:
-    """SIM_BITS-bit SimHash: bit b votes -1/+1 per token from one hex char
-    of md5(b || '#' || token); sign of the vote sum sets the bit. Matches
-    the oracle hex-digit-parity rule exactly.
+    """SIM_BITS-bit SimHash: bit b votes -1/+1 per token by the parity
+    class of hex digit b+1 of ONE md5(token) digest; sign of the vote
+    sum sets the bit. The digits of a single digest are independent coin
+    flips, so this carries the same statistics as the earlier
+    one-digest-PER-BIT formula at 1/SIM_BITS of the hash cost (md5 was
+    ~the entire signature cost — r4s5; oracle rule updated in lockstep).
 
     ``tokens='shingle'`` votes over character n-gram shingles instead of
     whitespace unigrams — on small shared vocabularies unigram signatures
@@ -364,16 +367,14 @@ def simhash(df: DataFrame, text: str = "text",
     keep them doc-specific; use shingles for near-dup banding."""
     toks = (doc_shingles(df, text) if tokens == "shingle"
             else _doc_tokens(df, text))
+    hashed = toks.select("doc_id", F.md5(F.col("tok")).alias("h"))
     bit_cols = []
     for b in range(SIM_BITS):
         vote = F.when(
-            F.substring(F.md5(F.concat(F.lit(f"{b}#"), F.col("tok"))), 1, 1).isin(
-                *"01234567"
-            ),
-            -1,
+            F.substring(F.col("h"), b + 1, 1).isin(*"01234567"), -1
         ).otherwise(1)
         bit_cols.append(F.sum(vote).alias(f"v{b}"))
-    votes = toks.groupBy("doc_id").agg(*bit_cols)
+    votes = hashed.groupBy("doc_id").agg(*bit_cols)
     bits = [
         F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for b in range(SIM_BITS)
