@@ -2159,8 +2159,10 @@ def _lsh_cte_prefix() -> str:
     oracles."""
     n = dedup.N_MINHASH
     bs = dedup.BAND_SIZE
+    # md5-slice family (dedup._md5_wide): two digests cut into n 8-hex
+    # slices — byte-identical to the Spark side
     sig_cols = ", ".join(
-        f"min(md5('{i}#' || tok)) AS mh{i}" for i in range(n)
+        f"min(substr(h, {1 + 8 * i}, 8)) AS mh{i}" for i in range(n)
     )
     band_selects = []
     for b in range(n // bs):
@@ -2176,7 +2178,8 @@ seq AS (SELECT doc_id, text,
         unnest(generate_series(1, greatest(length(text) - {L - 1}, 1))) AS i
         FROM corpus),
 toks AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {L}) AS tok FROM seq),
-sigs AS (SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id),
+hw AS (SELECT doc_id, md5(tok) || md5('x#' || tok) AS h FROM toks),
+sigs AS (SELECT doc_id, {sig_cols} FROM hw GROUP BY doc_id),
 bands AS ({bands}),"""
 
 

@@ -188,19 +188,33 @@ def minhash_dedup(
     return jaccard_verify(lsh_candidates(sigs), toks, threshold)
 
 
+#: md5-family slicing: N_MINHASH independent 8-hex (32-bit) hash values
+#: from TWO digests instead of one digest per hash (the md5-slice trick,
+#: same as sketch.md5_slice_int_sql) — md5 dominated the md5-family
+#: signature cost (r4s5). Fixed-width lowercase hex keeps the
+#: lexicographic min == numeric min; byte-identical in DuckDB.
+_MD5_WIDE = 64  # concat of 2 digests
+assert N_MINHASH * 8 <= _MD5_WIDE
+
+
+def _md5_wide(tok):
+    return F.concat(F.md5(tok), F.md5(F.concat(F.lit("x#"), tok)))
+
+
 def minhash_signatures_from_tokens(
     toks: DataFrame, hash_fn: str = "md5"
 ) -> DataFrame:
     if hash_fn == "md5":
+        hs = toks.select("doc_id", _md5_wide(F.col("tok")).alias("_h"))
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("tok")))).alias(f"mh{i}")
+            F.min(F.substring(F.col("_h"), 1 + 8 * i, 8)).alias(f"mh{i}")
             for i in range(N_MINHASH)
         ]
-    else:
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
+        return hs.groupBy("doc_id").agg(*aggs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
     return toks.groupBy("doc_id").agg(*aggs)
 
 
@@ -242,15 +256,18 @@ def minhash_signatures_grouped(
         F.col("_t").substr(F.col("_i"), F.lit(n)).alias("tok"),
     )
     if hash_fn == "md5":
+        hs = toks.select(
+            "doc_id", *carry, _md5_wide(F.col("tok")).alias("_h")
+        )
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("tok")))).alias(f"mh{i}")
+            F.min(F.substring(F.col("_h"), 1 + 8 * i, 8)).alias(f"mh{i}")
             for i in range(N_MINHASH)
         ]
-    else:
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
+        return hs.groupBy("doc_id", *carry).agg(*aggs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
     return toks.groupBy("doc_id", *carry).agg(*aggs)
 
 
@@ -279,7 +296,7 @@ def minhash_signatures_narrow(
     # silently receives the position instead of the captured seed)
     def mk(i: int):
         if hash_fn == "md5":
-            return lambda s: F.md5(F.concat(F.lit(f"{i}#"), s))
+            return lambda s: F.substring(_md5_wide(s), 1 + 8 * i, 8)
         return lambda s: F.xxhash64(F.lit(i), s)
 
     cols = [
