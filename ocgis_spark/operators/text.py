@@ -432,16 +432,14 @@ def dup_ngram_spans(df: DataFrame, text: str = "text", n: int = 8) -> DataFrame:
     ws = df.select("doc_id", F.split(F.col(text), " ").alias("ws")).filter(
         F.size("ws") >= n
     )
+    # explode positions + md5/array_join as PROJECTIONS (one codegen
+    # stage, r4s5) — array_join == concat_ws on a null-free array
     grams = ws.select(
+        "doc_id", "ws",
+        F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("_i"),
+    ).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - n),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("ws", i + F.lit(1), F.lit(n)))
-                ),
-            )
-        ).alias("gk"),
+        F.md5(F.array_join(F.slice("ws", F.col("_i"), n), " ")).alias("gk"),
     )
     dup = (
         grams.groupBy("gk")
@@ -520,16 +518,17 @@ def lm_score(
     ``dedup.jaccard_verify``'s candidate cache."""
     arr = tokens_col(text)
     sz = F.size(arr)
-    pairs = df.select(
+    # explode adjacent positions + element_at PROJECTIONS (one codegen
+    # stage; the zip_with struct build ran in the interpreted
+    # higher-order-function evaluator — r4s5)
+    pairs = df.filter(sz >= 2).select(
+        "doc_id", arr.alias("_ws"),
+        F.explode(F.sequence(F.lit(1), sz - 1)).alias("_i"),
+    ).select(
         "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(arr, 1, F.greatest(sz - 1, F.lit(0))),
-                F.slice(arr, 2, F.greatest(sz - 1, F.lit(0))),
-                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2").filter(
+        F.element_at("_ws", F.col("_i")).alias("w1"),
+        F.element_at("_ws", F.col("_i") + 1).alias("w2"),
+    ).filter(
         (F.col("w1") != "") & (F.col("w2") != "")
     )
     if cache_pairs:
