@@ -466,3 +466,18 @@ def test_lang_id_ngram_discriminates_planted_corpus(spark):
     assert len(out) > 10
     acc = sum(1 for r in out if r["is_correct"]) / len(out)
     assert acc > 0.9
+
+
+def test_lm_score_bigrams_not_resplit_per_exploded_row(spark):
+    """CollapseProject hazard guard (r4s5): if the split array is aliased
+    inline in the explode's select, Catalyst substitutes split(text) into
+    the post-explode element_at and recomputes it PER EXPLODED ROW
+    (O(tokens^2), measured 30x). The committed two-step form keeps the
+    split per input row — the executed plan must never contain
+    element_at(split(...)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textops.lm_score(docs, cache_pairs=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "element_at(split(" not in plan
