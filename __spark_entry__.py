@@ -2817,6 +2817,61 @@ def q_cms_merge_halves(spark, sf_dir):
     return sketch.cms_estimate(sketch.cms_merge(lo, hi), _cms_probes_df(spark))
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Corpus-scale decontamination screen: the benchmark 8-gram set as a
+    fixed-size BLOOM position sketch instead of a raw-gram broadcast — the
+    membership path when the reference side is itself corpus-sized
+    (operators/text.py bloom_decontaminate, sketch.py bloom_*). md5-slice
+    hashing is engine-identical, so the oracle replays hits bit-for-bit,
+    deterministic false positives included; no false negatives vs the
+    exact screen (pytest)."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    train = spark.sql(DECON_TRAIN_SQL)
+    bench = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id < 25")
+    return textops.bloom_decontaminate(train, bench, n=8)
+
+
+def _gram8_sql(src: str, with_doc: bool) -> str:
+    """DuckDB distinct word-8-gram CTE body over relation ``src`` (the
+    oracle twin of text._word_ngrams(..., 8, min_words=8).distinct())."""
+    g = " || ' ' || ".join(
+        f"w[CAST(i AS INT)+{k}]" if k else "w[CAST(i AS INT)]"
+        for k in range(8)
+    )
+    cols = "doc_id, " if with_doc else ""
+    return (
+        f"SELECT DISTINCT {cols}{g} AS g FROM ("
+        "SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i "
+        f"FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}) t "
+        "WHERE len(w) >= 8) s"
+    )
+
+
+def _bloom_decon_sql() -> str:
+    from ocgis_spark.operators.sketch import (
+        BLOOM_K,
+        bloom_position_sql,
+        bloom_positions_union_sql,
+    )
+
+    probe_rows = " UNION ALL ".join(
+        f"SELECT doc_id, g, {bloom_position_sql('g', r)} AS pos FROM tg"
+        for r in range(BLOOM_K)
+    )
+    return (
+        f"WITH train AS ({DECON_TRAIN_SQL}), "
+        "bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 25), "
+        f"tg AS ({_gram8_sql('train', True)}), "
+        f"bg AS ({_gram8_sql('bench', False)}), "
+        f"pos AS ({bloom_positions_union_sql('bg')}), "
+        f"probe AS ({probe_rows}), "
+        "memb AS (SELECT probe.doc_id, probe.g FROM probe "
+        "JOIN pos ON pos.pos = probe.pos "
+        f"GROUP BY probe.doc_id, probe.g HAVING count(*) = {BLOOM_K}) "
+        "SELECT doc_id, count(*) AS n_hits_bloom FROM memb GROUP BY doc_id"
+    )
+
+
 def q_dup_ngram_spans(spark, sf_dir):
     """Exact-substring duplicate spans (ExactSubstr dedup at word-window
     granularity): per-doc duplicated-window counts + fraction
@@ -3088,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tg.doc_id, count(*) AS n_hits FROM tg JOIN bg ON tg.g = bg.g "
             "GROUP BY tg.doc_id"
         ),
+        "bloom_decontaminate": _bloom_decon_sql(),
         "repetition_ratio": (
             "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
             "seq AS (SELECT doc_id, w, "
@@ -3742,7 +3798,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icclim_SU": q_icclim_su,
         "icclim_CDD": q_icclim_cdd,
         "snippet_first": q_snippet_first,
-        "multifile_union": q_multifile_union,
+        # bloom_decontaminate is NEW r4 code (sketch.py bloom_* +
+        # text.bloom_decontaminate) — it takes the window slot of
+        # multifile_union (r1-green, code untouched since r1), which
+        # rotates back in r5
+        "bloom_decontaminate": q_bloom_decontaminate,
         "intersects_multi": q_intersects_multi,
         "ops_facade": q_ops_facade,
         "zonal_stats": q_zonal_stats,
@@ -3772,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_spans": q_chunk_spans,
         # ---- driver window boundary (50) ----
         "agg_selection_clip_holed": q_agg_selection_clip_holed,
+        "multifile_union": q_multifile_union,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "ngram_jaccard": q_ngram_jaccard,

@@ -316,6 +316,95 @@ def cms_estimate_sql(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom membership sketch — the corpus-scale exact-membership screen (Bloom
+# 1970). ``decontaminate`` (text.py:155) broadcasts the RAW distinct
+# benchmark n-grams; that is right when the reference set is benchmark-sized
+# but not when it is corpus-sized ("every content fingerprint from all prior
+# crawls"). The bloom replaces the value strings with a FIXED-SIZE distinct
+# position set: each value lights BLOOM_K of BLOOM_BITS positions, so the
+# sketch is at most BLOOM_BITS rows no matter how many values went in —
+# broadcastable forever. Membership is one-sided: no false negatives; false
+# positives bounded by (1 - e^(-k*n/m))^k and, because the hash is the
+# md5-slice construction shared with the CMS above, DETERMINISTIC and
+# engine-identical — the DuckDB oracle reproduces hits bit-for-bit,
+# false positives included.
+#
+# The relational encoding keeps the whole module bit-op free (no shiftleft /
+# bit_or dialect divergence): the sketch IS the distinct position table, the
+# probe is a broadcast equi-join counting how many of a value's K positions
+# are present. Sketches MERGE by union+distinct — exact, so
+# merge(build(A), build(B)) == build(A ∪ B) row-for-row.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_BITS = 1 << 16
+
+
+def bloom_position_sql(expr: str, row: int) -> str:
+    """Position of hash row ``row`` for a string expression — md5-slice
+    (engine-identical) mod the bit-space size."""
+    return f"({md5_slice_int_sql(expr, row)} % {BLOOM_BITS})"
+
+
+def bloom_build(df: DataFrame, value: str) -> DataFrame:
+    """Bloom sketch of a value column: the distinct set of lit positions,
+    one ``pos`` column, ≤ BLOOM_BITS rows. One posexplode pass + a distinct
+    whose map-side partial bounds every partition's shuffle contribution to
+    BLOOM_BITS rows regardless of input cardinality."""
+    positions = ", ".join(
+        bloom_position_sql(value, r) for r in range(BLOOM_K)
+    )
+    return df.selectExpr(
+        f"explode(array({positions})) AS pos"
+    ).distinct()
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge position tables: union + distinct — exact (set union), so the
+    cross-batch combine never revisits raw values."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_probe(
+    probes: DataFrame, sketch: DataFrame, value: str, keep: list[str] | None = None
+) -> DataFrame:
+    """Rows of ``probes`` whose ``value`` is (bloom-)contained in the
+    sketch: all BLOOM_K positions present. The sketch broadcasts (bounded
+    rows), so the probe side is one narrow posexplode + broadcast semi
+    join + a per-row count — the corpus is never shuffled on the value.
+
+    ``keep`` carries extra probe columns through (default: all columns
+    except ``value`` plus ``value`` itself)."""
+    keep = keep if keep is not None else [c for c in probes.columns if c != value]
+    positions = ", ".join(
+        bloom_position_sql(value, r) for r in range(BLOOM_K)
+    )
+    ex = probes.selectExpr(
+        *keep, value, f"explode(array({positions})) AS pos"
+    )
+    hit = ex.join(F.broadcast(sketch), "pos")
+    return (
+        hit.groupBy(*keep, value)
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == BLOOM_K)
+        .drop("_k")
+    )
+
+
+def bloom_positions_union_sql(table: str, value: str = "g") -> str:
+    """Oracle helper: the distinct position set of ``value`` rows from a
+    named relation/CTE — the BLOOM_K-way union twin of :func:`bloom_build`."""
+    rows = " UNION ALL ".join(
+        f"SELECT {bloom_position_sql(value, r)} AS pos FROM {table}"
+        for r in range(BLOOM_K)
+    )
+    return f"SELECT DISTINCT pos FROM ({rows}) u"
+
+
 def hll_estimate_sql(keys: list[str], value_expr: str, table: str) -> str:
     """The whole pipeline (sketch + estimate) as one DuckDB/Spark-shared
     SQL string — the oracle twin of hll_sketch |> hll_estimate."""

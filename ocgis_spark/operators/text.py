@@ -172,6 +172,30 @@ def decontaminate(
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def bloom_decontaminate(
+    train: DataFrame, bench: DataFrame, text: str = "text", n: int = 8
+) -> DataFrame:
+    """:func:`decontaminate`'s corpus-scale sibling: the benchmark n-gram
+    set compressed to a fixed-size Bloom position sketch
+    (sketch.py bloom_*) instead of a raw-gram broadcast. Right when the
+    reference side is itself huge (every content fingerprint from prior
+    crawls): the sketch is ≤ BLOOM_BITS rows NO MATTER how many grams went
+    in, so it broadcasts forever, and the corpus side stays one narrow
+    explode + broadcast join — never shuffled on the gram. One-sided:
+    every exact hit is a bloom hit (no false negatives); false positives
+    are deterministic (md5-slice hash) and engine-identical, so the DuckDB
+    oracle replays them bit-for-bit. Returns (doc_id, n_hits_bloom) for
+    screened docs only."""
+    from .sketch import bloom_build, bloom_probe
+
+    tg = _word_ngrams(train, text, n, min_words=n).distinct()
+    bg = _word_ngrams(bench, text, n, min_words=n).select("g").distinct()
+    member = bloom_probe(tg, bloom_build(bg, "g"), "g", keep=["doc_id"])
+    return member.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits_bloom")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 2048,

@@ -172,3 +172,94 @@ def test_cms_hash_parity_with_duckdb(spark):
         ).fetchall():
             assert got[(tok, k)] == b, (tok, k)
     assert all(0 <= b < sketch.CMS_WIDTH for b in got.values())
+
+
+# --- Bloom membership sketch ------------------------------------------------
+
+
+def _bloom_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every value that went into the sketch must probe as a member."""
+    vals = [f"value-{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "g string")
+    bloom = sketch.bloom_build(df, "g")
+    hits = sketch.bloom_probe(df, bloom, "g", keep=[]).collect()
+    assert sorted(r["g"] for r in hits) == sorted(vals)
+
+
+def test_bloom_fpr_bounded(spark):
+    """Non-members rarely probe as members: with n=500, k=4, m=2^16 the
+    analytic FPR is ~1e-6; allow a generous 1% before failing."""
+    members = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(500)], "g string"
+    )
+    probes = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(2000)], "g string"
+    )
+    bloom = sketch.bloom_build(members, "g")
+    fp = sketch.bloom_probe(probes, bloom, "g", keep=[]).count()
+    assert fp <= 20
+
+
+def test_bloom_merge_equals_whole(spark):
+    """Position-set union is EXACT: merge(build(A), build(B)) must equal
+    build(A ∪ B) row-for-row."""
+    df = spark.range(3000).selectExpr("concat('v-', id) AS g")
+    lo = df.filter(F.col("g").substr(-1, 1).isin("0", "2", "4", "6", "8"))
+    hi = df.subtract(lo)
+    merged = sketch.bloom_merge(
+        sketch.bloom_build(lo, "g"), sketch.bloom_build(hi, "g")
+    )
+    whole = sketch.bloom_build(df, "g")
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in whole.collect()
+    )
+
+
+def test_bloom_state_is_bounded(spark):
+    """The sketch never exceeds BLOOM_BITS rows regardless of input size."""
+    df = spark.range(300000).selectExpr("concat('x-', id) AS g")
+    assert sketch.bloom_build(df, "g").count() <= sketch.BLOOM_BITS
+
+
+def test_bloom_probe_plan_broadcasts_no_python(spark):
+    """The probe is a narrow explode + BROADCAST join: the corpus side is
+    never shuffled on the value, and no Python appears anywhere."""
+    members = spark.createDataFrame([("m",)], "g string")
+    probes = spark.createDataFrame([(0, "m")], "doc_id long, g string")
+    out = sketch.bloom_probe(probes, sketch.bloom_build(members, "g"), "g")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """bloom_decontaminate flags every doc the exact screen flags, with
+    per-doc bloom hit counts >= exact hit counts (one-sided error)."""
+    from ocgis_spark.operators import text as textops
+
+    bench_texts = [
+        " ".join(f"b{j}w{i}" for i in range(40)) for j in range(5)
+    ]
+    leak = [t.split(" ", 3)[3] for t in bench_texts[:3]]
+    clean = [" ".join(f"c{j}w{i}" for i in range(40)) for j in range(10)]
+    bench = _bloom_docs(spark, bench_texts)
+    train = _bloom_docs(spark, leak + clean)
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in textops.decontaminate(train, bench, n=8).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hits_bloom"]
+        for r in textops.bloom_decontaminate(train, bench, n=8).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n
+    # the three planted leaks are caught
+    assert {0, 1, 2} <= set(bloom)
