@@ -127,6 +127,25 @@ def streaming_cms_sketch(
     return rows.groupBy(*keys, "r", "bucket").agg(F.sum("w").alias("cnt"))
 
 
+def streaming_bloom_sketch(docs_stream: DataFrame, value: str) -> DataFrame:
+    """Bloom position table maintained over a STREAM: each row lights
+    BLOOM_K positions (narrow explode) and the distinct-position state is
+    a count agg on ``pos`` — bounded at BLOOM_BITS rows TOTAL regardless
+    of stream length (the smallest complete-mode state of the three
+    sketches; HLL is m rows per key, CMS depth*width per key). Positions
+    equal the batch sketch over the same data — asserted stream==batch in
+    pytest; screen new batches with ``operators.sketch.bloom_probe``
+    against the drained table (the exact-membership half of the ingest
+    screen; ``streaming_near_dup_hits`` above is the near-dup half)."""
+    from ocgis_spark.operators import sketch as SK
+
+    positions = ", ".join(
+        SK.bloom_position_sql(value, r) for r in range(SK.BLOOM_K)
+    )
+    ex = docs_stream.selectExpr(f"explode(array({positions})) AS pos")
+    return ex.groupBy("pos").agg(F.count(F.lit(1)).alias("_n")).select("pos")
+
+
 def streaming_dedup(
     docs_stream: DataFrame, key_expr: str = "lower(trim(substr(text, 1, 40)))"
 ) -> DataFrame:

@@ -335,3 +335,40 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == expected
+
+
+def test_streaming_bloom_sketch_matches_batch(spark, tmp_path):
+    """stream == batch for the bloom position set: the distinct positions
+    drained from the stream equal the batch sketch row-for-row, so a
+    bloom_probe against the drained table gives the SAME membership
+    verdicts a batch job would."""
+    import pandas as pd
+
+    from ocgis_spark.operators import sketch as SK
+    from ocgis_spark.streaming import pipeline as P
+
+    src = str(tmp_path / "bloom_src")
+    d1 = pd.DataFrame({"g": [f"gram-{i}" for i in range(50)]})
+    d2 = pd.DataFrame({"g": [f"gram-{i}" for i in range(30, 90)]})
+    spark.createDataFrame(d1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(d2).coalesce(1).write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    expect = sorted(r["pos"] for r in SK.bloom_build(batch, "g").collect())
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = P.streaming_bloom_sketch(stream, "g")
+    P.run_available_now(out, "bloom_stream", str(tmp_path / "ck_bloom"))
+    got = sorted(
+        r["pos"] for r in spark.sql("SELECT * FROM bloom_stream").collect()
+    )
+    assert got == expect
+    # membership verdicts agree: every ingested gram probes as a member
+    # of the drained table
+    hits = SK.bloom_probe(
+        batch.distinct(), spark.table("bloom_stream"), "g", keep=[]
+    )
+    assert hits.count() == batch.distinct().count()
