@@ -53,23 +53,33 @@ def _write_meta(df: DataFrame, path: str, fmt: str, ops_doc: dict | None,
     return meta_path
 
 
-def convert_ocgis(df: DataFrame, path=None, ops_doc=None):
+def convert_ocgis(df: DataFrame, path=None, ops_doc=None, **_kw):
     return df
 
 
-def convert_parquet(df: DataFrame, path: str, ops_doc=None):
-    df.write.mode("overwrite").parquet(path)
-    _write_meta(df, path, "parquet", ops_doc)
+def convert_parquet(df: DataFrame, path: str, ops_doc=None, aux: bool = True,
+                    fmt_options: dict | None = None, **_kw):
+    w = df.write.mode("overwrite")
+    if fmt_options and "compression" in fmt_options:
+        w = w.option("compression", fmt_options["compression"])
+    w.parquet(path)
+    if aux:
+        _write_meta(df, path, "parquet", ops_doc)
     return path
 
 
-def convert_csv(df: DataFrame, path: str, ops_doc=None):
-    df.write.mode("overwrite").option("header", True).csv(path)
-    _write_meta(df, path, "csv", ops_doc)
+def convert_csv(df: DataFrame, path: str, ops_doc=None, aux: bool = True,
+                fmt_options: dict | None = None, **_kw):
+    w = df.write.mode("overwrite").option("header", True)
+    if fmt_options and "sep" in fmt_options:
+        w = w.option("sep", fmt_options["sep"])
+    w.csv(path)
+    if aux:
+        _write_meta(df, path, "csv", ops_doc)
     return path
 
 
-def convert_meta_only(df: DataFrame, path: str, ops_doc=None):
+def convert_meta_only(df: DataFrame, path: str, ops_doc=None, **_kw):
     return _write_meta(df, path, "meta-json", ops_doc)
 
 
@@ -115,7 +125,8 @@ def geojson_feature_expr(geom_col: str = "geom", prop_cols: list[str] | None = N
 
 
 def convert_geojson(df: DataFrame, path: str, ops_doc=None,
-                    geom_col: str = "geom", prop_cols: list[str] | None = None):
+                    geom_col: str = "geom", prop_cols: list[str] | None = None,
+                    aux: bool = True, **_kw):
     """GeoJSON sink: one Feature per row as line-delimited text (the
     streaming-friendly GeoJSONSeq layout; wrap in a FeatureCollection
     reader-side if needed)."""
@@ -123,11 +134,14 @@ def convert_geojson(df: DataFrame, path: str, ops_doc=None,
         prop_cols = [c for c in df.columns if c != geom_col]
     out = df.select(geojson_feature_expr(geom_col, prop_cols).alias("value"))
     out.write.mode("overwrite").text(path)
+    if not aux:
+        return path
     return _write_meta(df, path, "geojson", ops_doc)
 
 
 def convert_shapefile(df: DataFrame, path: str, ops_doc=None,
-                      geom_col: str = "geom", prop_cols: list[str] | None = None):
+                      geom_col: str = "geom", prop_cols: list[str] | None = None,
+                      aux: bool = True, **_kw):
     """ESRI shapefile sink (.shp/.shx/.dbf) — real file triplet via the
     pure-struct writer (``geo/shp.py``; reference ``conv/fiona_.py``).
     A shapefile is a single seekable triplet, so rows are collected
@@ -142,12 +156,14 @@ def convert_shapefile(df: DataFrame, path: str, ops_doc=None,
     geoms = [bytes(r[geom_col]) for r in rows]
     attrs = [{c: r[c] for c in prop_cols} for r in rows]
     SHP.write_shapefile(path, geoms, attrs)
-    _write_meta(df, path, "shapefile", ops_doc)
+    if aux:
+        _write_meta(df, path, "shapefile", ops_doc)
     return path + ".shp"
 
 
 def convert_csv_shp(df: DataFrame, path: str, ops_doc=None,
-                    geom_col: str = "geom", ugid_col: str = "ugid"):
+                    geom_col: str = "geom", ugid_col: str = "ugid",
+                    aux: bool = True, fmt_options: dict | None = None, **_kw):
     """CSV + companion-shapefile sink — the reference's
     CsvShapefileConverter (``conv/csv_.py:18-129``): tabular rows go to
     a CSV keyed by GID; geometry is factored out ONCE per distinct shape
@@ -225,10 +241,15 @@ def convert_csv_shp(df: DataFrame, path: str, ops_doc=None,
     )
     keep = [c for c in df.columns if c != geom_col]
     out = df.join(F.broadcast(gid_df), geom_col, "left").select("GID", *keep)
-    out.write.mode("overwrite").option("header", True).csv(path)
+    w = out.write.mode("overwrite").option("header", True)
+    if fmt_options and "sep" in fmt_options:
+        w = w.option("sep", fmt_options["sep"])
+    w.csv(path)
 
     companions = {"gid_shp": gid_base + ".shp"}
     if ugid_base:
         companions["ugid_shp"] = ugid_base + ".shp"
-    _write_meta(out, path, "csv-shp", ops_doc, extra={"companions": companions})
+    if aux:
+        _write_meta(out, path, "csv-shp", ops_doc,
+                    extra={"companions": companions})
     return path

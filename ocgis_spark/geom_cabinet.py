@@ -27,6 +27,7 @@ class GeomCabinet:
         spark: SparkSession,
         select_uid: list[int] | None = None,
         select_sql_where: str | None = None,
+        uid_field: str | None = None,
     ) -> list[tuple[int, list[np.ndarray]]]:
         """Return [(ugid, rings), ...] honoring UID and SQL-where pushdown
         (``geom_cabinet.py:215-276``). Multipolygons yield one entry per
@@ -45,7 +46,10 @@ class GeomCabinet:
                 {int(u) for u in select_uid} if select_uid is not None else None
             )
             for fid, polys, _attrs in SHP.read_shapefile(base):
-                if uid_set is not None and fid not in uid_set:
+                # reference ``geom_uid`` (definition.py:837-850): use the
+                # named dbf attribute as the selection UID instead of FID
+                uid = int(_attrs[uid_field]) if uid_field else fid
+                if uid_set is not None and uid not in uid_set:
                     continue
                 if select_sql_where:
                     raise ValueError(
@@ -54,15 +58,16 @@ class GeomCabinet:
                         "select_uid only"
                     )
                 for rings in polys:
-                    out_shp.append((fid, rings))
+                    out_shp.append((uid, rings))
             return out_shp
         df = spark.read.parquet(self.uri)
+        ucol = uid_field or "ugid"
         if select_uid is not None:
-            df = df.filter(df["ugid"].isin([int(u) for u in select_uid]))
+            df = df.filter(df[ucol].isin([int(u) for u in select_uid]))
         if select_sql_where:
             df = df.filter(select_sql_where)
         out: list[tuple[int, list[np.ndarray]]] = []
-        for row in df.select("ugid", "geom_wkb").collect():
+        for row in df.select(df[ucol].alias("ugid"), "geom_wkb").collect():
             kind, data = WKB.parse_wkb(bytes(row["geom_wkb"]))
             if kind == "polygon":
                 out.append((int(row["ugid"]), data))

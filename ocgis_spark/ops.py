@@ -111,6 +111,46 @@ class OcgOperations:
     #: reference ``regrid_options``: {'regrid_method': 'conservative'
     #: (default) | 'bilinear' | 'nearest_stod'} (regrid/base.py:646-700)
     regrid_options: dict | None = None
+    #: reference ``geom_uid`` (definition.py:837-850): attribute name used
+    #: as the selection UID in the geom table / shapefile dbf (default:
+    #: the cabinet's 'ugid' column / shapefile FID)
+    geom_uid: str | None = None
+    #: reference ``spatial_reorder`` (definition.py:1224,
+    #: engine.py:555-568): present output rows in ascending-longitude
+    #: order when the data is WRAPPED; a no-op for unwrapped data (the
+    #: reference warns and does nothing)
+    spatial_reorder: bool = False
+    #: reference ``interpolate_spatial_bounds`` (definition.py:853-858,
+    #: engine.py:248-252): when no grid is available, extrapolate cell
+    #: bounds from the frame's coordinate centroids
+    #: (``VectorGridSpec.from_centroids`` — the set_extrapolated_bounds
+    #: path); ignored when a grid is already present (the reference's
+    #: BoundsAlreadyAvailableError branch)
+    interpolate_spatial_bounds: bool = False
+    #: reference ``callback`` (core.py:93): progress fn f(percent, message)
+    callback: Any = None
+    #: reference ``file_only`` (definition.py:590-597): write the output
+    #: file's structure/metadata with NO data rows (schema-only sink)
+    file_only: bool = False
+    #: reference ``add_auxiliary_files`` (conv/base.py:100-114,208): when
+    #: False, write only the target output file — skip the conv_meta
+    #: lineage companion
+    add_auxiliary_files: bool = True
+    #: reference ``output_format_options`` (definition.py): converter-
+    #: specific options dict (csv: {'sep'}, parquet: {'compression'})
+    output_format_options: dict | None = None
+    #: reference ``backend`` (definition.py Backend, valid=('ocg',))
+    backend: str = "ocg"
+    #: reference ``format_time`` (definition.py:600-605): True attaches
+    #: the decoded calendar parts (cf_year/cf_month/cf_day — the
+    #: value_datetime analogue) for CF-numeric requests; False leaves the
+    #: raw numeric time untouched
+    format_time: bool = True
+    #: reference ``optimizations`` (definition.py:901-922): shares
+    #: precomputed in-memory TemporalGroupDimension/Field objects between
+    #: runs — n/a here (grouping keys are inline codegen CASE columns,
+    #: nothing to precompute or share); rejected loudly below
+    optimizations: dict | None = None
 
     def __post_init__(self):
         self._validate()
@@ -197,6 +237,48 @@ class OcgOperations:
             raise DefinitionValidationError(
                 "regrid_destination is incompatible with select_nearest"
             )
+        if self.backend != "ocg":
+            # reference Backend parameter: valid=('ocg',) — same contract
+            raise DefinitionValidationError(
+                f"backend {self.backend!r} invalid (only 'ocg' exists)"
+            )
+        if self.optimizations is not None:
+            # reference 'tgds'/'fields' keys share precomputed IN-MEMORY
+            # TemporalGroupDimension/Field objects between runs
+            # (definition.py:901-922); the relational engine computes
+            # grouping keys as inline codegen CASE columns — there is no
+            # object to precompute or share. Reject loudly rather than
+            # silently ignore a reference-meaningful input.
+            raise DefinitionValidationError(
+                "optimizations ('tgds'/'fields') precompute in-memory "
+                "temporal-group/field objects — n/a in the relational "
+                "engine (grouping keys are computed inline by Catalyst); "
+                "remove the parameter"
+            )
+        if self.callback is not None and not callable(self.callback):
+            raise DefinitionValidationError("callback must be callable")
+        if self.file_only and self.output_format == "ocgis":
+            raise DefinitionValidationError(
+                "file_only requires a file output_format (reference "
+                "FileOnly applies to file-creating converters)"
+            )
+        if self.output_format_options:
+            allowed = {"csv": {"sep"}, "csv-shp": {"sep"},
+                       "parquet": {"compression"},
+                       "wkb-parquet": {"compression"}}
+            ok = allowed.get(self.output_format, set())
+            bad_keys = set(self.output_format_options) - ok
+            if bad_keys:
+                raise DefinitionValidationError(
+                    f"output_format_options {sorted(bad_keys)} not "
+                    f"supported for {self.output_format!r} "
+                    f"(allowed: {sorted(ok) or 'none'})"
+                )
+        if self.geom_uid is not None and not isinstance(self.geom, str):
+            raise DefinitionValidationError(
+                "geom_uid names an attribute in a cabinet selection source "
+                "— it requires geom=<table uri or shapefile path>"
+            )
 
     # ---- geometry coercion ----
     def _rings(self) -> list[np.ndarray] | None:
@@ -264,7 +346,30 @@ class OcgOperations:
             return self.dataset.grid
         if isinstance(self.dataset, RequestDataset) and self.dataset.grid is not None:
             return self.dataset.grid
-        raise DefinitionValidationError("a GridSpec is required (grid=...)")
+        if self.interpolate_spatial_bounds:
+            # reference engine.py:248-252 / grid.set_extrapolated_bounds:
+            # no bounds available -> extrapolate cell edges from the
+            # coordinate CENTROIDS. Relationally: the distinct lon/lat
+            # centroid vectors (coordinate-axis-sized, a bounded driver
+            # collect like ncmodel's axis read) define a VectorGridSpec
+            # via midpoint/mirror edge extrapolation (from_centroids).
+            dfc = (self.dataset.df if isinstance(self.dataset, Field)
+                   else self.dataset)
+            if hasattr(dfc, "columns") and {"lon", "lat"} <= set(dfc.columns):
+                from .geo.cellindex import VectorGridSpec
+
+                xs = sorted(
+                    r["lon"] for r in dfc.select("lon").distinct().collect()
+                )
+                ys = sorted(
+                    r["lat"] for r in dfc.select("lat").distinct().collect()
+                )
+                if len(xs) >= 2 and len(ys) >= 2:
+                    return VectorGridSpec.from_centroids(xs, ys)
+        raise DefinitionValidationError(
+            "a GridSpec is required (grid=...; or pass "
+            "interpolate_spatial_bounds=True with lon/lat centroid columns)"
+        )
 
     # ---- execution (engine.py:53-385 analogue) ----
     def execute(self, spark: SparkSession):
@@ -280,6 +385,19 @@ class OcgOperations:
         dm = fld.dimension_map
         ts = dm.get("time", "ts")
         value = dm.get("value", "value")
+        self._progress(5, "dataset loaded")
+
+        # format_time (definition.py:600-605): CF-numeric requests attach
+        # the decoded calendar parts (the value_datetime analogue);
+        # format_time=False leaves the raw numeric axis untouched
+        if (self.format_time and isinstance(self.dataset, RequestDataset)
+                and self.dataset.time_units is not None
+                and ts in df.columns):
+            from .operators import cfcalendar as CF
+
+            df = CF.decode_time(
+                df, ts, self.dataset.time_calendar, self.dataset.time_units
+            )
 
         # data-coordinate wrapping (engine.py spatial_wrapping prep)
         if self.spatial_wrapping is not None:
@@ -325,6 +443,7 @@ class OcgOperations:
         if self.slice_:
             df = Field(df, dm, fld.grid).get_field_slice(self.slice_).df
 
+        self._progress(25, "nonspatial subsets applied")
         # GeomCabinet selection (geom = table uri string): resolve to the
         # [(ugid, rings), ...] list with UID / SQL-where pushdown
         # (reference geom='state_boundaries' + select_ugid/select_sql_where,
@@ -336,6 +455,7 @@ class OcgOperations:
             cabinet_polys = GeomCabinet(self.geom).iter_geoms(
                 spark, select_uid=self.geom_select_uid,
                 select_sql_where=self.geom_select_sql_where,
+                uid_field=self.geom_uid,
             )
             if not cabinet_polys:
                 raise DefinitionValidationError(
@@ -683,15 +803,45 @@ class OcgOperations:
                 F.col(value).alias("value"),
             )
 
+        # spatial reorder (engine.py:555-568): ascending-longitude
+        # presentation order, applicable only when the data is WRAPPED
+        # (the reference warns + no-ops otherwise). Row order is
+        # presentation-level in the relational model, so this is an
+        # output-stage sort on the selection-sized result.
+        if self.spatial_reorder and lon_col in df.columns:
+            from .operators import crs as crs_ops
+
+            if crs_ops.is_wrapped_state(df, lon_col) == "wrapped":
+                df = df.orderBy(F.col(lon_col).asc())
+
+        self._progress(90, "converting")
+        # file_only (definition.py:590-597): structure/metadata only —
+        # the sink writes its header/schema with zero data rows
+        if self.file_only:
+            df = df.limit(0)
+
         # converter (interpreter.py:120-134)
         writer = conv.get_converter_map()[self.output_format]
         ops_doc = {k: str(v) for k, v in self.__dict__.items() if k != "dataset"}
         if self.output_format == "ocgis":
-            return writer(df)
+            out = writer(df)
+            self._progress(100, "complete")
+            return out
         import os
 
         path = os.path.join(self.dir_output, self.prefix)
-        return writer(df, path, ops_doc)
+        out = writer(
+            df, path, ops_doc,
+            aux=self.add_auxiliary_files,
+            fmt_options=self.output_format_options,
+        )
+        self._progress(100, "complete")
+        return out
+
+    def _progress(self, pct: int, message: str) -> None:
+        """reference ``callback`` (core.py:93): f(percent, message)."""
+        if self.callback is not None:
+            self.callback(float(pct), message)
 
     def _with_grouping_keys(
         self, df: DataFrame, ts: str

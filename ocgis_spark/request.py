@@ -105,6 +105,14 @@ class RequestDataset:
     grid: GridSpec | None = None
     predicate: object = None  # variable-name filter fn (core.py:121-124)
     driver: str = "parquet"  # 'parquet' | 'csv' (DriverCSV, csv_.py:1-79)
+    #: CF-numeric time axis declaration (reference RequestDataset
+    #: t_units/t_calendar, driver/request/core.py:142-235): when set,
+    #: ``OcgOperations(format_time=True)`` (the default) attaches decoded
+    #: calendar parts (cf_year/cf_month/cf_day — the value_datetime
+    #: analogue) via cfcalendar.decode_time; format_time=False leaves the
+    #: raw numeric axis untouched
+    time_units: str | None = None
+    time_calendar: str = "standard"
 
     def _read_one(self, spark: SparkSession, uri: str) -> DataFrame:
         if self.driver == "csv":

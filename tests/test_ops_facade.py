@@ -430,3 +430,152 @@ def test_geom_accepts_geojson_dicts(spark, golden_field):
             dataset=golden_field,
             geom={"type": "MultiPolygon", "coordinates": []},
         ).execute(spark)
+
+
+# --- round-4 parameter-surface parity (definition.py tail params) -----------
+
+
+def test_backend_and_optimizations_validation(golden_field):
+    with pytest.raises(DefinitionValidationError):
+        OcgOperations(dataset=golden_field, backend="dask")
+    with pytest.raises(DefinitionValidationError):
+        OcgOperations(dataset=golden_field, optimizations={"tgds": {}})
+    with pytest.raises(DefinitionValidationError):
+        OcgOperations(dataset=golden_field, callback="not-callable")
+    with pytest.raises(DefinitionValidationError):
+        OcgOperations(dataset=golden_field, file_only=True)  # 'ocgis' fmt
+    with pytest.raises(DefinitionValidationError):
+        OcgOperations(dataset=golden_field, output_format="csv",
+                      output_format_options={"bogus": 1}, dir_output="/tmp")
+    with pytest.raises(DefinitionValidationError):
+        OcgOperations(dataset=golden_field, geom_uid="STATE")  # no cabinet
+
+
+def test_callback_progress_monotone(spark, golden_field):
+    seen = []
+    ops = OcgOperations(
+        dataset=golden_field,
+        geom=(-104.5, 37.5, -102.5, 39.5),
+        abstraction="polygon",
+        snippet=True,
+        callback=lambda pct, msg: seen.append((pct, msg)),
+    )
+    ops.execute(spark).collect()
+    pcts = [p for p, _ in seen]
+    assert pcts == sorted(pcts) and pcts[-1] == 100.0 and len(seen) >= 3
+
+
+def test_file_only_and_aux_files(spark, golden_field, tmp_path):
+    # file_only: structure written, zero data rows
+    ops = OcgOperations(
+        dataset=golden_field, output_format="csv", file_only=True,
+        dir_output=str(tmp_path), prefix="fo",
+    )
+    path = ops.execute(spark)
+    schema = golden_field.df.schema
+    assert spark.read.schema(schema).option("header", True).csv(path).count() == 0
+    # conv_meta companion present by default...
+    assert os.path.exists(path.rstrip("/") + ".conv_meta.json")
+    # ...and absent with add_auxiliary_files=False (conv/base.py:208)
+    ops2 = OcgOperations(
+        dataset=golden_field, output_format="csv",
+        add_auxiliary_files=False, dir_output=str(tmp_path), prefix="noaux",
+    )
+    p2 = ops2.execute(spark)
+    assert not os.path.exists(p2.rstrip("/") + ".conv_meta.json")
+
+
+def test_output_format_options_csv_sep(spark, golden_field, tmp_path):
+    ops = OcgOperations(
+        dataset=golden_field, output_format="csv",
+        output_format_options={"sep": ";"},
+        dir_output=str(tmp_path), prefix="sep", snippet=True,
+    )
+    path = ops.execute(spark)
+    back = spark.read.option("header", True).option("sep", ";").csv(path)
+    assert back.count() == 16 and set(back.columns) == set(golden_field.df.columns)
+
+
+def test_spatial_reorder_wrapped_ascending(spark, golden_field):
+    """Reference engine.py:555-568: wrapped data presents in ascending-
+    longitude order; unwrapped data is untouched (warn + no-op)."""
+    ops = OcgOperations(
+        dataset=golden_field, snippet=True, spatial_reorder=True,
+    )
+    lons = [r.lon for r in ops.execute(spark).collect()]
+    assert lons == sorted(lons)  # golden lons are negative => wrapped
+    # unwrapped (0..360) data: reorder is a no-op, execute still succeeds
+    df360 = golden_field.df.withColumn("lon", F.col("lon") + 360.0)
+    fld360 = Field(df360, dict(golden_field.dimension_map), golden_field.grid)
+    out = OcgOperations(dataset=fld360, snippet=True, spatial_reorder=True)
+    assert out.execute(spark).count() == 16
+
+
+def test_interpolate_spatial_bounds_from_centroids(spark, golden_field):
+    """grid omitted + interpolate_spatial_bounds=True: cell bounds
+    extrapolate from the lon/lat centroid vectors (engine.py:248-252 /
+    set_extrapolated_bounds) and the polygon subset proceeds."""
+    fld = Field(golden_field.df, dict(golden_field.dimension_map), None)
+    with pytest.raises(DefinitionValidationError):
+        OcgOperations(
+            dataset=fld, geom=(-104.5, 37.5, -102.5, 39.5),
+            abstraction="polygon", snippet=True,
+        ).execute(spark)
+    out = OcgOperations(
+        dataset=fld, geom=(-104.5, 37.5, -102.5, 39.5),
+        abstraction="polygon", snippet=True,
+        interpolate_spatial_bounds=True,
+    ).execute(spark)
+    assert sorted(r.value for r in out.collect()) == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_geom_uid_names_the_selection_attribute(spark, golden_field, tmp_path):
+    """geom_uid (definition.py:837-850): select by a custom UID attribute
+    in the cabinet table instead of the default 'ugid'."""
+    ring = rect_ring(-104.5, 37.5, -103.5, 38.5)
+    rows = [(7, bytearray(WKB.polygon_to_wkb([ring])))]
+    df = spark.createDataFrame(rows, "STATEFP int, geom_wkb binary")
+    uri = str(tmp_path / "geoms")
+    df.write.parquet(uri)
+    out = OcgOperations(
+        dataset=golden_field, geom=uri, geom_uid="STATEFP",
+        geom_select_uid=[7], abstraction="polygon", snippet=True,
+    ).execute(spark)
+    got = out.collect()
+    assert {r.ugid for r in got} == {7}
+    # (-104.5..-103.5, 37.5..38.5) sits in the south-west quadrant
+    assert {r.value for r in got} == {3.0}
+    # a UID absent under the custom attribute selects nothing -> raises
+    with pytest.raises(DefinitionValidationError):
+        OcgOperations(
+            dataset=golden_field, geom=uri, geom_uid="STATEFP",
+            geom_select_uid=[1], abstraction="polygon",
+        ).execute(spark)
+
+
+def test_format_time_cf_numeric(spark):
+    """format_time (definition.py:600-605): CF-numeric requests attach
+    decoded calendar parts by default; format_time=False leaves the raw
+    numeric axis untouched."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "ts": [float(d) for d in range(0, 720, 30)],
+        "lon": [-105.0] * 24, "lat": [37.0] * 24,
+        "value": [float(v) for v in range(24)],
+    })
+    src = spark.createDataFrame(pdf)
+    uri = "file:///tmp/_cf_numeric_req"
+    src.write.mode("overwrite").parquet(uri)
+    rd = RequestDataset(
+        uri=uri, time_units="days since 2000-01-01",
+        time_calendar="360_day",
+    )
+    out = OcgOperations(dataset=rd, grid=GOLDEN_GRID).execute(spark)
+    assert {"cf_year", "cf_month", "cf_day"} <= set(out.columns)
+    months = sorted({r.cf_month for r in out.collect()})
+    assert months == list(range(1, 13))  # 360_day: 30-day steps hit all 12
+    raw = OcgOperations(
+        dataset=rd, grid=GOLDEN_GRID, format_time=False
+    ).execute(spark)
+    assert "cf_year" not in raw.columns and "ts" in raw.columns
