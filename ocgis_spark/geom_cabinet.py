@@ -48,7 +48,15 @@ class GeomCabinet:
             for fid, polys, _attrs in SHP.read_shapefile(base):
                 # reference ``geom_uid`` (definition.py:837-850): use the
                 # named dbf attribute as the selection UID instead of FID
-                uid = int(_attrs[uid_field]) if uid_field else fid
+                if uid_field:
+                    if uid_field not in _attrs:
+                        raise ValueError(
+                            f"geom_uid {uid_field!r} not among shapefile "
+                            f"attributes {sorted(_attrs)}"
+                        )
+                    uid = int(_attrs[uid_field])
+                else:
+                    uid = fid
                 if uid_set is not None and uid not in uid_set:
                     continue
                 if select_sql_where:

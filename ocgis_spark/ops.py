@@ -353,16 +353,22 @@ class OcgOperations:
             # centroid vectors (coordinate-axis-sized, a bounded driver
             # collect like ncmodel's axis read) define a VectorGridSpec
             # via midpoint/mirror edge extrapolation (from_centroids).
-            dfc = (self.dataset.df if isinstance(self.dataset, Field)
-                   else self.dataset)
-            if hasattr(dfc, "columns") and {"lon", "lat"} <= set(dfc.columns):
+            if isinstance(self.dataset, Field):
+                dfc = self.dataset.df
+                dmc = self.dataset.dimension_map
+            else:
+                dfc = self.dataset
+                dmc = {}
+            xc = dmc.get("x", "lon")
+            yc = dmc.get("y", "lat")
+            if hasattr(dfc, "columns") and {xc, yc} <= set(dfc.columns):
                 from .geo.cellindex import VectorGridSpec
 
                 xs = sorted(
-                    r["lon"] for r in dfc.select("lon").distinct().collect()
+                    r[xc] for r in dfc.select(xc).distinct().collect()
                 )
                 ys = sorted(
-                    r["lat"] for r in dfc.select("lat").distinct().collect()
+                    r[yc] for r in dfc.select(yc).distinct().collect()
                 )
                 if len(xs) >= 2 and len(ys) >= 2:
                     return VectorGridSpec.from_centroids(xs, ys)
