@@ -134,9 +134,9 @@ def convert_geojson(df: DataFrame, path: str, ops_doc=None,
         prop_cols = [c for c in df.columns if c != geom_col]
     out = df.select(geojson_feature_expr(geom_col, prop_cols).alias("value"))
     out.write.mode("overwrite").text(path)
-    if not aux:
-        return path
-    return _write_meta(df, path, "geojson", ops_doc)
+    if aux:
+        _write_meta(df, path, "geojson", ops_doc)
+    return path
 
 
 def convert_shapefile(df: DataFrame, path: str, ops_doc=None,

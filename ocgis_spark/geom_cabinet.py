@@ -70,6 +70,11 @@ class GeomCabinet:
             return out_shp
         df = spark.read.parquet(self.uri)
         ucol = uid_field or "ugid"
+        if ucol not in df.columns:
+            raise ValueError(
+                f"geom_uid {ucol!r} not among geometry-table columns "
+                f"{sorted(df.columns)}"
+            )
         if select_uid is not None:
             df = df.filter(df[ucol].isin([int(u) for u in select_uid]))
         if select_sql_where:

@@ -386,12 +386,22 @@ def bloom_probe(
     ex = probes.selectExpr(
         *keep, value, f"explode(array({positions})) AS pos"
     )
-    hit = ex.join(F.broadcast(sketch), "pos")
+    # LEFT join + hits==total: membership means EVERY exploded position
+    # matched — robust to duplicate probe rows (a strict count == K
+    # would see d*K rows for a d-duplicated probe and drop a genuine
+    # member) and to intra-value position collisions (each row still
+    # matches independently)
+    hit = ex.join(
+        F.broadcast(sketch.withColumn("_hit", F.lit(1))), "pos", "left"
+    )
     return (
         hit.groupBy(*keep, value)
-        .agg(F.count(F.lit(1)).alias("_k"))
-        .filter(F.col("_k") == BLOOM_K)
-        .drop("_k")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_k"),
+        )
+        .filter(F.col("_k") == F.col("_n"))
+        .drop("_k", "_n")
     )
 
 

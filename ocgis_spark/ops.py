@@ -257,10 +257,15 @@ class OcgOperations:
             )
         if self.callback is not None and not callable(self.callback):
             raise DefinitionValidationError("callback must be callable")
-        if self.file_only and self.output_format == "ocgis":
+        if self.file_only and self.output_format in (
+            "ocgis", "shapefile", "csv-shp"
+        ):
+            # 'ocgis' creates no file; the shapefile writers need >= 1
+            # record (geo/shp.py) — reject up front instead of crashing
+            # on an empty collect
             raise DefinitionValidationError(
-                "file_only requires a file output_format (reference "
-                "FileOnly applies to file-creating converters)"
+                "file_only requires a rowless-capable file output_format "
+                "(csv | parquet | wkb-parquet | geojson | meta-json)"
             )
         if self.output_format_options:
             allowed = {"csv": {"sep"}, "csv-shp": {"sep"},
@@ -346,35 +351,9 @@ class OcgOperations:
             return self.dataset.grid
         if isinstance(self.dataset, RequestDataset) and self.dataset.grid is not None:
             return self.dataset.grid
-        if self.interpolate_spatial_bounds:
-            # reference engine.py:248-252 / grid.set_extrapolated_bounds:
-            # no bounds available -> extrapolate cell edges from the
-            # coordinate CENTROIDS. Relationally: the distinct lon/lat
-            # centroid vectors (coordinate-axis-sized, a bounded driver
-            # collect like ncmodel's axis read) define a VectorGridSpec
-            # via midpoint/mirror edge extrapolation (from_centroids).
-            if isinstance(self.dataset, Field):
-                dfc = self.dataset.df
-                dmc = self.dataset.dimension_map
-            else:
-                dfc = self.dataset
-                dmc = {}
-            xc = dmc.get("x", "lon")
-            yc = dmc.get("y", "lat")
-            if hasattr(dfc, "columns") and {xc, yc} <= set(dfc.columns):
-                from .geo.cellindex import VectorGridSpec
-
-                xs = sorted(
-                    r[xc] for r in dfc.select(xc).distinct().collect()
-                )
-                ys = sorted(
-                    r[yc] for r in dfc.select(yc).distinct().collect()
-                )
-                if len(xs) >= 2 and len(ys) >= 2:
-                    return VectorGridSpec.from_centroids(xs, ys)
         raise DefinitionValidationError(
             "a GridSpec is required (grid=...; or pass "
-            "interpolate_spatial_bounds=True with lon/lat centroid columns)"
+            "interpolate_spatial_bounds=True with x/y centroid columns)"
         )
 
     # ---- execution (engine.py:53-385 analogue) ----
@@ -392,6 +371,25 @@ class OcgOperations:
         ts = dm.get("time", "ts")
         value = dm.get("value", "value")
         self._progress(5, "dataset loaded")
+
+        # interpolate_spatial_bounds (engine.py:248-252 /
+        # set_extrapolated_bounds): no grid anywhere -> extrapolate cell
+        # edges from the coordinate CENTROIDS (the distinct x/y vectors —
+        # coordinate-axis-sized, a bounded driver collect like ncmodel's
+        # axis read) via midpoint/mirror edge extrapolation. Resolved here
+        # so every dataset kind (RequestDataset included) gets it; when a
+        # grid is already present this is the reference's
+        # BoundsAlreadyAvailableError ignore branch.
+        if (self.interpolate_spatial_bounds and self.grid is None
+                and fld.grid is None):
+            xc, yc = dm.get("x", "lon"), dm.get("y", "lat")
+            if {xc, yc} <= set(df.columns):
+                from .geo.cellindex import VectorGridSpec
+
+                xs = sorted(r[xc] for r in df.select(xc).distinct().collect())
+                ys = sorted(r[yc] for r in df.select(yc).distinct().collect())
+                if len(xs) >= 2 and len(ys) >= 2:
+                    self.grid = VectorGridSpec.from_centroids(xs, ys)
 
         # format_time (definition.py:600-605): CF-numeric requests attach
         # the decoded calendar parts (the value_datetime analogue);
@@ -814,10 +812,31 @@ class OcgOperations:
         # (the reference warns + no-ops otherwise). Row order is
         # presentation-level in the relational model, so this is an
         # output-stage sort on the selection-sized result.
+        reorder_cached = None
         if self.spatial_reorder and lon_col in df.columns:
             from .operators import crs as crs_ops
 
-            if crs_ops.is_wrapped_state(df, lon_col) == "wrapped":
+            # the wrapped-state probe must not re-run the whole plan just
+            # to read min/max lon: decide driver-side when the params or
+            # grid already say so, and persist around the data probe
+            # otherwise (released after the sink consumes the cache)
+            if self.vector_wrap or self.spatial_wrapping == "wrap":
+                state = "wrapped"
+            elif self.spatial_wrapping == "unwrap":
+                state = "unwrapped"
+            else:
+                g = self.grid
+                x0 = None
+                if g is not None:
+                    x0 = (g.lon0 if hasattr(g, "lon0")
+                          else float(g.xb()[0]) if hasattr(g, "xb") else None)
+                if x0 is not None:
+                    state = "wrapped" if x0 < 0.0 else "unwrapped"
+                else:
+                    df = df.persist()
+                    state = crs_ops.is_wrapped_state(df, lon_col)
+                    reorder_cached = df
+            if state == "wrapped":
                 df = df.orderBy(F.col(lon_col).asc())
 
         self._progress(90, "converting")
@@ -841,6 +860,8 @@ class OcgOperations:
             aux=self.add_auxiliary_files,
             fmt_options=self.output_format_options,
         )
+        if reorder_cached is not None:
+            reorder_cached.unpersist()
         self._progress(100, "complete")
         return out
 

@@ -263,3 +263,14 @@ def test_bloom_decontaminate_superset_of_exact(spark):
         assert bloom[d] >= n
     # the three planted leaks are caught
     assert {0, 1, 2} <= set(bloom)
+
+
+def test_bloom_probe_tolerates_duplicate_probe_rows(spark):
+    """Regression (r4 review): a d-duplicated probe row explodes to d*K
+    position rows; the hits==total rule must still report membership (a
+    strict count == K dropped genuine members)."""
+    members = spark.createDataFrame([("m",)], "g string")
+    probes = spark.createDataFrame([("m",), ("m",), ("out",)], "g string")
+    bloom = sketch.bloom_build(members, "g")
+    hits = sketch.bloom_probe(probes, bloom, "g", keep=[])
+    assert [r["g"] for r in hits.collect()] == ["m"]
