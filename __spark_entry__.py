@@ -3325,7 +3325,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_embed_topk": textops.hash_embed_topk_sql(),
         "temperature_mix": (
             "WITH c AS (SELECT lang, count(*) AS n_d FROM documents "
-            "GROUP BY lang), "
+            "WHERE lang IS NOT NULL GROUP BY lang), "
             "m AS (SELECT min(n_d) AS n_min FROM c), "
             "r AS (SELECT lang, floor(1000.0E0 * "
             "sqrt(CAST(n_min AS DOUBLE) / CAST(n_d AS DOUBLE))) AS rate_pm "

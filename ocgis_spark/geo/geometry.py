@@ -275,6 +275,12 @@ def convex_union_pieces(outers: list[np.ndarray]) -> list[np.ndarray]:
                 for k in range(len(piece) - 1):
                     if len(rem) == 0:
                         break
+                    if (piece[k] == piece[k + 1]).all():
+                        # zero-length edge = all-zero half-plane: every
+                        # point tests "on the line" and the whole subject
+                        # would split off as outside (defense-in-depth;
+                        # the dedupe above should prevent these)
+                        continue
                     outside = _dedupe_closed_ring(clip_ring_by_halfplane(
                         rem, piece[k], piece[k + 1], keep_left=False
                     ))
@@ -469,14 +475,26 @@ def polygon_convex_pieces(rings: list[np.ndarray]) -> list[np.ndarray]:
 
 
 def _dedupe_closed_ring(ring: np.ndarray) -> np.ndarray:
-    """Drop consecutive duplicate vertices from a closed ring (keeping the
-    closing vertex). Returns the input unchanged when already clean."""
+    """Drop consecutive duplicate vertices from a closed ring, preserving
+    closure. Returns the input unchanged when already clean.
+
+    A trailing duplicate run (e.g. a trapezoid with a left-boundary apex:
+    ``[a, b, c, a, a]``) must LOSE the duplicate, not force-keep it — a
+    retained zero-length edge later reads as an all-zero half-plane in
+    ``convex_union_pieces`` and emits the whole subject as "outside",
+    double-counting union area (r4 review finding, regression-tested)."""
     if len(ring) < 2:
         return ring
     keep = np.ones(len(ring), dtype=bool)
     keep[1:] = (ring[1:] != ring[:-1]).any(axis=1)
-    keep[-1] = True  # closing vertex always kept
-    return ring if keep.all() else ring[keep].copy()
+    if keep.all():
+        return ring
+    out = ring[keep]
+    # pairwise dedupe can eat the closing vertex; restore closure without
+    # re-introducing the zero-length edge
+    if (out[-1] != out[0]).any():
+        out = np.vstack([out, out[:1]])
+    return out.copy()
 
 
 def box_polygon_clip_area(

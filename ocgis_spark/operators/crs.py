@@ -320,7 +320,29 @@ def transform_crs(
     pyproj is absent (not shipped in this container, FIDELITY.md)."""
     src_is_dict = isinstance(src_crs, dict)
     dst_is_dict = isinstance(dst_crs, dict)
+    if (not src_is_dict and not dst_is_dict
+            and _norm_crs(src_crs) == _norm_crs(dst_crs)):
+        return df.withColumn(out_x, F.col(lon)).withColumn(out_y, F.col(lat))
     if src_is_dict or dst_is_dict:
+        # a geographic dict ({'proj': 'longlat'/'latlong'}) is EPSG:4326
+        # spelled as PROJ params — normalize BEFORE parametric dispatch
+        # (transform_param_crs rejects 'longlat', so routing a geographic
+        # dict there crashed every advertised geographic-dict pairing —
+        # r4 review finding)
+        if _is_geographic(src_crs) and _is_geographic(dst_crs):
+            return df.withColumn(out_x, F.col(lon)).withColumn(
+                out_y, F.col(lat)
+            )
+        if src_is_dict and _is_geographic(src_crs):
+            return transform_crs(
+                df, "EPSG:4326", dst_crs, lon=lon, lat=lat,
+                out_x=out_x, out_y=out_y,
+            )
+        if dst_is_dict and _is_geographic(dst_crs):
+            return transform_crs(
+                df, src_crs, "EPSG:4326", lon=lon, lat=lat,
+                out_x=out_x, out_y=out_y,
+            )
         if _is_geographic(src_crs) and dst_is_dict:
             return transform_param_crs(
                 df, dst_crs, lon=lon, lat=lat, out_x=out_x, out_y=out_y
@@ -563,10 +585,11 @@ def aea_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
     yp = f"({_pf(rho0)} - (({y}) - {_pf(y0)}))"
     rho2 = f"({xp} * {xp} + {yp} * {yp})"
     theta = f"atan2({_pf(s)} * {xp}, {_pf(s)} * {yp})"
-    glat = (
-        f"degrees(asin(({_pf(C)} - {_pf((n / R) ** 2)} * {rho2}) "
-        f"/ {_pf(2.0 * n)}))"
-    )
+    # clamp like the ellipsoidal twin (crs.py _aea_ell_inv_sql): points
+    # at/inside the pole circle otherwise asin(>1) -> NaN in BOTH engines
+    # (oracle-invisible; r4 review finding)
+    sinphi = f"(({_pf(C)} - {_pf((n / R) ** 2)} * {rho2}) / {_pf(2.0 * n)})"
+    glat = f"degrees(asin(least(greatest({sinphi}, -1.0E0), 1.0E0)))"
     glon = _wrap_out_sql(f"degrees({theta}) / {_pf(n)} + {_pf(lon0)}")
     return glon, glat
 
@@ -1068,10 +1091,13 @@ def omerc_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
     sinh_v = f"(({ev} - {env}) / 2.0E0)"
     cosh_v = f"(({ev} + {env}) / 2.0E0)"
     tanh_v = f"(({ev} - {env}) / ({ev} + {env}))"
-    glat = (
-        f"degrees(asin({_pf(sp)} * {tanh_v} + {_pf(cp)} * sin({u}) "
-        f"/ {cosh_v}))"
+    sinphi = (
+        f"({_pf(sp)} * {tanh_v} + {_pf(cp)} * sin({u}) / {cosh_v})"
     )
+    # |tanh|<1 and |sin/cosh|<1 keep the sum inside (-sp-cp, sp+cp), but
+    # float rounding can still graze past 1 near the oblique pole — clamp
+    # (r4 review finding)
+    glat = f"degrees(asin(least(greatest({sinphi}, -1.0E0), 1.0E0)))"
     glon = _wrap_out_sql(
         f"degrees(atan2({_pf(sp)} * sin({u}) - {_pf(cp)} * {sinh_v}, "
         f"cos({u}))) + {_pf(lon0)}"

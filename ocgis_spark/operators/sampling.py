@@ -109,7 +109,13 @@ def temperature_mixture(
     with an externally computed rate table.
 
     Plan: one stratum-count hash agg, a broadcast rate join, a narrow
-    filter — the corpus is read once and never shuffled."""
+    filter — the corpus is read once and never shuffled.
+
+    NULL-stratum rows are EXCLUDED before counting: groupBy keeps a
+    NULL group whose (usually tiny) count would set n_min and crush
+    every real stratum's keep-rate, while the equi-join drops the
+    NULL rows themselves anyway (r4 review finding)."""
+    df = df.filter(F.col(stratum).isNotNull())
     counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_d"))
     n_min = counts.agg(F.min("n_d").alias("n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(

@@ -122,6 +122,10 @@ def _word_ngrams(df: DataFrame, text: str, n: int,
         base = base.filter(F.size("ws") >= min_words)
         last = F.size("ws") - n + 1
     else:
+        # size(null) = -1 with ANSI off: a NULL-text doc would otherwise
+        # emit one null-gram row (the historical posexplode build emitted
+        # nothing — r4 review finding)
+        base = base.filter(F.size("ws") >= 1)
         last = F.greatest(F.size("ws") - n + 1, F.lit(1))
     ex = base.select(
         "doc_id", "ws",

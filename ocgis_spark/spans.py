@@ -109,9 +109,15 @@ def chunk_spans(
     from pyspark.sql import Window
 
     ex = df.select("doc_id", F.posexplode(spans).alias("pos", "s"))
+    # greatest(size, 0): a text span with NULL text has size(null) = -1
+    # with ANSI off, which would DECREASE the prefix sum and corrupt every
+    # later chunk boundary in the doc (r4 review finding)
     cost = F.when(
         F.col("s.kind") == "text",
-        F.size(F.filter(F.split(F.col("s.text"), " "), lambda t: t != "")),
+        F.greatest(
+            F.size(F.filter(F.split(F.col("s.text"), " "), lambda t: t != "")),
+            F.lit(0),
+        ),
     ).otherwise(F.lit(media_token_cost)).cast("bigint")
     ex = ex.withColumn("span_tokens", cost)
     wsum = (

@@ -534,3 +534,24 @@ def test_trapezoid_decompose_disjoint_components():
     pieces = G.trapezoid_decompose([outer, hole, island])
     total = sum(abs(G.ring_area(p)) for p in pieces)
     assert abs(total - (64.0 - 36.0 + 4.0)) < 1e-10
+
+
+def test_convex_union_no_double_count_left_apex_trapezoid():
+    """Regression (r4 review): trapezoid_decompose of a left-apex triangle
+    emits a trailing duplicate vertex; the old _dedupe_closed_ring force-
+    kept it, the retained zero-length edge read as an all-zero half-plane
+    in convex_union_pieces, and the whole overlap region double-counted
+    (10.0 vs the true 8.5 on this case)."""
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    tri = np.array([[0.0, 0.0], [2.0, -1.0], [2.0, 1.0], [0.0, 0.0]])
+    sq = np.array([[1.0, -2.0], [3.0, -2.0], [3.0, 2.0], [1.0, 2.0],
+                   [1.0, -2.0]])
+    pieces = G.convex_union_pieces(G.polygon_convex_pieces([tri]) + [sq])
+    # no piece retains a zero-length edge
+    for p in pieces:
+        assert not ((p[1:] == p[:-1]).all(axis=1)).any()
+    total = sum(abs(G.ring_area(p)) for p in pieces)
+    assert abs(total - 8.5) < 1e-9

@@ -214,3 +214,31 @@ def test_unwrap_rings_with_holes():
     assert n_holes == [0, 1]
     total3 = sum(G.polygon_area(p) for p in pieces3)
     assert total3 == pytest.approx(40.0 * 20.0 - 10.0 * 10.0)
+
+
+def test_null_input_semantics_r4_review(spark):
+    """Three null-handling regressions from the r4 review, pinned:
+    repetition_ratio emits NO row for a NULL-text doc; temperature_mixture
+    excludes the NULL stratum from rate computation; chunk_spans charges a
+    NULL-text span 0 tokens (size(null) = -1 must not corrupt prefixes)."""
+    from pyspark.sql import functions as F
+
+    from ocgis_spark import spans as SP
+    from ocgis_spark.operators import sampling, text as T
+
+    rr = T.repetition_ratio(
+        spark.createDataFrame([(1, None), (2, "a b a b")],
+                              "doc_id long, text string"), n=2)
+    assert [r.doc_id for r in rr.collect()] == [2]
+
+    mix = sampling.temperature_mixture(
+        spark.createDataFrame(
+            [(i, None if i < 3 else "en") for i in range(1003)],
+            "doc_id long, lang string"), "lang")
+    assert mix.count() == 1000  # 'en' is the only stratum -> keeps all
+
+    ch = SP.chunk_spans(spark.createDataFrame(
+        [(1, [("text", None, "", 0), ("text", "w1 w2", "", 5)])],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")).collect()
+    assert [r.span_tokens for r in sorted(ch, key=lambda r: r.pos)] == [0, 2]
