@@ -294,9 +294,27 @@ def minhash_signatures_narrow(
     # NOTE: the lambda must be UNARY — F.transform passes the array index
     # as a second argument to binary callables (a `lambda s, i=i:` closure
     # silently receives the position instead of the captured seed)
+    if hash_fn == "md5":
+        # hoist the wide digest into its OWN projection: slicing inside
+        # each of the 8 per-hash transforms re-hashed every shingle per
+        # column (16 digests/shingle instead of 2 — r4 review finding).
+        # The multi-use, non-cheap alias blocks CollapseProject, so the
+        # wide array is computed once per row (plan-asserted pytest).
+        base = df.select(
+            "doc_id", *carry,
+            F.transform(shingles, _md5_wide).alias("_hs"),
+        )
+
+        def mk_slice(i: int):
+            return lambda h: F.substring(h, 1 + 8 * i, 8)
+
+        cols = [
+            F.array_min(F.transform(F.col("_hs"), mk_slice(i))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+        return base.select("doc_id", *carry, *cols)
+
     def mk(i: int):
-        if hash_fn == "md5":
-            return lambda s: F.substring(_md5_wide(s), 1 + 8 * i, 8)
         return lambda s: F.xxhash64(F.lit(i), s)
 
     cols = [

@@ -318,6 +318,23 @@ def custom_season_sql(
     return label, f"(CAST(year({ts}) AS INT) + {shift})"
 
 
+def interannual_need_expr(sets):
+    """CASE mapping a 'season' label column to the distinct-month count an
+    INTERANNUAL (year-wrapping) season needs to be complete; NULL for
+    non-wrapping seasons (no completeness rule). The single home of the
+    reference's 'unique'-flag incomplete-group drop
+    (``src/ocgis/variable/temporal.py:661-692``) — shared by the
+    aggregate form here and the facade's pre-calc window form
+    (ops.py _with_grouping_keys)."""
+    need = F.lit(None).cast("int")
+    for s in sets:
+        if is_interannual(s):
+            need = F.when(
+                F.col("season") == season_label_of(s), F.lit(len(list(s)))
+            ).otherwise(need)
+    return need
+
+
 def group_custom_seasons(
     df: DataFrame,
     month_sets,
@@ -351,11 +368,6 @@ def group_custom_seasons(
         F.countDistinct(F.month(ts)).alias("_nm"),
     )
     if year_flag == "unique":
-        need = F.lit(None).cast("int")
-        for s in sets:
-            if is_interannual(s):
-                need = F.when(
-                    F.col("season") == season_label_of(s), F.lit(len(s))
-                ).otherwise(need)
+        need = interannual_need_expr(sets)
         agg = agg.filter(need.isNull() | (F.col("_nm") == need))
     return agg.drop("_nm")

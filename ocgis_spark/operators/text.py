@@ -454,20 +454,11 @@ def dup_ngram_spans(df: DataFrame, text: str = "text", n: int = 8) -> DataFrame:
     minhash/simhash, which catch NEAR-duplicates but miss verbatim spans
     embedded in otherwise-distinct documents.
     """
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism, "doc_id")
-    ws = df.select("doc_id", F.split(F.col(text), " ").alias("ws")).filter(
-        F.size("ws") >= n
-    )
-    # explode positions + md5/array_join as PROJECTIONS (one codegen
-    # stage, r4s5) — array_join == concat_ws on a null-free array
-    grams = ws.select(
-        "doc_id", "ws",
-        F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("_i"),
-    ).select(
-        "doc_id",
-        F.md5(F.array_join(F.slice("ws", F.col("_i"), n), " ")).alias("gk"),
+    # the gram contract (repartition guard, explode+slice projections,
+    # short-doc rule) lives ONCE in _word_ngrams; this operator only adds
+    # the md5 key (fixed 32-char shuffle keys instead of raw text)
+    grams = _word_ngrams(df, text, n, min_words=n).select(
+        "doc_id", F.md5("g").alias("gk")
     )
     dup = (
         grams.groupBy("gk")

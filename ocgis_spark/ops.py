@@ -915,14 +915,7 @@ class OcgOperations:
                 # window pass sharing the group keys
                 from pyspark.sql import Window
 
-                need = F.lit(None).cast("int")
-                for s in sets:
-                    if temporal.is_interannual(s):
-                        need = F.when(
-                            F.col("season")
-                            == temporal.season_label_of(s),
-                            F.lit(len(list(s))),
-                        ).otherwise(need)
+                need = temporal.interannual_need_expr(sets)
                 w = Window.partitionBy(*keys)
                 nm = F.size(F.collect_set(F.month(ts)).over(w))
                 df = df.withColumn("_nm", nm).filter(

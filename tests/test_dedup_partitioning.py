@@ -265,3 +265,17 @@ def test_simhash_near_dups_finds_mutations(spark):
     assert {(1, 101), (2, 102), (3, 103)} <= got
     # unrelated originals must not pair
     assert not {(1, 2), (1, 3), (2, 3)} & got
+
+
+def test_narrow_md5_signatures_hash_once(spark):
+    """Regression (r4 review): slicing _md5_wide inside each per-hash
+    transform re-hashed every shingle per column (16 digests instead of
+    2); the hoisted projection must keep exactly 2 md5 calls in the
+    executed plan."""
+    from ocgis_spark.operators import dedup as D
+
+    plan = D.minhash_signatures_narrow(
+        spark.createDataFrame([(1, "abcdef")], "doc_id long, text string"),
+        hash_fn="md5",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5(") == 2
