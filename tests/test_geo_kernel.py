@@ -555,3 +555,72 @@ def test_convex_union_no_double_count_left_apex_trapezoid():
         assert not ((p[1:] == p[:-1]).all(axis=1)).any()
     total = sum(abs(G.ring_area(p)) for p in pieces)
     assert abs(total - 8.5) < 1e-9
+
+
+def test_convex_union_pieces_triangle_fuzz_disjoint_and_exact():
+    """Harder fuzz than the raster test: random TRIANGLES (whose trapezoid
+    decomposition produces the left/right-apex duplicate-vertex pieces
+    that hid the r4 double-count bug) unioned with random boxes. Asserts
+    BOTH invariants exactly: (a) pieces are pairwise interior-disjoint
+    (pairwise convex clip area ~ 0), (b) piece areas sum to the union
+    area from an inclusion-exclusion-free independent oracle (fine-grid
+    rasterization)."""
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(8):
+        rings = []
+        for _ in range(int(rng.integers(2, 5))):
+            if rng.integers(0, 2) == 0:
+                # random triangle (any orientation; may have axis-aligned
+                # apexes after decomposition)
+                pts = rng.uniform(0, 8, (3, 2))
+                if abs(G.ring_area(np.vstack([pts, pts[:1]]))) < 0.5:
+                    continue
+                rings.append(np.vstack([pts, pts[:1]]))
+            else:
+                x0, y0 = rng.uniform(0, 6, 2)
+                w, h = rng.uniform(1.0, 3.0, 2)
+                rings.append(np.array(
+                    [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                     [x0, y0 + h], [x0, y0]]))
+        if len(rings) < 2:
+            continue
+        pieces = G.convex_union_pieces(
+            [p for r in rings for p in G.polygon_convex_pieces([r])]
+        )
+        # (a) pairwise interior-disjoint
+        for i in range(len(pieces)):
+            pi = pieces[i]
+            m = max(len(p) - 1 for p in pieces)
+            for j in range(i + 1, len(pieces)):
+                pj = pieces[j][:-1]
+                pad = np.vstack([pj, np.repeat(pj[-1:], m - len(pj), 0)]) \
+                    if len(pj) < m else pj
+                area = G.batch_convex_clip_areas([pi], pad[None, :, :])[0]
+                assert area < 1e-7, (trial, i, j, area)
+        # (b) union area vs raster oracle
+        total = sum(abs(G.ring_area(p)) for p in pieces)
+        xs = np.linspace(-0.5, 11.5, 700)
+        ys = np.linspace(-0.5, 11.5, 700)
+        X, Y = np.meshgrid(xs, ys)
+        inside = np.zeros(X.shape, dtype=bool)
+        for r in rings:
+            rr = G._orient_ccw(r)
+            acc = np.zeros(X.shape, dtype=bool)
+            v = rr[:-1]
+            nv = len(v)
+            for k in range(nv):
+                x1, y1 = v[k]
+                x2, y2 = v[(k + 1) % nv]
+                cond = (y1 > Y) != (y2 > Y)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = x1 + (Y - y1) * (x2 - x1) / (y2 - y1)
+                acc ^= cond & (X < xint)
+            inside |= acc
+        cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+        raster = inside.sum() * cell
+        assert abs(total - raster) < max(0.05 * raster, 0.2), (
+            trial, total, raster)
