@@ -538,23 +538,33 @@ def test_trapezoid_decompose_disjoint_components():
 
 def test_convex_union_no_double_count_left_apex_trapezoid():
     """Regression (r4 review): trapezoid_decompose of a left-apex triangle
-    emits a trailing duplicate vertex; the old _dedupe_closed_ring force-
-    kept it, the retained zero-length edge read as an all-zero half-plane
-    in convex_union_pieces, and the whole overlap region double-counted
-    (10.0 vs the true 8.5 on this case)."""
+    emits a trailing duplicate vertex ([a,b,c,a,a]); fed into
+    convex_union_pieces (the holed-selection dissolve route), the
+    zero-length closing edge read as an all-zero half-plane and the whole
+    overlap region double-counted — A/B-verified 10.0 broken vs 8.5 fixed
+    on exactly this input. Pinned on BOTH defenses: the dedupe drops the
+    trailing run, and the sweep skips degenerate edges of stored pieces."""
     import numpy as np
 
     from ocgis_spark.geo import geometry as G
 
     tri = np.array([[0.0, 0.0], [2.0, -1.0], [2.0, 1.0], [0.0, 0.0]])
+    # the raw trapezoid_decompose output shape, duplicate vertex included
+    dup_tri = np.array(
+        [[0.0, 0.0], [2.0, -1.0], [2.0, 1.0], [0.0, 0.0], [0.0, 0.0]]
+    )
+    d = G._dedupe_closed_ring(dup_tri)
+    assert not ((d[1:] == d[:-1]).all(axis=1)).any() and len(d) == 4
     sq = np.array([[1.0, -2.0], [3.0, -2.0], [3.0, 2.0], [1.0, 2.0],
                    [1.0, -2.0]])
-    pieces = G.convex_union_pieces(G.polygon_convex_pieces([tri]) + [sq])
-    # no piece retains a zero-length edge
-    for p in pieces:
-        assert not ((p[1:] == p[:-1]).all(axis=1)).any()
-    total = sum(abs(G.ring_area(p)) for p in pieces)
-    assert abs(total - 8.5) < 1e-9
+    for first in (dup_tri, *G.polygon_convex_pieces([tri])):
+        pieces = G.convex_union_pieces([first, sq])
+        total = sum(abs(G.ring_area(p)) for p in pieces)
+        assert abs(total - 8.5) < 1e-9, (first, total)
+    # trapezoid_decompose itself now emits clean rings
+    for p in G.trapezoid_decompose([tri]):
+        dd = G._dedupe_closed_ring(p)
+        assert not ((dd[1:] == dd[:-1]).all(axis=1)).any()
 
 
 def test_convex_union_pieces_triangle_fuzz_disjoint_and_exact():
