@@ -565,6 +565,61 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, cents, queries, k=3, nprobe=2)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou et al. 2011): corpus encoded
+    to M=4 integer codes per vector (one narrow Arrow map), candidates
+    scored from codes + a broadcast per-query (M x K) dot-product lookup
+    table — raw vectors never reach the scoring join
+    (operators/similarity.py pq_*). Codebook from fixed table rows (the
+    ivf centroid-row convention) so the oracle rebuilds it exactly."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = similarity.pq_codebook_from_rows(emb)
+    queries = emb.filter(F.col("vec_id").between(100, 104))
+    return similarity.pq_topk(emb, cb, queries, k=3)
+
+
+def _pq_topk_sql() -> str:
+    from ocgis_spark.operators.similarity import PQ_K, PQ_M
+
+    d = 64
+    ds = d // PQ_M
+
+    def sl(col, sub):
+        return f"{col}[{sub}*{ds}+1 : {sub}*{ds}+{ds}]"
+
+    xs, cs = sl("v.emb", "c.sub"), "c.cbv"
+    d2 = (
+        f"round(list_dot_product({xs}, {xs}) "
+        f"- 2.0E0 * list_dot_product({xs}, {cs}) "
+        f"+ list_dot_product({cs}, {cs}), 6)"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        f"cb AS (SELECT s.sub, e.vec_id AS code, "
+        f"{sl('e.emb', 's.sub')} AS cbv FROM e CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s "
+        f"WHERE e.vec_id < {PQ_K}), "
+        "codes AS (SELECT vec_id, sub, code FROM ("
+        "SELECT v.vec_id, c.sub, c.code, row_number() OVER ("
+        f"PARTITION BY v.vec_id, c.sub ORDER BY {d2} ASC, c.code) AS rn "
+        "FROM e v CROSS JOIN cb c) t WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e "
+        "WHERE vec_id BETWEEN 100 AND 104), "
+        "lut AS (SELECT q.query_id, c.sub, c.code, "
+        f"round(list_dot_product({sl('q.q_emb', 'c.sub')}, c.cbv), 6) "
+        "AS part FROM q CROSS JOIN cb c), "
+        "sc AS (SELECT l.query_id, k.vec_id, round(sum(l.part), 6) AS adc "
+        "FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code "
+        "WHERE k.vec_id <> l.query_id GROUP BY l.query_id, k.vec_id) "
+        "SELECT query_id, vec_id, adc, CAST(rn AS INT) AS rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc DESC, vec_id) AS rn FROM sc) t WHERE rn <= 3"
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: gap > 30 min starts a new session per user; emits
     per-session stats (a canonical training-pipeline event op)."""
@@ -3197,6 +3252,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn "
             "FROM cand) t WHERE rn <= 3"
         ),
+        "pq_topk": _pq_topk_sql(),
         "sessionize": (
             "WITH flagged AS (SELECT user_id, event_id, ts, value, "
             "CASE WHEN lag(epoch(ts)) OVER w IS NULL "
@@ -3794,7 +3850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_duration": q_freq_duration,
         "freq_perc": q_freq_perc,
         "heat_index": q_heat_index,
-        "eval_expr": q_eval_expr,
+        # pq_topk is NEW r4 code (similarity.py pq_*) — it takes the
+        # window slot of eval_expr (r1-green, code untouched since r1),
+        # which rotates back in r5
+        "pq_topk": q_pq_topk,
         "icclim_SU": q_icclim_su,
         "icclim_CDD": q_icclim_cdd,
         "snippet_first": q_snippet_first,
@@ -3833,6 +3892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (50) ----
         "agg_selection_clip_holed": q_agg_selection_clip_holed,
         "multifile_union": q_multifile_union,
+        "eval_expr": q_eval_expr,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "ngram_jaccard": q_ngram_jaccard,

@@ -338,3 +338,181 @@ def lsh_buckets(emb: DataFrame, planes: DataFrame, n_planes: int = 4) -> DataFra
     return emb.select(
         "vec_id", bucket_expr(_collect_planes(planes)).alias("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the memory-scale half of the IVF story
+# above. IVF prunes WHICH vectors a query touches; PQ shrinks WHAT is
+# stored and scanned per vector: each D-dim embedding becomes M small
+# integer codes (argmin sub-vector centroid per subspace), and search
+# scores candidates from the codes + a per-query (M x K) lookup table —
+# the raw vectors never move. At 100 TB that is the difference between
+# scanning 256 B/vector of float and M bytes/vector of codes with the
+# LUT broadcast.
+#
+# The codebook argument everywhere is a (sub, code, cb) DataFrame so the
+# oracle-gated queries can derive it from FIXED table rows (same trick as
+# the ivf_* centroid-row convention); pq_train builds a real one via
+# per-subspace k-means on the deterministic hash sample.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codes per subspace
+
+
+def pq_codebook_from_rows(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """Deterministic codebook from the first ``k`` corpus rows: subspace
+    ``s``'s code ``c`` is that slice of row ``c`` — reconstructible in SQL
+    (the ivf centroid-row convention, so the DuckDB oracle rebuilds it
+    bit-for-bit)."""
+    rows = emb.filter(F.col("vec_id") < k).select("vec_id", "embedding")
+    dsub = F.floor(F.size("embedding") / m).cast("int")
+    out = rows.select(
+        F.col("vec_id").cast("int").alias("code"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "embedding",
+    )
+    return out.select(
+        "sub", "code",
+        F.slice("embedding", F.col("sub") * dsub + 1, dsub).alias("cb"),
+    )
+
+
+def _collect_codebook(codebooks: DataFrame) -> np.ndarray:
+    """(M, K, dsub) dense tensor, ordered by (sub, code)."""
+    rows = sorted(
+        ((int(r["sub"]), int(r["code"]), [float(x) for x in r["cb"]])
+         for r in codebooks.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    m = max(s for s, _, _ in rows) + 1
+    k = max(c for _, c, _ in rows) + 1
+    dsub = len(rows[0][2])
+    C = np.zeros((m, k, dsub), dtype="f8")
+    for s, c, v in rows:
+        C[s, c] = v
+    return C
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>): per subspace, the L2-nearest codebook
+    entry (distances rounded HALF_UP at 6 before the argmin, ties to the
+    smallest code — the oracle's expression, same convention as
+    ``ivf_assign``). One Arrow batch matmul per subspace inside a pure
+    NARROW map: the corpus is scanned once, never shuffled, and the plan
+    size is independent of M*K (the codebook rides the UDF closure)."""
+    C = _collect_codebook(codebooks)
+    m, k, dsub = C.shape
+    cnorm2 = (C * C).sum(axis=2)  # (M, K)
+
+    @F.pandas_udf("array<int>")
+    def codes(emb_s: pd.Series) -> pd.Series:
+        X = np.array(emb_s.tolist(), dtype="f8")[:, : m * dsub]
+        Xs = X.reshape(len(X), m, dsub)  # (B, M, dsub)
+        out = np.empty((len(X), m), dtype="i4")
+        for s in range(m):
+            d2 = (
+                (Xs[:, s] * Xs[:, s]).sum(axis=1)[:, None]
+                - 2.0 * (Xs[:, s] @ C[s].T)
+                + cnorm2[s][None, :]
+            )
+            out[:, s] = np.argmin(_round_half_up(d2, 6), axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return emb.select("vec_id", codes(F.col("embedding")).alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame, codebooks: DataFrame, queries: DataFrame, k: int = 3
+) -> DataFrame:
+    """ADC top-k by inner product: candidates are scored from their CODES
+    plus a per-query (M x K) dot-product lookup table — the raw corpus
+    vectors never reach the scoring join. Fully relational: codes
+    posexplode + broadcast LUT join + one (query, vec) hash agg + the
+    per-query rank window; every arithmetic step (per-sub dot rounded at
+    6, summed, re-rounded) is replayed verbatim by the DuckDB oracle."""
+    # posexplode_OUTER: plain posexplode injects a size()>0 + isnotnull
+    # pre-filter that references the UDF column, and the optimizer then
+    # evaluates the encode UDF TWICE (once for the filter, once for the
+    # generate — seen in the executed plan). codes is always a non-null
+    # M-array, so the outer variant is semantically identical and keeps
+    # one ArrowEvalPython (plan-asserted pytest).
+    cods = pq_encode(emb, codebooks).select(
+        "vec_id", F.posexplode_outer("codes").alias("sub", "code")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dsub = F.size("cb")
+    lut = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id", "sub", "code",
+            F.round(
+                _dot(F.slice("q_emb", F.col("sub") * dsub + 1, dsub),
+                     F.col("cb")),
+                6,
+            ).alias("part"),
+        )
+    )
+    scored = (
+        cods.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("part"), 6).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    max_sample: int = 10_000,
+    iters: int = 10,
+) -> DataFrame:
+    """Train a real PQ codebook: per-subspace L2 k-means on the same
+    deterministic hash-ordered sample as :func:`ivf_train` (bounded
+    driver-side work — the FAISS build convention); encoding the full
+    corpus stays distributed via :func:`pq_encode`. Deterministic
+    farthest-point init per subspace. Returns the (sub, code, cb) frame
+    ``pq_encode``/``pq_topk`` take."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")))
+        .limit(max_sample)
+        .collect()
+    )
+    X = np.array([[float(v) for v in r["embedding"]] for r in rows], dtype="f8")
+    dsub = X.shape[1] // m
+    out_rows = []
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        seeds = [0]
+        d = ((Xs - Xs[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            nxt = int(np.argmax(d))
+            seeds.append(nxt)
+            d = np.minimum(d, ((Xs - Xs[nxt]) ** 2).sum(axis=1))
+        C = Xs[seeds].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = Xs[assign == j]
+                if len(members) == 0:
+                    C[j] = Xs[int(np.argmax(d2.min(axis=1)))]
+                else:
+                    C[j] = members.mean(axis=0)
+        out_rows.extend(
+            {"sub": s, "code": c, "cb": C[c].tolist()} for c in range(k)
+        )
+    pdf = pd.DataFrame(out_rows)
+    return emb.sparkSession.createDataFrame(
+        pdf, schema="sub int, code int, cb array<double>"
+    )

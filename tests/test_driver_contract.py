@@ -20,15 +20,16 @@ ROUND4_WINDOW_OPS = [
     # round-4 additions
     "transform_lcc", "transform_albers", "transform_stereo",
     "group_season_custom", "transform_omerc", "ops_chain_lcc",
-    "tfidf_top_terms", "chunk_spans", "bloom_decontaminate",
-    # r1-stale refresh batch (multifile_union — r1-green, code untouched
-    # since r1 — gave its slot to the new bloom_decontaminate; it sits
-    # just past the boundary and rotates back in r5)
+    "tfidf_top_terms", "chunk_spans", "bloom_decontaminate", "pq_topk",
+    # r1-stale refresh batch (multifile_union and eval_expr — r1-green,
+    # code untouched since r1 — gave their slots to the new
+    # bloom_decontaminate and pq_topk; they sit just past the boundary
+    # and rotate back in r5)
     "multimodal_features", "top_tokens", "daily_perc_window",
     "chunk_documents", "clean_text", "train_test_split", "time_range",
     "time_region", "group_month", "group_season", "set_functions",
     "moving_window", "duration", "group_day", "between_threshold",
-    "convolve", "freq_duration", "freq_perc", "heat_index", "eval_expr",
+    "convolve", "freq_duration", "freq_perc", "heat_index",
     "icclim_SU", "icclim_CDD", "snippet_first",
     "intersects_multi", "ops_facade", "zonal_stats",
 ]
