@@ -516,3 +516,69 @@ def pq_train(
     return emb.sparkSession.createDataFrame(
         pdf, schema="sub int, code int, cb array<double>"
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ search (the FAISS IndexIVFPQ shape — both scale levers at
+    once): IVF bounds WHICH vectors a query touches (only the ``nprobe``
+    probed lists), PQ bounds WHAT is scanned per vector (integer codes +
+    the broadcast per-query LUT; raw embeddings appear nowhere after the
+    one-off encode/assign maps). Returns ADC top-k within the probed
+    lists — the candidate-generation stage of the standard two-stage
+    search; exact re-rank joins the raw vectors for the ≤ k survivors
+    only."""
+    lists = ivf_assign(emb, centroids).select("vec_id", "bucket")
+    cods = pq_encode(emb, codebooks).select(
+        "vec_id", F.posexplode_outer("codes").alias("sub", "code")
+    ).join(lists, "vec_id")
+
+    c = centroids.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qprobe = q.crossJoin(F.broadcast(c)).select(
+        "query_id", "q_emb", "cid",
+        F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", F.col("cid").alias("bucket"))
+    )
+
+    dsub = F.size("cb")
+    lut = (
+        probes.select("query_id", "q_emb").distinct()
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id", "sub", "code",
+            F.round(
+                _dot(F.slice("q_emb", F.col("sub") * dsub + 1, dsub),
+                     F.col("cb")),
+                6,
+            ).alias("part"),
+        )
+    )
+    cand = cods.join(
+        F.broadcast(probes.select("query_id", "bucket")), "bucket"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("part"), 6).alias("adc"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -270,3 +270,22 @@ def test_pq_topk_plan_single_encode_no_vector_join(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivfpq_topk_matches_pq_within_probed_lists(spark):
+    """IVF-PQ == PQ restricted to the probed lists (same ADC arithmetic),
+    and with nprobe = all lists it equals plain pq_topk exactly."""
+    df, _ = _emb_df(spark, 200, 64, seed=3)
+    cb = similarity.pq_codebook_from_rows(df)
+    cents = df.filter(F.col("vec_id") < 8)
+    q = df.filter(F.col("vec_id").between(100, 102))
+    full = similarity.ivfpq_topk(df, cents, cb, q, k=5, nprobe=8)
+    plain = similarity.pq_topk(df, cb, q, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, plain.collect()))
+    # nprobe=1 returns at most k per query, all from probed buckets
+    n1 = similarity.ivfpq_topk(df, cents, cb, q, k=5, nprobe=1)
+    counts = {r["query_id"]: 0 for r in n1.collect()}
+    for r in n1.collect():
+        counts[r["query_id"]] += 1
+    assert all(v <= 5 for v in counts.values())
