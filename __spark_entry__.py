@@ -620,6 +620,79 @@ def _pq_topk_sql() -> str:
     )
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search (FAISS IndexIVFPQ shape): nprobe=2 of 8 fixed-row
+    centroid lists, ADC scoring from PQ codes within the probed lists
+    (operators/similarity.py ivfpq_topk). Oracle composes the ivf_topk
+    and pq_topk CTE machinery."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8)
+    cb = similarity.pq_codebook_from_rows(emb)
+    queries = emb.filter(F.col("vec_id").between(100, 104))
+    return similarity.ivfpq_topk(emb, cents, cb, queries, k=3, nprobe=2)
+
+
+def _ivfpq_topk_sql() -> str:
+    from ocgis_spark.operators.similarity import PQ_K, PQ_M
+
+    d = 64
+    ds = d // PQ_M
+
+    def sl(col, sub):
+        return f"{col}[{sub}*{ds}+1 : {sub}*{ds}+{ds}]"
+
+    xs, cs = sl("v.emb", "c.sub"), "c.cbv"
+    d2 = (
+        f"round(list_dot_product({xs}, {xs}) "
+        f"- 2.0E0 * list_dot_product({xs}, {cs}) "
+        f"+ list_dot_product({cs}, {cs}), 6)"
+    )
+    cos = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        "cen AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8), "
+        "assign AS (SELECT vec_id, cid AS bucket FROM ("
+        "SELECT v.vec_id, c.cid, row_number() OVER ("
+        "PARTITION BY v.vec_id ORDER BY "
+        + cos.format(a="v.emb", b="c.c_emb")
+        + " DESC, c.cid) AS rn FROM e v CROSS JOIN cen c) t WHERE rn = 1), "
+        f"cb AS (SELECT s.sub, e.vec_id AS code, "
+        f"{sl('e.emb', 's.sub')} AS cbv FROM e CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s "
+        f"WHERE e.vec_id < {PQ_K}), "
+        "codes AS (SELECT vec_id, sub, code FROM ("
+        "SELECT v.vec_id, c.sub, c.code, row_number() OVER ("
+        f"PARTITION BY v.vec_id, c.sub ORDER BY {d2} ASC, c.code) AS rn "
+        "FROM e v CROSS JOIN cb c) t WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e "
+        "WHERE vec_id BETWEEN 100 AND 104), "
+        "probes AS (SELECT query_id, q_emb, cid AS bucket FROM ("
+        "SELECT q.query_id, q.q_emb, c.cid, row_number() OVER ("
+        "PARTITION BY q.query_id ORDER BY "
+        + cos.format(a="q.q_emb", b="c.c_emb")
+        + " DESC, c.cid) AS rn FROM q CROSS JOIN cen c) t WHERE rn <= 2), "
+        "lut AS (SELECT q.query_id, c.sub, c.code, "
+        f"round(list_dot_product({sl('q.q_emb', 'c.sub')}, c.cbv), 6) "
+        "AS part FROM (SELECT DISTINCT query_id, q_emb FROM probes) q "
+        "CROSS JOIN cb c), "
+        "sc AS (SELECT p.query_id, k.vec_id, round(sum(l.part), 6) AS adc "
+        "FROM codes k JOIN assign a ON a.vec_id = k.vec_id "
+        "JOIN probes p ON p.bucket = a.bucket AND p.query_id <> k.vec_id "
+        "JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub "
+        "AND l.code = k.code "
+        "GROUP BY p.query_id, k.vec_id) "
+        "SELECT query_id, vec_id, adc, CAST(rn AS INT) AS rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc DESC, vec_id) AS rn FROM sc) t WHERE rn <= 3"
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: gap > 30 min starts a new session per user; emits
     per-session stats (a canonical training-pipeline event op)."""
@@ -3253,6 +3326,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM cand) t WHERE rn <= 3"
         ),
         "pq_topk": _pq_topk_sql(),
+        "ivfpq_topk": _ivfpq_topk_sql(),
         "sessionize": (
             "WITH flagged AS (SELECT user_id, event_id, ts, value, "
             "CASE WHEN lag(epoch(ts)) OVER w IS NULL "
@@ -3898,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ivf_topk": q_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "decontaminate": q_decontaminate,
         "repetition_ratio": q_repetition_ratio,
         "feature_hash_embed": q_feature_hash_embed,
