@@ -582,3 +582,50 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_search(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    expand: int = 8,
+) -> DataFrame:
+    """The complete two-stage ANN search as one call (the production
+    shape): IVF-PQ candidate generation (``ivfpq_topk`` with
+    ``k*expand`` candidates — codes + LUT only) followed by EXACT cosine
+    re-rank that joins raw vectors for the surviving candidates alone.
+    Returns (query_id, vec_id, cos, rank) shaped like
+    :func:`brute_topk`, so accuracy is a drop-in comparison. At 100 TB
+    the corpus-sized stages never touch raw embeddings; the exact stage
+    reads ``|queries| * k * expand`` vectors via an equi-join."""
+    cand = ivfpq_topk(
+        emb, centroids, codebooks, queries, k=k * expand, nprobe=nprobe
+    ).select("query_id", "vec_id")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    emb_n = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("e_nrm")
+    )
+    scored = (
+        cand.join(emb_n, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("e_nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -289,3 +289,22 @@ def test_ivfpq_topk_matches_pq_within_probed_lists(spark):
     for r in n1.collect():
         counts[r["query_id"]] += 1
     assert all(v <= 5 for v in counts.values())
+
+
+def test_ann_search_two_stage_equals_brute_when_exhaustive(spark):
+    """ann_search with exhaustive probing + full expansion must equal
+    brute_topk row-for-row (same output shape, same exact re-rank); with
+    tight settings it stays a valid top-k subset of its own candidates."""
+    df, _ = _emb_df(spark, 150, 64, seed=9)
+    cents = df.filter(F.col("vec_id") < 8)
+    cb = similarity.pq_codebook_from_rows(df)
+    q = df.filter(F.col("vec_id").between(100, 102))
+    full = similarity.ann_search(df, cents, cb, q, k=5, nprobe=8, expand=30)
+    brute = similarity.brute_topk(df, q, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, brute.collect()))
+    tight = similarity.ann_search(df, cents, cb, q, k=5, nprobe=2, expand=4)
+    per_q = {}
+    for r in tight.collect():
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
