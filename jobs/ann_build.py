@@ -16,9 +16,10 @@ raw embedding — `similarity.pq_encode` is one narrow Arrow map). Both
 trainings run on the same deterministic hash-ordered sample (bounded
 driver-side work, the FAISS build convention), so a killed build rerun
 produces identical artifacts. Outputs are plain parquet tables
-(`centroids/`, `lists/`, `codebooks/`, `codes/`) + a conv_meta lineage
-record, ready for the two-stage search: PQ candidate generation
-(`pq_topk`) -> exact re-rank within the candidates.
+(`centroids/`, `codebooks/`, and the serving table `index/` =
+(vec_id, bucket, codes) from ONE narrow pass) + a conv_meta lineage
+record; `--probe` demonstrates the two-stage search (`ann_search`)
+against the artifacts read back from disk.
 """
 
 from __future__ import annotations
@@ -51,6 +52,8 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
 
@@ -63,16 +66,17 @@ def main() -> None:
 
     cents = S.ivf_train(emb, k=args.ivf_k, max_sample=args.sample)
     cents.write.mode("overwrite").parquet(os.path.join(args.output, "centroids"))
-    lists = S.ivf_assign(emb, cents).select("vec_id", "bucket")
-    lists.write.mode("overwrite").parquet(os.path.join(args.output, "lists"))
-
     cb = S.pq_train(emb, m=args.pq_m, k=args.pq_k, max_sample=args.sample)
     cb.write.mode("overwrite").parquet(os.path.join(args.output, "codebooks"))
-    codes = S.pq_encode(emb, cb)
-    codes.write.mode("overwrite").parquet(os.path.join(args.output, "codes"))
+
+    # the serving table: (vec_id, bucket, codes) from ONE narrow pass —
+    # searches prune lists by broadcast-joining on bucket and score from
+    # codes; the raw corpus is never re-encoded per query batch
+    idx = S.pq_index(emb, cents, cb)
+    idx.write.mode("overwrite").parquet(os.path.join(args.output, "index"))
 
     conv.convert_meta_only(
-        codes, os.path.join(args.output, "index"),
+        idx, os.path.join(args.output, "index"),
         ops_doc={"job": "ann_build", "ivf_k": args.ivf_k,
                  "pq_m": args.pq_m, "pq_k": args.pq_k,
                  "input": args.input},
@@ -84,12 +88,18 @@ def main() -> None:
     if args.probe:
         ids = [int(v) for v in args.probe.split(",")]
         queries = emb.filter(F.col("vec_id").isin(ids))
-        hits = S.pq_topk(emb, cb, queries, k=args.topk).orderBy(
-            "query_id", "rank"
-        )
+        # search the WRITTEN artifacts (read back), not the in-memory
+        # frames — proves the persisted index serves queries
+        cents_r = spark.read.parquet(os.path.join(args.output, "centroids"))
+        cb_r = spark.read.parquet(os.path.join(args.output, "codebooks"))
+        idx_r = spark.read.parquet(os.path.join(args.output, "index"))
+        hits = S.ann_search(
+            emb, cents_r, cb_r, queries, k=args.topk, nprobe=2,
+            index=idx_r,
+        ).orderBy("query_id", "rank")
         for r in hits.collect():
             print(f"  q={r['query_id']} -> vec {r['vec_id']} "
-                  f"(adc {r['adc']}, rank {r['rank']})")
+                  f"(cos {r['cos']}, rank {r['rank']})")
 
     spark.stop()
 

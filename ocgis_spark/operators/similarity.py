@@ -247,11 +247,17 @@ def ivf_train(
     for _ in range(iters):
         sim = X @ C.T
         assign = np.argmax(sim, axis=1)
+        served = sim.max(axis=1)
         for j in range(k):
             members = X[assign == j]
             if len(members) == 0:
-                # reseed empty cluster to the globally worst-served point
-                C[j] = X[int(np.argmin(sim.max(axis=1)))]
+                # reseed to the globally worst-served point, updating the
+                # served similarity between reseeds (two empty clusters in
+                # one iteration otherwise grab the SAME point — duplicate
+                # centroids; r4 review finding)
+                pick = int(np.argmin(served))
+                C[j] = X[pick]
+                served = np.maximum(served, X @ C[j])
                 continue
             m = members.mean(axis=0)
             n = np.linalg.norm(m)
@@ -380,14 +386,28 @@ def pq_codebook_from_rows(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataF
 
 
 def _collect_codebook(codebooks: DataFrame) -> np.ndarray:
-    """(M, K, dsub) dense tensor, ordered by (sub, code)."""
+    """(M, K, dsub) dense tensor, ordered by (sub, code). The (sub, code)
+    grid must be COMPLETE: a silent zero-fill would let pq_encode emit a
+    phantom code whose LUT row doesn't exist, and the scoring inner join
+    would then drop that subspace's term from the ADC sum with no error
+    (r4 review finding) — fail loudly instead."""
     rows = sorted(
         ((int(r["sub"]), int(r["code"]), [float(x) for x in r["cb"]])
          for r in codebooks.collect()),
         key=lambda t: (t[0], t[1]),
     )
+    if not rows:
+        raise ValueError("empty PQ codebook")
     m = max(s for s, _, _ in rows) + 1
     k = max(c for _, c, _ in rows) + 1
+    want = {(s, c) for s in range(m) for c in range(k)}
+    have = {(s, c) for s, c, _ in rows}
+    if have != want:
+        raise ValueError(
+            f"PQ codebook has gaps: missing (sub, code) {sorted(want - have)[:8]} "
+            "(pq_codebook_from_rows needs contiguous vec_id 0..K-1 rows; "
+            "train a real codebook with pq_train otherwise)"
+        )
     dsub = len(rows[0][2])
     C = np.zeros((m, k, dsub), dtype="f8")
     for s, c, v in rows:
@@ -395,7 +415,9 @@ def _collect_codebook(codebooks: DataFrame) -> np.ndarray:
     return C
 
 
-def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_encode(
+    emb: DataFrame, codebooks: DataFrame, carry: tuple = ()
+) -> DataFrame:
     """(vec_id, codes array<int>): per subspace, the L2-nearest codebook
     entry (distances rounded HALF_UP at 6 before the argmin, ties to the
     smallest code — the oracle's expression, same convention as
@@ -420,11 +442,14 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
             out[:, s] = np.argmin(_round_half_up(d2, 6), axis=1)
         return pd.Series([row.tolist() for row in out])
 
-    return emb.select("vec_id", codes(F.col("embedding")).alias("codes"))
+    return emb.select(
+        "vec_id", *carry, codes(F.col("embedding")).alias("codes")
+    )
 
 
 def pq_topk(
-    emb: DataFrame, codebooks: DataFrame, queries: DataFrame, k: int = 3
+    emb: DataFrame, codebooks: DataFrame, queries: DataFrame, k: int = 3,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k by inner product: candidates are scored from their CODES
     plus a per-query (M x K) dot-product lookup table — the raw corpus
@@ -438,7 +463,11 @@ def pq_topk(
     # generate — seen in the executed plan). codes is always a non-null
     # M-array, so the outer variant is semantically identical and keeps
     # one ArrowEvalPython (plan-asserted pytest).
-    cods = pq_encode(emb, codebooks).select(
+    # ``codes``: a prebuilt (vec_id, codes) table (jobs/ann_build.py
+    # artifact) — at scale the one-off encode must not rerun per query
+    # batch (r4 review finding)
+    cods = (codes if codes is not None
+            else pq_encode(emb, codebooks)).select(
         "vec_id", F.posexplode_outer("codes").alias("sub", "code")
     )
     q = queries.select(
@@ -503,10 +532,19 @@ def pq_train(
         for _ in range(iters):
             d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)
+            served = d2.min(axis=1)
             for j in range(k):
                 members = Xs[assign == j]
                 if len(members) == 0:
-                    C[j] = Xs[int(np.argmax(d2.min(axis=1)))]
+                    # reseed to the worst-served point and UPDATE the
+                    # served distances before the next reseed — a stale
+                    # d2 gave every empty cluster the same point
+                    # (duplicate dead codes; r4 review finding)
+                    pick = int(np.argmax(served))
+                    C[j] = Xs[pick]
+                    served = np.minimum(
+                        served, ((Xs - C[j]) ** 2).sum(axis=1)
+                    )
                 else:
                     C[j] = members.mean(axis=0)
         out_rows.extend(
@@ -518,6 +556,20 @@ def pq_train(
     )
 
 
+def pq_index(
+    emb: DataFrame, centroids: DataFrame, codebooks: DataFrame
+) -> DataFrame:
+    """The serving index in ONE narrow pass: (vec_id, bucket, codes) —
+    IVF list assignment and PQ codes computed together so the bucket
+    rides the codes row (downstream search prunes lists with a broadcast
+    join on ``bucket``; the earlier shape equi-joined the corpus-wide
+    codes with the corpus-wide lists on vec_id — a corpus-corpus shuffle
+    for information both one-pass maps already had, r4 review finding).
+    This is the table ``jobs/ann_build.py`` persists."""
+    assigned = ivf_assign(emb, centroids)  # vec_id, embedding, bucket
+    return pq_encode(assigned, codebooks, carry=("bucket",))
+
+
 def ivfpq_topk(
     emb: DataFrame,
     centroids: DataFrame,
@@ -525,19 +577,24 @@ def ivfpq_topk(
     queries: DataFrame,
     k: int = 3,
     nprobe: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search (the FAISS IndexIVFPQ shape — both scale levers at
     once): IVF bounds WHICH vectors a query touches (only the ``nprobe``
-    probed lists), PQ bounds WHAT is scanned per vector (integer codes +
-    the broadcast per-query LUT; raw embeddings appear nowhere after the
-    one-off encode/assign maps). Returns ADC top-k within the probed
-    lists — the candidate-generation stage of the standard two-stage
-    search; exact re-rank joins the raw vectors for the ≤ k survivors
-    only."""
-    lists = ivf_assign(emb, centroids).select("vec_id", "bucket")
-    cods = pq_encode(emb, codebooks).select(
-        "vec_id", F.posexplode_outer("codes").alias("sub", "code")
-    ).join(lists, "vec_id")
+    probed lists — pruned by a broadcast join on the ``bucket`` column
+    the index row already carries, no corpus-corpus join), PQ bounds
+    WHAT is scanned per vector (integer codes + the broadcast per-query
+    LUT; raw embeddings appear nowhere after the one-pass index map).
+    Pass a prebuilt ``index`` (the ``pq_index``/ann_build artifact) so
+    repeated query batches never re-encode the corpus. Returns ADC
+    top-k within the probed lists — the candidate-generation stage of
+    the standard two-stage search; exact re-rank joins the raw vectors
+    for the ≤ k survivors only."""
+    idx = index if index is not None else pq_index(emb, centroids, codebooks)
+    cods = idx.select(
+        "vec_id", "bucket",
+        F.posexplode_outer("codes").alias("sub", "code"),
+    )
 
     c = centroids.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
@@ -592,6 +649,7 @@ def ann_search(
     k: int = 3,
     nprobe: int = 2,
     expand: int = 8,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """The complete two-stage ANN search as one call (the production
     shape): IVF-PQ candidate generation (``ivfpq_topk`` with
@@ -602,7 +660,8 @@ def ann_search(
     the corpus-sized stages never touch raw embeddings; the exact stage
     reads ``|queries| * k * expand`` vectors via an equi-join."""
     cand = ivfpq_topk(
-        emb, centroids, codebooks, queries, k=k * expand, nprobe=nprobe
+        emb, centroids, codebooks, queries, k=k * expand, nprobe=nprobe,
+        index=index,
     ).select("query_id", "vec_id")
     q = queries.select(
         F.col("vec_id").alias("query_id"),

@@ -102,3 +102,18 @@ def test_round3_conversion_sites_without_arrow(spark):
 
         out = knn.knn_cells(cells, GOLDEN_GRID, -104.0, 38.5, k=3)
         assert out.count() == 3
+
+
+def test_pq_train_without_arrow(spark):
+    """pq_train's createDataFrame(pandas) site carries a non-scalar 'cb'
+    column — the explicit schema must keep it working on a plain session
+    (CLAUDE.md conversion-site rule)."""
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(64, 16))
+    rows = [(int(i), mat[i].tolist()) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with no_arrow(spark):
+        cb = SIM.pq_train(emb, m=4, k=4, max_sample=64, iters=3)
+        got = cb.orderBy("sub", "code").collect()
+    assert len(got) == 16
+    assert all(len(r["cb"]) == 4 for r in got)
