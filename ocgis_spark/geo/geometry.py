@@ -70,7 +70,16 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     against one ring (boundary points are NOT guaranteed in/out — combine
     with :func:`points_on_ring` for boundary semantics). Chunked over
     points so the broadcast temporaries stay cache-sized at any ring
-    vertex count."""
+    vertex count.
+
+    Closure-ROBUST: the even-odd cast needs the closing edge; an open
+    ring silently misclassified every interior point while the clip
+    kernels (which accept open rings) stayed correct — the mixed
+    contract bit at the facade ingress (r4 review finding). Closing here
+    fixes every caller at once; the vstack is selection-ring-sized."""
+    ring = np.asarray(ring, dtype="f8")
+    if len(ring) >= 3 and not (ring[0] == ring[-1]).all():
+        ring = np.vstack([ring, ring[:1]])
     n = len(px)
     chunk = _pip_chunk(len(ring) - 1)
     if n <= chunk:
@@ -339,6 +348,29 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
                 ):
                     blocked = True
                     break
+            # vertex containment alone is NOT sufficient: a boundary
+            # chain can slice through the candidate ear with both edge
+            # endpoints outside the triangle (r4 review fuzz found live
+            # cases — the clipped 'ear' then overlapped the chain and
+            # piece areas overcounted). The diagonal (a, c) must not
+            # properly cross any non-adjacent polygon edge.
+            if not blocked:
+                for j in range(n):
+                    u, v = pts[j], pts[(j + 1) % n]
+                    if a in (u, v) or c in (u, v):
+                        continue
+                    d1 = _cross(a, c, u)
+                    d2 = _cross(a, c, v)
+                    d3 = _cross(u, v, a)
+                    d4 = _cross(u, v, c)
+                    if (
+                        ((d1 > EPS_AREA and d2 < -EPS_AREA)
+                         or (d1 < -EPS_AREA and d2 > EPS_AREA))
+                        and ((d3 > EPS_AREA and d4 < -EPS_AREA)
+                             or (d3 < -EPS_AREA and d4 > EPS_AREA))
+                    ):
+                        blocked = True
+                        break
             if blocked:
                 continue
             tris.append(np.array([a, b, c, a], dtype="f8"))
@@ -387,13 +419,28 @@ def trapezoid_decompose(rings: list[np.ndarray]) -> list[np.ndarray]:
     Piece areas sum to outer − holes (checked; a mismatch means the
     input self-intersects). Driver-side on selection geometries only —
     O(V^2) pieces worst case, never corpus-sized."""
-    edges = []
+    closed = []
     for ring in rings:
         r = np.asarray(ring, dtype="f8")
-        r = r if (r[0] == r[-1]).all() else np.vstack([r, r[:1]])
+        closed.append(r if (r[0] == r[-1]).all() else np.vstack([r, r[:1]]))
+    edges = []
+    for r in closed:
         for p, q in zip(r[:-1], r[1:]):
             if p[0] != q[0]:        # vertical edges never cross a slab mid
                 edges.append((p, q))
+
+    def y_at(p, q, x):
+        # ENDPOINT-EXACT interpolation: p1 + 1.0*(q1-p1) is 1 ulp off q1
+        # in float, so two edges sharing an apex vertex produced NEAR-
+        # duplicate quad corners that survived the exact dedupe and broke
+        # ring_is_convex_ccw's exact cross test (~37% of random simple
+        # polygons; crashed the live agg_selection dissolve — r4 review)
+        if x == p[0]:
+            return p[1]
+        if x == q[0]:
+            return q[1]
+        t = (x - p[0]) / (q[0] - p[0])
+        return p[1] + t * (q[1] - p[1])
     if not edges:
         return []
     xs = np.unique(np.concatenate([np.asarray(r, dtype="f8")[:, 0]
@@ -406,13 +453,10 @@ def trapezoid_decompose(rings: list[np.ndarray]) -> list[np.ndarray]:
         cross = []
         for p, q in edges:
             if min(p[0], q[0]) < xm < max(p[0], q[0]):
-                t0 = (x0 - p[0]) / (q[0] - p[0])
-                t1 = (x1 - p[0]) / (q[0] - p[0])
-                tm = (xm - p[0]) / (q[0] - p[0])
                 cross.append((
-                    p[1] + tm * (q[1] - p[1]),   # sort key: y at slab mid
-                    p[1] + t0 * (q[1] - p[1]),   # y at x0
-                    p[1] + t1 * (q[1] - p[1]),   # y at x1
+                    y_at(p, q, xm),   # sort key: y at slab mid
+                    y_at(p, q, x0),   # y at x0
+                    y_at(p, q, x1),   # y at x1
                 ))
         if len(cross) % 2:
             raise ValueError(
@@ -435,7 +479,10 @@ def trapezoid_decompose(rings: list[np.ndarray]) -> list[np.ndarray]:
             if len(quad) >= 4 and abs(ring_area(quad)) > EPS_AREA:
                 pieces.append(quad)
     total = sum(abs(ring_area(p)) for p in pieces)
-    target = _evenodd_area([np.asarray(r, dtype="f8") for r in rings])
+    # target on CLOSED rings: an open input's shoelace/ray-cast misses
+    # the closing edge and the post-condition rejected valid polygons
+    # (r4 review finding)
+    target = _evenodd_area(closed)
     if abs(total - target) > 1e-9 * max(1.0, target):
         raise ValueError(
             "trapezoid_decompose: piece areas do not tile the polygon "
@@ -709,7 +756,9 @@ def _boxes_near_ring(
     ely, ehy = np.minimum(y0, y1), np.maximum(y0, y1)
     n, v = len(minx), len(pts)
     out = np.zeros(n, dtype=bool)
-    step = max(1, 10_000_000 // max(v, 1))
+    # fixed element budget per CLAUDE.md: 32 concurrent Python workers
+    # each allocating |boxes|x|segments| temporaries thrash the box
+    step = max(1, _PIP_ELEMS // max(v, 1))
     for s in range(0, n, step):
         e = min(s + step, n)
         hit = (
@@ -869,10 +918,15 @@ def _boxes_touch_polygon(minx, miny, maxx, maxy, rings, touch_ok, areas):
     idx = np.nonzero(touch_ok & (areas <= EPS_AREA))[0]
     for i in idx:
         vx, vy = verts[:, 0], verts[:, 1]
+        # absolute 1e-12 tolerance: np.isclose's default rtol=1e-5 has
+        # ~1e-3-degree slack at lon-scale magnitudes and kept boxes
+        # ~30 m away from the polygon in keep_touches subsets (r4 review)
         on_border = (
-            ((np.isclose(vx, minx[i]) | np.isclose(vx, maxx[i]))
+            ((np.isclose(vx, minx[i], rtol=0.0, atol=1e-12)
+              | np.isclose(vx, maxx[i], rtol=0.0, atol=1e-12))
              & (vy >= miny[i]) & (vy <= maxy[i]))
-            | ((np.isclose(vy, miny[i]) | np.isclose(vy, maxy[i]))
+            | ((np.isclose(vy, miny[i], rtol=0.0, atol=1e-12)
+                | np.isclose(vy, maxy[i], rtol=0.0, atol=1e-12))
                & (vx >= minx[i]) & (vx <= maxx[i]))
         )
         if on_border.any():

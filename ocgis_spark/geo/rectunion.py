@@ -100,18 +100,45 @@ def trace_rings(edges) -> list[np.ndarray]:
             prev, cur = cur, best
         # drop the duplicated closing vertex for processing
         ring = ring[:-1]
-        # merge collinear runs
-        merged = []
-        n = len(ring)
-        for i in range(n):
-            p0, p1, p2 = ring[i - 1], ring[i], ring[(i + 1) % n]
-            if _direction(p0, p1) != _direction(p1, p2):
-                merged.append(p1)
-        # canonical start: lexicographically smallest vertex
-        k = merged.index(min(merged))
-        merged = merged[k:] + merged[:k]
-        merged.append(merged[0])
-        rings.append(np.array(merged, dtype="f8"))
+        # PINCH SPLIT: a cycle that visits a vertex twice (two holes or
+        # two regions touching at a corner the turn rule routed through)
+        # is a figure-eight — OGC-invalid as one ring. Split at repeated
+        # vertices into simple loops (areas/orientation preserved; the
+        # loops still touch at the pinch point, which IS valid). r4
+        # review: corner-touching HOLES previously merged into one
+        # self-intersecting ring.
+        loops = [ring]
+        i = 0
+        while i < len(loops):
+            rg = loops[i]
+            seen: dict = {}
+            split = None
+            for j, v in enumerate(rg):
+                if v in seen:
+                    split = (seen[v], j)
+                    break
+                seen[v] = j
+            if split is None:
+                i += 1
+                continue
+            a, b = split
+            loops[i] = rg[a:b]
+            loops.append(rg[:a] + rg[b:])
+        for ring in loops:
+            # merge collinear runs
+            merged = []
+            n = len(ring)
+            for i2 in range(n):
+                p0, p1, p2 = ring[i2 - 1], ring[i2], ring[(i2 + 1) % n]
+                if _direction(p0, p1) != _direction(p1, p2):
+                    merged.append(p1)
+            if len(merged) < 3:
+                continue
+            # canonical start: lexicographically smallest vertex
+            k = merged.index(min(merged))
+            merged = merged[k:] + merged[:k]
+            merged.append(merged[0])
+            rings.append(np.array(merged, dtype="f8"))
     rings.sort(key=lambda r: (r[0, 0], r[0, 1], -abs(G.ring_area(r))))
     return rings
 

@@ -218,10 +218,46 @@ def score_elements_batch(
         area[interior] = np.where(inside, elem_area[interior], 0.0)
     if near.any():
         area[near] = G.batch_convex_clip_areas(sel_rings, elem[near])
+        # CONCAVE boundary-tier elements: the half-plane kernel silently
+        # under/over-counts non-convex rings (UGRID/SCRIP permit concave
+        # faces; r4 review finding) — re-score them exactly by ear-
+        # clipping the element and summing per-triangle convex clips.
+        # Concavity test on the deduped cycle: any strictly negative
+        # cross after CCW orientation. Concave faces are rare; the loop
+        # is O(#concave-boundary-elements), not corpus-sized.
+        ex, ey = elem[:, :, 0], elem[:, :, 1]
+        exn, eyn = np.roll(ex, -1, axis=1), np.roll(ey, -1, axis=1)
+        exp_, eyp = np.roll(ex, 1, axis=1), np.roll(ey, 1, axis=1)
+        crossv = (ex - exp_) * (eyn - eyp) - (ey - eyp) * (exn - exp_)
+        concave = near & (crossv < -1e-12).any(axis=1)
+        if concave.any():
+            for i in np.nonzero(concave)[0]:
+                ring_i = G._dedupe_closed_ring(
+                    np.vstack([elem[i], elem[i, :1]])
+                )
+                if len(ring_i) < 4:
+                    continue
+                try:
+                    tris = G.triangulate_ring(ring_i)
+                except ValueError:
+                    continue  # degenerate/self-intersecting face: keep
+                    # the half-plane score rather than crash the batch
+                a_pad = max(len(t) - 1 for t in tris)
+                packed = np.stack([
+                    np.vstack([t[:-1],
+                               np.repeat(t[-2:-1], a_pad - (len(t) - 1), 0)])
+                    if len(t) - 1 < a_pad else t[:-1]
+                    for t in tris
+                ])
+                area[i] = float(
+                    G.batch_convex_clip_areas(sel_rings, packed).sum()
+                )
 
     out = np.where(area > G.EPS_AREA, area, -1.0)
     zero_near = near & (area <= G.EPS_AREA)
-    if zero_near.any():
+    # the loop's only effect is keep_touches=True promotion — skip the
+    # per-element Python PIP work entirely otherwise (r4 review)
+    if keep_touches and zero_near.any():
         sel = sel_rings[0]
         for i in np.nonzero(zero_near)[0]:
             arr = np.vstack([elem[i], elem[i, :1]])

@@ -49,6 +49,18 @@ UNIT_CONVERSIONS: dict[str, tuple[float, float]] = {
 }
 
 
+def _close_ring(r: np.ndarray) -> np.ndarray:
+    """Normalize user-supplied rings to CLOSED form at the facade ingress:
+    the interior-test kernels (geometry.points_in_ring and its batch
+    forms) require closure, while the clip kernels accept open rings —
+    an open selection ring silently misclassified every interior
+    cell/element (r4 review finding)."""
+    r = np.asarray(r, dtype="f8")
+    if len(r) >= 3 and not (r[0] == r[-1]).all():
+        r = np.vstack([r, r[:1]])
+    return r
+
+
 @dataclass
 class OcgOperations:
     dataset: Any  # RequestDataset | Field | DataFrame
@@ -339,9 +351,9 @@ class OcgOperations:
 
             return [rect_ring(*g)]
         if isinstance(g, np.ndarray):
-            return [g]
+            return [_close_ring(g)]
         if isinstance(g, list):
-            return [np.asarray(r, dtype="f8") for r in g]
+            return [_close_ring(np.asarray(r, dtype="f8")) for r in g]
         raise DefinitionValidationError(f"cannot interpret geom {type(g)}")
 
     def _grid(self) -> GridSpec:

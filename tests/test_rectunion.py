@@ -252,3 +252,27 @@ def test_agg_selection_clip_facade(spark):
     total3 = ops3.execute(spark).agg(F.sum("clip_area")).collect()[0][0]
     want3 = 1.5 * 1.5 + 0.5 * 0.9 * 0.9
     assert total3 == pytest.approx(want3, abs=1e-9)
+
+
+def test_corner_touching_holes_split_into_simple_rings():
+    """Regression (r4 review): two holes meeting at a corner traced as ONE
+    figure-eight ring (visits the pinch vertex twice — OGC-invalid). The
+    pinch split must emit two simple hole rings; union area unchanged."""
+    import numpy as np
+
+    from ocgis_spark.geo import geometry as G
+    from ocgis_spark.geo import rectunion as RU
+
+    cells = [(x, y) for x in range(4) for y in range(4)
+             if (x, y) not in ((1, 1), (2, 2))]
+    mx = np.array([c[0] for c in cells], float)
+    my = np.array([c[1] for c in cells], float)
+    polys = RU.union_boxes(mx, my, mx + 1, my + 1)
+    assert len(polys) == 1
+    outer, holes = polys[0][0], polys[0][1:]
+    assert len(holes) == 2
+    for r in polys[0]:
+        pts = list(map(tuple, r[:-1]))
+        assert len(set(pts)) == len(pts), "self-intersecting ring"
+    net = abs(G.ring_area(outer)) - sum(abs(G.ring_area(h)) for h in holes)
+    assert net == 14.0

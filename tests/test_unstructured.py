@@ -161,3 +161,25 @@ def test_no_touching_decomposition_no_duplicates(spark):
     assert got[3] == 0   # spans [3,4]: touches chunk 0's edge -> smallest id
     assert got[4] == 1   # spans [4,5]: strictly inside chunk 1
     assert got[35] == 3  # strictly inside chunk 3
+
+
+def test_concave_element_scores_exact_clip_area():
+    """Regression (r4 review): concave mesh faces (UGRID permits them) got
+    silently wrong areas from the convex half-plane kernel (0.333 vs the
+    true 1.0 on this case); the ear-clipping rescore must be exact."""
+    import numpy as np
+    import pandas as pd
+
+    from ocgis_spark.geo import geometry as G
+    from ocgis_spark.geo import unstructured as U
+
+    sel = [np.array([[0.5, 0.5], [6.0, 0.5], [6.0, 6.0], [0.5, 6.0],
+                     [0.5, 0.5]])]
+    xs = pd.Series([[0.0, 4.0, 1.0, 0.0], [2.0, 4.0, 4.0, 2.0]])
+    ys = pd.Series([[0.0, 0.0, 1.0, 4.0], [2.0, 2.0, 4.0, 4.0]])
+    got = U.score_elements_batch(sel, xs, ys, keep_touches=False)
+    truth = G.box_polygon_clip_area(
+        [np.array([[0.0, 0.0], [4.0, 0.0], [1.0, 1.0], [0.0, 4.0],
+                   [0.0, 0.0]])], 0.5, 0.5, 6.0, 6.0)
+    assert abs(got[0] - truth) < 1e-9
+    assert abs(got[1] - 4.0) < 1e-9  # convex sibling unchanged
