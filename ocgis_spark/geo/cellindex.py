@@ -218,12 +218,19 @@ def covering_cells(
     of any keep_touches choice; the exact UDF refines). Mirrors the
     reference's buffered-envelope "hint mask" (``grid.py:1234-1272``) but as
     an explicit broadcast cell set."""
+    rings = G.close_rings(rings)
     pts = np.vstack(rings)
     minx, miny = pts[:, 0].min(), pts[:, 1].min()
     maxx, maxy = pts[:, 0].max(), pts[:, 1].max()
-    x0 = max(int(np.floor((minx - spec.lon0) / spec.res)), 0)
+    # min sides use ceil-1, NOT floor: for an edge-ALIGNED selection,
+    # floor excludes the cell whose east/north edge touches the selection
+    # while the floor-max side includes its west/south twin — keep_touches
+    # subsets were asymmetric (west/south touchers silently dropped; the
+    # vector grid's searchsorted(left)-1 covering was already correct —
+    # r4 review finding, regression-tested)
+    x0 = max(int(np.ceil((minx - spec.lon0) / spec.res)) - 1, 0)
     x1 = min(int(np.floor((maxx - spec.lon0) / spec.res)), spec.nx - 1)
-    y0 = max(int(np.floor((miny - spec.lat0) / spec.res)), 0)
+    y0 = max(int(np.ceil((miny - spec.lat0) / spec.res)) - 1, 0)
     y1 = min(int(np.floor((maxy - spec.lat0) / spec.res)), spec.ny - 1)
     if x1 < x0 or y1 < y0:
         return np.empty(0, dtype="i8")
@@ -257,6 +264,7 @@ def covering_cells_split(
       point's ray-cast decides (holes included). Center-outside unmarked
       cells (cannot occur for a true covering) fall back to boundary.
     """
+    rings = G.close_rings(rings)
     cov = covering_cells(spec, rings)
     if len(cov) == 0:
         return cov, cov

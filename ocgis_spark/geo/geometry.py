@@ -65,6 +65,20 @@ def _points_in_ring_block(
     return (crossings.sum(axis=1) % 2).astype(bool)
 
 
+def close_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Normalize every ring to CLOSED form (first vertex repeated last).
+    The spatial dispatchers call this at entry so the half-plane chains,
+    boundary-segment marking, and ray casts all see the closing edge —
+    user-supplied open rings silently mis-subset otherwise (r4 review)."""
+    out = []
+    for r in rings:
+        r = np.asarray(r, dtype="f8")
+        if len(r) >= 3 and not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        out.append(r)
+    return out
+
+
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized even-odd ray casting: strict interior test for many points
     against one ring (boundary points are NOT guaranteed in/out — combine

@@ -83,8 +83,28 @@ def knn_join(
     lon_c = F.lit(grid.lon0) + (F.col("cell_x") + 0.5) * F.lit(grid.res)
 
     def pass_at(pts: DataFrame, r: int) -> DataFrame:
-        qcx = F.floor((F.col(qlon) - F.lit(grid.lon0)) / F.lit(grid.res)).cast("int")
-        qcy = F.floor((F.col(qlat) - F.lit(grid.lat0)) / F.lit(grid.res)).cast("int")
+        # CLAMP the anchor into the grid: the floor alone sends far-off-
+        # grid probes to disks that never reach a real cell before the
+        # max_r cap, silently returning EMPTY for a nearest-neighbor
+        # query (the vector variant already clamps — r4 review finding)
+        qcx = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(grid.nx - 1),
+                F.floor(
+                    (F.col(qlon) - F.lit(grid.lon0)) / F.lit(grid.res)
+                ).cast("int"),
+            ),
+        )
+        qcy = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(grid.ny - 1),
+                F.floor(
+                    (F.col(qlat) - F.lit(grid.lat0)) / F.lit(grid.res)
+                ).cast("int"),
+            ),
+        )
         disk = (
             pts.withColumn("_qcx", qcx)
             .withColumn("_qcy", qcy)
@@ -366,8 +386,13 @@ def knn_cells(
     # single probe: the query cell is known driver-side, so hand knn_join
     # the 1-cell envelope — the cell relation is range-filtered (scan
     # predicate) instead of fully distinct-ed
-    qcx = int(math.floor((qlon - grid.lon0) / grid.res))
-    qcy = int(math.floor((qlat - grid.lat0) / grid.res))
+    # clamp into the grid (same reason as the batch anchor above): an
+    # off-grid probe's raw floor cell makes the 1-cell envelope filter
+    # exclude every real cell -> silent empty result (r4 review)
+    qcx = min(max(int(math.floor((qlon - grid.lon0) / grid.res)), 0),
+              grid.nx - 1)
+    qcy = min(max(int(math.floor((qlat - grid.lat0) / grid.res)), 0),
+              grid.ny - 1)
     out = knn_join(pts, cells, grid, k=k,
                    qcell_bounds=(qcx, qcy, qcx, qcy), eager=True)
     return out.select(

@@ -43,12 +43,26 @@ class ExtentError(RuntimeError):
 def encode_cells(
     df: DataFrame, grid: GridSpec, lon: str = "lon", lat: str = "lat"
 ) -> DataFrame:
-    """Attach (cell_x, cell_y, cell_id) — pure JVM arithmetic, no UDF."""
+    """Attach (cell_x, cell_y, cell_id) — pure JVM arithmetic, no UDF.
+
+    OFF-GRID rows get ``cell_id = -1`` (the vector twin's sentinel,
+    ``vectorgrid.encode_cells``): the raw ``cy*nx + cx`` of an off-grid
+    index COLLIDES with a valid interior id (cx = nx lands on cell
+    (cy+1, 0)) and silently polluted groupBy/join consumers — r4 review
+    finding. cell_x/cell_y keep their raw values for diagnostics."""
     cx = F.floor((F.col(lon) - F.lit(grid.lon0)) / F.lit(grid.res)).cast("int")
     cy = F.floor((F.col(lat) - F.lit(grid.lat0)) / F.lit(grid.res)).cast("int")
     out = df.withColumn("cell_x", cx).withColumn("cell_y", cy)
+    in_grid = (
+        (F.col("cell_x") >= 0) & (F.col("cell_x") < grid.nx)
+        & (F.col("cell_y") >= 0) & (F.col("cell_y") < grid.ny)
+    )
     return out.withColumn(
-        "cell_id", (F.col("cell_y") * F.lit(grid.nx) + F.col("cell_x")).cast("bigint")
+        "cell_id",
+        F.when(
+            in_grid,
+            (F.col("cell_y") * F.lit(grid.nx) + F.col("cell_x")).cast("bigint"),
+        ).otherwise(F.lit(-1).cast("bigint")),
     )
 
 
@@ -150,11 +164,41 @@ def interior_raster(
     if len(int_cy) == 0:
         return None
     y0, x0 = int(int_cy.min()), int(int_cx.min())
-    R = np.zeros(
-        (int(int_cy.max()) - y0 + 1, int(int_cx.max()) - x0 + 1), dtype=bool
-    )
+    h = int(int_cy.max()) - y0 + 1
+    w = int(int_cx.max()) - x0 + 1
+    # the raster is BBOX-sized, not covering-sized: a thin diagonal
+    # selection on a fine grid passes the covering-count gate yet spans
+    # the whole grid's bbox — a multi-GB closure shipped to every Arrow
+    # worker (r4 review finding). Fall back to the plain ray cast.
+    if h * w > 4_000_000:
+        return None
+    R = np.zeros((h, w), dtype=bool)
     R[int_cy - y0, int_cx - x0] = True
     return y0, x0, R
+
+
+def convex_halfplane_cond(ring: np.ndarray, lon: str, lat: str,
+                          keep_touches: bool):
+    """Half-plane conjunction for one CONVEX ring as a Catalyst predicate.
+    Closes the ring (an open ring's missing closing edge silently widened
+    the subset) and skips zero-length edges (whose d == 0 everywhere
+    would, with keep_touches=False, drop EVERY row) — r4 review findings,
+    shared by the uniform and vector-grid fast paths."""
+    ring = G.close_rings([ring])[0]
+    cond = None
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        if x1 == x2 and y1 == y2:
+            continue
+        d = (F.lit(float(x2)) - F.lit(float(x1))) * (
+            F.col(lat) - F.lit(float(y1))
+        ) - (F.lit(float(y2)) - F.lit(float(y1))) * (
+            F.col(lon) - F.lit(float(x1))
+        )
+        term = (d >= 0.0) if keep_touches else (d > 0.0)
+        cond = term if cond is None else (cond & term)
+    if cond is None:
+        raise ValueError("convex ring has no non-degenerate edges")
+    return cond
 
 
 def refine_points(
@@ -186,16 +230,9 @@ def refine_points(
         # convex fast path: half-plane conjunction as pure Catalyst
         # expressions — whole-stage codegen, NO Python in the hot path,
         # and bit-identical to the SQL oracle predicate.
-        ring = rings_bc[0]
-        cond = None
-        op = ">=" if keep_touches else ">"
-        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
-            d = (F.lit(float(x2)) - F.lit(float(x1))) * (F.col(lat) - F.lit(float(y1))) - (
-                F.lit(float(y2)) - F.lit(float(y1))
-            ) * (F.col(lon) - F.lit(float(x1)))
-            term = (d >= 0.0) if op == ">=" else (d > 0.0)
-            cond = term if cond is None else (cond & term)
-        return df.filter(cond)
+        return df.filter(
+            convex_halfplane_cond(rings_bc[0], lon, lat, keep_touches)
+        )
 
     if interior is not None:
         iy0, ix0, R = interior
@@ -447,16 +484,9 @@ def spatial_subset_many(
                 )
             exprs[ugid] = e
         elif len(rings) == 1 and G.ring_is_convex_ccw(rings[0]):
-            e = None
-            for (x1, y1), (x2, y2) in zip(rings[0][:-1], rings[0][1:]):
-                d = (F.lit(float(x2)) - F.lit(float(x1))) * (
-                    F.col(lat) - F.lit(float(y1))
-                ) - (F.lit(float(y2)) - F.lit(float(y1))) * (
-                    F.col(lon) - F.lit(float(x1))
-                )
-                term = (d >= 0.0) if keep_touches else (d > 0.0)
-                e = term if e is None else (e & term)
-            exprs[ugid] = e
+            exprs[ugid] = convex_halfplane_cond(
+                rings[0], lon, lat, keep_touches
+            )
         else:
             udf_polys[int(ugid)] = rings
 
@@ -652,6 +682,12 @@ def spatial_subset(
             for p in parts[1:]:
                 out = out.unionByName(p)
             if operation == "clip":
+                # a cell straddling the seam appears once per piece with
+                # partial areas that must SUM. NOTE: rows identical in
+                # EVERY column collapse here (their areas merge) — the
+                # seam path assumes corpus rows are distinct (they carry
+                # doc/cell identity in every real schema); duplicates-by-
+                # value would lose multiplicity (r4 review, documented)
                 keys = [c for c in out.columns if c != "clip_area"]
                 out = out.groupBy(*keys).agg(
                     F.sum("clip_area").alias("clip_area")

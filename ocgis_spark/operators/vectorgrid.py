@@ -117,6 +117,7 @@ def covering_cells(
     """(cy, cx) arrays of cells whose box intersects the polygon — the
     driver-side phase-1 covering (uniform-grid ``covering_cells`` analogue,
     binary-search index ranges instead of floor arithmetic)."""
+    rings = G.close_rings(rings)
     pts = np.vstack(rings)
     x0, x1, y0, y1 = vg.covering_index_ranges(
         float(pts[:, 0].min()), float(pts[:, 1].min()),
@@ -143,6 +144,7 @@ def covering_cells_split(
     :func:`ocgis_spark.geo.cellindex.covering_cells_split` (conservative
     segment-bbox marking via 1-cell-dilated searchsorted index ranges,
     center ray-cast for the rest; no false interiors)."""
+    rings = G.close_rings(rings)
     cy, cx = covering_cells(vg, rings)
     if len(cy) == 0:
         return cy, cx, cy, cx
@@ -223,11 +225,10 @@ def spatial_subset(
         return S.refine_points(semijoin(cy, cx), rings, keep_touches, lon, lat)
     cy, cx = covering_cells(vg, rings)
     cand = semijoin(cy, cx)
-    # polygon abstraction: attach per-cell bounds, then the shared batch
-    # box-vs-polygon kernel
-    b = with_cell_bounds(cand, spark, vg)
     rings_bc = [np.asarray(r, dtype="f8") for r in rings]
     if G._rings_is_axis_rect(rings_bc):
+        # rect fast path derives its own bounds join inside
+        # clip_rect_cells — building it here too was dead plan work (r4)
         pts = np.vstack(rings_bc)
         rect = (
             float(pts[:, 0].min()), float(pts[:, 1].min()),
@@ -235,6 +236,9 @@ def spatial_subset(
         )
         out = clip_rect_cells(cand, spark, vg, rect, keep_touches)
         return out if operation == "clip" else out.drop("clip_area")
+    # polygon abstraction: attach per-cell bounds, then the shared batch
+    # box-vs-polygon kernel
+    b = with_cell_bounds(cand, spark, vg)
     kt = keep_touches
 
     @F.pandas_udf("double")
@@ -378,15 +382,9 @@ def spatial_subset_many(
                     e = ((F.col(lon) > minx) & (F.col(lon) < maxx)
                          & (F.col(lat) > miny) & (F.col(lat) < maxy))
             elif len(rings) == 1 and G.ring_is_convex_ccw(rings[0]):
-                e = None
-                for (x1, y1), (x2, y2) in zip(rings[0][:-1], rings[0][1:]):
-                    d = (F.lit(float(x2)) - F.lit(float(x1))) * (
-                        F.col(lat) - F.lit(float(y1))
-                    ) - (F.lit(float(y2)) - F.lit(float(y1))) * (
-                        F.col(lon) - F.lit(float(x1))
-                    )
-                    term = (d >= 0.0) if keep_touches else (d > 0.0)
-                    e = term if e is None else (e & term)
+                from .spatial import convex_halfplane_cond
+
+                e = convex_halfplane_cond(rings[0], lon, lat, keep_touches)
             else:
                 udf_polys[int(ugid)] = rings
                 continue

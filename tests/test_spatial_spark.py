@@ -182,3 +182,53 @@ def test_split_covering_ring_with_hole(spark):
         np.arange(n)[G.points_in_polygon(lon, lat, rings, True)].tolist()
     )
     assert got == want
+
+
+def test_r4_review_spatial_regressions(spark):
+    """Pins for the r4 spatial-core review findings (all were invisible to
+    the non-aligned, closed-ring, on-grid oracle fixtures):
+    1. covering includes west/south edge-touching cells (keep_touches
+       symmetry); 2. open convex rings subset identically to their closed
+       forms; 3. a duplicated consecutive vertex must not empty the
+       keep_touches=False subset; 4. off-grid rows encode cell_id = -1;
+    5. far-off-grid kNN probes return the true nearest cell."""
+    import numpy as np
+
+    from ocgis_spark.fixtures import GOLDEN_GRID, rect_ring
+    from ocgis_spark.operators import knn, spatial
+
+    g = GOLDEN_GRID
+    rows = [(cy, cx, -105.0 + cx, 37.0 + cy, 1.0)
+            for cy in range(4) for cx in range(4)]
+    df = spark.createDataFrame(
+        rows, "cell_y int, cell_x int, lon double, lat double, value double")
+
+    ring = rect_ring(-104.5, 37.5, -103.5, 38.5)  # cell-edge aligned
+    got = sorted((r.cell_y, r.cell_x) for r in spatial.spatial_subset(
+        spark, df, g, [ring], abstraction="polygon", keep_touches=True
+    ).collect())
+    assert got == [(cy, cx) for cy in range(3) for cx in range(3)]
+
+    open_ring = np.array([[-105.2, 37.2], [-103.0, 37.2], [-104.0, 39.5]])
+    closed = np.vstack([open_ring, open_ring[:1]])
+    a = sorted((r.cell_y, r.cell_x) for r in spatial.spatial_subset(
+        spark, df, g, [open_ring], abstraction="point").collect())
+    b = sorted((r.cell_y, r.cell_x) for r in spatial.spatial_subset(
+        spark, df, g, [closed], abstraction="point").collect())
+    assert a == b
+
+    dup = np.array([[-105.2, 37.2], [-103.2, 37.2], [-103.2, 37.2],
+                    [-103.2, 39.2], [-105.2, 39.2], [-105.2, 37.2]])
+    assert spatial.spatial_subset(
+        spark, df, g, [dup], abstraction="point", keep_touches=False
+    ).count() == 4
+
+    off = spark.createDataFrame(
+        [(g.lon0 + (g.nx + 0.5) * g.res, g.lat0 + 0.5 * g.res)],
+        "lon double, lat double")
+    assert spatial.encode_cells(off, g).collect()[0]["cell_id"] == -1
+
+    hits = knn.knn_cells(
+        df.select("cell_y", "cell_x"), g, g.lon0 - 20.0, 38.0, k=1
+    ).collect()
+    assert len(hits) == 1 and hits[0]["cell_x"] == 0
