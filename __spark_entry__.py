@@ -3628,7 +3628,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM basis GROUP BY basis_doy) "
             "SELECT user_id, CAST(month(ts) AS INT) AS month, "
             "CAST(sum(CASE WHEN e.value > p.perc THEN 1 ELSE 0 END) AS BIGINT) AS TX90p "
-            "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy "
+            "FROM events e JOIN p ON ((CAST(dayofyear(e.ts) AS INT) + 364) % 365) + 1 = p.basis_doy "
             "GROUP BY user_id, month(ts)"
         ),
         "simhash_near_dups": _simhash_near_dups_sql(),
@@ -3664,7 +3664,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM basis GROUP BY basis_doy), "
             "j AS (SELECT e.user_id, e.ts, e.event_id, "
             "CASE WHEN e.value > p.perc THEN 1 ELSE 0 END AS q "
-            "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy), "
+            "FROM events e JOIN p ON ((CAST(dayofyear(e.ts) AS INT) + 364) % 365) + 1 = p.basis_doy), "
             "isl AS (SELECT user_id, q, "
             "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - "
             "row_number() OVER (PARTITION BY user_id, q ORDER BY ts, event_id) AS island "
@@ -3681,7 +3681,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM basis GROUP BY basis_doy), "
             "j AS (SELECT e.user_id, e.ts, e.event_id, "
             "CASE WHEN e.value < p.perc THEN 1 ELSE 0 END AS q "
-            "FROM events e JOIN p ON CAST(dayofyear(e.ts) AS INT) = p.basis_doy), "
+            "FROM events e JOIN p ON ((CAST(dayofyear(e.ts) AS INT) + 364) % 365) + 1 = p.basis_doy), "
             "isl AS (SELECT user_id, q, "
             "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - "
             "row_number() OVER (PARTITION BY user_id, q ORDER BY ts, event_id) AS island "

@@ -261,15 +261,18 @@ def percentile_exceedance(
     the reference's ``daily_perc`` (``statistics.py:138-352``; ICCLIM
     TX90p/TN90p families, ``contrib/library_icclim.py:286-509``).
 
-    ``basis``: (basis_doy, perc) from :func:`temporal.daily_perc` — ≤366
+    ``basis``: (basis_doy, perc) from :func:`temporal.daily_perc` — ≤365
     rows, broadcast; the join is a narrow broadcast equijoin on doy, so
-    the events table is scanned once with no extra shuffle."""
+    the events table is scanned once with no extra shuffle. The probe doy
+    wraps with the SAME ``(doy+364)%365+1`` rule the basis uses (identity
+    on 1..365, leap-year doy 366 → 1): a raw ``dayofyear`` probe finds no
+    basis row for Dec 31 of leap years and the inner join silently drops
+    those rows from the count (r4 review finding)."""
     b = basis.select(
         F.col("basis_doy").alias("_doy"), F.round("perc", 6).alias("_perc")
     )
-    joined = df.join(
-        F.broadcast(b), F.dayofyear(F.col(ts)).cast("int") == F.col("_doy")
-    )
+    probe_doy = (F.dayofyear(F.col(ts)).cast("int") + 364) % 365 + 1
+    joined = df.join(F.broadcast(b), probe_doy == F.col("_doy"))
     cmp = (
         (F.col(value) > F.col("_perc"))
         if direction == "gt"
@@ -514,9 +517,9 @@ def spell_duration_index(
     b = basis.select(
         F.col("basis_doy").alias("_doy"), F.round("perc", 6).alias("_perc")
     )
-    j = df.join(
-        F.broadcast(b), F.dayofyear(F.col(ts)).cast("int") == F.col("_doy")
-    )
+    # same leap-day wrap as percentile_exceedance: doy 366 probes basis 1
+    probe_doy = (F.dayofyear(F.col(ts)).cast("int") + 364) % 365 + 1
+    j = df.join(F.broadcast(b), probe_doy == F.col("_doy"))
     cmp = (
         (F.col(value) > F.col("_perc"))
         if direction == "gt"

@@ -77,8 +77,11 @@ def hll_sketch(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     """Per-key register table: (keys..., bucket, rho) with rho = max.
     One hash aggregation; map-side partial max means each partition
     contributes at most m rows per key to the shuffle regardless of
-    cardinality."""
+    cardinality. NULL values are dropped (hash(NULL)=NULL would form a
+    NULL-bucket register row that counts as filled in the estimate —
+    same rule as histogram_quantile's NULL filter)."""
     b, r = sketch_sql(value)
+    df = df.filter(F.expr(value).isNotNull())
     reg = df.selectExpr(*keys, f"{b} AS bucket", f"{r} AS rho")
     return reg.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
 
@@ -435,6 +438,7 @@ def hll_estimate_sql(keys: list[str], value_expr: str, table: str) -> str:
         f"SELECT {ks}, sum(power(2.0E0, -CAST(rho AS DOUBLE))) AS s, "
         f"CAST(count(*) AS BIGINT) AS nz FROM ("
         f"SELECT {ks}, bucket, max(rho) AS rho FROM ("
-        f"SELECT {ks}, {b} AS bucket, {r} AS rho FROM {table}) g "
+        f"SELECT {ks}, {b} AS bucket, {r} AS rho FROM {table} "
+        f"WHERE ({value_expr}) IS NOT NULL) g "
         f"GROUP BY {ks}, bucket) reg GROUP BY {ks}) z"
     )

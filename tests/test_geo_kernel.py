@@ -116,8 +116,10 @@ def test_zorder_roundtrip_and_covering():
     cells = covering_cells(GOLDEN, rings)
     cyz, cxz = zdecode(cells)
     assert sorted(zip(cyz.tolist(), cxz.tolist())) == [
-        (y, x) for y in range(1, 4) for x in range(1, 4)
-    ]  # closed covering includes touching row/col 3
+        (y, x) for y in range(0, 4) for x in range(0, 4)
+    ]  # closed covering is SYMMETRIC: the selection edges sit exactly on
+    # cell boundaries, so touching row/col 0 (west/south, the r4 ceil-1
+    # fix) is included alongside touching row/col 3 (east/north)
     disk = ring_cells(GOLDEN, 1, 1, 1)
     dyy, dxx = zdecode(disk)
     assert sorted(zip(dyy.tolist(), dxx.tolist())) == [

@@ -97,3 +97,37 @@ def test_full_battery_registered():
     commented out upstream, contrib/library_icclim.py:62-65)."""
     icclim = [k for k in CR.registry() if k.startswith("icclim_")]
     assert len(icclim) == 45
+
+
+def test_percentile_index_keeps_leap_day_366(spark):
+    """r4 review: the doy-percentile probe join must wrap doy 366 -> 1
+    (the same rule the basis uses). A raw dayofyear probe finds no basis
+    row for Dec 31 of a leap year and the inner join silently DROPS it
+    from TX90p/WSDI-family counts."""
+    import datetime as dt
+
+    rows = []
+    # 10 ordinary days (value 1.0) early Jan + Dec 31 2020 (doy 366) hot
+    for i in range(10):
+        rows.append((1, i, dt.datetime(2020, 1, 1 + i), 1.0))
+    rows.append((1, 99, dt.datetime(2020, 12, 31), 100.0))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    from ocgis_spark.operators import temporal
+
+    basis = temporal.daily_perc(df, 0.9, window=5)
+    out = CR.percentile_exceedance(
+        df, ["user_id"], basis, direction="gt", out="n"
+    ).collect()
+    # Dec 31 (100.0) exceeds its wrapped basis bin; without the wrap the
+    # row vanishes and the count misses it
+    assert out and out[0]["n"] >= 1
+    # every input row must survive the basis join (count parity)
+    b = basis.select(
+        CR.F.col("basis_doy").alias("_doy"),
+        CR.F.round("perc", 6).alias("_perc"),
+    )
+    probe = (CR.F.dayofyear("ts").cast("int") + 364) % 365 + 1
+    joined_n = df.join(CR.F.broadcast(b), probe == CR.F.col("_doy")).count()
+    assert joined_n == df.count()

@@ -274,3 +274,15 @@ def test_bloom_probe_tolerates_duplicate_probe_rows(spark):
     bloom = sketch.bloom_build(members, "g")
     hits = sketch.bloom_probe(probes, bloom, "g", keep=[])
     assert [r["g"] for r in hits.collect()] == ["m"]
+
+
+def test_hll_sketch_drops_nulls(spark):
+    """r4 review: NULL values hash to a NULL bucket that counted as a
+    FILLED register (zeros off by one) — NULLs must not contribute to a
+    distinct-count sketch."""
+    rows = [(1, str(i)) for i in range(50)] + [(1, None)] * 5
+    df = spark.createDataFrame(rows, "k int, v string")
+    clean = spark.createDataFrame(rows[:50], "k int, v string")
+    a = sketch.hll_estimate(sketch.hll_sketch(df, ["k"], "v"), ["k"]).collect()
+    b = sketch.hll_estimate(sketch.hll_sketch(clean, ["k"], "v"), ["k"]).collect()
+    assert a[0]["est_distinct"] == b[0]["est_distinct"]
