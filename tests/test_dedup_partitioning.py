@@ -279,3 +279,50 @@ def test_narrow_md5_signatures_hash_once(spark):
         hash_fn="md5",
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("md5(") == 2
+
+
+def test_components_star_random_graphs_match_union_find(spark):
+    """Property: large-star/small-star labels == a sequential union-find
+    on random sparse graphs (many components, varied shapes) — hardening
+    beyond the chain/star goldens."""
+    import numpy as np
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical: min node id per component
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(m) for r, m in comp.items() for n in m}
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n_nodes = int(rng.integers(8, 40))
+        n_edges = int(rng.integers(4, 60))
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+            if a != b
+        ]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        want = union_find(edges, nodes)
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {
+            r["node"]: r["component"]
+            for r in dedup.duplicate_components_star(pairs).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"

@@ -455,3 +455,24 @@ def test_facade_custom_seasons_unique(spark):
             dataset=field, calc=[{"func": "mean", "name": "mean"}],
             calc_grouping=[[1, 2, 3], "bogus"],
         ).execute(spark)
+
+
+def test_interval_join_asymmetric_window(spark):
+    """lo/hi need not be symmetric or straddle zero: [ts+10, ts+50] —
+    the bucket math must still cap explode fan-out at 2 buckets/row."""
+    import numpy as np
+    from ocgis_spark.operators import windows as W
+
+    rng = np.random.default_rng(9)
+    rows = [(int(k), float(t)) for k, t in
+            zip(rng.integers(0, 3, 150), rng.uniform(0, 500, 150))]
+    df = spark.createDataFrame(rows, "k bigint, ts double")
+    out = W.interval_join(df, df.select("k", "ts"), "k", "ts", 10.0, 50.0)
+    got = {(r["k"], r["ts"]): r["count"]
+           for r in out.groupBy("k", "ts").count().collect()}
+    by = {}
+    for k, t in rows:
+        by.setdefault(k, []).append(t)
+    for k, t in rows:
+        want = sum(1 for u in by[k] if t + 10.0 <= u <= t + 50.0)
+        assert got.get((k, t), 0) == want, (k, t)
