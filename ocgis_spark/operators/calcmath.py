@@ -37,9 +37,14 @@ def heat_index(df: DataFrame, tas: str = "tas", rhs: str = "rhs") -> DataFrame:
 
 def heat_index_sql(tas: str = "tas", rhs: str = "rhs") -> str:
     """The SAME polynomial as :func:`heat_index`, as a SQL string with
-    identical term order — the DuckDB oracle evaluates it bit-identically."""
+    identical term order — the DuckDB oracle evaluates it bit-identically.
+    Coefficients are E-notation DOUBLE literals (fixtures._f): DuckDB
+    parses a bare 9-digit decimal as DECIMAL(9,8) and its decimal→double
+    conversion can be 1 ulp off the repr double (CLAUDE.md convention)."""
+    from ..fixtures import _f
+
     t, r = tas, rhs
-    c = [repr(x) for x in _C]
+    c = [_f(x) for x in _C]
     hi = (
         f"{c[0]} + {c[1]} * {t} + {c[2]} * {r} + {c[3]} * {t} * {r} "
         f"+ {c[4]} * {t} * {t} + {c[5]} * {r} * {r} + {c[6]} * {t} * {t} * {r} "
