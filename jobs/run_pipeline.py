@@ -3,8 +3,7 @@
 pipeline over an interleaved document table, resumable from checkpoint.
 
     spark-submit --py-files dist/ocgis_spark.zip jobs/run_pipeline.py \
-        --input /root/testdata/sf0.01 --output /tmp/pipeline_out \
-        --tdim 16 [--resume]
+        --input /root/testdata/sf0.01 --output /tmp/pipeline_out --tdim 16
 
 Stages: read documents → derive/attach spans + cell ids → two-phase
 polygon subset → destination tile assignment → checkpointed per-tile

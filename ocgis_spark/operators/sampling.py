@@ -28,9 +28,13 @@ HASH_MOD = 999979
 
 
 def hash_bucket(key: Column, buckets: int = 1000) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer key column.
-    Dialect-neutral: ``((key * M) % P) % buckets`` with BIGINT arithmetic
-    reproduces bit-for-bit in DuckDB."""
+    """Deterministic bucket in [0, buckets) from a NON-NEGATIVE integer
+    key column. Dialect-neutral: ``((key * M) % P) % buckets`` with BIGINT
+    arithmetic reproduces bit-for-bit in DuckDB. Both dialects' ``%``
+    takes the dividend's sign, so a negative key yields a NEGATIVE bucket
+    — which passes every ``bucket < rate`` sampling filter unconditionally.
+    Keys here are row ids (doc_id/user_id), non-negative by construction;
+    map signed keys through ``abs`` or ``pmod`` BEFORE bucketing."""
     return ((key.cast("bigint") * F.lit(HASH_MULT)) % F.lit(HASH_MOD)) % F.lit(buckets)
 
 
