@@ -29,6 +29,7 @@ from ocgis_spark.operators import graph as GR
 from ocgis_spark.operators import sampling as SMP
 from ocgis_spark.operators import text as textops
 from ocgis_spark.operators import tiling, vectorgrid, windows
+from ocgis_spark.operators import tokenizer as TOK
 from ocgis_spark.operators import aggregate as agg
 from ocgis_spark.operators import multimodal
 from ocgis_spark.ops import OcgOperations
@@ -791,6 +792,25 @@ def q_word_entropy(spark, sf_dir):
     """Token-distribution Shannon entropy (perplexity proxy for quality
     filtering)."""
     return textops.word_entropy(_read(spark, sf_dir, "documents"))
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary training (operators/tokenizer.py):
+    one corpus pass builds the (word, n) table; every merge iteration is
+    vocab-sized. Exact textbook recurrence — the DuckDB oracle replays
+    the K iterations as unrolled CTE stages."""
+    return TOK.bpe_train(spark, _read(spark, sf_dir, "documents"), num_merges=8)
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Post-merge BPE symbol inventory with corpus frequencies."""
+    return TOK.bpe_vocab(spark, _read(spark, sf_dir, "documents"), num_merges=8)
+
+
+def q_bpe_segment(spark, sf_dir):
+    """Trained per-word segmentation lexicon — the serving artifact for
+    encoding a document stream (broadcast word->pieces join)."""
+    return TOK.bpe_segment(spark, _read(spark, sf_dir, "documents"), num_merges=8)
 
 
 def q_lm_score(spark, sf_dir):
@@ -3885,6 +3905,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
+        "bpe_train": TOK.bpe_train_sql("documents", "text", 8),
+        "bpe_vocab": TOK.bpe_vocab_sql("documents", "text", 8),
+        "bpe_segment": TOK.bpe_segment_sql("documents", "text", 8),
     }
 
 
@@ -4059,6 +4082,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dest_counts_nonuniform": q_tile_dest_counts_nonuniform,
         "tile_source_assign_nonuniform": q_tile_source_assign_nonuniform,
         "tile_dest_counts": q_tile_dest_counts,
+        # NEW r4s8 (operators/tokenizer.py) — below the boundary because
+        # the r4 window is already full of this round's earlier additions;
+        # rotate these three into the first-50 window in r5
+        "bpe_train": q_bpe_train,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_segment": q_bpe_segment,
     }
 
 
