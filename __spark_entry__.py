@@ -813,6 +813,13 @@ def q_bpe_segment(spark, sf_dir):
     return TOK.bpe_segment(spark, _read(spark, sf_dir, "documents"), num_merges=8)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Corpus-scale BPE encode: broadcast (word, pieces) lexicon join +
+    OOV char fallback + order-exact reassembly (posexplode position,
+    never bare collect_list order)."""
+    return TOK.bpe_encode(spark, _read(spark, sf_dir, "documents"), num_merges=8)
+
+
 def q_lm_score(spark, sf_dir):
     """Add-k bigram-LM average log-likelihood per doc (perplexity quality
     gate, CCNet/Dolma shape) — narrow per-row bigram zip + vocab-bounded
@@ -3908,6 +3915,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": TOK.bpe_train_sql("documents", "text", 8),
         "bpe_vocab": TOK.bpe_vocab_sql("documents", "text", 8),
         "bpe_segment": TOK.bpe_segment_sql("documents", "text", 8),
+        "bpe_encode": TOK.bpe_encode_sql("documents", "text", "doc_id", 8),
     }
 
 
@@ -4088,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
         "bpe_segment": q_bpe_segment,
+        "bpe_encode": q_bpe_encode,
     }
 
 

@@ -193,6 +193,60 @@ def bpe_segment(
     )
 
 
+def bpe_encode(
+    spark: SparkSession,
+    df: DataFrame,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    num_merges: int = 8,
+    lexicon: DataFrame | None = None,
+) -> DataFrame:
+    """Encode documents with a trained segmentation lexicon — the
+    corpus-scale serving path: per-doc word explode, BROADCAST join
+    against the vocab-sized (word, pieces) lexicon, out-of-vocabulary
+    words fall back to characters (+ EOW), then order-exact reassembly
+    (posexplode position + array_sort(struct) — never bare collect_list
+    order).  Output: (doc_id, tokens '|'-joined, n_tokens).
+
+    At 100 TB this is one narrow explode + one broadcast hash join + one
+    doc_id hash agg; nothing re-runs the merge fold.  Pass `lexicon` (a
+    bpe_segment output) to encode against a previously-trained vocab;
+    otherwise the lexicon is trained on `df` itself.
+    """
+    if lexicon is None:
+        _, words = bpe_train_state(spark, df, text, num_merges)
+        lex = words.select("word", F.col("seq").alias("pieces"))
+    else:
+        lex = lexicon.select(
+            "word", F.split(F.col("seg"), r"\|").alias("pieces")
+        )
+    toks = df.select(
+        doc_id,
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(WORD_RE), 0)
+        ).alias("pos", "word"),
+    )
+    char_fallback = F.concat(
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+        F.array(F.lit(EOW)),
+    )
+    joined = toks.join(F.broadcast(lex), "word", "left").withColumn(
+        "pieces", F.coalesce(F.col("pieces"), char_fallback)
+    )
+    return joined.groupBy(doc_id).agg(
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda x: x["pieces"],
+                )
+            ),
+            "|",
+        ).alias("tokens"),
+        F.sum(F.size("pieces")).cast("bigint").alias("n_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle: the K iterations unrolled as CTE stages.  Merge pass =
 # gaps-and-islands parity (leftmost non-overlapping == odd positions within
@@ -280,3 +334,32 @@ def bpe_segment_sql(
 ) -> str:
     return _prefix_sql(table, text, num_merges) + f"""
 SELECT word, n, array_to_string(seq, '|') AS seg FROM s{num_merges}"""
+
+
+def bpe_encode_sql(
+    table: str = "documents",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    num_merges: int = 8,
+) -> str:
+    """Self-trained encode replay: the segment lexicon stages feed a word
+    lookup with a character (+EOW) fallback, reassembled in word order."""
+    return _prefix_sql(table, text, num_merges) + f""",
+wexp AS MATERIALIZED (
+  SELECT {doc_id}, t.i AS pos, words[t.i] AS word
+  FROM (SELECT {doc_id},
+               regexp_extract_all(lower({text}), '{WORD_RE}') AS words
+        FROM {table}),
+       unnest(generate_series(1, len(words))) AS t(i)
+),
+enc AS MATERIALIZED (
+  SELECT w.{doc_id}, w.pos,
+         coalesce(lex.seq,
+                  list_append(regexp_extract_all(w.word, '.'), '{EOW}'))
+           AS pieces
+  FROM wexp w LEFT JOIN s{num_merges} lex ON w.word = lex.word
+)
+SELECT {doc_id},
+       array_to_string(flatten(list(pieces ORDER BY pos)), '|') AS tokens,
+       CAST(sum(len(pieces)) AS BIGINT) AS n_tokens
+FROM enc GROUP BY {doc_id}"""

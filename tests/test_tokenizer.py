@@ -144,6 +144,63 @@ def test_bpe_random_corpus_property(spark, num_merges):
     assert gseg == {w: "|".join(seq) for w, (seq, n) in wstate.items()}
 
 
+def _docs_ids(spark, texts):
+    return spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+
+
+def test_bpe_encode_self_trained_matches_reference(spark):
+    got = {
+        r.doc_id: (r.tokens, r.n_tokens)
+        for r in TOK.bpe_encode(
+            spark, _docs_ids(spark, CORPUS), num_merges=6
+        ).collect()
+    }
+    _, state = _ref_bpe(CORPUS, 6)
+    lex = {w: seq for w, (seq, _) in state.items()}
+    for i, t in enumerate(CORPUS):
+        pieces = []
+        for w in re.findall(TOK.WORD_RE, t.lower()):
+            pieces.extend(lex[w])
+        assert got[f"d{i}"] == ("|".join(pieces), len(pieces))
+
+
+def test_bpe_encode_oov_falls_back_to_characters(spark):
+    """Encode a held-out corpus against a lexicon trained elsewhere:
+    unseen words decompose to characters + EOW, known words use their
+    trained pieces."""
+    lexicon = TOK.bpe_segment(spark, _docs(spark), num_merges=6)
+    held_out = _docs_ids(spark, ["low zebra"])
+    got = TOK.bpe_encode(
+        spark, held_out, num_merges=6, lexicon=lexicon
+    ).collect()
+    _, state = _ref_bpe(CORPUS, 6)
+    low = "|".join(state["low"][0])
+    zebra = "|".join(list("zebra") + [TOK.EOW])
+    assert [(r.doc_id, r.tokens, r.n_tokens) for r in got] == [
+        ("d0", f"{low}|{zebra}", low.count("|") + 1 + 6)
+    ]
+
+
+def test_bpe_encode_lexicon_join_is_broadcast(spark):
+    """The encode plan must broadcast the vocab-sized lexicon — a
+    sort-merge join here would shuffle the corpus on the word column."""
+    lexicon = TOK.bpe_segment(spark, _docs(spark), num_merges=4)
+    plan = (
+        TOK.bpe_encode(
+            spark, _docs_ids(spark, CORPUS), num_merges=4, lexicon=lexicon
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_corpus_pass_is_single_scan_no_python(spark):
     """The corpus-sized stage (word_table) is one scan + one hash agg and
     never a Python UDF; the per-iteration work never touches the corpus."""
