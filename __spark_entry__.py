@@ -813,6 +813,13 @@ def q_bpe_segment(spark, sf_dir):
     return TOK.bpe_segment(spark, _read(spark, sf_dir, "documents"), num_merges=8)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (text.gopher_rules): word-count /
+    mean-word-length / symbol / bullet / ellipsis / alpha / stopword
+    signals + composite pass flag, one narrow JVM map."""
+    return textops.gopher_rules(_read(spark, sf_dir, "documents"))
+
+
 def q_bpe_encode(spark, sf_dir):
     """Corpus-scale BPE encode: broadcast (word, pieces) lexicon join +
     OOV char fallback + order-exact reassembly (posexplode position,
@@ -3916,6 +3923,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": TOK.bpe_vocab_sql("documents", "text", 8),
         "bpe_segment": TOK.bpe_segment_sql("documents", "text", 8),
         "bpe_encode": TOK.bpe_encode_sql("documents", "text", "doc_id", 8),
+        "gopher_rules": textops.gopher_rules_sql(),
     }
 
 
@@ -4097,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "bpe_segment": q_bpe_segment,
         "bpe_encode": q_bpe_encode,
+        "gopher_rules": q_gopher_rules,
     }
 
 

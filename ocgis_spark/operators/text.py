@@ -873,3 +873,154 @@ def lang_id_ngram_sql(table: str = "documents", text: str = "text",
         f"ORDER BY hits DESC, cand ASC) AS r FROM scores s) t "
         f"WHERE r = 1"
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, appendix A1.1 shape)
+# --------------------------------------------------------------------------
+
+#: stopword floor list (Gopher uses a similar short function-word set)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality battery: word-count bounds, mean
+    word length window, symbol-to-word ratio (# and ...), bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, stopword floor,
+    plus the composite ``passes`` flag.
+
+    Scale shape: every signal is a deterministic per-row expression over
+    the text column — one narrow JVM map, 0 exchanges, 0 Python.  The two
+    list lambdas (alpha filter, stopword filter) are interpreted HOFs but
+    run over doc-bounded word lists, never a corpus-sized explode; all
+    ratios are single-float divisions (no aggregation order), so the
+    oracle parity is exact without rounding.
+    """
+    words = F.filter(F.split(F.col(text), " "), lambda w: w != F.lit(""))
+    lines = F.split(F.col(text), "\n")
+    n_words = F.size(words).cast("bigint")
+    nw_d = F.greatest(F.size(words), F.lit(1)).cast("double")
+    nl_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    word_chars = F.length(
+        F.regexp_replace(F.col(text), r"\s", "")
+    ).cast("double")
+    mean_word_len = word_chars / nw_d
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double")
+    n_stop = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))
+    ).cast("bigint")
+    symbol_ratio = (
+        F.regexp_count(F.col(text), F.lit("#"))
+        + F.regexp_count(F.col(text), F.lit(r"\.\.\."))
+    ).cast("double") / nw_d
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+        ).cast("double")
+        / nl_d
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / nl_d
+    )
+    out = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        (n_alpha / nw_d).alias("frac_alpha_words"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("frac_bullet_lines"),
+        ellipsis_frac.alias("frac_ellipsis_lines"),
+        n_stop.alias("n_stopwords"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("frac_bullet_lines") <= max_bullet_frac)
+        & (F.col("frac_ellipsis_lines") <= max_ellipsis_frac)
+        & (F.col("frac_alpha_words") >= min_alpha_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("passes", passes)
+
+
+def gopher_rules_sql(
+    table: str = "documents",
+    text: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> str:
+    """Oracle twin of :func:`gopher_rules` (identical word/line split
+    rules; float thresholds via the E-notation convention)."""
+    from ..fixtures import _f
+
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({text}, ' '), w -> w <> '') AS words,
+         string_split({text}, chr(10)) AS lines,
+         CAST(length(regexp_replace({text}, '\\s', '', 'g')) AS DOUBLE)
+           AS word_chars,
+         CAST(len(regexp_extract_all({text}, '#'))
+              + len(regexp_extract_all({text}, '\\.\\.\\.'))
+              AS DOUBLE) AS n_sym
+  FROM {table}
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         word_chars / CAST(greatest(len(words), 1) AS DOUBLE)
+           AS mean_word_len,
+         CAST(len(list_filter(words,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+           / CAST(greatest(len(words), 1) AS DOUBLE) AS frac_alpha_words,
+         n_sym / CAST(greatest(len(words), 1) AS DOUBLE) AS symbol_ratio,
+         CAST(len(list_filter(lines,
+                l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+           / CAST(greatest(len(lines), 1) AS DOUBLE) AS frac_bullet_lines,
+         CAST(len(list_filter(lines,
+                l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+              AS DOUBLE)
+           / CAST(greatest(len(lines), 1) AS DOUBLE)
+           AS frac_ellipsis_lines,
+         CAST(len(list_filter(words, w -> lower(w) IN ({stop})))
+              AS BIGINT) AS n_stopwords
+  FROM base
+)
+SELECT *,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= {_f(min_mean_word_len)}
+        AND mean_word_len <= {_f(max_mean_word_len)}
+        AND symbol_ratio <= {_f(max_symbol_ratio)}
+        AND frac_bullet_lines <= {_f(max_bullet_frac)}
+        AND frac_ellipsis_lines <= {_f(max_ellipsis_frac)}
+        AND frac_alpha_words >= {_f(min_alpha_frac)}
+        AND n_stopwords >= {min_stopwords}) AS passes
+FROM sig"""

@@ -481,3 +481,66 @@ def test_lm_score_bigrams_not_resplit_per_exploded_row(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "element_at(split(" not in plan
+
+
+def test_gopher_rules_crafted_docs(spark):
+    """Each Gopher signal exercised by a crafted document; hand-computed
+    expectations (the fixture corpus has no bullets/ellipses/symbols, so
+    this is where those branches are actually verified)."""
+    from pyspark.sql import functions as F
+
+    good = "the cat and the dog have fun with all of that " * 6  # 66 words
+    bullets = "- one\n- two\n• three\nplain"
+    ellipsis = "first...\nsecond…\nthird"
+    symbolic = "the of # tag ## more ... done"
+    numeric = "1 2 3 4 5 6 7 8 9 10"
+    docs = spark.createDataFrame(
+        [
+            ("good", good.strip()),
+            ("bullets", bullets),
+            ("ellipsis", ellipsis),
+            ("symbolic", symbolic),
+            ("numeric", numeric),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.doc_id: r for r in textops.gopher_rules(docs).collect()
+    }
+    g = rows["good"]
+    assert g.n_words == 66 and g.passes  # 3 <= mean len <= 10, stopwords ok
+    assert g.frac_alpha_words == 1.0 and g.n_stopwords == 42
+
+    b = rows["bullets"]
+    assert b.frac_bullet_lines == 0.75 and not b.passes
+
+    e = rows["ellipsis"]
+    assert abs(e.frac_ellipsis_lines - 2 / 3) < 1e-15 and not e.passes
+
+    s = rows["symbolic"]
+    # '#' twice in '##' + one standalone = 3; one '...' -> 4 symbols / 8 words
+    assert s.symbol_ratio == 4 / 8 and s.n_stopwords == 2 and not s.passes
+
+    n = rows["numeric"]
+    assert n.frac_alpha_words == 0.0 and n.n_stopwords == 0 and not n.passes
+
+    # relaxed thresholds flip the verdicts the thresholds (not the
+    # signals) were rejecting
+    relaxed = {
+        r.doc_id: r.passes
+        for r in textops.gopher_rules(
+            docs, min_words=1, min_mean_word_len=0.0,
+            max_mean_word_len=100.0, max_bullet_frac=1.0,
+            max_ellipsis_frac=1.0, max_symbol_ratio=1.0,
+            min_alpha_frac=0.0, min_stopwords=0,
+        ).collect()
+    }
+    assert all(relaxed.values())
+
+    # plan: one narrow map, no exchange, no Python
+    plan = (
+        textops.gopher_rules(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
