@@ -9,10 +9,12 @@ word table).  Per iteration: one hash aggregation over the exploded
 adjacent-pair list + a TakeOrdered(1) for the arg-max pair, then a pure
 column-expression merge fold — no Python in any per-row path.  Each
 iteration is `localCheckpoint`-pinned so round cost stays constant (the
-connected-components-loop lesson).  For production vocab sizes (~30k
-merges) the classic algorithm batches many disjoint merges per round;
-this implementation is the exact textbook recurrence, which is what the
-oracle can replay.
+connected-components-loop lesson).  `batch=1` (default) is the exact
+textbook recurrence, which is what the oracle replays; `batch>1` is the
+production path for real vocab sizes (~30k merges): up to `batch`
+pairwise non-interacting merges per round (symbol sets disjoint incl.
+the created symbol, so they commute exactly — see `select_disjoint`),
+cutting driver round-trips ~`batch`x.
 
 Merge semantics are the textbook greedy leftmost non-overlapping pass,
 implemented as a left fold: scanning the symbol sequence, merge whenever
@@ -58,25 +60,61 @@ def _initial_seq(words: DataFrame) -> DataFrame:
     return words.withColumn("seq", F.concat(chars, F.array(F.lit(EOW))))
 
 
-def _merge_fold(lhs: str, rhs: str, merged: str):
-    """Greedy leftmost non-overlapping merge of (lhs, rhs) -> merged as a
-    left fold over the symbol array (pure column expressions)."""
+def _merge_fold(rules: list[tuple[str, str, str]]):
+    """Greedy leftmost non-overlapping merge of one or more SYMBOL-DISJOINT
+    (lhs, rhs) -> merged rules in a single left fold over the symbol array
+    (pure column expressions).  Disjointness (enforced by the caller,
+    incl. each rule's CREATED symbol) guarantees at most one rule can
+    match any (last-emitted, current) pair, so one pass applies them all
+    and the result equals applying the rules one at a time in any order.
+    """
     empty = F.expr("CAST(array() AS ARRAY<STRING>)")
 
     def step_fn(acc, s):
-        hit = (
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(lhs))
-            & (s == F.lit(rhs))
-        )
-        return F.when(
-            hit,
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-            ),
-        ).otherwise(F.concat(acc, F.array(s)))
+        expr = F.concat(acc, F.array(s))
+        for lhs, rhs, merged in rules:
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(lhs))
+                & (s == F.lit(rhs))
+            )
+            expr = F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(expr)
+        return expr
 
     return F.aggregate(F.col("seq"), empty, step_fn)
+
+
+def select_disjoint(
+    candidates: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str, str, int]]:
+    """Greedy top-`batch` selection of pairwise NON-INTERACTING merges
+    from (l, r, cnt) candidates already sorted by (cnt DESC, l, r).
+
+    Two merges interact if their symbol sets overlap — including the
+    symbol each merge CREATES: rule (a,b)->'ab' manufactures new 'ab'
+    tokens that a same-round rule ('ab',c) would consume, which would
+    smuggle in sequential semantics with stale counts.  Requiring
+    {lhs, rhs, merged} pairwise disjoint makes the picked merges commute
+    exactly: each one's round-start frequency is still exact when it
+    applies, whatever the order.
+    """
+    picked: list[tuple[str, str, str, int]] = []
+    used: set[str] = set()
+    for l, r, cnt in candidates:
+        if len(picked) >= batch:
+            break
+        syms = {l, r, l + r}
+        if used & syms:
+            continue
+        picked.append((l, r, l + r, cnt))
+        used |= syms
+    return picked
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -105,13 +143,25 @@ def bpe_train_state(
     df: DataFrame,
     text: str = "text",
     num_merges: int = 8,
+    batch: int = 1,
 ) -> tuple[list[tuple], DataFrame]:
     """Run BPE training; return (merge rows, final symbol-seq word table).
 
-    Each iteration collects exactly ONE row (the arg-max pair) — the merge
-    list is inherently driver state, like k-means centroids in ivf_train.
-    Ties break deterministically: count DESC, then (lhs, rhs) ascending
-    (binary collation both engines).
+    Each round collects a bounded candidate slice (the arg-max pairs) —
+    the merge list is inherently driver state, like k-means centroids in
+    ivf_train.  Ties break deterministically: count DESC, then (lhs, rhs)
+    ascending (binary collation both engines).
+
+    `batch=1` is the exact textbook recurrence (what the SQL oracle
+    replays).  `batch>1` is the production path for real vocabularies
+    (~30k merges): each round applies up to `batch` pairwise
+    NON-INTERACTING merges (see :func:`select_disjoint`) in ONE fold
+    pass, cutting the round count — and with it the driver round-trips
+    and checkpoint barriers — by ~`batch`×.  Within a round the picked
+    merges commute exactly, so every recorded frequency is the true
+    corpus count at application time; across rounds the merge ORDER may
+    differ from strict textbook order (the standard batched-BPE
+    approximation).
     """
     words = _initial_seq(df.transform(word_table, text)).persist()
     n_words = words.count()  # materialize before the loop
@@ -128,20 +178,25 @@ def bpe_train_state(
         words.unpersist()
         words = words2
     merges: list[tuple] = []
-    for step in range(1, num_merges + 1):
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
+        # over-fetch: the disjointness filter can reject candidates, and
+        # 8x covers the worst realistic rejection rate without a re-query
         top = (
             _pair_counts(words)
             .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
+            .limit(max(8 * want, 8))
             .collect()
         )
-        if not top:
+        rules = select_disjoint(
+            [(r["l"], r["r"], int(r["cnt"])) for r in top], want
+        )
+        if not rules:
             break  # fully merged corpus — oracle stages go empty too
-        lhs, rhs, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        merged = lhs + rhs
-        merges.append((step, lhs, rhs, merged, cnt))
+        for lhs, rhs, merged, cnt in rules:
+            merges.append((len(merges) + 1, lhs, rhs, merged, cnt))
         nxt = words.withColumn(
-            "seq", _merge_fold(lhs, rhs, merged)
+            "seq", _merge_fold([(l, r, m) for l, r, m, _ in rules])
         ).localCheckpoint()
         words.unpersist()
         words = nxt
@@ -153,9 +208,10 @@ def bpe_train(
     df: DataFrame,
     text: str = "text",
     num_merges: int = 8,
+    batch: int = 1,
 ) -> DataFrame:
     """The learned merge table: (step, lhs, rhs, merged, freq)."""
-    merges, words = bpe_train_state(spark, df, text, num_merges)
+    merges, words = bpe_train_state(spark, df, text, num_merges, batch)
     words.unpersist()
     return spark.createDataFrame(merges, schema=MERGE_SCHEMA)
 
@@ -165,9 +221,10 @@ def bpe_vocab(
     df: DataFrame,
     text: str = "text",
     num_merges: int = 8,
+    batch: int = 1,
 ) -> DataFrame:
     """Post-merge symbol inventory with corpus frequencies: (sym, freq)."""
-    _, words = bpe_train_state(spark, df, text, num_merges)
+    _, words = bpe_train_state(spark, df, text, num_merges, batch)
     out = (
         words.select(F.explode("seq").alias("sym"), "n")
         .groupBy("sym")
@@ -181,13 +238,14 @@ def bpe_segment(
     df: DataFrame,
     text: str = "text",
     num_merges: int = 8,
+    batch: int = 1,
 ) -> DataFrame:
     """Per-word trained segmentation: (word, n, seg) with seg the
     '|'-joined merged symbol sequence.  This lexicon IS the practical
     serving artifact: encoding a document stream is a broadcast join of
     its words against this table (OOV words fall back to characters), so
     inference never re-runs the fold."""
-    _, words = bpe_train_state(spark, df, text, num_merges)
+    _, words = bpe_train_state(spark, df, text, num_merges, batch)
     return words.select(
         "word", "n", F.array_join("seq", "|").alias("seg")
     )

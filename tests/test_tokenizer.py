@@ -60,6 +60,40 @@ def _ref_bpe(texts, num_merges):
     return merges, state
 
 
+def _ref_bpe_batched(texts, num_merges, batch):
+    """Batched reference: picks top-`batch` symbol-disjoint merges per
+    round (same greedy selection as TOK.select_disjoint) but applies them
+    SEQUENTIALLY, one greedy pass each.  Equality with the Spark side's
+    single-pass multi-rule fold is exactly the commutation claim."""
+    state = _ref_word_table(texts)
+    merges = []
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
+        pairs = Counter()
+        for seq, n in state.values():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        cands = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        picked, used = [], set()
+        for (l, r), cnt in cands:
+            if len(picked) >= want:
+                break
+            syms = {l, r, l + r}
+            if used & syms:
+                continue
+            picked.append((l, r, l + r, cnt))
+            used |= syms
+        for l, r, m, cnt in picked:
+            merges.append((len(merges) + 1, l, r, m, cnt))
+            state = {
+                w: (_ref_merge_pass(seq, l, r, m), n)
+                for w, (seq, n) in state.items()
+            }
+    return merges, state
+
+
 CORPUS = [
     "low lower lowest low low",
     "new newer newest new wider wide",
@@ -142,6 +176,77 @@ def test_bpe_random_corpus_property(spark, num_merges):
         for r in TOK.bpe_segment(spark, df, num_merges=num_merges).collect()
     }
     assert gseg == {w: "|".join(seq) for w, (seq, n) in wstate.items()}
+
+
+def test_select_disjoint_blocks_created_symbol_consumers():
+    """A same-round rule consuming another rule's CREATED symbol would
+    smuggle in sequential semantics with stale counts — it must be
+    rejected, while unrelated rules still fill the batch."""
+    picked = TOK.select_disjoint(
+        [("a", "b", 10), ("ab", "c", 9), ("x", "y", 8)], batch=3
+    )
+    assert picked == [("a", "b", "ab", 10), ("x", "y", "xy", 8)]
+
+
+def test_select_disjoint_blocks_shared_operands_and_reverse_creation():
+    # shared rhs/lhs symbol 'b'; and ('c','ab') consumes a created symbol
+    picked = TOK.select_disjoint(
+        [("a", "b", 10), ("b", "c", 9), ("c", "ab", 8), ("d", "e", 7)],
+        batch=4,
+    )
+    assert picked == [("a", "b", "ab", 10), ("d", "e", "de", 7)]
+
+
+def test_select_disjoint_respects_batch_limit():
+    cands = [("a", "b", 5), ("c", "d", 4), ("e", "f", 3)]
+    assert len(TOK.select_disjoint(cands, batch=2)) == 2
+
+
+def test_bpe_batched_matches_sequential_reference(spark):
+    """batch=4 end state + merge table equal the sequential-application
+    batched reference — the in-fold rules really do commute."""
+    got = TOK.bpe_train(spark, _docs(spark), num_merges=8, batch=4).collect()
+    want, wstate = _ref_bpe_batched(CORPUS, 8, 4)
+    assert [(r.step, r.lhs, r.rhs, r.merged, r.freq) for r in got] == want
+    gseg = {
+        r.word: r.seg
+        for r in TOK.bpe_segment(
+            spark, _docs(spark), num_merges=8, batch=4
+        ).collect()
+    }
+    assert gseg == {w: "|".join(seq) for w, (seq, n) in wstate.items()}
+    # pieces still reconstruct every word under batched training
+    for w, seg in gseg.items():
+        assert seg.replace("|", "").replace(TOK.EOW, "") == w
+
+
+def test_bpe_batched_random_corpus_property(spark):
+    texts = []
+    for i in range(40):
+        h = (i * 2654435761) % (2**32)
+        word = "".join("abcd"[(h >> (2 * j)) & 3] for j in range(3 + i % 4))
+        texts.append(word + " " + word[::-1])
+    df = _docs(spark, texts)
+    got = TOK.bpe_train(spark, df, num_merges=6, batch=3).collect()
+    want, wstate = _ref_bpe_batched(texts, 6, 3)
+    assert [(r.step, r.lhs, r.rhs, r.merged, r.freq) for r in got] == want
+    gvocab = {
+        r.sym: r.freq
+        for r in TOK.bpe_vocab(spark, df, num_merges=6, batch=3).collect()
+    }
+    wvocab = Counter()
+    for seq, n in wstate.values():
+        for s in seq:
+            wvocab[s] += n
+    assert gvocab == dict(wvocab)
+
+
+def test_bpe_batch1_is_exact_textbook(spark):
+    """Explicit batch=1 stays byte-identical to the textbook recurrence
+    (what the SQL oracle replays)."""
+    got = TOK.bpe_train(spark, _docs(spark), num_merges=6, batch=1).collect()
+    want, _ = _ref_bpe(CORPUS, 6)
+    assert [(r.step, r.lhs, r.rhs, r.merged, r.freq) for r in got] == want
 
 
 def _docs_ids(spark, texts):
