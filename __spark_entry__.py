@@ -3950,14 +3950,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "clean_text": q_clean_text,
         "train_test_split": q_train_test_split,
-        "time_range": q_time_range,
-        "time_region": q_time_region,
-        "group_month": q_group_month,
+        # NEW r4s8 code (operators/tokenizer.py + text.gopher_rules) —
+        # fresh code needs a driver row most, so these five take the
+        # window slots of time_range/time_region/group_month/
+        # set_functions/group_day (r1-green temporal filters, code
+        # untouched since r1; they rotate back in during r5 and stay
+        # gated by scripts/check_oracles.py + pytest meanwhile)
+        "bpe_train": q_bpe_train,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_segment": q_bpe_segment,
+        "bpe_encode": q_bpe_encode,
+        "gopher_rules": q_gopher_rules,
         "group_season": q_group_season,
-        "set_functions": q_set_functions,
         "moving_window": q_moving_window,
         "duration": q_duration,
-        "group_day": q_group_day,
         "between_threshold": q_between_threshold,
         "convolve": q_convolve,
         "freq_duration": q_freq_duration,
@@ -4003,6 +4009,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the holed case keeps its local/pytest gates below the boundary
         "chunk_spans": q_chunk_spans,
         # ---- driver window boundary (50) ----
+        # displaced by the r4s8 rotation above (r1-green, code unchanged
+        # since r1; rotate back into the window in r5):
+        "time_range": q_time_range,
+        "time_region": q_time_region,
+        "group_month": q_group_month,
+        "set_functions": q_set_functions,
+        "group_day": q_group_day,
         "agg_selection_clip_holed": q_agg_selection_clip_holed,
         "multifile_union": q_multifile_union,
         "eval_expr": q_eval_expr,
@@ -4098,14 +4111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dest_counts_nonuniform": q_tile_dest_counts_nonuniform,
         "tile_source_assign_nonuniform": q_tile_source_assign_nonuniform,
         "tile_dest_counts": q_tile_dest_counts,
-        # NEW r4s8 (operators/tokenizer.py) — below the boundary because
-        # the r4 window is already full of this round's earlier additions;
-        # rotate these three into the first-50 window in r5
-        "bpe_train": q_bpe_train,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_segment": q_bpe_segment,
-        "bpe_encode": q_bpe_encode,
-        "gopher_rules": q_gopher_rules,
     }
 
 
