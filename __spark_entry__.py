@@ -30,6 +30,7 @@ from ocgis_spark.operators import sampling as SMP
 from ocgis_spark.operators import text as textops
 from ocgis_spark.operators import tiling, vectorgrid, windows
 from ocgis_spark.operators import tokenizer as TOK
+from ocgis_spark.operators import urls as urlops
 from ocgis_spark.operators import aggregate as agg
 from ocgis_spark.operators import multimodal
 from ocgis_spark.ops import OcgOperations
@@ -825,6 +826,34 @@ def q_bpe_encode(spark, sf_dir):
     OOV char fallback + order-exact reassembly (posexplode position,
     never bare collect_list order)."""
     return TOK.bpe_encode(spark, _read(spark, sf_dir, "documents"), num_merges=8)
+
+
+def q_url_canon(spark, sf_dir):
+    """FineWeb-style URL canonicalization (urls.canonicalize): fragment /
+    default-port / www / utm stripping + host + registered domain, as one
+    narrow codegen projection over a deterministically synthesized messy
+    URL column (urls.url_synth_sql — no external data)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(urlops.url_synth_sql()).alias("url"))
+    return urlops.canonicalize(docs).select(
+        "doc_id", "canon_url", "host", "domain")
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level exact dedup: one document per canonical URL, lowest
+    doc_id wins (first-crawl-wins). One window shuffle."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(urlops.url_synth_sql()).alias("url"))
+    return urlops.url_dedup(docs).select("doc_id", "canon_url")
+
+
+def q_domain_caps(spark, sf_dir):
+    """Per-registered-domain document cap (domain balance): keep at most
+    8 docs per domain in deterministic multiplicative-hash order."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(urlops.url_synth_sql()).alias("url"))
+    capped = urlops.domain_cap(urlops.canonicalize(docs), cap=8)
+    return capped.select("doc_id", "domain")
 
 
 def q_lm_score(spark, sf_dir):
@@ -3924,6 +3953,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment": TOK.bpe_segment_sql("documents", "text", 8),
         "bpe_encode": TOK.bpe_encode_sql("documents", "text", "doc_id", 8),
         "gopher_rules": textops.gopher_rules_sql(),
+        "url_canon": urlops.url_canon_sql(),
+        "url_dedup": urlops.url_dedup_sql(),
+        "domain_caps": urlops.domain_caps_sql(cap=8),
     }
 
 
@@ -4111,6 +4143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dest_counts_nonuniform": q_tile_dest_counts_nonuniform,
         "tile_source_assign_nonuniform": q_tile_source_assign_nonuniform,
         "tile_dest_counts": q_tile_dest_counts,
+        # NEW r4s9 (operators/urls.py) — below the boundary because the
+        # r4 window is full; rotate into the first-50 window in r5
+        "url_canon": q_url_canon,
+        "url_dedup": q_url_dedup,
+        "domain_caps": q_domain_caps,
     }
 
 

@@ -25,10 +25,13 @@ ROUND4_WINDOW_OPS = [
     # code untouched since r1 — gave their slots to the new
     # bloom_decontaminate and pq_topk; they sit just past the boundary
     # and rotate back in r5)
+    # r4s8/s9 additions (fresh code): they took the slots of time_range,
+    # time_region, group_month, set_functions, group_day (r1-green,
+    # code untouched since r1; rotate back in r5)
+    "bpe_train", "bpe_vocab", "bpe_segment", "bpe_encode", "gopher_rules",
     "multimodal_features", "top_tokens", "daily_perc_window",
-    "chunk_documents", "clean_text", "train_test_split", "time_range",
-    "time_region", "group_month", "group_season", "set_functions",
-    "moving_window", "duration", "group_day", "between_threshold",
+    "chunk_documents", "clean_text", "train_test_split", "group_season",
+    "moving_window", "duration", "between_threshold",
     "convolve", "freq_duration", "freq_perc", "heat_index",
     "icclim_SU", "icclim_CDD", "snippet_first",
     "intersects_multi", "ops_facade", "zonal_stats",
