@@ -789,6 +789,37 @@ def q_pii_scan(spark, sf_dir):
     return textops.pii_scan(with_pii)
 
 
+def q_scrub_spans(spark, sf_dir):
+    """Span-preserving PII scrub over interleaved docs (spans.scrub_spans):
+    SSN -> email -> phone redaction inside TEXT spans only, media spans
+    byte-identical, span order/kinds/offsets untouched. Output flattened
+    (posexplode) so the oracle replays the flat span construction."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    with_pii = spark.sql(
+        f"SELECT doc_id, {FX.pii_text_expr()} AS text FROM documents"
+    )
+    scrubbed = SP.scrub_spans(SP.with_spans(with_pii))
+    return scrubbed.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def q_media_dedup(spark, sf_dir):
+    """Media blob reference-counting manifest (spans.media_ref_stats):
+    dedupe identical media blobs across the interleaved corpus by a
+    content key (synthesized collisions: doc_id % 37 — no external
+    data), canonical keeper = min doc_id."""
+    ds = SP.with_spans(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    key = F.concat(F.lit("blob://"), (F.col("doc_id") % 37).cast("string"))
+    return SP.media_ref_stats(ds, content_key=key)
+
+
 def q_word_entropy(spark, sf_dir):
     """Token-distribution Shannon entropy (perplexity proxy for quality
     filtering)."""
@@ -2832,6 +2863,48 @@ def _pii_scan_sql() -> str:
     )
 
 
+def _scrub_spans_sql() -> str:
+    """Flat replay of with_spans + scrub_spans: the three-span
+    construction (SP.HALF shared), then the SSN -> email -> phone chain
+    on text spans only ('g' flag: Spark replaces all by default)."""
+    em, ssn, ph = textops.PII_EMAIL_RE, textops.PII_SSN_RE, textops.PII_PHONE_RE
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{ssn}', "
+        f"'[SSN]', 'g'), '{em}', '[EMAIL]', 'g'), '{ph}', '[PHONE]', 'g')"
+    )
+    half = SP.HALF
+    return (
+        f"WITH d AS (SELECT doc_id, {FX.pii_text_expr()} AS text "
+        "FROM documents), "
+        f"h AS (SELECT doc_id, text, {half} AS hf FROM d), "
+        "sp AS ("
+        "SELECT doc_id, 0 AS pos, 'text' AS kind, "
+        "substr(text, 1, hf) AS t, '' AS media_ref FROM h "
+        "UNION ALL SELECT doc_id, 1, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END, '', "
+        "concat('ref://', CAST(doc_id AS VARCHAR)) FROM h "
+        "UNION ALL SELECT doc_id, 2, 'text', substr(text, hf + 1), '' "
+        "FROM h) "
+        "SELECT doc_id, CAST(pos AS INT) AS pos, kind, "
+        f"CASE WHEN kind = 'text' THEN {red} ELSE t END AS span_text, "
+        "media_ref FROM sp"
+    )
+
+
+def _media_dedup_sql() -> str:
+    """Each doc contributes exactly one media span (the fixture model),
+    so the manifest aggregates straight off the flat table."""
+    return (
+        "SELECT concat('blob://', CAST(doc_id % 37 AS VARCHAR)) AS blob_key, "
+        "CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN 'image' "
+        "ELSE 'audio' END) AS BIGINT) AS n_kinds, "
+        "min(doc_id) AS canonical_doc "
+        "FROM documents GROUP BY 1"
+    )
+
+
 def _regrid_bilinear_vec_sql() -> str:
     """VALUES twin of regrid.bilinear_weights_vector — the same numpy
     floats (regrid._bilinear_weight_rows), so parity is exact by
@@ -3956,6 +4029,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canon": urlops.url_canon_sql(),
         "url_dedup": urlops.url_dedup_sql(),
         "domain_caps": urlops.domain_caps_sql(cap=8),
+        "scrub_spans": _scrub_spans_sql(),
+        "media_dedup": _media_dedup_sql(),
     }
 
 
@@ -4148,6 +4223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
         "domain_caps": q_domain_caps,
+        "scrub_spans": q_scrub_spans,
+        "media_dedup": q_media_dedup,
     }
 
 

@@ -221,3 +221,78 @@ def check_span_preservation(before: DataFrame, after: DataFrame) -> int:
     if bad:
         raise AssertionError(f"span-sequence invariant violated for {bad} docs")
     return joined.count()
+
+
+def scrub_spans(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Span-preserving PII scrub over interleaved documents: redact
+    SSN -> email -> phone (the text.pii_scan chain, same order so the
+    same non-double-counting guarantees hold) inside TEXT spans only.
+    Media spans stay byte-identical and the span count, order, kinds,
+    media_refs, and offsets are untouched — the north-rule span-sequence
+    invariant holds modulo the redaction itself.
+
+    100-TB posture: one narrow projection, 0 exchanges, 0 Python
+    (plan-asserted in tests/test_scrub_media.py). `F.transform` is an
+    interpreted HOF but doc-bounded (3 spans/doc); the regex passes
+    dominate its per-element overhead."""
+    from ocgis_spark.operators.text import (
+        PII_EMAIL_RE, PII_PHONE_RE, PII_SSN_RE,
+    )
+
+    def scrub(s):
+        red = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(s["text"], PII_SSN_RE, "[SSN]"),
+                PII_EMAIL_RE, "[EMAIL]",
+            ),
+            PII_PHONE_RE, "[PHONE]",
+        )
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"] == "text", red)
+            .otherwise(s["text"]).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    return df.withColumn(spans_col, F.transform(F.col(spans_col), scrub))
+
+
+def media_ref_stats(
+    df: DataFrame,
+    spans_col: str = "spans",
+    content_key: Column | None = None,
+) -> DataFrame:
+    """Media blob reference counting — the storage-dedup manifest for an
+    interleaved corpus (dedupe identical media blobs across documents,
+    keep one canonical copy). One row per blob:
+    ``(blob_key, n_spans, n_docs, n_kinds, canonical_doc)`` with
+    ``canonical_doc = min(doc_id)`` ("first doc wins", the same keeper
+    rule as URL/text dedup).
+
+    ``content_key`` is the blob's CONTENT identity — at production scale
+    a content hash of the binary column; defaults to the span's
+    ``media_ref``. It may reference the exploded span as ``s`` and any
+    document column (e.g. ``doc_id``).
+
+    100-TB posture: one narrow posexplode + ONE hash aggregation with
+    map-side partials; the two count-distincts expand the agg input 2x
+    but stay bounded by the media-span count (text spans are filtered
+    before the shuffle)."""
+    s = df.select("doc_id", F.posexplode(spans_col).alias("pos", "s"))
+    media = s.filter(F.col("s.media_ref") != "")
+    key = content_key if content_key is not None else F.col("s.media_ref")
+    return (
+        media.select(
+            F.col("doc_id"),
+            key.alias("blob_key"),
+            F.col("s.kind").alias("kind"),
+        )
+        .groupBy("blob_key")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("kind").alias("n_kinds"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
