@@ -31,7 +31,7 @@ from ocgis_spark import spans as SP  # noqa: E402
 from ocgis_spark.fixtures import DOC_GRID  # noqa: E402
 from ocgis_spark.operators import dedup, knn, similarity, spatial, temporal  # noqa: E402
 from ocgis_spark.operators import text as textops  # noqa: E402
-from ocgis_spark.operators import tiling, windows  # noqa: E402
+from ocgis_spark.operators import tiling, urls, windows  # noqa: E402
 from ocgis_spark.session import get_spark  # noqa: E402
 
 
@@ -114,6 +114,21 @@ def main() -> None:
     timed(
         "bbox_subset",
         lambda: _materialize(spatial.bbox_filter(dg, FX.QUERY_RECT)),
+    )
+    # URL canonicalization over the scaled corpus: the per-row crawl-stage
+    # cost (pure codegen projection — the dedup/cap windows behind it are
+    # ordinary shuffles already covered by other suite queries). NEW in r4
+    # — absent from BENCH_r{1..3}.json.
+    timed(
+        "url_canon_scaled",
+        lambda: _materialize(
+            urls.canonicalize(
+                dg.select(
+                    "doc_id",
+                    F.expr(urls.url_synth_sql()).alias("url"),
+                )
+            ).select("doc_id", "canon_url", "domain")
+        ),
     )
     timed(
         "clip_cells",
