@@ -23,9 +23,12 @@ normalization set FineWeb applies before URL dedup):
 fragment dropped; scheme+host lowercased; default ports (:443 https,
 :80 http) dropped, other ports kept; leading `www.` dropped; `utm_*`
 tracking params dropped (with `?`/`&` re-punctuated); a dangling `?` and
-ONE trailing `/` dropped. A literal `&` in the PATH is treated as a query
-separator by the re-punctuation step — out of contract (vanishingly rare
-and rejected by most crawlers).
+ONE trailing `/` dropped. Out of contract (documented, not detected):
+a literal `&` in the PATH is treated as a query separator by the
+re-punctuation step; inputs MUST carry a scheme (scheme-less inputs pass
+through with `host = domain = ''` — an explicit "unparseable" signal to
+filter on); authority userinfo (`user:pass@host`) is not split out
+(crawlers drop such URLs upstream).
 
 100-TB posture: `canonicalize` is a narrow per-row projection (0
 exchanges, 0 Python — whole-stage codegen end to end); `url_dedup` and
@@ -62,7 +65,7 @@ def canon_stage_exprs(url: str = "url") -> list[tuple[str, str]]:
     stages. Later stages reference earlier stage columns by name, so the
     list maps 1:1 onto `withColumn` chains (Spark) and staged CTEs
     (DuckDB oracle)."""
-    utm = f"substr(_u0, length(_shp) + 1)"
+    utm = "substr(_u0, length(_shp) + 1)"
     for p in TRACKING_PARAMS:
         utm = f"regexp_replace({utm}, '[?&]{p}=[^&]*', '')"
     suffixes = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)

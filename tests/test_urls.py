@@ -51,6 +51,9 @@ def test_handcrafted_normalization(spark):
         # single-label host: domain falls back to the host itself
         "http://localhost:8000/health":
             ("http://localhost:8000/health", "localhost", "localhost"),
+        # scheme-less input: passes through with host = domain = '' (the
+        # documented "unparseable" signal; see the module contract)
+        "ex.com/path": ("ex.com/path", "", ""),
     }
     got = _canon_map(spark, list(cases))
     for raw, (canon, host, domain) in cases.items():
