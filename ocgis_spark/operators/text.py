@@ -895,11 +895,14 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality battery: word-count bounds, mean
     word length window, symbol-to-word ratio (# and ...), bullet-line and
     ellipsis-line fractions, alphabetic-word fraction, stopword floor,
-    plus the composite ``passes`` flag.
+    plus the composite ``passes`` flag. ``keep`` passes extra input
+    columns through (e.g. the text itself when gating inline — avoids a
+    corpus-corpus join back onto the signals).
 
     Scale shape: every signal is a deterministic per-row expression over
     the text column — one narrow JVM map, 0 exchanges, 0 Python.  The two
@@ -941,6 +944,7 @@ def gopher_rules(
     )
     out = df.select(
         "doc_id",
+        *keep,
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         (n_alpha / nw_d).alias("frac_alpha_words"),
