@@ -134,3 +134,60 @@ def test_url_dedup_first_crawl_wins(spark):
     )
     kept = sorted(r["doc_id"] for r in urls.url_dedup(docs).collect())
     assert kept == list(range(60))
+
+
+def test_canonicalization_invariants_fuzz(spark):
+    """Grammar fuzz (seeded): canon output never carries a fragment, a
+    default port, a www. prefix, a utm_ param, a dangling '?', or a
+    trailing '/'; host never carries a port; domain is always a suffix of
+    host; and canonicalization is idempotent on every fuzzed input."""
+    import random
+
+    rng = random.Random(20260818)
+    schemes = ["http://", "https://", "HTTP://", "HTTPS://"]
+    hosts = ["Ex.COM", "a.b.Example.ORG", "news.bbc.CO.UK", "localhost",
+             "www.site.com", "WWW.deep.sub.site.net", "x.co"]
+    ports = ["", ":443", ":80", ":8080"]
+    paths = ["", "/", "/a", "/a/b", "/A/B/", "/p//q"]
+    queries = ["", "?id=1", "?utm_source=x", "?utm_source=x&id=2",
+               "?id=2&utm_medium=y&utm_term=z", "?a=1&b=2"]
+    frags = ["", "#f", "#sec/2?x=1"]
+    urls_raw = list({
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(400)
+    })
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls_raw)], "doc_id long, url string"
+    )
+    out = urls.canonicalize(df).select("url", "canon_url", "host", "domain")
+    rows = out.collect()
+    for r in rows:
+        c, h, d = r["canon_url"], r["host"], r["domain"]
+        assert "#" not in c, r
+        assert not c.endswith("/") and not c.endswith("?"), r
+        assert "utm_" not in c, r
+        # default ports are scheme-specific: :443 only folds on https,
+        # :80 only on http (the fuzz caught an over-broad first draft of
+        # this assertion — http://host:443 legitimately keeps its port)
+        hp = c.split("/")[2] if "://" in c else ""
+        if c.startswith("https://"):
+            assert not hp.endswith(":443"), r
+        if c.startswith("http://"):
+            assert not hp.endswith(":80"), r
+        assert ":" not in h, r
+        assert h == h.lower() and not h.startswith("www."), r
+        assert d == "" or h == d or h.endswith("." + d), r
+    # idempotence over the whole fuzz corpus (collected compare — see the
+    # PLANS.md r4s9 self-join hazard)
+    once = {r["url"]: r["canon_url"] for r in rows}
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(sorted(set(once.values())))],
+        "doc_id long, url string",
+    )
+    again = {
+        r["url"]: r["canon_url"]
+        for r in urls.canonicalize(df2).select("url", "canon_url").collect()
+    }
+    for c, c2 in again.items():
+        assert c2 == c, (c, c2)
