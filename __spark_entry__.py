@@ -4068,13 +4068,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "bpe_encode": q_bpe_encode,
         "gopher_rules": q_gopher_rules,
+        # NEW r4s9 code (operators/urls.py + spans scrub/media dedup) —
+        # same fresh-code-first policy: these five take the window slots
+        # of moving_window/between_threshold/convolve/freq_perc/
+        # snippet_first (r1-green, code untouched since r1; they rotate
+        # back in during r5 and stay gated by scripts/check_oracles.py +
+        # pytest meanwhile). group_season/duration/freq_duration/
+        # heat_index keep their slots — their code or oracle changed
+        # since their last driver row (VERDICT r3 "what's wrong" #2).
+        "url_canon": q_url_canon,
+        "url_dedup": q_url_dedup,
+        "domain_caps": q_domain_caps,
+        "scrub_spans": q_scrub_spans,
+        "media_dedup": q_media_dedup,
         "group_season": q_group_season,
-        "moving_window": q_moving_window,
         "duration": q_duration,
-        "between_threshold": q_between_threshold,
-        "convolve": q_convolve,
         "freq_duration": q_freq_duration,
-        "freq_perc": q_freq_perc,
         "heat_index": q_heat_index,
         # pq_topk is NEW r4 code (similarity.py pq_*) — it takes the
         # window slot of eval_expr (r1-green, code untouched since r1),
@@ -4082,7 +4091,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "icclim_SU": q_icclim_su,
         "icclim_CDD": q_icclim_cdd,
-        "snippet_first": q_snippet_first,
         # bloom_decontaminate is NEW r4 code (sketch.py bloom_* +
         # text.bloom_decontaminate) — it takes the window slot of
         # multifile_union (r1-green, code untouched since r1), which
@@ -4116,8 +4124,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the holed case keeps its local/pytest gates below the boundary
         "chunk_spans": q_chunk_spans,
         # ---- driver window boundary (50) ----
-        # displaced by the r4s8 rotation above (r1-green, code unchanged
-        # since r1; rotate back into the window in r5):
+        # displaced by the r4s8/r4s9 rotations above (r1-green, code
+        # unchanged since r1; rotate back into the window in r5):
+        "moving_window": q_moving_window,
+        "between_threshold": q_between_threshold,
+        "convolve": q_convolve,
+        "freq_perc": q_freq_perc,
+        "snippet_first": q_snippet_first,
         "time_range": q_time_range,
         "time_region": q_time_region,
         "group_month": q_group_month,
@@ -4218,13 +4231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dest_counts_nonuniform": q_tile_dest_counts_nonuniform,
         "tile_source_assign_nonuniform": q_tile_source_assign_nonuniform,
         "tile_dest_counts": q_tile_dest_counts,
-        # NEW r4s9 (operators/urls.py) — below the boundary because the
-        # r4 window is full; rotate into the first-50 window in r5
-        "url_canon": q_url_canon,
-        "url_dedup": q_url_dedup,
-        "domain_caps": q_domain_caps,
-        "scrub_spans": q_scrub_spans,
-        "media_dedup": q_media_dedup,
     }
 
 
