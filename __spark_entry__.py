@@ -127,6 +127,22 @@ def q_nonconvex_intersects(spark, sf_dir):
     return out.select("doc_id", "cell_id")
 
 
+def q_zrange_subset(spark, sf_dir):
+    """Intersects over the same non-convex L via the ADAPTIVE Z-RANGE
+    covering path (spatial.zrange_filter — S2-RegionCoverer-style
+    mixed-level quad descent → bounded OR-of-BETWEEN Morton predicate,
+    no join/shuffle; the scale path for coverings too large to
+    broadcast) + exact PIP refine. End-to-end equality with the
+    closed-form union-of-rects predicate — the identical oracle as the
+    broadcast-covering path, proving the two phase-1 strategies agree.
+    Budget 64 forces coarse partial blocks, so the refine genuinely
+    discards over-covered rows."""
+    dg = _docs_geo(spark, sf_dir)
+    cand = spatial.zrange_filter(dg, DOC_GRID, [FX.QUERY_LSHAPE], max_cells=64)
+    out = spatial.refine_points(cand, [FX.QUERY_LSHAPE], keep_touches=True)
+    return out.select("doc_id", "cell_id")
+
+
 def q_regrid_bilinear_nonuniform(spark, sf_dir):
     """Bilinear regrid between two NON-UNIFORM grids (the other ESMF
     regrid_method, stretched axes): searchsorted 2x2 stencil → 4-entry
@@ -3227,6 +3243,13 @@ def oracle_sql() -> dict[str, str]:
             f"({FX.rect_pred_sql(FX.L_RECT_A)}) OR "
             f"({FX.rect_pred_sql(FX.L_RECT_B)})"
         ),
+        # same truth, different engine path (adaptive Z-range phase 1):
+        # the oracle is deliberately identical to nonconvex_intersects
+        "zrange_subset": (
+            f"SELECT doc_id, cell_id FROM ({_DG}) dg WHERE "
+            f"({FX.rect_pred_sql(FX.L_RECT_A)}) OR "
+            f"({FX.rect_pred_sql(FX.L_RECT_B)})"
+        ),
         "intersects_cells_rect": (
             f"SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg "
             f"WHERE {cb['lon_lb']} < {rmaxx!r} AND {cb['lon_ub']} > {rminx!r} "
@@ -4089,7 +4112,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window slot of eval_expr (r1-green, code untouched since r1),
         # which rotates back in r5
         "pq_topk": q_pq_topk,
-        "icclim_SU": q_icclim_su,
+        # zrange_subset is NEW r4s10 code (adaptive Z-range covering,
+        # cellindex.covering_z_ranges + spatial.zrange_filter) — it takes
+        # the window slot of icclim_SU (r1-green; its threshold-count
+        # lines are untouched since their introducing commit per git
+        # log -L), which rotates back in r5
+        "zrange_subset": q_zrange_subset,
         "icclim_CDD": q_icclim_cdd,
         # bloom_decontaminate is NEW r4 code (sketch.py bloom_* +
         # text.bloom_decontaminate) — it takes the window slot of
@@ -4126,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (50) ----
         # displaced by the r4s8/r4s9 rotations above (r1-green, code
         # unchanged since r1; rotate back into the window in r5):
+        "icclim_SU": q_icclim_su,
         "moving_window": q_moving_window,
         "between_threshold": q_between_threshold,
         "convolve": q_convolve,

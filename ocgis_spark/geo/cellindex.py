@@ -300,7 +300,137 @@ def covering_cells_split(
     return cov[interior], cov[~interior]
 
 
-def ring_cells(spec: GridSpec, cy: int, cx: int, k: int) -> np.ndarray:
+def covering_z_ranges(
+    spec,
+    rings: list[np.ndarray],
+    max_cells: int = 512,
+    max_ranges: int | None = None,
+) -> list[tuple[int, int]]:
+    """Adaptive multi-resolution Z-range covering of a polygon — the S2
+    ``RegionCoverer`` analogue (the north rule's H3/S2 covering at scale).
+
+    Quadtree descent over the Morton key space: a quad block wholly inside
+    the polygon is emitted as ONE contiguous Z-key run (an aligned s×s
+    block of cells is exactly the run ``[morton(y0,x0),
+    morton(y0,x0)+s²-1]`` when y0, x0 are multiples of s); a disjoint
+    block is dropped; a boundary block recurses until cell level or the
+    ``max_cells`` node budget. The result is a sorted, disjoint,
+    adjacent-merged list of inclusive ``(lo, hi)`` key intervals:
+
+    * size is O(max_cells) for ANY polygon — a continent-sized selection
+      on a fine grid costs a bounded predicate, not the O(area/res²) flat
+      cell enumeration of :func:`covering_cells`;
+    * exactness: every grid cell whose box intersects the polygon (closed
+      test) has its key inside some interval — the same superset contract
+      as the flat covering, so the exact refine is unchanged. With an
+      unlimited budget the expanded intervals equal the flat covering on
+      valid grid cells (pytest property); a small budget only COARSENS
+      (adds keys), never drops;
+    * the intervals double as parquet min/max-stat pruning predicates
+      over a :func:`ocgis_spark.operators.layout.zorder_write` layout
+      (``polygon_scan_zordered``) — generalizing the bbox-only
+      ``morton_ranges`` (layout.py) to arbitrary selection polygons.
+
+    Works for both :class:`GridSpec` (uniform — edges synthesized) and
+    :class:`VectorGridSpec` (stored edge vectors). Blocks straddling the
+    grid's east/north boundary are classified by their grid-clipped
+    geographic box; their full index-space run is emitted (cells past
+    ``nx``/``ny`` never occur in data). Mirrors the reference's
+    buffered-envelope hint mask (``grid.py:1234-1272``) at the coarse end
+    and its R-tree thinning (``spatial/index.py:5-87``) at the fine end,
+    in one shuffle-free representation.
+    """
+    rings = G.close_rings(rings)
+    nx, ny = spec.nx, spec.ny
+    if hasattr(spec, "xb"):
+        xe, ye = spec.xb(), spec.yb()
+    else:
+        xe = spec.lon0 + np.arange(nx + 1) * spec.res
+        ye = spec.lat0 + np.arange(ny + 1) * spec.res
+    level = max(int(np.ceil(np.log2(max(nx, ny)))), 0)
+
+    emitted: list[tuple[np.ndarray, np.ndarray, int]] = []
+    n_emitted = 0
+    qy = np.zeros(1, dtype="i8")
+    qx = np.zeros(1, dtype="i8")
+    while True:
+        s = np.int64(1) << level
+        # grid-clipped geographic box of each block (out-of-grid → empty)
+        x0 = np.minimum(qx * s, nx)
+        x1 = np.minimum(qx * s + s, nx)
+        y0 = np.minimum(qy * s, ny)
+        y1 = np.minimum(qy * s + s, ny)
+        valid = (x0 < x1) & (y0 < y1)
+        qy, qx = qy[valid], qx[valid]
+        if len(qy) == 0:
+            break
+        x0, x1, y0, y1 = x0[valid], x1[valid], y0[valid], y1[valid]
+        bminx, bmaxx = xe[x0], xe[x1]
+        bminy, bmaxy = ye[y0], ye[y1]
+        keep, areas = G.boxes_intersect_polygon(
+            bminx, bminy, bmaxx, bmaxy, rings, keep_touches=True
+        )
+        box_area = (bmaxx - bminx) * (bmaxy - bminy)
+        # conservative: FP shortfall demotes full→partial (still exact)
+        full = keep & (areas >= box_area * (1.0 - 1e-9) - G.EPS_AREA)
+        if level == 0:
+            full = keep  # cell level: the closed intersect test decides
+        if full.any():
+            emitted.append((qy[full], qx[full], level))
+            n_emitted += int(full.sum())
+        part = keep & ~full
+        qy, qx = qy[part], qx[part]
+        if len(qy) == 0:
+            break
+        if level == 0 or n_emitted + 4 * len(qy) > max_cells:
+            emitted.append((qy, qx, level))  # coarse superset: budget hit
+            break
+        level -= 1
+        qy = (qy[:, None] * 2 + np.array([0, 0, 1, 1], dtype="i8")).ravel()
+        qx = (qx[:, None] * 2 + np.array([0, 1, 0, 1], dtype="i8")).ravel()
+    ranges = _nodes_to_ranges(emitted)
+    if max_ranges is not None:
+        ranges = _coarsen_ranges(ranges, max_ranges)
+    return ranges
+
+
+def _coarsen_ranges(
+    ranges: list[tuple[int, int]], max_ranges: int
+) -> list[tuple[int, int]]:
+    """Merge the smallest inter-interval gaps until ≤ max_ranges remain
+    (``layout.morton_ranges``'s coarsening rule) — only ADDS keys, so the
+    superset contract holds; used to bound scan-predicate size."""
+    merged = [list(r) for r in ranges]
+    while len(merged) > max_ranges:
+        i = min(
+            range(len(merged) - 1),
+            key=lambda i: merged[i + 1][0] - merged[i][1],
+        )
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def _nodes_to_ranges(
+    nodes: list[tuple[np.ndarray, np.ndarray, int]]
+) -> list[tuple[int, int]]:
+    """Mixed-level quad nodes → sorted disjoint adjacent-merged inclusive
+    Morton-key intervals. Node (qy, qx, k) covers the contiguous run of
+    4**k keys starting at morton(qy<<k, qx<<k)."""
+    runs: list[tuple[int, int]] = []
+    for qy, qx, k in nodes:
+        los = zencode(qy << np.int64(k), qx << np.int64(k))
+        span = (np.int64(1) << np.int64(2 * k)) - 1
+        for lo in los.tolist():
+            runs.append((lo, lo + int(span)))
+    runs.sort()
+    merged: list[list[int]] = []
+    for lo, hi in runs:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
     """Chebyshev disk of radius k around (cy, cx), clipped to the grid —
     kNN candidate expansion (H3 grid_disk analogue)."""
     ys = np.arange(max(cy - k, 0), min(cy + k, spec.ny - 1) + 1)

@@ -144,6 +144,42 @@ def morton_ranges(
     return [(lo, hi) for lo, hi in merged]
 
 
+def polygon_scan_zordered(
+    spark, path: str, spec, rings, key_col: str = "zkey",
+    max_cells: int = 512, max_ranges: int = 32,
+) -> DataFrame:
+    """Read a Z-ordered layout for an ARBITRARY selection polygon: the
+    adaptive multi-resolution covering
+    (:func:`ocgis_spark.geo.cellindex.covering_z_ranges`, S2
+    RegionCoverer analogue) becomes an OR-of-BETWEEN predicate on the
+    persisted ``zkey``, pushed to parquet row-group statistics — so a
+    diagonal or L-shaped selection, whose bbox envelope would touch
+    nearly every file, decompresses only the row groups its Z intervals
+    actually cross. Generalizes :func:`bbox_scan_zordered` (bbox-only
+    ``morton_ranges``) to any polygon.
+
+    Returns the COVERING SUPERSET (closed cell-intersects test coarsened
+    by the node budget); exactness needs the polygon refine
+    (``spatial.refine_points``) downstream — unlike the bbox scan there
+    is no closed-form exact predicate to compose here.
+
+    ``max_ranges`` gap-merges the interval list (same coarsening rule as
+    ``morton_ranges``, default 32): the predicate is an OR chain over the
+    persisted key ATTRIBUTE (cheap per branch — no expression
+    re-expansion), but parquet filter evaluation and codegen both prefer
+    a bounded chain; merging only widens the superset."""
+    from ..geo.cellindex import covering_z_ranges
+
+    ranges = covering_z_ranges(spec, rings, max_cells, max_ranges=max_ranges)
+    df = spark.read.parquet(path)
+    if not ranges:
+        return df.limit(0)
+    pred = F.lit(False)
+    for lo, hi in ranges:
+        pred = pred | F.col(key_col).between(F.lit(lo), F.lit(hi))
+    return df.filter(pred)
+
+
 def bbox_scan_zordered(
     spark, path: str, x_lo: int, x_hi: int, y_lo: int, y_hi: int,
     cell_x: str = "cell_x", cell_y: str = "cell_y", key_col: str = "zkey",

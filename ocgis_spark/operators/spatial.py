@@ -86,14 +86,21 @@ def coarse_filter(
     The covering is computed driver-side (small) and broadcast — the
     distributed replacement for the reference's R-tree
     (``spatial/index.py:5-87``)."""
+    minx, miny, maxx, maxy = _rings_bbox(rings)
+    est = ((maxx - minx) / grid.res + 2.0) * ((maxy - miny) / grid.res + 2.0)
+    if est > 2_000_000 and max(grid.nx, grid.ny) <= 65536:
+        # covering too large to broadcast (very fine grid or a
+        # near-global polygon): bounded adaptive Z-range predicate —
+        # decided BEFORE enumerating the flat covering, so the driver
+        # never materializes the O(area/res²) cell set at all
+        return zrange_filter(df, grid, rings)
     cells = covering_cells(grid, rings)
     if len(cells) == 0:
         return df.limit(0)
     if len(cells) > 2_000_000:
-        # covering too large to broadcast sensibly (very fine grid or a
-        # near-global polygon): degrade to the envelope range predicate —
-        # still a correct superset, the exact phase refines
-        minx, miny, maxx, maxy = _rings_bbox(rings)
+        # >16-bit grid indices (Morton domain exceeded): degrade to the
+        # envelope range predicate — still a correct superset, the exact
+        # phase refines
         return cell_bounds(df, grid).filter(
             (F.col("lon_lb") <= maxx) & (F.col("lon_ub") >= minx)
             & (F.col("lat_lb") <= maxy) & (F.col("lat_ub") >= miny)
@@ -108,6 +115,78 @@ def coarse_filter(
         (df["cell_y"] == cov["cov_y"]) & (df["cell_x"] == cov["cov_x"]),
         "leftsemi",
     )
+
+
+def zrange_filter(
+    df: DataFrame,
+    grid,
+    rings: list[np.ndarray],
+    max_cells: int = 512,
+    cell_x: str = "cell_x",
+    cell_y: str = "cell_y",
+) -> DataFrame:
+    """Phase 1 via the adaptive multi-resolution Z-range covering
+    (:func:`ocgis_spark.geo.cellindex.covering_z_ranges`, the S2
+    RegionCoverer analogue): a bounded OR-of-BETWEEN predicate over the
+    in-plan Morton key — whole-stage codegen, NO join, NO shuffle, and
+    O(max_cells) predicate size for ANY selection polygon. This replaces
+    the unbounded envelope fallback for coverings too large to broadcast:
+    a diagonal or L-shaped continent-scale selection over-selects the
+    bbox envelope arbitrarily, while the Z ranges track the polygon to
+    within the node budget. Works for uniform and vector grids whose
+    index domain fits 16 bits per axis (the Morton column's domain —
+    ``layout.morton_key``).
+
+    Same superset contract as ``coarse_filter`` (closed intersect test,
+    valid grid cells only — the in-grid guard below mirrors the covering
+    semi-join's implicit drop of off-grid rows); the exact refine is
+    unchanged. Bonus at 100 TB: the identical interval list prunes a
+    Z-ordered parquet layout via min/max statistics
+    (``layout.polygon_scan_zordered``).
+
+    Plan shape (deliberate): the Morton key is PROJECTED once, then a
+    broadcast nested-loop SEMI-join against the ≤``max_cells``-row
+    interval table applies ``_z BETWEEN lo AND hi``. An inline
+    OR-of-BETWEEN predicate would re-expand the ~60-node spread
+    expression per comparison — FilterExec does no subexpression
+    elimination, so even ~6 intervals blow janino's 64 KB method limit
+    and the whole stage silently degrades to interpreted execution
+    (measured; regression-tested with codegen fallback disabled).
+    ProjectExec eliminates the shared subtrees, the join condition
+    references the materialized ``_z`` attribute (alias substitution
+    does not cross a join), and per row the semi probe is at most
+    ``max_cells`` integer comparisons. No shuffle — the only exchange is
+    the interval-table broadcast."""
+    from ..geo.cellindex import covering_z_ranges
+    from .layout import morton_key
+
+    if max(grid.nx, grid.ny) > 65536:
+        raise ValueError(
+            "zrange_filter: grid indices exceed the 16-bit Morton domain"
+        )
+    ranges = covering_z_ranges(grid, rings, max_cells)
+    if not ranges:
+        return df.limit(0)
+    in_grid = (
+        F.col(cell_x).between(0, grid.nx - 1)
+        & F.col(cell_y).between(0, grid.ny - 1)
+    )
+    spark = df.sparkSession
+    rng = spark.createDataFrame(
+        pd.DataFrame(
+            {"z_lo": [lo for lo, _ in ranges],
+             "z_hi": [hi for _, hi in ranges]}
+        ),
+        schema="z_lo bigint, z_hi bigint",
+    )
+    keyed = df.filter(in_grid).withColumn(
+        "_z", morton_key(F.col(cell_x), F.col(cell_y))
+    )
+    return keyed.join(
+        F.broadcast(rng),
+        (F.col("_z") >= F.col("z_lo")) & (F.col("_z") <= F.col("z_hi")),
+        "leftsemi",
+    ).drop("_z")
 
 
 def _cell_semijoin(
