@@ -198,6 +198,20 @@ def main() -> None:
             )
         ),
     )
+    # same L polygon through the ADAPTIVE Z-RANGE phase 1 (the
+    # too-large-to-broadcast scale path) — direct strategy comparison
+    # with nonconvex_subset's broadcast-covering number. NEW in r4s10.
+    timed(
+        "zrange_subset_scaled",
+        lambda: _materialize(
+            spatial.refine_points(
+                spatial.zrange_filter(
+                    dg, DOC_GRID, [FX.QUERY_LSHAPE], max_cells=64
+                ),
+                [FX.QUERY_LSHAPE], keep_touches=True,
+            ).select("doc_uid")
+        ),
+    )
     timed("pii_scan_scaled", lambda: _materialize(textops.pii_scan(dg)))
 
     def bilinear_1m():
