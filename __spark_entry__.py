@@ -387,6 +387,32 @@ SELECT doc_id FROM hits
 """
 
 
+def _emb_mutant_near_dups_sql() -> str:
+    """The planted-mutant IVF near-dup pairs oracle — shared by
+    ``embedding_near_dups_ivf`` and the SemDeDup composition
+    ``semantic_dedup_e2e`` (both must see the same pair set)."""
+    return (
+        "WITH corpus AS ("
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "UNION ALL SELECT vec_id + 100000, "
+        "list_prepend(CAST(embedding[1] AS DOUBLE) * 1.01, "
+        "CAST(embedding[2:] AS DOUBLE[])) FROM embeddings), "
+        "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb "
+        "FROM embeddings WHERE vec_id < 8), "
+        "assign AS (SELECT vec_id, e, cid AS bucket FROM ("
+        "SELECT v.vec_id, v.e, c.cid, row_number() OVER ("
+        "PARTITION BY v.vec_id ORDER BY round(list_dot_product(v.e, c.c_emb) / "
+        "(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) DESC, c.cid) AS rn "
+        "FROM corpus v CROSS JOIN c) t WHERE rn = 1), "
+        "pairs AS (SELECT a.vec_id AS vec_a, a.e AS ea, b.vec_id AS vec_b, b.e AS eb "
+        "FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+        "SELECT vec_a, vec_b, cos FROM (SELECT vec_a, vec_b, "
+        "round(list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea)) * "
+        "sqrt(list_dot_product(eb, eb))), 6) AS cos FROM pairs) s "
+        "WHERE cos >= 0.98"
+    )
+
+
 def _components_oracle() -> str:
     """Recursive-CTE transitive closure — shared by BOTH component
     implementations (min-label and large-star/small-star), which must
@@ -553,10 +579,9 @@ def q_repetition_ratio(spark, sf_dir):
     return textops.repetition_ratio(_read(spark, sf_dir, "documents"), n=2)
 
 
-def q_embedding_near_dups_ivf(spark, sf_dir):
-    """Near-dup pairs bucketed by the IVF coarse quantizer (second
-    bucketing scheme beside hyperplane LSH) — planted mutants as in
-    embedding_near_dups."""
+def _emb_mutant_corpus(spark, sf_dir):
+    """(embeddings, embeddings ∪ planted near-dup mutants) — shared by
+    the IVF near-dup pair query and the SemDeDup composition."""
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -567,9 +592,38 @@ def q_embedding_near_dups_ivf(spark, sf_dir):
             F.slice("embedding", 2, F.size("embedding") - 1),
         ).alias("embedding"),
     )
-    corpus = emb.unionByName(mut)
+    return emb, emb.unionByName(mut)
+
+
+def q_embedding_near_dups_ivf(spark, sf_dir):
+    """Near-dup pairs bucketed by the IVF coarse quantizer (second
+    bucketing scheme beside hyperplane LSH) — planted mutants as in
+    embedding_near_dups."""
+    emb, corpus = _emb_mutant_corpus(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < 8)
     return similarity.embedding_near_dups_ivf(corpus, cents, threshold=0.98)
+
+
+def q_semantic_dedup_e2e(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) end-to-end: k-means/IVF cluster
+    assignment → intra-cluster exact-cosine near-dup pairs → connected
+    components → keep the smallest vec_id per cluster — the
+    embedding-space twin of fuzzy_dedup_e2e (MinHash). 100-TB posture is
+    that of the audited pieces it composes: candidates bounded by IVF
+    buckets (never all-pairs), components converge in O(diameter) rounds
+    on tiny dup clusters, keeper = anti-join on the loser set."""
+    emb, corpus = _emb_mutant_corpus(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 8)
+    pairs = similarity.embedding_near_dups_ivf(
+        corpus, cents, threshold=0.98
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    docs = corpus.select("vec_id")
+    kept = dedup.dedup_keep_canonical(docs, pairs, doc_id="vec_id")
+    n_total = corpus.count()
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.lit(n_total) - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+    )
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -3442,25 +3496,26 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS distinct_frac, "
             "CAST(sum(c) AS BIGINT) AS n_ngrams FROM counts GROUP BY doc_id"
         ),
-        "embedding_near_dups_ivf": (
-            "WITH corpus AS ("
-            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
-            "UNION ALL SELECT vec_id + 100000, "
-            "list_prepend(CAST(embedding[1] AS DOUBLE) * 1.01, "
-            "CAST(embedding[2:] AS DOUBLE[])) FROM embeddings), "
-            "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb "
-            "FROM embeddings WHERE vec_id < 8), "
-            "assign AS (SELECT vec_id, e, cid AS bucket FROM ("
-            "SELECT v.vec_id, v.e, c.cid, row_number() OVER ("
-            "PARTITION BY v.vec_id ORDER BY round(list_dot_product(v.e, c.c_emb) / "
-            "(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) DESC, c.cid) AS rn "
-            "FROM corpus v CROSS JOIN c) t WHERE rn = 1), "
-            "pairs AS (SELECT a.vec_id AS vec_a, a.e AS ea, b.vec_id AS vec_b, b.e AS eb "
-            "FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
-            "SELECT vec_a, vec_b, cos FROM (SELECT vec_a, vec_b, "
-            "round(list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea)) * "
-            "sqrt(list_dot_product(eb, eb))), 6) AS cos FROM pairs) s "
-            "WHERE cos >= 0.98"
+        "embedding_near_dups_ivf": _emb_mutant_near_dups_sql(),
+        "semantic_dedup_e2e": (
+            "WITH RECURSIVE p AS (SELECT vec_a, vec_b FROM ("
+            + _emb_mutant_near_dups_sql()
+            + ") nd), "
+            "mcorpus AS ("
+            "SELECT vec_id FROM embeddings "
+            "UNION ALL SELECT vec_id + 100000 FROM embeddings), "
+            "edges AS (SELECT vec_a AS src, vec_b AS dst FROM p "
+            "UNION SELECT vec_b, vec_a FROM p), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "reach(node, label) AS ("
+            "SELECT node, node FROM nodes "
+            "UNION "
+            "SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst), "
+            "comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node), "
+            "losers AS (SELECT node FROM comp WHERE node <> component) "
+            "SELECT count(*) AS n_kept, "
+            "(SELECT count(*) FROM mcorpus) - count(*) AS n_dropped "
+            "FROM mcorpus c WHERE c.vec_id NOT IN (SELECT node FROM losers)"
         ),
         "ivf_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
@@ -4231,6 +4286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
         "embedding_near_dups_ivf": q_embedding_near_dups_ivf,
+        # NEW r4s10 composition of driver-green pieces (IVF near-dups +
+        # components + keeper); below the boundary, rotate in r5
+        "semantic_dedup_e2e": q_semantic_dedup_e2e,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,
