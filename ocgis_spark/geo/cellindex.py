@@ -431,6 +431,9 @@ def _nodes_to_ranges(
         else:
             merged.append([lo, hi])
     return [(lo, hi) for lo, hi in merged]
+
+
+def ring_cells(spec: GridSpec, cy: int, cx: int, k: int) -> np.ndarray:
     """Chebyshev disk of radius k around (cy, cx), clipped to the grid —
     kNN candidate expansion (H3 grid_disk analogue)."""
     ys = np.arange(max(cy - k, 0), min(cy + k, spec.ny - 1) + 1)

@@ -87,7 +87,12 @@ def coarse_filter(
     distributed replacement for the reference's R-tree
     (``spatial/index.py:5-87``)."""
     minx, miny, maxx, maxy = _rings_bbox(rings)
-    est = ((maxx - minx) / grid.res + 2.0) * ((maxy - miny) / grid.res + 2.0)
+    # estimate over the GRID-CLIPPED bbox — what covering_cells actually
+    # enumerates; the raw polygon bbox would over-route small grids onto
+    # the interval-probe path (r4s10 review finding)
+    cw = max(min(maxx, grid.lon1) - max(minx, grid.lon0), 0.0)
+    ch = max(min(maxy, grid.lat1) - max(miny, grid.lat0), 0.0)
+    est = (cw / grid.res + 2.0) * (ch / grid.res + 2.0)
     if est > 2_000_000 and max(grid.nx, grid.ny) <= 65536:
         # covering too large to broadcast (very fine grid or a
         # near-global polygon): bounded adaptive Z-range predicate —

@@ -275,11 +275,12 @@ def media_ref_stats(
     ``media_ref``. It may reference the exploded span as ``s`` and any
     document column (e.g. ``doc_id``).
 
-    100-TB posture: one narrow posexplode + ONE hash aggregation with
+    100-TB posture: one narrow explode + ONE hash aggregation with
     map-side partials; the two count-distincts expand the agg input 2x
     but stay bounded by the media-span count (text spans are filtered
-    before the shuffle)."""
-    s = df.select("doc_id", F.posexplode(spans_col).alias("pos", "s"))
+    before the shuffle). Span position is irrelevant to the manifest —
+    plain explode, no position column."""
+    s = df.select("doc_id", F.explode(spans_col).alias("s"))
     media = s.filter(F.col("s.media_ref") != "")
     key = content_key if content_key is not None else F.col("s.media_ref")
     return (

@@ -117,3 +117,27 @@ def test_pq_train_without_arrow(spark):
         got = cb.orderBy("sub", "code").collect()
     assert len(got) == 16
     assert all(len(r["cb"]) == 4 for r in got)
+
+
+def test_zrange_filter_without_arrow(spark):
+    """r4s10 conversion site: zrange_filter's interval table
+    (spatial.py — scalar bigint columns with an explicit schema)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocgis_spark import fixtures as FX
+    from ocgis_spark.operators import spatial
+
+    df = spatial.encode_cells(
+        spark.range(200).select(
+            (F.col("id") * 0.02 - 105.4).alias("lon"),
+            (F.col("id") * 0.015 + 37.0).alias("lat"),
+        ),
+        FX.DOC_GRID,
+    )
+    with no_arrow(spark):
+        out = spatial.zrange_filter(
+            df, FX.DOC_GRID, [FX.QUERY_LSHAPE], max_cells=64
+        )
+        n = out.count()
+    assert n > 0
