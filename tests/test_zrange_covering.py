@@ -210,3 +210,53 @@ def test_polygon_scan_zordered_parity_and_pruning(spark, tmp_path):
     # the predicate is pushed to the parquet scan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "zkey" in plan
+
+
+def test_zrange_filter_on_stream_matches_batch(spark, tmp_path):
+    """Geo-fenced STREAMING ingest through the adaptive Z-range phase 1:
+    zrange_filter is stateless (narrow projection + stream-static
+    broadcast semi-join on the interval table), so continuous ingest gets
+    the identical admission set. Stream results == batch results."""
+    import pandas as pd
+
+    n = 2000
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame({
+        "pid": np.arange(n),
+        "lon": rng.uniform(-106.0, -101.0, n),
+        "lat": rng.uniform(36.0, 41.0, n),
+    })
+    src = str(tmp_path / "pts_in")
+    spark.createDataFrame(pts).repartition(4).write.parquet(src)
+
+    batch = spatial.refine_points(
+        spatial.zrange_filter(
+            spatial.encode_cells(spark.read.parquet(src), FX.DOC_GRID),
+            FX.DOC_GRID, [LSHAPE], max_cells=32,
+        ),
+        [LSHAPE], keep_touches=True,
+    )
+    expected = sorted(r["pid"] for r in batch.select("pid").collect())
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    fenced = spatial.refine_points(
+        spatial.zrange_filter(
+            spatial.encode_cells(stream, FX.DOC_GRID),
+            FX.DOC_GRID, [LSHAPE], max_cells=32,
+        ),
+        [LSHAPE], keep_touches=True,
+    )
+    assert fenced.isStreaming
+    q = (
+        fenced.select("pid").writeStream.format("memory")
+        .queryName("zrange_fence_t").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckz"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["pid"] for r in spark.sql("SELECT * FROM zrange_fence_t").collect()
+    )
+    assert got == expected and len(got) > 0
