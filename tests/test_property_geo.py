@@ -144,3 +144,52 @@ def test_batch_clip_matches_scalar_property(seed):
         for i in range(n)
     ])
     assert np.allclose(batch, scalar, rtol=1e-10, atol=1e-12)
+
+
+def _rand_star(rng):
+    """Random star (generally NON-convex) CCW polygon: sorted angles,
+    per-vertex random radii."""
+    n = rng.integers(5, 14)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    r = rng.uniform(0.3, 3.0, n)
+    cx, cy = rng.uniform(-4, 4, 2)
+    pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+    return np.vstack([pts, pts[:1]])
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_covering_z_ranges_property(seed):
+    """Adaptive Z-range covering vs the flat covering on random star
+    polygons and random grids: EQUAL at unlimited budget, superset with
+    sorted/disjoint intervals at any budget (r4s10)."""
+    from ocgis_spark.geo.cellindex import covering_z_ranges
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(8, 96))
+    spec = GridSpec(
+        lon0=float(rng.uniform(-8, -6)), lat0=float(rng.uniform(-8, -6)),
+        res=12.0 / n, nx=n, ny=n,
+    )
+    ring = _rand_star(rng)
+    flat = set(covering_cells(spec, [ring]).tolist())
+
+    exact = covering_z_ranges(spec, [ring], max_cells=10**9)
+    keys = set()
+    for lo, hi in exact:
+        keys.update(range(lo, hi + 1))
+    cy, cx = zdecode(np.array(sorted(keys), dtype="i8"))
+    valid = {
+        int(k) for k, y, x in zip(sorted(keys), cy, cx)
+        if y < spec.ny and x < spec.nx
+    }
+    assert valid == flat
+
+    budget = int(rng.integers(4, 64))
+    coarse = covering_z_ranges(spec, [ring], max_cells=budget)
+    for (l1, h1), (l2, h2) in zip(coarse, coarse[1:]):
+        assert l1 <= h1 and h1 + 1 < l2
+    ckeys = set()
+    for lo, hi in coarse:
+        ckeys.update(range(lo, hi + 1))
+    assert flat <= ckeys
