@@ -1944,6 +1944,24 @@ def q_intersects_multi(spark, sf_dir):
     return out.select("ugid", "doc_id", "cell_id")
 
 
+def q_zrange_subset_multi(spark, sf_dir):
+    """intersects_multi's geometry set through the BOUNDED multi-geometry
+    phase 1 (spatial.zrange_filter_many — per-polygon adaptive Z-range
+    coverings in one broadcast interval table) — identical oracle to
+    intersects_multi, proving the two multi-geometry phase-1 strategies
+    agree end-to-end."""
+    dg = _docs_geo(spark, sf_dir)
+    polys = [
+        (1, [FX.rect_ring(*_RECT)]),
+        (2, [FX.rect_ring(-105.25, 39.5, -104.25, 40.25)]),
+        (3, [_PENTA]),
+    ]
+    out = spatial.spatial_subset_many(
+        spark, dg, DOC_GRID, polys, phase1="zranges"
+    )
+    return out.select("ugid", "doc_id", "cell_id")
+
+
 def q_knn_join(spark, sf_dir):
     """Batch kNN: 10 query points (first 10 docs) x k=3 nearest doc-cells."""
     dg = _docs_geo(spark, sf_dir)
@@ -3976,6 +3994,13 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {FX.rect_pred_sql((-105.25, 39.5, -104.25, 40.25))} "
             f"UNION ALL SELECT 3 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {_penta_pred()}"
         ),
+        # same truth, bounded interval-table phase 1:
+        "zrange_subset_multi": (
+            f"SELECT 1 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)} "
+            f"UNION ALL SELECT 2 AS ugid, doc_id, cell_id FROM ({_DG}) dg "
+            f"WHERE {FX.rect_pred_sql((-105.25, 39.5, -104.25, 40.25))} "
+            f"UNION ALL SELECT 3 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {_penta_pred()}"
+        ),
         "knn_join": (
             f"WITH pts AS (SELECT doc_id AS qid, lon AS qlon, lat AS qlat FROM ({_DG}) dg WHERE doc_id < 10), "
             f"cells AS (SELECT DISTINCT cell_y, cell_x FROM ({_DG}) dg), "
@@ -4289,6 +4314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r4s10 composition of driver-green pieces (IVF near-dups +
         # components + keeper); below the boundary, rotate in r5
         "semantic_dedup_e2e": q_semantic_dedup_e2e,
+        "zrange_subset_multi": q_zrange_subset_multi,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

@@ -194,6 +194,57 @@ def zrange_filter(
     ).drop("_z")
 
 
+def zrange_filter_many(
+    df: DataFrame,
+    grid,
+    polys: list[tuple[int, list[np.ndarray]]],
+    max_cells: int = 512,
+    cell_x: str = "cell_x",
+    cell_y: str = "cell_y",
+) -> DataFrame:
+    """Multi-geometry twin of :func:`zrange_filter`: per-polygon adaptive
+    Z-range coverings stacked into ONE broadcast interval table
+    (ugid, z_lo, z_hi); candidates = project the Morton key once +
+    broadcast nested-loop INNER join (a row matching k polygons appears
+    k times, carrying ``ugid`` — the ``_covering_many`` contract).
+    Interval-table size is O(n_polys · max_cells) for ANY polygon set,
+    vs the flat covering table's O(Σ area/res²). Same exact-refine
+    contract as the covering path; same codegen rationale as
+    ``zrange_filter`` (the key is projected, never inlined per branch)."""
+    from ..geo.cellindex import covering_z_ranges
+    from .layout import morton_key
+
+    if max(grid.nx, grid.ny) > 65536:
+        raise ValueError(
+            "zrange_filter_many: grid indices exceed the 16-bit Morton domain"
+        )
+    ug, lo_, hi_ = [], [], []
+    for ugid, rings in polys:
+        for lo, hi in covering_z_ranges(grid, rings, max_cells):
+            ug.append(int(ugid))
+            lo_.append(lo)
+            hi_.append(hi)
+    spark = df.sparkSession
+    if not ug:
+        return df.limit(0).withColumn("ugid", F.lit(0))
+    rng = spark.createDataFrame(
+        pd.DataFrame({"ugid": ug, "z_lo": lo_, "z_hi": hi_}),
+        schema="ugid int, z_lo bigint, z_hi bigint",
+    )
+    in_grid = (
+        F.col(cell_x).between(0, grid.nx - 1)
+        & F.col(cell_y).between(0, grid.ny - 1)
+    )
+    keyed = df.filter(in_grid).withColumn(
+        "_z", morton_key(F.col(cell_x), F.col(cell_y))
+    )
+    return keyed.join(
+        F.broadcast(rng),
+        (F.col("_z") >= F.col("z_lo")) & (F.col("_z") <= F.col("z_hi")),
+        "inner",
+    ).drop("_z", "z_lo", "z_hi")
+
+
 def _cell_semijoin(
     spark: SparkSession, df: DataFrame, zcells: np.ndarray
 ) -> DataFrame:
@@ -526,29 +577,51 @@ def spatial_subset_many(
     keep_touches: bool | None = None,
     lon: str = "lon",
     lat: str = "lat",
+    phase1: str = "auto",
 ) -> DataFrame:
     """Subset by MANY selection geometries in ONE plan — the
     ``SpatialCollection`` analogue (SURVEY.md §1.4): output rows carry a
     ``ugid`` column; a row matching several geometries appears once per
     match (the reference's per-UGID container tree, flattened).
 
-    Phase 1: one broadcast covering table (ugid, cell) for all polygons.
-    Phase 2: a single CASE-chained exact predicate — rect and convex rings
-    compile to pure Catalyst expressions; any non-convex ring falls back to
-    one Arrow pandas UDF handling all ugids in a batch. The reference
-    iterates geometries serially (``ops/engine.py:287-385``); here all
-    geometries share one scan of the big side.
+    Phase 1: one broadcast covering table (ugid, cell) for all polygons —
+    or, when the summed flat coverings would be too large to enumerate/
+    broadcast (``phase1='auto'`` estimates from the grid-clipped bboxes;
+    force with ``phase1='zranges'``), one broadcast INTERVAL table
+    (ugid, z_lo, z_hi) from per-polygon adaptive Z-range coverings
+    (:func:`zrange_filter`'s multi twin — bounded size for ANY polygon
+    set). Phase 2 is identical either way: a single CASE-chained exact
+    predicate — rect and convex rings compile to pure Catalyst
+    expressions; any non-convex ring falls back to one Arrow pandas UDF
+    handling all ugids in a batch. The reference iterates geometries
+    serially (``ops/engine.py:287-385``); here all geometries share one
+    scan of the big side.
     """
     if keep_touches is None:
         keep_touches = abstraction == "point"
     if abstraction == "polygon":
         return _subset_many_boxes(spark, df, grid, polys, keep_touches)
-    cov = _covering_many(spark, grid, polys)
-    cand = df.join(
-        F.broadcast(cov),
-        (df["cell_y"] == cov["cov_y"]) & (df["cell_x"] == cov["cov_x"]),
-        "inner",
-    ).drop("cov_y", "cov_x")
+    if phase1 == "auto":
+        est = 0.0
+        for _, rings in polys:
+            minx, miny, maxx, maxy = _rings_bbox(rings)
+            cw = max(min(maxx, grid.lon1) - max(minx, grid.lon0), 0.0)
+            ch = max(min(maxy, grid.lat1) - max(miny, grid.lat0), 0.0)
+            est += (cw / grid.res + 2.0) * (ch / grid.res + 2.0)
+        phase1 = (
+            "zranges"
+            if est > 2_000_000 and max(grid.nx, grid.ny) <= 65536
+            else "covering"
+        )
+    if phase1 == "zranges":
+        cand = zrange_filter_many(df, grid, polys)
+    else:
+        cov = _covering_many(spark, grid, polys)
+        cand = df.join(
+            F.broadcast(cov),
+            (df["cell_y"] == cov["cov_y"]) & (df["cell_x"] == cov["cov_x"]),
+            "inner",
+        ).drop("cov_y", "cov_x")
 
     exprs = {}
     udf_polys = {}

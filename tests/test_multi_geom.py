@@ -108,3 +108,24 @@ def test_multi_geom_polygon_abstraction_clip(spark):
         assert set(got) == set(want), ugid
         for k in want:
             assert got[k] == pytest.approx(want[k], rel=1e-12), (ugid, k)
+
+
+def test_multi_geom_zranges_phase1_matches_covering(spark):
+    """The bounded interval-table phase 1 (zrange_filter_many) and the
+    flat covering table produce IDENTICAL final (doc_id, ugid) sets —
+    mixed rect/convex/non-convex selections (r4s10)."""
+    dg = register_docs_geo(spark, SF)
+    polys = [
+        (1, [rect_ring(-104.5, 37.5, -102.5, 39.5)]),
+        (2, [QUERY_PENTAGON]),
+        (3, [L_SHAPE]),
+    ]
+    base = spatial.spatial_subset_many(
+        spark, dg, DOC_GRID, polys, phase1="covering"
+    )
+    via_z = spatial.spatial_subset_many(
+        spark, dg, DOC_GRID, polys, phase1="zranges"
+    )
+    a = sorted((r.doc_id, r.ugid) for r in base.select("doc_id", "ugid").collect())
+    b = sorted((r.doc_id, r.ugid) for r in via_z.select("doc_id", "ugid").collect())
+    assert a == b and len(a) > 0
