@@ -260,3 +260,45 @@ def test_zrange_filter_on_stream_matches_batch(spark, tmp_path):
         r["pid"] for r in spark.sql("SELECT * FROM zrange_fence_t").collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_zrange_filter_on_vector_grid_matches_covering(spark):
+    """The bounded phase 1 is grid-agnostic: on a NON-UNIFORM
+    (VectorGridSpec) grid, zrange_filter (vcx/vcy columns) + exact refine
+    equals the flat-covering semijoin + refine."""
+    import pandas as pd
+
+    from ocgis_spark.operators import vectorgrid as VG
+
+    xe = -105.5 + 4.0 * np.linspace(0.0, 1.0, 97) ** 1.4
+    ye = 36.5 + 4.0 * np.linspace(0.0, 1.0, 97) ** 0.8
+    vg = VectorGridSpec.from_edges(xe, ye)
+    n = 3000
+    rng = np.random.default_rng(23)
+    pts = pd.DataFrame({
+        "pid": np.arange(n),
+        "lon": rng.uniform(-106.0, -101.0, n),
+        "lat": rng.uniform(36.0, 41.0, n),
+    })
+    df = VG.encode_cells(spark.createDataFrame(pts), vg).cache()
+
+    cand = spatial.zrange_filter(
+        df, vg, [LSHAPE], max_cells=48, cell_x="vcx", cell_y="vcy"
+    )
+    via_z = spatial.refine_points(cand, [LSHAPE], keep_touches=True)
+
+    cy, cx = vg_covering(vg, [LSHAPE])
+    cov = spark.createDataFrame(
+        pd.DataFrame({"cov_y": cy.astype("int32"), "cov_x": cx.astype("int32")})
+    )
+    flat_cand = df.join(
+        F.broadcast(cov),
+        (df["vcy"] == cov["cov_y"]) & (df["vcx"] == cov["cov_x"]),
+        "leftsemi",
+    )
+    via_cov = spatial.refine_points(flat_cand, [LSHAPE], keep_touches=True)
+
+    a = sorted(r["pid"] for r in via_cov.select("pid").collect())
+    b = sorted(r["pid"] for r in via_z.select("pid").collect())
+    assert a == b and len(a) > 0
+    df.unpersist()
