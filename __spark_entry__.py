@@ -1944,6 +1944,19 @@ def q_intersects_multi(spark, sf_dir):
     return out.select("ugid", "doc_id", "cell_id")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """C4/CCNet boilerplate stage: drop EVERY occurrence of a paragraph
+    whose corpus frequency ≥ 3 (planted 'subscribe now' / 'cookie
+    banner' boilerplate via fixtures.para_text_sql), rebuild each doc's
+    text from surviving paragraphs in original order. One frequency hash
+    agg + one broadcast tag join + one per-doc rebuild shuffle."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(FX.para_text_sql()).alias("text")
+    )
+    out = textops.paragraph_dedup(docs, min_repeat=3)
+    return out.select("doc_id", "text", "n_kept", "n_dropped")
+
+
 def q_zrange_subset_multi(spark, sf_dir):
     """intersects_multi's geometry set through the BOUNDED multi-geometry
     phase 1 (spatial.zrange_filter_many — per-polygon adaptive Z-range
@@ -3994,6 +4007,23 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {FX.rect_pred_sql((-105.25, 39.5, -104.25, 40.25))} "
             f"UNION ALL SELECT 3 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {_penta_pred()}"
         ),
+        "paragraph_dedup": (
+            "WITH base AS (SELECT doc_id, "
+            + FX.para_text_sql() +
+            " AS t2 FROM documents), "
+            "p AS (SELECT doc_id, unnest(string_split(t2, chr(10))) AS para, "
+            "generate_subscripts(string_split(t2, chr(10)), 1) AS pos FROM base), "
+            "f AS (SELECT para FROM p GROUP BY para HAVING count(*) >= 3), "
+            "tagged AS (SELECT p.doc_id, p.para, p.pos, "
+            "(p.para IN (SELECT para FROM f)) AS b FROM p), "
+            "kept AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text, "
+            "CAST(count(*) AS BIGINT) AS n_kept FROM tagged WHERE NOT b GROUP BY doc_id), "
+            "drops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped "
+            "FROM tagged WHERE b GROUP BY doc_id) "
+            "SELECT k.doc_id, k.text, k.n_kept, "
+            "CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped "
+            "FROM kept k LEFT JOIN drops d ON k.doc_id = d.doc_id"
+        ),
         # same truth, bounded interval-table phase 1:
         "zrange_subset_multi": (
             f"SELECT 1 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)} "
@@ -4315,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # components + keeper); below the boundary, rotate in r5
         "semantic_dedup_e2e": q_semantic_dedup_e2e,
         "zrange_subset_multi": q_zrange_subset_multi,
+        "paragraph_dedup": q_paragraph_dedup,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

@@ -293,3 +293,21 @@ LEXICON = {
     "spark": 0.5, "data": 0.1,
 }
 LEXICON_BIAS = -0.05
+
+
+def para_text_sql(text: str = "text", key: str = "doc_id") -> str:
+    """Paragraph-structured text synthesized deterministically from the
+    flat fixture docs (dialect-neutral SQL; chr(10)-separated) — the
+    paragraph_dedup fixture: two body paragraphs cut from the doc's own
+    text, plus planted boilerplate ('subscribe now' in EVERY doc, a
+    'cookie banner' in even docs, a per-doc-unique tail in odd docs), so
+    a corpus-frequency threshold separates boilerplate from content. No
+    external data (build-brief rule); shared by the Spark query and the
+    DuckDB oracle so both see identical paragraphs."""
+    return (
+        f"concat(substr({text}, 1, 40), chr(10), "
+        f"'subscribe now', chr(10), "
+        f"CASE WHEN {key} % 2 = 0 THEN 'cookie banner' "
+        f"ELSE concat('uniq tail ', CAST({key} AS STRING)) END, chr(10), "
+        f"substr({text}, 41, 40))"
+    )

@@ -104,6 +104,63 @@ def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text: str = "text",
+    min_repeat: int = 2,
+    doc_id: str = "doc_id",
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Corpus-wide repeated-paragraph removal — the C4/CCNet boilerplate
+    stage (C4 discards lines occurring multiple times across the corpus;
+    cookie banners / nav / subscribe prompts repeat across a domain).
+    Paragraphs are newline-separated; EVERY occurrence of a paragraph
+    whose corpus frequency ≥ ``min_repeat`` is dropped (boilerplate
+    semantics — keep-one-per-corpus paragraph DEDUP is
+    ``dedup.exact_dedup`` composed at paragraph granularity instead).
+    Documents that were entirely boilerplate disappear from the output
+    (they carry no trainable text).
+
+    Returns (doc_id, text, n_kept, n_dropped) with ``text`` rebuilt from
+    the surviving paragraphs in ORIGINAL order (posexplode +
+    array_sort(struct) — never collect_list order, per repo convention).
+
+    100-TB posture: split+posexplode is narrow; the frequency table costs
+    ONE hash agg with map-side partials; the frequent set (count ≥
+    min_repeat) is usually tiny vs distinct paragraphs and broadcasts for
+    a narrow anti-join (``broadcast_frequent=False`` degrades to a
+    shuffled anti-join when the boilerplate universe itself is huge);
+    the rebuild costs the one per-doc shuffle any reassembly needs. The
+    in-struct ``transform`` lambda is interpreted but touches only each
+    doc's own ≤paragraph-count array."""
+    paras = df.select(
+        F.col(doc_id),
+        F.posexplode(F.split(F.col(text), "\n")).alias("pos", "para"),
+    )
+    freq = (
+        paras.groupBy("para")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_repeat)
+        .select("para")
+    )
+    freq = freq.withColumn("_b", F.lit(1))
+    if broadcast_frequent:
+        freq = F.broadcast(freq)
+    tagged = paras.join(freq, "para", "left")
+    arr = F.array_sort(F.collect_list(F.struct("pos", "para", "_b")))
+    survivors = F.filter(arr, lambda s: s["_b"].isNull())
+    out = tagged.groupBy(doc_id).agg(
+        F.concat_ws(
+            "\n", F.transform(survivors, lambda s: s["para"])
+        ).alias(text),
+        F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("_b").isNull(), 0).otherwise(1))
+        .cast("bigint").alias("n_dropped"),
+    )
+    return out.filter(F.col("n_kept") > 0)
+
+
 def _word_ngrams(df: DataFrame, text: str, n: int,
                  min_words: int) -> DataFrame:
     """(doc_id, g) word n-grams in one codegen stage: explode the

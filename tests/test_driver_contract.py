@@ -31,10 +31,15 @@ ROUND4_WINDOW_OPS = [
     "bpe_train", "bpe_vocab", "bpe_segment", "bpe_encode", "gopher_rules",
     "multimodal_features", "top_tokens", "daily_perc_window",
     "chunk_documents", "clean_text", "train_test_split", "group_season",
-    "moving_window", "duration", "between_threshold",
-    "convolve", "freq_duration", "freq_perc", "heat_index",
-    "icclim_SU", "icclim_CDD", "snippet_first",
+    "duration", "freq_duration", "heat_index",
+    "icclim_CDD",
     "intersects_multi", "ops_facade", "zonal_stats",
+    # r4s9/s10 additions (fresh code): they took the slots of
+    # moving_window, between_threshold, convolve, freq_perc,
+    # snippet_first, icclim_SU (r1-green, code untouched since r1;
+    # rotate back in r5 — see PLANS.md r5 backlog)
+    "url_canon", "url_dedup", "domain_caps", "scrub_spans", "media_dedup",
+    "zrange_subset",
 ]
 
 #: 11+ digits after the decimal point NOT followed by an exponent marker

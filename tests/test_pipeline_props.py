@@ -94,3 +94,39 @@ def test_tfidf_top_terms_golden(spark):
     assert out[(1, 1)][1] == pytest.approx(
         round(2 * (_m.log(4 / 2) + 1), 6))
     assert out[(1, 2)] == ("common", 1.0)
+
+
+def test_paragraph_dedup_boilerplate_semantics(spark):
+    """C4-style corpus-frequency paragraph removal: every occurrence of a
+    frequent paragraph is dropped, unique paragraphs survive in original
+    order, all-boilerplate docs vanish, and counts add up (r4s10)."""
+    from pyspark.sql import functions as F
+
+    from ocgis_spark.operators import text as T
+
+    rows = [
+        (1, "alpha one\nSUBSCRIBE\nbody of one"),
+        (2, "beta two\nSUBSCRIBE\nCOOKIES"),
+        (3, "SUBSCRIBE\nCOOKIES"),          # all boilerplate -> dropped
+        (4, "gamma four\nCOOKIES\ndelta four"),
+        (5, "SUBSCRIBE\nepsilon five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = T.paragraph_dedup(df, min_repeat=3).orderBy("doc_id")
+    got = {r.doc_id: (r.text, r.n_kept, r.n_dropped) for r in out.collect()}
+    # SUBSCRIBE x4 and COOKIES x3 cross the threshold; nothing else does
+    assert got == {
+        1: ("alpha one\nbody of one", 2, 1),
+        2: ("beta two", 1, 2),
+        4: ("gamma four\ndelta four", 2, 1),
+        5: ("epsilon five", 1, 1),
+    }
+
+    plan = (
+        T.paragraph_dedup(df, min_repeat=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # shuffle budget: frequency agg + per-doc rebuild (the tag join is a
+    # broadcast); no Python anywhere
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
