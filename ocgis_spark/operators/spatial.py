@@ -66,6 +66,23 @@ def encode_cells(
     )
 
 
+#: flat-covering size above which the (ugid, cell) broadcast is replaced
+#: by a bounded strategy (Z-range intervals, or the envelope degrade past
+#: the Morton domain) — ONE home for the threshold (r4s10 review)
+_COVERING_BROADCAST_CELLS = 2_000_000
+
+
+def _flat_covering_estimate(grid, rings: list[np.ndarray]) -> float:
+    """Cheap upper estimate of the flat covering size: the GRID-CLIPPED
+    bbox cell count (what ``covering_cells`` would enumerate) — shared by
+    the single- and multi-geometry phase-1 routers so their thresholds
+    cannot drift (r4s10 review)."""
+    minx, miny, maxx, maxy = _rings_bbox(rings)
+    cw = max(min(maxx, grid.lon1) - max(minx, grid.lon0), 0.0)
+    ch = max(min(maxy, grid.lat1) - max(miny, grid.lat0), 0.0)
+    return (cw / grid.res + 2.0) * (ch / grid.res + 2.0)
+
+
 def _rings_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
     pts = np.vstack(rings)
     return (
@@ -87,13 +104,8 @@ def coarse_filter(
     distributed replacement for the reference's R-tree
     (``spatial/index.py:5-87``)."""
     minx, miny, maxx, maxy = _rings_bbox(rings)
-    # estimate over the GRID-CLIPPED bbox — what covering_cells actually
-    # enumerates; the raw polygon bbox would over-route small grids onto
-    # the interval-probe path (r4s10 review finding)
-    cw = max(min(maxx, grid.lon1) - max(minx, grid.lon0), 0.0)
-    ch = max(min(maxy, grid.lat1) - max(miny, grid.lat0), 0.0)
-    est = (cw / grid.res + 2.0) * (ch / grid.res + 2.0)
-    if est > 2_000_000 and max(grid.nx, grid.ny) <= 65536:
+    est = _flat_covering_estimate(grid, rings)
+    if est > _COVERING_BROADCAST_CELLS and max(grid.nx, grid.ny) <= 65536:
         # covering too large to broadcast (very fine grid or a
         # near-global polygon): bounded adaptive Z-range predicate —
         # decided BEFORE enumerating the flat covering, so the driver
@@ -159,39 +171,17 @@ def zrange_filter(
     (measured; regression-tested with codegen fallback disabled).
     ProjectExec eliminates the shared subtrees, the join condition
     references the materialized ``_z`` attribute (alias substitution
-    does not cross a join), and per row the semi probe is at most
+    does not cross a join), and per row the probe is at most
     ``max_cells`` integer comparisons. No shuffle — the only exchange is
-    the interval-table broadcast."""
-    from ..geo.cellindex import covering_z_ranges
-    from .layout import morton_key
-
-    if max(grid.nx, grid.ny) > 65536:
-        raise ValueError(
-            "zrange_filter: grid indices exceed the 16-bit Morton domain"
-        )
-    ranges = covering_z_ranges(grid, rings, max_cells)
-    if not ranges:
-        return df.limit(0)
-    in_grid = (
-        F.col(cell_x).between(0, grid.nx - 1)
-        & F.col(cell_y).between(0, grid.ny - 1)
+    the interval-table broadcast. Delegates to :func:`zrange_filter_many`
+    with one dummy ugid (a row matches at most one DISJOINT interval, so
+    the inner join is multiplicity-identical to a semi join here —
+    single implementation, r4s10 review)."""
+    out = zrange_filter_many(
+        df, grid, [(0, rings)], max_cells=max_cells,
+        cell_x=cell_x, cell_y=cell_y,
     )
-    spark = df.sparkSession
-    rng = spark.createDataFrame(
-        pd.DataFrame(
-            {"z_lo": [lo for lo, _ in ranges],
-             "z_hi": [hi for _, hi in ranges]}
-        ),
-        schema="z_lo bigint, z_hi bigint",
-    )
-    keyed = df.filter(in_grid).withColumn(
-        "_z", morton_key(F.col(cell_x), F.col(cell_y))
-    )
-    return keyed.join(
-        F.broadcast(rng),
-        (F.col("_z") >= F.col("z_lo")) & (F.col("_z") <= F.col("z_hi")),
-        "leftsemi",
-    ).drop("_z")
+    return out.drop("ugid")
 
 
 def zrange_filter_many(
@@ -578,6 +568,7 @@ def spatial_subset_many(
     lon: str = "lon",
     lat: str = "lat",
     phase1: str = "auto",
+    zrange_max_cells: int = 512,
 ) -> DataFrame:
     """Subset by MANY selection geometries in ONE plan — the
     ``SpatialCollection`` analogue (SURVEY.md §1.4): output rows carry a
@@ -599,22 +590,54 @@ def spatial_subset_many(
     """
     if keep_touches is None:
         keep_touches = abstraction == "point"
+    if phase1 not in ("auto", "covering", "zranges"):
+        raise ValueError(
+            f"spatial_subset_many: unknown phase1 {phase1!r} "
+            "(expected 'auto' | 'covering' | 'zranges')"
+        )
     if abstraction == "polygon":
+        if phase1 == "zranges":
+            raise ValueError(
+                "spatial_subset_many: phase1='zranges' is not available "
+                "on the polygon-abstraction path (it clips boxes, not "
+                "points; use abstraction='point' or phase1='auto')"
+            )
         return _subset_many_boxes(spark, df, grid, polys, keep_touches)
     if phase1 == "auto":
-        est = 0.0
-        for _, rings in polys:
-            minx, miny, maxx, maxy = _rings_bbox(rings)
-            cw = max(min(maxx, grid.lon1) - max(minx, grid.lon0), 0.0)
-            ch = max(min(maxy, grid.lat1) - max(miny, grid.lat0), 0.0)
-            est += (cw / grid.res + 2.0) * (ch / grid.res + 2.0)
-        phase1 = (
-            "zranges"
-            if est > 2_000_000 and max(grid.nx, grid.ny) <= 65536
-            else "covering"
-        )
+        est = sum(_flat_covering_estimate(grid, rings) for _, rings in polys)
+        if est <= _COVERING_BROADCAST_CELLS:
+            phase1 = "covering"
+        elif max(grid.nx, grid.ny) <= 65536:
+            phase1 = "zranges"
+        else:
+            # >16-bit grid indices (Morton domain exceeded) AND a flat
+            # covering too large to broadcast: degrade to a per-ugid
+            # ENVELOPE join — a k-row broadcast bbox table, the many-
+            # geometry twin of coarse_filter's envelope fallback; still
+            # a correct superset, phase 2 refines (r4s10 review)
+            phase1 = "envelopes"
     if phase1 == "zranges":
-        cand = zrange_filter_many(df, grid, polys)
+        cand = zrange_filter_many(df, grid, polys, max_cells=zrange_max_cells)
+    elif phase1 == "envelopes":
+        env = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ugid": [int(u) for u, _ in polys],
+                    "e_minx": [_rings_bbox(r)[0] for _, r in polys],
+                    "e_miny": [_rings_bbox(r)[1] for _, r in polys],
+                    "e_maxx": [_rings_bbox(r)[2] for _, r in polys],
+                    "e_maxy": [_rings_bbox(r)[3] for _, r in polys],
+                }
+            ),
+            schema="ugid int, e_minx double, e_miny double, "
+                   "e_maxx double, e_maxy double",
+        )
+        cand = df.join(
+            F.broadcast(env),
+            (F.col(lon) >= F.col("e_minx")) & (F.col(lon) <= F.col("e_maxx"))
+            & (F.col(lat) >= F.col("e_miny")) & (F.col(lat) <= F.col("e_maxy")),
+            "inner",
+        ).drop("e_minx", "e_miny", "e_maxx", "e_maxy")
     else:
         cov = _covering_many(spark, grid, polys)
         cand = df.join(
@@ -659,11 +682,17 @@ def spatial_subset_many(
         # on boundary-cell rows (same trick as refine_points(interior=…))
         rasters = {}
         for u, rings in udf_polys.items():
+            # estimate BEFORE enumerating — covering_cells_split meshgrids
+            # the flat covering, which on a fine grid with a large
+            # selection is billions of cells (r4s10 review: the envelope-
+            # degrade test hung exactly here). Rasters are an optional
+            # accelerator; the UDF ray-casts without one.
+            if _flat_covering_estimate(grid, rings) > _COVERING_BROADCAST_CELLS:
+                continue
             int_z, bnd_z = covering_cells_split(grid, rings)
-            if len(int_z) + len(bnd_z) <= 2_000_000:
-                ras = interior_raster(*zdecode(int_z))
-                if ras is not None:
-                    rasters[u] = ras
+            ras = interior_raster(*zdecode(int_z))
+            if ras is not None:
+                rasters[u] = ras
 
         @F.pandas_udf("boolean")
         def pip_many(
@@ -878,12 +907,15 @@ def spatial_subset(
         # fine grids) short-circuit to an O(1) lookup and only boundary
         # rows pay the O(segments) ray cast. Classification is
         # conservative (cellindex.covering_cells_split): identical rows.
-        int_z, bnd_z = covering_cells_split(grid, rings)
-        if len(int_z) + len(bnd_z) > 2_000_000:
-            # degraded covering: envelope predicate + plain ray cast
+        # estimate BEFORE enumerating (covering_cells_split meshgrids the
+        # flat covering — the estimate is an upper bound, so the old
+        # post-enumeration len check is subsumed; r4s10 review)
+        if _flat_covering_estimate(grid, rings) > _COVERING_BROADCAST_CELLS:
+            # degraded covering: bounded phase 1 + plain ray cast
             cand = coarse_filter(spark, df, grid, rings)
             out = refine_points(cand, rings, keep_touches, lon, lat)
         else:
+            int_z, bnd_z = covering_cells_split(grid, rings)
             cand = _cell_semijoin(spark, df, np.concatenate([int_z, bnd_z]))
             icy, icx = zdecode(int_z)
             out = refine_points(

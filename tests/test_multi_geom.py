@@ -129,3 +129,43 @@ def test_multi_geom_zranges_phase1_matches_covering(spark):
     a = sorted((r.doc_id, r.ugid) for r in base.select("doc_id", "ugid").collect())
     b = sorted((r.doc_id, r.ugid) for r in via_z.select("doc_id", "ugid").collect())
     assert a == b and len(a) > 0
+
+
+def test_multi_geom_envelope_degrade_past_morton_domain(spark):
+    """auto routing on a >16-bit grid with a covering too large to
+    broadcast: the per-ugid envelope join degrade — exact results still
+    (phase 2 refines), validated against the driver-side kernel (r4s10)."""
+    from ocgis_spark.geo.cellindex import GridSpec
+
+    fine = GridSpec(res=4.0 / 100_000, nx=100_000, ny=100_000)
+    dg = register_docs_geo(spark, SF)
+    # re-encode cells on the fine grid (cell ids unused by the envelope
+    # path; lon/lat drive both phases)
+    dg = spatial.encode_cells(dg.drop("cell_x", "cell_y", "cell_id"), fine)
+    polys = [(1, [QUERY_PENTAGON]), (2, [L_SHAPE])]
+    out = spatial.spatial_subset_many(spark, dg, fine, polys)
+    got = {
+        u: {r.doc_id for r in out.filter(F.col("ugid") == u).collect()}
+        for u in (1, 2)
+    }
+    pts = dg.select("doc_id", "lon", "lat").collect()
+    ids = np.array([r.doc_id for r in pts])
+    px = np.array([r.lon for r in pts])
+    py = np.array([r.lat for r in pts])
+    for u, rings in polys:
+        mask = G.points_in_polygon(px, py, rings, keep_touches=True)
+        assert got[u] == set(ids[mask].tolist()), f"ugid {u}"
+    assert got[1] and got[2]
+
+
+def test_multi_geom_phase1_validation(spark):
+    dg = register_docs_geo(spark, SF)
+    with pytest.raises(ValueError, match="unknown phase1"):
+        spatial.spatial_subset_many(
+            spark, dg, DOC_GRID, [(1, [QUERY_PENTAGON])], phase1="zrange"
+        )
+    with pytest.raises(ValueError, match="polygon-abstraction"):
+        spatial.spatial_subset_many(
+            spark, dg, DOC_GRID, [(1, [QUERY_PENTAGON])],
+            abstraction="polygon", phase1="zranges",
+        )

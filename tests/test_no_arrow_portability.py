@@ -141,3 +141,28 @@ def test_zrange_filter_without_arrow(spark):
         )
         n = out.count()
     assert n > 0
+
+
+def test_zrange_filter_many_without_arrow(spark):
+    """r4s10 conversion sites: zrange_filter_many's (ugid, z_lo, z_hi)
+    interval table and the envelope-degrade bbox table (spatial.py —
+    scalar columns with explicit schemas). zrange_filter delegates here,
+    so this is THE conversion site of both paths."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocgis_spark import fixtures as FX
+    from ocgis_spark.operators import spatial
+
+    df = spatial.encode_cells(
+        spark.range(200).select(
+            (F.col("id") * 0.02 - 105.4).alias("lon"),
+            (F.col("id") * 0.015 + 37.0).alias("lat"),
+        ),
+        FX.DOC_GRID,
+    )
+    polys = [(1, [FX.QUERY_LSHAPE]), (2, [FX.rect_ring(-105.0, 37.0, -104.0, 38.0)])]
+    with no_arrow(spark):
+        out = spatial.zrange_filter_many(df, FX.DOC_GRID, polys, max_cells=64)
+        n = out.groupBy("ugid").count().count()
+    assert n == 2
