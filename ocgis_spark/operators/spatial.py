@@ -208,6 +208,14 @@ def zrange_filter_many(
         raise ValueError(
             "zrange_filter_many: grid indices exceed the 16-bit Morton domain"
         )
+    if "ugid" in df.columns:
+        # the interval join would emit TWO 'ugid' attributes (and
+        # zrange_filter's drop('ugid') would then drop both) — fail
+        # loudly instead of silently corrupting the caller's column
+        raise ValueError(
+            "zrange_filter_many: input already has a 'ugid' column — "
+            "rename it before the Z-range phase 1"
+        )
     ug, lo_, hi_ = [], [], []
     for ugid, rings in polys:
         for lo, hi in covering_z_ranges(grid, rings, max_cells):

@@ -165,6 +165,19 @@ def test_zrange_filter_rejects_wide_grids(spark):
         spatial.zrange_filter(None, big, [LSHAPE])
 
 
+def test_zrange_filter_rejects_ugid_collision(spark):
+    # an input that ALREADY carries 'ugid' would collide with the
+    # interval table's ugid attribute (and zrange_filter's drop('ugid')
+    # would drop both) — must fail loudly, not corrupt the column
+    df = spark.range(4).select(
+        F.lit(7).alias("ugid"),
+        (F.col("id") % 2).cast("int").alias("cell_x"),
+        (F.col("id") % 2).cast("int").alias("cell_y"),
+    )
+    with pytest.raises(ValueError, match="ugid"):
+        spatial.zrange_filter_many(df, FX.DOC_GRID, [(0, [LSHAPE])])
+
+
 def test_polygon_scan_zordered_parity_and_pruning(spark, tmp_path):
     # 64x64 z-ordered layout, several rows per cell
     df = spark.range(16384).select(
