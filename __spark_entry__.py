@@ -1957,6 +1957,56 @@ def q_paragraph_dedup(spark, sf_dir):
     return out.select("doc_id", "text", "n_kept", "n_dropped")
 
 
+#: UniMax fixture: budget/epoch-cap chosen so the sf0.01 language mix
+#: exercises every allocation branch (fr/de/es/zh cap-bound with one full
+#: epoch + a hash tail; en budget-bound, tail only).
+UNIMAX_BUDGET = 600
+UNIMAX_EPOCHS = 1.5
+
+
+def q_unimax_mix(spark, sf_dir):
+    """UniMax budget waterfilling (Chung et al. 2023) realized as epoch
+    fan-out + deterministic hash tail; per-language realized counts and
+    deepest epoch. One stratum-count agg (driver waterfilling over ≤
+    n_lang rows), a broadcast plan join, a narrow explode."""
+    docs = _read(spark, sf_dir, "documents")
+    mixed = SMP.unimax_mixture(
+        docs, UNIMAX_BUDGET, epoch_cap=UNIMAX_EPOCHS
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.max("epoch").cast("bigint").alias("max_epoch"),
+    )
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per language: corpus
+    bigram LM scores + one bounded (lang, bin) histogram pass for BOTH
+    tercile cuts + broadcast threshold join (never a per-language full
+    sort)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textops.ccnet_buckets(docs)
+    return out.select("doc_id", "lang", "avg_ll", "bucket")
+
+
+def q_idw_regrid(spark, sf_dir):
+    """Inverse-square-distance regrid over the closed-form 2x2 uniform-
+    grid stencil (the bilinear fixture's destinations/values): four
+    broadcast corner joins, zero shuffles; exact centroid hits
+    short-circuit the division."""
+    _tune(spark)
+    x, y = FX.bilinear_dst_exprs()
+    dst = spark.sql(
+        f"SELECT dst_id, {x} AS x, {y} AS y FROM "
+        f"(SELECT id AS dst_id FROM range({FX.BILINEAR_NDST}))"
+    )
+    src = spark.sql(
+        f"SELECT src_id, {FX.BILINEAR_SRC_VALUE} AS value FROM "
+        f"(SELECT id AS src_id FROM range({DOC_GRID.nx * DOC_GRID.ny}))"
+    )
+    return regrid.idw_regrid(src, dst, DOC_GRID)
+
+
 def q_zrange_subset_multi(spark, sf_dir):
     """intersects_multi's geometry set through the BOUNDED multi-geometry
     phase 1 (spatial.zrange_filter_many — per-polygon adaptive Z-range
@@ -3026,6 +3076,76 @@ def _regrid_bilinear_vec_sql() -> str:
     )
 
 
+def _unimax_sql() -> str:
+    """UniMax waterfilling as a recursive CTE (strata ascend by
+    (capacity, lang); each step takes min(cap, remaining // left) —
+    integer floor division, the exact arithmetic of
+    ``sampling.unimax_allocation``), then the realized count: full
+    epochs + the deterministic hash tail."""
+    b, e = UNIMAX_BUDGET, UNIMAX_EPOCHS
+    hash_pm = f"((d.doc_id * {SMP.HASH_MULT}) % {SMP.HASH_MOD}) % 1000"
+    return (
+        "WITH RECURSIVE counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY lang), "
+        f"caps AS (SELECT lang, n, CAST(floor({FX._f(e)} * CAST(n AS DOUBLE)) "
+        "AS BIGINT) AS cap FROM counts), "
+        "ord AS (SELECT lang, n, cap, "
+        "CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS rn, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM caps) AS k FROM caps), "
+        "rec AS ("
+        f"SELECT rn, lang, n, cap, k, CAST({b} AS BIGINT) AS rem, "
+        f"least(cap, CAST({b} AS BIGINT) // k) AS alloc FROM ord WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT o.rn, o.lang, o.n, o.cap, o.k, r.rem - r.alloc, "
+        "least(o.cap, (r.rem - r.alloc) // (o.k - o.rn + 1)) "
+        "FROM ord o JOIN rec r ON o.rn = r.rn + 1), "
+        "plan AS (SELECT lang, n, alloc // n AS fullep, "
+        "((alloc % n) * 1000) // n AS tail_pm FROM rec), "
+        "tails AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS c_tail "
+        "FROM documents d JOIN plan p ON d.lang = p.lang "
+        f"WHERE {hash_pm} < p.tail_pm GROUP BY d.lang) "
+        "SELECT p.lang, "
+        "CAST(p.fullep * p.n + coalesce(t.c_tail, 0) AS BIGINT) AS n_sampled, "
+        "CAST(p.fullep + CASE WHEN coalesce(t.c_tail, 0) > 0 THEN 1 ELSE 0 END "
+        "AS BIGINT) AS max_epoch "
+        "FROM plan p LEFT JOIN tails t ON p.lang = t.lang "
+        "WHERE p.fullep * p.n + coalesce(t.c_tail, 0) > 0"
+    )
+
+
+def _idw_regrid_sql() -> str:
+    """IDW (power 2) over the bilinear fixture's 2x2 stencil: per-corner
+    squared distances, guarded 1/d2 sums, exact-hit short-circuit —
+    arithmetic shared step-for-step with ``regrid.idw_regrid``."""
+    x, y = FX.bilinear_dst_exprs()
+    g = DOC_GRID
+    gx = f"((x - ({FX._f(g.lon0)})) / {FX._f(g.res)} - 0.5E0)"
+    gy = f"((y - ({FX._f(g.lat0)})) / {FX._f(g.res)} - 0.5E0)"
+    return (
+        f"WITH dst AS (SELECT range AS dst_id FROM range({FX.BILINEAR_NDST})), "
+        f"d2 AS (SELECT dst_id, {x} AS x, {y} AS y FROM dst), "
+        f"p AS (SELECT dst_id, CAST(floor({gx}) AS INT) AS i0, "
+        f"CAST(floor({gy}) AS INT) AS j0, "
+        f"{gx} AS gxv, {gy} AS gyv FROM d2), "
+        "c(dx, dy) AS (SELECT 0, 0 UNION ALL SELECT 1, 0 "
+        "UNION ALL SELECT 0, 1 UNION ALL SELECT 1, 1), "
+        f"src AS (SELECT range AS src_id, {FX.BILINEAR_SRC_VALUE} AS v "
+        f"FROM range({g.nx * g.ny})), "
+        "j AS (SELECT p.dst_id, "
+        f"CAST(p.j0 + c.dy AS BIGINT) * {g.nx} + p.i0 + c.dx AS src_id, "
+        "p.gxv - CAST(p.i0 + c.dx AS DOUBLE) AS ddx, "
+        "p.gyv - CAST(p.j0 + c.dy AS DOUBLE) AS ddy "
+        "FROM p CROSS JOIN c), "
+        "jj AS (SELECT j.dst_id, j.ddx * j.ddx + j.ddy * j.ddy AS dd, src.v "
+        "FROM j JOIN src USING (src_id)) "
+        "SELECT dst_id, round(CASE WHEN min(dd) = 0.0E0 "
+        "THEN min(CASE WHEN dd = 0.0E0 THEN v END) "
+        "ELSE sum(CASE WHEN dd = 0.0E0 THEN 0.0E0 ELSE v / dd END) "
+        "/ sum(CASE WHEN dd = 0.0E0 THEN 0.0E0 ELSE 1.0E0 / dd END) END, 6) "
+        "AS dst_value FROM jj GROUP BY dst_id"
+    )
+
+
 def _regrid_bilinear_sql() -> str:
     """Bilinear stencil in closed form: explode the 2x2 corners via a
     4-row CTE, join the per-cell source values, grouped weighted sum.
@@ -4024,6 +4144,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped "
             "FROM kept k LEFT JOIN drops d ON k.doc_id = d.doc_id"
         ),
+        "unimax_mix": _unimax_sql(),
+        "ccnet_buckets": textops.ccnet_buckets_sql(),
+        "idw_regrid": _idw_regrid_sql(),
         # same truth, bounded interval-table phase 1:
         "zrange_subset_multi": (
             f"SELECT 1 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)} "
@@ -4346,6 +4469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_e2e": q_semantic_dedup_e2e,
         "zrange_subset_multi": q_zrange_subset_multi,
         "paragraph_dedup": q_paragraph_dedup,
+        "unimax_mix": q_unimax_mix,
+        "ccnet_buckets": q_ccnet_buckets,
+        "idw_regrid": q_idw_regrid,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

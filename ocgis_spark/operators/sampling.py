@@ -132,3 +132,79 @@ def temperature_mixture(
     return df.join(F.broadcast(rates), stratum).filter(
         hash_bucket(F.col(key)) < F.col("rate_pm")
     )
+
+
+def unimax_allocation(
+    counts: list[tuple[str, int]], budget: int, epoch_cap: float = 1.0
+) -> list[tuple[str, int, int, int]]:
+    """UniMax budget waterfilling (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling"): spread a total document budget
+    uniformly over strata, capping each stratum at ``epoch_cap`` epochs
+    of its own data and redistributing the leftover to the rest.
+
+    Deterministic integer form: strata ascend by (capacity, name); at
+    each step the stratum receives ``min(capacity, remaining //
+    strata_left)`` (floor division — the largest stratum absorbs the
+    rounding shortfall, never more than strata_left extra docs total).
+    Pure driver-side arithmetic over one row per stratum — the
+    bounded-collect pattern of the covering/centroid preps.
+
+    Returns ``[(stratum, n_docs, capacity, alloc)]`` sorted by stratum.
+    """
+    caps = sorted(
+        (int(epoch_cap * n), s, int(n)) for s, n in counts
+    )
+    remaining = int(budget)
+    out = []
+    for i, (cap, s, n) in enumerate(caps):
+        share = remaining // (len(caps) - i)
+        alloc = min(cap, share)
+        remaining -= alloc
+        out.append((s, n, cap, alloc))
+    return sorted(out)
+
+
+def unimax_mixture(
+    df: DataFrame,
+    budget: int,
+    epoch_cap: float = 1.0,
+    stratum: str = "lang",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Realize a UniMax allocation as rows: each stratum emits
+    ``alloc // n`` full epochs of itself plus a hash-sampled tail at
+    ~``(alloc % n) / n`` (per-mille floor — the approximate-rate contract
+    of every hash sampler here). Output carries an ``epoch`` column
+    (1-based; the tail is epoch ``full + 1``) so downstream shuffles can
+    de-correlate repeats.
+
+    Plan: one stratum-count hash agg collected to the driver (≤ one row
+    per stratum), a broadcast allocation join, then a narrow
+    ``explode(sequence(...))`` fan-out — the corpus is scanned once and
+    never shuffled; output size is budget-bounded, not corpus-bounded.
+
+    NULL strata are excluded before counting (the temperature_mixture
+    rationale)."""
+    df = df.filter(F.col(stratum).isNotNull())
+    rows = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n")).collect()
+    alloc = unimax_allocation(
+        [(r[stratum], r["n"]) for r in rows], budget, epoch_cap
+    )
+    spark = df.sparkSession
+    plan = spark.createDataFrame(
+        [(s, n, a // n, (a % n) * 1000 // n) for s, n, _, a in alloc],
+        schema=f"{stratum} string, _n bigint, _full bigint, _tail_pm bigint",
+    )
+    joined = df.join(F.broadcast(plan), stratum)
+    n_epochs = F.col("_full") + F.when(
+        hash_bucket(F.col(key)) < F.col("_tail_pm"), F.lit(1)
+    ).otherwise(F.lit(0))
+    # sequence(1, 0) yields the DESCENDING [1, 0] (auto-step -1), so a
+    # zero-epoch row must be filtered BEFORE the explode, not relied on
+    # to produce an empty array
+    return (
+        joined.withColumn("_ne", n_epochs)
+        .filter(F.col("_ne") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_ne"))))
+        .drop("_n", "_full", "_tail_pm", "_ne")
+    )

@@ -192,6 +192,82 @@ def histogram_quantile_sql(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    v: str,
+    qs: list[tuple[str, float]],
+    lo: float,
+    hi: float,
+    bins: int = 512,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Several quantiles of the SAME value in ONE corpus pass — the
+    (key, bin) count table is built once and every requested quantile is
+    a ``min(CASE ...)`` over it (``histogram_quantile`` per q would
+    rescan the input per quantile; at 100 TB the scan IS the cost).
+    ``qs`` is ``[(out_col, q)]``; same nearest-rank/midpoint/clamp/NULL
+    semantics as :func:`histogram_quantile`."""
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(v).isNotNull())
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(v).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    counts = df.select(*keys, b.alias("bin")).groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.partitionBy(*keys).orderBy("bin")
+    wall = Window.partitionBy(*keys)
+    ranked = counts.select(
+        *keys,
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    aggs = []
+    for name, q in qs:
+        target = F.ceil(F.lit(q) * ranked["n"].cast("double"))
+        hit = F.min(F.when(ranked["cum"] >= target, F.col("bin")))
+        est = F.lit(lo) + (hit.cast("double") + F.lit(0.5)) * F.lit(width)
+        aggs.append(F.round(est, ndigits).alias(name))
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
+def histogram_quantiles_sql(
+    keys: list[str], value_expr: str, table: str,
+    qs: list[tuple[str, float]],
+    lo: float, hi: float, bins: int = 512,
+) -> str:
+    """Oracle twin of :func:`histogram_quantiles` (shared arithmetic)."""
+    from ..fixtures import _f
+
+    ks = ", ".join(keys)
+    width = (hi - lo) / bins
+    wrepr, lorepr = _f(width), _f(lo)
+    outs = ", ".join(
+        f"round({lorepr} + (CAST("
+        f"min(CASE WHEN cum >= ceil({_f(q)} * CAST(n AS DOUBLE)) THEN bin END)"
+        f" AS DOUBLE) + 0.5) * {wrepr}, 6) AS {name}"
+        for name, q in qs
+    )
+    return (
+        f"SELECT {ks}, {outs} FROM ("
+        f"SELECT {ks}, bin, sum(cnt) OVER (PARTITION BY {ks} ORDER BY bin) AS cum, "
+        f"sum(cnt) OVER (PARTITION BY {ks}) AS n FROM ("
+        f"SELECT {ks}, bin, count(*) AS cnt FROM ("
+        f"SELECT {ks}, least({bins - 1}, greatest(0, "
+        f"CAST(floor((CAST({value_expr} AS DOUBLE) - {lorepr}) / {wrepr}) AS INT)"
+        f")) AS bin FROM {table} WHERE ({value_expr}) IS NOT NULL) g "
+        f"GROUP BY {ks}, bin) c) w GROUP BY {ks}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch — mergeable frequency estimation (Cormode & Muthukrishnan
 # 2005). At 100 TB, "how often does term X appear per shard/day" is a

@@ -1085,3 +1085,80 @@ SELECT *,
         AND frac_alpha_words >= {_f(min_alpha_frac)}
         AND n_stopwords >= {min_stopwords}) AS passes
 FROM sig"""
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text: str = "text",
+    stratum: str = "lang",
+    lo: float = -12.0,
+    hi: float = 0.0,
+    bins: int = 512,
+    cache_scores: bool = True,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    score every document under the corpus bigram LM (:func:`lm_score`),
+    then split each language into head / middle / tail terciles — 'head'
+    is the highest avg log-likelihood (lowest perplexity) third, the
+    slice CCNet keeps for training.
+
+    Tercile thresholds come from ONE bounded (lang, bin) histogram pass
+    (:func:`sketch.histogram_quantiles` — both cuts from the same count
+    table), NOT a per-language full sort: at 100 TB the global
+    window-sort CCNet itself uses becomes the bottleneck, while the
+    histogram is ±(hi-lo)/2·bins exact and shuffles at most ``bins`` rows
+    per language. Threshold comparison uses the rounded(6) midpoints both
+    engines compute identically, so bucket assignment is deterministic.
+
+    Plan: lm_score's bounded LM joins → one doc_id-keyed score join →
+    histogram agg (map-side partials) → broadcast threshold join → CASE.
+    The scored relation feeds the histogram AND the output, so it is
+    persisted by default (the lm_score cache contract: release with
+    ``spark.catalog.clearCache()`` or pass ``cache_scores=False``)."""
+    from .sketch import histogram_quantiles
+
+    lm = lm_score(df, text, cache_pairs=cache_scores)
+    scored = df.select("doc_id", stratum).join(lm, "doc_id")
+    if cache_scores:
+        scored = scored.persist()
+    cuts = histogram_quantiles(
+        scored, [stratum], "avg_ll",
+        [("t_tail", 1.0 / 3.0), ("t_head", 2.0 / 3.0)], lo, hi, bins,
+    )
+    bucket = (
+        F.when(F.col("avg_ll") >= F.col("t_head"), F.lit("head"))
+        .when(F.col("avg_ll") >= F.col("t_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(cuts), stratum).select(
+        "doc_id", stratum, "avg_ll", bucket.alias("bucket")
+    )
+
+
+def ccnet_buckets_sql(
+    table: str = "documents",
+    text: str = "text",
+    stratum: str = "lang",
+    lo: float = -12.0,
+    hi: float = 0.0,
+    bins: int = 512,
+) -> str:
+    """Oracle twin of :func:`ccnet_buckets` (lm_score_sql CTE + shared
+    histogram-quantile arithmetic + the same CASE)."""
+    from .sketch import histogram_quantiles_sql
+
+    cuts = histogram_quantiles_sql(
+        [stratum], "avg_ll", "scored_l",
+        [("t_tail", 1.0 / 3.0), ("t_head", 2.0 / 3.0)], lo, hi, bins,
+    )
+    return (
+        f"WITH lm AS ({lm_score_sql(table, text)}), "
+        f"scored_l AS (SELECT lm.doc_id, d.{stratum}, lm.avg_ll "
+        f"FROM lm JOIN {table} d ON lm.doc_id = d.doc_id), "
+        f"cuts AS ({cuts}) "
+        f"SELECT s.doc_id, s.{stratum}, s.avg_ll, "
+        f"CASE WHEN s.avg_ll >= c.t_head THEN 'head' "
+        f"WHEN s.avg_ll >= c.t_tail THEN 'middle' "
+        f"ELSE 'tail' END AS bucket "
+        f"FROM scored_l s JOIN cuts c ON s.{stratum} = c.{stratum}"
+    )

@@ -544,3 +544,103 @@ def test_gopher_rules_crafted_docs(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_idw_regrid_matches_numpy_and_exact_hits(spark):
+    g = GOLDEN_GRID  # 4x4 @ 1 deg
+    rng = np.random.RandomState(11)
+    V = rng.uniform(0.0, 10.0, size=(g.ny, g.nx))
+    src = spark.createDataFrame(
+        [(int(j * g.nx + i), float(V[j, i]))
+         for j in range(g.ny) for i in range(g.nx)],
+        "src_id bigint, value double",
+    )
+    # centroid of cell (i=1, j=2) -> exact hit must return V[2, 1];
+    # the exact center of a 2x2 stencil -> plain mean of the 4 corners;
+    # plus interior fractional points checked against manual IDW
+    cx = g.lon0 + (1 + 0.5) * g.res
+    cy = g.lat0 + (2 + 0.5) * g.res
+    mx = g.lon0 + 2.0 * g.res   # fx = fy = 0.5 between (1,?) and (2,?)
+    my = g.lat0 + 2.0 * g.res
+    pts = [(cx, cy), (mx, my), (-104.2, 38.7), (-103.1, 37.9)]
+    dst = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "dst_id bigint, x double, y double",
+    )
+    got = {r["dst_id"]: r["dst_value"]
+           for r in regrid.idw_regrid(src, dst, g).collect()}
+    assert got[0] == pytest.approx(V[2, 1], abs=1e-6)
+    assert got[1] == pytest.approx(
+        (V[1, 1] + V[1, 2] + V[2, 1] + V[2, 2]) / 4.0, abs=1e-6
+    )
+    for i, (x, y) in enumerate(pts[2:], start=2):
+        gx = (x - g.lon0) / g.res - 0.5
+        gy = (y - g.lat0) / g.res - 0.5
+        i0, j0 = int(np.floor(gx)), int(np.floor(gy))
+        num = den = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                d2 = (gx - (i0 + dx)) ** 2 + (gy - (j0 + dy)) ** 2
+                num += V[j0 + dy, i0 + dx] / d2
+                den += 1.0 / d2
+        assert got[i] == pytest.approx(num / den, abs=1e-6)
+
+
+def test_unimax_allocation_waterfilling_properties(spark):
+    counts = [("en", 218), ("zh", 75), ("es", 73), ("de", 70), ("fr", 64)]
+    alloc = sampling.unimax_allocation(counts, budget=600, epoch_cap=1.5)
+    by = {s: (n, cap, a) for s, n, cap, a in alloc}
+    # caps respected; budget never exceeded; small strata cap-bound
+    assert all(a <= cap for _, cap, a in by.values())
+    assert sum(a for _, _, a in by.values()) <= 600
+    for small in ("fr", "de", "es", "zh"):
+        assert by[small][2] == by[small][1]  # cap-bound
+    assert by["en"][2] < by["en"][1]         # budget-bound
+    # when total capacity fits inside the budget, everyone gets their cap
+    alloc2 = sampling.unimax_allocation(counts, budget=10_000, epoch_cap=1.0)
+    assert all(a == cap for _, _, cap, a in alloc2)
+    # degenerate: zero budget allocates nothing
+    assert all(a == 0 for _, _, _, a in
+               sampling.unimax_allocation(counts, budget=0))
+
+
+def test_unimax_mixture_realization(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 80 else "de") for i in range(100)],
+        "doc_id bigint, lang string",
+    )
+    # budget 100, cap 2 epochs: de (20 docs, cap 40) gets 40 = 2 full
+    # epochs; en (80 docs, cap 160) gets 60 -> 0 full + 750-permille tail
+    out = sampling.unimax_mixture(docs, budget=100, epoch_cap=2.0)
+    per = {r["lang"]: r for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.max("epoch").alias("me"),
+        F.min("epoch").alias("mn"),
+    ).collect()}
+    assert per["de"]["n"] == 40 and per["de"]["me"] == 2
+    assert per["de"]["mn"] == 1
+    assert per["en"]["me"] == 1
+    # hash tail is approximate: ~750 permille of 80
+    assert 40 <= per["en"]["n"] <= 80
+    # zero-allocation strata emit NO rows (sequence(1,0) would wrongly
+    # yield [1,0] if the filter regressed)
+    none = sampling.unimax_mixture(docs, budget=0, epoch_cap=1.0)
+    assert none.count() == 0
+
+
+def test_ccnet_buckets_order_and_coverage(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = textops.ccnet_buckets(docs).collect()
+    spark.catalog.clearCache()
+    assert {r["bucket"] for r in out} == {"head", "middle", "tail"}
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        heads = [r["avg_ll"] for r in rows if r["bucket"] == "head"]
+        tails = [r["avg_ll"] for r in rows if r["bucket"] == "tail"]
+        if heads and tails:
+            assert min(heads) >= max(tails)
+        # terciles are roughly balanced (histogram cut, not exact ranks)
+        n = len(rows)
+        if n >= 30:
+            assert len(heads) >= n // 6 and len(tails) >= n // 6
