@@ -644,3 +644,28 @@ def test_ccnet_buckets_order_and_coverage(spark):
         n = len(rows)
         if n >= 30:
             assert len(heads) >= n // 6 and len(tails) >= n // 6
+
+
+def test_unimax_allocation_exhausts_min_budget_capacity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ns=st.lists(st.integers(1, 10_000), min_size=1, max_size=12),
+        budget=st.integers(0, 200_000),
+        epochs=st.sampled_from([0.5, 1.0, 1.5, 2.0, 4.0]),
+    )
+    def prop(ns, budget, epochs):
+        counts = [(f"s{i}", n) for i, n in enumerate(ns)]
+        alloc = sampling.unimax_allocation(counts, budget, epochs)
+        caps = {s: int(epochs * n) for s, n in counts}
+        total_cap = sum(caps.values())
+        # per-stratum cap respected; waterfilling exhausts exactly
+        # min(budget, total capacity) — floors only ever defer budget to
+        # later (larger) strata, and the last stratum takes remaining//1
+        assert all(a <= caps[s] for s, _, _, a in alloc)
+        assert all(a >= 0 for _, _, _, a in alloc)
+        assert sum(a for _, _, _, a in alloc) == min(budget, total_cap)
+
+    prop()
