@@ -3086,7 +3086,7 @@ def _unimax_sql() -> str:
     hash_pm = f"((d.doc_id * {SMP.HASH_MULT}) % {SMP.HASH_MOD}) % 1000"
     return (
         "WITH RECURSIVE counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n "
-        "FROM documents GROUP BY lang), "
+        "FROM documents WHERE lang IS NOT NULL GROUP BY lang), "
         f"caps AS (SELECT lang, n, CAST(floor({FX._f(e)} * CAST(n AS DOUBLE)) "
         "AS BIGINT) AS cap FROM counts), "
         "ord AS (SELECT lang, n, cap, "

@@ -191,9 +191,18 @@ def unimax_mixture(
         [(r[stratum], r["n"]) for r in rows], budget, epoch_cap
     )
     spark = df.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # carry the stratum column's REAL type into the plan relation — a
+    # hardcoded string type would break the equi-join (and createDataFrame
+    # verification) for integer strata (r4s11 review)
+    schema = StructType(
+        [StructField(stratum, df.schema[stratum].dataType)]
+        + [StructField(c, LongType()) for c in ("_n", "_full", "_tail_pm")]
+    )
     plan = spark.createDataFrame(
         [(s, n, a // n, (a % n) * 1000 // n) for s, n, _, a in alloc],
-        schema=f"{stratum} string, _n bigint, _full bigint, _tail_pm bigint",
+        schema=schema,
     )
     joined = df.join(F.broadcast(plan), stratum)
     n_epochs = F.col("_full") + F.when(

@@ -135,60 +135,22 @@ def histogram_quantile(
     values clamp into the edge bins; NULLs are dropped (floor(NULL) would
     otherwise clamp into bin 0 and skew the quantile low — ADVICE r3).
     Deterministic and dialect-neutral — the DuckDB oracle
-    (``histogram_quantile_sql``) reproduces it exactly.
-    """
-    from pyspark.sql import Window
-
-    df = df.filter(F.col(v).isNotNull())
-    width = (hi - lo) / bins
-    b = F.least(
-        F.lit(bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col(v).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
-        ),
+    (``histogram_quantile_sql``) reproduces it exactly. Delegates to
+    :func:`histogram_quantiles` (ONE home for the binning/clamp/cumsum
+    arithmetic — r4s11 review)."""
+    return histogram_quantiles(
+        df, keys, v, [("quantile", q)], lo, hi, bins, ndigits
     )
-    counts = df.select(*keys, b.alias("bin")).groupBy(*keys, "bin").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wcum = Window.partitionBy(*keys).orderBy("bin")
-    wall = Window.partitionBy(*keys)
-    ranked = counts.select(
-        *keys,
-        "bin",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    target = F.ceil(F.lit(q) * ranked["n"].cast("double"))
-    hit = ranked.groupBy(*keys).agg(
-        F.min(F.when(ranked["cum"] >= target, F.col("bin"))).alias("_b")
-    )
-    est = F.lit(lo) + (hit["_b"].cast("double") + F.lit(0.5)) * F.lit(width)
-    return hit.select(*keys, F.round(est, ndigits).alias("quantile"))
 
 
 def histogram_quantile_sql(
     keys: list[str], value_expr: str, table: str, q: float,
     lo: float, hi: float, bins: int = 512,
 ) -> str:
-    """Oracle twin of :func:`histogram_quantile` (shared arithmetic)."""
-    from ..fixtures import _f
-
-    ks = ", ".join(keys)
-    width = (hi - lo) / bins
-    wrepr, lorepr, qrepr = _f(width), _f(lo), _f(q)
-    return (
-        f"SELECT {ks}, round({lorepr} + (CAST(b AS DOUBLE) + 0.5) * {wrepr}, 6) "
-        f"AS quantile FROM ("
-        f"SELECT {ks}, min(CASE WHEN cum >= ceil({qrepr} * CAST(n AS DOUBLE)) "
-        f"THEN bin END) AS b FROM ("
-        f"SELECT {ks}, bin, sum(cnt) OVER (PARTITION BY {ks} ORDER BY bin) AS cum, "
-        f"sum(cnt) OVER (PARTITION BY {ks}) AS n FROM ("
-        f"SELECT {ks}, bin, count(*) AS cnt FROM ("
-        f"SELECT {ks}, least({bins - 1}, greatest(0, "
-        f"CAST(floor((CAST({value_expr} AS DOUBLE) - {lorepr}) / {wrepr}) AS INT)"
-        f")) AS bin FROM {table} WHERE ({value_expr}) IS NOT NULL) g "
-        f"GROUP BY {ks}, bin) c) w GROUP BY {ks}) z"
+    """Oracle twin of :func:`histogram_quantile` — delegates to
+    :func:`histogram_quantiles_sql` (one home for the arithmetic)."""
+    return histogram_quantiles_sql(
+        keys, value_expr, table, [("quantile", q)], lo, hi, bins
     )
 
 

@@ -105,23 +105,32 @@ def coarse_filter(
     (``spatial/index.py:5-87``)."""
     minx, miny, maxx, maxy = _rings_bbox(rings)
     est = _flat_covering_estimate(grid, rings)
-    if est > _COVERING_BROADCAST_CELLS and max(grid.nx, grid.ny) <= 65536:
-        # covering too large to broadcast (very fine grid or a
-        # near-global polygon): bounded adaptive Z-range predicate —
-        # decided BEFORE enumerating the flat covering, so the driver
-        # never materializes the O(area/res²) cell set at all
-        return zrange_filter(df, grid, rings)
-    cells = covering_cells(grid, rings)
-    if len(cells) == 0:
-        return df.limit(0)
-    if len(cells) > 2_000_000:
-        # >16-bit grid indices (Morton domain exceeded): degrade to the
-        # envelope range predicate — still a correct superset, the exact
-        # phase refines
-        return cell_bounds(df, grid).filter(
+    if est > _COVERING_BROADCAST_CELLS:
+        if max(grid.nx, grid.ny) <= 65536:
+            # covering too large to broadcast (very fine grid or a
+            # near-global polygon): bounded adaptive Z-range predicate —
+            # decided BEFORE enumerating the flat covering, so the driver
+            # never materializes the O(area/res²) cell set at all
+            return zrange_filter(df, grid, rings)
+        # >16-bit grid indices (Morton domain exceeded) AND a flat
+        # covering too large to broadcast: degrade to the envelope range
+        # predicate — decided from the ESTIMATE, never after enumerating
+        # (covering_cells meshgrids the clipped bbox; on this branch that
+        # is billions of cells and hangs the driver — r4s11 review, the
+        # single-geometry twin of the spatial_subset_many fix). The
+        # in-grid guard keeps the branch's row universe identical to the
+        # covering/zranges branches (off-grid rows never survive phase 1).
+        in_grid = (
+            F.col("cell_x").between(0, grid.nx - 1)
+            & F.col("cell_y").between(0, grid.ny - 1)
+        )
+        return cell_bounds(df.filter(in_grid), grid).filter(
             (F.col("lon_lb") <= maxx) & (F.col("lon_ub") >= minx)
             & (F.col("lat_lb") <= maxy) & (F.col("lat_ub") >= miny)
         ).drop("lon_lb", "lon_ub", "lat_lb", "lat_ub")
+    cells = covering_cells(grid, rings)
+    if len(cells) == 0:
+        return df.limit(0)
     cy, cx = zdecode(cells)
     # pandas frame → one Arrow block transfer (not py4j row-by-row)
     cov = spark.createDataFrame(
@@ -179,9 +188,9 @@ def zrange_filter(
     single implementation, r4s10 review)."""
     out = zrange_filter_many(
         df, grid, [(0, rings)], max_cells=max_cells,
-        cell_x=cell_x, cell_y=cell_y,
+        cell_x=cell_x, cell_y=cell_y, ugid_col="_zr_ugid",
     )
-    return out.drop("ugid")
+    return out.drop("_zr_ugid")
 
 
 def zrange_filter_many(
@@ -191,6 +200,7 @@ def zrange_filter_many(
     max_cells: int = 512,
     cell_x: str = "cell_x",
     cell_y: str = "cell_y",
+    ugid_col: str = "ugid",
 ) -> DataFrame:
     """Multi-geometry twin of :func:`zrange_filter`: per-polygon adaptive
     Z-range coverings stacked into ONE broadcast interval table
@@ -200,7 +210,10 @@ def zrange_filter_many(
     Interval-table size is O(n_polys · max_cells) for ANY polygon set,
     vs the flat covering table's O(Σ area/res²). Same exact-refine
     contract as the covering path; same codegen rationale as
-    ``zrange_filter`` (the key is projected, never inlined per branch)."""
+    ``zrange_filter`` (the key is projected, never inlined per branch).
+    ``ugid_col`` renames the emitted selection-id attribute —
+    :func:`zrange_filter` delegates with a private name so inputs that
+    already carry ``ugid`` keep their column (r4s11 review)."""
     from ..geo.cellindex import covering_z_ranges
     from .layout import morton_key
 
@@ -208,13 +221,13 @@ def zrange_filter_many(
         raise ValueError(
             "zrange_filter_many: grid indices exceed the 16-bit Morton domain"
         )
-    if "ugid" in df.columns:
-        # the interval join would emit TWO 'ugid' attributes (and
-        # zrange_filter's drop('ugid') would then drop both) — fail
-        # loudly instead of silently corrupting the caller's column
+    if ugid_col in df.columns:
+        # the interval join would emit TWO ambiguous attributes (and a
+        # downstream drop would remove both) — fail loudly instead of
+        # silently corrupting the caller's column
         raise ValueError(
-            "zrange_filter_many: input already has a 'ugid' column — "
-            "rename it before the Z-range phase 1"
+            f"zrange_filter_many: input already has a {ugid_col!r} column "
+            "— rename it or pass a different ugid_col"
         )
     ug, lo_, hi_ = [], [], []
     for ugid, rings in polys:
@@ -224,10 +237,10 @@ def zrange_filter_many(
             hi_.append(hi)
     spark = df.sparkSession
     if not ug:
-        return df.limit(0).withColumn("ugid", F.lit(0))
+        return df.limit(0).withColumn(ugid_col, F.lit(0))
     rng = spark.createDataFrame(
-        pd.DataFrame({"ugid": ug, "z_lo": lo_, "z_hi": hi_}),
-        schema="ugid int, z_lo bigint, z_hi bigint",
+        pd.DataFrame({ugid_col: ug, "z_lo": lo_, "z_hi": hi_}),
+        schema=f"{ugid_col} int, z_lo bigint, z_hi bigint",
     )
     in_grid = (
         F.col(cell_x).between(0, grid.nx - 1)
@@ -640,7 +653,15 @@ def spatial_subset_many(
             schema="ugid int, e_minx double, e_miny double, "
                    "e_maxx double, e_maxy double",
         )
-        cand = df.join(
+        # same in-grid guard as the covering/zranges branches: off-grid
+        # rows (cell index outside the grid) must not survive phase 1 on
+        # ONE branch only, or the result set would depend on which
+        # strategy auto-routing picked (r4s11 review)
+        in_grid = (
+            F.col("cell_x").between(0, grid.nx - 1)
+            & F.col("cell_y").between(0, grid.ny - 1)
+        )
+        cand = df.filter(in_grid).join(
             F.broadcast(env),
             (F.col(lon) >= F.col("e_minx")) & (F.col(lon) <= F.col("e_maxx"))
             & (F.col(lat) >= F.col("e_miny")) & (F.col(lat) <= F.col("e_maxy")),

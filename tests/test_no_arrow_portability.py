@@ -166,3 +166,31 @@ def test_zrange_filter_many_without_arrow(spark):
         out = spatial.zrange_filter_many(df, FX.DOC_GRID, polys, max_cells=64)
         n = out.groupBy("ugid").count().count()
     assert n == 2
+
+
+def test_envelope_degrade_without_arrow(spark):
+    """r4s10/r4s11 conversion site: spatial_subset_many's per-ugid
+    envelope bbox table (spatial.py — the >16-bit-grid degrade path;
+    scalar double columns with an explicit schema)."""
+    from pyspark.sql import functions as F
+
+    from ocgis_spark import fixtures as FX
+    from ocgis_spark.geo.cellindex import GridSpec
+    from ocgis_spark.operators import spatial
+
+    fine = GridSpec(res=4.0 / 100_000, nx=100_000, ny=100_000)
+    df = spatial.encode_cells(
+        spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 0.02 - 105.4).alias("lon"),
+            (F.col("id") * 0.015 + 37.0).alias("lat"),
+        ),
+        fine,
+    )
+    rect = [FX.rect_ring(-105.0, 37.0, -104.0, 38.0)]
+    with no_arrow(spark):
+        out = spatial.spatial_subset_many(
+            spark, df, fine, [(1, rect)], keep_touches=True
+        )
+        n = out.count()
+    assert n > 0

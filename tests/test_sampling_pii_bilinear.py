@@ -669,3 +669,17 @@ def test_unimax_allocation_exhausts_min_budget_capacity():
         assert sum(a for _, _, _, a in alloc) == min(budget, total_cap)
 
     prop()
+
+
+def test_unimax_mixture_integer_stratum(spark):
+    # the plan relation must carry the stratum column's REAL type, not a
+    # hardcoded string (r4s11 review)
+    docs = spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "doc_id bigint, src int",
+    )
+    out = sampling.unimax_mixture(docs, budget=30, epoch_cap=1.0,
+                                  stratum="src")
+    per = {r["src"]: r["n"] for r in
+           out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {0, 1, 2}
+    assert sum(per.values()) <= 40  # ~30 via permille floors

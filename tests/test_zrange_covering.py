@@ -166,9 +166,9 @@ def test_zrange_filter_rejects_wide_grids(spark):
 
 
 def test_zrange_filter_rejects_ugid_collision(spark):
-    # an input that ALREADY carries 'ugid' would collide with the
-    # interval table's ugid attribute (and zrange_filter's drop('ugid')
-    # would drop both) — must fail loudly, not corrupt the column
+    # an input that ALREADY carries the output column would collide with
+    # the interval table's attribute (a downstream drop would remove
+    # both) — zrange_filter_many must fail loudly, not corrupt the column
     df = spark.range(4).select(
         F.lit(7).alias("ugid"),
         (F.col("id") % 2).cast("int").alias("cell_x"),
@@ -176,6 +176,22 @@ def test_zrange_filter_rejects_ugid_collision(spark):
     )
     with pytest.raises(ValueError, match="ugid"):
         spatial.zrange_filter_many(df, FX.DOC_GRID, [(0, [LSHAPE])])
+
+
+def test_zrange_filter_preserves_caller_ugid_column(spark):
+    # ...but the single-geometry zrange_filter delegates with a PRIVATE
+    # column name, so re-subsetting a frame that already carries 'ugid'
+    # (e.g. spatial_subset_many output) keeps the caller's column intact
+    # (r4s11 review: the guard must not regress zrange_filter's contract)
+    df = spark.range(2000).select(
+        F.lit(7).alias("ugid"),
+        (F.col("id") % 64).cast("int").alias("cell_x"),
+        ((F.col("id") * 31) % 64).cast("int").alias("cell_y"),
+    )
+    out = spatial.zrange_filter(df, FX.DOC_GRID, [LSHAPE], max_cells=64)
+    assert "ugid" in out.columns
+    assert out.count() > 0
+    assert out.select("ugid").distinct().collect()[0][0] == 7
 
 
 def test_polygon_scan_zordered_parity_and_pruning(spark, tmp_path):
@@ -315,3 +331,33 @@ def test_zrange_filter_on_vector_grid_matches_covering(spark):
     b = sorted(r["pid"] for r in via_z.select("pid").collect())
     assert a == b and len(a) > 0
     df.unpersist()
+
+
+def test_single_geom_subset_fine_grid_envelope_degrade(spark):
+    """>16-bit grid + covering too large to broadcast on the SINGLE-
+    geometry path: coarse_filter must degrade from the ESTIMATE without
+    enumerating the flat covering (pre-fix, covering_cells meshgridded
+    ~6e8 cells here and hung the driver — r4s11 review, the twin of the
+    spatial_subset_many fix). Exact results still: phase 2 refines."""
+    from ocgis_spark.geo import geometry as G
+    from ocgis_spark.geo.cellindex import GridSpec
+
+    fine = GridSpec(res=4.0 / 100_000, nx=100_000, ny=100_000)
+    pts = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 0.01 - 105.4).alias("lon"),
+        (F.col("id") * 0.008 + 37.0).alias("lat"),
+    )
+    df = spatial.encode_cells(pts, fine)
+    out = spatial.spatial_subset(
+        spark, df, fine, [LSHAPE], operation="intersects",
+        abstraction="point", keep_touches=True,
+    )
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    rows = pts.collect()
+    px = np.array([r.lon for r in rows])
+    py = np.array([r.lat for r in rows])
+    ids = np.array([r.doc_id for r in rows])
+    mask = G.points_in_polygon(px, py, [LSHAPE], keep_touches=True)
+    assert got == set(ids[mask].tolist())
+    assert got
