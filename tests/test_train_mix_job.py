@@ -1,0 +1,57 @@
+"""End-to-end + resume test for jobs/train_mix.py (the CCNet/UniMax
+training-mix back half): bucket gate, per-language budgets, epoch
+fan-out, deterministic shuffle, packing, checkpointed shards."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+import train_mix  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_train_mix_end_to_end_and_resume(spark, tmp_path):
+    out = str(tmp_path / "mix")
+    res = train_mix.run(spark, SF, out, budget=300, epoch_cap=1.5,
+                        capacity=64, shards=4)
+    spark.catalog.clearCache()
+    assert res["processed"] and not res["skipped"]
+
+    got = spark.read.parquet(res["data_dir"])
+    n = got.count()
+    assert n > 0
+    # CCNet gate: the tail tercile never reaches the mix
+    assert set(r["bucket"] for r in got.select("bucket").distinct().collect()) \
+        <= {"head", "middle"}
+    # UniMax: realized rows per language never exceed the epoch cap of the
+    # kept slice, and the total stays near the budget (hash-tail slack)
+    kept_per_lang = {
+        r["lang"]: r["n"] for r in
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per = {r["lang"]: r["n"] for r in
+           got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, cnt in per.items():
+        assert cnt <= int(1.5 * kept_per_lang[lang]) + 1
+    assert sum(per.values()) <= 300 + len(per)  # permille-floor slack only
+    # every emitted row has a unique sequence id and a bounded pack fill
+    assert got.select("seq_id").distinct().count() == n
+    fills = got.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("m")
+    ).collect()
+    # packs overflow by at most one document (concat-then-chunk rule)
+    mx = max(r["tok"] for r in fills)
+    per_doc_max = got.agg(F.max("n_tokens")).first()[0]
+    assert mx <= 64 + per_doc_max
+
+    # a rerun with the same output resumes over every committed shard
+    res2 = train_mix.run(spark, SF, out, budget=300, epoch_cap=1.5,
+                         capacity=64, shards=4)
+    spark.catalog.clearCache()
+    assert not res2["processed"]
+    assert sorted(res2["skipped"]) == sorted(res["processed"])
+    assert spark.read.parquet(res["data_dir"]).count() == n
