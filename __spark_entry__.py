@@ -163,6 +163,25 @@ def q_regrid_bilinear_nonuniform(spark, sf_dir):
     )
 
 
+def q_idw_regrid_nonuniform(spark, sf_dir):
+    """IDW (power 2) regrid between two NON-UNIFORM grids: physical-
+    distance 2x2 stencil weights built driver-side (exact center hits
+    take weight 1) → the standard sparse weights join. Oracle consumes
+    the IDENTICAL driver-side floats as a VALUES table."""
+    _tune(spark)
+    src = spark.sql(
+        f"SELECT src_id, CAST((src_id * 31) % 97 AS DOUBLE) AS value FROM "
+        f"(SELECT id AS src_id FROM range({FX.VEC_GRID.nx * FX.VEC_GRID.ny}))"
+    )
+    w = regrid.idw_weights_vector(spark, FX.VEC_GRID, FX.VEC_GRID_DST)
+    out = regrid.apply_weights(src, w)
+    return out.select(
+        "dst_id",
+        F.round("dst_value", 6).alias("dst_value"),
+        F.round("weight_sum", 6).alias("weight_sum"),
+    )
+
+
 def q_intersects_cells_rect(spark, sf_dir):
     """Polygon abstraction, keep_touches=False: strict-overlap cell select."""
     cells = _distinct_cells(spark, sf_dir)
@@ -3076,6 +3095,25 @@ def _regrid_bilinear_vec_sql() -> str:
     )
 
 
+def _idw_vec_sql() -> str:
+    """VALUES twin of regrid.idw_weights_vector — the same numpy floats
+    (regrid._idw_weight_rows), parity exact by construction."""
+    sid, did, s = regrid._idw_weight_rows(FX.VEC_GRID, FX.VEC_GRID_DST)
+    vals = ", ".join(
+        f"({int(a)}, {int(b)}, {FX._f(float(c))})"
+        for a, b, c in zip(sid, did, s)
+    )
+    n_src = FX.VEC_GRID.nx * FX.VEC_GRID.ny
+    return (
+        "SELECT dst_id, round(sum(s * value), 6) AS dst_value, "
+        "round(sum(s), 6) AS weight_sum FROM ("
+        "SELECT CAST(sid AS BIGINT) AS src_id, CAST(did AS BIGINT) AS dst_id, "
+        f"CAST(s AS DOUBLE) AS s FROM (VALUES {vals}) w(sid, did, s)) w2 "
+        "JOIN (SELECT range AS src_id, CAST((range * 31) % 97 AS DOUBLE) AS "
+        f"value FROM range({n_src})) src USING (src_id) GROUP BY dst_id"
+    )
+
+
 def _unimax_sql() -> str:
     """UniMax waterfilling as a recursive CTE (strata ascend by
     (capacity, lang); each step takes min(cap, remaining // left) —
@@ -4147,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_mix": _unimax_sql(),
         "ccnet_buckets": textops.ccnet_buckets_sql(),
         "idw_regrid": _idw_regrid_sql(),
+        "idw_regrid_nonuniform": _idw_vec_sql(),
         # same truth, bounded interval-table phase 1:
         "zrange_subset_multi": (
             f"SELECT 1 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)} "
@@ -4472,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mix": q_unimax_mix,
         "ccnet_buckets": q_ccnet_buckets,
         "idw_regrid": q_idw_regrid,
+        "idw_regrid_nonuniform": q_idw_regrid_nonuniform,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

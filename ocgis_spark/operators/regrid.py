@@ -408,3 +408,61 @@ def idw_regrid(
         v = F.when(cond, val) if v is None else v.when(cond, val)
     v = v.otherwise(idw)
     return out.select(F.col(dst_id), F.round(v, 6).alias("dst_value"))
+
+
+def _idw_weight_rows(src, dst):
+    """(src_id, dst_id, s) numpy arrays for the 2×2 inverse-square-
+    distance stencil in PHYSICAL coordinates (non-uniform spacing makes
+    grid-unit distances meaningless) — shared by
+    :func:`idw_weights_vector` and the DuckDB oracle's VALUES table so
+    both sides consume identical floats. Exact center hits take weight 1
+    (their row's other corners 0); otherwise w = (1/d²)/Σ(1/d²), so
+    Σs per dst_id == 1 up to float rounding."""
+    import numpy as np
+
+    sxc = (src.xb()[:-1] + src.xb()[1:]) / 2.0
+    syc = (src.yb()[:-1] + src.yb()[1:]) / 2.0
+    dxc = (dst.xb()[:-1] + dst.xb()[1:]) / 2.0
+    dyc = (dst.yb()[:-1] + dst.yb()[1:]) / 2.0
+    ix0 = np.clip(np.searchsorted(sxc, dxc) - 1, 0, len(sxc) - 2).astype("i8")
+    jy0 = np.clip(np.searchsorted(syc, dyc) - 1, 0, len(syc) - 2).astype("i8")
+
+    dj, di = np.meshgrid(np.arange(dst.ny), np.arange(dst.nx), indexing="ij")
+    dj, di = dj.ravel(), di.ravel()
+    dst_id = dj * dst.nx + di
+
+    src_ids, d2s = [], []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            ddx = dxc[di] - sxc[ix0[di] + dx]
+            ddy = dyc[dj] - syc[jy0[dj] + dy]
+            src_ids.append((jy0[dj] + dy) * src.nx + ix0[di] + dx)
+            d2s.append(ddx * ddx + ddy * ddy)
+    d2 = np.stack(d2s)                      # (4, n_dst)
+    hit = d2 == 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(hit, 0.0, 1.0 / d2)
+        w = inv / inv.sum(axis=0)
+    anyhit = hit.any(axis=0)
+    w[:, anyhit] = hit[:, anyhit].astype("f8")
+    return (
+        np.concatenate(src_ids).astype("i8"),
+        np.concatenate([dst_id] * 4).astype("i8"),
+        np.concatenate(list(w)),
+    )
+
+
+def idw_weights_vector(spark: SparkSession, src, dst) -> DataFrame:
+    """4-entry-per-destination IDW (power 2) weight table between TWO
+    rectilinear grids (uniform or non-uniform ``VectorGridSpec``) — the
+    vector-grid twin of :func:`idw_regrid`, as a sparse weights relation
+    :func:`apply_weights` consumes (same contract as
+    :func:`bilinear_weights_vector`: driver-side O(|dst|) numpy, ONE
+    Arrow block, explicit schema, Σs per dst_id == 1)."""
+    import pandas as pd
+
+    src_id, dst_id, s = _idw_weight_rows(src, dst)
+    pdf = pd.DataFrame({"src_id": src_id, "dst_id": dst_id, "s": s})
+    return spark.createDataFrame(
+        pdf, schema="src_id bigint, dst_id bigint, s double"
+    )

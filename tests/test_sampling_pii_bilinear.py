@@ -683,3 +683,43 @@ def test_unimax_mixture_integer_stratum(spark):
            out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(per) == {0, 1, 2}
     assert sum(per.values()) <= 40  # ~30 via permille floors
+
+
+def test_idw_weights_vector_properties(spark):
+    import collections
+
+    from ocgis_spark.fixtures import VEC_GRID, VEC_GRID_DST
+    from ocgis_spark.operators import regrid as regrid_ops
+
+    sid, did, s = regrid_ops._idw_weight_rows(VEC_GRID, VEC_GRID_DST)
+    sums = collections.defaultdict(float)
+    for d, w in zip(did, s):
+        sums[d] += w
+    assert len(sums) == VEC_GRID_DST.nx * VEC_GRID_DST.ny
+    for v in sums.values():
+        assert v == pytest.approx(1.0, abs=1e-12)
+    # exact center hit: a destination grid EQUAL to the source grid must
+    # reproduce the source exactly (every dst center hits a src center)
+    sid2, did2, s2 = regrid_ops._idw_weight_rows(VEC_GRID, VEC_GRID)
+    per = collections.defaultdict(list)
+    for a, b, w in zip(sid2, did2, s2):
+        per[b].append((a, w))
+    for d, lst in per.items():
+        hits = [a for a, w in lst if w == 1.0]
+        assert hits == [d]  # its own cell, weight exactly 1
+        assert sum(w for _, w in lst) == 1.0
+    # Spark application matches the driver-side floats end-to-end
+    src = spark.range(VEC_GRID.nx * VEC_GRID.ny).select(
+        F.col("id").alias("src_id"),
+        ((F.col("id") * 31) % 97).cast("double").alias("value"),
+    )
+    w = regrid_ops.idw_weights_vector(spark, VEC_GRID, VEC_GRID_DST)
+    out = {r["dst_id"]: r["dst_value"]
+           for r in regrid_ops.apply_weights(src, w).collect()}
+    vals = {i: float((i * 31) % 97)
+            for i in range(VEC_GRID.nx * VEC_GRID.ny)}
+    want = collections.defaultdict(float)
+    for a, b, wt in zip(sid, did, s):
+        want[b] += wt * vals[a]
+    for d, v in out.items():
+        assert v == pytest.approx(want[d], abs=1e-9)
