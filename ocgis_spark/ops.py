@@ -226,15 +226,17 @@ class OcgOperations:
             )
         if self.regrid_options is not None:
             method = self.regrid_options.get("regrid_method", "conservative")
-            if method not in ("conservative", "bilinear", "nearest_stod"):
+            if method not in ("conservative", "bilinear", "nearest_stod",
+                              "idw"):
                 # reference users also pass 'patch' (ESMF patch recovery,
                 # regrid/base.py:646-700) — documented n/a in SURVEY (needs
                 # ESMF's finite-element machinery); fail loudly at
                 # validation, not KeyError mid-plan (VERDICT r3 #7)
                 raise DefinitionValidationError(
                     f"regrid_method {method!r} is not supported "
-                    "(supported: conservative | bilinear | nearest_stod; "
-                    "'patch' needs ESMF patch recovery — see SURVEY §2.3)"
+                    "(supported: conservative | bilinear | nearest_stod "
+                    "| idw; 'patch' needs ESMF patch recovery — see "
+                    "SURVEY §2.3)"
                 )
         if self.conform_units_to is not None:
             if not (
@@ -691,12 +693,12 @@ class OcgOperations:
             method = (self.regrid_options or {}).get(
                 "regrid_method", "conservative"
             )
-            if method in ("bilinear", "nearest_stod"):
-                build = (
-                    regrid_ops.bilinear_weights_vector
-                    if method == "bilinear"
-                    else regrid_ops.nearest_weights_vector
-                )
+            if method in ("bilinear", "nearest_stod", "idw"):
+                build = {
+                    "bilinear": regrid_ops.bilinear_weights_vector,
+                    "nearest_stod": regrid_ops.nearest_weights_vector,
+                    "idw": regrid_ops.idw_weights_vector,
+                }[method]
                 w = build(spark, src_grid, self.regrid_destination)
                 src_vals = df.withColumn(
                     "src_id",
@@ -713,7 +715,7 @@ class OcgOperations:
             else:
                 raise DefinitionValidationError(
                     f"regrid_method {method!r} invalid "
-                    "(conservative | bilinear | nearest_stod)"
+                    "(conservative | bilinear | nearest_stod | idw)"
                 )
 
         # aggregation / calcs (engine.py:573-613; calc/engine.py:48-157)

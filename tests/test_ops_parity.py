@@ -188,6 +188,35 @@ def test_regrid_destination_bilinear_facade(spark, field):
                       ).execute(spark)
 
 
+def test_regrid_destination_idw_facade(spark, field):
+    """regrid_options={'regrid_method': 'idw'} routes through the
+    inverse-square weight table; on a constant field the result is
+    constant (weights sum to 1)."""
+    from ocgis_spark.geo.cellindex import VectorGridSpec
+
+    g = GOLDEN_GRID
+    src = VectorGridSpec.from_edges(
+        np.linspace(g.lon0, g.lon0 + 4 * g.res, 5),
+        np.linspace(g.lat0, g.lat0 + 4 * g.res, 5),
+    )
+    dst = VectorGridSpec.from_edges(
+        np.linspace(g.lon0, g.lon0 + 4 * g.res, 3),
+        np.linspace(g.lat0, g.lat0 + 4 * g.res, 3),
+    )
+    one_t = field.df.filter(F.dayofmonth("ts") == 1).withColumn(
+        "value", F.lit(3.5)
+    )
+    fld = Field(one_t, {"time": "ts", "x": "lon", "y": "lat",
+                        "value": "value"}, src)
+    out = OcgOperations(dataset=fld, grid=src, regrid_destination=dst,
+                        regrid_options={"regrid_method": "idw"}
+                        ).execute(spark)
+    rows = out.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["value"] == pytest.approx(3.5, abs=1e-12)
+
+
 def test_regrid_nearest_stod(spark, field):
     """nearest_stod: every destination takes exactly its nearest source
     center's value (brute-force distance argmin oracle)."""
