@@ -13,17 +13,21 @@ perplexity terciles per language (text.ccnet_buckets — corpus bigram LM
 + ONE bounded histogram pass for both cuts) → keep head+middle (the
 CCNet training slice) → UniMax budget waterfilling with epoch fan-out
 (sampling.unimax_mixture — per-language doc budget, repeats carry an
-``epoch`` column) → deterministic global shuffle
-(sampling.shuffle_corpus on the (doc, epoch) sequence key — no
-single-partition bottleneck) → fixed-capacity sequence packing
-(text.pack_sequences) → deterministic shard assignment → checkpointed
-per-shard parquet write with lineage + per-language metrics.
+``epoch`` column) → fixed-capacity sequence packing in deterministic
+pseudo-random order (text.pack_sequences ordered by
+sampling.shuffle_key — the pack window IS the global shuffle: packs
+fill in hash order, so consecutive documents in a pack are
+decorrelated, with no extra range exchange) → pack-atomic shard
+assignment (every document of a pack lands in ONE shard) →
+checkpointed per-shard parquet write with lineage + per-language
+metrics.
 
 Shuffle budget: the LM/score joins + histogram window (ccnet), the
-range-partition of the global shuffle, the pack-bucket window, and the
-checkpoint sink's shard repartition; everything else is narrow or
-broadcast. Re-running with the same --output resumes from the last
-committed shard.
+pack-bucket window (doubling as the shuffle pass), and the checkpoint
+sink's shard repartition; everything else is narrow or broadcast.
+Re-running with the same --output and the same parameters resumes from
+the last committed shard; changed inputs OR parameters fail loudly
+(the lineage fingerprint covers both).
 """
 
 from __future__ import annotations
@@ -40,6 +44,14 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _seq_multiplier(epoch_cap: float) -> int:
+    """Collision-free seq_id stride for ``doc_id * mult + epoch``: epochs
+    are 1-based and the hash tail is epoch ``floor(cap) + 1`` at most
+    (unimax_mixture emits ``alloc // n <= floor(cap)`` full epochs), so
+    ``floor(cap) + 2`` strictly exceeds every epoch value."""
+    return int(epoch_cap) + 2
+
+
 def run(
     spark: SparkSession,
     input_dir: str,
@@ -53,7 +65,7 @@ def run(
     (tests/test_train_mix_job.py) and resume it without a subprocess."""
     from ocgis_spark.checkpoint import CheckpointManager, lineage_fingerprint
     from ocgis_spark.operators import sampling
-    from ocgis_spark.operators.sampling import hash_bucket
+    from ocgis_spark.operators.sampling import hash_bucket, shuffle_key
     from ocgis_spark.operators.text import ccnet_buckets, pack_sequences
 
     docs = spark.read.parquet(f"{input_dir}/documents.parquet")
@@ -67,27 +79,46 @@ def run(
         kept, budget, epoch_cap=epoch_cap, stratum="lang"
     )
     # a (doc, epoch) sequence key: unique per emitted row, deterministic
-    # (epoch_cap bounds epochs; 8 leaves headroom for any sane cap)
+    mult = _seq_multiplier(epoch_cap)
     mixed = mixed.withColumn(
-        "seq_id", (F.col("doc_id") * F.lit(8) + F.col("epoch")).cast("bigint")
-    )
+        "seq_id",
+        (F.col("doc_id") * F.lit(mult) + F.col("epoch")).cast("bigint"),
+    ).withColumn("shuf_key", shuffle_key(F.col("seq_id")))
 
-    # deterministic global shuffle, then fixed-capacity packing keyed on
-    # the shuffled sequence id (pack buckets hash off seq_id, so epoch
-    # repeats of a doc land in independent streams)
-    shuffled = sampling.shuffle_corpus(mixed, key="seq_id")
+    # The mix is budget-bounded (not corpus-bounded): materialize it once
+    # so the ccnet gate + unimax fan-out lineage runs exactly once more
+    # after unimax's stratum-count collect, then release ccnet's cached
+    # scored/LM relations (localCheckpoint storage is NOT catalog cache,
+    # so clearCache leaves the materialized mix intact).
+    mixed = mixed.localCheckpoint(eager=True)
+    spark.catalog.clearCache()
+
+    # fixed-capacity packing in shuffle_key order — the pack window IS
+    # the global shuffle: buckets hash off shuf_key and fill in
+    # (shuf_key, seq_id) order, so epoch repeats of a doc land in
+    # independent streams and neighbors within a pack are decorrelated
     packs = pack_sequences(
-        shuffled.select("seq_id", "text"), capacity=capacity,
-        order=("seq_id",),
+        mixed.select("shuf_key", "seq_id", "text"), capacity=capacity,
+        order=("shuf_key", "seq_id"),
     )
     final = (
         mixed.select("doc_id", "lang", "bucket", "epoch", "seq_id", "text")
         .join(packs.select("seq_id", "n_tokens", "pack_id"), "seq_id")
-        .withColumn("tile_id", hash_bucket(F.col("seq_id"), shards).cast("int"))
+        # shard off the PACK key: a pack is the atomic training sequence,
+        # so all of its documents must land in one shard directory
+        .withColumn("tile_id", hash_bucket(F.col("pack_id"), shards).cast("int"))
     )
 
     cp = CheckpointManager(output)
-    lin = lineage_fingerprint(docs.select("doc_id"), ["doc_id"])
+    # the fingerprint covers the input docs AND every parameter that
+    # determines the output, so a rerun with a different budget/cap/
+    # capacity/shards against the same --output fails loudly instead of
+    # silently serving the stale mix
+    lin = (
+        lineage_fingerprint(docs.select("doc_id"), ["doc_id"])
+        + f":budget={budget}:epoch_cap={epoch_cap}"
+        + f":capacity={capacity}:shards={shards}"
+    )
     res = cp.run_stage(spark, final, lineage=lin)
     res["manifest_dir"] = cp.manifest_dir
     res["data_dir"] = cp.data_dir

@@ -81,6 +81,23 @@ class CheckpointManager:
         rewritten (dynamic partition overwrite), committed tiles are never
         touched again (resume filter).
         """
+        # resume guard: a manifest committed under a different input/
+        # parameter fingerprint must not be silently resumed over — the
+        # committed tiles would be a DIFFERENT job's output. ("" lineage
+        # opts out, and pre-guard manifests with empty lineage are
+        # grandfathered.)
+        if lineage:
+            stale = {
+                r.get("lineage") for r in self.records() if r.get("lineage")
+            } - {lineage}
+            if stale:
+                raise ValueError(
+                    f"checkpoint at {self.root!r} was committed with a "
+                    f"different lineage fingerprint ({sorted(stale)} vs "
+                    f"current {lineage!r}) — the inputs or job parameters "
+                    "changed. Use a fresh output dir (or clear the "
+                    "manifest) to rebuild."
+                )
         done = self.committed_tiles()
         pending_df = df.filter(~F.col(tile_col).isin(list(done)) if done else F.lit(True))
 

@@ -90,6 +90,8 @@ def test_round3_conversion_sites_without_arrow(spark):
         assert w.count() == 4 * VEC_GRID_DST.nx * VEC_GRID_DST.ny
         nw = regrid.nearest_weights_vector(spark, VEC_GRID, VEC_GRID_DST)
         assert nw.count() == VEC_GRID_DST.nx * VEC_GRID_DST.ny
+        iw = regrid.idw_weights_vector(spark, VEC_GRID, VEC_GRID_DST)
+        assert iw.count() == 4 * VEC_GRID_DST.nx * VEC_GRID_DST.ny
 
         int_z, bnd_z = covering_cells_split(DOC_GRID, [QUERY_LSHAPE])
         cells = spark.createDataFrame(

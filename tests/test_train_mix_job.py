@@ -27,10 +27,16 @@ def test_train_mix_end_to_end_and_resume(spark, tmp_path):
     assert set(r["bucket"] for r in got.select("bucket").distinct().collect()) \
         <= {"head", "middle"}
     # UniMax: realized rows per language never exceed the epoch cap of the
-    # kept slice, and the total stays near the budget (hash-tail slack)
+    # KEPT (post-gate) slice — counting all documents would loosen the
+    # bound ~1.5x and mask tail leaks — and the total stays near the
+    # budget (hash-tail slack)
+    from ocgis_spark.operators.text import ccnet_buckets
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
     kept_per_lang = {
         r["lang"]: r["n"] for r in
-        spark.read.parquet(f"{SF}/documents.parquet")
+        ccnet_buckets(docs_df, cache_scores=False)
+        .filter(F.col("bucket") != "tail")
         .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     per = {r["lang"]: r["n"] for r in
@@ -47,6 +53,13 @@ def test_train_mix_end_to_end_and_resume(spark, tmp_path):
     mx = max(r["tok"] for r in fills)
     per_doc_max = got.agg(F.max("n_tokens")).first()[0]
     assert mx <= 64 + per_doc_max
+    # packs are SHARD-ATOMIC: every document of a pack lands in exactly
+    # one tile directory (a consumer reads whole packs from one shard)
+    assert (
+        got.groupBy("pack_id")
+        .agg(F.countDistinct("tile_id").alias("nt"))
+        .agg(F.max("nt")).first()[0] == 1
+    )
 
     # a rerun with the same output resumes over every committed shard
     res2 = train_mix.run(spark, SF, out, budget=300, epoch_cap=1.5,
@@ -55,3 +68,25 @@ def test_train_mix_end_to_end_and_resume(spark, tmp_path):
     assert not res2["processed"]
     assert sorted(res2["skipped"]) == sorted(res["processed"])
     assert spark.read.parquet(res["data_dir"]).count() == n
+
+    # a rerun with DIFFERENT parameters against the same output must fail
+    # loudly, not silently serve the stale 300-budget mix
+    import pytest
+
+    with pytest.raises(ValueError, match="lineage"):
+        train_mix.run(spark, SF, out, budget=600, epoch_cap=1.5,
+                      capacity=64, shards=4)
+    spark.catalog.clearCache()
+
+
+def test_seq_multiplier_never_collides():
+    """seq_id = doc_id*mult + epoch must be injective for every legal
+    epoch value: epochs are 1-based, max = floor(cap)+1 (the hash tail),
+    so the stride must strictly exceed that — including caps >= 8, where
+    the old hardcoded 8 collided (doc d epoch 9 == doc d+1 epoch 1)."""
+    for cap in (1.0, 1.5, 2.0, 7.0, 8.0, 9.0, 12.5):
+        mult = train_mix._seq_multiplier(cap)
+        max_epoch = int(cap) + 1
+        assert mult > max_epoch
+        # adjacent doc_ids cannot collide at the extreme epochs
+        assert 0 * mult + max_epoch < 1 * mult + 1
