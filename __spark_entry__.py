@@ -163,6 +163,19 @@ def q_regrid_bilinear_nonuniform(spark, sf_dir):
     )
 
 
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+
+    bigram bag-of-words models over a target domain (lang='en') and the
+    raw corpus, per-doc log likelihood-ratio weights, Gumbel-top-k
+    resample under the deterministic hash-uniform. Every model table is
+    bucket-bounded (broadcast delta join); ranking is a TakeOrdered
+    top-k on the ROUNDED key (cross-engine float drift cannot flip a
+    near-tie), never a full sort."""
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return SMP.dsir_sample(docs, target, k=60, m=256)
+
+
 def q_idw_regrid_nonuniform(spark, sf_dir):
     """IDW (power 2) regrid between two NON-UNIFORM grids: physical-
     distance 2x2 stencil weights built driver-side (exact center hits
@@ -4184,6 +4197,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unimax_mix": _unimax_sql(),
         "ccnet_buckets": textops.ccnet_buckets_sql(),
+        "dsir_sample": SMP.dsir_sample_sql(
+            "documents", "SELECT * FROM documents WHERE lang = 'en'",
+            k=60, m=256,
+        ),
         "idw_regrid": _idw_regrid_sql(),
         "idw_regrid_nonuniform": _idw_vec_sql(),
         # same truth, bounded interval-table phase 1:
@@ -4510,6 +4527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "unimax_mix": q_unimax_mix,
         "ccnet_buckets": q_ccnet_buckets,
+        "dsir_sample": q_dsir_sample,
         "idw_regrid": q_idw_regrid,
         "idw_regrid_nonuniform": q_idw_regrid_nonuniform,
         "icclim_WSDI": q_icclim_wsdi,

@@ -217,3 +217,207 @@ def unimax_mixture(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_ne"))))
         .drop("_n", "_full", "_tail_pm", "_ne")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+# Select raw-corpus documents that look like a (small) target domain:
+# fit hashed-n-gram bag-of-words models over the target and the raw
+# corpus, weight every raw document by its log likelihood ratio, and
+# resample top-k under Gumbel perturbation. The mixing-side twin of
+# CCNet terciles (quality) and UniMax (language budget): DSIR answers
+# "which documents", not "how many per language".
+#
+# Scale shape: the corpus is exploded once into (unigram + bigram)
+# occurrences — a narrow per-row fan-out, never a self-join — and every
+# model table is bucket-bounded (≤ m rows after the hash agg's map-side
+# partials), so the delta table broadcasts forever; per-doc weights are
+# ONE hash agg over the occurrences. Nothing pairs the corpus; the
+# target frame is small by definition (a domain sample).
+# ---------------------------------------------------------------------------
+
+
+def _ngram_occurrences(df: DataFrame, text: str, m: int) -> DataFrame:
+    """(doc_id, bucket) — one row per unigram AND bigram occurrence,
+    md5-slice-hashed into ``m`` buckets (dialect-neutral, so the DuckDB
+    oracle reproduces the buckets bit-for-bit). Mirrors lm_score's
+    two-step explode: the split array must be a NAMED column so the
+    post-explode element_at does not recompute the split per row."""
+    from .sketch import md5_slice_int_sql
+    from .text import tokens_col
+
+    ws = df.select("doc_id", tokens_col(text).alias("ws")).filter(
+        F.size("ws") >= 1
+    )
+    pos = ws.select(
+        "doc_id", "ws",
+        F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("_i"),
+    ).select(
+        "doc_id",
+        F.element_at("ws", F.col("_i")).alias("w1"),
+        # empty string marks "no bigram here" (last position)
+        F.coalesce(
+            F.element_at("ws", F.col("_i") + 1), F.lit("")
+        ).alias("w2"),
+    )
+    uni = pos.filter(F.col("w1") != "").select(
+        "doc_id", F.col("w1").alias("feat")
+    )
+    bi = pos.filter((F.col("w1") != "") & (F.col("w2") != "")).select(
+        "doc_id", F.concat_ws(" ", "w1", "w2").alias("feat")
+    )
+    return uni.unionByName(bi).select(
+        "doc_id",
+        (F.expr(md5_slice_int_sql("feat", 0)) % F.lit(m)).alias("bucket"),
+    )
+
+
+def _ngram_occurrences_sql(table: str, text: str, m: int) -> str:
+    """Oracle twin of :func:`_ngram_occurrences` (same split rule, same
+    md5 slice, same empty-token handling)."""
+    from .sketch import md5_slice_int_sql
+
+    return (
+        f"SELECT doc_id, {md5_slice_int_sql('feat', 0)} % {m} AS bucket "
+        f"FROM ("
+        f"SELECT doc_id, a[CAST(i AS INT)] AS feat FROM ("
+        f"SELECT doc_id, string_split({text}, ' ') AS a, "
+        f"unnest(generate_series(1, len(a))) AS i FROM {table}) u "
+        f"WHERE a[CAST(i AS INT)] <> '' "
+        f"UNION ALL "
+        f"SELECT doc_id, a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] "
+        f"AS feat FROM ("
+        f"SELECT doc_id, string_split({text}, ' ') AS a, "
+        f"unnest(generate_series(1, len(a) - 1)) AS i FROM {table}) b "
+        f"WHERE a[CAST(i AS INT)] <> '' AND a[CAST(i AS INT) + 1] <> ''"
+        f") occ"
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text: str = "text",
+    m: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight over the raw corpus:
+    ``logw(doc) = Σ_occurrences ln(p_target[b] / p_raw[b])`` with add-α
+    smoothed bucket models ``p[b] = (c[b] + α) / (N + α·m)`` over the
+    FULL bucket domain (zero-count buckets still get smoothed mass).
+    Raw sums (not means): document length amplifies evidence, per the
+    paper's bag-of-hashed-ngrams likelihood.
+
+    Plan: two bucket-bounded hash aggs (target, raw) → an m-row delta
+    table (broadcast) → one occurrence join + one per-doc hash agg.
+    Returns (doc_id, logw) for every raw doc with ≥ 1 token."""
+    spark = raw.sparkSession
+    occ_r = _ngram_occurrences(raw, text, m)
+    occ_t = _ngram_occurrences(target, text, m)
+
+    def dist(occ):
+        return occ.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
+
+    domain = spark.range(m).select(F.col("id").alias("bucket"))
+    a = F.lit(float(alpha))
+    am = F.lit(float(alpha) * m)
+    ct = domain.join(dist(occ_t), "bucket", "left").select(
+        "bucket", F.coalesce("c", F.lit(0.0)).alias("ct")
+    )
+    cr = domain.join(dist(occ_r), "bucket", "left").select(
+        "bucket", F.coalesce("c", F.lit(0.0)).alias("cr")
+    )
+    nt = ct.agg(F.sum("ct").alias("nt"))
+    nr = cr.agg(F.sum("cr").alias("nr"))
+    delta = (
+        ct.join(cr, "bucket").crossJoin(nt).crossJoin(nr).select(
+            "bucket",
+            (
+                F.log((F.col("ct") + a) / (F.col("nt") + am))
+                - F.log((F.col("cr") + a) / (F.col("nr") + am))
+            ).alias("delta"),
+        )
+    )
+    return (
+        occ_r.join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("delta").alias("logw"))
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text: str = "text",
+    m: int = 1024,
+    alpha: float = 0.5,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Gumbel-top-k importance resample: ``gkey = round(logw + g, 6)``
+    with ``g = -ln(-ln(u))`` and ``u`` the deterministic hash-uniform
+    ``(shuffle_key(doc_id) + 0.5) / HASH_MOD`` — sampling k documents
+    with probability ∝ w without normalizing, reproducible across
+    engines and reruns (no RNG). The key is ROUNDED before ranking so
+    both engines rank identical values (cross-engine float drift cannot
+    flip a near-tie); doc_id breaks exact ties. Ranking is a top-k
+    (TakeOrdered), never a full sort shuffle."""
+    w = dsir_weights(raw, target, text=text, m=m, alpha=alpha)
+    u = (shuffle_key(F.col(key)) + F.lit(0.5)) / F.lit(float(HASH_MOD))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.select(
+            "doc_id",
+            F.round(F.col("logw") + gumbel, 6).alias("gkey"),
+        )
+        .orderBy(F.col("gkey").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def dsir_sample_sql(
+    raw_table: str = "documents",
+    target_sql: str = "SELECT * FROM documents WHERE lang = 'en'",
+    k: int = 60,
+    text: str = "text",
+    m: int = 1024,
+    alpha: float = 0.5,
+) -> str:
+    """Oracle twin of :func:`dsir_sample` (same buckets, same smoothing
+    arithmetic, same hash-uniform Gumbel, same rounded ranking key)."""
+    from ..fixtures import _f
+
+    af = _f(float(alpha))
+    amf = _f(float(alpha) * m)
+    return f"""
+WITH tgt AS ({target_sql}),
+occ_r AS ({_ngram_occurrences_sql(raw_table, text, m)}),
+occ_t AS ({_ngram_occurrences_sql('tgt', text, m)}),
+domain AS (SELECT unnest(generate_series(0, {m - 1})) AS bucket),
+ct AS (SELECT d.bucket,
+        COALESCE(t.c, CAST(0 AS DOUBLE)) AS ct
+       FROM domain d LEFT JOIN (SELECT bucket, CAST(count(*) AS DOUBLE) AS c
+                                FROM occ_t GROUP BY bucket) t
+       ON d.bucket = t.bucket),
+cr AS (SELECT d.bucket,
+        COALESCE(r.c, CAST(0 AS DOUBLE)) AS cr
+       FROM domain d LEFT JOIN (SELECT bucket, CAST(count(*) AS DOUBLE) AS c
+                                FROM occ_r GROUP BY bucket) r
+       ON d.bucket = r.bucket),
+nt AS (SELECT sum(ct) AS nt FROM ct),
+nr AS (SELECT sum(cr) AS nr FROM cr),
+delta AS (SELECT ct.bucket,
+        ln((ct.ct + {af}) / (nt.nt + {amf}))
+      - ln((cr.cr + {af}) / (nr.nr + {amf})) AS delta
+       FROM ct JOIN cr ON ct.bucket = cr.bucket CROSS JOIN nt CROSS JOIN nr),
+w AS (SELECT o.doc_id, sum(d.delta) AS logw
+      FROM occ_r o JOIN delta d ON o.bucket = d.bucket GROUP BY o.doc_id)
+SELECT doc_id,
+       round(logw - ln(-ln(
+           ((CAST(doc_id AS BIGINT) * {HASH_MULT}) % {HASH_MOD} + 0.5E0)
+           / CAST({HASH_MOD} AS DOUBLE))), 6) AS gkey
+FROM w
+ORDER BY gkey DESC, doc_id
+LIMIT {k}"""

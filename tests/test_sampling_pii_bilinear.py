@@ -723,3 +723,55 @@ def test_idw_weights_vector_properties(spark):
         want[b] += wt * vals[a]
     for d, v in out.items():
         assert v == pytest.approx(want[d], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (sampling.dsir_weights / dsir_sample)
+# ---------------------------------------------------------------------------
+
+
+def _two_domain_corpus(spark):
+    """40 docs: even doc_ids speak vocab A, odd speak vocab B."""
+    rows = []
+    for d in range(40):
+        if d % 2 == 0:
+            words = ["alpha", "beta", "gamma", "delta"]
+        else:
+            words = ["omega", "sigma", "kappa", "theta"]
+        rows.append((d, " ".join(words[(d + j) % 4] for j in range(12))))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dsir_weights_zero_when_target_is_raw(spark):
+    """Identical target and raw distributions make every bucket delta 0,
+    so every document's log-weight is exactly 0 (the sum of zeros)."""
+    docs = _two_domain_corpus(spark)
+    w = sampling.dsir_weights(docs, docs, m=64).collect()
+    assert len(w) == 40
+    assert all(abs(r["logw"]) < 1e-12 for r in w)
+
+
+def test_dsir_sample_prefers_target_domain(spark):
+    """With the target drawn from vocab A, the Gumbel-top-k resample
+    must be dominated by A-documents: the likelihood-ratio gap between
+    domains (every A n-gram is ~absent from B and vice versa) dwarfs the
+    O(1) Gumbel noise at 12 tokens/doc."""
+    docs = _two_domain_corpus(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    top = sampling.dsir_sample(docs, target, k=10, m=64).collect()
+    assert len(top) == 10
+    assert all(r["doc_id"] % 2 == 0 for r in top)
+    # keys are the rounded ranking contract, descending
+    keys = [r["gkey"] for r in top]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_dsir_plan_is_jvm_only_with_broadcast_delta(spark):
+    """No Python in the hot path (hashing/weights are Catalyst
+    expressions) and the m-row delta table joins as a broadcast."""
+    docs = _two_domain_corpus(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    plan = sampling.dsir_sample(docs, target, k=5, m=64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
