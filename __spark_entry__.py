@@ -176,6 +176,16 @@ def q_dsir_sample(spark, sf_dir):
     return SMP.dsir_sample(docs, target, k=60, m=256)
 
 
+def q_exact_substr_rewrite(spark, sf_dir):
+    """ExactSubstr dedup REWRITE (Lee et al. 2022 §4.2 at word-window
+    granularity): cut every word position covered by an 8-word window
+    occurring >= 2 times corpus-wide (all copies removed, within-doc
+    repeats included), rebuild each doc from the surviving words
+    (operators/text.py exact_substr_rewrite). Completes the ExactSubstr
+    pair begun by dup_ngram_spans (detection-only)."""
+    return textops.exact_substr_rewrite(_read(spark, sf_dir, "documents"))
+
+
 def q_idw_regrid_nonuniform(spark, sf_dir):
     """IDW (power 2) regrid between two NON-UNIFORM grids: physical-
     distance 2x2 stencil weights built driver-side (exact center hits
@@ -4203,6 +4213,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "idw_regrid": _idw_regrid_sql(),
         "idw_regrid_nonuniform": _idw_vec_sql(),
+        "exact_substr_rewrite": textops.exact_substr_rewrite_sql(),
         # same truth, bounded interval-table phase 1:
         "zrange_subset_multi": (
             f"SELECT 1 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)} "
@@ -4530,6 +4541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "idw_regrid": q_idw_regrid,
         "idw_regrid_nonuniform": q_idw_regrid_nonuniform,
+        "exact_substr_rewrite": q_exact_substr_rewrite,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

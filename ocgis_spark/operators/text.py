@@ -162,7 +162,7 @@ def paragraph_dedup(
 
 
 def _word_ngrams(df: DataFrame, text: str, n: int,
-                 min_words: int) -> DataFrame:
+                 min_words: int, keep_pos: bool = False) -> DataFrame:
     """(doc_id, g) word n-grams in one codegen stage: explode the
     position sequence, then slice/array_join the split array as plain
     projections. ``min_words >= n`` drops docs too short for a full
@@ -188,10 +188,15 @@ def _word_ngrams(df: DataFrame, text: str, n: int,
         "doc_id", "ws",
         F.explode(F.sequence(F.lit(1), last)).alias("_i"),
     )
-    return ex.select(
-        "doc_id",
-        F.array_join(F.slice("ws", F.col("_i"), n), " ").alias("g"),
-    )
+    gram = F.array_join(F.slice("ws", F.col("_i"), n), " ").alias("g")
+    if keep_pos:
+        # 1-based start index of the gram inside the split array —
+        # consumers that rewrite text (exact_substr_rewrite) need it;
+        # default callers keep the historical two-column shape (two of
+        # them .distinct() the result, so the extra column is opt-in)
+        return ex.select("doc_id", F.col("_i").cast("bigint").alias("i"),
+                         gram)
+    return ex.select("doc_id", gram)
 
 
 def repetition_ratio(df: DataFrame, text: str = "text", n: int = 2) -> DataFrame:
@@ -563,6 +568,113 @@ def dup_ngram_spans_sql(table: str = "documents", text: str = "text",
         f"round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / "
         f"CAST(t.n_grams AS DOUBLE), 6) AS dup_frac "
         f"FROM tot t LEFT JOIN dd d USING (doc_id)"
+    )
+
+
+def exact_substr_rewrite(df: DataFrame, text: str = "text", n: int = 8,
+                         min_count: int = 2) -> DataFrame:
+    """ExactSubstr dedup REWRITE (Lee et al. 2022 §4.2): cut every word
+    position covered by a length-``n`` word window that occurs >=
+    ``min_count`` times in the whole corpus (total occurrences — unlike
+    :func:`dup_ngram_spans`'s distinct-document count, this also removes
+    text repeated WITHIN one document, matching the paper's suffix-array
+    semantics at word-window granularity), then rebuild each document
+    from the surviving words in original order. All copies of a
+    duplicated span are removed, the paper's default. Documents whose
+    every window is duplicated rebuild to ``''``; NULL-text rows are
+    dropped (no words to keep).
+
+    Output: (doc_id, n_words, n_kept, text_dedup).
+
+    Plan shape at 100 TB: grams are hashed to fixed 32-char md5 keys
+    before the corpus-wide count (hash agg with map-side partials, no
+    all-pairs); duplicated STARTS fan out only n positions each
+    (explode(sequence)); the kept-word anti join and the per-doc rebuild
+    are doc_id-keyed shuffles — the rebuild shuffle is the price of
+    emitting a rewritten corpus, same posture as pack_sequences. Word
+    order is reconstructed via array_sort(struct(pos, word)), never
+    collect_list order. The reference has no text dedup; this completes
+    the ExactSubstr pair begun by dup_ngram_spans (detection).
+    """
+    d = df.filter(F.col(text).isNotNull())
+    grams = _word_ngrams(d, text, n, min_words=n, keep_pos=True).select(
+        "doc_id", "i", F.md5("g").alias("gk")
+    )
+    dup = (
+        grams.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gk")
+    )
+    cov = (
+        grams.join(dup, "gk")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.col(text), " ")).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "word")
+    kept = words.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "word"))).alias("a")
+    )
+    tot = d.select(
+        "doc_id",
+        F.size(F.split(F.col(text), " ")).cast("bigint").alias("n_words"),
+    )
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        # size(NULL) = -1 with ANSI off — guard the join miss explicitly
+        F.when(F.col("a").isNull(), F.lit(0))
+        .otherwise(F.size("a")).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.array_join(F.transform("a", lambda x: x["word"]), " "),
+            F.lit(""),
+        ).alias("text_dedup"),
+    )
+
+
+def exact_substr_rewrite_sql(table: str = "documents", text: str = "text",
+                             n: int = 8, min_count: int = 2) -> str:
+    """Oracle twin of :func:`exact_substr_rewrite` (DuckDB list slicing
+    reproduces the identical window strings; the rebuild is
+    string_agg(word, ' ' ORDER BY pos) — explicitly ordered)."""
+    return (
+        f"WITH d AS (SELECT doc_id, {text} AS t FROM {table} "
+        f"WHERE {text} IS NOT NULL), "
+        f"ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM d), "
+        f"words AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        f"w[CAST(i AS INT)] AS word FROM (SELECT doc_id, w, "
+        f"unnest(generate_series(1, len(w))) AS i FROM ws) s), "
+        f"ok AS (SELECT doc_id, w FROM ws WHERE len(w) >= {n}), "
+        f"grams AS (SELECT doc_id, CAST(i AS BIGINT) AS i, "
+        f"md5(array_to_string("
+        f"w[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')) AS gk FROM ("
+        f"SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) "
+        f"AS i FROM ok) s), "
+        f"dup AS (SELECT gk FROM grams GROUP BY gk "
+        f"HAVING count(*) >= {min_count}), "
+        f"cov AS (SELECT DISTINCT doc_id, i + CAST(o AS BIGINT) AS pos "
+        f"FROM (SELECT doc_id, i, unnest(generate_series(0, {n - 1})) AS o "
+        f"FROM grams JOIN dup USING (gk)) s), "
+        f"kept AS (SELECT words.doc_id, words.pos, words.word FROM words "
+        f"LEFT JOIN cov ON words.doc_id = cov.doc_id "
+        f"AND words.pos = cov.pos WHERE cov.pos IS NULL), "
+        f"agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+        f"string_agg(word, ' ' ORDER BY pos) AS text_dedup "
+        f"FROM kept GROUP BY doc_id), "
+        f"tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words "
+        f"FROM ws) "
+        f"SELECT t.doc_id, t.n_words, "
+        f"CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
+        f"coalesce(a.text_dedup, '') AS text_dedup "
+        f"FROM tot t LEFT JOIN agg a USING (doc_id)"
     )
 
 

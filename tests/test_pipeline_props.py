@@ -130,3 +130,43 @@ def test_paragraph_dedup_boilerplate_semantics(spark):
     # broadcast); no Python anywhere
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_substr_rewrite_semantics(spark):
+    """Lee et al. 2022 §4.2 rewrite: every position covered by a
+    corpus-duplicated 8-word window is cut from ALL copies (within-doc
+    repeats included); unique and short docs round-trip exactly,
+    including consecutive-space word boundaries."""
+    from ocgis_spark.operators.text import exact_substr_rewrite
+
+    dup = "a b c d e f g h"  # the shared 8-word window
+    rows = [
+        (1, f"intro one {dup} tail1"),
+        (2, f"other prelude {dup} tail2 extra"),
+        (3, "completely unique words that never repeat anywhere at all"),
+        (4, f"{dup} {dup}"),        # within-doc repetition -> fully cut
+        (5, "short doc"),           # < n words: no window, round-trips
+        (6, "x  y z q r s t u v"),  # double space -> empty word kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in exact_substr_rewrite(df, n=8).collect()}
+
+    assert got[1].text_dedup == "intro one tail1"
+    assert (got[1].n_words, got[1].n_kept) == (11, 3)
+    assert got[2].text_dedup == "other prelude tail2 extra"
+    assert got[3].text_dedup == rows[2][1]          # untouched
+    assert got[4].text_dedup == "" and got[4].n_kept == 0
+    assert got[5].text_dedup == "short doc" and got[5].n_kept == 2
+    assert got[6].text_dedup == rows[5][1]          # split/join round-trip
+
+    # structural invariants on every row
+    for r in got.values():
+        assert 0 <= r.n_kept <= r.n_words
+        words = r.text_dedup.split(" ") if r.text_dedup != "" else []
+        assert len(words) == r.n_kept
+
+    plan = (
+        exact_substr_rewrite(df, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
