@@ -70,8 +70,14 @@ def run(
 
     docs = spark.read.parquet(f"{input_dir}/documents.parquet")
 
-    # CCNet slice: keep the two best perplexity terciles per language
-    buckets = ccnet_buckets(docs).filter(F.col("bucket") != "tail")
+    # CCNet slice: keep the two best perplexity terciles per language.
+    # The registry collects handles to the relations ccnet persists so we
+    # can release EXACTLY those later — clearCache() would also evict any
+    # unrelated cached work a shared session holds (r4s13 review finding)
+    ccnet_caches: list = []
+    buckets = ccnet_buckets(docs, cache_registry=ccnet_caches).filter(
+        F.col("bucket") != "tail"
+    )
     kept = docs.join(buckets.select("doc_id", "bucket"), "doc_id")
 
     # UniMax: per-language budget with epoch repeats
@@ -85,41 +91,58 @@ def run(
         (F.col("doc_id") * F.lit(mult) + F.col("epoch")).cast("bigint"),
     ).withColumn("shuf_key", shuffle_key(F.col("seq_id")))
 
-    # The mix is budget-bounded (not corpus-bounded): materialize it once
-    # so the ccnet gate + unimax fan-out lineage runs exactly once more
-    # after unimax's stratum-count collect, then release ccnet's cached
-    # scored/LM relations (localCheckpoint storage is NOT catalog cache,
-    # so clearCache leaves the materialized mix intact).
-    mixed = mixed.localCheckpoint(eager=True)
-    spark.catalog.clearCache()
+    # The mix is budget-bounded (not corpus-bounded): persist + count()
+    # materializes it once (while ccnet's caches are still live) so the
+    # ccnet gate + unimax fan-out runs exactly once more after unimax's
+    # stratum-count collect, then release exactly ccnet's cached scored/
+    # LM relations. persist (not localCheckpoint): cached blocks lost to
+    # executor preemption on a real cluster RECOMPUTE from lineage,
+    # whereas localCheckpoint blocks are unreplicated and truncate the
+    # lineage — losing one aborts the job (r4s13 review finding).
+    mixed = mixed.persist()
+    try:
+        mixed.count()
+        for h in ccnet_caches:
+            h.unpersist()
 
-    # fixed-capacity packing in shuffle_key order — the pack window IS
-    # the global shuffle: buckets hash off shuf_key and fill in
-    # (shuf_key, seq_id) order, so epoch repeats of a doc land in
-    # independent streams and neighbors within a pack are decorrelated
-    packs = pack_sequences(
-        mixed.select("shuf_key", "seq_id", "text"), capacity=capacity,
-        order=("shuf_key", "seq_id"),
-    )
-    final = (
-        mixed.select("doc_id", "lang", "bucket", "epoch", "seq_id", "text")
-        .join(packs.select("seq_id", "n_tokens", "pack_id"), "seq_id")
-        # shard off the PACK key: a pack is the atomic training sequence,
-        # so all of its documents must land in one shard directory
-        .withColumn("tile_id", hash_bucket(F.col("pack_id"), shards).cast("int"))
-    )
+        # fixed-capacity packing in shuffle_key order — the pack window
+        # IS the global shuffle: buckets hash off shuf_key and fill in
+        # (shuf_key, seq_id) order, so epoch repeats of a doc land in
+        # independent streams and neighbors within a pack are
+        # decorrelated
+        packs = pack_sequences(
+            mixed.select("shuf_key", "seq_id", "text"), capacity=capacity,
+            order=("shuf_key", "seq_id"),
+        )
+        final = (
+            mixed.select("doc_id", "lang", "bucket", "epoch", "seq_id",
+                         "text")
+            .join(packs.select("seq_id", "n_tokens", "pack_id"), "seq_id")
+            # shard off the PACK key: a pack is the atomic training
+            # sequence, so all of its documents must land in one shard
+            # directory
+            .withColumn(
+                "tile_id", hash_bucket(F.col("pack_id"), shards).cast("int")
+            )
+        )
 
-    cp = CheckpointManager(output)
-    # the fingerprint covers the input docs AND every parameter that
-    # determines the output, so a rerun with a different budget/cap/
-    # capacity/shards against the same --output fails loudly instead of
-    # silently serving the stale mix
-    lin = (
-        lineage_fingerprint(docs.select("doc_id"), ["doc_id"])
-        + f":budget={budget}:epoch_cap={epoch_cap}"
-        + f":capacity={capacity}:shards={shards}"
-    )
-    res = cp.run_stage(spark, final, lineage=lin)
+        cp = CheckpointManager(output)
+        # the fingerprint covers the input docs AND every parameter that
+        # determines the output, so a rerun with a different budget/cap/
+        # capacity/shards against the same --output fails loudly instead
+        # of silently serving the stale mix
+        lin = (
+            lineage_fingerprint(docs.select("doc_id"), ["doc_id"])
+            + f":budget={budget}:epoch_cap={epoch_cap}"
+            + f":capacity={capacity}:shards={shards}"
+        )
+        res = cp.run_stage(spark, final, lineage=lin)
+    finally:
+        # release this job's caches even when the lineage guard raises —
+        # a second unpersist of an already-released handle is a no-op
+        mixed.unpersist()
+        for h in ccnet_caches:
+            h.unpersist()
     res["manifest_dir"] = cp.manifest_dir
     res["data_dir"] = cp.data_dir
     return res

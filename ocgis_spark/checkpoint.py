@@ -84,12 +84,19 @@ class CheckpointManager:
         # resume guard: a manifest committed under a different input/
         # parameter fingerprint must not be silently resumed over — the
         # committed tiles would be a DIFFERENT job's output. ("" lineage
-        # opts out, and pre-guard manifests with empty lineage are
-        # grandfathered.)
+        # opts out; pre-guard manifests with empty lineage are
+        # grandfathered, and so is a committed lineage that is a
+        # ':'-boundary PREFIX of the current one — jobs extend their
+        # fingerprint by appending ':key=value' parameter segments, and a
+        # manifest written before a segment existed must still resume
+        # under identical inputs.)
+        recs = self.records()  # parsed once; feeds the guard AND `done`
         if lineage:
             stale = {
-                r.get("lineage") for r in self.records() if r.get("lineage")
-            } - {lineage}
+                c
+                for c in (r.get("lineage") for r in recs)
+                if c and c != lineage and not lineage.startswith(c + ":")
+            }
             if stale:
                 raise ValueError(
                     f"checkpoint at {self.root!r} was committed with a "
@@ -98,7 +105,7 @@ class CheckpointManager:
                     "changed. Use a fresh output dir (or clear the "
                     "manifest) to rebuild."
                 )
-        done = self.committed_tiles()
+        done = {r["tile_id"] for r in recs}
         pending_df = df.filter(~F.col(tile_col).isin(list(done)) if done else F.lit(True))
 
         # per-tile metrics from the SAME filtered frame (one extra agg job)

@@ -18,7 +18,7 @@ corpus pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Knuth's multiplicative hash constant (2^32 / phi); the modulus is prime
@@ -260,13 +260,25 @@ def _ngram_occurrences(df: DataFrame, text: str, m: int) -> DataFrame:
             F.element_at("ws", F.col("_i") + 1), F.lit("")
         ).alias("w2"),
     )
-    uni = pos.filter(F.col("w1") != "").select(
-        "doc_id", F.col("w1").alias("feat")
+    # ONE explode chain emits both gram orders: per position, an array of
+    # [unigram?, bigram?] with the inapplicable slots nulled and
+    # compacted away. The previous two-filtered-branch union scanned and
+    # exploded the input TWICE per instantiation (r4s13 review finding).
+    feats = pos.select(
+        "doc_id",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(F.col("w1") != "", F.col("w1")),
+                    F.when(
+                        (F.col("w1") != "") & (F.col("w2") != ""),
+                        F.concat_ws(" ", "w1", "w2"),
+                    ),
+                )
+            )
+        ).alias("feat"),
     )
-    bi = pos.filter((F.col("w1") != "") & (F.col("w2") != "")).select(
-        "doc_id", F.concat_ws(" ", "w1", "w2").alias("feat")
-    )
-    return uni.unionByName(bi).select(
+    return feats.select(
         "doc_id",
         (F.expr(md5_slice_int_sql("feat", 0)) % F.lit(m)).alias("bucket"),
     )
@@ -309,8 +321,11 @@ def dsir_weights(
     paper's bag-of-hashed-ngrams likelihood.
 
     Plan: two bucket-bounded hash aggs (target, raw) → an m-row delta
-    table (broadcast) → one occurrence join + one per-doc hash agg.
-    Returns (doc_id, logw) for every raw doc with ≥ 1 token."""
+    table (totals as a single-partition window sum over the m rows, so
+    no subtree re-instantiation; broadcast) → one occurrence join + one
+    per-doc hash agg. The raw corpus is scanned+exploded exactly TWICE
+    (model agg, weight join) and the target ONCE — plan-asserted in
+    tests. Returns (doc_id, logw) for every raw doc with ≥ 1 token."""
     spark = raw.sparkSession
     occ_r = _ngram_occurrences(raw, text, m)
     occ_t = _ngram_occurrences(target, text, m)
@@ -329,16 +344,17 @@ def dsir_weights(
     cr = domain.join(dist(occ_r), "bucket", "left").select(
         "bucket", F.coalesce("c", F.lit(0.0)).alias("cr")
     )
-    nt = ct.agg(F.sum("ct").alias("nt"))
-    nr = cr.agg(F.sum("cr").alias("nr"))
-    delta = (
-        ct.join(cr, "bucket").crossJoin(nt).crossJoin(nr).select(
-            "bucket",
-            (
-                F.log((F.col("ct") + a) / (F.col("nt") + am))
-                - F.log((F.col("cr") + a) / (F.col("nr") + am))
-            ).alias("delta"),
-        )
+    # N_t / N_r as single-partition window sums over the m-row joined
+    # model table — a separate .agg() would RE-INSTANTIATE the whole
+    # occurrence subtree (another corpus scan+explode each, r4s13 review
+    # finding); the window costs one m-row exchange instead
+    w0 = Window.partitionBy(F.lit(1))
+    delta = ct.join(cr, "bucket").select(
+        "bucket",
+        (
+            F.log((F.col("ct") + a) / (F.sum("ct").over(w0) + am))
+            - F.log((F.col("cr") + a) / (F.sum("cr").over(w0) + am))
+        ).alias("delta"),
     )
     return (
         occ_r.join(F.broadcast(delta), "bucket")
@@ -354,7 +370,6 @@ def dsir_sample(
     text: str = "text",
     m: int = 1024,
     alpha: float = 0.5,
-    key: str = "doc_id",
 ) -> DataFrame:
     """Gumbel-top-k importance resample: ``gkey = round(logw + g, 6)``
     with ``g = -ln(-ln(u))`` and ``u`` the deterministic hash-uniform
@@ -365,7 +380,7 @@ def dsir_sample(
     flip a near-tie); doc_id breaks exact ties. Ranking is a top-k
     (TakeOrdered), never a full sort shuffle."""
     w = dsir_weights(raw, target, text=text, m=m, alpha=alpha)
-    u = (shuffle_key(F.col(key)) + F.lit(0.5)) / F.lit(float(HASH_MOD))
+    u = (shuffle_key(F.col("doc_id")) + F.lit(0.5)) / F.lit(float(HASH_MOD))
     gumbel = -F.log(-F.log(u))
     return (
         w.select(

@@ -680,7 +680,7 @@ def exact_substr_rewrite_sql(table: str = "documents", text: str = "text",
 
 def lm_score(
     df: DataFrame, text: str = "text", k: float = 0.5,
-    cache_pairs: bool = True,
+    cache_pairs: bool = True, cache_registry: list | None = None,
 ) -> DataFrame:
     """Average bigram log-likelihood per document under an add-k-smoothed
     corpus bigram LM — the perplexity quality gate of a training-data
@@ -701,9 +701,11 @@ def lm_score(
     persisted by default so the corpus is exploded once, not three
     times (the minhash_dedup token-cache pattern). The cache lives as
     long as the returned plan: long-lived sessions should release it
-    after consuming the result (``spark.catalog.clearCache()``) or pass
-    ``cache_pairs=False`` — the same contract as
-    ``dedup.jaccard_verify``'s candidate cache."""
+    after consuming the result or pass ``cache_pairs=False``. Pass a
+    list as ``cache_registry`` to receive a handle to every relation
+    this call persists — ``[h.unpersist() for h in reg]`` releases
+    exactly these caches without nuking the session's other cached
+    work the way ``spark.catalog.clearCache()`` does (r4s13 review)."""
     arr = tokens_col(text)
     # explode adjacent positions + element_at PROJECTIONS (one codegen
     # stage). MUST be built in two steps with the split array as a NAMED
@@ -725,6 +727,8 @@ def lm_score(
     )
     if cache_pairs:
         pairs = pairs.persist()
+        if cache_registry is not None:
+            cache_registry.append(pairs)
     c12 = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("c12")
     )
@@ -1207,6 +1211,7 @@ def ccnet_buckets(
     hi: float = 0.0,
     bins: int = 512,
     cache_scores: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
     score every document under the corpus bigram LM (:func:`lm_score`),
@@ -1225,14 +1230,19 @@ def ccnet_buckets(
     Plan: lm_score's bounded LM joins → one doc_id-keyed score join →
     histogram agg (map-side partials) → broadcast threshold join → CASE.
     The scored relation feeds the histogram AND the output, so it is
-    persisted by default (the lm_score cache contract: release with
-    ``spark.catalog.clearCache()`` or pass ``cache_scores=False``)."""
+    persisted by default (the lm_score cache contract: pass a list as
+    ``cache_registry`` to receive handles to every persisted relation —
+    unpersisting those releases exactly this call's caches — or pass
+    ``cache_scores=False``)."""
     from .sketch import histogram_quantiles
 
-    lm = lm_score(df, text, cache_pairs=cache_scores)
+    lm = lm_score(df, text, cache_pairs=cache_scores,
+                  cache_registry=cache_registry)
     scored = df.select("doc_id", stratum).join(lm, "doc_id")
     if cache_scores:
         scored = scored.persist()
+        if cache_registry is not None:
+            cache_registry.append(scored)
     cuts = histogram_quantiles(
         scored, [stratum], "avg_ll",
         [("t_tail", 1.0 / 3.0), ("t_head", 2.0 / 3.0)], lo, hi, bins,

@@ -775,3 +775,18 @@ def test_dsir_plan_is_jvm_only_with_broadcast_delta(spark):
     ).executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_dsir_corpus_exploded_at_most_twice(spark):
+    """Scan/explode budget (r4s13 review): dsir_weights must instantiate
+    the raw-corpus n-gram chain exactly TWICE (model agg + weight join)
+    and the target ONCE — the old two-branch gram union plus the
+    re-instantiated total aggs scanned+exploded the corpus up to 6x.
+    Each occurrence chain contributes 2 Generate nodes (position
+    sequence + feat array), so 3 chains == 6 Generates; totals must come
+    from the m-row window, never a subtree re-instantiation."""
+    docs = _two_domain_corpus(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    plan = sampling.dsir_weights(docs, target, m=64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Generate explode") <= 6

@@ -15,9 +15,13 @@ SF = "/root/testdata/sf0.01"
 
 def test_train_mix_end_to_end_and_resume(spark, tmp_path):
     out = str(tmp_path / "mix")
+    # an unrelated cached relation a shared session might hold: the job
+    # must release ITS caches via handles, never catalog.clearCache()
+    marker = spark.range(5).persist()
+    marker.count()
     res = train_mix.run(spark, SF, out, budget=300, epoch_cap=1.5,
                         capacity=64, shards=4)
-    spark.catalog.clearCache()
+    assert marker.storageLevel.useMemory  # survived the job's cleanup
     assert res["processed"] and not res["skipped"]
 
     got = spark.read.parquet(res["data_dir"])
@@ -64,7 +68,6 @@ def test_train_mix_end_to_end_and_resume(spark, tmp_path):
     # a rerun with the same output resumes over every committed shard
     res2 = train_mix.run(spark, SF, out, budget=300, epoch_cap=1.5,
                          capacity=64, shards=4)
-    spark.catalog.clearCache()
     assert not res2["processed"]
     assert sorted(res2["skipped"]) == sorted(res["processed"])
     assert spark.read.parquet(res["data_dir"]).count() == n
@@ -76,7 +79,8 @@ def test_train_mix_end_to_end_and_resume(spark, tmp_path):
     with pytest.raises(ValueError, match="lineage"):
         train_mix.run(spark, SF, out, budget=600, epoch_cap=1.5,
                       capacity=64, shards=4)
-    spark.catalog.clearCache()
+    assert marker.storageLevel.useMemory  # cleanup ran on the raise too
+    marker.unpersist()
 
 
 def test_seq_multiplier_never_collides():
@@ -90,3 +94,34 @@ def test_seq_multiplier_never_collides():
         assert mult > max_epoch
         # adjacent doc_ids cannot collide at the extreme epochs
         assert 0 * mult + max_epoch < 1 * mult + 1
+
+
+def test_lineage_prefix_grandfathering(spark, tmp_path):
+    """A manifest committed under a bare fingerprint (before parameter
+    segments were appended to the lineage) must resume under the
+    extended fingerprint with identical inputs — and still reject a
+    genuinely different fingerprint or dropped segments."""
+    import pytest
+
+    from ocgis_spark.checkpoint import CheckpointManager
+
+    df = spark.range(8).select(
+        (F.col("id") % 2).cast("int").alias("tile_id"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "cp")
+    cp = CheckpointManager(out)
+    cp.run_stage(spark, df, lineage="xx64:abc")          # pre-upgrade form
+    # extended form over the same inputs: grandfathered, resumes cleanly
+    res = CheckpointManager(out).run_stage(
+        spark, df, lineage="xx64:abc:budget=300"
+    )
+    assert not res["processed"] and sorted(res["skipped"]) == [0, 1]
+    # different fingerprint: still rejected
+    with pytest.raises(ValueError, match="lineage"):
+        CheckpointManager(out).run_stage(
+            spark, df, lineage="xx64:OTHER:budget=300"
+        )
+    # dropping segments (current is a prefix of committed) is ambiguous:
+    # rejected, not grandfathered
+    with pytest.raises(ValueError, match="lineage"):
+        CheckpointManager(out).run_stage(spark, df, lineage="xx64:ab")
