@@ -176,6 +176,18 @@ def q_dsir_sample(spark, sf_dir):
     return SMP.dsir_sample(docs, target, k=60, m=256)
 
 
+def q_decontaminate_rewrite(spark, sf_dir):
+    """GPT-3-style decontamination rewrite: cut benchmark-colliding
+    8-word windows (plus 1 pad word each side) out of the training docs
+    instead of dropping the whole document
+    (operators/text.py decontaminate_rewrite). Bench grams broadcast;
+    completes the decontamination family (flag -> bloom -> rewrite)."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    train = spark.sql(DECON_TRAIN_SQL)
+    bench = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id < 25")
+    return textops.decontaminate_rewrite(train, bench, n=8, pad=1)
+
+
 def q_exact_substr_rewrite(spark, sf_dir):
     """ExactSubstr dedup REWRITE (Lee et al. 2022 §4.2 at word-window
     granularity): cut every word position covered by an 8-word window
@@ -4214,6 +4226,11 @@ def oracle_sql() -> dict[str, str]:
         "idw_regrid": _idw_regrid_sql(),
         "idw_regrid_nonuniform": _idw_vec_sql(),
         "exact_substr_rewrite": textops.exact_substr_rewrite_sql(),
+        "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
+            DECON_TRAIN_SQL,
+            "SELECT doc_id, text FROM documents WHERE doc_id < 25",
+            n=8, pad=1,
+        ),
         # same truth, bounded interval-table phase 1:
         "zrange_subset_multi": (
             f"SELECT 1 AS ugid, doc_id, cell_id FROM ({_DG}) dg WHERE {FX.rect_pred_sql(_RECT)} "
@@ -4542,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_regrid": q_idw_regrid,
         "idw_regrid_nonuniform": q_idw_regrid_nonuniform,
         "exact_substr_rewrite": q_exact_substr_rewrite,
+        "decontaminate_rewrite": q_decontaminate_rewrite,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

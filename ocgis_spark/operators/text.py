@@ -606,12 +606,27 @@ def exact_substr_rewrite(df: DataFrame, text: str = "text", n: int = 8,
         .filter(F.col("c") >= min_count)
         .select("gk")
     )
+    starts = grams.join(dup, "gk").select("doc_id", "i")
+    return _cut_covered_rewrite(d, starts, text, n)
+
+
+def _cut_covered_rewrite(d: DataFrame, starts: DataFrame, text: str,
+                         n: int, pad: int = 0) -> DataFrame:
+    """Shared rewrite tail of the span-removal family: given the doc
+    frame ``d`` (NULL text pre-filtered) and flagged window ``starts``
+    (doc_id, i — 1-based), cut every word position in
+    [i-pad, i+n-1+pad] and rebuild each doc from the surviving words in
+    original order. Pad positions past the document end join-miss
+    harmlessly; the low side clamps to 1. Word order is reconstructed
+    via array_sort(struct(pos, word)), never collect_list order."""
     cov = (
-        grams.join(dup, "gk")
-        .select(
+        starts.select(
             "doc_id",
             F.explode(
-                F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))
+                F.sequence(
+                    F.greatest(F.lit(1), F.col("i") - F.lit(pad)),
+                    F.col("i") + F.lit(n - 1 + pad),
+                )
             ).alias("pos"),
         )
         .distinct()
@@ -640,29 +655,38 @@ def exact_substr_rewrite(df: DataFrame, text: str = "text", n: int = 8,
     )
 
 
-def exact_substr_rewrite_sql(table: str = "documents", text: str = "text",
-                             n: int = 8, min_count: int = 2) -> str:
-    """Oracle twin of :func:`exact_substr_rewrite` (DuckDB list slicing
-    reproduces the identical window strings; the rebuild is
-    string_agg(word, ' ' ORDER BY pos) — explicitly ordered)."""
+def _gram_cte_sql(src: str, n: int, with_doc: bool = True) -> str:
+    """(doc_id, i, gk) md5 word-window CTE body over ``src`` (a CTE name
+    holding (doc_id, w) split arrays) — the slice expression matches
+    :func:`_word_ngrams` + md5 byte-for-byte."""
+    cols = "doc_id, CAST(i AS BIGINT) AS i, " if with_doc else ""
+    inner = "doc_id, w," if with_doc else "w,"
     return (
-        f"WITH d AS (SELECT doc_id, {text} AS t FROM {table} "
-        f"WHERE {text} IS NOT NULL), "
+        f"SELECT {cols}md5(array_to_string("
+        f"w[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')) AS gk FROM ("
+        f"SELECT {inner} unnest(generate_series(1, len(w) - {n - 1})) "
+        f"AS i FROM {src} WHERE len(w) >= {n}) s"
+    )
+
+
+def _cut_covered_rewrite_sql(d_sql: str, extra_ctes: str, n: int,
+                             pad: int = 0) -> str:
+    """Shared DuckDB rewrite tail: ``d_sql`` yields (doc_id, t);
+    ``extra_ctes`` must define a CTE ``starts`` with (doc_id, i) and may
+    reference ``ws`` (doc_id, w split arrays). The rebuild is
+    string_agg(word, ' ' ORDER BY pos) — explicitly ordered."""
+    lo = f"greatest(1, i - {pad})" if pad else "i"
+    return (
+        f"WITH d AS ({d_sql}), "
         f"ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM d), "
         f"words AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
         f"w[CAST(i AS INT)] AS word FROM (SELECT doc_id, w, "
         f"unnest(generate_series(1, len(w))) AS i FROM ws) s), "
-        f"ok AS (SELECT doc_id, w FROM ws WHERE len(w) >= {n}), "
-        f"grams AS (SELECT doc_id, CAST(i AS BIGINT) AS i, "
-        f"md5(array_to_string("
-        f"w[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')) AS gk FROM ("
-        f"SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) "
-        f"AS i FROM ok) s), "
-        f"dup AS (SELECT gk FROM grams GROUP BY gk "
-        f"HAVING count(*) >= {min_count}), "
-        f"cov AS (SELECT DISTINCT doc_id, i + CAST(o AS BIGINT) AS pos "
-        f"FROM (SELECT doc_id, i, unnest(generate_series(0, {n - 1})) AS o "
-        f"FROM grams JOIN dup USING (gk)) s), "
+        f"{extra_ctes}, "
+        f"cov AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos "
+        f"FROM (SELECT doc_id, "
+        f"unnest(generate_series({lo}, i + {n - 1 + pad})) AS p "
+        f"FROM starts) s), "
         f"kept AS (SELECT words.doc_id, words.pos, words.word FROM words "
         f"LEFT JOIN cov ON words.doc_id = cov.doc_id "
         f"AND words.pos = cov.pos WHERE cov.pos IS NULL), "
@@ -676,6 +700,72 @@ def exact_substr_rewrite_sql(table: str = "documents", text: str = "text",
         f"coalesce(a.text_dedup, '') AS text_dedup "
         f"FROM tot t LEFT JOIN agg a USING (doc_id)"
     )
+
+
+def exact_substr_rewrite_sql(table: str = "documents", text: str = "text",
+                             n: int = 8, min_count: int = 2) -> str:
+    """Oracle twin of :func:`exact_substr_rewrite` (DuckDB list slicing
+    reproduces the identical window strings)."""
+    extra = (
+        f"grams AS ({_gram_cte_sql('ws', n)}), "
+        f"dup AS (SELECT gk FROM grams GROUP BY gk "
+        f"HAVING count(*) >= {min_count}), "
+        f"starts AS (SELECT doc_id, i FROM grams JOIN dup USING (gk))"
+    )
+    d_sql = (f"SELECT doc_id, {text} AS t FROM {table} "
+             f"WHERE {text} IS NOT NULL")
+    return _cut_covered_rewrite_sql(d_sql, extra, n)
+
+
+def decontaminate_rewrite(train: DataFrame, bench: DataFrame,
+                          text: str = "text", n: int = 8,
+                          pad: int = 0) -> DataFrame:
+    """Decontamination REWRITE (the GPT-3 appendix-C treatment, word
+    granularity): instead of dropping a training document that shares an
+    ``n``-gram with a benchmark (:func:`decontaminate` flags those), cut
+    ONLY the colliding windows — plus ``pad`` surrounding words on each
+    side — and keep the rest of the document. Salvages long documents
+    with incidental benchmark overlap; at 100-TB corpus scale dropping
+    whole docs over one quoted question wastes real data.
+
+    Output: (doc_id, n_words, n_kept, text_dedup) for every non-NULL
+    train doc.
+
+    Plan shape: bench grams distinct + broadcast (benchmarks are tiny vs
+    the corpus — same posture as decontaminate); the train corpus is
+    exploded once for window starts and once for the word rebuild; the
+    rebuild is the only corpus-width shuffle (the price of emitting the
+    rewritten corpus, shared via _cut_covered_rewrite with
+    exact_substr_rewrite)."""
+    d = train.filter(F.col(text).isNotNull())
+    grams = _word_ngrams(d, text, n, min_words=n, keep_pos=True).select(
+        "doc_id", "i", F.md5("g").alias("gk")
+    )
+    bg = (
+        _word_ngrams(bench.filter(F.col(text).isNotNull()), text, n,
+                     min_words=n)
+        .select(F.md5("g").alias("gk"))
+        .distinct()
+    )
+    starts = grams.join(F.broadcast(bg), "gk").select("doc_id", "i")
+    return _cut_covered_rewrite(d, starts, text, n, pad)
+
+
+def decontaminate_rewrite_sql(train_sql: str, bench_sql: str,
+                              text: str = "text", n: int = 8,
+                              pad: int = 0) -> str:
+    """Oracle twin of :func:`decontaminate_rewrite`; ``train_sql`` /
+    ``bench_sql`` yield (doc_id, {text}) relations."""
+    extra = (
+        f"grams AS ({_gram_cte_sql('ws', n)}), "
+        f"bws AS (SELECT doc_id, string_split({text}, ' ') AS w "
+        f"FROM ({bench_sql}) b0 WHERE {text} IS NOT NULL), "
+        f"bg AS (SELECT DISTINCT gk FROM ({_gram_cte_sql('bws', n)}) g0), "
+        f"starts AS (SELECT doc_id, i FROM grams JOIN bg USING (gk))"
+    )
+    d_sql = (f"SELECT doc_id, {text} AS t FROM ({train_sql}) t0 "
+             f"WHERE {text} IS NOT NULL")
+    return _cut_covered_rewrite_sql(d_sql, extra, n, pad)
 
 
 def lm_score(

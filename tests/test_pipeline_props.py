@@ -170,3 +170,41 @@ def test_exact_substr_rewrite_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_rewrite_pad_semantics(spark):
+    """GPT-3-style rewrite: only benchmark-colliding windows (plus pad
+    words each side, clamped at the document edges) are cut; clean docs
+    and the benchmark-free remainder round-trip."""
+    from ocgis_spark.operators.text import decontaminate_rewrite
+
+    q = "what is the capital of france paris"       # 7-word bench span
+    train = spark.createDataFrame(
+        [
+            (1, f"lead {q} trail words here"),      # hit mid-doc
+            (2, "totally clean document with enough words to say"),
+            (3, f"{q} immediately leading"),        # hit at position 1
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(900, q)], "doc_id int, text string")
+
+    # pad=0: exactly the 7-word window is cut
+    got0 = {r.doc_id: r for r in
+            decontaminate_rewrite(train, bench, n=7, pad=0).collect()}
+    assert got0[1].text_dedup == "lead trail words here"
+    assert got0[2].text_dedup == train.collect()[1].text
+    assert got0[3].text_dedup == "immediately leading"
+
+    # pad=1: one extra word each side; low side clamps at the doc start
+    got1 = {r.doc_id: r for r in
+            decontaminate_rewrite(train, bench, n=7, pad=1).collect()}
+    assert got1[1].text_dedup == "words here"       # 'lead'+'trail' padded away
+    assert got1[3].text_dedup == "leading"          # clamp at pos 1, pad eats 'immediately'
+    assert got1[2].text_dedup == got0[2].text_dedup # clean doc untouched
+
+    plan = (
+        decontaminate_rewrite(train, bench, n=7, pad=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
