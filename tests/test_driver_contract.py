@@ -66,3 +66,46 @@ def test_no_bare_long_float_literals_in_oracles():
         if hits:
             offenders[name] = hits[:3]
     assert not offenders, f"bare long decimal literals (use _f/E0): {offenders}"
+
+
+#: entries whose plans legitimately contain ARROW-batched Python (the
+#: NumPy geometry kernel's exact refine/clip, PQ/IVF encode, multimodal
+#: decode plumbing) — every one is a vectorized pandas/Arrow eval, never
+#: row-at-a-time. New entries may only join this list with a PLANS.md
+#: audit explaining why the kernel can't be Catalyst columns.
+ARROW_ALLOWED = {
+    "multimodal_features", "pq_topk", "zrange_subset",
+    "agg_selection_clip_convex", "agg_selection_clip_concave",
+    "agg_selection_clip_holed", "ivf_topk", "ivfpq_topk",
+    "union_geometry", "curvilinear_clip", "nonconvex_clip",
+    "unstructured_subset", "nonconvex_intersects",
+    "bbox_subset_nonuniform", "clip_cells_nonuniform",
+    "embedding_near_dups_ivf", "agg_selection_clip",
+    "intersects_pentagon_nonuniform", "knn_point_nonuniform",
+    "zonal_stats_nonuniform", "zonal_weighted_nonuniform",
+    "tile_dest_counts_nonuniform", "tile_source_assign_nonuniform",
+}
+
+
+def test_registry_wide_no_row_python(spark):
+    """Sweeping plan guard over EVERY registry entry at sf0.001: no query
+    may plan a row-at-a-time BatchEvalPython, and Arrow-batched Python is
+    confined to the documented geometry/PQ/multimodal allowlist. Catches
+    a hot-path regression (an F.udf slipping into a shared helper) across
+    all 160+ entries at once. Planning only — results are never
+    collected, so the cost is plan compilation plus the bounded
+    driver-side preps some builders run (~2 min at local[8])."""
+    sf = "/root/testdata/sf0.001"
+    row_bad, arrow_bad = [], []
+    for name, fn in E.queries().items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            row_bad.append(name)
+        if (
+            "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+        ) and name not in ARROW_ALLOWED:
+            arrow_bad.append(name)
+    assert row_bad == [], f"row-at-a-time Python in hot paths: {row_bad}"
+    assert arrow_bad == [], f"undocumented Arrow eval: {arrow_bad}"
