@@ -176,6 +176,17 @@ def q_dsir_sample(spark, sf_dir):
     return SMP.dsir_sample(docs, target, k=60, m=256)
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Quadtree tile pyramid over the geo-located document grid (the
+    prompt's hypertable-rollup slot): per-tile doc counts + value sums
+    at 5 resolutions, each tile carrying its own-level Morton key
+    (operators/layout.py tile_pyramid). Corpus shuffled once; the
+    pyramid above the base aggregates cell-bounded tables only."""
+    return layout.tile_pyramid(
+        _docs_geo(spark, sf_dir), depth=4, value="value"
+    )
+
+
 def q_decontaminate_rewrite(spark, sf_dir):
     """GPT-3-style decontamination rewrite: cut benchmark-colliding
     8-word windows (plus 1 pad word each side) out of the training docs
@@ -4226,6 +4237,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_regrid": _idw_regrid_sql(),
         "idw_regrid_nonuniform": _idw_vec_sql(),
         "exact_substr_rewrite": textops.exact_substr_rewrite_sql(),
+        "tile_pyramid": layout.tile_pyramid_sql(_DG, depth=4, value="value"),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4560,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_regrid_nonuniform": q_idw_regrid_nonuniform,
         "exact_substr_rewrite": q_exact_substr_rewrite,
         "decontaminate_rewrite": q_decontaminate_rewrite,
+        "tile_pyramid": q_tile_pyramid,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

@@ -198,3 +198,97 @@ def bbox_scan_zordered(
     return df.filter(pred).filter(
         F.col(cell_x).between(x_lo, x_hi) & F.col(cell_y).between(y_lo, y_hi)
     )
+
+
+def tile_pyramid(
+    df: DataFrame,
+    depth: int,
+    x: str = "cell_x",
+    y: str = "cell_y",
+    value: str | None = None,
+) -> DataFrame:
+    """Multi-resolution tile rollup (the prompt's "hypertable rollup"
+    slot; the quadtree pyramid every tile-serving layer needs): level 0
+    is the base cell grid, level d merges 2^d × 2^d base cells
+    (parent = floor(child / 2), applied level by level). Emits per tile
+    (level, px, py, zkey, n_docs[, value_sum]) — zkey is the Morton key
+    of the tile at ITS OWN level, so a serving layer can range-scan any
+    resolution with the same bbox_scan_zordered machinery.
+
+    Plan shape at 100 TB: the corpus is shuffled ONCE (the base-cell
+    groupBy, map-side partials); the pyramid is then one
+    explode(levels) over the CELL-BOUNDED base table plus one grouped
+    merge — two exchanges total, fan-out O(#cells · depth), never
+    another corpus pass. (A per-level groupBy loop re-instantiates
+    every lower level's subtree in each union branch — 1+2+…+depth
+    exchanges — and a top-down explode straight off the corpus pushes
+    depth+1 corpus copies through the shuffle; this shape avoids
+    both.) Sums/counts merge exactly; float sums are rounded only at
+    OUTPUT, after the merge.
+    """
+    if depth < 0:
+        raise ValueError(f"tile_pyramid: depth must be >= 0, got {depth}")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    merge = [F.sum("n_docs").alias("n_docs")]
+    if value is not None:
+        aggs.append(F.sum(value).alias("_vsum"))
+        merge.append(F.sum("_vsum").alias("_vsum"))
+
+    base = df.groupBy(
+        F.col(x).cast("bigint").alias("bx"),
+        F.col(y).cast("bigint").alias("by"),
+    ).agg(*aggs)
+    # parent at level d = floor(base / 2^d) (== iterated floor(·/2) for
+    # non-negative ints); 2^d is exact in doubles for every sane depth
+    scale = F.pow(F.lit(2.0), F.col("level"))
+    fan = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth))).alias("level"),
+        "bx", "by", *(["n_docs", "_vsum"] if value is not None
+                      else ["n_docs"]),
+    ).select(
+        F.col("level").cast("int").alias("level"),
+        F.floor(F.col("bx") / scale).alias("px"),
+        F.floor(F.col("by") / scale).alias("py"),
+        *(["n_docs", "_vsum"] if value is not None else ["n_docs"]),
+    )
+    out = fan.groupBy("level", "px", "py").agg(*merge)
+    cols = [
+        "level", "px", "py",
+        morton_key(F.col("px"), F.col("py")).alias("zkey"),
+        "n_docs",
+    ]
+    if value is not None:
+        cols.append(F.round("_vsum", 6).alias("value_sum"))
+    return out.select(*cols)
+
+
+def tile_pyramid_sql(
+    src_sql: str,
+    depth: int,
+    x: str = "cell_x",
+    y: str = "cell_y",
+    value: str | None = None,
+) -> str:
+    """Oracle twin of :func:`tile_pyramid` (DuckDB replays the pyramid
+    top-down — parent at level d = floor(base / 2^d), equal to the
+    engine's iterated floor(·/2) for non-negative ints — one
+    explode(levels) cross join + one grouped agg)."""
+    vcol = (f", round(sum({value}), 6) AS value_sum"
+            if value is not None else "")
+    vsel = ", value_sum" if value is not None else ""
+    return (
+        f"WITH src AS ({src_sql}), "
+        f"lv AS (SELECT unnest(generate_series(0, {depth})) AS level), "
+        f"cells AS (SELECT CAST(level AS INT) AS level, "
+        f"CAST(floor({x} / power(CAST(2 AS DOUBLE), level)) AS BIGINT) "
+        f"AS px, "
+        f"CAST(floor({y} / power(CAST(2 AS DOUBLE), level)) AS BIGINT) "
+        f"AS py"
+        f"{', ' + value if value is not None else ''} "
+        f"FROM src CROSS JOIN lv), "
+        f"agg AS (SELECT level, px, py, "
+        f"CAST(count(*) AS BIGINT) AS n_docs{vcol} "
+        f"FROM cells GROUP BY level, px, py) "
+        f"SELECT level, px, py, {morton_key_sql('px', 'py')} AS zkey, "
+        f"n_docs{vsel} FROM agg"
+    )

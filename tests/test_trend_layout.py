@@ -242,3 +242,58 @@ def test_morton_key_checked_rejects_out_of_domain(spark):
     )
     for r in ok.collect():
         assert r["z"] == _ref_morton(r["x"], r["y"])
+
+
+def test_tile_pyramid_conservation_and_parents(spark):
+    """Every pyramid level conserves the doc count and the value sum;
+    each tile is the exact merge of its four (or fewer) children; zkey
+    is the tile's own-level Morton key; depth<0 rejected."""
+    import pytest
+
+    from ocgis_spark.operators import layout
+
+    rows = [
+        # (cell_x, cell_y, v) — an uneven spread incl. a hot cell
+        (0, 0, 1.0), (0, 0, 2.0), (1, 0, 4.0), (3, 2, 8.0),
+        (5, 5, 16.0), (5, 4, 32.0), (2, 3, 64.0), (7, 7, 128.0),
+    ]
+    df = spark.createDataFrame(rows, "cell_x int, cell_y int, v double")
+    out = layout.tile_pyramid(df, depth=3, value="v").collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, []).append(r)
+    assert sorted(by_level) == [0, 1, 2, 3]
+    for lvl, tiles in by_level.items():
+        assert sum(t.n_docs for t in tiles) == len(rows)
+        assert sum(t.value_sum for t in tiles) == 255.0
+        for t in tiles:
+            assert t.zkey == _morton_ref(t.px, t.py)
+    # parent/child: every level-d tile equals the merge of its children
+    for d in (1, 2, 3):
+        kids = {}
+        for c in by_level[d - 1]:
+            kids.setdefault((c.px // 2, c.py // 2), [0, 0.0])
+            kids[(c.px // 2, c.py // 2)][0] += c.n_docs
+            kids[(c.px // 2, c.py // 2)][1] += c.value_sum
+        assert {(t.px, t.py): [t.n_docs, t.value_sum]
+                for t in by_level[d]} == kids
+    # level 3 of an 8x8 extent is the single root tile
+    assert len(by_level[3]) == 1 and by_level[3][0].px == 0
+
+    plan = (
+        layout.tile_pyramid(df, depth=3, value="v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one corpus shuffle (level 0) + one bounded shuffle per level
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+    with pytest.raises(ValueError, match="depth"):
+        layout.tile_pyramid(df, depth=-1)
+
+
+def _morton_ref(x, y):
+    out = 0
+    for b in range(16):
+        out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+    return out
