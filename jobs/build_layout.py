@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=64)
     ap.add_argument("--probe-bbox", default=None,
                     help="x0,x1,y0,y1 cell bbox to read back after the write")
+    ap.add_argument("--pyramid-depth", type=int, default=None,
+                    help="also write the quadtree rollup (levels 0..d) "
+                         "next to the layout, Z-sorted per level")
     args = ap.parse_args()
 
     spark = (
@@ -51,6 +54,22 @@ def main() -> None:
     dg = FX.register_docs_geo(spark, args.input)
     layout.zorder_write(dg, args.output, num_files=args.files)
     print(f"wrote z-ordered layout: {args.output} ({args.files} files)")
+
+    if args.pyramid_depth is not None:
+        # the serving rollup: one corpus shuffle + a bounded level merge
+        # (layout.tile_pyramid); partitioned by level and Z-sorted within
+        # each, so a tile server range-scans any resolution with the same
+        # min/max row-group pruning as the base layout
+        pyr = layout.tile_pyramid(dg, args.pyramid_depth, value="value")
+        pdir = args.output.rstrip("/") + "_pyramid"
+        (
+            pyr.repartition("level")
+            .sortWithinPartitions("level", "zkey")
+            .write.mode("overwrite")
+            .partitionBy("level")
+            .parquet(pdir)
+        )
+        print(f"wrote tile pyramid (levels 0..{args.pyramid_depth}): {pdir}")
 
     if args.probe_bbox:
         x0, x1, y0, y1 = (int(v) for v in args.probe_bbox.split(","))

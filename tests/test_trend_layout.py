@@ -297,3 +297,43 @@ def _morton_ref(x, y):
     for b in range(16):
         out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
     return out
+
+
+def test_build_layout_job_with_pyramid(spark, tmp_path, monkeypatch):
+    """jobs/build_layout.py end-to-end in-process: Z-ordered layout +
+    probe readback + the --pyramid-depth rollup sink (partitioned by
+    level, Z-sorted within each, doc counts conserved per level)."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "build_layout",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "build_layout.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    out = str(tmp_path / "zlake")
+    monkeypatch.setattr(sys, "argv", [
+        "build_layout.py", "--input", "/root/testdata/sf0.001",
+        "--output", out, "--files", "4", "--probe-bbox", "2,9,2,9",
+        "--pyramid-depth", "3",
+    ])
+    # the job calls spark.stop() — neuter it so the shared pytest
+    # session survives
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    job.main()
+
+    base = spark.read.parquet(out)
+    n = base.count()
+    assert n > 0 and "zkey" in base.columns
+
+    pyr = spark.read.parquet(out + "_pyramid")
+    per_level = {
+        r["level"]: r["s"] for r in
+        pyr.groupBy("level").agg(F.sum("n_docs").alias("s")).collect()
+    }
+    assert sorted(per_level) == [0, 1, 2, 3]
+    assert set(per_level.values()) == {n}   # conservation at every level
