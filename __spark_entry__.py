@@ -176,6 +176,22 @@ def q_dsir_sample(spark, sf_dir):
     return SMP.dsir_sample(docs, target, k=60, m=256)
 
 
+#: within-R geodesic join probes: two uniform-region points + one on the
+#: dense (skew) cell, reference-sphere radius, 35 km
+_RADIUS_QUERIES = [(1, -104.2, 38.1), (2, -102.4, 39.7), (3, -104.2, 39.3)]
+
+
+def q_radius_join(spark, sf_dir):
+    """Within-35km geodesic join (operators/knn.py radius_join):
+    haversine on the reference Spherical radius as ONE dialect-shared
+    expression; per-query lat/lon disk windows broadcast (phase 1), the
+    oracle replays the truth with NO window so an over-tight phase 1
+    fails parity."""
+    out = knn.radius_join(_docs_geo(spark, sf_dir), _RADIUS_QUERIES,
+                          radius_m=35000.0)
+    return out.select("qid", "doc_id", "dist_m")
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Quadtree tile pyramid over the geo-located document grid (the
     prompt's hypertable-rollup slot): per-tile doc counts + value sums
@@ -4238,6 +4254,8 @@ def oracle_sql() -> dict[str, str]:
         "idw_regrid_nonuniform": _idw_vec_sql(),
         "exact_substr_rewrite": textops.exact_substr_rewrite_sql(),
         "tile_pyramid": layout.tile_pyramid_sql(_DG, depth=4, value="value"),
+        "radius_join": knn.radius_join_sql(_DG, _RADIUS_QUERIES,
+                                           radius_m=35000.0),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4573,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_rewrite": q_exact_substr_rewrite,
         "decontaminate_rewrite": q_decontaminate_rewrite,
         "tile_pyramid": q_tile_pyramid,
+        "radius_join": q_radius_join,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

@@ -1106,3 +1106,21 @@ def omerc_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
 
 
 _PARAM_PROJS["omerc"] = (omerc_sql, omerc_inv_sql)
+
+
+def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str,
+                    R: float = R_SPHERE) -> str:
+    """Great-circle distance in METERS as ONE dialect-shared SQL string
+    (Spark `F.expr` and DuckDB parse the identical expression tree, so
+    only libm rounding can differ — consumers compare on round(·, 3),
+    millimeters, with libm drift around 1e-9 relative). Sphere radius
+    defaults to the reference's `Spherical` 6370997 m
+    (src/ocgis/variable/crs.py:803). The half-angle sines are SQUARED,
+    which makes the formula longitude-wrap-safe: Δλ and Δλ±360° give the
+    same sin² term, so callers never pre-normalize longitudes."""
+    s1 = f"sin(radians(({lat2}) - ({lat1})) / 2.0E0)"
+    s2 = f"sin(radians(({lon2}) - ({lon1})) / 2.0E0)"
+    h = (f"(({s1}) * ({s1})) + cos(radians({lat1})) * "
+         f"cos(radians({lat2})) * (({s2}) * ({s2}))")
+    # clamp: antipodal pairs can push h one ulp past 1.0 -> asin NaN
+    return f"2.0E0 * {_pf(R)} * asin(sqrt(least(1.0E0, {h})))"

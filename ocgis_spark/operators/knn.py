@@ -399,3 +399,109 @@ def knn_cells(
         F.col("cell_y").alias(cell_y), F.col("cell_x").alias(cell_x),
         "dist", "rank",
     )
+
+
+def radius_join(
+    df: DataFrame,
+    queries: list[tuple[int, float, float]],
+    radius_m: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Within-distance GEODESIC join (the reference's planar
+    ``select_nearest`` family has no radius form; this is the
+    within-R-meters subset every point-based service needs): every
+    (query, row) pair whose great-circle distance — reference Spherical
+    radius, ``crs.haversine_m_sql`` — is ≤ ``radius_m``.
+
+    Two phases, same posture as the polygon subsets:
+
+    * phase 1: per-query lat/lon windows bounding the R-meter disk
+      (Δlat = R/R_sphere; Δlon widened by 1/cos at the disk's far
+      latitude, so the window always CONTAINS the disk — over-covering
+      is corrected by phase 2). Windows crossing ±180° split into two
+      intervals. The OR of all windows is a scan-pushable prefilter;
+      the per-pair containment then runs on a BROADCAST interval table
+      (≤ 2 rows per query) — the corpus is never shuffled.
+    * phase 2: exact haversine as ONE dialect-shared Catalyst
+      expression, compared on round(·, 3) meters (millimeters; libm
+      drift is ~1e-9 relative) so both engines make identical keep
+      decisions.
+
+    Returns (qid, <df columns...>, dist_m). Driver-side work is O(#queries).
+    """
+    from .crs import R_SPHERE, haversine_m_sql
+
+    spark = df.sparkSession
+    rows = []
+    for qi, qlon, qlat in queries:
+        dlat = math.degrees(radius_m / R_SPHERE)
+        far = min(89.9999, abs(qlat) + dlat)
+        dlon = math.degrees(
+            radius_m / (R_SPHERE * max(math.cos(math.radians(far)), 1e-9))
+        )
+        lon_lo, lon_hi = qlon - dlon, qlon + dlon
+        if dlon >= 180.0:
+            ivals = [(-180.0, 180.0)]
+        elif lon_lo < -180.0:
+            ivals = [(-180.0, lon_hi), (lon_lo + 360.0, 180.0)]
+        elif lon_hi > 180.0:
+            ivals = [(lon_lo, 180.0), (-180.0, lon_hi - 360.0)]
+        else:
+            ivals = [(lon_lo, lon_hi)]
+        for lo, hi in ivals:
+            rows.append((int(qi), float(qlon), float(qlat),
+                         float(qlat - dlat), float(qlat + dlat),
+                         float(lo), float(hi)))
+    win = spark.createDataFrame(
+        rows,
+        "qid int, q_lon double, q_lat double, lat_lo double, "
+        "lat_hi double, lon_lo double, lon_hi double",
+    )
+    # phase-1 global prefilter (reaches the scan as an OR of ranges)
+    pre = F.lit(False)
+    for _, _, _, la0, la1, lo0, lo1 in rows:
+        pre = pre | (
+            F.col(lat).between(la0, la1) & F.col(lon).between(lo0, lo1)
+        )
+    cand = df.filter(pre).join(
+        F.broadcast(win),
+        F.col(lat).between(F.col("lat_lo"), F.col("lat_hi"))
+        & F.col(lon).between(F.col("lon_lo"), F.col("lon_hi")),
+    )
+    dist = F.expr(haversine_m_sql(lon, lat, "q_lon", "q_lat"))
+    return (
+        cand.withColumn("dist_m", F.round(dist, 3))
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        .drop("q_lon", "q_lat", "lat_lo", "lat_hi", "lon_lo", "lon_hi")
+    )
+
+
+def radius_join_sql(
+    src_sql: str,
+    queries: list[tuple[int, float, float]],
+    radius_m: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    cols: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`radius_join` — the truth computed DIRECTLY
+    (cross join × exact haversine on the same rounded comparison, NO
+    phase-1 window), so a phase-1 bug that drops legitimate rows fails
+    the parity check instead of hiding in a shared approximation."""
+    from ..fixtures import _f
+    from .crs import haversine_m_sql
+
+    vals = ", ".join(
+        f"({int(qi)}, CAST({_f(qlon)} AS DOUBLE), "
+        f"CAST({_f(qlat)} AS DOUBLE))"
+        for qi, qlon, qlat in queries
+    )
+    hav = haversine_m_sql(lon, lat, "q_lon", "q_lat")
+    return (
+        f"WITH src AS ({src_sql}), "
+        f"q(qid, q_lon, q_lat) AS (VALUES {vals}) "
+        f"SELECT q.qid, {cols}, round({hav}, 3) AS dist_m "
+        f"FROM src CROSS JOIN q "
+        f"WHERE round({hav}, 3) <= {_f(float(radius_m))}"
+    )

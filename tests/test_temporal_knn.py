@@ -476,3 +476,54 @@ def test_interval_join_asymmetric_window(spark):
     for k, t in rows:
         want = sum(1 for u in by[k] if t + 10.0 <= u <= t + 50.0)
         assert got.get((k, t), 0) == want, (k, t)
+
+
+def _hav_ref(lon1, lat1, lon2, lat2, R=6370997.0):
+    import math as m
+    s1 = m.sin(m.radians(lat2 - lat1) / 2)
+    s2 = m.sin(m.radians(lon2 - lon1) / 2)
+    h = s1 * s1 + m.cos(m.radians(lat1)) * m.cos(m.radians(lat2)) * s2 * s2
+    return 2 * R * m.asin(m.sqrt(min(1.0, h)))
+
+
+def test_radius_join_brute_force_and_seam(spark):
+    """radius_join == brute-force haversine on every (query, point)
+    pair, including a query whose disk window crosses the ±180° seam
+    (the split intervals must still find the across-seam points)."""
+    from ocgis_spark.operators.knn import radius_join
+
+    pts = [
+        (1, -179.95, 10.0),   # across the seam from query 9
+        (2, 179.90, 10.1),    # same side as query 9
+        (3, 170.0, 10.0),     # too far
+        (4, -104.0, 38.0),
+        (5, -104.3, 38.2),
+        (6, -103.0, 45.0),
+        (7, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(pts, "doc_id int, lon double, lat double")
+    queries = [(9, 179.98, 10.0), (10, -104.1, 38.1)]
+    r = 60000.0  # 60 km
+    got = {(row.qid, row.doc_id)
+           for row in radius_join(df, queries, r).collect()}
+    want = {
+        (qi, pid)
+        for qi, qlon, qlat in queries
+        for pid, plon, plat in pts
+        if round(_hav_ref(qlon, qlat, plon, plat), 3) <= r
+    }
+    assert got == want
+    assert (9, 1) in got            # the across-seam hit was found
+    # distances match the reference formula at millimeter rounding
+    for row in radius_join(df, queries, r).collect():
+        q = dict((q[0], q) for q in queries)[row.qid]
+        assert row.dist_m == pytest.approx(
+            round(_hav_ref(q[1], q[2], row.lon, row.lat), 3), abs=1e-3)
+
+    plan = (
+        radius_join(df, queries, r)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # interval table broadcast
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffled
