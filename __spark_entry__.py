@@ -192,6 +192,39 @@ def q_radius_join(spark, sf_dir):
     return out.select("qid", "doc_id", "dist_m")
 
 
+def q_knn_geodesic(spark, sf_dir):
+    """Geodesic top-5 nearest documents per probe (operators/knn.py
+    knn_geodesic): radius_join disks, exact haversine ranking on
+    ROUNDED mm (doc_id tiebreak), radius x4 until the k-th hit is
+    provably inside the disk. r0=5 km forces at least one doubling at
+    sf0.01 density, exercising the multi-round path."""
+    out = knn.knn_geodesic(_docs_geo(spark, sf_dir), _RADIUS_QUERIES,
+                           k=5, r0_m=5000.0)
+    return out.select("qid", "doc_id", "dist_m", "rank")
+
+
+def _knn_geodesic_sql():
+    """Brute-force truth: rank EVERY (query, doc) pair by the same
+    rounded haversine + doc_id tiebreak, keep rank <= 5 — no disks, so
+    an over-tight engine-side disk certification fails parity."""
+    from ocgis_spark.operators.crs import haversine_m_sql
+
+    vals = ", ".join(
+        f"({qi}, CAST({FX._f(qlon)} AS DOUBLE), CAST({FX._f(qlat)} AS DOUBLE))"
+        for qi, qlon, qlat in _RADIUS_QUERIES
+    )
+    hav = haversine_m_sql("lon", "lat", "q_lon", "q_lat")
+    return (
+        f"WITH src AS ({_DG}), q(qid, q_lon, q_lat) AS (VALUES {vals}), "
+        f"d AS (SELECT q.qid, doc_id, round({hav}, 3) AS dist_m "
+        f"FROM src CROSS JOIN q), "
+        f"r AS (SELECT qid, doc_id, dist_m, CAST(row_number() OVER ("
+        f"PARTITION BY qid ORDER BY dist_m, doc_id) AS INT) AS rank "
+        f"FROM d) "
+        f"SELECT qid, doc_id, dist_m, rank FROM r WHERE rank <= 5"
+    )
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Quadtree tile pyramid over the geo-located document grid (the
     prompt's hypertable-rollup slot): per-tile doc counts + value sums
@@ -4256,6 +4289,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": layout.tile_pyramid_sql(_DG, depth=4, value="value"),
         "radius_join": knn.radius_join_sql(_DG, _RADIUS_QUERIES,
                                            radius_m=35000.0),
+        "knn_geodesic": _knn_geodesic_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4592,6 +4626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_rewrite": q_decontaminate_rewrite,
         "tile_pyramid": q_tile_pyramid,
         "radius_join": q_radius_join,
+        "knn_geodesic": q_knn_geodesic,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

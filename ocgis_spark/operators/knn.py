@@ -505,3 +505,69 @@ def radius_join_sql(
         f"FROM src CROSS JOIN q "
         f"WHERE round({hav}, 3) <= {_f(float(radius_m))}"
     )
+
+
+def knn_geodesic(
+    df: DataFrame,
+    queries: list[tuple[int, float, float]],
+    k: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "doc_id",
+    r0_m: float = 50000.0,
+) -> DataFrame:
+    """Geodesic top-k nearest rows per query point (the great-circle
+    sibling of :func:`knn_join`'s planar ring expansion): per-query
+    candidates from :func:`radius_join` disks, exact haversine ranking,
+    radius ×4 per round for queries whose k-th hit is not yet PROVABLY
+    inside the disk (the phase-1 window CONTAINS the radius-r disk, so
+    ``n == k and kth <= r`` certifies exhaustiveness — any excluded row
+    is farther than r). The radius is capped at half the circumference:
+    that sweep sees every row, so queries with fewer than k rows in the
+    whole input terminate with what exists.
+
+    Ties break on (dist_m, id_col) with dist_m ROUNDED to millimeters
+    first — both engines rank identical values, so cross-engine libm
+    drift cannot flip a near-tie (the dsir_sample rounding contract).
+
+    Driver-side work per round is one bounded stats collect
+    (#pending-queries rows); rounds are O(log(r_final/r0)). Returns
+    (qid, <df columns...>, dist_m, rank).
+    """
+    from .crs import R_SPHERE
+
+    if k < 1:
+        raise ValueError(f"knn_geodesic: k must be >= 1, got {k}")
+    if not queries:
+        raise ValueError("knn_geodesic: queries must be non-empty")
+    half_circ = math.pi * R_SPHERE
+    pending = [(int(q[0]), float(q[1]), float(q[2])) for q in queries]
+    solved: list[DataFrame] = []
+    r = min(float(r0_m), half_circ)
+    while pending:
+        cand = radius_join(df, pending, r, lon=lon, lat=lat)
+        w = Window.partitionBy("qid").orderBy("dist_m", id_col)
+        top = (
+            cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        )
+        stats = {
+            row["qid"]: (row["n"], row["kth"])
+            for row in top.groupBy("qid").agg(
+                F.count(F.lit(1)).alias("n"), F.max("dist_m").alias("kth")
+            ).collect()
+        }
+        full_sweep = r >= half_circ
+        done = {
+            qi for qi, _, _ in pending
+            if full_sweep
+            or (stats.get(qi, (0, None))[0] == k and stats[qi][1] <= r)
+        }
+        if done:
+            solved.append(top.filter(F.col("qid").isin(sorted(done))))
+        pending = [q for q in pending if q[0] not in done]
+        r = min(r * 4.0, half_circ)
+    out = solved[0]
+    for s in solved[1:]:
+        out = out.unionByName(s)
+    return out

@@ -527,3 +527,40 @@ def test_radius_join_brute_force_and_seam(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # interval table broadcast
     assert "Exchange hashpartitioning" not in plan  # corpus never shuffled
+
+
+def test_knn_geodesic_matches_brute_force(spark):
+    """knn_geodesic == brute-force haversine ranking, including a query
+    whose first disks are empty (multi-round doubling) and a k larger
+    than the candidate count (half-circumference sweep returns what
+    exists)."""
+    from ocgis_spark.operators.knn import knn_geodesic
+
+    pts = [(i, -100.0 + (i * 7 % 23) * 0.8, 30.0 + (i * 11 % 17) * 0.7)
+           for i in range(40)]
+    df = spark.createDataFrame(pts, "doc_id int, lon double, lat double")
+    queries = [(1, -95.0, 35.0), (2, 60.0, -10.0)]  # q2 is ~13000 km away
+    got = sorted(
+        ((r.qid, r.rank, r.doc_id) for r in
+         knn_geodesic(df, queries, k=4, r0_m=2000.0).collect())
+    )
+    want = []
+    for qi, qlon, qlat in queries:
+        ranked = sorted(
+            (round(_hav_ref(qlon, qlat, plon, plat), 3), pid)
+            for pid, plon, plat in pts
+        )
+        want.extend((qi, rk + 1, pid) for rk, (_, pid) in
+                    enumerate(ranked[:4]))
+    assert got == sorted(want)
+
+    # k exceeding the row count: the capped sweep returns every row once
+    tiny = spark.createDataFrame(pts[:3], "doc_id int, lon double, lat double")
+    rows = knn_geodesic(tiny, [(9, 0.0, 0.0)], k=10).collect()
+    assert sorted(r.rank for r in rows) == [1, 2, 3]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        knn_geodesic(df, queries, k=0)
+    with _pt.raises(ValueError, match="non-empty"):
+        knn_geodesic(df, [], k=3)
