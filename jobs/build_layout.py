@@ -63,7 +63,11 @@ def main() -> None:
         pyr = layout.tile_pyramid(dg, args.pyramid_depth, value="value")
         pdir = args.output.rstrip("/") + "_pyramid"
         (
-            pyr.repartition("level")
+            # range-partition on (level, zkey): level 0 holds nearly the
+            # whole pyramid, so hashing on level alone would funnel it
+            # through ONE writer task/file — range boundaries split hot
+            # levels across tasks while keeping each file Z-sorted
+            pyr.repartitionByRange(max(args.files // 4, 2), "level", "zkey")
             .sortWithinPartitions("level", "zkey")
             .write.mode("overwrite")
             .partitionBy("level")

@@ -433,12 +433,18 @@ def radius_join(
     from .crs import R_SPHERE, haversine_m_sql
 
     spark = df.sparkSession
+    # the keep decision is round(dist, 3) <= radius_m, i.e. true distance
+    # up to radius_m + 0.5 mm: widen the window by the full rounding
+    # grain so a boundary point just past the tangent-tight window can
+    # never be kept by the no-window oracle yet dropped by phase 1
+    # (r4s14 review finding)
+    r_win = float(radius_m) + 1e-3
     rows = []
     for qi, qlon, qlat in queries:
-        dlat = math.degrees(radius_m / R_SPHERE)
+        dlat = math.degrees(r_win / R_SPHERE)
         far = min(89.9999, abs(qlat) + dlat)
         dlon = math.degrees(
-            radius_m / (R_SPHERE * max(math.cos(math.radians(far)), 1e-9))
+            r_win / (R_SPHERE * max(math.cos(math.radians(far)), 1e-9))
         )
         lon_lo, lon_hi = qlon - dlon, qlon + dlon
         if dlon >= 180.0:
@@ -530,9 +536,16 @@ def knn_geodesic(
     first — both engines rank identical values, so cross-engine libm
     drift cannot flip a near-tie (the dsir_sample rounding contract).
 
-    Driver-side work per round is one bounded stats collect
-    (#pending-queries rows); rounds are O(log(r_final/r0)). Returns
-    (qid, <df columns...>, dist_m, rank).
+    EAGER: each round's top-k (≤ k · |pending| rows — bounded by
+    construction) is collected ONCE and both the exhaustiveness stats
+    and the final result come from those rows, so every round's corpus
+    plan executes exactly once (the same bounded-driver-materialization
+    posture as knn_join's eager single-probe path; a lazy union would
+    re-run every round's radius_join when the caller acts — r4s14
+    review finding). Project ``df`` down to the needed columns first if
+    rows are wide. Rounds are O(log(r_final/r0)). Returns
+    (qid, <df columns...>, dist_m, rank) rebuilt with an explicit
+    schema (the repo's no-arrow conversion rule).
     """
     from .crs import R_SPHERE
 
@@ -540,10 +553,13 @@ def knn_geodesic(
         raise ValueError(f"knn_geodesic: k must be >= 1, got {k}")
     if not queries:
         raise ValueError("knn_geodesic: queries must be non-empty")
+    if not float(r0_m) > 0.0:
+        raise ValueError(f"knn_geodesic: r0_m must be > 0, got {r0_m}")
     half_circ = math.pi * R_SPHERE
     pending = [(int(q[0]), float(q[1]), float(q[2])) for q in queries]
-    solved: list[DataFrame] = []
     r = min(float(r0_m), half_circ)
+    out_rows: list = []
+    schema = None
     while pending:
         cand = radius_join(df, pending, r, lon=lon, lat=lat)
         w = Window.partitionBy("qid").orderBy("dist_m", id_col)
@@ -551,23 +567,22 @@ def knn_geodesic(
             cand.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
         )
-        stats = {
-            row["qid"]: (row["n"], row["kth"])
-            for row in top.groupBy("qid").agg(
-                F.count(F.lit(1)).alias("n"), F.max("dist_m").alias("kth")
-            ).collect()
-        }
+        schema = top.schema
+        got = top.collect()
+        by_q: dict = {}
+        for row in got:
+            by_q.setdefault(row["qid"], []).append(row)
         full_sweep = r >= half_circ
         done = {
             qi for qi, _, _ in pending
             if full_sweep
-            or (stats.get(qi, (0, None))[0] == k and stats[qi][1] <= r)
+            or (
+                len(by_q.get(qi, ())) == k
+                and max(x["dist_m"] for x in by_q[qi]) <= r
+            )
         }
-        if done:
-            solved.append(top.filter(F.col("qid").isin(sorted(done))))
+        for qi in sorted(done):
+            out_rows.extend(by_q.get(qi, ()))
         pending = [q for q in pending if q[0] not in done]
         r = min(r * 4.0, half_circ)
-    out = solved[0]
-    for s in solved[1:]:
-        out = out.unionByName(s)
-    return out
+    return df.sparkSession.createDataFrame(out_rows, schema)

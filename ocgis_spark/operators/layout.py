@@ -50,14 +50,16 @@ def morton_key(cell_x: Column, cell_y: Column) -> Column:
     return _spread_bits(cell_x) + _spread_bits(cell_y) * F.lit(2)
 
 
-def morton_key_checked(cell_x: Column, cell_y: Column) -> Column:
+def morton_key_checked(cell_x: Column, cell_y: Column,
+                       ctx: str = "zorder_write") -> Column:
     """morton_key with an in-plan domain guard: any row outside
     [0, 65535]² raises at execution time (same single pass — no extra
-    validation scan over the write input, which matters at 100 TB)."""
+    validation scan over the write input, which matters at 100 TB).
+    ``ctx`` names the calling operator in the error."""
     ok = cell_x.between(0, 0xFFFF) & cell_y.between(0, 0xFFFF)
     err = F.raise_error(
         F.concat(
-            F.lit("zorder_write: cell index outside [0, 65535]: ("),
+            F.lit(f"{ctx}: cell index outside [0, 65535]: ("),
             cell_x.cast("string"), F.lit(", "), cell_y.cast("string"),
             F.lit(") — keys would collide"),
         )
@@ -254,7 +256,12 @@ def tile_pyramid(
     out = fan.groupBy("level", "px", "py").agg(*merge)
     cols = [
         "level", "px", "py",
-        morton_key(F.col("px"), F.col("py")).alias("zkey"),
+        # CHECKED: base-level tiles outside the 16-bit Morton domain must
+        # raise, not silently collide (the zorder_write guard, ADVICE r3
+        # — r4s14 review extended it here); coarser levels only shrink,
+        # and the check runs on tile-bounded rows, never the corpus
+        morton_key_checked(F.col("px"), F.col("py"),
+                           ctx="tile_pyramid").alias("zkey"),
         "n_docs",
     ]
     if value is not None:

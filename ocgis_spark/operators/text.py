@@ -758,9 +758,10 @@ def decontaminate_rewrite_sql(train_sql: str, bench_sql: str,
     ``bench_sql`` yield (doc_id, {text}) relations."""
     extra = (
         f"grams AS ({_gram_cte_sql('ws', n)}), "
-        f"bws AS (SELECT doc_id, string_split({text}, ' ') AS w "
+        f"bws AS (SELECT string_split({text}, ' ') AS w "
         f"FROM ({bench_sql}) b0 WHERE {text} IS NOT NULL), "
-        f"bg AS (SELECT DISTINCT gk FROM ({_gram_cte_sql('bws', n)}) g0), "
+        f"bg AS (SELECT DISTINCT gk FROM ("
+        f"{_gram_cte_sql('bws', n, with_doc=False)}) g0), "
         f"starts AS (SELECT doc_id, i FROM grams JOIN bg USING (gk))"
     )
     d_sql = (f"SELECT doc_id, {text} AS t FROM ({train_sql}) t0 "

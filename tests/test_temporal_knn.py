@@ -564,3 +564,36 @@ def test_knn_geodesic_matches_brute_force(spark):
         knn_geodesic(df, queries, k=0)
     with _pt.raises(ValueError, match="non-empty"):
         knn_geodesic(df, [], k=3)
+
+
+def test_radius_join_boundary_rounding_slack(spark):
+    """A point whose TRUE distance is just past r but whose rounded-mm
+    distance is <= r must be kept: the keep rule is round(d,3) <= r, so
+    the phase-1 window is widened by the rounding grain (r4s14 review —
+    a tangent-tight window silently dropped this row while the
+    no-window oracle kept it)."""
+    import math as m
+
+    from ocgis_spark.operators.crs import R_SPHERE
+    from ocgis_spark.operators.knn import radius_join
+
+    r = 35000.0
+    # due-north point at ground distance r + 0.4 mm (rounds to r)
+    dlat = m.degrees((r + 0.0004) / R_SPHERE)
+    df = spark.createDataFrame(
+        [(1, 0.0, dlat)], "doc_id int, lon double, lat double"
+    )
+    got = radius_join(df, [(7, 0.0, 0.0)], r).collect()
+    assert len(got) == 1 and got[0].dist_m == 35000.0
+
+
+def test_knn_geodesic_r0_validation(spark):
+    from ocgis_spark.operators.knn import knn_geodesic
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)],
+                               "doc_id int, lon double, lat double")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="r0_m"):
+        knn_geodesic(df, [(1, 0.0, 0.0)], k=1, r0_m=0.0)
+    with _pt.raises(ValueError, match="r0_m"):
+        knn_geodesic(df, [(1, 0.0, 0.0)], k=1, r0_m=-5.0)
