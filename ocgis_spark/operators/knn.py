@@ -401,6 +401,44 @@ def knn_cells(
     )
 
 
+def _disk_windows(
+    queries: list[tuple[int, float, float]], radius_m: float
+) -> list[tuple]:
+    """(qid, q_lon, q_lat, lat_lo, lat_hi, lon_lo, lon_hi) rows whose
+    union CONTAINS each query's geodesic disk: Δlat is the meridian arc,
+    Δlon is widened by 1/cos at the disk's FAR latitude, ±180°-crossing
+    windows split into two intervals. The keep decision downstream is
+    round(dist, 3) <= radius_m — true distance up to radius_m + 0.5 mm —
+    so the window is computed for radius_m + 1 mm: a boundary point just
+    past the tangent-tight window can never be kept by the no-window
+    oracle yet dropped by phase 1 (r4s14 review finding). Property-tested
+    (hypothesis) for containment over random lat/radius/bearing."""
+    from .crs import R_SPHERE
+
+    r_win = float(radius_m) + 1e-3
+    rows = []
+    for qi, qlon, qlat in queries:
+        dlat = math.degrees(r_win / R_SPHERE)
+        far = min(89.9999, abs(qlat) + dlat)
+        dlon = math.degrees(
+            r_win / (R_SPHERE * max(math.cos(math.radians(far)), 1e-9))
+        )
+        lon_lo, lon_hi = qlon - dlon, qlon + dlon
+        if dlon >= 180.0:
+            ivals = [(-180.0, 180.0)]
+        elif lon_lo < -180.0:
+            ivals = [(-180.0, lon_hi), (lon_lo + 360.0, 180.0)]
+        elif lon_hi > 180.0:
+            ivals = [(lon_lo, 180.0), (-180.0, lon_hi - 360.0)]
+        else:
+            ivals = [(lon_lo, lon_hi)]
+        for lo, hi in ivals:
+            rows.append((int(qi), float(qlon), float(qlat),
+                         float(qlat - dlat), float(qlat + dlat),
+                         float(lo), float(hi)))
+    return rows
+
+
 def radius_join(
     df: DataFrame,
     queries: list[tuple[int, float, float]],
@@ -430,35 +468,10 @@ def radius_join(
 
     Returns (qid, <df columns...>, dist_m). Driver-side work is O(#queries).
     """
-    from .crs import R_SPHERE, haversine_m_sql
+    from .crs import haversine_m_sql
 
     spark = df.sparkSession
-    # the keep decision is round(dist, 3) <= radius_m, i.e. true distance
-    # up to radius_m + 0.5 mm: widen the window by the full rounding
-    # grain so a boundary point just past the tangent-tight window can
-    # never be kept by the no-window oracle yet dropped by phase 1
-    # (r4s14 review finding)
-    r_win = float(radius_m) + 1e-3
-    rows = []
-    for qi, qlon, qlat in queries:
-        dlat = math.degrees(r_win / R_SPHERE)
-        far = min(89.9999, abs(qlat) + dlat)
-        dlon = math.degrees(
-            r_win / (R_SPHERE * max(math.cos(math.radians(far)), 1e-9))
-        )
-        lon_lo, lon_hi = qlon - dlon, qlon + dlon
-        if dlon >= 180.0:
-            ivals = [(-180.0, 180.0)]
-        elif lon_lo < -180.0:
-            ivals = [(-180.0, lon_hi), (lon_lo + 360.0, 180.0)]
-        elif lon_hi > 180.0:
-            ivals = [(lon_lo, 180.0), (-180.0, lon_hi - 360.0)]
-        else:
-            ivals = [(lon_lo, lon_hi)]
-        for lo, hi in ivals:
-            rows.append((int(qi), float(qlon), float(qlat),
-                         float(qlat - dlat), float(qlat + dlat),
-                         float(lo), float(hi)))
+    rows = _disk_windows(queries, radius_m)
     win = spark.createDataFrame(
         rows,
         "qid int, q_lon double, q_lat double, lat_lo double, "

@@ -597,3 +597,92 @@ def test_knn_geodesic_r0_validation(spark):
         knn_geodesic(df, [(1, 0.0, 0.0)], k=1, r0_m=0.0)
     with _pt.raises(ValueError, match="r0_m"):
         knn_geodesic(df, [(1, 0.0, 0.0)], k=1, r0_m=-5.0)
+
+
+def test_disk_window_contains_geodesic_disk_property():
+    """Hypothesis: for random query lat/lon, radius, bearing, and
+    fraction, the great-circle destination at distance f·r lies inside
+    the union of _disk_windows intervals — phase 1 can never exclude a
+    true within-radius point."""
+    import math as m
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocgis_spark.operators.crs import R_SPHERE
+    from ocgis_spark.operators.knn import _disk_windows
+
+    def dest(qlon, qlat, bearing_deg, dist_m):
+        # great-circle destination on the sphere
+        d = dist_m / R_SPHERE
+        th = m.radians(bearing_deg)
+        p1 = m.radians(qlat)
+        l1 = m.radians(qlon)
+        p2 = m.asin(m.sin(p1) * m.cos(d)
+                    + m.cos(p1) * m.sin(d) * m.cos(th))
+        l2 = l1 + m.atan2(m.sin(th) * m.sin(d) * m.cos(p1),
+                          m.cos(d) - m.sin(p1) * m.sin(p2))
+        lon = m.degrees(l2)
+        lon = ((lon + 180.0) % 360.0) - 180.0   # normalize to [-180, 180)
+        return lon, m.degrees(p2)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        qlon=st.floats(-180.0, 180.0),
+        qlat=st.floats(-85.0, 85.0),
+        r=st.floats(1e3, 6e6),
+        bearing=st.floats(0.0, 360.0),
+        frac=st.floats(0.0, 1.0),
+    )
+    def check(qlon, qlat, r, bearing, frac):
+        plon, plat = dest(qlon, qlat, bearing, frac * r)
+        wins = _disk_windows([(1, qlon, qlat)], r)
+        inside = any(
+            la0 <= plat <= la1 and lo0 <= plon <= lo1
+            for (_, _, _, la0, la1, lo0, lo1) in wins
+        )
+        assert inside, (qlon, qlat, r, bearing, frac, plon, plat, wins)
+
+    check()
+
+
+def test_radius_join_on_stream_matches_batch(spark, tmp_path):
+    """Streaming geodesic fence: radius_join is stateless (narrow
+    prefilter + stream-static broadcast interval join), so continuous
+    ingest admits the identical set. Stream results == batch results."""
+    import numpy as np
+    import pandas as pd
+
+    from ocgis_spark.operators.knn import radius_join
+
+    n = 1500
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame({
+        "pid": np.arange(n),
+        "lon": rng.uniform(-106.0, -101.0, n),
+        "lat": rng.uniform(36.0, 41.0, n),
+    })
+    src = str(tmp_path / "pts_in")
+    spark.createDataFrame(pts).repartition(4).write.parquet(src)
+    queries = [(1, -104.2, 38.1), (2, -102.4, 39.7)]
+
+    batch = radius_join(spark.read.parquet(src), queries, 50000.0)
+    expected = sorted((r.qid, r.pid) for r in batch.collect())
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    fenced = radius_join(stream, queries, 50000.0)
+    assert fenced.isStreaming
+    q = (
+        fenced.select("qid", "pid").writeStream.format("memory")
+        .queryName("radius_fence_t").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckr"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.qid, r.pid)
+        for r in spark.sql("SELECT * FROM radius_fence_t").collect()
+    )
+    assert got == expected and len(got) > 0
