@@ -236,6 +236,17 @@ def q_tile_pyramid(spark, sf_dir):
     )
 
 
+def q_tile_pyramid_distinct(spark, sf_dir):
+    """Distinct-sources-per-tile pyramid (operators/layout.py
+    tile_pyramid_distinct): HLL registers built once per base cell,
+    merged bottom-up (parent register = max of children) — the
+    crawl-coverage zoom rollup; exact distinct cannot merge, registers
+    can."""
+    return layout.tile_pyramid_distinct(
+        _docs_geo(spark, sf_dir), depth=4, value="source"
+    )
+
+
 def q_decontaminate_rewrite(spark, sf_dir):
     """GPT-3-style decontamination rewrite: cut benchmark-colliding
     8-word windows (plus 1 pad word each side) out of the training docs
@@ -4290,6 +4301,9 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": knn.radius_join_sql(_DG, _RADIUS_QUERIES,
                                            radius_m=35000.0),
         "knn_geodesic": _knn_geodesic_sql(),
+        "tile_pyramid_distinct": layout.tile_pyramid_distinct_sql(
+            _DG, depth=4, value="source"
+        ),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4627,6 +4641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "radius_join": q_radius_join,
         "knn_geodesic": q_knn_geodesic,
+        "tile_pyramid_distinct": q_tile_pyramid_distinct,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

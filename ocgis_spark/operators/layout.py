@@ -299,3 +299,96 @@ def tile_pyramid_sql(
         f"SELECT level, px, py, {morton_key_sql('px', 'py')} AS zkey, "
         f"n_docs{vsel} FROM agg"
     )
+
+
+def tile_pyramid_distinct(
+    df: DataFrame,
+    depth: int,
+    value: str,
+    x: str = "cell_x",
+    y: str = "cell_y",
+) -> DataFrame:
+    """Distinct-count tile pyramid: per-tile HLL estimate of
+    ``count(distinct value)`` at every level (e.g. distinct sources per
+    tile at every zoom — the rollup a crawl-coverage dashboard serves).
+    Exact distinct cannot merge bottom-up (distinct sets don't add);
+    HLL registers DO (parent register = max of child registers), so the
+    pyramid pays the same bounded merge as :func:`tile_pyramid` instead
+    of re-scanning the corpus per level.
+
+    Plan shape at 100 TB: one corpus pass builds base-cell registers
+    (map-side partial max ⇒ ≤ m rows/cell at the shuffle regardless of
+    cardinality, the hll_sketch contract); the level fan-out and the
+    (level, tile, bucket) max-merge run over REGISTER-bounded tables;
+    the estimate is one bounded agg. Same checked Morton key contract
+    as tile_pyramid."""
+    from .sketch import H_MOD, hll_estimate, hll_sketch, md5_slice_int_sql
+
+    if depth < 0:
+        raise ValueError(f"tile_pyramid_distinct: depth must be >= 0, "
+                         f"got {depth}")
+    base = df.select(
+        F.col(x).cast("bigint").alias("bx"),
+        F.col(y).cast("bigint").alias("by"),
+        "*",
+    )
+    # sketch.hash_sql needs an integer input BELOW 2^31 (its multiply
+    # must stay inside BIGINT); md5-slice maps ANY value type (string
+    # sources included) to a 32-bit BIGINT identically in both dialects,
+    # and % H_MOD brings it under the bound (NULL propagates through
+    # md5, so the sketch's NULL filter still drops missing values)
+    vexpr = f"({md5_slice_int_sql(f'CAST({value} AS STRING)', 0)} % {H_MOD})"
+    sk = hll_sketch(base, ["bx", "by"], vexpr)
+    scale = F.pow(F.lit(2.0), F.col("level"))
+    fan = sk.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth))).alias("level"),
+        "bx", "by", "bucket", "rho",
+    ).select(
+        F.col("level").cast("int").alias("level"),
+        F.floor(F.col("bx") / scale).alias("px"),
+        F.floor(F.col("by") / scale).alias("py"),
+        "bucket", "rho",
+    )
+    merged = fan.groupBy("level", "px", "py", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    est = hll_estimate(merged, ["level", "px", "py"])
+    return est.select(
+        "level", "px", "py",
+        morton_key_checked(F.col("px"), F.col("py"),
+                           ctx="tile_pyramid_distinct").alias("zkey"),
+        "est_distinct",
+    )
+
+
+def tile_pyramid_distinct_sql(
+    src_sql: str,
+    depth: int,
+    value: str,
+    x: str = "cell_x",
+    y: str = "cell_y",
+) -> str:
+    """Oracle twin of :func:`tile_pyramid_distinct` — the engine-
+    identical HLL (sketch.hll_estimate_sql) computed straight off the
+    top-down exploded (level, px, py, value) rows; register max over
+    the same row multiset == the engine's bottom-up merge."""
+    from .sketch import H_MOD, hll_estimate_sql, md5_slice_int_sql
+
+    cells = (
+        f"(SELECT CAST(level AS INT) AS level, "
+        f"CAST(floor({x} / power(CAST(2 AS DOUBLE), level)) AS BIGINT) "
+        f"AS px, "
+        f"CAST(floor({y} / power(CAST(2 AS DOUBLE), level)) AS BIGINT) "
+        f"AS py, {value} "
+        f"FROM ({src_sql}) s CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {depth})) AS level) lv) c"
+    )
+    inner = hll_estimate_sql(
+        ["level", "px", "py"],
+        f"({md5_slice_int_sql(f'CAST({value} AS STRING)', 0)} % {H_MOD})",
+        cells,
+    )
+    return (
+        f"SELECT level, px, py, {morton_key_sql('px', 'py')} AS zkey, "
+        f"est_distinct FROM ({inner}) e"
+    )

@@ -337,3 +337,56 @@ def test_build_layout_job_with_pyramid(spark, tmp_path, monkeypatch):
     }
     assert sorted(per_level) == [0, 1, 2, 3]
     assert set(per_level.values()) == {n}   # conservation at every level
+
+
+def test_tile_pyramid_distinct_levels_and_accuracy(spark):
+    """HLL pyramid: every level's estimate equals the DIRECT sketch of
+    the corpus re-gridded at that level (bottom-up register max is
+    lossless), the estimate tracks the exact distinct count within HLL
+    error, string values hash (the md5-slice path), and the plan stays
+    JVM-side with a bounded exchange count."""
+    import pytest
+
+    from ocgis_spark.operators import layout, sketch
+
+    # 40 cells x up to 13 string sources each, uneven spread
+    rows = []
+    for i in range(40):
+        for j in range(1 + (i * 7) % 13):
+            rows.append((i % 8, i // 8, f"src{(i * j + j) % 17}"))
+    df = spark.createDataFrame(rows, "cell_x int, cell_y int, source string")
+
+    pyr = layout.tile_pyramid_distinct(df, depth=3, value="source")
+    got = {(r.level, r.px, r.py): r.est_distinct for r in pyr.collect()}
+    assert sorted({k[0] for k in got}) == [0, 1, 2, 3]
+
+    vexpr = (f"({sketch.md5_slice_int_sql('CAST(source AS STRING)', 0)}"
+             f" % {sketch.H_MOD})")
+    for lvl in range(4):
+        regrid = df.selectExpr(
+            f"CAST(floor(cell_x / {2 ** lvl}) AS BIGINT) AS px",
+            f"CAST(floor(cell_y / {2 ** lvl}) AS BIGINT) AS py",
+            "source",
+        )
+        direct = sketch.hll_estimate(
+            sketch.hll_sketch(regrid, ["px", "py"], vexpr), ["px", "py"]
+        )
+        want = {(lvl, r.px, r.py): r.est_distinct for r in direct.collect()}
+        assert {k: v for k, v in got.items() if k[0] == lvl} == want
+        exact = {
+            (lvl, r.px, r.py): r.n for r in regrid.groupBy("px", "py")
+            .agg(F.countDistinct("source").alias("n")).collect()
+        }
+        for k, n in exact.items():
+            assert abs(got[k] - n) <= max(2.0, 0.15 * n), (k, got[k], n)
+
+    plan = (
+        layout.tile_pyramid_distinct(df, depth=3, value="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # corpus->base registers, level merge, estimate agg: 3 shuffles max
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+    with pytest.raises(ValueError, match="depth"):
+        layout.tile_pyramid_distinct(df, depth=-1, value="source")
