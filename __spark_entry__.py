@@ -24,7 +24,7 @@ from ocgis_spark import fixtures as FX
 from ocgis_spark import spans as SP
 from ocgis_spark.fixtures import DOC_GRID
 from ocgis_spark.operators import calcmath, crs, dedup, knn, regrid, similarity, spatial, temporal
-from ocgis_spark.operators import layout, sketch, trend
+from ocgis_spark.operators import layout, sketch, trajectory, trend
 from ocgis_spark.operators import graph as GR
 from ocgis_spark.operators import sampling as SMP
 from ocgis_spark.operators import text as textops
@@ -190,6 +190,15 @@ def q_radius_join(spark, sf_dir):
     out = knn.radius_join(_docs_geo(spark, sf_dir), _RADIUS_QUERIES,
                           radius_m=35000.0)
     return out.select("qid", "doc_id", "dist_m")
+
+
+def q_track_stats(spark, sf_dir):
+    """Per-user trajectory rollup over the geo-located event stream
+    (operators/trajectory.py track_stats): total geodesic track length,
+    net displacement, longest step, duration — ONE hash exchange (the
+    lag window, full-frame first/last, and the per-entity aggregate all
+    share hashpartitioning(user_id))."""
+    return trajectory.track_stats(FX.register_events_geo(spark, sf_dir))
 
 
 def q_knn_geodesic(spark, sf_dir):
@@ -4301,6 +4310,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": knn.radius_join_sql(_DG, _RADIUS_QUERIES,
                                            radius_m=35000.0),
         "knn_geodesic": _knn_geodesic_sql(),
+        "track_stats": trajectory.track_stats_sql(FX.events_geo_sql()),
         "tile_pyramid_distinct": layout.tile_pyramid_distinct_sql(
             _DG, depth=4, value="source"
         ),
@@ -4641,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "radius_join": q_radius_join,
         "knn_geodesic": q_knn_geodesic,
+        "track_stats": q_track_stats,
         "tile_pyramid_distinct": q_tile_pyramid_distinct,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,

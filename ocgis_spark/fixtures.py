@@ -311,3 +311,41 @@ def para_text_sql(text: str = "text", key: str = "doc_id") -> str:
         f"ELSE concat('uniq tail ', CAST({key} AS STRING)) END, chr(10), "
         f"substr({text}, 41, 40))"
     )
+
+
+# ---- geo-located event-stream fixture (trajectory family) ----
+
+def events_geo_sql(ts_us: str = "epoch_us(ts)", table: str = "events") -> str:
+    """Geo-located event stream: every event gets a deterministic
+    (lon, lat) near its user's multiplicative-hash "home" point (global
+    lon spread, lat in ±60°, per-event jitter ±0.25°), so per-entity
+    tracks are LOCALIZED and trajectory statistics are physically
+    meaningful. Dialect-shared except the epoch-micros expression —
+    Spark passes ``unix_micros(CAST(ts AS TIMESTAMP))``, DuckDB the
+    default ``epoch_us(ts)`` (CLAUDE.md timestamp convention)."""
+    home_lon = (
+        f"-180.0E0 + CAST((user_id * 2654435761) % 100003 AS DOUBLE) "
+        f"/ 100003.0E0 * 360.0E0"
+    )
+    home_lat = (
+        f"-60.0E0 + CAST((user_id * 40503 + 12345) % 99991 AS DOUBLE) "
+        f"/ 99991.0E0 * 120.0E0"
+    )
+    jlon = f"CAST((event_id * 97 + 13) % 997 AS DOUBLE) / 997.0E0 * 0.5E0 - 0.25E0"
+    jlat = f"CAST((event_id * 89 + 7) % 991 AS DOUBLE) / 991.0E0 * 0.5E0 - 0.25E0"
+    return (
+        f"SELECT event_id, user_id, {ts_us} AS ts_us, "
+        f"({home_lon} + {jlon}) AS lon, "
+        f"({home_lat} + {jlat}) AS lat "
+        f"FROM {table}"
+    )
+
+
+def register_events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the driver's events parquet and derive the geo event table."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(
+        events_geo_sql(ts_us="unix_micros(CAST(ts AS TIMESTAMP))")
+    )
