@@ -256,6 +256,68 @@ def q_tile_pyramid_distinct(spark, sf_dir):
     )
 
 
+def q_geohash_rollup(spark, sf_dir):
+    """Geohash-bucket rollup over the geo-located event stream
+    (operators/layout.py geohash_sql): standard base-32 geohash as ONE
+    closed-form dialect-neutral expression (nested-floor quantization +
+    the carry-free Morton spread — no UDF, no bisection loop), then a
+    plain hash aggregate per precision-2 cell with the precision-4
+    subdivision count exercising prefix consistency. At 100 TB geohash
+    is the layout/bucketing key for data arriving as raw coordinates:
+    groupBy(gh) is one exchange and prefix predicates prune like any
+    string min/max statistic."""
+    ev = layout.geohash_encode(
+        layout.geohash_encode(
+            FX.register_events_geo(spark, sf_dir), 2, out="gh2"
+        ),
+        4, out="gh4",
+    )
+    return ev.groupBy("gh2").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct("gh4").cast("bigint").alias("n_sub4"),
+    )
+
+
+def q_geohash_cells(spark, sf_dir):
+    """Geohash decode (operators/layout.py geohash_decode_sql): the
+    precision-4 event cells with their decoded centres — instr on the
+    base-32 alphabet + the carry-free bit COMPACT (inverse spread), all
+    closed-form codegen; centre arithmetic is dyadic (360/2^n) so both
+    engines produce bit-identical doubles. The decode runs on the
+    CELL-BOUNDED aggregate, not the corpus."""
+    ev = layout.geohash_encode(
+        FX.register_events_geo(spark, sf_dir), 4, out="gh4"
+    )
+    agg = ev.groupBy("gh4").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return layout.geohash_decode(agg, 4, gh="gh4", fields=("lon_c", "lat_c"))
+
+
+def _geohash_cells_sql() -> str:
+    gh4 = layout.geohash_sql("lon", "lat", 4)
+    dec = layout.geohash_decode_sql("gh4", 4)
+    return (
+        f"SELECT gh4, CAST(count(*) AS BIGINT) AS n_events, "
+        f"{dec['lon_c']} AS lon_c, {dec['lat_c']} AS lat_c "
+        f"FROM (SELECT {gh4} AS gh4 FROM ({FX.events_geo_sql()}) ev) g "
+        f"GROUP BY gh4"
+    )
+
+
+def _geohash_rollup_sql() -> str:
+    gh2 = layout.geohash_sql("lon", "lat", 2)
+    gh4 = layout.geohash_sql("lon", "lat", 4)
+    return (
+        f"SELECT gh2, CAST(count(*) AS BIGINT) AS n_events, "
+        f"CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+        f"CAST(count(DISTINCT gh4) AS BIGINT) AS n_sub4 "
+        f"FROM (SELECT user_id, {gh2} AS gh2, {gh4} AS gh4 "
+        f"FROM ({FX.events_geo_sql()}) ev) g GROUP BY gh2"
+    )
+
+
 def q_decontaminate_rewrite(spark, sf_dir):
     """GPT-3-style decontamination rewrite: cut benchmark-colliding
     8-word windows (plus 1 pad word each side) out of the training docs
@@ -4314,6 +4376,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid_distinct": layout.tile_pyramid_distinct_sql(
             _DG, depth=4, value="source"
         ),
+        "geohash_rollup": _geohash_rollup_sql(),
+        "geohash_cells": _geohash_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4653,6 +4717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_geodesic": q_knn_geodesic,
         "track_stats": q_track_stats,
         "tile_pyramid_distinct": q_tile_pyramid_distinct,
+        "geohash_rollup": q_geohash_rollup,
+        "geohash_cells": q_geohash_cells,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

@@ -392,3 +392,125 @@ def tile_pyramid_distinct_sql(
         f"SELECT level, px, py, {morton_key_sql('px', 'py')} AS zkey, "
         f"est_distinct FROM ({inner}) e"
     )
+
+
+#: standard geohash base-32 alphabet (no a/i/l/o)
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+#: supported (even) precisions: p chars = 5p bits = 5p/2 per axis, and
+#: the per-axis quantization must stay inside the 16-bit spread domain
+_GH_PRECISIONS = (2, 4, 6)
+
+
+def geohash_sql(lon: str, lat: str, precision: int = 6) -> str:
+    """Standard geohash of (lon, lat) as ONE dialect-neutral SQL string
+    (floor/least/greatest/% + the carry-free Morton spread — no UDF, no
+    string loops). Even precisions only: p chars = 5p bits split evenly,
+    so each axis quantizes to 5p/2 bits and the interleave is exactly
+    :func:`morton_key_sql` with lon on the odd (high) positions — the
+    geohash bit order (lon first from the MSB).
+
+    Quantization is the closed form of the textbook bisection: the k-th
+    bisection bit of x in [lo, hi) IS bit (n-1-k) of
+    floor((x-lo)/(hi-lo) * 2^n). Inputs clamp into the edge cells
+    (lat=90, lon=180 land in the top cell instead of overflowing).
+    Nested floors make precisions PREFIX-CONSISTENT: geohash(p=4) is the
+    first 4 chars of geohash(p=6) (pytest property).
+
+    At 100 TB this is the layout/bucketing twin of the Morton key for
+    data keyed by raw coordinates instead of grid cells: groupBy(geohash)
+    is a plain hash aggregate, and prefix predicates prune like any
+    string min/max statistic."""
+    if precision not in _GH_PRECISIONS:
+        raise ValueError(
+            f"geohash_sql: precision must be one of {_GH_PRECISIONS} "
+            f"(even, <= 6), got {precision}"
+        )
+    n = 5 * precision // 2          # bits per axis
+    top = (1 << n) - 1
+    lon_q = (f"least({top}, greatest(0, CAST(floor((({lon}) + 180.0E0) "
+             f"/ 360.0E0 * {1 << n}) AS BIGINT)))")
+    lat_q = (f"least({top}, greatest(0, CAST(floor((({lat}) + 90.0E0) "
+             f"/ 180.0E0 * {1 << n}) AS BIGINT)))")
+    v = f"({morton_key_sql(lat_q, lon_q)})"
+    chars = ", ".join(
+        f"substring('{GEOHASH32}', "
+        f"CAST(floor({v} / {32 ** (precision - 1 - i)}) % 32 AS INT) + 1, 1)"
+        for i in range(precision)
+    )
+    return f"concat({chars})"
+
+
+def geohash_encode(
+    df: DataFrame,
+    precision: int = 6,
+    lon: str = "lon",
+    lat: str = "lat",
+    out: str = "gh",
+) -> DataFrame:
+    """Append a geohash column (see :func:`geohash_sql`) — narrow map,
+    0 exchanges, whole-stage codegen."""
+    return df.withColumn(out, F.expr(geohash_sql(lon, lat, precision)))
+
+
+def compact_bits_sql(expr: str) -> str:
+    """Inverse of :func:`spread_bits_sql`: gather the bits sitting at
+    even positions of ``expr`` (pattern 0x55555555) back into a dense
+    16-bit value. Same carry-free trick run backwards — each step's two
+    masked operands are disjoint after the mask, so `+` is exact and the
+    floor-division "shift" never bleeds bits into the other operand
+    (cross terms land outside the mask and are ANDed away)."""
+    s = f"(CAST({expr} AS BIGINT) & {0x55555555})"
+    for lo, hi, mult in reversed(_SPREAD):
+        s = (f"((({s}) & {lo}) + "
+             f"(CAST(floor(({s}) / {mult}) AS BIGINT) & {hi}))")
+    return s
+
+
+def geohash_decode_sql(gh: str, precision: int = 6) -> dict[str, str]:
+    """Decode a geohash produced by :func:`geohash_sql` back to its cell
+    — dialect-neutral SQL strings for the cell centre and bounds, keys
+    ``lon_c lat_c lon_lo lon_hi lat_lo lat_hi``. Char values come from
+    ``instr`` on the base-32 alphabet (1-based in BOTH dialects), the
+    per-axis indices from the carry-free :func:`compact_bits_sql`, and
+    the cell width is dyadic (360/2^n) so the float literals are exact
+    in both engines. Assumes a well-formed even-precision geohash (the
+    encoder's output); unknown chars give instr=0 → index −1 → garbage,
+    not an error."""
+    if precision not in _GH_PRECISIONS:
+        raise ValueError(
+            f"geohash_decode_sql: precision must be one of "
+            f"{_GH_PRECISIONS}, got {precision}"
+        )
+    n = 5 * precision // 2
+    z = " + ".join(
+        f"(instr('{GEOHASH32}', substring({gh}, {i + 1}, 1)) - 1) "
+        f"* {32 ** (precision - 1 - i)}"
+        for i in range(precision)
+    )
+    z = f"CAST({z} AS BIGINT)"
+    lat_i = compact_bits_sql(z)
+    lon_i = compact_bits_sql(f"CAST(floor(({z}) / 2) AS BIGINT)")
+    dlon, dlat = 360.0 / (1 << n), 180.0 / (1 << n)
+    return {
+        "lon_lo": f"(CAST({lon_i} AS DOUBLE) * {dlon!r}E0 - 180.0E0)",
+        "lon_hi": f"((CAST({lon_i} AS DOUBLE) + 1.0E0) * {dlon!r}E0 - 180.0E0)",
+        "lat_lo": f"(CAST({lat_i} AS DOUBLE) * {dlat!r}E0 - 90.0E0)",
+        "lat_hi": f"((CAST({lat_i} AS DOUBLE) + 1.0E0) * {dlat!r}E0 - 90.0E0)",
+        "lon_c": f"((CAST({lon_i} AS DOUBLE) + 0.5E0) * {dlon!r}E0 - 180.0E0)",
+        "lat_c": f"((CAST({lat_i} AS DOUBLE) + 0.5E0) * {dlat!r}E0 - 90.0E0)",
+    }
+
+
+def geohash_decode(
+    df: DataFrame,
+    precision: int = 6,
+    gh: str = "gh",
+    fields: tuple = ("lon_c", "lat_c"),
+) -> DataFrame:
+    """Append decoded cell columns (see :func:`geohash_decode_sql`) —
+    narrow map, 0 exchanges, whole-stage codegen."""
+    exprs = geohash_decode_sql(gh, precision)
+    out = df
+    for f in fields:
+        out = out.withColumn(f, F.expr(exprs[f]))
+    return out

@@ -390,3 +390,93 @@ def test_tile_pyramid_distinct_levels_and_accuracy(spark):
 
     with pytest.raises(ValueError, match="depth"):
         layout.tile_pyramid_distinct(df, depth=-1, value="source")
+
+
+# ---- geohash ----
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _ref_geohash(lat: float, lon: float, precision: int) -> str:
+    """Textbook bisection geohash (lon bit first from the MSB)."""
+    idx, bit, even, out = 0, 0, True, []
+    lat_i, lon_i = [-90.0, 90.0], [-180.0, 180.0]
+    while len(out) < precision:
+        interval, v = (lon_i, lon) if even else (lat_i, lat)
+        mid = (interval[0] + interval[1]) / 2
+        if v >= mid:
+            idx, interval[0] = idx * 2 + 1, mid
+        else:
+            idx, interval[1] = idx * 2, mid
+        even, bit = not even, bit + 1
+        if bit == 5:
+            out.append(_GH32[idx])
+            idx, bit = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_textbook_bisection(spark):
+    rng = np.random.default_rng(11)
+    pts = [(float(la), float(lo)) for la, lo in zip(
+        rng.uniform(-90, 90, 60), rng.uniform(-180, 180, 60))]
+    pts += [(0.0, 0.0), (51.5074, -0.1278), (-33.8688, 151.2093),
+            (89.999999, 179.999999), (-89.999999, -179.999999)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (2, 4, 6):
+        df = layout.geohash_encode(df, p, out=f"gh{p}")
+    for r in df.collect():
+        for p in (2, 4, 6):
+            assert r[f"gh{p}"] == _ref_geohash(r["lat"], r["lon"], p), (
+                r["lat"], r["lon"], p)
+
+
+def test_geohash_prefix_consistent_and_edge_clamped(spark):
+    rng = np.random.default_rng(13)
+    pts = [(float(la), float(lo)) for la, lo in zip(
+        rng.uniform(-90, 90, 40), rng.uniform(-180, 180, 40))]
+    # out-of-range inputs clamp into the edge cells instead of overflowing
+    pts += [(90.0, 180.0), (91.0, 181.0), (-90.0, -180.0), (-95.0, -200.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (2, 4, 6):
+        df = layout.geohash_encode(df, p, out=f"gh{p}")
+    for r in df.collect():
+        assert r["gh6"][:4] == r["gh4"] and r["gh4"][:2] == r["gh2"]
+        assert all(c in _GH32 for c in r["gh6"])
+    top = df.where("lat >= 90").select("gh6").distinct().collect()
+    assert [r["gh6"] for r in top] == ["zzzzzz"]
+
+
+def test_geohash_rejects_unsupported_precision():
+    for p in (1, 3, 5, 7, 8, 0, -2):
+        with pytest.raises(ValueError, match="precision"):
+            layout.geohash_sql("lon", "lat", p)
+
+
+def test_geohash_decode_roundtrip_and_containment(spark):
+    rng = np.random.default_rng(17)
+    pts = [(float(la), float(lo)) for la, lo in zip(
+        rng.uniform(-90, 90, 50), rng.uniform(-180, 180, 50))]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (2, 4, 6):
+        n = 5 * p // 2
+        out = layout.geohash_decode(
+            layout.geohash_encode(df, p, out="gh"), p, gh="gh",
+            fields=("lon_lo", "lon_hi", "lat_lo", "lat_hi",
+                    "lon_c", "lat_c"),
+        )
+        out = out.withColumn(
+            "gh2", F.expr(layout.geohash_sql("lon_c", "lat_c", p)))
+        for r in out.collect():
+            # original point inside the decoded cell
+            assert r["lon_lo"] <= r["lon"] < r["lon_hi"]
+            assert r["lat_lo"] <= r["lat"] < r["lat_hi"]
+            # cell dimensions exactly dyadic
+            assert r["lon_hi"] - r["lon_lo"] == 360.0 / (1 << n)
+            assert r["lat_hi"] - r["lat_lo"] == 180.0 / (1 << n)
+            # centre re-encodes to the SAME geohash (round trip)
+            assert r["gh2"] == r["gh"]
+
+
+def test_geohash_decode_rejects_unsupported_precision():
+    with pytest.raises(ValueError, match="precision"):
+        layout.geohash_decode_sql("gh", 3)
