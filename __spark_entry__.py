@@ -279,6 +279,32 @@ def q_geohash_rollup(spark, sf_dir):
     )
 
 
+#: corridor query route: three great-circle legs through the event
+#: domain, one crossing the antimeridian (wrap-safety exercised live)
+_ROUTE = [(150.0, -20.0), (-170.0, 5.0), (-104.2, 38.1), (-60.0, 10.0)]
+
+
+def q_route_proximity(spark, sf_dir):
+    """Events within 400 km of a great-circle route polyline
+    (operators/trajectory.py route_proximity): cross-track/along-track
+    construction with per-segment constants folded driver-side; foot on
+    the segment -> |xt|*R, else the exact min-endpoint clamp (the
+    textbook behind-p1 shortcut is wrong near the antipode). One scan,
+    narrow codegen map, no shuffle."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    out = trajectory.route_proximity(ev, _ROUTE, max_dist_m=400000.0)
+    return out.select("event_id", "user_id", "route_dist_m")
+
+
+def _route_proximity_sql() -> str:
+    inner = trajectory.route_proximity_sql(
+        FX.events_geo_sql(), _ROUTE, max_dist_m=400000.0
+    )
+    return (
+        f"SELECT event_id, user_id, route_dist_m FROM ({inner}) r"
+    )
+
+
 def q_geohash_cells(spark, sf_dir):
     """Geohash decode (operators/layout.py geohash_decode_sql): the
     precision-4 event cells with their decoded centres — instr on the
@@ -4378,6 +4404,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geohash_rollup": _geohash_rollup_sql(),
         "geohash_cells": _geohash_cells_sql(),
+        "route_proximity": _route_proximity_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4719,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_distinct": q_tile_pyramid_distinct,
         "geohash_rollup": q_geohash_rollup,
         "geohash_cells": q_geohash_cells,
+        "route_proximity": q_route_proximity,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

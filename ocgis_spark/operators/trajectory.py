@@ -124,3 +124,137 @@ def track_stats_sql(
         f"round({hav_net}, {_ND}) AS net_m, max_step_m, duration_us "
         f"FROM agg"
     )
+
+
+# ---- route proximity (point -> great-circle polyline distance) ----
+
+def _seg_dist_sql(
+    lon: str, lat: str,
+    lon1: float, lat1: float, lon2: float, lat2: float,
+    R: float,
+) -> str:
+    """Geodesic distance (meters, unrounded) from (lon, lat) to ONE
+    great-circle segment, as a dialect-neutral SQL string (the aviation
+    formulary cross-track/along-track construction). Per-segment
+    constants — the segment's angular length d12 and initial bearing
+    th12 — are folded driver-side into E-notation literals, so the
+    per-row work is two haversines, one bearing atan2, and branch trig.
+
+    The foot of the point on the great circle sits at signed arc
+    position s* with cos(s*) = cos(d13)/cos(xt) and sign(s*) =
+    sign(cos(dth)) (Napier: sin(s*)cos(xt) = sin(d13)cos(dth)) — valid
+    for ALL d13, including past 90 degrees. Foot on the segment
+    (cos(dth) > 0 AND |s*| <= d12) -> |xt|·R; otherwise the distance
+    along the circle is monotone moving away from the foot, so the
+    minimum over the arc is at an endpoint -> least(d13, d23). The
+    textbook "behind p1 -> d13" shortcut is WRONG near the antipode
+    (the foot wraps past it and p2 can be nearer — caught by the
+    3D-vector reference in pytest); the min-endpoint clamp is exact
+    everywhere. The CASE is CONTINUOUS across its branch boundary
+    (at the along-track ends the cross-track distance equals the
+    endpoint distance), so a 1-ulp libm difference between engines can
+    flip the branch but moves the value only ~1 ulp — absorbed by the
+    caller's mm rounding. asin/acos arguments are clamped (antipodal /
+    90-degrees-off points can drift one ulp past the domain; a
+    cos(xt)=0 division yields IEEE inf which the clamp maps to the
+    correct pi/2 limit)."""
+    import math
+
+    from .crs import _pf
+
+    d12 = 2.0 * math.asin(math.sqrt(min(1.0, (
+        math.sin(math.radians(lat2 - lat1) / 2.0) ** 2
+        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+        * math.sin(math.radians(lon2 - lon1) / 2.0) ** 2
+    ))))
+    if d12 <= 0.0:
+        raise ValueError(
+            f"route segment has zero length at ({lon1}, {lat1}) — "
+            f"consecutive waypoints must be distinct"
+        )
+    th12 = math.atan2(
+        math.sin(math.radians(lon2 - lon1)) * math.cos(math.radians(lat2)),
+        math.cos(math.radians(lat1)) * math.sin(math.radians(lat2))
+        - math.sin(math.radians(lat1)) * math.cos(math.radians(lat2))
+        * math.cos(math.radians(lon2 - lon1)),
+    )
+    d13_m = haversine_m_sql(_pf(lon1), _pf(lat1), lon, lat, R=R)
+    d23_m = haversine_m_sql(_pf(lon2), _pf(lat2), lon, lat, R=R)
+    th13 = (
+        f"atan2(sin(radians(({lon}) - {_pf(lon1)})) * cos(radians({lat})), "
+        f"{_pf(math.cos(math.radians(lat1)))} * sin(radians({lat})) - "
+        f"{_pf(math.sin(math.radians(lat1)))} * cos(radians({lat})) * "
+        f"cos(radians(({lon}) - {_pf(lon1)})))"
+    )
+    d13a = f"(({d13_m}) / {_pf(R)})"          # angular distance p1->p3
+    dth = f"(({th13}) - {_pf(th12)})"
+    xt = (f"asin(least(1.0E0, greatest(-1.0E0, "
+          f"sin({d13a}) * sin({dth}))))")
+    at = (f"acos(least(1.0E0, greatest(-1.0E0, "
+          f"cos({d13a}) / cos({xt}))))")
+    return (
+        f"(CASE WHEN cos({dth}) > 0.0E0 AND ({at}) <= {_pf(d12)} "
+        f"THEN abs({xt}) * {_pf(R)} "
+        f"ELSE least(({d13_m}), ({d23_m})) END)"
+    )
+
+
+def route_distance_sql(
+    route: list,
+    lon: str = "lon",
+    lat: str = "lat",
+    R: float = None,
+) -> str:
+    """Min geodesic distance (meters, unrounded) from (lon, lat) to a
+    polyline of (lon, lat) waypoints — `least` over the per-segment
+    expressions. Wrap-safe: longitudes enter only through sin/cos of a
+    delta, so seam-crossing segments need no pre-normalization. The
+    route is driver-side constant data (like the kNN probe set): k
+    waypoints fold into k-1 constant-laden expressions — a narrow
+    codegen map over the corpus, 0 exchanges, nothing broadcast."""
+    from .crs import R_SPHERE
+
+    if R is None:
+        R = R_SPHERE
+    pts = [(float(a), float(b)) for a, b in route]
+    if len(pts) < 2:
+        raise ValueError("route needs at least 2 waypoints")
+    segs = [
+        _seg_dist_sql(lon, lat, x1, y1, x2, y2, R)
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+    ]
+    return segs[0] if len(segs) == 1 else f"least({', '.join(segs)})"
+
+
+def route_proximity(
+    df: DataFrame,
+    route: list,
+    max_dist_m: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    out: str = "route_dist_m",
+) -> DataFrame:
+    """Rows within ``max_dist_m`` geodesic meters of the route polyline,
+    with the distance (round(·,3) m — the geodesic-family parity
+    contract) appended. One scan, no shuffle; the distance predicate is
+    an ordinary filter Catalyst keeps next to the scan."""
+    d = F.round(F.expr(route_distance_sql(route, lon, lat)), _ND)
+    return df.withColumn(out, d).where(F.col(out) <= max_dist_m)
+
+
+def route_proximity_sql(
+    src_sql: str,
+    route: list,
+    max_dist_m: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    out: str = "route_dist_m",
+) -> str:
+    """Oracle twin of :func:`route_proximity` (same expression tree)."""
+    from .crs import _pf
+
+    d = route_distance_sql(route, lon, lat)
+    return (
+        f"SELECT * FROM (SELECT *, round({d}, {_ND}) AS {out} "
+        f"FROM ({src_sql}) s) q WHERE {out} <= {_pf(float(max_dist_m))}"
+    )

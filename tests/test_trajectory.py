@@ -71,3 +71,85 @@ def test_track_stats_numpy_truth_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # window + groupBy share hashpartitioning(user_id): ONE exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---- route proximity ----
+
+def _to_xyz(lon, lat):
+    lo, la = np.radians(lon), np.radians(lat)
+    return np.array(
+        [np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)])
+
+
+def _ang(u, v):
+    return np.arctan2(np.linalg.norm(np.cross(u, v)), np.dot(u, v))
+
+
+def _seg_dist_ref(p, a, b):
+    """Independent 3D-vector truth: foot of p on the great circle; on
+    the arc -> cross-track angle, else nearest endpoint."""
+    n = np.cross(a, b)
+    n = n / np.linalg.norm(n)
+    c = p - np.dot(n, p) * n
+    nc = np.linalg.norm(c)
+    if nc > 1e-12:
+        c = c / nc
+        if _ang(a, c) + _ang(c, b) <= _ang(a, b) + 1e-12:
+            return abs(np.arcsin(np.clip(np.dot(n, p), -1, 1))) * R
+    return min(_ang(a, p), _ang(b, p)) * R
+
+
+def _route_dist_ref(lon, lat, route):
+    p = _to_xyz(lon, lat)
+    pts = [_to_xyz(x, y) for x, y in route]
+    return min(_seg_dist_ref(p, a, b) for a, b in zip(pts, pts[1:]))
+
+
+def test_route_distance_matches_vector_truth(spark):
+    """Engine expression vs the 3D-vector reference, including a
+    seam-crossing route, a polar route, and near-antipodal points (the
+    case where the textbook behind-p1 clamp is wrong)."""
+    routes = [
+        [(-104.2, 38.1), (-98.0, 41.5), (-90.0, 35.0)],
+        [(175.0, -10.0), (-178.0, 5.0), (-170.0, 20.0)],   # seam
+        [(0.0, 80.0), (90.0, 80.0)],                       # polar
+    ]
+    rng = np.random.default_rng(23)
+    pts = [(float(lo), float(la)) for lo, la in zip(
+        rng.uniform(-180, 180, 40), rng.uniform(-89, 89, 40))]
+    # planted near-antipodal probes for the polar route
+    pts += [(45.58, -68.94), (58.48, -65.20), (-150.75, -65.74)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for route in routes:
+        out = df.selectExpr(
+            "lon", "lat",
+            f"{trajectory.route_distance_sql(route)} AS d")
+        for r in out.collect():
+            want = _route_dist_ref(r["lon"], r["lat"], route)
+            assert abs(r["d"] - want) <= max(1e-3, 1e-9 * want), (
+                route[0], r["lon"], r["lat"], r["d"], want)
+
+
+def test_route_proximity_filter_and_plan(spark):
+    route = [(0.0, 0.0), (10.0, 0.0)]
+    pts = [(5.0, 0.5), (5.0, 3.0), (-1.0, 0.0), (20.0, 0.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = trajectory.route_proximity(df, route, max_dist_m=200_000.0)
+    rows = out.collect()
+    # 0.5 deg abeam (~55.6 km) and 1 deg past an endpoint (~111 km) stay;
+    # 3 deg abeam (~334 km) and 10 deg past (~1112 km) are cut
+    assert sorted((r["lon"], r["lat"]) for r in rows) == [
+        (-1.0, 0.0), (5.0, 0.5)]
+    for r in rows:
+        want = _route_dist_ref(r["lon"], r["lat"], route)
+        assert abs(r["route_dist_m"] - want) < 1e-3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_route_validation():
+    with pytest.raises(ValueError, match="at least 2"):
+        trajectory.route_distance_sql([(0.0, 0.0)])
+    with pytest.raises(ValueError, match="distinct"):
+        trajectory.route_distance_sql([(0.0, 0.0), (0.0, 0.0), (1.0, 1.0)])
