@@ -305,6 +305,31 @@ def _route_proximity_sql() -> str:
     )
 
 
+def q_route_locate(spark, sf_dir):
+    """Geodesic linear referencing (operators/trajectory.py
+    route_locate, the ST_LineLocatePoint family): events within 1500 km
+    of the corridor route get their nearest segment index and chainage
+    (distance along the route of the nearest route point). Per-segment
+    distance/chainage computed ONCE as named columns, argmin on the
+    MM-ROUNDED distances (engine-stable branch), first-index tie-break.
+    One scan, narrow codegen map, no shuffle."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    out = trajectory.route_locate(ev, _ROUTE, max_dist_m=1500000.0)
+    return out.select(
+        "event_id", "user_id", "route_dist_m", "route_seg", "route_pos_m"
+    )
+
+
+def _route_locate_sql() -> str:
+    inner = trajectory.route_locate_sql(
+        FX.events_geo_sql(), _ROUTE, max_dist_m=1500000.0
+    )
+    return (
+        f"SELECT event_id, user_id, route_dist_m, route_seg, "
+        f"route_pos_m FROM ({inner}) r"
+    )
+
+
 def q_geohash_cells(spark, sf_dir):
     """Geohash decode (operators/layout.py geohash_decode_sql): the
     precision-4 event cells with their decoded centres — instr on the
@@ -4405,6 +4430,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_rollup": _geohash_rollup_sql(),
         "geohash_cells": _geohash_cells_sql(),
         "route_proximity": _route_proximity_sql(),
+        "route_locate": _route_locate_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4747,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_rollup": q_geohash_rollup,
         "geohash_cells": q_geohash_cells,
         "route_proximity": q_route_proximity,
+        "route_locate": q_route_locate,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

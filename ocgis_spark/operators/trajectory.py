@@ -162,22 +162,7 @@ def _seg_dist_sql(
 
     from .crs import _pf
 
-    d12 = 2.0 * math.asin(math.sqrt(min(1.0, (
-        math.sin(math.radians(lat2 - lat1) / 2.0) ** 2
-        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
-        * math.sin(math.radians(lon2 - lon1) / 2.0) ** 2
-    ))))
-    if d12 <= 0.0:
-        raise ValueError(
-            f"route segment has zero length at ({lon1}, {lat1}) — "
-            f"consecutive waypoints must be distinct"
-        )
-    th12 = math.atan2(
-        math.sin(math.radians(lon2 - lon1)) * math.cos(math.radians(lat2)),
-        math.cos(math.radians(lat1)) * math.sin(math.radians(lat2))
-        - math.sin(math.radians(lat1)) * math.cos(math.radians(lat2))
-        * math.cos(math.radians(lon2 - lon1)),
-    )
+    d12, th12 = _seg_consts(lon1, lat1, lon2, lat2)
     d13_m = haversine_m_sql(_pf(lon1), _pf(lat1), lon, lat, R=R)
     d23_m = haversine_m_sql(_pf(lon2), _pf(lat2), lon, lat, R=R)
     th13 = (
@@ -196,6 +181,72 @@ def _seg_dist_sql(
         f"(CASE WHEN cos({dth}) > 0.0E0 AND ({at}) <= {_pf(d12)} "
         f"THEN abs({xt}) * {_pf(R)} "
         f"ELSE least(({d13_m}), ({d23_m})) END)"
+    )
+
+
+def _seg_consts(
+    lon1: float, lat1: float, lon2: float, lat2: float,
+) -> tuple:
+    """(d12, th12): the segment's angular length and initial bearing —
+    the driver-side constants every per-row expression folds in."""
+    import math
+
+    d12 = 2.0 * math.asin(math.sqrt(min(1.0, (
+        math.sin(math.radians(lat2 - lat1) / 2.0) ** 2
+        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+        * math.sin(math.radians(lon2 - lon1) / 2.0) ** 2
+    ))))
+    if d12 <= 0.0:
+        raise ValueError(
+            f"route segment has zero length at ({lon1}, {lat1}) — "
+            f"consecutive waypoints must be distinct"
+        )
+    th12 = math.atan2(
+        math.sin(math.radians(lon2 - lon1)) * math.cos(math.radians(lat2)),
+        math.cos(math.radians(lat1)) * math.sin(math.radians(lat2))
+        - math.sin(math.radians(lat1)) * math.cos(math.radians(lat2))
+        * math.cos(math.radians(lon2 - lon1)),
+    )
+    return d12, th12
+
+
+def _seg_pos_sql(
+    lon: str, lat: str,
+    lon1: float, lat1: float, lon2: float, lat2: float,
+    R: float,
+) -> str:
+    """Along-segment arc position (RADIANS, clamped to [0, d12]) of the
+    nearest segment point to (lon, lat) — the linear-referencing twin of
+    :func:`_seg_dist_sql`, sharing its branch rule EXACTLY: foot on the
+    segment (cos(dth) > 0 AND at <= d12) -> at; otherwise the nearest
+    segment point is the endpoint `least(d13, d23)` picks, so the
+    position snaps to 0 or d12 by the SAME d13 <= d23 comparison (a
+    mismatch between the distance branch and the position branch would
+    put the reported chainage at a point other than the nearest one)."""
+    import math
+
+    from .crs import _pf
+
+    d12, th12 = _seg_consts(lon1, lat1, lon2, lat2)
+    d13_m = haversine_m_sql(_pf(lon1), _pf(lat1), lon, lat, R=R)
+    d23_m = haversine_m_sql(_pf(lon2), _pf(lat2), lon, lat, R=R)
+    th13 = (
+        f"atan2(sin(radians(({lon}) - {_pf(lon1)})) * cos(radians({lat})), "
+        f"{_pf(math.cos(math.radians(lat1)))} * sin(radians({lat})) - "
+        f"{_pf(math.sin(math.radians(lat1)))} * cos(radians({lat})) * "
+        f"cos(radians(({lon}) - {_pf(lon1)})))"
+    )
+    d13a = f"(({d13_m}) / {_pf(R)})"
+    dth = f"(({th13}) - {_pf(th12)})"
+    xt = (f"asin(least(1.0E0, greatest(-1.0E0, "
+          f"sin({d13a}) * sin({dth}))))")
+    at = (f"acos(least(1.0E0, greatest(-1.0E0, "
+          f"cos({d13a}) / cos({xt}))))")
+    return (
+        f"(CASE WHEN cos({dth}) > 0.0E0 AND ({at}) <= {_pf(d12)} "
+        f"THEN ({at}) "
+        f"WHEN ({d13_m}) <= ({d23_m}) THEN 0.0E0 "
+        f"ELSE {_pf(d12)} END)"
     )
 
 
@@ -257,4 +308,137 @@ def route_proximity_sql(
     return (
         f"SELECT * FROM (SELECT *, round({d}, {_ND}) AS {out} "
         f"FROM ({src_sql}) s) q WHERE {out} <= {_pf(float(max_dist_m))}"
+    )
+
+
+# ---- route linear referencing (nearest segment + chainage) ----
+
+def _locate_parts(route: list, lon: str, lat: str, R: float):
+    """Per-segment (dist_m unrounded, chainage_m unrounded) SQL strings
+    plus the route's total length in meters. Chainage = the cumulative
+    route offset of the segment start (driver-side constant) + the
+    clamped along-segment position × R."""
+    import math
+
+    from .crs import R_SPHERE, _pf
+
+    if R is None:
+        R = R_SPHERE
+    pts = [(float(a), float(b)) for a, b in route]
+    if len(pts) < 2:
+        raise ValueError("route needs at least 2 waypoints")
+    dists, chains = [], []
+    off = 0.0
+    for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+        d12, _ = _seg_consts(x1, y1, x2, y2)
+        dists.append(_seg_dist_sql(lon, lat, x1, y1, x2, y2, R))
+        pos = _seg_pos_sql(lon, lat, x1, y1, x2, y2, R)
+        chains.append(f"({_pf(off)} + ({pos}) * {_pf(R)})")
+        off += d12 * R
+    return dists, chains, off
+
+
+def route_locate(
+    df: DataFrame,
+    route: list,
+    max_dist_m: float = None,
+    lon: str = "lon",
+    lat: str = "lat",
+    R: float = None,
+) -> DataFrame:
+    """Linear referencing against a great-circle route polyline (the
+    PostGIS ``ST_LineLocatePoint`` family, geodesic): appends
+
+    * ``route_dist_m`` — min geodesic distance to the route (mm-rounded),
+    * ``route_seg``    — 0-based index of the nearest segment,
+    * ``route_pos_m``  — chainage: distance along the route of the
+      nearest route point (mm-rounded; at a shared vertex both adjacent
+      segments report the SAME chainage, so the first-min tie-break
+      cannot move the value).
+
+    Nearest segment = argmin over the MM-ROUNDED per-segment distances
+    with a first-index tie-break — rounding before the argmin makes the
+    branch choice engine-stable (unrounded doubles tie only up to libm's
+    1-ulp drift, which rounding absorbs except at exact .5 mm
+    boundaries, the accepted geodesic-family risk class). The per-row
+    plan is one projection computing each segment's distance/chainage
+    ONCE as a named column (a nested CASE over raw expressions would
+    re-evaluate every segment O(k) times), then a `least` + CASE pick —
+    a narrow codegen map, 0 exchanges. Optional ``max_dist_m`` is an
+    ordinary filter Catalyst keeps at the scan."""
+    dists, chains, _ = _locate_parts(route, lon, lat, R)
+    n = len(dists)
+    p = df.select(
+        "*",
+        *[F.round(F.expr(d), _ND).alias(f"_rl_d{i}")
+          for i, d in enumerate(dists)],
+        *[F.expr(c).alias(f"_rl_c{i}") for i, c in enumerate(chains)],
+    )
+    dcols = [F.col(f"_rl_d{i}") for i in range(n)]
+    m = dcols[0] if n == 1 else F.least(*dcols)
+    p = p.withColumn("_rl_m", m)
+    if n == 1:
+        seg = F.lit(0)
+        chain = F.col("_rl_c0")
+    else:
+        seg = F.when(dcols[0] == F.col("_rl_m"), F.lit(0))
+        chain = F.when(dcols[0] == F.col("_rl_m"), F.col("_rl_c0"))
+        for i in range(1, n - 1):
+            seg = seg.when(dcols[i] == F.col("_rl_m"), F.lit(i))
+            chain = chain.when(
+                dcols[i] == F.col("_rl_m"), F.col(f"_rl_c{i}"))
+        seg = seg.otherwise(F.lit(n - 1))
+        chain = chain.otherwise(F.col(f"_rl_c{n - 1}"))
+    out = p.select(
+        *df.columns,
+        F.col("_rl_m").alias("route_dist_m"),
+        seg.cast("int").alias("route_seg"),
+        F.round(chain, _ND).alias("route_pos_m"),
+    )
+    if max_dist_m is not None:
+        out = out.where(F.col("route_dist_m") <= float(max_dist_m))
+    return out
+
+
+def route_locate_sql(
+    src_sql: str,
+    route: list,
+    max_dist_m: float = None,
+    lon: str = "lon",
+    lat: str = "lat",
+    R: float = None,
+) -> str:
+    """Oracle twin of :func:`route_locate` — the same rounded-distance
+    projection / least / first-match CASE as one dialect-shared string
+    (Spark's `when`-chain with a final `otherwise` IS SQL's CASE with a
+    final ELSE, so tie behavior matches by construction)."""
+    from .crs import _pf
+
+    dists, chains, _ = _locate_parts(route, lon, lat, R)
+    n = len(dists)
+    dsel = ", ".join(
+        f"round({d}, {_ND}) AS _rl_d{i}" for i, d in enumerate(dists))
+    csel = ", ".join(f"({c}) AS _rl_c{i}" for i, c in enumerate(chains))
+    if n == 1:
+        msql, seg, chain = "_rl_d0", "0", "_rl_c0"
+    else:
+        msql = f"least({', '.join(f'_rl_d{i}' for i in range(n))})"
+        seg = " ".join(
+            f"WHEN _rl_d{i} = _rl_m THEN {i}" for i in range(n - 1))
+        seg = f"(CASE {seg} ELSE {n - 1} END)"
+        chain = " ".join(
+            f"WHEN _rl_d{i} = _rl_m THEN _rl_c{i}" for i in range(n - 1))
+        chain = f"(CASE {chain} ELSE _rl_c{n - 1} END)"
+    where = (
+        f" WHERE route_dist_m <= {_pf(float(max_dist_m))}"
+        if max_dist_m is not None else ""
+    )
+    return (
+        f"SELECT * EXCLUDE ({', '.join(f'_rl_d{i}' for i in range(n))}, "
+        f"{', '.join(f'_rl_c{i}' for i in range(n))}, _rl_m) FROM ("
+        f"SELECT *, _rl_m AS route_dist_m, "
+        f"CAST({seg} AS INTEGER) AS route_seg, "
+        f"round({chain}, {_ND}) AS route_pos_m "
+        f"FROM (SELECT *, {msql} AS _rl_m "
+        f"FROM (SELECT *, {dsel}, {csel} FROM ({src_sql}) s) p) q) z{where}"
     )

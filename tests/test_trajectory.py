@@ -148,6 +148,113 @@ def test_route_proximity_filter_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def _seg_locate_ref(p, a, b):
+    """(distance_m, clamped along-arc position_m) — 3D-vector truth with
+    the SAME branch rule as the engine (off-arc snaps to the endpoint
+    the min picks)."""
+    n = np.cross(a, b)
+    n = n / np.linalg.norm(n)
+    c = p - np.dot(n, p) * n
+    nc = np.linalg.norm(c)
+    if nc > 1e-12:
+        c = c / nc
+        if _ang(a, c) + _ang(c, b) <= _ang(a, b) + 1e-12:
+            return abs(np.arcsin(np.clip(np.dot(n, p), -1, 1))) * R, \
+                _ang(a, c) * R
+    da, db = _ang(a, p), _ang(b, p)
+    if da <= db:
+        return da * R, 0.0
+    return db * R, _ang(a, b) * R
+
+
+def _route_locate_ref(lon, lat, route):
+    p = _to_xyz(lon, lat)
+    pts = [_to_xyz(x, y) for x, y in route]
+    best = None
+    off = 0.0
+    for i, (a, b) in enumerate(zip(pts, pts[1:])):
+        d, pos = _seg_locate_ref(p, a, b)
+        # first-min tie-break, matching the engine's CASE order
+        if best is None or d < best[0] - 1e-9:
+            best = (d, i, off + pos)
+        off += _ang(a, b) * R
+    return best
+
+
+def test_route_locate_matches_vector_truth(spark):
+    """Engine (dist, seg, chainage) vs the 3D-vector reference over the
+    seam-crossing corridor route; points whose two best segments are
+    within 1 m are skipped for seg/chainage (tie zone — dist itself must
+    still match)."""
+    route = [(150.0, -20.0), (-170.0, 5.0), (-104.2, 38.1), (-60.0, 10.0)]
+    rng = np.random.default_rng(41)
+    pts = [(float(lo), float(la)) for lo, la in zip(
+        rng.uniform(-180, 180, 60), rng.uniform(-75, 75, 60))]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = trajectory.route_locate(df, route).collect()
+    for r in out:
+        d, seg, chain = _route_locate_ref(r["lon"], r["lat"], route)
+        assert abs(r["route_dist_m"] - d) <= 1e-3, (r, d)
+        # tie zone: two segments nearly equidistant -> seg choice is
+        # legitimately either; chainage then differs by design
+        pref = [_seg_locate_ref(
+            _to_xyz(r["lon"], r["lat"]),
+            _to_xyz(*route[i]), _to_xyz(*route[i + 1]))[0]
+            for i in range(len(route) - 1)]
+        pref.sort()
+        if len(pref) > 1 and pref[1] - pref[0] < 1.0:
+            continue
+        assert r["route_seg"] == seg, (r, seg)
+        assert abs(r["route_pos_m"] - chain) <= 1e-2, (r, chain)
+
+
+def test_route_locate_on_route_monotone_and_vertex_continuity(spark):
+    """Points sampled ALONG the route (slerp on each segment) have
+    ~zero distance and strictly increasing chainage; at each interior
+    vertex both adjacent segments report the SAME chainage (so the
+    tie-break cannot move the value)."""
+    route = [(-10.0, 0.0), (0.0, 20.0), (15.0, 10.0)]
+    pts3 = [_to_xyz(x, y) for x, y in route]
+    samples = []
+    for a, b in zip(pts3, pts3[1:]):
+        w = _ang(a, b)
+        for t in np.linspace(0.05, 0.95, 7):
+            v = (np.sin((1 - t) * w) * a + np.sin(t * w) * b) / np.sin(w)
+            v = v / np.linalg.norm(v)
+            samples.append((
+                float(np.degrees(np.arctan2(v[1], v[0]))),
+                float(np.degrees(np.arcsin(np.clip(v[2], -1, 1)))),
+            ))
+    df = spark.createDataFrame(samples, "lon double, lat double")
+    rows = trajectory.route_locate(df, route).collect()
+    by_input = {(r["lon"], r["lat"]): r for r in rows}
+    chains = [by_input[s]["route_pos_m"] for s in samples]
+    for r in rows:
+        assert r["route_dist_m"] <= 1.0  # slerp points sit on the route
+    assert chains == sorted(chains)
+    assert all(b - a > 1000.0 for a, b in zip(chains, chains[1:]))
+    # interior vertex: chainage from segment 0 (pos=d12) must equal the
+    # folded offset segment 1 starts from
+    vdf = spark.createDataFrame([route[1]], "lon double, lat double")
+    vrow = trajectory.route_locate(vdf, route).collect()[0]
+    dists, chains_sql, _ = trajectory._locate_parts(
+        route, "lon", "lat", None)
+    both = vdf.selectExpr(
+        f"{chains_sql[0]} AS c0", f"{chains_sql[1]} AS c1").collect()[0]
+    assert abs(both["c0"] - both["c1"]) < 1e-6
+    assert vrow["route_dist_m"] < 1e-3
+
+
+def test_route_locate_plan(spark):
+    route = [(0.0, 0.0), (10.0, 0.0), (20.0, 5.0)]
+    df = spark.createDataFrame(
+        [(5.0, 1.0), (15.0, 3.0)], "lon double, lat double")
+    out = trajectory.route_locate(df, route, max_dist_m=500_000.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_route_validation():
     with pytest.raises(ValueError, match="at least 2"):
         trajectory.route_distance_sql([(0.0, 0.0)])
