@@ -330,6 +330,27 @@ def _route_locate_sql() -> str:
     )
 
 
+def q_dwell_segments(spark, sf_dir):
+    """Stay-point detection (operators/trajectory.py dwell_segments):
+    per-user tracks split wherever a consecutive geodesic step exceeds
+    30 km; dwell runs >= 1 day kept, with a WRAP-SAFE centroid (user 0's
+    home sits ON the antimeridian in this dataset, so the relative-mean
+    re-anchor is exercised live — a naive avg(lon) would put it near 0).
+    One exchange: lag window, run window, and aggregate all accept
+    hashpartitioning(user_id)."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.dwell_segments(
+        ev, max_step_m=30000.0, min_duration_us=86_400_000_000
+    )
+
+
+def _dwell_segments_sql() -> str:
+    return trajectory.dwell_segments_sql(
+        FX.events_geo_sql(), max_step_m=30000.0,
+        min_duration_us=86_400_000_000,
+    )
+
+
 def q_geohash_cells(spark, sf_dir):
     """Geohash decode (operators/layout.py geohash_decode_sql): the
     precision-4 event cells with their decoded centres — instr on the
@@ -4431,6 +4452,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": _geohash_cells_sql(),
         "route_proximity": _route_proximity_sql(),
         "route_locate": _route_locate_sql(),
+        "dwell_segments": _dwell_segments_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4774,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": q_geohash_cells,
         "route_proximity": q_route_proximity,
         "route_locate": q_route_locate,
+        "dwell_segments": q_dwell_segments,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

@@ -442,3 +442,137 @@ def route_locate_sql(
         f"FROM (SELECT *, {msql} AS _rl_m "
         f"FROM (SELECT *, {dsel}, {csel} FROM ({src_sql}) s) p) q) z{where}"
     )
+
+
+# ---- dwell detection (stay points) ----
+
+def _wrap_lon_sql(x: str) -> str:
+    """Wrap a degree quantity into (-180, 180] — dialect-neutral (`%` on
+    doubles is fmod in both engines; the +540 shift keeps the operand
+    positive so fmod's sign convention never differs)."""
+    return f"((({x}) + 540.0E0) % 360.0E0 - 180.0E0)"
+
+
+def dwell_segments(
+    df: DataFrame,
+    max_step_m: float,
+    min_duration_us: int = 0,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Stay-point detection: split each entity's (ts, seq)-ordered track
+    wherever a consecutive geodesic step exceeds ``max_step_m``; each
+    maximal run of small steps is a dwell segment. Returns one row per
+    (entity, run) with point count, start/end/duration, and a WRAP-SAFE
+    centroid: longitudes are averaged RELATIVE to the run's first point
+    (wrapped into ±180°) and re-anchored, so a cluster straddling the
+    antimeridian averages to ±180-ish, not to ~0. Segments shorter than
+    ``min_duration_us`` are dropped (a single fix has duration 0).
+
+    100-TB posture: the lag window (entity), the first-value window
+    (entity, run) and the final aggregate (entity, run) all accept
+    ``hashpartitioning(entity)`` — ONE exchange total (plan-asserted);
+    per-partition cost is the window sorts, bounded by track length.
+    The step comparison runs on the MM-ROUNDED distance (engine-stable
+    branch, the geodesic-family convention).
+    """
+    step = F.round(
+        F.expr(haversine_m_sql("plon", "plat", lon, lat)), _ND)
+    w = Window.partitionBy(entity).orderBy(ts_us, seq)
+    lagged = df.select(
+        entity, F.col(ts_us).alias("_us"), lon, lat,
+        F.lag(lon).over(w).alias("plon"),
+        F.lag(lat).over(w).alias("plat"),
+    ).select(
+        entity, "_us", lon, lat,
+        F.when(F.col("plon").isNull() | (step > float(max_step_m)),
+               F.lit(1)).otherwise(F.lit(0)).alias("_brk"),
+    )
+    runs = lagged.select(
+        entity, "_us", lon, lat,
+        F.sum("_brk").over(
+            w.orderBy("_us").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("run_id"),
+    )
+    # re-derive the (ts, seq) order for the run window: _us alone can
+    # tie, but first_value only anchors the wrap — ANY in-run point
+    # works, so ordering by _us is sufficient and keeps the frame narrow
+    wr = Window.partitionBy(entity, "run_id").orderBy("_us")
+    anchored = runs.select(
+        entity, "run_id", "_us", lat,
+        F.expr(_wrap_lon_sql(
+            f"{lon} - first_value({lon}) OVER "
+            f"(PARTITION BY {entity}, run_id ORDER BY _us "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )).alias("_rel"),
+        F.first(lon).over(wr).alias("_anchor"),
+    )
+    agg = anchored.groupBy(entity, "run_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("_us").cast("bigint").alias("start_us"),
+        F.max("_us").cast("bigint").alias("end_us"),
+        (F.max("_us") - F.min("_us")).cast("bigint").alias("duration_us"),
+        F.avg("_rel").alias("_avg_rel"),
+        F.min("_anchor").alias("_a"),
+        F.round(F.avg(lat), 6).alias("c_lat"),
+    )
+    c_lon = F.round(
+        F.expr(_wrap_lon_sql("_a + _avg_rel")), 6).alias("c_lon")
+    return agg.where(
+        F.col("duration_us") >= int(min_duration_us)
+    ).select(
+        entity, "run_id", "n_points", "start_us", "end_us",
+        "duration_us", c_lon, "c_lat",
+    )
+
+
+def dwell_segments_sql(
+    src_sql: str,
+    max_step_m: float,
+    min_duration_us: int = 0,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`dwell_segments` — the same lag / running-sum
+    / first-value / aggregate cascade in one dialect-shared string."""
+    from .crs import _pf
+
+    hav = haversine_m_sql("plon", "plat", lon, lat)
+    order = f"PARTITION BY {entity} ORDER BY {ts_us}, {seq}"
+    rel = _wrap_lon_sql(f"{lon} - first_value({lon}) OVER wr")
+    return (
+        f"WITH o AS (SELECT {entity}, {ts_us} AS _us, {lon}, {lat}, "
+        f"lag({lon}) OVER w AS plon, lag({lat}) OVER w AS plat "
+        f"FROM ({src_sql}) s WINDOW w AS ({order})), "
+        f"b AS (SELECT {entity}, _us, {lon}, {lat}, "
+        f"CASE WHEN plon IS NULL OR round({hav}, {_ND}) > "
+        f"{_pf(float(max_step_m))} THEN 1 ELSE 0 END AS _brk FROM o), "
+        f"r AS (SELECT {entity}, _us, {lon}, {lat}, "
+        f"CAST(sum(_brk) OVER (PARTITION BY {entity} ORDER BY _us "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        f"AS run_id FROM b), "
+        f"a AS (SELECT {entity}, run_id, _us, {lat}, "
+        f"{rel} AS _rel, first_value({lon}) OVER wr AS _anchor "
+        f"FROM r WINDOW wr AS (PARTITION BY {entity}, run_id "
+        f"ORDER BY _us ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"CURRENT ROW)), "
+        f"g AS (SELECT {entity}, run_id, "
+        f"CAST(count(*) AS BIGINT) AS n_points, "
+        f"CAST(min(_us) AS BIGINT) AS start_us, "
+        f"CAST(max(_us) AS BIGINT) AS end_us, "
+        f"CAST(max(_us) - min(_us) AS BIGINT) AS duration_us, "
+        f"avg(_rel) AS _avg_rel, min(_anchor) AS _a, "
+        f"round(avg({lat}), 6) AS c_lat "
+        f"FROM a GROUP BY {entity}, run_id) "
+        f"SELECT {entity}, run_id, n_points, start_us, end_us, "
+        f"duration_us, round({_wrap_lon_sql('_a + _avg_rel')}, 6) "
+        f"AS c_lon, c_lat "
+        f"FROM g WHERE duration_us >= {int(min_duration_us)}"
+    )

@@ -255,6 +255,63 @@ def test_route_locate_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_dwell_segments_crafted(spark):
+    """Crafted track: dwell A (3 pts, 2 h), a 100 km jump, dwell B
+    (2 pts, 10 min), another jump, a singleton. Split at 30 km, keep
+    runs >= 1 h -> only dwell A survives."""
+    H = 3_600_000_000
+    rows = [
+        # dwell A near (10, 50): steps ~1.3 km
+        (1, 1, 0 * H, 10.00, 50.00),
+        (1, 2, 1 * H, 10.01, 50.01),
+        (1, 3, 2 * H, 10.02, 50.00),
+        # jump ~100 km east, dwell B for 10 min
+        (1, 4, 3 * H, 11.40, 50.00),
+        (1, 5, 3 * H + H // 6, 11.41, 50.00),
+        # far singleton
+        (1, 6, 5 * H, 20.00, 55.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_us long, lon double, lat double")
+    allruns = trajectory.dwell_segments(df, max_step_m=30000.0)
+    got = {(r["run_id"], r["n_points"], r["duration_us"])
+           for r in allruns.collect()}
+    assert got == {(1, 3, 2 * H), (2, 2, H // 6), (3, 1, 0)}
+    kept = trajectory.dwell_segments(
+        df, max_step_m=30000.0, min_duration_us=H).collect()
+    assert len(kept) == 1 and kept[0]["n_points"] == 3
+    assert abs(kept[0]["c_lon"] - 10.01) < 1e-6
+    assert abs(kept[0]["c_lat"] - (50.0 + 50.01 + 50.0) / 3) < 1e-6
+
+
+def test_dwell_centroid_wraps_at_seam(spark):
+    """A dwell straddling the antimeridian averages to ±180-ish (the
+    relative-mean re-anchor), where a naive avg(lon) would give ~0."""
+    rows = [
+        (7, 1, 0, 179.9, 10.0),
+        (7, 2, 1_000_000, -179.9, 10.0),
+        (7, 3, 2_000_000, 179.95, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_us long, lon double, lat double")
+    out = trajectory.dwell_segments(df, max_step_m=50000.0).collect()
+    assert len(out) == 1
+    c = out[0]["c_lon"]
+    # mean of (179.9, -179.9=180.1, 179.95) rel to 179.9 -> 179.983...
+    assert abs(abs(c) - 179.983333) < 1e-5
+
+
+def test_dwell_plan_one_exchange(spark):
+    rows = [(i % 3, i, i * 1_000_000, float(i % 5), float(i % 7))
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_us long, lon double, lat double")
+    out = trajectory.dwell_segments(df, max_step_m=10000.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_route_validation():
     with pytest.raises(ValueError, match="at least 2"):
         trajectory.route_distance_sql([(0.0, 0.0)])
