@@ -351,6 +351,30 @@ def _dwell_segments_sql() -> str:
     )
 
 
+def q_track_kinematics(spark, sf_dir):
+    """Per-event kinematics (operators/trajectory.py track_kinematics):
+    step distance, elapsed time, speed, initial bearing, and the
+    GPS-jitter screen (speed > 10 m/s) over (ts, seq)-ordered per-user
+    tracks. One hashpartitioning(user_id) exchange; NULL semantics:
+    first fix has no step, coincident timestamps have no speed."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    out = trajectory.track_kinematics(ev, vmax_mps=10.0)
+    return out.select(
+        "event_id", "user_id", "step_m", "dt_us", "speed_mps",
+        "bearing_deg", "implausible",
+    )
+
+
+def _track_kinematics_sql() -> str:
+    inner = trajectory.track_kinematics_sql(
+        FX.events_geo_sql(), vmax_mps=10.0
+    )
+    return (
+        f"SELECT event_id, user_id, step_m, dt_us, speed_mps, "
+        f"bearing_deg, implausible FROM ({inner}) r"
+    )
+
+
 def q_geohash_cells(spark, sf_dir):
     """Geohash decode (operators/layout.py geohash_decode_sql): the
     precision-4 event cells with their decoded centres — instr on the
@@ -4453,6 +4477,7 @@ def oracle_sql() -> dict[str, str]:
         "route_proximity": _route_proximity_sql(),
         "route_locate": _route_locate_sql(),
         "dwell_segments": _dwell_segments_sql(),
+        "track_kinematics": _track_kinematics_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4797,6 +4822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_proximity": q_route_proximity,
         "route_locate": q_route_locate,
         "dwell_segments": q_dwell_segments,
+        "track_kinematics": q_track_kinematics,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

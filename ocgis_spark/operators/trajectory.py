@@ -576,3 +576,114 @@ def dwell_segments_sql(
         f"AS c_lon, c_lat "
         f"FROM g WHERE duration_us >= {int(min_duration_us)}"
     )
+
+
+# ---- per-step kinematics (speed / bearing / GPS-jitter flags) ----
+
+def _bearing_deg_sql(plon: str, plat: str, lon: str, lat: str) -> str:
+    """Initial great-circle bearing (degrees in [0, 360)) from the
+    previous point to the current one — dialect-neutral (atan2 yields
+    (-180, 180]; the +360 %360 fold maps 360 -> 0 exactly). Wrap-safe:
+    Δλ enters only under sin/cos."""
+    dl = f"radians(({lon}) - ({plon}))"
+    y = f"sin({dl}) * cos(radians({lat}))"
+    x = (f"cos(radians({plat})) * sin(radians({lat})) - "
+         f"sin(radians({plat})) * cos(radians({lat})) * cos({dl})")
+    return f"((degrees(atan2({y}, {x})) + 360.0E0) % 360.0E0)"
+
+
+def track_kinematics(
+    df: DataFrame,
+    vmax_mps: float = None,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-event kinematics over (ts, seq)-ordered entity tracks:
+
+    * ``step_m``      — geodesic step from the previous fix (mm-rounded;
+      NULL on each track's first fix),
+    * ``dt_us``       — elapsed micros since the previous fix (BIGINT),
+    * ``speed_mps``   — step_m / dt seconds, round(·,6); NULL when there
+      is no previous fix or dt == 0 (coincident timestamps carry no rate
+      information — dividing would yield ±inf),
+    * ``bearing_deg`` — initial great-circle bearing from the previous
+      fix, [0, 360), round(·,6),
+    * ``implausible`` — speed_mps > ``vmax_mps`` (GPS-jitter screen:
+      teleporting fixes; false when speed is NULL). Omitted when
+      ``vmax_mps`` is None.
+
+    The track-cleaning primitive: filter ``implausible`` fixes upstream
+    of :func:`track_stats` / :func:`dwell_segments` so one bad fix does
+    not split a dwell or inflate a track length. ONE exchange
+    (hashpartitioning(entity)); everything else is a narrow map."""
+    w = Window.partitionBy(entity).orderBy(ts_us, seq)
+    lagged = df.select(
+        "*",
+        F.lag(lon).over(w).alias("_plon"),
+        F.lag(lat).over(w).alias("_plat"),
+        F.lag(ts_us).over(w).alias("_pus"),
+    )
+    step = F.round(
+        F.expr(haversine_m_sql("_plon", "_plat", lon, lat)), _ND)
+    dt = (F.col(ts_us) - F.col("_pus")).cast("bigint")
+    speed = F.round(
+        F.col("step_m") / (F.col("dt_us").cast("double") / 1.0e6), 6)
+    bearing = F.round(
+        F.expr(_bearing_deg_sql("_plon", "_plat", lon, lat)), 6)
+    out = lagged.select(
+        *df.columns,
+        F.when(F.col("_plon").isNotNull(), step).alias("step_m"),
+        F.when(F.col("_plon").isNotNull(), dt).alias("dt_us"),
+        F.when(F.col("_plon").isNotNull(), bearing).alias("bearing_deg"),
+    ).withColumn(
+        "speed_mps",
+        F.when(F.col("dt_us") > 0, speed),
+    )
+    if vmax_mps is not None:
+        out = out.withColumn(
+            "implausible",
+            F.coalesce(F.col("speed_mps") > float(vmax_mps), F.lit(False)),
+        )
+    return out
+
+
+def track_kinematics_sql(
+    src_sql: str,
+    vmax_mps: float = None,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`track_kinematics` (same expression tree;
+    the lag window replayed via a WINDOW clause)."""
+    from .crs import _pf
+
+    hav = haversine_m_sql("_plon", "_plat", lon, lat)
+    bearing = _bearing_deg_sql("_plon", "_plat", lon, lat)
+    order = f"PARTITION BY {entity} ORDER BY {ts_us}, {seq}"
+    imp = (
+        f", coalesce(speed_mps > {_pf(float(vmax_mps))}, FALSE) "
+        f"AS implausible" if vmax_mps is not None else ""
+    )
+    return (
+        f"SELECT * EXCLUDE (_plon, _plat, _pus){imp} FROM ("
+        f"SELECT *, CASE WHEN dt_us > 0 THEN "
+        f"round(step_m / (CAST(dt_us AS DOUBLE) / 1.0E6), 6) END "
+        f"AS speed_mps FROM ("
+        f"SELECT * EXCLUDE (step_m, dt_us, bearing_deg), "
+        f"CASE WHEN _plon IS NOT NULL THEN step_m END AS step_m, "
+        f"CASE WHEN _plon IS NOT NULL THEN dt_us END AS dt_us, "
+        f"CASE WHEN _plon IS NOT NULL THEN bearing_deg END "
+        f"AS bearing_deg FROM ("
+        f"SELECT *, round({hav}, {_ND}) AS step_m, "
+        f"CAST(({ts_us}) - _pus AS BIGINT) AS dt_us, "
+        f"round({bearing}, 6) AS bearing_deg FROM ("
+        f"SELECT *, lag({lon}) OVER w AS _plon, "
+        f"lag({lat}) OVER w AS _plat, lag({ts_us}) OVER w AS _pus "
+        f"FROM ({src_sql}) s WINDOW w AS ({order})) o) c) n) z"
+    )

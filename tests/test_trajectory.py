@@ -312,6 +312,60 @@ def test_dwell_plan_one_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_track_kinematics_crafted(spark):
+    """Hand-checked steps: 1° east on the equator (~111.2 km) in 1000 s
+    -> ~111.2 m/s due east (bearing 90); then 1° north (~111.2 km) in
+    coincident time -> speed NULL; first fix all NULL."""
+    rows = [
+        (1, 1, 0, 0.0, 0.0),
+        (1, 2, 1_000_000_000, 1.0, 0.0),
+        (1, 3, 1_000_000_000, 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_us long, lon double, lat double")
+    out = {r["event_id"]: r for r in
+           trajectory.track_kinematics(df, vmax_mps=50.0).collect()}
+    assert out[1]["step_m"] is None and out[1]["speed_mps"] is None
+    assert out[1]["dt_us"] is None and not out[1]["implausible"]
+    # 1 deg of arc on R_SPHERE = 6370997 * pi/180 = 111194.9 m
+    assert abs(out[2]["step_m"] - 111194.927) < 0.5
+    assert abs(out[2]["speed_mps"] - 111.194927) < 1e-3
+    assert abs(out[2]["bearing_deg"] - 90.0) < 1e-6
+    assert out[2]["implausible"]
+    assert out[3]["dt_us"] == 0 and out[3]["speed_mps"] is None
+    assert abs(out[3]["bearing_deg"] - 0.0) < 1e-6
+    assert not out[3]["implausible"]
+
+
+def test_track_kinematics_bearing_quadrants_and_plan(spark):
+    # NOTE: "due west" along a parallel is only a great-circle initial
+    # bearing of 270 ON THE EQUATOR (elsewhere the great circle starts
+    # poleward of the parallel — e.g. 270.38 deg at lat 50)
+    rows = [
+        (1, 1, 0, 10.0, 0.0),
+        (1, 2, 1_000_000, 9.0, 0.0),     # due west on the equator -> 270
+        (1, 3, 2_000_000, 9.0, -1.0),    # due south -> 180
+        (2, 1, 0, 179.5, 0.0),
+        (2, 2, 1_000_000, -179.5, 0.0),  # east across the seam -> 90
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_us long, lon double, lat double")
+    out = trajectory.track_kinematics(df)
+    got = {(r["user_id"], r["event_id"]): r for r in out.collect()}
+    assert abs(got[(1, 2)]["bearing_deg"] - 270.0) < 1e-6
+    assert abs(got[(1, 3)]["bearing_deg"] - 180.0) < 1e-6
+    assert abs(got[(2, 2)]["bearing_deg"] - 90.0) < 1e-6
+    # seam step is ~1 deg, not ~359 deg
+    assert abs(got[(2, 2)]["step_m"] - 111194.927) < 0.5
+    assert "implausible" not in out.columns  # vmax omitted
+    # after an action AQE prints Final AND Initial plan sections — count
+    # exchanges in the final section only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_route_validation():
     with pytest.raises(ValueError, match="at least 2"):
         trajectory.route_distance_sql([(0.0, 0.0)])
