@@ -24,6 +24,7 @@ from ocgis_spark import fixtures as FX
 from ocgis_spark import spans as SP
 from ocgis_spark.fixtures import DOC_GRID
 from ocgis_spark.operators import calcmath, crs, dedup, knn, regrid, similarity, spatial, temporal
+from ocgis_spark.operators import cluster as CLU
 from ocgis_spark.operators import layout, sketch, trajectory, trend
 from ocgis_spark.operators import graph as GR
 from ocgis_spark.operators import sampling as SMP
@@ -372,6 +373,28 @@ def _track_kinematics_sql() -> str:
     return (
         f"SELECT event_id, user_id, step_m, dt_us, speed_mps, "
         f"bearing_deg, implausible FROM ({inner}) r"
+    )
+
+
+def q_grid_cluster(spark, sf_dir):
+    """Grid-density clustering (operators/cluster.py grid_cluster —
+    distributed DBSCAN on cell counts): events snapped to a 1-degree
+    seam-wrapped graticule, cells with >= 20 events form clusters by
+    8-neighborhood adjacency (large-star/small-star components, min
+    cell id as the label), sparse-cell events are NULL noise. One corpus
+    aggregation; everything else runs on the graticule-bounded cell
+    table."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    out = CLU.grid_cluster(ev, cell_deg=1.0, min_pts=20)
+    return out.select("event_id", "user_id", "cell_id", "cluster_id")
+
+
+def _grid_cluster_sql() -> str:
+    inner = CLU.grid_cluster_sql(
+        FX.events_geo_sql(), cell_deg=1.0, min_pts=20
+    )
+    return (
+        f"SELECT event_id, user_id, cell_id, cluster_id FROM ({inner}) r"
     )
 
 
@@ -4478,6 +4501,7 @@ def oracle_sql() -> dict[str, str]:
         "route_locate": _route_locate_sql(),
         "dwell_segments": _dwell_segments_sql(),
         "track_kinematics": _track_kinematics_sql(),
+        "grid_cluster": _grid_cluster_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4823,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_locate": q_route_locate,
         "dwell_segments": q_dwell_segments,
         "track_kinematics": q_track_kinematics,
+        "grid_cluster": q_grid_cluster,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,
