@@ -398,6 +398,28 @@ def _grid_cluster_sql() -> str:
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample, Efraimidis-Spirakis A-ES): top-15 docs per lang by
+    ln(u)/n_chars with u a deterministic hash uniform of doc_id — the
+    principled long-doc-biased corpus sample (ORDER BY weight LIMIT k
+    would take ONLY the heaviest). No RNG: identical across engines,
+    partitionings, reruns. One stratum-window exchange."""
+    docs = _read(spark, sf_dir, "documents")
+    out = SMP.weighted_sample(
+        docs, k=15, weight="n_chars", stratum="lang", key="doc_id"
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _weighted_sample_sql() -> str:
+    inner = SMP.weighted_sample_sql(
+        "SELECT * FROM documents", k=15, weight="n_chars",
+        stratum="lang", key="doc_id",
+    )
+    return f"SELECT doc_id, lang, n_chars FROM ({inner}) r"
+
+
 def q_geohash_cells(spark, sf_dir):
     """Geohash decode (operators/layout.py geohash_decode_sql): the
     precision-4 event cells with their decoded centres — instr on the
@@ -4502,6 +4524,7 @@ def oracle_sql() -> dict[str, str]:
         "dwell_segments": _dwell_segments_sql(),
         "track_kinematics": _track_kinematics_sql(),
         "grid_cluster": _grid_cluster_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4848,6 +4871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwell_segments": q_dwell_segments,
         "track_kinematics": q_track_kinematics,
         "grid_cluster": q_grid_cluster,
+        "weighted_sample": q_weighted_sample,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

@@ -436,3 +436,79 @@ SELECT doc_id,
 FROM w
 ORDER BY gkey DESC, doc_id
 LIMIT {k}"""
+
+
+# ---- weighted sampling without replacement (Efraimidis–Spirakis) ----
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: str,
+    stratum: str | None = None,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement: top-``k`` rows (per
+    ``stratum`` if given) by the A-ES key (Efraimidis & Spirakis 2006)
+    — rank by u^(1/w), here the monotone-equivalent ``ln(u)/w`` with u a
+    DETERMINISTIC hash uniform of the row key (the module's no-RNG
+    contract: identical across engines, partitionings, and reruns, and
+    a grown corpus never evicts a kept row except by genuinely
+    out-scoring it). P(row in sample) is the weighted
+    without-replacement inclusion probability — the principled way to
+    bias a corpus sample toward long/high-quality docs while keeping it
+    a true sample (a plain ORDER BY weight LIMIT k takes ONLY the
+    heaviest rows).
+
+    Rows with NULL or non-positive weight are dropped (they have no
+    defined inclusion probability). Ranking uses ``row_number`` ordered
+    by (score DESC, key) — the key tie-break pins the order even for
+    equal scores; score gaps between distinct hash uniforms dwarf the
+    ~1-ulp libm ``ln`` drift, the residual cross-engine risk class the
+    geodesic family already accepts.
+
+    100-TB posture: ONE hash exchange on the stratum (the window);
+    everything else is a narrow map. For k small relative to partitions,
+    swap the window for a per-partition top-k + merge if the single
+    stratum's sort ever dominates — at corpus scale the stratum count
+    usually keeps partitions balanced."""
+    from .sketch import H_MOD, hash_sql
+
+    h = hash_sql(key)
+    # u in (0, 1]: +1 so u never hits 0 (ln(0) = -inf would be a valid
+    # but degenerate score; keeping u positive keeps scores finite)
+    score = F.expr(
+        f"ln((CAST({h} AS DOUBLE) + 1.0E0) / {H_MOD}.0E0) "
+        f"/ CAST({weight} AS DOUBLE)"
+    )
+    filt = df.filter(F.expr(f"({weight}) IS NOT NULL AND ({weight}) > 0"))
+    parts = [stratum] if stratum else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("_aes").desc(), F.col(key))
+    ranked = filt.withColumn("_aes", score).withColumn(
+        "_rn", F.row_number().over(w))
+    return ranked.filter(F.col("_rn") <= int(k)).drop("_aes", "_rn")
+
+
+def weighted_sample_sql(
+    src_sql: str,
+    k: int,
+    weight: str,
+    stratum: str | None = None,
+    key: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`weighted_sample` (same score expression and
+    (score DESC, key) row_number ranking)."""
+    from .sketch import H_MOD, hash_sql
+
+    h = hash_sql(key)
+    part = f"PARTITION BY {stratum} " if stratum else ""
+    return (
+        f"SELECT * EXCLUDE (_aes, _rn) FROM ("
+        f"SELECT *, row_number() OVER ({part}ORDER BY _aes DESC, {key}) "
+        f"AS _rn FROM ("
+        f"SELECT *, ln((CAST({h} AS DOUBLE) + 1.0E0) / {H_MOD}.0E0) "
+        f"/ CAST({weight} AS DOUBLE) AS _aes "
+        f"FROM ({src_sql}) s "
+        f"WHERE ({weight}) IS NOT NULL AND ({weight}) > 0) u) r "
+        f"WHERE _rn <= {int(k)}"
+    )

@@ -790,3 +790,52 @@ def test_dsir_corpus_exploded_at_most_twice(spark):
     plan = sampling.dsir_weights(docs, target, m=64)._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Generate explode") <= 6
+
+
+# ---- weighted sampling without replacement (A-ES) ----
+
+def test_weighted_sample_exact_k_and_determinism(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr", 10 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, w int")
+    out = sampling.weighted_sample(df, k=7, weight="w", stratum="lang")
+    got = out.groupBy("lang").count().collect()
+    assert {(r["lang"], r["count"]) for r in got} == {("en", 7), ("fr", 7)}
+    # deterministic: identical set across reruns and repartitionings
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in sampling.weighted_sample(
+        df.repartition(13), k=7, weight="w", stratum="lang").collect()}
+    assert a == b
+
+
+def test_weighted_sample_bias_and_validity(spark):
+    """A row with 1000x the weight of its peers is selected in (nearly)
+    every stratum; zero/NULL weights never appear."""
+    rows = []
+    for s in range(60):
+        for i in range(10):
+            w = 100000 if i == 0 else 100
+            rows.append((s * 100 + i, str(s), w))
+    rows.append((99990, "0", 0))       # zero weight
+    rows.append((99991, "0", None))    # NULL weight
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, w int")
+    out = sampling.weighted_sample(df, k=3, weight="w", stratum="lang")
+    kept = [r["doc_id"] for r in out.collect()]
+    assert 99990 not in kept and 99991 not in kept
+    heavy_hit = sum(1 for s in range(60) if s * 100 in kept)
+    # heavy item has ~99.7%+ inclusion at w-ratio 1000:1, k=3 of 10
+    assert heavy_hit >= 55
+    # fewer than k survivors when the stratum is small: all kept
+    tiny = spark.createDataFrame(
+        [(1, "x", 5), (2, "x", 5)], "doc_id bigint, lang string, w int")
+    assert sampling.weighted_sample(
+        tiny, k=10, weight="w", stratum="lang").count() == 2
+
+
+def test_weighted_sample_global_and_plan(spark):
+    rows = [(i, 1 + i % 9) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w int")
+    out = sampling.weighted_sample(df, k=10, weight="w")
+    assert out.count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
