@@ -420,6 +420,26 @@ def _weighted_sample_sql() -> str:
     return f"SELECT doc_id, lang, n_chars FROM ({inner}) r"
 
 
+def q_track_resample(spark, sf_dir):
+    """Track resampling (operators/trajectory.py track_resample):
+    per-user tracks interpolated onto a 12-hour grid by great-circle
+    slerp (3-space, seam-safe); segments longer than 7 days emit
+    nothing (interpolating across a data gap fabricates fixes). Tick
+    indices in exact integer arithmetic — epoch micros exceed 2^50 and
+    naive double floor(t/D) can mis-floor exact multiples."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.track_resample(
+        ev, interval_us=43_200_000_000, max_gap_us=604_800_000_000
+    )
+
+
+def _track_resample_sql() -> str:
+    return trajectory.track_resample_sql(
+        FX.events_geo_sql(), interval_us=43_200_000_000,
+        max_gap_us=604_800_000_000,
+    )
+
+
 def q_geohash_cells(spark, sf_dir):
     """Geohash decode (operators/layout.py geohash_decode_sql): the
     precision-4 event cells with their decoded centres — instr on the
@@ -4525,6 +4545,7 @@ def oracle_sql() -> dict[str, str]:
         "track_kinematics": _track_kinematics_sql(),
         "grid_cluster": _grid_cluster_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "track_resample": _track_resample_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4872,6 +4893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_kinematics": q_track_kinematics,
         "grid_cluster": q_grid_cluster,
         "weighted_sample": q_weighted_sample,
+        "track_resample": q_track_resample,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

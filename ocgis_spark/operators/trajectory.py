@@ -687,3 +687,176 @@ def track_kinematics_sql(
         f"lag({lat}) OVER w AS _plat, lag({ts_us}) OVER w AS _pus "
         f"FROM ({src_sql}) s WINDOW w AS ({order})) o) c) n) z"
     )
+
+
+# ---- track resampling (great-circle interpolation to a time grid) ----
+
+def _slerp_cols_sql() -> list:
+    """The slerp cascade as (name, expr) stages over columns
+    (plon, plat, lon, lat, f) — shared verbatim by engine and oracle.
+    omega is the segment's angular distance (haversine with R=1);
+    degenerate segments (sin(omega) ~ 0: coincident fixes, or the
+    antipodal pair where the great circle is not unique) snap to the
+    nearest endpoint by f — deterministic, and continuous at the
+    omega->0 end (slerp of coincident points IS the point). The
+    interpolated point is exactly unit-norm in exact arithmetic, so z
+    is clamped only against 1-ulp drift."""
+    # R=1: haversine_m_sql returns 2*R*asin(sqrt(h)); the angular
+    # distance IS 2*asin(sqrt(h))
+    omega = haversine_m_sql("plon", "plat", "lon", "lat", R=1.0)
+    return [
+        ("omega", omega),
+        ("deg", "CASE WHEN sin(omega) < 1.0E-12 THEN 1 ELSE 0 END"),
+        ("sa", "CASE WHEN deg = 1 THEN "
+               "(CASE WHEN f <= 0.5E0 THEN 1.0E0 ELSE 0.0E0 END) "
+               "ELSE sin((1.0E0 - f) * omega) / sin(omega) END"),
+        ("sb", "CASE WHEN deg = 1 THEN "
+               "(CASE WHEN f <= 0.5E0 THEN 0.0E0 ELSE 1.0E0 END) "
+               "ELSE sin(f * omega) / sin(omega) END"),
+        ("px", "sa * cos(radians(plat)) * cos(radians(plon)) + "
+               "sb * cos(radians(lat)) * cos(radians(lon))"),
+        ("py", "sa * cos(radians(plat)) * sin(radians(plon)) + "
+               "sb * cos(radians(lat)) * sin(radians(lon))"),
+        ("pz", "sa * sin(radians(plat)) + sb * sin(radians(lat))"),
+    ]
+
+
+_SLERP_LON = "round(degrees(atan2(py, px)), 6)"
+_SLERP_LAT = (
+    "round(degrees(asin(least(1.0E0, greatest(-1.0E0, pz)))), 6)"
+)
+
+
+def track_resample(
+    df: DataFrame,
+    interval_us: int,
+    max_gap_us: int = None,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Resample each entity's track to a regular time grid: one row per
+    tick k·``interval_us`` that falls inside a consecutive-fix segment
+    (t_prev, t_cur], positioned by GREAT-CIRCLE interpolation (slerp) —
+    f = (tick - t_prev)/(t_cur - t_prev); f = 1 reproduces the fix
+    itself (to rounding), so a fix ON a tick is emitted exactly once.
+    A track's FIRST fix is emitted iff it lands on a tick (no earlier
+    segment covers it). Output: (entity, tick_us, lon, lat,
+    interpolated) with coordinates round(·, 6) degrees.
+
+    ``max_gap_us``: segments longer than this emit NO ticks —
+    interpolating across a data gap fabricates fixes (a ship "sailing"
+    through land for a week); refusing is standard trajectory-tool
+    semantics, and it also bounds the explode fan-out per row. None =
+    no limit (callers own the fan-out).
+
+    Tick indices use exact integer arithmetic ((t - t % D)/D — epoch
+    micros exceed 2^50, naive floor(t/D) on DOUBLE can mis-floor at
+    exact multiples). Wrap-safe: the slerp runs in 3-space. One
+    exchange (the lag window); the explode fans out tick rows AFTER the
+    per-segment constants are computed, so per-tick work is the slerp
+    trig only."""
+    D = int(interval_us)
+    if D <= 0:
+        raise ValueError(f"interval_us must be positive, got {interval_us}")
+    w = Window.partitionBy(entity).orderBy(ts_us, seq)
+    pairs = df.select(
+        entity,
+        F.col(ts_us).alias("_us"),
+        F.col(lon).alias("lon"), F.col(lat).alias("lat"),
+        F.lag(ts_us).over(w).alias("_pus"),
+        F.lag(lon).over(w).alias("plon"),
+        F.lag(lat).over(w).alias("plat"),
+    )
+    starts = pairs.filter(
+        F.col("_pus").isNull() & (F.col("_us") % D == 0)
+    ).select(
+        entity,
+        F.col("_us").alias("tick_us"),
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.lit(False).alias("interpolated"),
+    )
+    gap_ok = (
+        (F.col("_us") - F.col("_pus")) <= int(max_gap_us)
+        if max_gap_us is not None else F.lit(True)
+    )
+    segs = pairs.filter(
+        F.col("_pus").isNotNull() & (F.col("_us") > F.col("_pus")) & gap_ok
+    ).selectExpr(
+        entity, "_pus", "_us", "plon", "plat", "lon", "lat",
+        f"(_pus - (_pus % {D})) / {D} + 1 AS _klo",
+        f"(_us - (_us % {D})) / {D} AS _khi",
+    ).filter(F.col("_khi") >= F.col("_klo")).selectExpr(
+        entity, "_pus", "_us", "plon", "plat", "lon", "lat",
+        f"explode(sequence(CAST(_klo AS BIGINT), CAST(_khi AS BIGINT))) "
+        f"AS k",
+    ).selectExpr(
+        entity, "plon", "plat", "lon", "lat",
+        f"k * {D} AS tick_us",
+        f"CAST(k * {D} - _pus AS DOUBLE) / CAST(_us - _pus AS DOUBLE) "
+        f"AS f",
+    )
+    for name, expr in _slerp_cols_sql():
+        segs = segs.withColumn(name, F.expr(expr))
+    interp = segs.select(
+        entity, "tick_us",
+        F.expr(_SLERP_LON).alias("lon"),
+        F.expr(_SLERP_LAT).alias("lat"),
+        F.lit(True).alias("interpolated"),
+    )
+    return starts.unionByName(interp)
+
+
+def track_resample_sql(
+    src_sql: str,
+    interval_us: int,
+    max_gap_us: int = None,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`track_resample`. The tick fan-out uses
+    DuckDB's ``generate_series`` + ``unnest`` (empty when hi < lo, so no
+    descending-sequence guard is needed there); every arithmetic /
+    slerp expression is the SHARED string."""
+    D = int(interval_us)
+    order = f"PARTITION BY {entity} ORDER BY {ts_us}, {seq}"
+    gap = (
+        f"AND (_us - _pus) <= {int(max_gap_us)} "
+        if max_gap_us is not None else ""
+    )
+    stage_sql = ""
+    inner = "t"
+    for name, expr in _slerp_cols_sql():
+        stage_sql += f", {name}_s AS (SELECT *, {expr} AS {name} FROM {inner})"
+        inner = f"{name}_s"
+    # the CTE names shadow nothing: *_s suffixes
+    return (
+        f"WITH o AS (SELECT {entity}, {ts_us} AS _us, {lon} AS lon, "
+        f"{lat} AS lat, lag({ts_us}) OVER w AS _pus, "
+        f"lag({lon}) OVER w AS plon, lag({lat}) OVER w AS plat "
+        f"FROM ({src_sql}) s WINDOW w AS ({order})), "
+        f"st AS (SELECT {entity}, _us AS tick_us, round(lon, 6) AS lon, "
+        f"round(lat, 6) AS lat, FALSE AS interpolated FROM o "
+        f"WHERE _pus IS NULL AND _us % {D} = 0), "
+        f"sg AS (SELECT {entity}, _pus, _us, plon, plat, lon, lat, "
+        f"(_pus - (_pus % {D})) / {D} + 1 AS _klo, "
+        f"(_us - (_us % {D})) / {D} AS _khi FROM o "
+        f"WHERE _pus IS NOT NULL AND _us > _pus {gap}), "
+        f"t AS (SELECT {entity}, plon, plat, lon, lat, "
+        f"k * {D} AS tick_us, "
+        f"CAST(k * {D} - _pus AS DOUBLE) / CAST(_us - _pus AS DOUBLE) "
+        f"AS f FROM (SELECT sg.*, CAST(unnest(generate_series("
+        f"CAST(_klo AS BIGINT), CAST(_khi AS BIGINT))) AS BIGINT) AS k "
+        f"FROM sg) u)"
+        f"{stage_sql} "
+        f"SELECT {entity}, tick_us, lon, lat, interpolated FROM st "
+        f"UNION ALL "
+        f"SELECT {entity}, tick_us, {_SLERP_LON} AS lon, "
+        f"{_SLERP_LAT} AS lat, TRUE AS interpolated FROM {inner}"
+    )

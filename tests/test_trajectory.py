@@ -366,6 +366,87 @@ def test_track_kinematics_bearing_quadrants_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_track_resample_equator_linear(spark):
+    """On the equator slerp is linear in longitude: fixes at (0,0) t=0
+    and (10,0) t=10s resampled at 1s ticks give lon = 1..10 exactly
+    (tick 0 = the first fix, emitted uninterpolated)."""
+    S = 1_000_000
+    rows = [(1, 1, 0, 0.0, 0.0), (1, 2, 10 * S, 10.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_us long, lon double, lat double")
+    out = trajectory.track_resample(df, interval_us=S).collect()
+    got = {r["tick_us"] // S: r for r in out}
+    assert set(got) == set(range(11))
+    assert not got[0]["interpolated"]
+    for k in range(1, 11):
+        assert got[k]["interpolated"]
+        assert abs(got[k]["lon"] - float(k)) < 1e-6, (k, got[k])
+        assert abs(got[k]["lat"]) < 1e-6
+
+
+def test_track_resample_matches_numpy_slerp(spark):
+    """Mid-segment ticks across a seam-crossing segment match a 3D
+    numpy slerp reference."""
+    S = 1_000_000
+    rows = [(1, 1, 0, 178.0, 10.0), (1, 2, 4 * S, -178.0, 30.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_us long, lon double, lat double")
+    out = {r["tick_us"] // S: r for r in
+           trajectory.track_resample(df, interval_us=S).collect()}
+    a, b = _to_xyz(178.0, 10.0), _to_xyz(-178.0, 30.0)
+    w = _ang(a, b)
+    for k in range(1, 5):
+        f = k / 4.0
+        v = (np.sin((1 - f) * w) * a + np.sin(f * w) * b) / np.sin(w)
+        lon = np.degrees(np.arctan2(v[1], v[0]))
+        lat = np.degrees(np.arcsin(np.clip(v[2], -1, 1)))
+        assert abs(out[k]["lon"] - lon) < 1e-5, (k, out[k], lon)
+        assert abs(out[k]["lat"] - lat) < 1e-5
+    # f=1 reproduces the fix itself
+    assert abs(out[4]["lon"] - (-178.0)) < 1e-6
+    assert abs(out[4]["lat"] - 30.0) < 1e-6
+
+
+def test_track_resample_gaps_and_degenerates(spark):
+    S = 1_000_000
+    rows = [
+        (1, 1, 0, 0.0, 0.0),
+        (1, 2, 2 * S, 1.0, 0.0),
+        (1, 3, 100 * S, 2.0, 0.0),   # 98 s gap > max_gap 10 s: no ticks
+        (1, 4, 100 * S, 2.0, 0.0),   # coincident timestamp: no ticks
+        (2, 1, S // 2, 5.0, 5.0),    # first fix off-tick: not emitted
+        (2, 2, S + S // 2, 5.0, 5.0),  # coincident COORDS: snap, tick 1
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_us long, lon double, lat double")
+    out = trajectory.track_resample(
+        df, interval_us=S, max_gap_us=10 * S).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ticks1 = sorted(r["tick_us"] // S for r in by_user[1])
+    assert ticks1 == [0, 1, 2]       # the long gap emitted nothing
+    ticks2 = sorted(r["tick_us"] // S for r in by_user[2])
+    assert ticks2 == [1]
+    r2 = by_user[2][0]
+    assert abs(r2["lon"] - 5.0) < 1e-6 and abs(r2["lat"] - 5.0) < 1e-6
+
+
+def test_track_resample_validation_and_plan(spark):
+    with pytest.raises(ValueError, match="positive"):
+        trajectory.track_resample(None, interval_us=0)
+    S = 1_000_000
+    rows = [(1, 1, 0, 0.0, 0.0), (1, 2, 4 * S, 4.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_us long, lon double, lat double")
+    out = trajectory.track_resample(df, interval_us=S)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the two union branches share ONE window partitioning
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_route_validation():
     with pytest.raises(ValueError, match="at least 2"):
         trajectory.route_distance_sql([(0.0, 0.0)])
