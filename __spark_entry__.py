@@ -27,6 +27,7 @@ from ocgis_spark.operators import calcmath, crs, dedup, knn, regrid, similarity,
 from ocgis_spark.operators import cluster as CLU
 from ocgis_spark.operators import layout, sketch, trajectory, trend
 from ocgis_spark.operators import graph as GR
+from ocgis_spark.operators import gridstats as GS
 from ocgis_spark.operators import sampling as SMP
 from ocgis_spark.operators import text as textops
 from ocgis_spark.operators import tiling, vectorgrid, windows
@@ -437,6 +438,44 @@ def _track_resample_sql() -> str:
     return trajectory.track_resample_sql(
         FX.events_geo_sql(), interval_us=43_200_000_000,
         max_gap_us=604_800_000_000,
+    )
+
+
+def q_hotspot_gi(spark, sf_dir):
+    """Getis-Ord Gi* hotspot analysis (operators/gridstats.py
+    getis_ord_gi): per-cell z-scores of the 3x3-window event count over
+    a fixed 5-degree study lattice (lat -65..65, lon wrapped) — empty
+    cells count as zero in the global moments, as the statistic
+    requires. Global sums stay BIGINT-exact; the one double expression
+    is shared with the oracle. Corpus scanned once; scatter + moment
+    join run on the graticule-bounded cell table."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.getis_ord_gi(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0)
+
+
+def _hotspot_gi_sql() -> str:
+    return GS.getis_ord_gi_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
+def q_kde_cells(spark, sf_dir):
+    """Gaussian kernel-smoothed event intensity (operators/gridstats.py
+    kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
+    with FIXED-POINT integer weights folded as literals — the scatter
+    sum is exact BIGINT arithmetic, immune to double summation order
+    (the sum(double) parity trap). Two graticule-bounded exchanges."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.kde_cells(
+        ev, cell_deg=2.0, sigma_cells=1.5, radius_cells=3,
+        lat0=-66.0, lat1=66.0,
+    )
+
+
+def _kde_cells_sql() -> str:
+    return GS.kde_cells_sql(
+        FX.events_geo_sql(), cell_deg=2.0, sigma_cells=1.5,
+        radius_cells=3, lat0=-66.0, lat1=66.0,
     )
 
 
@@ -4546,6 +4585,8 @@ def oracle_sql() -> dict[str, str]:
         "grid_cluster": _grid_cluster_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "track_resample": _track_resample_sql(),
+        "hotspot_gi": _hotspot_gi_sql(),
+        "kde_cells": _kde_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
             "SELECT doc_id, text FROM documents WHERE doc_id < 25",
@@ -4894,6 +4935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cluster": q_grid_cluster,
         "weighted_sample": q_weighted_sample,
         "track_resample": q_track_resample,
+        "hotspot_gi": q_hotspot_gi,
+        "kde_cells": q_kde_cells,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,
         "icclim_R95p": q_icclim_r95p,

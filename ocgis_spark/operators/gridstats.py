@@ -1,0 +1,316 @@
+"""Focal (neighborhood) statistics on the seam-wrapped cell lattice.
+
+The reference's spatial machinery subsets and aggregates grids; it has
+no inferential neighborhood statistics. This module adds the two focal
+operators a geospatial event pipeline serves on top of the same
+graticule the cluster family uses (`cluster.cell_id_sql`):
+
+* :func:`getis_ord_gi` — Getis-Ord Gi* hotspot z-scores (Getis & Ord
+  1992; the ArcGIS "Hot Spot Analysis" statistic) with binary 3x3
+  weights over a FIXED study lattice (missing cells count as zero, as
+  the statistic requires — dropping empty cells silently inflates the
+  global mean).
+* :func:`kde_cells` — Gaussian kernel smoothing of cell counts with
+  FIXED-POINT integer weights, so the scatter-sum is exact integer
+  arithmetic and immune to double summation order (the usual
+  sum(double) parity trap).
+
+Scale posture (both): ONE corpus aggregation (map-side partial counts)
+down to the cell table, bounded by the graticule — every subsequent
+explode/join/aggregate runs on cells, never on the corpus. The 3x3 (or
+kernel-disk) scatter is a bounded Generate over that cell table; the
+1-row global-moment join broadcasts. Longitude cells WRAP modulo nx
+(antimeridian hotspots connect); latitude clips at the study bounds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cluster import _grid_params, cell_id_sql
+from .crs import _pf
+
+
+def _lat_band(cell_deg: float, lat0: float, lat1: float) -> tuple:
+    """(cy0, cy1) for a study band [lat0, lat1); both bounds must sit on
+    cell edges so the lattice size n is well-defined."""
+    for name, v in (("lat0", lat0), ("lat1", lat1)):
+        k = v / cell_deg
+        if abs(k - round(k)) > 1e-9:
+            raise ValueError(
+                f"{name}={v} is not a multiple of cell_deg={cell_deg}"
+            )
+    if not -90.0 <= lat0 < lat1 <= 90.0:
+        raise ValueError(f"need -90 <= lat0 < lat1 <= 90, got {lat0},{lat1}")
+    return int(round(lat0 / cell_deg)), int(round(lat1 / cell_deg))
+
+
+def _counts_sql(
+    src_sql: str, cell_deg: float, cy0: int, cy1: int, lon: str, lat: str
+) -> str:
+    """Per-cell BIGINT counts over the study band (dialect-neutral)."""
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    return (
+        f"SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM ({src_sql}) s "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} "
+        f"GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------- Gi* --
+
+def getis_ord_gi_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """One dialect-neutral SQL string computing Gi* per cell — shared by
+    the Spark query and the DuckDB oracle, so both engines evaluate the
+    identical expression tree (the geodesic-family parity posture).
+
+    Statistic (binary weights w_ij in {0,1} over the 3x3 window
+    INCLUDING self, x_j = event count of lattice cell j, n = nx*ny study
+    cells, empty cells x=0):
+
+        Gi* = (S_i - xbar*W_i) / (s * sqrt((n*W_i - W_i^2) / (n-1)))
+
+    with S_i the window sum, W_i the window size (9 in the interior,
+    lat-edge rows clipped; longitude wraps so there is no lon edge),
+    xbar = SUM(x)/n and s = sqrt(SUM(x^2)/n - xbar^2) the population
+    moments. SUM(x)/SUM(x^2) stay exact BIGINTs until the final double
+    arithmetic, so the result is order-independent; the single z value
+    is round(.,6) per the aggregation-float convention.
+
+    Output: cells whose 3x3 window holds at least one event (an
+    all-empty window's z is the same negative constant per W — noise).
+    Columns (cell_x, cell_y, nbr_sum, w_size, gi_z).
+    """
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    n = f"{n_cells}.0E0"
+    return (
+        f"WITH counts AS ({counts}), "
+        f"gmom AS (SELECT CAST(sum(cnt) AS BIGINT) AS sx, "
+        f"CAST(sum(cnt * cnt) AS BIGINT) AS sxx FROM counts), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.cnt "
+        f"FROM counts c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
+        f"win AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS nbr_sum "
+        f"FROM scat GROUP BY tx, ty), "
+        f"sized AS (SELECT tx, ty, nbr_sum, "
+        f"3 * (1 + (CASE WHEN ty - 1 >= {cy0} THEN 1 ELSE 0 END) "
+        f"+ (CASE WHEN ty + 1 < {cy1} THEN 1 ELSE 0 END)) AS w_size "
+        f"FROM win) "
+        f"SELECT tx AS cell_x, ty AS cell_y, nbr_sum, "
+        f"CAST(w_size AS BIGINT) AS w_size, "
+        f"round((CAST(nbr_sum AS DOUBLE) "
+        f"- (CAST(sx AS DOUBLE) / {n}) * CAST(w_size AS DOUBLE)) "
+        f"/ nullif(sqrt(CAST(sxx AS DOUBLE) / {n} "
+        f"- (CAST(sx AS DOUBLE) / {n}) * (CAST(sx AS DOUBLE) / {n})) "
+        f"* sqrt(({n} * CAST(w_size AS DOUBLE) "
+        f"- CAST(w_size AS DOUBLE) * CAST(w_size AS DOUBLE)) "
+        f"/ ({n} - 1.0E0)), 0.0E0), 6) AS gi_z "
+        f"FROM sized CROSS JOIN gmom"
+    )
+
+
+def getis_ord_gi(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Gi* hotspot z-scores per lattice cell (see :func:`getis_ord_gi_sql`
+    for the statistic). DataFrame plan: one corpus hash-aggregate down to
+    the cell table, a bounded 9-offset Generate + cell aggregate, and a
+    broadcast 1-row global-moment join — the corpus is scanned exactly
+    once and never shuffled beyond the first partial-aggregated exchange.
+    """
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    glob = counts.agg(
+        F.sum("cnt").cast("bigint").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sxx"),
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    scat = counts.selectExpr(
+        f"explode(array({offs})) AS o", "cx", "cy", "cnt"
+    ).selectExpr(
+        f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty", "cnt"
+    ).filter(f"ty >= {cy0} AND ty < {cy1}")
+    # w_size is a NAMED column (evaluated once); the z expression below
+    # references it — same expression tree as the `sized` CTE in the
+    # SQL twin, so values agree exactly
+    sized = scat.groupBy("tx", "ty").agg(
+        F.sum("cnt").cast("bigint").alias("nbr_sum")
+    ).selectExpr(
+        "tx", "ty", "nbr_sum",
+        f"CAST(3 * (1 + (CASE WHEN ty - 1 >= {cy0} THEN 1 ELSE 0 END) "
+        f"+ (CASE WHEN ty + 1 < {cy1} THEN 1 ELSE 0 END)) AS BIGINT) "
+        f"AS w_size",
+    )
+    n = f"{n_cells}.0E0"
+    return sized.crossJoin(F.broadcast(glob)).selectExpr(
+        "tx AS cell_x",
+        "ty AS cell_y",
+        "nbr_sum",
+        "w_size",
+        f"round((CAST(nbr_sum AS DOUBLE) "
+        f"- (CAST(sx AS DOUBLE) / {n}) * CAST(w_size AS DOUBLE)) "
+        f"/ nullif(sqrt(CAST(sxx AS DOUBLE) / {n} "
+        f"- (CAST(sx AS DOUBLE) / {n}) * (CAST(sx AS DOUBLE) / {n})) "
+        f"* sqrt(({n} * CAST(w_size AS DOUBLE) "
+        f"- CAST(w_size AS DOUBLE) * CAST(w_size AS DOUBLE)) "
+        f"/ ({n} - 1.0E0)), 0.0E0), 6) AS gi_z",
+    )
+
+
+# ---------------------------------------------------------------- KDE --
+
+#: fixed-point weight scale: 1e6 keeps per-target sums inside BIGINT up
+#: to ~9e12 events under one kernel disk (scale * disk_size * max_cnt)
+_KDE_SCALE = 1_000_000
+
+
+def kernel_offsets(sigma_cells: float, radius_cells: int) -> list:
+    """(dx, dy, w_int) for the Euclidean kernel disk dx^2+dy^2 <= r^2.
+    Weights are Gaussian exp(-d^2 / (2 sigma^2)) scaled to integers at
+    :data:`_KDE_SCALE` — computed ONCE in Python, folded into both
+    dialects as identical literals, so the scatter-sum is exact integer
+    arithmetic (no double summation order anywhere)."""
+    if not sigma_cells > 0:
+        raise ValueError(f"sigma_cells must be positive, got {sigma_cells}")
+    if not 1 <= radius_cells <= 8:
+        raise ValueError(
+            f"radius_cells must be in [1, 8] (disk <= 289 offsets), "
+            f"got {radius_cells}"
+        )
+    out = []
+    r2 = radius_cells * radius_cells
+    for dx in range(-radius_cells, radius_cells + 1):
+        for dy in range(-radius_cells, radius_cells + 1):
+            d2 = dx * dx + dy * dy
+            if d2 > r2:
+                continue
+            w = int(round(
+                math.exp(-d2 / (2.0 * sigma_cells * sigma_cells))
+                * _KDE_SCALE
+            ))
+            if w > 0:
+                out.append((dx, dy, w))
+    return out
+
+
+def kde_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    sigma_cells: float,
+    radius_cells: int,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Dialect-neutral twin of :func:`kde_cells` (shared-string oracle).
+
+    density = sum_j w(d_ij) * x_j over the kernel disk, with w the
+    fixed-point Gaussian of :func:`kernel_offsets`. The per-target sum
+    is BIGINT-exact; the one trailing division by the weight scale is a
+    single IEEE op on identical inputs, so both engines emit the same
+    double bit-for-bit (rounded to 6 anyway, per convention).
+    """
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    offs = ", ".join(
+        f"({dx}, {dy}, {w})"
+        for dx, dy, w in kernel_offsets(sigma_cells, radius_cells)
+    )
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    return (
+        f"WITH counts AS ({counts}), "
+        f"offs(dx, dy, w) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.cnt * CAST(o.w AS BIGINT) AS wc "
+        f"FROM counts c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}) "
+        f"SELECT tx AS cell_x, ty AS cell_y, "
+        f"round(CAST(CAST(sum(wc) AS BIGINT) AS DOUBLE) "
+        f"/ {_pf(float(_KDE_SCALE))}, 6) AS kde "
+        f"FROM scat GROUP BY tx, ty"
+    )
+
+
+def kde_cells(
+    df: DataFrame,
+    cell_deg: float,
+    sigma_cells: float,
+    radius_cells: int,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Gaussian kernel-smoothed event intensity per lattice cell.
+
+    Plan: one corpus hash-aggregate to the cell table, then a bounded
+    kernel-disk Generate + one cell aggregate — two exchanges total,
+    both over tables bounded by the graticule, with the kernel weights
+    folded as integer literals (see :func:`kernel_offsets`).
+    """
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy, {w}L AS w)"
+        for dx, dy, w in kernel_offsets(sigma_cells, radius_cells)
+    )
+    scat = counts.selectExpr(
+        f"explode(array({offs})) AS o", "cx", "cy", "cnt"
+    ).selectExpr(
+        f"((cx + o.dx + {nx}) % {nx}) AS tx",
+        "(cy + o.dy) AS ty",
+        "cnt * o.w AS wc",
+    ).filter(f"ty >= {cy0} AND ty < {cy1}")
+    return scat.groupBy("tx", "ty").agg(
+        F.sum("wc").cast("bigint").alias("_s")
+    ).selectExpr(
+        "tx AS cell_x", "ty AS cell_y",
+        f"round(CAST(_s AS DOUBLE) / {_pf(float(_KDE_SCALE))}, 6) AS kde",
+    )

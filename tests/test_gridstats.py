@@ -1,0 +1,153 @@
+"""gridstats: Gi* NumPy truth (zero-filled lattice, wrapped window,
+lat-edge W), fixed-point KDE truth, parameter validation, plan audits."""
+
+import math
+
+import numpy as np
+import pytest
+
+from ocgis_spark.operators import gridstats as GS
+
+# tiny lattice: 30-degree cells, lat band [-60, 60) -> nx=12, ny=4, n=48
+CELL = 30.0
+LAT0, LAT1 = -60.0, 60.0
+NX, NY = 12, 4
+CY0 = -2
+
+
+def _mk_events(spark, cells):
+    """One event per unit of count at the given (cx, cy, cnt) cells
+    (cell centers, so snapping is unambiguous)."""
+    rows = []
+    eid = 0
+    for cx, cy, cnt in cells:
+        lon = cx * CELL + CELL / 2.0  # cell_id_sql floors lon/CELL mod nx
+        lat = cy * CELL + CELL / 2.0
+        for _ in range(cnt):
+            rows.append((eid, lon, lat))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double"
+    )
+
+
+def _numpy_gi(cells):
+    """Zero-filled lattice Gi* truth: x[cx, cy-CY0], window wraps in cx,
+    clips in cy."""
+    x = np.zeros((NX, NY), dtype=np.int64)
+    for cx, cy, cnt in cells:
+        x[cx % NX, cy - CY0] += cnt
+    n = NX * NY
+    xbar = x.sum() / n
+    s = math.sqrt((x.astype(np.float64) ** 2).sum() / n - xbar * xbar)
+    out = {}
+    for cx in range(NX):
+        for iy in range(NY):
+            wsum, w = 0, 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    jy = iy + dy
+                    if 0 <= jy < NY:
+                        w += 1
+                        wsum += x[(cx + dx) % NX, jy]
+            z = (wsum - xbar * w) / (s * math.sqrt((n * w - w * w) / (n - 1.0)))
+            out[(cx, iy + CY0)] = (wsum, w, round(z, 6))
+    return out
+
+
+def test_gi_numpy_truth_wrap_and_edges(spark):
+    # a hotspot straddling the antimeridian (cx 11 and cx 0 adjacent)
+    # plus a lat-edge cell (cy = -2 -> W = 6) and an interior loner
+    cells = [(11, 0, 40), (0, 0, 30), (5, 1, 7), (3, -2, 12)]
+    truth = _numpy_gi(cells)
+    out = GS.getis_ord_gi(_mk_events(spark, cells), CELL, LAT0, LAT1)
+    got = {(r.cell_x, r.cell_y): (r.nbr_sum, r.w_size, r.gi_z)
+           for r in out.collect()}
+    # every returned cell matches truth exactly
+    for key, (nbr, w, z) in got.items():
+        tn, tw, tz = truth[key]
+        assert (nbr, w) == (tn, tw), key
+        assert z == pytest.approx(tz, abs=2e-6), key
+    # the seam pair sees each other: cell (0,0) window includes (11,0)
+    assert got[(0, 0)][0] == 70
+    assert got[(11, 0)][0] == 70
+    # lat edge: W = 6 at cy = -2 (no row below the band)
+    assert got[(3, -2)][1] == 6
+    # cells with an all-empty window are absent (documented contract)
+    assert (7, 1) not in got
+    # a genuinely hot window has a clearly positive z
+    assert got[(0, 0)][2] > 2.0
+
+
+def test_gi_validation():
+    with pytest.raises(ValueError, match="multiple of cell_deg"):
+        GS.getis_ord_gi_sql("SELECT 1", 30.0, -50.0, 60.0)
+    with pytest.raises(ValueError, match="lat0 < lat1"):
+        GS.getis_ord_gi_sql("SELECT 1", 30.0, 60.0, -60.0)
+    with pytest.raises(ValueError, match="divide 360"):
+        GS.getis_ord_gi_sql("SELECT 1", 7.0, -56.0, 56.0)
+
+
+def test_kde_fixed_point_truth_and_wrap(spark):
+    cells = [(0, 0, 10), (11, 0, 4), (5, -1, 3)]
+    offs = GS.kernel_offsets(1.0, 2)
+    # integer truth: scatter each source cell's count * w_int
+    acc = {}
+    for cx, cy, cnt in cells:
+        for dx, dy, w in offs:
+            ty = cy + dy
+            if CY0 <= ty < CY0 + NY:
+                k = ((cx + dx) % NX, ty)
+                acc[k] = acc.get(k, 0) + cnt * w
+    out = GS.kde_cells(_mk_events(spark, cells), CELL, 1.0, 2, LAT0, LAT1)
+    got = {(r.cell_x, r.cell_y): r.kde for r in out.collect()}
+    assert set(got) == set(acc)
+    for k, v in acc.items():
+        assert got[k] == pytest.approx(round(v / 1e6, 6), abs=1e-9), k
+    # seam: source at cx=11 contributes to cx=1 (dx=+2 wraps)
+    assert (1, 0) in got
+
+
+def test_kernel_offsets_contract():
+    offs = GS.kernel_offsets(1.5, 3)
+    # disk, not square: corner (3,3) excluded, axis (3,0) included
+    ds = {(dx, dy) for dx, dy, _ in offs}
+    assert (3, 0) in ds and (3, 3) not in ds
+    # center weight is exactly the scale; weights symmetric
+    w = {(dx, dy): w for dx, dy, w in offs}
+    assert w[(0, 0)] == GS._KDE_SCALE
+    assert w[(1, 2)] == w[(-1, -2)] == w[(2, 1)]
+    with pytest.raises(ValueError, match="radius_cells"):
+        GS.kernel_offsets(1.0, 9)
+    with pytest.raises(ValueError, match="sigma_cells"):
+        GS.kernel_offsets(0.0, 2)
+
+
+def test_gridstats_plans(spark):
+    # AQE defers exchange reuse to runtime; disable it so the static
+    # plan shows the ReusedExchange (the same toggle
+    # test_dedup_partitioning uses)
+    df = _mk_events(spark, [(0, 0, 3), (4, 1, 2)])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        gi = GS.getis_ord_gi(df, CELL, LAT0, LAT1)
+        plan = gi._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # the global-moment branch REUSES the cell-count exchange (one
+        # corpus aggregation, as the module docstring claims) and joins
+        # broadcast; scatter adds one bounded Generate
+        assert "ReusedExchange" in plan
+        assert "BroadcastExchange" in plan
+        # cell-count agg + scatter agg only (gmom gathers via a
+        # SinglePartition exchange, not hashpartitioning)
+        assert plan.count("- Exchange hashpartitioning") == 2
+        assert plan.count("Generate") == 1
+
+        kde = GS.kde_cells(df, CELL, 1.0, 2, LAT0, LAT1)
+        kplan = kde._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in kplan
+        assert "ArrowEvalPython" not in kplan
+        assert kplan.count("- Exchange hashpartitioning") == 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
