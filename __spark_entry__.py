@@ -441,6 +441,28 @@ def _track_resample_sql() -> str:
     )
 
 
+def q_colocation_pairs(spark, sf_dir):
+    """Space-time co-location join (operators/trajectory.py
+    colocation_pairs): pairs of distinct users with events within
+    1050 km AND 6 hours of each other — 24-degree wrapped spatial x 6 h
+    temporal buckets, 27-way left replication, exact predicates in the
+    join. The ORACLE is the brute-force time-range self-join with NO
+    bucketing, so it independently proves the bucket cover is
+    complete."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.colocation_pairs(
+        ev, max_dist_m=1050000.0, max_dt_us=21_600_000_000,
+        cell_deg=24.0, lat_max=66.0,
+    )
+
+
+def _colocation_pairs_sql() -> str:
+    return trajectory.colocation_pairs_sql(
+        FX.events_geo_sql(), max_dist_m=1050000.0,
+        max_dt_us=21_600_000_000, cell_deg=24.0, lat_max=66.0,
+    )
+
+
 def q_hotspot_gi(spark, sf_dir):
     """Getis-Ord Gi* hotspot analysis (operators/gridstats.py
     getis_ord_gi): per-cell z-scores of the 3x3-window event count over
@@ -4585,6 +4607,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_cluster": _grid_cluster_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "track_resample": _track_resample_sql(),
+        "colocation_pairs": _colocation_pairs_sql(),
         "hotspot_gi": _hotspot_gi_sql(),
         "kde_cells": _kde_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
@@ -4935,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cluster": q_grid_cluster,
         "weighted_sample": q_weighted_sample,
         "track_resample": q_track_resample,
+        "colocation_pairs": q_colocation_pairs,
         "hotspot_gi": q_hotspot_gi,
         "kde_cells": q_kde_cells,
         "icclim_WSDI": q_icclim_wsdi,

@@ -860,3 +860,180 @@ def track_resample_sql(
         f"SELECT {entity}, tick_us, {_SLERP_LON} AS lon, "
         f"{_SLERP_LAT} AS lat, TRUE AS interpolated FROM {inner}"
     )
+
+
+# ---- space-time co-location (contact join) ----
+
+def _coloc_params(
+    max_dist_m: float, max_dt_us: int, cell_deg: float, lat_max: float
+) -> tuple:
+    """Validate the bucket cover and return (nx, T). The 3x3 spatial
+    window is a complete cover of the max_dist_m disk ONLY while every
+    cell axis is at least max_dist_m wide over the study band — the
+    zonal width shrinks by cos(lat), so the constraint binds at
+    lat_max. Failing loudly here is what makes the brute-force oracle
+    a COVER test, not just a distance-filter test."""
+    import math as _m
+
+    from .cluster import _grid_params
+    from .crs import R_SPHERE
+
+    nx, _, _ = _grid_params(cell_deg)
+    if nx < 4:
+        raise ValueError(
+            f"cell_deg={cell_deg} gives only {nx} lon cells; the "
+            f"wrapped 3-cell window needs nx >= 4 to hit each "
+            f"neighbor once"
+        )
+    if not 0.0 < lat_max <= 89.0:
+        raise ValueError(f"lat_max must be in (0, 89], got {lat_max}")
+    if not max_dt_us >= 1:
+        raise ValueError(f"max_dt_us must be >= 1, got {max_dt_us}")
+    meters_per_deg = _m.pi / 180.0 * R_SPHERE
+    merid = cell_deg * meters_per_deg
+    zonal = merid * _m.cos(_m.radians(lat_max))
+    if max_dist_m > min(merid, zonal):
+        raise ValueError(
+            f"bucket cover violated: max_dist_m={max_dist_m} exceeds "
+            f"the cell width at lat_max={lat_max} "
+            f"(meridional {merid:.0f} m, zonal {zonal:.0f} m) — "
+            f"enlarge cell_deg or shrink lat_max"
+        )
+    return nx, int(max_dt_us)
+
+
+def _coloc_prepared_sql(
+    src_sql: str, cell_deg: float, T: int, lat_max: float,
+    entity: str, eid: str, ts_us: str, lon: str, lat: str,
+) -> str:
+    """The bucketed event view both engines share: study-band filter,
+    wrapped cell coordinates, and the exact-integer time bucket
+    ((t - pmod(t, T)) / T — floor for every sign; the quotient stays
+    under 2^53 for micros, so the int/int double division is exact)."""
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    pm = f"((({ts_us}) % {T} + {T}) % {T})"
+    return (
+        f"SELECT {entity} AS u, {eid} AS e, {ts_us} AS t, "
+        f"{lon} AS lo, {lat} AS la, {cx} AS cx, {cy} AS cy, "
+        f"CAST((({ts_us}) - {pm}) / {T} AS BIGINT) AS tb "
+        f"FROM ({src_sql}) s "
+        f"WHERE abs({lat}) <= {_pf(lat_max)}"
+    )
+
+
+def colocation_pairs(
+    df: DataFrame,
+    max_dist_m: float,
+    max_dt_us: int,
+    cell_deg: float,
+    lat_max: float,
+    entity: str = "user_id",
+    eid: str = "event_id",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Pairs of DISTINCT entities observed within ``max_dist_m`` meters
+    AND ``max_dt_us`` microseconds of each other (the contact-tracing /
+    co-occurrence join). Exact result: the bucketed join is a complete
+    candidate cover (validated in :func:`_coloc_params`), and the join
+    carries the exact predicates, so output equals the brute-force
+    truth — the registry oracle IS the brute-force join, so an
+    incomplete cover fails parity instead of hiding.
+
+    Shape: each left event replicates into its 3x3 spatial x 3 temporal
+    bucket window (27 rows, lon wrapped); the right side stays in its
+    home bucket, so every qualifying ordered event pair (smaller entity
+    id first) is found EXACTLY once — (dx, dy, db) is unique per pair
+    while nx >= 4. Two hash exchanges on the bucket key, no corpus
+    cross product; candidate volume is the sum of per-bucket products,
+    bounded by cell size ~ max_dist_m. A single pathological bucket (a
+    stadium) is inherent contact-join skew — AQE skew-join splits it,
+    or shrink cell_deg toward max_dist_m.
+
+    Output: (user_a, user_b, event_a, event_b, dt_us BIGINT signed
+    b - a, dist_m round(.,3)).
+    """
+    nx, T = _coloc_params(max_dist_m, max_dt_us, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    pm = f"((({ts_us}) % {T} + {T}) % {T})"
+    base = df.filter(F.expr(f"abs({lat}) <= {_pf(lat_max)}")).selectExpr(
+        f"{entity} AS u", f"{eid} AS e", f"{ts_us} AS t",
+        f"{lon} AS lo", f"{lat} AS la", f"{cx} AS cx", f"{cy} AS cy",
+        f"CAST((({ts_us}) - {pm}) / {T} AS BIGINT) AS tb",
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy, {db} AS db)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) for db in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "u AS ua", "e AS ea", "t AS ta", "lo AS loa", "la AS laa",
+        "cx", "cy", "tb", f"explode(array({offs})) AS o",
+    ).selectExpr(
+        "ua", "ea", "ta", "loa", "laa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx",
+        "(cy + o.dy) AS jy",
+        "(tb + o.db) AS jb",
+    )
+    b = base.selectExpr(
+        "u AS ub", "e AS eb", "t AS tc", "lo AS lob", "la AS lab",
+        "cx AS jx", "cy AS jy", "tb AS jb",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    return (
+        a.join(b, ["jx", "jy", "jb"])
+        .filter(F.expr(f"ua < ub AND abs(tc - ta) <= {T}"))
+        .selectExpr(
+            "ua", "ea", "ub", "eb", "tc", "ta",
+            f"round({hav}, {_ND}) AS dist_m",
+        )
+        .filter(F.expr(f"dist_m <= {_pf(max_dist_m)}"))
+        .selectExpr(
+            "ua AS user_a", "ub AS user_b", "ea AS event_a",
+            "eb AS event_b", "CAST(tc - ta AS BIGINT) AS dt_us",
+            "dist_m",
+        )
+    )
+
+
+def colocation_pairs_sql(
+    src_sql: str,
+    max_dist_m: float,
+    max_dt_us: int,
+    cell_deg: float,
+    lat_max: float,
+    entity: str = "user_id",
+    eid: str = "event_id",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`colocation_pairs`: a time-range
+    self-join (DuckDB plans an IEJoin) with the exact distance/time
+    predicates and NO bucketing — so the oracle independently verifies
+    that the engine's bucket cover is complete. Same keep rule
+    (mm-rounded haversine <= max_dist_m) on both sides."""
+    _coloc_params(max_dist_m, max_dt_us, cell_deg, lat_max)
+    from .crs import _pf
+
+    T = int(max_dt_us)
+    prep = _coloc_prepared_sql(
+        src_sql, cell_deg, T, lat_max, entity, eid, ts_us, lon, lat,
+    )
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    return (
+        f"WITH ev AS ({prep}) "
+        f"SELECT user_a, user_b, event_a, event_b, dt_us, dist_m FROM ("
+        f"SELECT a.u AS user_a, b.u AS user_b, a.e AS event_a, "
+        f"b.e AS event_b, CAST(b.t - a.t AS BIGINT) AS dt_us, "
+        f"round({hav}, {_ND}) AS dist_m "
+        f"FROM ev a JOIN ev b "
+        f"ON a.u < b.u AND b.t BETWEEN a.t - {T} AND a.t + {T}) p "
+        f"WHERE dist_m <= {_pf(max_dist_m)}"
+    )

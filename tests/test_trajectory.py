@@ -452,3 +452,95 @@ def test_route_validation():
         trajectory.route_distance_sql([(0.0, 0.0)])
     with pytest.raises(ValueError, match="distinct"):
         trajectory.route_distance_sql([(0.0, 0.0), (0.0, 0.0), (1.0, 1.0)])
+
+
+# ---- space-time co-location ----
+
+def test_colocation_brute_truth_seam_and_time(spark):
+    T = 3_600_000_000  # 1 h
+    rows = [
+        # users 1/2 straddle the antimeridian ~17 km apart; events
+        # interleave within the hour -> contacts (different lon cells,
+        # found only through the wrapped window)
+        (100, 1, 1_000_000_000, 179.90, 10.0),
+        (101, 1, 5_000_000_000, 179.92, 10.0),
+        (200, 2, 1_500_000_000, -179.95, 10.05),
+        (201, 2, 99_000_000_000, -179.95, 10.05),  # time-isolated
+        # user 3 nearby in space but ALWAYS > 1 h away in time
+        (300, 3, 50_000_000_000, 179.80, 10.1),
+        # user 4 on the far side of the planet, time-aligned
+        (400, 4, 1_200_000_000, 0.0, -30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, "
+              "lon double, lat double"
+    )
+    out = trajectory.colocation_pairs(
+        df, max_dist_m=30_000.0, max_dt_us=T, cell_deg=1.0, lat_max=60.0
+    )
+    got = {(r.user_a, r.user_b, r.event_a, r.event_b):
+           (r.dt_us, r.dist_m) for r in out.collect()}
+    # brute truth
+    exp = {}
+    for (ea, ua, ta, loa, laa) in rows:
+        for (eb, ub, tb, lob, lab) in rows:
+            if ua < ub and abs(tb - ta) <= T:
+                d = round(_hav(loa, laa, lob, lab), 3)
+                if d <= 30_000.0:
+                    exp[(ua, ub, ea, eb)] = tb - ta
+    assert set(got) == set(exp)
+    assert set(exp) == {(1, 2, 100, 200), (1, 2, 101, 200)}
+    for k, dt in exp.items():
+        assert got[k][0] == dt
+        assert got[k][1] == pytest.approx(
+            _hav(179.90 if k[2] == 100 else 179.92, 10.0, -179.95, 10.05),
+            abs=2e-3,
+        )
+
+
+def test_colocation_validation():
+    with pytest.raises(ValueError, match="bucket cover violated"):
+        trajectory.colocation_pairs_sql(
+            "SELECT 1", max_dist_m=500_000.0, max_dt_us=1,
+            cell_deg=1.0, lat_max=60.0,
+        )
+    with pytest.raises(ValueError, match="nx >= 4"):
+        trajectory.colocation_pairs_sql(
+            "SELECT 1", max_dist_m=1.0, max_dt_us=1,
+            cell_deg=120.0, lat_max=60.0,
+        )
+    with pytest.raises(ValueError, match="lat_max"):
+        trajectory.colocation_pairs_sql(
+            "SELECT 1", max_dist_m=1.0, max_dt_us=1,
+            cell_deg=1.0, lat_max=95.0,
+        )
+    with pytest.raises(ValueError, match="max_dt_us"):
+        trajectory.colocation_pairs_sql(
+            "SELECT 1", max_dist_m=1.0, max_dt_us=0,
+            cell_deg=1.0, lat_max=60.0,
+        )
+
+
+def test_colocation_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1_000_000, 0.0, 0.0)],
+        "event_id bigint, user_id bigint, ts_us bigint, "
+        "lon double, lat double",
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = trajectory.colocation_pairs(
+            df, max_dist_m=10_000.0, max_dt_us=3_600_000_000,
+            cell_deg=1.0, lat_max=60.0,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # bucketed equi-join: both sides exchange on the bucket key,
+        # never a cross product
+        assert plan.count("- Exchange hashpartitioning") == 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Generate") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
