@@ -441,6 +441,27 @@ def _track_resample_sql() -> str:
     )
 
 
+def q_od_flows(spark, sf_dir):
+    """Origin-destination matrix (operators/trajectory.py od_flows):
+    consecutive dwell segments (30 km step threshold, >= 12 h stays)
+    become trips; flows aggregate between 5-degree cells. Travel time
+    sums in BIGINT micros and trip distance in BIGINT millimeters, so
+    nothing double-sums; the dwell exchange also serves the lead
+    window."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.od_flows(
+        ev, max_step_m=30000.0, min_duration_us=43_200_000_000,
+        od_cell_deg=5.0,
+    )
+
+
+def _od_flows_sql() -> str:
+    return trajectory.od_flows_sql(
+        FX.events_geo_sql(), max_step_m=30000.0,
+        min_duration_us=43_200_000_000, od_cell_deg=5.0,
+    )
+
+
 def q_colocation_pairs(spark, sf_dir):
     """Space-time co-location join (operators/trajectory.py
     colocation_pairs): pairs of distinct users with events within
@@ -4608,6 +4629,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(),
         "track_resample": _track_resample_sql(),
         "colocation_pairs": _colocation_pairs_sql(),
+        "od_flows": _od_flows_sql(),
         "hotspot_gi": _hotspot_gi_sql(),
         "kde_cells": _kde_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
@@ -4959,6 +4981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "track_resample": q_track_resample,
         "colocation_pairs": q_colocation_pairs,
+        "od_flows": q_od_flows,
         "hotspot_gi": q_hotspot_gi,
         "kde_cells": q_kde_cells,
         "icclim_WSDI": q_icclim_wsdi,

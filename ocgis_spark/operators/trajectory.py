@@ -1037,3 +1037,116 @@ def colocation_pairs_sql(
         f"ON a.u < b.u AND b.t BETWEEN a.t - {T} AND a.t + {T}) p "
         f"WHERE dist_m <= {_pf(max_dist_m)}"
     )
+
+
+# ---- origin-destination flows (trips between consecutive dwells) ----
+
+def od_flows(
+    df: DataFrame,
+    max_step_m: float,
+    min_duration_us: int,
+    od_cell_deg: float,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Origin-destination matrix: each pair of CONSECUTIVE dwell
+    segments (see :func:`dwell_segments`) is a trip from the origin
+    dwell's centroid to the destination's; trips aggregate into flows
+    between ``od_cell_deg`` graticule cells (lon wrapped, the cluster
+    family's cell_id_sql).
+
+    Exactness discipline: travel time sums as BIGINT micros; trip
+    distance is snapped to BIGINT MILLIMETERS per trip before summing,
+    so no double is ever summed (order-independent across engines); the
+    two means are single double divisions of exact integers, round(.,6).
+
+    Plan: dwell detection's one hashpartitioning(entity) exchange also
+    serves the lead window (run_id ordering is per-entity), then ONE
+    exchange to the OD-cell grain — two total, both over tables bounded
+    by dwell counts, not raw fixes.
+
+    Output: (o_cx, o_cy, d_cx, d_cy, n_trips, sum_travel_us BIGINT,
+    avg_travel_us, mean_trip_m).
+    """
+    from .cluster import cell_id_sql
+
+    dw = dwell_segments(
+        df, max_step_m=max_step_m, min_duration_us=min_duration_us,
+        entity=entity, ts_us=ts_us, seq=seq, lon=lon, lat=lat,
+    )
+    w = Window.partitionBy(entity).orderBy("run_id")
+    hav = haversine_m_sql("c_lon", "c_lat", "n_lon", "n_lat")
+    _, ocx, ocy = cell_id_sql(od_cell_deg, "c_lon", "c_lat")
+    _, dcx, dcy = cell_id_sql(od_cell_deg, "n_lon", "n_lat")
+    trips = dw.select(
+        entity, "run_id", "end_us", "c_lon", "c_lat",
+        F.lead("start_us").over(w).alias("n_start"),
+        F.lead("c_lon").over(w).alias("n_lon"),
+        F.lead("c_lat").over(w).alias("n_lat"),
+    ).filter(F.col("n_start").isNotNull()).selectExpr(
+        f"{ocx} AS o_cx", f"{ocy} AS o_cy",
+        f"{dcx} AS d_cx", f"{dcy} AS d_cy",
+        "CAST(n_start - end_us AS BIGINT) AS travel_us",
+        f"CAST(round(({hav}) * 1000.0E0, 0) AS BIGINT) AS trip_mm",
+    )
+    return trips.groupBy("o_cx", "o_cy", "d_cx", "d_cy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trips"),
+        F.sum("travel_us").cast("bigint").alias("sum_travel_us"),
+        F.sum("trip_mm").cast("bigint").alias("_mm"),
+    ).selectExpr(
+        "o_cx", "o_cy", "d_cx", "d_cy", "n_trips", "sum_travel_us",
+        "round(CAST(sum_travel_us AS DOUBLE) / CAST(n_trips AS DOUBLE), 6) "
+        "AS avg_travel_us",
+        "round(CAST(_mm AS DOUBLE) / 1000.0E0 "
+        "/ CAST(n_trips AS DOUBLE), 6) AS mean_trip_m",
+    )
+
+
+def od_flows_sql(
+    src_sql: str,
+    max_step_m: float,
+    min_duration_us: int,
+    od_cell_deg: float,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`od_flows` — the dwell cascade as a CTE,
+    the same lead window (ordered by run_id, which is strictly
+    increasing in time per entity), the same integer-exact sums."""
+    from .cluster import cell_id_sql
+
+    dwsql = dwell_segments_sql(
+        src_sql, max_step_m=max_step_m, min_duration_us=min_duration_us,
+        entity=entity, ts_us=ts_us, seq=seq, lon=lon, lat=lat,
+    )
+    hav = haversine_m_sql("c_lon", "c_lat", "n_lon", "n_lat")
+    _, ocx, ocy = cell_id_sql(od_cell_deg, "c_lon", "c_lat")
+    _, dcx, dcy = cell_id_sql(od_cell_deg, "n_lon", "n_lat")
+    return (
+        f"WITH dw AS ({dwsql}), "
+        f"nxt AS (SELECT {entity}, run_id, end_us, c_lon, c_lat, "
+        f"lead(start_us) OVER w AS n_start, "
+        f"lead(c_lon) OVER w AS n_lon, lead(c_lat) OVER w AS n_lat "
+        f"FROM dw WINDOW w AS (PARTITION BY {entity} ORDER BY run_id)), "
+        f"trips AS (SELECT {ocx} AS o_cx, {ocy} AS o_cy, "
+        f"{dcx} AS d_cx, {dcy} AS d_cy, "
+        f"CAST(n_start - end_us AS BIGINT) AS travel_us, "
+        f"CAST(round(({hav}) * 1000.0E0, 0) AS BIGINT) AS trip_mm "
+        f"FROM nxt WHERE n_start IS NOT NULL), "
+        f"g AS (SELECT o_cx, o_cy, d_cx, d_cy, "
+        f"CAST(count(*) AS BIGINT) AS n_trips, "
+        f"CAST(sum(travel_us) AS BIGINT) AS sum_travel_us, "
+        f"CAST(sum(trip_mm) AS BIGINT) AS _mm "
+        f"FROM trips GROUP BY o_cx, o_cy, d_cx, d_cy) "
+        f"SELECT o_cx, o_cy, d_cx, d_cy, n_trips, sum_travel_us, "
+        f"round(CAST(sum_travel_us AS DOUBLE) / CAST(n_trips AS DOUBLE), "
+        f"6) AS avg_travel_us, "
+        f"round(CAST(_mm AS DOUBLE) / 1000.0E0 "
+        f"/ CAST(n_trips AS DOUBLE), 6) AS mean_trip_m FROM g"
+    )

@@ -544,3 +544,47 @@ def test_colocation_plan(spark):
         assert plan.count("Generate") == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+# ---- origin-destination flows ----
+
+def test_od_flows_hand_truth_and_plan(spark):
+    # user 1: dwell A (2 pts at lon 0), hop 1000 km east -> dwell B
+    # (2 pts), hop back -> dwell C (2 pts at A's cell). Two trips:
+    # A->B and B->C. user 2: a single dwell -> no trips.
+    H = 3_600_000_000
+    rows = [
+        (1, 1, 0 * H, 0.00, 0.0), (2, 1, 2 * H, 0.01, 0.0),
+        (3, 1, 10 * H, 9.00, 0.0), (4, 1, 12 * H, 9.01, 0.0),
+        (5, 1, 20 * H, 0.02, 0.0), (6, 1, 22 * H, 0.03, 0.0),
+        (7, 2, 0 * H, 50.0, 20.0), (8, 2, 5 * H, 50.01, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, "
+              "lon double, lat double"
+    )
+    out = trajectory.od_flows(
+        df, max_step_m=100_000.0, min_duration_us=H, od_cell_deg=5.0
+    )
+    got = {(r.o_cx, r.o_cy, r.d_cx, r.d_cy): r for r in out.collect()}
+    # 5-degree cells: floor(lon/5) mod 72 -> lon 0.0x in cx 0, 9.0x in cx 1
+    assert set(got) == {(0, 0, 1, 0), (1, 0, 0, 0)}
+    ab = got[(0, 0, 1, 0)]
+    assert ab.n_trips == 1
+    # travel = dwell-B start (10H) - dwell-A end (2H) = 8 h
+    assert ab.sum_travel_us == 8 * H
+    assert ab.avg_travel_us == pytest.approx(8 * H)
+    # trip distance ~ haversine between the dwell centroids
+    d = _hav(0.005, 0.0, 9.005, 0.0)
+    assert ab.mean_trip_m == pytest.approx(d, abs=1e-2)
+    ba = got[(1, 0, 0, 0)]
+    assert ba.sum_travel_us == 8 * H
+    assert ba.mean_trip_m == pytest.approx(
+        _hav(9.005, 0.0, 0.025, 0.0), abs=1e-2)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # dwell windows + lead window share hashpartitioning(user_id); the
+    # OD aggregate adds the second exchange
+    assert plan.count("Exchange hashpartitioning") == 2
