@@ -462,6 +462,24 @@ def _od_flows_sql() -> str:
     )
 
 
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation of the event-count
+    surface (operators/gridstats.py morans_i): binary 3x3-minus-self
+    weights over the FIXED 5-degree lattice (empty cells x=0, lon
+    wrapped). All four moments (sum, sum-sq, row-weighted sum, pair
+    sum) stay BIGINT-exact; the statistic is one shared closed-form
+    double expression. One corpus aggregation; every join side is
+    graticule-bounded."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.morans_i(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0)
+
+
+def _morans_i_sql() -> str:
+    return GS.morans_i_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
 def q_colocation_pairs(spark, sf_dir):
     """Space-time co-location join (operators/trajectory.py
     colocation_pairs): pairs of distinct users with events within
@@ -4631,6 +4649,7 @@ def oracle_sql() -> dict[str, str]:
         "colocation_pairs": _colocation_pairs_sql(),
         "od_flows": _od_flows_sql(),
         "hotspot_gi": _hotspot_gi_sql(),
+        "morans_i": _morans_i_sql(),
         "kde_cells": _kde_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
@@ -4983,6 +5002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_pairs": q_colocation_pairs,
         "od_flows": q_od_flows,
         "hotspot_gi": q_hotspot_gi,
+        "morans_i": q_morans_i,
         "kde_cells": q_kde_cells,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,

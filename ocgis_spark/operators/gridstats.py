@@ -48,6 +48,21 @@ def _lat_band(cell_deg: float, lat0: float, lat1: float) -> tuple:
     return int(round(lat0 / cell_deg)), int(round(lat1 / cell_deg))
 
 
+def _check_window_nx(nx: int, reach: int) -> None:
+    """The wrapped lon scatter hits each neighbor cell ONCE only while
+    the offset residues -reach..reach are distinct mod nx, i.e.
+    nx >= 2*reach + 1. Below that a source cell scatters twice into the
+    same target and window sums silently double-count (parity would
+    still hold — both dialects share the SQL — so fail loudly here,
+    exactly like the colocation cover check)."""
+    if nx < 2 * reach + 1:
+        raise ValueError(
+            f"window reach {reach} needs nx >= {2 * reach + 1} lon "
+            f"cells for a collision-free wrap; got nx={nx} — "
+            f"shrink cell_deg"
+        )
+
+
 def _counts_sql(
     src_sql: str, cell_deg: float, cy0: int, cy1: int, lon: str, lat: str
 ) -> str:
@@ -93,6 +108,7 @@ def getis_ord_gi_sql(
     Columns (cell_x, cell_y, nbr_sum, w_size, gi_z).
     """
     nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
     cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
     n_cells = nx * (cy1 - cy0)
     if n_cells < 2:
@@ -145,6 +161,7 @@ def getis_ord_gi(
     once and never shuffled beyond the first partial-aggregated exchange.
     """
     nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
     cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
     n_cells = nx * (cy1 - cy0)
     if n_cells < 2:
@@ -251,6 +268,7 @@ def kde_cells_sql(
     double bit-for-bit (rounded to 6 anyway, per convention).
     """
     nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, radius_cells)
     cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
     offs = ", ".join(
         f"({dx}, {dy}, {w})"
@@ -289,6 +307,7 @@ def kde_cells(
     folded as integer literals (see :func:`kernel_offsets`).
     """
     nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, radius_cells)
     cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
     counts = (
@@ -313,4 +332,165 @@ def kde_cells(
     ).selectExpr(
         "tx AS cell_x", "ty AS cell_y",
         f"round(CAST(_s AS DOUBLE) / {_pf(float(_KDE_SCALE))}, 6) AS kde",
+    )
+
+# ----------------------------------------------------------- Moran's I --
+
+def _moran_lattice(cell_deg: float, lat0: float, lat1: float) -> tuple:
+    """(nx, cy0, cy1, n_cells, w_sum) for the binary 3x3-minus-self
+    weight matrix over the FIXED study lattice. Row sums depend only on
+    the lat row (lon wraps, so there is no lon edge): 8 in the interior,
+    5 on the two lat-edge rows (3 clipped neighbors). W = sum of ALL
+    row sums — including empty cells, which the pair sum never sees but
+    the normalization must count."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    ny = cy1 - cy0
+    if ny < 2:
+        raise ValueError(
+            f"Moran's I needs at least 2 lat rows, got {ny} "
+            f"(lat0={lat0}, lat1={lat1}, cell_deg={cell_deg})"
+        )
+    n_cells = nx * ny
+    w_sum = nx * (8 * (ny - 2) + 2 * 5)
+    return nx, cy0, cy1, n_cells, w_sum
+
+
+def _moran_moments_sql(
+    src_sql: str, cell_deg: float, lat0: float, lat1: float,
+    lon: str, lat: str,
+) -> tuple:
+    """(moments_sql, n_cells, w_sum): one CTE chain producing the four
+    exact-BIGINT moments Moran's I needs — sx = Σx, sxx = Σx², rsum =
+    Σ rowsum_i·x_i (row sums via a CASE on the lat row), psum =
+    Σ_ij w_ij·x_i·x_j via the 8-offset scatter joined back to the
+    PRESENT cells (empty cells contribute 0 to the pair sum). Everything
+    integer until the final formula."""
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(
+        cell_deg, lat0, lat1,
+    )
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    moments = (
+        f"WITH counts AS ({counts}), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.cnt "
+        f"FROM counts c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
+        f"pair AS (SELECT CAST(sum(s.cnt * t.cnt) AS BIGINT) AS psum "
+        f"FROM scat s JOIN counts t ON s.tx = t.cx AND s.ty = t.cy), "
+        f"mom AS (SELECT CAST(sum(cnt) AS BIGINT) AS sx, "
+        f"CAST(sum(cnt * cnt) AS BIGINT) AS sxx, "
+        f"CAST(sum({rowsum} * cnt) AS BIGINT) AS rsum FROM counts) "
+        f"SELECT sx, sxx, rsum, psum FROM mom CROSS JOIN pair"
+    )
+    return moments, n_cells, w_sum
+
+
+def morans_i_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Global Moran's I of the event-count surface (one dialect-shared
+    string — both engines evaluate the identical expression tree).
+
+    I = (n/W) · Σ_ij w_ij (x_i−m)(x_j−m) / Σ_i (x_i−m)²  over the FIXED
+    lattice (empty cells x=0, exactly like Gi*), w = binary 3x3 minus
+    self, lon wrapped. Expanding around the exact integer moments:
+
+        num = psum − 2·m·rsum + m²·W      (m = sx/n, the only doubles)
+        den = sxx − n·m²
+
+    so the statistic is a single closed-form double expression over four
+    BIGINT-exact sums — order-independent across engines/partitionings.
+    Output: one row (n_cells, w_sum, sx, sxx, rsum, psum, morans_i);
+    morans_i is NULL for a constant surface (den = 0), round(.,6).
+    """
+    moments, n_cells, w_sum = _moran_moments_sql(
+        src_sql, cell_deg, lat0, lat1, lon, lat,
+    )
+    n = f"{n_cells}.0E0"
+    w = f"{w_sum}.0E0"
+    m = f"(CAST(sx AS DOUBLE) / {n})"
+    return (
+        f"SELECT CAST({n_cells} AS BIGINT) AS n_cells, "
+        f"CAST({w_sum} AS BIGINT) AS w_sum, sx, sxx, rsum, psum, "
+        f"round(({n} / {w}) "
+        f"* (CAST(psum AS DOUBLE) - 2.0E0 * {m} * CAST(rsum AS DOUBLE) "
+        f"+ {m} * {m} * {w}) "
+        f"/ nullif(CAST(sxx AS DOUBLE) - {n} * {m} * {m}, 0.0E0), 6) "
+        f"AS morans_i FROM ({moments}) mm"
+    )
+
+
+def morans_i(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Global Moran's I (see :func:`morans_i_sql`). Plan: ONE corpus
+    hash-aggregate (map-side partials) down to the cell table, the
+    bounded 8-offset Generate, one CELL-sized self-join for the pair
+    sum, and 1-row aggregates — the corpus is scanned once; every join
+    side is bounded by the graticule."""
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    scat = counts.selectExpr(
+        f"explode(array({offs})) AS o", "cx", "cy", "cnt"
+    ).selectExpr(
+        f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty",
+        "cnt AS scnt",
+    ).filter(f"ty >= {cy0} AND ty < {cy1}")
+    pair = scat.join(
+        counts, (scat.tx == counts.cx) & (scat.ty == counts.cy)
+    ).agg(
+        F.sum(F.col("scnt") * F.col("cnt")).cast("bigint").alias("psum")
+    )
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    mom = counts.selectExpr("cx", "cy", "cnt", f"{rowsum} AS rw").agg(
+        F.sum("cnt").cast("bigint").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sxx"),
+        F.sum(F.col("rw") * F.col("cnt")).cast("bigint").alias("rsum"),
+    )
+    n = f"{n_cells}.0E0"
+    w = f"{w_sum}.0E0"
+    m = f"(CAST(sx AS DOUBLE) / {n})"
+    return mom.crossJoin(F.broadcast(pair)).selectExpr(
+        f"CAST({n_cells} AS BIGINT) AS n_cells",
+        f"CAST({w_sum} AS BIGINT) AS w_sum",
+        "sx", "sxx", "rsum", "psum",
+        f"round(({n} / {w}) "
+        f"* (CAST(psum AS DOUBLE) - 2.0E0 * {m} * CAST(rsum AS DOUBLE) "
+        f"+ {m} * {m} * {w}) "
+        f"/ nullif(CAST(sxx AS DOUBLE) - {n} * {m} * {m}, 0.0E0), 6) "
+        f"AS morans_i",
     )

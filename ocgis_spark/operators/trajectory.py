@@ -1150,3 +1150,201 @@ def od_flows_sql(
         f"round(CAST(_mm AS DOUBLE) / 1000.0E0 "
         f"/ CAST(n_trips AS DOUBLE), 6) AS mean_trip_m FROM g"
     )
+
+
+# ------------------- mobility scalars: radius of gyration, entropy --
+
+#: fixed-point scale for unit-vector components: sums stay BIGINT-exact
+#: up to ~9e6 fixes per entity (1e12 * 9.2e6 < 2^63); split upstream by
+#: period for entities beyond that (the track_stats skew posture)
+_VEC_SCALE = 1_000_000_000_000
+
+
+def _unit_vec_sql(lon: str, lat: str) -> tuple:
+    """Quantized unit-vector components (BIGINT) of a (lon, lat) fix —
+    dialect-neutral; round() before CAST so both engines snap the same
+    double to the same integer."""
+    s = f"{_VEC_SCALE}.0E0"
+    return tuple(
+        f"CAST(round({expr} * {s}, 0) AS BIGINT)"
+        for expr in (
+            f"(cos(radians({lat})) * cos(radians({lon})))",
+            f"(cos(radians({lat})) * sin(radians({lon})))",
+            f"(sin(radians({lat})))",
+        )
+    )
+
+
+def gyration_radius(
+    df: DataFrame,
+    entity: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-entity radius of gyration — THE mobility-range scalar
+    (Gonzalez, Hidalgo & Barabasi 2008): the RMS distance of an
+    entity's fixes from its centroid. Computed in the chord metric on
+    the unit sphere, where it is a CLOSED FORM of the mean direction:
+
+        r_g = R * sqrt(max(0, 1 - |v_mean|^2))
+
+    (mean squared chord deviation = E|v|^2 - |v_mean|^2 = 1 - |v_mean|^2
+    for unit vectors; chord RMS lower-bounds the great-circle RMS and
+    agrees to O(r_g/R)^2 for local tracks). Wrap/pole-safe by
+    construction — no longitude averaging anywhere.
+
+    Exactness: components are quantized to BIGINT at 1e12
+    (:func:`_unit_vec_sql`) so per-entity sums are exact integers; the
+    mean-vector norm is a single shared double expression of those
+    integers. ONE hash aggregation with map-side partials — the 100-TB
+    shape; no window, no join, no second pass.
+
+    Output: (entity, n_fixes, centroid_lon, centroid_lat, r_gyr_m) with
+    the centroid the normalized mean direction (atan2 of exact sums;
+    NULL if the mean vector vanishes), floats round(.,6).
+    """
+    vx, vy, vz = _unit_vec_sql(lon, lat)
+    base = df.selectExpr(
+        f"{entity} AS entity", f"{vx} AS qx", f"{vy} AS qy", f"{vz} AS qz"
+    )
+    agg = base.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum("qz").cast("bigint").alias("sz"),
+    )
+    return agg.selectExpr(
+        "entity", "n_fixes", *_gyr_out_sql(),
+    )
+
+
+def _gyr_out_sql() -> tuple:
+    """The shared (centroid_lon, centroid_lat, r_gyr_m) projection over
+    (n_fixes, sx, sy, sz) — one string, both dialects."""
+    s = f"{_VEC_SCALE}.0E0"
+    mx = f"(CAST(sx AS DOUBLE) / CAST(n_fixes AS DOUBLE) / {s})"
+    my = f"(CAST(sy AS DOUBLE) / CAST(n_fixes AS DOUBLE) / {s})"
+    mz = f"(CAST(sz AS DOUBLE) / CAST(n_fixes AS DOUBLE) / {s})"
+    norm2 = f"({mx} * {mx} + {my} * {my} + {mz} * {mz})"
+    from .crs import R_SPHERE, _pf
+
+    return (
+        f"round(CASE WHEN {norm2} > 0.0E0 THEN "
+        f"degrees(atan2({my}, {mx})) END, 6) AS centroid_lon",
+        f"round(CASE WHEN {norm2} > 0.0E0 THEN "
+        f"degrees(atan2({mz}, sqrt({mx} * {mx} + {my} * {my}))) END, 6) "
+        f"AS centroid_lat",
+        f"round({_pf(R_SPHERE)} * sqrt(greatest(0.0E0, "
+        f"1.0E0 - {norm2})), 3) AS r_gyr_m",
+    )
+
+
+def gyration_radius_sql(
+    src_sql: str,
+    entity: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`gyration_radius` (same shared strings)."""
+    vx, vy, vz = _unit_vec_sql(lon, lat)
+    outs = ", ".join(_gyr_out_sql())
+    return (
+        f"WITH q AS (SELECT {entity} AS entity, {vx} AS qx, "
+        f"{vy} AS qy, {vz} AS qz FROM ({src_sql}) s), "
+        f"g AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_fixes, "
+        f"CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy, "
+        f"CAST(sum(qz) AS BIGINT) AS sz FROM q GROUP BY entity) "
+        f"SELECT entity, n_fixes, {outs} FROM g"
+    )
+
+
+#: fixed-point scale for the entropy terms c*log2(c): quantized to 1e-6
+#: bits-per-term so the per-entity sum is exact BIGINT arithmetic
+#: (order-independent) — safe to ~9e9 fixes in one cell and ~10^5 cells
+_ENT_SCALE = 1_000_000
+
+
+def _ent_sql(entity: str) -> tuple:
+    """Shared per-entity projection over (entity, c)-count rows:
+    Shannon entropy of the visit distribution H = log2(n) - S/n with
+    S = Σ c·log2(c), each term quantized to BIGINT at 1e-6 bits, plus
+    the top-cell share (the predictability proxy)."""
+    term = (
+        f"CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) "
+        f"* {_ENT_SCALE}.0E0, 0) AS BIGINT)"
+    )
+    return term, (
+        "round(log2(CAST(n_fixes AS DOUBLE)) "
+        f"- CAST(s_ent AS DOUBLE) / {_ENT_SCALE}.0E0 "
+        "/ CAST(n_fixes AS DOUBLE), 6) AS entropy_bits",
+        "round(CAST(c_max AS DOUBLE) / CAST(n_fixes AS DOUBLE), 6) "
+        "AS top_share",
+    )
+
+
+def location_entropy(
+    df: DataFrame,
+    cell_deg: float,
+    entity: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-entity Shannon entropy (bits) of the graticule-cell visit
+    distribution — the mobility-predictability scalar (Song et al. 2010
+    random-entropy family): 0 for a single-cell homebody, log2(k) for k
+    equally-visited cells.
+
+    Exactness: per-cell counts are BIGINT; each c·log2(c) term is
+    quantized to BIGINT at 1e-6 bits (:data:`_ENT_SCALE`) so the
+    per-entity sum is exact integer arithmetic — order-independent
+    across engines/partitionings (the sum(double) parity trap, same
+    posture as the KDE kernel weights). The closing formula is one
+    shared double expression.
+
+    Plan: two hash aggregations — (entity, cell) counts with map-side
+    partials, then the per-entity rollup; no window, no join. Output:
+    (entity, n_fixes, n_cells, entropy_bits, top_share).
+    """
+    from .cluster import cell_id_sql
+
+    cid, _, _ = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{entity} AS entity", f"{cid} AS cell")
+        .groupBy("entity", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    term, outs = _ent_sql(entity)
+    g = counts.selectExpr("entity", "c", f"{term} AS e").groupBy(
+        "entity"
+    ).agg(
+        F.sum("c").cast("bigint").alias("n_fixes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("e").cast("bigint").alias("s_ent"),
+        F.max("c").cast("bigint").alias("c_max"),
+    )
+    return g.selectExpr("entity", "n_fixes", "n_cells", *outs)
+
+
+def location_entropy_sql(
+    src_sql: str,
+    cell_deg: float,
+    entity: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`location_entropy` (same shared strings)."""
+    from .cluster import cell_id_sql
+
+    cid, _, _ = cell_id_sql(cell_deg, lon, lat)
+    term, outs = _ent_sql(entity)
+    outs_sql = ", ".join(outs)
+    return (
+        f"WITH cellc AS (SELECT {entity} AS entity, {cid} AS cell, "
+        f"CAST(count(*) AS BIGINT) AS c FROM ({src_sql}) s "
+        f"GROUP BY 1, 2), "
+        f"g AS (SELECT entity, CAST(sum(c) AS BIGINT) AS n_fixes, "
+        f"CAST(count(*) AS BIGINT) AS n_cells, "
+        f"CAST(sum({term}) AS BIGINT) AS s_ent, "
+        f"CAST(max(c) AS BIGINT) AS c_max FROM cellc GROUP BY entity) "
+        f"SELECT entity, n_fixes, n_cells, {outs_sql} FROM g"
+    )

@@ -151,3 +151,104 @@ def test_gridstats_plans(spark):
         assert kplan.count("- Exchange hashpartitioning") == 2
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_gridstats_small_nx_guard(spark):
+    # wrapped scatter needs distinct offset residues mod nx: reach 1
+    # needs nx >= 3, a radius-3 kernel needs nx >= 7 — below that a
+    # source cell lands twice on one target and sums double-count, so
+    # every entry point must fail fast (both dialects, same rule)
+    df = _mk_events(spark, [(0, 0, 1)])
+    with pytest.raises(ValueError, match="nx >= 3"):
+        GS.getis_ord_gi(df, 180.0, -90.0, 90.0)
+    with pytest.raises(ValueError, match="nx >= 3"):
+        GS.getis_ord_gi_sql("SELECT 1", 180.0, -90.0, 90.0)
+    with pytest.raises(ValueError, match="nx >= 7"):
+        GS.kde_cells(df, 60.0, 1.5, 3, -60.0, 60.0)
+    with pytest.raises(ValueError, match="nx >= 7"):
+        GS.kde_cells_sql("SELECT 1", 60.0, 1.5, 3, -60.0, 60.0)
+    # at exactly nx = 2*reach+1 the residues are distinct: accepted
+    GS._check_window_nx(3, 1)
+    GS._check_window_nx(7, 3)
+
+
+def _numpy_moran(cells):
+    """Zero-filled lattice Moran's I truth: binary 3x3-minus-self
+    weights, cx wraps, cy clips."""
+    x = np.zeros((NX, NY), dtype=np.int64)
+    for cx, cy, cnt in cells:
+        x[cx % NX, cy - CY0] += cnt
+    n = NX * NY
+    m = x.mean()
+    num = 0.0
+    W = 0
+    for i in range(NX):
+        for j in range(NY):
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    tj = j + dy
+                    if tj < 0 or tj >= NY:
+                        continue
+                    W += 1
+                    num += (x[i, j] - m) * (x[(i + dx) % NX, tj] - m)
+    den = ((x - m) ** 2).sum()
+    return round(n / W * num / den, 6), W
+
+
+def test_morans_i_numpy_truth(spark):
+    # a hotspot pair (clustered -> positive I) plus scattered noise
+    cells = [
+        (3, 0, 9), (4, 0, 7), (3, 1, 5),   # cluster
+        (9, -2, 1), (0, 1, 2), (7, -1, 1),
+    ]
+    truth, W = _numpy_moran(cells)
+    row = GS.morans_i(_mk_events(spark, cells), CELL, LAT0, LAT1).collect()[0]
+    assert row.w_sum == W
+    assert row.morans_i == pytest.approx(truth, abs=2e-6)
+    assert row.morans_i > 0.1  # clustered surface -> positive autocorr
+
+    # full-lattice vertical stripes: 6 of 8 queen neighbors differ
+    # (both lon neighbors and all four diagonals) -> negative I
+    stripes = [
+        (cx, cy, 4)
+        for cx in range(0, NX, 2) for cy in range(CY0, CY0 + NY)
+    ]
+    truth_c, _ = _numpy_moran(stripes)
+    row_c = GS.morans_i(
+        _mk_events(spark, stripes), CELL, LAT0, LAT1
+    ).collect()[0]
+    assert row_c.morans_i == pytest.approx(truth_c, abs=2e-6)
+    assert row_c.morans_i < -0.3
+
+
+def test_morans_i_constant_surface_null(spark):
+    # every lattice cell holds exactly one event -> den = 0 -> NULL
+    cells = [(cx, cy, 1) for cx in range(NX) for cy in range(CY0, CY0 + NY)]
+    row = GS.morans_i(_mk_events(spark, cells), CELL, LAT0, LAT1).collect()[0]
+    assert row.morans_i is None
+    assert row.sx == NX * NY
+
+
+def test_morans_i_validation(spark):
+    df = _mk_events(spark, [(0, 0, 1)])
+    with pytest.raises(ValueError, match="2 lat rows"):
+        GS.morans_i(df, CELL, -30.0, 0.0)
+    with pytest.raises(ValueError, match="nx >= 3"):
+        GS.morans_i_sql("SELECT 1", 180.0, -90.0, 90.0)
+
+
+def test_morans_i_plan(spark):
+    df = _mk_events(spark, [(0, 0, 3), (4, 1, 2)])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = GS.morans_i(df, CELL, LAT0, LAT1)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # the scatter branch, pair-join probe branch, and moment branch
+        # all REUSE the one cell-count aggregation
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
