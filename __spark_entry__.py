@@ -462,6 +462,38 @@ def _od_flows_sql() -> str:
     )
 
 
+def q_gyration_radius(spark, sf_dir):
+    """Per-entity radius of gyration (operators/trajectory.py
+    gyration_radius): the mobility-range scalar, closed-form in the
+    chord metric from the mean direction — unit-vector components
+    quantized to BIGINT at 1e12 so the per-entity sums are exact
+    integers; ONE hash aggregation with map-side partials, no window,
+    no join. Wrap/pole-safe by construction."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.gyration_radius(ev)
+
+
+def _gyration_radius_sql() -> str:
+    return trajectory.gyration_radius_sql(FX.events_geo_sql())
+
+
+def q_location_entropy(spark, sf_dir):
+    """Per-entity Shannon entropy of the graticule-cell visit
+    distribution (operators/trajectory.py location_entropy): the
+    mobility-predictability scalar. Each c*log2(c) term quantized to
+    BIGINT at 1e-6 bits so the per-entity sum is order-independent
+    exact integer arithmetic; two hash aggregations, map-side
+    partials."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.location_entropy(ev, cell_deg=0.125)
+
+
+def _location_entropy_sql() -> str:
+    return trajectory.location_entropy_sql(
+        FX.events_geo_sql(), cell_deg=0.125
+    )
+
+
 def q_morans_i(spark, sf_dir):
     """Global Moran's I spatial autocorrelation of the event-count
     surface (operators/gridstats.py morans_i): binary 3x3-minus-self
@@ -4650,6 +4682,8 @@ def oracle_sql() -> dict[str, str]:
         "od_flows": _od_flows_sql(),
         "hotspot_gi": _hotspot_gi_sql(),
         "morans_i": _morans_i_sql(),
+        "gyration_radius": _gyration_radius_sql(),
+        "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
             DECON_TRAIN_SQL,
@@ -5003,6 +5037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": q_od_flows,
         "hotspot_gi": q_hotspot_gi,
         "morans_i": q_morans_i,
+        "gyration_radius": q_gyration_radius,
+        "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,
         "icclim_WSDI": q_icclim_wsdi,
         "icclim_CSDI": q_icclim_csdi,

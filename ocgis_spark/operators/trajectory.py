@@ -1199,6 +1199,12 @@ def gyration_radius(
     integers. ONE hash aggregation with map-side partials — the 100-TB
     shape; no window, no join, no second pass.
 
+    Resolution: the sqrt amplifies the 1e-12 quantization near
+    |v_mean| = 1, so a MOVING entity's radius carries a <= ~10 m noise
+    floor (far below GPS fix noise). Exactly-stationary entities
+    (all quantized components constant — min = max per axis, checked in
+    the same aggregation) report r_gyr_m = 0 exactly.
+
     Output: (entity, n_fixes, centroid_lon, centroid_lat, r_gyr_m) with
     the centroid the normalized mean direction (atan2 of exact sums;
     NULL if the mean vector vanishes), floats round(.,6).
@@ -1212,6 +1218,8 @@ def gyration_radius(
         F.sum("qx").cast("bigint").alias("sx"),
         F.sum("qy").cast("bigint").alias("sy"),
         F.sum("qz").cast("bigint").alias("sz"),
+        F.expr("CAST(max(qx) - min(qx) + max(qy) - min(qy) "
+               "+ max(qz) - min(qz) AS BIGINT)").alias("spread"),
     )
     return agg.selectExpr(
         "entity", "n_fixes", *_gyr_out_sql(),
@@ -1220,7 +1228,10 @@ def gyration_radius(
 
 def _gyr_out_sql() -> tuple:
     """The shared (centroid_lon, centroid_lat, r_gyr_m) projection over
-    (n_fixes, sx, sy, sz) — one string, both dialects."""
+    (n_fixes, sx, sy, sz, spread) — one string, both dialects; spread
+    (the summed per-axis min-max ranges of the quantized components) is
+    0 iff every fix quantized identically, which pins the stationary
+    case to exactly 0 instead of the quantization noise floor."""
     s = f"{_VEC_SCALE}.0E0"
     mx = f"(CAST(sx AS DOUBLE) / CAST(n_fixes AS DOUBLE) / {s})"
     my = f"(CAST(sy AS DOUBLE) / CAST(n_fixes AS DOUBLE) / {s})"
@@ -1234,8 +1245,9 @@ def _gyr_out_sql() -> tuple:
         f"round(CASE WHEN {norm2} > 0.0E0 THEN "
         f"degrees(atan2({mz}, sqrt({mx} * {mx} + {my} * {my}))) END, 6) "
         f"AS centroid_lat",
-        f"round({_pf(R_SPHERE)} * sqrt(greatest(0.0E0, "
-        f"1.0E0 - {norm2})), 3) AS r_gyr_m",
+        f"round(CASE WHEN spread = 0 THEN 0.0E0 ELSE "
+        f"{_pf(R_SPHERE)} * sqrt(greatest(0.0E0, "
+        f"1.0E0 - {norm2})) END, 3) AS r_gyr_m",
     )
 
 
@@ -1253,7 +1265,10 @@ def gyration_radius_sql(
         f"{vy} AS qy, {vz} AS qz FROM ({src_sql}) s), "
         f"g AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_fixes, "
         f"CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy, "
-        f"CAST(sum(qz) AS BIGINT) AS sz FROM q GROUP BY entity) "
+        f"CAST(sum(qz) AS BIGINT) AS sz, "
+        f"CAST(max(qx) - min(qx) + max(qy) - min(qy) "
+        f"+ max(qz) - min(qz) AS BIGINT) AS spread "
+        f"FROM q GROUP BY entity) "
         f"SELECT entity, n_fixes, {outs} FROM g"
     )
 

@@ -588,3 +588,126 @@ def test_od_flows_hand_truth_and_plan(spark):
     # dwell windows + lead window share hashpartitioning(user_id); the
     # OD aggregate adds the second exchange
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+# ---------------------------------- gyration radius + location entropy
+
+
+def test_gyration_radius_numpy_truth(spark):
+    # user 0: tight cluster; user 1: two far-apart camps; user 2: one fix
+    rows = []
+    pts = {
+        0: [(10.0, 20.0), (10.01, 20.0), (10.0, 20.01), (9.99, 19.99)],
+        1: [(0.0, 0.0), (0.0, 0.0), (90.0, 45.0), (90.0, 45.0)],
+        2: [(-170.0, -30.0)],
+    }
+    eid = 0
+    for u, ps in pts.items():
+        for lo, la in ps:
+            rows.append((eid, u, lo, la))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, lon double, lat double"
+    )
+    got = {
+        r.entity: r
+        for r in trajectory.gyration_radius(df).collect()
+    }
+    R = 6370997.0
+    for u, ps in pts.items():
+        v = np.stack([
+            [np.cos(np.radians(la)) * np.cos(np.radians(lo)),
+             np.cos(np.radians(la)) * np.sin(np.radians(lo)),
+             np.sin(np.radians(la))]
+            for lo, la in ps
+        ])
+        m = v.mean(axis=0)
+        rg = R * np.sqrt(max(0.0, 1.0 - (m ** 2).sum()))
+        # the 1e-12 component quantization is amplified ~R/(2 r_g) by
+        # the sqrt near |m| = 1, so centimeter-level slack for tight
+        # clusters (still 5e-5 relative at 1 km gyration)
+        assert got[u].r_gyr_m == pytest.approx(rg, abs=0.05), u
+        clon = np.degrees(np.arctan2(m[1], m[0]))
+        clat = np.degrees(np.arctan2(m[2], np.hypot(m[0], m[1])))
+        assert got[u].centroid_lon == pytest.approx(clon, abs=2e-6), u
+        assert got[u].centroid_lat == pytest.approx(clat, abs=2e-6), u
+    # a single fix has EXACTLY zero gyration (the stationary min=max
+    # pin, not the quantization noise floor) at its own centroid
+    assert got[2].r_gyr_m == 0.0
+    assert got[2].centroid_lon == pytest.approx(-170.0, abs=1e-6)
+    # repeated identical fixes pin to exactly zero too
+    dup = spark.createDataFrame(
+        [(0, 9, 55.5, -12.25), (1, 9, 55.5, -12.25), (2, 9, 55.5, -12.25)],
+        "event_id bigint, user_id bigint, lon double, lat double",
+    )
+    assert trajectory.gyration_radius(dup).collect()[0].r_gyr_m == 0.0
+    # the two-camp user's radius is ~half the inter-camp chord
+    assert got[1].r_gyr_m > 4e6
+
+
+def test_gyration_antipodal_mean_null_centroid(spark):
+    # two antipodal fixes: mean vector is ~0 -> centroid undefined
+    # (NULL), r_g = R (full-sphere spread)
+    df = spark.createDataFrame(
+        [(0, 0, 0.0, 0.0), (1, 0, 180.0, 0.0)],
+        "event_id bigint, user_id bigint, lon double, lat double",
+    )
+    r = trajectory.gyration_radius(df).collect()[0]
+    assert r.centroid_lon is None and r.centroid_lat is None
+    assert r.r_gyr_m == pytest.approx(6370997.0, abs=1e-3)
+
+
+def test_gyration_plan_one_exchange(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 1.0, 2.0)],
+        "event_id bigint, user_id bigint, lon double, lat double",
+    )
+    plan = trajectory.gyration_radius(df)._jdf.queryExecution() \
+        .executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_location_entropy_crafted(spark):
+    # user 0: all fixes one cell -> H = 0, top_share = 1
+    # user 1: 4 equal cells -> H = 2 bits, top_share = 1/4
+    # user 2: 2:1:1 over 3 cells -> H = 1.5 bits
+    cell = 1.0
+    rows = []
+    eid = 0
+
+    def add(u, cx, k):
+        nonlocal eid
+        for _ in range(k):
+            rows.append((eid, u, cx + 0.5, 0.5))
+            eid += 1
+
+    add(0, 0, 5)
+    for cx in range(4):
+        add(1, cx, 3)
+    add(2, 0, 2); add(2, 1, 1); add(2, 2, 1)
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, lon double, lat double"
+    )
+    got = {r.entity: r for r in
+           trajectory.location_entropy(df, cell_deg=cell).collect()}
+    assert got[0].entropy_bits == 0.0 and got[0].top_share == 1.0
+    assert got[0].n_cells == 1
+    assert got[1].entropy_bits == pytest.approx(2.0, abs=1e-6)
+    assert got[1].top_share == 0.25
+    assert got[2].entropy_bits == pytest.approx(1.5, abs=1e-6)
+    assert got[2].n_fixes == 4 and got[2].n_cells == 3
+
+
+def test_location_entropy_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 1.0, 2.0)],
+        "event_id bigint, user_id bigint, lon double, lat double",
+    )
+    plan = trajectory.location_entropy(df, cell_deg=1.0) \
+        ._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan and "Join" not in plan
