@@ -462,6 +462,29 @@ def _od_flows_sql() -> str:
     )
 
 
+def q_mk_trend(spark, sf_dir):
+    """Per-cell Mann-Kendall monotone trend of 2-day-binned event
+    counts over January 2024 (operators/gridstats.py
+    mann_kendall_cells) — the statistic under emerging-hotspot
+    analysis. Empty bins count as zero WITHOUT materializing (the
+    present-absent term is closed-form from bin index and rank); S and
+    the tie sums are BIGINT-exact; the tie-corrected continuity-
+    corrected z is one shared double expression. One corpus
+    aggregation; the pair join is cell-bounded (k <= 15 bins)."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.mann_kendall_cells(
+        ev, cell_deg=5.0, t0_us=1_704_067_200_000_000,
+        bin_us=172_800_000_000, n_bins=15,
+    )
+
+
+def _mk_trend_sql() -> str:
+    return GS.mann_kendall_cells_sql(
+        FX.events_geo_sql(), cell_deg=5.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000, n_bins=15,
+    )
+
+
 def q_gyration_radius(spark, sf_dir):
     """Per-entity radius of gyration (operators/trajectory.py
     gyration_radius): the mobility-range scalar, closed-form in the
@@ -4683,6 +4706,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi": _hotspot_gi_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
+        "mk_trend": _mk_trend_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
@@ -5038,6 +5062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
+        "mk_trend": q_mk_trend,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,
         "icclim_WSDI": q_icclim_wsdi,

@@ -494,3 +494,203 @@ def morans_i(
         f"/ nullif(CAST(sxx AS DOUBLE) - {n} * {m} * {m}, 0.0E0), 6) "
         f"AS morans_i",
     )
+
+
+# ---------------------------------------------- Mann-Kendall trend --
+
+def _mk_params(t0_us: int, bin_us: int, n_bins: int) -> None:
+    if not bin_us >= 1:
+        raise ValueError(f"bin_us must be >= 1, got {bin_us}")
+    if not 2 <= n_bins <= 366:
+        raise ValueError(
+            f"n_bins must be in [2, 366] (the pair term is O(n_bins^2) "
+            f"per cell), got {n_bins}"
+        )
+    if t0_us != int(t0_us):
+        raise ValueError(f"t0_us must be integral micros, got {t0_us}")
+
+
+def _mk_z_sql(T: int) -> tuple:
+    """Shared projection (mk_z, trend) over (mk_s, k_bins, tt_present):
+    tie-corrected variance with the zero bins (size T-k) as one tie
+    group, continuity-corrected z, two-sided 5% trend label."""
+    var = (
+        f"((CAST({T * (T - 1) * (2 * T + 5)} AS DOUBLE) "
+        f"- CAST(tt_present AS DOUBLE) "
+        f"- CAST(({T}) - k_bins AS DOUBLE) "
+        f"* CAST(({T}) - k_bins - 1 AS DOUBLE) "
+        f"* CAST(2 * (({T}) - k_bins) + 5 AS DOUBLE)) / 18.0E0)"
+    )
+    z = (
+        f"(CASE WHEN mk_s > 0 THEN (CAST(mk_s AS DOUBLE) - 1.0E0) "
+        f"/ sqrt({var}) "
+        f"WHEN mk_s < 0 THEN (CAST(mk_s AS DOUBLE) + 1.0E0) "
+        f"/ sqrt({var}) "
+        f"ELSE 0.0E0 END)"
+    )
+    return (
+        f"round(CASE WHEN {var} > 0.0E0 THEN {z} END, 6) AS mk_z",
+        f"(CASE WHEN {var} > 0.0E0 AND {z} >= 1.96E0 THEN 'increasing' "
+        f"WHEN {var} > 0.0E0 AND {z} <= -1.96E0 THEN 'decreasing' "
+        f"ELSE 'none' END) AS trend",
+    )
+
+
+def mann_kendall_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell Mann-Kendall monotone-trend test of binned event counts
+    — the statistic under "emerging hot spot" analysis (Mann 1945,
+    Kendall 1975; Hamed's notation): over the FIXED T-bin study period
+
+        S = Σ_{i<j} sign(x_j − x_i)     (x = count, EMPTY BINS x = 0)
+
+    with the tie-corrected variance Var = (T(T−1)(2T+5) − Σ_g g(g−1)
+    (2g+5))/18 (each tied value group g; the T−k empty bins form one
+    tie group) and the continuity-corrected z = (S ∓ 1)/√Var.
+
+    Zero-filled bins NEVER materialize: S splits into the
+    present-present pair sum (a CELL-BOUNDED self-join on bin order)
+    plus the present-absent term Σ_i [A_before(i) − A_after(i)], which
+    is closed-form from each present bin's index and rank (absent bins
+    compare as 0 < x_i, so earlier absents contribute +1, later −1).
+    Every sum is BIGINT-exact; z is one shared double expression.
+
+    Output: one row per cell with ≥ 1 event in the study period —
+    (cell_x, cell_y, n_events, k_bins, mk_s, mk_z, trend); mk_z NULL
+    when the variance vanishes (all T bins tied, only possible at
+    k = T with equal counts).
+    """
+    _grid_params(cell_deg)  # validates cell size
+    _mk_params(t0_us, bin_us, n_bins)
+    T = int(n_bins)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = (
+        f"CAST((({ts_us}) - {int(t0_us)} "
+        f"- ((({ts_us}) - {int(t0_us)}) % {int(bin_us)} "
+        f"+ {int(bin_us)}) % {int(bin_us)}) / {int(bin_us)} AS BIGINT)"
+    )
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, {binx} AS b "
+        f"FROM ({src_sql}) s), "
+        f"c AS (SELECT cx, cy, b, CAST(count(*) AS BIGINT) AS x "
+        f"FROM ev WHERE b >= 0 AND b < {T} GROUP BY 1, 2, 3), "
+        f"r AS (SELECT cx, cy, b, x, "
+        f"CAST(row_number() OVER (PARTITION BY cx, cy ORDER BY b) "
+        f"AS BIGINT) AS rn, "
+        f"CAST(count(*) OVER (PARTITION BY cx, cy) AS BIGINT) AS k "
+        f"FROM c), "
+        f"pp AS (SELECT a.cx, a.cy, "
+        f"CAST(sum(CASE WHEN b2.x > a.x THEN 1 "
+        f"WHEN b2.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_pp "
+        f"FROM c a JOIN c b2 ON a.cx = b2.cx AND a.cy = b2.cy "
+        f"AND b2.b > a.b GROUP BY 1, 2), "
+        f"pa AS (SELECT cx, cy, CAST(max(k) AS BIGINT) AS k_bins, "
+        f"CAST(sum(x) AS BIGINT) AS n_events, "
+        f"CAST(sum((b - (rn - 1)) - (({T - 1}) - b - (k - rn))) "
+        f"AS BIGINT) AS s_pa FROM r GROUP BY 1, 2), "
+        f"ties AS (SELECT cx, cy, "
+        f"CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS tt_present "
+        f"FROM (SELECT cx, cy, x, CAST(count(*) AS BIGINT) AS g "
+        f"FROM c GROUP BY 1, 2, 3) gg GROUP BY 1, 2), "
+        f"m AS (SELECT pa.cx, pa.cy, pa.n_events, pa.k_bins, "
+        f"CAST(coalesce(pp.s_pp, 0) + pa.s_pa AS BIGINT) AS mk_s, "
+        f"ties.tt_present FROM pa "
+        f"LEFT JOIN pp ON pa.cx = pp.cx AND pa.cy = pp.cy "
+        f"JOIN ties ON pa.cx = ties.cx AND pa.cy = ties.cy) "
+        f"SELECT cx AS cell_x, cy AS cell_y, n_events, k_bins, mk_s, "
+        + ", ".join(_mk_z_sql(T))
+        + " FROM m"
+    )
+
+
+def mann_kendall_cells(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-cell Mann-Kendall trend (see :func:`mann_kendall_cells_sql`).
+    Plan: ONE corpus hash-aggregate (map-side partials) to the
+    (cell, bin) table — bounded by cells × T — then a cell-bounded
+    ordered self-join for the pair sum, two windows and two aggregates
+    all partitioned by cell. The corpus is scanned once; per-cell work
+    is O(k²) with k ≤ T ≤ 366 active bins."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    T = int(n_bins)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = (
+        f"CAST((({ts_us}) - {int(t0_us)} "
+        f"- ((({ts_us}) - {int(t0_us)}) % {int(bin_us)} "
+        f"+ {int(bin_us)}) % {int(bin_us)}) / {int(bin_us)} AS BIGINT)"
+    )
+    c = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{binx} AS b")
+        .filter(f"b >= 0 AND b < {T}")
+        .groupBy("cx", "cy", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    a = c.selectExpr("cx", "cy", "b AS b1", "x AS x1")
+    b2 = c.selectExpr("cx AS cx2", "cy AS cy2", "b AS b2", "x AS x2")
+    pp = (
+        a.join(
+            b2,
+            (a.cx == b2.cx2) & (a.cy == b2.cy2) & (b2.b2 > a.b1),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN x2 > x1 THEN 1 "
+                "WHEN x2 < x1 THEN -1 ELSE 0 END) AS BIGINT)"
+            ).alias("s_pp")
+        )
+    )
+    r = c.selectExpr(
+        "cx", "cy", "b", "x",
+        "CAST(row_number() OVER (PARTITION BY cx, cy ORDER BY b) "
+        "AS BIGINT) AS rn",
+        "CAST(count(*) OVER (PARTITION BY cx, cy) AS BIGINT) AS k",
+    )
+    pa = r.groupBy("cx", "cy").agg(
+        F.expr("CAST(max(k) AS BIGINT)").alias("k_bins"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("n_events"),
+        F.expr(
+            f"CAST(sum((b - (rn - 1)) - (({T - 1}) - b - (k - rn))) "
+            f"AS BIGINT)"
+        ).alias("s_pa"),
+    )
+    ties = (
+        c.groupBy("cx", "cy", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.expr(
+                "CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT)"
+            ).alias("tt_present")
+        )
+    )
+    m = (
+        pa.join(pp, ["cx", "cy"], "left")
+        .join(ties, ["cx", "cy"])
+        .selectExpr(
+            "cx", "cy", "n_events", "k_bins",
+            "CAST(coalesce(s_pp, 0) + s_pa AS BIGINT) AS mk_s",
+            "tt_present",
+        )
+    )
+    return m.selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "n_events", "k_bins", "mk_s",
+        *_mk_z_sql(T),
+    )

@@ -252,3 +252,127 @@ def test_morans_i_plan(spark):
         assert "ReusedExchange" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+# ------------------------------------------------------- Mann-Kendall
+
+
+def _brute_mk(x):
+    """Zero-filled-vector Mann-Kendall truth: S, tie-corrected var,
+    continuity-corrected z."""
+    T = len(x)
+    S = 0
+    for i in range(T):
+        for j in range(i + 1, T):
+            S += (x[j] > x[i]) - (x[j] < x[i])
+    _, cnts = np.unique(np.asarray(x), return_counts=True)
+    tt = sum(int(g) * (g - 1) * (2 * g + 5) for g in cnts)
+    var = (T * (T - 1) * (2 * T + 5) - tt) / 18.0
+    if var <= 0:
+        return S, None
+    z = (S - 1) / math.sqrt(var) if S > 0 else (
+        (S + 1) / math.sqrt(var) if S < 0 else 0.0)
+    return S, round(z, 6)
+
+
+def _mk_events_t(spark, cells):
+    """(cx, cy, bin, count) -> events at cell centers, one per count,
+    timestamped inside the given bin (t0 = 0, bin = 1000 us)."""
+    rows = []
+    eid = 0
+    for cx, cy, b, cnt in cells:
+        for i in range(cnt):
+            rows.append(
+                (eid, b * 1000 + (i % 997), cx * CELL + 15.0,
+                 cy * CELL + 15.0)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts_us bigint, lon double, lat double"
+    )
+
+
+def test_mann_kendall_brute_truth(spark):
+    T = 8
+    series = {
+        (0, 0): [1, 2, 3, 4, 5, 6, 7, 8],      # strictly increasing
+        (3, 1): [9, 7, 6, 5, 3, 2, 1, 1],      # decreasing w/ tie
+        (5, -1): [0, 0, 1, 0, 2, 0, 0, 5],     # sparse (zero bins)
+        (7, 0): [0, 0, 0, 4, 0, 0, 0, 0],      # single active bin
+        (9, 1): [2, 2, 2, 2, 2, 2, 2, 2],      # constant -> var 0
+    }
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    out = GS.mann_kendall_cells(
+        _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000, n_bins=T
+    )
+    got = {(r.cell_x, r.cell_y): r for r in out.collect()}
+    assert set(got) == set(series)
+    for key, xs in series.items():
+        S, z = _brute_mk(xs)
+        r = got[key]
+        assert r.mk_s == S, key
+        assert r.n_events == sum(xs)
+        assert r.k_bins == sum(1 for v in xs if v > 0)
+        if z is None:
+            assert r.mk_z is None and r.trend == "none"
+        else:
+            assert r.mk_z == pytest.approx(z, abs=2e-6), key
+    assert got[(0, 0)].trend == "increasing"
+    assert got[(3, 1)].trend == "decreasing"
+    assert got[(9, 1)].mk_z is None  # all-tied: variance vanishes
+
+
+def test_mann_kendall_zero_bins_match_dense(spark):
+    # the closed-form present-absent split must equal running MK on the
+    # dense zero-filled vector for random sparse series
+    rng = np.random.RandomState(7)
+    T = 12
+    series = {}
+    for i in range(20):
+        x = rng.binomial(1, 0.4, T) * rng.randint(1, 6, T)
+        if x.sum() == 0:
+            x[rng.randint(T)] = 3
+        series[(i % 12, i // 12)] = x.tolist()
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    out = GS.mann_kendall_cells(
+        _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000, n_bins=T
+    )
+    got = {(r.cell_x, r.cell_y): r for r in out.collect()}
+    for key, xs in series.items():
+        S, z = _brute_mk(xs)
+        assert got[key].mk_s == S, key
+        if z is not None:
+            assert got[key].mk_z == pytest.approx(z, abs=2e-6), key
+
+
+def test_mann_kendall_validation(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1)])
+    with pytest.raises(ValueError, match="n_bins"):
+        GS.mann_kendall_cells(df, CELL, t0_us=0, bin_us=1000, n_bins=1)
+    with pytest.raises(ValueError, match="bin_us"):
+        GS.mann_kendall_cells_sql("SELECT 1", CELL, 0, 0, 5)
+    # events outside [t0, t0 + T*bin) are excluded
+    out = GS.mann_kendall_cells(
+        _mk_events_t(spark, [(0, 0, 0, 2), (0, 0, 9, 3)]),
+        CELL, t0_us=0, bin_us=1000, n_bins=4,
+    ).collect()
+    assert out[0].n_events == 2
+
+
+def test_mann_kendall_plan(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 2), (0, 0, 2, 1)])
+    plan = GS.mann_kendall_cells(
+        df, CELL, t0_us=0, bin_us=1000, n_bins=4
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
