@@ -462,6 +462,40 @@ def _od_flows_sql() -> str:
     )
 
 
+_SYNC_KW = dict(
+    interval_us=21_600_000_000,      # 6 h ticks
+    max_gap_us=604_800_000_000,      # refuse to interpolate > 7 d gaps
+    together_m=500_000.0,            # 500 km "together" threshold
+)
+
+
+def q_pair_sync_distance(spark, sf_dir):
+    """Synchronized pair-separation join (operators/trajectory.py
+    pair_sync_distance): candidate pairs from the co-location join
+    (distinct pairs, 1050 km / 6 h) have both tracks resampled onto the
+    same 6-hour grid and their per-tick geodesic separation aggregated
+    (min/max/mean + fraction within 500 km). Mean sums BIGINT
+    millimeters; candidates broadcast, so fan-out is bounded by pair
+    multiplicity, never entity count."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    cand = trajectory.colocation_pairs(
+        ev, max_dist_m=1050000.0, max_dt_us=21_600_000_000,
+        cell_deg=24.0, lat_max=66.0,
+    ).select("user_a", "user_b").distinct()
+    return trajectory.pair_sync_distance(ev, cand, **_SYNC_KW)
+
+
+def _pair_sync_distance_sql() -> str:
+    coloc = trajectory.colocation_pairs_sql(
+        FX.events_geo_sql(), max_dist_m=1050000.0,
+        max_dt_us=21_600_000_000, cell_deg=24.0, lat_max=66.0,
+    )
+    pairs = f"SELECT DISTINCT user_a, user_b FROM ({coloc}) cp"
+    return trajectory.pair_sync_distance_sql(
+        FX.events_geo_sql(), pairs, **_SYNC_KW
+    )
+
+
 def q_mk_trend(spark, sf_dir):
     """Per-cell Mann-Kendall monotone trend of 2-day-binned event
     counts over January 2024 (operators/gridstats.py
@@ -4707,6 +4741,7 @@ def oracle_sql() -> dict[str, str]:
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
+        "pair_sync_distance": _pair_sync_distance_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
@@ -5063,6 +5098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,
+        "pair_sync_distance": q_pair_sync_distance,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,
         "icclim_WSDI": q_icclim_wsdi,

@@ -1363,3 +1363,123 @@ def location_entropy_sql(
         f"CAST(max(c) AS BIGINT) AS c_max FROM cellc GROUP BY entity) "
         f"SELECT entity, n_fixes, n_cells, {outs_sql} FROM g"
     )
+
+
+# ------------------------- synchronized pair separation (sync join) --
+
+def pair_sync_distance(
+    df: DataFrame,
+    pairs: DataFrame,
+    interval_us: int,
+    max_gap_us: int,
+    together_m: float,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Synchronized separation statistics for candidate entity pairs —
+    the "traveling together" / convoy primitive: both tracks are
+    resampled onto the SAME time grid (:func:`track_resample`, so the
+    comparison is time-aligned by construction), then each candidate
+    pair's positions join on the tick and the per-tick geodesic
+    separation aggregates.
+
+    ``pairs`` carries (user_a, user_b) candidates with user_a < user_b
+    — produce it with :func:`colocation_pairs` (distinct pairs) or any
+    blocking rule; feeding all-pairs is the quadratic trap this
+    argument exists to avoid. It broadcasts onto the resampled track
+    table, so the join fan-out is bounded by each entity's candidate
+    multiplicity, never by the entity count.
+
+    Exactness: per-tick distance rounds to mm; the mean sums BIGINT
+    MILLIMETERS (order-independent) and divides once; min/max and the
+    together ratio (fraction of shared ticks <= ``together_m``) compare
+    ROUNDED values, so branch choices are engine-stable.
+
+    Output: (user_a, user_b, n_sync_ticks, min_dist_m, max_dist_m,
+    mean_dist_m, together_ratio).
+    """
+    if not together_m > 0:
+        raise ValueError(f"together_m must be positive, got {together_m}")
+    r = track_resample(
+        df, interval_us=interval_us, max_gap_us=max_gap_us,
+        entity=entity, ts_us=ts_us, seq=seq, lon=lon, lat=lat,
+    )
+    a = r.selectExpr(
+        f"{entity} AS user_a", "tick_us", "lon AS lon_a", "lat AS lat_a"
+    ).join(F.broadcast(pairs.select("user_a", "user_b")), ["user_a"])
+    b = r.selectExpr(
+        f"{entity} AS user_b", "tick_us", "lon AS lon_b", "lat AS lat_b"
+    )
+    hav = haversine_m_sql("lon_a", "lat_a", "lon_b", "lat_b")
+    from .crs import _pf
+
+    ticks = a.join(b, ["user_b", "tick_us"]).selectExpr(
+        "user_a", "user_b", "tick_us",
+        f"round({hav}, {_ND}) AS dist_m",
+    )
+    return ticks.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sync_ticks"),
+        F.min("dist_m").alias("min_dist_m"),
+        F.max("dist_m").alias("max_dist_m"),
+        F.expr(
+            "CAST(sum(CAST(round(dist_m * 1000.0E0, 0) AS BIGINT)) "
+            "AS BIGINT)"
+        ).alias("_mm"),
+        F.expr(
+            f"CAST(sum(CASE WHEN dist_m <= {_pf(together_m)} "
+            f"THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("_tog"),
+    ).selectExpr(
+        "user_a", "user_b", "n_sync_ticks", "min_dist_m", "max_dist_m",
+        "round(CAST(_mm AS DOUBLE) / 1000.0E0 "
+        "/ CAST(n_sync_ticks AS DOUBLE), 6) AS mean_dist_m",
+        "round(CAST(_tog AS DOUBLE) / CAST(n_sync_ticks AS DOUBLE), 6) "
+        "AS together_ratio",
+    )
+
+
+def pair_sync_distance_sql(
+    src_sql: str,
+    pairs_sql: str,
+    interval_us: int,
+    max_gap_us: int,
+    together_m: float,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`pair_sync_distance`: the resample CTE is
+    the SHARED :func:`track_resample_sql` string; ``pairs_sql`` must
+    yield (user_a, user_b)."""
+    if not together_m > 0:
+        raise ValueError(f"together_m must be positive, got {together_m}")
+    from .crs import _pf
+
+    rs = track_resample_sql(
+        src_sql, interval_us=interval_us, max_gap_us=max_gap_us,
+        entity=entity, ts_us=ts_us, seq=seq, lon=lon, lat=lat,
+    )
+    hav = haversine_m_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return (
+        f"WITH r AS ({rs}), cand AS ({pairs_sql}), "
+        f"t AS (SELECT c.user_a, c.user_b, a.tick_us, "
+        f"round({hav}, {_ND}) AS dist_m "
+        f"FROM cand c JOIN r a ON a.{entity} = c.user_a "
+        f"JOIN r b ON b.{entity} = c.user_b "
+        f"AND b.tick_us = a.tick_us) "
+        f"SELECT user_a, user_b, "
+        f"CAST(count(*) AS BIGINT) AS n_sync_ticks, "
+        f"min(dist_m) AS min_dist_m, max(dist_m) AS max_dist_m, "
+        f"round(CAST(CAST(sum(CAST(round(dist_m * 1000.0E0, 0) "
+        f"AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000.0E0 "
+        f"/ CAST(count(*) AS DOUBLE), 6) AS mean_dist_m, "
+        f"round(CAST(sum(CASE WHEN dist_m <= {_pf(together_m)} "
+        f"THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
+        f"AS together_ratio "
+        f"FROM t GROUP BY user_a, user_b"
+    )

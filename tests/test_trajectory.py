@@ -711,3 +711,85 @@ def test_location_entropy_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Window" not in plan and "Join" not in plan
+
+
+# -------------------------------------------- synchronized pair join
+
+
+def test_pair_sync_distance_crafted(spark):
+    # users 1 and 2 walk the equator 0.5 deg apart (always "together");
+    # user 3 sits 90 deg away. Fixes ON ticks so resample is exact.
+    T = 1000
+    rows = []
+    eid = 0
+    for k in range(5):
+        rows.append((eid, 1, k * T, float(k), 0.0)); eid += 1
+        rows.append((eid, 2, k * T, float(k) + 0.5, 0.0)); eid += 1
+        rows.append((eid, 3, k * T, 90.0 + k, 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts_us bigint, "
+        "lon double, lat double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "user_a bigint, user_b bigint"
+    )
+    out = trajectory.pair_sync_distance(
+        df, pairs, interval_us=T, max_gap_us=10 * T, together_m=60000.0
+    )
+    got = {(r.user_a, r.user_b): r for r in out.collect()}
+    d_half = _hav(0.0, 0.0, 0.5, 0.0)       # ~55.6 km at the equator
+    near = got[(1, 2)]
+    assert near.n_sync_ticks == 5
+    assert near.min_dist_m == pytest.approx(d_half, abs=0.01)
+    assert near.max_dist_m == pytest.approx(d_half, abs=0.01)
+    assert near.mean_dist_m == pytest.approx(d_half, abs=0.01)
+    assert near.together_ratio == 1.0
+    far = got[(1, 3)]
+    assert far.n_sync_ticks == 5
+    assert far.together_ratio == 0.0
+    assert far.min_dist_m == pytest.approx(_hav(4.0, 0.0, 94.0, 0.0), abs=0.01)
+    assert far.max_dist_m == pytest.approx(_hav(0.0, 0.0, 90.0, 0.0), abs=0.01)
+
+
+def test_pair_sync_distance_partial_overlap(spark):
+    # user 2's track covers only the back half of user 1's -> only the
+    # shared ticks join; a pair with no shared ticks is absent
+    T = 1000
+    rows = [(0, 1, 0, 0.0, 0.0), (1, 1, 4 * T, 4.0, 0.0),
+            (2, 2, 2 * T, 0.0, 1.0), (3, 2, 4 * T, 2.0, 1.0),
+            (4, 9, 100 * T, 0.0, 0.0), (5, 9, 101 * T, 1.0, 0.0)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts_us bigint, "
+        "lon double, lat double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 9)], "user_a bigint, user_b bigint"
+    )
+    got = {(r.user_a, r.user_b): r for r in
+           trajectory.pair_sync_distance(
+               df, pairs, interval_us=T, max_gap_us=10 * T,
+               together_m=1000.0).collect()}
+    assert got[(1, 2)].n_sync_ticks == 3   # ticks 2T, 3T, 4T
+    assert (1, 9) not in got               # disjoint time ranges
+
+
+def test_pair_sync_distance_plan_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 0, 0.0, 0.0)],
+        "event_id bigint, user_id bigint, ts_us bigint, "
+        "lon double, lat double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "user_a bigint, user_b bigint")
+    with pytest.raises(ValueError, match="together_m"):
+        trajectory.pair_sync_distance(
+            df, pairs, interval_us=1000, max_gap_us=5000, together_m=0.0)
+    plan = trajectory.pair_sync_distance(
+        df, pairs, interval_us=1000, max_gap_us=5000, together_m=1.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the candidate table broadcasts (fan-out bounded per entity)
+    assert "BroadcastHashJoin" in plan
