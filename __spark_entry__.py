@@ -462,6 +462,32 @@ def _od_flows_sql() -> str:
     )
 
 
+def q_burstiness(spark, sf_dir):
+    """Per-entity inter-event burstiness (operators/trajectory.py
+    burstiness): Goh-Barabasi B = (sigma - mu)/(sigma + mu) over
+    consecutive gaps quantized to whole seconds, so the moment sums are
+    BIGINT-exact; one entity exchange (lag window + aggregate)."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.burstiness(ev)
+
+
+def _burstiness_sql() -> str:
+    return trajectory.burstiness_sql(FX.events_geo_sql())
+
+
+def q_step_direction(spark, sf_dir):
+    """Per-entity circular statistics of step headings
+    (operators/trajectory.py step_direction_stats): mean bearing +
+    resultant length from 1e12-quantized bearing unit vectors —
+    BIGINT-exact sums, one entity exchange."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.step_direction_stats(ev)
+
+
+def _step_direction_sql() -> str:
+    return trajectory.step_direction_stats_sql(FX.events_geo_sql())
+
+
 _SYNC_KW = dict(
     interval_us=21_600_000_000,      # 6 h ticks
     max_gap_us=604_800_000_000,      # refuse to interpolate > 7 d gaps
@@ -4742,6 +4768,8 @@ def oracle_sql() -> dict[str, str]:
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
         "pair_sync_distance": _pair_sync_distance_sql(),
+        "burstiness": _burstiness_sql(),
+        "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
@@ -5099,6 +5127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,
         "pair_sync_distance": q_pair_sync_distance,
+        "burstiness": q_burstiness,
+        "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,
         "icclim_WSDI": q_icclim_wsdi,

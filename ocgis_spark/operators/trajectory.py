@@ -1483,3 +1483,200 @@ def pair_sync_distance_sql(
         f"AS together_ratio "
         f"FROM t GROUP BY user_a, user_b"
     )
+
+
+# --------------------- temporal burstiness + directional statistics --
+
+def burstiness(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Per-entity inter-event-time statistics + the Goh-Barabasi
+    burstiness coefficient B = (σ − μ)/(σ + μ) over the consecutive-fix
+    gaps (B → −1 periodic, 0 Poisson, → 1 bursty).
+
+    Exactness: gaps are exact BIGINT micros but their squares overflow
+    at month-scale spans, so gaps quantize to WHOLE SECONDS
+    (floor((t−t_prev)/1e6) — exact integer division) before the moment
+    sums: Σg and Σg² stay BIGINT-exact to ~2.9e5 user-years of span per
+    entity, and σ² = (nΣg² − (Σg)²)/n² is formed from exact integers in
+    one shared double expression (population σ, matching the standard
+    B definition). Entities with < 2 fixes are absent (no gaps).
+
+    Plan: the lag window and the aggregate share ONE
+    hashpartitioning(entity) exchange. Output: (entity, n_gaps,
+    mean_gap_s, std_gap_s, burstiness), floats round(.,6).
+    """
+    w = Window.partitionBy(entity).orderBy(ts_us, seq)
+    # group on the ORIGINAL entity column (rename only at the end):
+    # an early alias defeats the alias-aware partitioning reuse and
+    # costs a second exchange
+    g = df.select(
+        F.col(entity),
+        F.col(ts_us).alias("t"),
+        F.lag(ts_us).over(w).alias("t_prev"),
+    ).filter(F.col("t_prev").isNotNull()).selectExpr(
+        entity,
+        "CAST((t - t_prev - ((t - t_prev) % 1000000)) / 1000000 "
+        "AS BIGINT) AS gs",
+    )
+    agg = g.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gs").cast("bigint").alias("sg"),
+        F.expr("CAST(sum(gs * gs) AS BIGINT)").alias("sgg"),
+    )
+    return agg.selectExpr(
+        f"{entity} AS entity", "n_gaps", *_burst_out_sql()
+    )
+
+
+def _burst_out_sql() -> tuple:
+    """Shared (mean_gap_s, std_gap_s, burstiness) projection over
+    (n_gaps, sg, sgg) — population variance via the exact-integer
+    identity n·Σg² − (Σg)², computed in doubles from exact inputs."""
+    n = "CAST(n_gaps AS DOUBLE)"
+    mu = f"(CAST(sg AS DOUBLE) / {n})"
+    var = (
+        f"greatest(0.0E0, ({n} * CAST(sgg AS DOUBLE) "
+        f"- CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / ({n} * {n}))"
+    )
+    sd = f"sqrt({var})"
+    return (
+        f"round({mu}, 6) AS mean_gap_s",
+        f"round({sd}, 6) AS std_gap_s",
+        f"round(CASE WHEN {sd} + {mu} > 0.0E0 THEN "
+        f"({sd} - {mu}) / ({sd} + {mu}) END, 6) AS burstiness",
+    )
+
+
+def burstiness_sql(
+    src_sql: str,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+) -> str:
+    """Oracle twin of :func:`burstiness` (same shared strings)."""
+    outs = ", ".join(_burst_out_sql())
+    return (
+        f"WITH l AS (SELECT {entity} AS entity, {ts_us} AS t, "
+        f"lag({ts_us}) OVER (PARTITION BY {entity} "
+        f"ORDER BY {ts_us}, {seq}) AS t_prev FROM ({src_sql}) s), "
+        f"g AS (SELECT entity, "
+        f"CAST((t - t_prev - ((t - t_prev) % 1000000)) / 1000000 "
+        f"AS BIGINT) AS gs FROM l WHERE t_prev IS NOT NULL), "
+        f"a AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_gaps, "
+        f"CAST(sum(gs) AS BIGINT) AS sg, "
+        f"CAST(sum(gs * gs) AS BIGINT) AS sgg FROM g GROUP BY entity) "
+        f"SELECT entity, n_gaps, {outs} FROM a"
+    )
+
+
+def step_direction_stats(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-entity circular statistics of step headings — the movement-
+    anisotropy scalar: mean bearing (degrees [0, 360)) and the mean
+    resultant length R̄ ∈ [0, 1] (1 = every step the same heading,
+    0 = isotropic; Mardia & Jupp directional statistics).
+
+    Each consecutive-fix step contributes its initial great-circle
+    bearing as a unit vector; components quantize to BIGINT at 1e12
+    (the gyration posture) so per-entity sums are exact integers —
+    order-independent — and the closing atan2/norm is one shared double
+    expression. Coincident fixes (zero step) are excluded: they carry
+    no heading. ONE hashpartitioning(entity) exchange (lag window +
+    aggregate). Output: (entity, n_steps, mean_bearing_deg, rbar).
+    """
+    w = Window.partitionBy(entity).orderBy(ts_us, seq)
+    # original entity column through window + groupBy (rename at the
+    # end) — see burstiness for the alias-partitioning note
+    pairs = df.select(
+        F.col(entity),
+        F.col(lon).alias("lo"), F.col(lat).alias("la"),
+        F.lag(lon).over(w).alias("plo"),
+        F.lag(lat).over(w).alias("pla"),
+    ).filter(
+        F.col("plo").isNotNull()
+        & ~((F.col("lo") == F.col("plo")) & (F.col("la") == F.col("pla")))
+    )
+    east, north = _bearing_vec_sql("plo", "pla", "lo", "la")
+    s = f"{_VEC_SCALE}.0E0"
+    q = pairs.selectExpr(
+        entity,
+        f"CAST(round(({east}) * {s}, 0) AS BIGINT) AS qe",
+        f"CAST(round(({north}) * {s}, 0) AS BIGINT) AS qn",
+    ).filter("qe IS NOT NULL")  # antipodal step: heading undefined
+    agg = q.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.sum("qe").cast("bigint").alias("se"),
+        F.sum("qn").cast("bigint").alias("sn"),
+    )
+    return agg.selectExpr(
+        f"{entity} AS entity", "n_steps", *_dir_out_sql()
+    )
+
+
+def _bearing_vec_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> tuple:
+    """(east, north) unit components of the initial bearing from p1 to
+    p2 — the NORMALIZED atan2 arguments (y, x)/hypot, dialect-neutral.
+    Wrap-safe: Δλ appears only under sin/cos."""
+    dl = f"radians(({lon2}) - ({lon1}))"
+    y = f"(sin({dl}) * cos(radians({lat2})))"
+    x = (
+        f"(cos(radians({lat1})) * sin(radians({lat2})) "
+        f"- sin(radians({lat1})) * cos(radians({lat2})) * cos({dl}))"
+    )
+    h = f"sqrt({y} * {y} + {x} * {x})"
+    return f"({y} / nullif({h}, 0.0E0))", f"({x} / nullif({h}, 0.0E0))"
+
+
+def _dir_out_sql() -> tuple:
+    """Shared (mean_bearing_deg, rbar) projection over
+    (n_steps, se, sn)."""
+    s = f"{_VEC_SCALE}.0E0"
+    me = f"(CAST(se AS DOUBLE) / CAST(n_steps AS DOUBLE) / {s})"
+    mn = f"(CAST(sn AS DOUBLE) / CAST(n_steps AS DOUBLE) / {s})"
+    rbar = f"sqrt({me} * {me} + {mn} * {mn})"
+    return (
+        f"round(CASE WHEN {rbar} > 0.0E0 THEN "
+        f"((degrees(atan2({me}, {mn})) % 360.0E0) + 360.0E0) % 360.0E0 "
+        f"END, 6) AS mean_bearing_deg",
+        f"round({rbar}, 6) AS rbar",
+    )
+
+
+def step_direction_stats_sql(
+    src_sql: str,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`step_direction_stats`."""
+    east, north = _bearing_vec_sql("plo", "pla", "lo", "la")
+    s = f"{_VEC_SCALE}.0E0"
+    outs = ", ".join(_dir_out_sql())
+    return (
+        f"WITH l AS (SELECT {entity} AS entity, {lon} AS lo, "
+        f"{lat} AS la, lag({lon}) OVER w AS plo, "
+        f"lag({lat}) OVER w AS pla FROM ({src_sql}) s "
+        f"WINDOW w AS (PARTITION BY {entity} ORDER BY {ts_us}, {seq})), "
+        f"q AS (SELECT entity, "
+        f"CAST(round(({east}) * {s}, 0) AS BIGINT) AS qe, "
+        f"CAST(round(({north}) * {s}, 0) AS BIGINT) AS qn "
+        f"FROM l WHERE plo IS NOT NULL "
+        f"AND NOT (lo = plo AND la = pla)), "
+        f"qf AS (SELECT * FROM q WHERE qe IS NOT NULL), "
+        f"a AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_steps, "
+        f"CAST(sum(qe) AS BIGINT) AS se, CAST(sum(qn) AS BIGINT) AS sn "
+        f"FROM qf GROUP BY entity) "
+        f"SELECT entity, n_steps, {outs} FROM a"
+    )

@@ -793,3 +793,88 @@ def test_pair_sync_distance_plan_and_validation(spark):
     assert "CartesianProduct" not in plan
     # the candidate table broadcasts (fan-out bounded per entity)
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------ burstiness + direction stats
+
+
+def test_burstiness_crafted(spark):
+    # user 1: perfectly periodic (sigma=0 -> B=-1); user 2: bursty
+    # (many short gaps + one huge); user 3: single fix -> absent
+    rows = []
+    eid = 0
+    for k in range(6):
+        rows.append((eid, 1, k * 10_000_000, 0.0, 0.0)); eid += 1
+    ts = [0, 1, 2, 3, 4, 1000]
+    for t in ts:
+        rows.append((eid, 2, t * 1_000_000, 0.0, 0.0)); eid += 1
+    rows.append((eid, 3, 5_000_000, 0.0, 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, "
+              "lon double, lat double")
+    got = {r.entity: r for r in trajectory.burstiness(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_gaps == 5
+    assert got[1].mean_gap_s == 10.0
+    assert got[1].std_gap_s == 0.0
+    assert got[1].burstiness == -1.0
+    gaps = np.diff(ts).astype(float)
+    mu, sd = gaps.mean(), gaps.std()  # population sigma
+    assert got[2].mean_gap_s == pytest.approx(mu, abs=1e-6)
+    assert got[2].std_gap_s == pytest.approx(sd, abs=1e-6)
+    assert got[2].burstiness == pytest.approx((sd - mu) / (sd + mu), abs=1e-6)
+    assert got[2].burstiness > 0.2  # clearly burstier than periodic
+
+
+def test_burstiness_subsecond_quantization(spark):
+    # gaps quantize to whole seconds by FLOOR: 1.9 s and 1.1 s both
+    # count as 1 s (documented: exact integer division, not rounding)
+    rows = [(0, 1, 0, 0.0, 0.0), (1, 1, 1_900_000, 0.0, 0.0),
+            (2, 1, 3_000_000, 0.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, "
+              "lon double, lat double")
+    r = trajectory.burstiness(df).collect()[0]
+    assert r.n_gaps == 2 and r.mean_gap_s == 1.0 and r.std_gap_s == 0.0
+
+
+def test_step_direction_crafted(spark):
+    # user 1: due east along the equator every step -> bearing 90, rbar 1
+    # user 2: alternating east/west -> resultant cancels, rbar ~ 0
+    # user 3: one NE step at the equator (bearing 45 for dlon = dlat
+    # small) plus a coincident fix (excluded)
+    rows = [
+        (0, 1, 0, 0.0, 0.0), (1, 1, 1, 1.0, 0.0), (2, 1, 2, 2.0, 0.0),
+        (10, 2, 0, 0.0, 10.0), (11, 2, 1, 1.0, 10.0),
+        (12, 2, 2, 0.0, 10.0),
+        (20, 3, 0, 0.0, 0.0), (21, 3, 1, 0.0, 0.0),
+        (22, 3, 2, 0.01, 0.01),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, "
+              "lon double, lat double")
+    got = {r.entity: r for r in
+           trajectory.step_direction_stats(df).collect()}
+    assert got[1].n_steps == 2
+    assert got[1].mean_bearing_deg == pytest.approx(90.0, abs=1e-6)
+    assert got[1].rbar == pytest.approx(1.0, abs=1e-9)
+    # east then west at the same latitude: headings differ by ~180 up
+    # to the great-circle convergence; resultant nearly cancels
+    assert got[2].rbar < 0.01
+    assert got[3].n_steps == 1  # coincident step carries no heading
+    assert got[3].mean_bearing_deg == pytest.approx(45.0, abs=0.01)
+    assert got[3].rbar == pytest.approx(1.0, abs=1e-9)
+
+
+def test_burst_direction_plans(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 0, 0.0, 0.0), (1, 1, 1, 1.0, 0.0)],
+        "event_id bigint, user_id bigint, ts_us bigint, "
+        "lon double, lat double")
+    for op in (trajectory.burstiness,
+               trajectory.step_direction_stats):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1, op.__name__
