@@ -1071,12 +1071,25 @@ def od_flows(
     Output: (o_cx, o_cy, d_cx, d_cy, n_trips, sum_travel_us BIGINT,
     avg_travel_us, mean_trip_m).
     """
-    from .cluster import cell_id_sql
-
     dw = dwell_segments(
         df, max_step_m=max_step_m, min_duration_us=min_duration_us,
         entity=entity, ts_us=ts_us, seq=seq, lon=lon, lat=lat,
     )
+    return od_flows_from_dwells(dw, od_cell_deg, entity=entity)
+
+
+def od_flows_from_dwells(
+    dw: DataFrame,
+    od_cell_deg: float,
+    entity: str = "user_id",
+) -> DataFrame:
+    """The dwell-table half of :func:`od_flows` — takes a persisted
+    dwell table (the resumable job's checkpointed phase boundary,
+    ``jobs/run_mobility.py``) with columns (entity, run_id, start_us,
+    end_us, c_lon, c_lat) and aggregates consecutive-dwell trips into
+    OD-cell flows. Same integer-exactness discipline as od_flows."""
+    from .cluster import cell_id_sql
+
     w = Window.partitionBy(entity).orderBy("run_id")
     hav = haversine_m_sql("c_lon", "c_lat", "n_lon", "n_lat")
     _, ocx, ocy = cell_id_sql(od_cell_deg, "c_lon", "c_lat")
