@@ -462,6 +462,19 @@ def _od_flows_sql() -> str:
     )
 
 
+def q_daily_rhythm(spark, sf_dir):
+    """Per-entity circular time-of-day statistics
+    (operators/trajectory.py daily_rhythm): peak hour (circular mean of
+    the 24 h phase) + rhythm (resultant length) from 1e12-quantized
+    phase unit vectors — BIGINT-exact sums, one hash aggregation."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.daily_rhythm(ev)
+
+
+def _daily_rhythm_sql() -> str:
+    return trajectory.daily_rhythm_sql(FX.events_geo_sql())
+
+
 def q_burstiness(spark, sf_dir):
     """Per-entity inter-event burstiness (operators/trajectory.py
     burstiness): Goh-Barabasi B = (sigma - mu)/(sigma + mu) over
@@ -4769,6 +4782,7 @@ def oracle_sql() -> dict[str, str]:
         "mk_trend": _mk_trend_sql(),
         "pair_sync_distance": _pair_sync_distance_sql(),
         "burstiness": _burstiness_sql(),
+        "daily_rhythm": _daily_rhythm_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5128,6 +5142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_trend": q_mk_trend,
         "pair_sync_distance": q_pair_sync_distance,
         "burstiness": q_burstiness,
+        "daily_rhythm": q_daily_rhythm,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

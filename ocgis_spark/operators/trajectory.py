@@ -1693,3 +1693,87 @@ def step_direction_stats_sql(
         f"FROM qf GROUP BY entity) "
         f"SELECT entity, n_steps, {outs} FROM a"
     )
+
+
+# ------------------------------------ daily-rhythm circular statistics --
+
+def daily_rhythm(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+) -> DataFrame:
+    """Per-entity circular statistics of the TIME OF DAY of fixes — the
+    routine/periodicity scalar: peak_hour_utc (circular mean of the
+    24-hour phase, [0, 24)) and rhythm (mean resultant length R̄ ∈
+    [0, 1]: 1 = every fix at the same wall-clock time, 0 = uniform
+    around the clock; the von Mises concentration proxy).
+
+    Phase angle θ = 2π·(t mod 86400s)/86400 from exact integer
+    microseconds-of-day; unit-vector components quantize to BIGINT at
+    1e12 (the gyration posture) so per-entity sums are exact integers,
+    and the closing atan2/norm is one shared double expression. ONE
+    hash aggregation, map-side partials. Output: (entity, n_fixes,
+    peak_hour_utc, rhythm), floats round(.,6).
+    """
+    day = 86_400_000_000
+    phase = (
+        f"(2.0E0 * pi() * CAST((({ts_us}) % {day} + {day}) % {day} "
+        f"AS DOUBLE) / {float(day)!r}E0)"
+    )
+    s = f"{_VEC_SCALE}.0E0"
+    q = df.selectExpr(
+        entity,
+        f"CAST(round(cos({phase}) * {s}, 0) AS BIGINT) AS qc",
+        f"CAST(round(sin({phase}) * {s}, 0) AS BIGINT) AS qs",
+    )
+    agg = q.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+        F.sum("qc").cast("bigint").alias("sc"),
+        F.sum("qs").cast("bigint").alias("ss"),
+    )
+    return agg.selectExpr(
+        f"{entity} AS entity", "n_fixes", *_rhythm_out_sql()
+    )
+
+
+def _rhythm_out_sql() -> tuple:
+    """Shared (peak_hour_utc, rhythm) projection over
+    (n_fixes, sc, ss)."""
+    s = f"{_VEC_SCALE}.0E0"
+    mc = f"(CAST(sc AS DOUBLE) / CAST(n_fixes AS DOUBLE) / {s})"
+    ms = f"(CAST(ss AS DOUBLE) / CAST(n_fixes AS DOUBLE) / {s})"
+    rbar = f"sqrt({mc} * {mc} + {ms} * {ms})"
+    hour = (
+        f"(((degrees(atan2({ms}, {mc})) % 360.0E0) + 360.0E0) % 360.0E0) "
+        f"/ 15.0E0"
+    )
+    return (
+        f"round(CASE WHEN {rbar} > 0.0E0 THEN {hour} END, 6) "
+        f"AS peak_hour_utc",
+        f"round({rbar}, 6) AS rhythm",
+    )
+
+
+def daily_rhythm_sql(
+    src_sql: str,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+) -> str:
+    """Oracle twin of :func:`daily_rhythm` (same shared strings)."""
+    day = 86_400_000_000
+    phase = (
+        f"(2.0E0 * pi() * CAST((({ts_us}) % {day} + {day}) % {day} "
+        f"AS DOUBLE) / {float(day)!r}E0)"
+    )
+    s = f"{_VEC_SCALE}.0E0"
+    outs = ", ".join(_rhythm_out_sql())
+    return (
+        f"WITH q AS (SELECT {entity} AS entity, "
+        f"CAST(round(cos({phase}) * {s}, 0) AS BIGINT) AS qc, "
+        f"CAST(round(sin({phase}) * {s}, 0) AS BIGINT) AS qs "
+        f"FROM ({src_sql}) s), "
+        f"a AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_fixes, "
+        f"CAST(sum(qc) AS BIGINT) AS sc, CAST(sum(qs) AS BIGINT) AS ss "
+        f"FROM q GROUP BY entity) "
+        f"SELECT entity, n_fixes, {outs} FROM a"
+    )

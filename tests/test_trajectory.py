@@ -878,3 +878,43 @@ def test_burst_direction_plans(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert plan.count("Exchange hashpartitioning") == 1, op.__name__
+
+
+def test_daily_rhythm_crafted(spark):
+    H = 3_600_000_000
+    rows = []
+    eid = 0
+    # user 1: every fix at exactly 09:00 UTC (different days)
+    for d in range(4):
+        rows.append((eid, 1, d * 24 * H + 9 * H, 0.0, 0.0)); eid += 1
+    # user 2: four fixes evenly around the clock -> resultant cancels
+    for h in (0, 6, 12, 18):
+        rows.append((eid, 2, h * H, 0.0, 0.0)); eid += 1
+    # user 3: fixes straddling midnight (23:00 and 01:00) -> circular
+    # mean is 0:00, NOT the arithmetic 12:00
+    rows.append((eid, 3, 23 * H, 0.0, 0.0)); eid += 1
+    rows.append((eid, 3, 24 * H + 1 * H, 0.0, 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, "
+              "lon double, lat double")
+    got = {r.entity: r for r in trajectory.daily_rhythm(df).collect()}
+    assert got[1].peak_hour_utc == pytest.approx(9.0, abs=1e-9)
+    assert got[1].rhythm == pytest.approx(1.0, abs=1e-9)
+    assert got[2].rhythm < 1e-9
+    assert got[2].peak_hour_utc is None or got[2].rhythm == 0.0
+    assert got[3].peak_hour_utc == pytest.approx(0.0, abs=1e-6) or \
+        got[3].peak_hour_utc == pytest.approx(24.0, abs=1e-6)
+    assert got[3].rhythm == pytest.approx(
+        np.cos(np.radians(15.0)), abs=1e-6)  # 1h off the mean (round 6)
+
+
+def test_daily_rhythm_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 0, 0.0, 0.0)],
+        "event_id bigint, user_id bigint, ts_us bigint, "
+        "lon double, lat double")
+    plan = trajectory.daily_rhythm(df)._jdf.queryExecution() \
+        .executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
