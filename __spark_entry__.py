@@ -462,6 +462,24 @@ def _od_flows_sql() -> str:
     )
 
 
+def q_route_usage(spark, sf_dir):
+    """Corridor usage profile (operators/trajectory.py route_usage):
+    events within 1500 km of the corridor route binned into 500 km
+    chainage stretches — fixes, distinct users, mean lateral offset per
+    stretch. route_locate's 0-exchange codegen map + one rollup; the
+    mean offset sums BIGINT millimeters."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.route_usage(
+        ev, _ROUTE, max_dist_m=1500000.0, bin_m=500000.0
+    )
+
+
+def _route_usage_sql() -> str:
+    return trajectory.route_usage_sql(
+        FX.events_geo_sql(), _ROUTE, max_dist_m=1500000.0, bin_m=500000.0
+    )
+
+
 def q_daily_rhythm(spark, sf_dir):
     """Per-entity circular time-of-day statistics
     (operators/trajectory.py daily_rhythm): peak hour (circular mean of
@@ -4783,6 +4801,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_sync_distance": _pair_sync_distance_sql(),
         "burstiness": _burstiness_sql(),
         "daily_rhythm": _daily_rhythm_sql(),
+        "route_usage": _route_usage_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5143,6 +5162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_sync_distance": q_pair_sync_distance,
         "burstiness": q_burstiness,
         "daily_rhythm": q_daily_rhythm,
+        "route_usage": q_route_usage,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

@@ -918,3 +918,42 @@ def test_daily_rhythm_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_route_usage_crafted(spark):
+    # equatorial route 0 -> 10 deg E; fixes at known chainages
+    route = [(0.0, 0.0), (10.0, 0.0)]
+    deg_m = _hav(0.0, 0.0, 1.0, 0.0)  # meters per equatorial degree
+    rows = [
+        (0, 1, 0.5, 0.1),   # bin 0
+        (1, 1, 0.8, -0.1),  # bin 0
+        (2, 2, 0.9, 0.0),   # bin 0
+        (3, 2, 5.0, 0.5),   # bin floor(5 deg / 2 deg) = 2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, lon double, lat double")
+    out = trajectory.route_usage(
+        df, route, max_dist_m=200000.0, bin_m=2.0 * deg_m)
+    got = {r.chain_bin: r for r in out.collect()}
+    assert set(got) == {0, 2}
+    assert got[0].n_fixes == 3 and got[0].n_users == 2
+    assert got[2].n_fixes == 1 and got[2].n_users == 1
+    # mean lateral offset of bin 0: (|0.1| + |-0.1| + 0) deg of arc / 3
+    off = _hav(0.0, 0.0, 0.0, 0.1)
+    assert got[0].mean_offset_m == pytest.approx(2 * off / 3, abs=1e-2)
+    assert got[0].bin_start_m == 0.0
+    assert got[2].bin_start_m == pytest.approx(4 * deg_m, abs=1e-6)
+    with pytest.raises(ValueError, match="bin_m"):
+        trajectory.route_usage(df, route, max_dist_m=1.0, bin_m=0.0)
+
+
+def test_route_usage_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 0.5, 0.1)],
+        "event_id bigint, user_id bigint, lon double, lat double")
+    plan = trajectory.route_usage(
+        df, [(0.0, 0.0), (10.0, 0.0)], max_dist_m=1e6, bin_m=1e5
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
