@@ -280,6 +280,41 @@ def main() -> None:
     )
     timed("q1_pricing", lambda: _materialize(E.q_q1_pricing(spark, sf_dir)))
 
+    # mobility chain over a replicated event stream (NEW in r4s26 —
+    # absent from BENCH_r{1..3}.json): kinematics-grade windows + dwell
+    # sessionization + OD rollup at ~5M fixes / 75k entities. Entities
+    # are replicated DISTINCT (copy shifts user_id), so the window key
+    # count scales with the data — no artificial skew.
+    from ocgis_spark.operators import trajectory  # noqa: E402
+
+    ev_repl = int(os.environ.get("SPARK_GRAFT_EV_REPL", "50"))
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_ev = ev_raw.count()
+    # shift units far above any real id (user ids are ~1e3 per sf)
+    ev_scaled = (
+        spark.range(ev_repl).withColumnRenamed("id", "copy")
+        .crossJoin(F.broadcast(ev_raw))
+        .withColumn("user_id", F.col("user_id") + F.col("copy") * F.lit(1_000_000))
+        .withColumn("event_id", F.col("event_id") + F.col("copy") * F.lit(n_ev))
+        .drop("copy")
+    )
+    ev_scaled.createOrReplaceTempView("events")
+    ev_geo = spark.sql(
+        FX.events_geo_sql(ts_us="unix_micros(CAST(ts AS TIMESTAMP))")
+    ).persist()
+    _materialize(ev_geo)
+
+    timed(
+        "mobility_dwell_od",
+        lambda: _materialize(
+            trajectory.od_flows(
+                ev_geo, max_step_m=30000.0,
+                min_duration_us=43_200_000_000, od_cell_deg=5.0,
+            )
+        ),
+    )
+    ev_geo.unpersist()
+
     total = round(sum(timings.values()), 3)
     flagship_sec = timings["flagship_join_tiles"]
     sf = sf_dir.rstrip("/").split("sf")[-1]
