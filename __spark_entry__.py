@@ -576,6 +576,33 @@ def _mk_trend_sql() -> str:
     )
 
 
+def q_moran_bivariate(spark, sf_dir):
+    """Bivariate (cross) Moran's I between the 'error' and 'purchase'
+    event classes (operators/gridstats.py bivariate_morans_i,
+    Wartenberg 1985): do errors cluster NEXT TO purchases? Both class
+    counts from one corpus pass; seven BIGINT-exact moments; one shared
+    closing double."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("event_type",),
+    ))
+    return GS.bivariate_morans_i(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        a_pred="event_type = 'error'", b_pred="event_type = 'purchase'",
+    )
+
+
+def _moran_bivariate_sql() -> str:
+    return GS.bivariate_morans_i_sql(
+        FX.events_geo_sql(extra_cols=("event_type",)),
+        cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        a_pred="event_type = 'error'", b_pred="event_type = 'purchase'",
+    )
+
+
 def q_gyration_radius(spark, sf_dir):
     """Per-entity radius of gyration (operators/trajectory.py
     gyration_radius): the mobility-range scalar, closed-form in the
@@ -4802,6 +4829,7 @@ def oracle_sql() -> dict[str, str]:
         "burstiness": _burstiness_sql(),
         "daily_rhythm": _daily_rhythm_sql(),
         "route_usage": _route_usage_sql(),
+        "moran_bivariate": _moran_bivariate_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5163,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "daily_rhythm": q_daily_rhythm,
         "route_usage": q_route_usage,
+        "moran_bivariate": q_moran_bivariate,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

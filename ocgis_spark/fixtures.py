@@ -315,7 +315,11 @@ def para_text_sql(text: str = "text", key: str = "doc_id") -> str:
 
 # ---- geo-located event-stream fixture (trajectory family) ----
 
-def events_geo_sql(ts_us: str = "epoch_us(ts)", table: str = "events") -> str:
+def events_geo_sql(
+    ts_us: str = "epoch_us(ts)",
+    table: str = "events",
+    extra_cols: tuple = (),
+) -> str:
     """Geo-located event stream: every event gets a deterministic
     (lon, lat) near its user's multiplicative-hash "home" point (global
     lon spread, lat in ±60°, per-event jitter ±0.25°), so per-entity
@@ -333,10 +337,11 @@ def events_geo_sql(ts_us: str = "epoch_us(ts)", table: str = "events") -> str:
     )
     jlon = f"CAST((event_id * 97 + 13) % 997 AS DOUBLE) / 997.0E0 * 0.5E0 - 0.25E0"
     jlat = f"CAST((event_id * 89 + 7) % 991 AS DOUBLE) / 991.0E0 * 0.5E0 - 0.25E0"
+    extra = "".join(f", {c}" for c in extra_cols)
     return (
         f"SELECT event_id, user_id, {ts_us} AS ts_us, "
         f"({home_lon} + {jlon}) AS lon, "
-        f"({home_lat} + {jlat}) AS lat "
+        f"({home_lat} + {jlat}) AS lat{extra} "
         f"FROM {table}"
     )
 

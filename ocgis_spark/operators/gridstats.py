@@ -386,7 +386,7 @@ def _moran_moments_sql(
         f"(c.cy + o.dy) AS ty, c.cnt "
         f"FROM counts c CROSS JOIN offs o "
         f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
-        f"pair AS (SELECT CAST(sum(s.cnt * t.cnt) AS BIGINT) AS psum "
+        f"pair AS (SELECT CAST(coalesce(sum(s.cnt * t.cnt), 0) AS BIGINT) AS psum "
         f"FROM scat s JOIN counts t ON s.tx = t.cx AND s.ty = t.cy), "
         f"mom AS (SELECT CAST(sum(cnt) AS BIGINT) AS sx, "
         f"CAST(sum(cnt * cnt) AS BIGINT) AS sxx, "
@@ -471,7 +471,9 @@ def morans_i(
     pair = scat.join(
         counts, (scat.tx == counts.cx) & (scat.ty == counts.cy)
     ).agg(
-        F.sum(F.col("scnt") * F.col("cnt")).cast("bigint").alias("psum")
+        F.expr(
+            "CAST(coalesce(sum(scnt * cnt), 0) AS BIGINT)"
+        ).alias("psum")
     )
     rowsum = (
         f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
@@ -693,4 +695,169 @@ def mann_kendall_cells(
     return m.selectExpr(
         "cx AS cell_x", "cy AS cell_y", "n_events", "k_bins", "mk_s",
         *_mk_z_sql(T),
+    )
+
+
+# -------------------------------------------- bivariate Moran's I --
+
+def _biv_counts_sql(
+    src_sql: str, cell_deg: float, cy0: int, cy1: int,
+    a_pred: str, b_pred: str, lon: str, lat: str,
+) -> str:
+    """Per-cell BIGINT counts of the two event classes in ONE pass."""
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    return (
+        f"SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(sum(CASE WHEN {a_pred} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS xa, "
+        f"CAST(sum(CASE WHEN {b_pred} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS xb "
+        f"FROM ({src_sql}) s "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} "
+        f"GROUP BY 1, 2"
+    )
+
+
+def _biv_out_sql(n_cells: int, w_sum: int) -> str:
+    """Shared closing expression over the seven exact-BIGINT moments
+    (sa, saa, sb, sbb, ra, rb, pab)."""
+    n = f"{n_cells}.0E0"
+    w = f"{w_sum}.0E0"
+    ma = f"(CAST(sa AS DOUBLE) / {n})"
+    mb = f"(CAST(sb AS DOUBLE) / {n})"
+    num = (
+        f"(CAST(pab AS DOUBLE) - {mb} * CAST(ra AS DOUBLE) "
+        f"- {ma} * CAST(rb AS DOUBLE) + {ma} * {mb} * {w})"
+    )
+    den = (
+        f"sqrt((CAST(saa AS DOUBLE) - {n} * {ma} * {ma}) "
+        f"* (CAST(sbb AS DOUBLE) - {n} * {mb} * {mb}))"
+    )
+    return (
+        f"round(({n} / {w}) * {num} / nullif({den}, 0.0E0), 6) "
+        f"AS moran_ab"
+    )
+
+
+def bivariate_morans_i_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    a_pred: str,
+    b_pred: str,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Bivariate (cross) Moran's I between two event classes
+    (Wartenberg 1985): does class A cluster NEXT TO class B?
+
+        I_ab = (n/W) · Σ_ij w_ij (a_i−ā)(b_j−b̄)
+                      / sqrt(Σ(a_i−ā)² · Σ(b_j−b̄)²)
+
+    over the FIXED lattice (empty cells 0, queen 3x3-minus-self
+    weights, lon wrapped — the :func:`morans_i` machinery). Both class
+    counts come from ONE corpus pass (conditional sums); the cross pair
+    term pab = Σ w_ij a_i b_j scatters the A-counts onto neighbors and
+    joins the PRESENT B-cells; all seven moments are BIGINT-exact and
+    the statistic is one shared double expression. NULL when either
+    class is spatially constant. Output: one row
+    (n_cells, w_sum, sa, sb, ra, rb, pab, moran_ab).
+    """
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
+    counts = _biv_counts_sql(
+        src_sql, cell_deg, cy0, cy1, a_pred, b_pred, lon, lat
+    )
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    return (
+        f"WITH counts AS ({counts}), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.xa "
+        f"FROM counts c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
+        f"pair AS (SELECT CAST(coalesce(sum(s.xa * t.xb), 0) AS BIGINT) AS pab "
+        f"FROM scat s JOIN counts t ON s.tx = t.cx AND s.ty = t.cy), "
+        f"mom AS (SELECT CAST(sum(xa) AS BIGINT) AS sa, "
+        f"CAST(sum(xa * xa) AS BIGINT) AS saa, "
+        f"CAST(sum(xb) AS BIGINT) AS sb, "
+        f"CAST(sum(xb * xb) AS BIGINT) AS sbb, "
+        f"CAST(sum({rowsum} * xa) AS BIGINT) AS ra, "
+        f"CAST(sum({rowsum} * xb) AS BIGINT) AS rb FROM counts) "
+        f"SELECT CAST({n_cells} AS BIGINT) AS n_cells, "
+        f"CAST({w_sum} AS BIGINT) AS w_sum, sa, sb, ra, rb, pab, "
+        + _biv_out_sql(n_cells, w_sum)
+        + " FROM mom CROSS JOIN pair"
+    )
+
+
+def bivariate_morans_i(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    a_pred: str,
+    b_pred: str,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Bivariate Moran's I (see :func:`bivariate_morans_i_sql`). Plan:
+    ONE corpus hash-aggregate (both class counts as conditional sums),
+    the bounded 8-offset Generate, one CELL-sized join for the cross
+    pair term, 1-row aggregates — the scatter, pair, and moment
+    branches all reuse the one cell-count exchange."""
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(
+            f"{cx} AS cx", f"{cy} AS cy",
+            f"CASE WHEN {a_pred} THEN 1 ELSE 0 END AS ia",
+            f"CASE WHEN {b_pred} THEN 1 ELSE 0 END AS ib",
+        )
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(
+            F.expr("CAST(sum(ia) AS BIGINT)").alias("xa"),
+            F.expr("CAST(sum(ib) AS BIGINT)").alias("xb"),
+        )
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    scat = counts.selectExpr(
+        f"explode(array({offs})) AS o", "cx", "cy", "xa"
+    ).selectExpr(
+        f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty",
+        "xa AS sxa",
+    ).filter(f"ty >= {cy0} AND ty < {cy1}")
+    pair = scat.join(
+        counts, (scat.tx == counts.cx) & (scat.ty == counts.cy)
+    ).agg(
+        F.expr("CAST(coalesce(sum(sxa * xb), 0) AS BIGINT)").alias("pab")
+    )
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    mom = counts.selectExpr("xa", "xb", f"{rowsum} AS rw").agg(
+        F.expr("CAST(sum(xa) AS BIGINT)").alias("sa"),
+        F.expr("CAST(sum(xa * xa) AS BIGINT)").alias("saa"),
+        F.expr("CAST(sum(xb) AS BIGINT)").alias("sb"),
+        F.expr("CAST(sum(xb * xb) AS BIGINT)").alias("sbb"),
+        F.expr("CAST(sum(rw * xa) AS BIGINT)").alias("ra"),
+        F.expr("CAST(sum(rw * xb) AS BIGINT)").alias("rb"),
+    )
+    return mom.crossJoin(F.broadcast(pair)).selectExpr(
+        f"CAST({n_cells} AS BIGINT) AS n_cells",
+        f"CAST({w_sum} AS BIGINT) AS w_sum",
+        "sa", "sb", "ra", "rb", "pab",
+        _biv_out_sql(n_cells, w_sum),
     )

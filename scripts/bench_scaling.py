@@ -99,7 +99,33 @@ if which == "screen":
     def screen():
         DD.near_dup_hits(probe_src, idx).write.format("noop").mode("overwrite").save()
     jobs.append(("screen_times", screen))
-out = {{"cpus": cpus, "n_docs": n}}
+n_ev_total = 0
+if which == "mob":
+    # r4 trajectory family: kinematics-grade lag windows + dwell
+    # sessionization + OD rollup — window/shuffle-bound pure codegen
+    # (no Python workers), so it shares the codegen job's levels.
+    # Entities replicate DISTINCT (id shift), so window-key cardinality
+    # scales with the data — no artificial skew.
+    from ocgis_spark.operators import trajectory as TJ
+    ev_raw = spark.read.parquet(os.path.join({sf_dir!r}, "events.parquet"))
+    n_ev = ev_raw.count()
+    evs = (spark.range({ev_repl}).withColumnRenamed("id", "copy")
+           .crossJoin(F.broadcast(ev_raw))
+           .withColumn("user_id", F.col("user_id") + F.col("copy") * F.lit(1_000_000))
+           .withColumn("event_id", F.col("event_id") + F.col("copy") * F.lit(n_ev))
+           .drop("copy"))
+    evs.createOrReplaceTempView("events")
+    ev_geo = spark.sql(
+        FX.events_geo_sql(ts_us="unix_micros(CAST(ts AS TIMESTAMP))")
+    ).persist()
+    ev_geo.write.format("noop").mode("overwrite").save()
+    n_ev_total = n_ev * {ev_repl}
+    def mob():
+        TJ.od_flows(ev_geo, max_step_m=30000.0,
+                    min_duration_us=43_200_000_000,
+                    od_cell_deg=5.0).write.format("noop").mode("overwrite").save()
+    jobs.append(("mob_times", mob))
+out = {{"cpus": cpus, "n_docs": n, "n_ev": n_ev_total}}
 for _ in range(3):
     for _, fn in jobs:
         fn()
@@ -128,18 +154,19 @@ def _cache_load() -> dict:
 
 
 def run_level(cpus: int, sf_dir: str, repl: int, which: str = "both",
-              _retry: bool = True) -> dict:
+              ev_repl: int = 0, _retry: bool = True) -> dict:
     # per-level result cache: a 35-min multi-level evidence run has died
     # twice on a single bad level (transient Arrow worker crash; a
     # mis-sized level hitting the timeout) — completed levels should
     # never be paid for again on the rerun
-    key = f"{cpus}:{which}:{repl}"
+    key = f"{cpus}:{which}:{repl}" + (f":ev{ev_repl}" if ev_repl else "")
     cache = _cache_load()
     if key in cache:
         print(f"level {key}: cached", file=sys.stderr)
         return cache[key]
     code = _LEVEL_CODE.format(
-        repo=REPO, cpus=cpus, sf_dir=sf_dir, repl=repl, which=which
+        repo=REPO, cpus=cpus, sf_dir=sf_dir, repl=repl, which=which,
+        ev_repl=ev_repl,
     )
     # 80g: the interleaved cache (spans materialized, BASELINE input shape)
     # is ~2x the flat one — 48g GC-thrashed at the 60M-doc volume point
@@ -174,7 +201,7 @@ def run_level(cpus: int, sf_dir: str, repl: int, which: str = "both",
         # losing the run
         print(f"level {cpus}/{which} failed, retrying once:\n"
               f"{out.stderr[-800:]}", file=sys.stderr)
-        return run_level(cpus, sf_dir, repl, which, _retry=False)
+        return run_level(cpus, sf_dir, repl, which, ev_repl, _retry=False)
     raise RuntimeError(
         f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
@@ -219,6 +246,12 @@ def main() -> None:
     print(f"running screen probe at local[{n_big}] ...", file=sys.stderr)
     r_sc_big = run_level(n_big, sf_dir, repl_sc, which="screen")
 
+    mob_repl = int(os.environ.get("SPARK_GRAFT_MOB_REPL", "50"))
+    print(f"running mobility chain at local[{n_small}] ...", file=sys.stderr)
+    r_mob_small = run_level(n_small, sf_dir, 1, which="mob", ev_repl=mob_repl)
+    print(f"running mobility chain at local[{n_big}] ...", file=sys.stderr)
+    r_mob_big = run_level(n_big, sf_dir, 1, which="mob", ev_repl=mob_repl)
+
     vol_mult = int(os.environ.get("SPARK_GRAFT_VOL_MULT", "3"))
     print("running data-size point at local[32] ...", file=sys.stderr)
     r_vol = run_level(32, sf_dir, repl * vol_mult, which="flag")
@@ -235,6 +268,12 @@ def main() -> None:
         nu_big_lvl / nu_small_lvl
     )
     t_vol = statistics.median(r_vol["times"])
+    mob_n = r_mob_big["n_ev"]
+    mob_small = statistics.median(r_mob_small["mob_times"])
+    mob_big = statistics.median(r_mob_big["mob_times"])
+    mob_eff = ((mob_n / mob_big) / (mob_n / mob_small)) / (
+        n_big / n_small
+    )
     sc_docs = r_sc_big["n_docs"] // 2
     sc_small = statistics.median(r_sc_small["screen_times"])
     sc_big = statistics.median(r_sc_big["screen_times"])
@@ -339,6 +378,29 @@ def main() -> None:
         "```json",
         json.dumps(r_sc_small),
         json.dumps(r_sc_big),
+        "```",
+        "",
+        "## Fourth job: mobility dwell -> OD chain (r4 trajectory family)",
+        "",
+        "Kinematics-grade lag windows + dwell sessionization + OD rollup",
+        f"(`trajectory.od_flows`) over {mob_n:,} replicated fixes /",
+        f"{mob_n // 67:,}+ entities (entities replicated DISTINCT via id",
+        "shift — window-key cardinality scales with the data, no",
+        "artificial skew). Window/shuffle-bound pure codegen, so it",
+        "shares the codegen job's levels:",
+        "",
+        "| level | median wall | throughput |",
+        "|---|---|---|",
+        f"| local[{n_small}] (N) | {mob_small:.2f} s | {mob_n / mob_small:,.0f} fixes/sec |",
+        f"| local[{n_big}] (4N) | {mob_big:.2f} s | {mob_n / mob_big:,.0f} fixes/sec |",
+        "",
+        f"**Scaling efficiency = {mob_eff:.3f}**"
+        + ("  ✅ ≥ 0.8" if mob_eff >= 0.8 else "  ❌ < 0.8"),
+        "",
+        "Raw runs (seconds):",
+        "```json",
+        json.dumps(r_mob_small),
+        json.dumps(r_mob_big),
         "```",
         "",
         f"## Data-size scaling (fixed local[32], {vol_mult}× corpus)",

@@ -376,3 +376,98 @@ def test_mann_kendall_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------- bivariate Moran
+
+
+def _mk_typed_events(spark, cells):
+    """(cx, cy, type, cnt) -> typed events at cell centers."""
+    rows = []
+    eid = 0
+    for cx, cy, et, cnt in cells:
+        for _ in range(cnt):
+            rows.append(
+                (eid, cx * CELL + CELL / 2.0, cy * CELL + CELL / 2.0, et)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, event_type string"
+    )
+
+
+def _numpy_biv_moran(cells):
+    """Zero-filled-lattice bivariate Moran truth (queen weights,
+    cx wraps, cy clips)."""
+    a = np.zeros((NX, NY))
+    b = np.zeros((NX, NY))
+    for cx, cy, et, cnt in cells:
+        (a if et == "A" else b)[cx % NX, cy - CY0] += cnt
+    n = NX * NY
+    ma, mb = a.mean(), b.mean()
+    num = 0.0
+    W = 0
+    for i in range(NX):
+        for j in range(NY):
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    tj = j + dy
+                    if tj < 0 or tj >= NY:
+                        continue
+                    W += 1
+                    num += (a[i, j] - ma) * (b[(i + dx) % NX, tj] - mb)
+    den = math.sqrt(((a - ma) ** 2).sum() * ((b - mb) ** 2).sum())
+    return round(n / W * num / den, 6)
+
+
+def test_bivariate_moran_numpy_truth(spark):
+    # A-cells ringed by B-cells (cross-clustered -> positive I_ab)
+    cells = [
+        (3, 0, "A", 8), (4, 0, "B", 6), (2, 0, "B", 5), (3, 1, "B", 4),
+        (9, -2, "A", 2), (0, 1, "B", 1),
+    ]
+    truth = _numpy_biv_moran(cells)
+    row = GS.bivariate_morans_i(
+        _mk_typed_events(spark, cells), CELL, LAT0, LAT1,
+        "event_type = 'A'", "event_type = 'B'",
+    ).collect()[0]
+    assert row.moran_ab == pytest.approx(truth, abs=2e-6)
+    assert row.moran_ab > 0.1
+    assert row.sa == 10 and row.sb == 16
+
+    # A and B in the SAME cells, far apart -> strong avoidance of
+    # neighborhoods (each A/B spike is surrounded by empty cells)
+    cells2 = [(0, 0, "A", 9), (0, 0, "B", 9), (6, 1, "A", 9), (6, 1, "B", 9)]
+    truth2 = _numpy_biv_moran(cells2)
+    row2 = GS.bivariate_morans_i(
+        _mk_typed_events(spark, cells2), CELL, LAT0, LAT1,
+        "event_type = 'A'", "event_type = 'B'",
+    ).collect()[0]
+    assert row2.moran_ab == pytest.approx(truth2, abs=2e-6)
+    assert row2.moran_ab < 0  # co-located spikes: neighbors hold none
+
+
+def test_bivariate_moran_constant_class_null(spark):
+    # class B uniform over the whole lattice -> its variance is 0 -> NULL
+    cells = [(cx, cy, "B", 1) for cx in range(NX)
+             for cy in range(CY0, CY0 + NY)]
+    cells += [(3, 0, "A", 5)]
+    row = GS.bivariate_morans_i(
+        _mk_typed_events(spark, cells), CELL, LAT0, LAT1,
+        "event_type = 'A'", "event_type = 'B'",
+    ).collect()[0]
+    assert row.moran_ab is None
+
+
+def test_morans_i_isolated_cells_zero_pair_sum(spark):
+    # no present cell touches another: the pair sum is an EMPTY
+    # aggregate and must coalesce to 0 (not NULL) — regression for the
+    # NULL-psum bug the bivariate avoidance case exposed
+    cells = [(0, 0, 5), (6, 1, 3)]
+    row = GS.morans_i(_mk_events(spark, cells), CELL, LAT0, LAT1).collect()[0]
+    assert row.psum == 0
+    truth, _ = _numpy_moran(cells)
+    assert row.morans_i == pytest.approx(truth, abs=2e-6)
+    assert row.morans_i < 0
