@@ -238,3 +238,40 @@ def streaming_sessionize(
         label, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_cell_hotspots(
+    events_stream: DataFrame,
+    cell_deg: float,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    min_count: int = 1,
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Watermarked tumbling-window event counts per graticule cell —
+    the streaming hotspot/alert feed (the live front of the batch
+    Gi*/KDE/Mann-Kendall lattice family; at 100 TB/day this is the
+    operator that pages someone). State is bounded by active cells x
+    open windows; the watermark closes windows so state cannot grow
+    with stream length. ``min_count`` filters to alert-worthy cells.
+    Same cell arithmetic as the batch family (`cluster.cell_id_sql`),
+    so stream == batch group-by on identical input (pytest-gated).
+    """
+    from ..operators.cluster import cell_id_sql
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    return (
+        events_stream.withColumn("_ts", F.col(ts).cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .selectExpr("_ts", f"{cx} AS cell_x", f"{cy} AS cell_y")
+        .groupBy(F.window("_ts", window).alias("w"), "cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= int(min_count))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "cell_x", "cell_y", "n",
+        )
+    )

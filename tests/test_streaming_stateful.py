@@ -433,3 +433,53 @@ def test_streaming_domain_cap_across_batches(spark, tmp_path):
         any(d < 200 for d in v) and any(d >= 200 for d in v)
         for v in got.values()
     )
+
+
+def test_streaming_cell_hotspots_matches_batch(spark, tmp_path):
+    """The streaming hotspot feed equals the batch group-by on the same
+    input (availableNow drain), including the min_count gate."""
+    import ocgis_spark.fixtures as FX
+    from ocgis_spark.operators.cluster import cell_id_sql
+    from ocgis_spark.streaming import pipeline as P
+
+    src = str(tmp_path / "ev_src")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .createOrReplaceTempView("events")
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))"))
+    geo = ev.withColumn(
+        "ts", F.expr("timestamp_micros(ts_us)")
+    ).select("event_id", "ts", "lon", "lat")
+    geo.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = P.streaming_cell_hotspots(
+        stream, cell_deg=10.0, window="2 days", watermark="1 hour",
+        min_count=3,
+    )
+    assert out.isStreaming
+    P.run_available_now(out, "cell_hot", str(tmp_path / "ck_hot"))
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM cell_hot").collect()))
+
+    # batch twin: plain window group-by with the SAME cell arithmetic
+    _, cx, cy = cell_id_sql(10.0)
+    want_df = (
+        batch.selectExpr("ts", f"{cx} AS cell_x", f"{cy} AS cell_y")
+        .groupBy(F.window("ts", "2 days").alias("w"), "cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 3)
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "cell_x", "cell_y", "n")
+    )
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want and len(want) > 0
+    # the gate really bites: some cells fall below it
+    n_all = (
+        batch.selectExpr("ts", f"{cx} AS cell_x", f"{cy} AS cell_y")
+        .groupBy(F.window("ts", "2 days"), "cell_x", "cell_y").count()
+    ).count()
+    assert n_all > len(want)
