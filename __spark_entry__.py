@@ -462,6 +462,21 @@ def _od_flows_sql() -> str:
     )
 
 
+def q_cell_transitions(spark, sf_dir):
+    """Fix-level mobility Markov matrix (operators/trajectory.py
+    cell_transitions): 2-degree cell-to-cell transition counts with
+    distinct-entity support, self-loops excluded, count floor 2 (the
+    privacy gate). One entity lag window + one rollup."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.cell_transitions(ev, cell_deg=2.0, min_count=2)
+
+
+def _cell_transitions_sql() -> str:
+    return trajectory.cell_transitions_sql(
+        FX.events_geo_sql(), cell_deg=2.0, min_count=2
+    )
+
+
 def q_route_usage(spark, sf_dir):
     """Corridor usage profile (operators/trajectory.py route_usage):
     events within 1500 km of the corridor route binned into 500 km
@@ -4830,6 +4845,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_rhythm": _daily_rhythm_sql(),
         "route_usage": _route_usage_sql(),
         "moran_bivariate": _moran_bivariate_sql(),
+        "cell_transitions": _cell_transitions_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5192,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_rhythm": q_daily_rhythm,
         "route_usage": q_route_usage,
         "moran_bivariate": q_moran_bivariate,
+        "cell_transitions": q_cell_transitions,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

@@ -1865,3 +1865,93 @@ def route_usage_sql(
         f"round(CAST(_mm AS DOUBLE) / 1000.0E0 "
         f"/ CAST(n_fixes AS DOUBLE), 6) AS mean_offset_m FROM g"
     )
+
+
+# ------------------------------------ cell transition matrix (Markov) --
+
+def cell_transitions(
+    df: DataFrame,
+    cell_deg: float,
+    min_count: int = 1,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Fix-level cell-to-cell transition counts — the first-order
+    mobility Markov model (next-location prediction's sufficient
+    statistic). Each consecutive-fix pair whose cells DIFFER counts one
+    transition; self-loops (both fixes in one cell) are excluded —
+    they measure sampling rate, not movement. Unlike :func:`od_flows`
+    (trips between long dwells) this is the raw per-step chain.
+
+    Output: (from_cx, from_cy, to_cx, to_cy, n_trans, n_entities) for
+    transitions with ``n_trans >= min_count`` — the count floor is the
+    privacy/noise gate every published mobility matrix applies.
+
+    Plan: ONE hashpartitioning(entity) lag window, then one hash
+    aggregate to the transition grain (count-distinct entities adds the
+    standard two-phase expand). Exact integers throughout.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from .cluster import cell_id_sql
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    w = Window.partitionBy(entity).orderBy(ts_us, seq)
+    p = df.selectExpr(
+        entity, f"{ts_us} AS _t", f"{seq} AS _s",
+        f"{cx} AS tcx", f"{cy} AS tcy",
+    ).select(
+        F.col(entity),
+        F.col("tcx"), F.col("tcy"),
+        F.lag("tcx").over(
+            Window.partitionBy(entity).orderBy("_t", "_s")
+        ).alias("fcx"),
+        F.lag("tcy").over(
+            Window.partitionBy(entity).orderBy("_t", "_s")
+        ).alias("fcy"),
+    ).filter(
+        F.col("fcx").isNotNull()
+        & ~((F.col("fcx") == F.col("tcx")) & (F.col("fcy") == F.col("tcy")))
+    )
+    return p.groupBy(
+        F.col("fcx").alias("from_cx"), F.col("fcy").alias("from_cy"),
+        F.col("tcx").alias("to_cx"), F.col("tcy").alias("to_cy"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans"),
+        F.countDistinct(entity).cast("bigint").alias("n_entities"),
+    ).filter(F.col("n_trans") >= int(min_count))
+
+
+def cell_transitions_sql(
+    src_sql: str,
+    cell_deg: float,
+    min_count: int = 1,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`cell_transitions`."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from .cluster import cell_id_sql
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    return (
+        f"WITH c AS (SELECT {entity} AS entity, {ts_us} AS t, "
+        f"{seq} AS s, {cx} AS tcx, {cy} AS tcy FROM ({src_sql}) q), "
+        f"l AS (SELECT entity, tcx, tcy, lag(tcx) OVER w AS fcx, "
+        f"lag(tcy) OVER w AS fcy FROM c "
+        f"WINDOW w AS (PARTITION BY entity ORDER BY t, s)), "
+        f"tr AS (SELECT * FROM l WHERE fcx IS NOT NULL "
+        f"AND NOT (fcx = tcx AND fcy = tcy)) "
+        f"SELECT fcx AS from_cx, fcy AS from_cy, tcx AS to_cx, "
+        f"tcy AS to_cy, CAST(count(*) AS BIGINT) AS n_trans, "
+        f"CAST(count(DISTINCT entity) AS BIGINT) AS n_entities "
+        f"FROM tr GROUP BY 1, 2, 3, 4 "
+        f"HAVING count(*) >= {int(min_count)}"
+    )

@@ -957,3 +957,45 @@ def test_route_usage_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_cell_transitions_crafted(spark):
+    cell = 10.0
+    # user 1 walks A(0,0) -> B(1,0) -> B -> A; user 2 does A -> B once;
+    # user 3 sits in A (self-loops excluded)
+    def fix(eid, u, t, cx):
+        return (eid, u, t, cx * cell + 5.0, 5.0)
+    rows = [
+        fix(0, 1, 0, 0), fix(1, 1, 1, 1), fix(2, 1, 2, 1), fix(3, 1, 3, 0),
+        fix(4, 2, 0, 0), fix(5, 2, 1, 1),
+        fix(6, 3, 0, 0), fix(7, 3, 1, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, "
+              "lon double, lat double")
+    got = {(r.from_cx, r.to_cx): r for r in
+           trajectory.cell_transitions(df, cell_deg=cell).collect()}
+    assert set(got) == {(0, 1), (1, 0)}
+    ab = got[(0, 1)]
+    assert ab.n_trans == 2 and ab.n_entities == 2  # users 1 and 2
+    ba = got[(1, 0)]
+    assert ba.n_trans == 1 and ba.n_entities == 1
+    # the count floor drops the single B->A transition
+    gated = {(r.from_cx, r.to_cx) for r in trajectory.cell_transitions(
+        df, cell_deg=cell, min_count=2).collect()}
+    assert gated == {(0, 1)}
+    with pytest.raises(ValueError, match="min_count"):
+        trajectory.cell_transitions(df, cell_deg=cell, min_count=0)
+
+
+def test_cell_transitions_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 0, 0.0, 0.0), (1, 1, 1, 15.0, 0.0)],
+        "event_id bigint, user_id bigint, ts_us bigint, "
+        "lon double, lat double")
+    plan = trajectory.cell_transitions(df, cell_deg=10.0) \
+        ._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3  # lag + 2-phase distinct
+    assert "Join" not in plan
