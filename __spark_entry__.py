@@ -591,6 +591,28 @@ def _mk_trend_sql() -> str:
     )
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """Emerging hot spot analysis (operators/gridstats.py
+    emerging_hotspots — the ArcGIS space-time-cube method): per-2-day-
+    bin Getis-Ord Gi* z-scores on the fixed 5-degree lattice, then a
+    per-cell Mann-Kendall trend over each active cell's 15-bin z
+    series. Empty (cell, bin) slots coalesce to the per-(bin, W)
+    all-empty-window constant WITHOUT materializing lattice x T; the
+    cube is bounded by active cells x T."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.emerging_hotspots(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000, n_bins=15,
+    )
+
+
+def _emerging_hotspots_sql() -> str:
+    return GS.emerging_hotspots_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000, n_bins=15,
+    )
+
+
 def q_moran_bivariate(spark, sf_dir):
     """Bivariate (cross) Moran's I between the 'error' and 'purchase'
     event classes (operators/gridstats.py bivariate_morans_i,
@@ -4846,6 +4868,7 @@ def oracle_sql() -> dict[str, str]:
         "route_usage": _route_usage_sql(),
         "moran_bivariate": _moran_bivariate_sql(),
         "cell_transitions": _cell_transitions_sql(),
+        "emerging_hotspots": _emerging_hotspots_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5209,6 +5232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_usage": q_route_usage,
         "moran_bivariate": q_moran_bivariate,
         "cell_transitions": q_cell_transitions,
+        "emerging_hotspots": q_emerging_hotspots,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

@@ -861,3 +861,279 @@ def bivariate_morans_i(
         "sa", "sb", "ra", "rb", "pab",
         _biv_out_sql(n_cells, w_sum),
     )
+
+
+# ---------------------------------------------- emerging hotspots --
+
+def _gi_z_expr(
+    n: str, nbr: str = "nbr_sum", w: str = "w_size",
+    sx: str = "sx", sxx: str = "sxx",
+) -> str:
+    """The Gi* z closed form with the lattice size folded as the
+    literal ``n`` and the four inputs as column expressions — ONE
+    string shared verbatim by every consumer in both dialects."""
+    return (
+        f"round((CAST({nbr} AS DOUBLE) "
+        f"- (CAST({sx} AS DOUBLE) / {n}) * CAST({w} AS DOUBLE)) "
+        f"/ nullif(sqrt(CAST({sxx} AS DOUBLE) / {n} "
+        f"- (CAST({sx} AS DOUBLE) / {n}) * (CAST({sx} AS DOUBLE) / {n})) "
+        f"* sqrt(({n} * CAST({w} AS DOUBLE) "
+        f"- CAST({w} AS DOUBLE) * CAST({w} AS DOUBLE)) "
+        f"/ ({n} - 1.0E0)), 0.0E0), 6)"
+    )
+
+
+def emerging_hotspots_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Emerging hot spot analysis (the ArcGIS space-time-cube method):
+    per-time-bin Getis-Ord Gi* z-scores on the FIXED study lattice,
+    then a per-cell Mann-Kendall monotone-trend test over each active
+    cell's T-long z series — "is this location becoming (or ceasing to
+    be) a hotspot?".
+
+    Exact zero-fill semantics WITHOUT materializing lattice × T: a
+    (cell, bin) absent from the scatter has nbr_sum = 0, whose z is a
+    per-(bin, W) CONSTANT (W ∈ {interior 9, lat-edge 6}); each ACTIVE
+    cell (>= 1 windowed event anywhere in the period) joins a T-row
+    VALUES bin table left-joined to its present z's and coalesces the
+    default — so the cube is bounded by active_cells × T, and the MK
+    pair join by active_cells × T². Gi* moments are BIGINT-exact per
+    bin; S and tie sums integer; z comparisons run on the round(.,6)
+    values both engines compute from identical expressions.
+
+    Output per active cell: (cell_x, cell_y, n_events, mk_s, mk_z,
+    trend) — trend in {'increasing','decreasing','none'} at two-sided
+    5%.
+    """
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _mk_params(t0_us, bin_us, n_bins)
+    T = int(n_bins)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    n = f"{n_cells}.0E0"
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = (
+        f"CAST((({ts_us}) - {int(t0_us)} "
+        f"- ((({ts_us}) - {int(t0_us)}) % {int(bin_us)} "
+        f"+ {int(bin_us)}) % {int(bin_us)}) / {int(bin_us)} AS BIGINT)"
+    )
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    bins = ", ".join(f"({b})" for b in range(T))
+    wsize = (
+        f"CAST(3 * (1 + (CASE WHEN ty - 1 >= {cy0} THEN 1 ELSE 0 END) "
+        f"+ (CASE WHEN ty + 1 < {cy1} THEN 1 ELSE 0 END)) AS BIGINT)"
+    )
+    zx = _gi_z_expr(n)
+    zx0 = _gi_z_expr(
+        n, nbr="CAST(0 AS BIGINT)", w="ws.w_size", sx="g.sx", sxx="g.sxx"
+    )
+    return (
+        # per-(bin, cell) counts over the study band
+        f"WITH c AS (SELECT {binx} AS b, {cx} AS cx, {cy} AS cy, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM ({src_sql}) s "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} GROUP BY 1, 2, 3), "
+        f"cf AS (SELECT * FROM c WHERE b >= 0 AND b < {T}), "
+        # per-bin exact global moments (empty cells are zeros: n fixed)
+        f"gmom AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS sx, "
+        f"CAST(sum(cnt * cnt) AS BIGINT) AS sxx FROM cf GROUP BY b), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT cf.b, ((cf.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(cf.cy + o.dy) AS ty, cf.cnt FROM cf CROSS JOIN offs o "
+        f"WHERE (cf.cy + o.dy) >= {cy0} AND (cf.cy + o.dy) < {cy1}), "
+        f"win AS (SELECT b, tx, ty, CAST(sum(cnt) AS BIGINT) AS nbr_sum "
+        f"FROM scat GROUP BY 1, 2, 3), "
+        # present z's: windowed cells per bin
+        f"zp AS (SELECT w.b, w.tx, w.ty, w.nbr_sum, {wsize} AS w_size, "
+        f"g.sx, g.sxx FROM win w JOIN gmom g ON w.b = g.b), "
+        f"zpz AS (SELECT b, tx, ty, {zx} AS z FROM zp), "
+        # active cells + their per-cell event totals
+        f"act AS (SELECT tx, ty FROM win GROUP BY tx, ty), "
+        f"ev AS (SELECT cx AS tx, cy AS ty, "
+        f"CAST(sum(cnt) AS BIGINT) AS n_events FROM cf GROUP BY 1, 2), "
+        f"bins(b) AS (VALUES {bins}), "
+        # default z per (bin, W): the all-empty-window constant
+        # (nbr_sum = 0 inlined); bins with NO events (sx absent) or a
+        # zero-variance bin yield NULL here and coalesce to 0 in cube
+        f"zdef AS (SELECT bn.b, ws.w_size, {zx0} AS z "
+        f"FROM bins bn CROSS JOIN "
+        f"(SELECT CAST(6 AS BIGINT) AS w_size UNION ALL "
+        f"SELECT CAST(9 AS BIGINT)) ws "
+        f"LEFT JOIN gmom g ON g.b = bn.b), "
+        # the bounded cube: active cells x T bins
+        f"cube0 AS (SELECT a.tx, a.ty, bn.b, "
+        f"(CASE WHEN a.ty = {cy0} OR a.ty = {cy1 - 1} "
+        f"THEN 6 ELSE 9 END) AS wsz FROM act a CROSS JOIN bins bn), "
+        f"cube AS (SELECT c0.tx, c0.ty, c0.b, "
+        f"coalesce(zpz.z, zd.z, 0.0E0) AS z FROM cube0 c0 "
+        f"LEFT JOIN zpz ON zpz.tx = c0.tx AND zpz.ty = c0.ty "
+        f"AND zpz.b = c0.b "
+        f"LEFT JOIN zdef zd ON zd.b = c0.b AND zd.w_size = c0.wsz), "
+        # Mann-Kendall over the full T-vector (pairwise; T <= 366)
+        f"mks AS (SELECT a.tx, a.ty, "
+        f"CAST(sum(CASE WHEN b2.z > a.z THEN 1 "
+        f"WHEN b2.z < a.z THEN -1 ELSE 0 END) AS BIGINT) AS mk_s "
+        f"FROM cube a JOIN cube b2 ON a.tx = b2.tx AND a.ty = b2.ty "
+        f"AND b2.b > a.b GROUP BY 1, 2), "
+        f"ties AS (SELECT tx, ty, "
+        f"CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS tt_present "
+        f"FROM (SELECT tx, ty, z, CAST(count(*) AS BIGINT) AS g "
+        f"FROM cube GROUP BY 1, 2, 3) gg GROUP BY 1, 2), "
+        f"m AS (SELECT mks.tx, mks.ty, mks.mk_s, ties.tt_present, "
+        f"CAST({T} AS BIGINT) AS k_bins FROM mks "
+        f"JOIN ties ON mks.tx = ties.tx AND mks.ty = ties.ty) "
+        f"SELECT m.tx AS cell_x, m.ty AS cell_y, "
+        f"CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events, "
+        f"m.mk_s, "
+        + ", ".join(_mk_z_sql(T))
+        + " FROM m LEFT JOIN ev ON ev.tx = m.tx AND ev.ty = m.ty"
+    )
+
+
+def emerging_hotspots(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Emerging hot spot analysis (see :func:`emerging_hotspots_sql`
+    for the statistic). DataFrame plan: ONE corpus hash-aggregate to
+    the (bin, cell) table; per-bin moments, the 9-offset scatter, and
+    the active-cell/event tables all reuse that exchange; the T-row bin
+    table and T×2-row default-z table BROADCAST; the MK pair join is
+    bounded by active_cells × T²."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _mk_params(t0_us, bin_us, n_bins)
+    T = int(n_bins)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    n = f"{n_cells}.0E0"
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = (
+        f"CAST((({ts_us}) - {int(t0_us)} "
+        f"- ((({ts_us}) - {int(t0_us)}) % {int(bin_us)} "
+        f"+ {int(bin_us)}) % {int(bin_us)}) / {int(bin_us)} AS BIGINT)"
+    )
+    spark = df.sparkSession
+
+    cf = (
+        df.selectExpr(f"{binx} AS b", f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1} AND b >= 0 AND b < {T}")
+        .groupBy("b", "cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    gmom = cf.groupBy("b").agg(
+        F.sum("cnt").cast("bigint").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sxx"),
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    win = (
+        cf.selectExpr(f"explode(array({offs})) AS o", "b", "cx", "cy", "cnt")
+        .selectExpr(
+            "b", f"((cx + o.dx + {nx}) % {nx}) AS tx",
+            "(cy + o.dy) AS ty", "cnt",
+        )
+        .filter(f"ty >= {cy0} AND ty < {cy1}")
+        .groupBy("b", "tx", "ty")
+        .agg(F.sum("cnt").cast("bigint").alias("nbr_sum"))
+    )
+    wsize = (
+        f"CAST(3 * (1 + (CASE WHEN ty - 1 >= {cy0} THEN 1 ELSE 0 END) "
+        f"+ (CASE WHEN ty + 1 < {cy1} THEN 1 ELSE 0 END)) AS BIGINT)"
+    )
+    zx = _gi_z_expr(n)
+    zpz = (
+        win.join(F.broadcast(gmom), "b")
+        .selectExpr("b", "tx", "ty", "nbr_sum", f"{wsize} AS w_size",
+                    "sx", "sxx")
+        .selectExpr("b", "tx", "ty", f"{zx} AS z")
+    )
+    act = win.select("tx", "ty").distinct()
+    ev = cf.groupBy(
+        F.col("cx").alias("tx"), F.col("cy").alias("ty")
+    ).agg(F.sum("cnt").cast("bigint").alias("n_events"))
+    bins = spark.range(T).selectExpr("CAST(id AS BIGINT) AS b")
+    wtab = spark.range(2).selectExpr(
+        "CAST(CASE WHEN id = 0 THEN 6 ELSE 9 END AS BIGINT) AS w_size"
+    )
+    zx0 = _gi_z_expr(
+        n, nbr="CAST(0 AS BIGINT)", w="w_size", sx="sx", sxx="sxx"
+    )
+    zdef = (
+        bins.crossJoin(wtab)
+        .join(gmom, "b", "left")
+        .selectExpr("b", "w_size", f"{zx0} AS z")
+    )
+    cube = (
+        act.crossJoin(F.broadcast(bins))
+        .selectExpr(
+            "tx", "ty", "b",
+            f"CAST(CASE WHEN ty = {cy0} OR ty = {cy1 - 1} "
+            f"THEN 6 ELSE 9 END AS BIGINT) AS wsz",
+        )
+        .join(zpz, ["b", "tx", "ty"], "left")
+        .join(
+            F.broadcast(zdef.withColumnRenamed("w_size", "wsz")
+                        .withColumnRenamed("z", "zd")),
+            ["b", "wsz"], "left",
+        )
+        .selectExpr("tx", "ty", "b", "coalesce(z, zd, 0.0E0) AS z")
+    )
+    a = cube.selectExpr("tx", "ty", "b AS b1", "z AS z1")
+    b2 = cube.selectExpr("tx AS tx2", "ty AS ty2", "b AS b2", "z AS z2")
+    mks = (
+        a.join(b2, (a.tx == b2.tx2) & (a.ty == b2.ty2) & (b2.b2 > a.b1))
+        .groupBy("tx", "ty")
+        .agg(F.expr(
+            "CAST(sum(CASE WHEN z2 > z1 THEN 1 "
+            "WHEN z2 < z1 THEN -1 ELSE 0 END) AS BIGINT)"
+        ).alias("mk_s"))
+    )
+    ties = (
+        cube.groupBy("tx", "ty", "z")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+        .groupBy("tx", "ty")
+        .agg(F.expr(
+            "CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT)"
+        ).alias("tt_present"))
+    )
+    m = (
+        mks.join(ties, ["tx", "ty"])
+        .join(ev, ["tx", "ty"], "left")
+        .selectExpr(
+            "tx", "ty",
+            "CAST(coalesce(n_events, 0) AS BIGINT) AS n_events",
+            "mk_s", "tt_present",
+            f"CAST({T} AS BIGINT) AS k_bins",
+        )
+    )
+    return m.selectExpr(
+        "tx AS cell_x", "ty AS cell_y", "n_events", "mk_s",
+        *_mk_z_sql(T),
+    )

@@ -471,3 +471,103 @@ def test_morans_i_isolated_cells_zero_pair_sum(spark):
     truth, _ = _numpy_moran(cells)
     assert row.morans_i == pytest.approx(truth, abs=2e-6)
     assert row.morans_i < 0
+
+
+# ------------------------------------------------- emerging hotspots
+
+
+def test_emerging_hotspots_brute_truth(spark):
+    """Full-pipeline truth: per-bin zero-filled Gi* z (round 6), then
+    MK over each active cell's z series — computed independently in
+    NumPy on a crafted space-time cube with a growing hotspot, a
+    fading one, and noise."""
+    T = 6
+    # (cx, cy, bin, cnt): growth at (3,0); decay at (9,1); noise
+    cells = []
+    for b in range(T):
+        cells.append((3, 0, b, 2 * b + 1))       # growing
+        cells.append((9, 1, b, 2 * (T - b)))     # fading
+    cells += [(0, -2, 2, 3), (6, 0, 4, 1)]
+    events = []
+    eid = 0
+    for cx_, cy_, b, cnt in cells:
+        for i in range(cnt):
+            events.append(
+                (eid, b * 1000 + i % 997,
+                 cx_ * CELL + 15.0, cy_ * CELL + 15.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        events, "event_id bigint, ts_us bigint, lon double, lat double")
+    out = GS.emerging_hotspots(
+        df, CELL, LAT0, LAT1, t0_us=0, bin_us=1000, n_bins=T)
+    got = {(r.cell_x, r.cell_y): r for r in out.collect()}
+
+    # NumPy truth
+    x = np.zeros((T, NX, NY), dtype=np.int64)
+    for cx_, cy_, b, cnt in cells:
+        x[b, cx_ % NX, cy_ - CY0] += cnt
+    n = NX * NY
+    zs = np.zeros((T, NX, NY))
+    for b in range(T):
+        xb = x[b]
+        xbar = xb.sum() / n
+        sd = math.sqrt((xb.astype(float) ** 2).sum() / n - xbar * xbar)
+        for i in range(NX):
+            for j in range(NY):
+                wsum, w = 0, 0
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        jj = j + dy
+                        if 0 <= jj < NY:
+                            w += 1
+                            wsum += xb[(i + dx) % NX, jj]
+                if sd > 0:
+                    zs[b, i, j] = round(
+                        (wsum - xbar * w)
+                        / (sd * math.sqrt((n * w - w * w) / (n - 1.0))), 6)
+    active = {(i, j) for b in range(T) for i in range(NX)
+              for j in range(NY)
+              if any(x[b, (i + dx) % NX, j + dy]
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                     if 0 <= j + dy < NY for b in range(T))}
+    assert set(got) == {(i, j + CY0) for i, j in active}
+    for (i, j) in active:
+        series = zs[:, i, j].tolist()
+        S, zmk = _brute_mk_z(series)
+        r = got[(i, j + CY0)]
+        assert r.mk_s == S, (i, j)
+        if zmk is not None:
+            assert r.mk_z == pytest.approx(zmk, abs=2e-6), (i, j)
+    # the planted patterns classify correctly
+    assert got[(3, 0)].trend == "increasing"
+    assert got[(9, 1)].trend == "decreasing"
+
+
+def _brute_mk_z(vals):
+    T = len(vals)
+    S = 0
+    for i in range(T):
+        for j in range(i + 1, T):
+            S += (vals[j] > vals[i]) - (vals[j] < vals[i])
+    _, cnts = np.unique(np.asarray(vals), return_counts=True)
+    tt = sum(int(g) * (g - 1) * (2 * g + 5) for g in cnts)
+    var = (T * (T - 1) * (2 * T + 5) - tt) / 18.0
+    if var <= 0:
+        return S, None
+    z = (S - 1) / math.sqrt(var) if S > 0 else (
+        (S + 1) / math.sqrt(var) if S < 0 else 0.0)
+    return S, round(z, 6)
+
+
+def test_emerging_hotspots_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 0.0, 0.0), (1, 1500, 15.0, 15.0)],
+        "event_id bigint, ts_us bigint, lon double, lat double")
+    out = GS.emerging_hotspots(
+        df, CELL, LAT0, LAT1, t0_us=0, bin_us=1000, n_bins=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan
