@@ -591,6 +591,21 @@ def _mk_trend_sql() -> str:
     )
 
 
+def q_lisa(spark, sf_dir):
+    """Anselin Local Moran's I cluster map (operators/gridstats.py
+    local_morans_i): per-cell LISA values + HH/LL/HL/LH quadrant labels
+    on the fixed 5-degree lattice — the local decomposition of the
+    global morans_i. Exact integer moments; one corpus aggregation."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.local_morans_i(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0)
+
+
+def _lisa_sql() -> str:
+    return GS.local_morans_i_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging hot spot analysis (operators/gridstats.py
     emerging_hotspots — the ArcGIS space-time-cube method): per-2-day-
@@ -4869,6 +4884,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_bivariate": _moran_bivariate_sql(),
         "cell_transitions": _cell_transitions_sql(),
         "emerging_hotspots": _emerging_hotspots_sql(),
+        "lisa": _lisa_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5233,6 +5249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_bivariate": q_moran_bivariate,
         "cell_transitions": q_cell_transitions,
         "emerging_hotspots": q_emerging_hotspots,
+        "lisa": q_lisa,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

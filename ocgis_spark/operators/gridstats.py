@@ -1137,3 +1137,148 @@ def emerging_hotspots(
         "tx AS cell_x", "ty AS cell_y", "n_events", "mk_s",
         *_mk_z_sql(T),
     )
+
+
+# ------------------------------------------------ local Moran (LISA) --
+
+def local_morans_i_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Anselin's Local Moran's I (LISA, 1995) per lattice cell — the
+    local decomposition of :func:`morans_i` (Σ_i I_i ∝ global I):
+
+        I_i = (n / Σ_k (x_k−m)²) · (x_i−m) · Σ_j w_ij (x_j−m)
+
+    binary 3x3-minus-self weights over the FIXED lattice (empty cells
+    x=0, lon wrapped, lat clipped). The neighbor term expands exactly:
+    Σ_j w_ij (x_j−m) = nbr_sum_i − rowsum_i·m with nbr_sum the
+    8-neighbor count sum (BIGINT) and rowsum ∈ {5, 8} closed-form from
+    the lat row — so I_i is one shared double expression over exact
+    integers. Each cell also gets its quadrant label (HH/LL/HL/LH —
+    high/low value × high/low neighborhood, the LISA cluster map).
+
+    Output: cells with >= 1 event in the 3x3 window —
+    (cell_x, cell_y, cnt, nbr_sum, lisa_i, quadrant); lisa_i NULL for a
+    constant surface. (All-empty-window cells carry the same constant
+    I and are noise, exactly like the Gi* output contract.)
+    """
+    moments, n_cells, w_sum = _moran_moments_sql(
+        src_sql, cell_deg, lat0, lat1, lon, lat,
+    )
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    n = f"{n_cells}.0E0"
+    m = f"(CAST(sx AS DOUBLE) / {n})"
+    rowsum = (
+        f"(CASE WHEN coalesce(w.ty, c.cy) = {cy0} "
+        f"OR coalesce(w.ty, c.cy) = {cy1 - 1} THEN 5.0E0 "
+        f"ELSE 8.0E0 END)"
+    )
+    dev = f"(CAST(coalesce(c.cnt, 0) AS DOUBLE) - {m})"
+    lag = f"(CAST(coalesce(w.nbr_sum, 0) AS DOUBLE) - {rowsum} * {m})"
+    den = f"(CAST(sxx AS DOUBLE) - {n} * {m} * {m})"
+    return (
+        f"WITH counts AS ({counts}), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((cc.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(cc.cy + o.dy) AS ty, cc.cnt "
+        f"FROM counts cc CROSS JOIN offs o "
+        f"WHERE (cc.cy + o.dy) >= {cy0} AND (cc.cy + o.dy) < {cy1}), "
+        f"win AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS nbr_sum "
+        f"FROM scat GROUP BY tx, ty), "
+        f"mm AS ({moments}) "
+        f"SELECT coalesce(w.tx, c.cx) AS cell_x, "
+        f"coalesce(w.ty, c.cy) AS cell_y, "
+        f"CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt, "
+        f"CAST(coalesce(w.nbr_sum, 0) AS BIGINT) AS nbr_sum, "
+        f"round({n} / nullif({den}, 0.0E0) * {dev} * {lag}, 6) "
+        f"AS lisa_i, "
+        f"(CASE WHEN {dev} >= 0.0E0 AND {lag} >= 0.0E0 THEN 'HH' "
+        f"WHEN {dev} < 0.0E0 AND {lag} < 0.0E0 THEN 'LL' "
+        f"WHEN {dev} >= 0.0E0 THEN 'HL' ELSE 'LH' END) AS quadrant "
+        f"FROM win w FULL OUTER JOIN counts c "
+        f"ON c.cx = w.tx AND c.cy = w.ty CROSS JOIN mm"
+    )
+
+
+def local_morans_i(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Local Moran's I (see :func:`local_morans_i_sql`). Plan: the
+    :func:`morans_i` shape — one corpus hash-aggregate, the bounded
+    8-offset scatter (reusing the cell exchange), a cell-sized left
+    join back to the counts, and the broadcast 1-row moment table."""
+    nx, cy0, cy1, n_cells, _ = _moran_lattice(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    mom = counts.agg(
+        F.sum("cnt").cast("bigint").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sxx"),
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    win = (
+        counts.selectExpr(f"explode(array({offs})) AS o", "cx", "cy", "cnt")
+        .selectExpr(
+            f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty",
+            "cnt",
+        )
+        .filter(f"ty >= {cy0} AND ty < {cy1}")
+        .groupBy("tx", "ty")
+        .agg(F.sum("cnt").cast("bigint").alias("nbr_sum"))
+    )
+    n = f"{n_cells}.0E0"
+    m = f"(CAST(sx AS DOUBLE) / {n})"
+    rowsum = (
+        f"(CASE WHEN ty = {cy0} OR ty = {cy1 - 1} THEN 5.0E0 "
+        f"ELSE 8.0E0 END)"
+    )
+    dev = f"(CAST(cnt AS DOUBLE) - {m})"
+    lag = f"(CAST(nbr_sum AS DOUBLE) - {rowsum} * {m})"
+    den = f"(CAST(sxx AS DOUBLE) - {n} * {m} * {m})"
+    joined = (
+        win.join(
+            counts,
+            (win.tx == counts.cx) & (win.ty == counts.cy),
+            "full_outer",
+        )
+        .crossJoin(F.broadcast(mom))
+        .selectExpr(
+            "coalesce(tx, cx) AS tx", "coalesce(ty, cy) AS ty",
+            "CAST(coalesce(cnt, 0) AS BIGINT) AS cnt",
+            "CAST(coalesce(nbr_sum, 0) AS BIGINT) AS nbr_sum",
+            "sx", "sxx",
+        )
+    )
+    return joined.selectExpr(
+        "tx AS cell_x", "ty AS cell_y", "cnt", "nbr_sum",
+        f"round({n} / nullif({den}, 0.0E0) * {dev} * {lag}, 6) "
+        f"AS lisa_i",
+        f"(CASE WHEN {dev} >= 0.0E0 AND {lag} >= 0.0E0 THEN 'HH' "
+        f"WHEN {dev} < 0.0E0 AND {lag} < 0.0E0 THEN 'LL' "
+        f"WHEN {dev} >= 0.0E0 THEN 'HL' ELSE 'LH' END) AS quadrant",
+    )

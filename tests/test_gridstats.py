@@ -571,3 +571,62 @@ def test_emerging_hotspots_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan
+
+
+# ----------------------------------------------------- local Moran
+
+
+def _numpy_lisa(cells):
+    x = np.zeros((NX, NY), dtype=np.int64)
+    for cx, cy, cnt in cells:
+        x[cx % NX, cy - CY0] += cnt
+    n = NX * NY
+    m = x.mean()
+    den = ((x - m) ** 2).sum()
+    out = {}
+    for i in range(NX):
+        for j in range(NY):
+            lag = 0.0
+            nbr = 0
+            any_ev = x[i, j] > 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    jj = j + dy
+                    if 0 <= jj < NY:
+                        lag += x[(i + dx) % NX, jj] - m
+                        nbr += x[(i + dx) % NX, jj]
+                        any_ev = any_ev or x[(i + dx) % NX, jj] > 0
+            ii = round(n / den * (x[i, j] - m) * lag, 6)
+            dev = x[i, j] - m
+            q = ("HH" if dev >= 0 and lag >= 0 else
+                 "LL" if dev < 0 and lag < 0 else
+                 "HL" if dev >= 0 else "LH")
+            out[(i, j + CY0)] = (any_ev, x[i, j], nbr, ii, q)
+    return out
+
+
+def test_local_moran_numpy_truth(spark):
+    cells = [(3, 0, 9), (4, 0, 7), (3, 1, 5), (9, -2, 1), (0, 1, 2)]
+    truth = _numpy_lisa(cells)
+    got = {(r.cell_x, r.cell_y): r for r in GS.local_morans_i(
+        _mk_events(spark, cells), CELL, LAT0, LAT1).collect()}
+    # engine emits exactly the windowed cells
+    assert set(got) == {k for k, v in truth.items() if v[0]}
+    for k, r in got.items():
+        _, cnt, nbr, ii, q = truth[k]
+        assert (r.cnt, r.nbr_sum) == (cnt, nbr), k
+        assert r.lisa_i == pytest.approx(ii, abs=2e-6), k
+        assert r.quadrant == q, k
+    # the cluster core is HH with a clearly positive I
+    assert got[(3, 0)].quadrant == "HH" and got[(3, 0)].lisa_i > 0
+    # an empty cell next to the cluster is LH (low value, high lag)
+    assert got[(2, 0)].quadrant == "LH"
+    # the LISA sum is proportional to the global I:
+    # sum_i I_i = n * global_I * (W/n) ... check via the identity
+    # sum_i I_i = (n/den) * sum_i (x_i-m)*lag_i, computed over ALL
+    # lattice cells (engine cells + the same-constant empties)
+    g = GS.morans_i(_mk_events(spark, cells), CELL, LAT0, LAT1).collect()[0]
+    lisa_all = sum(v[3] for v in truth.values())
+    assert lisa_all == pytest.approx(g.morans_i * g.w_sum, abs=1e-3)
