@@ -591,6 +591,31 @@ def _mk_trend_sql() -> str:
     )
 
 
+def q_focal_value_mean(spark, sf_dir):
+    """Focal field statistics (operators/gridstats.py focal_value_mean):
+    3x3-window mean of the events' measured value per 5-degree cell —
+    the count-based KDE's sibling for field columns. Values quantize to
+    BIGINT at 1e-6 units before any sum (order-independent); one corpus
+    aggregation."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return GS.focal_value_mean(
+        ev, "value", cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
+def _focal_value_mean_sql() -> str:
+    return GS.focal_value_mean_sql(
+        FX.events_geo_sql(extra_cols=("value",)),
+        "value", cell_deg=5.0, lat0=-65.0, lat1=65.0,
+    )
+
+
 def q_lisa(spark, sf_dir):
     """Anselin Local Moran's I cluster map (operators/gridstats.py
     local_morans_i): per-cell LISA values + HH/LL/HL/LH quadrant labels
@@ -4885,6 +4910,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_transitions": _cell_transitions_sql(),
         "emerging_hotspots": _emerging_hotspots_sql(),
         "lisa": _lisa_sql(),
+        "focal_value_mean": _focal_value_mean_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5250,6 +5276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_transitions": q_cell_transitions,
         "emerging_hotspots": q_emerging_hotspots,
         "lisa": q_lisa,
+        "focal_value_mean": q_focal_value_mean,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

@@ -1282,3 +1282,125 @@ def local_morans_i(
         f"WHEN {dev} < 0.0E0 AND {lag} < 0.0E0 THEN 'LL' "
         f"WHEN {dev} >= 0.0E0 THEN 'HL' ELSE 'LH' END) AS quadrant",
     )
+
+
+# ------------------------------------------- focal field statistics --
+
+#: fixed-point scale for field values entering window sums: 1e6 keeps
+#: the scatter-sum exact BIGINT to ~9e6 value-units x 1e6 events under
+#: one window (document the bound per deployment; raise/lower to trade
+#: resolution for headroom)
+_VAL_SCALE = 1_000_000
+
+
+def focal_value_mean_sql(
+    src_sql: str,
+    value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Focal (3x3-window) statistics of a MEASURED FIELD — the
+    neighborhood smoothing every field-centric workflow runs (the
+    count-based KDE's sibling for `value` columns: station averages,
+    sensor readings). Per target cell over the wrapped/clipped window:
+    event count, window mean, and the cell's own mean.
+
+    Exactness: values quantize to BIGINT at 1e-6 units
+    (:data:`_VAL_SCALE`) BEFORE any sum, so cell and window sums are
+    exact integer arithmetic — order-independent across engines and
+    partitionings (the sum(double) trap); the two means are single
+    double divisions, round(.,6). ONE corpus aggregation to the cell
+    table; the bounded 9-offset scatter carries (count, value-sum)
+    pairs. Output: (cell_x, cell_y, n_cell, n_window, cell_mean,
+    window_mean) for cells with >= 1 windowed event.
+    """
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    q = (
+        f"CAST(round(({value}) * {_VAL_SCALE}.0E0, 0) AS BIGINT)"
+    )
+    return (
+        f"WITH c AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum({q}) AS BIGINT) AS vs FROM ({src_sql}) s "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} GROUP BY 1, 2), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.n, c.vs "
+        f"FROM c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
+        f"win AS (SELECT tx, ty, CAST(sum(n) AS BIGINT) AS n_window, "
+        f"CAST(sum(vs) AS BIGINT) AS vs_window "
+        f"FROM scat GROUP BY tx, ty) "
+        f"SELECT w.tx AS cell_x, w.ty AS cell_y, "
+        f"CAST(coalesce(c.n, 0) AS BIGINT) AS n_cell, w.n_window, "
+        f"round(CAST(c.vs AS DOUBLE) / {_VAL_SCALE}.0E0 "
+        f"/ CAST(nullif(c.n, 0) AS DOUBLE), 6) AS cell_mean, "
+        f"round(CAST(w.vs_window AS DOUBLE) / {_VAL_SCALE}.0E0 "
+        f"/ CAST(nullif(w.n_window, 0) AS DOUBLE), 6) AS window_mean "
+        f"FROM win w LEFT JOIN c ON c.cx = w.tx AND c.cy = w.ty"
+    )
+
+
+def focal_value_mean(
+    df: DataFrame,
+    value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Focal field mean (see :func:`focal_value_mean_sql`). One corpus
+    hash-aggregate; the scatter and the left join back to the cell
+    table reuse its exchange."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    q = f"CAST(round(({value}) * {_VAL_SCALE}.0E0, 0) AS BIGINT)"
+    c = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{q} AS qv")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("qv").cast("bigint").alias("vs"),
+        )
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    win = (
+        c.selectExpr(f"explode(array({offs})) AS o", "cx", "cy", "n", "vs")
+        .selectExpr(
+            f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty",
+            "n", "vs",
+        )
+        .filter(f"ty >= {cy0} AND ty < {cy1}")
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_window"),
+            F.sum("vs").cast("bigint").alias("vs_window"),
+        )
+    )
+    return (
+        win.join(c, (win.tx == c.cx) & (win.ty == c.cy), "left")
+        .selectExpr(
+            "tx AS cell_x", "ty AS cell_y",
+            "CAST(coalesce(n, 0) AS BIGINT) AS n_cell", "n_window",
+            f"round(CAST(vs AS DOUBLE) / {_VAL_SCALE}.0E0 "
+            f"/ CAST(nullif(n, 0) AS DOUBLE), 6) AS cell_mean",
+            f"round(CAST(vs_window AS DOUBLE) / {_VAL_SCALE}.0E0 "
+            f"/ CAST(nullif(n_window, 0) AS DOUBLE), 6) AS window_mean",
+        )
+    )

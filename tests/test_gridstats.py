@@ -630,3 +630,47 @@ def test_local_moran_numpy_truth(spark):
     g = GS.morans_i(_mk_events(spark, cells), CELL, LAT0, LAT1).collect()[0]
     lisa_all = sum(v[3] for v in truth.values())
     assert lisa_all == pytest.approx(g.morans_i * g.w_sum, abs=1e-3)
+
+
+# ----------------------------------------------- focal field mean
+
+
+def test_focal_value_mean_truth(spark):
+    # typed values at cell centers; check cell and window means exactly
+    rows = []
+    eid = 0
+    pts = [(3, 0, [10.0, 20.0]), (4, 0, [30.0]), (9, -2, [7.5])]
+    for cx, cy, vals in pts:
+        for v in vals:
+            rows.append(
+                (eid, cx * CELL + 15.0, cy * CELL + 15.0, v)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    got = {(r.cell_x, r.cell_y): r for r in GS.focal_value_mean(
+        df, "value", CELL, LAT0, LAT1).collect()}
+    # the cell holding 10,20: own mean 15, window mean (10+20+30)/3
+    a = got[(3, 0)]
+    assert a.n_cell == 2 and a.n_window == 3
+    assert a.cell_mean == 15.0
+    assert a.window_mean == 20.0
+    # a neighbor cell between the two: no own events, window = all 3
+    b = got[(3, 1)]
+    assert b.n_cell == 0 and b.cell_mean is None
+    assert b.n_window == 3 and b.window_mean == 20.0
+    # the isolated cell: window = itself
+    c = got[(9, -2)]
+    assert c.n_window == 1 and c.window_mean == 7.5
+    # quantization: 1e-6 units exact
+    assert got[(4, 0)].cell_mean == 30.0
+
+
+def test_focal_value_mean_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 15.0, 15.0, 1.5)],
+        "event_id bigint, lon double, lat double, value double")
+    plan = GS.focal_value_mean(df, "value", CELL, LAT0, LAT1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
