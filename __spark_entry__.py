@@ -541,6 +541,27 @@ _SYNC_KW = dict(
 )
 
 
+def q_knox_test(spark, sf_dir):
+    """Knox space-time interaction test (operators/trajectory.py
+    knox_test): are events close in space also close in time? Exact
+    pair counts via the co-location bucket covers; the ORACLE replays
+    all four counts as brute-force un-bucketed self-joins, so an
+    incomplete cover fails parity. 300 km / 6 h over 24-degree
+    buckets."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.knox_test(
+        ev, delta_m=300000.0, tau_us=21_600_000_000,
+        cell_deg=24.0, lat_max=66.0,
+    )
+
+
+def _knox_test_sql() -> str:
+    return trajectory.knox_test_sql(
+        FX.events_geo_sql(), delta_m=300000.0, tau_us=21_600_000_000,
+        cell_deg=24.0, lat_max=66.0,
+    )
+
+
 def q_pair_sync_distance(spark, sf_dir):
     """Synchronized pair-separation join (operators/trajectory.py
     pair_sync_distance): candidate pairs from the co-location join
@@ -4911,6 +4932,7 @@ def oracle_sql() -> dict[str, str]:
         "emerging_hotspots": _emerging_hotspots_sql(),
         "lisa": _lisa_sql(),
         "focal_value_mean": _focal_value_mean_sql(),
+        "knox_test": _knox_test_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5277,6 +5299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,
         "lisa": q_lisa,
         "focal_value_mean": q_focal_value_mean,
+        "knox_test": q_knox_test,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

@@ -1955,3 +1955,155 @@ def cell_transitions_sql(
         f"FROM tr GROUP BY 1, 2, 3, 4 "
         f"HAVING count(*) >= {int(min_count)}"
     )
+
+
+# ----------------------------- Knox space-time interaction test --
+
+def knox_test(
+    df: DataFrame,
+    delta_m: float,
+    tau_us: int,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Knox space-time interaction test (Knox 1964 — the classic
+    epidemiology statistic): do events that are close in SPACE tend to
+    also be close in TIME? Over all event pairs in the study band:
+
+        X = #{pairs close in both},  S = #{close in space},
+        T = #{close in time},        P = n(n-1)/2
+        knox_ratio = X * P / (S * T)   (1 under independence)
+
+    Exact counts, never a corpus cross product: the spatial counts use
+    the co-location 3x3 bucket cover (validated complete by
+    :func:`_coloc_params` — the same parameters' brute-force oracle in
+    the registry proves the cover); the temporal count uses the
+    +/-1 tau-bucket window; every pair is found exactly once because
+    the (db) / (dx, dy) offsets are unique per pair. The registry
+    ORACLE replays all four counts as brute-force self-joins with NO
+    bucketing, so an incomplete cover fails parity.
+
+    Output: one row (n_events, pairs_space, pairs_time, pairs_both,
+    expected_both, knox_ratio), floats round(.,6).
+    """
+    nx, T = _coloc_params(delta_m, tau_us, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    pm = f"((({ts_us}) % {T} + {T}) % {T})"
+    base = df.filter(F.expr(f"abs({lat}) <= {_pf(lat_max)}")).selectExpr(
+        f"{eid} AS e", f"{ts_us} AS t", f"{lon} AS lo", f"{lat} AS la",
+        f"{cx} AS cx", f"{cy} AS cy",
+        f"CAST((({ts_us}) - {pm}) / {T} AS BIGINT) AS tb",
+    )
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    # spatial pairs: 3x3 bucket cover, exact haversine keep rule
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    sa = base.selectExpr(
+        "e AS ea", "t AS ta", "lo AS loa", "la AS laa",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "ta", "loa", "laa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    sb = base.selectExpr(
+        "e AS eb", "t AS tc", "lo AS lob", "la AS lab",
+        "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    spairs = (
+        sa.join(sb, ["jx", "jy"])
+        .filter(F.expr(
+            f"ea < eb AND round({hav}, {_ND}) <= {_pf(delta_m)}"
+        ))
+    )
+    s_cnt = spairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("pairs_space")
+    )
+    b_cnt = spairs.filter(F.expr(f"abs(tc - ta) <= {T}")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pairs_both")
+    )
+
+    # temporal pairs: +/-1 tau-bucket window
+    ta_ = base.selectExpr(
+        "e AS ea", "t AS ta", "explode(array(-1, 0, 1)) AS db", "tb",
+    ).selectExpr("ea", "ta", "(tb + db) AS jb")
+    tb_ = base.selectExpr("e AS eb", "t AS tc", "tb AS jb")
+    t_cnt = (
+        ta_.join(tb_, ["jb"])
+        .filter(F.expr(f"ea < eb AND abs(tc - ta) <= {T}"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pairs_time"))
+    )
+
+    return (
+        n_df.crossJoin(F.broadcast(s_cnt))
+        .crossJoin(F.broadcast(t_cnt))
+        .crossJoin(F.broadcast(b_cnt))
+        .selectExpr(
+            "n AS n_events", "pairs_space", "pairs_time", "pairs_both",
+            *_knox_out_sql(),
+        )
+    )
+
+
+def _knox_out_sql() -> tuple:
+    """Shared (expected_both, knox_ratio) projection over
+    (n, pairs_space, pairs_time, pairs_both)."""
+    p = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0E0) / 2.0E0)"
+    return (
+        f"round(CAST(pairs_space AS DOUBLE) "
+        f"* CAST(pairs_time AS DOUBLE) / nullif({p}, 0.0E0), 6) "
+        f"AS expected_both",
+        f"round(CAST(pairs_both AS DOUBLE) * {p} "
+        f"/ nullif(CAST(pairs_space AS DOUBLE) "
+        f"* CAST(pairs_time AS DOUBLE), 0.0E0), 6) AS knox_ratio",
+    )
+
+
+def knox_test_sql(
+    src_sql: str,
+    delta_m: float,
+    tau_us: int,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`knox_test`: all four counts as
+    un-bucketed self-joins (time via a range predicate DuckDB plans as
+    an IEJoin; space as the full pair scan) — independently proving the
+    engine's bucket covers are complete."""
+    _coloc_params(delta_m, tau_us, cell_deg, lat_max)
+    from .crs import _pf
+
+    T = int(tau_us)
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    keep = f"round({hav}, {_ND}) <= {_pf(delta_m)}"
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {ts_us} AS t, {lon} AS lo, "
+        f"{lat} AS la FROM ({src_sql}) s "
+        f"WHERE abs({lat}) <= {_pf(lat_max)}), "
+        f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), "
+        f"sp AS (SELECT CAST(count(*) AS BIGINT) AS pairs_space "
+        f"FROM e a JOIN e b ON a.e < b.e WHERE {keep}), "
+        f"tp AS (SELECT CAST(count(*) AS BIGINT) AS pairs_time "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"AND b.t BETWEEN a.t - {T} AND a.t + {T}), "
+        f"bp AS (SELECT CAST(count(*) AS BIGINT) AS pairs_both "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"AND b.t BETWEEN a.t - {T} AND a.t + {T} WHERE {keep}) "
+        f"SELECT n AS n_events, pairs_space, pairs_time, pairs_both, "
+        + ", ".join(_knox_out_sql())
+        + " FROM nn CROSS JOIN sp CROSS JOIN tp CROSS JOIN bp"
+    )

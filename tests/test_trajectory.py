@@ -999,3 +999,66 @@ def test_cell_transitions_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3  # lag + 2-phase distinct
     assert "Join" not in plan
+
+
+# ----------------------------------------------- Knox interaction
+
+
+def test_knox_crafted_counts(spark):
+    # 4 events: A,B co-located AND co-timed; C co-located with A/B but
+    # a week later; D far away, co-timed with A -> exact pair counts:
+    # space: (A,B),(A,C),(B,C) = 3; time: (A,B),(A,D),(B,D) = 3;
+    # both: (A,B) = 1; P = 6
+    H = 3_600_000_000
+    rows = [
+        (0, 0, 10.0, 10.0),             # A
+        (1, 1 * H, 10.2, 10.0),         # B (~22 km, 1 h)
+        (2, 200 * H, 10.1, 10.1),       # C (close, 8+ days later)
+        (3, 2 * H, 120.0, -30.0),       # D (far, 2 h)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_us bigint, lon double, lat double")
+    r = trajectory.knox_test(
+        df, delta_m=100000.0, tau_us=3 * H, cell_deg=24.0, lat_max=66.0
+    ).collect()[0]
+    assert r.n_events == 4
+    assert r.pairs_space == 3
+    assert r.pairs_time == 3
+    assert r.pairs_both == 1
+    assert r.expected_both == pytest.approx(3 * 3 / 6.0, abs=1e-9)
+    assert r.knox_ratio == pytest.approx(1 * 6 / 9.0, abs=1e-6)
+
+
+def test_knox_seam_and_boundary(spark):
+    # the space pair crosses the antimeridian; the time pair sits at
+    # EXACTLY tau (inclusive, <=)
+    rows = [
+        (0, 0, 179.9, 0.0),
+        (1, 5_000_000, -179.9, 0.0),     # ~22 km across the seam
+        (2, 10_000_000, 0.0, 50.0),
+        (3, 10_000_000 + 3_600_000_000, 0.5, 50.0),  # exactly tau apart
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_us bigint, lon double, lat double")
+    r = trajectory.knox_test(
+        df, delta_m=100000.0, tau_us=3_600_000_000,
+        cell_deg=24.0, lat_max=66.0,
+    ).collect()[0]
+    assert r.pairs_space == 2   # the seam pair AND the 50N pair (~40km)
+    assert r.pairs_both == 2    # both are also within tau
+    with pytest.raises(ValueError, match="cover"):
+        trajectory.knox_test(
+            df, delta_m=5_000_000.0, tau_us=1000, cell_deg=24.0,
+            lat_max=66.0)
+
+
+def test_knox_plan_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 10.0, 10.0), (1, 1, 10.1, 10.0)],
+        "event_id bigint, ts_us bigint, lon double, lat double")
+    plan = trajectory.knox_test(
+        df, delta_m=100000.0, tau_us=1000, cell_deg=24.0, lat_max=66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
