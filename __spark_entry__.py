@@ -612,6 +612,21 @@ def _mk_trend_sql() -> str:
     )
 
 
+def q_quadrat_csr(spark, sf_dir):
+    """Quadrat test of complete spatial randomness
+    (operators/gridstats.py quadrat_csr): chi-square dispersion +
+    variance-mean ratio over the fixed 5-degree lattice — closed form
+    from two BIGINT moments, one corpus aggregation."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.quadrat_csr(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0)
+
+
+def _quadrat_csr_sql() -> str:
+    return GS.quadrat_csr_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
 def q_focal_value_mean(spark, sf_dir):
     """Focal field statistics (operators/gridstats.py focal_value_mean):
     3x3-window mean of the events' measured value per 5-degree cell —
@@ -4933,6 +4948,7 @@ def oracle_sql() -> dict[str, str]:
         "lisa": _lisa_sql(),
         "focal_value_mean": _focal_value_mean_sql(),
         "knox_test": _knox_test_sql(),
+        "quadrat_csr": _quadrat_csr_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5300,6 +5316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa": q_lisa,
         "focal_value_mean": q_focal_value_mean,
         "knox_test": q_knox_test,
+        "quadrat_csr": q_quadrat_csr,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

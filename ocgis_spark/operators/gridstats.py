@@ -1404,3 +1404,96 @@ def focal_value_mean(
             f"/ CAST(nullif(n_window, 0) AS DOUBLE), 6) AS window_mean",
         )
     )
+
+
+# -------------------------------------------- quadrat CSR test --
+
+def _quadrat_out_sql(n_cells: int) -> tuple:
+    """Shared projection over the exact moments (sx, sxx): chi² =
+    (n·Σx² − (Σx)²)/Σx (the quadrat dispersion statistic), the
+    variance-mean ratio chi²/(n−1), the normal-approx z =
+    (chi² − (n−1))/√(2(n−1)), and the 5% two-sided pattern label."""
+    n = f"{n_cells}.0E0"
+    chi2 = (
+        f"(({n} * CAST(sxx AS DOUBLE) "
+        f"- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        f"/ nullif(CAST(sx AS DOUBLE), 0.0E0))"
+    )
+    dfree = f"({n} - 1.0E0)"
+    z = f"(({chi2} - {dfree}) / sqrt(2.0E0 * {dfree}))"
+    return (
+        f"round({chi2}, 6) AS chi2",
+        f"round({chi2} / {dfree}, 6) AS vmr",
+        f"round({z}, 6) AS z",
+        f"(CASE WHEN {z} >= 1.96E0 THEN 'clustered' "
+        f"WHEN {z} <= -1.96E0 THEN 'dispersed' "
+        f"ELSE 'random' END) AS pattern",
+    )
+
+
+def quadrat_csr_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Quadrat test of complete spatial randomness (the classic
+    point-pattern first check; Greig-Smith / Fisher dispersion index):
+    chi² = Σ_i (x_i − m)²/m over the FIXED lattice (empty cells x = 0)
+    reduces EXACTLY to (n·Σx² − (Σx)²)/Σx — two BIGINT moments from one
+    corpus pass, one closed-form double. Also reports the variance-mean
+    ratio (VMR > 1 clustered, < 1 dispersed/regular) and the normal
+    approximation z with a two-sided 5% pattern label. Output: one row
+    (n_cells, n_events, chi2, vmr, z, pattern); chi2 NULL for an empty
+    study band."""
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    return (
+        f"WITH counts AS ({counts}), "
+        f"mom AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS sx, "
+        f"CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT) AS sxx "
+        f"FROM counts) "
+        f"SELECT CAST({n_cells} AS BIGINT) AS n_cells, "
+        f"sx AS n_events, "
+        + ", ".join(_quadrat_out_sql(n_cells))
+        + " FROM mom"
+    )
+
+
+def quadrat_csr(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Quadrat CSR test (see :func:`quadrat_csr_sql`): one corpus
+    hash-aggregate, one 1-row gather — nothing else."""
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    mom = counts.agg(
+        F.expr("CAST(coalesce(sum(cnt), 0) AS BIGINT)").alias("sx"),
+        F.expr("CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT)").alias("sxx"),
+    )
+    return mom.selectExpr(
+        f"CAST({n_cells} AS BIGINT) AS n_cells",
+        "sx AS n_events",
+        *_quadrat_out_sql(n_cells),
+    )

@@ -674,3 +674,36 @@ def test_focal_value_mean_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- quadrat CSR test
+
+
+def test_quadrat_csr_truth(spark):
+    # all events in one cell: maximal clustering -> chi2 = n_cells * N
+    # ... check exactly against the closed form on a crafted surface
+    cells = [(3, 0, 12), (7, 1, 4)]
+    df = _mk_events(spark, cells)
+    r = GS.quadrat_csr(df, CELL, LAT0, LAT1).collect()[0]
+    x = np.zeros(NX * NY)
+    x[0], x[1] = 12, 4
+    m = x.mean()
+    chi2 = ((x - m) ** 2).sum() / m
+    assert r.n_events == 16 and r.n_cells == NX * NY
+    assert r.chi2 == pytest.approx(chi2, abs=1e-6)
+    assert r.vmr == pytest.approx(chi2 / (NX * NY - 1), abs=1e-6)
+    assert r.pattern == "clustered" and r.z > 1.96
+
+    # one event in every cell: perfectly regular -> VMR = 0, dispersed
+    uniform = [(cx, cy, 1) for cx in range(NX)
+               for cy in range(CY0, CY0 + NY)]
+    r2 = GS.quadrat_csr(_mk_events(spark, uniform), CELL, LAT0, LAT1) \
+        .collect()[0]
+    assert r2.chi2 == 0.0 and r2.vmr == 0.0
+    assert r2.pattern == "dispersed"
+
+    # empty band -> NULL chi2
+    far = spark.createDataFrame(
+        [(0, 0.0, 75.0)], "event_id bigint, lon double, lat double")
+    r3 = GS.quadrat_csr(far, CELL, LAT0, LAT1).collect()[0]
+    assert r3.n_events == 0 and r3.chi2 is None
