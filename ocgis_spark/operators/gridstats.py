@@ -1293,6 +1293,28 @@ def local_morans_i(
 _VAL_SCALE = 1_000_000
 
 
+def _int_mean_sql(vs: str, n: str) -> str:
+    """Exact fixed-point mean: round-half-up(vs/n) computed ENTIRELY in
+    BIGINT (floor((2·vs + n)/(2·n)) via the pmod pattern), then ONE
+    exact double division by the value scale. The naive
+    round(vs/1e6/n, 6) hits the half-ulp boundary when vs/n lands
+    exactly on x.5 at the 6th decimal — Spark (shortest-decimal
+    BigDecimal) and DuckDB (scaled nearbyint) then round the SAME
+    double differently (observed live at sf0.1). Integer rounding has
+    no double anywhere, so both engines are bit-identical by
+    construction; halves round toward +inf (engine-defined,
+    documented)."""
+    num = f"(2 * ({vs}) + ({n}))"
+    den = f"(2 * ({n}))"
+    q = (
+        f"CAST((({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) "
+        f"/ ({den}) AS BIGINT)"
+    )
+    return (
+        f"(CAST({q} AS DOUBLE) / {_VAL_SCALE}.0E0)"
+    )
+
+
 def focal_value_mean_sql(
     src_sql: str,
     value: str,
@@ -1342,10 +1364,12 @@ def focal_value_mean_sql(
         f"FROM scat GROUP BY tx, ty) "
         f"SELECT w.tx AS cell_x, w.ty AS cell_y, "
         f"CAST(coalesce(c.n, 0) AS BIGINT) AS n_cell, w.n_window, "
-        f"round(CAST(c.vs AS DOUBLE) / {_VAL_SCALE}.0E0 "
-        f"/ CAST(nullif(c.n, 0) AS DOUBLE), 6) AS cell_mean, "
-        f"round(CAST(w.vs_window AS DOUBLE) / {_VAL_SCALE}.0E0 "
-        f"/ CAST(nullif(w.n_window, 0) AS DOUBLE), 6) AS window_mean "
+        f"(CASE WHEN c.n >= 1 THEN "
+        + _int_mean_sql("c.vs", "c.n")
+        + f" END) AS cell_mean, "
+        f"(CASE WHEN w.n_window >= 1 THEN "
+        + _int_mean_sql("w.vs_window", "w.n_window")
+        + f" END) AS window_mean "
         f"FROM win w LEFT JOIN c ON c.cx = w.tx AND c.cy = w.ty"
     )
 
@@ -1398,10 +1422,11 @@ def focal_value_mean(
         .selectExpr(
             "tx AS cell_x", "ty AS cell_y",
             "CAST(coalesce(n, 0) AS BIGINT) AS n_cell", "n_window",
-            f"round(CAST(vs AS DOUBLE) / {_VAL_SCALE}.0E0 "
-            f"/ CAST(nullif(n, 0) AS DOUBLE), 6) AS cell_mean",
-            f"round(CAST(vs_window AS DOUBLE) / {_VAL_SCALE}.0E0 "
-            f"/ CAST(nullif(n_window, 0) AS DOUBLE), 6) AS window_mean",
+            "(CASE WHEN n >= 1 THEN "
+            + _int_mean_sql("vs", "n") + " END) AS cell_mean",
+            "(CASE WHEN n_window >= 1 THEN "
+            + _int_mean_sql("vs_window", "n_window")
+            + " END) AS window_mean",
         )
     )
 
