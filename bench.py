@@ -288,20 +288,8 @@ def main() -> None:
     from ocgis_spark.operators import trajectory  # noqa: E402
 
     ev_repl = int(os.environ.get("SPARK_GRAFT_EV_REPL", "50"))
-    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    n_ev = ev_raw.count()
-    # shift units far above any real id (user ids are ~1e3 per sf)
-    ev_scaled = (
-        spark.range(ev_repl).withColumnRenamed("id", "copy")
-        .crossJoin(F.broadcast(ev_raw))
-        .withColumn("user_id", F.col("user_id") + F.col("copy") * F.lit(1_000_000))
-        .withColumn("event_id", F.col("event_id") + F.col("copy") * F.lit(n_ev))
-        .drop("copy")
-    )
-    ev_scaled.createOrReplaceTempView("events")
-    ev_geo = spark.sql(
-        FX.events_geo_sql(ts_us="unix_micros(CAST(ts AS TIMESTAMP))")
-    ).persist()
+    ev_geo, _n_ev = FX.replicate_events(spark, sf_dir, ev_repl)
+    ev_geo = ev_geo.persist()
     _materialize(ev_geo)
 
     timed(

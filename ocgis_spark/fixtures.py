@@ -354,3 +354,36 @@ def register_events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         events_geo_sql(ts_us="unix_micros(CAST(ts AS TIMESTAMP))")
     )
+
+
+def replicate_events(spark: SparkSession, sf_dir: str, repl: int):
+    """Deterministic event-stream scale-up shared by bench.py and
+    scripts/bench_scaling.py (one definition — the published numbers
+    must replicate identically): ``repl`` copies with DISTINCT user and
+    event ids (id shifts far above any real id), registered as the
+    ``events`` view, returning (geo_events_df, n_events_total).
+
+    The small events table is BROADCAST against a well-partitioned
+    range on the LEFT — the tiny parquet has ~1 row group, so streaming
+    it instead would serialize the whole build on one core (the
+    scaled_docs trap; do NOT 'fix' the broadcast side)."""
+    from pyspark.sql import functions as F
+
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_ev = ev_raw.count()
+    scaled = (
+        spark.range(int(repl)).withColumnRenamed("id", "copy")
+        .crossJoin(F.broadcast(ev_raw))
+        .withColumn(
+            "user_id", F.col("user_id") + F.col("copy") * F.lit(1_000_000)
+        )
+        .withColumn(
+            "event_id", F.col("event_id") + F.col("copy") * F.lit(n_ev)
+        )
+        .drop("copy")
+    )
+    scaled.createOrReplaceTempView("events")
+    geo = spark.sql(
+        events_geo_sql(ts_us="unix_micros(CAST(ts AS TIMESTAMP))")
+    )
+    return geo, n_ev * int(repl)

@@ -512,6 +512,18 @@ def _mk_params(t0_us: int, bin_us: int, n_bins: int) -> None:
         raise ValueError(f"t0_us must be integral micros, got {t0_us}")
 
 
+def _bin_sql(ts_us: str, t0_us: int, bin_us: int) -> str:
+    """Exact floor-division time-bin index ((t − t0) − pmod)/D — ONE
+    definition shared by Mann-Kendall and emerging hotspots in BOTH
+    dialects (four byte-identical copies previously risked silent
+    desync)."""
+    return (
+        f"CAST((({ts_us}) - {int(t0_us)} "
+        f"- ((({ts_us}) - {int(t0_us)}) % {int(bin_us)} "
+        f"+ {int(bin_us)}) % {int(bin_us)}) / {int(bin_us)} AS BIGINT)"
+    )
+
+
 def _mk_z_sql(T: int) -> tuple:
     """Shared projection (mk_z, trend) over (mk_s, k_bins, tt_present):
     tie-corrected variance with the zero bins (size T-k) as one tie
@@ -574,11 +586,7 @@ def mann_kendall_cells_sql(
     _mk_params(t0_us, bin_us, n_bins)
     T = int(n_bins)
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
-    binx = (
-        f"CAST((({ts_us}) - {int(t0_us)} "
-        f"- ((({ts_us}) - {int(t0_us)}) % {int(bin_us)} "
-        f"+ {int(bin_us)}) % {int(bin_us)}) / {int(bin_us)} AS BIGINT)"
-    )
+    binx = _bin_sql(ts_us, t0_us, bin_us)
     return (
         f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, {binx} AS b "
         f"FROM ({src_sql}) s), "
@@ -633,11 +641,7 @@ def mann_kendall_cells(
     _mk_params(t0_us, bin_us, n_bins)
     T = int(n_bins)
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
-    binx = (
-        f"CAST((({ts_us}) - {int(t0_us)} "
-        f"- ((({ts_us}) - {int(t0_us)}) % {int(bin_us)} "
-        f"+ {int(bin_us)}) % {int(bin_us)}) / {int(bin_us)} AS BIGINT)"
-    )
+    binx = _bin_sql(ts_us, t0_us, bin_us)
     c = (
         df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{binx} AS b")
         .filter(f"b >= 0 AND b < {T}")
@@ -920,16 +924,18 @@ def emerging_hotspots_sql(
     cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
     _mk_params(t0_us, bin_us, n_bins)
     T = int(n_bins)
+    if cy1 - cy0 < 2:
+        # a single lat row has window size 3, which the {6, 9}
+        # default-z table cannot represent — same floor as
+        # _moran_lattice
+        raise ValueError(
+            f"emerging hotspots needs at least 2 lat rows, got "
+            f"{cy1 - cy0}"
+        )
     n_cells = nx * (cy1 - cy0)
-    if n_cells < 2:
-        raise ValueError("study lattice needs at least 2 cells")
     n = f"{n_cells}.0E0"
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
-    binx = (
-        f"CAST((({ts_us}) - {int(t0_us)} "
-        f"- ((({ts_us}) - {int(t0_us)}) % {int(bin_us)} "
-        f"+ {int(bin_us)}) % {int(bin_us)}) / {int(bin_us)} AS BIGINT)"
-    )
+    binx = _bin_sql(ts_us, t0_us, bin_us)
     offs = ", ".join(
         f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
     )
@@ -1027,16 +1033,18 @@ def emerging_hotspots(
     cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
     _mk_params(t0_us, bin_us, n_bins)
     T = int(n_bins)
+    if cy1 - cy0 < 2:
+        # a single lat row has window size 3, which the {6, 9}
+        # default-z table cannot represent — same floor as
+        # _moran_lattice
+        raise ValueError(
+            f"emerging hotspots needs at least 2 lat rows, got "
+            f"{cy1 - cy0}"
+        )
     n_cells = nx * (cy1 - cy0)
-    if n_cells < 2:
-        raise ValueError("study lattice needs at least 2 cells")
     n = f"{n_cells}.0E0"
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
-    binx = (
-        f"CAST((({ts_us}) - {int(t0_us)} "
-        f"- ((({ts_us}) - {int(t0_us)}) % {int(bin_us)} "
-        f"+ {int(bin_us)}) % {int(bin_us)}) / {int(bin_us)} AS BIGINT)"
-    )
+    binx = _bin_sql(ts_us, t0_us, bin_us)
     spark = df.sparkSession
 
     cf = (
@@ -1287,9 +1295,10 @@ def local_morans_i(
 # ------------------------------------------- focal field statistics --
 
 #: fixed-point scale for field values entering window sums: 1e6 keeps
-#: the scatter-sum exact BIGINT to ~9e6 value-units x 1e6 events under
-#: one window (document the bound per deployment; raise/lower to trade
-#: resolution for headroom)
+#: the scatter-sum exact BIGINT to ~4.6e6 value-units x 1e6 events
+#: under one window — HALF the raw int64 range, because the exact
+#: half-up mean computes 2*vs + n (document the bound per deployment;
+#: raise/lower to trade resolution for headroom)
 _VAL_SCALE = 1_000_000
 
 
@@ -1328,7 +1337,9 @@ def focal_value_mean_sql(
     neighborhood smoothing every field-centric workflow runs (the
     count-based KDE's sibling for `value` columns: station averages,
     sensor readings). Per target cell over the wrapped/clipped window:
-    event count, window mean, and the cell's own mean.
+    event count, window mean, and the cell's own mean. NULL values
+    are EXCLUDED up front (they carry no measurement — counting them
+    would silently deflate the means).
 
     Exactness: values quantize to BIGINT at 1e-6 units
     (:data:`_VAL_SCALE`) BEFORE any sum, so cell and window sums are
@@ -1353,7 +1364,8 @@ def focal_value_mean_sql(
         f"WITH c AS (SELECT {cx} AS cx, {cy} AS cy, "
         f"CAST(count(*) AS BIGINT) AS n, "
         f"CAST(sum({q}) AS BIGINT) AS vs FROM ({src_sql}) s "
-        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} GROUP BY 1, 2), "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} "
+        f"AND ({value}) IS NOT NULL GROUP BY 1, 2), "
         f"offs(dx, dy) AS (VALUES {offs}), "
         f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
         f"(c.cy + o.dy) AS ty, c.n, c.vs "
@@ -1392,7 +1404,8 @@ def focal_value_mean(
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
     q = f"CAST(round(({value}) * {_VAL_SCALE}.0E0, 0) AS BIGINT)"
     c = (
-        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{q} AS qv")
+        df.filter(f"({value}) IS NOT NULL")
+        .selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{q} AS qv")
         .filter(f"cy >= {cy0} AND cy < {cy1}")
         .groupBy("cx", "cy")
         .agg(

@@ -1292,7 +1292,7 @@ def gyration_radius_sql(
 _ENT_SCALE = 1_000_000
 
 
-def _ent_sql(entity: str) -> tuple:
+def _ent_sql() -> tuple:
     """Shared per-entity projection over (entity, c)-count rows:
     Shannon entropy of the visit distribution H = log2(n) - S/n with
     S = Σ c·log2(c), each term quantized to BIGINT at 1e-6 bits, plus
@@ -1341,7 +1341,7 @@ def location_entropy(
         .groupBy("entity", "cell")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    term, outs = _ent_sql(entity)
+    term, outs = _ent_sql()
     g = counts.selectExpr("entity", "c", f"{term} AS e").groupBy(
         "entity"
     ).agg(
@@ -1364,7 +1364,7 @@ def location_entropy_sql(
     from .cluster import cell_id_sql
 
     cid, _, _ = cell_id_sql(cell_deg, lon, lat)
-    term, outs = _ent_sql(entity)
+    term, outs = _ent_sql()
     outs_sql = ", ".join(outs)
     return (
         f"WITH cellc AS (SELECT {entity} AS entity, {cid} AS cell, "
@@ -1899,19 +1899,15 @@ def cell_transitions(
     from .cluster import cell_id_sql
 
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
-    w = Window.partitionBy(entity).orderBy(ts_us, seq)
+    w = Window.partitionBy(entity).orderBy("_t", "_s")
     p = df.selectExpr(
         entity, f"{ts_us} AS _t", f"{seq} AS _s",
         f"{cx} AS tcx", f"{cy} AS tcy",
     ).select(
         F.col(entity),
         F.col("tcx"), F.col("tcy"),
-        F.lag("tcx").over(
-            Window.partitionBy(entity).orderBy("_t", "_s")
-        ).alias("fcx"),
-        F.lag("tcy").over(
-            Window.partitionBy(entity).orderBy("_t", "_s")
-        ).alias("fcy"),
+        F.lag("tcx").over(w).alias("fcx"),
+        F.lag("tcy").over(w).alias("fcy"),
     ).filter(
         F.col("fcx").isNotNull()
         & ~((F.col("fcx") == F.col("tcx")) & (F.col("fcy") == F.col("tcy")))
@@ -2026,11 +2022,15 @@ def knox_test(
             f"ea < eb AND round({hav}, {_ND}) <= {_pf(delta_m)}"
         ))
     )
-    s_cnt = spairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("pairs_space")
-    )
-    b_cnt = spairs.filter(F.expr(f"abs(tc - ta) <= {T}")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("pairs_both")
+    # ONE aggregation yields both spatial counts — the bucket join +
+    # per-candidate haversine is the operator's dominant cost and must
+    # not run twice
+    sb_cnt = spairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("pairs_space"),
+        F.expr(
+            f"CAST(sum(CASE WHEN abs(tc - ta) <= {T} THEN 1 ELSE 0 "
+            f"END) AS BIGINT)"
+        ).alias("pairs_both"),
     )
 
     # temporal pairs: +/-1 tau-bucket window
@@ -2045,9 +2045,8 @@ def knox_test(
     )
 
     return (
-        n_df.crossJoin(F.broadcast(s_cnt))
+        n_df.crossJoin(F.broadcast(sb_cnt))
         .crossJoin(F.broadcast(t_cnt))
-        .crossJoin(F.broadcast(b_cnt))
         .selectExpr(
             "n AS n_events", "pairs_space", "pairs_time", "pairs_both",
             *_knox_out_sql(),

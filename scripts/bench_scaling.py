@@ -107,19 +107,9 @@ if which == "mob":
     # Entities replicate DISTINCT (id shift), so window-key cardinality
     # scales with the data — no artificial skew.
     from ocgis_spark.operators import trajectory as TJ
-    ev_raw = spark.read.parquet(os.path.join({sf_dir!r}, "events.parquet"))
-    n_ev = ev_raw.count()
-    evs = (spark.range({ev_repl}).withColumnRenamed("id", "copy")
-           .crossJoin(F.broadcast(ev_raw))
-           .withColumn("user_id", F.col("user_id") + F.col("copy") * F.lit(1_000_000))
-           .withColumn("event_id", F.col("event_id") + F.col("copy") * F.lit(n_ev))
-           .drop("copy"))
-    evs.createOrReplaceTempView("events")
-    ev_geo = spark.sql(
-        FX.events_geo_sql(ts_us="unix_micros(CAST(ts AS TIMESTAMP))")
-    ).persist()
+    ev_geo, n_ev_total = FX.replicate_events(spark, {sf_dir!r}, {ev_repl})
+    ev_geo = ev_geo.persist()
     ev_geo.write.format("noop").mode("overwrite").save()
-    n_ev_total = n_ev * {ev_repl}
     def mob():
         TJ.od_flows(ev_geo, max_step_m=30000.0,
                     min_duration_us=43_200_000_000,
