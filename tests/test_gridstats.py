@@ -707,3 +707,26 @@ def test_quadrat_csr_truth(spark):
         [(0, 0.0, 75.0)], "event_id bigint, lon double, lat double")
     r3 = GS.quadrat_csr(far, CELL, LAT0, LAT1).collect()[0]
     assert r3.n_events == 0 and r3.chi2 is None
+
+
+def test_focal_value_mean_null_values_excluded(spark):
+    # NULL measurements carry no information: they must not deflate
+    # means or inflate window counts (review finding, r4s37)
+    rows = [(0, 105.0, 15.0, 10.0), (1, 105.0, 15.0, 20.0),
+            (2, 105.0, 15.0, None)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    r = {(x.cell_x, x.cell_y): x for x in GS.focal_value_mean(
+        df, "value", CELL, LAT0, LAT1).collect()}[(3, 0)]
+    assert r.n_cell == 2 and r.n_window == 2
+    assert r.cell_mean == 15.0 and r.window_mean == 15.0
+
+
+def test_emerging_hotspots_single_row_guard(spark):
+    df = _mk_events(spark, [(0, 0, 1)])
+    with pytest.raises(ValueError, match="2 lat rows"):
+        GS.emerging_hotspots(df, 30.0, 0.0, 30.0, t0_us=0,
+                             bin_us=1000, n_bins=3)
+    with pytest.raises(ValueError, match="2 lat rows"):
+        GS.emerging_hotspots_sql("SELECT 1", 30.0, 0.0, 30.0, t0_us=0,
+                                 bin_us=1000, n_bins=3)
