@@ -627,6 +627,40 @@ def _quadrat_csr_sql() -> str:
     )
 
 
+def q_gearys_c(spark, sf_dir):
+    """Global Geary's C (operators/gridstats.py gearys_c): the
+    squared-difference complement of Moran's I over the same fixed
+    5-degree lattice — one extra BIGINT moment (Σ rowsum·x²), same
+    single corpus aggregation + cell-bounded pair join."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.gearys_c(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0)
+
+
+def _gearys_c_sql() -> str:
+    return GS.gearys_c_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
+def q_join_counts(spark, sf_dir):
+    """Join count statistics (operators/gridstats.py join_counts):
+    BB/BW/WW adjacency joins of the binary hot-cell surface
+    (count >= 3) with the free-sampling BB z-test — the nominal-data
+    autocorrelation sibling of Moran/Geary. Exact BIGINT joins; the
+    8-offset scatter runs over black cells only."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.join_counts(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0, hot_threshold=3,
+    )
+
+
+def _join_counts_sql() -> str:
+    return GS.join_counts_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        hot_threshold=3,
+    )
+
+
 def q_focal_value_mean(spark, sf_dir):
     """Focal field statistics (operators/gridstats.py focal_value_mean):
     3x3-window mean of the events' measured value per 5-degree cell —
@@ -4949,6 +4983,8 @@ def oracle_sql() -> dict[str, str]:
         "focal_value_mean": _focal_value_mean_sql(),
         "knox_test": _knox_test_sql(),
         "quadrat_csr": _quadrat_csr_sql(),
+        "gearys_c": _gearys_c_sql(),
+        "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
@@ -5317,6 +5353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_value_mean": q_focal_value_mean,
         "knox_test": q_knox_test,
         "quadrat_csr": q_quadrat_csr,
+        "gearys_c": q_gearys_c,
+        "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,

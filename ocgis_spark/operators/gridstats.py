@@ -1535,3 +1535,328 @@ def quadrat_csr(
         "sx AS n_events",
         *_quadrat_out_sql(n_cells),
     )
+
+
+# ------------------------------------------------------ Geary's C --
+
+def _geary_out_sql(n_cells: int, w_sum: int) -> tuple:
+    """Shared projection over (sx, sxx, rsum2, psum): Geary's C, its
+    normal-approximation z, and the 5% two-sided pattern label.
+
+    With binary symmetric 3x3-minus-self weights the numerator
+    Σ_ij w_ij (x_i − x_j)² expands EXACTLY to 2·(rsum2 − psum) where
+    rsum2 = Σ_i rowsum_i·x_i² (BIGINT) and psum is the Moran pair sum,
+    so
+
+        C = (n−1)·(rsum2 − psum) / (W·(sxx − n·m²)),   m = sx/n.
+
+    Normality variance (Cliff & Ord 1981):
+    Var(C) = ((2S1 + S2)(n−1) − 4W²) / (2(n+1)W²) with S1 = 2W (binary
+    symmetric) and S2 = 4·Σ_i rowsum_i² — all compile-time lattice
+    constants. z = (C − 1)/√Var; C < 1 (z < 0) means neighboring cells
+    are SIMILAR (clustering), C > 1 dispersion — the sign convention is
+    opposite to Moran's I."""
+    n = f"{n_cells}.0E0"
+    w = f"{w_sum}.0E0"
+    m = f"(CAST(sx AS DOUBLE) / {n})"
+    c = (
+        f"(({n} - 1.0E0) "
+        f"* (CAST(rsum2 AS DOUBLE) - CAST(psum AS DOUBLE)) "
+        f"/ nullif({w} * (CAST(sxx AS DOUBLE) - {n} * {m} * {m}), "
+        f"0.0E0))"
+    )
+    return c
+
+
+def gearys_c_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Global Geary's C of the event-count surface (Geary 1954) — the
+    pair-difference complement of :func:`morans_i` (Moran is a
+    cross-product statistic, Geary a squared-difference one; C is more
+    sensitive to local differences). Same FIXED lattice, binary
+    3x3-minus-self wrapped weights, empty cells x = 0. One extra exact
+    BIGINT moment beyond Moran's: rsum2 = Σ rowsum_i·x_i².
+
+    Output: one row (n_cells, w_sum, sx, rsum2, psum, gearys_c, z,
+    pattern); gearys_c NULL for a constant surface; floats round(.,6).
+    """
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
+    s2 = 4 * nx * (2 * 25 + (cy1 - cy0 - 2) * 64)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    var_c = (
+        (2.0 * (2 * w_sum) + s2) * (n_cells - 1) - 4.0 * w_sum * w_sum
+    ) / (2.0 * (n_cells + 1) * w_sum * w_sum)
+    c = _geary_out_sql(n_cells, w_sum)
+    z = f"(({c} - 1.0E0) / {_pf(math.sqrt(var_c))})"
+    return (
+        f"WITH counts AS ({counts}), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.cnt "
+        f"FROM counts c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
+        f"pair AS (SELECT CAST(coalesce(sum(s.cnt * t.cnt), 0) "
+        f"AS BIGINT) AS psum "
+        f"FROM scat s JOIN counts t ON s.tx = t.cx AND s.ty = t.cy), "
+        f"mom AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS sx, "
+        f"CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT) AS sxx, "
+        f"CAST(coalesce(sum({rowsum} * cnt * cnt), 0) AS BIGINT) "
+        f"AS rsum2 FROM counts) "
+        f"SELECT CAST({n_cells} AS BIGINT) AS n_cells, "
+        f"CAST({w_sum} AS BIGINT) AS w_sum, sx, rsum2, psum, "
+        f"round({c}, 6) AS gearys_c, "
+        f"round({z}, 6) AS z, "
+        f"(CASE WHEN {z} <= -1.96E0 THEN 'clustered' "
+        f"WHEN {z} >= 1.96E0 THEN 'dispersed' "
+        f"ELSE 'random' END) AS pattern "
+        f"FROM mom CROSS JOIN pair"
+    )
+
+
+def gearys_c(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Global Geary's C (see :func:`gearys_c_sql`). Plan: identical to
+    :func:`morans_i` — ONE corpus hash-aggregate to the cell table, the
+    bounded 8-offset Generate, one cell-sized pair join, 1-row
+    broadcast-combined aggregates. The corpus is scanned once."""
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
+    s2 = 4 * nx * (2 * 25 + (cy1 - cy0 - 2) * 64)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    scat = counts.selectExpr(
+        f"explode(array({offs})) AS o", "cx", "cy", "cnt"
+    ).selectExpr(
+        f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty",
+        "cnt AS scnt",
+    ).filter(f"ty >= {cy0} AND ty < {cy1}")
+    pair = scat.join(
+        counts, (scat.tx == counts.cx) & (scat.ty == counts.cy)
+    ).agg(
+        F.expr(
+            "CAST(coalesce(sum(scnt * cnt), 0) AS BIGINT)"
+        ).alias("psum")
+    )
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    mom = counts.agg(
+        F.expr("CAST(coalesce(sum(cnt), 0) AS BIGINT)").alias("sx"),
+        F.expr("CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT)").alias(
+            "sxx"
+        ),
+        F.expr(
+            f"CAST(coalesce(sum({rowsum} * cnt * cnt), 0) AS BIGINT)"
+        ).alias("rsum2"),
+    )
+    var_c = (
+        (2.0 * (2 * w_sum) + s2) * (n_cells - 1) - 4.0 * w_sum * w_sum
+    ) / (2.0 * (n_cells + 1) * w_sum * w_sum)
+    c = _geary_out_sql(n_cells, w_sum)
+    z = f"(({c} - 1.0E0) / {_pf(math.sqrt(var_c))})"
+    return mom.crossJoin(F.broadcast(pair)).selectExpr(
+        f"CAST({n_cells} AS BIGINT) AS n_cells",
+        f"CAST({w_sum} AS BIGINT) AS w_sum",
+        "sx", "rsum2", "psum",
+        f"round({c}, 6) AS gearys_c",
+        f"round({z}, 6) AS z",
+        f"(CASE WHEN {z} <= -1.96E0 THEN 'clustered' "
+        f"WHEN {z} >= 1.96E0 THEN 'dispersed' "
+        f"ELSE 'random' END) AS pattern",
+    )
+
+
+# ----------------------------------------- join count statistics --
+
+def _joincount_consts(cell_deg: float, lat0: float, lat1: float):
+    """(nx, cy0, cy1, n_cells, s0, s1, s2) — the Cliff & Ord weight
+    sums for the binary symmetric 3x3-minus-self wrapped lattice:
+    S0 = Σ w_ij (ordered) = w_sum, S1 = ½Σ(w_ij+w_ji)² = 2·S0,
+    S2 = Σ_i (rowsum_i + colsum_i)² = 4·Σ rowsum_i². All compile-time
+    lattice constants."""
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
+    s2 = 4 * nx * (2 * 25 + (cy1 - cy0 - 2) * 64)
+    return nx, cy0, cy1, n_cells, w_sum, 2 * w_sum, s2
+
+
+def _joincount_out_sql(n_cells: int, s0: int, s1: int, s2: int) -> tuple:
+    """Shared projection over (n_black, bbord, rsumb): observed joins,
+    the free-sampling expectation/variance of BB, and the z label.
+
+    With b_i ∈ {0,1} on the FIXED lattice (empty cells white):
+        J_BB = bbord/2            (bbord = Σ_ordered w_ij b_i b_j, even)
+        J_BW = rsumb − bbord      (each unordered BW pair appears once
+                                   in Σ w_ij b_i (1−b_j))
+        J_WW = S0/2 − J_BB − J_BW
+    Free sampling with p = nB/n (derived from E[b_i b_j b_k b_l] = p^d,
+    d = #distinct indices; the index-overlap census is S1 / S2−2S1 /
+    S0²+S1−S2):
+        E[BB]   = (S0/2)·p²
+        Var[BB] = ¼(S1 p² + (S2−2S1) p³ + (S1−S2) p⁴)
+    z = (J_BB − E)/√Var, NULL for an all-black or all-white surface."""
+    n = f"{n_cells}.0E0"
+    p = f"(CAST(n_black AS DOUBLE) / {n})"
+    e_bb = f"({s0}.0E0 / 2.0E0 * {p} * {p})"
+    var_bb = (
+        f"(({s1}.0E0 * {p} * {p} "
+        f"+ ({s2}.0E0 - 2.0E0 * {s1}.0E0) * {p} * {p} * {p} "
+        f"+ ({s1}.0E0 - {s2}.0E0) * {p} * {p} * {p} * {p}) / 4.0E0)"
+    )
+    jbb = "CAST(bbord / 2 AS BIGINT)"
+    z = (
+        f"((CAST(bbord AS DOUBLE) / 2.0E0 - {e_bb}) "
+        f"/ nullif(sqrt({var_bb}), 0.0E0))"
+    )
+    return (
+        f"{jbb} AS j_bb",
+        "CAST(rsumb - bbord AS BIGINT) AS j_bw",
+        f"CAST({s0} / 2 - bbord / 2 - (rsumb - bbord) AS BIGINT) AS j_ww",
+        f"round({e_bb}, 6) AS e_bb",
+        f"round({var_bb}, 6) AS var_bb",
+        f"round({z}, 6) AS z_bb",
+        f"(CASE WHEN {z} >= 1.96E0 THEN 'clustered' "
+        f"WHEN {z} <= -1.96E0 THEN 'dispersed' "
+        f"ELSE 'random' END) AS pattern",
+    )
+
+
+def join_counts_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    hot_threshold: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Join count statistics (Moran 1948; the autocorrelation test for
+    a BINARY surface — the nominal-data sibling of :func:`morans_i`).
+    Cells of the FIXED lattice are black where the event count reaches
+    ``hot_threshold`` (empty cells are white), and the black-black /
+    black-white / white-white adjacency joins are counted exactly over
+    the wrapped binary 3x3-minus-self weights, with the free-sampling
+    expectation, variance, and z for BB (the clustering test).
+
+    Output: one row (n_cells, n_black, j_bb, j_bw, j_ww, e_bb, var_bb,
+    z_bb, pattern) — the three join counts are exact BIGINTs summing
+    to S0/2."""
+    if hot_threshold < 1:
+        raise ValueError(
+            f"hot_threshold must be >= 1, got {hot_threshold}"
+        )
+    nx, cy0, cy1, n_cells, s0, s1, s2 = _joincount_consts(
+        cell_deg, lat0, lat1,
+    )
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    return (
+        f"WITH counts AS ({counts}), "
+        f"blk AS (SELECT cx, cy FROM counts "
+        f"WHERE cnt >= {int(hot_threshold)}), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((b.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(b.cy + o.dy) AS ty FROM blk b CROSS JOIN offs o "
+        f"WHERE (b.cy + o.dy) >= {cy0} AND (b.cy + o.dy) < {cy1}), "
+        f"pair AS (SELECT CAST(count(*) AS BIGINT) AS bbord "
+        f"FROM scat s JOIN blk t ON s.tx = t.cx AND s.ty = t.cy), "
+        f"mom AS (SELECT CAST(count(*) AS BIGINT) AS n_black, "
+        f"CAST(coalesce(sum({rowsum}), 0) AS BIGINT) AS rsumb "
+        f"FROM blk) "
+        f"SELECT CAST({n_cells} AS BIGINT) AS n_cells, n_black, "
+        + ", ".join(_joincount_out_sql(n_cells, s0, s1, s2))
+        + " FROM mom CROSS JOIN pair"
+    )
+
+
+def join_counts(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    hot_threshold: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Join count statistics (see :func:`join_counts_sql`). Plan: ONE
+    corpus hash-aggregate to the cell table, the bounded 8-offset
+    Generate over BLACK cells only, one cell-sized join, 1-row
+    broadcast-combined aggregates."""
+    if hot_threshold < 1:
+        raise ValueError(
+            f"hot_threshold must be >= 1, got {hot_threshold}"
+        )
+    nx, cy0, cy1, n_cells, s0, s1, s2 = _joincount_consts(
+        cell_deg, lat0, lat1,
+    )
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    blk = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= int(hot_threshold))
+        .select("cx", "cy")
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    scat = blk.selectExpr(
+        f"explode(array({offs})) AS o", "cx", "cy"
+    ).selectExpr(
+        f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty",
+    ).filter(f"ty >= {cy0} AND ty < {cy1}")
+    pair = scat.join(
+        blk, (scat.tx == blk.cx) & (scat.ty == blk.cy)
+    ).agg(F.expr("CAST(count(*) AS BIGINT)").alias("bbord"))
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    mom = blk.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_black"),
+        F.expr(
+            f"CAST(coalesce(sum({rowsum}), 0) AS BIGINT)"
+        ).alias("rsumb"),
+    )
+    return mom.crossJoin(F.broadcast(pair)).selectExpr(
+        f"CAST({n_cells} AS BIGINT) AS n_cells",
+        "n_black",
+        *_joincount_out_sql(n_cells, s0, s1, s2),
+    )

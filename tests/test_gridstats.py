@@ -730,3 +730,118 @@ def test_emerging_hotspots_single_row_guard(spark):
     with pytest.raises(ValueError, match="2 lat rows"):
         GS.emerging_hotspots_sql("SELECT 1", 30.0, 0.0, 30.0, t0_us=0,
                                  bin_us=1000, n_bins=3)
+
+
+def _wrapped_queen_pairs():
+    """All ordered neighbor pairs ((cx,iy),(jx,jy)) of the test lattice
+    (lon wraps, lat clips)."""
+    for cx in range(NX):
+        for iy in range(NY):
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    jy = iy + dy
+                    if 0 <= jy < NY:
+                        yield (cx, iy), ((cx + dx) % NX, jy)
+
+
+def _lattice(cells):
+    x = np.zeros((NX, NY), dtype=np.int64)
+    for cx, cy, cnt in cells:
+        x[cx % NX, cy - CY0] += cnt
+    return x
+
+
+def test_gearys_c_numpy_truth(spark):
+    cells = [
+        (3, 0, 9), (4, 0, 7), (3, 1, 5),
+        (9, -2, 1), (0, 1, 2), (7, -1, 1),
+    ]
+    x = _lattice(cells)
+    n = NX * NY
+    m = x.sum() / n
+    num = sum(
+        (int(x[a]) - int(x[b])) ** 2 for a, b in _wrapped_queen_pairs()
+    )
+    W = sum(1 for _ in _wrapped_queen_pairs())
+    den = ((x - m) ** 2).sum()
+    truth = (n - 1) * num / (2.0 * W * den)
+    row = GS.gearys_c(_mk_events(spark, cells), CELL, LAT0, LAT1).collect()[0]
+    assert row.w_sum == W
+    assert row.gearys_c == pytest.approx(truth, abs=2e-6)
+    # clustered surface -> C < 1, and Moran/Geary must agree in sign
+    assert row.gearys_c < 1.0
+    assert row.z < 0.0
+
+
+def test_gearys_c_constant_surface_null(spark):
+    cells = [(cx, cy, 1) for cx in range(NX) for cy in range(CY0, CY0 + NY)]
+    row = GS.gearys_c(_mk_events(spark, cells), CELL, LAT0, LAT1).collect()[0]
+    assert row.gearys_c is None
+
+
+def test_join_counts_numpy_truth(spark):
+    cells = [
+        (3, 0, 9), (4, 0, 7), (3, 1, 5), (4, 1, 3),   # hot block
+        (9, -2, 1), (0, 1, 2), (7, -1, 4),
+    ]
+    thresh = 3
+    x = _lattice(cells)
+    b = (x >= thresh).astype(np.int64)
+    bb = sum(int(b[a] and b[p]) for a, p in _wrapped_queen_pairs()) // 2
+    bw = sum(
+        int(b[a] != b[p]) for a, p in _wrapped_queen_pairs()
+    ) // 2
+    W = sum(1 for _ in _wrapped_queen_pairs())
+    ww = W // 2 - bb - bw
+    row = GS.join_counts(
+        _mk_events(spark, cells), CELL, LAT0, LAT1, hot_threshold=thresh
+    ).collect()[0]
+    assert (row.j_bb, row.j_bw, row.j_ww) == (bb, bw, ww)
+    assert row.n_black == int(b.sum())
+    assert row.j_bb + row.j_bw + row.j_ww == W // 2
+    # free-sampling moments, brute from the p-powers
+    p = b.sum() / (NX * NY)
+    s0 = W
+    s1 = 2 * s0
+    s2 = 0
+    rows_ = np.zeros((NX, NY), dtype=np.int64)
+    for a, _ in _wrapped_queen_pairs():
+        rows_[a] += 1
+    s2 = int((4 * rows_.astype(np.int64) ** 2).sum())
+    e_bb = s0 / 2.0 * p * p
+    var_bb = (
+        s1 * p**2 + (s2 - 2 * s1) * p**3 + (s1 - s2) * p**4
+    ) / 4.0
+    assert row.e_bb == pytest.approx(e_bb, abs=2e-6)
+    assert row.var_bb == pytest.approx(var_bb, abs=2e-6)
+    assert row.z_bb == pytest.approx(
+        (bb - e_bb) / math.sqrt(var_bb), abs=2e-6
+    )
+    # a contiguous hot block clusters
+    assert row.pattern == "clustered"
+
+
+def test_join_counts_validation(spark):
+    df = _mk_events(spark, [(0, 0, 1)])
+    with pytest.raises(ValueError, match="hot_threshold"):
+        GS.join_counts(df, CELL, LAT0, LAT1, hot_threshold=0)
+
+
+def test_gearys_join_counts_plans(spark):
+    df = _mk_events(spark, [(0, 0, 3), (4, 1, 2), (4, 0, 3)])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for build in (
+            lambda: GS.gearys_c(df, CELL, LAT0, LAT1),
+            lambda: GS.join_counts(df, CELL, LAT0, LAT1, hot_threshold=2),
+        ):
+            plan = build()._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan
+            assert "ArrowEvalPython" not in plan
+            # scatter / pair-probe / moment branches reuse the one
+            # cell-count (resp. black-cell) aggregation
+            assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
