@@ -627,6 +627,27 @@ def _quadrat_csr_sql() -> str:
     )
 
 
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K/L function (operators/trajectory.py ripley_k): the
+    multi-scale point-pattern statistic at 75/150/300 km over the
+    |lat| <= 66 band. One bucketed candidate join (8-degree cells, the
+    knox cover argument) serves ALL radii via conditional sums; the
+    oracle replays every count as the brute-force un-bucketed pair
+    scan, proving the cover complete."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.ripley_k(
+        ev, radii_m=[75000.0, 150000.0, 300000.0],
+        cell_deg=8.0, lat_max=66.0,
+    )
+
+
+def _ripley_k_sql() -> str:
+    return trajectory.ripley_k_sql(
+        FX.events_geo_sql(), radii_m=[75000.0, 150000.0, 300000.0],
+        cell_deg=8.0, lat_max=66.0,
+    )
+
+
 def q_gearys_c(spark, sf_dir):
     """Global Geary's C (operators/gridstats.py gearys_c): the
     squared-difference complement of Moran's I over the same fixed
@@ -4984,6 +5005,7 @@ def oracle_sql() -> dict[str, str]:
         "knox_test": _knox_test_sql(),
         "quadrat_csr": _quadrat_csr_sql(),
         "gearys_c": _gearys_c_sql(),
+        "ripley_k": _ripley_k_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5354,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_test": q_knox_test,
         "quadrat_csr": q_quadrat_csr,
         "gearys_c": q_gearys_c,
+        "ripley_k": q_ripley_k,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

@@ -2106,3 +2106,174 @@ def knox_test_sql(
         + ", ".join(_knox_out_sql())
         + " FROM nn CROSS JOIN sp CROSS JOIN tp CROSS JOIN bp"
     )
+
+
+# --------------------------------------- Ripley's K / L function --
+
+def _ripley_params(
+    radii_m: list, cell_deg: float, lat_max: float
+) -> tuple:
+    """Validate radii (positive, strictly ascending) and the bucket
+    cover at max(radii) — same complete-cover argument as the
+    co-location family (:func:`_coloc_params`; tau is irrelevant for a
+    pure spatial count, passed as 1). Returns (nx, radii as floats,
+    band area in m²): A = 4πR²·sin(lat_max), the exact sphere-band
+    area the K estimator normalizes by."""
+    import math as _m
+
+    from .crs import R_SPHERE
+
+    rs = [float(r) for r in radii_m]
+    if not rs:
+        raise ValueError("radii_m must be non-empty")
+    if any(r <= 0 for r in rs) or any(
+        b <= a for a, b in zip(rs, rs[1:])
+    ):
+        raise ValueError(
+            f"radii_m must be positive and strictly ascending, "
+            f"got {radii_m}"
+        )
+    nx, _ = _coloc_params(rs[-1], 1, cell_deg, lat_max)
+    area = 4.0 * _m.pi * R_SPHERE * R_SPHERE * _m.sin(
+        _m.radians(lat_max)
+    )
+    return nx, rs, area
+
+
+def _ripley_out_sql(area: float) -> tuple:
+    """Shared projection over (r_m, n, pairs_within): the naive
+    (uncorrected) K estimate K̂(r) = A·2·p / (n(n−1)) and the variance-
+    stabilized L̂(r) = √(K̂/π) − r (L ≈ 0 under CSR, > 0 clustered).
+    NULL for n < 2."""
+    from .crs import _pf
+
+    nn1 = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0E0))"
+    k = (
+        f"({_pf(area)} * 2.0E0 * CAST(pairs_within AS DOUBLE) "
+        f"/ nullif({nn1}, 0.0E0))"
+    )
+    pi = "3.14159265358979312E0"
+    return (
+        f"round({k}, 6) AS k_hat",
+        f"round(sqrt({k} / {pi}) - r_m, 6) AS l_hat",
+    )
+
+
+def ripley_k(
+    df: DataFrame,
+    radii_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Ripley's K function (Ripley 1976 — the multi-scale point-pattern
+    statistic; the distance-domain complement of the quadrat test):
+    K̂(r) = A/(n(n−1)) · Σ_{i≠j} 1(d_ij ≤ r) for each requested radius,
+    over the study band |lat| <= lat_max, plus the variance-stabilized
+    L̂(r) = √(K̂/π) − r. NAIVE estimator: no edge correction — the lon
+    dimension wraps (no seam edge) and the lat truncation at ±lat_max
+    biases K̂ down only for points within max(radii) of the band edge
+    (Ripley's isotropic correction needs per-pair boundary geometry;
+    out of scope, documented).
+
+    Exact pair counts, never a corpus cross product: the 3x3 bucket
+    cover at cell width >= max(radii) is validated complete
+    (:func:`_ripley_params`), every qualifying pair found EXACTLY once
+    (offset uniqueness, the co-location argument), and ALL radii share
+    the ONE candidate join — per-radius counts are conditional sums in
+    a single aggregation, unpivoted by a bounded literal explode.
+
+    Output: one row per radius (r_m, n_events, pairs_within, k_hat,
+    l_hat), floats round(.,6).
+    """
+    nx, rs, area = _ripley_params(radii_m, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    base = df.filter(F.expr(f"abs({lat}) <= {_pf(lat_max)}")).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    sums = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(
+            f"ea < eb AND round({hav}, {_ND}) <= {_pf(rs[-1])}"
+        ))
+        .selectExpr(f"round({hav}, {_ND}) AS d")
+        .agg(*[
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN d <= {_pf(r)} THEN 1 "
+                f"ELSE 0 END), 0) AS BIGINT)"
+            ).alias(f"p{i}")
+            for i, r in enumerate(rs)
+        ])
+    )
+    stack = ", ".join(
+        f"struct(CAST({_pf(r)} AS DOUBLE) AS r_m, p{i} AS pairs_within)"
+        for i, r in enumerate(rs)
+    )
+    return (
+        sums.crossJoin(F.broadcast(n_df))
+        .selectExpr(f"explode(array({stack})) AS s", "n")
+        .selectExpr("s.r_m AS r_m", "n", "s.pairs_within AS pairs_within")
+        .selectExpr(
+            "r_m", "n AS n_events", "pairs_within",
+            *_ripley_out_sql(area),
+        )
+    )
+
+
+def ripley_k_sql(
+    src_sql: str,
+    radii_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`ripley_k`: the full un-bucketed
+    pair scan (filtered to max(radii) inside the pair CTE so only
+    qualifying pairs materialize), per-radius counts via a VALUES radii
+    table LEFT-joined on d <= r — independently proving the engine's
+    bucket cover is complete. Quadratic by design: sf0.01-sized, like
+    the knox oracle."""
+    nx, rs, area = _ripley_params(radii_m, cell_deg, lat_max)
+    from .crs import _pf
+
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    vals = ", ".join(f"({_pf(r)})" for r in rs)
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la "
+        f"FROM ({src_sql}) s WHERE abs({lat}) <= {_pf(lat_max)}), "
+        f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), "
+        f"pr AS (SELECT round({hav}, {_ND}) AS d "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"WHERE round({hav}, {_ND}) <= {_pf(rs[-1])}), "
+        f"rt AS (SELECT CAST(v AS DOUBLE) AS r_m "
+        f"FROM (VALUES {vals}) t(v)), "
+        f"agg AS (SELECT r_m, CAST(count(d) AS BIGINT) AS pairs_within "
+        f"FROM rt LEFT JOIN pr ON d <= r_m GROUP BY r_m) "
+        f"SELECT r_m, n AS n_events, pairs_within, "
+        + ", ".join(_ripley_out_sql(area))
+        + " FROM agg CROSS JOIN nn"
+    )

@@ -1062,3 +1062,78 @@ def test_knox_plan_no_cartesian(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------- Ripley's K / L
+
+
+def test_ripley_crafted_counts(spark):
+    # a tight triple (pairwise ~22-31 km), one point ~100 km from the
+    # triple's closest member, one isolated far point -> pair counts
+    # by radius: 50 km: 3 (the triple), 120 km: 3 + 2? compute exactly:
+    # distances A-B 22.2, A-C 22.2, B-C 31.4 (km); D is 0.9 deg east of
+    # A (~100 km at equator): A-D 100.1, B-D 78.0? keep it simple and
+    # assert via brute haversine below.
+    import math as m
+
+    def hav_km(p, q):
+        R = 6370.997
+        la1, lo1, la2, lo2 = map(m.radians, (p[1], p[0], q[1], q[0]))
+        a = (m.sin((la2 - la1) / 2) ** 2
+             + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+        return 2 * R * m.asin(m.sqrt(a))
+
+    pts = [(10.0, 10.0), (10.2, 10.0), (10.1, 10.2),
+           (10.9, 10.0), (120.0, -30.0)]
+    rows = [(i, lo, la) for i, (lo, la) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "event_id bigint, lon double, lat double")
+    radii = [50000.0, 120000.0, 300000.0]
+    out = {
+        r.r_m: r for r in trajectory.ripley_k(
+            df, radii_m=radii, cell_deg=8.0, lat_max=66.0
+        ).collect()
+    }
+    truth = {
+        rk: sum(
+            1
+            for i in range(len(pts)) for j in range(i + 1, len(pts))
+            if round(hav_km(pts[i], pts[j]) * 1000, 3) <= rk
+        )
+        for rk in radii
+    }
+    n = len(pts)
+    area = 4 * m.pi * 6370997.0 ** 2 * m.sin(m.radians(66.0))
+    for rk in radii:
+        assert out[rk].n_events == n
+        assert out[rk].pairs_within == truth[rk]
+        k = area * 2 * truth[rk] / (n * (n - 1))
+        assert out[rk].k_hat == pytest.approx(k, rel=1e-9)
+        assert out[rk].l_hat == pytest.approx(
+            m.sqrt(k / m.pi) - rk, rel=1e-6)
+
+
+def test_ripley_seam_pair_and_validation(spark):
+    rows = [(0, 179.95, 0.0), (1, -179.95, 0.0)]  # ~11 km across seam
+    df = spark.createDataFrame(rows, "event_id bigint, lon double, lat double")
+    out = trajectory.ripley_k(
+        df, radii_m=[50000.0], cell_deg=8.0, lat_max=66.0
+    ).collect()[0]
+    assert out.pairs_within == 1
+    with pytest.raises(ValueError, match="ascending"):
+        trajectory.ripley_k(df, [2.0, 1.0], 8.0, 66.0)
+    with pytest.raises(ValueError, match="cover"):
+        trajectory.ripley_k(df, [5_000_000.0], 8.0, 66.0)
+
+
+def test_ripley_plan_single_join_all_radii(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, 10.1, 10.0)],
+        "event_id bigint, lon double, lat double")
+    plan = trajectory.ripley_k(
+        df, radii_m=[10000.0, 50000.0], cell_deg=8.0, lat_max=66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # ALL radii share one candidate join
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
