@@ -627,6 +627,20 @@ def _quadrat_csr_sql() -> str:
     )
 
 
+def q_std_ellipse(spark, sf_dir):
+    """Per-entity standard deviational ellipse (operators/trajectory.py
+    directional_ellipse): mean center + covariance eigen-axes +
+    orientation of each user's fix cloud — the directional sibling of
+    gyration_radius. Seam-wrapped min-anchored fixed-point moments; ONE
+    entity exchange (window min + group reuse one partitioning)."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.directional_ellipse(ev)
+
+
+def _std_ellipse_sql() -> str:
+    return trajectory.directional_ellipse_sql(FX.events_geo_sql())
+
+
 def q_ripley_k(spark, sf_dir):
     """Ripley's K/L function (operators/trajectory.py ripley_k): the
     multi-scale point-pattern statistic at 75/150/300 km over the
@@ -5006,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
         "quadrat_csr": _quadrat_csr_sql(),
         "gearys_c": _gearys_c_sql(),
         "ripley_k": _ripley_k_sql(),
+        "std_ellipse": _std_ellipse_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5377,6 +5392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrat_csr": q_quadrat_csr,
         "gearys_c": q_gearys_c,
         "ripley_k": q_ripley_k,
+        "std_ellipse": q_std_ellipse,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

@@ -2277,3 +2277,151 @@ def ripley_k_sql(
         + ", ".join(_ripley_out_sql(area))
         + " FROM agg CROSS JOIN nn"
     )
+
+
+# ------------------------- standard deviational ellipse (per entity) --
+
+_SDE_SCALE = 100_000  # 1e-5 deg (~1.1 m) fixed-point moment quantum
+
+
+def _sde_prep_sql(lon: str, lat: str) -> tuple:
+    """(dx, dy) fixed-point deviation expressions given per-entity
+    anchor columns ``rlon``/``rlat`` (the entity's min lon/lat). The
+    lon delta is WRAPPED into [-180, 180) before quantizing, so a home
+    straddling the antimeridian (min lon ~ -179.9, points at +179.9)
+    yields small deviations, not a 360-degree smear. floor() of shared
+    doubles is engine-identical; all moments are then BIGINT-exact.
+    Headroom: n·(span·1e5)² must stay under 2^63 — full-globe spread
+    (3.6e7 quanta) caps an entity at ~7e3 fixes; localized tracks are
+    unbounded in practice."""
+    d = f"(({lon}) - rlon)"
+    wd = (
+        f"((({d} + 180.0E0) - 360.0E0 "
+        f"* floor(({d} + 180.0E0) / 360.0E0)) - 180.0E0)"
+    )
+    dx = f"CAST(floor({wd} * {_SDE_SCALE}.0E0) AS BIGINT)"
+    dy = (
+        f"CAST(floor((({lat}) - rlat) * {_SDE_SCALE}.0E0) AS BIGINT)"
+    )
+    return dx, dy
+
+
+def _sde_out_sql() -> tuple:
+    """Shared projection over (n, rlon, rlat, sx, sy, sxx, syy, sxy):
+    the ellipse center (anchor + mean deviation, lon re-wrapped), the
+    major/minor axis standard deviations (the 2x2 covariance
+    eigenvalues — closed form in +,-,*,/,sqrt, all IEEE-exact ops), and
+    the major-axis orientation theta = 0.5·atan2(2·Vxy, Vxx−Vyy) in
+    degrees east-of-x (NULL when rotation is undefined: Vxy = 0 and
+    Vxx = Vyy, e.g. a single fix or an isotropic cloud). Raw standard
+    deviations — no ArcGIS sqrt(2) axis inflation, no n−2 dof
+    correction (documented convention)."""
+    s = f"{_SDE_SCALE}.0E0"
+    nn = "CAST(n AS DOUBLE)"
+    mx = f"(CAST(sx AS DOUBLE) / {nn})"
+    my = f"(CAST(sy AS DOUBLE) / {nn})"
+    vxx = f"((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * {mx}) / {nn})"
+    vyy = f"((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * {my}) / {nn})"
+    vxy = f"((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * {my}) / {nn})"
+    half = f"(({vxx} + {vyy}) / 2.0E0)"
+    rad = (
+        f"sqrt((({vxx} - {vyy}) / 2.0E0) * (({vxx} - {vyy}) / 2.0E0) "
+        f"+ {vxy} * {vxy})"
+    )
+    clon = f"(rlon + {mx} / {s})"
+    wlon = (
+        f"((({clon} + 180.0E0) - 360.0E0 "
+        f"* floor(({clon} + 180.0E0) / 360.0E0)) - 180.0E0)"
+    )
+    theta = f"(0.5E0 * degrees(atan2(2.0E0 * {vxy}, {vxx} - {vyy})))"
+    return (
+        f"round({wlon}, 6) AS center_lon",
+        f"round(rlat + {my} / {s}, 6) AS center_lat",
+        f"round(sqrt(greatest(0.0E0, {half} + {rad})) / {s}, 6) "
+        f"AS sigma_major_deg",
+        f"round(sqrt(greatest(0.0E0, {half} - {rad})) / {s}, 6) "
+        f"AS sigma_minor_deg",
+        f"(CASE WHEN {vxy} = 0.0E0 AND {vxx} = {vyy} THEN NULL "
+        f"ELSE round({theta}, 6) END) AS theta_deg",
+    )
+
+
+def directional_ellipse(
+    df: DataFrame,
+    entity: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-entity standard deviational ellipse (Lefever 1926; the
+    ArcGIS "Directional Distribution" statistic) — the directional
+    sibling of :func:`gyration_radius`: mean center, the covariance
+    eigen-axes (major/minor standard deviations), and the major-axis
+    orientation of each entity's fix cloud, in a local planar frame
+    anchored at the entity's (min lon, min lat) with the lon delta
+    seam-wrapped.
+
+    Plan: ONE hashpartitioning(entity) exchange — the anchor min is an
+    unbounded window over entity and the moment aggregation groups on
+    the SAME column, so the window's partitioning is reused (the
+    early-alias trap documented in PLANS r4s22). Six BIGINT-exact
+    moments; everything after is closed-form doubles.
+
+    Output: (entity, n_fixes, center_lon, center_lat, sigma_major_deg,
+    sigma_minor_deg, theta_deg), floats round(.,6).
+    """
+    w = Window.partitionBy(entity)
+    anchored = df.select(
+        F.col(entity),
+        F.col(lon).alias("_lon"),
+        F.col(lat).alias("_lat"),
+        F.min(lon).over(w).alias("rlon"),
+        F.min(lat).over(w).alias("rlat"),
+    )
+    dx, dy = _sde_prep_sql("_lon", "_lat")
+    prepped = anchored.selectExpr(
+        entity, "rlon", "rlat", f"{dx} AS dx", f"{dy} AS dy",
+    )
+    mom = prepped.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.first("rlon").alias("rlon"),
+        F.first("rlat").alias("rlat"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    return mom.selectExpr(
+        entity, "n AS n_fixes", *_sde_out_sql(),
+    )
+
+
+def directional_ellipse_sql(
+    src_sql: str,
+    entity: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`directional_ellipse` (same window-min
+    anchor, same fixed-point moments, same closed-form projection)."""
+    dx, dy = _sde_prep_sql(lon, lat)
+    return (
+        f"WITH a AS (SELECT {entity} AS entity, {lon} AS {lon}, "
+        f"{lat} AS {lat}, "
+        f"min({lon}) OVER (PARTITION BY {entity}) AS rlon, "
+        f"min({lat}) OVER (PARTITION BY {entity}) AS rlat "
+        f"FROM ({src_sql}) s), "
+        f"p AS (SELECT entity, rlon, rlat, {dx} AS dx, {dy} AS dy "
+        f"FROM a), "
+        f"m AS (SELECT entity, CAST(count(*) AS BIGINT) AS n, "
+        f"min(rlon) AS rlon, min(rlat) AS rlat, "
+        f"CAST(sum(dx) AS BIGINT) AS sx, "
+        f"CAST(sum(dy) AS BIGINT) AS sy, "
+        f"CAST(sum(dx * dx) AS BIGINT) AS sxx, "
+        f"CAST(sum(dy * dy) AS BIGINT) AS syy, "
+        f"CAST(sum(dx * dy) AS BIGINT) AS sxy "
+        f"FROM p GROUP BY entity) "
+        f"SELECT entity AS {entity}, n AS n_fixes, "
+        + ", ".join(_sde_out_sql())
+        + " FROM m"
+    )

@@ -1137,3 +1137,70 @@ def test_ripley_plan_single_join_all_radii(spark):
     assert "CartesianProduct" not in plan
     # ALL radii share one candidate join
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+# ------------------------------------- standard deviational ellipse
+
+
+def test_directional_ellipse_numpy_truth(spark):
+    import numpy as np
+
+    # an elongated NE-SW cloud for user 1, a single fix for user 2
+    pts = [(10.0 + 0.01 * i, 20.0 + 0.02 * i + (0.003 if i % 2 else 0.0))
+           for i in range(12)]
+    rows = [(1, lo, la) for lo, la in pts] + [(2, 50.0, 0.0)]
+    df = spark.createDataFrame(rows, "user_id bigint, lon double, lat double")
+    out = {r.user_id: r for r in trajectory.directional_ellipse(df).collect()}
+
+    S = trajectory._SDE_SCALE
+    rlon, rlat = min(p[0] for p in pts), min(p[1] for p in pts)
+    d = np.array([p[0] for p in pts]) - rlon
+    wd = ((d + 180.0) - 360.0 * np.floor((d + 180.0) / 360.0)) - 180.0
+    dx = np.floor(wd * S)
+    dy = np.floor((np.array([p[1] for p in pts]) - rlat) * S)
+    vxx, vyy = dx.var(), dy.var()
+    vxy = ((dx - dx.mean()) * (dy - dy.mean())).mean()
+    half, rad = (vxx + vyy) / 2, np.hypot((vxx - vyy) / 2, vxy)
+    r1 = out[1]
+    assert r1.n_fixes == 12
+    assert r1.center_lon == pytest.approx(rlon + dx.mean() / S, abs=2e-6)
+    assert r1.center_lat == pytest.approx(rlat + dy.mean() / S, abs=2e-6)
+    assert r1.sigma_major_deg == pytest.approx(
+        np.sqrt(half + rad) / S, abs=2e-6)
+    assert r1.sigma_minor_deg == pytest.approx(
+        np.sqrt(half - rad) / S, abs=2e-6)
+    theta = 0.5 * np.degrees(np.arctan2(2 * vxy, vxx - vyy))
+    assert r1.theta_deg == pytest.approx(theta, abs=2e-6)
+    # the cloud runs NE: major axis ~63 deg from east, clearly dominant
+    assert 55 < r1.theta_deg < 72
+    assert r1.sigma_major_deg > 3 * r1.sigma_minor_deg
+
+    # single fix: zero axes, undefined orientation, center = the fix
+    r2 = out[2]
+    assert (r2.sigma_major_deg, r2.sigma_minor_deg) == (0.0, 0.0)
+    assert r2.theta_deg is None
+    assert (r2.center_lon, r2.center_lat) == (50.0, 0.0)
+
+
+def test_directional_ellipse_seam_anchor(spark):
+    # fixes straddling the antimeridian: min lon is -179.98 but the
+    # cloud is ~0.05 deg wide, not 360 — the wrapped delta must see it
+    rows = [(1, 179.97, 0.0), (1, 179.99, 0.01),
+            (1, -179.99, 0.02), (1, -179.97, 0.03)]
+    df = spark.createDataFrame(rows, "user_id bigint, lon double, lat double")
+    r = trajectory.directional_ellipse(df).collect()[0]
+    assert r.sigma_major_deg < 0.1      # NOT a 360-deg smear
+    assert abs(r.center_lon) > 179.9    # center stays at the seam
+    assert -180.0 <= r.center_lon < 180.0
+
+
+def test_directional_ellipse_plan_one_exchange(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 10.0), (1, 10.1, 10.0), (2, 50.0, 0.0)],
+        "user_id bigint, lon double, lat double")
+    plan = trajectory.directional_ellipse(df) \
+        ._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # window min + moment group share ONE hashpartitioning(user_id)
+    assert plan.count("Exchange hashpartitioning") == 1
