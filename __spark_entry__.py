@@ -627,6 +627,29 @@ def _quadrat_csr_sql() -> str:
     )
 
 
+def q_spacetime_scan(spark, sf_dir):
+    """Space-time permutation scan statistic (operators/gridstats.py
+    spacetime_scan — Kulldorff 2005 / SaTScan): Poisson LLR of every
+    3x3-cell x 1..4-bin cylinder against the marginal-conditioned
+    expectation S*T/N over 2-day bins of January 2024 — the
+    inferential generalization of emerging_hotspots. One corpus
+    aggregation; bounded double Generate; broadcast marginals."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.spacetime_scan(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, w_max=4, min_count=3, llr_min=2.0,
+    )
+
+
+def _spacetime_scan_sql() -> str:
+    return GS.spacetime_scan_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, w_max=4, min_count=3, llr_min=2.0,
+    )
+
+
 def q_std_ellipse(spark, sf_dir):
     """Per-entity standard deviational ellipse (operators/trajectory.py
     directional_ellipse): mean center + covariance eigen-axes +
@@ -5021,6 +5044,7 @@ def oracle_sql() -> dict[str, str]:
         "gearys_c": _gearys_c_sql(),
         "ripley_k": _ripley_k_sql(),
         "std_ellipse": _std_ellipse_sql(),
+        "spacetime_scan": _spacetime_scan_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5393,6 +5417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c": q_gearys_c,
         "ripley_k": q_ripley_k,
         "std_ellipse": q_std_ellipse,
+        "spacetime_scan": q_spacetime_scan,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

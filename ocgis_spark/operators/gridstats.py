@@ -1860,3 +1860,255 @@ def join_counts(
         "n_black",
         *_joincount_out_sql(n_cells, s0, s1, s2),
     )
+
+
+# ------------------------ space-time permutation scan (Kulldorff) --
+
+def _scan_params(
+    cell_deg: float, lat0: float, lat1: float,
+    t0_us: int, bin_us: int, n_bins: int,
+    w_max: int, min_count: int,
+) -> tuple:
+    """(nx, cy0, cy1) after validating the lattice, the bin clock, the
+    cylinder height range, and the count floor."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _mk_params(t0_us, bin_us, n_bins)
+    if not 1 <= w_max <= n_bins:
+        raise ValueError(
+            f"w_max must be in [1, n_bins={n_bins}], got {w_max}"
+        )
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    return nx, cy0, cy1
+
+
+def _scan_out_sql(min_count: int, llr_min: float) -> tuple:
+    """Shared keep-rule + projection over (obs, s_marg, t_marg, n):
+    expected = S·T/N (the space-time permutation expectation,
+    conditioning on both marginals), the Poisson generalized LLR
+
+        llr = o·ln(o/e) + (N−o)·ln((N−o)/(N−e))   for o > e
+              (second term -> 0 when o = N)
+
+    and the relative risk o/e. Returns (keep_sql, projections)."""
+    e = (
+        "(CAST(s_marg AS DOUBLE) * CAST(t_marg AS DOUBLE) "
+        "/ CAST(n AS DOUBLE))"
+    )
+    o = "CAST(obs AS DOUBLE)"
+    nn = "CAST(n AS DOUBLE)"
+    tail = (
+        f"(CASE WHEN obs = n THEN 0.0E0 ELSE "
+        f"({nn} - {o}) * ln(({nn} - {o}) / ({nn} - {e})) END)"
+    )
+    llr = f"({o} * ln({o} / {e}) + {tail})"
+    keep = (
+        f"obs >= {int(min_count)} AND {o} > {e} "
+        f"AND round({llr}, 6) >= {_pf(float(llr_min))}"
+    )
+    return keep, (
+        f"round({e}, 6) AS expected",
+        f"round({o} / {e}, 6) AS relative_risk",
+        f"round({llr}, 6) AS llr",
+    )
+
+
+def spacetime_scan_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    w_max: int = 4,
+    min_count: int = 3,
+    llr_min: float = 0.0,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Space-time permutation scan statistic (Kulldorff et al. 2005 —
+    the SaTScan prospective outbreak detector; the inferential
+    generalization of :func:`emerging_hotspots`): every cylinder
+    (3x3-cell base centered on a lattice cell × w consecutive time
+    bins, w = 1..w_max, complete windows only) is scored by the Poisson
+    generalized likelihood ratio of its observed count against the
+    expectation S·T/N that conditions on BOTH marginals — so purely
+    spatial hotspots and purely temporal bursts score 0 by
+    construction; only space-time INTERACTION scores.
+
+    Cylinders with obs >= min_count, obs > expected, and
+    round(llr, 6) >= llr_min are returned (obs = 0 cylinders cannot
+    appear: they are built from present (cell, bin) counts; llr_min = 0
+    keeps every positive-excess cylinder, ~2+ keeps noteworthy ones). The Monte-Carlo permutation p-value of the
+    max-LLR cluster is an upstream concern (SaTScan runs 999
+    replications; a deterministic-hash replication harness belongs to
+    the caller) — the statistic surface here is the exact LLR ranking.
+
+    Output: (cx, cy, t_start, w_bins, obs, s_marg, t_marg, expected,
+    relative_risk, llr); floats round(.,6). Lon wraps; lat clips at the
+    band; empty cells need no fill (they only dilute marginals, which
+    count events, not cells).
+    """
+    nx, cy0, cy1 = _scan_params(
+        cell_deg, lat0, lat1, t0_us, bin_us, n_bins, w_max, min_count,
+    )
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    b = _bin_sql(ts_us, t0_us, bin_us)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    wdt = ", ".join(
+        f"({w}, {dt})" for w in range(1, w_max + 1) for dt in range(w)
+    )
+    keep, proj = _scan_out_sql(min_count, llr_min)
+    return (
+        f"WITH counts AS (SELECT {cx} AS cx, {cy} AS cy, {b} AS tb, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM ({src_sql}) s "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} "
+        f"AND {b} >= 0 AND {b} < {n_bins} GROUP BY 1, 2, 3), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"wdt(w, dt) AS (VALUES {wdt}), "
+        f"cyl AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS cx, "
+        f"(c.cy + o.dy) AS cy, (c.tb - d.dt) AS ts, d.w, "
+        f"CAST(sum(c.cnt) AS BIGINT) AS obs "
+        f"FROM counts c CROSS JOIN offs o CROSS JOIN wdt d "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1} "
+        f"AND (c.tb - d.dt) >= 0 AND (c.tb - d.dt) + d.w <= {n_bins} "
+        f"GROUP BY 1, 2, 3, 4), "
+        f"cell AS (SELECT cx, cy, CAST(sum(cnt) AS BIGINT) AS cell_tot "
+        f"FROM counts GROUP BY 1, 2), "
+        f"smarg AS (SELECT ((l.cx + o.dx + {nx}) % {nx}) AS cx, "
+        f"(l.cy + o.dy) AS cy, CAST(sum(l.cell_tot) AS BIGINT) AS s_marg "
+        f"FROM cell l CROSS JOIN offs o "
+        f"WHERE (l.cy + o.dy) >= {cy0} AND (l.cy + o.dy) < {cy1} "
+        f"GROUP BY 1, 2), "
+        f"bins AS (SELECT tb, CAST(sum(cnt) AS BIGINT) AS bin_tot "
+        f"FROM counts GROUP BY 1), "
+        f"tmarg AS (SELECT (b.tb - d.dt) AS ts, d.w, "
+        f"CAST(sum(b.bin_tot) AS BIGINT) AS t_marg "
+        f"FROM bins b CROSS JOIN wdt d "
+        f"WHERE (b.tb - d.dt) >= 0 AND (b.tb - d.dt) + d.w <= {n_bins} "
+        f"GROUP BY 1, 2), "
+        f"tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts) "
+        f"SELECT y.cx, y.cy, y.ts AS t_start, y.w AS w_bins, y.obs, "
+        f"m.s_marg, t.t_marg, "
+        + ", ".join(proj)
+        + f" FROM cyl y JOIN smarg m ON y.cx = m.cx AND y.cy = m.cy "
+        f"JOIN tmarg t ON y.ts = t.ts AND y.w = t.w "
+        f"CROSS JOIN tot WHERE {keep}"
+    )
+
+
+def spacetime_scan(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    w_max: int = 4,
+    min_count: int = 3,
+    llr_min: float = 0.0,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Space-time permutation scan (see :func:`spacetime_scan_sql`).
+    Plan: ONE corpus hash-aggregate to the (cell, bin) table; the
+    cylinder fan-out is a bounded double Generate (9 spatial offsets ×
+    w_max(w_max+1)/2 time offsets) over that table; both marginals are
+    cell-table-sized re-aggregations that REUSE the counts exchange and
+    broadcast into the cylinder join; N broadcasts. The corpus is
+    scanned once; nothing downstream exceeds lattice × bins × Σw."""
+    nx, cy0, cy1 = _scan_params(
+        cell_deg, lat0, lat1, t0_us, bin_us, n_bins, w_max, min_count,
+    )
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    b = _bin_sql(ts_us, t0_us, bin_us)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{b} AS tb")
+        .filter(
+            f"cy >= {cy0} AND cy < {cy1} AND tb >= 0 AND tb < {n_bins}"
+        )
+        .groupBy("cx", "cy", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    wdt = ", ".join(
+        f"struct({w} AS w, {dt} AS dt)"
+        for w in range(1, w_max + 1) for dt in range(w)
+    )
+    cyl = (
+        counts.selectExpr(
+            f"explode(array({offs})) AS o", "cx", "cy", "tb", "cnt"
+        )
+        .selectExpr(
+            f"((cx + o.dx + {nx}) % {nx}) AS ccx", "(cy + o.dy) AS ccy",
+            "tb", "cnt",
+        )
+        .filter(f"ccy >= {cy0} AND ccy < {cy1}")
+        .selectExpr(
+            f"explode(array({wdt})) AS d", "ccx", "ccy", "tb", "cnt"
+        )
+        .selectExpr(
+            "ccx", "ccy", "(tb - d.dt) AS ts", "d.w AS w", "cnt"
+        )
+        .filter(f"ts >= 0 AND ts + w <= {n_bins}")
+        .groupBy("ccx", "ccy", "ts", "w")
+        .agg(F.sum("cnt").cast("bigint").alias("obs"))
+    )
+    cell = counts.groupBy("cx", "cy").agg(
+        F.sum("cnt").cast("bigint").alias("cell_tot")
+    )
+    smarg = (
+        cell.selectExpr(
+            f"explode(array({offs})) AS o", "cx", "cy", "cell_tot"
+        )
+        .selectExpr(
+            f"((cx + o.dx + {nx}) % {nx}) AS scx", "(cy + o.dy) AS scy",
+            "cell_tot",
+        )
+        .filter(f"scy >= {cy0} AND scy < {cy1}")
+        .groupBy("scx", "scy")
+        .agg(F.sum("cell_tot").cast("bigint").alias("s_marg"))
+    )
+    bins = counts.groupBy("tb").agg(
+        F.sum("cnt").cast("bigint").alias("bin_tot")
+    )
+    tmarg = (
+        bins.selectExpr(f"explode(array({wdt})) AS d", "tb", "bin_tot")
+        .selectExpr("(tb - d.dt) AS tts", "d.w AS tw", "bin_tot")
+        .filter(f"tts >= 0 AND tts + tw <= {n_bins}")
+        .groupBy("tts", "tw")
+        .agg(F.sum("bin_tot").cast("bigint").alias("t_marg"))
+    )
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    keep, proj = _scan_out_sql(min_count, llr_min)
+    return (
+        cyl.join(
+            F.broadcast(smarg),
+            (cyl.ccx == smarg.scx) & (cyl.ccy == smarg.scy),
+        )
+        .join(
+            F.broadcast(tmarg),
+            (cyl.ts == tmarg.tts) & (cyl.w == tmarg.tw),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "ccx AS cx", "ccy AS cy", "ts AS t_start", "w AS w_bins",
+            "obs", "s_marg", "t_marg", "n",
+        )
+        .filter(keep)
+        .selectExpr(
+            "cx", "cy", "t_start", "w_bins", "obs", "s_marg", "t_marg",
+            *proj,
+        )
+    )

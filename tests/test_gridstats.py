@@ -845,3 +845,95 @@ def test_gearys_join_counts_plans(spark):
             assert "ReusedExchange" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+# ------------------------------------ space-time permutation scan
+
+
+def _mk_events_st(spark, triples):
+    """(cx, cy, bin, count) -> events at cell centers in bin (t0=0,
+    bin=1000 us)."""
+    rows = []
+    eid = 0
+    for cx, cy, b, cnt in triples:
+        for i in range(cnt):
+            rows.append((eid, b * 1000 + (i % 997),
+                         cx * CELL + 15.0, cy * CELL + 15.0))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts_us bigint, lon double, lat double")
+
+
+def test_spacetime_scan_brute_truth(spark):
+    # background: one event per bin in two far-apart cells; cluster:
+    # cell (3,0) gets a burst of 6 in bins 2-3
+    data = (
+        [(0, 0, b, 1) for b in range(8)]
+        + [(6, 1, b, 1) for b in range(8)]
+        + [(3, 0, 2, 3), (3, 0, 3, 3)]
+    )
+    out = GS.spacetime_scan(
+        _mk_events_st(spark, data), CELL, LAT0, LAT1,
+        t0_us=0, bin_us=1000, n_bins=8, w_max=3, min_count=2,
+    ).collect()
+    rows = {(r.cx, r.cy, r.t_start, r.w_bins): r for r in out}
+    # brute truth for the w=2 cylinder centered at the burst
+    N = 8 + 8 + 6
+    S = 6            # 3x3 around (3,0) over all time (only the burst)
+    T = 2 + 2 + 6    # bins 2-3 totals
+    o = 6
+    e = S * T / N
+    import math as m
+    llr = o * m.log(o / e) + (N - o) * m.log((N - o) / (N - e))
+    r = rows[(3, 0, 2, 2)]
+    assert (r.obs, r.s_marg, r.t_marg) == (o, S, T)
+    assert r.expected == pytest.approx(e, abs=2e-6)
+    assert r.llr == pytest.approx(llr, abs=2e-6)
+    assert r.relative_risk == pytest.approx(o / e, abs=2e-6)
+    # the burst cylinder ties for top LLR (neighboring centers whose
+    # 3x3 base covers the same lone burst cell share S and obs)
+    assert r.llr == max(q.llr for q in out)
+
+
+def test_spacetime_scan_marginal_only_patterns_score_zero(spark):
+    # PURELY SPATIAL hotspot (one cell always busy, constant in time):
+    # obs = S*T/N exactly for full-height cylinders; partial windows
+    # too (uniform time) -> no cylinder has obs > expected anywhere
+    # it matters; with min excess the keep rule drops everything
+    flat = [(3, 0, b, 5) for b in range(6)] + [
+        (9, 1, b, 1) for b in range(6)
+    ]
+    out = GS.spacetime_scan(
+        _mk_events_st(spark, flat), CELL, LAT0, LAT1,
+        t0_us=0, bin_us=1000, n_bins=6, w_max=3, min_count=1,
+        llr_min=0.001,
+    ).collect()
+    assert out == []
+
+
+def test_spacetime_scan_validation(spark):
+    df = _mk_events_st(spark, [(0, 0, 0, 1)])
+    with pytest.raises(ValueError, match="w_max"):
+        GS.spacetime_scan(df, CELL, LAT0, LAT1, 0, 1000, 4, w_max=9)
+    with pytest.raises(ValueError, match="min_count"):
+        GS.spacetime_scan(
+            df, CELL, LAT0, LAT1, 0, 1000, 4, min_count=0)
+
+
+def test_spacetime_scan_plan(spark):
+    df = _mk_events_st(spark, [(0, 0, 0, 2), (3, 1, 1, 2)])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = GS.spacetime_scan(
+            df, CELL, LAT0, LAT1, 0, 1000, 4,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # marginals and cylinders all reuse the one counts aggregation;
+        # the marginal joins broadcast
+        assert "ReusedExchange" in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
