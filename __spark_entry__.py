@@ -627,6 +627,23 @@ def _quadrat_csr_sql() -> str:
     )
 
 
+def q_general_g(spark, sf_dir):
+    """Getis-Ord General G (operators/gridstats.py general_g): the
+    global high/low clustering statistic over the fixed 5-degree
+    lattice — Moran's I cannot distinguish high-value from low-value
+    clustering, G can. Four exact BIGINT moments + the pair sum; the
+    1992 randomization variance verified by exhaustive permutation
+    enumeration in pytest."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.general_g(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0)
+
+
+def _general_g_sql() -> str:
+    return GS.general_g_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
 def q_spacetime_scan(spark, sf_dir):
     """Space-time permutation scan statistic (operators/gridstats.py
     spacetime_scan — Kulldorff 2005 / SaTScan): Poisson LLR of every
@@ -5045,6 +5062,7 @@ def oracle_sql() -> dict[str, str]:
         "ripley_k": _ripley_k_sql(),
         "std_ellipse": _std_ellipse_sql(),
         "spacetime_scan": _spacetime_scan_sql(),
+        "general_g": _general_g_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5418,6 +5436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "std_ellipse": q_std_ellipse,
         "spacetime_scan": q_spacetime_scan,
+        "general_g": q_general_g,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

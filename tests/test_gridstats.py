@@ -937,3 +937,66 @@ def test_spacetime_scan_plan(spark):
         assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+# ------------------------------------------- Getis-Ord General G
+
+
+def test_general_g_exact_permutation_enumeration(spark):
+    """The 1992 randomization Var[G] B-coefficient formula, verified
+    against EXACT exhaustive enumeration of all value-to-cell
+    assignments on a 4x2 wrapped lattice (8! = 40320 permutations) —
+    an independent proof the coefficients are right, not a formula
+    re-derivation."""
+    import itertools
+
+    nx, ny = 4, 2
+    cells = [(x, y) for x in range(nx) for y in range(ny)]
+    W = {}
+    for (x, y) in cells:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                jy = y + dy
+                if 0 <= jy < ny:
+                    W[((x, y), ((x + dx) % nx, jy))] = 1
+    vals = [7, 3, 2, 1, 0, 0, 0, 0]
+    # the operator on the same lattice: cell_deg=90 -> nx=4, 2 lat rows
+    rows, eid = [], 0
+    for (cx, iy), v in zip(cells, vals):
+        for _ in range(v):
+            rows.append((eid, cx * 90.0 + 45.0, (iy - 1) * 90.0 + 45.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double")
+    r = GS.general_g(df, 90.0, -90.0, 90.0).collect()[0]
+    # formula must equal the exact enumeration mean/variance
+    gs_all = []
+    for perm in itertools.permutations(vals):
+        x = dict(zip(cells, perm))
+        num = sum(x[a] * x[b] for (a, b) in W)
+        den = sum(x[a] * x[b] for a in cells for b in cells if a != b)
+        gs_all.append(num / den)
+    gs_all = np.array(gs_all)
+    assert r.e_g == pytest.approx(gs_all.mean(), rel=1e-12)
+    assert r.var_g == pytest.approx(gs_all.var(), abs=2e-6)
+    # observed G for THIS assignment
+    x = dict(zip(cells, vals))
+    g_obs = (sum(x[a] * x[b] for (a, b) in W)
+             / sum(x[a] * x[b] for a in cells for b in cells if a != b))
+    assert r.general_g == pytest.approx(g_obs, abs=2e-6)
+
+
+def test_general_g_high_vs_low_discrimination(spark):
+    # HIGH values adjacent -> G above expectation
+    hi = [(3, 0, 9), (4, 0, 8), (3, 1, 7), (1, -2, 1), (8, 1, 1),
+          (10, -1, 1)]
+    r_hi = GS.general_g(_mk_events(spark, hi), CELL, LAT0, LAT1).collect()[0]
+    assert r_hi.general_g > r_hi.e_g
+    # the same multiset with the HIGH values scattered far apart ->
+    # G below expectation (low/zero cells dominate adjacency)
+    lo = [(3, 0, 9), (9, 0, 8), (0, -2, 7), (6, 1, 1), (1, 1, 1),
+          (11, -1, 1)]
+    r_lo = GS.general_g(_mk_events(spark, lo), CELL, LAT0, LAT1).collect()[0]
+    assert r_lo.general_g < r_hi.general_g
