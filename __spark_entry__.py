@@ -627,6 +627,33 @@ def _quadrat_csr_sql() -> str:
     )
 
 
+_CROSSK_KW = dict(
+    a_pred="event_type = 'error'", b_pred="event_type = 'purchase'",
+    radii_m=[100000.0, 300000.0], cell_deg=8.0, lat_max=66.0,
+)
+
+
+def q_ripley_cross_k(spark, sf_dir):
+    """Bivariate cross-type Ripley K (operators/trajectory.py
+    ripley_cross_k): does the 'error' class cluster around the
+    'purchase' class at 100/300 km? Ordered A->B pairs via the bucketed
+    cover (A side replicates, B stays home); brute-force A x B oracle."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("event_type",),
+    ))
+    return trajectory.ripley_cross_k(ev, **_CROSSK_KW)
+
+
+def _ripley_cross_k_sql() -> str:
+    return trajectory.ripley_cross_k_sql(
+        FX.events_geo_sql(extra_cols=("event_type",)), **_CROSSK_KW
+    )
+
+
 def q_general_g(spark, sf_dir):
     """Getis-Ord General G (operators/gridstats.py general_g): the
     global high/low clustering statistic over the fixed 5-degree
@@ -5063,6 +5090,7 @@ def oracle_sql() -> dict[str, str]:
         "std_ellipse": _std_ellipse_sql(),
         "spacetime_scan": _spacetime_scan_sql(),
         "general_g": _general_g_sql(),
+        "ripley_cross_k": _ripley_cross_k_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5437,6 +5465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "std_ellipse": q_std_ellipse,
         "spacetime_scan": q_spacetime_scan,
         "general_g": q_general_g,
+        "ripley_cross_k": q_ripley_cross_k,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

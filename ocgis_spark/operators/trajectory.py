@@ -2425,3 +2425,159 @@ def directional_ellipse_sql(
         + ", ".join(_sde_out_sql())
         + " FROM m"
     )
+
+
+def ripley_cross_k(
+    df: DataFrame,
+    a_pred: str,
+    b_pred: str,
+    radii_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley K (Lotwick & Silverman 1982) —
+    the point-pattern sibling of bivariate Moran's I: does event class
+    A cluster AROUND class B beyond chance? K̂_ab(r) =
+    A·Σ_{i∈a, j∈b} 1(d_ij ≤ r) / (n_a·n_b) per radius, naive
+    (uncorrected) like :func:`ripley_k`; L̂_ab = √(K̂_ab/π) − r.
+
+    Classes come from SQL predicates over the input columns (rows
+    matching neither are ignored; a row matching BOTH would be
+    self-paired at d = 0 — the predicates must be disjoint, validated
+    at runtime by a loud CASE failure if any row matches both). The
+    bucketed join replicates only the (usually smaller) A side into
+    its 3x3 window; B stays home — cross pairs are ordered (a, b), so
+    there is no self-pair dedup and each qualifying pair is found
+    exactly once by the cover argument.
+
+    Output: one row per radius (r_m, n_a, n_b, pairs_ab, k_ab, l_ab).
+    """
+    nx, rs, area = _ripley_params(radii_m, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    cls = (
+        f"(CASE WHEN ({a_pred}) AND ({b_pred}) THEN "
+        f"CAST(raise_error('ripley_cross_k: predicates overlap') "
+        f"AS INT) "
+        f"WHEN ({a_pred}) THEN 1 WHEN ({b_pred}) THEN 2 END)"
+    )
+    base = (
+        df.filter(F.expr(f"abs({lat}) <= {_pf(lat_max)}"))
+        .selectExpr(
+            f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la",
+            f"{cx} AS cx", f"{cy} AS cy", f"{cls} AS cls",
+        )
+        .filter("cls IS NOT NULL")
+    )
+    n_df = base.agg(
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END), "
+            "0) AS BIGINT)"
+        ).alias("n_a"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END), "
+            "0) AS BIGINT)"
+        ).alias("n_b"),
+    )
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.filter("cls = 1").selectExpr(
+        "lo AS loa", "la AS laa", "cx", "cy",
+        f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "loa", "laa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.filter("cls = 2").selectExpr(
+        "lo AS lob", "la AS lab", "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    sums = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(f"round({hav}, {_ND}) <= {_pf(rs[-1])}"))
+        .selectExpr(f"round({hav}, {_ND}) AS d")
+        .agg(*[
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN d <= {_pf(r)} THEN 1 "
+                f"ELSE 0 END), 0) AS BIGINT)"
+            ).alias(f"p{i}")
+            for i, r in enumerate(rs)
+        ])
+    )
+    stack = ", ".join(
+        f"struct(CAST({_pf(r)} AS DOUBLE) AS r_m, p{i} AS pairs_ab)"
+        for i, r in enumerate(rs)
+    )
+    nab = "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    k = (
+        f"({_pf(area)} * CAST(pairs_ab AS DOUBLE) "
+        f"/ nullif({nab}, 0.0E0))"
+    )
+    pi = "3.14159265358979312E0"
+    return (
+        sums.crossJoin(F.broadcast(n_df))
+        .selectExpr(f"explode(array({stack})) AS s", "n_a", "n_b")
+        .selectExpr(
+            "s.r_m AS r_m", "n_a", "n_b", "s.pairs_ab AS pairs_ab",
+            f"round({k}, 6) AS k_ab",
+            f"round(sqrt({k} / {pi}) - s.r_m, 6) AS l_ab",
+        )
+    )
+
+
+def ripley_cross_k_sql(
+    src_sql: str,
+    a_pred: str,
+    b_pred: str,
+    radii_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`ripley_cross_k`: the
+    un-bucketed A x B pair scan (max-radius filtered in the CTE),
+    per-radius counts via the VALUES radii table — proving the cover.
+    The overlap guard is replayed as a WHERE that errors via a CASE
+    division by zero-free raise: DuckDB lacks raise_error, so the
+    oracle asserts disjointness by construction (cls assigns A first;
+    a both-matching row would differ from the engine's loud failure —
+    acceptable: the REGISTRY predicates are disjoint by definition)."""
+    nx, rs, area = _ripley_params(radii_m, cell_deg, lat_max)
+    from .crs import _pf
+
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    vals = ", ".join(f"({_pf(r)})" for r in rs)
+    nab = "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    k = (
+        f"({_pf(area)} * CAST(pairs_ab AS DOUBLE) "
+        f"/ nullif({nab}, 0.0E0))"
+    )
+    pi = "3.14159265358979312E0"
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la, "
+        f"(CASE WHEN ({a_pred}) THEN 1 WHEN ({b_pred}) THEN 2 END) "
+        f"AS cls FROM ({src_sql}) s WHERE abs({lat}) <= {_pf(lat_max)}), "
+        f"ea AS (SELECT * FROM e WHERE cls = 1), "
+        f"eb AS (SELECT * FROM e WHERE cls = 2), "
+        f"nn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ea) "
+        f"AS n_a, (SELECT CAST(count(*) AS BIGINT) FROM eb) AS n_b), "
+        f"pr AS (SELECT round({hav}, {_ND}) AS d "
+        f"FROM ea a JOIN eb b ON round({hav}, {_ND}) <= {_pf(rs[-1])}), "
+        f"rt AS (SELECT CAST(v AS DOUBLE) AS r_m "
+        f"FROM (VALUES {vals}) t(v)), "
+        f"agg AS (SELECT r_m, CAST(count(d) AS BIGINT) AS pairs_ab "
+        f"FROM rt LEFT JOIN pr ON d <= r_m GROUP BY r_m) "
+        f"SELECT r_m, n_a, n_b, pairs_ab, "
+        f"round({k}, 6) AS k_ab, "
+        f"round(sqrt({k} / {pi}) - r_m, 6) AS l_ab "
+        f"FROM agg CROSS JOIN nn"
+    )

@@ -1204,3 +1204,34 @@ def test_directional_ellipse_plan_one_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # window min + moment group share ONE hashpartitioning(user_id)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ripley_cross_k_crafted(spark):
+    # 2 A events each within 50 km of the B pair; one far A; one far B
+    rows = [
+        (0, 10.0, 10.0, "a"), (1, 10.2, 10.0, "a"), (2, 60.0, 0.0, "a"),
+        (3, 10.1, 10.1, "b"), (4, 10.3, 10.1, "b"), (5, -120.0, 30.0, "b"),
+        (6, 0.0, 0.0, "c"),  # matches neither -> ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, cls string")
+    out = {r.r_m: r for r in trajectory.ripley_cross_k(
+        df, "cls = 'a'", "cls = 'b'", [50000.0, 300000.0],
+        cell_deg=8.0, lat_max=66.0,
+    ).collect()}
+    r1 = out[50000.0]
+    assert (r1.n_a, r1.n_b) == (3, 3)
+    # pairs within 50 km: (0,3)~18km, (1,3)~15km, (1,4)~15km, (0,4)~35km
+    assert r1.pairs_ab == 4
+    assert out[300000.0].pairs_ab == 4  # far points stay out
+
+
+def test_ripley_cross_k_overlap_raises(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0, "a")],
+        "event_id bigint, lon double, lat double, cls string")
+    with pytest.raises(Exception, match="predicates overlap"):
+        trajectory.ripley_cross_k(
+            df, "cls = 'a'", "cls like 'a%'", [50000.0],
+            cell_deg=8.0, lat_max=66.0,
+        ).collect()
