@@ -627,6 +627,27 @@ def _quadrat_csr_sql() -> str:
     )
 
 
+def q_cell_acf(spark, sf_dir):
+    """Per-cell temporal autocorrelation (operators/gridstats.py
+    acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
+    per 5-degree cell, zero bins closed-form (never materialized) —
+    the space-time-cube diagnostic beside mk_trend. One corpus
+    aggregation; lag joins are cell-bounded."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.acf_cells(
+        ev, cell_deg=5.0, t0_us=1_704_067_200_000_000,
+        bin_us=172_800_000_000, n_bins=15, max_lag=3,
+    )
+
+
+def _cell_acf_sql() -> str:
+    return GS.acf_cells_sql(
+        FX.events_geo_sql(), cell_deg=5.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, max_lag=3,
+    )
+
+
 _CROSSK_KW = dict(
     a_pred="event_type = 'error'", b_pred="event_type = 'purchase'",
     radii_m=[100000.0, 300000.0], cell_deg=8.0, lat_max=66.0,
@@ -5091,6 +5112,7 @@ def oracle_sql() -> dict[str, str]:
         "spacetime_scan": _spacetime_scan_sql(),
         "general_g": _general_g_sql(),
         "ripley_cross_k": _ripley_cross_k_sql(),
+        "cell_acf": _cell_acf_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5466,6 +5488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacetime_scan": q_spacetime_scan,
         "general_g": q_general_g,
         "ripley_cross_k": q_ripley_cross_k,
+        "cell_acf": q_cell_acf,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

@@ -2276,3 +2276,208 @@ def general_g(
         "m1", "psum",
         *_general_g_out_sql(n_cells, w_sum, 2 * w_sum, s2),
     )
+
+
+# ------------------------------ per-cell temporal autocorrelation --
+
+def _acf_out_sql(T: int, kcol: str = "k") -> str:
+    """Shared acf expression over (k, pk, head_k+tail_k as ht, s, sxx):
+    with m = S/T over the ZERO-FILLED series,
+
+        C_k = P_k − m·(2S − ht) + (T−k)·m²
+        C_0 = sxx − T·m²        acf_k = C_k / C_0
+
+    P_k, S, sxx, ht are exact BIGINTs; only m and the final ratio are
+    doubles. NULL for a constant series (C_0 = 0)."""
+    m = f"(CAST(s AS DOUBLE) / {T}.0E0)"
+    ck = (
+        f"(CAST(pk AS DOUBLE) "
+        f"- {m} * (2.0E0 * CAST(s AS DOUBLE) - CAST(ht AS DOUBLE)) "
+        f"+ (CAST({T} - {kcol} AS DOUBLE)) * {m} * {m})"
+    )
+    c0 = f"(CAST(sxx AS DOUBLE) - {T}.0E0 * {m} * {m})"
+    return f"round({ck} / nullif({c0}, 0.0E0), 6)"
+
+
+def acf_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    max_lag: int = 3,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell temporal autocorrelation function of binned event
+    counts (the space-time-cube diagnostic ESRI pairs with the
+    Mann-Kendall trend; Box-Jenkins sample ACF with the fixed zero-
+    filled clock): for each lattice cell holding at least one in-range
+    event and each lag k = 1..max_lag,
+
+        acf_k = Σ_{t=k}^{T−1}(x_t−m)(x_{t−k}−m) / Σ(x_t−m)²
+
+    over the T-bin zero-filled series. Empty bins are NEVER
+    materialized: the lag cross-moment P_k only needs present-present
+    bin pairs (zeros null the product), and the edge corrections use
+    head/tail conditional sums — the Mann-Kendall zero-bin trick
+    applied to autocovariance. A Bartlett white-noise band
+    ±1.96/√T flags significance.
+
+    Output: (cx, cy, lag, n_events, acf, significant) — acf NULL for a
+    constant series."""
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    _mk_params(t0_us, bin_us, n_bins)
+    if not 1 <= max_lag < n_bins:
+        raise ValueError(
+            f"max_lag must be in [1, n_bins-1={n_bins - 1}], "
+            f"got {max_lag}"
+        )
+    b = _bin_sql(ts_us, t0_us, bin_us)
+    T = n_bins
+    ks = ", ".join(f"({k})" for k in range(1, max_lag + 1))
+    heads = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN tb < {k} THEN cnt ELSE 0 END), 0) "
+        f"AS BIGINT) AS head{k}, "
+        f"CAST(coalesce(sum(CASE WHEN tb > {T - 1 - k} THEN cnt "
+        f"ELSE 0 END), 0) AS BIGINT) AS tail{k}"
+        for k in range(1, max_lag + 1)
+    )
+    ht_case = " ".join(
+        f"WHEN l.k = {k} THEN head{k} + tail{k}"
+        for k in range(1, max_lag + 1)
+    )
+    acf = _acf_out_sql(T)
+    band = 1.96 / math.sqrt(T)
+    return (
+        f"WITH counts AS (SELECT {cx} AS cx, {cy} AS cy, {b} AS tb, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM ({src_sql}) s "
+        f"WHERE {b} >= 0 AND {b} < {T} GROUP BY 1, 2, 3), "
+        f"ks(k) AS (VALUES {ks}), "
+        f"pk AS (SELECT a.cx, a.cy, l.k, "
+        f"CAST(coalesce(sum(a.cnt * t.cnt), 0) AS BIGINT) AS pk "
+        f"FROM counts a CROSS JOIN ks l "
+        f"JOIN counts t ON t.cx = a.cx AND t.cy = a.cy "
+        f"AND t.tb = a.tb - l.k "
+        f"GROUP BY 1, 2, 3), "
+        f"mom AS (SELECT cx, cy, "
+        f"CAST(sum(cnt) AS BIGINT) AS s, "
+        f"CAST(sum(cnt * cnt) AS BIGINT) AS sxx, {heads} "
+        f"FROM counts GROUP BY 1, 2), "
+        f"grid AS (SELECT m.cx, m.cy, l.k, m.s, m.sxx, "
+        f"(CASE {ht_case} END) AS ht, coalesce(p.pk, 0) AS pk "
+        f"FROM mom m CROSS JOIN ks l "
+        f"LEFT JOIN pk p ON p.cx = m.cx AND p.cy = m.cy AND p.k = l.k) "
+        f"SELECT cx, cy, CAST(k AS INT) AS lag, s AS n_events, "
+        f"{acf} AS acf, "
+        f"(CASE WHEN abs({acf}) > {_pf(band)} THEN true ELSE false "
+        f"END) AS significant "
+        f"FROM grid"
+    )
+
+
+def acf_cells(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    max_lag: int = 3,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-cell lag ACF (see :func:`acf_cells_sql`). Plan: ONE corpus
+    hash-aggregate to the (cell, bin) table; the lag cross-moment is a
+    bounded max_lag-offset Generate joined back to present bins
+    (cell-bounded); per-cell moments REUSE the counts exchange; the
+    final (cell × lag) join is lattice-sized."""
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    _mk_params(t0_us, bin_us, n_bins)
+    if not 1 <= max_lag < n_bins:
+        raise ValueError(
+            f"max_lag must be in [1, n_bins-1={n_bins - 1}], "
+            f"got {max_lag}"
+        )
+    b = _bin_sql(ts_us, t0_us, bin_us)
+    T = n_bins
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{b} AS tb")
+        .filter(f"tb >= 0 AND tb < {T}")
+        .groupBy("cx", "cy", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ks = ", ".join(str(k) for k in range(1, max_lag + 1))
+    scat = counts.selectExpr(
+        f"explode(array({ks})) AS k", "cx", "cy", "tb", "cnt"
+    ).selectExpr("k", "cx", "cy", "(tb - k) AS jb", "cnt AS scnt")
+    tgt = counts.selectExpr(
+        "cx AS tcx", "cy AS tcy", "tb AS jb", "cnt AS tcnt"
+    )
+    pk = (
+        scat.join(
+            tgt,
+            (scat.cx == tgt.tcx) & (scat.cy == tgt.tcy)
+            & (scat.jb == tgt.jb),
+        )
+        .groupBy("cx", "cy", "k")
+        .agg(
+            F.expr(
+                "CAST(coalesce(sum(scnt * tcnt), 0) AS BIGINT)"
+            ).alias("pk")
+        )
+    )
+    heads = [
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN tb < {k} THEN cnt ELSE 0 "
+            f"END), 0) AS BIGINT)"
+        ).alias(f"head{k}")
+        for k in range(1, max_lag + 1)
+    ] + [
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN tb > {T - 1 - k} THEN cnt "
+            f"ELSE 0 END), 0) AS BIGINT)"
+        ).alias(f"tail{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    mom = counts.groupBy("cx", "cy").agg(
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sxx"),
+        *heads,
+    )
+    ht_case = " ".join(
+        f"WHEN k = {k} THEN head{k} + tail{k}"
+        for k in range(1, max_lag + 1)
+    )
+    grid = (
+        mom.selectExpr(
+            f"explode(array({ks})) AS k",
+            "cx", "cy", "s", "sxx",
+            *[f"head{k}" for k in range(1, max_lag + 1)],
+            *[f"tail{k}" for k in range(1, max_lag + 1)],
+        )
+        .selectExpr(
+            "cx AS mcx", "cy AS mcy", "k AS mk", "s", "sxx",
+            f"(CASE {ht_case} END) AS ht",
+        )
+        .join(
+            pk,
+            (F.col("mcx") == pk.cx) & (F.col("mcy") == pk.cy)
+            & (F.col("mk") == pk.k),
+            "left",
+        )
+        .selectExpr(
+            "mcx", "mcy", "mk", "s", "sxx", "ht",
+            "coalesce(pk, 0) AS pk",
+        )
+    )
+    acf = _acf_out_sql(T, kcol="mk")
+    band = 1.96 / math.sqrt(T)
+    return grid.selectExpr(
+        "mcx AS cx", "mcy AS cy", "CAST(mk AS INT) AS lag",
+        "s AS n_events",
+        f"{acf} AS acf",
+        f"(CASE WHEN abs({acf}) > {_pf(band)} THEN true ELSE false "
+        f"END) AS significant",
+    )

@@ -1000,3 +1000,54 @@ def test_general_g_high_vs_low_discrimination(spark):
           (11, -1, 1)]
     r_lo = GS.general_g(_mk_events(spark, lo), CELL, LAT0, LAT1).collect()[0]
     assert r_lo.general_g < r_hi.general_g
+
+
+# ------------------------------------------------ per-cell lag ACF
+
+
+def test_acf_cells_brute_truth(spark):
+    # cell A: alternating high-low (negative lag-1 ACF), cell B: a
+    # monotone ramp with gaps (zero bins exercise the closed form)
+    T = 8
+    a = [(3, 0, b, 5 if b % 2 == 0 else 1) for b in range(T)]
+    b_ = [(9, 1, b, c) for b, c in [(0, 1), (2, 2), (3, 3), (6, 6)]]
+    out = GS.acf_cells(
+        _mk_events_st(spark, a + b_), CELL, t0_us=0, bin_us=1000,
+        n_bins=T, max_lag=3,
+    ).collect()
+    got = {((r.cx, r.cy), r.lag): r for r in out}
+
+    def brute(vals):
+        x = np.zeros(T)
+        for _, _, bb, c in vals:
+            x[bb] += c
+        m = x.mean()
+        c0 = ((x - m) ** 2).sum()
+        return {
+            k: ((x[k:] - m) * (x[:-k] - m)).sum() / c0
+            for k in (1, 2, 3)
+        }
+    for cell, vals in ((3, 0), a), ((9, 1), b_):
+        truth = brute(vals)
+        for k in (1, 2, 3):
+            r = got[(cell, k)]
+            assert r.acf == pytest.approx(truth[k], abs=2e-6), (cell, k)
+            assert r.significant == (abs(truth[k]) > 1.96 / np.sqrt(T))
+    # alternation -> strongly negative lag-1, positive lag-2
+    assert got[((3, 0), 1)].acf < -0.5
+    assert got[((3, 0), 2)].acf > 0.3
+
+
+def test_acf_cells_constant_series_null(spark):
+    rows = [(3, 0, b, 2) for b in range(4)]
+    out = GS.acf_cells(
+        _mk_events_st(spark, rows), CELL, t0_us=0, bin_us=1000,
+        n_bins=4, max_lag=2,
+    ).collect()
+    assert all(r.acf is None for r in out)
+
+
+def test_acf_cells_validation(spark):
+    df = _mk_events_st(spark, [(0, 0, 0, 1)])
+    with pytest.raises(ValueError, match="max_lag"):
+        GS.acf_cells(df, CELL, 0, 1000, 4, max_lag=4)
