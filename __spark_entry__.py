@@ -627,6 +627,25 @@ def _quadrat_csr_sql() -> str:
     )
 
 
+def q_nn_index(spark, sf_dir):
+    """Clark-Evans average nearest-neighbor index
+    (operators/trajectory.py nn_index): observed mean NN distance vs
+    the CSR expectation 0.5/sqrt(lambda) over the |lat|<=66 band, NN
+    bounded to 300 km (coverage reported); BIGINT-mm distance sums;
+    the brute-force per-point-min oracle proves the bucketed NN true."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.nn_index(
+        ev, search_r_m=300000.0, cell_deg=8.0, lat_max=66.0,
+    )
+
+
+def _nn_index_sql() -> str:
+    return trajectory.nn_index_sql(
+        FX.events_geo_sql(), search_r_m=300000.0, cell_deg=8.0,
+        lat_max=66.0,
+    )
+
+
 def q_cell_acf(spark, sf_dir):
     """Per-cell temporal autocorrelation (operators/gridstats.py
     acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
@@ -5113,6 +5132,7 @@ def oracle_sql() -> dict[str, str]:
         "general_g": _general_g_sql(),
         "ripley_cross_k": _ripley_cross_k_sql(),
         "cell_acf": _cell_acf_sql(),
+        "nn_index": _nn_index_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5489,6 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "general_g": q_general_g,
         "ripley_cross_k": q_ripley_cross_k,
         "cell_acf": q_cell_acf,
+        "nn_index": q_nn_index,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

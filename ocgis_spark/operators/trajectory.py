@@ -2581,3 +2581,145 @@ def ripley_cross_k_sql(
         f"round(sqrt({k} / {pi}) - r_m, 6) AS l_ab "
         f"FROM agg CROSS JOIN nn"
     )
+
+
+# ------------------------- Clark-Evans nearest-neighbor index --
+
+def _ce_out_sql(area: float, search_r: float) -> tuple:
+    """Shared projection over (n, n_nn, snn_mm): the Clark-Evans
+    aggregate statistics. lam = n/A uses ALL band points; the observed
+    mean NN distance averages the n_nn points whose NN lies within the
+    search radius (censoring documented in :func:`nn_index`); SE =
+    0.26136/sqrt(n_nn·lam) (Clark & Evans 1954)."""
+    from .crs import _pf
+
+    lam = f"(CAST(n AS DOUBLE) / {_pf(area)})"
+    mean = (
+        f"(CAST(snn_mm AS DOUBLE) / 1000.0E0 "
+        f"/ nullif(CAST(n_nn AS DOUBLE), 0.0E0))"
+    )
+    re = f"(0.5E0 / sqrt({lam}))"
+    ce = f"({mean} / {re})"
+    se = f"(0.26136E0 / sqrt(CAST(n_nn AS DOUBLE) * {lam}))"
+    z = f"(({mean} - {re}) / {se})"
+    return (
+        f"round(CAST(n_nn AS DOUBLE) / nullif(CAST(n AS DOUBLE), "
+        f"0.0E0), 6) AS coverage",
+        f"round({mean}, 6) AS mean_nn_m",
+        f"round({re}, 6) AS r_expected_m",
+        f"round({ce}, 6) AS ce_index",
+        f"round({z}, 6) AS z",
+        f"(CASE WHEN {z} <= -1.96E0 THEN 'clustered' "
+        f"WHEN {z} >= 1.96E0 THEN 'dispersed' "
+        f"ELSE 'random' END) AS pattern",
+    )
+
+
+def nn_index(
+    df: DataFrame,
+    search_r_m: float,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Clark-Evans average nearest-neighbor index (Clark & Evans 1954;
+    the ArcGIS "Average Nearest Neighbor" tool): the observed mean
+    nearest-neighbor distance against the CSR expectation 0.5/√λ over
+    the |lat| <= lat_max band, λ = n/A on the sphere band.
+
+    BOUNDED NN search: each point's nearest neighbor is found within
+    ``search_r_m`` via the 3x3 bucket cover (validated complete); a
+    point with no neighbor inside the radius is CENSORED out of the
+    mean (the ``coverage`` column reports the kept fraction — choose
+    search_r_m several times r_expected so coverage ~ 1; an unbounded
+    exact NN needs expanding-ring search, out of scope and documented).
+    The censoring is replayed identically by the brute-force oracle,
+    so parity proves the cover finds the true within-radius NN for
+    every point. NN distances accumulate as BIGINT millimeters (the
+    od_flows convention) — no double summation order anywhere.
+
+    Output: one row (n_events, n_with_neighbor, coverage, mean_nn_m,
+    r_expected_m, ce_index, z, pattern); ce < 1 / z <= -1.96 means
+    clustered."""
+    nx, rs, area = _ripley_params([search_r_m], cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    R = rs[0]
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    base = df.filter(F.expr(f"abs({lat}) <= {_pf(lat_max)}")).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    nn = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(f"ea != eb AND {mm} <= {int(round(R * 1000))}"))
+        .selectExpr("ea", f"{mm} AS d_mm")
+        .groupBy("ea")
+        .agg(F.min("d_mm").alias("nn_mm"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nn"),
+            F.expr(
+                "CAST(coalesce(sum(nn_mm), 0) AS BIGINT)"
+            ).alias("snn_mm"),
+        )
+    )
+    return n_df.crossJoin(F.broadcast(nn)).selectExpr(
+        "n AS n_events", "n_nn AS n_with_neighbor",
+        *_ce_out_sql(area, R),
+    )
+
+
+def nn_index_sql(
+    src_sql: str,
+    search_r_m: float,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`nn_index`: per-point min
+    distance over the full un-bucketed pair scan with the same
+    <= search_r censoring — proving the bucketed NN is the true
+    within-radius NN for every point. Quadratic by design
+    (sf0.01-sized, like knox/ripley)."""
+    nx, rs, area = _ripley_params([search_r_m], cell_deg, lat_max)
+    from .crs import _pf
+
+    R = rs[0]
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la "
+        f"FROM ({src_sql}) s WHERE abs({lat}) <= {_pf(lat_max)}), "
+        f"nn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), "
+        f"mins AS (SELECT a.e AS ea, min({mm}) AS nn_mm "
+        f"FROM e a JOIN e b ON a.e != b.e "
+        f"WHERE {mm} <= {int(round(R * 1000))} GROUP BY a.e), "
+        f"agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nn, "
+        f"CAST(coalesce(sum(nn_mm), 0) AS BIGINT) AS snn_mm "
+        f"FROM mins) "
+        f"SELECT n AS n_events, n_nn AS n_with_neighbor, "
+        + ", ".join(_ce_out_sql(area, R))
+        + " FROM nn0 CROSS JOIN agg"
+    )

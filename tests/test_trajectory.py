@@ -1235,3 +1235,47 @@ def test_ripley_cross_k_overlap_raises(spark):
             df, "cls = 'a'", "cls like 'a%'", [50000.0],
             cell_deg=8.0, lat_max=66.0,
         ).collect()
+
+
+# ------------------------------------- Clark-Evans NN index
+
+
+def test_nn_index_crafted(spark):
+    import math as m
+
+    # a tight pair (NN = each other), a third point whose NN is the
+    # pair (~55 km), and a censored loner with no neighbor in range
+    rows = [(0, 10.0, 0.0), (1, 10.1, 0.0), (2, 10.6, 0.0),
+            (3, 90.0, 40.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, lon double, lat double")
+    r = trajectory.nn_index(
+        df, search_r_m=200000.0, cell_deg=8.0, lat_max=66.0
+    ).collect()[0]
+    assert (r.n_events, r.n_with_neighbor) == (4, 3)
+    assert r.coverage == pytest.approx(0.75, abs=1e-9)
+    R = 6370997.0
+    deg = m.pi / 180.0 * R  # meters per degree along the equator
+    d01 = 0.1 * deg
+    d12 = 0.5 * deg
+    # NN: 0->1, 1->0, 2->1; mm-rounded like the engine
+    exp_mean = (2 * round(d01 * 1000) + round(d12 * 1000)) / 3 / 1000
+    assert r.mean_nn_m == pytest.approx(exp_mean, abs=1e-5)
+    lam = 4 / (4 * m.pi * R * R * m.sin(m.radians(66.0)))
+    assert r.r_expected_m == pytest.approx(0.5 / m.sqrt(lam), rel=1e-9)
+    assert r.ce_index == pytest.approx(
+        exp_mean / (0.5 / m.sqrt(lam)), abs=2e-6)
+    # four points over half the planet: wildly dispersed is NOT the
+    # call here — the tight pair makes the observed mean tiny
+    assert r.pattern == "clustered"
+
+
+def test_nn_index_plan_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, 10.1, 10.0)],
+        "event_id bigint, lon double, lat double")
+    plan = trajectory.nn_index(
+        df, search_r_m=100000.0, cell_deg=8.0, lat_max=66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
