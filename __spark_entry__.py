@@ -865,6 +865,27 @@ def _emerging_hotspots_sql() -> str:
     )
 
 
+def q_emerging_categories(spark, sf_dir):
+    """Full ArcGIS emerging-hot-spot CLASSIFICATION
+    (operators/gridstats.py emerging_hotspot_categories): per-bin
+    hot/cold flags over the shared Gi* z cube + run/count aggregates +
+    the MK z trend -> the 17-label taxonomy (new / consecutive /
+    intensifying / persistent / diminishing / sporadic / oscillating /
+    historical, hot and cold mirrors, 'no pattern')."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.emerging_hotspot_categories(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000, n_bins=15,
+    )
+
+
+def _emerging_categories_sql() -> str:
+    return GS.emerging_hotspot_categories_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000, n_bins=15,
+    )
+
+
 def q_moran_bivariate(spark, sf_dir):
     """Bivariate (cross) Moran's I between the 'error' and 'purchase'
     event classes (operators/gridstats.py bivariate_morans_i,
@@ -5133,6 +5154,7 @@ def oracle_sql() -> dict[str, str]:
         "ripley_cross_k": _ripley_cross_k_sql(),
         "cell_acf": _cell_acf_sql(),
         "nn_index": _nn_index_sql(),
+        "emerging_categories": _emerging_categories_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5510,6 +5532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_cross_k": q_ripley_cross_k,
         "cell_acf": q_cell_acf,
         "nn_index": q_nn_index,
+        "emerging_categories": q_emerging_categories,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

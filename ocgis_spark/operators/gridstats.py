@@ -887,38 +887,12 @@ def _gi_z_expr(
     )
 
 
-def emerging_hotspots_sql(
-    src_sql: str,
-    cell_deg: float,
-    lat0: float,
-    lat1: float,
-    t0_us: int,
-    bin_us: int,
-    n_bins: int,
-    ts_us: str = "ts_us",
-    lon: str = "lon",
-    lat: str = "lat",
-) -> str:
-    """Emerging hot spot analysis (the ArcGIS space-time-cube method):
-    per-time-bin Getis-Ord Gi* z-scores on the FIXED study lattice,
-    then a per-cell Mann-Kendall monotone-trend test over each active
-    cell's T-long z series — "is this location becoming (or ceasing to
-    be) a hotspot?".
-
-    Exact zero-fill semantics WITHOUT materializing lattice × T: a
-    (cell, bin) absent from the scatter has nbr_sum = 0, whose z is a
-    per-(bin, W) CONSTANT (W ∈ {interior 9, lat-edge 6}); each ACTIVE
-    cell (>= 1 windowed event anywhere in the period) joins a T-row
-    VALUES bin table left-joined to its present z's and coalesces the
-    default — so the cube is bounded by active_cells × T, and the MK
-    pair join by active_cells × T². Gi* moments are BIGINT-exact per
-    bin; S and tie sums integer; z comparisons run on the round(.,6)
-    values both engines compute from identical expressions.
-
-    Output per active cell: (cell_x, cell_y, n_events, mk_s, mk_z,
-    trend) — trend in {'increasing','decreasing','none'} at two-sided
-    5%.
-    """
+def _ehs_params(
+    cell_deg: float, lat0: float, lat1: float,
+    t0_us: int, bin_us: int, n_bins: int,
+) -> tuple:
+    """(nx, cy0, cy1, T, n_cells) with the emerging-hotspot guards
+    shared by the trend and category surfaces."""
     nx, _, _ = _grid_params(cell_deg)
     _check_window_nx(nx, 1)
     cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
@@ -932,7 +906,24 @@ def emerging_hotspots_sql(
             f"emerging hotspots needs at least 2 lat rows, got "
             f"{cy1 - cy0}"
         )
-    n_cells = nx * (cy1 - cy0)
+    return nx, cy0, cy1, T, nx * (cy1 - cy0)
+
+
+def _ehs_chain_sql(
+    src_sql: str, cell_deg: float, lat0: float, lat1: float,
+    t0_us: int, bin_us: int, n_bins: int,
+    ts_us: str, lon: str, lat: str,
+) -> tuple:
+    """(chain, T): the shared CTE chain (no WITH prefix) ending at the
+    bounded z ``cube`` — per-(bin, cell) counts, per-bin exact global
+    moments, the 9-offset scatter, present z's, active cells, per-cell
+    event totals (``ev``), the T-row bin table, and the per-(bin, W)
+    default-z zero-fill. Both the MK-trend surface and the category
+    surface append their own tail CTEs to this one string, so the cube
+    semantics cannot drift between them."""
+    nx, cy0, cy1, T, n_cells = _ehs_params(
+        cell_deg, lat0, lat1, t0_us, bin_us, n_bins,
+    )
     n = f"{n_cells}.0E0"
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
     binx = _bin_sql(ts_us, t0_us, bin_us)
@@ -948,9 +939,9 @@ def emerging_hotspots_sql(
     zx0 = _gi_z_expr(
         n, nbr="CAST(0 AS BIGINT)", w="ws.w_size", sx="g.sx", sxx="g.sxx"
     )
-    return (
+    chain = (
         # per-(bin, cell) counts over the study band
-        f"WITH c AS (SELECT {binx} AS b, {cx} AS cx, {cy} AS cy, "
+        f"c AS (SELECT {binx} AS b, {cx} AS cx, {cy} AS cy, "
         f"CAST(count(*) AS BIGINT) AS cnt FROM ({src_sql}) s "
         f"WHERE {cy} >= {cy0} AND {cy} < {cy1} GROUP BY 1, 2, 3), "
         f"cf AS (SELECT * FROM c WHERE b >= 0 AND b < {T}), "
@@ -988,17 +979,63 @@ def emerging_hotspots_sql(
         f"coalesce(zpz.z, zd.z, 0.0E0) AS z FROM cube0 c0 "
         f"LEFT JOIN zpz ON zpz.tx = c0.tx AND zpz.ty = c0.ty "
         f"AND zpz.b = c0.b "
-        f"LEFT JOIN zdef zd ON zd.b = c0.b AND zd.w_size = c0.wsz), "
-        # Mann-Kendall over the full T-vector (pairwise; T <= 366)
-        f"mks AS (SELECT a.tx, a.ty, "
-        f"CAST(sum(CASE WHEN b2.z > a.z THEN 1 "
-        f"WHEN b2.z < a.z THEN -1 ELSE 0 END) AS BIGINT) AS mk_s "
-        f"FROM cube a JOIN cube b2 ON a.tx = b2.tx AND a.ty = b2.ty "
-        f"AND b2.b > a.b GROUP BY 1, 2), "
-        f"ties AS (SELECT tx, ty, "
-        f"CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS tt_present "
-        f"FROM (SELECT tx, ty, z, CAST(count(*) AS BIGINT) AS g "
-        f"FROM cube GROUP BY 1, 2, 3) gg GROUP BY 1, 2), "
+        f"LEFT JOIN zdef zd ON zd.b = c0.b AND zd.w_size = c0.wsz)"
+    )
+    return chain, T
+
+
+_EHS_MK_TAIL = (
+    # Mann-Kendall over the full T-vector (pairwise; T <= 366)
+    "mks AS (SELECT a.tx, a.ty, "
+    "CAST(sum(CASE WHEN b2.z > a.z THEN 1 "
+    "WHEN b2.z < a.z THEN -1 ELSE 0 END) AS BIGINT) AS mk_s "
+    "FROM cube a JOIN cube b2 ON a.tx = b2.tx AND a.ty = b2.ty "
+    "AND b2.b > a.b GROUP BY 1, 2), "
+    "ties AS (SELECT tx, ty, "
+    "CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS tt_present "
+    "FROM (SELECT tx, ty, z, CAST(count(*) AS BIGINT) AS g "
+    "FROM cube GROUP BY 1, 2, 3) gg GROUP BY 1, 2)"
+)
+
+
+def emerging_hotspots_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Emerging hot spot analysis (the ArcGIS space-time-cube method):
+    per-time-bin Getis-Ord Gi* z-scores on the FIXED study lattice,
+    then a per-cell Mann-Kendall monotone-trend test over each active
+    cell's T-long z series — "is this location becoming (or ceasing to
+    be) a hotspot?".
+
+    Exact zero-fill semantics WITHOUT materializing lattice × T: a
+    (cell, bin) absent from the scatter has nbr_sum = 0, whose z is a
+    per-(bin, W) CONSTANT (W ∈ {interior 9, lat-edge 6}); each ACTIVE
+    cell (>= 1 windowed event anywhere in the period) joins a T-row
+    VALUES bin table left-joined to its present z's and coalesces the
+    default — so the cube is bounded by active_cells × T, and the MK
+    pair join by active_cells × T². Gi* moments are BIGINT-exact per
+    bin; S and tie sums integer; z comparisons run on the round(.,6)
+    values both engines compute from identical expressions.
+
+    Output per active cell: (cell_x, cell_y, n_events, mk_s, mk_z,
+    trend) — trend in {'increasing','decreasing','none'} at two-sided
+    5%.
+    """
+    chain, T = _ehs_chain_sql(
+        src_sql, cell_deg, lat0, lat1, t0_us, bin_us, n_bins,
+        ts_us, lon, lat,
+    )
+    return (
+        f"WITH {chain}, {_EHS_MK_TAIL}, "
         f"m AS (SELECT mks.tx, mks.ty, mks.mk_s, ties.tt_present, "
         f"CAST({T} AS BIGINT) AS k_bins FROM mks "
         f"JOIN ties ON mks.tx = ties.tx AND mks.ty = ties.ty) "
@@ -1009,39 +1046,20 @@ def emerging_hotspots_sql(
         + " FROM m LEFT JOIN ev ON ev.tx = m.tx AND ev.ty = m.ty"
     )
 
-
-def emerging_hotspots(
+def _ehs_cube_frames(
     df: DataFrame,
-    cell_deg: float,
-    lat0: float,
-    lat1: float,
-    t0_us: int,
-    bin_us: int,
-    n_bins: int,
-    ts_us: str = "ts_us",
-    lon: str = "lon",
-    lat: str = "lat",
-) -> DataFrame:
-    """Emerging hot spot analysis (see :func:`emerging_hotspots_sql`
-    for the statistic). DataFrame plan: ONE corpus hash-aggregate to
-    the (bin, cell) table; per-bin moments, the 9-offset scatter, and
-    the active-cell/event tables all reuse that exchange; the T-row bin
-    table and T×2-row default-z table BROADCAST; the MK pair join is
-    bounded by active_cells × T²."""
-    nx, _, _ = _grid_params(cell_deg)
-    _check_window_nx(nx, 1)
-    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
-    _mk_params(t0_us, bin_us, n_bins)
-    T = int(n_bins)
-    if cy1 - cy0 < 2:
-        # a single lat row has window size 3, which the {6, 9}
-        # default-z table cannot represent — same floor as
-        # _moran_lattice
-        raise ValueError(
-            f"emerging hotspots needs at least 2 lat rows, got "
-            f"{cy1 - cy0}"
-        )
-    n_cells = nx * (cy1 - cy0)
+    cell_deg: float, lat0: float, lat1: float,
+    t0_us: int, bin_us: int, n_bins: int,
+    ts_us: str, lon: str, lat: str,
+) -> tuple:
+    """(cube, ev, T): the Spark mirror of :func:`_ehs_chain_sql` —
+    ONE corpus hash-aggregate to the (bin, cell) table; per-bin
+    moments, the 9-offset scatter, and the active-cell/event tables
+    all reuse that exchange; the T-row bin table and T×2-row default-z
+    table BROADCAST."""
+    nx, cy0, cy1, T, n_cells = _ehs_params(
+        cell_deg, lat0, lat1, t0_us, bin_us, n_bins,
+    )
     n = f"{n_cells}.0E0"
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
     binx = _bin_sql(ts_us, t0_us, bin_us)
@@ -1113,6 +1131,12 @@ def emerging_hotspots(
         )
         .selectExpr("tx", "ty", "b", "coalesce(z, zd, 0.0E0) AS z")
     )
+    return cube, ev, T
+
+
+def _ehs_mk_frames(cube: DataFrame) -> tuple:
+    """(mks, ties): the per-cell Mann-Kendall S and tie sums over the
+    z cube (pair join bounded by active_cells × T²)."""
     a = cube.selectExpr("tx", "ty", "b AS b1", "z AS z1")
     b2 = cube.selectExpr("tx AS tx2", "ty AS ty2", "b AS b2", "z AS z2")
     mks = (
@@ -1131,6 +1155,29 @@ def emerging_hotspots(
             "CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT)"
         ).alias("tt_present"))
     )
+    return mks, ties
+
+
+def emerging_hotspots(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Emerging hot spot analysis (see :func:`emerging_hotspots_sql`
+    for the statistic). DataFrame plan: see :func:`_ehs_cube_frames`;
+    the MK pair join is bounded by active_cells × T²."""
+    cube, ev, T = _ehs_cube_frames(
+        df, cell_deg, lat0, lat1, t0_us, bin_us, n_bins,
+        ts_us, lon, lat,
+    )
+    mks, ties = _ehs_mk_frames(cube)
     m = (
         mks.join(ties, ["tx", "ty"])
         .join(ev, ["tx", "ty"], "left")
@@ -1144,6 +1191,175 @@ def emerging_hotspots(
     return m.selectExpr(
         "tx AS cell_x", "ty AS cell_y", "n_events", "mk_s",
         *_mk_z_sql(T),
+    )
+
+
+def _ehs_category_case(T: int) -> str:
+    """The ESRI-style emerging-hotspot taxonomy as ONE shared CASE
+    ladder over (nh, nc, last_hot, last_cold, frh, frc, trend) — hot
+    categories first, then the cold mirror, first match wins.
+    p90 = ceil(0.9·T) is the ArcGIS "90 percent of time steps"
+    threshold; 'new' = significant only in the final bin;
+    'consecutive' = one uninterrupted final run, never before;
+    'intensifying'/'persistent'/'diminishing' = ≥90% of bins with
+    rising / no / falling MK trend of the z series; 'oscillating' =
+    final hot with cold history (or mirror); 'sporadic' = final hot,
+    on-and-off, never the opposite; 'historical' = ≥90% but not in the
+    final bin."""
+    p90 = math.ceil(0.9 * T)
+    return (
+        f"(CASE "
+        f"WHEN last_hot = 1 AND nh = 1 THEN 'new hot spot' "
+        f"WHEN last_hot = 1 AND nh = frh AND nh < {p90} "
+        f"THEN 'consecutive hot spot' "
+        f"WHEN nh >= {p90} AND last_hot = 1 AND trend = 'increasing' "
+        f"THEN 'intensifying hot spot' "
+        f"WHEN nh >= {p90} AND last_hot = 0 THEN 'historical hot spot' "
+        f"WHEN nh >= {p90} AND trend = 'decreasing' "
+        f"THEN 'diminishing hot spot' "
+        f"WHEN nh >= {p90} THEN 'persistent hot spot' "
+        f"WHEN last_hot = 1 AND nc > 0 THEN 'oscillating hot spot' "
+        f"WHEN last_hot = 1 THEN 'sporadic hot spot' "
+        f"WHEN last_cold = 1 AND nc = 1 THEN 'new cold spot' "
+        f"WHEN last_cold = 1 AND nc = frc AND nc < {p90} "
+        f"THEN 'consecutive cold spot' "
+        f"WHEN nc >= {p90} AND last_cold = 1 AND trend = 'decreasing' "
+        f"THEN 'intensifying cold spot' "
+        f"WHEN nc >= {p90} AND last_cold = 0 THEN 'historical cold spot' "
+        f"WHEN nc >= {p90} AND trend = 'increasing' "
+        f"THEN 'diminishing cold spot' "
+        f"WHEN nc >= {p90} THEN 'persistent cold spot' "
+        f"WHEN last_cold = 1 AND nh > 0 THEN 'oscillating cold spot' "
+        f"WHEN last_cold = 1 THEN 'sporadic cold spot' "
+        f"ELSE 'no pattern' END)"
+    )
+
+
+_EHS_FLAG_AGGS = (
+    ("CAST(sum(hot) AS BIGINT)", "nh"),
+    ("CAST(sum(cold) AS BIGINT)", "nc"),
+    ("CAST(max(CASE WHEN b = {last} THEN hot ELSE 0 END) AS BIGINT)",
+     "last_hot"),
+    ("CAST(max(CASE WHEN b = {last} THEN cold ELSE 0 END) AS BIGINT)",
+     "last_cold"),
+    ("CAST(max(CASE WHEN hot = 0 THEN b ELSE -1 END) AS BIGINT)",
+     "lnh"),
+    ("CAST(max(CASE WHEN cold = 0 THEN b ELSE -1 END) AS BIGINT)",
+     "lnc"),
+)
+
+
+def emerging_hotspot_categories_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """The full ArcGIS emerging-hot-spot CLASSIFICATION on top of the
+    :func:`emerging_hotspots_sql` cube: per-(cell, bin) hot/cold flags
+    (|z| >= 1.96 on the shared round(.,6) Gi* z), per-cell run/count
+    aggregates, the MK z-trend, and the 17-label taxonomy of
+    :func:`_ehs_category_case` (8 hot + 8 cold + 'no pattern').
+
+    Output per active cell: (cell_x, cell_y, n_events, n_hot, n_cold,
+    final_hot_run, final_cold_run, mk_z, trend, category)."""
+    chain, T = _ehs_chain_sql(
+        src_sql, cell_deg, lat0, lat1, t0_us, bin_us, n_bins,
+        ts_us, lon, lat,
+    )
+    aggs = ", ".join(
+        f"{expr.format(last=T - 1)} AS {name}"
+        for expr, name in _EHS_FLAG_AGGS
+    )
+    return (
+        f"WITH {chain}, {_EHS_MK_TAIL}, "
+        f"flags AS (SELECT tx, ty, b, "
+        f"(CASE WHEN z >= 1.96E0 THEN 1 ELSE 0 END) AS hot, "
+        f"(CASE WHEN z <= -1.96E0 THEN 1 ELSE 0 END) AS cold "
+        f"FROM cube), "
+        f"fa AS (SELECT tx, ty, {aggs} FROM flags GROUP BY 1, 2), "
+        f"st AS (SELECT fa.tx, fa.ty, fa.nh, fa.nc, fa.last_hot, "
+        f"fa.last_cold, CAST({T - 1} AS BIGINT) - fa.lnh AS frh, "
+        f"CAST({T - 1} AS BIGINT) - fa.lnc AS frc, "
+        f"mks.mk_s, ties.tt_present, CAST({T} AS BIGINT) AS k_bins "
+        f"FROM fa JOIN mks ON fa.tx = mks.tx AND fa.ty = mks.ty "
+        f"JOIN ties ON fa.tx = ties.tx AND fa.ty = ties.ty), "
+        f"tr AS (SELECT tx, ty, nh, nc, last_hot, last_cold, frh, frc, "
+        + ", ".join(_mk_z_sql(T))
+        + f" FROM st) "
+        f"SELECT tr.tx AS cell_x, tr.ty AS cell_y, "
+        f"CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events, "
+        f"tr.nh AS n_hot, tr.nc AS n_cold, "
+        f"tr.frh AS final_hot_run, tr.frc AS final_cold_run, "
+        f"tr.mk_z, tr.trend, "
+        + _ehs_category_case(T)
+        + " AS category "
+        f"FROM tr LEFT JOIN ev ON ev.tx = tr.tx AND ev.ty = tr.ty"
+    )
+
+
+def emerging_hotspot_categories(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """ESRI emerging-hotspot categories (see
+    :func:`emerging_hotspot_categories_sql`). Plan: the shared cube
+    frames plus ONE extra cell-grain aggregation for the flag
+    run/counts — everything downstream of the corpus aggregate is
+    bounded by active_cells × T."""
+    cube, ev, T = _ehs_cube_frames(
+        df, cell_deg, lat0, lat1, t0_us, bin_us, n_bins,
+        ts_us, lon, lat,
+    )
+    mks, ties = _ehs_mk_frames(cube)
+    flags = cube.selectExpr(
+        "tx", "ty", "b",
+        "(CASE WHEN z >= 1.96E0 THEN 1 ELSE 0 END) AS hot",
+        "(CASE WHEN z <= -1.96E0 THEN 1 ELSE 0 END) AS cold",
+    )
+    fa = flags.groupBy("tx", "ty").agg(*[
+        F.expr(expr.format(last=T - 1)).alias(name)
+        for expr, name in _EHS_FLAG_AGGS
+    ])
+    st = (
+        fa.join(mks, ["tx", "ty"])
+        .join(ties, ["tx", "ty"])
+        .selectExpr(
+            "tx", "ty", "nh", "nc", "last_hot", "last_cold",
+            f"CAST({T - 1} AS BIGINT) - lnh AS frh",
+            f"CAST({T - 1} AS BIGINT) - lnc AS frc",
+            "mk_s", "tt_present",
+            f"CAST({T} AS BIGINT) AS k_bins",
+        )
+    )
+    tr = st.selectExpr(
+        "tx", "ty", "nh", "nc", "last_hot", "last_cold", "frh", "frc",
+        *_mk_z_sql(T),
+    )
+    return (
+        tr.join(ev, ["tx", "ty"], "left")
+        .selectExpr(
+            "tx AS cell_x", "ty AS cell_y",
+            "CAST(coalesce(n_events, 0) AS BIGINT) AS n_events",
+            "nh AS n_hot", "nc AS n_cold",
+            "frh AS final_hot_run", "frc AS final_cold_run",
+            "mk_z", "trend",
+            _ehs_category_case(T) + " AS category",
+        )
     )
 
 

@@ -1051,3 +1051,62 @@ def test_acf_cells_validation(spark):
     df = _mk_events_st(spark, [(0, 0, 0, 1)])
     with pytest.raises(ValueError, match="max_lag"):
         GS.acf_cells(df, CELL, 0, 1000, 4, max_lag=4)
+
+
+# --------------------------------- emerging hotspot categories
+
+
+def test_ehs_category_ladder_truth_table(spark):
+    T = 10  # p90 = 9
+    cases = [
+        # nh nc lh lc frh frc trend          expected
+        (1, 0, 1, 0, 1, 0, "none", "new hot spot"),
+        (3, 0, 1, 0, 3, 0, "increasing", "consecutive hot spot"),
+        (9, 0, 1, 0, 5, 0, "increasing", "intensifying hot spot"),
+        (9, 0, 0, 0, 0, 1, "none", "historical hot spot"),
+        (10, 0, 1, 0, 10, 0, "decreasing", "diminishing hot spot"),
+        (9, 0, 1, 0, 2, 0, "none", "persistent hot spot"),
+        (4, 2, 1, 0, 1, 0, "none", "oscillating hot spot"),
+        (4, 0, 1, 0, 1, 0, "sporadic-check", "sporadic hot spot"),
+        (0, 1, 0, 1, 0, 1, "none", "new cold spot"),
+        (0, 3, 0, 1, 0, 3, "none", "consecutive cold spot"),
+        (0, 9, 0, 1, 0, 5, "decreasing", "intensifying cold spot"),
+        (0, 9, 0, 0, 1, 0, "none", "historical cold spot"),
+        (0, 10, 0, 1, 0, 10, "increasing", "diminishing cold spot"),
+        (0, 9, 0, 1, 0, 2, "none", "persistent cold spot"),
+        (2, 4, 0, 1, 1, 1, "none", "oscillating cold spot"),
+        (0, 4, 0, 1, 0, 1, "none", "sporadic cold spot"),
+        (0, 0, 0, 0, 0, 0, "none", "no pattern"),
+    ]
+    df = spark.createDataFrame(
+        [c[:7] for c in cases],
+        "nh bigint, nc bigint, last_hot bigint, last_cold bigint, "
+        "frh bigint, frc bigint, trend string")
+    out = df.selectExpr(
+        GS._ehs_category_case(T) + " AS category").collect()
+    for (got,), (*_, want) in zip(out, cases):
+        assert got == want, (got, want)
+
+
+def test_emerging_categories_new_hot_e2e(spark):
+    # uniform background everywhere except one cell that bursts ONLY
+    # in the final bin -> that cell must classify 'new hot spot'
+    T = 6
+    bg = [(cx, cy, b, 1)
+          for cx in range(0, NX, 3) for cy in (CY0, CY0 + 2)
+          for b in range(T)]
+    burst = [(6, 0, T - 1, 40)]
+    out = GS.emerging_hotspot_categories(
+        _mk_events_st(spark, bg + burst), CELL, LAT0, LAT1,
+        t0_us=0, bin_us=1000, n_bins=T,
+    ).collect()
+    got = {(r.cell_x, r.cell_y): r for r in out}
+    r = got[(6, 0)]
+    assert r.n_hot == 1 and r.final_hot_run == 1
+    assert r.category == "new hot spot"
+    # agreement with the trend surface on the same input
+    tr = {(q.cell_x, q.cell_y): q for q in GS.emerging_hotspots(
+        _mk_events_st(spark, bg + burst), CELL, LAT0, LAT1,
+        t0_us=0, bin_us=1000, n_bins=T,
+    ).collect()}
+    assert tr[(6, 0)].trend == r.trend
