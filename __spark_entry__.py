@@ -627,6 +627,27 @@ def _quadrat_csr_sql() -> str:
     )
 
 
+_STK_KW = dict(
+    radii_m=[150000.0, 300000.0],
+    taus_us=[21_600_000_000, 86_400_000_000],
+    cell_deg=24.0, lat_max=66.0,
+)
+
+
+def q_spacetime_k(spark, sf_dir):
+    """Diggle space-time K surface (operators/trajectory.py
+    spacetime_k): the Knox test swept over a 2x2 (s, t) scale grid —
+    exact pair counts + the dimensionless interaction excess D0 per
+    scale. One spatial bucket join carries dt for ALL grid cells; one
+    temporal join yields all T(t); brute-force un-bucketed oracle."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.spacetime_k(ev, **_STK_KW)
+
+
+def _spacetime_k_sql() -> str:
+    return trajectory.spacetime_k_sql(FX.events_geo_sql(), **_STK_KW)
+
+
 def q_nn_index(spark, sf_dir):
     """Clark-Evans average nearest-neighbor index
     (operators/trajectory.py nn_index): observed mean NN distance vs
@@ -5155,6 +5176,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_acf": _cell_acf_sql(),
         "nn_index": _nn_index_sql(),
         "emerging_categories": _emerging_categories_sql(),
+        "spacetime_k": _spacetime_k_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5533,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_acf": q_cell_acf,
         "nn_index": q_nn_index,
         "emerging_categories": q_emerging_categories,
+        "spacetime_k": q_spacetime_k,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

@@ -2723,3 +2723,232 @@ def nn_index_sql(
         + ", ".join(_ce_out_sql(area, R))
         + " FROM nn0 CROSS JOIN agg"
     )
+
+
+# ------------------------- space-time K surface (Diggle's D0) --
+
+def _stk_params(
+    radii_m: list, taus_us: list, cell_deg: float, lat_max: float
+) -> tuple:
+    """Validate both scale grids (positive, strictly ascending) and
+    the bucket cover at (max radius, max tau). Returns (nx, radii,
+    taus)."""
+    rs = [float(r) for r in radii_m]
+    ts = [int(t) for t in taus_us]
+    if not rs or not ts:
+        raise ValueError("radii_m and taus_us must be non-empty")
+    if any(r <= 0 for r in rs) or any(
+        b <= a for a, b in zip(rs, rs[1:])
+    ):
+        raise ValueError(
+            f"radii_m must be positive and strictly ascending, "
+            f"got {radii_m}"
+        )
+    if any(t <= 0 for t in ts) or any(
+        b <= a for a, b in zip(ts, ts[1:])
+    ):
+        raise ValueError(
+            f"taus_us must be positive and strictly ascending, "
+            f"got {taus_us}"
+        )
+    nx, _ = _coloc_params(rs[-1], ts[-1], cell_deg, lat_max)
+    return nx, rs, ts
+
+
+def _stk_out_sql() -> tuple:
+    """Shared projection over (n, pairs_space, pairs_time,
+    pairs_both): the Knox-style expectation under space-time
+    independence, the ratio, and Diggle's dimensionless interaction
+    excess D0 = ratio − 1 (D̂(s,t)/(K̂_s·K̂_t) — positive where
+    space-time interaction concentrates pairs beyond the marginals)."""
+    p = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0E0) / 2.0E0)"
+    ratio = (
+        f"(CAST(pairs_both AS DOUBLE) * {p} "
+        f"/ nullif(CAST(pairs_space AS DOUBLE) "
+        f"* CAST(pairs_time AS DOUBLE), 0.0E0))"
+    )
+    return (
+        f"round(CAST(pairs_space AS DOUBLE) "
+        f"* CAST(pairs_time AS DOUBLE) / nullif({p}, 0.0E0), 6) "
+        f"AS expected_both",
+        f"round({ratio}, 6) AS ratio",
+        f"round({ratio} - 1.0E0, 6) AS d0",
+    )
+
+
+def spacetime_k(
+    df: DataFrame,
+    radii_m: list,
+    taus_us: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Diggle's space-time K-function surface (Diggle, Chetwynd,
+    Häggkvist & Morris 1995) — :func:`knox_test` swept over an
+    (s, t) scale grid: for every spatial radius s and temporal radius
+    t, the exact pair counts close in space / in time / in both, the
+    independence expectation, the ratio, and the dimensionless
+    interaction excess D0(s,t) = D̂/(K̂_s·K̂_t) = ratio − 1. The scale
+    at which D0 peaks localizes the space-time interaction that a
+    single-(δ,τ) Knox test can only detect.
+
+    ONE spatial bucket join (3x3 cover at max(s), cover-validated)
+    carries dt on every candidate row, so ALL (s, t) both-counts and
+    all S(s) marginals are conditional sums in a single aggregation;
+    ONE ±1-bucket temporal join (at max(t)) yields all T(t) marginals
+    the same way. Every count is an exact BIGINT; pairs are found
+    exactly once (the co-location offset-uniqueness argument).
+
+    Output: one row per (s, t) — (s_m, tau_us, n_events, pairs_space,
+    pairs_time, pairs_both, expected_both, ratio, d0)."""
+    nx, rs, ts = _stk_params(radii_m, taus_us, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    T = ts[-1]
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    pm = f"((({ts_us}) % {T} + {T}) % {T})"
+    base = df.filter(F.expr(f"abs({lat}) <= {_pf(lat_max)}")).selectExpr(
+        f"{eid} AS e", f"{ts_us} AS t", f"{lon} AS lo", f"{lat} AS la",
+        f"{cx} AS cx", f"{cy} AS cy",
+        f"CAST((({ts_us}) - {pm}) / {T} AS BIGINT) AS tb",
+    )
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    sa = base.selectExpr(
+        "e AS ea", "t AS ta", "lo AS loa", "la AS laa",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "ta", "loa", "laa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    sb = base.selectExpr(
+        "e AS eb", "t AS tc", "lo AS lob", "la AS lab",
+        "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    s_aggs = [
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN d <= {_pf(r)} THEN 1 "
+            f"ELSE 0 END), 0) AS BIGINT)"
+        ).alias(f"s{i}")
+        for i, r in enumerate(rs)
+    ] + [
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN d <= {_pf(r)} "
+            f"AND adt <= {t} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+        ).alias(f"b{i}_{j}")
+        for i, r in enumerate(rs) for j, t in enumerate(ts)
+    ]
+    sp = (
+        sa.join(sb, ["jx", "jy"])
+        .filter(F.expr(
+            f"ea < eb AND round({hav}, {_ND}) <= {_pf(rs[-1])}"
+        ))
+        .selectExpr(
+            f"round({hav}, {_ND}) AS d", "abs(tc - ta) AS adt",
+        )
+        .agg(*s_aggs)
+    )
+    ta_ = base.selectExpr(
+        "e AS ea", "t AS ta", "explode(array(-1, 0, 1)) AS db", "tb",
+    ).selectExpr("ea", "ta", "(tb + db) AS jb")
+    tb_ = base.selectExpr("e AS eb", "t AS tc", "tb AS jb")
+    t_aggs = [
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN adt <= {t} THEN 1 "
+            f"ELSE 0 END), 0) AS BIGINT)"
+        ).alias(f"t{j}")
+        for j, t in enumerate(ts)
+    ]
+    tp = (
+        ta_.join(tb_, ["jb"])
+        .filter(F.expr(f"ea < eb AND abs(tc - ta) <= {T}"))
+        .selectExpr("abs(tc - ta) AS adt")
+        .agg(*t_aggs)
+    )
+    stack = ", ".join(
+        f"struct(CAST({_pf(r)} AS DOUBLE) AS s_m, "
+        f"CAST({t} AS BIGINT) AS tau_us, s{i} AS pairs_space, "
+        f"t{j} AS pairs_time, b{i}_{j} AS pairs_both)"
+        for i, r in enumerate(rs) for j, t in enumerate(ts)
+    )
+    return (
+        sp.crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(n_df))
+        .selectExpr(f"explode(array({stack})) AS g", "n")
+        .selectExpr(
+            "g.s_m AS s_m", "g.tau_us AS tau_us", "n AS n_events",
+            "g.pairs_space AS pairs_space",
+            "g.pairs_time AS pairs_time",
+            "g.pairs_both AS pairs_both", "n",
+        )
+        .selectExpr(
+            "s_m", "tau_us", "n_events", "pairs_space", "pairs_time",
+            "pairs_both", *_stk_out_sql(),
+        )
+    )
+
+
+def spacetime_k_sql(
+    src_sql: str,
+    radii_m: list,
+    taus_us: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`spacetime_k`: un-bucketed
+    pair scans (spatial filtered to max radius WITH dt carried; the
+    temporal side an IEJoin range join), conditional counts per grid
+    point via VALUES tables — proving both covers complete. Quadratic
+    by design (sf0.01-sized, like knox)."""
+    nx, rs, ts = _stk_params(radii_m, taus_us, cell_deg, lat_max)
+    from .crs import _pf
+
+    T = ts[-1]
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    rvals = ", ".join(f"({_pf(r)})" for r in rs)
+    tvals = ", ".join(f"({t})" for t in ts)
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {ts_us} AS t, {lon} AS lo, "
+        f"{lat} AS la FROM ({src_sql}) s "
+        f"WHERE abs({lat}) <= {_pf(lat_max)}), "
+        f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), "
+        f"sp AS (SELECT round({hav}, {_ND}) AS d, "
+        f"abs(b.t - a.t) AS adt FROM e a JOIN e b ON a.e < b.e "
+        f"WHERE round({hav}, {_ND}) <= {_pf(rs[-1])}), "
+        f"tp AS (SELECT abs(b.t - a.t) AS adt "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"AND b.t BETWEEN a.t - {T} AND a.t + {T}), "
+        f"rg(s_m) AS (SELECT CAST(v AS DOUBLE) "
+        f"FROM (VALUES {rvals}) q(v)), "
+        f"tg(tau_us) AS (SELECT CAST(v AS BIGINT) "
+        f"FROM (VALUES {tvals}) q(v)), "
+        f"sm AS (SELECT s_m, CAST(count(d) AS BIGINT) AS pairs_space "
+        f"FROM rg LEFT JOIN sp ON d <= s_m GROUP BY s_m), "
+        f"tm AS (SELECT tau_us, CAST(count(adt) AS BIGINT) "
+        f"AS pairs_time FROM tg LEFT JOIN tp ON adt <= tau_us "
+        f"GROUP BY tau_us), "
+        f"bm AS (SELECT g.s_m, g.tau_us, "
+        f"CAST(count(sp.d) AS BIGINT) AS pairs_both "
+        f"FROM (SELECT s_m, tau_us FROM rg CROSS JOIN tg) g "
+        f"LEFT JOIN sp ON sp.d <= g.s_m AND sp.adt <= g.tau_us "
+        f"GROUP BY 1, 2) "
+        f"SELECT bm.s_m, bm.tau_us, n AS n_events, "
+        f"sm.pairs_space, tm.pairs_time, bm.pairs_both, "
+        + ", ".join(_stk_out_sql())
+        + " FROM bm JOIN sm ON bm.s_m = sm.s_m "
+        f"JOIN tm ON bm.tau_us = tm.tau_us CROSS JOIN nn"
+    )

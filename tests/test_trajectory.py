@@ -1279,3 +1279,49 @@ def test_nn_index_plan_no_cartesian(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------- space-time K surface
+
+
+def test_spacetime_k_reduces_to_knox_at_single_scale(spark):
+    # at a single (s, t) the surface IS the Knox test
+    H = 3_600_000_000
+    rows = [
+        (0, 0, 10.0, 10.0), (1, 1 * H, 10.2, 10.0),
+        (2, 200 * H, 10.1, 10.1), (3, 2 * H, 120.0, -30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_us bigint, lon double, lat double")
+    k = trajectory.knox_test(
+        df, delta_m=100000.0, tau_us=3 * H, cell_deg=24.0, lat_max=66.0
+    ).collect()[0]
+    s = trajectory.spacetime_k(
+        df, radii_m=[100000.0], taus_us=[3 * H],
+        cell_deg=24.0, lat_max=66.0,
+    ).collect()[0]
+    assert (s.pairs_space, s.pairs_time, s.pairs_both) == (
+        k.pairs_space, k.pairs_time, k.pairs_both)
+    assert s.ratio == k.knox_ratio
+    assert s.d0 == pytest.approx(k.knox_ratio - 1.0, abs=1e-9)
+
+
+def test_spacetime_k_grid_monotone(spark):
+    # counts must be monotone nondecreasing in both scale axes
+    H = 3_600_000_000
+    rows = [(i, (i % 7) * H, 10.0 + 0.3 * (i % 5), 10.0 + 0.2 * (i % 3))
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_us bigint, lon double, lat double")
+    out = trajectory.spacetime_k(
+        df, radii_m=[60000.0, 120000.0], taus_us=[2 * H, 5 * H],
+        cell_deg=24.0, lat_max=66.0,
+    ).collect()
+    g = {(r.s_m, r.tau_us): r for r in out}
+    assert len(g) == 4
+    assert g[(60000.0, 2 * H)].pairs_both <= g[(120000.0, 2 * H)].pairs_both
+    assert g[(60000.0, 2 * H)].pairs_both <= g[(60000.0, 5 * H)].pairs_both
+    assert g[(60000.0, 2 * H)].pairs_space == g[(60000.0, 5 * H)].pairs_space
+    assert g[(60000.0, 2 * H)].pairs_time == g[(120000.0, 2 * H)].pairs_time
+    with pytest.raises(ValueError, match="ascending"):
+        trajectory.spacetime_k(df, [2.0, 1.0], [H], 24.0, 66.0)
