@@ -301,6 +301,22 @@ def main() -> None:
             )
         ),
     )
+    # space-time permutation scan over the same replicated stream
+    # (NEW in r4s47 — absent from BENCH_r{1..3}.json): ONE corpus agg
+    # to (cell, bin) counts, bounded cylinder Generate, broadcast
+    # marginals — the 100-TB posture is the corpus-scan floor.
+    from ocgis_spark.operators import gridstats  # noqa: E402
+
+    timed(
+        "spacetime_scan_scaled",
+        lambda: _materialize(
+            gridstats.spacetime_scan(
+                ev_geo, cell_deg=5.0, lat0=-65.0, lat1=65.0,
+                t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+                n_bins=15, w_max=4, min_count=5, llr_min=2.0,
+            )
+        ),
+    )
     ev_geo.unpersist()
 
     total = round(sum(timings.values()), 3)
