@@ -667,6 +667,22 @@ def _nn_index_sql() -> str:
     )
 
 
+def q_local_geary(spark, sf_dir):
+    """Anselin local Geary c_i (operators/gridstats.py local_gearys_c):
+    the LISA decomposition of Geary's C with ANALYTIC conditional-
+    randomization inference (exact E/Var under permutation of the
+    other n-1 cells, no Monte-Carlo — moments verified by exhaustive
+    enumeration in pytest). high-high/low-low/dissimilar cluster map."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.local_gearys_c(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0)
+
+
+def _local_geary_sql() -> str:
+    return GS.local_gearys_c_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
 def q_cell_acf(spark, sf_dir):
     """Per-cell temporal autocorrelation (operators/gridstats.py
     acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
@@ -5177,6 +5193,7 @@ def oracle_sql() -> dict[str, str]:
         "nn_index": _nn_index_sql(),
         "emerging_categories": _emerging_categories_sql(),
         "spacetime_k": _spacetime_k_sql(),
+        "local_geary": _local_geary_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5556,6 +5573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_index": q_nn_index,
         "emerging_categories": q_emerging_categories,
         "spacetime_k": q_spacetime_k,
+        "local_geary": q_local_geary,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

@@ -2697,3 +2697,201 @@ def acf_cells(
         f"(CASE WHEN abs({acf}) > {_pf(band)} THEN true ELSE false "
         f"END) AS significant",
     )
+
+
+# ------------------------------------------------ local Geary c_i --
+
+def _local_geary_exprs(n_cells: int, cy0: int, cy1: int) -> dict:
+    """The shared expression pieces over (x = coalesce cnt, nbr_sum,
+    nbr_sq, m1..m4): the exact BIGINT c_i and the CONDITIONAL-
+    randomization moments (x_i held fixed, the other n−1 lattice
+    values permuted — w_i neighbor slots are then a simple random
+    sample WITHOUT replacement from the n−1 others):
+
+        c_i   = w_i·x² − 2x·nbr_sum + nbr_sq          (exact BIGINT)
+        μ_y   = ((n−1)x² − 2x·m1' + m2')/(n−1),  mk' = mk − x^k
+        E[c]  = w_i·μ_y
+        E[y²] = ((n−1)x⁴ − 4x³m1' + 6x²m2' − 4x·m3' + m4')/(n−1)
+        Var[c]= w_i·(E[y²] − μ_y²)·(n−1−w_i)/(n−2)    (SRSWOR fpc)
+
+    verified against exhaustive (n−1)! permutation enumeration in
+    tests. Products run in DOUBLE (shared expression — x⁴·moment terms
+    exceed BIGINT long before they exceed double's identical-in-both-
+    engines arithmetic)."""
+    n = n_cells
+    w = (
+        f"(CASE WHEN cell_y = {cy0} OR cell_y = {cy1 - 1} "
+        f"THEN 5.0E0 ELSE 8.0E0 END)"
+    )
+    x = "CAST(x AS DOUBLE)"
+    c = (
+        f"({w} * {x} * {x} - 2.0E0 * {x} * CAST(nbr_sum AS DOUBLE) "
+        f"+ CAST(nbr_sq AS DOUBLE))"
+    )
+    m1p = f"(CAST(m1 AS DOUBLE) - {x})"
+    m2p = f"(CAST(m2 AS DOUBLE) - {x} * {x})"
+    m3p = f"(CAST(m3 AS DOUBLE) - {x} * {x} * {x})"
+    m4p = f"(CAST(m4 AS DOUBLE) - {x} * {x} * {x} * {x})"
+    nm1 = f"{n - 1}.0E0"
+    mu = (
+        f"(({nm1} * {x} * {x} - 2.0E0 * {x} * {m1p} + {m2p}) / {nm1})"
+    )
+    ey2 = (
+        f"(({nm1} * {x} * {x} * {x} * {x} "
+        f"- 4.0E0 * {x} * {x} * {x} * {m1p} "
+        f"+ 6.0E0 * {x} * {x} * {m2p} "
+        f"- 4.0E0 * {x} * {m3p} + {m4p}) / {nm1})"
+    )
+    e_c = f"({w} * {mu})"
+    var_c = (
+        f"({w} * ({ey2} - {mu} * {mu}) "
+        f"* ({nm1} - {w}) / {n - 2}.0E0)"
+    )
+    z = f"(({c} - {e_c}) / nullif(sqrt({var_c}), 0.0E0))"
+    m = f"(CAST(m1 AS DOUBLE) / {n}.0E0)"
+    label = (
+        f"(CASE WHEN {z} <= -1.96E0 AND {x} > {m} THEN 'high-high' "
+        f"WHEN {z} <= -1.96E0 AND {x} < {m} THEN 'low-low' "
+        f"WHEN {z} <= -1.96E0 THEN 'other-similar' "
+        f"WHEN {z} >= 1.96E0 THEN 'dissimilar' "
+        f"ELSE 'none' END)"
+    )
+    return {"c": c, "e_c": e_c, "var_c": var_c, "z": z, "label": label}
+
+
+def local_gearys_c_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Anselin's local Geary c_i (1995; the LISA decomposition of
+    :func:`gearys_c`): c_i = Σ_j w_ij (x_i − x_j)² per lattice cell,
+    with ANALYTIC conditional-randomization inference — the exact
+    E[c_i] and Var[c_i] under permutation of the other n−1 cells
+    (:func:`_local_geary_exprs`; no Monte-Carlo), so z and the cluster
+    label are deterministic and dialect-shared. z << 0 means the cell's
+    neighborhood is more SIMILAR than chance (positive local
+    autocorrelation, split high-high / low-low by the cell value
+    against the global mean); z >> 0 a local discontinuity
+    ('dissimilar').
+
+    Output: cells with >= 1 event in the 3x3 window (the LISA output
+    contract) — (cell_x, cell_y, cnt, c_i, e_ci, z, label)."""
+    nx, cy0, cy1, n_cells, _ = _moran_lattice(cell_deg, lat0, lat1)
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    ex = _local_geary_exprs(n_cells, cy0, cy1)
+    return (
+        f"WITH counts AS ({counts}), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((cc.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(cc.cy + o.dy) AS ty, cc.cnt "
+        f"FROM counts cc CROSS JOIN offs o "
+        f"WHERE (cc.cy + o.dy) >= {cy0} AND (cc.cy + o.dy) < {cy1}), "
+        f"win AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS nbr_sum, "
+        f"CAST(sum(cnt * cnt) AS BIGINT) AS nbr_sq "
+        f"FROM scat GROUP BY tx, ty), "
+        f"mom AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS m1, "
+        f"CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT) AS m2, "
+        f"CAST(coalesce(sum(cnt * cnt * cnt), 0) AS BIGINT) AS m3, "
+        f"CAST(coalesce(sum(cnt * cnt * cnt * cnt), 0) AS BIGINT) "
+        f"AS m4 FROM counts), "
+        f"cells AS (SELECT coalesce(w.tx, c.cx) AS cell_x, "
+        f"coalesce(w.ty, c.cy) AS cell_y, "
+        f"CAST(coalesce(c.cnt, 0) AS BIGINT) AS x, "
+        f"CAST(coalesce(w.nbr_sum, 0) AS BIGINT) AS nbr_sum, "
+        f"CAST(coalesce(w.nbr_sq, 0) AS BIGINT) AS nbr_sq "
+        f"FROM win w FULL OUTER JOIN counts c "
+        f"ON c.cx = w.tx AND c.cy = w.ty) "
+        f"SELECT cell_x, cell_y, x AS cnt, "
+        f"round({ex['c']}, 6) AS c_i, "
+        f"round({ex['e_c']}, 6) AS e_ci, "
+        f"round({ex['z']}, 6) AS z, "
+        f"{ex['label']} AS label "
+        f"FROM cells CROSS JOIN mom"
+    )
+
+
+def local_gearys_c(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Local Geary (see :func:`local_gearys_c_sql`). Plan: ONE corpus
+    hash-aggregate, the bounded 8-offset Generate (carrying cnt and
+    cnt²), a cell-sized FULL OUTER join, and the 1-row global-moment
+    broadcast."""
+    nx, cy0, cy1, n_cells, _ = _moran_lattice(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    win = (
+        counts.selectExpr(
+            f"explode(array({offs})) AS o", "cx", "cy", "cnt"
+        )
+        .selectExpr(
+            f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty",
+            "cnt",
+        )
+        .filter(f"ty >= {cy0} AND ty < {cy1}")
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("nbr_sum"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias(
+                "nbr_sq"
+            ),
+        )
+    )
+    mom = counts.agg(
+        F.expr("CAST(coalesce(sum(cnt), 0) AS BIGINT)").alias("m1"),
+        F.expr(
+            "CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT)"
+        ).alias("m2"),
+        F.expr(
+            "CAST(coalesce(sum(cnt * cnt * cnt), 0) AS BIGINT)"
+        ).alias("m3"),
+        F.expr(
+            "CAST(coalesce(sum(cnt * cnt * cnt * cnt), 0) AS BIGINT)"
+        ).alias("m4"),
+    )
+    cells = (
+        win.join(
+            counts,
+            (win.tx == counts.cx) & (win.ty == counts.cy),
+            "full_outer",
+        )
+        .selectExpr(
+            "coalesce(tx, cx) AS cell_x",
+            "coalesce(ty, cy) AS cell_y",
+            "CAST(coalesce(cnt, 0) AS BIGINT) AS x",
+            "CAST(coalesce(nbr_sum, 0) AS BIGINT) AS nbr_sum",
+            "CAST(coalesce(nbr_sq, 0) AS BIGINT) AS nbr_sq",
+        )
+    )
+    ex = _local_geary_exprs(n_cells, cy0, cy1)
+    return cells.crossJoin(F.broadcast(mom)).selectExpr(
+        "cell_x", "cell_y", "x AS cnt",
+        f"round({ex['c']}, 6) AS c_i",
+        f"round({ex['e_c']}, 6) AS e_ci",
+        f"round({ex['z']}, 6) AS z",
+        f"{ex['label']} AS label",
+    )

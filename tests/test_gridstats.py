@@ -1110,3 +1110,71 @@ def test_emerging_categories_new_hot_e2e(spark):
         t0_us=0, bin_us=1000, n_bins=T,
     ).collect()}
     assert tr[(6, 0)].trend == r.trend
+
+
+# --------------------------------------------------- local Geary
+
+
+def test_local_geary_permutation_enumeration(spark):
+    """E[c_i]/Var[c_i] under conditional randomization, verified by
+    exhaustive 7!-placement enumeration on the 4x2 wrapped lattice."""
+    import itertools
+
+    nx, ny = 4, 2
+    cells = [(x, y) for x in range(nx) for y in range(ny)]
+
+    def neighbors(c):
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                jy = c[1] + dy
+                if 0 <= jy < ny:
+                    out.append(((c[0] + dx) % nx, jy))
+        return out
+
+    i = (0, 1)  # iy=1 -> cy = 0 row
+    vals = {(0, 1): 4, (1, 0): 7, (2, 1): 3, (3, 0): 2, (1, 1): 1}
+    rows, eid = [], 0
+    for (cx, iy), v in vals.items():
+        for _ in range(v):
+            rows.append((eid, cx * 90.0 + 45.0, (iy - 1) * 90.0 + 45.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double")
+    out = {(r.cell_x, r.cell_y): r
+           for r in GS.local_gearys_c(df, 90.0, -90.0, 90.0).collect()}
+    r = out[(0, 0)]  # cell i in (cx, cy) coords: iy=1 -> cy=0
+
+    x = vals[i]
+    others = [c for c in cells if c != i]
+    ovals = [vals.get(c, 0) for c in others]
+    nb = neighbors(i)
+    cs = []
+    for perm in itertools.permutations(ovals):
+        asn = dict(zip(others, perm))
+        asn[i] = x
+        cs.append(sum((x - asn[j]) ** 2 for j in nb))
+    cs = np.array(cs, dtype=float)
+    # observed c_i for THIS assignment
+    asn = {c: vals.get(c, 0) for c in cells}
+    c_obs = sum((x - asn[j]) ** 2 for j in nb)
+    assert r.c_i == pytest.approx(c_obs, abs=1e-9)
+    assert r.e_ci == pytest.approx(cs.mean(), abs=2e-6)
+    z = (c_obs - cs.mean()) / cs.std()
+    assert r.z == pytest.approx(z, abs=2e-6)
+
+
+def test_local_geary_similar_block_flags(spark):
+    # a uniform block of equal-count cells deep inside an empty
+    # lattice: interior cells of the block see identical neighbors ->
+    # tiny c_i -> 'similar' side; block cells are above the global
+    # mean -> 'high-high'
+    block = [(cx, cy, 6) for cx in range(3, 8) for cy in range(-1, 2)]
+    out = {(r.cell_x, r.cell_y): r for r in GS.local_gearys_c(
+        _mk_events(spark, block), CELL, LAT0, LAT1).collect()}
+    center = out[(5, 0)]
+    assert center.c_i == 0.0
+    assert center.z < -1.96
+    assert center.label == "high-high"
