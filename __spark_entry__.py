@@ -683,6 +683,37 @@ def _local_geary_sql() -> str:
     )
 
 
+_SVG_KW = dict(
+    bounds_m=[75000.0, 150000.0, 300000.0, 600000.0],
+    cell_deg=24.0, lat_max=66.0,
+)
+
+
+def q_semivariogram(spark, sf_dir):
+    """Empirical Matheron semivariogram (operators/trajectory.py
+    semivariogram): per half-open lag bin up to 600 km, gamma(h) =
+    ssq/(2 N(h)) of the events' measured value over the |lat|<=66
+    band — the spatial-continuity diagnostic under the repo's
+    idw_regrid power/radius choices. One bucketed candidate join
+    serves ALL bins via conditional sums; values quantize to BIGINT
+    cents before any arithmetic; the brute-force un-bucketed oracle
+    proves the cover complete."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return trajectory.semivariogram(ev, "value", **_SVG_KW)
+
+
+def _semivariogram_sql() -> str:
+    return trajectory.semivariogram_sql(
+        FX.events_geo_sql(extra_cols=("value",)), "value", **_SVG_KW
+    )
+
+
 def q_cell_acf(spark, sf_dir):
     """Per-cell temporal autocorrelation (operators/gridstats.py
     acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
@@ -5194,6 +5225,7 @@ def oracle_sql() -> dict[str, str]:
         "emerging_categories": _emerging_categories_sql(),
         "spacetime_k": _spacetime_k_sql(),
         "local_geary": _local_geary_sql(),
+        "semivariogram": _semivariogram_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5574,6 +5606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_categories": q_emerging_categories,
         "spacetime_k": q_spacetime_k,
         "local_geary": q_local_geary,
+        "semivariogram": q_semivariogram,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

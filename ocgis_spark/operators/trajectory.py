@@ -2952,3 +2952,200 @@ def spacetime_k_sql(
         + " FROM bm JOIN sm ON bm.s_m = sm.s_m "
         f"JOIN tm ON bm.tau_us = tm.tau_us CROSS JOIN nn"
     )
+
+
+# -------------------------- empirical semivariogram (geostatistics) --
+
+_SVG_SCALE = 100  # value quantum: 1e-2 units (see headroom note below)
+
+
+def _svg_params(bounds_m: list, cell_deg: float, lat_max: float) -> tuple:
+    """Validate the lag-bin upper bounds (positive, strictly ascending)
+    and the 3x3 bucket cover at max(bounds) — the ripley/knox complete-
+    cover argument (:func:`_ripley_params`). Returns (nx, bounds)."""
+    nx, rs, _ = _ripley_params(bounds_m, cell_deg, lat_max)
+    return nx, rs
+
+
+def _svg_out_sql() -> tuple:
+    """Shared projection over (n_pairs, ssq, smm): the Matheron
+    estimator gamma(h) = ssq / (2·N(h)·scale²) and the bin's mean pair
+    distance (for plotting at the empirical bin centroid). Both are
+    single double divisions of BIGINT-exact sums; NULL for empty bins."""
+    np_ = "nullif(CAST(n_pairs AS DOUBLE), 0.0E0)"
+    s2 = float(_SVG_SCALE * _SVG_SCALE)
+    return (
+        f"round(CAST(ssq AS DOUBLE) / (2.0E0 * {np_} * {s2!r}E0), 6) "
+        f"AS gamma",
+        f"round(CAST(smm AS DOUBLE) / 1000.0E0 / {np_}, 6) AS mean_d_m",
+    )
+
+
+def semivariogram(
+    df: DataFrame,
+    value: str,
+    bounds_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Empirical (Matheron) semivariogram of a measured point field —
+    the geostatistics primitive under kriging/IDW range selection
+    (reference climate fields carry exactly this spatial-continuity
+    structure; the repo's ``idw_regrid`` power/radius choices are what
+    a variogram informs). Per half-open lag bin (lo, hi]:
+    gamma(h) = 1/(2·N(h)) · sum_{d_ij in bin} (z_i − z_j)², over the
+    |lat| <= lat_max band; bin 0 opens at 0 so exactly co-located pairs
+    (d_mm = 0) are excluded (nugget estimation needs co-located
+    duplicates handled upstream, documented).
+
+    Exact and never a cross product: the ONE 3x3 bucket candidate join
+    at cell width >= max(bounds) is validated complete
+    (:func:`_ripley_params` — every qualifying pair found exactly
+    once); values quantize to BIGINT at 1e-2 units BEFORE any
+    arithmetic, so per-bin squared-difference sums are exact integers
+    (order-independent, the sum(double) trap); distances accumulate as
+    BIGINT millimeters (od_flows convention). ALL bins share the one
+    join — per-bin (count, ssq, smm) are conditional sums inside a
+    single aggregation, unpivoted by a bounded literal explode.
+
+    Headroom: sum(dd) <= N(h)·(max|z_i−z_j|·100)²; at a 600-unit value
+    spread that caps N(h) at ~2.5e9 pairs per bin before BIGINT
+    overflow — lag-bounded pair counts sit far below that at any SF
+    here; rescale _SVG_SCALE for wider-spread fields.
+
+    Output: one row per bin (lo_m, hi_m, n_pairs, mean_d_m, gamma),
+    floats round(.,6); NULL gamma/mean for empty bins. NULL values are
+    excluded up front (they carry no measurement).
+    """
+    nx, rs = _svg_params(bounds_m, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    base = df.filter(F.expr(
+        f"abs({lat}) <= {_pf(lat_max)} AND ({value}) IS NOT NULL"
+    )).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la", f"{q} AS qv",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa", "qv AS qa",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa", "qa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "qv AS qb",
+        "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    lo_mm = 0
+    conds = []
+    for i, r in enumerate(rs):
+        hi_mm = int(round(r * 1000))
+        c = f"(d_mm > {lo_mm} AND d_mm <= {hi_mm})"
+        conds.append((i, c))
+        lo_mm = hi_mm
+    sums = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(
+            f"ea < eb AND {mm} <= {int(round(rs[-1] * 1000))}"
+        ))
+        .selectExpr(
+            f"{mm} AS d_mm",
+            "(qa - qb) * (qa - qb) AS dd",
+        )
+        .agg(*[
+            F.expr(e).alias(n)
+            for i, c in conds
+            for e, n in (
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN 1 ELSE 0 END), "
+                 f"0) AS BIGINT)", f"n{i}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN dd END), 0) "
+                 f"AS BIGINT)", f"s{i}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN d_mm END), 0) "
+                 f"AS BIGINT)", f"m{i}"),
+            )
+        ])
+    )
+    lo = 0.0
+    stk = []
+    for i, r in enumerate(rs):
+        stk.append(
+            f"struct(CAST({_pf(lo)} AS DOUBLE) AS lo_m, "
+            f"CAST({_pf(r)} AS DOUBLE) AS hi_m, "
+            f"n{i} AS n_pairs, s{i} AS ssq, m{i} AS smm)"
+        )
+        lo = r
+    return (
+        sums.selectExpr(f"explode(array({', '.join(stk)})) AS s")
+        .selectExpr(
+            "s.lo_m AS lo_m", "s.hi_m AS hi_m", "s.n_pairs AS n_pairs",
+            "s.ssq AS ssq", "s.smm AS smm",
+        )
+        .selectExpr("lo_m", "hi_m", "n_pairs", *_svg_out_sql())
+    )
+
+
+def semivariogram_sql(
+    src_sql: str,
+    value: str,
+    bounds_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`semivariogram`: the full
+    un-bucketed pair scan (max-bound filter inside the pair CTE),
+    per-bin sums via a VALUES bin table LEFT-joined on the half-open
+    interval — independently proving the engine's bucket cover
+    complete. Quadratic by design: sf0.01-sized, like knox/ripley."""
+    _, rs = _svg_params(bounds_m, cell_deg, lat_max)
+    from .crs import _pf
+
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    lo = 0.0
+    vals = []
+    for r in rs:
+        vals.append(
+            f"(CAST({_pf(lo)} AS DOUBLE), CAST({_pf(r)} AS DOUBLE), "
+            f"{0}, {int(round(lo * 1000))}, {int(round(r * 1000))})"
+        )
+        lo = r
+    # bins(lo_m, hi_m, _z, lo_mm, hi_mm); _z keeps VALUES width stable
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la, "
+        f"{q} AS qv FROM ({src_sql}) s "
+        f"WHERE abs({lat}) <= {_pf(lat_max)} "
+        f"AND ({value}) IS NOT NULL), "
+        f"pr AS (SELECT {mm} AS d_mm, "
+        f"(a.qv - b.qv) * (a.qv - b.qv) AS dd "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"WHERE {mm} <= {int(round(rs[-1] * 1000))}), "
+        f"bins(lo_m, hi_m, _z, lo_mm, hi_mm) AS "
+        f"(VALUES {', '.join(vals)}), "
+        f"agg AS (SELECT lo_m, hi_m, "
+        f"CAST(count(d_mm) AS BIGINT) AS n_pairs, "
+        f"CAST(coalesce(sum(dd), 0) AS BIGINT) AS ssq, "
+        f"CAST(coalesce(sum(d_mm), 0) AS BIGINT) AS smm "
+        f"FROM bins LEFT JOIN pr "
+        f"ON d_mm > lo_mm AND d_mm <= hi_mm "
+        f"GROUP BY lo_m, hi_m) "
+        f"SELECT lo_m, hi_m, n_pairs, "
+        + ", ".join(_svg_out_sql())
+        + " FROM agg"
+    )

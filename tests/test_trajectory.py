@@ -1325,3 +1325,84 @@ def test_spacetime_k_grid_monotone(spark):
     assert g[(60000.0, 2 * H)].pairs_time == g[(120000.0, 2 * H)].pairs_time
     with pytest.raises(ValueError, match="ascending"):
         trajectory.spacetime_k(df, [2.0, 1.0], [H], 24.0, 66.0)
+
+
+# ------------------------------------------- empirical semivariogram
+
+
+def test_semivariogram_numpy_truth(spark):
+    import math as m
+
+    # two spatial clusters with distinct value regimes: nearby pairs
+    # have small value diffs, far pairs large ones -> gamma rises with
+    # lag (the spatial-continuity signature the variogram measures)
+    pts = [
+        (10.0, 10.0, 5.00), (10.2, 10.0, 5.10), (10.1, 10.2, 4.90),
+        (14.0, 10.0, 9.00), (14.2, 10.1, 9.20),
+    ]
+    rows = [(i, lo, la, v) for i, (lo, la, v) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    bounds = [60000.0, 300000.0, 600000.0]
+    out = {r.hi_m: r for r in trajectory.semivariogram(
+        df, "value", bounds_m=bounds, cell_deg=24.0, lat_max=66.0
+    ).collect()}
+
+    def hav_mm(p, q):
+        R = 6370997.0
+        la1, lo1, la2, lo2 = map(m.radians, (p[1], p[0], q[1], q[0]))
+        a = (m.sin((la2 - la1) / 2) ** 2
+             + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+        return round(2 * R * m.asin(m.sqrt(a)) * 1000)
+
+    S = trajectory._SVG_SCALE
+    lo_mm = 0
+    for hi in bounds:
+        hi_mm = round(hi * 1000)
+        sel = [
+            (hav_mm(pts[i][:2], pts[j][:2]),
+             (round(pts[i][2] * S) - round(pts[j][2] * S)) ** 2)
+            for i in range(len(pts)) for j in range(i + 1, len(pts))
+            if lo_mm < hav_mm(pts[i][:2], pts[j][:2]) <= hi_mm
+        ]
+        r = out[hi]
+        assert r.n_pairs == len(sel)
+        if sel:
+            g = sum(dd for _, dd in sel) / (2 * len(sel) * S * S)
+            assert r.gamma == pytest.approx(g, abs=1e-6)
+            md = sum(d for d, _ in sel) / 1000.0 / len(sel)
+            assert r.mean_d_m == pytest.approx(md, abs=1e-5)
+        else:
+            assert r.gamma is None and r.mean_d_m is None
+        lo_mm = hi_mm
+    # continuity signature: the near-lag gamma is far below the far-lag
+    assert out[60000.0].gamma < out[600000.0].gamma
+
+
+def test_semivariogram_null_values_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0, 1.0), (1, 10.1, 10.0, None), (2, 10.2, 10.0, 3.0)],
+        "event_id bigint, lon double, lat double, value double")
+    out = trajectory.semivariogram(
+        df, "value", [300000.0], cell_deg=24.0, lat_max=66.0
+    ).collect()
+    # the NULL-valued point joins no pair: exactly one pair remains
+    assert out[0].n_pairs == 1
+    with pytest.raises(ValueError, match="ascending"):
+        trajectory.semivariogram(df, "value", [2.0, 1.0], 24.0, 66.0)
+    with pytest.raises(ValueError, match="cover"):
+        trajectory.semivariogram(df, "value", [5_000_000.0], 24.0, 66.0)
+
+
+def test_semivariogram_plan_single_join_all_bins(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0, 1.0), (1, 10.1, 10.0, 2.0)],
+        "event_id bigint, lon double, lat double, value double")
+    plan = trajectory.semivariogram(
+        df, "value", [60000.0, 300000.0], cell_deg=24.0, lat_max=66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # ALL lag bins share one candidate join
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
