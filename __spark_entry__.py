@@ -714,6 +714,28 @@ def _semivariogram_sql() -> str:
     )
 
 
+_GFJ_KW = dict(
+    radii_m=[75000.0, 150000.0, 300000.0],
+    grid_deg=15.0, cell_deg=8.0, lat_max=66.0,
+)
+
+
+def q_gfj_functions(spark, sf_dir):
+    """G / F / J point-pattern functions (operators/trajectory.py
+    gfj_functions): the NN-distance CDF, the empty-space CDF over a
+    deterministic 15-degree test lattice, and the van Lieshout J ratio
+    at 75/150/300 km — the distance-CDF complement of ripley_k that
+    completes the point-pattern suite. Two bounded bucket joins; the
+    bounded search is EXACT for every CDF point (no censoring);
+    brute-force oracle with the identical literal lattice."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.gfj_functions(ev, **_GFJ_KW)
+
+
+def _gfj_functions_sql() -> str:
+    return trajectory.gfj_functions_sql(FX.events_geo_sql(), **_GFJ_KW)
+
+
 def q_cell_acf(spark, sf_dir):
     """Per-cell temporal autocorrelation (operators/gridstats.py
     acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
@@ -5226,6 +5248,7 @@ def oracle_sql() -> dict[str, str]:
         "spacetime_k": _spacetime_k_sql(),
         "local_geary": _local_geary_sql(),
         "semivariogram": _semivariogram_sql(),
+        "gfj_functions": _gfj_functions_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5607,6 +5630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacetime_k": q_spacetime_k,
         "local_geary": q_local_geary,
         "semivariogram": q_semivariogram,
+        "gfj_functions": q_gfj_functions,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

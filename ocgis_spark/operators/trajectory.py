@@ -3149,3 +3149,254 @@ def semivariogram_sql(
         + ", ".join(_svg_out_sql())
         + " FROM agg"
     )
+
+
+# ----------------- G / F / J point-pattern functions (van Lieshout) --
+
+
+def _gfj_grid(grid_deg: float, lat_max: float) -> list:
+    """Deterministic empty-space test lattice: cell centers of a
+    grid_deg graticule, kept only where the full cell sits inside the
+    |lat| <= lat_max study band (|lat_c| <= lat_max − grid_deg/2), so
+    every test point measures true in-band empty space. Computed once
+    in Python and embedded as literals in BOTH dialects — the two
+    engines see bit-identical coordinates."""
+    if grid_deg <= 0 or 360.0 % grid_deg != 0.0:
+        raise ValueError(
+            f"grid_deg must divide 360, got {grid_deg}"
+        )
+    nlon = int(round(360.0 / grid_deg))
+    pts = []
+    j = 0
+    while True:
+        lat_c = -lat_max + (j + 0.5) * grid_deg
+        if lat_c > lat_max - grid_deg / 2.0 + 1e-12:
+            break
+        for i in range(nlon):
+            lon_c = -180.0 + (i + 0.5) * grid_deg
+            pts.append((len(pts), lon_c, lat_c))
+        j += 1
+    if not pts:
+        raise ValueError(
+            f"grid_deg={grid_deg} leaves no test points inside "
+            f"|lat| <= {lat_max}"
+        )
+    return pts
+
+
+def _gfj_out_sql(n_grid: int) -> tuple:
+    """Shared projection over (r_m, n, cnt_g, cnt_f): the empirical
+    CDFs and the van Lieshout–Baddeley J. Ghat = P(NN dist <= r),
+    Fhat = P(empty-space dist <= r); J = (1−G)/(1−F), NULL where
+    F = 1 (J undefined). J > 1 dispersed, < 1 clustered, = 1 CSR."""
+    g = (
+        "(CAST(nn_le AS DOUBLE) "
+        "/ nullif(CAST(n_events AS DOUBLE), 0.0E0))"
+    )
+    f = f"(CAST(empty_le AS DOUBLE) / {float(n_grid)!r}E0)"
+    return (
+        f"round({g}, 6) AS g_hat",
+        f"round({f}, 6) AS f_hat",
+        f"round((1.0E0 - {g}) / nullif(1.0E0 - {f}, 0.0E0), 6) AS j_hat",
+    )
+
+
+def gfj_functions(
+    df: DataFrame,
+    radii_m: list,
+    grid_deg: float,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """The G / F / J point-pattern functions (Diggle 2003; van
+    Lieshout & Baddeley 1996) — the distance-CDF complement of Ripley's
+    K that completes the repo's point-pattern suite (K/L, cross-K,
+    Clark-Evans NN index, quadrat CSR): Ĝ(r) = fraction of events whose
+    nearest-neighbor distance is <= r; F̂(r) = fraction of a
+    deterministic test lattice whose nearest EVENT is <= r (the
+    empty-space function); Ĵ(r) = (1−Ĝ)/(1−F̂) (CSR ⇒ J ≡ 1, clustered
+    < 1, dispersed > 1 — J needs no intensity normalization, unlike K).
+
+    EXACT at every requested radius despite the bounded search: the
+    3x3 bucket cover at cell width >= max(radii) is validated complete
+    (:func:`_ripley_params`), so any point whose true NN is <= max(r)
+    finds it, and a point whose NN exceeds max(r) is correctly counted
+    in NO numerator — the bound censors nothing the CDFs at r <=
+    max(radii) can see (unlike the nn_index MEAN, which must report
+    coverage). Naive estimator: no border correction (lon wraps; the
+    lat band truncation biases G up / F up only within max(r) of the
+    band edge, documented like ripley_k); test points sit a half-cell
+    inside the band by construction.
+
+    Two bounded bucket joins (events→events NN, lattice→events
+    empty-space), each followed by a per-point min and ONE conditional-
+    sum aggregation serving ALL radii; the lattice is a bounded Python-
+    computed literal table embedded bit-identically in both dialects.
+
+    Output: one row per radius (r_m, n_events, n_grid, nn_le, empty_le,
+    g_hat, f_hat, j_hat), floats round(.,6).
+    """
+    nx, rs, _ = _ripley_params(radii_m, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    grid = _gfj_grid(grid_deg, lat_max)
+    n_grid = len(grid)
+    R_mm = int(round(rs[-1] * 1000))
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    base = df.filter(F.expr(f"abs({lat}) <= {_pf(lat_max)}")).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+
+    # events -> events nearest neighbor (G)
+    a_e = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    nn_e = (
+        a_e.join(b, ["jx", "jy"])
+        .filter(F.expr(f"ea != eb AND {mm} <= {R_mm}"))
+        .selectExpr("ea", f"{mm} AS d_mm")
+        .groupBy("ea").agg(F.min("d_mm").alias("nn_mm"))
+        .agg(*[
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN nn_mm <= "
+                f"{int(round(r * 1000))} THEN 1 ELSE 0 END), 0) "
+                f"AS BIGINT)"
+            ).alias(f"g{i}")
+            for i, r in enumerate(rs)
+        ])
+    )
+
+    # lattice -> events empty-space distance (F); the lattice is a
+    # bounded literal table, its cells derived by the SAME cell_id_sql
+    cell0 = cell_id_sql(cell_deg, "glo", "gla")
+    gstructs = ", ".join(
+        f"struct({gid} AS gid, {_pf(lo_c)} AS glo, {_pf(la_c)} AS gla)"
+        for gid, lo_c, la_c in grid
+    )
+    a_g = (
+        df.sparkSession.range(1)
+        .selectExpr(f"explode(array({gstructs})) AS g")
+        .selectExpr("g.gid AS gid", "g.glo AS glo", "g.gla AS gla")
+        .selectExpr(
+            "gid", "glo AS loa", "gla AS laa",
+            f"{cell0[1]} AS cx", f"{cell0[2]} AS cy",
+        )
+        .selectExpr(
+            "gid", "loa", "laa", f"explode(array({soffs})) AS o",
+            "cx", "cy",
+        )
+        .selectExpr(
+            "gid", "loa", "laa",
+            f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+        )
+    )
+    nn_g = (
+        a_g.join(b, ["jx", "jy"])
+        .filter(F.expr(f"{mm} <= {R_mm}"))
+        .selectExpr("gid", f"{mm} AS d_mm")
+        .groupBy("gid").agg(F.min("d_mm").alias("nn_mm"))
+        .agg(*[
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN nn_mm <= "
+                f"{int(round(r * 1000))} THEN 1 ELSE 0 END), 0) "
+                f"AS BIGINT)"
+            ).alias(f"f{i}")
+            for i, r in enumerate(rs)
+        ])
+    )
+
+    stk = ", ".join(
+        f"struct(CAST({_pf(r)} AS DOUBLE) AS r_m, g{i} AS cnt_g, "
+        f"f{i} AS cnt_f)"
+        for i, r in enumerate(rs)
+    )
+    return (
+        nn_e.crossJoin(F.broadcast(nn_g)).crossJoin(F.broadcast(n_df))
+        .selectExpr(f"explode(array({stk})) AS s", "n")
+        .selectExpr(
+            "s.r_m AS r_m", "n AS n_events",
+            f"CAST({n_grid} AS BIGINT) AS n_grid",
+            "s.cnt_g AS nn_le", "s.cnt_f AS empty_le",
+        )
+        .selectExpr(
+            "r_m", "n_events", "n_grid", "nn_le", "empty_le",
+            *_gfj_out_sql(n_grid),
+        )
+    )
+
+
+def gfj_functions_sql(
+    src_sql: str,
+    radii_m: list,
+    grid_deg: float,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`gfj_functions`: per-point /
+    per-test-point min over the full un-bucketed scans with the same
+    <= max(radii) bound, the lattice embedded as the IDENTICAL literal
+    VALUES table — independently proving both bucket covers complete.
+    Quadratic by design (sf0.01-sized, like knox/ripley)."""
+    _, rs, _ = _ripley_params(radii_m, cell_deg, lat_max)
+    from .crs import _pf
+
+    grid = _gfj_grid(grid_deg, lat_max)
+    n_grid = len(grid)
+    R_mm = int(round(rs[-1] * 1000))
+    hav_e = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    mm_e = f"CAST(round({hav_e} * 1000.0E0) AS BIGINT)"
+    hav_g = haversine_m_sql("g.glo", "g.gla", "b.lo", "b.la")
+    mm_g = f"CAST(round({hav_g} * 1000.0E0) AS BIGINT)"
+    gvals = ", ".join(
+        f"({gid}, CAST({_pf(lo_c)} AS DOUBLE), "
+        f"CAST({_pf(la_c)} AS DOUBLE))"
+        for gid, lo_c, la_c in grid
+    )
+    rvals = ", ".join(f"({_pf(r)})" for r in rs)
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la "
+        f"FROM ({src_sql}) s WHERE abs({lat}) <= {_pf(lat_max)}), "
+        f"nn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), "
+        f"ne AS (SELECT a.e AS ea, min({mm_e}) AS nn_mm "
+        f"FROM e a JOIN e b ON a.e != b.e "
+        f"WHERE {mm_e} <= {R_mm} GROUP BY a.e), "
+        f"gp(gid, glo, gla) AS (VALUES {gvals}), "
+        f"ng AS (SELECT g.gid AS gid, min({mm_g}) AS nn_mm "
+        f"FROM gp g JOIN e b ON {mm_g} <= {R_mm} GROUP BY g.gid), "
+        f"rt(r_m) AS (SELECT CAST(v AS DOUBLE) "
+        f"FROM (VALUES {rvals}) t(v)), "
+        f"agg AS (SELECT r_m, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ne "
+        f"WHERE ne.nn_mm <= CAST(round(rt.r_m * 1000.0E0) AS BIGINT)) "
+        f"AS nn_le, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ng "
+        f"WHERE ng.nn_mm <= CAST(round(rt.r_m * 1000.0E0) AS BIGINT)) "
+        f"AS empty_le FROM rt) "
+        f"SELECT r_m, n_events, "
+        f"CAST({n_grid} AS BIGINT) AS n_grid, nn_le, empty_le, "
+        + ", ".join(_gfj_out_sql(n_grid))
+        + " FROM (SELECT agg.*, n AS n_events "
+        f"FROM agg CROSS JOIN nn0) fin"
+    )

@@ -1406,3 +1406,68 @@ def test_semivariogram_plan_single_join_all_bins(spark):
     assert "CartesianProduct" not in plan
     # ALL lag bins share one candidate join
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+# ------------------------------------------ G / F / J functions
+
+
+def test_gfj_crafted_truth(spark):
+    import math as m
+
+    # a tight pair (NN ~ 22 km each) + an isolated point: G jumps to
+    # 2/3 at the first radius and stays (the isolated point's NN is
+    # far beyond max(r)); F counts lattice points near ANY event
+    pts = [(10.0, 10.0), (10.2, 10.0), (90.0, 40.0)]
+    rows = [(i, lo, la) for i, (lo, la) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "event_id bigint, lon double, lat double")
+    radii = [50000.0, 300000.0]
+    out = {r.r_m: r for r in trajectory.gfj_functions(
+        df, radii_m=radii, grid_deg=15.0, cell_deg=8.0, lat_max=66.0
+    ).collect()}
+
+    def hav_mm(p, q):
+        R = 6370997.0
+        la1, lo1, la2, lo2 = map(m.radians, (p[1], p[0], q[1], q[0]))
+        a = (m.sin((la2 - la1) / 2) ** 2
+             + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+        return round(2 * R * m.asin(m.sqrt(a)) * 1000)
+
+    grid = trajectory._gfj_grid(15.0, 66.0)
+    for rk in radii:
+        rmm = round(rk * 1000)
+        g_true = sum(
+            1 for i, p in enumerate(pts)
+            if min(hav_mm(p, q) for j, q in enumerate(pts) if j != i)
+            <= rmm
+        )
+        f_true = sum(
+            1 for _, glo, gla in grid
+            if min(hav_mm((glo, gla), p) for p in pts) <= rmm
+        )
+        r = out[rk]
+        assert r.n_events == 3 and r.n_grid == len(grid)
+        assert r.nn_le == g_true and r.empty_le == f_true
+        g, f = g_true / 3.0, f_true / len(grid)
+        assert r.g_hat == pytest.approx(g, abs=1e-6)
+        assert r.f_hat == pytest.approx(f, abs=1e-6)
+        if f < 1.0:
+            assert r.j_hat == pytest.approx((1 - g) / (1 - f), abs=1e-5)
+    assert out[50000.0].nn_le == 2  # the tight pair, not the loner
+
+
+def test_gfj_grid_validation_and_plan(spark):
+    with pytest.raises(ValueError, match="divide 360"):
+        trajectory._gfj_grid(7.0, 66.0)
+    grid = trajectory._gfj_grid(15.0, 66.0)
+    # all test cells fully inside the band
+    assert all(abs(la) <= 66.0 - 7.5 + 1e-9 for _, _, la in grid)
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, 10.1, 10.0)],
+        "event_id bigint, lon double, lat double")
+    plan = trajectory.gfj_functions(
+        df, radii_m=[50000.0], grid_deg=30.0, cell_deg=8.0,
+        lat_max=66.0,
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
