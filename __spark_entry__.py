@@ -736,6 +736,33 @@ def _gfj_functions_sql() -> str:
     return trajectory.gfj_functions_sql(FX.events_geo_sql(), **_GFJ_KW)
 
 
+_CLQ_KW = dict(search_r_m=300000.0, cell_deg=8.0, lat_max=66.0)
+
+
+def q_colocation_quotient(spark, sf_dir):
+    """Colocation quotient CLQ_{A→B} (operators/trajectory.py
+    colocation_quotient): per ordered event-type pair, the share of A
+    points whose nearest other point is type B vs B's global share —
+    the ASYMMETRIC category-association statistic (ArcGIS Colocation
+    Analysis, k=1). True deterministic NN via min_by over the exact
+    BIGINT (distance, id) key; brute-force per-point oracle."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("event_type",),
+    ))
+    return trajectory.colocation_quotient(ev, "event_type", **_CLQ_KW)
+
+
+def _colocation_quotient_sql() -> str:
+    return trajectory.colocation_quotient_sql(
+        FX.events_geo_sql(extra_cols=("event_type",)), "event_type",
+        **_CLQ_KW,
+    )
+
+
 def q_cell_acf(spark, sf_dir):
     """Per-cell temporal autocorrelation (operators/gridstats.py
     acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
@@ -5249,6 +5276,7 @@ def oracle_sql() -> dict[str, str]:
         "local_geary": _local_geary_sql(),
         "semivariogram": _semivariogram_sql(),
         "gfj_functions": _gfj_functions_sql(),
+        "colocation_quotient": _colocation_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5631,6 +5659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_geary": q_local_geary,
         "semivariogram": q_semivariogram,
         "gfj_functions": q_gfj_functions,
+        "colocation_quotient": q_colocation_quotient,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

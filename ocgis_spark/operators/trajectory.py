@@ -3400,3 +3400,188 @@ def gfj_functions_sql(
         + " FROM (SELECT agg.*, n AS n_events "
         f"FROM agg CROSS JOIN nn0) fin"
     )
+
+
+# ------------------------- colocation quotient (category association) --
+
+
+def _clq_out_sql() -> tuple:
+    """Shared projection over (c_ab, n_a_nn, n_b, n_tot, same_cat):
+    CLQ_{A→B} = (c_ab / n_a_nn) / ((n_b − [A=B]) / (n_tot − 1)). The
+    numerator conditions on the censored A count (A points WITH an
+    in-radius neighbor, replayed identically by the oracle); the
+    denominator is the global category share among the other n−1
+    points (Leslie & Kronenfeld 2011). NULL when degenerate."""
+    num = (
+        "(CAST(c_ab AS DOUBLE) "
+        "/ nullif(CAST(n_a_nn AS DOUBLE), 0.0E0))"
+    )
+    den = (
+        "(CAST(n_b - same_cat AS DOUBLE) "
+        "/ nullif(CAST(n_tot - 1 AS DOUBLE), 0.0E0))"
+    )
+    return (
+        f"round({num} / nullif({den}, 0.0E0), 6) AS clq",
+        "round(CAST(n_a_nn AS DOUBLE) "
+        "/ nullif(CAST(n_a AS DOUBLE), 0.0E0), 6) AS coverage_a",
+    )
+
+
+def colocation_quotient(
+    df: DataFrame,
+    cat: str,
+    search_r_m: float,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Colocation quotient CLQ_{A→B} (Leslie & Kronenfeld 2011; the
+    ArcGIS "Colocation Analysis" tool, k=1): for every ordered category
+    pair, the share of A points whose nearest OTHER point is type B,
+    normalized by B's global share among the other n−1 points —
+    CLQ > 1 means A is attracted to B (asymmetric, unlike cross-K,
+    which is symmetric in expectation under random labeling).
+
+    Nearest neighbor is the TRUE deterministic NN within
+    ``search_r_m``: candidates come from the validated-complete 3x3
+    bucket cover (:func:`_ripley_params`), and the NN is selected by
+    ``min_by`` over the exact BIGINT key d_mm·2³² + neighbor_id — a
+    total order (ids unique), so engine and oracle pick the identical
+    neighbor even under exact distance ties. Headroom: the key needs
+    d_mm < 2³¹ (search_r < ~2147 km) — enforced by validation — and
+    neighbor ids in [0, 2³²) — guarded by a raise_error CASE (the
+    cross_k convention; the oracle replays the same data, so parity is
+    by construction). A points with NO neighbor inside search_r are
+    censored out of BOTH the numerator and the conditioned A count
+    (``coverage_a`` reports the kept fraction per category, the
+    nn_index convention); the global category shares use ALL band
+    points. NULL categories are excluded up front.
+
+    Output: one row per OBSERVED ordered pair (cat_a, cat_b, c_ab,
+    n_a, n_a_nn, n_b, n_tot, clq, coverage_a), floats round(.,6).
+    """
+    nx, rs, _ = _ripley_params([search_r_m], cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    R_mm = int(round(rs[0] * 1000))
+    if R_mm >= 2 ** 31:
+        raise ValueError(
+            f"search_r_m={search_r_m} exceeds the 2^31-mm key headroom"
+        )
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    base = df.filter(F.expr(
+        f"abs({lat}) <= {_pf(lat_max)} AND ({cat}) IS NOT NULL"
+    )).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la",
+        f"CAST({cat} AS STRING) AS tc",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    cnt = base.groupBy(F.col("tc").alias("cat_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa", "tc AS ta",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa", "ta",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "tc AS tb",
+        "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    key = (
+        f"(CASE WHEN eb BETWEEN 0 AND 4294967295 "
+        f"THEN d_mm * 4294967296 + eb "
+        f"ELSE CAST(raise_error('colocation_quotient: neighbor id "
+        f"outside the 32-bit key domain') AS BIGINT) END)"
+    )
+    cab = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(f"ea != eb AND {mm} <= {R_mm}"))
+        .selectExpr("ea", "ta", "eb", "tb", f"{mm} AS d_mm")
+        .selectExpr("ea", "ta", "tb", f"{key} AS k")
+        .groupBy("ea", "ta")
+        .agg(F.expr("min_by(tb, k)").alias("nbt"))
+        .groupBy(F.col("ta").alias("cat_a"), F.col("nbt").alias("cat_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    nann = cab.groupBy(F.col("cat_a").alias("ta2")).agg(
+        F.sum("c_ab").cast("bigint").alias("n_a_nn")
+    )
+    na = base.groupBy(F.col("tc").alias("ta3")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    return (
+        cab.join(F.broadcast(nann), cab.cat_a == F.col("ta2"))
+        .join(F.broadcast(na), cab.cat_a == F.col("ta3"))
+        .join(F.broadcast(cnt), "cat_b")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cat_a", "cat_b", "c_ab", "n_a", "n_a_nn", "n_b", "n_tot",
+            "(CASE WHEN cat_a = cat_b THEN 1 ELSE 0 END) AS same_cat",
+        )
+        .selectExpr(
+            "cat_a", "cat_b", "c_ab", "n_a", "n_a_nn", "n_b", "n_tot",
+            *_clq_out_sql(),
+        )
+    )
+
+
+def colocation_quotient_sql(
+    src_sql: str,
+    cat: str,
+    search_r_m: float,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`colocation_quotient`: the NN
+    of every point over the full un-bucketed pair scan via the SAME
+    min_by(type, d_mm·2³² + id) total order and the same censoring —
+    proving the bucketed NN true for every point. Quadratic by design
+    (sf0.01-sized, like knox/nn_index)."""
+    nx, rs, _ = _ripley_params([search_r_m], cell_deg, lat_max)
+    from .crs import _pf
+
+    R_mm = int(round(rs[0] * 1000))
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la, "
+        f"CAST({cat} AS STRING) AS tc FROM ({src_sql}) s "
+        f"WHERE abs({lat}) <= {_pf(lat_max)} "
+        f"AND ({cat}) IS NOT NULL), "
+        f"tt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM e), "
+        f"nb AS (SELECT tc AS cat_b, CAST(count(*) AS BIGINT) AS n_b "
+        f"FROM e GROUP BY tc), "
+        f"naa AS (SELECT tc AS ta3, CAST(count(*) AS BIGINT) AS n_a "
+        f"FROM e GROUP BY tc), "
+        f"nn AS (SELECT a.e AS ea, a.tc AS ta, "
+        f"min_by(b.tc, ({mm}) * 4294967296 + b.e) AS nbt "
+        f"FROM e a JOIN e b ON a.e != b.e "
+        f"WHERE {mm} <= {R_mm} GROUP BY a.e, a.tc), "
+        f"cab AS (SELECT ta AS cat_a, nbt AS cat_b, "
+        f"CAST(count(*) AS BIGINT) AS c_ab FROM nn GROUP BY 1, 2), "
+        f"nan AS (SELECT cat_a AS ta2, "
+        f"CAST(sum(c_ab) AS BIGINT) AS n_a_nn FROM cab GROUP BY 1) "
+        f"SELECT cat_a, cat_b, c_ab, n_a, n_a_nn, n_b, n_tot, "
+        + ", ".join(_clq_out_sql())
+        + " FROM (SELECT cab.*, n_a, n_a_nn, n_b, n_tot, "
+        f"(CASE WHEN cat_a = cat_b THEN 1 ELSE 0 END) AS same_cat "
+        f"FROM cab JOIN nan ON cat_a = ta2 "
+        f"JOIN naa ON cat_a = ta3 "
+        f"JOIN nb USING (cat_b) CROSS JOIN tt) fin"
+    )

@@ -1471,3 +1471,70 @@ def test_gfj_grid_validation_and_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------- colocation quotient
+
+
+def test_clq_crafted_attraction(spark):
+    # every 'a' point sits right beside a 'b' point (~11 km); the 'b'
+    # points' nearest are each other or the paired 'a'; pattern: A is
+    # strongly attracted to B (CLQ_ab > 1), A never neighbors A
+    rows = [
+        (0, 10.0, 10.0, "a"), (1, 10.1, 10.0, "b"),
+        (2, 20.0, 10.0, "a"), (3, 20.1, 10.0, "b"),
+        (4, 30.0, 10.0, "a"), (5, 30.1, 10.0, "b"),
+        (6, 40.0, 40.0, "b"), (7, 40.1, 40.0, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, cat string")
+    out = {(r.cat_a, r.cat_b): r for r in trajectory.colocation_quotient(
+        df, "cat", search_r_m=300000.0, cell_deg=8.0, lat_max=66.0
+    ).collect()}
+    ab = out[("a", "b")]
+    # all 3 a-points neighbor a b-point
+    assert ab.c_ab == 3 and ab.n_a_nn == 3 and ab.n_a == 3
+    assert ab.n_b == 5 and ab.n_tot == 8
+    # CLQ_ab = (3/3) / (5/7) = 1.4
+    assert ab.clq == pytest.approx(1.4, abs=1e-6)
+    assert ab.coverage_a == pytest.approx(1.0)
+    assert ("a", "a") not in out  # no a->a neighbor pairs observed
+    bb = out[("b", "b")]
+    # the far pair neighbor each other; paired b's nearest is its a
+    assert bb.c_ab == 2
+    # CLQ_bb = (2/5) / ((5-1)/7) = 0.7
+    assert bb.clq == pytest.approx(0.7, abs=1e-6)
+
+
+def test_clq_tie_break_and_censoring(spark):
+    # two neighbors at EXACTLY the same distance (symmetric lons):
+    # the (d_mm, id) key picks the lower event id deterministically;
+    # the isolated point is censored (reduces coverage, not c_ab)
+    rows = [
+        (10, 10.0, 20.0, "x"),
+        (5, 10.5, 20.0, "y"),   # east, same |dlon|
+        (7, 9.5, 20.0, "z"),    # west, same |dlon|
+        (99, 120.0, -50.0, "x"),  # isolated
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, cat string")
+    out = {(r.cat_a, r.cat_b): r for r in trajectory.colocation_quotient(
+        df, "cat", search_r_m=300000.0, cell_deg=8.0, lat_max=66.0
+    ).collect()}
+    # event 10's NN tie (5 vs 7) breaks to id 5 -> type 'y'
+    assert ("x", "y") in out and ("x", "z") not in out
+    x = out[("x", "y")]
+    assert x.n_a == 2 and x.n_a_nn == 1  # the loner is censored
+    assert x.coverage_a == pytest.approx(0.5)
+
+
+def test_clq_plan_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0, "a"), (1, 10.1, 10.0, "b")],
+        "event_id bigint, lon double, lat double, cat string")
+    plan = trajectory.colocation_quotient(
+        df, "cat", search_r_m=300000.0, cell_deg=8.0, lat_max=66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
