@@ -763,6 +763,26 @@ def _colocation_quotient_sql() -> str:
     )
 
 
+_SEN_KW = dict(
+    cell_deg=5.0, t0_us=1_704_067_200_000_000,
+    bin_us=172_800_000_000, n_bins=15,
+)
+
+
+def q_sen_slope(spark, sf_dir):
+    """Per-cell Theil-Sen slope (operators/gridstats.py
+    sen_slope_cells): the robust trend MAGNITUDE beside mk_trend's
+    significance over the same 2-day-binned January-2024 series —
+    median pair slope from the bounded active-cells x T cube; emits
+    the pair-set mk_s that must equal the closed-form S (pytest)."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.sen_slope_cells(ev, **_SEN_KW)
+
+
+def _sen_slope_sql() -> str:
+    return GS.sen_slope_cells_sql(FX.events_geo_sql(), **_SEN_KW)
+
+
 def q_cell_acf(spark, sf_dir):
     """Per-cell temporal autocorrelation (operators/gridstats.py
     acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
@@ -5277,6 +5297,7 @@ def oracle_sql() -> dict[str, str]:
         "semivariogram": _semivariogram_sql(),
         "gfj_functions": _gfj_functions_sql(),
         "colocation_quotient": _colocation_quotient_sql(),
+        "sen_slope": _sen_slope_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5660,6 +5681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": q_semivariogram,
         "gfj_functions": q_gfj_functions,
         "colocation_quotient": q_colocation_quotient,
+        "sen_slope": q_sen_slope,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

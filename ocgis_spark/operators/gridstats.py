@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .cluster import _grid_params, cell_id_sql
@@ -2894,4 +2894,160 @@ def local_gearys_c(
         f"round({ex['e_c']}, 6) AS e_ci",
         f"round({ex['z']}, 6) AS z",
         f"{ex['label']} AS label",
+    )
+
+
+# ------------------------------------ Theil-Sen slope per cell --
+
+
+def _sen_positions(T: int) -> tuple:
+    """Median rank positions over the FIXED pair count T(T-1)/2 — a
+    compile-time constant (every cell's zero-filled series has exactly
+    T bins, so every cell has the same pair count)."""
+    n = T * (T - 1) // 2
+    return (n + 1) // 2, (n + 2) // 2, n
+
+
+def sen_slope_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell Theil-Sen (Sen 1968) slope of binned event counts — the
+    robust trend MAGNITUDE beside mann_kendall_cells' significance (the
+    pairing ArcGIS emerging-hotspot reports): over the zero-filled
+    T-bin series, sen = median over all i<j of (x_j − x_i)/(j − i),
+    in events per bin.
+
+    Unlike MK's S (closed-form over present bins), the slope median
+    needs the actual pair multiset — but it stays BOUNDED: the
+    active-cells × T cube (the emerging-hotspots cube) self-joins to
+    exactly T(T−1)/2 pairs per cell, and the median rank positions are
+    compile-time constants (:func:`_sen_positions`). Each slope is ONE
+    double division of exact integers (correctly rounded, identical
+    across engines); the even-count median averages the two middle
+    values (one add + one divide, deterministic). Equal slopes make
+    the row_number tie-break ambiguous but the median depends only on
+    the VALUE multiset — position ties carry equal values.
+
+    Also emits mk_s = Σ sign(x_j − x_i) from the same pair set — a
+    BIGINT that must equal mann_kendall_cells' closed-form S
+    (pytest-asserted), proving cube and closed form agree.
+
+    Output: one row per cell with >= 1 event in [t0, t0 + T·bin):
+    (cell_x, cell_y, n_events, mk_s, sen_slope); slope round(.,6).
+    """
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    T = int(n_bins)
+    m1, m2, npairs = _sen_positions(T)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    bvals = ", ".join(f"({b})" for b in range(T))
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, {binx} AS b "
+        f"FROM ({src_sql}) s), "
+        f"c AS (SELECT cx, cy, b, CAST(count(*) AS BIGINT) AS x "
+        f"FROM ev WHERE b >= 0 AND b < {T} GROUP BY 1, 2, 3), "
+        f"act AS (SELECT cx, cy, CAST(sum(x) AS BIGINT) AS n_events "
+        f"FROM c GROUP BY 1, 2), "
+        f"bins(b) AS (VALUES {bvals}), "
+        f"cube0 AS (SELECT act.cx, act.cy, "
+        f"CAST(bins.b AS BIGINT) AS b, "
+        f"CAST(coalesce(c.x, 0) AS BIGINT) AS x "
+        f"FROM act CROSS JOIN bins "
+        f"LEFT JOIN c ON c.cx = act.cx AND c.cy = act.cy "
+        f"AND c.b = CAST(bins.b AS BIGINT)), "
+        f"pr AS (SELECT a.cx, a.cy, "
+        f"(CAST(b2.x - a.x AS DOUBLE) / CAST(b2.b - a.b AS DOUBLE)) "
+        f"AS slope, "
+        f"(CASE WHEN b2.x > a.x THEN 1 WHEN b2.x < a.x THEN -1 "
+        f"ELSE 0 END) AS sg "
+        f"FROM cube0 a JOIN cube0 b2 ON a.cx = b2.cx AND a.cy = b2.cy "
+        f"AND b2.b > a.b), "
+        f"rk AS (SELECT cx, cy, slope, sg, "
+        f"CAST(row_number() OVER (PARTITION BY cx, cy ORDER BY slope) "
+        f"AS BIGINT) AS rn FROM pr), "
+        f"med AS (SELECT cx, cy, "
+        f"CAST(sum(sg) AS BIGINT) AS mk_s, "
+        f"avg(CASE WHEN rn = {m1} OR rn = {m2} THEN slope END) "
+        f"AS sen FROM rk GROUP BY 1, 2) "
+        f"SELECT act.cx AS cell_x, act.cy AS cell_y, act.n_events, "
+        f"med.mk_s, round(med.sen, 6) AS sen_slope "
+        f"FROM act JOIN med ON act.cx = med.cx AND act.cy = med.cy"
+    )
+
+
+def sen_slope_cells(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Theil-Sen slope per cell (see :func:`sen_slope_cells_sql`). One
+    corpus hash aggregation to (cell, bin) counts; the cube fan-out is
+    a bounded T-literal explode, the pair join and the rank window are
+    cell-keyed (the counts exchange is reused across the active/cube
+    branches), and every pair stage is bounded by T(T−1)/2 rows/cell."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    T = int(n_bins)
+    m1, m2, _ = _sen_positions(T)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    c = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{binx} AS b")
+        .filter(f"b >= 0 AND b < {T}")
+        .groupBy("cx", "cy", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    act = c.groupBy("cx", "cy").agg(
+        F.sum("x").cast("bigint").alias("n_events")
+    )
+    bins = ", ".join(str(b) for b in range(T))
+    cube = (
+        act.selectExpr(
+            "cx", "cy",
+            f"explode(array({bins})) AS b",
+        )
+        .selectExpr("cx", "cy", "CAST(b AS BIGINT) AS b")
+        .join(c, ["cx", "cy", "b"], "left")
+        .selectExpr("cx", "cy", "b", "CAST(coalesce(x, 0) AS BIGINT) AS x")
+    )
+    a = cube.selectExpr("cx", "cy", "b AS b1", "x AS x1")
+    b2 = cube.selectExpr("cx", "cy", "b AS b2", "x AS x2")
+    pr = (
+        a.join(b2, ["cx", "cy"])
+        .filter("b2 > b1")
+        .selectExpr(
+            "cx", "cy",
+            "(CAST(x2 - x1 AS DOUBLE) / CAST(b2 - b1 AS DOUBLE)) "
+            "AS slope",
+            "(CASE WHEN x2 > x1 THEN 1 WHEN x2 < x1 THEN -1 ELSE 0 END)"
+            " AS sg",
+        )
+    )
+    w = Window.partitionBy("cx", "cy").orderBy("slope")
+    med = (
+        pr.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum("sg").cast("bigint").alias("mk_s"),
+            F.avg(F.expr(
+                f"CASE WHEN rn = {m1} OR rn = {m2} THEN slope END"
+            )).alias("sen"),
+        )
+    )
+    return act.join(med, ["cx", "cy"]).selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "n_events", "mk_s",
+        "round(sen, 6) AS sen_slope",
     )

@@ -1178,3 +1178,70 @@ def test_local_geary_similar_block_flags(spark):
     assert center.c_i == 0.0
     assert center.z < -1.96
     assert center.label == "high-high"
+
+
+# -------------------------------------------------- Theil-Sen slope
+
+
+def test_sen_slope_numpy_truth(spark):
+    import numpy as np
+
+    T = 8
+    series = {
+        (0, 0): [1, 2, 3, 4, 5, 6, 7, 8],      # perfect slope 1
+        (3, 1): [9, 7, 6, 5, 3, 2, 1, 1],      # decreasing w/ tie
+        (5, -1): [0, 0, 1, 0, 2, 0, 0, 5],     # sparse (zero bins)
+        (9, 1): [2, 2, 2, 2, 2, 2, 2, 2],      # constant -> slope 0
+    }
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    out = GS.sen_slope_cells(
+        _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000, n_bins=T
+    )
+    got = {(r.cell_x, r.cell_y): r for r in out.collect()}
+    assert set(got) == set(series)
+    for key, xs in series.items():
+        slopes = sorted(
+            (xs[j] - xs[i]) / (j - i)
+            for i in range(T) for j in range(i + 1, T)
+        )
+        S = sum(
+            np.sign(xs[j] - xs[i])
+            for i in range(T) for j in range(i + 1, T)
+        )
+        sen = float(np.median(slopes))
+        r = got[key]
+        assert r.mk_s == S, key
+        assert r.sen_slope == pytest.approx(sen, abs=1e-6), key
+    assert got[(0, 0)].sen_slope == pytest.approx(1.0)
+    assert got[(9, 1)].sen_slope == pytest.approx(0.0)
+
+
+def test_sen_slope_s_matches_mann_kendall(spark):
+    # the cube pair-set S must equal the closed-form present/absent S
+    # for every cell — two independent derivations of the same BIGINT
+    cells = [
+        (1, 0, 0, 2), (1, 0, 3, 1), (1, 0, 7, 9),
+        (2, 2, 1, 4), (2, 2, 2, 4), (2, 2, 6, 1),
+        (4, -2, 5, 3),
+    ]
+    df = _mk_events_t(spark, cells)
+    kw = dict(t0_us=0, bin_us=1000, n_bins=9)
+    mk = {(r.cell_x, r.cell_y): r.mk_s
+          for r in GS.mann_kendall_cells(df, CELL, **kw).collect()}
+    sen = {(r.cell_x, r.cell_y): r.mk_s
+           for r in GS.sen_slope_cells(df, CELL, **kw).collect()}
+    assert mk == sen
+
+
+def test_sen_slope_plan(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1), (0, 0, 1, 2)])
+    plan = GS.sen_slope_cells(
+        df, CELL, t0_us=0, bin_us=1000, n_bins=4
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
