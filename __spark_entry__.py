@@ -783,6 +783,26 @@ def _sen_slope_sql() -> str:
     return GS.sen_slope_cells_sql(FX.events_geo_sql(), **_SEN_KW)
 
 
+_SMK_KW = dict(
+    cell_deg=5.0, t0_us=1_704_067_200_000_000,
+    bin_us=172_800_000_000, n_bins=15, n_seasons=3,
+)
+
+
+def q_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall per cell (operators/gridstats.py
+    seasonal_mk_cells): Hirsch-Slack-Smith 1982 — MK within each of 3
+    seasonal subseries (bin % 3) summed across seasons, so a seasonal
+    cycle can neither fake nor mask a trend. Zero bins closed-form per
+    season; BIGINT variance moments roll up exactly."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.seasonal_mk_cells(ev, **_SMK_KW)
+
+
+def _seasonal_mk_sql() -> str:
+    return GS.seasonal_mk_cells_sql(FX.events_geo_sql(), **_SMK_KW)
+
+
 def q_cell_acf(spark, sf_dir):
     """Per-cell temporal autocorrelation (operators/gridstats.py
     acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
@@ -5298,6 +5318,7 @@ def oracle_sql() -> dict[str, str]:
         "gfj_functions": _gfj_functions_sql(),
         "colocation_quotient": _colocation_quotient_sql(),
         "sen_slope": _sen_slope_sql(),
+        "seasonal_mk": _seasonal_mk_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5682,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gfj_functions": q_gfj_functions,
         "colocation_quotient": q_colocation_quotient,
         "sen_slope": q_sen_slope,
+        "seasonal_mk": q_seasonal_mk,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

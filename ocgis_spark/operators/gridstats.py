@@ -3051,3 +3051,242 @@ def sen_slope_cells(
         "cx AS cell_x", "cy AS cell_y", "n_events", "mk_s",
         "round(sen, 6) AS sen_slope",
     )
+
+
+# ------------------------------- seasonal Mann-Kendall per cell --
+
+
+def _smk_params(n_bins: int, n_seasons: int) -> int:
+    """Validate the seasonal split and return the per-season series
+    length Ts = T / P (each season's subseries must be a full,
+    equal-length zero-filled series for the closed form to hold)."""
+    P = int(n_seasons)
+    T = int(n_bins)
+    if P < 2:
+        raise ValueError(f"n_seasons must be >= 2, got {n_seasons}")
+    if T % P != 0:
+        raise ValueError(
+            f"n_seasons={P} must divide n_bins={T} (equal-length "
+            f"seasonal subseries)"
+        )
+    Ts = T // P
+    if Ts < 2:
+        raise ValueError(
+            f"n_bins/n_seasons = {Ts} leaves no within-season pairs"
+        )
+    return Ts
+
+
+def _smk_z_sql(P: int, Ts: int) -> tuple:
+    """Shared projection (mk_z, trend) over (mk_s, ttv): the seasonal
+    Kendall variance Var = (P·Ts(Ts−1)(2Ts+5) − ttv)/18 where ttv
+    already sums each season's present-tie AND zero-group terms —
+    every input BIGINT, the variance one double expression."""
+    var = (
+        f"((CAST({P * Ts * (Ts - 1) * (2 * Ts + 5)} AS DOUBLE) "
+        f"- CAST(ttv AS DOUBLE)) / 18.0E0)"
+    )
+    z = (
+        f"(CASE WHEN mk_s > 0 THEN (CAST(mk_s AS DOUBLE) - 1.0E0) "
+        f"/ sqrt({var}) "
+        f"WHEN mk_s < 0 THEN (CAST(mk_s AS DOUBLE) + 1.0E0) "
+        f"/ sqrt({var}) "
+        f"ELSE 0.0E0 END)"
+    )
+    return (
+        f"round(CASE WHEN {var} > 0.0E0 THEN {z} END, 6) AS mk_z",
+        f"(CASE WHEN {var} > 0.0E0 AND {z} >= 1.96E0 THEN 'increasing' "
+        f"WHEN {var} > 0.0E0 AND {z} <= -1.96E0 THEN 'decreasing' "
+        f"ELSE 'none' END) AS trend",
+    )
+
+
+def seasonal_mk_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    n_seasons: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell SEASONAL Mann-Kendall trend (Hirsch, Slack & Smith
+    1982 — the standard hydrology/climate trend test when the series
+    has a seasonal cycle, which would otherwise masquerade as trend or
+    drown it): bins split into P seasons by bin % P; the MK statistic
+    runs WITHIN each season's zero-filled subseries (comparing
+    January-to-January, never January-to-July) and sums across
+    seasons: S = Σ_s S_s, Var = Σ_s Var_s (independent-seasons form;
+    the Hirsch-Slack 1984 serial-covariance correction is out of
+    scope, documented).
+
+    Exactness mirrors :func:`mann_kendall_cells_sql`: per (cell,
+    season), zero bins never materialize — the present-present pair
+    sum is a season-bounded ordered self-join and the present-absent
+    term is closed-form from within-season index and rank; each
+    season's tie-corrected variance decomposes into BIGINT moments
+    whose CELL ROLLUP stays BIGINT (ttv sums present-tie and
+    zero-group terms; the compile-time total P·Ts(Ts−1)(2Ts+5) joins
+    only in the final double expression).
+
+    Output grain of mann_kendall_cells: (cell_x, cell_y, n_events,
+    k_bins, mk_s, mk_z, trend); k_bins counts present (season, idx)
+    slots; mk_z NULL when every season is fully tied.
+    """
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    Ts = _smk_params(n_bins, n_seasons)
+    P = int(n_seasons)
+    T = int(n_bins)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    zg = f"(({Ts}) - k)"
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, {binx} AS b "
+        f"FROM ({src_sql}) s), "
+        f"c AS (SELECT cx, cy, (b % {P}) AS sn, "
+        f"CAST((b - (b % {P})) / {P} AS BIGINT) AS i, "
+        f"CAST(count(*) AS BIGINT) AS x "
+        f"FROM ev WHERE b >= 0 AND b < {T} GROUP BY 1, 2, 3, 4), "
+        f"pp AS (SELECT a.cx, a.cy, a.sn, "
+        f"CAST(sum(CASE WHEN b2.x > a.x THEN 1 "
+        f"WHEN b2.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_pp "
+        f"FROM c a JOIN c b2 ON a.cx = b2.cx AND a.cy = b2.cy "
+        f"AND a.sn = b2.sn AND b2.i > a.i GROUP BY 1, 2, 3), "
+        f"r AS (SELECT cx, cy, sn, i, x, "
+        f"CAST(row_number() OVER (PARTITION BY cx, cy, sn "
+        f"ORDER BY i) AS BIGINT) AS rn, "
+        f"CAST(count(*) OVER (PARTITION BY cx, cy, sn) AS BIGINT) AS k "
+        f"FROM c), "
+        f"pa AS (SELECT cx, cy, sn, CAST(max(k) AS BIGINT) AS k, "
+        f"CAST(sum(x) AS BIGINT) AS n_events, "
+        f"CAST(sum((i - (rn - 1)) - (({Ts - 1}) - i - (k - rn))) "
+        f"AS BIGINT) AS s_pa FROM r GROUP BY 1, 2, 3), "
+        f"ties AS (SELECT cx, cy, sn, "
+        f"CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS ttp "
+        f"FROM (SELECT cx, cy, sn, x, CAST(count(*) AS BIGINT) AS g "
+        f"FROM c GROUP BY 1, 2, 3, 4) gg GROUP BY 1, 2, 3), "
+        f"per AS (SELECT pa.cx, pa.cy, pa.sn, pa.n_events, pa.k, "
+        f"CAST(coalesce(pp.s_pp, 0) + pa.s_pa AS BIGINT) AS s_s, "
+        f"CAST(ties.ttp + {zg} * ({zg} - 1) * (2 * {zg} + 5) "
+        f"AS BIGINT) AS tt_s FROM pa "
+        f"LEFT JOIN pp ON pa.cx = pp.cx AND pa.cy = pp.cy "
+        f"AND pa.sn = pp.sn "
+        f"JOIN ties ON pa.cx = ties.cx AND pa.cy = ties.cy "
+        f"AND pa.sn = ties.sn), "
+        f"m AS (SELECT cx, cy, CAST(sum(n_events) AS BIGINT) "
+        f"AS n_events, CAST(sum(k) AS BIGINT) AS k_bins, "
+        f"CAST(sum(s_s) AS BIGINT) AS mk_s, "
+        # absent seasons contribute a FULL zero group Ts(Ts-1)(2Ts+5):
+        # add it for each of the P - count(sn) seasons with no events
+        f"CAST(sum(tt_s) + ({P} - count(*)) "
+        f"* {Ts * (Ts - 1) * (2 * Ts + 5)} AS BIGINT) AS ttv "
+        f"FROM per GROUP BY 1, 2) "
+        f"SELECT cx AS cell_x, cy AS cell_y, n_events, k_bins, mk_s, "
+        + ", ".join(_smk_z_sql(P, Ts))
+        + " FROM m"
+    )
+
+
+def seasonal_mk_cells(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    n_seasons: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Seasonal Mann-Kendall per cell (see
+    :func:`seasonal_mk_cells_sql`). Same plan family as
+    mann_kendall_cells with the season in every key: ONE corpus
+    hash-aggregate, a (cell, season)-bounded ordered self-join, two
+    windows and the final cell rollup — all reusing the counts
+    exchange; per-cell work O(P·Ts²)."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    Ts = _smk_params(n_bins, n_seasons)
+    P = int(n_seasons)
+    T = int(n_bins)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    c = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{binx} AS b")
+        .filter(f"b >= 0 AND b < {T}")
+        .selectExpr(
+            "cx", "cy", f"(b % {P}) AS sn",
+            f"CAST((b - (b % {P})) / {P} AS BIGINT) AS i",
+        )
+        .groupBy("cx", "cy", "sn", "i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    a = c.selectExpr("cx", "cy", "sn", "i AS i1", "x AS x1")
+    b2 = c.selectExpr(
+        "cx AS cx2", "cy AS cy2", "sn AS sn2", "i AS i2", "x AS x2"
+    )
+    pp = (
+        a.join(
+            b2,
+            (a.cx == b2.cx2) & (a.cy == b2.cy2)
+            & (a.sn == b2.sn2) & (b2.i2 > a.i1),
+        )
+        .groupBy("cx", "cy", "sn")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN x2 > x1 THEN 1 "
+                "WHEN x2 < x1 THEN -1 ELSE 0 END) AS BIGINT)"
+            ).alias("s_pp")
+        )
+    )
+    r = c.selectExpr(
+        "cx", "cy", "sn", "i", "x",
+        "CAST(row_number() OVER (PARTITION BY cx, cy, sn ORDER BY i) "
+        "AS BIGINT) AS rn",
+        "CAST(count(*) OVER (PARTITION BY cx, cy, sn) AS BIGINT) AS k",
+    )
+    pa = r.groupBy("cx", "cy", "sn").agg(
+        F.expr("CAST(max(k) AS BIGINT)").alias("k"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("n_events"),
+        F.expr(
+            f"CAST(sum((i - (rn - 1)) - (({Ts - 1}) - i - (k - rn))) "
+            f"AS BIGINT)"
+        ).alias("s_pa"),
+    )
+    ties = (
+        c.groupBy("cx", "cy", "sn", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+        .groupBy("cx", "cy", "sn")
+        .agg(
+            F.expr(
+                "CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT)"
+            ).alias("ttp")
+        )
+    )
+    zg = f"(({Ts}) - k)"
+    per = (
+        pa.join(pp, ["cx", "cy", "sn"], "left")
+        .join(ties, ["cx", "cy", "sn"])
+        .selectExpr(
+            "cx", "cy", "sn", "n_events", "k",
+            "CAST(coalesce(s_pp, 0) + s_pa AS BIGINT) AS s_s",
+            f"CAST(ttp + {zg} * ({zg} - 1) * (2 * {zg} + 5) "
+            f"AS BIGINT) AS tt_s",
+        )
+    )
+    m = per.groupBy("cx", "cy").agg(
+        F.expr("CAST(sum(n_events) AS BIGINT)").alias("n_events"),
+        F.expr("CAST(sum(k) AS BIGINT)").alias("k_bins"),
+        F.expr("CAST(sum(s_s) AS BIGINT)").alias("mk_s"),
+        F.expr(
+            f"CAST(sum(tt_s) + ({P} - count(*)) "
+            f"* {Ts * (Ts - 1) * (2 * Ts + 5)} AS BIGINT)"
+        ).alias("ttv"),
+    )
+    return m.selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "n_events", "k_bins", "mk_s",
+        *_smk_z_sql(P, Ts),
+    )

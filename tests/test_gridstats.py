@@ -1245,3 +1245,105 @@ def test_sen_slope_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------ seasonal Mann-Kendall
+
+
+def _brute_smk(xs, P):
+    """Brute seasonal Kendall on the dense zero-filled series xs."""
+    import numpy as np
+
+    T = len(xs)
+    Ts = T // P
+    S = 0
+    V = 0.0
+    for s in range(P):
+        sub = [xs[s + P * k] for k in range(Ts)]
+        S += sum(
+            np.sign(sub[j] - sub[i])
+            for i in range(Ts) for j in range(i + 1, Ts)
+        )
+        ties = {}
+        for v in sub:
+            ties[v] = ties.get(v, 0) + 1
+        tt = sum(g * (g - 1) * (2 * g + 5) for g in ties.values())
+        V += (Ts * (Ts - 1) * (2 * Ts + 5) - tt) / 18.0
+    if V <= 0:
+        return S, None
+    z = (S - 1) / V ** 0.5 if S > 0 else (
+        (S + 1) / V ** 0.5 if S < 0 else 0.0)
+    return S, z
+
+
+def test_seasonal_mk_brute_truth(spark):
+    T, P = 12, 3
+    series = {
+        # within-season increase in every season -> strong trend
+        (0, 0): [1, 5, 9, 2, 6, 10, 3, 7, 11, 4, 8, 12],
+        # pure seasonal cycle, NO within-season trend -> S = 0
+        (3, 1): [9, 1, 5, 9, 1, 5, 9, 1, 5, 9, 1, 5],
+        # sparse with zero bins
+        (5, -1): [0, 0, 1, 0, 2, 0, 0, 5, 0, 3, 0, 0],
+        # constant -> all seasons tied, variance 0
+        (9, 1): [2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],
+    }
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    out = GS.seasonal_mk_cells(
+        _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000,
+        n_bins=T, n_seasons=P,
+    )
+    got = {(r.cell_x, r.cell_y): r for r in out.collect()}
+    assert set(got) == set(series)
+    for key, xs in series.items():
+        S, z = _brute_smk(xs, P)
+        r = got[key]
+        assert r.mk_s == S, key
+        assert r.n_events == sum(xs)
+        if z is None:
+            assert r.mk_z is None and r.trend == "none"
+        else:
+            assert r.mk_z == pytest.approx(z, abs=2e-6), key
+    # the cycle-only cell: a plain MK would see spurious structure,
+    # the seasonal test reports exactly S = 0
+    assert got[(3, 1)].mk_s == 0
+    assert got[(0, 0)].trend == "increasing"
+
+
+def test_seasonal_mk_validation(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1)])
+    with pytest.raises(ValueError, match="divide"):
+        GS.seasonal_mk_cells(df, CELL, 0, 1000, n_bins=10, n_seasons=3)
+    with pytest.raises(ValueError, match=">= 2"):
+        GS.seasonal_mk_cells(df, CELL, 0, 1000, n_bins=10, n_seasons=1)
+    with pytest.raises(ValueError, match="pairs"):
+        GS.seasonal_mk_cells(df, CELL, 0, 1000, n_bins=10, n_seasons=10)
+
+
+def test_seasonal_mk_reduces_to_mk_at_one_season_shape(spark):
+    # P seasons of an UNSEASONAL series: the summed statistic keeps
+    # the trend direction (sanity coupling with mann_kendall_cells)
+    cells = [(1, 1, b, b + 1) for b in range(12)]
+    df = _mk_events_t(spark, cells)
+    smk = GS.seasonal_mk_cells(
+        df, CELL, 0, 1000, n_bins=12, n_seasons=4
+    ).collect()[0]
+    mk = GS.mann_kendall_cells(
+        df, CELL, 0, 1000, n_bins=12
+    ).collect()[0]
+    assert smk.trend == mk.trend == "increasing"
+    assert 0 < smk.mk_s < mk.mk_s  # fewer comparable pairs per season
+
+
+def test_seasonal_mk_plan(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1), (0, 0, 1, 2)])
+    plan = GS.seasonal_mk_cells(
+        df, CELL, 0, 1000, n_bins=4, n_seasons=2
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
