@@ -803,6 +803,21 @@ def _seasonal_mk_sql() -> str:
     return GS.seasonal_mk_cells_sql(FX.events_geo_sql(), **_SMK_KW)
 
 
+def q_pettitt_change(spark, sf_dir):
+    """Pettitt change-point test per cell (operators/gridstats.py
+    pettitt_cells): rank-based abrupt-shift detection over the same
+    2-day-binned January-2024 series the MK family uses — U(t) prefix
+    sums from the bounded zero-filled cube, earliest-argmax K via the
+    total-order min_by key, significance decided by BIGINT 6K² against
+    one compile-time literal (no transcendental in the decision)."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.pettitt_cells(ev, **_SEN_KW)
+
+
+def _pettitt_change_sql() -> str:
+    return GS.pettitt_cells_sql(FX.events_geo_sql(), **_SEN_KW)
+
+
 def q_cell_acf(spark, sf_dir):
     """Per-cell temporal autocorrelation (operators/gridstats.py
     acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
@@ -5319,6 +5334,7 @@ def oracle_sql() -> dict[str, str]:
         "colocation_quotient": _colocation_quotient_sql(),
         "sen_slope": _sen_slope_sql(),
         "seasonal_mk": _seasonal_mk_sql(),
+        "pettitt_change": _pettitt_change_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5704,6 +5720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_quotient": q_colocation_quotient,
         "sen_slope": q_sen_slope,
         "seasonal_mk": q_seasonal_mk,
+        "pettitt_change": q_pettitt_change,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

@@ -3290,3 +3290,197 @@ def seasonal_mk_cells(
         "cx AS cell_x", "cy AS cell_y", "n_events", "k_bins", "mk_s",
         *_smk_z_sql(P, Ts),
     )
+
+
+# ------------------------------------ Pettitt change-point per cell --
+
+
+def _pettitt_consts(n_bins: int, alpha: float) -> tuple:
+    """Compile-time pieces of the Pettitt significance machinery: the
+    p-value denominator D = T³ + T² and the DOUBLE threshold on
+    6·K² for p ≤ alpha — both Python-computed, so NEITHER engine
+    evaluates a transcendental inside the decision path (the exact
+    BIGINT 6·K² compares against one shared literal)."""
+    T = int(n_bins)
+    if T < 4:
+        raise ValueError(
+            f"n_bins must be >= 4 for a meaningful change point, "
+            f"got {n_bins}"
+        )
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    D = T ** 3 + T ** 2
+    # p <= alpha  <=>  2 exp(-6K^2/D) <= alpha  <=>  6K^2 >= D ln(2/a)
+    return D, D * math.log(2.0 / alpha)
+
+
+def _pettitt_out_sql(T: int, D: int, thresh: float) -> tuple:
+    """Shared projection (p_value, shift) over (k_stat, u_cp). The
+    approximate two-sided p = min(1, 2·exp(−6K²/D)) rounds to 6 both
+    sides (exp is libm — the spacetime_scan ln precedent; half-ulp
+    round boundary theoretical-but-accepted). Shift direction: U(t)
+    sums sgn(early − late), so U > 0 at the change point means the
+    level DECREASED."""
+    k2 = "CAST(k_stat * k_stat AS DOUBLE)"
+    sig = f"(CAST(6 * k_stat * k_stat AS DOUBLE) >= {_pf(thresh)})"
+    return (
+        f"round(least(1.0E0, 2.0E0 * exp(-6.0E0 * {k2} "
+        f"/ {_pf(float(D))})), 6) AS p_value",
+        f"(CASE WHEN {sig} AND u_cp > 0 THEN 'decreasing' "
+        f"WHEN {sig} AND u_cp < 0 THEN 'increasing' "
+        f"ELSE 'none' END) AS shift",
+    )
+
+
+def pettitt_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    alpha: float = 0.05,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell Pettitt (1979) change-point test of binned event counts
+    — the rank-based companion to mann_kendall_cells for ABRUPT shifts
+    (MK assumes a monotone trend; a step change is Pettitt's null
+    target, and it is the standard homogeneity test in the same
+    hydrology toolbox as MK/Sen).
+
+    Over the zero-filled T-bin series, U(t) = Σ_{i≤t} Σ_{j>t}
+    sgn(x_i − x_j) for each split t = 0..T−2; K = max|U(t)|, the
+    change point is the earliest argmax, and p ≈ 2·exp(−6K²/(T³+T²)).
+    Everything up to the p-value is EXACT BIGINT: the per-bin
+    cross-sign sum V(b) = Σ_j sgn(x_b − x_j) comes from the bounded
+    cube self-join, U is its prefix sum (Pettitt's own recurrence
+    U(t) = U(t−1) + V(t), provable by telescoping), and the argmax
+    tie-break is the total-order min_by key (−|U|)·T + b — max |U|,
+    then earliest bin — identical in both engines. The significance
+    decision compares BIGINT 6K² against ONE Python-computed literal
+    (:func:`_pettitt_consts`), so no transcendental decides.
+
+    Output: one row per cell with ≥ 1 event in [t0, t0 + T·bin):
+    (cell_x, cell_y, n_events, k_stat, cp_bin, u_cp, p_value, shift);
+    cp_bin is the last bin of the pre-change segment; shift is
+    'increasing' / 'decreasing' / 'none' at level alpha.
+    """
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    T = int(n_bins)
+    D, thresh = _pettitt_consts(T, alpha)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    bvals = ", ".join(f"({b})" for b in range(T))
+    key = f"(-abs(u)) * {T} + b"
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, {binx} AS b "
+        f"FROM ({src_sql}) s), "
+        f"c AS (SELECT cx, cy, b, CAST(count(*) AS BIGINT) AS x "
+        f"FROM ev WHERE b >= 0 AND b < {T} GROUP BY 1, 2, 3), "
+        f"act AS (SELECT cx, cy, CAST(sum(x) AS BIGINT) AS n_events "
+        f"FROM c GROUP BY 1, 2), "
+        f"bins(b) AS (VALUES {bvals}), "
+        f"cube0 AS (SELECT act.cx, act.cy, "
+        f"CAST(bins.b AS BIGINT) AS b, "
+        f"CAST(coalesce(c.x, 0) AS BIGINT) AS x "
+        f"FROM act CROSS JOIN bins "
+        f"LEFT JOIN c ON c.cx = act.cx AND c.cy = act.cy "
+        f"AND c.b = CAST(bins.b AS BIGINT)), "
+        f"v AS (SELECT a.cx, a.cy, a.b, "
+        f"CAST(sum(CASE WHEN a.x > b2.x THEN 1 "
+        f"WHEN a.x < b2.x THEN -1 ELSE 0 END) AS BIGINT) AS v "
+        f"FROM cube0 a JOIN cube0 b2 ON a.cx = b2.cx AND a.cy = b2.cy "
+        f"GROUP BY 1, 2, 3), "
+        f"u AS (SELECT cx, cy, b, "
+        f"CAST(sum(v) OVER (PARTITION BY cx, cy ORDER BY b "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"AS BIGINT) AS u FROM v), "
+        f"agg AS (SELECT cx, cy, "
+        f"CAST(max(abs(u)) AS BIGINT) AS k_stat, "
+        f"CAST(min_by(b, {key}) AS BIGINT) AS cp_bin, "
+        f"CAST(min_by(u, {key}) AS BIGINT) AS u_cp "
+        f"FROM u WHERE b <= {T - 2} GROUP BY 1, 2) "
+        f"SELECT act.cx AS cell_x, act.cy AS cell_y, act.n_events, "
+        f"agg.k_stat, agg.cp_bin, agg.u_cp, "
+        + ", ".join(_pettitt_out_sql(T, D, thresh))
+        + " FROM act JOIN agg ON act.cx = agg.cx AND act.cy = agg.cy"
+    )
+
+
+def pettitt_cells(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    alpha: float = 0.05,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Pettitt change-point per cell (see :func:`pettitt_cells_sql`).
+    The sen_slope plan family: ONE corpus hash aggregation to (cell,
+    bin) counts, a bounded T-literal cube fan-out, the cell-keyed cube
+    self-join (T² rows/cell) for V, one cell-keyed prefix-sum window
+    for U, and one final per-cell aggregation — the counts exchange is
+    AQE-reused across the active/cube branches."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    T = int(n_bins)
+    D, thresh = _pettitt_consts(T, alpha)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    c = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{binx} AS b")
+        .filter(f"b >= 0 AND b < {T}")
+        .groupBy("cx", "cy", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    act = c.groupBy("cx", "cy").agg(
+        F.sum("x").cast("bigint").alias("n_events")
+    )
+    bins = ", ".join(str(b) for b in range(T))
+    cube = (
+        act.selectExpr("cx", "cy", f"explode(array({bins})) AS b")
+        .selectExpr("cx", "cy", "CAST(b AS BIGINT) AS b")
+        .join(c, ["cx", "cy", "b"], "left")
+        .selectExpr(
+            "cx", "cy", "b", "CAST(coalesce(x, 0) AS BIGINT) AS x"
+        )
+    )
+    a = cube.selectExpr("cx", "cy", "b AS b1", "x AS x1")
+    b2 = cube.selectExpr("cx", "cy", "b AS b2", "x AS x2")
+    v = (
+        a.join(b2, ["cx", "cy"])
+        .groupBy("cx", "cy", "b1")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN x1 > x2 THEN 1 "
+                "WHEN x1 < x2 THEN -1 ELSE 0 END) AS BIGINT)"
+            ).alias("v")
+        )
+        .withColumnRenamed("b1", "b")
+    )
+    w = (
+        Window.partitionBy("cx", "cy")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = v.withColumn("u", F.sum("v").over(w).cast("bigint"))
+    key = f"(-abs(u)) * {T} + b"
+    agg = (
+        u.filter(f"b <= {T - 2}")
+        .groupBy("cx", "cy")
+        .agg(
+            F.expr("CAST(max(abs(u)) AS BIGINT)").alias("k_stat"),
+            F.expr(f"CAST(min_by(b, {key}) AS BIGINT)").alias("cp_bin"),
+            F.expr(f"CAST(min_by(u, {key}) AS BIGINT)").alias("u_cp"),
+        )
+    )
+    return act.join(agg, ["cx", "cy"]).selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "n_events",
+        "k_stat", "cp_bin", "u_cp",
+        *_pettitt_out_sql(T, D, thresh),
+    )

@@ -1347,3 +1347,87 @@ def test_seasonal_mk_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------- Pettitt change point
+
+
+def _brute_pettitt(xs, alpha=0.05):
+    import math
+
+    T = len(xs)
+    sgn = lambda d: (d > 0) - (d < 0)  # noqa: E731
+    U = [
+        sum(
+            sgn(xs[i] - xs[j])
+            for i in range(t + 1) for j in range(t + 1, T)
+        )
+        for t in range(T - 1)
+    ]
+    K = max(abs(u) for u in U)
+    cp = min(t for t in range(T - 1) if abs(U[t]) == K)
+    p = min(1.0, 2.0 * math.exp(-6.0 * K * K / (T ** 3 + T ** 2)))
+    sig = 6.0 * K * K >= (T ** 3 + T ** 2) * math.log(2.0 / alpha)
+    shift = (
+        "none" if not sig
+        else ("decreasing" if U[cp] > 0 else "increasing")
+    )
+    return K, cp, U[cp], p, shift
+
+
+def test_pettitt_brute_truth(spark):
+    T = 12
+    series = {
+        # clean upward step at midpoint -> significant 'increasing'
+        (0, 0): [1, 1, 1, 1, 1, 1, 9, 9, 9, 9, 9, 9],
+        # clean downward step -> significant 'decreasing'
+        (3, 1): [7, 7, 7, 7, 7, 7, 1, 1, 1, 1, 1, 1],
+        # constant -> U identically 0, p = 1, earliest-bin tie-break
+        (9, 1): [2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],
+        # sparse with zero bins
+        (5, -1): [0, 0, 3, 0, 1, 0, 0, 5, 2, 0, 0, 4],
+        # off-center weak step (exercises argmax position)
+        (7, 0): [4, 4, 4, 5, 5, 5, 5, 5, 5, 5, 5, 5],
+    }
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    out = GS.pettitt_cells(
+        _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000,
+        n_bins=T,
+    )
+    got = {(r.cell_x, r.cell_y): r for r in out.collect()}
+    assert set(got) == set(series)
+    for key, xs in series.items():
+        K, cp, ucp, p, shift = _brute_pettitt(xs)
+        r = got[key]
+        assert r.k_stat == K, key
+        assert r.cp_bin == cp, key
+        assert r.u_cp == ucp, key
+        assert r.p_value == pytest.approx(p, abs=2e-6), key
+        assert r.shift == shift, key
+        assert r.n_events == sum(xs)
+    assert got[(0, 0)].shift == "increasing"
+    assert got[(3, 1)].shift == "decreasing"
+    assert got[(9, 1)].k_stat == 0 and got[(9, 1)].cp_bin == 0
+    assert got[(9, 1)].p_value == 1.0
+
+
+def test_pettitt_validation(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1)])
+    with pytest.raises(ValueError, match=">= 4"):
+        GS.pettitt_cells(df, CELL, 0, 1000, n_bins=3)
+    with pytest.raises(ValueError, match="alpha"):
+        GS.pettitt_cells(df, CELL, 0, 1000, n_bins=8, alpha=1.5)
+
+
+def test_pettitt_plan(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1), (0, 0, 1, 2)])
+    plan = GS.pettitt_cells(
+        df, CELL, 0, 1000, n_bins=4
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
