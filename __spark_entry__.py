@@ -941,6 +941,31 @@ def _ripley_k_sql() -> str:
     )
 
 
+def q_pair_correlation(spark, sf_dir):
+    """Pair correlation function g(r) / O-ring statistic
+    (operators/trajectory.py pair_correlation): ripley_k's
+    NON-cumulative companion — pair counts in half-open distance
+    rings (0,75]/(75,150]/(150,300] km normalized by the exact
+    spherical annulus areas (compile-time constants), so CSR reads
+    ĝ ≈ 1 at every scale and clustering is attributed to ITS scale
+    instead of bleeding cumulatively. Same one-bucketed-join-serves-
+    all-rings plan; the oracle replays the counts as the brute-force
+    un-bucketed pair scan."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.pair_correlation(
+        ev, edges_m=[0.0, 75000.0, 150000.0, 300000.0],
+        cell_deg=8.0, lat_max=66.0,
+    )
+
+
+def _pair_correlation_sql() -> str:
+    return trajectory.pair_correlation_sql(
+        FX.events_geo_sql(),
+        edges_m=[0.0, 75000.0, 150000.0, 300000.0],
+        cell_deg=8.0, lat_max=66.0,
+    )
+
+
 def q_gearys_c(spark, sf_dir):
     """Global Geary's C (operators/gridstats.py gearys_c): the
     squared-difference complement of Moran's I over the same fixed
@@ -5320,6 +5345,7 @@ def oracle_sql() -> dict[str, str]:
         "quadrat_csr": _quadrat_csr_sql(),
         "gearys_c": _gearys_c_sql(),
         "ripley_k": _ripley_k_sql(),
+        "pair_correlation": _pair_correlation_sql(),
         "std_ellipse": _std_ellipse_sql(),
         "spacetime_scan": _spacetime_scan_sql(),
         "general_g": _general_g_sql(),
@@ -5706,6 +5732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrat_csr": q_quadrat_csr,
         "gearys_c": q_gearys_c,
         "ripley_k": q_ripley_k,
+        "pair_correlation": q_pair_correlation,
         "std_ellipse": q_std_ellipse,
         "spacetime_scan": q_spacetime_scan,
         "general_g": q_general_g,

@@ -2279,6 +2279,200 @@ def ripley_k_sql(
     )
 
 
+# ----------------------- pair correlation function (O-ring) g(r) --
+
+
+def _pcf_params(
+    edges_m: list, cell_deg: float, lat_max: float
+) -> tuple:
+    """Validate ring edges (first >= 0, strictly ascending, >= 2
+    edges) and the bucket cover at the outermost edge (the Ripley /
+    co-location argument). Returns (nx, edges as floats, band area A,
+    per-ring spherical annulus areas a_i): the exact sphere ring area
+    around a point, a_i = 2πR²(cos(lo/R) − cos(hi/R)), is a
+    COMPILE-TIME Python constant per bin — no transcendental ever
+    reaches SQL — and reduces to the planar π(hi²−lo²) for small r."""
+    import math as _m
+
+    from .crs import R_SPHERE
+
+    es = [float(e) for e in edges_m]
+    if len(es) < 2:
+        raise ValueError("edges_m needs >= 2 edges (>= 1 ring)")
+    if es[0] < 0 or any(b <= a for a, b in zip(es, es[1:])):
+        raise ValueError(
+            f"edges_m must be non-negative and strictly ascending, "
+            f"got {edges_m}"
+        )
+    nx, _ = _coloc_params(es[-1], 1, cell_deg, lat_max)
+    area = 4.0 * _m.pi * R_SPHERE * R_SPHERE * _m.sin(
+        _m.radians(lat_max)
+    )
+    rings = [
+        2.0 * _m.pi * R_SPHERE * R_SPHERE
+        * (_m.cos(lo / R_SPHERE) - _m.cos(hi / R_SPHERE))
+        for lo, hi in zip(es, es[1:])
+    ]
+    return nx, es, area, rings
+
+
+def _pcf_out_sql(area: float, rings: list) -> str:
+    """Shared g_hat projection over (bin, pairs_in_ring, n): the
+    ratio-to-CSR estimate ĝ_i = A·2·p_i / (n(n−1)·a_i) — observed
+    ordered pairs per point in ring i over the CSR expectation
+    (n−1)·a_i/A. Under CSR ĝ ≈ 1; > 1 means excess structure AT that
+    scale (the K function's cumulative form hides which scale). The
+    per-ring 1/a_i constants fold into one Python-computed literal
+    A/a_i per bin, dispatched by a bounded CASE. NULL for n < 2."""
+    from .crs import _pf
+
+    nn1 = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0E0))"
+    ratio = " ".join(
+        f"WHEN bin = {i} THEN {_pf(area / a)}"
+        for i, a in enumerate(rings)
+    )
+    return (
+        f"round((CASE {ratio} END) * 2.0E0 "
+        f"* CAST(pairs_in_ring AS DOUBLE) / nullif({nn1}, 0.0E0), 6) "
+        f"AS g_hat"
+    )
+
+
+def pair_correlation(
+    df: DataFrame,
+    edges_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Pair correlation function g(r) (the O-ring statistic, Wiegand &
+    Moloney 2004; spatstat's ``pcf``) — the NON-cumulative companion to
+    :func:`ripley_k`: pair counts in half-open distance rings
+    (lo, hi], normalized so CSR gives ĝ ≈ 1 at every scale. K(r) is
+    cumulative, so clustering at 50 km bleeds into every K(r > 50 km);
+    g(r) isolates the scale — the reason spatstat recommends reading g
+    before K (reference has neither; this extends its spatial family).
+
+    Estimator: ĝ_i = A·2·ring_i / (n(n−1)·a_i) with a_i the EXACT
+    spherical annulus area 2πR²(cos(lo/R) − cos(hi/R)) (a compile-time
+    Python constant; reduces to planar π(hi²−lo²) at small r). Naive
+    (no edge correction), like ripley_k: lon wraps seam-free, the lat
+    truncation at ±lat_max biases rings near the band edge down
+    (documented there). Exact counts, never a corpus cross product:
+    the 3x3 bucket cover at cell width >= edges[-1] is validated
+    complete, every pair found EXACTLY once, and ALL rings share the
+    ONE candidate join — per-ring counts are conditional sums in a
+    single aggregation, unpivoted by a bounded literal explode.
+    Co-located pairs (d = 0) fall in no ring when edges[0] = 0 (the
+    semivariogram bin-0 convention; dedup upstream owns them).
+
+    Output: one row per ring (r_lo, r_hi, n_events, pairs_in_ring,
+    g_hat), floats round(.,6).
+    """
+    nx, es, area, rings = _pcf_params(edges_m, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    base = df.filter(F.expr(f"abs({lat}) <= {_pf(lat_max)}")).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    n_df = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    sums = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(
+            f"ea < eb AND round({hav}, {_ND}) <= {_pf(es[-1])} "
+            f"AND round({hav}, {_ND}) > {_pf(es[0])}"
+        ))
+        .selectExpr(f"round({hav}, {_ND}) AS d")
+        .agg(*[
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN d > {_pf(lo)} "
+                f"AND d <= {_pf(hi)} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias(f"p{i}")
+            for i, (lo, hi) in enumerate(zip(es, es[1:]))
+        ])
+    )
+    stack = ", ".join(
+        f"struct({i} AS bin, CAST({_pf(lo)} AS DOUBLE) AS r_lo, "
+        f"CAST({_pf(hi)} AS DOUBLE) AS r_hi, p{i} AS pairs_in_ring)"
+        for i, (lo, hi) in enumerate(zip(es, es[1:]))
+    )
+    return (
+        sums.crossJoin(F.broadcast(n_df))
+        .selectExpr(f"explode(array({stack})) AS s", "n")
+        .selectExpr(
+            "s.bin AS bin", "s.r_lo AS r_lo", "s.r_hi AS r_hi",
+            "n", "s.pairs_in_ring AS pairs_in_ring",
+        )
+        .selectExpr(
+            "r_lo", "r_hi", "n AS n_events", "pairs_in_ring",
+            _pcf_out_sql(area, rings),
+        )
+    )
+
+
+def pair_correlation_sql(
+    src_sql: str,
+    edges_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`pair_correlation`: the full
+    un-bucketed pair scan, per-ring counts via a VALUES ring table
+    LEFT-joined on lo < d <= hi — independently proving the engine's
+    bucket cover complete. Quadratic by design: sf0.01-sized, like the
+    ripley/knox oracles."""
+    nx, es, area, rings = _pcf_params(edges_m, cell_deg, lat_max)
+    from .crs import _pf
+
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    vals = ", ".join(
+        f"({i}, {_pf(lo)}, {_pf(hi)})"
+        for i, (lo, hi) in enumerate(zip(es, es[1:]))
+    )
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la "
+        f"FROM ({src_sql}) s WHERE abs({lat}) <= {_pf(lat_max)}), "
+        f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), "
+        f"pr AS (SELECT round({hav}, {_ND}) AS d "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"WHERE round({hav}, {_ND}) <= {_pf(es[-1])} "
+        f"AND round({hav}, {_ND}) > {_pf(es[0])}), "
+        f"rt AS (SELECT CAST(i AS INT) AS bin, "
+        f"CAST(lo AS DOUBLE) AS r_lo, CAST(hi AS DOUBLE) AS r_hi "
+        f"FROM (VALUES {vals}) t(i, lo, hi)), "
+        f"agg AS (SELECT bin, r_lo, r_hi, "
+        f"CAST(count(d) AS BIGINT) AS pairs_in_ring "
+        f"FROM rt LEFT JOIN pr ON d > r_lo AND d <= r_hi "
+        f"GROUP BY 1, 2, 3) "
+        f"SELECT r_lo, r_hi, n AS n_events, pairs_in_ring, "
+        + _pcf_out_sql(area, rings)
+        + " FROM agg CROSS JOIN nn"
+    )
+
+
 # ------------------------- standard deviational ellipse (per entity) --
 
 _SDE_SCALE = 100_000  # 1e-5 deg (~1.1 m) fixed-point moment quantum

@@ -1538,3 +1538,84 @@ def test_clq_plan_no_cartesian(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------- pair correlation function (O-ring)
+
+
+def test_pcf_crafted_counts(spark):
+    import math as m
+
+    def hav_m(p, q):
+        R = 6370997.0
+        la1, lo1, la2, lo2 = map(m.radians, (p[1], p[0], q[1], q[0]))
+        a = (m.sin((la2 - la1) / 2) ** 2
+             + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+        return 2 * R * m.asin(m.sqrt(a))
+
+    pts = [(10.0, 10.0), (10.2, 10.0), (10.1, 10.2),
+           (10.9, 10.0), (120.0, -30.0)]
+    rows = [(i, lo, la) for i, (lo, la) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double")
+    edges = [0.0, 50000.0, 120000.0, 300000.0]
+    out = {
+        (r.r_lo, r.r_hi): r for r in trajectory.pair_correlation(
+            df, edges_m=edges, cell_deg=8.0, lat_max=66.0
+        ).collect()
+    }
+    assert set(out) == set(zip(edges, edges[1:]))
+    n = len(pts)
+    R = 6370997.0
+    area = 4 * m.pi * R * R * m.sin(m.radians(66.0))
+    total = 0
+    for lo, hi in zip(edges, edges[1:]):
+        ring = sum(
+            1
+            for i in range(len(pts)) for j in range(i + 1, len(pts))
+            if lo < round(hav_m(pts[i], pts[j]), 3) <= hi
+        )
+        r = out[(lo, hi)]
+        assert r.n_events == n
+        assert r.pairs_in_ring == ring
+        a_ring = 2 * m.pi * R * R * (m.cos(lo / R) - m.cos(hi / R))
+        g = area * 2 * ring / (n * (n - 1) * a_ring)
+        assert r.g_hat == pytest.approx(g, abs=2e-6)
+        total += ring
+    # rings partition (0, 300km]: ring sums == ripley pairs_within(300km)
+    rip = trajectory.ripley_k(
+        df, radii_m=[300000.0], cell_deg=8.0, lat_max=66.0
+    ).collect()[0]
+    assert total == rip.pairs_within
+
+
+def test_pcf_seam_colocated_and_validation(spark):
+    # seam pair lands in ring 1; an exactly co-located pair (d = 0)
+    # falls in NO ring when edges[0] = 0 (half-open bins)
+    rows = [(0, 179.95, 0.0), (1, -179.95, 0.0),
+            (2, 50.0, 20.0), (3, 50.0, 20.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double")
+    out = {r.r_lo: r for r in trajectory.pair_correlation(
+        df, edges_m=[0.0, 50000.0], cell_deg=8.0, lat_max=66.0
+    ).collect()}
+    assert out[0.0].pairs_in_ring == 1  # the seam pair only
+    with pytest.raises(ValueError, match="ascending"):
+        trajectory.pair_correlation(df, [10.0, 5.0], 8.0, 66.0)
+    with pytest.raises(ValueError, match=">= 2 edges"):
+        trajectory.pair_correlation(df, [10.0], 8.0, 66.0)
+    with pytest.raises(ValueError, match="cover"):
+        trajectory.pair_correlation(df, [0.0, 5_000_000.0], 8.0, 66.0)
+
+
+def test_pcf_plan_single_join_all_rings(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, 10.1, 10.0)],
+        "event_id bigint, lon double, lat double")
+    plan = trajectory.pair_correlation(
+        df, edges_m=[0.0, 10000.0, 50000.0], cell_deg=8.0, lat_max=66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
