@@ -818,6 +818,24 @@ def _pettitt_change_sql() -> str:
     return GS.pettitt_cells_sql(FX.events_geo_sql(), **_SEN_KW)
 
 
+def q_snht_change(spark, sf_dir):
+    """SNHT homogeneity test per cell (operators/gridstats.py
+    snht_cells): Alexandersson 1986 — the PARAMETRIC abrupt-shift
+    companion to pettitt_change over the same 2-day-binned series.
+    T(t) collapses to A²·T/(B·k(T−k)) with A, B exact BIGINTs, so the
+    whole statistic is ONE prefix-sum window over the bounded cube
+    (no pair join); the earliest argmax comes from the
+    max-then-equality-join on the engine-identical double ratio; the
+    significance threshold is the published-table value (t_crit ≈ 7.4
+    at T=15, 95% — a parameter, never derived)."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.snht_cells(ev, t_crit=7.4, **_SEN_KW)
+
+
+def _snht_change_sql() -> str:
+    return GS.snht_cells_sql(FX.events_geo_sql(), t_crit=7.4, **_SEN_KW)
+
+
 def q_cell_acf(spark, sf_dir):
     """Per-cell temporal autocorrelation (operators/gridstats.py
     acf_cells): lag 1-3 sample ACF of 2-day-binned January-2024 counts
@@ -5361,6 +5379,7 @@ def oracle_sql() -> dict[str, str]:
         "sen_slope": _sen_slope_sql(),
         "seasonal_mk": _seasonal_mk_sql(),
         "pettitt_change": _pettitt_change_sql(),
+        "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
         "location_entropy": _location_entropy_sql(),
@@ -5748,6 +5767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sen_slope": q_sen_slope,
         "seasonal_mk": q_seasonal_mk,
         "pettitt_change": q_pettitt_change,
+        "snht_change": q_snht_change,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
         "location_entropy": q_location_entropy,

@@ -3484,3 +3484,212 @@ def pettitt_cells(
         "k_stat", "cp_bin", "u_cp",
         *_pettitt_out_sql(T, D, thresh),
     )
+
+
+# ------------------------------ SNHT homogeneity test per cell --
+
+
+def _snht_params(n_bins: int, t_crit: float) -> int:
+    """T >= 4 (a meaningful split needs >= 2 bins each side at the
+    extremes) and a positive published critical value. t0_stat has no
+    closed-form null distribution — Alexandersson 1986 / Khaliq &
+    Ouarda 2007 tabulate the percentage points by simulation — so the
+    significance threshold is a PARAMETER the caller reads off those
+    tables (e.g. ~7.4 at T=15, 95%), never derived here."""
+    T = int(n_bins)
+    if T < 4:
+        raise ValueError(
+            f"n_bins must be >= 4 for a meaningful change point, "
+            f"got {n_bins}"
+        )
+    if not float(t_crit) > 0.0:
+        raise ValueError(f"t_crit must be > 0, got {t_crit}")
+    return T
+
+
+def _snht_out_sql(T: int, t_crit: float) -> tuple:
+    """Shared projection (t0_stat, shift) over (rmax, a_cp, bvar):
+    T0 = rmax·T/B with rmax = max_t A_t²/(k(T−k)) and B = T·Σx² − S²
+    (population-variance standardization, Alexandersson's original
+    form: T·s² = B/T). B = 0 (constant series) leaves T0 undefined →
+    NULL / 'none'. The significance decision compares the UNROUNDED
+    identical-expression double against the published-table literal;
+    a_cp > 0 means the pre-change mean sits ABOVE the series mean, so
+    the level DECREASED."""
+    t0 = (
+        f"(rmax * {T}.0E0 / CAST(bvar AS DOUBLE))"
+    )
+    sig = f"(bvar > 0 AND {t0} >= {_pf(float(t_crit))})"
+    return (
+        f"(CASE WHEN bvar > 0 THEN round({t0}, 6) END) AS t0_stat",
+        f"(CASE WHEN {sig} AND a_cp > 0 THEN 'decreasing' "
+        f"WHEN {sig} AND a_cp < 0 THEN 'increasing' "
+        f"ELSE 'none' END) AS shift",
+    )
+
+
+def snht_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    t_crit: float,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell standard normal homogeneity test (Alexandersson 1986)
+    of binned event counts — the PARAMETRIC abrupt-shift companion to
+    :func:`pettitt_cells` (Pettitt ranks, SNHT standardizes; running
+    both is the standard climate-homogenization practice, cf. the
+    HOME/COST-ES0601 intercomparison).
+
+    With prefix sums S_k over the zero-filled T-bin series,
+    T(t) = k·z̄₁² + (T−k)·z̄₂² collapses to A_t²·T/(B·k(T−k)) where
+    A_t = T·S_k − k·S and B = T·Σx² − S² are EXACT BIGINTs (population
+    variance, the original SNHT form) — so the statistic needs only
+    ONE prefix-sum window over the bounded cube, no pair join (the
+    O(T) cheap sibling of Pettitt's O(T²)). T0 = max_t T(t); the
+    change point is the earliest argmax of the engine-identical
+    double ratio A²/(k(T−k)) (max-then-equality-join, the focal-family
+    precedent — every engine computes the identical correctly-rounded
+    division, so equality is deterministic). Significance compares T0
+    against the caller's published-table critical value
+    (:func:`_snht_params`).
+
+    Output: one row per cell with >= 1 event in [t0, t0 + T·bin):
+    (cell_x, cell_y, n_events, t0_stat, cp_bin, a_cp, shift); cp_bin
+    is the last bin of the pre-change segment (NULL for constant
+    series), t0_stat round(.,6).
+    """
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    T = _snht_params(n_bins, t_crit)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    bvals = ", ".join(f"({b})" for b in range(T))
+    ratio = (
+        f"(CAST(a * a AS DOUBLE) "
+        f"/ CAST((b + 1) * ({T} - b - 1) AS DOUBLE))"
+    )
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, {binx} AS b "
+        f"FROM ({src_sql}) s), "
+        f"c AS (SELECT cx, cy, b, CAST(count(*) AS BIGINT) AS x "
+        f"FROM ev WHERE b >= 0 AND b < {T} GROUP BY 1, 2, 3), "
+        f"act AS (SELECT cx, cy, CAST(sum(x) AS BIGINT) AS s, "
+        f"CAST({T} * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS bvar "
+        f"FROM c GROUP BY 1, 2), "
+        f"bins(b) AS (VALUES {bvals}), "
+        f"cube0 AS (SELECT act.cx, act.cy, "
+        f"CAST(bins.b AS BIGINT) AS b, "
+        f"CAST(coalesce(c.x, 0) AS BIGINT) AS x "
+        f"FROM act CROSS JOIN bins "
+        f"LEFT JOIN c ON c.cx = act.cx AND c.cy = act.cy "
+        f"AND c.b = CAST(bins.b AS BIGINT)), "
+        f"pre AS (SELECT cx, cy, b, "
+        f"CAST(sum(x) OVER (PARTITION BY cx, cy ORDER BY b "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"AS BIGINT) AS sk FROM cube0), "
+        f"u AS (SELECT pre.cx, pre.cy, pre.b, "
+        f"CAST({T} * pre.sk - (pre.b + 1) * act.s AS BIGINT) AS a "
+        f"FROM pre JOIN act ON pre.cx = act.cx AND pre.cy = act.cy "
+        f"WHERE pre.b <= {T - 2}), "
+        f"mx AS (SELECT cx, cy, max({ratio}) AS rmax "
+        f"FROM u GROUP BY 1, 2), "
+        f"cp AS (SELECT u.cx, u.cy, "
+        f"CAST(min(u.b) AS BIGINT) AS cp_bin, "
+        f"CAST(min_by(u.a, u.b) AS BIGINT) AS a_cp, min(mx.rmax) AS rmax "
+        f"FROM u JOIN mx ON u.cx = mx.cx AND u.cy = mx.cy "
+        f"AND {ratio} = mx.rmax GROUP BY 1, 2) "
+        f"SELECT act.cx AS cell_x, act.cy AS cell_y, "
+        f"act.s AS n_events, "
+        f"(CASE WHEN bvar > 0 THEN cp.cp_bin END) AS cp_bin, "
+        f"(CASE WHEN bvar > 0 THEN cp.a_cp END) AS a_cp, "
+        + ", ".join(_snht_out_sql(T, t_crit))
+        + " FROM act JOIN cp ON act.cx = cp.cx AND act.cy = cp.cy"
+    )
+
+
+def snht_cells(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    t_crit: float,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """SNHT per cell (see :func:`snht_cells_sql`). The cheap sibling of
+    :func:`pettitt_cells`: ONE corpus hash aggregation to (cell, bin)
+    counts, the bounded T-literal cube fan-out, one cell-keyed
+    prefix-sum window, the per-cell ratio max, and the equality join
+    back for the earliest argmax — no pair join anywhere (O(T) rows
+    per cell end to end); the counts exchange is AQE-reused across the
+    active/cube/argmax branches."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    T = _snht_params(n_bins, t_crit)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    c = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"{binx} AS b")
+        .filter(f"b >= 0 AND b < {T}")
+        .groupBy("cx", "cy", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    act = c.groupBy("cx", "cy").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.expr(
+            f"CAST({T} * sum(x * x) - sum(x) * sum(x) AS BIGINT)"
+        ).alias("bvar"),
+    )
+    bins = ", ".join(str(b) for b in range(T))
+    cube = (
+        act.selectExpr("cx", "cy", f"explode(array({bins})) AS b")
+        .selectExpr("cx", "cy", "CAST(b AS BIGINT) AS b")
+        .join(c, ["cx", "cy", "b"], "left")
+        .selectExpr(
+            "cx", "cy", "b", "CAST(coalesce(x, 0) AS BIGINT) AS x"
+        )
+    )
+    w = (
+        Window.partitionBy("cx", "cy")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        cube.withColumn("sk", F.sum("x").over(w).cast("bigint"))
+        .filter(f"b <= {T - 2}")
+        .join(act.select("cx", "cy", "s"), ["cx", "cy"])
+        .selectExpr(
+            "cx", "cy", "b",
+            f"CAST({T} * sk - (b + 1) * s AS BIGINT) AS a",
+        )
+    )
+    ratio = (
+        f"(CAST(a * a AS DOUBLE) "
+        f"/ CAST((b + 1) * ({T} - b - 1) AS DOUBLE))"
+    )
+    mx = u.groupBy("cx", "cy").agg(
+        F.expr(f"max({ratio})").alias("rmax")
+    )
+    cp = (
+        u.join(mx, ["cx", "cy"])
+        .filter(F.expr(f"{ratio} = rmax"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.expr("CAST(min(b) AS BIGINT)").alias("cp_bin"),
+            F.expr("CAST(min_by(a, b) AS BIGINT)").alias("a_cp"),
+            F.min("rmax").alias("rmax"),
+        )
+    )
+    return act.join(cp, ["cx", "cy"]).selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "s AS n_events",
+        "(CASE WHEN bvar > 0 THEN cp_bin END) AS cp_bin",
+        "(CASE WHEN bvar > 0 THEN a_cp END) AS a_cp",
+        *_snht_out_sql(T, t_crit),
+    )

@@ -1431,3 +1431,87 @@ def test_pettitt_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------- SNHT change point
+
+
+def _brute_snht(xs, t_crit):
+    T = len(xs)
+    S = sum(xs)
+    mean = S / T
+    var = sum((x - mean) ** 2 for x in xs) / T  # population form
+    if var == 0:
+        return None, None, None, "none"
+    best = None
+    for t in range(T - 1):
+        k = t + 1
+        z1 = (sum(xs[:k]) / k - mean)
+        z2 = (sum(xs[k:]) / (T - k) - mean)
+        tt = (k * z1 * z1 + (T - k) * z2 * z2) / var
+        if best is None or tt > best[0] + 1e-12:
+            a = T * sum(xs[:k]) - k * S
+            best = (tt, t, a)
+    t0, cp, a = best
+    sig = t0 >= t_crit
+    shift = (
+        "none" if not sig
+        else ("decreasing" if a > 0 else "increasing")
+    )
+    return t0, cp, a, shift
+
+
+def test_snht_brute_truth(spark):
+    T = 12
+    t_crit = 6.95
+    series = {
+        (0, 0): [1, 1, 1, 1, 1, 1, 9, 9, 9, 9, 9, 9],   # up step
+        (3, 1): [7, 7, 7, 7, 7, 7, 1, 1, 1, 1, 1, 1],   # down step
+        (9, 1): [2] * 12,                                # constant
+        (5, -1): [0, 0, 3, 0, 1, 0, 0, 5, 2, 0, 0, 4],  # sparse
+        (7, 0): [4, 4, 4, 5, 5, 5, 5, 5, 5, 5, 5, 5],   # early weak step
+    }
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    out = GS.snht_cells(
+        _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000,
+        n_bins=T, t_crit=t_crit,
+    )
+    got = {(r.cell_x, r.cell_y): r for r in out.collect()}
+    assert set(got) == set(series)
+    for key, xs in series.items():
+        t0, cp, a, shift = _brute_snht(xs, t_crit)
+        r = got[key]
+        if t0 is None:
+            assert r.t0_stat is None and r.cp_bin is None, key
+            assert r.a_cp is None, key
+        else:
+            assert r.t0_stat == pytest.approx(t0, abs=2e-6), key
+            assert r.cp_bin == cp, key
+            assert r.a_cp == a, key
+        assert r.shift == shift, key
+        assert r.n_events == sum(xs)
+    assert got[(0, 0)].shift == "increasing"
+    assert got[(3, 1)].shift == "decreasing"
+    assert got[(9, 1)].shift == "none"
+
+
+def test_snht_validation(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1)])
+    with pytest.raises(ValueError, match=">= 4"):
+        GS.snht_cells(df, CELL, 0, 1000, n_bins=3, t_crit=7.0)
+    with pytest.raises(ValueError, match="t_crit"):
+        GS.snht_cells(df, CELL, 0, 1000, n_bins=8, t_crit=0.0)
+
+
+def test_snht_plan(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1), (0, 0, 1, 2)])
+    plan = GS.snht_cells(
+        df, CELL, 0, 1000, n_bins=4, t_crit=7.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
