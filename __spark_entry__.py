@@ -1218,6 +1218,25 @@ def _hotspot_gi_sql() -> str:
     )
 
 
+def q_hotspot_fdr(spark, sf_dir):
+    """FDR-corrected hotspots (operators/gridstats.py hotspot_fdr):
+    Benjamini-Hochberg step-up at q=0.05 over the hotspot_gi lattice —
+    the ArcGIS Optimized-Hot-Spot multiple-testing discipline (raw 5%
+    cutoffs over thousands of cells guarantee ~5% false hotspots).
+    p from the shared A&S normal-tail approximation; ranks from the
+    EXACT round-6 |z| (never the transcendental p) so the ordering is
+    engine-identical; the BH windows run on the lattice, never the
+    corpus."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.hotspot_fdr(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0)
+
+
+def _hotspot_fdr_sql() -> str:
+    return GS.hotspot_fdr_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
 def q_kde_cells(spark, sf_dir):
     """Gaussian kernel-smoothed event intensity (operators/gridstats.py
     kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
@@ -5347,6 +5366,7 @@ def oracle_sql() -> dict[str, str]:
         "colocation_pairs": _colocation_pairs_sql(),
         "od_flows": _od_flows_sql(),
         "hotspot_gi": _hotspot_gi_sql(),
+        "hotspot_fdr": _hotspot_fdr_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
@@ -5735,6 +5755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_pairs": q_colocation_pairs,
         "od_flows": q_od_flows,
         "hotspot_gi": q_hotspot_gi,
+        "hotspot_fdr": q_hotspot_fdr,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,

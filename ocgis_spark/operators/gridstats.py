@@ -3693,3 +3693,124 @@ def snht_cells(
         "(CASE WHEN bvar > 0 THEN a_cp END) AS a_cp",
         *_snht_out_sql(T, t_crit),
     )
+
+
+# ------------------------- FDR-corrected hotspots (BH over Gi*) --
+
+
+def _norm_sf2_sql(zcol: str) -> str:
+    """Two-sided normal tail 2·(1−Φ(|z|)) via the Abramowitz-Stegun
+    26.2.17 rational-polynomial approximation (|error| < 7.5e-8 —
+    far inside the round-6 quantum for any p that matters): Horner
+    over t = 1/(1 + 0.2316419·|z|) times φ(|z|) = exp(−z²/2)/√(2π).
+    One SHARED string, so both engines evaluate the identical
+    expression tree; every op but exp is IEEE-correctly-rounded, and
+    exp is the accepted libm precedent (spacetime_scan's ln). All
+    constants emitted in E-notation (the fixtures._f convention)."""
+    az = f"abs({zcol})"
+    t = f"(1.0E0 / (1.0E0 + 2.316419E-1 * {az}))"
+    poly = (
+        f"((((1.330274429E0 * {t} - 1.821255978E0) * {t} "
+        f"+ 1.781477937E0) * {t} - 3.56563782E-1) * {t} "
+        f"+ 3.19381530E-1)"
+    )
+    phi = (
+        f"(exp(-({az}) * ({az}) / 2.0E0) "
+        f"* 3.9894228040143268E-1)"
+    )
+    return f"(2.0E0 * {phi} * {poly} * {t})"
+
+
+def _fdr_exprs(q: float) -> tuple:
+    """Shared (rank-layer exprs, step-up expr) applied over the Gi* rows
+    (cell_x, cell_y, nbr_sum, w_size, gi_z) — the Benjamini-Hochberg
+    step-up at level q. Rank ordering uses the EXACT round-6 gi_z
+    (|z| descending == p ascending, p monotone in |z|), never the
+    transcendental p, so ranks are engine-identical by construction;
+    the step-up compares the ROUND-6 p against i·q/m (identical
+    shared doubles; the only cross-engine risk is the accepted
+    half-ulp exp boundary). The two unbounded windows run on ONE
+    partition — bounded by the LATTICE, never the corpus
+    (the spacetime_scan single-reducer posture)."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    p = f"round({_norm_sf2_sql('gi_z')}, 6)"
+    order = "ORDER BY abs(gi_z) DESC, cell_x, cell_y"
+    rank_exprs = [
+        "cell_x", "cell_y", "nbr_sum", "gi_z",
+        f"{p} AS p_value",
+        f"CAST(row_number() OVER ({order}) AS BIGINT) AS p_rank",
+        "CAST(count(*) OVER () AS BIGINT) AS m_tests",
+    ]
+    # second layer (windows cannot nest): the BH step-up max
+    imax_expr = (
+        f"CAST(max(CASE WHEN p_value <= CAST(p_rank AS DOUBLE) "
+        f"* {_pf(q)} / CAST(m_tests AS DOUBLE) "
+        f"THEN p_rank ELSE 0 END) OVER () AS BIGINT) AS i_max"
+    )
+    return rank_exprs, imax_expr
+
+
+_FDR_LABEL = (
+    "(CASE WHEN p_rank <= i_max AND gi_z > 0.0E0 THEN 'hot' "
+    "WHEN p_rank <= i_max AND gi_z < 0.0E0 THEN 'cold' "
+    "ELSE 'not significant' END) AS label"
+)
+
+
+def hotspot_fdr_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    q: float = 0.05,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Gi* hotspots with Benjamini-Hochberg FDR correction — the
+    multiple-testing discipline ArcGIS "Optimized Hot Spot Analysis"
+    applies on top of plain Gi* (reference `/root/reference` has
+    neither; raw 5% cutoffs over thousands of lattice cells guarantee
+    false hotspots, ~n_cells·0.05 of them). BH step-up: sort the m
+    tested cells by p ascending (== |z| descending), find the largest
+    i with p_(i) ≤ i·q/m, reject ranks 1..i_max. m = the WINDOWED
+    cells Gi* emits (empty-window cells are untested noise, per
+    :func:`getis_ord_gi_sql`), documented.
+
+    Output: (cell_x, cell_y, nbr_sum, gi_z, p_value, p_rank, m_tests,
+    label) with label in {'hot','cold','not significant'}.
+    """
+    gi = getis_ord_gi_sql(src_sql, cell_deg, lat0, lat1, lon, lat)
+    rank_exprs, imax_expr = _fdr_exprs(q)
+    return (
+        f"WITH gi AS ({gi}), "
+        f"ranked AS (SELECT {', '.join(rank_exprs)} FROM gi), "
+        f"stepped AS (SELECT *, {imax_expr} FROM ranked) "
+        f"SELECT cell_x, cell_y, nbr_sum, gi_z, p_value, p_rank, "
+        f"m_tests, {_FDR_LABEL} FROM stepped"
+    )
+
+
+def hotspot_fdr(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    q: float = 0.05,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """FDR-corrected hotspots (see :func:`hotspot_fdr_sql`). Plan: the
+    getis_ord_gi plan (1 corpus hash agg, bounded 9-offset scatter,
+    broadcast moment join) + one single-partition lattice-sized window
+    stage for the BH ranks — the corpus never reaches the window."""
+    gi = getis_ord_gi(df, cell_deg, lat0, lat1, lon, lat)
+    rank_exprs, imax_expr = _fdr_exprs(q)
+    return (
+        gi.selectExpr(*rank_exprs)
+        .selectExpr("*", imax_expr)
+        .selectExpr(
+            "cell_x", "cell_y", "nbr_sum", "gi_z", "p_value",
+            "p_rank", "m_tests", _FDR_LABEL,
+        )
+    )

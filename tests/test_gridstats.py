@@ -1515,3 +1515,70 @@ def test_snht_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------ FDR-corrected hotspots
+
+
+def _as_norm_sf2(z):
+    """The same A&S 26.2.17 two-sided tail the engine evaluates."""
+    az = abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+             - 0.356563782) * t + 0.319381530)
+    phi = math.exp(-az * az / 2.0) * 0.3989422804014327
+    return 2.0 * phi * poly * t
+
+
+def test_hotspot_fdr_brute_truth(spark):
+    cells = [(11, 0, 40), (0, 0, 30), (5, 1, 7), (3, -2, 12), (8, -1, 2)]
+    q = 0.05
+    out = GS.hotspot_fdr(_mk_events(spark, cells), CELL, LAT0, LAT1, q=q)
+    rows = out.collect()
+    gi = {(r.cell_x, r.cell_y): r.gi_z
+          for r in GS.getis_ord_gi(
+              _mk_events(spark, cells), CELL, LAT0, LAT1).collect()}
+    # replicate BH in Python from the engine's own round-6 z values
+    ranked = sorted(gi.items(), key=lambda kv: (-abs(kv[1]), kv[0]))
+    m = len(ranked)
+    ps = [round(_as_norm_sf2(z), 6) for _, z in ranked]
+    imax = max(
+        (i + 1 for i in range(m) if ps[i] <= (i + 1) * q / m), default=0
+    )
+    got = {(r.cell_x, r.cell_y): r for r in rows}
+    assert set(got) == set(gi)
+    for i, (key, z) in enumerate(ranked):
+        r = got[key]
+        assert r.m_tests == m
+        assert r.p_rank == i + 1, key
+        # accuracy: A&S tail within 2e-6 of the exact erfc tail
+        exact = math.erfc(abs(z) / math.sqrt(2.0))
+        assert r.p_value == pytest.approx(exact, abs=2e-6), key
+        assert r.p_value == pytest.approx(ps[i], abs=1e-9), key
+        want = (
+            "not significant" if i + 1 > imax
+            else ("hot" if z > 0 else "cold")
+        )
+        assert r.label == want, key
+    # the crafted hotspot must survive FDR; far-tail sanity
+    assert imax >= 1
+    assert got[(11, 0)].label == "hot" or got[(0, 0)].label == "hot"
+
+
+def test_hotspot_fdr_all_null_and_validation(spark):
+    # near-uniform counts -> no p small enough -> everything uncorrected
+    cells = [(cx, 0, 1) for cx in range(NX)]
+    out = GS.hotspot_fdr(_mk_events(spark, cells), CELL, LAT0, LAT1)
+    assert all(r.label == "not significant" for r in out.collect())
+    with pytest.raises(ValueError, match="q must be"):
+        GS.hotspot_fdr(_mk_events(spark, cells), CELL, LAT0, LAT1, q=1.0)
+
+
+def test_hotspot_fdr_plan(spark):
+    df = _mk_events(spark, [(0, 0, 3), (5, 1, 1)])
+    plan = GS.hotspot_fdr(
+        df, CELL, LAT0, LAT1
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
