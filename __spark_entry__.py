@@ -763,6 +763,30 @@ def _colocation_quotient_sql() -> str:
     )
 
 
+def q_location_quotient(spark, sf_dir):
+    """Location quotient per (cell, category) (operators/gridstats.py
+    location_quotient): the regional-science areal concentration ratio
+    LQ = n_ci·N/(n_i·N_c) over the 5-degree lattice — the areal
+    complement of colocation_quotient's point-level NN association.
+    All counts BIGINT-exact; one corpus agg + two marginal aggs with
+    broadcast joins (the oracle twin uses windows for concision)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("event_type",),
+    ))
+    return GS.location_quotient(ev, "event_type", cell_deg=5.0)
+
+
+def _location_quotient_sql() -> str:
+    return GS.location_quotient_sql(
+        FX.events_geo_sql(extra_cols=("event_type",)), "event_type",
+        cell_deg=5.0,
+    )
+
+
 _SEN_KW = dict(
     cell_deg=5.0, t0_us=1_704_067_200_000_000,
     bin_us=172_800_000_000, n_bins=15,
@@ -5396,6 +5420,7 @@ def oracle_sql() -> dict[str, str]:
         "semivariogram": _semivariogram_sql(),
         "gfj_functions": _gfj_functions_sql(),
         "colocation_quotient": _colocation_quotient_sql(),
+        "location_quotient": _location_quotient_sql(),
         "sen_slope": _sen_slope_sql(),
         "seasonal_mk": _seasonal_mk_sql(),
         "pettitt_change": _pettitt_change_sql(),
@@ -5785,6 +5810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": q_semivariogram,
         "gfj_functions": q_gfj_functions,
         "colocation_quotient": q_colocation_quotient,
+        "location_quotient": q_location_quotient,
         "sen_slope": q_sen_slope,
         "seasonal_mk": q_seasonal_mk,
         "pettitt_change": q_pettitt_change,

@@ -3814,3 +3814,85 @@ def hotspot_fdr(
             "p_rank", "m_tests", _FDR_LABEL,
         )
     )
+
+
+# -------------------------------- location quotient per cell --
+
+
+def location_quotient_sql(
+    src_sql: str,
+    cat: str,
+    cell_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-(cell, category) location quotient — the regional-science
+    concentration ratio (Isserman 1977; the retail/epidemiology
+    staple): LQ = (n_ci/n_i) / (N_c/N) = n_ci·N / (n_i·N_c), the
+    cell's category share over the global share. LQ > 1: the category
+    over-concentrates in that cell. The ASYMMETRIC nearest-neighbor
+    colocation quotient (:func:`~.trajectory.colocation_quotient`)
+    answers point-level association; LQ answers areal concentration —
+    both belong to the standard category-association toolbox.
+
+    All four counts stay exact BIGINTs; the single double expression
+    n_ci·N / (n_i·N_c) is one correctly-rounded division of exact
+    products (headroom: n_ci·N < 2^63 — 3e9 events globally at 1e9 per
+    cell-category, far past any lattice), round(.,6).
+
+    Output: (cell_x, cell_y, category, n_events, cell_total,
+    cat_total, lq) for every (cell, category) with >= 1 event.
+    """
+    _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    return (
+        f"WITH c AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"({cat}) AS category, CAST(count(*) AS BIGINT) AS n_ci "
+        f"FROM ({src_sql}) s GROUP BY 1, 2, 3), "
+        f"w AS (SELECT cx, cy, category, n_ci, "
+        f"CAST(sum(n_ci) OVER (PARTITION BY cx, cy) AS BIGINT) AS n_i, "
+        f"CAST(sum(n_ci) OVER (PARTITION BY category) AS BIGINT) AS n_c, "
+        f"CAST(sum(n_ci) OVER () AS BIGINT) AS n FROM c) "
+        f"SELECT cx AS cell_x, cy AS cell_y, category, "
+        f"n_ci AS n_events, n_i AS cell_total, n_c AS cat_total, "
+        f"round(CAST(n_ci * n AS DOUBLE) "
+        f"/ CAST(n_i * n_c AS DOUBLE), 6) AS lq "
+        f"FROM w"
+    )
+
+
+def location_quotient(
+    df: DataFrame,
+    cat: str,
+    cell_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Location quotient per cell (see :func:`location_quotient_sql`).
+    DataFrame plan: ONE corpus hash aggregation to the (cell, category)
+    table, then the same three marginal windows as the oracle twin —
+    they run over the lattice×categories table, never the corpus (the
+    joins-and-broadcasts alternative re-executed the corpus scan per
+    marginal branch, 4 FileScans in the executed plan — measured and
+    rejected; the single-partition global window is the spacetime_scan
+    lattice-bounded posture)."""
+    _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    c = (
+        df.selectExpr(
+            f"{cx} AS cx", f"{cy} AS cy", f"({cat}) AS category"
+        )
+        .groupBy("cx", "cy", "category")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ci"))
+    )
+    return c.selectExpr(
+        "cx", "cy", "category", "n_ci",
+        "CAST(sum(n_ci) OVER (PARTITION BY cx, cy) AS BIGINT) AS n_i",
+        "CAST(sum(n_ci) OVER (PARTITION BY category) AS BIGINT) AS n_c",
+        "CAST(sum(n_ci) OVER () AS BIGINT) AS n",
+    ).selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "category",
+        "n_ci AS n_events", "n_i AS cell_total", "n_c AS cat_total",
+        "round(CAST(n_ci * n AS DOUBLE) "
+        "/ CAST(n_i * n_c AS DOUBLE), 6) AS lq",
+    )

@@ -1582,3 +1582,56 @@ def test_hotspot_fdr_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------ location quotient
+
+
+def test_location_quotient_brute(spark):
+    # categories placed so shares differ per cell
+    rows = []
+    eid = 0
+    placed = [
+        (0, 0, "a", 6), (0, 0, "b", 2),
+        (3, 1, "a", 1), (3, 1, "b", 3),
+        (7, -1, "b", 4),
+    ]
+    for cx, cy, cat, cnt in placed:
+        lon = cx * CELL + CELL / 2.0
+        lat = cy * CELL + CELL / 2.0
+        for _ in range(cnt):
+            rows.append((eid, lon, lat, cat))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, et string")
+    out = {(r.cell_x, r.cell_y, r.category): r
+           for r in GS.location_quotient(df, "et", CELL).collect()}
+    N = sum(c for *_, c in placed)
+    cat_tot = {}
+    cell_tot = {}
+    for cx, cy, cat, cnt in placed:
+        cat_tot[cat] = cat_tot.get(cat, 0) + cnt
+        cell_tot[(cx, cy)] = cell_tot.get((cx, cy), 0) + cnt
+    assert set(out) == {(cx, cy, cat) for cx, cy, cat, _ in placed}
+    for cx, cy, cat, cnt in placed:
+        r = out[(cx, cy, cat)]
+        assert r.n_events == cnt
+        assert r.cell_total == cell_tot[(cx, cy)]
+        assert r.cat_total == cat_tot[cat]
+        lq = (cnt * N) / (cell_tot[(cx, cy)] * cat_tot[cat])
+        assert r.lq == pytest.approx(round(lq, 6), abs=1e-9)
+    # single-category cell: share 1 / global share
+    assert out[(7, -1, "b")].lq == pytest.approx(
+        round(1.0 / (cat_tot["b"] / N), 6), abs=1e-9)
+
+
+def test_location_quotient_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0, "a")],
+        "event_id bigint, lon double, lat double, et string")
+    plan = GS.location_quotient(
+        df, "et", CELL
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
