@@ -714,6 +714,30 @@ def _semivariogram_sql() -> str:
     )
 
 
+def q_mark_correlation(spark, sf_dir):
+    """Mark correlation function kmm(h) (operators/trajectory.py
+    mark_correlation): Stoyan's normalized pair-product statistic over
+    the same lag bins as the semivariogram — gamma(h) reads mark
+    DIFFERENCES, kmm(h) reads whether nearby marks are conditionally
+    large (>1) or small (<1) vs independent marking. The value quantum
+    cancels exactly in spp·n²/(N(h)·sq²); one bucketed join serves all
+    bins; brute-force un-bucketed oracle."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return trajectory.mark_correlation(ev, "value", **_SVG_KW)
+
+
+def _mark_correlation_sql() -> str:
+    return trajectory.mark_correlation_sql(
+        FX.events_geo_sql(extra_cols=("value",)), "value", **_SVG_KW
+    )
+
+
 _GFJ_KW = dict(
     radii_m=[75000.0, 150000.0, 300000.0],
     grid_deg=15.0, cell_deg=8.0, lat_max=66.0,
@@ -5418,6 +5442,7 @@ def oracle_sql() -> dict[str, str]:
         "spacetime_k": _spacetime_k_sql(),
         "local_geary": _local_geary_sql(),
         "semivariogram": _semivariogram_sql(),
+        "mark_correlation": _mark_correlation_sql(),
         "gfj_functions": _gfj_functions_sql(),
         "colocation_quotient": _colocation_quotient_sql(),
         "location_quotient": _location_quotient_sql(),
@@ -5808,6 +5833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacetime_k": q_spacetime_k,
         "local_geary": q_local_geary,
         "semivariogram": q_semivariogram,
+        "mark_correlation": q_mark_correlation,
         "gfj_functions": q_gfj_functions,
         "colocation_quotient": q_colocation_quotient,
         "location_quotient": q_location_quotient,

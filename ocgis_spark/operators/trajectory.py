@@ -3345,6 +3345,195 @@ def semivariogram_sql(
     )
 
 
+# ------------------- mark correlation function (Stoyan kmm) --
+
+
+def _kmm_out_sql() -> tuple:
+    """Shared projection over (n_pairs, spp, smm, n, sq): Stoyan's
+    normalized mark product kmm(h) = (spp/n_pairs) / (sq/n)² — the
+    value-quantum scale cancels exactly between numerator and
+    denominator, so kmm = spp·n² / (n_pairs·sq²) needs no descaling.
+    Every factor is an exact BIGINT cast to DOUBLE; the arithmetic is
+    the identical shared expression both engines. NULL for empty bins
+    or an all-zero mark sum; mean pair distance for plotting."""
+    np_ = "nullif(CAST(n_pairs AS DOUBLE), 0.0E0)"
+    return (
+        f"round(CAST(spp AS DOUBLE) * CAST(n AS DOUBLE) "
+        f"* CAST(n AS DOUBLE) / ({np_} "
+        f"* nullif(CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE), 0.0E0)), "
+        f"6) AS kmm",
+        f"round(CAST(smm AS DOUBLE) / 1000.0E0 / {np_}, 6) AS mean_d_m",
+    )
+
+
+def mark_correlation(
+    df: DataFrame,
+    value: str,
+    bounds_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Mark correlation function kmm(h) (Stoyan & Stoyan 1994;
+    spatstat's ``markcorr`` with the product test function) — the
+    MARKED companion to :func:`semivariogram`: where gamma(h) measures
+    how mark DIFFERENCES grow with distance, kmm(h) measures whether
+    marks on nearby points are conditionally large (kmm > 1) or small
+    (kmm < 1) relative to independent marking (kmm = 1). Per half-open
+    lag bin (lo, hi]: kmm = E[m_i·m_j | d in bin] / m̄², estimated as
+    (spp/N(h)) / (sq/n)² with spp the pair-product sum, sq the mark
+    sum, n the band point count — the 1e-2 value quantum CANCELS, so
+    no descaling constant appears.
+
+    Exact and never a cross product: the ONE 3x3 bucket candidate join
+    at cell width >= max(bounds) is validated complete (the ripley
+    cover argument); marks quantize to BIGINT at 1e-2 units BEFORE any
+    arithmetic so per-bin product sums are exact integers
+    (order-independent); distances accumulate as BIGINT millimeters;
+    ALL bins share the one join via conditional sums. NULL marks are
+    filtered on BOTH sides (the r4 ADVICE lesson); bin 0 opens at 0
+    (co-located pairs excluded, like the semivariogram). Headroom:
+    |spp| <= N(h)·(max|q|)² — same 2.5e9-pairs-per-bin class as the
+    semivariogram at a 600-unit spread, documented there.
+
+    Output: one row per bin (lo_m, hi_m, n_pairs, kmm, mean_d_m),
+    floats round(.,6).
+    """
+    nx, rs = _svg_params(bounds_m, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    base = df.filter(F.expr(
+        f"abs({lat}) <= {_pf(lat_max)} AND ({value}) IS NOT NULL"
+    )).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la", f"{q} AS qv",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("sq"),
+    )
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa", "qv AS qa",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa", "qa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "qv AS qb",
+        "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    lo_mm = 0
+    conds = []
+    for i, r in enumerate(rs):
+        hi_mm = int(round(r * 1000))
+        conds.append((i, f"(d_mm > {lo_mm} AND d_mm <= {hi_mm})"))
+        lo_mm = hi_mm
+    sums = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(
+            f"ea < eb AND {mm} <= {int(round(rs[-1] * 1000))}"
+        ))
+        .selectExpr(f"{mm} AS d_mm", "qa * qb AS pp")
+        .agg(*[
+            F.expr(e).alias(nme)
+            for i, c in conds
+            for e, nme in (
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN 1 ELSE 0 END), "
+                 f"0) AS BIGINT)", f"n{i}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN pp END), 0) "
+                 f"AS BIGINT)", f"s{i}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN d_mm END), 0) "
+                 f"AS BIGINT)", f"m{i}"),
+            )
+        ])
+    )
+    lo = 0.0
+    stk = []
+    for i, r in enumerate(rs):
+        stk.append(
+            f"struct(CAST({_pf(lo)} AS DOUBLE) AS lo_m, "
+            f"CAST({_pf(r)} AS DOUBLE) AS hi_m, "
+            f"n{i} AS n_pairs, s{i} AS spp, m{i} AS smm)"
+        )
+        lo = r
+    return (
+        sums.crossJoin(F.broadcast(glob))
+        .selectExpr(f"explode(array({', '.join(stk)})) AS s", "n", "sq")
+        .selectExpr(
+            "s.lo_m AS lo_m", "s.hi_m AS hi_m",
+            "s.n_pairs AS n_pairs", "s.spp AS spp", "s.smm AS smm",
+            "n", "sq",
+        )
+        .selectExpr("lo_m", "hi_m", "n_pairs", *_kmm_out_sql())
+    )
+
+
+def mark_correlation_sql(
+    src_sql: str,
+    value: str,
+    bounds_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`mark_correlation`: the full
+    un-bucketed pair scan, per-bin sums via a VALUES bin table
+    LEFT-joined on the half-open interval — independently proving the
+    engine's bucket cover complete. Quadratic by design: sf0.01-sized,
+    like the semivariogram oracle."""
+    _, rs = _svg_params(bounds_m, cell_deg, lat_max)
+    from .crs import _pf
+
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    lo = 0.0
+    vals = []
+    for r in rs:
+        vals.append(
+            f"(CAST({_pf(lo)} AS DOUBLE), CAST({_pf(r)} AS DOUBLE), "
+            f"{0}, {int(round(lo * 1000))}, {int(round(r * 1000))})"
+        )
+        lo = r
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la, "
+        f"{q} AS qv FROM ({src_sql}) s "
+        f"WHERE abs({lat}) <= {_pf(lat_max)} "
+        f"AND ({value}) IS NOT NULL), "
+        f"gmom AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(coalesce(sum(qv), 0) AS BIGINT) AS sq FROM e), "
+        f"pr AS (SELECT {mm} AS d_mm, a.qv * b.qv AS pp "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"WHERE {mm} <= {int(round(rs[-1] * 1000))}), "
+        f"bins(lo_m, hi_m, _z, lo_mm, hi_mm) AS "
+        f"(VALUES {', '.join(vals)}), "
+        f"agg AS (SELECT lo_m, hi_m, "
+        f"CAST(count(d_mm) AS BIGINT) AS n_pairs, "
+        f"CAST(coalesce(sum(pp), 0) AS BIGINT) AS spp, "
+        f"CAST(coalesce(sum(d_mm), 0) AS BIGINT) AS smm "
+        f"FROM bins LEFT JOIN pr "
+        f"ON d_mm > lo_mm AND d_mm <= hi_mm "
+        f"GROUP BY lo_m, hi_m) "
+        f"SELECT lo_m, hi_m, n_pairs, "
+        + ", ".join(_kmm_out_sql())
+        + " FROM agg CROSS JOIN gmom"
+    )
+
+
 # ----------------- G / F / J point-pattern functions (van Lieshout) --
 
 

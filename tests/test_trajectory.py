@@ -1619,3 +1619,72 @@ def test_pcf_plan_single_join_all_rings(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+# ------------------------- mark correlation function (Stoyan kmm)
+
+
+def test_kmm_brute_truth(spark):
+    import math as m
+
+    def hav_m(p, q):
+        R = 6370997.0
+        la1, lo1, la2, lo2 = map(m.radians, (p[1], p[0], q[1], q[0]))
+        a = (m.sin((la2 - la1) / 2) ** 2
+             + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+        return 2 * R * m.asin(m.sqrt(a))
+
+    # clustered points carry LARGE marks, the far point a small one ->
+    # kmm > 1 in the short-lag bin
+    pts = [(10.0, 10.0, 8.25), (10.2, 10.0, 9.5), (10.1, 10.2, 7.75),
+           (10.9, 10.0, 1.0), (120.0, -30.0, 0.5)]
+    rows = [(i, lo, la, v) for i, (lo, la, v) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    bounds = [50000.0, 120000.0, 300000.0]
+    out = {(r.lo_m, r.hi_m): r for r in trajectory.mark_correlation(
+        df, "value", bounds_m=bounds, cell_deg=8.0, lat_max=66.0
+    ).collect()}
+    qv = [round(v * 100) for *_, v in pts]
+    n, sq = len(pts), sum(qv)
+    lo = 0.0
+    for hi in bounds:
+        n_p = spp = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                d_mm = round(hav_m(pts[i], pts[j]) * 1000)
+                if lo * 1000 < d_mm <= hi * 1000:
+                    n_p += 1
+                    spp += qv[i] * qv[j]
+        r = out[(lo, hi)]
+        assert r.n_pairs == n_p, (lo, hi)
+        if n_p:
+            want = spp * n * n / (n_p * sq * sq)
+            assert r.kmm == pytest.approx(want, abs=2e-6), (lo, hi)
+        else:
+            assert r.kmm is None
+        lo = hi
+    # the clustered large marks dominate the first bin
+    assert out[(0.0, 50000.0)].kmm > 1.0
+
+
+def test_kmm_null_marks_and_plan(spark):
+    rows = [(0, 10.0, 10.0, 5.0), (1, 10.1, 10.0, None),
+            (2, 10.2, 10.0, 3.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    out = trajectory.mark_correlation(
+        df, "value", bounds_m=[50000.0], cell_deg=8.0, lat_max=66.0
+    ).collect()[0]
+    # NULL-marked point excluded from n, sq AND pairs
+    assert out.n_pairs == 1
+    q0, q2 = 500, 300
+    want = (q0 * q2) * 4 / (1 * (q0 + q2) ** 2)
+    assert out.kmm == pytest.approx(want, abs=2e-6)
+    plan = trajectory.mark_correlation(
+        df, "value", bounds_m=[50000.0], cell_deg=8.0, lat_max=66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
