@@ -534,6 +534,20 @@ def _step_direction_sql() -> str:
     return trajectory.step_direction_stats_sql(FX.events_geo_sql())
 
 
+def q_rayleigh_test(spark, sf_dir):
+    """Rayleigh uniformity test per entity (operators/trajectory.py
+    rayleigh_test): z = n·R̄² from the same exact-BIGINT bearing-vector
+    sums as step_direction, closed by the Zar finite-n tail — turns
+    the descriptive rbar into an inference (directed vs uniform
+    movement). One entity exchange; n >= 2 gate."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return trajectory.rayleigh_test(ev)
+
+
+def _rayleigh_test_sql() -> str:
+    return trajectory.rayleigh_test_sql(FX.events_geo_sql())
+
+
 _SYNC_KW = dict(
     interval_us=21_600_000_000,      # 6 h ticks
     max_gap_us=604_800_000_000,      # refuse to interpolate > 7 d gaps
@@ -5452,6 +5466,7 @@ def oracle_sql() -> dict[str, str]:
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
         "step_direction": _step_direction_sql(),
+        "rayleigh_test": _rayleigh_test_sql(),
         "location_entropy": _location_entropy_sql(),
         "kde_cells": _kde_cells_sql(),
         "decontaminate_rewrite": textops.decontaminate_rewrite_sql(
@@ -5843,6 +5858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snht_change": q_snht_change,
         "join_counts": q_join_counts,
         "step_direction": q_step_direction,
+        "rayleigh_test": q_rayleigh_test,
         "location_entropy": q_location_entropy,
         "kde_cells": q_kde_cells,
         "icclim_WSDI": q_icclim_wsdi,

@@ -1695,6 +1695,129 @@ def step_direction_stats_sql(
     )
 
 
+# ------------------------ Rayleigh test for directional uniformity --
+
+
+def _rayleigh_out_sql(alpha: float) -> tuple:
+    """Shared projection over (n_steps, se, sn): the Rayleigh
+    statistic z = n·R̄² = R²/n (R the resultant length in step units)
+    and the Zar (1999, eq. 27.4) finite-n tail
+    P = exp(√(1 + 4n + 4(n² − R²)) − (1 + 2n)) — exact for the
+    leading asymptotics, < 1e-3 absolute error for n ≥ 10 (documented;
+    exp/sqrt are the accepted libm precedent, one SHARED string both
+    engines). The label compares the UNROUNDED identical-expression P
+    against the alpha literal. Requires n >= 2; R² is computed in
+    DOUBLE (se² would overflow BIGINT past ~3e5 steps, so the exact-
+    integer lane ends at the sums, documented)."""
+    from .crs import _pf
+
+    s = f"{_VEC_SCALE}.0E0"
+    nn = "CAST(n_steps AS DOUBLE)"
+    r2 = (
+        f"((CAST(se AS DOUBLE) * CAST(se AS DOUBLE) "
+        f"+ CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) / ({s} * {s}))"
+    )
+    z = f"({r2} / {nn})"
+    p = (
+        f"least(1.0E0, exp(sqrt(1.0E0 + 4.0E0 * {nn} "
+        f"+ 4.0E0 * ({nn} * {nn} - {r2})) - (1.0E0 + 2.0E0 * {nn})))"
+    )
+    sig = f"({p} < {_pf(float(alpha))})"
+    return (
+        f"round({z}, 6) AS rayleigh_z",
+        f"round({p}, 6) AS p_value",
+        f"(CASE WHEN {sig} THEN 'directed' ELSE 'uniform' END) "
+        f"AS movement",
+    )
+
+
+def rayleigh_test(
+    df: DataFrame,
+    alpha: float = 0.05,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-entity Rayleigh test of heading uniformity (Lord Rayleigh
+    1880; Mardia & Jupp §6.3 — THE standard first test in circular
+    statistics): is the entity's step-bearing distribution uniform
+    (aimless wandering) or unimodally directed (migration/commute)?
+    z = n·R̄² with the same exact-BIGINT bearing-vector sums as
+    :func:`step_direction_stats` (1e12 quantum, order-independent);
+    the Zar finite-n tail closes the inference that rbar alone leaves
+    open. Entities with < 2 usable steps are dropped (no test).
+
+    Output: (entity, n_steps, rbar, rayleigh_z, p_value, movement)
+    with movement in {'directed','uniform'} at level alpha.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    w = Window.partitionBy(entity).orderBy(ts_us, seq)
+    pairs = df.select(
+        F.col(entity),
+        F.col(lon).alias("lo"), F.col(lat).alias("la"),
+        F.lag(lon).over(w).alias("plo"),
+        F.lag(lat).over(w).alias("pla"),
+    ).filter(
+        F.col("plo").isNotNull()
+        & ~((F.col("lo") == F.col("plo")) & (F.col("la") == F.col("pla")))
+    )
+    east, north = _bearing_vec_sql("plo", "pla", "lo", "la")
+    s = f"{_VEC_SCALE}.0E0"
+    q = pairs.selectExpr(
+        entity,
+        f"CAST(round(({east}) * {s}, 0) AS BIGINT) AS qe",
+        f"CAST(round(({north}) * {s}, 0) AS BIGINT) AS qn",
+    ).filter("qe IS NOT NULL")
+    agg = q.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.sum("qe").cast("bigint").alias("se"),
+        F.sum("qn").cast("bigint").alias("sn"),
+    ).filter("n_steps >= 2")
+    _, rbar = _dir_out_sql()
+    return agg.selectExpr(
+        f"{entity} AS entity", "n_steps", rbar,
+        *_rayleigh_out_sql(alpha),
+    )
+
+
+def rayleigh_test_sql(
+    src_sql: str,
+    alpha: float = 0.05,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    seq: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Oracle twin of :func:`rayleigh_test` (the step_direction_stats
+    SQL shape + the shared Rayleigh projection)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    east, north = _bearing_vec_sql("plo", "pla", "lo", "la")
+    s = f"{_VEC_SCALE}.0E0"
+    _, rbar = _dir_out_sql()
+    outs = ", ".join((rbar,) + _rayleigh_out_sql(alpha))
+    return (
+        f"WITH l AS (SELECT {entity} AS entity, {lon} AS lo, "
+        f"{lat} AS la, lag({lon}) OVER w AS plo, "
+        f"lag({lat}) OVER w AS pla FROM ({src_sql}) s "
+        f"WINDOW w AS (PARTITION BY {entity} ORDER BY {ts_us}, {seq})), "
+        f"q AS (SELECT entity, "
+        f"CAST(round(({east}) * {s}, 0) AS BIGINT) AS qe, "
+        f"CAST(round(({north}) * {s}, 0) AS BIGINT) AS qn "
+        f"FROM l WHERE plo IS NOT NULL "
+        f"AND NOT (lo = plo AND la = pla)), "
+        f"qf AS (SELECT * FROM q WHERE qe IS NOT NULL), "
+        f"a AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_steps, "
+        f"CAST(sum(qe) AS BIGINT) AS se, CAST(sum(qn) AS BIGINT) AS sn "
+        f"FROM qf GROUP BY entity) "
+        f"SELECT entity, n_steps, {outs} FROM a WHERE n_steps >= 2"
+    )
+
+
 # ------------------------------------ daily-rhythm circular statistics --
 
 def daily_rhythm(

@@ -1688,3 +1688,78 @@ def test_kmm_null_marks_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+# ------------------------ Rayleigh directional uniformity test
+
+
+def test_rayleigh_brute_truth(spark):
+    import math as m
+
+    # entity 1: due-east march (maximally directed); entity 2: four
+    # orthogonal unit steps (resultant ~0); entity 3: single step
+    # (n=1 -> dropped)
+    rows = []
+    for i in range(6):
+        rows.append((1, i, 1000 * i, 10.0 + 0.1 * i, 0.0))
+    walk = [(0.0, 0.0), (0.1, 0.0), (0.1, 0.1), (0.0, 0.1), (0.0, 0.0)]
+    for i, (dlo, dla) in enumerate(walk):
+        rows.append((2, 100 + i, 1000 * i, 50.0 + dlo, 20.0 + dla))
+    rows += [(3, 200, 0, 0.0, 0.0), (3, 201, 1000, 1.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_us bigint, "
+        "lon double, lat double")
+    out = {r.entity: r for r in trajectory.rayleigh_test(df).collect()}
+    assert set(out) == {1, 2}  # entity 3 has n=1 -> dropped
+    # brute: recompute from quantized bearing vectors
+    def bearing_vec(p, q):
+        la1, lo1, la2, lo2 = map(m.radians, (p[1], p[0], q[1], q[0]))
+        dl = lo2 - lo1
+        y = m.sin(dl) * m.cos(la2)
+        x = (m.cos(la1) * m.sin(la2)
+             - m.sin(la1) * m.cos(la2) * m.cos(dl))
+        h = m.hypot(y, x)
+        return y / h, x / h
+
+    by_ent = {}
+    for uid, eid, ts, lo, la in rows:
+        by_ent.setdefault(uid, []).append((ts, eid, lo, la))
+    for ent in (1, 2):
+        pts = sorted(by_ent[ent])
+        se = sn = n = 0
+        for p, q in zip(pts, pts[1:]):
+            if (p[2], p[3]) == (q[2], q[3]):
+                continue
+            e, no = bearing_vec((p[2], p[3]), (q[2], q[3]))
+            se += round(e * 1e12)
+            sn += round(no * 1e12)
+            n += 1
+        r2 = (se * se + sn * sn) / 1e24
+        z = r2 / n
+        p_val = min(1.0, m.exp(
+            m.sqrt(1 + 4 * n + 4 * (n * n - r2)) - (1 + 2 * n)))
+        r = out[ent]
+        assert r.n_steps == n
+        assert r.rayleigh_z == pytest.approx(z, abs=2e-6), ent
+        assert r.p_value == pytest.approx(p_val, abs=2e-6), ent
+    assert out[1].movement == "directed"
+    assert out[1].rayleigh_z == pytest.approx(out[1].n_steps, rel=1e-4)
+    assert out[2].movement == "uniform"
+    assert out[2].p_value > 0.5
+
+
+def test_rayleigh_validation_and_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0, 0.0, 0.0), (1, 1, 1000, 1.0, 0.0),
+         (1, 2, 2000, 2.0, 0.0)],
+        "user_id bigint, event_id bigint, ts_us bigint, "
+        "lon double, lat double")
+    with pytest.raises(ValueError, match="alpha"):
+        trajectory.rayleigh_test(df, alpha=0.0)
+    plan = trajectory.rayleigh_test(
+        df)._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the lag window and the entity aggregate share ONE partitioning
+    assert plan.count("Exchange hashpartitioning") <= 1
