@@ -1299,6 +1299,27 @@ def _hotspot_fdr_sql() -> str:
     )
 
 
+def q_lacunarity(spark, sf_dir):
+    """Gliding-box lacunarity (operators/gridstats.py lacunarity):
+    Λ(r) = n_boxes·ΣM²/(ΣM)² over every 1/2/4-cell box position on the
+    5-degree lattice — the multi-scale gappiness statistic landscape
+    ecology runs beside fractal dimension, discriminating clumps-and-
+    voids patterns that Ripley/quadrat read as identical. Empty boxes
+    count via the closed-form n_boxes (never materialized); all sums
+    BIGINT-exact from one corpus agg + one bounded scatter."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.lacunarity(
+        ev, sizes=[1, 2, 4], cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
+def _lacunarity_sql() -> str:
+    return GS.lacunarity_sql(
+        FX.events_geo_sql(), sizes=[1, 2, 4], cell_deg=5.0,
+        lat0=-65.0, lat1=65.0,
+    )
+
+
 def q_kde_cells(spark, sf_dir):
     """Gaussian kernel-smoothed event intensity (operators/gridstats.py
     kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
@@ -5429,6 +5450,7 @@ def oracle_sql() -> dict[str, str]:
         "od_flows": _od_flows_sql(),
         "hotspot_gi": _hotspot_gi_sql(),
         "hotspot_fdr": _hotspot_fdr_sql(),
+        "lacunarity": _lacunarity_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
@@ -5821,6 +5843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": q_od_flows,
         "hotspot_gi": q_hotspot_gi,
         "hotspot_fdr": q_hotspot_fdr,
+        "lacunarity": q_lacunarity,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,

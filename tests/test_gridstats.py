@@ -1635,3 +1635,64 @@ def test_location_quotient_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------- gliding-box lacunarity
+
+
+def _brute_lacunarity(cells, sizes):
+    """All-anchor gliding-box truth on the wrapped/zero-filled lattice."""
+    x = np.zeros((NX, NY), dtype=np.int64)
+    for cx, cy, cnt in cells:
+        x[cx % NX, cy - CY0] += cnt
+    out = {}
+    for r in sizes:
+        masses = []
+        for ax in range(NX):
+            for ay in range(NY - r + 1):
+                m = sum(
+                    x[(ax + i) % NX, ay + j]
+                    for i in range(r) for j in range(r)
+                )
+                masses.append(int(m))
+        sm = sum(masses)
+        sq = sum(m * m for m in masses)
+        lam = len(masses) * sq / (sm * sm) if sm else None
+        out[r] = (len(masses), sm, sq, lam)
+    return out
+
+
+def test_lacunarity_brute_truth(spark):
+    # clumped mass near the seam (wrap) + isolated cells + an edge row
+    cells = [(11, 0, 9), (0, 0, 7), (5, 1, 3), (3, -2, 5), (8, -1, 1)]
+    sizes = [1, 2, 3]
+    truth = _brute_lacunarity(cells, sizes)
+    out = {r.box_cells: r for r in GS.lacunarity(
+        _mk_events(spark, cells), sizes, CELL, LAT0, LAT1).collect()}
+    assert set(out) == set(sizes)
+    for r in sizes:
+        nb, sm, sq, lam = truth[r]
+        got = out[r]
+        assert got.n_boxes == nb, r
+        assert got.sum_mass == sm, r
+        assert got.sum_mass_sq == sq, r
+        assert got.lacunarity == pytest.approx(round(lam, 6), abs=1e-9)
+    # uniform field -> lacunarity exactly 1 at r=1
+    uni = [(cx, cy, 2) for cx in range(NX) for cy in range(CY0, CY0 + NY)]
+    got1 = {r.box_cells: r for r in GS.lacunarity(
+        _mk_events(spark, uni), [1], CELL, LAT0, LAT1).collect()}[1]
+    assert got1.lacunarity == 1.0
+
+
+def test_lacunarity_validation_and_plan(spark):
+    df = _mk_events(spark, [(0, 0, 1)])
+    with pytest.raises(ValueError, match="ascending"):
+        GS.lacunarity(df, [2, 2], CELL, LAT0, LAT1)
+    with pytest.raises(ValueError, match="lat band"):
+        GS.lacunarity(df, [NY + 1], CELL, LAT0, LAT1)
+    plan = GS.lacunarity(
+        df, [1, 2], CELL, LAT0, LAT1
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
