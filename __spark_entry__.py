@@ -1320,6 +1320,28 @@ def _lacunarity_sql() -> str:
     )
 
 
+def q_moran_correlogram(spark, sf_dir):
+    """Moran correlogram (operators/gridstats.py moran_correlogram):
+    global Moran's I per Chebyshev ring lag 1..3 on the 5-degree
+    lattice with full Cliff-Ord randomization inference — morans_i
+    answers "is there autocorrelation", the correlogram answers "at
+    WHAT scale does it die". One ring scatter serves all lags via
+    conditional sums; per-lag lattice constants compile-time; the
+    randomization variance is exhaustively permutation-proven on an
+    8-cell lattice in pytest."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.moran_correlogram(
+        ev, max_lag=3, cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
+def _moran_correlogram_sql() -> str:
+    return GS.moran_correlogram_sql(
+        FX.events_geo_sql(), max_lag=3, cell_deg=5.0,
+        lat0=-65.0, lat1=65.0,
+    )
+
+
 def q_kde_cells(spark, sf_dir):
     """Gaussian kernel-smoothed event intensity (operators/gridstats.py
     kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
@@ -5451,6 +5473,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi": _hotspot_gi_sql(),
         "hotspot_fdr": _hotspot_fdr_sql(),
         "lacunarity": _lacunarity_sql(),
+        "moran_correlogram": _moran_correlogram_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
@@ -5844,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         "hotspot_fdr": q_hotspot_fdr,
         "lacunarity": q_lacunarity,
+        "moran_correlogram": q_moran_correlogram,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,

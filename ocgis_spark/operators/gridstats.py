@@ -4064,3 +4064,280 @@ def lacunarity(
         "/ nullif(CAST(s.sum_mass AS DOUBLE) "
         "* CAST(s.sum_mass AS DOUBLE), 0.0E0), 6) AS lacunarity",
     )
+
+
+# ------------------------------- Moran correlogram (ring lags) --
+
+
+def _ring_rowsum(cy: int, d: int, cy0: int, cy1: int) -> int:
+    """Ring row sum: # lattice neighbors at Chebyshev distance exactly
+    d from a cell in lat row cy (lon wraps — every dx column exists;
+    lat rows clip at the band). The dy = ±d rows contribute 2d+1 cells
+    each; every other in-band dy row contributes the 2 side columns
+    dx = ±d."""
+    lo = max(-d, cy0 - cy)
+    hi = min(d, cy1 - 1 - cy)
+    if hi < lo:
+        return 0
+    top = 1 if hi == d else 0
+    bottom = 1 if lo == -d else 0
+    interior = (hi - lo + 1) - top - bottom
+    return (2 * d + 1) * (top + bottom) + 2 * interior
+
+
+def _correlogram_consts(
+    max_lag: int, cell_deg: float, lat0: float, lat1: float
+) -> tuple:
+    """(nx, cy0, cy1, n, per-lag dict of (W, S1, S2, A, B, denom)):
+    the compile-time Cliff-Ord randomization constants per ring lag —
+    W_d = ΣW rowsums, S1 = 2W (symmetric binary weights), S2 =
+    4·Σ rowsum² — and the variance building blocks
+    A = (n²−3n+3)S1 − nS2 + 3W², B = (n²−n)S1 − 2nS2 + 6W²,
+    denom = (n−1)(n−2)(n−3)W², all exact Python ints emitted as
+    shared double literals."""
+    D = int(max_lag)
+    if D < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, D)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    ny = cy1 - cy0
+    if ny < 2:
+        raise ValueError(
+            f"the correlogram needs at least 2 lat rows, got {ny}"
+        )
+    n = nx * ny
+    if n < 4:
+        raise ValueError(
+            f"randomization variance needs n >= 4 cells, got {n}"
+        )
+    consts = {}
+    for d in range(1, D + 1):
+        rows = [_ring_rowsum(cy, d, cy0, cy1) for cy in range(cy0, cy1)]
+        w = nx * sum(rows)
+        if w == 0:
+            raise ValueError(
+                f"lag {d} has no in-band neighbor pairs "
+                f"(ny={ny}) — lower max_lag"
+            )
+        s1 = 2 * w
+        s2 = 4 * nx * sum(r * r for r in rows)
+        a = (n * n - 3 * n + 3) * s1 - n * s2 + 3 * w * w
+        b = (n * n - n) * s1 - 2 * n * s2 + 6 * w * w
+        denom = (n - 1) * (n - 2) * (n - 3) * w * w
+        consts[d] = (w, s1, s2, a, b, denom)
+    return nx, cy0, cy1, n, consts
+
+
+def _ring_rowsum_sql(d: int, cy0: int, cy1: int) -> str:
+    """The :func:`_ring_rowsum` closed form as shared integer SQL over
+    column ``cy`` (greatest/least/CASE only — engine-identical)."""
+    lo = f"greatest(-{d}, {cy0} - cy)"
+    hi = f"least({d}, {cy1 - 1} - cy)"
+    top = f"(CASE WHEN {hi} = {d} THEN 1 ELSE 0 END)"
+    bot = f"(CASE WHEN {lo} = -{d} THEN 1 ELSE 0 END)"
+    inter = f"(({hi} - {lo} + 1) - {top} - {bot})"
+    return (
+        f"(CASE WHEN {hi} < {lo} THEN 0 ELSE "
+        f"{2 * d + 1} * ({top} + {bot}) + 2 * {inter} END)"
+    )
+
+
+def _correlogram_lag_out(n: int, d: int, c: tuple) -> dict:
+    """Per-lag output expressions over the shared moment columns
+    (m1..m4, rsum{d}, psum{d}): Moran's I expanded around exact
+    integer moments, E[I] = −1/(n−1), the Cliff & Ord (1981)
+    randomization variance Var[I] = (n·A − b2·B)/denom − E², with
+    b2 = n·Σ(x−m)⁴/Σ(x−m)²² from the raw-moment expansion
+    m4c = m4 − 4m·m3 + 6m²·m2 − 3n·m⁴ (the general_g headroom note
+    applies to m4). Every constant is a shared compile-time literal;
+    the only data doubles are the casts of exact BIGINTs."""
+    w, s1, s2, a, b, denom = c
+    nn = f"{n}.0E0"
+    m = f"(CAST(m1 AS DOUBLE) / {nn})"
+    m2c = f"(CAST(m2 AS DOUBLE) - {nn} * {m} * {m})"
+    m4c = (
+        f"(CAST(m4 AS DOUBLE) - 4.0E0 * {m} * CAST(m3 AS DOUBLE) "
+        f"+ 6.0E0 * {m} * {m} * CAST(m2 AS DOUBLE) "
+        f"- 3.0E0 * {nn} * {m} * {m} * {m} * {m})"
+    )
+    b2 = f"({nn} * {m4c} / nullif({m2c} * {m2c}, 0.0E0))"
+    num = (
+        f"(CAST(psum{d} AS DOUBLE) "
+        f"- 2.0E0 * {m} * CAST(rsum{d} AS DOUBLE) "
+        f"+ {m} * {m} * {_pf(float(w))})"
+    )
+    i_ = f"(({nn} / {_pf(float(w))}) * {num} / nullif({m2c}, 0.0E0))"
+    e_i = -1.0 / (n - 1)
+    var = (
+        f"(({nn} * {_pf(float(a))} - {b2} * {_pf(float(b))}) "
+        f"/ {_pf(float(denom))} - {_pf(e_i * e_i)})"
+    )
+    z = f"(({i_} - {_pf(e_i)}) / nullif(sqrt({var}), 0.0E0))"
+    return {
+        "lag": f"{d}",
+        "w_sum": f"CAST({w} AS BIGINT)",
+        "rsum": f"rsum{d}",
+        "psum": f"psum{d}",
+        "morans_i": f"round({i_}, 6)",
+        "e_i": f"{_pf(e_i)}",
+        "var_i": f"round({var}, 6)",
+        "z": f"round({z}, 6)",
+        "pattern": (
+            f"(CASE WHEN {z} >= 1.96E0 THEN 'clustered' "
+            f"WHEN {z} <= -1.96E0 THEN 'dispersed' "
+            f"ELSE 'random' END)"
+        ),
+    }
+
+
+def moran_correlogram_sql(
+    src_sql: str,
+    max_lag: int,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Spatial correlogram: global Moran's I per Chebyshev ring lag
+    d = 1..max_lag (spdep's ``sp.correlogram`` — the scale-profile
+    companion to :func:`morans_i`: a single-lag I cannot say at WHAT
+    distance autocorrelation dies; the correlogram's sign changes and
+    decay range do). Weights at lag d are binary on the square ring
+    max(|dx|,|dy|) = d (lon wraps, lat clips), so each lag is a
+    disjoint weight matrix — I(d) decomposes scale by scale.
+
+    One dialect-shared string: the per-lag pair sums come from ONE
+    ring scatter (Σ8d bounded offsets) joined back to the present
+    cells, as conditional sums; the per-lag row-sum moments use the
+    closed-form in-band ring row count (:func:`_ring_rowsum_sql`);
+    raw moments m1..m4 stay exact BIGINTs (the general_g m4 headroom
+    note). Inference per lag: E[I] = −1/(n−1) and the full Cliff-Ord
+    randomization variance with compile-time lattice constants
+    (:func:`_correlogram_consts`), z, and a two-sided 5% label.
+
+    Output: one row per lag (lag, w_sum, rsum, psum, morans_i, e_i,
+    var_i, z, pattern); floats round(.,6), NULL for a constant
+    surface."""
+    nx, cy0, cy1, n, consts = _correlogram_consts(
+        max_lag, cell_deg, lat0, lat1
+    )
+    D = int(max_lag)
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    offs = ", ".join(
+        f"({d}, {dx}, {dy})"
+        for d in range(1, D + 1)
+        for dx in range(-d, d + 1) for dy in range(-d, d + 1)
+        if max(abs(dx), abs(dy)) == d
+    )
+    psums = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN s.d = {d} THEN s.cnt * t.cnt "
+        f"END), 0) AS BIGINT) AS psum{d}"
+        for d in range(1, D + 1)
+    )
+    rsums = ", ".join(
+        f"CAST(sum({_ring_rowsum_sql(d, cy0, cy1)} * cnt) AS BIGINT) "
+        f"AS rsum{d}"
+        for d in range(1, D + 1)
+    )
+    branches = []
+    for d in range(1, D + 1):
+        o = _correlogram_lag_out(n, d, consts[d])
+        sel = ", ".join(f"{e} AS {k}" for k, e in o.items())
+        branches.append(f"SELECT {sel} FROM mm")
+    return (
+        f"WITH counts AS ({counts}), "
+        f"offs(d, dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT o.d, ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.cnt "
+        f"FROM counts c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
+        f"pair AS (SELECT {psums} "
+        f"FROM scat s JOIN counts t ON s.tx = t.cx AND s.ty = t.cy), "
+        f"mom AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS m1, "
+        f"CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT) AS m2, "
+        f"CAST(coalesce(sum(cnt * cnt * cnt), 0) AS BIGINT) AS m3, "
+        f"CAST(coalesce(sum(cnt * cnt * cnt * cnt), 0) AS BIGINT) "
+        f"AS m4, {rsums} FROM counts), "
+        f"mm AS (SELECT * FROM mom CROSS JOIN pair) "
+        + " UNION ALL ".join(branches)
+    )
+
+
+def moran_correlogram(
+    df: DataFrame,
+    max_lag: int,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Moran correlogram (see :func:`moran_correlogram_sql`). Plan: ONE
+    corpus hash aggregation to the cell table, one bounded Σ8d-offset
+    Generate + the cell-sized pair join (ALL lags share it via
+    conditional sums), 1-row moment aggregates, and a bounded literal
+    unpivot — the morans_i plan with the lag riding every key."""
+    nx, cy0, cy1, n, consts = _correlogram_consts(
+        max_lag, cell_deg, lat0, lat1
+    )
+    D = int(max_lag)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    offs = ", ".join(
+        f"struct({d} AS d, {dx} AS dx, {dy} AS dy)"
+        for d in range(1, D + 1)
+        for dx in range(-d, d + 1) for dy in range(-d, d + 1)
+        if max(abs(dx), abs(dy)) == d
+    )
+    scat = counts.selectExpr(
+        f"explode(array({offs})) AS o", "cx", "cy", "cnt"
+    ).selectExpr(
+        "o.d AS d", f"((cx + o.dx + {nx}) % {nx}) AS tx",
+        "(cy + o.dy) AS ty", "cnt AS scnt",
+    ).filter(f"ty >= {cy0} AND ty < {cy1}")
+    pair = scat.join(
+        counts, (scat.tx == counts.cx) & (scat.ty == counts.cy)
+    ).agg(*[
+        F.expr(
+            f"CAST(coalesce(sum(CASE WHEN d = {d} THEN scnt * cnt "
+            f"END), 0) AS BIGINT)"
+        ).alias(f"psum{d}")
+        for d in range(1, D + 1)
+    ])
+    mom = counts.agg(
+        F.expr("CAST(coalesce(sum(cnt), 0) AS BIGINT)").alias("m1"),
+        F.expr(
+            "CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT)"
+        ).alias("m2"),
+        F.expr(
+            "CAST(coalesce(sum(cnt * cnt * cnt), 0) AS BIGINT)"
+        ).alias("m3"),
+        F.expr(
+            "CAST(coalesce(sum(cnt * cnt * cnt * cnt), 0) AS BIGINT)"
+        ).alias("m4"),
+        *[
+            F.expr(
+                f"CAST(sum({_ring_rowsum_sql(d, cy0, cy1)} * cnt) "
+                f"AS BIGINT)"
+            ).alias(f"rsum{d}")
+            for d in range(1, D + 1)
+        ],
+    )
+    stk = []
+    for d in range(1, D + 1):
+        o = _correlogram_lag_out(n, d, consts[d])
+        inner = ", ".join(f"{e} AS {k}" for k, e in o.items())
+        stk.append(f"struct({inner})")
+    cols = list(_correlogram_lag_out(n, 1, consts[1]))
+    return (
+        mom.crossJoin(F.broadcast(pair))
+        .selectExpr(f"explode(array({', '.join(stk)})) AS s")
+        .selectExpr(*[f"s.{k} AS {k}" for k in cols])
+    )

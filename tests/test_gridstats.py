@@ -1696,3 +1696,101 @@ def test_lacunarity_validation_and_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------ Moran correlogram
+
+
+def _ring_w(nx, ny, cy0, d):
+    """Brute ring weight matrix over the wrapped/clipped lattice."""
+    idx = {(cx, cy0 + iy): cx * ny + iy
+           for cx in range(nx) for iy in range(ny)}
+    n = nx * ny
+    w = np.zeros((n, n), dtype=np.int64)
+    for (cx, cy), i in idx.items():
+        for dx in range(-d, d + 1):
+            for dy in range(-d, d + 1):
+                if max(abs(dx), abs(dy)) != d:
+                    continue
+                j = idx.get(((cx + dx) % nx, cy + dy))
+                if j is not None:
+                    w[i, j] = 1
+    return w, idx
+
+
+def _brute_moran(x, w):
+    n = len(x)
+    m = x.mean()
+    dev = x - m
+    den = (dev * dev).sum()
+    num = dev @ w @ dev
+    return (n / w.sum()) * num / den
+
+
+def test_correlogram_brute_truth_all_lags(spark):
+    cells = [(11, 0, 9), (0, 0, 7), (5, 1, 3), (3, -2, 5), (8, -1, 2)]
+    out = {r.lag: r for r in GS.moran_correlogram(
+        _mk_events(spark, cells), 3, CELL, LAT0, LAT1).collect()}
+    x = np.zeros(NX * NY, dtype=np.float64)
+    for cx, cy, cnt in cells:
+        x[(cx % NX) * NY + (cy - CY0)] += cnt
+    for d in (1, 2, 3):
+        w, _ = _ring_w(NX, NY, CY0, d)
+        assert (w == w.T).all()
+        r = out[d]
+        assert r.w_sum == w.sum(), d
+        assert r.morans_i == pytest.approx(
+            round(_brute_moran(x, w), 6), abs=1e-9), d
+        # psum / rsum cross-checks
+        assert r.psum == int(x @ w @ x), d
+        assert r.rsum == int((w.sum(axis=1) * x).sum()), d
+    # lag-1 ring == the 3x3-minus-self window: must equal morans_i
+    mi = GS.morans_i(_mk_events(spark, cells), CELL, LAT0, LAT1)
+    assert out[1].morans_i == mi.collect()[0].morans_i
+
+
+def test_correlogram_exhaustive_permutation_variance(spark):
+    # 8-cell lattice (90-degree cells, full lat range): the analytic
+    # Cliff-Ord randomization moments must equal EXACT enumeration
+    # over all 8! permutations of the value vector
+    import itertools
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    nx, ny, cy0 = 4, 2, -1
+    rows = []
+    eid = 0
+    for cx in range(nx):
+        for iy in range(ny):
+            cnt = vals[cx * ny + iy]
+            for _ in range(cnt):
+                rows.append((eid, cx * 90.0 + 45.0, (cy0 + iy) * 90.0 + 45.0))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double")
+    out = GS.moran_correlogram(df, 1, 90.0, -90.0, 90.0).collect()[0]
+    w, _ = _ring_w(nx, ny, cy0, 1)
+    x0 = np.array(vals, dtype=np.float64)
+    isamples = np.array([
+        _brute_moran(np.array(p, dtype=np.float64), w)
+        for p in itertools.permutations(vals)
+    ])
+    assert out.morans_i == pytest.approx(
+        round(_brute_moran(x0, w), 6), abs=1e-9)
+    assert out.e_i == pytest.approx(isamples.mean(), abs=1e-12)
+    assert out.var_i == pytest.approx(isamples.var(), abs=2e-6)
+    assert out.e_i == pytest.approx(-1.0 / 7.0, abs=1e-12)
+
+
+def test_correlogram_validation_and_plan(spark):
+    df = _mk_events(spark, [(0, 0, 2), (1, 0, 1)])
+    with pytest.raises(ValueError, match="max_lag"):
+        GS.moran_correlogram(df, 0, CELL, LAT0, LAT1)
+    # wrap cover: lag 6 rings need nx >= 13 > 12
+    with pytest.raises(ValueError, match="collision-free"):
+        GS.moran_correlogram(df, 6, CELL, LAT0, LAT1)
+    plan = GS.moran_correlogram(
+        df, 2, CELL, LAT0, LAT1
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
