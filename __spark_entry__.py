@@ -1342,6 +1342,22 @@ def _moran_correlogram_sql() -> str:
     )
 
 
+def q_morisita_index(spark, sf_dir):
+    """Morisita dispersion index + NB clumping k (operators/
+    gridstats.py morisita_index): the density-INVARIANT aggregation
+    descriptors ecology reports beside quadrat_csr's VMR — random
+    thinning moves VMR toward 1 but leaves I_δ and k unchanged. Same
+    two BIGINT moments, one corpus pass."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.morisita_index(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0)
+
+
+def _morisita_index_sql() -> str:
+    return GS.morisita_index_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
 def q_kde_cells(spark, sf_dir):
     """Gaussian kernel-smoothed event intensity (operators/gridstats.py
     kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
@@ -5474,6 +5490,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_fdr": _hotspot_fdr_sql(),
         "lacunarity": _lacunarity_sql(),
         "moran_correlogram": _moran_correlogram_sql(),
+        "morisita_index": _morisita_index_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
@@ -5868,6 +5885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_fdr": q_hotspot_fdr,
         "lacunarity": q_lacunarity,
         "moran_correlogram": q_moran_correlogram,
+        "morisita_index": q_morisita_index,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,

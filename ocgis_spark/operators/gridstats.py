@@ -4341,3 +4341,107 @@ def moran_correlogram(
         .selectExpr(f"explode(array({', '.join(stk)})) AS s")
         .selectExpr(*[f"s.{k} AS {k}" for k in cols])
     )
+
+
+# ---------------------------- Morisita dispersion index --
+
+
+def _morisita_out_sql(n_cells: int) -> tuple:
+    """Shared projection over (sx, sxx): Morisita's I_δ =
+    Q·Σx(x−1)/(N(N−1)) (Σx(x−1) = sxx − sx, exact BIGINT) and the
+    negative-binomial clumping parameter by moments,
+    k̂ = m²/(s² − m) with population variance s² = sxx/Q − m² — NULL
+    when the pattern is not over-dispersed (s² <= m: k undefined, the
+    Poisson/regular regime) or N < 2."""
+    q = f"{n_cells}.0E0"
+    m = f"(CAST(sx AS DOUBLE) / {q})"
+    s2 = f"(CAST(sxx AS DOUBLE) / {q} - {m} * {m})"
+    nn1 = "(CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) - 1.0E0))"
+    i_d = (
+        f"({q} * CAST(sxx - sx AS DOUBLE) / nullif({nn1}, 0.0E0))"
+    )
+    k = (
+        f"(CASE WHEN {s2} > {m} THEN "
+        f"{m} * {m} / ({s2} - {m}) END)"
+    )
+    return (
+        f"round({i_d}, 6) AS morisita",
+        f"round({k}, 6) AS nb_k",
+    )
+
+
+def morisita_index_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Morisita's dispersion index I_δ (Morisita 1959) + the moment
+    negative-binomial clumping parameter k̂ over the fixed quadrat
+    lattice — the density-INVARIANT companions to
+    :func:`quadrat_csr_sql`'s VMR: random thinning moves the VMR
+    toward 1 but leaves I_δ (a probability ratio of co-occurrence)
+    and k (the NB shape) unchanged, which is why ecology reports them
+    beside the chi². I_δ = Q·Σx(x−1)/(N(N−1)) — the ratio of observed
+    same-quadrat co-draws to the CSR expectation (1 = random,
+    > 1 clustered, max Q when everything stacks in one cell);
+    k̂ = m²/(s²−m), small k = heavy clumping, k → ∞ = Poisson.
+
+    Both reduce to the same two exact BIGINT moments (Σx, Σx²) the
+    quadrat test uses — one corpus pass, closed-form doubles, empty
+    cells via the compile-time Q. Output: one row (n_cells, n_events,
+    morisita, nb_k); NULLs for N < 2 / non-over-dispersed k."""
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    return (
+        f"WITH counts AS ({counts}), "
+        f"mom AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS sx, "
+        f"CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT) AS sxx "
+        f"FROM counts) "
+        f"SELECT CAST({n_cells} AS BIGINT) AS n_cells, "
+        f"sx AS n_events, "
+        + ", ".join(_morisita_out_sql(n_cells))
+        + " FROM mom"
+    )
+
+
+def morisita_index(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Morisita I_δ + NB k̂ (see :func:`morisita_index_sql`). Plan: ONE
+    corpus hash aggregation to cells, one 1-row moment aggregate —
+    the quadrat_csr plan with a different closing projection."""
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    mom = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(
+            F.expr("CAST(coalesce(sum(cnt), 0) AS BIGINT)").alias("sx"),
+            F.expr(
+                "CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT)"
+            ).alias("sxx"),
+        )
+    )
+    return mom.selectExpr(
+        f"CAST({n_cells} AS BIGINT) AS n_cells",
+        "sx AS n_events",
+        *_morisita_out_sql(n_cells),
+    )

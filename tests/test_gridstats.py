@@ -1794,3 +1794,47 @@ def test_correlogram_validation_and_plan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------ Morisita dispersion index
+
+
+def test_morisita_brute_and_invariance(spark):
+    cells = [(0, 0, 10), (1, 0, 10), (5, 1, 4)]
+    out = GS.morisita_index(
+        _mk_events(spark, cells), CELL, LAT0, LAT1).collect()[0]
+    xs = [c for *_, c in cells]
+    N = sum(xs)
+    Q = NX * NY
+    i_d = Q * sum(x * (x - 1) for x in xs) / (N * (N - 1))
+    m = N / Q
+    s2 = sum(x * x for x in xs) / Q - m * m
+    k = m * m / (s2 - m)
+    assert out.n_cells == Q and out.n_events == N
+    assert out.morisita == pytest.approx(round(i_d, 6), abs=1e-9)
+    assert out.nb_k == pytest.approx(round(k, 6), abs=1e-9)
+    # density invariance: doubling every count leaves I_d ~ unchanged
+    # (exactly: Q*sum(2x(2x-1))/(2N(2N-1)) -> I_d as N grows), while
+    # VMR doubles; check the direction
+    cells2 = [(cx, cy, 2 * c) for cx, cy, c in cells]
+    out2 = GS.morisita_index(
+        _mk_events(spark, cells2), CELL, LAT0, LAT1).collect()[0]
+    assert abs(out2.morisita - out.morisita) < 0.05 * out.morisita
+    # single stacked cell -> I_d == Q exactly
+    stack = GS.morisita_index(
+        _mk_events(spark, [(3, 1, 7)]), CELL, LAT0, LAT1).collect()[0]
+    assert stack.morisita == float(Q)
+
+
+def test_morisita_poisson_regime_null_k(spark):
+    # one event per cell everywhere: s2 = 0 < m -> k NULL; I_d = 0
+    uni = [(cx, cy, 1) for cx in range(NX) for cy in range(CY0, CY0 + NY)]
+    out = GS.morisita_index(
+        _mk_events(spark, uni), CELL, LAT0, LAT1).collect()[0]
+    assert out.nb_k is None
+    assert out.morisita == 0.0
+    plan = GS.morisita_index(
+        _mk_events(spark, uni), CELL, LAT0, LAT1
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
