@@ -825,6 +825,30 @@ def _location_quotient_sql() -> str:
     )
 
 
+def q_cell_diversity(spark, sf_dir):
+    """Per-cell category diversity (operators/gridstats.py
+    cell_diversity): Shannon H' (nats), the unbiased Simpson/PIE, and
+    richness per 5-degree cell — location_quotient asks WHERE a
+    category concentrates, diversity asks how MIXED each cell is.
+    Simpson stays exact-BIGINT; Shannon follows the word_entropy
+    round-6 posture."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("event_type",),
+    ))
+    return GS.cell_diversity(ev, "event_type", cell_deg=5.0)
+
+
+def _cell_diversity_sql() -> str:
+    return GS.cell_diversity_sql(
+        FX.events_geo_sql(extra_cols=("event_type",)), "event_type",
+        cell_deg=5.0,
+    )
+
+
 _SEN_KW = dict(
     cell_deg=5.0, t0_us=1_704_067_200_000_000,
     bin_us=172_800_000_000, n_bins=15,
@@ -5522,6 +5546,7 @@ def oracle_sql() -> dict[str, str]:
         "gfj_functions": _gfj_functions_sql(),
         "colocation_quotient": _colocation_quotient_sql(),
         "location_quotient": _location_quotient_sql(),
+        "cell_diversity": _cell_diversity_sql(),
         "sen_slope": _sen_slope_sql(),
         "seasonal_mk": _seasonal_mk_sql(),
         "pettitt_change": _pettitt_change_sql(),
@@ -5917,6 +5942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gfj_functions": q_gfj_functions,
         "colocation_quotient": q_colocation_quotient,
         "location_quotient": q_location_quotient,
+        "cell_diversity": q_cell_diversity,
         "sen_slope": q_sen_slope,
         "seasonal_mk": q_seasonal_mk,
         "pettitt_change": q_pettitt_change,

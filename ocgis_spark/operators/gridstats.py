@@ -4445,3 +4445,98 @@ def morisita_index(
         "sx AS n_events",
         *_morisita_out_sql(n_cells),
     )
+
+
+# -------------------------- per-cell category diversity --
+
+
+def _diversity_out_sql() -> tuple:
+    """Shared projection over (n_i, richness, slnl, snn1): Shannon H'
+    = ln(n) − Σc·ln(c)/n (nats, the ecology convention; ln is the
+    accepted libm precedent and the per-cell sum has ≤ #categories
+    terms — the word_entropy posture) and the UNBIASED Simpson / PIE
+    index 1 − Σc(c−1)/(n(n−1)) (Hurlbert 1971) whose numerator and
+    denominator are exact BIGINTs. NULL for single-event cells."""
+    n = "CAST(n_i AS DOUBLE)"
+    return (
+        f"round(CASE WHEN n_i >= 2 THEN ln({n}) - slnl / {n} END, 6) "
+        f"AS shannon",
+        f"round(CASE WHEN n_i >= 2 THEN 1.0E0 - CAST(snn1 AS DOUBLE) "
+        f"/ ({n} * ({n} - 1.0E0)) END, 6) AS simpson",
+    )
+
+
+def cell_diversity_sql(
+    src_sql: str,
+    cat: str,
+    cell_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell category diversity — the areal diversity profile
+    (species diversity per quadrat in ecology; land-use mix in urban
+    analytics): Shannon H' (nats), the unbiased Simpson/PIE
+    probability-of-interspecific-encounter, and richness (distinct
+    categories). :func:`location_quotient_sql` asks WHERE a category
+    concentrates; diversity asks how MIXED each cell is — the other
+    half of the composition toolbox.
+
+    One corpus aggregation to (cell, category); per-cell Simpson stays
+    exact-BIGINT (Σc(c−1), n(n−1)); Shannon's Σc·ln(c) is a ≤
+    #categories-term double sum (the word_entropy round-6 posture).
+    Output: (cell_x, cell_y, n_events, richness, shannon, simpson);
+    diversity NULL for single-event cells."""
+    _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    return (
+        f"WITH c AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"({cat}) AS category, CAST(count(*) AS BIGINT) AS n_ci "
+        f"FROM ({src_sql}) s GROUP BY 1, 2, 3), "
+        f"agg AS (SELECT cx, cy, "
+        f"CAST(sum(n_ci) AS BIGINT) AS n_i, "
+        f"CAST(count(*) AS BIGINT) AS richness, "
+        f"sum(CAST(n_ci AS DOUBLE) * ln(CAST(n_ci AS DOUBLE))) "
+        f"AS slnl, "
+        f"CAST(sum(n_ci * (n_ci - 1)) AS BIGINT) AS snn1 "
+        f"FROM c GROUP BY 1, 2) "
+        f"SELECT cx AS cell_x, cy AS cell_y, n_i AS n_events, "
+        f"richness, "
+        + ", ".join(_diversity_out_sql())
+        + " FROM agg"
+    )
+
+
+def cell_diversity(
+    df: DataFrame,
+    cat: str,
+    cell_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-cell category diversity (see :func:`cell_diversity_sql`).
+    Plan: one corpus hash aggregation to (cell, category), one
+    cell-keyed aggregate — two map-side-combined exchanges, nothing
+    wider than the lattice×categories table after the first."""
+    _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    c = (
+        df.selectExpr(
+            f"{cx} AS cx", f"{cy} AS cy", f"({cat}) AS category"
+        )
+        .groupBy("cx", "cy", "category")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ci"))
+    )
+    agg = c.groupBy("cx", "cy").agg(
+        F.sum("n_ci").cast("bigint").alias("n_i"),
+        F.count(F.lit(1)).cast("bigint").alias("richness"),
+        F.expr(
+            "sum(CAST(n_ci AS DOUBLE) * ln(CAST(n_ci AS DOUBLE)))"
+        ).alias("slnl"),
+        F.expr(
+            "CAST(sum(n_ci * (n_ci - 1)) AS BIGINT)"
+        ).alias("snn1"),
+    )
+    return agg.selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "n_i AS n_events",
+        "richness", *_diversity_out_sql(),
+    )

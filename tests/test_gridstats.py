@@ -1838,3 +1838,52 @@ def test_morisita_poisson_regime_null_k(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------- per-cell category diversity
+
+
+def test_cell_diversity_brute(spark):
+    rows = []
+    eid = 0
+    placed = [
+        (0, 0, "a", 4), (0, 0, "b", 4),          # even 2-way mix
+        (3, 1, "a", 9), (3, 1, "b", 1),          # skewed mix
+        (7, -1, "c", 5),                          # single category
+        (9, 1, "a", 1),                           # single event
+    ]
+    for cx, cy, cat, cnt in placed:
+        lon = cx * CELL + CELL / 2.0
+        lat = cy * CELL + CELL / 2.0
+        for _ in range(cnt):
+            rows.append((eid, lon, lat, cat))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, et string")
+    out = {(r.cell_x, r.cell_y): r
+           for r in GS.cell_diversity(df, "et", CELL).collect()}
+    cells = {}
+    for cx, cy, cat, cnt in placed:
+        cells.setdefault((cx, cy), {})[cat] = cnt
+    assert set(out) == set(cells)
+    for key, comp in cells.items():
+        r = out[key]
+        n = sum(comp.values())
+        assert r.n_events == n
+        assert r.richness == len(comp)
+        if n < 2:
+            assert r.shannon is None and r.simpson is None
+            continue
+        h = math.log(n) - sum(
+            c * math.log(c) for c in comp.values()) / n
+        pie = 1.0 - sum(c * (c - 1) for c in comp.values()) / (n * (n - 1))
+        assert r.shannon == pytest.approx(h, abs=2e-6), key
+        assert r.simpson == pytest.approx(round(pie, 6), abs=1e-9), key
+    # even 2-way mix: H = ln 2; single category: H = 0, PIE = 0
+    assert out[(0, 0)].shannon == pytest.approx(math.log(2), abs=2e-6)
+    assert out[(7, -1)].shannon == 0.0
+    assert out[(7, -1)].simpson == 0.0
+    plan = GS.cell_diversity(
+        df, "et", CELL)._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
