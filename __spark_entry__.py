@@ -849,6 +849,30 @@ def _cell_diversity_sql() -> str:
     )
 
 
+def q_segregation_indices(spark, sf_dir):
+    """Duncan segregation indices per category (operators/gridstats.py
+    segregation_indices): dissimilarity D vs the complement — computed
+    EXACTLY over the common denominator with closed-form absent-cell
+    handling (zero cells never materialize) — plus the isolation
+    exposure index. The Massey-Denton evenness/exposure pair over the
+    5-degree lattice."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("event_type",),
+    ))
+    return GS.segregation_indices(ev, "event_type", cell_deg=5.0)
+
+
+def _segregation_indices_sql() -> str:
+    return GS.segregation_indices_sql(
+        FX.events_geo_sql(extra_cols=("event_type",)), "event_type",
+        cell_deg=5.0,
+    )
+
+
 _SEN_KW = dict(
     cell_deg=5.0, t0_us=1_704_067_200_000_000,
     bin_us=172_800_000_000, n_bins=15,
@@ -5547,6 +5571,7 @@ def oracle_sql() -> dict[str, str]:
         "colocation_quotient": _colocation_quotient_sql(),
         "location_quotient": _location_quotient_sql(),
         "cell_diversity": _cell_diversity_sql(),
+        "segregation_indices": _segregation_indices_sql(),
         "sen_slope": _sen_slope_sql(),
         "seasonal_mk": _seasonal_mk_sql(),
         "pettitt_change": _pettitt_change_sql(),
@@ -5943,6 +5968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_quotient": q_colocation_quotient,
         "location_quotient": q_location_quotient,
         "cell_diversity": q_cell_diversity,
+        "segregation_indices": q_segregation_indices,
         "sen_slope": q_sen_slope,
         "seasonal_mk": q_seasonal_mk,
         "pettitt_change": q_pettitt_change,

@@ -4540,3 +4540,108 @@ def cell_diversity(
         "cx AS cell_x", "cy AS cell_y", "n_i AS n_events",
         "richness", *_diversity_out_sql(),
     )
+
+
+# ------------------------------ segregation indices per category --
+
+
+def segregation_indices_sql(
+    src_sql: str,
+    cat: str,
+    cell_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-category residential-segregation indices vs the complement
+    (Duncan & Duncan 1955; Massey & Denton's evenness + exposure
+    dimensions — the standard demography/urban-analytics pair):
+
+    * dissimilarity D = ½ Σ_i |x_i/X − y_i/Y| — the share of the
+      category that would have to move to even out. Computed EXACTLY:
+      over the common denominator, D = (Σ_i |x_i·Y − y_i·X|) / (2XY)
+      whose numerator is an exact BIGINT sum; cells where the category
+      is ABSENT (x_i = 0, never materialized) contribute X·(Y − Σ_present
+      y_i) in closed form, so the zero cells never exist. Headroom:
+      x_i·Y < 2^63 caps the corpus at ~4e9 events, documented.
+    * isolation xPx = Σ_i (x_i/X)(x_i/t_i) — the expected own-group
+      share met by a random member (absent cells contribute 0); a
+      ≤ n_cells-term double sum (the word_entropy round-6 posture).
+      Interaction with the rest is its complement 1 − xPx.
+
+    One corpus aggregation to (cell, category); marginals via
+    lattice-bounded windows. Output: one row per category (category,
+    cat_total, rest_total, dissimilarity, isolation); D NULL when the
+    complement is empty (single-category corpus)."""
+    _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    return (
+        f"WITH c AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"({cat}) AS category, CAST(count(*) AS BIGINT) AS x "
+        f"FROM ({src_sql}) s GROUP BY 1, 2, 3), "
+        f"w AS (SELECT cx, cy, category, x, "
+        f"CAST(sum(x) OVER (PARTITION BY cx, cy) AS BIGINT) AS t, "
+        f"CAST(sum(x) OVER (PARTITION BY category) AS BIGINT) AS xt, "
+        f"CAST(sum(x) OVER () AS BIGINT) AS n FROM c), "
+        f"agg AS (SELECT category, "
+        f"CAST(min(xt) AS BIGINT) AS cat_total, "
+        f"CAST(min(n - xt) AS BIGINT) AS rest_total, "
+        f"CAST(sum(abs(x * (n - xt) - (t - x) * xt)) AS BIGINT) "
+        f"AS a_sum, "
+        f"CAST(sum(t - x) AS BIGINT) AS b_sum, "
+        f"sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) "
+        f"/ CAST(t AS DOUBLE)) AS iso_num "
+        f"FROM w GROUP BY category) "
+        f"SELECT category, cat_total, rest_total, "
+        f"round(CAST(a_sum + cat_total * (rest_total - b_sum) "
+        f"AS DOUBLE) / nullif(2.0E0 * CAST(cat_total AS DOUBLE) "
+        f"* CAST(rest_total AS DOUBLE), 0.0E0), 6) AS dissimilarity, "
+        f"round(iso_num / CAST(cat_total AS DOUBLE), 6) AS isolation "
+        f"FROM agg"
+    )
+
+
+def segregation_indices(
+    df: DataFrame,
+    cat: str,
+    cell_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Segregation indices (see :func:`segregation_indices_sql`).
+    Plan: one corpus hash aggregation to (cell, category), the three
+    lattice-bounded marginal windows (the location_quotient posture),
+    one category-keyed aggregate."""
+    _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    c = (
+        df.selectExpr(
+            f"{cx} AS cx", f"{cy} AS cy", f"({cat}) AS category"
+        )
+        .groupBy("cx", "cy", "category")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = c.selectExpr(
+        "cx", "cy", "category", "x",
+        "CAST(sum(x) OVER (PARTITION BY cx, cy) AS BIGINT) AS t",
+        "CAST(sum(x) OVER (PARTITION BY category) AS BIGINT) AS xt",
+        "CAST(sum(x) OVER () AS BIGINT) AS n",
+    )
+    agg = w.groupBy("category").agg(
+        F.expr("CAST(min(xt) AS BIGINT)").alias("cat_total"),
+        F.expr("CAST(min(n - xt) AS BIGINT)").alias("rest_total"),
+        F.expr(
+            "CAST(sum(abs(x * (n - xt) - (t - x) * xt)) AS BIGINT)"
+        ).alias("a_sum"),
+        F.expr("CAST(sum(t - x) AS BIGINT)").alias("b_sum"),
+        F.expr(
+            "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) "
+            "/ CAST(t AS DOUBLE))"
+        ).alias("iso_num"),
+    )
+    return agg.selectExpr(
+        "category", "cat_total", "rest_total",
+        "round(CAST(a_sum + cat_total * (rest_total - b_sum) "
+        "AS DOUBLE) / nullif(2.0E0 * CAST(cat_total AS DOUBLE) "
+        "* CAST(rest_total AS DOUBLE), 0.0E0), 6) AS dissimilarity",
+        "round(iso_num / CAST(cat_total AS DOUBLE), 6) AS isolation",
+    )

@@ -1887,3 +1887,68 @@ def test_cell_diversity_brute(spark):
         df, "et", CELL)._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------ segregation indices
+
+
+def test_segregation_brute(spark):
+    rows = []
+    eid = 0
+    placed = [
+        (0, 0, "a", 8), (0, 0, "b", 2),
+        (3, 1, "a", 2), (3, 1, "b", 8),
+        (7, -1, "b", 5), (9, 1, "a", 3), (9, 1, "c", 4),
+    ]
+    for cx, cy, cat, cnt in placed:
+        lon = cx * CELL + CELL / 2.0
+        lat = cy * CELL + CELL / 2.0
+        for _ in range(cnt):
+            rows.append((eid, lon, lat, cat))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, et string")
+    out = {r.category: r
+           for r in GS.segregation_indices(df, "et", CELL).collect()}
+    cells = {}
+    for cx, cy, cat, cnt in placed:
+        cells.setdefault((cx, cy), {})[cat] = cnt
+    cats = {cat for *_, cat, _ in [(a, b, c, d) for a, b, c, d in placed]}
+    N = sum(cnt for *_, cnt in placed)
+    for catg in cats:
+        X = sum(comp.get(catg, 0) for comp in cells.values())
+        Y = N - X
+        d = 0.5 * sum(
+            abs(comp.get(catg, 0) / X - (sum(comp.values())
+                - comp.get(catg, 0)) / Y)
+            for comp in cells.values()
+        )
+        iso = sum(
+            (comp.get(catg, 0) / X)
+            * (comp.get(catg, 0) / sum(comp.values()))
+            for comp in cells.values()
+        )
+        r = out[catg]
+        assert r.cat_total == X and r.rest_total == Y
+        assert r.dissimilarity == pytest.approx(d, abs=2e-6), catg
+        assert r.isolation == pytest.approx(iso, abs=2e-6), catg
+    # perfect segregation for a category alone in its cells?
+    solo = GS.segregation_indices(
+        spark.createDataFrame(
+            [(0, 15.0, 15.0, "x"), (1, 75.0, 15.0, "y")],
+            "event_id bigint, lon double, lat double, et string"),
+        "et", CELL).collect()
+    for r in solo:
+        assert r.dissimilarity == 1.0
+        assert r.isolation == 1.0
+    # single-category corpus -> D NULL (empty complement)
+    one = GS.segregation_indices(
+        spark.createDataFrame(
+            [(0, 15.0, 15.0, "x")],
+            "event_id bigint, lon double, lat double, et string"),
+        "et", CELL).collect()[0]
+    assert one.dissimilarity is None
+    plan = GS.segregation_indices(
+        df, "et", CELL)._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
