@@ -1406,6 +1406,25 @@ def _morisita_index_sql() -> str:
     )
 
 
+def q_spatial_concentration(spark, sf_dir):
+    """Spatial concentration scalars (operators/gridstats.py
+    spatial_concentration): Gini (exact via the rank formula with
+    closed-form zero-cell ranks), Hoover/Robin-Hood (common-
+    denominator exact, absent cells closed form), and Theil entropy
+    over the 5-degree lattice — inequality beside the dispersion
+    family (a checkerboard is dispersed yet unequal)."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.spatial_concentration(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
+def _spatial_concentration_sql() -> str:
+    return GS.spatial_concentration_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
 def q_kde_cells(spark, sf_dir):
     """Gaussian kernel-smoothed event intensity (operators/gridstats.py
     kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
@@ -5539,6 +5558,7 @@ def oracle_sql() -> dict[str, str]:
         "lacunarity": _lacunarity_sql(),
         "moran_correlogram": _moran_correlogram_sql(),
         "morisita_index": _morisita_index_sql(),
+        "spatial_concentration": _spatial_concentration_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
@@ -5936,6 +5956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lacunarity": q_lacunarity,
         "moran_correlogram": q_moran_correlogram,
         "morisita_index": q_morisita_index,
+        "spatial_concentration": q_spatial_concentration,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,

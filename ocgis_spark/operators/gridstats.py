@@ -4645,3 +4645,131 @@ def segregation_indices(
         "* CAST(rest_total AS DOUBLE), 0.0E0), 6) AS dissimilarity",
         "round(iso_num / CAST(cat_total AS DOUBLE), 6) AS isolation",
     )
+
+
+# ------------------------- spatial concentration (Gini/Hoover/Theil) --
+
+
+def spatial_concentration_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Spatial concentration of the event surface over the fixed
+    lattice — the inequality scalars regional science reports beside
+    the dispersion indices (how UNEQUAL is the allocation, as opposed
+    to how CLUMPED — a checkerboard is maximally dispersed yet highly
+    unequal):
+
+    * Gini G = (2·Σ rank_i·x_i − (n+1)·N)/(n·N) over counts sorted
+      ascending — EXACT: zero cells occupy the first n−K ranks and
+      contribute nothing, so each present cell's effective rank is
+      (n−K) + its row_number among present cells (ties of equal x are
+      rank-order invariant in the sum); everything BIGINT until one
+      division.
+    * Hoover (Robin Hood) H = ½Σ|x_i/N − 1/n| = the share of events
+      that must move for uniformity = (Σ_present |n·x_i − N| +
+      (n−K)·N)/(2nN) — common-denominator exact, absent cells closed
+      form (the segregation-D trick).
+    * Theil T = Σ(x_i/N)·ln(x_i/m), m = N/n — zero cells contribute 0
+      (x·ln x → 0), reduces to (Σx·ln x)/N − ln(m) (double sum, the
+      word_entropy round-6 posture).
+
+    One corpus aggregation, one lattice-bounded rank window, one 1-row
+    aggregate. Output: (n_cells, n_events, gini, hoover, theil);
+    NULL for an empty band."""
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    n = f"{n_cells}.0E0"
+    return (
+        f"WITH counts AS ({counts}), "
+        f"rk AS (SELECT cnt, CAST(row_number() OVER "
+        f"(ORDER BY cnt, cx, cy) AS BIGINT) AS r, "
+        f"CAST(count(*) OVER () AS BIGINT) AS k, "
+        f"CAST(sum(cnt) OVER () AS BIGINT) AS stot FROM counts), "
+        f"agg AS (SELECT CAST(sum(cnt) AS BIGINT) AS sx, "
+        f"CAST(min(k) AS BIGINT) AS k, "
+        f"CAST(sum(({n_cells} - k + r) * cnt) AS BIGINT) AS srx, "
+        f"CAST(sum(abs({n_cells} * cnt - stot)) "
+        f"AS BIGINT) AS habs, "
+        f"sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS slnl "
+        f"FROM rk) "
+        f"SELECT CAST({n_cells} AS BIGINT) AS n_cells, "
+        f"sx AS n_events, "
+        f"round((2.0E0 * CAST(srx AS DOUBLE) "
+        f"- ({n} + 1.0E0) * CAST(sx AS DOUBLE)) "
+        f"/ nullif({n} * CAST(sx AS DOUBLE), 0.0E0), 6) AS gini, "
+        f"round((CAST(habs AS DOUBLE) "
+        f"+ ({n} - CAST(k AS DOUBLE)) * CAST(sx AS DOUBLE)) "
+        f"/ nullif(2.0E0 * {n} * CAST(sx AS DOUBLE), 0.0E0), 6) "
+        f"AS hoover, "
+        f"round(slnl / nullif(CAST(sx AS DOUBLE), 0.0E0) "
+        f"- ln(CAST(sx AS DOUBLE) / {n}), 6) AS theil "
+        f"FROM agg"
+    )
+
+
+def spatial_concentration(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Gini/Hoover/Theil concentration (see
+    :func:`spatial_concentration_sql`). Plan: one corpus hash agg to
+    cells, one lattice-bounded single-partition rank window (the
+    spacetime_scan posture), one 1-row aggregate."""
+    nx, _, _ = _grid_params(cell_deg)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    n_cells = nx * (cy1 - cy0)
+    if n_cells < 2:
+        raise ValueError("study lattice needs at least 2 cells")
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    rk = counts.selectExpr(
+        "cnt",
+        "CAST(row_number() OVER (ORDER BY cnt, cx, cy) AS BIGINT) AS r",
+        "CAST(count(*) OVER () AS BIGINT) AS k",
+        "CAST(sum(cnt) OVER () AS BIGINT) AS stot",
+    )
+    agg = rk.agg(
+        F.expr("CAST(sum(cnt) AS BIGINT)").alias("sx"),
+        F.expr("CAST(min(k) AS BIGINT)").alias("k"),
+        F.expr(
+            f"CAST(sum(({n_cells} - k + r) * cnt) AS BIGINT)"
+        ).alias("srx"),
+        F.expr(
+            f"CAST(sum(abs({n_cells} * cnt - stot)) AS BIGINT)"
+        ).alias("habs"),
+        F.expr(
+            "sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)))"
+        ).alias("slnl"),
+    )
+    n = f"{n_cells}.0E0"
+    return agg.selectExpr(
+        f"CAST({n_cells} AS BIGINT) AS n_cells",
+        "sx AS n_events",
+        f"round((2.0E0 * CAST(srx AS DOUBLE) "
+        f"- ({n} + 1.0E0) * CAST(sx AS DOUBLE)) "
+        f"/ nullif({n} * CAST(sx AS DOUBLE), 0.0E0), 6) AS gini",
+        f"round((CAST(habs AS DOUBLE) "
+        f"+ ({n} - CAST(k AS DOUBLE)) * CAST(sx AS DOUBLE)) "
+        f"/ nullif(2.0E0 * {n} * CAST(sx AS DOUBLE), 0.0E0), 6) "
+        f"AS hoover",
+        f"round(slnl / nullif(CAST(sx AS DOUBLE), 0.0E0) "
+        f"- ln(CAST(sx AS DOUBLE) / {n}), 6) AS theil",
+    )

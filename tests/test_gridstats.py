@@ -1952,3 +1952,41 @@ def test_segregation_brute(spark):
         df, "et", CELL)._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# --------------------------------- spatial concentration scalars
+
+
+def test_concentration_brute(spark):
+    cells = [(0, 0, 10), (1, 0, 10), (5, 1, 4), (3, -2, 1)]
+    out = GS.spatial_concentration(
+        _mk_events(spark, cells), CELL, LAT0, LAT1).collect()[0]
+    n = NX * NY
+    xs = [0] * (n - len(cells)) + sorted(c for *_, c in cells)
+    N = sum(xs)
+    gini = (2 * sum((i + 1) * x for i, x in enumerate(xs))
+            - (n + 1) * N) / (n * N)
+    hoover = 0.5 * sum(abs(x / N - 1.0 / n) for x in xs)
+    m = N / n
+    theil = sum((x / N) * math.log(x / m) for x in xs if x > 0)
+    assert out.n_cells == n and out.n_events == N
+    assert out.gini == pytest.approx(round(gini, 6), abs=1e-9)
+    assert out.hoover == pytest.approx(hoover, abs=2e-6)
+    assert out.theil == pytest.approx(theil, abs=2e-6)
+    # uniform surface: all three exactly 0
+    uni = [(cx, cy, 3) for cx in range(NX) for cy in range(CY0, CY0 + NY)]
+    u = GS.spatial_concentration(
+        _mk_events(spark, uni), CELL, LAT0, LAT1).collect()[0]
+    assert u.gini == 0.0 and u.hoover == 0.0 and u.theil == 0.0
+    # everything in one cell: gini -> (n-1)/n, hoover -> (n-1)/n,
+    # theil -> ln(n)
+    one = GS.spatial_concentration(
+        _mk_events(spark, [(4, 0, 9)]), CELL, LAT0, LAT1).collect()[0]
+    assert one.gini == pytest.approx(round((n - 1) / n, 6), abs=1e-9)
+    assert one.hoover == pytest.approx(round((n - 1) / n, 6), abs=1e-9)
+    assert one.theil == pytest.approx(math.log(n), abs=2e-6)
+    plan = GS.spatial_concentration(
+        _mk_events(spark, cells), CELL, LAT0, LAT1
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
