@@ -913,6 +913,23 @@ def _seasonal_mk_sql() -> str:
     return GS.seasonal_mk_cells_sql(FX.events_geo_sql(), **_SMK_KW)
 
 
+def q_seasonal_chi2(spark, sf_dir):
+    """Per-cell seasonality chi-square (operators/gridstats.py
+    seasonal_chi2_cells): is the cell's activity uniform across the 3
+    season bins of the 2-day-binned January-2024 cycle, or seasonal?
+    chi² = (P·Σx² − n²)/n exactly from two BIGINT moments; peak season
+    via the exact total-order min_by key; critical value 5.991
+    (df=2, 95%, published table — the SNHT t_crit convention)."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.seasonal_chi2_cells(ev, chi2_crit=5.991, **_SMK_KW)
+
+
+def _seasonal_chi2_sql() -> str:
+    return GS.seasonal_chi2_cells_sql(
+        FX.events_geo_sql(), chi2_crit=5.991, **_SMK_KW
+    )
+
+
 def q_pettitt_change(spark, sf_dir):
     """Pettitt change-point test per cell (operators/gridstats.py
     pettitt_cells): rank-based abrupt-shift detection over the same
@@ -5594,6 +5611,7 @@ def oracle_sql() -> dict[str, str]:
         "segregation_indices": _segregation_indices_sql(),
         "sen_slope": _sen_slope_sql(),
         "seasonal_mk": _seasonal_mk_sql(),
+        "seasonal_chi2": _seasonal_chi2_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -5992,6 +6010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segregation_indices": q_segregation_indices,
         "sen_slope": q_sen_slope,
         "seasonal_mk": q_seasonal_mk,
+        "seasonal_chi2": q_seasonal_chi2,
         "pettitt_change": q_pettitt_change,
         "snht_change": q_snht_change,
         "join_counts": q_join_counts,

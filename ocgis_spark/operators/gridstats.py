@@ -4773,3 +4773,140 @@ def spatial_concentration(
         f"round(slnl / nullif(CAST(sx AS DOUBLE), 0.0E0) "
         f"- ln(CAST(sx AS DOUBLE) / {n}), 6) AS theil",
     )
+
+
+# ------------------------------ seasonal chi-square per cell --
+
+
+def _schi_params(n_seasons: int, chi2_crit: float) -> int:
+    """P >= 2 seasons; the chi-square critical value at df = P−1 is a
+    PARAMETER read off the published table (e.g. 5.991 at df=2, 95%;
+    the SNHT t_crit convention — no quantile function is derived)."""
+    P = int(n_seasons)
+    if P < 2:
+        raise ValueError(f"n_seasons must be >= 2, got {n_seasons}")
+    if not float(chi2_crit) > 0.0:
+        raise ValueError(f"chi2_crit must be > 0, got {chi2_crit}")
+    return P
+
+
+def seasonal_chi2_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    n_seasons: int,
+    chi2_crit: float,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell chi-square test of SEASONALITY: are the cell's events
+    uniform across the P season-of-cycle bins (bin % P), or does the
+    cell carry a seasonal cycle? The classic goodness-of-fit
+    seasonality screen (the chi-square companion of Edwards' 1961
+    harmonic test) — and the diagnostic that says whether
+    seasonal_mk's season stratification is doing anything for a cell.
+
+    With season totals x_s (s = 0..P−1, zero seasons never
+    materialized — they enter through the closed form) and n = Σx_s:
+    chi² = Σ_s (x_s − n/P)²/(n/P) = (P·Σx_s² − n²)/n EXACTLY — two
+    BIGINT moments, one double division. Peak season = earliest argmax
+    via the exact total-order min_by key (−x_s)·P + s. The label
+    compares against the caller's published-table critical value at
+    df = P−1 (:func:`_schi_params`). Requires n_bins % n_seasons == 0
+    (a partial cycle biases every season total, the seasonal_mk rule).
+
+    Output: one row per cell with >= 1 in-window event: (cell_x,
+    cell_y, n_events, chi2, peak_season, peak_count, seasonal);
+    chi2 round(.,6)."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    P = _schi_params(n_seasons, chi2_crit)
+    T = int(n_bins)
+    if T % P != 0:
+        raise ValueError(
+            f"n_bins={T} must be a whole number of {P}-season cycles"
+        )
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    key = f"(-x) * {P} + s"
+    chi2 = (
+        f"(CAST({P} * sxx - n_events * n_events AS DOUBLE) "
+        f"/ CAST(n_events AS DOUBLE))"
+    )
+    sig = f"({chi2} >= {_pf(float(chi2_crit))})"
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"({binx}) % {P} AS s FROM ({src_sql}) q "
+        f"WHERE ({binx}) >= 0 AND ({binx}) < {T}), "
+        f"c AS (SELECT cx, cy, s, CAST(count(*) AS BIGINT) AS x "
+        f"FROM ev GROUP BY 1, 2, 3), "
+        f"agg AS (SELECT cx, cy, CAST(sum(x) AS BIGINT) AS n_events, "
+        f"CAST(sum(x * x) AS BIGINT) AS sxx, "
+        f"CAST(min_by(s, {key}) AS BIGINT) AS peak_season, "
+        f"CAST(max(x) AS BIGINT) AS peak_count "
+        f"FROM c GROUP BY 1, 2) "
+        f"SELECT cx AS cell_x, cy AS cell_y, n_events, "
+        f"round({chi2}, 6) AS chi2, peak_season, peak_count, "
+        f"(CASE WHEN {sig} THEN 'seasonal' ELSE 'uniform' END) "
+        f"AS seasonal FROM agg"
+    )
+
+
+def seasonal_chi2_cells(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    n_seasons: int,
+    chi2_crit: float,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Seasonality chi-square per cell (see
+    :func:`seasonal_chi2_cells_sql`). Plan: ONE corpus hash
+    aggregation to (cell, season) totals, one cell-keyed aggregate —
+    zero seasons enter through the closed form (chi² needs only Σx²
+    and n; absent seasons add 0 and the P divisor is compile-time),
+    so nothing is ever zero-filled."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    P = _schi_params(n_seasons, chi2_crit)
+    T = int(n_bins)
+    if T % P != 0:
+        raise ValueError(
+            f"n_bins={T} must be a whole number of {P}-season cycles"
+        )
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    c = (
+        df.selectExpr(
+            f"{cx} AS cx", f"{cy} AS cy", f"({binx}) AS b"
+        )
+        .filter(f"b >= 0 AND b < {T}")
+        .selectExpr("cx", "cy", f"b % {P} AS s")
+        .groupBy("cx", "cy", "s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    key = f"(-x) * {P} + s"
+    agg = c.groupBy("cx", "cy").agg(
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+        F.expr(f"CAST(min_by(s, {key}) AS BIGINT)").alias("peak_season"),
+        F.expr("CAST(max(x) AS BIGINT)").alias("peak_count"),
+    )
+    chi2 = (
+        f"(CAST({P} * sxx - n_events * n_events AS DOUBLE) "
+        f"/ CAST(n_events AS DOUBLE))"
+    )
+    sig = f"({chi2} >= {_pf(float(chi2_crit))})"
+    return agg.selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "n_events",
+        f"round({chi2}, 6) AS chi2", "peak_season", "peak_count",
+        f"(CASE WHEN {sig} THEN 'seasonal' ELSE 'uniform' END) "
+        f"AS seasonal",
+    )

@@ -1990,3 +1990,58 @@ def test_concentration_brute(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# --------------------------------------------- seasonal chi-square
+
+
+def test_seasonal_chi2_brute(spark):
+    T, P = 12, 3
+    series = {
+        (0, 0): [9, 0, 0, 9, 0, 0, 9, 0, 0, 9, 0, 0],  # pure season 0
+        (3, 1): [2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],  # uniform
+        (5, -1): [1, 0, 0, 0, 2, 0, 0, 0, 3, 1, 0, 0],  # mixed
+    }
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    out = {(r.cell_x, r.cell_y): r for r in GS.seasonal_chi2_cells(
+        _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000,
+        n_bins=T, n_seasons=P, chi2_crit=5.991,
+    ).collect()}
+    assert set(out) == set(series)
+    for key, xs in series.items():
+        seas = [sum(xs[b] for b in range(T) if b % P == s)
+                for s in range(P)]
+        n = sum(seas)
+        chi2 = sum((x - n / P) ** 2 for x in seas) / (n / P)
+        r = out[key]
+        assert r.n_events == n
+        assert r.chi2 == pytest.approx(round(chi2, 6), abs=1e-9), key
+        mx = max(seas)
+        assert r.peak_count == mx
+        assert r.peak_season == min(
+            s for s in range(P) if seas[s] == mx), key
+        assert r.seasonal == (
+            "seasonal" if chi2 >= 5.991 else "uniform"), key
+    assert out[(0, 0)].seasonal == "seasonal"
+    assert out[(0, 0)].peak_season == 0
+    assert out[(3, 1)].chi2 == 0.0
+    assert out[(3, 1)].seasonal == "uniform"
+
+
+def test_seasonal_chi2_validation_and_plan(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1)])
+    with pytest.raises(ValueError, match="whole number"):
+        GS.seasonal_chi2_cells(df, CELL, 0, 1000, 10, 3, 5.991)
+    with pytest.raises(ValueError, match="n_seasons"):
+        GS.seasonal_chi2_cells(df, CELL, 0, 1000, 12, 1, 5.991)
+    with pytest.raises(ValueError, match="chi2_crit"):
+        GS.seasonal_chi2_cells(df, CELL, 0, 1000, 12, 3, 0.0)
+    plan = GS.seasonal_chi2_cells(
+        df, CELL, 0, 1000, 12, 3, 5.991
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
