@@ -1442,6 +1442,25 @@ def _spatial_concentration_sql() -> str:
     )
 
 
+def q_local_join_counts(spark, sf_dir):
+    """Local join counts (operators/gridstats.py local_join_counts):
+    Anselin-Li 2019 — the LISA for BINARY fields, per hot cell (count
+    ≥ 110% of the active-cell mean, an integer-exact scale-free
+    threshold): hot-neighbor count BB_i with EXACT hypergeometric
+    conditional-permutation moments (enumeration-proven in pytest),
+    one-sided z at 5%."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.local_join_counts(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
+def _local_join_counts_sql() -> str:
+    return GS.local_join_counts_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
 def q_kde_cells(spark, sf_dir):
     """Gaussian kernel-smoothed event intensity (operators/gridstats.py
     kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
@@ -5576,6 +5595,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_correlogram": _moran_correlogram_sql(),
         "morisita_index": _morisita_index_sql(),
         "spatial_concentration": _spatial_concentration_sql(),
+        "local_join_counts": _local_join_counts_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
@@ -5975,6 +5995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_correlogram": q_moran_correlogram,
         "morisita_index": q_morisita_index,
         "spatial_concentration": q_spatial_concentration,
+        "local_join_counts": q_local_join_counts,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,

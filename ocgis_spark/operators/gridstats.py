@@ -4910,3 +4910,169 @@ def seasonal_chi2_cells(
         f"(CASE WHEN {sig} THEN 'seasonal' ELSE 'uniform' END) "
         f"AS seasonal",
     )
+
+
+# --------------------------------- local join counts (Anselin-Li) --
+
+
+def _ljc_exprs(n_cells: int, cy0: int, cy1: int) -> dict:
+    """Shared expressions over (cell_y, bb = hot neighbor count, p1 =
+    total hot cells): conditional-permutation moments of the local BB
+    join count. With x_i = 1 held fixed, the w_i neighbor slots are a
+    simple random sample WITHOUT replacement from the other n−1 cells,
+    of which p1−1 are hot — BB_i is hypergeometric(n−1, p1−1, w_i):
+
+        E[BB]   = w·K/(n−1),                 K = p1 − 1
+        Var[BB] = w·(K/(n−1))·(1 − K/(n−1))·(n−1−w)/(n−2)
+
+    (the local_geary SRSWOR fpc, verified against exhaustive
+    enumeration in tests). One-sided inference — join-count clustering
+    is a HIGH-tail question (GeoDa's convention)."""
+    n = n_cells
+    w = (
+        f"(CASE WHEN cell_y = {cy0} OR cell_y = {cy1 - 1} "
+        f"THEN 5.0E0 ELSE 8.0E0 END)"
+    )
+    k = "(CAST(p1 AS DOUBLE) - 1.0E0)"
+    nm1 = f"{n - 1}.0E0"
+    pr = f"({k} / {nm1})"
+    e = f"({w} * {pr})"
+    var = (
+        f"({w} * {pr} * (1.0E0 - {pr}) "
+        f"* ({nm1} - {w}) / {n - 2}.0E0)"
+    )
+    z = f"((CAST(bb AS DOUBLE) - {e}) / nullif(sqrt({var}), 0.0E0))"
+    return {
+        "e": e,
+        "z": z,
+        "label": (
+            f"(CASE WHEN {z} >= 1.645E0 THEN 'cluster' "
+            f"ELSE 'none' END)"
+        ),
+    }
+
+
+def local_join_counts_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    hot_pct: int = 110,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Local join count statistic (Anselin & Li 2019; GeoDa's
+    "univariate local join count" — the LISA for BINARY fields, where
+    Moran/Geary on a 0/1 surface lose their footing): per HOT cell,
+    BB_i = Σ_j w_ij x_j counts hot neighbors, with the EXACT
+    hypergeometric conditional-permutation moments
+    (:func:`_ljc_exprs`) giving an analytic one-sided z.
+
+    The binary marker is scale-free and integer-exact on BOTH engines:
+    hot ⟺ 100·cnt·K ≥ hot_pct·N (cnt at least hot_pct% of the
+    active-cell mean N/K) — no double threshold exists to mismatch.
+    Empty lattice cells are never hot and never materialize; the
+    conditional n is the FULL lattice (they are legitimate permutation
+    slots).
+
+    Output: one row per hot cell — (cell_x, cell_y, cnt, bb, n_hot,
+    e_bb, z, label), z/e round(.,6), label 'cluster' at one-sided 5%
+    (z >= 1.645). NULL z when every or no other cell is hot
+    (degenerate hypergeometric)."""
+    nx, cy0, cy1, n_cells, _ = _moran_lattice(cell_deg, lat0, lat1)
+    if int(hot_pct) <= 0:
+        raise ValueError(f"hot_pct must be positive, got {hot_pct}")
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    ex = _ljc_exprs(n_cells, cy0, cy1)
+    return (
+        f"WITH counts AS ({counts}), "
+        f"gmom AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn, "
+        f"CAST(count(*) AS BIGINT) AS kk FROM counts), "
+        f"hot AS (SELECT c.cx, c.cy, c.cnt FROM counts c "
+        f"CROSS JOIN gmom g "
+        f"WHERE 100 * c.cnt * g.kk >= {int(hot_pct)} * g.nn), "
+        f"p AS (SELECT CAST(count(*) AS BIGINT) AS p1 FROM hot), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((h.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(h.cy + o.dy) AS ty FROM hot h CROSS JOIN offs o "
+        f"WHERE (h.cy + o.dy) >= {cy0} AND (h.cy + o.dy) < {cy1}), "
+        f"nbr AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS bb "
+        f"FROM scat GROUP BY tx, ty), "
+        f"base AS (SELECT h.cx AS cell_x, h.cy AS cell_y, "
+        f"h.cnt AS cnt, CAST(coalesce(n.bb, 0) AS BIGINT) AS bb, "
+        f"p.p1 AS p1 FROM hot h "
+        f"LEFT JOIN nbr n ON n.tx = h.cx AND n.ty = h.cy "
+        f"CROSS JOIN p) "
+        f"SELECT cell_x, cell_y, cnt, bb, p1 AS n_hot, "
+        f"round({ex['e']}, 6) AS e_bb, "
+        f"round({ex['z']}, 6) AS z, "
+        f"{ex['label']} AS label FROM base"
+    )
+
+
+def local_join_counts(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    hot_pct: int = 110,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Local join counts (see :func:`local_join_counts_sql`). Plan: ONE
+    corpus hash aggregation to cells; the hot filter broadcasts the
+    1-row global moments; the 8-offset scatter, neighbor count, and
+    the left join back all run on the HOT subset (≤ lattice-sized);
+    p1 is another 1-row broadcast."""
+    nx, cy0, cy1, n_cells, _ = _moran_lattice(cell_deg, lat0, lat1)
+    if int(hot_pct) <= 0:
+        raise ValueError(f"hot_pct must be positive, got {hot_pct}")
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    counts = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy")
+        .filter(f"cy >= {cy0} AND cy < {cy1}")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    glob = counts.agg(
+        F.sum("cnt").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+    )
+    hot = counts.crossJoin(F.broadcast(glob)).filter(
+        f"100 * cnt * kk >= {int(hot_pct)} * nn"
+    ).select("cx", "cy", "cnt")
+    p = hot.agg(F.count(F.lit(1)).cast("bigint").alias("p1"))
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    nbr = hot.selectExpr(
+        f"explode(array({offs})) AS o", "cx", "cy"
+    ).selectExpr(
+        f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty"
+    ).filter(f"ty >= {cy0} AND ty < {cy1}").groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bb")
+    )
+    ex = _ljc_exprs(n_cells, cy0, cy1)
+    base = (
+        hot.join(
+            nbr, (hot.cx == nbr.tx) & (hot.cy == nbr.ty), "left"
+        )
+        .crossJoin(F.broadcast(p))
+        .selectExpr(
+            "cx AS cell_x", "cy AS cell_y", "cnt",
+            "CAST(coalesce(bb, 0) AS BIGINT) AS bb", "p1",
+        )
+    )
+    return base.selectExpr(
+        "cell_x", "cell_y", "cnt", "bb", "p1 AS n_hot",
+        f"round({ex['e']}, 6) AS e_bb",
+        f"round({ex['z']}, 6) AS z",
+        f"{ex['label']} AS label",
+    )

@@ -2045,3 +2045,63 @@ def test_seasonal_chi2_validation_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------ local join counts
+
+
+def test_ljc_enumeration_and_brute(spark):
+    import itertools
+
+    # hot cells: a seam-adjacent pair + an isolated hot + background
+    cells = [(11, 0, 50), (0, 0, 40), (5, 1, 45), (3, -2, 2), (8, -1, 3)]
+    out = {(r.cell_x, r.cell_y): r for r in GS.local_join_counts(
+        _mk_events(spark, cells), CELL, LAT0, LAT1).collect()}
+    # threshold: 110% of active mean (28) = 30.8 -> hot = {50, 40, 45}
+    hot = {(11, 0), (0, 0), (5, 1)}
+    assert set(out) == hot
+    n = NX * NY
+    p1 = len(hot)
+    for key in hot:
+        r = out[key]
+        assert r.n_hot == p1
+        # brute hot-neighbor count on the wrapped lattice
+        cx0, cy00 = key
+        bb = sum(
+            1
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+            and ((cx0 + dx) % NX, cy00 + dy) in hot
+        )
+        assert r.bb == bb, key
+        w = 5 if cy00 in (CY0, CY0 + NY - 1) else 8
+        # exhaustive conditional enumeration: place the other p1-1 hot
+        # markers in the other n-1 slots; BB = hot markers among the
+        # w neighbor slots
+        kk = p1 - 1
+        others = n - 1
+        cnt_e = {}
+        for ones in itertools.combinations(range(others), kk):
+            inw = sum(1 for o in ones if o < w)  # wlog first w slots
+            cnt_e[inw] = cnt_e.get(inw, 0) + 1
+        tot = sum(cnt_e.values())
+        e_enum = sum(v * c / tot for v, c in cnt_e.items())
+        var_enum = sum(v * v * c / tot for v, c in cnt_e.items()) - e_enum ** 2
+        assert r.e_bb == pytest.approx(e_enum, abs=2e-6), key
+        if var_enum > 0:
+            z = (bb - e_enum) / math.sqrt(var_enum)
+            assert r.z == pytest.approx(z, abs=2e-6), key
+    # the seam pair must see each other: bb >= 1 both sides
+    assert out[(11, 0)].bb >= 1 and out[(0, 0)].bb >= 1
+    assert out[(5, 1)].bb == 0
+
+
+def test_ljc_validation_and_plan(spark):
+    df = _mk_events(spark, [(0, 0, 3), (1, 0, 1)])
+    with pytest.raises(ValueError, match="hot_pct"):
+        GS.local_join_counts(df, CELL, LAT0, LAT1, hot_pct=0)
+    plan = GS.local_join_counts(
+        df, CELL, LAT0, LAT1
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
