@@ -1461,6 +1461,31 @@ def _local_join_counts_sql() -> str:
     )
 
 
+def q_eb_rates(spark, sf_dir):
+    """Empirical-Bayes smoothed rates (operators/gridstats.py
+    eb_rates): Marshall 1991 global EB over the 5-degree lattice —
+    'error' events as cases, all events as base. THE standard
+    small-denominator fix in disease mapping: noisy small-base cell
+    rates shrink toward the overall rate in proportion to
+    v/(v + m/base); prior moments from the exact per-cell BIGINT
+    deviation numerators."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("event_type",),
+    ))
+    return GS.eb_rates(ev, "event_type", "'error'", cell_deg=5.0)
+
+
+def _eb_rates_sql() -> str:
+    return GS.eb_rates_sql(
+        FX.events_geo_sql(extra_cols=("event_type",)), "event_type",
+        "'error'", cell_deg=5.0,
+    )
+
+
 def q_kde_cells(spark, sf_dir):
     """Gaussian kernel-smoothed event intensity (operators/gridstats.py
     kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
@@ -5596,6 +5621,7 @@ def oracle_sql() -> dict[str, str]:
         "morisita_index": _morisita_index_sql(),
         "spatial_concentration": _spatial_concentration_sql(),
         "local_join_counts": _local_join_counts_sql(),
+        "eb_rates": _eb_rates_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
@@ -5996,6 +6022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morisita_index": q_morisita_index,
         "spatial_concentration": q_spatial_concentration,
         "local_join_counts": q_local_join_counts,
+        "eb_rates": q_eb_rates,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,

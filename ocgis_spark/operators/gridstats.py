@@ -5076,3 +5076,126 @@ def local_join_counts(
         f"round({ex['z']}, 6) AS z",
         f"{ex['label']} AS label",
     )
+
+
+# ------------------------------ Empirical-Bayes smoothed rates --
+
+
+def eb_rates_sql(
+    src_sql: str,
+    cat: str,
+    case_value: str,
+    cell_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell raw + Empirical-Bayes-smoothed case rates (Marshall
+    1991 global EB — GeoDa's "Empirical Bayes" rate smoother; THE
+    standard answer to the small-denominator problem in disease
+    mapping: a 1-case cell over a 2-event base screams rate 0.5 from
+    pure noise). Cases = events whose ``cat`` equals ``case_value``;
+    base = all events in the cell.
+
+    Method-of-moments prior over the observed rates r_i = x_i/t_i:
+    m = X/T (overall rate), v = Σt_i(r_i−m)²/T − m·K/T (truncated at
+    0), shrinkage w_i = v/(v + m/t_i), θ_i = w_i·r_i + (1−w_i)·m —
+    small-base cells shrink hardest; v ≤ 0 collapses every cell to m
+    (the prior carries all the information). The moment sum runs over
+    the per-cell EXACT BIGINT numerator (x_i·T − t_i·X)²: Σ of ≤
+    n_cells double terms (word_entropy round-6 posture); everything
+    else is exact until one division.
+
+    Output: one row per cell with >= 1 event — (cell_x, cell_y,
+    cases, base, raw_rate, eb_rate, shrink_w), floats round(.,6)."""
+    _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    case = f"(CASE WHEN ({cat}) = {case_value} THEN 1 ELSE 0 END)"
+    tt = "CAST(tot.t AS DOUBLE)"
+    xx = "CAST(tot.x AS DOUBLE)"
+    m = f"({xx} / {tt})"
+    v = (
+        f"(vsum.s / {tt} - {m} * CAST(tot.k AS DOUBLE) / {tt})"
+    )
+    vc = f"greatest(0.0E0, {v})"
+    w = (
+        f"({vc} / nullif({vc} + {m} / CAST(c.t_i AS DOUBLE), 0.0E0))"
+    )
+    r = "(CAST(c.x_i AS DOUBLE) / CAST(c.t_i AS DOUBLE))"
+    return (
+        f"WITH c AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(sum({case}) AS BIGINT) AS x_i, "
+        f"CAST(count(*) AS BIGINT) AS t_i "
+        f"FROM ({src_sql}) s GROUP BY 1, 2), "
+        f"tot AS (SELECT CAST(sum(x_i) AS BIGINT) AS x, "
+        f"CAST(sum(t_i) AS BIGINT) AS t, "
+        f"CAST(count(*) AS BIGINT) AS k FROM c), "
+        f"vsum AS (SELECT sum(CAST((c.x_i * tot.t - c.t_i * tot.x) "
+        f"AS DOUBLE) * CAST((c.x_i * tot.t - c.t_i * tot.x) "
+        f"AS DOUBLE) / (CAST(c.t_i AS DOUBLE) "
+        f"* CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE))) AS s "
+        f"FROM c CROSS JOIN tot) "
+        f"SELECT c.cx AS cell_x, c.cy AS cell_y, c.x_i AS cases, "
+        f"c.t_i AS base, "
+        f"round({r}, 6) AS raw_rate, "
+        f"round({w} * {r} + (1.0E0 - {w}) * {m}, 6) AS eb_rate, "
+        f"round({w}, 6) AS shrink_w "
+        f"FROM c CROSS JOIN tot CROSS JOIN vsum"
+    )
+
+
+def eb_rates(
+    df: DataFrame,
+    cat: str,
+    case_value: str,
+    cell_deg: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """EB-smoothed rates (see :func:`eb_rates_sql`). Plan: ONE corpus
+    hash aggregation to (cell: cases, base); the prior moments are a
+    1-row aggregate + a lattice-bounded moment sum, broadcast back —
+    the corpus is scanned once."""
+    _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    case = f"(CASE WHEN ({cat}) = {case_value} THEN 1 ELSE 0 END)"
+    c = (
+        df.selectExpr(
+            f"{cx} AS cx", f"{cy} AS cy", f"{case} AS is_case"
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.expr("CAST(sum(is_case) AS BIGINT)").alias("x_i"),
+            F.count(F.lit(1)).cast("bigint").alias("t_i"),
+        )
+    )
+    tot = c.agg(
+        F.sum("x_i").cast("bigint").alias("x"),
+        F.sum("t_i").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    withtot = c.crossJoin(F.broadcast(tot))
+    vsum = withtot.agg(
+        F.expr(
+            "sum(CAST((x_i * t - t_i * x) AS DOUBLE) "
+            "* CAST((x_i * t - t_i * x) AS DOUBLE) "
+            "/ (CAST(t_i AS DOUBLE) * CAST(t AS DOUBLE) "
+            "* CAST(t AS DOUBLE)))"
+        ).alias("s")
+    )
+    tt = "CAST(t AS DOUBLE)"
+    xx = "CAST(x AS DOUBLE)"
+    m = f"({xx} / {tt})"
+    v = f"(s / {tt} - {m} * CAST(k AS DOUBLE) / {tt})"
+    vc = f"greatest(0.0E0, {v})"
+    w = f"({vc} / nullif({vc} + {m} / CAST(t_i AS DOUBLE), 0.0E0))"
+    r = "(CAST(x_i AS DOUBLE) / CAST(t_i AS DOUBLE))"
+    return (
+        withtot.crossJoin(F.broadcast(vsum))
+        .selectExpr(
+            "cx AS cell_x", "cy AS cell_y", "x_i AS cases",
+            "t_i AS base",
+            f"round({r}, 6) AS raw_rate",
+            f"round({w} * {r} + (1.0E0 - {w}) * {m}, 6) AS eb_rate",
+            f"round({w}, 6) AS shrink_w",
+        )
+    )

@@ -2105,3 +2105,74 @@ def test_ljc_validation_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ----------------------------------------- EB-smoothed rates
+
+
+def test_eb_rates_brute(spark):
+    rows = []
+    eid = 0
+    # (cell, cases, non-cases): a big-base cell at the overall rate, a
+    # tiny-base outlier (1/2 = 0.5 rate), a zero-case cell
+    placed = [
+        (0, 0, 60, 40), (3, 1, 1, 1), (7, -1, 0, 50), (9, 1, 5, 45),
+    ]
+    for cx, cy, ncase, nother in placed:
+        lon = cx * CELL + CELL / 2.0
+        lat = cy * CELL + CELL / 2.0
+        for _ in range(ncase):
+            rows.append((eid, lon, lat, "case")); eid += 1
+        for _ in range(nother):
+            rows.append((eid, lon, lat, "other")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, et string")
+    out = {(r.cell_x, r.cell_y): r
+           for r in GS.eb_rates(df, "et", "'case'", CELL).collect()}
+    X = sum(c for *_, c, _ in placed)
+    T = sum(c + o for *_, c, o in placed)
+    K = len(placed)
+    m = X / T
+    v = sum(
+        (c + o) * ((c / (c + o)) - m) ** 2 for *_, c, o in placed
+    ) / T - m * K / T
+    v = max(0.0, v)
+    for cx, cy, c, o in placed:
+        t_i = c + o
+        r_i = c / t_i
+        w = v / (v + m / t_i)
+        theta = w * r_i + (1 - w) * m
+        got = out[(cx, cy)]
+        assert got.cases == c and got.base == t_i
+        assert got.raw_rate == pytest.approx(round(r_i, 6), abs=1e-9)
+        assert got.eb_rate == pytest.approx(theta, abs=2e-6), (cx, cy)
+        assert got.shrink_w == pytest.approx(w, abs=2e-6), (cx, cy)
+    # shrinkage direction: the tiny outlier moves MUCH closer to m
+    # than its raw rate; the big cell barely moves
+    big, tiny = out[(0, 0)], out[(3, 1)]
+    assert abs(tiny.eb_rate - m) < abs(tiny.raw_rate - m) * 0.75
+    assert abs(big.eb_rate - big.raw_rate) < 0.05
+    # small base shrinks harder
+    assert tiny.shrink_w < big.shrink_w
+
+
+def test_eb_rates_degenerate_and_plan(spark):
+    # all cells at the identical rate -> v <= 0 -> every eb_rate == m
+    rows = []
+    eid = 0
+    for cx in range(4):
+        for _ in range(2):
+            rows.append((eid, cx * CELL + 15.0, 15.0, "case")); eid += 1
+        for _ in range(6):
+            rows.append((eid, cx * CELL + 15.0, 15.0, "other")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, et string")
+    out = GS.eb_rates(df, "et", "'case'", CELL).collect()
+    for r in out:
+        assert r.eb_rate == 0.25
+        assert r.shrink_w == 0.0
+    plan = GS.eb_rates(
+        df, "et", "'case'", CELL
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
