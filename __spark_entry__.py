@@ -1486,6 +1486,34 @@ def _eb_rates_sql() -> str:
     )
 
 
+def q_morans_i_field(spark, sf_dir):
+    """Field Moran's I (operators/gridstats.py morans_i_field): global
+    spatial autocorrelation of the cell-MEAN measured value over
+    present cells — the textbook station-data form beside morans_i's
+    count surface. Weights restrict to present cells, so every lattice
+    constant (n, W, S1, S2) is a data-dependent exact BIGINT; values
+    quantize at 1e-2 with the exact half-up cell mean; full Cliff-Ord
+    randomization inference re-proven by exhaustive permutation in
+    pytest."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return GS.morans_i_field(
+        ev, "value", cell_deg=5.0, lat0=-65.0, lat1=65.0
+    )
+
+
+def _morans_i_field_sql() -> str:
+    return GS.morans_i_field_sql(
+        FX.events_geo_sql(extra_cols=("value",)), "value",
+        cell_deg=5.0, lat0=-65.0, lat1=65.0,
+    )
+
+
 def q_kde_cells(spark, sf_dir):
     """Gaussian kernel-smoothed event intensity (operators/gridstats.py
     kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
@@ -5622,6 +5650,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_concentration": _spatial_concentration_sql(),
         "local_join_counts": _local_join_counts_sql(),
         "eb_rates": _eb_rates_sql(),
+        "morans_i_field": _morans_i_field_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
@@ -6023,6 +6052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_concentration": q_spatial_concentration,
         "local_join_counts": q_local_join_counts,
         "eb_rates": q_eb_rates,
+        "morans_i_field": q_morans_i_field,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,

@@ -5199,3 +5199,231 @@ def eb_rates(
             f"round({w}, 6) AS shrink_w",
         )
     )
+
+
+# ------------------------------ Moran's I of a measured field --
+
+_FLD_SCALE = 100  # 1e-2 value quantum (the semivariogram convention)
+
+
+def _fld_out_exprs() -> list:
+    """Output projection for the field Moran over the mm columns
+    (n, w, s2, m1..m4, psum, rsum) — shared verbatim by the SQL twin
+    and the DataFrame closing selectExpr (single source of truth for
+    the whole inference expression tree)."""
+    nn = "CAST(n AS DOUBLE)"
+    ww = "CAST(w AS DOUBLE)"
+    m = f"(CAST(m1 AS DOUBLE) / {nn})"
+    m2c = f"(CAST(m2 AS DOUBLE) - {nn} * {m} * {m})"
+    m4c = (
+        f"(CAST(m4 AS DOUBLE) - 4.0E0 * {m} * CAST(m3 AS DOUBLE)"
+        f" + 6.0E0 * {m} * {m} * CAST(m2 AS DOUBLE) "
+        f"- 3.0E0 * {nn} * {m} * {m} * {m} * {m})"
+    )
+    b2 = f"({nn} * {m4c} / nullif({m2c} * {m2c}, 0.0E0))"
+    s1 = f"(2.0E0 * {ww})"
+    s2 = "CAST(s2 AS DOUBLE)"
+    num = (
+        f"(CAST(psum AS DOUBLE) "
+        f"- 2.0E0 * {m} * CAST(rsum AS DOUBLE) + {m} * {m} * {ww})"
+    )
+    i_ = f"(({nn} / {ww}) * {num} / nullif({m2c}, 0.0E0))"
+    e_i = f"(CASE WHEN n >= 2 THEN -1.0E0 / ({nn} - 1.0E0) END)"
+    a_ = (
+        f"(({nn} * {nn} - 3.0E0 * {nn} + 3.0E0) * {s1} "
+        f"- {nn} * {s2} + 3.0E0 * {ww} * {ww})"
+    )
+    b_ = (
+        f"(({nn} * {nn} - {nn}) * {s1} - 2.0E0 * {nn} * {s2} "
+        f"+ 6.0E0 * {ww} * {ww})"
+    )
+    den = (
+        f"(({nn} - 1.0E0) * ({nn} - 2.0E0) * ({nn} - 3.0E0) "
+        f"* {ww} * {ww})"
+    )
+    var = (
+        f"(CASE WHEN n >= 4 THEN "
+        f"({nn} * {a_} - {b2} * {b_}) / {den} - {e_i} * {e_i} END)"
+    )
+    z = f"(({i_} - {e_i}) / nullif(sqrt({var}), 0.0E0))"
+    return [
+        "n AS n_cells",
+        "w AS w_sum",
+        f"round({i_}, 6) AS morans_i",
+        f"round({e_i}, 6) AS e_i",
+        f"round({var}, 6) AS var_i",
+        f"round({z}, 6) AS z",
+        f"(CASE WHEN {z} >= 1.96E0 THEN 'clustered' "
+        f"WHEN {z} <= -1.96E0 THEN 'dispersed' "
+        f"ELSE 'random' END) AS pattern",
+    ]
+
+
+def morans_i_field_sql(
+    src_sql: str,
+    value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Global Moran's I of a measured FIELD (cell-mean of a value
+    column) over the PRESENT cells — the textbook station-data form
+    (temperature/pressure anomalies), where :func:`morans_i` is the
+    count-surface form: empty cells carry no field value, so the
+    weight graph is the 3x3-minus-self adjacency RESTRICTED to
+    present cells and every lattice "constant" (n, W, S1, S2) becomes
+    a data-dependent EXACT integer.
+
+    Cell values are the per-cell mean quantized to BIGINT at 1e-2
+    (exact half-up integer division — the focal_value_mean posture),
+    so all moments (m1..m4, rsum, psum) are exact BIGINTs; W counts
+    directed present pairs from the same scatter join that builds
+    psum; S1 = 2W, S2 = Σ(2w_i)² with w_i the present-neighbor count.
+    I expands around the integer moments exactly like
+    :func:`moran_correlogram_sql`, and the inference is the same full
+    Cliff-Ord randomization variance — computed from COLUMNS instead
+    of compile-time literals (same algebra, exhaustively
+    permutation-proven there; re-proven for this data-dependent form
+    in pytest). m4 products run in DOUBLE past the BIGINT lane
+    (local_geary note). Requires >= 4 present cells (randomization
+    moments) — fewer cells yield NULL inference rather than an error
+    (data-dependent, can't fail at plan time).
+
+    Output: ONE row (n_cells, w_sum, morans_i, e_i, var_i, z,
+    pattern); morans_i NULL for a constant field, z 'clustered' /
+    'dispersed' / 'random' at two-sided 5%."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    s = _FLD_SCALE
+    # exact half-up integer mean of the 1e-2-quantized values
+    # (focal_value_mean): floor((2*vsum + n) / (2*n))
+    q = (
+        f"CAST(floor((2.0E0 * CAST(vs AS DOUBLE) + CAST(nv AS DOUBLE))"
+        f" / (2.0E0 * CAST(nv AS DOUBLE))) AS BIGINT)"
+    )
+    outs = ', '.join(_fld_out_exprs())
+    return (
+        f"WITH pts AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(round(({value}) * {s}.0E0, 0) AS BIGINT) AS qv "
+        f"FROM ({src_sql}) src "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} "
+        f"AND ({value}) IS NOT NULL), "
+        f"cells AS (SELECT cx, cy, CAST(sum(qv) AS BIGINT) AS vs, "
+        f"CAST(count(*) AS BIGINT) AS nv FROM pts GROUP BY 1, 2), "
+        f"cv AS (SELECT cx, cy, {q} AS x FROM cells), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.x FROM cv c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
+        f"pair AS (SELECT t.cx, t.cy, "
+        f"CAST(count(*) AS BIGINT) AS wi, "
+        f"CAST(sum(s.x) AS BIGINT) AS nsum "
+        f"FROM scat s JOIN cv t ON s.tx = t.cx AND s.ty = t.cy "
+        f"GROUP BY 1, 2), "
+        f"mm AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(coalesce(sum(p.wi), 0) AS BIGINT) AS w, "
+        f"CAST(coalesce(sum(4 * p.wi * p.wi), 0) AS BIGINT) AS s2, "
+        f"CAST(sum(c.x) AS BIGINT) AS m1, "
+        f"CAST(sum(c.x * c.x) AS BIGINT) AS m2, "
+        f"CAST(sum(c.x * c.x * c.x) AS BIGINT) AS m3, "
+        f"CAST(sum(c.x * c.x * c.x * c.x) AS BIGINT) AS m4, "
+        f"CAST(coalesce(sum(c.x * p.nsum), 0) AS BIGINT) AS psum, "
+        f"CAST(coalesce(sum(p.wi * c.x), 0) AS BIGINT) AS rsum "
+        f"FROM cv c LEFT JOIN pair p ON p.cx = c.cx AND p.cy = c.cy) "
+        f"SELECT {outs} FROM mm"
+    )
+
+
+def morans_i_field(
+    df: DataFrame,
+    value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Field Moran's I (see :func:`morans_i_field_sql`). Plan: ONE
+    corpus hash aggregation to cell means, the bounded 8-offset
+    Generate + present-cell join building (w_i, neighbor sum) in one
+    pass, a LEFT join back (isolated cells keep w_i = 0 — the lisa
+    FULL-OUTER lesson, but here every scatter target that matters is a
+    present cell), one 1-row moment aggregate, and the shared closing
+    projection."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    s = _FLD_SCALE
+    pts = df.filter(
+        F.expr(f"({value}) IS NOT NULL")
+    ).selectExpr(
+        f"{cx} AS cx", f"{cy} AS cy",
+        f"CAST(round(({value}) * {s}.0E0, 0) AS BIGINT) AS qv",
+    ).filter(f"cy >= {cy0} AND cy < {cy1}")
+    cells = pts.groupBy("cx", "cy").agg(
+        F.sum("qv").cast("bigint").alias("vs"),
+        F.count(F.lit(1)).cast("bigint").alias("nv"),
+    )
+    q = (
+        "CAST(floor((2.0E0 * CAST(vs AS DOUBLE) + CAST(nv AS DOUBLE))"
+        " / (2.0E0 * CAST(nv AS DOUBLE))) AS BIGINT)"
+    )
+    cv = cells.selectExpr("cx", "cy", f"{q} AS x")
+    offs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    scat = cv.selectExpr(
+        f"explode(array({offs})) AS o", "cx", "cy", "x"
+    ).selectExpr(
+        f"((cx + o.dx + {nx}) % {nx}) AS tx", "(cy + o.dy) AS ty",
+        "x AS sx",
+    ).filter(f"ty >= {cy0} AND ty < {cy1}")
+    pair = (
+        scat.join(
+            cv.selectExpr("cx AS tx", "cy AS ty"), ["tx", "ty"]
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("wi"),
+            F.sum("sx").cast("bigint").alias("nsum"),
+        )
+    )
+    mm = (
+        cv.join(
+            pair,
+            (cv.cx == pair.tx) & (cv.cy == pair.ty),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(coalesce(sum(wi), 0) AS BIGINT)"
+            ).alias("w"),
+            F.expr(
+                "CAST(coalesce(sum(4 * wi * wi), 0) AS BIGINT)"
+            ).alias("s2"),
+            F.expr("CAST(sum(x) AS BIGINT)").alias("m1"),
+            F.expr("CAST(sum(x * x) AS BIGINT)").alias("m2"),
+            F.expr("CAST(sum(x * x * x) AS BIGINT)").alias("m3"),
+            F.expr("CAST(sum(x * x * x * x) AS BIGINT)").alias("m4"),
+            F.expr(
+                "CAST(coalesce(sum(x * nsum), 0) AS BIGINT)"
+            ).alias("psum"),
+            F.expr(
+                "CAST(coalesce(sum(wi * x), 0) AS BIGINT)"
+            ).alias("rsum"),
+        )
+    )
+    return mm.selectExpr(*_fld_out_exprs())

@@ -2176,3 +2176,78 @@ def test_eb_rates_degenerate_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------ field Moran's I
+
+
+def _present_w(locs):
+    """3x3-minus-self adjacency restricted to the present cells."""
+    idx = {loc: i for i, loc in enumerate(locs)}
+    n = len(locs)
+    w = np.zeros((n, n), dtype=np.int64)
+    for (cx, cy), i in idx.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                j = idx.get(((cx + dx) % NX, cy + dy))
+                if j is not None:
+                    w[i, j] = 1
+    return w
+
+
+def _brute_field_moran(vals, w):
+    x = np.asarray(vals, dtype=np.float64)
+    n = len(x)
+    m = x.mean()
+    dev = x - m
+    den = (dev * dev).sum()
+    return (n / w.sum()) * (dev @ w @ dev) / den
+
+
+def test_field_moran_exhaustive_permutation(spark):
+    import itertools
+
+    # 7 present cells: a seam-adjacent pair, a chain, two isolates
+    locs = [(11, 0), (0, 0), (5, 1), (5, 0), (6, 1), (2, -2), (8, -1)]
+    vals = [4.25, 3.75, 1.0, 1.5, 0.75, 9.0, 2.0]
+    rows = [
+        (i, cx * CELL + CELL / 2.0, cy * CELL + CELL / 2.0, v)
+        for i, ((cx, cy), v) in enumerate(zip(locs, vals))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    out = GS.morans_i_field(df, "value", CELL, LAT0, LAT1).collect()[0]
+    w = _present_w(locs)
+    assert (w == w.T).all()
+    assert out.n_cells == len(locs)
+    assert out.w_sum == w.sum()
+    qv = [round(v * 100) for v in vals]  # engine quantization
+    i_obs = _brute_field_moran(qv, w)
+    assert out.morans_i == pytest.approx(round(i_obs, 6), abs=1e-9)
+    samples = np.array([
+        _brute_field_moran(p, w)
+        for p in itertools.permutations(qv)
+    ])
+    assert out.e_i == pytest.approx(round(samples.mean(), 6), abs=1e-9)
+    assert out.var_i == pytest.approx(samples.var(), abs=2e-6)
+
+
+def test_field_moran_mean_null_and_plan(spark):
+    # two events in one cell: exact half-up mean of quantized values;
+    # NULL values dropped
+    rows = [
+        (0, 15.0, 15.0, 2.255), (1, 15.2, 15.1, 2.265),
+        (2, 45.0, 15.0, None), (3, 45.1, 15.1, 3.0),
+        (4, 75.0, 15.0, 1.0), (5, 105.0, 15.0, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    out = GS.morans_i_field(df, "value", CELL, LAT0, LAT1).collect()[0]
+    assert out.n_cells == 4  # the NULL-only point doesn't create a cell
+    plan = GS.morans_i_field(
+        df, "value", CELL, LAT0, LAT1
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
