@@ -728,6 +728,29 @@ def _semivariogram_sql() -> str:
     )
 
 
+def q_semivariogram_dir(spark, sf_dir):
+    """Directional semivariogram (operators/trajectory.py
+    semivariogram_directional): gamma(h) split into the four 45°
+    azimuth classes — the textbook anisotropy diagnostic an
+    omnidirectional variogram averages away. Same one-bucketed-join
+    machinery with (sector × lag) conditional sums; sector from the
+    shared local-planar azimuth."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return trajectory.semivariogram_directional(ev, "value", **_SVG_KW)
+
+
+def _semivariogram_dir_sql() -> str:
+    return trajectory.semivariogram_directional_sql(
+        FX.events_geo_sql(extra_cols=("value",)), "value", **_SVG_KW
+    )
+
+
 def q_mark_correlation(spark, sf_dir):
     """Mark correlation function kmm(h) (operators/trajectory.py
     mark_correlation): Stoyan's normalized pair-product statistic over
@@ -5679,6 +5702,7 @@ def oracle_sql() -> dict[str, str]:
         "local_geary": _local_geary_sql(),
         "semivariogram": _semivariogram_sql(),
         "mark_correlation": _mark_correlation_sql(),
+        "semivariogram_dir": _semivariogram_dir_sql(),
         "gfj_functions": _gfj_functions_sql(),
         "colocation_quotient": _colocation_quotient_sql(),
         "location_quotient": _location_quotient_sql(),
@@ -6081,6 +6105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_geary": q_local_geary,
         "semivariogram": q_semivariogram,
         "mark_correlation": q_mark_correlation,
+        "semivariogram_dir": q_semivariogram_dir,
         "gfj_functions": q_gfj_functions,
         "colocation_quotient": q_colocation_quotient,
         "location_quotient": q_location_quotient,

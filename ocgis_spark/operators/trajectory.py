@@ -3468,6 +3468,208 @@ def semivariogram_sql(
     )
 
 
+# ---------------- directional semivariogram (anisotropy) --
+
+_SVG_SECTORS = ("NS", "NE", "EW", "SE")
+
+
+def _svg_sector_sql(dlon: str, dlat: str, midlat: str) -> str:
+    """Directional sector (0 NS / 1 NE / 2 EW / 3 SE) of an unordered
+    pair from its local planar azimuth atan2(Δx, Δy) with
+    Δx = wrapped Δlon·cos(mid lat): direction is mod 180° (pairs are
+    unordered) in four 45° classes centered on the axes. One SHARED
+    trig string — atan2/cos are the libm precedent, and a flip needs
+    the azimuth to land EXACTLY on a 22.5° class edge."""
+    wd = (
+        f"((({dlon}) + 180.0E0) - 360.0E0 "
+        f"* floor((({dlon}) + 180.0E0) / 360.0E0) - 180.0E0)"
+    )
+    az = (
+        f"degrees(atan2({wd} * cos(radians({midlat})), ({dlat})))"
+    )
+    azm = f"((({az}) % 180.0E0 + 180.0E0) % 180.0E0)"
+    return (
+        f"CAST(floor((({azm}) + 22.5E0) / 45.0E0) AS BIGINT) % 4"
+    )
+
+
+def _svg_dir_prep(bounds_m: list, cell_deg: float, lat_max: float):
+    """(nx, bounds, per-(sector,bin) condition list, output structs)."""
+    nx, rs = _svg_params(bounds_m, cell_deg, lat_max)
+    conds = []
+    lo_mm = 0
+    for i, r in enumerate(rs):
+        hi_mm = int(round(r * 1000))
+        for sct in range(4):
+            conds.append(
+                (sct, i,
+                 f"(sector = {sct} AND d_mm > {lo_mm} "
+                 f"AND d_mm <= {hi_mm})")
+            )
+        lo_mm = hi_mm
+    return nx, rs, conds
+
+
+def semivariogram_directional(
+    df: DataFrame,
+    value: str,
+    bounds_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Directional (anisotropic) semivariogram — :func:`semivariogram`
+    split into the four standard 45° azimuth classes (N-S / NE-SW /
+    E-W / SE-NW, the textbook anisotropy diagnostic: geology and
+    climate fields routinely carry direction-dependent ranges, and an
+    omnidirectional variogram silently averages them away; cf.
+    Goovaerts 1997 §4.3). Same exact machinery: the ONE bucketed
+    candidate join serves all (sector, lag) classes via conditional
+    sums; 1e-2-quantized BIGINT squared-difference moments; the
+    sector comes from the shared local-planar azimuth
+    (:func:`_svg_sector_sql`).
+
+    Output: one row per (sector, lag bin): (sector, lo_m, hi_m,
+    n_pairs, gamma, mean_d_m); sector ∈ {'NS','NE','EW','SE'}."""
+    nx, rs, conds = _svg_dir_prep(bounds_m, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    base = df.filter(F.expr(
+        f"abs({lat}) <= {_pf(lat_max)} AND ({value}) IS NOT NULL"
+    )).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la", f"{q} AS qv",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa", "qv AS qa",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa", "qa",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "qv AS qb",
+        "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    sector = _svg_sector_sql(
+        "lob - loa", "lab - laa", "(laa + lab) / 2.0E0"
+    )
+    sums = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(
+            f"ea < eb AND {mm} <= {int(round(rs[-1] * 1000))}"
+        ))
+        .selectExpr(
+            f"{mm} AS d_mm",
+            "(qa - qb) * (qa - qb) AS dd",
+            f"{sector} AS sector",
+        )
+        .agg(*[
+            F.expr(e).alias(nme)
+            for sct, i, c in conds
+            for e, nme in (
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN 1 ELSE 0 "
+                 f"END), 0) AS BIGINT)", f"n{sct}_{i}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN dd END), 0) "
+                 f"AS BIGINT)", f"s{sct}_{i}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN d_mm END), "
+                 f"0) AS BIGINT)", f"m{sct}_{i}"),
+            )
+        ])
+    )
+    stk = []
+    for sct in range(4):
+        lo = 0.0
+        for i, r in enumerate(rs):
+            stk.append(
+                f"struct('{_SVG_SECTORS[sct]}' AS sector, "
+                f"CAST({_pf(lo)} AS DOUBLE) AS lo_m, "
+                f"CAST({_pf(r)} AS DOUBLE) AS hi_m, "
+                f"n{sct}_{i} AS n_pairs, s{sct}_{i} AS ssq, "
+                f"m{sct}_{i} AS smm)"
+            )
+            lo = r
+    return (
+        sums.selectExpr(f"explode(array({', '.join(stk)})) AS s")
+        .selectExpr(
+            "s.sector AS sector", "s.lo_m AS lo_m", "s.hi_m AS hi_m",
+            "s.n_pairs AS n_pairs", "s.ssq AS ssq", "s.smm AS smm",
+        )
+        .selectExpr("sector", "lo_m", "hi_m", "n_pairs",
+                    *_svg_out_sql())
+    )
+
+
+def semivariogram_directional_sql(
+    src_sql: str,
+    value: str,
+    bounds_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`semivariogram_directional`:
+    the full un-bucketed pair scan with the same shared sector
+    expression, per-class sums via a VALUES (sector × bin) table —
+    quadratic by design, sf0.01-sized."""
+    nx, rs, _ = _svg_dir_prep(bounds_m, cell_deg, lat_max)
+    from .crs import _pf
+
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    sector = _svg_sector_sql(
+        "b.lo - a.lo", "b.la - a.la", "(a.la + b.la) / 2.0E0"
+    )
+    vals = []
+    for sct in range(4):
+        lo = 0.0
+        for r in rs:
+            vals.append(
+                f"({sct}, '{_SVG_SECTORS[sct]}', "
+                f"CAST({_pf(lo)} AS DOUBLE), "
+                f"CAST({_pf(r)} AS DOUBLE), "
+                f"{int(round(lo * 1000))}, {int(round(r * 1000))})"
+            )
+            lo = r
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la, "
+        f"{q} AS qv FROM ({src_sql}) s "
+        f"WHERE abs({lat}) <= {_pf(lat_max)} "
+        f"AND ({value}) IS NOT NULL), "
+        f"pr AS (SELECT {mm} AS d_mm, "
+        f"(a.qv - b.qv) * (a.qv - b.qv) AS dd, "
+        f"{sector} AS sct "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"WHERE {mm} <= {int(round(rs[-1] * 1000))}), "
+        f"bins(si, sector, lo_m, hi_m, lo_mm, hi_mm) AS "
+        f"(VALUES {', '.join(vals)}), "
+        f"agg AS (SELECT sector, lo_m, hi_m, "
+        f"CAST(count(d_mm) AS BIGINT) AS n_pairs, "
+        f"CAST(coalesce(sum(dd), 0) AS BIGINT) AS ssq, "
+        f"CAST(coalesce(sum(d_mm), 0) AS BIGINT) AS smm "
+        f"FROM bins LEFT JOIN pr "
+        f"ON sct = si AND d_mm > lo_mm AND d_mm <= hi_mm "
+        f"GROUP BY sector, lo_m, hi_m) "
+        f"SELECT sector, lo_m, hi_m, n_pairs, "
+        + ", ".join(_svg_out_sql())
+        + " FROM agg"
+    )
+
+
 # ------------------- mark correlation function (Stoyan kmm) --
 
 

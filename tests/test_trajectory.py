@@ -1763,3 +1763,73 @@ def test_rayleigh_validation_and_plan(spark):
     assert "CartesianProduct" not in plan
     # the lag window and the entity aggregate share ONE partitioning
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# -------------------------- directional semivariogram (anisotropy)
+
+
+def test_svg_directional_anisotropy(spark):
+    import math as m
+
+    # a smooth E-W gradient field on an E-W line + a rough N-S pair:
+    # the E-W sector must show a much lower gamma than N-S
+    rows = []
+    for i in range(8):
+        rows.append((i, 10.0 + 0.3 * i, 10.0, 1.0 + 0.01 * i))
+    rows += [(100, 12.0, 11.5, 9.0), (101, 12.0, 12.5, 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    out = trajectory.semivariogram_directional(
+        df, "value", bounds_m=[300000.0], cell_deg=8.0, lat_max=66.0
+    ).collect()
+    got = {r.sector: r for r in out}
+    assert set(got) == {"NS", "NE", "EW", "SE"}
+    assert got["EW"].n_pairs > 0 and got["NS"].n_pairs > 0
+    assert got["EW"].gamma < got["NS"].gamma
+    # brute replay: classify every pair by the same azimuth rule
+    def hav_mm(p, q):
+        R = 6370997.0
+        la1, lo1, la2, lo2 = map(m.radians, (p[1], p[0], q[1], q[0]))
+        aa = (m.sin((la2 - la1) / 2) ** 2
+              + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+        return round(2 * R * m.asin(m.sqrt(aa)) * 1000)
+
+    pts = [(lo, la, v) for _, lo, la, v in rows]
+    want = {s: [0, 0] for s in range(4)}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d = hav_mm(pts[i], pts[j])
+            if not 0 < d <= 300000000:
+                continue
+            dlon = pts[j][0] - pts[i][0]
+            dlat = pts[j][1] - pts[i][1]
+            mid = (pts[i][1] + pts[j][1]) / 2
+            az = m.degrees(m.atan2(
+                dlon * m.cos(m.radians(mid)), dlat)) % 180.0
+            sct = int((az + 22.5) // 45) % 4
+            qa = round(pts[i][2] * 100)
+            qb = round(pts[j][2] * 100)
+            want[sct][0] += 1
+            want[sct][1] += (qa - qb) ** 2
+    names = ["NS", "NE", "EW", "SE"]
+    for s in range(4):
+        r = got[names[s]]
+        assert r.n_pairs == want[s][0], names[s]
+        if want[s][0]:
+            gamma = want[s][1] / (2 * want[s][0] * 100 * 100)
+            assert r.gamma == pytest.approx(gamma, abs=2e-6), names[s]
+        else:
+            assert r.gamma is None
+
+
+def test_svg_directional_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0, 1.0), (1, 10.1, 10.0, 2.0)],
+        "event_id bigint, lon double, lat double, value double")
+    plan = trajectory.semivariogram_directional(
+        df, "value", bounds_m=[50000.0], cell_deg=8.0, lat_max=66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
