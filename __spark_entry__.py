@@ -1537,6 +1537,30 @@ def _morans_i_field_sql() -> str:
     )
 
 
+def q_gpd_tail(spark, sf_dir):
+    """Peaks-over-threshold GPD tail per cell (operators/gridstats.py
+    gpd_tail_cells): Hosking-Wallis closed-form method-of-moments fit
+    of the excess distribution over u=100 value units per 5-degree
+    cell, plus the 1000-observation return level — the extreme-value
+    primitive beyond the ICCLIM exceedance counts. Excesses quantized
+    BIGINT at 1e-2; one corpus aggregation."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return GS.gpd_tail_cells(ev, "value", threshold=100.0, cell_deg=5.0)
+
+
+def _gpd_tail_sql() -> str:
+    return GS.gpd_tail_cells_sql(
+        FX.events_geo_sql(extra_cols=("value",)), "value",
+        threshold=100.0, cell_deg=5.0,
+    )
+
+
 def q_kde_cells(spark, sf_dir):
     """Gaussian kernel-smoothed event intensity (operators/gridstats.py
     kde_cells): 2-degree cells, sigma = 1.5 cells, radius-3 kernel disk
@@ -5674,6 +5698,7 @@ def oracle_sql() -> dict[str, str]:
         "local_join_counts": _local_join_counts_sql(),
         "eb_rates": _eb_rates_sql(),
         "morans_i_field": _morans_i_field_sql(),
+        "gpd_tail": _gpd_tail_sql(),
         "morans_i": _morans_i_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
@@ -6077,6 +6102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_join_counts": q_local_join_counts,
         "eb_rates": q_eb_rates,
         "morans_i_field": q_morans_i_field,
+        "gpd_tail": q_gpd_tail,
         "morans_i": q_morans_i,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,

@@ -2251,3 +2251,64 @@ def test_field_moran_mean_null_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------ POT GPD tail per cell
+
+
+def test_gpd_tail_brute(spark):
+    rows = []
+    eid = 0
+    # cell A: heavy-ish tail; cell B: no variance (all equal excess);
+    # cell C: k=2 (below fit gate); cell D: no exceedance (dropped)
+    series = {
+        (0, 0): [10.5, 11.0, 12.25, 15.0, 20.0, 3.0, 4.0],
+        (3, 1): [11.0, 11.0, 11.0, 2.0],
+        (7, -1): [12.0, 13.0, 1.0],
+        (9, 1): [5.0, 6.0],
+    }
+    for (cx0, cy0), vals in series.items():
+        lon = cx0 * CELL + CELL / 2.0
+        lat = cy0 * CELL + CELL / 2.0
+        for v in vals:
+            rows.append((eid, lon, lat, v)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    u, retm = 10.0, 500
+    out = {(r.cell_x, r.cell_y): r for r in GS.gpd_tail_cells(
+        df, "value", threshold=u, cell_deg=CELL, ret_m=retm
+    ).collect()}
+    assert set(out) == {(0, 0), (3, 1), (7, -1)}
+    # brute replay for cell A
+    vals = series[(0, 0)]
+    exc = [round((v - u) * 100) for v in vals if v > u]
+    k, n = len(exc), len(vals)
+    mbar = sum(exc) / (100 * k)
+    s2 = (sum(e * e for e in exc) / 1e4 - k * mbar * mbar) / (k - 1)
+    ratio = mbar * mbar / s2
+    xi = (1 - ratio) / 2
+    sg = mbar * (ratio + 1) / 2
+    rl = u + sg / xi * ((retm * k / n) ** xi - 1)
+    r = out[(0, 0)]
+    assert r.n_total == n and r.n_exceed == k and r.u == u
+    assert r.mean_excess == pytest.approx(mbar, abs=2e-6)
+    assert r.gpd_xi == pytest.approx(xi, abs=2e-6)
+    assert r.gpd_sigma == pytest.approx(sg, abs=2e-6)
+    assert r.return_level == pytest.approx(rl, abs=2e-5)
+    assert r.return_level > max(vals)  # extrapolates past the sample
+    # degenerate cells: zero variance / k < 3 -> NULL fit, counts kept
+    assert out[(3, 1)].n_exceed == 3 and out[(3, 1)].gpd_xi is None
+    assert out[(7, -1)].n_exceed == 2 and out[(7, -1)].gpd_xi is None
+
+
+def test_gpd_validation_and_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 15.0, 15.0, 20.0)],
+        "event_id bigint, lon double, lat double, value double")
+    with pytest.raises(ValueError, match="ret_m"):
+        GS.gpd_tail_cells(df, "value", 10.0, CELL, ret_m=0)
+    plan = GS.gpd_tail_cells(
+        df, "value", 10.0, CELL
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
