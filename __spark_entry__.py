@@ -953,6 +953,28 @@ def _seasonal_chi2_sql() -> str:
     )
 
 
+_COS_KW = dict(
+    cell_deg=5.0, t0_us=1_704_067_200_000_000,
+    bin_us=172_800_000_000, n_bins=15, period=15, f_crit=3.885,
+)
+
+
+def q_cosinor_fit(spark, sf_dir):
+    """Per-cell cosinor harmonic fit (operators/gridstats.py
+    cosinor_cells): the rhythmometry FIT beside seasonal_chi2's
+    uniformity screen over the same 2-day-binned January-2024 window
+    (one 15-bin cycle) — mesor, amplitude, acrophase (peak_bin), r²,
+    and the Nelson 1979 zero-amplitude F(2, 12) label at the
+    published-table 3.885 (95%). Quantized basis sums keep every
+    per-cell moment an exact BIGINT."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.cosinor_cells(ev, **_COS_KW)
+
+
+def _cosinor_fit_sql() -> str:
+    return GS.cosinor_cells_sql(FX.events_geo_sql(), **_COS_KW)
+
+
 def q_pettitt_change(spark, sf_dir):
     """Pettitt change-point test per cell (operators/gridstats.py
     pettitt_cells): rank-based abrupt-shift detection over the same
@@ -5736,6 +5758,7 @@ def oracle_sql() -> dict[str, str]:
         "sen_slope": _sen_slope_sql(),
         "seasonal_mk": _seasonal_mk_sql(),
         "seasonal_chi2": _seasonal_chi2_sql(),
+        "cosinor_fit": _cosinor_fit_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6140,6 +6163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sen_slope": q_sen_slope,
         "seasonal_mk": q_seasonal_mk,
         "seasonal_chi2": q_seasonal_chi2,
+        "cosinor_fit": q_cosinor_fit,
         "pettitt_change": q_pettitt_change,
         "snht_change": q_snht_change,
         "join_counts": q_join_counts,

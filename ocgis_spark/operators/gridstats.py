@@ -5561,3 +5561,192 @@ def gpd_tail_cells(
         "cx AS cell_x", "cy AS cell_y", "n_total", "k AS n_exceed",
         "u", *_gpd_out_sql(int(ret_m)),
     )
+
+
+# ------------------------------------------- cosinor harmonic fit --
+
+# Basis quantum: cos/sin of the compile-time bin phase quantize to
+# BIGINT at 1e9 before the x-weighted sums, so per-cell moments are
+# order-independent exact integers (the step_direction_stats posture,
+# one decade coarser for headroom: |sum| <= n_events * 1e9 keeps a
+# cell inside BIGINT up to ~9.2e9 events).
+_COS_SCALE = 10**9
+
+
+def _cosinor_params(n_bins: int, period: int, f_crit: float) -> int:
+    P = int(period)
+    T = int(n_bins)
+    if P < 3:
+        raise ValueError(
+            f"period must be >= 3 bins (period 2 degenerates the sine "
+            f"component), got {period}"
+        )
+    if T % P != 0:
+        raise ValueError(
+            f"n_bins={T} must be a whole number of {P}-bin cycles "
+            f"(a partial cycle breaks the orthogonal closed form)"
+        )
+    if T < 4:
+        raise ValueError(
+            f"n_bins must be >= 4 (the zero-amplitude F test has "
+            f"T - 3 residual df), got {n_bins}"
+        )
+    if not float(f_crit) > 0.0:
+        raise ValueError(f"f_crit must be > 0, got {f_crit}")
+    return P
+
+
+def _cosinor_basis_sql(P: int) -> tuple:
+    """Quantized (cos, sin) basis integers of a bin column ``b``:
+    phase = 2*pi*(b % P)/P, shared verbatim by both dialects."""
+    ph = (
+        f"(2.0E0 * pi() * CAST(b % {P} AS DOUBLE) "
+        f"/ CAST({P} AS DOUBLE))"
+    )
+    s = f"{_COS_SCALE}.0E0"
+    return (
+        f"CAST(round(cos({ph}) * {s}, 0) AS BIGINT)",
+        f"CAST(round(sin({ph}) * {s}, 0) AS BIGINT)",
+    )
+
+
+def _cosinor_out_sql(T: int, P: int, f_crit: float) -> tuple:
+    """Shared closing projection over the per-cell exact moments
+    (n_events, sxx, sc, ss) — one source of truth for both dialects.
+
+    Orthogonality over whole cycles (sum cos = sum sin =
+    sum cos*sin = 0, sum cos^2 = sum sin^2 = T/2 for P >= 3) turns
+    the least-squares fit x_t ~ M + A*cos(w*t - phi) into closed
+    form: a = (2/T)*sum(x*cos), b = (2/T)*sum(x*sin), M = n/T (the
+    mesor — absent bins enter through the compile-time T), harmonic
+    SS = (T/2)(a^2 + b^2), total SS = (T*sxx - n^2)/T exact to one
+    division. The zero-amplitude test is the cosinor F(2, T-3)
+    (Nelson-Tong-Lee-Halberg 1979) against the caller's
+    published-table critical value (the chi2_crit convention); the
+    significance predicate is the division-free cross-multiplied
+    form ssh*(T-3) >= 2*f_crit*resid, which stays exact when the
+    residual SS underflows to ~0 on a perfect fit."""
+    s = f"{_COS_SCALE}.0E0"
+    scd = f"(CAST(sc AS DOUBLE) / {s})"
+    ssd = f"(CAST(ss AS DOUBLE) / {s})"
+    td = f"CAST({T} AS DOUBLE)"
+    ssh = f"(2.0E0 / {td} * ({scd} * {scd} + {ssd} * {ssd}))"
+    sst = (
+        f"(CAST({T} * sxx - n_events * n_events AS DOUBLE) / {td})"
+    )
+    resid = f"({sst} - {ssh})"
+    amp = f"(2.0E0 / {td} * sqrt({scd} * {scd} + {ssd} * {ssd}))"
+    peak = (
+        f"(((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) "
+        f"* CAST({P} AS DOUBLE) / (2.0E0 * pi())) % {P}.0E0 "
+        f"+ {P}.0E0) % {P}.0E0)"
+    )
+    fc = _pf(float(f_crit))
+    sig = (
+        f"({ssh} * CAST({T - 3} AS DOUBLE) "
+        f">= 2.0E0 * {fc} * {resid})"
+    )
+    flat = f"({T} * sxx = n_events * n_events)"
+    return (
+        f"round(CAST(n_events AS DOUBLE) / {td}, 6) AS mesor",
+        f"round({amp}, 6) AS amplitude",
+        f"(CASE WHEN sc = 0 AND ss = 0 THEN NULL "
+        f"ELSE round({peak}, 6) END) AS peak_bin",
+        f"round(CASE WHEN {flat} THEN NULL "
+        f"ELSE least({ssh} / ({sst}), 1.0E0) END, 6) AS r2",
+        f"round({ssh} * CAST({T - 3} AS DOUBLE) "
+        f"/ (2.0E0 * nullif(greatest({resid}, 0.0E0), 0.0E0)), 6) "
+        f"AS f_stat",
+        f"(CASE WHEN {flat} THEN 'flat' WHEN {sig} THEN 'rhythmic' "
+        f"ELSE 'flat' END) AS rhythm",
+    )
+
+
+def cosinor_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    period: int,
+    f_crit: float,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell cosinor (single-harmonic regression) of the binned
+    event-count series — the rhythmometry FIT beside the existing
+    tests: rayleigh_test answers "is there a direction", seasonal_chi2
+    answers "is the profile non-uniform"; cosinor answers "WHAT is
+    the cycle": mesor (rhythm-adjusted mean), amplitude, acrophase
+    (peak_bin, in bins of the P-bin cycle), r2, and the classical
+    zero-amplitude F(2, T-3) label (Nelson et al. 1979, the standard
+    in chronobiology / seasonality-of-disease work).
+
+    Output: one row per cell with >= 1 in-window event: (cell_x,
+    cell_y, n_events, mesor, amplitude, peak_bin, r2, f_stat,
+    rhythm); floats round(.,6); constant series -> NULL r2/f_stat,
+    'flat'; zero quantized amplitude -> NULL peak_bin."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    P = _cosinor_params(n_bins, period, f_crit)
+    T = int(n_bins)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    qc, qs = _cosinor_basis_sql(P)
+    outs = ", ".join(_cosinor_out_sql(T, P, f_crit))
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"({binx}) AS b FROM ({src_sql}) q "
+        f"WHERE ({binx}) >= 0 AND ({binx}) < {T}), "
+        f"c AS (SELECT cx, cy, b, CAST(count(*) AS BIGINT) AS x "
+        f"FROM ev GROUP BY 1, 2, 3), "
+        f"agg AS (SELECT cx, cy, CAST(sum(x) AS BIGINT) AS n_events, "
+        f"CAST(sum(x * x) AS BIGINT) AS sxx, "
+        f"CAST(sum(x * ({qc})) AS BIGINT) AS sc, "
+        f"CAST(sum(x * ({qs})) AS BIGINT) AS ss "
+        f"FROM c GROUP BY 1, 2) "
+        f"SELECT cx AS cell_x, cy AS cell_y, n_events, {outs} FROM agg"
+    )
+
+
+def cosinor_cells(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    period: int,
+    f_crit: float,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Cosinor harmonic fit per cell (see :func:`cosinor_cells_sql`).
+    Plan: ONE corpus hash aggregation to (cell, bin) counts, one
+    cell-keyed aggregate over <= T rows/cell (both map-side combined)
+    — absent bins never materialize (they contribute 0 to every
+    moment and the mesor divides by the compile-time T)."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    P = _cosinor_params(n_bins, period, f_crit)
+    T = int(n_bins)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    qc, qs = _cosinor_basis_sql(P)
+    c = (
+        df.selectExpr(f"{cx} AS cx", f"{cy} AS cy", f"({binx}) AS b")
+        .filter(f"b >= 0 AND b < {T}")
+        .groupBy("cx", "cy", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    agg = c.groupBy("cx", "cy").agg(
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+        F.expr(f"CAST(sum(x * ({qc})) AS BIGINT)").alias("sc"),
+        F.expr(f"CAST(sum(x * ({qs})) AS BIGINT)").alias("ss"),
+    )
+    return agg.selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "n_events",
+        *_cosinor_out_sql(T, P, f_crit),
+    )

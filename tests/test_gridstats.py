@@ -2312,3 +2312,77 @@ def test_gpd_validation_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- cosinor
+
+
+def test_cosinor_brute(spark):
+    T = P = 12
+    A, C, K = 5.0, 9.0, 4  # planted amplitude / mesor / peak bin
+    series = {
+        (0, 0): [int(round(C + A * math.cos(2 * math.pi * (t - K) / P)))
+                 for t in range(T)],            # planted rhythm
+        (3, 1): [7] * T,                        # constant -> flat
+        (5, -1): [13, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],  # spike at 0
+    }
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    out = {(r.cell_x, r.cell_y): r for r in GS.cosinor_cells(
+        _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000,
+        n_bins=T, period=P, f_crit=4.256,  # F(2, 9) 95%
+    ).collect()}
+    assert set(out) == set(series)
+    for key, xs in series.items():
+        n = sum(xs)
+        # numpy least-squares truth on the zero-filled series
+        t = np.arange(T)
+        X = np.column_stack([
+            np.ones(T),
+            np.cos(2 * np.pi * t / P),
+            np.sin(2 * np.pi * t / P),
+        ])
+        beta, _, _, _ = np.linalg.lstsq(X, np.array(xs, float), rcond=None)
+        m, a, b = beta
+        amp = math.hypot(a, b)
+        sst = float(np.sum((np.array(xs, float) - n / T) ** 2))
+        ssh = T / 2.0 * (a * a + b * b)
+        r = out[key]
+        assert r.n_events == n
+        assert r.mesor == pytest.approx(round(n / T, 6), abs=1e-9)
+        assert r.amplitude == pytest.approx(amp, abs=1e-6), key
+        if sst == 0.0:
+            assert r.r2 is None and r.f_stat is None
+            assert r.rhythm == "flat"
+        else:
+            assert r.r2 == pytest.approx(min(ssh / sst, 1.0), abs=1e-6)
+            fstat = ssh * (T - 3) / (2.0 * (sst - ssh))
+            assert r.f_stat == pytest.approx(fstat, abs=1e-4), key
+            assert r.rhythm == (
+                "rhythmic" if fstat >= 4.256 else "flat"), key
+        if amp > 1e-9:
+            peak = (math.atan2(b, a) * P / (2 * math.pi)) % P
+            d = abs(r.peak_bin - peak)  # circular: 0 == P
+            assert min(d, P - d) < 1e-6, key
+    assert out[(0, 0)].rhythm == "rhythmic"
+    assert out[(0, 0)].peak_bin == pytest.approx(K, abs=0.05)
+    assert out[(3, 1)].amplitude == 0.0
+    assert out[(5, -1)].peak_bin == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cosinor_validation_and_plan(spark):
+    df = _mk_events_t(spark, [(0, 0, 0, 1)])
+    with pytest.raises(ValueError, match="whole number"):
+        GS.cosinor_cells(df, CELL, 0, 1000, 10, 4, 4.0)
+    with pytest.raises(ValueError, match="period"):
+        GS.cosinor_cells(df, CELL, 0, 1000, 12, 2, 4.0)
+    with pytest.raises(ValueError, match="f_crit"):
+        GS.cosinor_cells(df, CELL, 0, 1000, 12, 12, 0.0)
+    plan = GS.cosinor_cells(
+        df, CELL, 0, 1000, 12, 12, 4.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
