@@ -975,6 +975,34 @@ def _cosinor_fit_sql() -> str:
     return GS.cosinor_cells_sql(FX.events_geo_sql(), **_COS_KW)
 
 
+_MW_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00Z, mid-window
+
+
+def q_rank_sum_shift(spark, sf_dir):
+    """Per-cell Wilcoxon-Mann-Whitney rank-sum test (operators/
+    gridstats.py rank_sum_shift_cells): did the event VALUE
+    distribution move across the known mid-January boundary? The
+    two-sample before/after design beside pettitt_change's unknown
+    change-point scan — 1e-2-quantized exact moments, 2·U1 BIGINT,
+    tie-corrected continuity-corrected z at the published 1.96."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return GS.rank_sum_shift_cells(ev, cell_deg=5.0,
+                                   split_us=_MW_SPLIT_US)
+
+
+def _rank_sum_shift_sql() -> str:
+    return GS.rank_sum_shift_cells_sql(
+        FX.events_geo_sql(extra_cols=("value",)), cell_deg=5.0,
+        split_us=_MW_SPLIT_US,
+    )
+
+
 def q_pettitt_change(spark, sf_dir):
     """Pettitt change-point test per cell (operators/gridstats.py
     pettitt_cells): rank-based abrupt-shift detection over the same
@@ -5759,6 +5787,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_mk": _seasonal_mk_sql(),
         "seasonal_chi2": _seasonal_chi2_sql(),
         "cosinor_fit": _cosinor_fit_sql(),
+        "rank_sum_shift": _rank_sum_shift_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6164,6 +6193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_mk": q_seasonal_mk,
         "seasonal_chi2": q_seasonal_chi2,
         "cosinor_fit": q_cosinor_fit,
+        "rank_sum_shift": q_rank_sum_shift,
         "pettitt_change": q_pettitt_change,
         "snht_change": q_snht_change,
         "join_counts": q_join_counts,

@@ -5750,3 +5750,171 @@ def cosinor_cells(
         "cx AS cell_x", "cy AS cell_y", "n_events",
         *_cosinor_out_sql(T, P, f_crit),
     )
+
+
+# -------------------------------------- Wilcoxon rank-sum shift --
+
+
+def _mw_params(split_us: int, z_crit: float) -> None:
+    if split_us != int(split_us):
+        raise ValueError(f"split_us must be integral micros, got {split_us}")
+    if not float(z_crit) > 0.0:
+        raise ValueError(f"z_crit must be > 0, got {z_crit}")
+
+
+def _mw_out_sql(z_crit: float) -> tuple:
+    """Shared closing projection over the per-cell exact moments
+    (n_before, n_after, u2x = 2*U1, tied = sum(t^3 - t)) — one source
+    of truth for both dialects.
+
+    U1 counts (before > after) pairs plus half the ties, so 2*U1 is
+    an exact BIGINT; E[2U1] = n1*n2 and Var[2U1] = (n1*n2/3) *
+    ((N+1) - tied/(N(N-1))) (the mid-rank tie correction). The
+    continuity correction is +-1 in 2U units. All-tied cells have
+    u2x = n1*n2 and zero variance -> z NULL, 'stable'; one-sided
+    samples (n1 = 0 or n2 = 0) -> NULL z and NULL shift (no test).
+    Direction: AFTER values larger => fewer (before > after) pairs
+    => z < 0 => 'increase'."""
+    n1d, n2d = "CAST(n_before AS DOUBLE)", "CAST(n_after AS DOUBLE)"
+    nn = "(n_before + n_after)"
+    num = "(u2x - n_before * n_after)"
+    adj = (
+        f"(CASE WHEN {num} > 0 THEN {num} - 1 "
+        f"WHEN {num} < 0 THEN {num} + 1 ELSE 0 END)"
+    )
+    var = (
+        f"({n1d} * {n2d} / 3.0E0 * (CAST({nn} + 1 AS DOUBLE) "
+        f"- CAST(tied AS DOUBLE) "
+        f"/ (CAST({nn} AS DOUBLE) * CAST({nn} - 1 AS DOUBLE))))"
+    )
+    z = (
+        f"(CASE WHEN n_before >= 1 AND n_after >= 1 AND {var} > 0.0E0 "
+        f"THEN CAST({adj} AS DOUBLE) / sqrt({var}) END)"
+    )
+    zc = _pf(float(z_crit))
+    return (
+        "round(CAST(u2x AS DOUBLE) / 2.0E0, 6) AS u_stat",
+        f"round({z}, 6) AS z",
+        f"(CASE WHEN n_before = 0 OR n_after = 0 THEN NULL "
+        f"WHEN {z} <= -{zc} THEN 'increase' "
+        f"WHEN {z} >= {zc} THEN 'decrease' "
+        f"ELSE 'stable' END) AS shift",
+    )
+
+
+def rank_sum_shift_cells_sql(
+    src_sql: str,
+    cell_deg: float,
+    split_us: int,
+    z_crit: float = 1.96,
+    value: str = "value",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Per-cell Wilcoxon-Mann-Whitney rank-sum test of a VALUE shift
+    between the events before and after a caller-given split time —
+    the two-sample before/after design (intervention date, sensor
+    swap, deploy) beside pettitt's unknown-change-point scan: Pettitt
+    asks WHERE the series broke; rank-sum asks whether the
+    distribution moved across a KNOWN boundary, on the raw values
+    rather than binned counts (Mann-Whitney 1947; Hollander-Wolfe
+    ch. 4, the standard nonparametric location test).
+
+    Values quantize to BIGINT at 1e-2 (the gpd_tail posture) so ties
+    are engine-identical and every moment is exact: per (cell,
+    quantized value) the two conditional counts, one per-cell window
+    over the ordered distinct values accumulates the exclusive
+    after-count prefix, and 2*U1 = sum n1(v)*(2*cum2_less(v) + n2(v))
+    is an exact BIGINT (U1 itself may be half-integral). The mid-rank
+    tie term sum(t^3 - t) is exact BIGINT with documented headroom
+    (t^3 < 2^63 => up to ~2.09e6 same-valued events per cell; coarser
+    quanta need a wider type first). Inference: normal approximation
+    with tie correction and +-1/2 continuity (z_crit is the caller's
+    published-table value, the chi2_crit convention).
+
+    Output: one row per cell with >= 1 non-NULL-valued event:
+    (cell_x, cell_y, n_before, n_after, u_stat, z, shift) with shift
+    in {'increase','decrease','stable'} (NULL when one side is
+    empty); u_stat exact, z round(.,6)."""
+    _grid_params(cell_deg)
+    _mw_params(split_us, z_crit)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    outs = ", ".join(_mw_out_sql(z_crit))
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(round(({value}) * 100.0E0, 0) AS BIGINT) AS qv, "
+        f"(CASE WHEN ({ts_us}) < {int(split_us)} THEN 1 ELSE 0 END) "
+        f"AS pre FROM ({src_sql}) s WHERE ({value}) IS NOT NULL), "
+        f"c AS (SELECT cx, cy, qv, "
+        f"CAST(sum(pre) AS BIGINT) AS n1, "
+        f"CAST(sum(1 - pre) AS BIGINT) AS n2 "
+        f"FROM ev GROUP BY 1, 2, 3), "
+        f"w AS (SELECT cx, cy, qv, n1, n2, "
+        f"CAST(coalesce(sum(n2) OVER (PARTITION BY cx, cy ORDER BY qv "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"AS BIGINT) AS c2l FROM c), "
+        f"agg AS (SELECT cx, cy, "
+        f"CAST(sum(n1) AS BIGINT) AS n_before, "
+        f"CAST(sum(n2) AS BIGINT) AS n_after, "
+        f"CAST(sum(n1 * (2 * c2l + n2)) AS BIGINT) AS u2x, "
+        f"CAST(sum((n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2)) "
+        f"AS BIGINT) AS tied "
+        f"FROM w GROUP BY 1, 2) "
+        f"SELECT cx AS cell_x, cy AS cell_y, n_before, n_after, "
+        f"{outs} FROM agg"
+    )
+
+
+def rank_sum_shift_cells(
+    df: DataFrame,
+    cell_deg: float,
+    split_us: int,
+    z_crit: float = 1.96,
+    value: str = "value",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Wilcoxon rank-sum before/after shift per cell (see
+    :func:`rank_sum_shift_cells_sql`). Plan: ONE corpus hash
+    aggregation to (cell, quantized value) conditional counts, one
+    cell-keyed window over the ordered distinct values (bounded by
+    the value-domain cardinality, not the corpus), one cell
+    aggregate — 0 Python, everything map-side combined."""
+    _grid_params(cell_deg)
+    _mw_params(split_us, z_crit)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    c = (
+        df.filter(F.expr(f"({value}) IS NOT NULL"))
+        .selectExpr(
+            f"{cx} AS cx", f"{cy} AS cy",
+            f"CAST(round(({value}) * 100.0E0, 0) AS BIGINT) AS qv",
+            f"(CASE WHEN ({ts_us}) < {int(split_us)} THEN 1 ELSE 0 END) "
+            f"AS pre",
+        )
+        .groupBy("cx", "cy", "qv")
+        .agg(
+            F.expr("CAST(sum(pre) AS BIGINT)").alias("n1"),
+            F.expr("CAST(sum(1 - pre) AS BIGINT)").alias("n2"),
+        )
+    )
+    w = Window.partitionBy("cx", "cy").orderBy("qv").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wdf = c.withColumn(
+        "c2l", F.coalesce(F.sum("n2").over(w), F.lit(0)).cast("bigint")
+    )
+    agg = wdf.groupBy("cx", "cy").agg(
+        F.expr("CAST(sum(n1) AS BIGINT)").alias("n_before"),
+        F.expr("CAST(sum(n2) AS BIGINT)").alias("n_after"),
+        F.expr("CAST(sum(n1 * (2 * c2l + n2)) AS BIGINT)").alias("u2x"),
+        F.expr(
+            "CAST(sum((n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2)) "
+            "AS BIGINT)"
+        ).alias("tied"),
+    )
+    return agg.selectExpr(
+        "cx AS cell_x", "cy AS cell_y", "n_before", "n_after",
+        *_mw_out_sql(z_crit),
+    )

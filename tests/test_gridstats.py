@@ -2386,3 +2386,82 @@ def test_cosinor_validation_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------- Wilcoxon rank-sum shift
+
+
+def _mk_valued(spark, rows):
+    """(cx, cy, ts_us, value) -> events at cell centers."""
+    data = [
+        (i, t, cx * CELL + 15.0, cy * CELL + 15.0, float(v))
+        for i, (cx, cy, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id bigint, ts_us bigint, lon double, lat double, "
+        "value double"
+    )
+
+
+def _brute_mw(before, after):
+    """(u1, z) truth: mid-rank U, tie-corrected variance, continuity."""
+    u1 = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0)
+        for a in before for b in after
+    )
+    n1, n2 = len(before), len(after)
+    N = n1 + n2
+    from collections import Counter
+
+    tied = sum(t ** 3 - t for t in Counter(before + after).values())
+    var = n1 * n2 / 12.0 * ((N + 1) - tied / (N * (N - 1)))
+    if var <= 0 or n1 == 0 or n2 == 0:
+        return u1, None
+    num = u1 - n1 * n2 / 2.0
+    num += -0.5 if num > 0 else (0.5 if num < 0 else 0.0)
+    return u1, num / math.sqrt(var)
+
+
+def test_rank_sum_shift_brute(spark):
+    SPLIT = 1000
+    series = {
+        (0, 0): ([1.0, 1.5, 2.0, 1.25, 1.75] * 4,
+                 [5.0, 6.5, 5.25, 7.0, 6.0] * 4),   # clear increase
+        (3, 1): ([2.5] * 6, [2.5] * 8),              # all tied
+        (5, -1): ([1.0, 3.0, 2.0], []),              # one-sided
+        (7, 2): ([1.0, 2.0, 2.0, 3.0], [2.0, 2.5]),  # ties across sides
+    }
+    rows = []
+    for (cx, cy), (bef, aft) in series.items():
+        rows += [(cx, cy, 10 + i, v) for i, v in enumerate(bef)]
+        rows += [(cx, cy, SPLIT + 10 + i, v) for i, v in enumerate(aft)]
+    out = {(r.cell_x, r.cell_y): r for r in GS.rank_sum_shift_cells(
+        _mk_valued(spark, rows), CELL, split_us=SPLIT
+    ).collect()}
+    assert set(out) == set(series)
+    for key, (bef, aft) in series.items():
+        u1, z = _brute_mw(bef, aft)
+        r = out[key]
+        assert r.n_before == len(bef) and r.n_after == len(aft)
+        assert r.u_stat == pytest.approx(u1, abs=1e-9), key
+        if z is None:
+            assert r.z is None, key
+        else:
+            assert r.z == pytest.approx(z, abs=1e-6), key
+            assert r.shift == (
+                "increase" if z <= -1.96
+                else ("decrease" if z >= 1.96 else "stable")), key
+    assert out[(0, 0)].shift == "increase"
+    assert out[(3, 1)].z is None and out[(3, 1)].shift == "stable"
+    assert out[(5, -1)].z is None and out[(5, -1)].shift is None
+
+
+def test_rank_sum_shift_validation_and_plan(spark):
+    df = _mk_valued(spark, [(0, 0, 5, 1.0)])
+    with pytest.raises(ValueError, match="z_crit"):
+        GS.rank_sum_shift_cells(df, CELL, 100, z_crit=0.0)
+    plan = GS.rank_sum_shift_cells(
+        df, CELL, 100
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
