@@ -728,6 +728,37 @@ def _semivariogram_sql() -> str:
     )
 
 
+_VFIT_RANGES = [50e3, 100e3, 200e3, 350e3, 600e3]
+
+
+def q_variogram_fit(spark, sf_dir):
+    """Variogram model fit (operators/trajectory.py variogram_fit):
+    nonneg-constrained WLS of the exponential model gamma = c0 +
+    c1·(1 − e^{−3h/a}) over a 5-candidate practical-range grid, fed
+    by the same 4-bin empirical semivariogram q_semivariogram emits —
+    the (nugget, sill, range) triple a kriging/IDW radius decision
+    reads. Fixed-literal pivot keeps every sum order-deterministic;
+    argmin by least() + first-match CASE (ties → shortest range)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    emp = trajectory.semivariogram(ev, "value", **_SVG_KW)
+    return trajectory.variogram_fit(
+        emp, _SVG_KW["bounds_m"], _VFIT_RANGES, "exponential"
+    )
+
+
+def _variogram_fit_sql() -> str:
+    return trajectory.variogram_fit_sql(
+        _semivariogram_sql(), _SVG_KW["bounds_m"], _VFIT_RANGES,
+        "exponential",
+    )
+
+
 def q_semivariogram_dir(spark, sf_dir):
     """Directional semivariogram (operators/trajectory.py
     semivariogram_directional): gamma(h) split into the four 45°
@@ -5788,6 +5819,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_chi2": _seasonal_chi2_sql(),
         "cosinor_fit": _cosinor_fit_sql(),
         "rank_sum_shift": _rank_sum_shift_sql(),
+        "variogram_fit": _variogram_fit_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6194,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_chi2": q_seasonal_chi2,
         "cosinor_fit": q_cosinor_fit,
         "rank_sum_shift": q_rank_sum_shift,
+        "variogram_fit": q_variogram_fit,
         "pettitt_change": q_pettitt_change,
         "snht_change": q_snht_change,
         "join_counts": q_join_counts,

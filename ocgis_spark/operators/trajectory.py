@@ -3468,6 +3468,227 @@ def semivariogram_sql(
     )
 
 
+# ------------------------- variogram model fit (WLS) --
+
+
+def _vfit_params(bounds_m: list, ranges_m: list, model: str) -> list:
+    if model not in ("exponential", "spherical"):
+        raise ValueError(
+            f"model must be 'exponential' | 'spherical', got {model!r}"
+        )
+    if len(bounds_m) < 3:
+        raise ValueError(
+            f"need >= 3 lag bins to fit nugget+sill+range, got "
+            f"{len(bounds_m)}"
+        )
+    rs = [float(a) for a in ranges_m]
+    if not 2 <= len(rs) <= 24:
+        raise ValueError(
+            f"ranges_m must hold 2..24 candidates (bounded literal "
+            f"fan-out), got {len(ranges_m)}"
+        )
+    if any(a <= 0 for a in rs) or any(
+        b <= a for a, b in zip(rs, rs[1:])
+    ):
+        raise ValueError(
+            f"ranges_m must be positive strictly ascending, got "
+            f"{ranges_m}"
+        )
+    return rs
+
+
+def _vfit_basis(h: str, a: float, model: str) -> str:
+    """Model basis f(h; a) in [0, 1] — exp/division only (spherical's
+    h >= a class edge is the measure-zero boundary precedent)."""
+    from .crs import _pf
+
+    al = _pf(a)
+    r = f"(({h}) / {al})"
+    if model == "exponential":
+        return f"(1.0E0 - exp(-3.0E0 * ({h}) / {al}))"
+    return (
+        f"(CASE WHEN ({h}) >= {al} THEN 1.0E0 "
+        f"ELSE 1.5E0 * {r} - 0.5E0 * {r} * {r} * {r} END)"
+    )
+
+
+def _vfit_stage_sqls(bounds_m: list, ranges: list, model: str):
+    """(pivot_exprs, moment_exprs, out_exprs) — shared verbatim by the
+    DataFrame and oracle paths, so parity is by construction.
+
+    Stage 1 pivots the (always-complete) semivariogram bin table back
+    to ONE row keyed on the compile-time lo_m literals (fixed literal
+    summation order — no engine-order-dependent double sums anywhere).
+    Stage 2 computes the global moments and, per candidate range a,
+    the weighted basis moments. Stage 3 solves each candidate's
+    nonnegativity-constrained 2-var WLS exactly, and stage 4 picks
+    the global best via least() over the candidate sse columns + a
+    first-match CASE (ranges ascend, so sse ties break toward the
+    shortest range — plain double comparisons, dialect-shared)."""
+    from .crs import _pf
+
+    K = len(bounds_m)
+    lows = [0.0] + [float(b) for b in bounds_m[:-1]]
+    pivot = []
+    for i, lo in enumerate(lows):
+        c = f"lo_m = {_pf(lo)}"
+        pivot += [
+            f"CAST(coalesce(sum(CASE WHEN {c} AND n_pairs > 0 "
+            f"THEN n_pairs END), 0) AS BIGINT) AS w{i}",
+            f"max(CASE WHEN {c} THEN gamma END) AS g{i}",
+            f"max(CASE WHEN {c} THEN mean_d_m END) AS h{i}",
+        ]
+
+    def wsum(term) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN w{i} > 0 THEN CAST(w{i} AS DOUBLE) "
+            f"* ({term(i)}) ELSE 0.0E0 END)"
+            for i in range(K)
+        ) + ")"
+
+    moments = [
+        "(" + " + ".join(
+            f"(CASE WHEN w{i} > 0 THEN 1 ELSE 0 END)" for i in range(K)
+        ) + ") AS nb",
+        wsum(lambda i: "1.0E0") + " AS sw",
+        wsum(lambda i: f"g{i}") + " AS swg",
+        wsum(lambda i: f"g{i} * g{i}") + " AS swgg",
+    ]
+    for k, a in enumerate(ranges):
+        f = lambda i, a=a: _vfit_basis(f"h{i}", a, model)
+        moments += [
+            wsum(lambda i, f=f: f(i)) + f" AS swf{k}",
+            wsum(lambda i, f=f: f"{f(i)} * {f(i)}") + f" AS swff{k}",
+            wsum(lambda i, f=f: f"g{i} * {f(i)}") + f" AS swfg{k}",
+        ]
+
+    # Per candidate: the exact nonneg-constrained 2-var WLS. The
+    # constrained optimum is the unconstrained stationary point when
+    # feasible, else one of the two (clamped) axis solutions — all
+    # three evaluated, picked by least() + first-match CASE (plain
+    # double comparisons, dialect-shared; infeasible -> 1e308
+    # sentinel; within-candidate ties prefer u then the c0=0 axis).
+    cand = ["nb", "sw", "swg", "swgg"]
+    for k, a in enumerate(ranges):
+        swf, swff, swfg = f"swf{k}", f"swff{k}", f"swfg{k}"
+        den = f"(sw * {swff} - {swf} * {swf})"
+        c1u = f"((sw * {swfg} - {swf} * swg) / {den})"
+        c0u = f"((swg - {c1u} * {swf}) / sw)"
+
+        def sse(c0: str, c1: str) -> str:
+            return (
+                f"(swgg - 2.0E0 * {c0} * swg - 2.0E0 * {c1} * {swfg} "
+                f"+ {c0} * {c0} * sw "
+                f"+ 2.0E0 * {c0} * {c1} * {swf} "
+                f"+ {c1} * {c1} * {swff})"
+            )
+
+        c1a = (
+            f"coalesce(greatest(0.0E0, {swfg} "
+            f"/ nullif({swff}, 0.0E0)), 0.0E0)"
+        )
+        c0b = "greatest(0.0E0, swg / sw)"
+        feas = f"({den} > 0.0E0 AND {c0u} >= 0.0E0 AND {c1u} >= 0.0E0)"
+        su = f"(CASE WHEN {feas} THEN {sse(c0u, c1u)} ELSE 1.0E308 END)"
+        sa = sse("0.0E0", c1a)
+        sb = sse(c0b, "0.0E0")
+        bk = f"least({su}, {sa}, {sb})"
+        cand += [
+            f"{bk} AS sse{k}",
+            f"(CASE WHEN {su} = {bk} THEN {c0u} "
+            f"WHEN {sa} = {bk} THEN 0.0E0 ELSE {c0b} END) AS c0_{k}",
+            f"(CASE WHEN {su} = {bk} THEN {c1u} "
+            f"WHEN {sa} = {bk} THEN {c1a} ELSE 0.0E0 END) AS c1_{k}",
+        ]
+
+    # Global argmin: least() over the candidate sse columns, then the
+    # FIRST candidate attaining it (ranges ascend, so sse ties break
+    # toward the shortest range — a deterministic total order).
+    bsse = "least(" + ", ".join(f"sse{k}" for k in range(len(ranges))) + ")"
+
+    def pick(field) -> str:
+        arms = " ".join(
+            f"WHEN sse{k} = {bsse} THEN {field(k)}"
+            for k in range(len(ranges))
+        )
+        return f"(CASE {arms} END)"
+
+    g = lambda e: f"(CASE WHEN nb >= 3 THEN {e} END)"
+    b_c1 = pick(lambda k: f"c1_{k}")
+    outs = [
+        f"'{model}' AS model",
+        "CAST(nb AS BIGINT) AS n_bins_used",
+        g(
+            f"CASE WHEN {b_c1} > 0.0E0 THEN "
+            + pick(lambda k: f"round({_pf(float(ranges[k]))}, 6)")
+            + " END"
+        )
+        + " AS range_m",
+        g("round(" + pick(lambda k: f"c0_{k}") + ", 6)") + " AS nugget",
+        g(f"round({b_c1}, 6)") + " AS psill",
+        g(
+            "round(" + pick(lambda k: f"c0_{k} + c1_{k}") + ", 6)"
+        )
+        + " AS sill",
+        g(f"round({bsse}, 6)") + " AS wsse",
+    ]
+    return pivot, moments, cand, outs
+
+
+def variogram_fit(
+    gdf: DataFrame,
+    bounds_m: list,
+    ranges_m: list,
+    model: str = "exponential",
+) -> DataFrame:
+    """Fit a bounded variogram MODEL gamma(h) = c0 + c1·f(h; a) to an
+    empirical semivariogram (:func:`semivariogram` output) by weighted
+    least squares (weights N(h), Cressie's pragmatic choice) over a
+    caller-given candidate-range grid — the step that turns the
+    empirical cloud into the (nugget, sill, range) triple every
+    kriging/IDW radius decision reads (Goovaerts §4.4; exponential
+    f = 1 − e^{−3h/a} and spherical with PRACTICAL range a, the GSLIB
+    convention).
+
+    For a FIXED range the model is linear in (c0, c1), so each
+    candidate solves in closed form; the nonnegativity constraint
+    (nugget, partial sill >= 0) is exact: the unconstrained stationary
+    point when feasible, else the better axis solution — all ranked
+    per candidate, then globally, by the (sse, a) total order.
+    Everything evaluates on the ONE pivoted row in fixed literal
+    order (no engine-order-dependent double sums); empty bins carry
+    zero weight; < 3 non-empty bins -> NULL fit (n_bins_used kept);
+    a flat fit (c1 = 0) has no range -> NULL range_m.
+
+    Output: one row (model, n_bins_used, range_m, nugget, psill,
+    sill, wsse), floats round(.,6)."""
+    rs = _vfit_params(bounds_m, ranges_m, model)
+    pivot, moments, cand, outs = _vfit_stage_sqls(bounds_m, rs, model)
+    one = gdf.selectExpr("lo_m", "n_pairs", "gamma", "mean_d_m").agg(
+        *[F.expr(e) for e in pivot]
+    )
+    return one.selectExpr(*moments).selectExpr(*cand).selectExpr(*outs)
+
+
+def variogram_fit_sql(
+    gamma_sql: str,
+    bounds_m: list,
+    ranges_m: list,
+    model: str = "exponential",
+) -> str:
+    """Oracle twin of :func:`variogram_fit` — the same three shared
+    stage strings over the semivariogram oracle as a CTE."""
+    rs = _vfit_params(bounds_m, ranges_m, model)
+    pivot, moments, cand, outs = _vfit_stage_sqls(bounds_m, rs, model)
+    return (
+        f"WITH emp AS ({gamma_sql}), "
+        f"one AS (SELECT {', '.join(pivot)} FROM emp), "
+        f"mom AS (SELECT {', '.join(moments)} FROM one), "
+        f"cnd AS (SELECT {', '.join(cand)} FROM mom) "
+        f"SELECT {', '.join(outs)} FROM cnd"
+    )
+
+
 # ---------------- directional semivariogram (anisotropy) --
 
 _SVG_SECTORS = ("NS", "NE", "EW", "SE")

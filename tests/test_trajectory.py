@@ -1833,3 +1833,129 @@ def test_svg_directional_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+# ----------------------------------------------- variogram model fit
+
+
+def _vfit_brute(bins, bounds, ranges, model):
+    """Constrained-WLS truth over the (n_pairs, gamma, mean_d) rows."""
+    def basis(h, a):
+        if model == "exponential":
+            return 1.0 - np.exp(-3.0 * h / a)
+        r = h / a
+        return 1.0 if h >= a else 1.5 * r - 0.5 * r ** 3
+
+    rows = [(w, g, h) for (w, g, h) in bins if w > 0]
+    best = None
+    for a in ranges:
+        w = np.array([r[0] for r in rows], float)
+        g = np.array([r[1] for r in rows], float)
+        f = np.array([basis(r[2], a) for r in rows], float)
+        sw, swf, swff = w.sum(), (w * f).sum(), (w * f * f).sum()
+        swg, swfg, swgg = (w * g).sum(), (w * f * g).sum(), (w * g * g).sum()
+
+        def sse(c0, c1):
+            return (swgg - 2 * c0 * swg - 2 * c1 * swfg + c0 * c0 * sw
+                    + 2 * c0 * c1 * swf + c1 * c1 * swff)
+
+        den = sw * swff - swf * swf
+        sols = []
+        if den > 0:
+            c1u = (sw * swfg - swf * swg) / den
+            c0u = (swg - c1u * swf) / sw
+            if c0u >= 0 and c1u >= 0:
+                sols.append((sse(c0u, c1u), c0u, c1u))
+        c1a = max(0.0, swfg / swff) if swff > 0 else 0.0
+        sols.append((sse(0.0, c1a), 0.0, c1a))
+        c0b = max(0.0, swg / sw)
+        sols.append((sse(c0b, 0.0), c0b, 0.0))
+        s, c0, c1 = min(sols, key=lambda t: t[0])
+        if best is None or s < best[0] - 1e-12:
+            best = (s, a, c0, c1)
+    return best  # (sse, range, nugget, psill)
+
+
+def _gdf(spark, bins, bounds):
+    lows = [0.0] + list(bounds[:-1])
+    rows = [
+        (lows[i], bounds[i], int(w),
+         None if w == 0 else float(g), None if w == 0 else float(h))
+        for i, (w, g, h) in enumerate(bins)
+    ]
+    return spark.createDataFrame(
+        rows, "lo_m double, hi_m double, n_pairs bigint, gamma double, "
+        "mean_d_m double")
+
+
+def test_variogram_fit_recovers_planted_model(spark):
+    bounds = [50e3, 100e3, 200e3, 400e3, 800e3]
+    ranges = [75e3, 150e3, 300e3, 600e3]
+    for model in ("exponential", "spherical"):
+        a_true, c0_true, c1_true = 300e3, 0.4, 2.5
+
+        def basis(h):
+            if model == "exponential":
+                return 1.0 - np.exp(-3.0 * h / a_true)
+            r = h / a_true
+            return 1.0 if h >= a_true else 1.5 * r - 0.5 * r ** 3
+
+        hs = [30e3, 80e3, 150e3, 310e3, 650e3]
+        bins = [(100, c0_true + c1_true * basis(h), h) for h in hs]
+        r = trajectory.variogram_fit(
+            _gdf(spark, bins, bounds), bounds, ranges, model
+        ).collect()[0]
+        s, a, c0, c1 = _vfit_brute(bins, bounds, ranges, model)
+        assert r.model == model and r.n_bins_used == 5
+        assert r.range_m == pytest.approx(a, abs=1e-6)
+        assert a == a_true  # planted range is in the grid -> recovered
+        assert r.nugget == pytest.approx(c0, abs=1e-6)
+        assert r.psill == pytest.approx(c1, abs=1e-6)
+        assert abs(r.nugget - c0_true) < 1e-6
+        assert abs(r.psill - c1_true) < 1e-6
+        assert r.sill == pytest.approx(c0 + c1, abs=1e-6)
+        assert r.wsse == pytest.approx(max(s, 0.0), abs=1e-5)
+
+
+def test_variogram_fit_flat_unequal_weights_and_degenerate(spark):
+    bounds = [50e3, 100e3, 200e3]
+    ranges = [60e3, 120e3]
+    # flat gamma, unequal weights -> pure nugget = weighted mean, no range
+    bins = [(10, 2.0, 30e3), (30, 2.0, 80e3), (60, 2.0, 150e3)]
+    r = trajectory.variogram_fit(
+        _gdf(spark, bins, bounds), bounds, ranges).collect()[0]
+    assert r.range_m is None and r.psill == 0.0
+    assert r.nugget == pytest.approx(2.0, abs=1e-9)
+    assert r.wsse == pytest.approx(0.0, abs=1e-9)
+    # rising gamma with unequal weights: match the brute optimum
+    bins = [(100, 1.0, 30e3), (20, 2.5, 80e3), (5, 3.1, 150e3)]
+    r = trajectory.variogram_fit(
+        _gdf(spark, bins, bounds), bounds, ranges).collect()[0]
+    s, a, c0, c1 = _vfit_brute(bins, bounds, ranges, "exponential")
+    assert r.nugget == pytest.approx(c0, abs=1e-6)
+    assert r.psill == pytest.approx(c1, abs=1e-6)
+    assert (r.range_m or 0.0) == (a if c1 > 0 else 0.0)
+    # < 3 non-empty bins -> NULL fit, n_bins_used kept
+    bins = [(10, 1.0, 30e3), (0, 0.0, 0.0), (10, 2.0, 150e3)]
+    r = trajectory.variogram_fit(
+        _gdf(spark, bins, bounds), bounds, ranges).collect()[0]
+    assert r.n_bins_used == 2
+    assert r.range_m is None and r.nugget is None and r.wsse is None
+
+
+def test_variogram_fit_validation_and_plan(spark):
+    bounds = [50e3, 100e3, 200e3]
+    g = _gdf(spark, [(1, 1.0, 30e3)] * 3, bounds)
+    with pytest.raises(ValueError, match="model"):
+        trajectory.variogram_fit(g, bounds, [1.0, 2.0], "gaussian")
+    with pytest.raises(ValueError, match="ascending"):
+        trajectory.variogram_fit(g, bounds, [2.0, 1.0])
+    with pytest.raises(ValueError, match="3 lag bins"):
+        trajectory.variogram_fit(g, [1.0, 2.0], [1.0, 2.0])
+    with pytest.raises(ValueError, match="2..24"):
+        trajectory.variogram_fit(g, bounds, [1.0])
+    plan = trajectory.variogram_fit(
+        g, bounds, [60e3, 120e3]
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
