@@ -2475,6 +2475,16 @@ def q_word_entropy(spark, sf_dir):
     return textops.word_entropy(_read(spark, sf_dir, "documents"))
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit (operators/text.py zipf_fit): OLS of
+    ln(count) on ln(rank) over the min_count>=5 vocabulary — the
+    corpus-health / distribution-shift diagnostic (natural text
+    ~ -1). Quantized BIGINT log moments keep the catastrophically
+    cancelling normal-equation combination engine-identical; the rank
+    window runs over the FILTERED vocabulary only."""
+    return textops.zipf_fit(_read(spark, sf_dir, "documents"))
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE vocabulary training (operators/tokenizer.py):
     one corpus pass builds the (word, n) table; every merge iteration is
@@ -5820,6 +5830,7 @@ def oracle_sql() -> dict[str, str]:
         "cosinor_fit": _cosinor_fit_sql(),
         "rank_sum_shift": _rank_sum_shift_sql(),
         "variogram_fit": _variogram_fit_sql(),
+        "zipf_fit": textops.zipf_fit_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6121,6 +6132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nonconvex_intersects": q_nonconvex_intersects,
         "pii_scan": q_pii_scan,
         "word_entropy": q_word_entropy,
+        "zipf_fit": q_zipf_fit,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

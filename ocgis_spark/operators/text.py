@@ -1375,3 +1375,132 @@ def ccnet_buckets_sql(
         f"ELSE 'tail' END AS bucket "
         f"FROM scored_l s JOIN cuts c ON s.{stratum} = c.{stratum}"
     )
+
+
+# ----------------------------------------------------- Zipf law fit --
+
+# ln-quantum for the rank/frequency log moments: |q| <= ln(1e12)*1e5
+# ~ 2.77e6, q^2 <= 7.7e12, so the BIGINT moment sums hold ~1.19e6
+# ranks (far above any min_count-filtered vocabulary) while the
+# 1e-5 ln quantization is invisible at round(.,6) after the fit.
+_ZIPF_SCALE = 10**5
+
+
+def _zipf_out_sql() -> tuple:
+    """Shared closing projection over the exact BIGINT moments
+    (n_ranks, sx, sy, sxx, syy, sxy) of the quantized (ln rank,
+    ln count) pairs. The OLS combination V·Sxy − Sx·Sy cancels
+    catastrophically, which is exactly why the moments must be exact
+    integers: both engines then run the IDENTICAL double ops on
+    identical inputs. < 3 ranks or a constant side -> NULL fit."""
+    q = f"{_ZIPF_SCALE}.0E0"
+    v = "CAST(n_ranks AS DOUBLE)"
+    num = (
+        f"({v} * CAST(sxy AS DOUBLE) "
+        f"- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    dx = (
+        f"({v} * CAST(sxx AS DOUBLE) "
+        f"- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    dy = (
+        f"({v} * CAST(syy AS DOUBLE) "
+        f"- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    slope = f"({num} / {dx})"
+    ok = f"n_ranks >= 3 AND {dx} > 0.0E0"
+    return (
+        f"(CASE WHEN {ok} THEN round({slope}, 6) END) AS slope",
+        f"(CASE WHEN {ok} THEN round((CAST(sy AS DOUBLE) "
+        f"- {slope} * CAST(sx AS DOUBLE)) / ({v} * {q}), 6) END) "
+        f"AS intercept",
+        f"(CASE WHEN {ok} AND {dy} > 0.0E0 THEN "
+        f"round({num} * {num} / ({dx} * {dy}), 6) END) AS r2",
+    )
+
+
+def zipf_fit(
+    df: DataFrame, min_count: int = 5, text: str = "text"
+) -> DataFrame:
+    """Zipf-law fit of the corpus token rank-frequency curve: OLS of
+    ln(count) on ln(rank) over the min_count-filtered vocabulary —
+    the classic corpus-health diagnostic (natural text slopes ~ −1;
+    boilerplate/spam/synthetic corpora bend the curve, and a drifting
+    slope between two crawls is a cheap distribution-shift alarm;
+    Zipf 1949, Piantadosi 2014 review).
+
+    Ranks are ordinal over (count DESC, token ASC) — a deterministic
+    total order in both engines. ln(rank)/ln(count) quantize to
+    BIGINT at 1e-5 before the moment sums (order-independent; the
+    OLS normal-equation combination cancels catastrophically, so
+    inexact group sums would amplify there). The rank window is one
+    single-partition pass over the FILTERED vocabulary (the
+    spacetime_scan posture — bounded by min_count, not the corpus;
+    the token count itself is a map-side-combined hash aggregate).
+
+    Output: one row (n_ranks, n_tokens, slope, intercept, r2) —
+    intercept in ln-count units; floats round(.,6); < 3 ranks ->
+    NULL fit."""
+    from pyspark.sql import Window
+
+    if int(min_count) < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    c = (
+        df.select(F.explode(tokens_col(text)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+    r = c.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("w"))
+        ).cast("bigint"),
+    )
+    s = f"{_ZIPF_SCALE}.0E0"
+    q = r.selectExpr(
+        "cnt",
+        f"CAST(round(ln(CAST(rnk AS DOUBLE)) * {s}, 0) AS BIGINT) AS qx",
+        f"CAST(round(ln(CAST(cnt AS DOUBLE)) * {s}, 0) AS BIGINT) AS qy",
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.expr("CAST(sum(qx * qx) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(sum(qy * qy) AS BIGINT)").alias("syy"),
+        F.expr("CAST(sum(qx * qy) AS BIGINT)").alias("sxy"),
+    )
+    return agg.selectExpr("n_ranks", "n_tokens", *_zipf_out_sql())
+
+
+def zipf_fit_sql(
+    table: str = "documents", min_count: int = 5, text: str = "text"
+) -> str:
+    """Oracle twin of :func:`zipf_fit` (same split rule as the
+    word_entropy oracle; same shared closing projection)."""
+    if int(min_count) < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    s = f"{_ZIPF_SCALE}.0E0"
+    outs = ", ".join(_zipf_out_sql())
+    return (
+        f"WITH w AS (SELECT unnest(string_split({text}, ' ')) AS w "
+        f"FROM {table}), "
+        f"c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w "
+        f"WHERE w <> '' GROUP BY w HAVING count(*) >= {int(min_count)}), "
+        f"r AS (SELECT cnt, CAST(row_number() OVER "
+        f"(ORDER BY cnt DESC, w ASC) AS BIGINT) AS rnk FROM c), "
+        f"q AS (SELECT cnt, "
+        f"CAST(round(ln(CAST(rnk AS DOUBLE)) * {s}, 0) AS BIGINT) AS qx, "
+        f"CAST(round(ln(CAST(cnt AS DOUBLE)) * {s}, 0) AS BIGINT) AS qy "
+        f"FROM r), "
+        f"agg AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks, "
+        f"CAST(sum(cnt) AS BIGINT) AS n_tokens, "
+        f"CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy, "
+        f"CAST(sum(qx * qx) AS BIGINT) AS sxx, "
+        f"CAST(sum(qy * qy) AS BIGINT) AS syy, "
+        f"CAST(sum(qx * qy) AS BIGINT) AS sxy FROM q) "
+        f"SELECT n_ranks, n_tokens, {outs} FROM agg"
+    )

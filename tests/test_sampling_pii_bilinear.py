@@ -839,3 +839,58 @@ def test_weighted_sample_global_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------------- zipf fit
+
+
+def test_zipf_fit_brute(spark):
+    # planted Zipf corpus: token t_r appears round(120 / r) times
+    toks = []
+    for rnk in range(1, 13):
+        toks += [f"t{rnk:02d}"] * round(120 / rnk)
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks[:40])), (1, " ".join(toks[40:]))],
+        "doc_id bigint, text string")
+    r = textops.zipf_fit(docs, min_count=2).collect()[0]
+    from collections import Counter
+
+    cnt = Counter(toks)
+    kept = sorted(
+        ((c, w) for w, c in cnt.items() if c >= 2),
+        key=lambda t: (-t[0], t[1]))
+    x = np.log(np.arange(1, len(kept) + 1))
+    y = np.log(np.array([c for c, _ in kept], float))
+    # replicate the 1e-5 quantization for an exact-expectation replay
+    qx = np.round(x * 1e5)
+    qy = np.round(y * 1e5)
+    V = len(kept)
+    num = V * (qx * qy).sum() - qx.sum() * qy.sum()
+    dx = V * (qx * qx).sum() - qx.sum() ** 2
+    dy = V * (qy * qy).sum() - qy.sum() ** 2
+    assert r.n_ranks == V
+    assert r.n_tokens == sum(c for c, _ in kept)
+    assert r.slope == pytest.approx(round(num / dx, 6), abs=1e-9)
+    assert r.intercept == pytest.approx(
+        round((qy.sum() - (num / dx) * qx.sum()) / (V * 1e5), 6), abs=1e-9)
+    assert r.r2 == pytest.approx(round(num * num / (dx * dy), 6), abs=1e-9)
+    # a planted 1/r corpus fits slope ~ -1 tightly
+    assert -1.15 < r.slope < -0.85 and r.r2 > 0.97
+
+
+def test_zipf_fit_degenerate_and_validation(spark):
+    # constant counts: dy = 0 -> slope 0, NULL r2
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd aa bb cc dd")], "doc_id bigint, text string")
+    r = textops.zipf_fit(docs, min_count=1).collect()[0]
+    assert r.slope == 0.0 and r.r2 is None
+    # < 3 ranks -> NULL fit
+    docs2 = spark.createDataFrame(
+        [(0, "aa aa bb")], "doc_id bigint, text string")
+    r2 = textops.zipf_fit(docs2, min_count=1).collect()[0]
+    assert r2.n_ranks == 2 and r2.slope is None and r2.r2 is None
+    with pytest.raises(ValueError, match="min_count"):
+        textops.zipf_fit(docs, min_count=0)
+    plan = textops.zipf_fit(docs)._jdf.queryExecution(
+    ).executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
