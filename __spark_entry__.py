@@ -2475,6 +2475,35 @@ def q_word_entropy(spark, sf_dir):
     return textops.word_entropy(_read(spark, sf_dir, "documents"))
 
 
+def q_label_agreement(spark, sf_dir):
+    """Cohen's kappa between the stopword-ratio language heuristic and
+    the binarized gold lang label (operators/text.py agreement_kappa)
+    — the chance-corrected labeled-data QA scalar (Cohen 1960). One
+    corpus scan derives both labels; the confusion cells, marginals,
+    and kappa = (N·agree − Σna·nb)/(N² − Σna·nb) are exact BIGINT to
+    one division."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.expr("CASE WHEN lang = 'en' THEN 'en' ELSE 'unknown' END")
+        .alias("gold"),
+        textops.lang_guess_col().alias("guess"),
+    )
+    return textops.agreement_kappa(pairs, "gold", "guess")
+
+
+def _label_agreement_sql() -> str:
+    src = (
+        "SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'unknown' END "
+        "AS gold, CASE WHEN CAST(stop_n AS DOUBLE) "
+        "/ CAST(greatest(n_tok, 1) AS DOUBLE) >= 0.05 "
+        "THEN 'en' ELSE 'unknown' END AS guess FROM ("
+        "SELECT lang, len(list_filter(string_split(text, ' '), "
+        f"x -> list_contains({textops.STOPWORDS!r}, x))) AS stop_n, "
+        "len(string_split(text, ' ')) AS n_tok FROM documents) t"
+    )
+    return textops.agreement_kappa_sql(src, "gold", "guess")
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf rank-frequency fit (operators/text.py zipf_fit): OLS of
     ln(count) on ln(rank) over the min_count>=5 vocabulary — the
@@ -5831,6 +5860,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_sum_shift": _rank_sum_shift_sql(),
         "variogram_fit": _variogram_fit_sql(),
         "zipf_fit": textops.zipf_fit_sql(),
+        "label_agreement": _label_agreement_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6133,6 +6163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "word_entropy": q_word_entropy,
         "zipf_fit": q_zipf_fit,
+        "label_agreement": q_label_agreement,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

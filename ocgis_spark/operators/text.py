@@ -32,18 +32,30 @@ def token_counts(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
-    """Stopword-ratio language heuristic: en if common-English-word share of
-    whitespace tokens ≥ 0.05, else unknown."""
+def lang_ratio_col(text: str = "text"):
+    """Stopword share of whitespace tokens (shared by lang_id and the
+    agreement entry — one definition of the heuristic)."""
     toks = tokens_col(text)
     stop_n = F.size(
         F.filter(toks, lambda t: t.isin(STOPWORDS))
     )
-    ratio = stop_n.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return stop_n.cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+
+
+def lang_guess_col(text: str = "text"):
+    """The lang_id decision as a reusable Column."""
+    return F.when(lang_ratio_col(text) >= 0.05, "en").otherwise("unknown")
+
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic: en if common-English-word share of
+    whitespace tokens ≥ 0.05, else unknown."""
     return df.select(
         "doc_id",
-        F.round(ratio, 6).alias("stop_ratio"),
-        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("lang_guess"),
+        F.round(lang_ratio_col(text), 6).alias("stop_ratio"),
+        lang_guess_col(text).alias("lang_guess"),
     )
 
 
@@ -1503,4 +1515,90 @@ def zipf_fit_sql(
         f"CAST(sum(qy * qy) AS BIGINT) AS syy, "
         f"CAST(sum(qx * qy) AS BIGINT) AS sxy FROM q) "
         f"SELECT n_ranks, n_tokens, {outs} FROM agg"
+    )
+
+
+# ------------------------------------------- inter-labeler agreement --
+
+
+def agreement_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns — THE
+    chance-corrected agreement scalar of labeled-data QA (classifier
+    vs gold label, two annotators, two heuristic taggers; Cohen 1960;
+    Landis-Koch banding is the caller's readout). NULL labels on
+    either side are excluded (no judgement was made).
+
+    Everything is exact BIGINT to one division: one corpus hash
+    aggregation to the bounded (a, b) confusion cells, the marginals
+    re-aggregated from the CELL table (never the corpus) and joined
+    on label, and kappa = (N·agree − Σ na·nb) / (N² − Σ na·nb) — the
+    po/pe fractions cleared to a common denominator (headroom N < 3e9
+    rated pairs). Degenerate pe = 1 (both sides constant and equal)
+    -> NULL kappa.
+
+    Output: one row (n_pairs, n_agree, po, pe, kappa), floats
+    round(.,6)."""
+    cells = (
+        df.filter(
+            F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+        )
+        .groupBy(F.col(col_a).alias("la"), F.col(col_b).alias("lb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    na = cells.groupBy("la").agg(
+        F.sum("c").cast("bigint").alias("na")
+    )
+    nb = cells.groupBy("lb").agg(
+        F.sum("c").cast("bigint").alias("nb")
+    )
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN la = lb THEN c END), 0) "
+            "AS BIGINT)"
+        ).alias("n_agree"),
+    )
+    sab = (
+        na.join(nb, na["la"] == nb["lb"])
+        .agg(F.expr("CAST(coalesce(sum(na * nb), 0) AS BIGINT)")
+             .alias("sab"))
+    )
+    return tot.crossJoin(sab).selectExpr(
+        "n_pairs", "n_agree", *_kappa_out_sql()
+    )
+
+
+def _kappa_out_sql() -> tuple:
+    """Shared closing projection over (n_pairs, n_agree, sab)."""
+    nd = "CAST(n_pairs AS DOUBLE)"
+    return (
+        f"round(CAST(n_agree AS DOUBLE) / {nd}, 6) AS po",
+        f"round(CAST(sab AS DOUBLE) / ({nd} * {nd}), 6) AS pe",
+        "round(CAST(n_pairs * n_agree - sab AS DOUBLE) "
+        "/ nullif(CAST(n_pairs * n_pairs - sab AS DOUBLE), 0.0E0), 6) "
+        "AS kappa",
+    )
+
+
+def agreement_kappa_sql(src_sql: str, col_a: str, col_b: str) -> str:
+    """Oracle twin of :func:`agreement_kappa` (same shared closing
+    projection; same cell-table marginal join)."""
+    outs = ", ".join(_kappa_out_sql())
+    return (
+        f"WITH cells AS (SELECT {col_a} AS la, {col_b} AS lb, "
+        f"CAST(count(*) AS BIGINT) AS c FROM ({src_sql}) s "
+        f"WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL "
+        f"GROUP BY 1, 2), "
+        f"ma AS (SELECT la, CAST(sum(c) AS BIGINT) AS na FROM cells "
+        f"GROUP BY la), "
+        f"mb AS (SELECT lb, CAST(sum(c) AS BIGINT) AS nb FROM cells "
+        f"GROUP BY lb), "
+        f"tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_pairs, "
+        f"CAST(coalesce(sum(CASE WHEN la = lb THEN c END), 0) "
+        f"AS BIGINT) AS n_agree FROM cells), "
+        f"sj AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) "
+        f"AS sab FROM ma JOIN mb ON ma.la = mb.lb) "
+        f"SELECT n_pairs, n_agree, {outs} FROM tot CROSS JOIN sj"
     )

@@ -894,3 +894,42 @@ def test_zipf_fit_degenerate_and_validation(spark):
     plan = textops.zipf_fit(docs)._jdf.queryExecution(
     ).executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------- Cohen kappa
+
+
+def test_agreement_kappa_brute(spark):
+    pairs = (
+        [("en", "en")] * 40 + [("en", "unknown")] * 10
+        + [("de", "unknown")] * 25 + [("de", "en")] * 5
+        + [("fr", "unknown")] * 20 + [(None, "en")] * 3
+        + [("en", None)] * 2
+    )
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i bigint, gold string, guess string")
+    r = textops.agreement_kappa(df, "gold", "guess").collect()[0]
+    rated = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(rated)
+    agree = sum(1 for a, b in rated if a == b)
+    from collections import Counter
+
+    ca = Counter(a for a, _ in rated)
+    cb = Counter(b for _, b in rated)
+    sab = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert r.n_pairs == n and r.n_agree == agree
+    assert r.po == pytest.approx(round(agree / n, 6), abs=1e-9)
+    assert r.pe == pytest.approx(round(sab / n / n, 6), abs=1e-9)
+    assert r.kappa == pytest.approx(
+        round((n * agree - sab) / (n * n - sab), 6), abs=1e-9)
+    # perfect agreement -> kappa 1; constant-equal -> NULL (pe = 1)
+    p = spark.createDataFrame(
+        [(0, "x", "x"), (1, "y", "y")], "i bigint, gold string, guess string")
+    assert textops.agreement_kappa(p, "gold", "guess").collect()[0].kappa == 1.0
+    q = spark.createDataFrame(
+        [(0, "x", "x"), (1, "x", "x")], "i bigint, gold string, guess string")
+    assert textops.agreement_kappa(q, "gold", "guess").collect()[0].kappa is None
+    plan = textops.agreement_kappa(df, "gold", "guess")._jdf.queryExecution(
+    ).executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan
