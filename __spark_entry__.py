@@ -2504,6 +2504,17 @@ def _label_agreement_sql() -> str:
     return textops.agreement_kappa_sql(src, "gold", "guess")
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit screen over the event value column
+    (operators/text.py benford_digits): the audit-practice anomaly
+    test for fabricated/capped numeric fields — one corpus hash agg
+    to <= 9 digit counts, fixed 9-row zero-filled output with
+    per-digit chi2 contributions (df=8 table is the caller's
+    readout)."""
+    ev = _read(spark, sf_dir, "events")
+    return textops.benford_digits(ev, "value")
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf rank-frequency fit (operators/text.py zipf_fit): OLS of
     ln(count) on ln(rank) over the min_count>=5 vocabulary — the
@@ -5860,6 +5871,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_sum_shift": _rank_sum_shift_sql(),
         "variogram_fit": _variogram_fit_sql(),
         "zipf_fit": textops.zipf_fit_sql(),
+        "benford_screen": textops.benford_digits_sql("events", "value"),
         "label_agreement": _label_agreement_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
@@ -6163,6 +6175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "word_entropy": q_word_entropy,
         "zipf_fit": q_zipf_fit,
+        "benford_screen": q_benford,
         "label_agreement": q_label_agreement,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,

@@ -1602,3 +1602,109 @@ def agreement_kappa_sql(src_sql: str, col_a: str, col_b: str) -> str:
         f"AS sab FROM ma JOIN mb ON ma.la = mb.lb) "
         f"SELECT n_pairs, n_agree, {outs} FROM tot CROSS JOIN sj"
     )
+
+
+# --------------------------------------------- Benford digit screen --
+
+
+def benford_digits(df: DataFrame, value: str = "value") -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic anomaly screen for machine-generated / fabricated numeric
+    columns (Benford 1938; Nigrini's audit practice): natural
+    multi-scale magnitudes follow P(d) = log10(1 + 1/d); synthetic
+    fills, capped sensors, and unit bugs bend it.
+
+    The first digit is floor(|v| / 10^floor(log10 |v|)) — one shared
+    log10/power string (libm precedent; a digit flip needs |v|
+    EXACTLY on a power-of-ten boundary where log10 is exact anyway).
+    Zero/NULL values carry no leading digit and are excluded.
+    Digits 1-9 are zero-filled from a
+    9-literal table (the VALUES-unpivot convention), so the output
+    shape is fixed. chi2 contribution per digit:
+    (n_d − N·p_d)²/(N·p_d) — the caller sums contribs and reads the
+    df=8 table.
+
+    Plan: ONE corpus hash aggregation to <= 9 digit counts (plus the
+    excluded tally in the same pass), the literal fan-out joining the
+    9-row result — nothing after the aggregate exceeds 9 rows.
+    Output: (digit, n_obs, share, expected, chi2_contrib),
+    floats round(.,6)."""
+    import math as _m
+
+    d = (
+        f"CAST(floor(abs({value}) "
+        f"/ power(10.0E0, floor(log10(abs({value}))))) AS BIGINT)"
+    )
+    counts = (
+        df.selectExpr(
+            f"(CASE WHEN ({value}) IS NOT NULL AND ({value}) <> 0.0E0 "
+            f"THEN {d} END) AS d"
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    digits = ", ".join(
+        f"struct(CAST({k} AS BIGINT) AS digit, "
+        f"{repr(_m.log10(1.0 + 1.0 / k))}E0 AS p)"
+        for k in range(1, 10)
+    )
+    tot = counts.filter("d IS NOT NULL").agg(
+        F.sum("c").cast("bigint").alias("n_total")
+    )
+    base = (
+        tot.selectExpr(
+            "n_total", f"explode(array({digits})) AS s"
+        )
+        .selectExpr("n_total", "s.digit AS digit", "s.p AS p")
+        .join(
+            counts.filter("d IS NOT NULL")
+            .withColumnRenamed("d", "digit"),
+            "digit", "left",
+        )
+    )
+    return base.selectExpr(
+        "digit", *_benford_out_sql()
+    ).orderBy("digit")
+
+
+def _benford_out_sql() -> tuple:
+    """Shared closing projection over (digit, n_total, p, c)."""
+    n = "CAST(coalesce(c, 0) AS DOUBLE)"
+    nt = "nullif(CAST(n_total AS DOUBLE), 0.0E0)"
+    e = f"({nt} * p)"
+    return (
+        "CAST(coalesce(c, 0) AS BIGINT) AS n_obs",
+        f"round({n} / {nt}, 6) AS share",
+        "round(p, 6) AS expected",
+        f"round(({n} - {e}) * ({n} - {e}) / {e}, 6) AS chi2_contrib",
+    )
+
+
+def benford_digits_sql(
+    table: str = "events", value: str = "value"
+) -> str:
+    """Oracle twin of :func:`benford_digits` (VALUES digit table
+    LEFT-joined, same shared strings)."""
+    import math as _m
+
+    d = (
+        f"CAST(floor(abs({value}) "
+        f"/ power(10.0E0, floor(log10(abs({value}))))) AS BIGINT)"
+    )
+    vals = ", ".join(
+        f"({k}, CAST({repr(_m.log10(1.0 + 1.0 / k))}E0 AS DOUBLE))"
+        for k in range(1, 10)
+    )
+    outs = ", ".join(_benford_out_sql())
+    return (
+        f"WITH src AS (SELECT (CASE WHEN ({value}) IS NOT NULL "
+        f"AND ({value}) <> 0.0E0 THEN {d} END) AS d FROM {table}), "
+        f"cnt AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM src "
+        f"WHERE d IS NOT NULL GROUP BY d), "
+        f"tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) "
+        f"AS n_total FROM cnt), "
+        f"dig(digit, p) AS (VALUES {vals}) "
+        f"SELECT CAST(digit AS BIGINT) AS digit, {outs} "
+        f"FROM dig CROSS JOIN tot LEFT JOIN cnt ON cnt.d = digit "
+        f"ORDER BY digit"
+    )

@@ -933,3 +933,39 @@ def test_agreement_kappa_brute(spark):
     plan = textops.agreement_kappa(df, "gold", "guess")._jdf.queryExecution(
     ).executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------ Benford screen
+
+
+def test_benford_digits_brute(spark):
+    vals = [1.23, 0.0145, 192.0, 19.9, 2.5, 2.7e4, 31.4, 0.00042,
+            5.5, 66.0, 0.0, None, -13.0, -0.92]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i bigint, value double")
+    rows = {r.digit: r for r in textops.benford_digits(df).collect()}
+    assert set(rows) == set(range(1, 10))
+    import math as m
+    from collections import Counter
+
+    digs = [int(str(abs(v)).lstrip("0.").lstrip("-")[0]) for v in vals
+            if v not in (None, 0.0)]
+    cnt = Counter(digs)
+    N = len(digs)
+    for d in range(1, 10):
+        p = m.log10(1 + 1 / d)
+        r = rows[d]
+        assert r.n_obs == cnt.get(d, 0)
+        assert r.share == pytest.approx(round(cnt.get(d, 0) / N, 6))
+        assert r.expected == pytest.approx(round(p, 6))
+        e = N * p
+        assert r.chi2_contrib == pytest.approx(
+            round((cnt.get(d, 0) - e) ** 2 / e, 6), abs=1e-9)
+    # empty input -> fixed 9-row shape with NULL shares
+    empty = spark.createDataFrame([(0, 0.0)], "i bigint, value double")
+    out = textops.benford_digits(empty).collect()
+    assert len(out) == 9 and all(
+        r.n_obs == 0 and r.share is None for r in out)
+    plan = textops.benford_digits(df)._jdf.queryExecution(
+    ).executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
