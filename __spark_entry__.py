@@ -1908,6 +1908,33 @@ def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_dedup(_corpus(spark, sf_dir), "text", threshold=0.5)
 
 
+_CORPUS_LABELS_SQL = (
+    "SELECT doc_id, source FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, source FROM documents"
+)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (operators/dedup.py
+    source_overlap): the verified minhash near-dup pairs rolled up to
+    (source, source) with possible-pair-normalized rates — who copies
+    from whom (the inter-dump overlap table of CommonCrawl-scale
+    curation). Pair table stays candidate-sized; the size dim is
+    broadcast."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    pairs = dedup.minhash_dedup(
+        _corpus(spark, sf_dir), "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    labels = spark.sql(_CORPUS_LABELS_SQL)
+    return dedup.source_overlap(pairs, labels)
+
+
+def _source_overlap_sql() -> str:
+    return dedup.source_overlap_sql(
+        _minhash_oracle(), _CORPUS_LABELS_SQL
+    )
+
+
 def q_dedup_components(spark, sf_dir):
     """Fuzzy-dedup clusters: connected components over the verified
     MinHash pairs (min-label propagation; A~B, B~C collapse to one
@@ -5873,6 +5900,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": textops.zipf_fit_sql(),
         "benford_screen": textops.benford_digits_sql("events", "value"),
         "label_agreement": _label_agreement_sql(),
+        "source_overlap": _source_overlap_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6177,6 +6205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "benford_screen": q_benford,
         "label_agreement": q_label_agreement,
+        "source_overlap": q_source_overlap,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

@@ -649,3 +649,100 @@ def dedup_keep_canonical(
         F.col("node").alias(doc_id)
     )
     return docs.join(losers, doc_id, "left_anti")
+
+
+# -------------------------------------- cross-source duplication map --
+
+
+def _overlap_out_sql() -> tuple:
+    """Shared closing projection over (src_a, src_b, n_pairs, na, nb):
+    dup_rate normalizes the verified-pair count by the number of
+    POSSIBLE cross-pairs (na*nb across sources, C(na,2) within), so
+    rates are comparable between source pairs of different sizes —
+    exact BIGINT to one division."""
+    den = (
+        "(CASE WHEN src_a = src_b THEN na * (na - 1) / 2 "
+        "ELSE na * nb END)"
+    )
+    return (
+        "n_pairs",
+        "na AS n_docs_a",
+        "nb AS n_docs_b",
+        f"round(CAST(n_pairs AS DOUBLE) "
+        f"/ nullif(CAST({den} AS DOUBLE), 0.0E0), 6) AS dup_rate",
+    )
+
+
+def source_overlap(
+    pairs: DataFrame,
+    labels: DataFrame,
+    doc_id: str = "doc_id",
+    label: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: roll verified near-dup pairs
+    (``doc_a``, ``doc_b`` — :func:`minhash_dedup` output) up to the
+    label (source/crawl/dump) level — WHO copies from WHOM, the
+    curation readout that decides which feed to dedup against which
+    (the inter-dump overlap tables in CommonCrawl-scale corpus work,
+    e.g. Penedo et al. 2023 §3). Unordered label pairs canonicalize
+    via least/greatest; the rate denominator is the number of
+    possible pairs (na*nb across, C(na,2) within).
+
+    Plan: two doc_id equi-joins of the CANDIDATE-sized pair table
+    against the label map (never corpus x corpus), one bounded
+    (label, label) hash aggregate, and a broadcast of the
+    label-sizes dim onto it. Output: (src_a, src_b, n_pairs,
+    n_docs_a, n_docs_b, dup_rate), rate round(.,6)."""
+    la = labels.selectExpr(f"{doc_id} AS _ida", f"{label} AS _la")
+    lb = labels.selectExpr(f"{doc_id} AS _idb", f"{label} AS _lb")
+    tagged = (
+        pairs.select("doc_a", "doc_b")
+        .join(la, F.col("doc_a") == F.col("_ida"))
+        .join(lb, F.col("doc_b") == F.col("_idb"))
+        .selectExpr(
+            "least(_la, _lb) AS src_a", "greatest(_la, _lb) AS src_b"
+        )
+    )
+    cnt = tagged.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    sizes = labels.groupBy(F.col(label).alias("_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    out = (
+        cnt.join(
+            F.broadcast(sizes.selectExpr("_s AS _sa", "_n AS na")),
+            F.col("src_a") == F.col("_sa"),
+        )
+        .join(
+            F.broadcast(sizes.selectExpr("_s AS _sb", "_n AS nb")),
+            F.col("src_b") == F.col("_sb"),
+        )
+    )
+    return out.selectExpr("src_a", "src_b", *_overlap_out_sql())
+
+
+def source_overlap_sql(
+    pairs_sql: str,
+    labels_sql: str,
+) -> str:
+    """Oracle twin of :func:`source_overlap` — ``pairs_sql`` must
+    yield (doc_a, doc_b), ``labels_sql`` (doc_id, source); same
+    shared closing projection."""
+    outs = ", ".join(_overlap_out_sql())
+    return (
+        f"WITH mp AS ({pairs_sql}), "
+        f"lab AS (SELECT doc_id, source FROM ({labels_sql}) l), "
+        f"tg AS (SELECT least(a.source, b.source) AS src_a, "
+        f"greatest(a.source, b.source) AS src_b "
+        f"FROM mp JOIN lab a ON mp.doc_a = a.doc_id "
+        f"JOIN lab b ON mp.doc_b = b.doc_id), "
+        f"cnt AS (SELECT src_a, src_b, "
+        f"CAST(count(*) AS BIGINT) AS n_pairs FROM tg GROUP BY 1, 2), "
+        f"sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+        f"FROM lab GROUP BY source), "
+        f"jn AS (SELECT src_a, src_b, n_pairs, sa.n AS na, sb.n AS nb "
+        f"FROM cnt JOIN sz sa ON cnt.src_a = sa.source "
+        f"JOIN sz sb ON cnt.src_b = sb.source) "
+        f"SELECT src_a, src_b, {outs} FROM jn"
+    )

@@ -969,3 +969,39 @@ def test_benford_digits_brute(spark):
     plan = textops.benford_digits(df)._jdf.queryExecution(
     ).executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------ source overlap
+
+
+def test_source_overlap_brute(spark):
+    from ocgis_spark.operators import dedup as DD
+
+    labels = spark.createDataFrame(
+        [(i, "web") for i in range(6)] + [(i, "books") for i in range(6, 10)]
+        + [(i, "code") for i in range(10, 12)],
+        "doc_id bigint, source string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (0, 7), (6, 1), (8, 9), (4, 10)],
+        "doc_a bigint, doc_b bigint")
+    out = {(r.src_a, r.src_b): r for r in DD.source_overlap(
+        pairs, labels).collect()}
+    # web-web: 2 pairs of C(6,2)=15; web-books 2 of 24; books-books 1
+    # of 6; code-web 1 of 12
+    assert out[("web", "web")].n_pairs == 2
+    assert out[("web", "web")].dup_rate == pytest.approx(
+        round(2 / 15, 6), abs=1e-9)
+    assert out[("books", "web")].n_pairs == 2
+    assert out[("books", "web")].dup_rate == pytest.approx(
+        round(2 / 24, 6), abs=1e-9)
+    assert out[("books", "books")].dup_rate == pytest.approx(
+        round(1 / 6, 6), abs=1e-9)
+    assert out[("code", "web")].n_pairs == 1
+    assert out[("code", "web")].n_docs_a == 2  # canonical order
+    assert out[("code", "web")].n_docs_b == 6
+    assert set(out) == {("web", "web"), ("books", "web"),
+                        ("books", "books"), ("code", "web")}
+    plan = DD.source_overlap(pairs, labels)._jdf.queryExecution(
+    ).executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the sizes dim is broadcast
