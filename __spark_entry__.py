@@ -730,6 +730,34 @@ def _semivariogram_sql() -> str:
 
 _VFIT_RANGES = [50e3, 100e3, 200e3, 350e3, 600e3]
 
+_SVG_ST_TB = [21_600_000_000, 86_400_000_000, 345_600_000_000]  # 6h/1d/4d
+
+
+def q_semivariogram_st(spark, sf_dir):
+    """Space-time semivariogram surface (operators/trajectory.py
+    semivariogram_st): gamma(hs, ht) over 4 spatial x 3 temporal lag
+    classes (6h / 1d / 4d) — the separability diagnostic under
+    spatio-temporal kriging; one bucketed join serves all 12 classes
+    via conditional sums, |dt| exact integer micros, ht bin 0 closed
+    at 0 (the simultaneous column)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return trajectory.semivariogram_st(
+        ev, "value", t_bounds_us=_SVG_ST_TB, **_SVG_KW
+    )
+
+
+def _semivariogram_st_sql() -> str:
+    return trajectory.semivariogram_st_sql(
+        FX.events_geo_sql(extra_cols=("value",)), "value",
+        t_bounds_us=_SVG_ST_TB, **_SVG_KW
+    )
+
 
 def q_variogram_fit(spark, sf_dir):
     """Variogram model fit (operators/trajectory.py variogram_fit):
@@ -5901,6 +5929,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_screen": textops.benford_digits_sql("events", "value"),
         "label_agreement": _label_agreement_sql(),
         "source_overlap": _source_overlap_sql(),
+        "semivariogram_st": _semivariogram_st_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6206,6 +6235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_screen": q_benford,
         "label_agreement": q_label_agreement,
         "source_overlap": q_source_overlap,
+        "semivariogram_st": q_semivariogram_st,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

@@ -3891,6 +3891,226 @@ def semivariogram_directional_sql(
     )
 
 
+# ------------------- space-time semivariogram --
+
+
+def _svg_st_prep(
+    bounds_m: list, t_bounds_us: list, cell_deg: float, lat_max: float
+):
+    """(nx, bounds, t_bounds, per-(space,time)-class conditions)."""
+    nx, rs = _svg_params(bounds_m, cell_deg, lat_max)
+    ts = [int(t) for t in t_bounds_us]
+    if not 1 <= len(ts) <= 8:
+        raise ValueError(
+            f"t_bounds_us must hold 1..8 time-lag bins (bounded "
+            f"literal fan-out), got {len(t_bounds_us)}"
+        )
+    if any(t <= 0 for t in ts) or any(
+        b <= a for a, b in zip(ts, ts[1:])
+    ):
+        raise ValueError(
+            f"t_bounds_us must be positive strictly ascending, got "
+            f"{t_bounds_us}"
+        )
+    if len(rs) * len(ts) > 48:
+        raise ValueError(
+            f"space x time classes capped at 48 conditional-sum "
+            f"triples, got {len(rs) * len(ts)}"
+        )
+    conds = []
+    lo_mm = 0
+    for i, r in enumerate(rs):
+        hi_mm = int(round(r * 1000))
+        t_lo = -1  # time bin 0 is CLOSED at 0: simultaneous pairs count
+        for j, t in enumerate(ts):
+            conds.append(
+                (i, j,
+                 f"(d_mm > {lo_mm} AND d_mm <= {hi_mm} "
+                 f"AND dt_us > {t_lo} AND dt_us <= {t})")
+            )
+            t_lo = t
+        lo_mm = hi_mm
+    return nx, rs, ts, conds
+
+
+def semivariogram_st(
+    df: DataFrame,
+    value: str,
+    bounds_m: list,
+    t_bounds_us: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Space-time empirical semivariogram gamma(hs, ht) — the
+    :func:`semivariogram` extended to a (spatial lag x temporal lag)
+    SURFACE, the first object every spatio-temporal kriging /
+    separability check reads (Cressie-Wikle 2011 §6.1; a purely
+    spatial variogram silently pools all time lags, hiding temporal
+    decorrelation). Per class (lo, hi] x (t_lo, t_hi]:
+    gamma = ssq/(2·N) over pairs in BOTH windows; the time-lag bin 0
+    is CLOSED at 0 (simultaneous pairs are the ht = 0 column; exactly
+    co-located pairs stay excluded via the open spatial bin 0, as in
+    the spatial variogram).
+
+    Same exact machinery: ONE 3x3 bucketed candidate join at cell
+    width >= max(bounds) serves ALL (space x time) classes via
+    conditional sums (unpivoted by a bounded literal explode);
+    1e-2-quantized BIGINT value moments; |dt| as exact integer
+    micros. Pairs beyond the last time bound ride the join but
+    contribute to no class.
+
+    Output: one row per class (lo_m, hi_m, lo_us, hi_us, n_pairs,
+    gamma, mean_d_m), floats round(.,6)."""
+    nx, rs, ts, conds = _svg_st_prep(
+        bounds_m, t_bounds_us, cell_deg, lat_max
+    )
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    base = df.filter(F.expr(
+        f"abs({lat}) <= {_pf(lat_max)} AND ({value}) IS NOT NULL"
+    )).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la", f"{q} AS qv",
+        f"CAST({ts_us} AS BIGINT) AS t",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa", "qv AS qa", "t AS ta",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa", "qa", "ta",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "qv AS qb", "t AS tb",
+        "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    sums = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(
+            f"ea < eb AND {mm} <= {int(round(rs[-1] * 1000))}"
+        ))
+        .selectExpr(
+            f"{mm} AS d_mm",
+            "abs(ta - tb) AS dt_us",
+            "(qa - qb) * (qa - qb) AS dd",
+        )
+        .agg(*[
+            F.expr(e).alias(nme)
+            for i, j, c in conds
+            for e, nme in (
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN 1 ELSE 0 "
+                 f"END), 0) AS BIGINT)", f"n{i}_{j}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN dd END), 0) "
+                 f"AS BIGINT)", f"s{i}_{j}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN d_mm END), "
+                 f"0) AS BIGINT)", f"m{i}_{j}"),
+            )
+        ])
+    )
+    stk = []
+    lo = 0.0
+    for i, r in enumerate(rs):
+        t_lo = 0
+        for j, t in enumerate(ts):
+            stk.append(
+                f"struct(CAST({_pf(lo)} AS DOUBLE) AS lo_m, "
+                f"CAST({_pf(r)} AS DOUBLE) AS hi_m, "
+                f"CAST({t_lo} AS BIGINT) AS lo_us, "
+                f"CAST({t} AS BIGINT) AS hi_us, "
+                f"n{i}_{j} AS n_pairs, s{i}_{j} AS ssq, "
+                f"m{i}_{j} AS smm)"
+            )
+            t_lo = t
+        lo = r
+    return (
+        sums.selectExpr(f"explode(array({', '.join(stk)})) AS s")
+        .selectExpr(
+            "s.lo_m AS lo_m", "s.hi_m AS hi_m",
+            "s.lo_us AS lo_us", "s.hi_us AS hi_us",
+            "s.n_pairs AS n_pairs", "s.ssq AS ssq", "s.smm AS smm",
+        )
+        .selectExpr("lo_m", "hi_m", "lo_us", "hi_us", "n_pairs",
+                    *_svg_out_sql())
+    )
+
+
+def semivariogram_st_sql(
+    src_sql: str,
+    value: str,
+    bounds_m: list,
+    t_bounds_us: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`semivariogram_st`: full
+    un-bucketed pair scan, per-class sums via a VALUES
+    (space x time) table LEFT-joined on both half-open windows —
+    quadratic by design, sf0.01-sized (the knox/ripley class)."""
+    nx, rs, ts, _ = _svg_st_prep(
+        bounds_m, t_bounds_us, cell_deg, lat_max
+    )
+    from .crs import _pf
+
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    vals = []
+    lo = 0.0
+    for i, r in enumerate(rs):
+        t_lo = -1
+        t_show = 0
+        for j, t in enumerate(ts):
+            vals.append(
+                f"(CAST({_pf(lo)} AS DOUBLE), CAST({_pf(r)} AS DOUBLE), "
+                f"CAST({t_show} AS BIGINT), CAST({t} AS BIGINT), "
+                f"{int(round(lo * 1000))}, {int(round(r * 1000))}, "
+                f"{t_lo}, {t})"
+            )
+            t_lo = t
+            t_show = t
+        lo = r
+    return (
+        f"WITH e AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la, "
+        f"{q} AS qv, CAST({ts_us} AS BIGINT) AS t FROM ({src_sql}) s "
+        f"WHERE abs({lat}) <= {_pf(lat_max)} "
+        f"AND ({value}) IS NOT NULL), "
+        f"pr AS (SELECT {mm} AS d_mm, abs(a.t - b.t) AS dt_us, "
+        f"(a.qv - b.qv) * (a.qv - b.qv) AS dd "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"WHERE {mm} <= {int(round(rs[-1] * 1000))}), "
+        f"bins(lo_m, hi_m, lo_us, hi_us, lo_mm, hi_mm, tl, th) AS "
+        f"(VALUES {', '.join(vals)}), "
+        f"agg AS (SELECT lo_m, hi_m, lo_us, hi_us, "
+        f"CAST(count(d_mm) AS BIGINT) AS n_pairs, "
+        f"CAST(coalesce(sum(dd), 0) AS BIGINT) AS ssq, "
+        f"CAST(coalesce(sum(d_mm), 0) AS BIGINT) AS smm "
+        f"FROM bins LEFT JOIN pr "
+        f"ON d_mm > lo_mm AND d_mm <= hi_mm "
+        f"AND dt_us > tl AND dt_us <= th "
+        f"GROUP BY lo_m, hi_m, lo_us, hi_us) "
+        f"SELECT lo_m, hi_m, lo_us, hi_us, n_pairs, "
+        + ", ".join(_svg_out_sql())
+        + " FROM agg"
+    )
+
+
 # ------------------- mark correlation function (Stoyan kmm) --
 
 

@@ -1959,3 +1959,83 @@ def test_variogram_fit_validation_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------ space-time semivariogram
+
+
+def test_semivariogram_st_brute(spark):
+    import math as m
+
+    # same spatial layout as the spatial test, but values drift over
+    # time: pairs at short TIME lag agree, long-lag pairs diverge
+    pts = [
+        (10.0, 10.0, 0, 5.00), (10.2, 10.0, 1000, 5.10),
+        (10.1, 10.2, 9000, 7.90), (14.0, 10.0, 0, 9.00),
+        (14.2, 10.1, 9500, 6.20), (10.05, 10.05, 0, 5.02),
+    ]
+    rows = [(i, t, lo, la, v) for i, (lo, la, t, v) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_us bigint, lon double, lat double, "
+        "value double")
+    bounds = [60000.0, 600000.0]
+    tb = [2000, 10000]
+    out = {(r.hi_m, r.hi_us): r for r in trajectory.semivariogram_st(
+        df, "value", bounds_m=bounds, t_bounds_us=tb,
+        cell_deg=24.0, lat_max=66.0
+    ).collect()}
+    assert len(out) == 4
+
+    def hav_mm(p, q):
+        R = 6370997.0
+        la1, lo1, la2, lo2 = map(m.radians, (p[1], p[0], q[1], q[0]))
+        a = (m.sin((la2 - la1) / 2) ** 2
+             + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+        return round(2 * R * m.asin(m.sqrt(a)) * 1000)
+
+    S = trajectory._SVG_SCALE
+    lo_mm = 0
+    for hi in bounds:
+        hi_mm = round(hi * 1000)
+        t_lo = -1
+        for th in tb:
+            sel = []
+            for i in range(len(pts)):
+                for j in range(i + 1, len(pts)):
+                    d = hav_mm(pts[i][:2], pts[j][:2])
+                    dt = abs(pts[i][2] - pts[j][2])
+                    if lo_mm < d <= hi_mm and t_lo < dt <= th:
+                        sel.append(
+                            (d, (round(pts[i][3] * S)
+                                 - round(pts[j][3] * S)) ** 2))
+            r = out[(hi, th)]
+            assert r.n_pairs == len(sel), (hi, th)
+            if sel:
+                g = sum(dd for _, dd in sel) / (2 * len(sel) * S * S)
+                assert r.gamma == pytest.approx(g, abs=1e-6), (hi, th)
+            else:
+                assert r.gamma is None
+            t_lo = th
+        lo_mm = hi_mm
+    # the ht=0 column exists: simultaneous pairs (dt=0) are counted
+    assert out[(60000.0, 2000)].n_pairs >= 1
+    # temporal decorrelation signature at short spatial lag
+    assert out[(60000.0, 2000)].gamma < out[(60000.0, 10000)].gamma
+
+
+def test_semivariogram_st_validation(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 10.0, 10.0, 1.0)],
+        "event_id bigint, ts_us bigint, lon double, lat double, "
+        "value double")
+    with pytest.raises(ValueError, match="ascending"):
+        trajectory.semivariogram_st(
+            df, "value", [60000.0], [200, 100], 24.0, 66.0)
+    with pytest.raises(ValueError, match="1..8"):
+        trajectory.semivariogram_st(
+            df, "value", [60000.0], list(range(1, 11)), 24.0, 66.0)
+    plan = trajectory.semivariogram_st(
+        df, "value", [60000.0], [1000], 24.0, 66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
