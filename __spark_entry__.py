@@ -730,6 +730,34 @@ def _semivariogram_sql() -> str:
 
 _VFIT_RANGES = [50e3, 100e3, 200e3, 350e3, 600e3]
 
+def q_variogram_fit_dir(spark, sf_dir):
+    """Per-sector (anisotropic) variogram model fit: the directional
+    semivariogram's four 45-degree azimuth classes each fitted with
+    the exponential model over the shared candidate-range grid in ONE
+    grouped pass (variogram_fit by=('sector',)) — direction-dependent
+    ranges are the anisotropy readout (EW/NS range ratio) a kriging
+    neighborhood ellipse is built from."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    emp = trajectory.semivariogram_directional(ev, "value", **_SVG_KW)
+    return trajectory.variogram_fit(
+        emp, _SVG_KW["bounds_m"], _VFIT_RANGES, "exponential",
+        by=("sector",),
+    )
+
+
+def _variogram_fit_dir_sql() -> str:
+    return trajectory.variogram_fit_sql(
+        _semivariogram_dir_sql(), _SVG_KW["bounds_m"], _VFIT_RANGES,
+        "exponential", by=("sector",),
+    )
+
+
 _SVG_ST_TB = [21_600_000_000, 86_400_000_000, 345_600_000_000]  # 6h/1d/4d
 
 
@@ -5930,6 +5958,7 @@ def oracle_sql() -> dict[str, str]:
         "label_agreement": _label_agreement_sql(),
         "source_overlap": _source_overlap_sql(),
         "semivariogram_st": _semivariogram_st_sql(),
+        "variogram_fit_dir": _variogram_fit_dir_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6236,6 +6265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_agreement": q_label_agreement,
         "source_overlap": q_source_overlap,
         "semivariogram_st": q_semivariogram_st,
+        "variogram_fit_dir": q_variogram_fit_dir,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

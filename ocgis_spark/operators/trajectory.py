@@ -3512,7 +3512,8 @@ def _vfit_basis(h: str, a: float, model: str) -> str:
     )
 
 
-def _vfit_stage_sqls(bounds_m: list, ranges: list, model: str):
+def _vfit_stage_sqls(bounds_m: list, ranges: list, model: str,
+                     by: tuple = ()):
     """(pivot_exprs, moment_exprs, out_exprs) — shared verbatim by the
     DataFrame and oracle paths, so parity is by construction.
 
@@ -3546,7 +3547,7 @@ def _vfit_stage_sqls(bounds_m: list, ranges: list, model: str):
             for i in range(K)
         ) + ")"
 
-    moments = [
+    moments = [*by,
         "(" + " + ".join(
             f"(CASE WHEN w{i} > 0 THEN 1 ELSE 0 END)" for i in range(K)
         ) + ") AS nb",
@@ -3568,7 +3569,7 @@ def _vfit_stage_sqls(bounds_m: list, ranges: list, model: str):
     # three evaluated, picked by least() + first-match CASE (plain
     # double comparisons, dialect-shared; infeasible -> 1e308
     # sentinel; within-candidate ties prefer u then the c0=0 axis).
-    cand = ["nb", "sw", "swg", "swgg"]
+    cand = [*by, "nb", "sw", "swg", "swgg"]
     for k, a in enumerate(ranges):
         swf, swff, swfg = f"swf{k}", f"swff{k}", f"swfg{k}"
         den = f"(sw * {swff} - {swf} * {swf})"
@@ -3615,7 +3616,7 @@ def _vfit_stage_sqls(bounds_m: list, ranges: list, model: str):
 
     g = lambda e: f"(CASE WHEN nb >= 3 THEN {e} END)"
     b_c1 = pick(lambda k: f"c1_{k}")
-    outs = [
+    outs = [*by,
         f"'{model}' AS model",
         "CAST(nb AS BIGINT) AS n_bins_used",
         g(
@@ -3640,6 +3641,7 @@ def variogram_fit(
     bounds_m: list,
     ranges_m: list,
     model: str = "exponential",
+    by: tuple = (),
 ) -> DataFrame:
     """Fit a bounded variogram MODEL gamma(h) = c0 + c1·f(h; a) to an
     empirical semivariogram (:func:`semivariogram` output) by weighted
@@ -3663,10 +3665,15 @@ def variogram_fit(
     Output: one row (model, n_bins_used, range_m, nugget, psill,
     sill, wsse), floats round(.,6)."""
     rs = _vfit_params(bounds_m, ranges_m, model)
-    pivot, moments, cand, outs = _vfit_stage_sqls(bounds_m, rs, model)
-    one = gdf.selectExpr("lo_m", "n_pairs", "gamma", "mean_d_m").agg(
-        *[F.expr(e) for e in pivot]
+    by = tuple(by)
+    pivot, moments, cand, outs = _vfit_stage_sqls(
+        bounds_m, rs, model, by
     )
+    src = gdf.selectExpr(*by, "lo_m", "n_pairs", "gamma", "mean_d_m")
+    if by:
+        one = src.groupBy(*by).agg(*[F.expr(e) for e in pivot])
+    else:
+        one = src.agg(*[F.expr(e) for e in pivot])
     return one.selectExpr(*moments).selectExpr(*cand).selectExpr(*outs)
 
 
@@ -3675,14 +3682,20 @@ def variogram_fit_sql(
     bounds_m: list,
     ranges_m: list,
     model: str = "exponential",
+    by: tuple = (),
 ) -> str:
     """Oracle twin of :func:`variogram_fit` — the same three shared
     stage strings over the semivariogram oracle as a CTE."""
     rs = _vfit_params(bounds_m, ranges_m, model)
-    pivot, moments, cand, outs = _vfit_stage_sqls(bounds_m, rs, model)
+    by = tuple(by)
+    pivot, moments, cand, outs = _vfit_stage_sqls(
+        bounds_m, rs, model, by
+    )
+    grp = (" GROUP BY " + ", ".join(by)) if by else ""
+    sel_by = "".join(f"{c}, " for c in by)
     return (
         f"WITH emp AS ({gamma_sql}), "
-        f"one AS (SELECT {', '.join(pivot)} FROM emp), "
+        f"one AS (SELECT {sel_by}{', '.join(pivot)} FROM emp{grp}), "
         f"mom AS (SELECT {', '.join(moments)} FROM one), "
         f"cnd AS (SELECT {', '.join(cand)} FROM mom) "
         f"SELECT {', '.join(outs)} FROM cnd"

@@ -2039,3 +2039,31 @@ def test_semivariogram_st_validation(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_variogram_fit_by_sector(spark):
+    bounds = [50e3, 100e3, 200e3, 400e3, 800e3]
+    ranges = [75e3, 150e3, 300e3, 600e3]
+    hs = [30e3, 80e3, 150e3, 310e3, 650e3]
+    planted = {"EW": 600e3, "NS": 150e3}  # anisotropy: EW smoother
+
+    def basis(h, a):
+        return 1.0 - np.exp(-3.0 * h / a)
+
+    rows = []
+    lows = [0.0] + bounds[:-1]
+    for sct, a_true in planted.items():
+        for i, h in enumerate(hs):
+            rows.append((sct, lows[i], bounds[i], 100,
+                         float(0.2 + 1.5 * basis(h, a_true)), float(h)))
+    gdf = spark.createDataFrame(
+        rows, "sector string, lo_m double, hi_m double, n_pairs bigint, "
+        "gamma double, mean_d_m double")
+    out = {r.sector: r for r in trajectory.variogram_fit(
+        gdf, bounds, ranges, by=("sector",)).collect()}
+    assert set(out) == {"EW", "NS"}
+    assert out["EW"].range_m == pytest.approx(600e3)
+    assert out["NS"].range_m == pytest.approx(150e3)
+    for r in out.values():
+        assert r.nugget == pytest.approx(0.2, abs=1e-6)
+        assert r.psill == pytest.approx(1.5, abs=1e-6)
