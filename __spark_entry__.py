@@ -758,6 +758,29 @@ def _variogram_fit_dir_sql() -> str:
     )
 
 
+def q_fmadogram(spark, sf_dir):
+    """F-madogram + extremal coefficient per lag bin (operators/
+    trajectory.py fmadogram): the rank-transform madogram isolates
+    extremal dependence from the margins — do nearby cells spike
+    TOGETHER (theta→1) or independently (theta→2)? The copula-side
+    answer gpd_tail's per-cell margins cannot see; exact integer
+    mid-ranks broadcast onto the shared bucketed pair join."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return trajectory.fmadogram(ev, "value", **_SVG_KW)
+
+
+def _fmadogram_sql() -> str:
+    return trajectory.fmadogram_sql(
+        FX.events_geo_sql(extra_cols=("value",)), "value", **_SVG_KW
+    )
+
+
 _SVG_ST_TB = [21_600_000_000, 86_400_000_000, 345_600_000_000]  # 6h/1d/4d
 
 
@@ -5959,6 +5982,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _source_overlap_sql(),
         "semivariogram_st": _semivariogram_st_sql(),
         "variogram_fit_dir": _variogram_fit_dir_sql(),
+        "fmadogram": _fmadogram_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6266,6 +6290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "semivariogram_st": q_semivariogram_st,
         "variogram_fit_dir": q_variogram_fit_dir,
+        "fmadogram": q_fmadogram,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

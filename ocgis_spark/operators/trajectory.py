@@ -4124,6 +4124,209 @@ def semivariogram_st_sql(
     )
 
 
+# ------------------- F-madogram (extremal dependence) --
+
+
+def _fmado_out_sql() -> tuple:
+    """Shared projection over (n_pairs, sdr = sum |2-midrank diffs|,
+    smm, n = band point count): nu_F = sdr/(4·N(h)·n) (F = midrank/n,
+    the 2x factors cancel into the 4), extremal coefficient
+    theta(h) = (1 + 2nu)/(1 − 2nu) ∈ [1, 2] (1 = complete extremal
+    dependence, 2 = asymptotic independence). Every moment is an
+    exact BIGINT; nu ≤ 1/6 for a continuous field keeps the theta
+    denominator away from 0 (nullif guards the degenerate all-tied
+    case, where nu = 0 and theta = 1 exactly anyway)."""
+    np_ = "nullif(CAST(n_pairs AS DOUBLE), 0.0E0)"
+    nu = (
+        f"(CAST(sdr AS DOUBLE) / (4.0E0 * {np_} * CAST(n AS DOUBLE)))"
+    )
+    return (
+        f"round({nu}, 6) AS fmadogram",
+        f"round((1.0E0 + 2.0E0 * {nu}) "
+        f"/ nullif(1.0E0 - 2.0E0 * {nu}, 0.0E0), 6) AS ext_coef",
+        f"round(CAST(smm AS DOUBLE) / 1000.0E0 / {np_}, 6) AS mean_d_m",
+    )
+
+
+def fmadogram(
+    df: DataFrame,
+    value: str,
+    bounds_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """F-madogram nu_F(h) = ½·E|F(z_i) − F(z_j)| and the extremal
+    coefficient theta(h) = (1 + 2nu)/(1 − 2nu) — the EXTREMES
+    companion to :func:`semivariogram` (Cooley-Naveau-Poncet 2006):
+    gamma(h) measures mean-square continuity, but extremal dependence
+    (do nearby points spike TOGETHER?) lives in the copula, which the
+    rank transform F isolates — theta -> 1 means joint extremes,
+    -> 2 means extremes strike independently. This is what gpd_tail's
+    per-cell margins cannot see and what spatial risk aggregation
+    (regional flood/heat totals) actually needs.
+
+    Exact throughout: F uses integer MID-ranks of the 1e-2-quantized
+    values (doubled to stay integral: r2 = 2·cum_less + cnt + 1, a
+    tie-invariant assignment), built from the value-domain-bounded
+    cumulative table (the rank_sum_shift posture) and BROADCAST onto
+    the points; per-bin sums of |r2_i − r2_j| are exact BIGINTs
+    (headroom |r2| ≤ 2n ⇒ sdr ≤ 2n·N(h): n < ~2e9 points at 1e9
+    pairs/bin). The same ONE 3x3 bucketed candidate join as the
+    variogram family serves all bins via conditional sums; bin 0
+    opens at 0 (co-located pairs excluded).
+
+    Output: one row per bin (lo_m, hi_m, n_pairs, fmadogram,
+    ext_coef, mean_d_m), floats round(.,6)."""
+    nx, rs = _svg_params(bounds_m, cell_deg, lat_max)
+    from .cluster import cell_id_sql
+    from .crs import _pf
+
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    pts = df.filter(F.expr(
+        f"abs({lat}) <= {_pf(lat_max)} AND ({value}) IS NOT NULL"
+    )).selectExpr(
+        f"{eid} AS e", f"{lon} AS lo", f"{lat} AS la", f"{q} AS qv",
+        f"{cx} AS cx", f"{cy} AS cy",
+    )
+    vc = pts.groupBy("qv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, -1)
+    rk = vc.select(
+        "qv",
+        (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1)
+        .cast("bigint").alias("r2"),
+    )
+    ntot = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    base = pts.join(F.broadcast(rk), "qv")
+    soffs = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    a = base.selectExpr(
+        "e AS ea", "lo AS loa", "la AS laa", "r2 AS ra",
+        "cx", "cy", f"explode(array({soffs})) AS o",
+    ).selectExpr(
+        "ea", "loa", "laa", "ra",
+        f"((cx + o.dx + {nx}) % {nx}) AS jx", "(cy + o.dy) AS jy",
+    )
+    b = base.selectExpr(
+        "e AS eb", "lo AS lob", "la AS lab", "r2 AS rb",
+        "cx AS jx", "cy AS jy",
+    )
+    hav = haversine_m_sql("loa", "laa", "lob", "lab")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    lo_mm = 0
+    conds = []
+    for i, r in enumerate(rs):
+        hi_mm = int(round(r * 1000))
+        conds.append((i, f"(d_mm > {lo_mm} AND d_mm <= {hi_mm})"))
+        lo_mm = hi_mm
+    sums = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.expr(
+            f"ea < eb AND {mm} <= {int(round(rs[-1] * 1000))}"
+        ))
+        .selectExpr(
+            f"{mm} AS d_mm", "abs(ra - rb) AS dr",
+        )
+        .agg(*[
+            F.expr(e).alias(nme)
+            for i, c in conds
+            for e, nme in (
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN 1 ELSE 0 "
+                 f"END), 0) AS BIGINT)", f"n{i}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN dr END), 0) "
+                 f"AS BIGINT)", f"s{i}"),
+                (f"CAST(coalesce(sum(CASE WHEN {c} THEN d_mm END), "
+                 f"0) AS BIGINT)", f"m{i}"),
+            )
+        ])
+    )
+    lo = 0.0
+    stk = []
+    for i, r in enumerate(rs):
+        stk.append(
+            f"struct(CAST({_pf(lo)} AS DOUBLE) AS lo_m, "
+            f"CAST({_pf(r)} AS DOUBLE) AS hi_m, "
+            f"n{i} AS n_pairs, s{i} AS sdr, m{i} AS smm)"
+        )
+        lo = r
+    return (
+        sums.crossJoin(F.broadcast(ntot))
+        .selectExpr("n", f"explode(array({', '.join(stk)})) AS s")
+        .selectExpr(
+            "s.lo_m AS lo_m", "s.hi_m AS hi_m",
+            "s.n_pairs AS n_pairs", "s.sdr AS sdr", "s.smm AS smm",
+            "n",
+        )
+        .selectExpr("lo_m", "hi_m", "n_pairs", *_fmado_out_sql())
+    )
+
+
+def fmadogram_sql(
+    src_sql: str,
+    value: str,
+    bounds_m: list,
+    cell_deg: float,
+    lat_max: float,
+    eid: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """BRUTE-FORCE oracle twin of :func:`fmadogram`: full un-bucketed
+    pair scan over the same mid-rank transform, per-bin sums via a
+    VALUES bin table — quadratic by design, sf0.01-sized."""
+    _, rs = _svg_params(bounds_m, cell_deg, lat_max)
+    from .crs import _pf
+
+    q = f"CAST(round(({value}) * {_SVG_SCALE}.0E0, 0) AS BIGINT)"
+    hav = haversine_m_sql("a.lo", "a.la", "b.lo", "b.la")
+    mm = f"CAST(round({hav} * 1000.0E0) AS BIGINT)"
+    lo = 0.0
+    vals = []
+    for r in rs:
+        vals.append(
+            f"(CAST({_pf(lo)} AS DOUBLE), CAST({_pf(r)} AS DOUBLE), "
+            f"{int(round(lo * 1000))}, {int(round(r * 1000))})"
+        )
+        lo = r
+    outs = ", ".join(_fmado_out_sql())
+    return (
+        f"WITH p0 AS (SELECT {eid} AS e, {lon} AS lo, {lat} AS la, "
+        f"{q} AS qv FROM ({src_sql}) s "
+        f"WHERE abs({lat}) <= {_pf(lat_max)} "
+        f"AND ({value}) IS NOT NULL), "
+        f"vc AS (SELECT qv, CAST(count(*) AS BIGINT) AS c FROM p0 "
+        f"GROUP BY qv), "
+        f"rk AS (SELECT qv, CAST(2 * coalesce(sum(c) OVER "
+        f"(ORDER BY qv ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"1 PRECEDING), 0) + c + 1 AS BIGINT) AS r2 FROM vc), "
+        f"nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p0), "
+        f"e AS (SELECT p0.e, p0.lo, p0.la, rk.r2 FROM p0 "
+        f"JOIN rk ON p0.qv = rk.qv), "
+        f"pr AS (SELECT {mm} AS d_mm, abs(a.r2 - b.r2) AS dr "
+        f"FROM e a JOIN e b ON a.e < b.e "
+        f"WHERE {mm} <= {int(round(rs[-1] * 1000))}), "
+        f"bins(lo_m, hi_m, lo_mm, hi_mm) AS (VALUES {', '.join(vals)}), "
+        f"agg AS (SELECT lo_m, hi_m, "
+        f"CAST(count(d_mm) AS BIGINT) AS n_pairs, "
+        f"CAST(coalesce(sum(dr), 0) AS BIGINT) AS sdr, "
+        f"CAST(coalesce(sum(d_mm), 0) AS BIGINT) AS smm "
+        f"FROM bins LEFT JOIN pr "
+        f"ON d_mm > lo_mm AND d_mm <= hi_mm "
+        f"GROUP BY lo_m, hi_m) "
+        f"SELECT lo_m, hi_m, n_pairs, {outs} "
+        f"FROM agg CROSS JOIN nt"
+    )
+
+
 # ------------------- mark correlation function (Stoyan kmm) --
 
 

@@ -2067,3 +2067,63 @@ def test_variogram_fit_by_sector(spark):
     for r in out.values():
         assert r.nugget == pytest.approx(0.2, abs=1e-6)
         assert r.psill == pytest.approx(1.5, abs=1e-6)
+
+
+# ---------------------------------------------------------- F-madogram
+
+
+def test_fmadogram_brute(spark):
+    import math as m
+
+    # near cluster spikes TOGETHER (joint extremes), the far point is
+    # independent -> near-lag theta ~ 1, far-lag theta larger
+    pts = [
+        (10.0, 10.0, 9.00), (10.2, 10.0, 9.10), (10.1, 10.2, 8.90),
+        (17.0, 10.0, 1.00), (14.0, 10.0, 5.00), (14.2, 10.1, 1.10),
+    ]
+    rows = [(i, lo, la, v) for i, (lo, la, v) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, lon double, lat double, value double")
+    bounds = [60000.0, 600000.0]
+    out = {r.hi_m: r for r in trajectory.fmadogram(
+        df, "value", bounds_m=bounds, cell_deg=24.0, lat_max=66.0
+    ).collect()}
+
+    def hav_mm(p, q):
+        R = 6370997.0
+        la1, lo1, la2, lo2 = map(m.radians, (p[1], p[0], q[1], q[0]))
+        a = (m.sin((la2 - la1) / 2) ** 2
+             + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+        return round(2 * R * m.asin(m.sqrt(a)) * 1000)
+
+    # brute mid-ranks of the quantized values
+    qs = sorted(round(v * 100) for _, _, v in pts)
+    n = len(pts)
+    r2 = {}
+    for qv in set(qs):
+        less = sum(1 for x in qs if x < qv)
+        cnt = qs.count(qv)
+        r2[qv] = 2 * less + cnt + 1
+    lo_mm = 0
+    for hi in bounds:
+        hi_mm = round(hi * 1000)
+        sel = [
+            abs(r2[round(pts[i][2] * 100)] - r2[round(pts[j][2] * 100)])
+            for i in range(n) for j in range(i + 1, n)
+            if lo_mm < hav_mm(pts[i][:2], pts[j][:2]) <= hi_mm
+        ]
+        r = out[hi]
+        assert r.n_pairs == len(sel)
+        if sel:
+            nu = sum(sel) / (4.0 * len(sel) * n)
+            assert r.fmadogram == pytest.approx(round(nu, 6), abs=1e-9)
+            assert r.ext_coef == pytest.approx(
+                round((1 + 2 * nu) / (1 - 2 * nu), 6), abs=1e-9)
+        lo_mm = hi_mm
+    # joint-extremes signature: near-lag theta below far-lag theta
+    assert out[60000.0].ext_coef < out[600000.0].ext_coef
+    plan = trajectory.fmadogram(
+        df, "value", bounds, 24.0, 66.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
