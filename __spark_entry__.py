@@ -2048,6 +2048,26 @@ def q_pagerank_hosts(spark, sf_dir):
     )
 
 
+def q_triangle_stats(spark, sf_dir):
+    """Per-host triangle count + local clustering coefficient over the
+    derived host link graph (operators/graph.py triangle_stats): the
+    link-farm / community-density signal beside pagerank — exact
+    degree-ordered wedge closure (lowest-(degree,id) apex counts each
+    triangle once; fan-out O(sqrt m) per apex regardless of hub
+    skew)."""
+    from ocgis_spark.operators import graph as graph_ops
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(_HOST_EDGES_SQL)
+    return graph_ops.triangle_stats(edges)
+
+
+def _triangle_stats_sql() -> str:
+    from ocgis_spark.operators import graph as graph_ops
+
+    return graph_ops.triangle_stats_sql(_HOST_EDGES_SQL)
+
+
 def q_dedup_index_hits(spark, sf_dir):
     """Ingest-time near-dup screen: documents with doc_id % 3 != 0
     probed against the LSH band index of the % 3 == 0 'historical'
@@ -5983,6 +6003,7 @@ def oracle_sql() -> dict[str, str]:
         "semivariogram_st": _semivariogram_st_sql(),
         "variogram_fit_dir": _variogram_fit_dir_sql(),
         "fmadogram": _fmadogram_sql(),
+        "triangle_stats": _triangle_stats_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6291,6 +6312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram_st": q_semivariogram_st,
         "variogram_fit_dir": q_variogram_fit_dir,
         "fmadogram": q_fmadogram,
+        "triangle_stats": q_triangle_stats,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

@@ -65,3 +65,42 @@ def test_pagerank_matches_unrolled_sql(spark):
 def test_pagerank_empty_edges_returns_empty(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert G.pagerank(edges, iters=3).count() == 0
+
+
+# --------------------------------------------------- triangle counts
+
+
+def test_triangle_stats_brute(spark):
+    from itertools import combinations
+
+    from ocgis_spark.operators import graph as G
+
+    # K4 on 0-3 (4 triangles), a pendant 4, an isolated edge 5-6,
+    # plus duplicate / reverse / self-loop noise that must collapse
+    edges = (list(combinations(range(4), 2))
+             + [(3, 4), (5, 6), (1, 0), (2, 2), (0, 1), (6, 5)])
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r.node: r for r in G.triangle_stats(df).collect()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for n, nbrs in adj.items():
+        t = sum(1 for x, y in combinations(sorted(nbrs), 2)
+                if tuple(sorted((x, y))) in und)
+        d = len(nbrs)
+        r = out[n]
+        assert r.degree == d and r.triangles == t, n
+        if d < 2:
+            assert r.clustering is None
+        else:
+            assert r.clustering == pytest.approx(
+                round(2 * t / (d * (d - 1)), 6), abs=1e-9)
+    assert out[0].triangles == 3   # inside K4
+    assert out[4].triangles == 0 and out[4].clustering is None
+    assert out[3].clustering == pytest.approx(round(3 / 6, 6))
+    plan = G.triangle_stats(df)._jdf.queryExecution(
+    ).executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
