@@ -2068,6 +2068,25 @@ def _triangle_stats_sql() -> str:
     return graph_ops.triangle_stats_sql(_HOST_EDGES_SQL)
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the host link graph (operators/graph.py
+    assortativity): Newman 2002 Pearson r over endpoint degrees of
+    both stub orientations — hub-to-hub vs hub-and-spoke structure in
+    one scalar; drift between dumps is a link-spam alarm. Exact
+    BIGINT moments to one double combination."""
+    from ocgis_spark.operators import graph as graph_ops
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(_HOST_EDGES_SQL)
+    return graph_ops.assortativity(edges)
+
+
+def _assortativity_sql() -> str:
+    from ocgis_spark.operators import graph as graph_ops
+
+    return graph_ops.assortativity_sql(_HOST_EDGES_SQL)
+
+
 def q_dedup_index_hits(spark, sf_dir):
     """Ingest-time near-dup screen: documents with doc_id % 3 != 0
     probed against the LSH band index of the % 3 == 0 'historical'
@@ -6004,6 +6023,7 @@ def oracle_sql() -> dict[str, str]:
         "variogram_fit_dir": _variogram_fit_dir_sql(),
         "fmadogram": _fmadogram_sql(),
         "triangle_stats": _triangle_stats_sql(),
+        "host_assortativity": _assortativity_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6313,6 +6333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_fit_dir": q_variogram_fit_dir,
         "fmadogram": q_fmadogram,
         "triangle_stats": q_triangle_stats,
+        "host_assortativity": q_assortativity,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

@@ -259,3 +259,108 @@ def triangle_stats_sql(
         f"FROM deg LEFT JOIN pn ON pn.node = deg.node) "
         f"SELECT node, degree, triangles, {outs} FROM jn"
     )
+
+
+# ------------------------------------------- degree assortativity --
+
+
+def _assort_out_sql() -> tuple:
+    """Shared projection over (m2 = directed-stub count, sx, sxx,
+    sxy): Newman 2002 degree assortativity = Pearson r of the REMAINING
+    degrees... computed here in its plain endpoint-degree form over
+    both edge orientations (the symmetric marginals make x/y moments
+    identical, so only three sums survive). Exact BIGINT to the final
+    double combination (the zipf_fit cancellation discipline)."""
+    m = "CAST(m2 AS DOUBLE)"
+    num = (
+        f"({m} * CAST(sxy AS DOUBLE) "
+        f"- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    den = (
+        f"({m} * CAST(sxx AS DOUBLE) "
+        f"- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return (
+        f"round(CASE WHEN {den} > 0.0E0 THEN {num} / {den} END, 6) "
+        "AS assortativity",
+    )
+
+
+def assortativity(
+    df: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph (Newman
+    2002): do high-degree hosts link to other hubs (r > 0, social
+    shape) or to leaves (r < 0, web/hub-and-spoke shape)? A one-scalar
+    structure fingerprint next to :func:`triangle_stats` — crawl-graph
+    drift in r between dumps is a cheap link-spam alarm.
+
+    Pearson r over the endpoint-degree pairs of every directed stub
+    (both orientations — the symmetric marginals collapse the x/y
+    moments into one): all moments are exact BIGINTs from integer
+    degrees (headroom: Σd·d' ≤ 2m·d_max² — d_max < ~2e6 at 2m = 1e6
+    stubs scales far beyond any host graph); regular graphs (zero
+    degree variance) -> NULL.
+
+    Output: one row (n_nodes, n_edges, assortativity)."""
+    und = (
+        df.selectExpr(
+            f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
+        )
+        .filter("u <> v AND u IS NOT NULL AND v IS NOT NULL")
+        .distinct()
+    )
+    deg = (
+        und.selectExpr("u AS node")
+        .unionAll(und.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    stubs = (
+        und.join(deg.selectExpr("node AS u", "degree AS da"), "u")
+        .join(deg.selectExpr("node AS v", "degree AS db"), "v")
+        .selectExpr("da AS x", "db AS y")
+    )
+    both = stubs.unionAll(stubs.selectExpr("y AS x", "x AS y"))
+    counts = und.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).crossJoin(
+        deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    mom = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(sum(x * y) AS BIGINT)").alias("sxy"),
+    )
+    return counts.crossJoin(mom).selectExpr(
+        "n_nodes", "n_edges", *_assort_out_sql()
+    )
+
+
+def assortativity_sql(
+    edges_sql: str, src: str = "src", dst: str = "dst"
+) -> str:
+    """Oracle twin of :func:`assortativity`."""
+    outs = ", ".join(_assort_out_sql())
+    return (
+        f"WITH und AS (SELECT DISTINCT least({src}, {dst}) AS u, "
+        f"greatest({src}, {dst}) AS v FROM ({edges_sql}) e "
+        f"WHERE {src} <> {dst} AND {src} IS NOT NULL "
+        f"AND {dst} IS NOT NULL), "
+        f"deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM (SELECT u AS node FROM und "
+        f"UNION ALL SELECT v FROM und) n GROUP BY node), "
+        f"st AS (SELECT da.degree AS x, db.degree AS y FROM und "
+        f"JOIN deg da ON da.node = u JOIN deg db ON db.node = v), "
+        f"bo AS (SELECT x, y FROM st "
+        f"UNION ALL SELECT y AS x, x AS y FROM st), "
+        f"mom AS (SELECT CAST(count(*) AS BIGINT) AS m2, "
+        f"CAST(sum(x) AS BIGINT) AS sx, "
+        f"CAST(sum(x * x) AS BIGINT) AS sxx, "
+        f"CAST(sum(x * y) AS BIGINT) AS sxy FROM bo), "
+        f"cnt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) "
+        f"AS n_edges, (SELECT CAST(count(*) AS BIGINT) FROM deg) "
+        f"AS n_nodes) "
+        f"SELECT n_nodes, n_edges, {outs} FROM cnt CROSS JOIN mom"
+    )

@@ -104,3 +104,36 @@ def test_triangle_stats_brute(spark):
     plan = G.triangle_stats(df)._jdf.queryExecution(
     ).executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_assortativity_brute(spark):
+    from itertools import combinations
+
+    from ocgis_spark.operators import graph as G
+
+    # star (disassortative) vs clique+pendant mix; noise edges collapse
+    edges = ([(0, i) for i in range(1, 6)]
+             + list(combinations(range(10, 13), 2)) + [(12, 13), (5, 0)])
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    r = G.assortativity(df).collect()[0]
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in und:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    m2 = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    exp = (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
+    assert r.n_edges == len(und) and r.n_nodes == len(deg)
+    assert r.assortativity == pytest.approx(round(exp, 6), abs=1e-9)
+    assert r.assortativity < 0  # star-dominated -> disassortative
+    # regular graph (cycle): zero degree variance -> NULL
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src bigint, dst bigint")
+    assert G.assortativity(cyc).collect()[0].assortativity is None
