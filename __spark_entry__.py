@@ -2087,6 +2087,39 @@ def _assortativity_sql() -> str:
     return graph_ops.assortativity_sql(_HOST_EDGES_SQL)
 
 
+_HOST_EDGES2_SQL = (
+    # two deterministic generators per doc -> a degree-~4 host
+    # multigraph whose 3-core is non-trivial (the single-generator
+    # graph is a permutation: degree 2 everywhere, every k>2 core
+    # empty — found at wiring time)
+    "SELECT doc_id % 97 AS src, (doc_id * 31) % 97 AS dst "
+    "FROM documents WHERE doc_id % 97 <> (doc_id * 31) % 97 "
+    "UNION ALL "
+    "SELECT doc_id % 97 AS src, (doc_id * 17 + 3) % 97 AS dst "
+    "FROM documents WHERE doc_id % 97 <> (doc_id * 17 + 3) % 97"
+)
+
+
+def q_kcore(spark, sf_dir):
+    """3-core of the two-generator host link graph (operators/graph.py
+    kcore): synchronous peeling — each round drops nodes under degree
+    3 in the surviving subgraph; 8 rounds fixed to match the
+    unrolled-CTE oracle (the pagerank K=5 convention; pytest proves
+    fixed-R == fixpoint at sufficient R). The dense-kernel filter for
+    link-spam nests, one notch stronger than the triangle screen."""
+    from ocgis_spark.operators import graph as graph_ops
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(_HOST_EDGES2_SQL)
+    return graph_ops.kcore(edges, k=3, rounds=8)
+
+
+def _kcore_sql() -> str:
+    from ocgis_spark.operators import graph as graph_ops
+
+    return graph_ops.kcore_sql(_HOST_EDGES2_SQL, k=3, rounds=8)
+
+
 def q_dedup_index_hits(spark, sf_dir):
     """Ingest-time near-dup screen: documents with doc_id % 3 != 0
     probed against the LSH band index of the % 3 == 0 'historical'
@@ -6024,6 +6057,7 @@ def oracle_sql() -> dict[str, str]:
         "fmadogram": _fmadogram_sql(),
         "triangle_stats": _triangle_stats_sql(),
         "host_assortativity": _assortativity_sql(),
+        "host_kcore": _kcore_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6334,6 +6368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fmadogram": q_fmadogram,
         "triangle_stats": q_triangle_stats,
         "host_assortativity": q_assortativity,
+        "host_kcore": q_kcore,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

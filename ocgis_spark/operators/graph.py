@@ -364,3 +364,121 @@ def assortativity_sql(
         f"AS n_nodes) "
         f"SELECT n_nodes, n_edges, {outs} FROM cnt CROSS JOIN mom"
     )
+
+
+# --------------------------------------------------- k-core peel --
+
+
+def kcore(
+    df: DataFrame,
+    k: int,
+    rounds: int = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node
+    keeps degree >= k (Seidman 1983; the standard "dense kernel"
+    filter for link-spam nests and community seeds, one notch
+    stronger than a triangle screen). Computed by synchronous
+    peeling: each round drops every node whose degree IN THE
+    SURVIVING subgraph is < k; the fixpoint is the k-core.
+
+    ``rounds=None`` iterates to the fixpoint (one count() action per
+    round, the components-loop shape, localCheckpoint hygiene);
+    an integer runs EXACTLY that many peel rounds — the
+    oracle-parity mode matching the unrolled-CTE twin (the pagerank
+    K=5 convention), an upper bound on the core when the peel hasn't
+    converged. Peel depth is bounded by the degeneracy ordering
+    length, in practice a handful of rounds.
+
+    Output: (node, core_degree) for surviving nodes — core_degree is
+    the node's degree inside the surviving subgraph (>= k at the
+    fixpoint)."""
+    if not int(k) >= 2:
+        raise ValueError(f"k must be >= 2 (k-core with edges), got {k}")
+    if rounds is not None and not int(rounds) >= 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        df.selectExpr(
+            f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
+        )
+        .filter("u <> v AND u IS NOT NULL AND v IS NOT NULL")
+        .distinct()
+    )
+
+    def degrees(ed):
+        return (
+            ed.selectExpr("u AS node")
+            .unionAll(ed.selectExpr("v AS node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    def peel(ed):
+        d = degrees(ed)
+        keep = d.filter(F.col("c") >= int(k)).select("node")
+        return (
+            ed.join(keep.selectExpr("node AS u"), "u")
+            .join(keep.selectExpr("node AS v"), "v")
+            .select("u", "v")
+        )
+
+    if rounds is not None:
+        for _ in range(int(rounds)):
+            e = peel(e).localCheckpoint(eager=False)
+    else:
+        n = e.count()
+        while True:
+            e = peel(e).localCheckpoint(eager=False)
+            m = e.count()
+            if m == n:
+                break
+            n = m
+    return degrees(e).selectExpr("node", "c AS core_degree")
+
+
+def kcore_sql(
+    edges_sql: str,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """Oracle twin of :func:`kcore` with ``rounds`` peel rounds
+    UNROLLED as a CTE chain (recursive CTEs cannot aggregate in the
+    recursive term, so the loop unrolls — the pagerank convention).
+    Every CTE is MATERIALIZED: DuckDB otherwise re-inlines each
+    reference and the d/e chain expands 3^rounds scans of the base
+    table (found as an fd-exhaustion failure at rounds=6)."""
+    if not int(k) >= 2:
+        raise ValueError(f"k must be >= 2 (k-core with edges), got {k}")
+    if not 1 <= int(rounds) <= 12:
+        raise ValueError(
+            f"rounds must be in 1..12 (unrolled CTE chain), got {rounds}"
+        )
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least({src}, {dst}) AS u, "
+        f"greatest({src}, {dst}) AS v FROM ({edges_sql}) e "
+        f"WHERE {src} <> {dst} AND {src} IS NOT NULL "
+        f"AND {dst} IS NOT NULL)"
+    ]
+    for i in range(1, int(rounds) + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED "
+            f"(SELECT node, CAST(count(*) AS BIGINT) AS c "
+            f"FROM (SELECT u AS node FROM e{p} "
+            f"UNION ALL SELECT v FROM e{p}) n GROUP BY node)"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{p} "
+            f"JOIN d{i} du ON du.node = e{p}.u AND du.c >= {int(k)} "
+            f"JOIN d{i} dv ON dv.node = e{p}.v AND dv.c >= {int(k)})"
+        )
+    R = int(rounds)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node, CAST(count(*) AS BIGINT) AS core_degree "
+        f"FROM (SELECT u AS node FROM e{R} "
+        f"UNION ALL SELECT v FROM e{R}) n GROUP BY node"
+    )

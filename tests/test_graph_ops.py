@@ -137,3 +137,32 @@ def test_assortativity_brute(spark):
     cyc = spark.createDataFrame(
         [(i, (i + 1) % 5) for i in range(5)], "src bigint, dst bigint")
     assert G.assortativity(cyc).collect()[0].assortativity is None
+
+
+def test_kcore_brute_and_fixpoint(spark):
+    from itertools import combinations
+
+    from ocgis_spark.operators import graph as G
+
+    # K4 core + a 3-cycle tail chained to it + pendants: the 3-core
+    # is exactly the K4; peeling must cascade through the chain
+    edges = (list(combinations(range(4), 2))        # K4
+             + [(3, 10), (10, 11), (11, 12), (12, 10)]  # tail + triangle
+             + [(0, 20), (20, 21)])                     # pendant path
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out3 = {r.node: r.core_degree for r in G.kcore(df, 3).collect()}
+    assert out3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    out2 = {r.node: r.core_degree for r in G.kcore(df, 2).collect()}
+    # 2-core: K4 plus the triangle (the chain 3-10 peels: bridge
+    # edges leave both endpoints below 2 only outside cycles)
+    brute = dict(out2)
+    assert set(out2) == {0, 1, 2, 3, 10, 11, 12}
+    assert out2[10] >= 2 and out2[0] >= 2
+    # fixed-rounds mode at high R equals the fixpoint result
+    fixed = {r.node: r.core_degree
+             for r in G.kcore(df, 3, rounds=8).collect()}
+    assert fixed == out3
+    with pytest.raises(ValueError, match="k must be"):
+        G.kcore(df, 1)
+    with pytest.raises(ValueError, match="rounds"):
+        G.kcore(df, 2, rounds=0)
