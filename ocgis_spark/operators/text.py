@@ -1629,20 +1629,40 @@ def benford_digits(df: DataFrame, value: str = "value") -> DataFrame:
     9-row result — nothing after the aggregate exceeds 9 rows.
     Output: (digit, n_obs, share, expected, chi2_contrib),
     floats round(.,6)."""
-    import math as _m
+    return benford_finalize(benford_digit_counts(df, value))
 
+
+def benford_digit_sql(value: str) -> str:
+    """The shared first-digit expression (NULL for zero/NULL values)."""
     d = (
         f"CAST(floor(abs({value}) "
         f"/ power(10.0E0, floor(log10(abs({value}))))) AS BIGINT)"
     )
-    counts = (
-        df.selectExpr(
-            f"(CASE WHEN ({value}) IS NOT NULL AND ({value}) <> 0.0E0 "
-            f"THEN {d} END) AS d"
-        )
+    return (
+        f"(CASE WHEN ({value}) IS NOT NULL AND ({value}) <> 0.0E0 "
+        f"THEN {d} END)"
+    )
+
+
+def benford_digit_counts(
+    df: DataFrame, value: str = "value"
+) -> DataFrame:
+    """The (d, c) digit-count table — a sum-monotone aggregate, so it
+    is also the complete-mode state of the STREAMING screen (see
+    streaming.pipeline.streaming_benford); finalize with
+    :func:`benford_finalize`."""
+    return (
+        df.selectExpr(f"{benford_digit_sql(value)} AS d")
         .groupBy("d")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+
+
+def benford_finalize(counts: DataFrame) -> DataFrame:
+    """Close a (d, c) digit-count table into the fixed 9-row screen
+    (shared by the batch operator and the drained streaming state)."""
+    import math as _m
+
     digits = ", ".join(
         f"struct(CAST({k} AS BIGINT) AS digit, "
         f"{repr(_m.log10(1.0 + 1.0 / k))}E0 AS p)"

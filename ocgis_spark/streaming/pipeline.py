@@ -275,3 +275,20 @@ def streaming_cell_hotspots(
             "cell_x", "cell_y", "n",
         )
     )
+
+
+def streaming_benford(events_stream: DataFrame, value: str) -> DataFrame:
+    """Benford digit-count state maintained over a STREAM: the (d, c)
+    count aggregation is sum-monotone, so complete-mode state is
+    exactly the batch digit-count table (<= 10 rows regardless of
+    stream length — the cheapest possible drift monitor for a numeric
+    feed). Finalize the drained state with
+    `operators.text.benford_finalize`; equals the batch screen over
+    the same data — asserted stream==batch in pytest."""
+    from ocgis_spark.operators import text as TX
+
+    return (
+        events_stream.selectExpr(f"{TX.benford_digit_sql(value)} AS d")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )

@@ -483,3 +483,31 @@ def test_streaming_cell_hotspots_matches_batch(spark, tmp_path):
         .groupBy(F.window("ts", "2 days"), "cell_x", "cell_y").count()
     ).count()
     assert n_all > len(want)
+
+
+def test_streaming_benford_matches_batch(spark, tmp_path):
+    """stream == batch: the drained (d, c) state finalized with
+    benford_finalize equals the batch screen bit-for-bit."""
+    import pandas as pd
+
+    from ocgis_spark.operators import text as TX
+    from ocgis_spark.streaming import pipeline as P
+
+    src = str(tmp_path / "bf_src")
+    d1 = pd.DataFrame({"value": [1.2, 19.5, 0.034, 250.0, 0.0, 7.7]})
+    d2 = pd.DataFrame({"value": [13.0, 1.9e4, -2.5, 0.9, 31.0, 4.04]})
+    spark.createDataFrame(d1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(d2).coalesce(1).write.mode("append").parquet(src)
+
+    batch = spark.read.parquet(src)
+    expect = [tuple(r) for r in TX.benford_digits(batch, "value").collect()]
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = P.streaming_benford(stream, "value")
+    P.run_available_now(out, "bf_stream", str(tmp_path / "ck_bf"))
+    got = [tuple(r) for r in TX.benford_finalize(
+        spark.table("bf_stream")).collect()]
+    assert got == expect
