@@ -1697,6 +1697,34 @@ def _morans_i_field_sql() -> str:
     )
 
 
+_SMKV_KW = dict(cell_deg=5.0, lat0=-65.0, lat1=65.0,
+                split_us=1_705_363_200_000_000)
+
+
+def q_spatial_markov(spark, sf_dir):
+    """Spatial Markov transition matrix (operators/gridstats.py
+    spatial_markov; Rey 2001 / giddy): tercile-class transitions of
+    the per-cell mean value across the mid-January split, CONDITIONED
+    on the before-period spatial-lag class — does the neighborhood
+    pull a cell's class? Exact rank classes over exact integer cell
+    means; every stage after the corpus hash agg is
+    lattice-bounded."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return GS.spatial_markov(ev, **_SMKV_KW)
+
+
+def _spatial_markov_sql() -> str:
+    return GS.spatial_markov_sql(
+        FX.events_geo_sql(extra_cols=("value",)), **_SMKV_KW
+    )
+
+
 def q_gpd_tail(spark, sf_dir):
     """Peaks-over-threshold GPD tail per cell (operators/gridstats.py
     gpd_tail_cells): Hosking-Wallis closed-form method-of-moments fit
@@ -6058,6 +6086,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_stats": _triangle_stats_sql(),
         "host_assortativity": _assortativity_sql(),
         "host_kcore": _kcore_sql(),
+        "spatial_markov": _spatial_markov_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6369,6 +6398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "host_assortativity": q_assortativity,
         "host_kcore": q_kcore,
+        "spatial_markov": q_spatial_markov,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

@@ -5918,3 +5918,169 @@ def rank_sum_shift_cells(
         "cx AS cell_x", "cy AS cell_y", "n_before", "n_after",
         *_mw_out_sql(z_crit),
     )
+
+
+# ---------------------------------------- spatial Markov (Rey 2001) --
+
+
+def _smkv_params(split_us: int, k_classes: int) -> int:
+    if split_us != int(split_us):
+        raise ValueError(f"split_us must be integral micros, got {split_us}")
+    k = int(k_classes)
+    if not 2 <= k <= 5:
+        raise ValueError(
+            f"k_classes must be in 2..5 (conditioned transition cells "
+            f"need occupancy), got {k_classes}"
+        )
+    return k
+
+
+def _smkv_ctes(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    split_us: int,
+    k: int,
+    value: str,
+    ts_us: str,
+    lon: str,
+    lat: str,
+) -> str:
+    """The shared CTE chain up to the per-cell (lag_class, c_from,
+    c_to) triples — one source of truth for both dialects (the Spark
+    side wraps it via spark.sql-compatible strings)."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    s = _FLD_SCALE
+    q = (
+        f"CAST(floor((2.0E0 * CAST(vs AS DOUBLE) + CAST(nv AS DOUBLE))"
+        f" / (2.0E0 * CAST(nv AS DOUBLE))) AS BIGINT)"
+    )
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    # tercile-style class from the exact rank: floor(k*(r-1)/n)
+    def cls(r, n):
+        return (
+            f"CAST(floor(CAST({k} * ({r} - 1) AS DOUBLE) "
+            f"/ CAST({n} AS DOUBLE)) AS BIGINT)"
+        )
+
+    return (
+        f"pts AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(round(({value}) * {s}.0E0, 0) AS BIGINT) AS qv, "
+        f"(CASE WHEN ({ts_us}) < {int(split_us)} THEN 0 ELSE 1 END) "
+        f"AS per FROM ({src_sql}) src "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} "
+        f"AND ({value}) IS NOT NULL), "
+        f"cells AS (SELECT cx, cy, per, "
+        f"CAST(sum(qv) AS BIGINT) AS vs, "
+        f"CAST(count(*) AS BIGINT) AS nv FROM pts GROUP BY 1, 2, 3), "
+        f"cv AS (SELECT cx, cy, per, {q} AS x FROM cells), "
+        f"rk AS (SELECT cx, cy, per, "
+        f"CAST(row_number() OVER (PARTITION BY per "
+        f"ORDER BY x, cx, cy) AS BIGINT) AS r, "
+        f"CAST(count(*) OVER (PARTITION BY per) AS BIGINT) AS np "
+        f"FROM cv), "
+        f"cl AS (SELECT cx, cy, per, {cls('r', 'np')} AS c FROM rk), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.x FROM cv c CROSS JOIN offs o "
+        f"WHERE c.per = 0 AND (c.cy + o.dy) >= {cy0} "
+        f"AND (c.cy + o.dy) < {cy1}), "
+        f"lagv AS (SELECT t.cx, t.cy, "
+        f"(CAST(sum(s.x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS lx "
+        f"FROM scat s JOIN (SELECT cx, cy FROM cv WHERE per = 0) t "
+        f"ON s.tx = t.cx AND s.ty = t.cy GROUP BY 1, 2), "
+        f"lrk AS (SELECT cx, cy, "
+        f"CAST(row_number() OVER (ORDER BY lx, cx, cy) AS BIGINT) AS r, "
+        f"CAST(count(*) OVER () AS BIGINT) AS np FROM lagv), "
+        f"lcl AS (SELECT cx, cy, {cls('r', 'np')} AS lc FROM lrk), "
+        f"tr AS (SELECT f.cx, f.cy, l.lc AS lag_class, "
+        f"f.c AS c_from, t.c AS c_to "
+        f"FROM (SELECT * FROM cl WHERE per = 0) f "
+        f"JOIN (SELECT * FROM cl WHERE per = 1) t "
+        f"ON f.cx = t.cx AND f.cy = t.cy "
+        f"JOIN lcl l ON f.cx = l.cx AND f.cy = l.cy)"
+    )
+
+
+_SMKV_OUT = (
+    "SELECT lag_class, c_from, c_to, "
+    "CAST(count(*) AS BIGINT) AS n_cells, "
+    "round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER "
+    "(PARTITION BY lag_class, c_from) AS DOUBLE), 6) AS row_share "
+    "FROM tr GROUP BY 1, 2, 3"
+)
+
+
+def spatial_markov_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    split_us: int,
+    k_classes: int = 3,
+    value: str = "value",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Spatial Markov transition matrix (Rey 2001; PySAL giddy's
+    ``Spatial_Markov``): do cells move between value classes
+    INDEPENDENTLY, or does the neighborhood pull them (a poor cell
+    surrounded by rich neighbors upgrades more often)? Per cell
+    present in BOTH periods of the split: the before-period class,
+    the after-period class, and the class of the spatial LAG (mean of
+    the 8 present-neighbor before-means) — rolled up to the
+    lag-conditioned transition matrix (<= k^3 rows).
+
+    Exactness: cell values are exact half-up integer means of the
+    1e-2-quantized points (focal_value_mean posture); classes come
+    from EXACT ranks (row_number over the BIGINT mean with (cx, cy)
+    tie-break — a total order) via floor(k·(r−1)/n); the lag mean is
+    the engine-identical double ratio of two exact integers (SNHT
+    argmax precedent) ranked the same way. Isolated cells (no present
+    before-neighbor) carry no lag class and drop, documented.
+
+    Output: (lag_class, c_from, c_to, n_cells, row_share);
+    row_share round(.,6) normalizes within (lag_class, c_from)."""
+    k = _smkv_params(split_us, k_classes)
+    ctes = _smkv_ctes(
+        src_sql, cell_deg, lat0, lat1, split_us, k, value, ts_us,
+        lon, lat,
+    )
+    return f"WITH {ctes} {_SMKV_OUT}"
+
+
+def spatial_markov(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    split_us: int,
+    k_classes: int = 3,
+    value: str = "value",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spatial Markov per-cell class transitions (see
+    :func:`spatial_markov_sql` — the SAME CTE chain runs as one
+    spark.sql plan over a temp view; every stage is lattice-bounded
+    after the first corpus hash aggregation: two period-partitioned
+    rank windows, one 8-offset scatter join, one lag rank window,
+    two cell-keyed joins, one <= k^3-row rollup)."""
+    k = _smkv_params(split_us, k_classes)
+    name = "_smkv_src"
+    df.createOrReplaceTempView(name)
+    ctes = _smkv_ctes(
+        f"SELECT * FROM {name}", cell_deg, lat0, lat1, split_us, k,
+        value, ts_us, lon, lat,
+    )
+    return df.sparkSession.sql(f"WITH {ctes} {_SMKV_OUT}")

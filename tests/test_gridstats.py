@@ -2465,3 +2465,73 @@ def test_rank_sum_shift_validation_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------ spatial Markov
+
+
+def _mk_valued_t(spark, rows):
+    """(cx, cy, ts_us, value) at cell centers (30-deg lattice)."""
+    data = [
+        (i, t, cx * CELL + 15.0, cy * CELL + 15.0, float(v))
+        for i, (cx, cy, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id bigint, ts_us bigint, lon double, lat double, "
+        "value double")
+
+
+def test_spatial_markov_brute(spark):
+    SPLIT = 1000
+    # a 3x3 block of cells with known before/after means
+    before = {(x, y): 10.0 * (x + 1) + y for x in range(3)
+              for y in range(-1, 2)}
+    after = dict(before)
+    after[(0, 0)] = 99.0   # a poor cell jumps to the top class
+    rows = []
+    for (x, y), v in before.items():
+        rows.append((x, y, 10, v))
+    for (x, y), v in after.items():
+        rows.append((x, y, SPLIT + 10, v))
+    out = [tuple(r) for r in GS.spatial_markov(
+        _mk_valued_t(spark, rows), CELL, LAT0, LAT1, split_us=SPLIT
+    ).collect()]
+
+    # brute replay: exact integer means (values are exact to 1e-2),
+    # rank classes floor(3*(r-1)/9), lag = mean of 8-neighbour means
+    def classes(vals):
+        ord_ = sorted(vals, key=lambda c: (round(vals[c] * 100),
+                                           c[0], c[1]))
+        n = len(ord_)
+        return {c: (3 * i) // n for i, c in enumerate(ord_)}
+
+    cf, ct = classes(before), classes(after)
+    lagv = {}
+    for c in before:
+        nb = [round(before[(c[0] + dx, c[1] + dy)] * 100)
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+              if (dx, dy) != (0, 0)
+              and (c[0] + dx, c[1] + dy) in before]
+        lagv[c] = sum(nb) / len(nb)
+    lorder = sorted(lagv, key=lambda c: (lagv[c], c[0], c[1]))
+    lc = {c: (3 * i) // len(lorder) for i, c in enumerate(lorder)}
+    from collections import Counter
+
+    tri = Counter((lc[c], cf[c], ct[c]) for c in before)
+    expect = []
+    for (l, a, b), n in tri.items():
+        tot = sum(v for (l2, a2, _), v in tri.items()
+                  if l2 == l and a2 == a)
+        expect.append((l, a, b, n, round(n / tot, 6)))
+    assert sorted(out) == sorted(expect)
+    # the upgraded cell: from class 0 to class 2
+    assert any(l == lc[(0, 0)] and a == 0 and b == 2 for l, a, b, _, _
+               in [(r[0], r[1], r[2], r[3], r[4]) for r in out])
+
+
+def test_spatial_markov_validation(spark):
+    df = _mk_valued_t(spark, [(0, 0, 10, 1.0)])
+    with pytest.raises(ValueError, match="k_classes"):
+        GS.spatial_markov(df, CELL, LAT0, LAT1, 100, k_classes=1)
+    with pytest.raises(ValueError, match="k_classes"):
+        GS.spatial_markov(df, CELL, LAT0, LAT1, 100, k_classes=6)
