@@ -2721,6 +2721,14 @@ def q_benford(spark, sf_dir):
     return textops.benford_digits(ev, "value")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + FK grade per document (operators/text.py
+    readability): the oldest quality features in the filtering book —
+    vowel-group syllable heuristic, sentence floor 1, one narrow
+    codegen map with 0 exchanges (plan-asserted)."""
+    return textops.readability(_read(spark, sf_dir, "documents"))
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf rank-frequency fit (operators/text.py zipf_fit): OLS of
     ln(count) on ln(rank) over the min_count>=5 vocabulary — the
@@ -6077,6 +6085,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_sum_shift": _rank_sum_shift_sql(),
         "variogram_fit": _variogram_fit_sql(),
         "zipf_fit": textops.zipf_fit_sql(),
+        "readability": textops.readability_sql(),
         "benford_screen": textops.benford_digits_sql("events", "value"),
         "label_agreement": _label_agreement_sql(),
         "source_overlap": _source_overlap_sql(),
@@ -6389,6 +6398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "word_entropy": q_word_entropy,
         "zipf_fit": q_zipf_fit,
+        "readability": q_readability,
         "benford_screen": q_benford,
         "label_agreement": q_label_agreement,
         "source_overlap": q_source_overlap,

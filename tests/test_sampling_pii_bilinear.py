@@ -1005,3 +1005,37 @@ def test_source_overlap_brute(spark):
     ).executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the sizes dim is broadcast
+
+
+# -------------------------------------------------------- readability
+
+
+def test_readability_brute(spark):
+    import re
+
+    docs = [
+        (0, "The cat sat. The dog ran!"),
+        (1, "Incomprehensibility notwithstanding, parallelization "
+            "methodologies proliferate?"),
+        (2, ""),  # no words, no sentences -> floors engage
+        (3, "word"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in textops.readability(df).collect()}
+    for i, t in docs:
+        w = len([x for x in t.split(" ") if x])
+        sents = max(len(re.findall(r"[.!?]", t)), 1)
+        syll = len(re.findall(r"[aeiouyAEIOUY]+", t))
+        r = out[i]
+        assert (r.n_words, r.n_sents, r.n_syll) == (w, sents, syll), i
+        wps = w / sents
+        spw = syll / max(w, 1)
+        assert r.flesch == pytest.approx(
+            round(206.835 - 1.015 * wps - 84.6 * spw, 6), abs=1e-9)
+        assert r.fk_grade == pytest.approx(
+            round(0.39 * wps + 11.8 * spw - 15.59, 6), abs=1e-9)
+    # simple text rates easier than the jargon doc
+    assert out[0].flesch > out[1].flesch
+    plan = textops.readability(df)._jdf.queryExecution(
+    ).executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
