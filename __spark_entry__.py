@@ -1725,6 +1725,31 @@ def _spatial_markov_sql() -> str:
     )
 
 
+def q_hotspot_gi_field(spark, sf_dir):
+    """Field Gi* hot/cold spots (operators/gridstats.py
+    hotspot_gi_field): where is the measured value locally high
+    relative to the global mean — the station-data companion to the
+    count-surface hotspot_gi; present-cell binary weights, exact
+    half-up integer cell means, one shared z expression (Ord-Getis
+    1995)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return GS.hotspot_gi_field(ev, "value", cell_deg=5.0,
+                               lat0=-65.0, lat1=65.0)
+
+
+def _hotspot_gi_field_sql() -> str:
+    return GS.hotspot_gi_field_sql(
+        FX.events_geo_sql(extra_cols=("value",)), "value",
+        cell_deg=5.0, lat0=-65.0, lat1=65.0,
+    )
+
+
 def q_gpd_tail(spark, sf_dir):
     """Peaks-over-threshold GPD tail per cell (operators/gridstats.py
     gpd_tail_cells): Hosking-Wallis closed-form method-of-moments fit
@@ -6096,6 +6121,7 @@ def oracle_sql() -> dict[str, str]:
         "host_assortativity": _assortativity_sql(),
         "host_kcore": _kcore_sql(),
         "spatial_markov": _spatial_markov_sql(),
+        "hotspot_gi_field": _hotspot_gi_field_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6409,6 +6435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_assortativity": q_assortativity,
         "host_kcore": q_kcore,
         "spatial_markov": q_spatial_markov,
+        "hotspot_gi_field": q_hotspot_gi_field,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

@@ -6084,3 +6084,112 @@ def spatial_markov(
         value, ts_us, lon, lat,
     )
     return df.sparkSession.sql(f"WITH {ctes} {_SMKV_OUT}")
+
+
+# ------------------------------------- field Getis-Ord Gi* (values) --
+
+
+def _gif_out_sql() -> tuple:
+    """Shared closing projection over (cx, cy, x, wi1 = present
+    neighbors + self, nsum1 = neighbor+self value sum, n, m1, m2):
+    Getis-Ord Gi* z (Ord-Getis 1995 eq. 6/7) — every input an exact
+    BIGINT, the z one engine-identical double expression. Cells where
+    the denominator degenerates (constant field, or the cell's
+    neighborhood covers ALL present cells so n·W = W²) -> NULL z,
+    'none'."""
+    nd = "CAST(n AS DOUBLE)"
+    xb = f"(CAST(m1 AS DOUBLE) / {nd})"
+    s2 = f"(CAST(m2 AS DOUBLE) / {nd} - {xb} * {xb})"
+    w = "CAST(wi1 AS DOUBLE)"
+    num = f"(CAST(nsum1 AS DOUBLE) - {w} * {xb})"
+    den = (
+        f"sqrt({s2}) * sqrt(nullif(({nd} * {w} - {w} * {w}), 0.0E0) "
+        f"/ ({nd} - 1.0E0))"
+    )
+    z = f"({num} / nullif({den}, 0.0E0))"
+    return (
+        f"round({z}, 6) AS gi_z",
+        f"(CASE WHEN {z} >= 1.96E0 THEN 'hot' "
+        f"WHEN {z} <= -1.96E0 THEN 'cold' ELSE 'none' END) AS spot",
+    )
+
+
+def hotspot_gi_field_sql(
+    src_sql: str,
+    value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Getis-Ord Gi* hot/cold spots of a measured FIELD (cell-mean
+    value) over PRESENT cells — the station-data form beside the
+    count-surface ``hotspot_gi`` (Ord-Getis 1995; where is the field
+    locally high relative to the global mean, self included). Weights
+    are binary 3x3-incl-self RESTRICTED to present cells, so W_i is
+    data-dependent and exact; cell values are the exact half-up
+    integer means at 1e-2 (focal_value_mean posture), so m1/m2 and
+    every neighborhood sum are exact BIGINTs and z is one shared
+    double expression. n < 2 or a constant field -> NULL z.
+
+    Output: one row per present cell (cell_x, cell_y, cell_value,
+    n_neighbors, gi_z, spot); cell_value descaled round(.,6)."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    s = _FLD_SCALE
+    q = (
+        f"CAST(floor((2.0E0 * CAST(vs AS DOUBLE) + CAST(nv AS DOUBLE))"
+        f" / (2.0E0 * CAST(nv AS DOUBLE))) AS BIGINT)"
+    )
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    outs = ", ".join(_gif_out_sql())
+    return (
+        f"WITH pts AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(round(({value}) * {s}.0E0, 0) AS BIGINT) AS qv "
+        f"FROM ({src_sql}) src "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} "
+        f"AND ({value}) IS NOT NULL), "
+        f"cells AS (SELECT cx, cy, CAST(sum(qv) AS BIGINT) AS vs, "
+        f"CAST(count(*) AS BIGINT) AS nv FROM pts GROUP BY 1, 2), "
+        f"cv AS (SELECT cx, cy, {q} AS x FROM cells), "
+        f"mm AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(x) AS BIGINT) AS m1, "
+        f"CAST(sum(x * x) AS BIGINT) AS m2 FROM cv), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.x FROM cv c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
+        f"nbr AS (SELECT t.cx, t.cy, t.x, "
+        f"CAST(count(*) AS BIGINT) AS wi1, "
+        f"CAST(sum(s.x) AS BIGINT) AS nsum1 "
+        f"FROM scat s JOIN cv t ON s.tx = t.cx AND s.ty = t.cy "
+        f"GROUP BY 1, 2, 3) "
+        f"SELECT cx AS cell_x, cy AS cell_y, "
+        f"round(CAST(x AS DOUBLE) / {s}.0E0, 6) AS cell_value, "
+        f"CAST(wi1 - 1 AS BIGINT) AS n_neighbors, {outs} "
+        f"FROM nbr CROSS JOIN mm"
+    )
+
+
+def hotspot_gi_field(
+    df: DataFrame,
+    value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Field Gi* (see :func:`hotspot_gi_field_sql` — the same CTE
+    chain runs as one spark.sql plan: 1 corpus hash agg, then
+    lattice-bounded scatter + join + a broadcast 1-row moment dim)."""
+    name = "_gif_src"
+    df.createOrReplaceTempView(name)
+    return df.sparkSession.sql(hotspot_gi_field_sql(
+        f"SELECT * FROM {name}", value, cell_deg, lat0, lat1, lon, lat
+    ))

@@ -2535,3 +2535,53 @@ def test_spatial_markov_validation(spark):
         GS.spatial_markov(df, CELL, LAT0, LAT1, 100, k_classes=1)
     with pytest.raises(ValueError, match="k_classes"):
         GS.spatial_markov(df, CELL, LAT0, LAT1, 100, k_classes=6)
+
+
+# ------------------------------------------------------- field Gi*
+
+
+def test_hotspot_gi_field_brute(spark):
+    # present cells incl. a seam-adjacent pair (cx 11 and 0); two
+    # points in one cell exercise the half-up mean
+    rows = [(0, 0, 9.0), (1, 0, 8.5), (11, 0, 9.2), (5, 1, 1.0),
+            (5, -1, 1.2), (6, 1, 1.1), (0, 1, 8.8)]
+    pts = [(i, cx * CELL + 15.0, cy * CELL + 15.0, v)
+           for i, (cx, cy, v) in enumerate(rows)]
+    pts.append((99, 0 * CELL + 16.0, 0 * CELL + 16.0, 9.05))
+    df = spark.createDataFrame(
+        pts, "event_id bigint, lon double, lat double, value double")
+    out = {(r.cell_x, r.cell_y): r for r in GS.hotspot_gi_field(
+        df, "value", CELL, LAT0, LAT1).collect()}
+
+    # brute: exact half-up means of quantized values per cell
+    from collections import defaultdict
+
+    acc = defaultdict(list)
+    for _, lo, la, v in pts:
+        acc[(int(lo // CELL) % NX, int(la // CELL))].append(
+            round(v * 100))
+    x = {c: (2 * sum(vs) + len(vs)) // (2 * len(vs))
+         for c, vs in acc.items()}
+    n = len(x)
+    m1 = sum(x.values())
+    m2 = sum(v * v for v in x.values())
+    xb, s2 = m1 / n, m2 / n - (m1 / n) ** 2
+    import math
+
+    for c, v in x.items():
+        nb = [x[((c[0] + dx) % NX, c[1] + dy)]
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+              if ((c[0] + dx) % NX, c[1] + dy) in x]
+        W = len(nb)
+        num = sum(nb) - W * xb
+        den = math.sqrt(s2) * math.sqrt((n * W - W * W) / (n - 1))
+        r = out[c]
+        assert r.n_neighbors == W - 1, c
+        assert r.cell_value == pytest.approx(round(x[c] / 100, 6))
+        assert r.gi_z == pytest.approx(round(num / den, 6), abs=1e-9), c
+        lab = "hot" if num / den >= 1.96 else (
+            "cold" if num / den <= -1.96 else "none")
+        assert r.spot == lab, c
+    # the high cluster is hot, the low cluster cold
+    assert out[(0, 0)].spot == "hot"
+    assert out[(5, 1)].gi_z < 0
