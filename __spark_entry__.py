@@ -1750,6 +1750,31 @@ def _hotspot_gi_field_sql() -> str:
     )
 
 
+def q_lisa_bivariate(spark, sf_dir):
+    """Bivariate local Moran / cross-LISA (operators/gridstats.py
+    lisa_bivariate): does event DENSITY concentrate where the
+    surrounding VALUE field is high? HH/LL/HL/LH cross-cluster map
+    over present cells — the two variables every event+value table
+    already carries; exact integer moments, one shared IB
+    expression."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("value",),
+    ))
+    return GS.lisa_bivariate(ev, "value", cell_deg=5.0,
+                             lat0=-65.0, lat1=65.0)
+
+
+def _lisa_bivariate_sql() -> str:
+    return GS.lisa_bivariate_sql(
+        FX.events_geo_sql(extra_cols=("value",)), "value",
+        cell_deg=5.0, lat0=-65.0, lat1=65.0,
+    )
+
+
 def q_gpd_tail(spark, sf_dir):
     """Peaks-over-threshold GPD tail per cell (operators/gridstats.py
     gpd_tail_cells): Hosking-Wallis closed-form method-of-moments fit
@@ -6122,6 +6147,7 @@ def oracle_sql() -> dict[str, str]:
         "host_kcore": _kcore_sql(),
         "spatial_markov": _spatial_markov_sql(),
         "hotspot_gi_field": _hotspot_gi_field_sql(),
+        "lisa_bivariate": _lisa_bivariate_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6436,6 +6462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_kcore": q_kcore,
         "spatial_markov": q_spatial_markov,
         "hotspot_gi_field": q_hotspot_gi_field,
+        "lisa_bivariate": q_lisa_bivariate,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

@@ -6193,3 +6193,118 @@ def hotspot_gi_field(
     return df.sparkSession.sql(hotspot_gi_field_sql(
         f"SELECT * FROM {name}", value, cell_deg, lat0, lat1, lon, lat
     ))
+
+
+# -------------------------------- bivariate local Moran (cross-LISA) --
+
+
+def lisa_bivariate_sql(
+    src_sql: str,
+    value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Bivariate local Moran (Anselin's cross-LISA; GeoDa 'Bivariate
+    Local Moran') between the cell's event DENSITY (x = count) and the
+    NEIGHBORHOOD's mean measured value (lag of y) over present cells —
+    does activity concentrate where the surrounding field is high
+    (HH), or in low-value pockets (HL)? The two variables every
+    event+value table carries, so the cross-LISA needs no second
+    dataset. Same binary-weight normalization as the house univariate
+    :func:`local_morans_i`, crossed:
+
+        IB_i = n · (x_i−mx) · Σ_j w_ij (y_j−my)
+                 / sqrt(Σ(x−mx)² · Σ(y−my)²)
+
+    over the present-cell graph (morans_i_field convention: weights
+    restrict to present cells, W data-dependent). x is the exact
+    BIGINT cell count, y the exact half-up integer cell mean at 1e-2
+    (focal_value_mean posture); the neighbor term expands exactly
+    (nsum_y − w_i·my) so IB_i is ONE shared double expression over
+    exact integers. Quadrant = sign(x dev) × sign(y lag dev)
+    (HH/LL/HL/LH — the cross-cluster map). Constant x or y surface ->
+    NULL IB (den 0); isolated present cells keep w_i = 0 (pure-x
+    deviation row, lag 0 — LH/HL by the x sign alone, documented).
+
+    Output: one row per present cell: (cell_x, cell_y, cnt,
+    n_neighbors, ib_i, quadrant); ib_i round(.,6)."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    s = _FLD_SCALE
+    q = (
+        f"CAST(floor((2.0E0 * CAST(vs AS DOUBLE) + CAST(nv AS DOUBLE))"
+        f" / (2.0E0 * CAST(nv AS DOUBLE))) AS BIGINT)"
+    )
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    n = "CAST(n AS DOUBLE)"
+    mx = f"(CAST(sx AS DOUBLE) / {n})"
+    my = f"(CAST(sy AS DOUBLE) / {n})"
+    devx = f"(CAST(cnt AS DOUBLE) - {mx})"
+    lagy = f"(CAST(nsum_y AS DOUBLE) - CAST(wi AS DOUBLE) * {my})"
+    denx = f"(CAST(sxx AS DOUBLE) - {n} * {mx} * {mx})"
+    deny = f"(CAST(syy AS DOUBLE) - {n} * {my} * {my})"
+    ib = (
+        f"({n} * {devx} * {lagy} "
+        f"/ nullif(sqrt({denx} * {deny}), 0.0E0))"
+    )
+    return (
+        f"WITH pts AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(round(({value}) * {s}.0E0, 0) AS BIGINT) AS qv "
+        f"FROM ({src_sql}) src "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} "
+        f"AND ({value}) IS NOT NULL), "
+        f"cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS cnt, "
+        f"CAST(sum(qv) AS BIGINT) AS vs, "
+        f"CAST(count(*) AS BIGINT) AS nv FROM pts GROUP BY 1, 2), "
+        f"cv AS (SELECT cx, cy, cnt, {q} AS y FROM cells), "
+        f"mm AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(cnt) AS BIGINT) AS sx, "
+        f"CAST(sum(cnt * cnt) AS BIGINT) AS sxx, "
+        f"CAST(sum(y) AS BIGINT) AS sy, "
+        f"CAST(sum(y * y) AS BIGINT) AS syy FROM cv), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((c.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(c.cy + o.dy) AS ty, c.y FROM cv c CROSS JOIN offs o "
+        f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1}), "
+        f"nbr AS (SELECT t.cx, t.cy, t.cnt, "
+        f"CAST(coalesce(count(s.y), 0) AS BIGINT) AS wi, "
+        f"CAST(coalesce(sum(s.y), 0) AS BIGINT) AS nsum_y "
+        f"FROM cv t LEFT JOIN scat s "
+        f"ON s.tx = t.cx AND s.ty = t.cy GROUP BY 1, 2, 3) "
+        f"SELECT cx AS cell_x, cy AS cell_y, cnt, "
+        f"CAST(wi AS BIGINT) AS n_neighbors, "
+        f"round({ib}, 6) AS ib_i, "
+        f"(CASE WHEN {devx} >= 0.0E0 AND {lagy} >= 0.0E0 THEN 'HH' "
+        f"WHEN {devx} < 0.0E0 AND {lagy} < 0.0E0 THEN 'LL' "
+        f"WHEN {devx} >= 0.0E0 THEN 'HL' ELSE 'LH' END) AS quadrant "
+        f"FROM nbr CROSS JOIN mm"
+    )
+
+
+def lisa_bivariate(
+    df: DataFrame,
+    value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Bivariate local Moran (see :func:`lisa_bivariate_sql` — the
+    same CTE chain as one spark.sql plan: 1 corpus hash agg, then
+    lattice-bounded scatter + LEFT join back + broadcast 1-row
+    moments)."""
+    name = "_lisab_src"
+    df.createOrReplaceTempView(name)
+    return df.sparkSession.sql(lisa_bivariate_sql(
+        f"SELECT * FROM {name}", value, cell_deg, lat0, lat1, lon, lat
+    ))

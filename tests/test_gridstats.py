@@ -2585,3 +2585,54 @@ def test_hotspot_gi_field_brute(spark):
     # the high cluster is hot, the low cluster cold
     assert out[(0, 0)].spot == "hot"
     assert out[(5, 1)].gi_z < 0
+
+
+# ----------------------------------------------- bivariate local Moran
+
+
+def test_lisa_bivariate_brute(spark):
+    # busy cells (many events) surrounded by high-value neighbors at
+    # (0..1, 0); a quiet low-value pocket at (6..7, 1); an isolate
+    layout = {
+        (0, 0): (6, 9.0), (1, 0): (5, 8.8), (0, 1): (2, 9.2),
+        (6, 1): (1, 1.0), (7, 1): (1, 1.2), (6, 0): (2, 1.1),
+        (10, -2): (3, 5.0),   # isolated cell
+    }
+    pts = []
+    eid = 0
+    for (cx_, cy_), (cnt, v) in layout.items():
+        for _ in range(cnt):
+            pts.append((eid, cx_ * CELL + 15.0, cy_ * CELL + 15.0, v))
+            eid += 1
+    df = spark.createDataFrame(
+        pts, "event_id bigint, lon double, lat double, value double")
+    out = {(r.cell_x, r.cell_y): r for r in GS.lisa_bivariate(
+        df, "value", CELL, LAT0, LAT1).collect()}
+    assert set(out) == set(layout)
+
+    x = {c: cnt for c, (cnt, _) in layout.items()}
+    y = {c: round(v * 100) for c, (_, v) in layout.items()}
+    n = len(layout)
+    mx, my = sum(x.values()) / n, sum(y.values()) / n
+    denx = sum(v * v for v in x.values()) - n * mx * mx
+    deny = sum(v * v for v in y.values()) - n * my * my
+    import math
+
+    for c in layout:
+        nb = [y[((c[0] + dx) % NX, c[1] + dy)]
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+              if (dx, dy) != (0, 0)
+              and ((c[0] + dx) % NX, c[1] + dy) in layout]
+        lag = sum(nb) - len(nb) * my
+        dev = x[c] - mx
+        ib = n * dev * lag / math.sqrt(denx * deny)
+        r = out[c]
+        assert r.n_neighbors == len(nb), c
+        assert r.ib_i == pytest.approx(round(ib, 6), abs=1e-9), c
+        quad = ("HH" if dev >= 0 and lag >= 0 else
+                "LL" if dev < 0 and lag < 0 else
+                "HL" if dev >= 0 else "LH")
+        assert r.quadrant == quad, c
+    assert out[(0, 0)].quadrant == "HH"     # busy in a rich hood
+    assert out[(6, 1)].quadrant == "LL"     # quiet in a poor hood
+    assert out[(10, -2)].n_neighbors == 0   # isolate: lag 0
