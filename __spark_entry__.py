@@ -1775,6 +1775,31 @@ def _lisa_bivariate_sql() -> str:
     )
 
 
+def q_eb_moran(spark, sf_dir):
+    """Assunção-Reis EB-standardized Moran's I (operators/gridstats.py
+    eb_moran): spatial autocorrelation of the per-cell 'error' RATE
+    with each cell's deviation standardized by its own sampling
+    variance (the rate-map fix: raw-rate Moran mistakes small-base
+    noise for structure); full house Cliff-Ord inference tree over the
+    standardized surface."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    ev = spark.sql(FX.events_geo_sql(
+        ts_us="unix_micros(CAST(ts AS TIMESTAMP))",
+        extra_cols=("event_type",),
+    ))
+    return GS.eb_moran(ev, "event_type", "'error'", cell_deg=5.0,
+                       lat0=-65.0, lat1=65.0)
+
+
+def _eb_moran_sql() -> str:
+    return GS.eb_moran_sql(
+        FX.events_geo_sql(extra_cols=("event_type",)), "event_type",
+        "'error'", cell_deg=5.0, lat0=-65.0, lat1=65.0,
+    )
+
+
 def q_gpd_tail(spark, sf_dir):
     """Peaks-over-threshold GPD tail per cell (operators/gridstats.py
     gpd_tail_cells): Hosking-Wallis closed-form method-of-moments fit
@@ -6148,6 +6173,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_markov": _spatial_markov_sql(),
         "hotspot_gi_field": _hotspot_gi_field_sql(),
         "lisa_bivariate": _lisa_bivariate_sql(),
+        "eb_moran": _eb_moran_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6463,6 +6489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_markov": q_spatial_markov,
         "hotspot_gi_field": q_hotspot_gi_field,
         "lisa_bivariate": q_lisa_bivariate,
+        "eb_moran": q_eb_moran,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

@@ -6308,3 +6308,111 @@ def lisa_bivariate(
     return df.sparkSession.sql(lisa_bivariate_sql(
         f"SELECT * FROM {name}", value, cell_deg, lat0, lat1, lon, lat
     ))
+
+
+# --------------------------- EB-standardized Moran (Assunção-Reis) --
+
+
+def eb_moran_sql(
+    src_sql: str,
+    cat: str,
+    case_value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Assunção-Reis (1999) Empirical-Bayes-standardized Moran's I of
+    a per-cell case RATE — GeoDa's "Moran's I with EB rates", the
+    standard fix for the rate-map trap: raw-rate Moran mistakes
+    small-denominator noise for spatial structure, so each cell's
+    rate deviation is standardized by its OWN sampling variance
+    v_i = â + b̂/t_i (method-of-moments prior: b̂ = X/T overall rate,
+    s² the :func:`eb_rates` moment sum, â = s² − b̂·K/T truncated at
+    0) and Moran's I runs on z_i = (r_i − b̂)/√v_i over the
+    present-cell graph with the FULL house inference tree
+    (:func:`_fld_out_exprs` — same Cliff-Ord randomization algebra as
+    :func:`morans_i_field`, shared verbatim).
+
+    Exactness posture: per-cell (x_i, t_i) and every weight count are
+    exact BIGINTs; the z transform and its moment sums are
+    lattice-bounded double sums (the eb_rates vsum / word_entropy
+    round-6 posture). Cells with v_i <= 0 (a case-free corpus) carry
+    no z and drop. Output: ONE row (n_cells, w_sum, morans_i, e_i,
+    var_i, z, pattern)."""
+    nx, _, _ = _grid_params(cell_deg)
+    _check_window_nx(nx, 1)
+    cy0, cy1 = _lat_band(cell_deg, lat0, lat1)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    case = f"(CASE WHEN ({cat}) = {case_value} THEN 1 ELSE 0 END)"
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    tt = "CAST(t AS DOUBLE)"
+    b = f"(CAST(x AS DOUBLE) / {tt})"
+    a_ = (
+        f"greatest(0.0E0, (s2m / {tt} - {b} * CAST(k AS DOUBLE) "
+        f"/ {tt}))"
+    )
+    vi = f"({a_} + {b} / CAST(t_i AS DOUBLE))"
+    r = "(CAST(x_i AS DOUBLE) / CAST(t_i AS DOUBLE))"
+    outs = ", ".join(_fld_out_exprs())
+    return (
+        f"WITH c AS (SELECT {cx} AS cx, {cy} AS cy, "
+        f"CAST(sum({case}) AS BIGINT) AS x_i, "
+        f"CAST(count(*) AS BIGINT) AS t_i "
+        f"FROM ({src_sql}) s "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} GROUP BY 1, 2), "
+        f"tot AS (SELECT CAST(sum(x_i) AS BIGINT) AS x, "
+        f"CAST(sum(t_i) AS BIGINT) AS t, "
+        f"CAST(count(*) AS BIGINT) AS k FROM c), "
+        f"vs AS (SELECT sum(CAST((c.x_i * tot.t - c.t_i * tot.x) "
+        f"AS DOUBLE) * CAST((c.x_i * tot.t - c.t_i * tot.x) "
+        f"AS DOUBLE) / (CAST(c.t_i AS DOUBLE) "
+        f"* CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE))) AS s2m "
+        f"FROM c CROSS JOIN tot), "
+        f"zt AS (SELECT cx, cy, ({r} - {b}) / sqrt({vi}) AS z "
+        f"FROM c CROSS JOIN tot CROSS JOIN vs WHERE {vi} > 0.0E0), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat AS (SELECT ((zt.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(zt.cy + o.dy) AS ty, zt.z FROM zt CROSS JOIN offs o "
+        f"WHERE (zt.cy + o.dy) >= {cy0} AND (zt.cy + o.dy) < {cy1}), "
+        f"pair AS (SELECT t.cx, t.cy, t.z, "
+        f"CAST(count(*) AS BIGINT) AS wi, sum(s.z) AS nsum "
+        f"FROM scat s JOIN zt t ON s.tx = t.cx AND s.ty = t.cy "
+        f"GROUP BY 1, 2, 3), "
+        f"mm AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(coalesce(sum(p.wi), 0) AS BIGINT) AS w, "
+        f"CAST(coalesce(sum(4 * p.wi * p.wi), 0) AS BIGINT) AS s2, "
+        f"sum(z.z) AS m1, sum(z.z * z.z) AS m2, "
+        f"sum(z.z * z.z * z.z) AS m3, "
+        f"sum(z.z * z.z * z.z * z.z) AS m4, "
+        f"coalesce(sum(p.wi * p.z), 0.0E0) AS rsum, "
+        f"coalesce(sum(p.z * p.nsum), 0.0E0) AS psum "
+        f"FROM zt z LEFT JOIN pair p ON z.cx = p.cx AND z.cy = p.cy) "
+        f"SELECT {outs} FROM mm"
+    )
+
+
+def eb_moran(
+    df: DataFrame,
+    cat: str,
+    case_value: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """EB-standardized Moran (see :func:`eb_moran_sql` — the same CTE
+    chain as one spark.sql plan: one corpus hash agg, then
+    lattice-bounded transforms, scatter, and a 1-row inference)."""
+    name = "_ebm_src"
+    df.createOrReplaceTempView(name)
+    return df.sparkSession.sql(eb_moran_sql(
+        f"SELECT * FROM {name}", cat, case_value, cell_deg,
+        lat0, lat1, lon, lat,
+    ))

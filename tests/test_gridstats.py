@@ -2636,3 +2636,71 @@ def test_lisa_bivariate_brute(spark):
     assert out[(0, 0)].quadrant == "HH"     # busy in a rich hood
     assert out[(6, 1)].quadrant == "LL"     # quiet in a poor hood
     assert out[(10, -2)].n_neighbors == 0   # isolate: lag 0
+
+
+# ------------------------------------------- EB-standardized Moran
+
+
+def test_eb_moran_brute(spark):
+    # clustered high-rate cells (0..1, 0) vs low-rate elsewhere; one
+    # tiny-base noisy cell that raw-rate Moran would overweight
+    layout = {
+        (0, 0): (8, 10), (1, 0): (7, 10), (0, 1): (6, 9),
+        (5, 0): (0, 10), (6, 0): (1, 12), (5, 1): (0, 8),
+        (9, -1): (1, 2),   # 50% rate from base 2 -> strongly shrunk z
+    }
+    pts, eid = [], 0
+    for (cx_, cy_), (cases, base) in layout.items():
+        for j in range(base):
+            pts.append((eid, "error" if j < cases else "view",
+                        cx_ * CELL + 15.0, cy_ * CELL + 15.0))
+            eid += 1
+    df = spark.createDataFrame(
+        pts, "event_id bigint, event_type string, lon double, "
+        "lat double")
+    r = GS.eb_moran(df, "event_type", "'error'", CELL, LAT0, LAT1
+                    ).collect()[0]
+
+    import math
+
+    X = sum(c for c, _ in layout.values())
+    T = sum(b for _, b in layout.values())
+    K = len(layout)
+    b = X / T
+    s2m = sum(t * (x / t - b) ** 2 for x, t in layout.values()) / T
+    a = max(0.0, s2m - b * K / T)
+    z = {c: (x / t - b) / math.sqrt(a + b / t)
+         for c, (x, t) in layout.items()}
+    n = len(z)
+    nbrs = {c: [z[((c[0] + dx) % NX, c[1] + dy)]
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+                and ((c[0] + dx) % NX, c[1] + dy) in z]
+            for c in z}
+    W = sum(len(v) for v in nbrs.values())
+    m = sum(z.values()) / n
+    m2c = sum(v * v for v in z.values()) - n * m * m
+    num = sum((z[c] - m) * sum(nbrs[c]) for c in z) \
+        - m * sum(len(nbrs[c]) for c in z) * 0  # expand below
+    num = (sum(z[c] * sum(nbrs[c]) for c in z)
+           - 2 * m * sum(len(nbrs[c]) * z[c] for c in z)
+           + m * m * W)
+    I = (n / W) * num / m2c
+    assert r.n_cells == n and r.w_sum == W
+    assert r.morans_i == pytest.approx(round(I, 6), abs=1e-9)
+    assert r.morans_i > 0  # clustered rate surface
+    assert r.e_i == pytest.approx(round(-1 / (n - 1), 6))
+    # moments/variance: reuse the house algebra
+    m4c = (sum(v ** 4 for v in z.values())
+           - 4 * m * sum(v ** 3 for v in z.values())
+           + 6 * m * m * sum(v * v for v in z.values())
+           - 3 * n * m ** 4)
+    b2 = n * m4c / (m2c * m2c)
+    S1 = 2 * W
+    S2 = sum((2 * len(nbrs[c])) ** 2 for c in z)
+    A = (n * n - 3 * n + 3) * S1 - n * S2 + 3 * W * W
+    B = (n * n - n) * S1 - 2 * n * S2 + 6 * W * W
+    den = (n - 1) * (n - 2) * (n - 3) * W * W
+    e = -1 / (n - 1)
+    var = (n * A - b2 * B) / den - e * e
+    assert r.var_i == pytest.approx(round(var, 6), abs=1e-9)
