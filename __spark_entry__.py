@@ -1046,6 +1046,28 @@ def _seasonal_mk_sql() -> str:
     return GS.seasonal_mk_cells_sql(FX.events_geo_sql(), **_SMK_KW)
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition per cell
+    (operators/gridstats.py seasonal_decompose): trend = centered
+    5-bin moving average over the zero-filled 15-bin January cube,
+    seasonal = re-centered phase means of the detrended series,
+    residual the rest — the nonparametric companion to cosinor_fit
+    and the standard pre-step before anomaly detection."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.seasonal_decompose(
+        ev, cell_deg=5.0, t0_us=1_704_067_200_000_000,
+        bin_us=172_800_000_000, n_bins=15, period=5,
+    )
+
+
+def _seasonal_decompose_sql() -> str:
+    return GS.seasonal_decompose_sql(
+        FX.events_geo_sql(), cell_deg=5.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, period=5,
+    )
+
+
 def q_seasonal_chi2(spark, sf_dir):
     """Per-cell seasonality chi-square (operators/gridstats.py
     seasonal_chi2_cells): is the cell's activity uniform across the 3
@@ -6174,6 +6196,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi_field": _hotspot_gi_field_sql(),
         "lisa_bivariate": _lisa_bivariate_sql(),
         "eb_moran": _eb_moran_sql(),
+        "seasonal_decompose": _seasonal_decompose_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6490,6 +6513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi_field": q_hotspot_gi_field,
         "lisa_bivariate": q_lisa_bivariate,
         "eb_moran": q_eb_moran,
+        "seasonal_decompose": q_seasonal_decompose,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

@@ -6416,3 +6416,120 @@ def eb_moran(
         f"SELECT * FROM {name}", cat, case_value, cell_deg,
         lat0, lat1, lon, lat,
     ))
+
+
+# ------------------------------------- seasonal decomposition (MA) --
+
+
+def _sdec_params(n_bins: int, period: int) -> int:
+    P = int(period)
+    T = int(n_bins)
+    if P < 3 or P % 2 == 0:
+        raise ValueError(
+            f"period must be odd >= 3 (centered moving average of "
+            f"length P; even periods need half-weight ends), got "
+            f"{period}"
+        )
+    if T % P != 0 or T < 2 * P:
+        raise ValueError(
+            f"n_bins={T} must be >= 2 whole {P}-bin cycles (one cycle "
+            f"leaves no complete-window interior)"
+        )
+    return P
+
+
+def seasonal_decompose_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    period: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Classical additive seasonal decomposition of each cell's binned
+    count series (Macaulay 1931 ratio-to-moving-average lineage; the
+    moving-average core of STL without loess): trend = centered
+    P-bin moving average over the ZERO-FILLED cube, seasonal = the
+    phase means of the detrended series RE-CENTERED to sum to zero
+    over a cycle, residual = the rest. The nonparametric companion to
+    :func:`cosinor_cells` (cosinor FITS one harmonic; decomposition
+    makes no shape assumption) and the standard pre-step before
+    anomaly/change detection on seasonal series.
+
+    Exactness: counts are exact BIGINTs on the pettitt-style
+    zero-filled bounded cube; the MA is a P-term window sum of
+    integers divided once (engine-identical double); seasonal means
+    are double sums over <= T/P interior terms per phase
+    (word_entropy round-6 posture); windows and group-bys live in
+    separate CTE stages (the DuckDB no-nested-window rule). Trend is
+    NULL where the centered window is incomplete (first/last
+    (P-1)/2 bins), and seasonal/resid follow.
+
+    Output: one row per (active cell, bin): (cell_x, cell_y, b, x,
+    trend, seasonal, resid), floats round(.,6)."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    P = _sdec_params(n_bins, period)
+    T = int(n_bins)
+    h = (P - 1) // 2
+    nx, _, _ = _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    bvals = ", ".join(f"({b})" for b in range(T))
+    pd_ = f"CAST({P} AS DOUBLE)"
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, {binx} AS b "
+        f"FROM ({src_sql}) s), "
+        f"c AS (SELECT cx, cy, b, CAST(count(*) AS BIGINT) AS x "
+        f"FROM ev WHERE b >= 0 AND b < {T} GROUP BY 1, 2, 3), "
+        f"act AS (SELECT DISTINCT cx, cy FROM c), "
+        f"bins(b) AS (VALUES {bvals}), "
+        f"cube0 AS (SELECT act.cx, act.cy, CAST(bins.b AS BIGINT) AS b, "
+        f"CAST(coalesce(c.x, 0) AS BIGINT) AS x "
+        f"FROM act CROSS JOIN bins "
+        f"LEFT JOIN c ON c.cx = act.cx AND c.cy = act.cy "
+        f"AND c.b = CAST(bins.b AS BIGINT)), "
+        f"tr AS (SELECT cx, cy, b, x, "
+        f"(CASE WHEN b >= {h} AND b < {T - h} THEN "
+        f"CAST(sum(x) OVER (PARTITION BY cx, cy ORDER BY b "
+        f"ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING) AS DOUBLE) "
+        f"/ {pd_} END) AS trend FROM cube0), "
+        f"se AS (SELECT cx, cy, (b % {P}) AS ph, "
+        f"avg(CAST(x AS DOUBLE) - trend) AS sraw "
+        f"FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2, 3), "
+        f"sc AS (SELECT cx, cy, ph, "
+        f"sraw - avg(sraw) OVER (PARTITION BY cx, cy) AS seas "
+        f"FROM se) "
+        f"SELECT tr.cx AS cell_x, tr.cy AS cell_y, tr.b, tr.x, "
+        f"round(tr.trend, 6) AS trend, "
+        f"round(sc.seas, 6) AS seasonal, "
+        f"round(CAST(tr.x AS DOUBLE) - tr.trend - sc.seas, 6) AS resid "
+        f"FROM tr LEFT JOIN sc ON sc.cx = tr.cx AND sc.cy = tr.cy "
+        f"AND sc.ph = (tr.b % {P})"
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    period: int,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Seasonal decomposition (see :func:`seasonal_decompose_sql` —
+    the same CTE chain as one spark.sql plan: 1 corpus hash agg, then
+    the bounded zero-filled cube, one cell-keyed MA window, one
+    phase group-by, one lattice-bounded join back)."""
+    name = "_sdec_src"
+    df.createOrReplaceTempView(name)
+    return df.sparkSession.sql(seasonal_decompose_sql(
+        f"SELECT * FROM {name}", cell_deg, t0_us, bin_us, n_bins,
+        period, ts_us, lon, lat,
+    ))

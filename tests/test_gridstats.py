@@ -2704,3 +2704,60 @@ def test_eb_moran_brute(spark):
     e = -1 / (n - 1)
     var = (n * A - b2 * B) / den - e * e
     assert r.var_i == pytest.approx(round(var, 6), abs=1e-9)
+
+
+# -------------------------------------------- seasonal decomposition
+
+
+def test_seasonal_decompose_brute(spark):
+    T, P = 15, 5
+    h = (P - 1) // 2
+    base = [3, 9, 15, 9, 3]  # pure P-periodic signal
+    series = {
+        (0, 0): [base[b % P] for b in range(T)],         # resid ~ 0
+        (3, 1): [base[b % P] + b for b in range(T)],     # + linear trend
+        (5, -1): [2, 0, 0, 7, 0, 1, 0, 0, 3, 0, 0, 0, 5, 0, 0],
+    }
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    out = {}
+    for r in GS.seasonal_decompose(
+            _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000,
+            n_bins=T, period=P).collect():
+        out[(r.cell_x, r.cell_y, r.b)] = r
+    for key, xs in series.items():
+        trend = [None] * T
+        for b in range(h, T - h):
+            trend[b] = sum(xs[b - h:b + h + 1]) / P
+        sraw = {}
+        for ph in range(P):
+            vals = [xs[b] - trend[b] for b in range(T)
+                    if trend[b] is not None and b % P == ph]
+            sraw[ph] = sum(vals) / len(vals)
+        mean_s = sum(sraw.values()) / P
+        seas = {ph: sraw[ph] - mean_s for ph in range(P)}
+        for b in range(T):
+            r = out[(key[0], key[1], b)]
+            assert r.x == xs[b], (key, b)
+            if trend[b] is None:
+                assert r.trend is None and r.resid is None
+            else:
+                assert r.trend == pytest.approx(
+                    round(trend[b], 6), abs=1e-9), (key, b)
+                assert r.resid == pytest.approx(
+                    round(xs[b] - trend[b] - seas[b % P], 6),
+                    abs=1e-6), (key, b)
+            assert r.seasonal == pytest.approx(
+                round(seas[b % P], 6), abs=1e-9), (key, b)
+    # the pure-periodic cell decomposes with ~zero residuals
+    for b in range(h, T - h):
+        assert abs(out[(0, 0, b)].resid) < 1e-6
+    with pytest.raises(ValueError, match="odd"):
+        GS.seasonal_decompose(
+            _mk_events_t(spark, cells), CELL, 0, 1000, 12, 4)
+    with pytest.raises(ValueError, match="whole"):
+        GS.seasonal_decompose(
+            _mk_events_t(spark, cells), CELL, 0, 1000, 10, 7)
