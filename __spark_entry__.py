@@ -1068,6 +1068,29 @@ def _seasonal_decompose_sql() -> str:
     )
 
 
+def q_teleconnection(spark, sf_dir):
+    """Lagged teleconnection map (operators/gridstats.py
+    teleconnection): Pearson correlation of every cell's 2-day-binned
+    January series against the BUSIEST cell's series at lags −2..+2 —
+    the index-correlation map of climate analysis (which regions
+    co-vary, lead, or trail the reference); exact BIGINT moments per
+    (cell, lag), deterministic busiest-cell reference, best-lag via
+    the exact min_by key."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.teleconnection(
+        ev, cell_deg=5.0, t0_us=1_704_067_200_000_000,
+        bin_us=172_800_000_000, n_bins=15, max_lag=2,
+    )
+
+
+def _teleconnection_sql() -> str:
+    return GS.teleconnection_sql(
+        FX.events_geo_sql(), cell_deg=5.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, max_lag=2,
+    )
+
+
 def q_seasonal_chi2(spark, sf_dir):
     """Per-cell seasonality chi-square (operators/gridstats.py
     seasonal_chi2_cells): is the cell's activity uniform across the 3
@@ -6197,6 +6220,7 @@ def oracle_sql() -> dict[str, str]:
         "lisa_bivariate": _lisa_bivariate_sql(),
         "eb_moran": _eb_moran_sql(),
         "seasonal_decompose": _seasonal_decompose_sql(),
+        "teleconnection": _teleconnection_sql(),
         "pettitt_change": _pettitt_change_sql(),
         "snht_change": _snht_change_sql(),
         "join_counts": _join_counts_sql(),
@@ -6514,6 +6538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa_bivariate": q_lisa_bivariate,
         "eb_moran": q_eb_moran,
         "seasonal_decompose": q_seasonal_decompose,
+        "teleconnection": q_teleconnection,
         "lexicon_score": q_lexicon_score,
         "pack_sequences": q_pack_sequences,
         "corpus_pipeline": q_corpus_pipeline,

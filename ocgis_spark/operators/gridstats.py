@@ -6533,3 +6533,161 @@ def seasonal_decompose(
         f"SELECT * FROM {name}", cell_deg, t0_us, bin_us, n_bins,
         period, ts_us, lon, lat,
     ))
+
+
+# --------------------------------- lagged teleconnection map --
+
+
+def _tele_params(n_bins: int, max_lag: int) -> int:
+    L = int(max_lag)
+    if not 0 <= L <= 5:
+        raise ValueError(
+            f"max_lag must be in 0..5 (bounded literal lag fan-out, "
+            f"and the series must keep T - lag >= 3 overlap), got "
+            f"{max_lag}"
+        )
+    if int(n_bins) < L + 3:
+        raise ValueError(
+            f"n_bins={n_bins} leaves < 3 overlapping bins at "
+            f"lag {L}"
+        )
+    return L
+
+
+def teleconnection_sql(
+    src_sql: str,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ref_cx: int = None,
+    ref_cy: int = None,
+    max_lag: int = 2,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Lagged teleconnection map: Pearson correlation of every cell's
+    binned count series against a REFERENCE cell's series at lags
+    −L..+L — the index-correlation map of climate analysis (regress
+    the field on a Niño3.4-style index cell and read which regions
+    co-vary, lead, or trail; positive lag = the cell TRAILS the
+    reference). Counts on the zero-filled cube keep every moment an
+    exact BIGINT; per (cell, lag) the correlation closes as
+    (nΣxy − ΣxΣy)/sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)) over the
+    T−|lag| overlapping bins — one shared double expression over
+    integers (the zipf cancellation discipline). Degenerate windows
+    (either side constant over the overlap) -> NULL r. best_lag =
+    the lag maximizing |r| (earliest on ties via the exact min_by
+    key over the ROUNDED r — engine-identical by construction).
+
+    Plan: ONE corpus hash agg -> (cell, bin); the reference series is
+    a T-row broadcast; the lag fan-out is a bounded literal; per
+    (cell, lag) one aggregation over <= T rows. Output: one row per
+    (active cell, lag): (cell_x, cell_y, lag, n_overlap, r) plus
+    best_lag/best_r repeated per cell for the map readout."""
+    _grid_params(cell_deg)
+    _mk_params(t0_us, bin_us, n_bins)
+    L = _tele_params(n_bins, max_lag)
+    T = int(n_bins)
+    nx, _, _ = _grid_params(cell_deg)
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    binx = _bin_sql(ts_us, t0_us, bin_us)
+    bvals = ", ".join(f"({b})" for b in range(T))
+    lvals = ", ".join(f"({k})" for k in range(-L, L + 1))
+    if ref_cx is None:
+        # deterministic default: the busiest cell (exact total order
+        # on (-total, cx, cy)) — active at every SF by construction
+        ref_cte = (
+            "rsel AS (SELECT cx, cy FROM (SELECT cx, cy, "
+            "CAST(sum(x) AS BIGINT) AS tot FROM c GROUP BY 1, 2) t "
+            "ORDER BY tot DESC, cx, cy LIMIT 1), "
+            "ref AS (SELECT q.b, q.x AS y FROM cube0 q "
+            "JOIN rsel ON q.cx = rsel.cx AND q.cy = rsel.cy), "
+        )
+    else:
+        ref_cte = (
+            f"ref AS (SELECT b, x AS y FROM cube0 "
+            f"WHERE cx = {int(ref_cx)} AND cy = {int(ref_cy)}), "
+        )
+    n = "CAST(cnt AS DOUBLE)"
+    num = (
+        f"({n} * CAST(sxy AS DOUBLE) "
+        f"- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    dx = (
+        f"({n} * CAST(sxx AS DOUBLE) "
+        f"- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    dy = (
+        f"({n} * CAST(syy AS DOUBLE) "
+        f"- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    r = (
+        f"(CASE WHEN {dx} > 0.0E0 AND {dy} > 0.0E0 "
+        f"THEN round({num} / sqrt({dx} * {dy}), 6) END)"
+    )
+    # exact argmax key over the ROUNDED r (an exact decimal both
+    # engines): max |r|, ties -> earliest lag
+    key = (
+        f"(CASE WHEN r IS NULL THEN 9.0E9 "
+        f"ELSE -abs(r) * 1.0E7 + (lag + {L}) END)"
+    )
+    return (
+        f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, {binx} AS b "
+        f"FROM ({src_sql}) s), "
+        f"c AS (SELECT cx, cy, b, CAST(count(*) AS BIGINT) AS x "
+        f"FROM ev WHERE b >= 0 AND b < {T} GROUP BY 1, 2, 3), "
+        f"act AS (SELECT DISTINCT cx, cy FROM c), "
+        f"bins(b) AS (VALUES {bvals}), "
+        f"cube0 AS (SELECT act.cx, act.cy, CAST(bins.b AS BIGINT) AS b, "
+        f"CAST(coalesce(c.x, 0) AS BIGINT) AS x "
+        f"FROM act CROSS JOIN bins "
+        f"LEFT JOIN c ON c.cx = act.cx AND c.cy = act.cy "
+        f"AND c.b = CAST(bins.b AS BIGINT)), "
+        + ref_cte +
+        f"lags(lag) AS (VALUES {lvals}), "
+        f"mo AS (SELECT q.cx, q.cy, lags.lag, "
+        f"CAST(count(*) AS BIGINT) AS cnt, "
+        f"CAST(sum(q.x) AS BIGINT) AS sx, "
+        f"CAST(sum(q.x * q.x) AS BIGINT) AS sxx, "
+        f"CAST(sum(ref.y) AS BIGINT) AS sy, "
+        f"CAST(sum(ref.y * ref.y) AS BIGINT) AS syy, "
+        f"CAST(sum(q.x * ref.y) AS BIGINT) AS sxy "
+        f"FROM cube0 q CROSS JOIN lags "
+        f"JOIN ref ON ref.b = q.b - lags.lag "
+        f"GROUP BY 1, 2, 3), "
+        f"rr AS (SELECT cx, cy, lag, cnt, {r} AS r FROM mo), "
+        f"bb AS (SELECT cx, cy, "
+        f"CAST(min_by(lag, {key}) AS BIGINT) AS best_lag, "
+        f"min_by(r, {key}) AS best_r "
+        f"FROM rr GROUP BY 1, 2) "
+        f"SELECT rr.cx AS cell_x, rr.cy AS cell_y, rr.lag, "
+        f"rr.cnt AS n_overlap, rr.r, bb.best_lag, bb.best_r "
+        f"FROM rr JOIN bb ON rr.cx = bb.cx AND rr.cy = bb.cy"
+    )
+
+
+def teleconnection(
+    df: DataFrame,
+    cell_deg: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    ref_cx: int = None,
+    ref_cy: int = None,
+    max_lag: int = 2,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Teleconnection map (see :func:`teleconnection_sql` — one
+    spark.sql plan: 1 corpus hash agg, bounded cube, T-row reference
+    broadcast, literal lag fan-out, per-(cell,lag) aggregation over
+    <= T rows)."""
+    name = "_tele_src"
+    df.createOrReplaceTempView(name)
+    return df.sparkSession.sql(teleconnection_sql(
+        f"SELECT * FROM {name}", cell_deg, t0_us, bin_us, n_bins,
+        ref_cx, ref_cy, max_lag, ts_us, lon, lat,
+    ))

@@ -2761,3 +2761,60 @@ def test_seasonal_decompose_brute(spark):
     with pytest.raises(ValueError, match="whole"):
         GS.seasonal_decompose(
             _mk_events_t(spark, cells), CELL, 0, 1000, 10, 7)
+
+
+# ------------------------------------------------- teleconnection map
+
+
+def test_teleconnection_brute(spark):
+    T, L = 12, 2
+    ref = [5, 9, 2, 7, 1, 8, 3, 9, 4, 6, 2, 7]  # busiest cell
+    series = {
+        (0, 0): ref,
+        (3, 1): ref[1:] + [0],            # leads ref by 1 -> best lag -1
+        (5, -1): [0, 0] + ref[:-2],       # trails by 2 -> best lag +2
+        (7, 2): [1] * T,                  # constant -> NULL r
+    }
+    cells = [
+        (cx, cy, b, c)
+        for (cx, cy), xs in series.items()
+        for b, c in enumerate(xs) if c > 0
+    ]
+    rows = GS.teleconnection(
+        _mk_events_t(spark, cells), CELL, t0_us=0, bin_us=1000,
+        n_bins=T, max_lag=L).collect()
+    out = {(r.cell_x, r.cell_y, r.lag): r for r in rows}
+    best = {(r.cell_x, r.cell_y): (r.best_lag, r.best_r) for r in rows}
+    import math
+
+    def corr(xs, ys):
+        pairs = [(x, y) for x, y in zip(xs, ys)]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        dx = n * sxx - sx * sx; dy = n * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            return None
+        return round((n * sxy - sx * sy) / math.sqrt(dx * dy), 6)
+
+    for key, xs in series.items():
+        for k in range(-L, L + 1):
+            # overlap: x[b] vs ref[b-k]
+            pairs_x = [xs[b] for b in range(T) if 0 <= b - k < T]
+            pairs_y = [ref[b - k] for b in range(T) if 0 <= b - k < T]
+            r = out[(key[0], key[1], k)]
+            assert r.n_overlap == len(pairs_x), (key, k)
+            expect = corr(pairs_x, pairs_y)
+            if expect is None:
+                assert r.r is None, (key, k)
+            else:
+                assert r.r == pytest.approx(expect, abs=1e-9), (key, k)
+    assert best[(0, 0)] == (0, 1.0)
+    assert best[(3, 1)][0] == -1
+    assert best[(5, -1)][0] == 2
+    assert best[(7, 2)][1] is None or abs(best[(7, 2)][1]) < 1
+    with pytest.raises(ValueError, match="max_lag"):
+        GS.teleconnection(
+            _mk_events_t(spark, cells), CELL, 0, 1000, T, max_lag=6)
