@@ -2849,6 +2849,15 @@ def q_readability(spark, sf_dir):
     return textops.readability(_read(spark, sf_dir, "documents"))
 
 
+def q_length_profile(spark, sf_dir):
+    """Lognormal length-profile fit (operators/text.py
+    length_profile): (mu, sigma) of ln(n_chars) via exact quantized
+    BIGINT log moments — the corpus length fingerprint whose drift
+    between crawls flags truncation/extraction bugs; zipf_fit's
+    companion on the length axis."""
+    return textops.length_profile(_read(spark, sf_dir, "documents"))
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf rank-frequency fit (operators/text.py zipf_fit): OLS of
     ln(count) on ln(rank) over the min_count>=5 vocabulary — the
@@ -6206,6 +6215,7 @@ def oracle_sql() -> dict[str, str]:
         "variogram_fit": _variogram_fit_sql(),
         "zipf_fit": textops.zipf_fit_sql(),
         "readability": textops.readability_sql(),
+        "length_profile": textops.length_profile_sql(),
         "benford_screen": textops.benford_digits_sql("events", "value"),
         "label_agreement": _label_agreement_sql(),
         "source_overlap": _source_overlap_sql(),
@@ -6524,6 +6534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_entropy": q_word_entropy,
         "zipf_fit": q_zipf_fit,
         "readability": q_readability,
+        "length_profile": q_length_profile,
         "benford_screen": q_benford,
         "label_agreement": q_label_agreement,
         "source_overlap": q_source_overlap,

@@ -1815,3 +1815,88 @@ def readability_sql(table: str = "documents", text: str = "text") -> str:
         + f" FROM (SELECT doc_id, {wd} AS n_words, "
         f"{sents_d} AS n_sents, {syll_d} AS n_syll FROM {table}) t"
     )
+
+
+# -------------------------------------- length-profile lognormal fit --
+
+
+def length_profile(df: DataFrame, length: str = "n_chars") -> DataFrame:
+    """Lognormal fit of the document-length distribution — the corpus
+    length FINGERPRINT (document lengths are canonically lognormal-ish;
+    a drifting (mu, sigma) between two crawls flags truncation bugs,
+    boilerplate floods, or extraction changes faster than eyeballing a
+    histogram; the zipf_fit companion for the length axis).
+
+    Method-of-moments on the log scale: mu = mean(ln x),
+    sigma² = var(ln x) over positive lengths (non-positive/NULL
+    excluded, counted). ln values quantize to BIGINT at 1e-5 (the
+    zipf posture — exact order-independent moments; headroom q² <=
+    7.7e12 ⇒ ~1.19e6·1e6 rows), so both engines close the same
+    integers through one shared double expression. Implied median =
+    e^mu and mode = e^{mu − sigma²} round(.,6).
+
+    Output: one row (n_docs, n_excluded, mu, sigma, median_len,
+    mode_len); sigma NULL for < 2 docs."""
+    from .text import _ZIPF_SCALE as _S  # same quantum, same headroom
+
+    s = f"{_S}.0E0"
+    q = (
+        f"(CASE WHEN ({length}) IS NOT NULL AND ({length}) > 0 THEN "
+        f"CAST(round(ln(CAST({length} AS DOUBLE)) * {s}, 0) AS BIGINT) "
+        f"END)"
+    )
+    agg = df.selectExpr(f"{q} AS ql").agg(
+        F.expr("CAST(count(ql) AS BIGINT)").alias("n_docs"),
+        F.expr(
+            "CAST(count(CASE WHEN ql IS NULL THEN 1 END) AS BIGINT)"
+        ).alias("n_excluded"),
+        F.expr("CAST(coalesce(sum(ql), 0) AS BIGINT)").alias("sx"),
+        F.expr("CAST(coalesce(sum(ql * ql), 0) AS BIGINT)").alias("sxx"),
+    )
+    return agg.selectExpr(
+        "n_docs", "n_excluded", *_lenprof_out_sql()
+    )
+
+
+def _lenprof_out_sql() -> tuple:
+    """Shared closing projection over (n_docs, sx, sxx)."""
+    from .text import _ZIPF_SCALE as _S
+
+    s = f"{_S}.0E0"
+    n = "CAST(n_docs AS DOUBLE)"
+    mu = f"(CAST(sx AS DOUBLE) / {n} / {s})"
+    var = (
+        f"((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
+        f"* CAST(sx AS DOUBLE) / {n}) / ({n} - 1.0E0) / ({s} * {s}))"
+    )
+    sig = f"sqrt(greatest({var}, 0.0E0))"
+    g = lambda e: f"(CASE WHEN n_docs >= 2 THEN {e} END)"
+    return (
+        f"(CASE WHEN n_docs >= 1 THEN round({mu}, 6) END) AS mu",
+        g(f"round({sig}, 6)") + " AS sigma",
+        f"(CASE WHEN n_docs >= 1 THEN round(exp({mu}), 6) END) "
+        f"AS median_len",
+        g(f"round(exp({mu} - {sig} * {sig}), 6)") + " AS mode_len",
+    )
+
+
+def length_profile_sql(
+    table: str = "documents", length: str = "n_chars"
+) -> str:
+    """Oracle twin of :func:`length_profile`."""
+    s = f"{_ZIPF_SCALE}.0E0"
+    q = (
+        f"(CASE WHEN ({length}) IS NOT NULL AND ({length}) > 0 THEN "
+        f"CAST(round(ln(CAST({length} AS DOUBLE)) * {s}, 0) AS BIGINT) "
+        f"END)"
+    )
+    outs = ", ".join(_lenprof_out_sql())
+    return (
+        f"WITH q AS (SELECT {q} AS ql FROM {table}), "
+        f"agg AS (SELECT CAST(count(ql) AS BIGINT) AS n_docs, "
+        f"CAST(count(CASE WHEN ql IS NULL THEN 1 END) AS BIGINT) "
+        f"AS n_excluded, "
+        f"CAST(coalesce(sum(ql), 0) AS BIGINT) AS sx, "
+        f"CAST(coalesce(sum(ql * ql), 0) AS BIGINT) AS sxx FROM q) "
+        f"SELECT n_docs, n_excluded, {outs} FROM agg"
+    )

@@ -1039,3 +1039,34 @@ def test_readability_brute(spark):
     plan = textops.readability(df)._jdf.queryExecution(
     ).executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+# ------------------------------------------------------ length profile
+
+
+def test_length_profile_brute(spark):
+    import math
+
+    lens = [120, 450, 80, 3000, 9, 560, None, 0, -5, 77]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lens)], "i bigint, n_chars bigint")
+    r = textops.length_profile(df).collect()[0]
+    pos = [v for v in lens if v is not None and v > 0]
+    q = [round(math.log(v) * 1e5) for v in pos]
+    n = len(q)
+    mu = sum(q) / n / 1e5
+    var = (sum(x * x for x in q) - sum(q) ** 2 / n) / (n - 1) / 1e10
+    sig = math.sqrt(var)
+    assert r.n_docs == n and r.n_excluded == 3
+    assert r.mu == pytest.approx(round(mu, 6), abs=1e-9)
+    assert r.sigma == pytest.approx(round(sig, 6), abs=1e-9)
+    assert r.median_len == pytest.approx(round(math.exp(mu), 6), abs=1e-6)
+    assert r.mode_len == pytest.approx(
+        round(math.exp(mu - sig * sig), 6), abs=1e-6)
+    # single doc -> mu defined, sigma NULL
+    one = spark.createDataFrame([(0, 100)], "i bigint, n_chars bigint")
+    r1 = textops.length_profile(one).collect()[0]
+    assert r1.mu is not None and r1.sigma is None
+    plan = textops.length_profile(df)._jdf.queryExecution(
+    ).executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan
