@@ -2268,6 +2268,25 @@ def _kcore_sql() -> str:
     return graph_ops.kcore_sql(_HOST_EDGES2_SQL, k=3, rounds=8)
 
 
+def q_powerlaw_alpha(spark, sf_dir):
+    """Degree power-law tail exponent (operators/graph.py
+    powerlaw_alpha): Clauset-Shalizi-Newman MLE over the two-generator
+    host graph's degree tail — the scale-free-ness scalar completing
+    the graph panel (alpha drifting toward 2 = super-hubs growing);
+    exact quantized log moments."""
+    from ocgis_spark.operators import graph as graph_ops
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(_HOST_EDGES2_SQL)
+    return graph_ops.powerlaw_alpha(edges, dmin=3)
+
+
+def _powerlaw_alpha_sql() -> str:
+    from ocgis_spark.operators import graph as graph_ops
+
+    return graph_ops.powerlaw_alpha_sql(_HOST_EDGES2_SQL, dmin=3)
+
+
 def q_dedup_index_hits(spark, sf_dir):
     """Ingest-time near-dup screen: documents with doc_id % 3 != 0
     probed against the LSH band index of the % 3 == 0 'historical'
@@ -6225,6 +6244,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_stats": _triangle_stats_sql(),
         "host_assortativity": _assortativity_sql(),
         "host_kcore": _kcore_sql(),
+        "host_powerlaw": _powerlaw_alpha_sql(),
         "spatial_markov": _spatial_markov_sql(),
         "hotspot_gi_field": _hotspot_gi_field_sql(),
         "lisa_bivariate": _lisa_bivariate_sql(),
@@ -6544,6 +6564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "host_assortativity": q_assortativity,
         "host_kcore": q_kcore,
+        "host_powerlaw": q_powerlaw_alpha,
         "spatial_markov": q_spatial_markov,
         "hotspot_gi_field": q_hotspot_gi_field,
         "lisa_bivariate": q_lisa_bivariate,

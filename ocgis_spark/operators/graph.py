@@ -482,3 +482,94 @@ def kcore_sql(
         f"FROM (SELECT u AS node FROM e{R} "
         f"UNION ALL SELECT v FROM e{R}) n GROUP BY node"
     )
+
+
+# -------------------------------------- degree power-law tail fit --
+
+_PL_SCALE = 10**5  # ln quantum (the zipf posture: exact BIGINT moments)
+
+
+def powerlaw_alpha(
+    df: DataFrame, dmin: int = 2, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Power-law exponent of the degree-distribution tail via the
+    Clauset-Shalizi-Newman (2009) continuous-MLE approximation for
+    discrete data: alpha = 1 + n_tail / sum ln(d_i/(dmin − 1/2)) over
+    nodes with degree >= dmin, with the standard error
+    (alpha − 1)/sqrt(n_tail) — the scale-free-ness scalar that
+    completes the graph panel (assortativity: who links whom;
+    clustering: how dense; alpha: how heavy the hub tail; a crawl
+    whose alpha drops toward 2 is growing super-hubs).
+
+    ln values quantize to BIGINT at 1e-5 (the zipf posture), so the
+    tail sum is an exact integer both engines and alpha closes as one
+    shared double expression. Output: one row (n_nodes, n_tail,
+    alpha, alpha_se), round(.,6); empty tail -> NULL alpha."""
+    if not int(dmin) >= 2:
+        raise ValueError(f"dmin must be >= 2, got {dmin}")
+    und = (
+        df.selectExpr(
+            f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
+        )
+        .filter("u <> v AND u IS NOT NULL AND v IS NOT NULL")
+        .distinct()
+    )
+    deg = (
+        und.selectExpr("u AS node")
+        .unionAll(und.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    s = f"{_PL_SCALE}.0E0"
+    dm = f"(CAST({int(dmin)} AS DOUBLE) - 0.5E0)"
+    q = (
+        f"(CASE WHEN degree >= {int(dmin)} THEN "
+        f"CAST(round(ln(CAST(degree AS DOUBLE) / {dm}) * {s}, 0) "
+        f"AS BIGINT) END)"
+    )
+    agg = deg.selectExpr("degree", f"{q} AS ql").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("CAST(count(ql) AS BIGINT)").alias("n_tail"),
+        F.expr("CAST(coalesce(sum(ql), 0) AS BIGINT)").alias("sl"),
+    )
+    return agg.selectExpr("n_nodes", "n_tail", *_pl_out_sql())
+
+
+def _pl_out_sql() -> tuple:
+    """Shared closing projection over (n_tail, sl)."""
+    s = f"{_PL_SCALE}.0E0"
+    nt = "CAST(n_tail AS DOUBLE)"
+    al = f"(1.0E0 + {nt} / (CAST(sl AS DOUBLE) / {s}))"
+    ok = "n_tail >= 1 AND sl > 0"
+    return (
+        f"(CASE WHEN {ok} THEN round({al}, 6) END) AS alpha",
+        f"(CASE WHEN {ok} THEN "
+        f"round(({al} - 1.0E0) / sqrt({nt}), 6) END) AS alpha_se",
+    )
+
+
+def powerlaw_alpha_sql(
+    edges_sql: str, dmin: int = 2, src: str = "src", dst: str = "dst"
+) -> str:
+    """Oracle twin of :func:`powerlaw_alpha`."""
+    if not int(dmin) >= 2:
+        raise ValueError(f"dmin must be >= 2, got {dmin}")
+    s = f"{_PL_SCALE}.0E0"
+    dm = f"(CAST({int(dmin)} AS DOUBLE) - 0.5E0)"
+    outs = ", ".join(_pl_out_sql())
+    return (
+        f"WITH und AS (SELECT DISTINCT least({src}, {dst}) AS u, "
+        f"greatest({src}, {dst}) AS v FROM ({edges_sql}) e "
+        f"WHERE {src} <> {dst} AND {src} IS NOT NULL "
+        f"AND {dst} IS NOT NULL), "
+        f"deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM (SELECT u AS node FROM und "
+        f"UNION ALL SELECT v FROM und) n GROUP BY node), "
+        f"q AS (SELECT degree, (CASE WHEN degree >= {int(dmin)} THEN "
+        f"CAST(round(ln(CAST(degree AS DOUBLE) / {dm}) * {s}, 0) "
+        f"AS BIGINT) END) AS ql FROM deg), "
+        f"agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, "
+        f"CAST(count(ql) AS BIGINT) AS n_tail, "
+        f"CAST(coalesce(sum(ql), 0) AS BIGINT) AS sl FROM q) "
+        f"SELECT n_nodes, n_tail, {outs} FROM agg"
+    )

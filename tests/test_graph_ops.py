@@ -166,3 +166,32 @@ def test_kcore_brute_and_fixpoint(spark):
         G.kcore(df, 1)
     with pytest.raises(ValueError, match="rounds"):
         G.kcore(df, 2, rounds=0)
+
+
+def test_powerlaw_alpha_brute(spark):
+    import math
+
+    from ocgis_spark.operators import graph as G
+
+    # hub-and-spoke star + a chain: degrees 8,3,... known exactly
+    edges = ([(0, i) for i in range(1, 9)]
+             + [(1, 2), (2, 3), (20, 21)])
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    r = G.powerlaw_alpha(df, dmin=2).collect()[0]
+    und = {tuple(sorted(e)) for e in edges}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    tail = [d for d in deg.values() if d >= 2]
+    ql = [round(math.log(d / 1.5) * 1e5) for d in tail]
+    alpha = 1 + len(ql) / (sum(ql) / 1e5)
+    assert r.n_nodes == len(deg) and r.n_tail == len(tail)
+    assert r.alpha == pytest.approx(round(alpha, 6), abs=1e-9)
+    assert r.alpha_se == pytest.approx(
+        round((alpha - 1) / math.sqrt(len(tail)), 6), abs=1e-9)
+    # all-degree-1 graph: empty tail -> NULL alpha
+    iso = spark.createDataFrame([(0, 1), (2, 3)], "src bigint, dst bigint")
+    assert G.powerlaw_alpha(iso).collect()[0].alpha is None
+    with pytest.raises(ValueError, match="dmin"):
+        G.powerlaw_alpha(df, dmin=1)
