@@ -3720,6 +3720,9 @@ _LCC_WGS84 = {"proj": "lcc", "lat_1": 30.0, "lat_2": 60.0, "lat_0": 47.5,
               "lon_0": -97.0, "a": 6378137.0, "rf": 298.257223563}
 _OMERC_NARCCAP = {"proj": "omerc", "lat_0": 47.5, "lonc": -97.0,
                   "alpha": 55.0, "k_0": 1.0}
+_OMERC_WGS84 = {"proj": "omerc", "lat_0": 47.5, "lonc": -97.0,
+                "alpha": 55.0, "k_0": 1.0, "a": 6378137.0,
+                "rf": 298.257223563}
 
 
 def _q_transform_param(spark, sf_dir, spec):
@@ -3762,6 +3765,15 @@ def q_transform_omerc(spark, sf_dir):
     (CFNarccapObliqueMercator, crs.py:1117-1130) — Snyder 9-1..9-8
     spherical, unrotated u/v axes (FIDELITY.md)."""
     return _q_transform_param(spark, sf_dir, _OMERC_NARCCAP)
+
+
+def q_transform_omerc_ell(spark, sf_dir):
+    """Ellipsoidal Hotine oblique Mercator (Snyder 9-11..9-34, Alternate
+    B) — the file-declared-datum form of CFNarccapObliqueMercator
+    (crs.py:1117-1130 is PROJ-backed ellipsoidal when the dataset
+    declares one), run natively. Truth tier 2: the e->0 continuation /
+    roundtrip / Mercator-reduction battery in tests/test_transform_crs.py."""
+    return _q_transform_param(spark, sf_dir, _OMERC_WGS84)
 
 
 def _transform_param_sql(spec) -> str:
@@ -6092,6 +6104,7 @@ def oracle_sql() -> dict[str, str]:
         "transform_albers": _transform_param_sql(_AEA_CONUS),
         "transform_stereo": _transform_param_sql(_STERE_N70),
         "transform_omerc": _transform_param_sql(_OMERC_NARCCAP),
+        "transform_omerc_ell": _transform_param_sql(_OMERC_WGS84),
         "transform_mercator": (
             f"SELECT doc_id, round(6378137.0E0 * radians(lon), 6) AS x, "
             f"round(6378137.0E0 * ln(tan(pi() / 4.0E0 + radians(lat) / 2.0E0)), 6) AS y "
@@ -6421,6 +6434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_stereo": q_transform_stereo,
         "group_season_custom": q_group_season_custom,
         "transform_omerc": q_transform_omerc,
+        "transform_omerc_ell": q_transform_omerc_ell,
         "ops_chain_lcc": q_ops_chain_lcc,
         "tfidf_top_terms": q_tfidf_top_terms,
         "multimodal_features": q_multimodal_features,

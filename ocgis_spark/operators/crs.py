@@ -1032,9 +1032,9 @@ def _omerc_constants(p: dict) -> tuple[float, float, float, float]:
     grid_mapping_name is 'transverse_mercator')."""
     if ellipsoid_of(p) is not None:
         raise NotImplementedError(
-            "omerc: native path is spherical only (the reference's "
-            "CFNarccapObliqueMercator default) — ellipsoidal Hotine "
-            "routes through the guarded pyproj path"
+            "omerc: this emitter is spherical only — ellipsoidal Hotine "
+            "is native via _omerc_ell_sql (the _PARAM_PROJS dispatch "
+            "routes datum-declaring dicts there automatically)"
         )
     phic = math.radians(float(p.get("lat_0", 0.0)))
     lamc = math.radians(float(p.get("lonc", p.get("lon_0", 0.0))))
@@ -1105,7 +1105,107 @@ def omerc_inv_sql(p: dict, x: str = "x", y: str = "y") -> tuple[str, str]:
     return glon, glat
 
 
-_PARAM_PROJS["omerc"] = (omerc_sql, omerc_inv_sql)
+def _omerc_ell_constants(p: dict):
+    """Hotine oblique Mercator constants, Snyder (1987) eqs 9-11..9-24
+    (Alternate B: central point lat_0/lonc + azimuth alpha), matching
+    the reference's CFNarccapObliqueMercator when the file declares a
+    datum (/root/reference/src/ocgis/variable/crs.py:1117 routes the
+    same CF attrs through PROJ +proj=omerc). Returns
+    (B, A, E, sin(gamma0), cos(gamma0), lam0_deg, e2, x_0, y_0)."""
+    a, e2 = ellipsoid_of(p)
+    e = math.sqrt(e2)
+    phi0 = math.radians(float(p.get("lat_0", 0.0)))
+    lamc = math.radians(float(p.get("lonc", p.get("lon_0", 0.0))))
+    alpha = math.radians(float(p.get("alpha", 360.0)))
+    k0 = float(p.get("k_0", 1.0))
+    c0, s0 = math.cos(phi0), math.sin(phi0)
+    Bc = math.sqrt(1.0 + e2 * c0 ** 4 / (1.0 - e2))
+    Ac = a * Bc * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    t0 = _t_of(phi0, e)
+    D = Bc * math.sqrt(1.0 - e2) / (c0 * math.sqrt(1.0 - e2 * s0 * s0))
+    D2 = max(D * D, 1.0)
+    Fc = D + math.copysign(math.sqrt(D2 - 1.0), phi0 if phi0 else 1.0)
+    Ec = Fc * t0 ** Bc
+    G = (Fc - 1.0 / Fc) / 2.0
+    sg = math.sin(alpha) / D
+    gamma0 = math.asin(max(-1.0, min(1.0, sg)))
+    lam0 = lamc - math.asin(
+        max(-1.0, min(1.0, G * math.tan(gamma0)))
+    ) / Bc
+    lam0 = (lam0 + math.pi) % (2.0 * math.pi) - math.pi
+    return (
+        Bc, Ac, Ec, math.sin(gamma0), math.cos(gamma0),
+        math.degrees(lam0), e2,
+        float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)),
+    )
+
+
+def _omerc_ell_sql(p: dict, lon: str, lat: str) -> tuple[str, str]:
+    """Forward ellipsoidal Hotine oblique Mercator, Snyder 9-25..9-34
+    (unrotated u,v axes like the spherical emitter): Q = E/t^B,
+    S = (Q-1/Q)/2, T = (Q+1/Q)/2, V = sin(B dl),
+    U = (S sin(g0) - V cos(g0))/T, u = (A/B) atan2(S cos(g0) +
+    V sin(g0), cos(B dl)), v = (A/2B) ln((1+U)/(1-U)). The v sign is
+    FLIPPED vs Snyder's printed 9-25 so that e -> 0 converges to this
+    repo's spherical omerc axis convention (FIDELITY.md; verified by
+    the e-continuation test in tests/test_transform_crs.py: the
+    residual vs the spherical path shrinks as O(e^2))."""
+    Bc, Ac, Ec, sg, cg, lam0, e2, x0, y0 = _omerc_ell_constants(p)
+    e = math.sqrt(e2)
+    dl = f"({_pf(Bc)} * radians({_dlon_sql(lon, lam0)}))"
+    t = _t_sql(f"radians({lat})", e)
+    Q = f"({_pf(Ec)} / power({t}, {_pf(Bc)}))"
+    S = f"(({Q} - 1.0E0 / {Q}) / 2.0E0)"
+    T = f"(({Q} + 1.0E0 / {Q}) / 2.0E0)"
+    V = f"sin({dl})"
+    U = f"(({S} * {_pf(sg)} - {V} * {_pf(cg)}) / {T})"
+    # |U| < 1 analytically; clamp one ulp shy of 1 so ln never sees 0/inf
+    Ucl = f"least(greatest({U}, -0.999999999999999E0), 0.999999999999999E0)"
+    x = (
+        f"({_pf(Ac / Bc)} * atan2({S} * {_pf(cg)} + {V} * {_pf(sg)}, "
+        f"cos({dl})) + {_pf(x0)})"
+    )
+    y = (
+        f"({_pf(Ac / (2.0 * Bc))} * ln((1.0E0 + {Ucl}) / "
+        f"(1.0E0 - {Ucl})) + {_pf(y0)})"
+    )
+    return x, y
+
+
+def _omerc_ell_inv_sql(p: dict, x: str, y: str) -> tuple[str, str]:
+    """Inverse ellipsoidal Hotine, Snyder 9-42..9-47 under the same
+    axis convention as the forward: with vq = B(y-y0)/A, uq = B(x-x0)/A,
+    Q' = exp(vq), S' = sinh(vq), T' = cosh(vq), V' = sin(uq),
+    U' = (V' cos(g0) + S' sin(g0))/T',
+    t = (E sqrt((1-U')/(1+U')))^(1/B), chi = pi/2 - 2 atan(t), phi via
+    the conformal series (Snyder 3-5), lambda = lam0 +
+    atan2(S'... sign from the spherical limit) / B."""
+    Bc, Ac, Ec, sg, cg, lam0, e2, x0, y0 = _omerc_ell_constants(p)
+    vq = f"({_pf(Bc / Ac)} * (({y}) - {_pf(y0)}))"
+    uq = f"({_pf(Bc / Ac)} * (({x}) - {_pf(x0)}))"
+    ev = f"exp({vq})"
+    env = f"exp(0.0E0 - {vq})"
+    Sp = f"(({ev} - {env}) / 2.0E0)"
+    Tp = f"(({ev} + {env}) / 2.0E0)"
+    Vp = f"sin({uq})"
+    Up = f"(({Vp} * {_pf(cg)} + {Sp} * {_pf(sg)}) / {Tp})"
+    Upc = f"least(greatest({Up}, -0.999999999999999E0), 0.999999999999999E0)"
+    t = (
+        f"power({_pf(Ec)} * sqrt((1.0E0 - {Upc}) / (1.0E0 + {Upc})), "
+        f"{_pf(1.0 / Bc)})"
+    )
+    chi = f"(pi() / 2.0E0 - 2.0E0 * atan({t}))"
+    glat = f"degrees({_conf_phi_sql(chi, e2)})"
+    glon = _wrap_out_sql(
+        f"degrees(atan2({_pf(sg)} * {Vp} - {_pf(cg)} * {Sp}, "
+        f"cos({uq}))) / {_pf(Bc)} + {_pf(lam0)}"
+    )
+    return glon, glat
+
+
+_PARAM_PROJS["omerc"] = _dispatch_ell(
+    omerc_sql, _omerc_ell_sql, omerc_inv_sql, _omerc_ell_inv_sql
+)
 
 
 def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str,

@@ -37,6 +37,64 @@ def test_pii_scan_realistic(spark):
     assert "[PHONE]" in out[0]["redacted"]
 
 
+def test_pii_scan_fused_equals_chained(spark):
+    """The fused single-traversal pii_scan must reproduce the original
+    SSN -> email -> phone chained-replace semantics (the oracle's form)
+    row-for-row on realistic text — the two-tier truth for the r5
+    single-pass rewrite."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "reach me at jane.doe+spam@mail-host.co.uk or 555-0199",
+                "ssn 078-05-1120 email bob_99@example.org phone 800-1234",
+                "no pii here at all",
+                "two mails: a@b.io c.d@e-f.com and ssn 123-45-6789",
+                "contact user17@example.com ssn 123-45-6789 phone 555-0127",
+                "adjacent999-1234 and trailing dots a@b.co. next",
+                # NOTE: a pre-existing literal '[«]' sentinel in the input
+                # is the one documented redaction divergence (fused
+                # normalizes it, chained leaves it) — excluded here, the
+                # counts stay exact either way via the differencing guard
+                "x@y.zw 111-22-3333 400-5000 mixed dense line",
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    d = docs.select(
+        "doc_id",
+        F.col("text").alias("_t"),
+        F.regexp_replace("text", textops.PII_SSN_RE, "[SSN]").alias("_sf"),
+    )
+    d = d.withColumn(
+        "_er", F.regexp_replace("_sf", textops.PII_EMAIL_RE, "[EMAIL]")
+    ).withColumn(
+        "redacted", F.regexp_replace("_er", textops.PII_PHONE_RE, "[PHONE]")
+    )
+
+    def occ(col, m):
+        return (
+            F.length(col) - F.length(F.replace(col, F.lit(m), F.lit("")))
+        ) / F.lit(len(m))
+
+    chained = d.select(
+        "doc_id",
+        (occ(F.col("_er"), "[EMAIL]") - occ(F.col("_sf"), "[EMAIL]"))
+        .cast("bigint").alias("n_emails"),
+        ((F.length("_t") - F.length("_sf")) / F.lit(6))
+        .cast("bigint").alias("n_ssns"),
+        (F.length("_er") - F.length("redacted"))
+        .cast("bigint").alias("n_phones"),
+        "redacted",
+    )
+    fused = textops.pii_scan(docs)
+    extra = fused.exceptAll(chained).count() + chained.exceptAll(fused).count()
+    assert extra == 0
+
+
 def test_stratified_sample_deterministic_subset(spark):
     docs = spark.createDataFrame(
         [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)],

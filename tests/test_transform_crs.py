@@ -606,9 +606,73 @@ def test_cf_attrs_datum_routing(spark):
 
 
 def test_omerc_rejects_ellipsoid():
+    # the DIRECT spherical emitter still refuses a datum; the
+    # _PARAM_PROJS dispatch routes such dicts to _omerc_ell_sql instead
     with pytest.raises(NotImplementedError, match="spherical only"):
         crs.omerc_sql({"proj": "omerc", "lat_0": 47.5, "lonc": -97.0,
                        "alpha": 360.0, "ellps": "WGS84"})
+
+
+OMERC_ELL = {"proj": "omerc", "lat_0": 4.0, "lonc": 115.0,
+             "alpha": 53.31582, "k_0": 0.99984, "a": 6377298.556,
+             "rf": 300.8017}  # Borneo RSO shape (Snyder table 12)
+_OMERC_PTS = [(115.8, 5.38), (114.0, 2.0), (118.5, 7.2), (110.0, -3.0),
+              (120.0, 10.0), (115.0, 4.0)]
+
+
+def test_omerc_ellipsoidal_spherical_continuation(spark):
+    """The ellipsoidal Hotine must converge to the (golden-verified)
+    spherical omerc as e -> 0, with residual shrinking O(e^2): quartering
+    the flattening four-times quarters the max residual. This pins both
+    the formulas and the axis-sign convention (FIDELITY.md)."""
+    df = spark.createDataFrame(_OMERC_PTS, "lon double, lat double")
+    sph = dict(OMERC_ELL, R=OMERC_ELL["a"])
+    sph.pop("a"), sph.pop("rf")
+    ref = {r["lon"]: (r["x"], r["y"])
+           for r in crs.transform_crs(df, "EPSG:4326", sph).collect()}
+    prev = None
+    for mult in (1.0, 4.0, 16.0):
+        ell = dict(OMERC_ELL, rf=OMERC_ELL["rf"] * mult)
+        d = 0.0
+        for r in crs.transform_crs(df, "EPSG:4326", ell).collect():
+            x0, y0 = ref[r["lon"]]
+            d = max(d, abs(r["x"] - x0), abs(r["y"] - y0))
+        if prev is not None:
+            assert prev / d == pytest.approx(4.0, rel=0.02)
+        prev = d
+
+
+def test_omerc_ellipsoidal_round_trip(spark):
+    df = spark.createDataFrame(_OMERC_PTS, "lon double, lat double")
+    fwd = crs.transform_crs(df, "EPSG:4326", OMERC_ELL)
+    back = crs.transform_crs(
+        fwd, OMERC_ELL, "EPSG:4326", lon="x", lat="y",
+        out_x="lon2", out_y="lat2",
+    )
+    for r in back.collect():
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
+
+
+def test_omerc_ellipsoidal_mercator_reduction(spark):
+    """alpha=90 at lat_0=0 degenerates the Hotine central line onto the
+    equator: u,v must equal the standard ellipsoidal Mercator x,y
+    (independent closed-form truth, Snyder 7-6/7-7) to sub-mm."""
+    p = {"proj": "omerc", "lat_0": 0.0, "lonc": 0.0, "alpha": 90.0,
+         "k_0": 1.0, "a": 6378137.0, "rf": 298.257223563}
+    a, e2 = crs.ellipsoid_of(p)
+    e = math.sqrt(e2)
+    df = spark.createDataFrame(_OMERC_PTS, "lon double, lat double")
+    for r in crs.transform_crs(df, "EPSG:4326", p).collect():
+        lam, phi = math.radians(r["lon"]), math.radians(r["lat"])
+        mx = a * lam
+        my = a * math.log(
+            math.tan(math.pi / 4.0 + phi / 2.0)
+            * ((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)))
+            ** (e / 2.0)
+        )
+        assert r["x"] == pytest.approx(mx, abs=1e-6)
+        assert r["y"] == pytest.approx(my, abs=1e-6)
 
 
 def test_unknown_ellps_name_raises():
