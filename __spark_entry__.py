@@ -1413,6 +1413,69 @@ def _lisa_sql() -> str:
     )
 
 
+def q_morans_i_p(spark, sf_dir):
+    """Global Moran's I with EXACT-permutation pseudo p-value
+    (operators/gridstats.py morans_i_p — GeoDa-style conditional
+    randomization inference): 199 deterministic md5-rank permutations
+    of the lattice values, each recomputing only the pair and
+    row-weighted sums (Σx, Σx² are invariant). One corpus aggregation;
+    every replication is lattice-bounded. Truth tier 2: planted-cluster
+    / CSR battery in tests/test_gridstats.py."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.morans_i_p(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0,
+                         n_reps=199)
+
+
+def _morans_i_p_sql() -> str:
+    return GS.morans_i_p_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        n_reps=199,
+    )
+
+
+def q_lisa_p(spark, sf_dir):
+    """LISA cluster map with per-cell permutation pseudo p-values
+    (operators/gridstats.py local_morans_i_p — the GeoDa significance
+    map): same cells/statistic as q_lisa plus p_sim from 199 global
+    hash-permutations, empty-window replications folded arithmetically.
+    Truth tier 2: planted/CSR battery in tests/test_gridstats.py."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.local_morans_i_p(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0,
+                               n_reps=199)
+
+
+def _lisa_p_sql() -> str:
+    return GS.local_morans_i_p_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        n_reps=199,
+    )
+
+
+def q_spacetime_scan_p(spark, sf_dir):
+    """Monte-Carlo p-value of the space-time scan's max-LLR cluster
+    (operators/gridstats.py spacetime_scan_p — the 999-replication
+    inference SaTScan reports, here 199 deterministic hash-uniform
+    Poissonized replications; FIDELITY.md on the Poissonized vs exact
+    permutation null). ONE corpus aggregation; replications live on the
+    (cell, bin) table. Truth tier 2: planted/CSR battery in
+    tests/test_gridstats.py."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.spacetime_scan_p(
+        ev, cell_deg=15.0, lat0=-60.0, lat1=60.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, w_max=2, min_count=3, n_reps=199,
+    )
+
+
+def _spacetime_scan_p_sql() -> str:
+    return GS.spacetime_scan_p_sql(
+        FX.events_geo_sql(), cell_deg=15.0, lat0=-60.0, lat1=60.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, w_max=2, min_count=3, n_reps=199,
+        materialized=True,
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging hot spot analysis (operators/gridstats.py
     emerging_hotspots — the ArcGIS space-time-cube method): per-2-day-
@@ -6206,6 +6269,7 @@ def oracle_sql() -> dict[str, str]:
         "morans_i_field": _morans_i_field_sql(),
         "gpd_tail": _gpd_tail_sql(),
         "morans_i": _morans_i_sql(),
+        "morans_i_p": _morans_i_p_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
         "pair_sync_distance": _pair_sync_distance_sql(),
@@ -6216,6 +6280,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_transitions": _cell_transitions_sql(),
         "emerging_hotspots": _emerging_hotspots_sql(),
         "lisa": _lisa_sql(),
+        "lisa_p": _lisa_p_sql(),
         "focal_value_mean": _focal_value_mean_sql(),
         "knox_test": _knox_test_sql(),
         "quadrat_csr": _quadrat_csr_sql(),
@@ -6224,6 +6289,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_correlation": _pair_correlation_sql(),
         "std_ellipse": _std_ellipse_sql(),
         "spacetime_scan": _spacetime_scan_sql(),
+        "spacetime_scan_p": _spacetime_scan_p_sql(),
         "general_g": _general_g_sql(),
         "ripley_cross_k": _ripley_cross_k_sql(),
         "cell_acf": _cell_acf_sql(),
@@ -6652,6 +6718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_field": q_morans_i_field,
         "gpd_tail": q_gpd_tail,
         "morans_i": q_morans_i,
+        "morans_i_p": q_morans_i_p,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,
         "pair_sync_distance": q_pair_sync_distance,
@@ -6662,6 +6729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_transitions": q_cell_transitions,
         "emerging_hotspots": q_emerging_hotspots,
         "lisa": q_lisa,
+        "lisa_p": q_lisa_p,
         "focal_value_mean": q_focal_value_mean,
         "knox_test": q_knox_test,
         "quadrat_csr": q_quadrat_csr,
@@ -6670,6 +6738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_correlation": q_pair_correlation,
         "std_ellipse": q_std_ellipse,
         "spacetime_scan": q_spacetime_scan,
+        "spacetime_scan_p": q_spacetime_scan_p,
         "general_g": q_general_g,
         "ripley_cross_k": q_ripley_cross_k,
         "cell_acf": q_cell_acf,

@@ -498,6 +498,322 @@ def morans_i(
     )
 
 
+# -------------------------------- permutation inference (Moran's I) --
+
+def _perm_reps_check(n_reps: int) -> None:
+    if not 1 <= n_reps <= 9999:
+        raise ValueError(
+            f"n_reps must be in [1, 9999] (the replication fan-out is a "
+            f"literal VALUES table), got {n_reps}"
+        )
+
+
+def _perm_prefix_sql(
+    counts: str, nx: int, cy0: int, cy1: int, n_reps: int, seed: str,
+) -> str:
+    """Shared CTE text (no leading WITH) producing the exact hash
+    permutations of the lattice field: ``counts`` (corpus agg) →
+    ``field`` (full lattice, zeros filled) → ``valr`` (values ranked by
+    md5 per replication, cx/cy tiebreak) → ``permocc`` (value rank
+    zipped against the CLOSED-FORM canonical position order, occupied
+    rows only). A uniformly random bijection per replication under the
+    random-oracle model — no RNG state (sampling.py hash contract);
+    everything after ``counts`` is lattice × n_reps bounded."""
+    xs = ", ".join(f"({i})" for i in range(nx))
+    ys = ", ".join(f"({cy})" for cy in range(cy0, cy1))
+    reps = ", ".join(f"({r})" for r in range(1, n_reps + 1))
+    hv = (
+        f"md5(concat('mv', '{seed}', ':', CAST(q.r AS STRING), ':', "
+        f"CAST(f.cx AS STRING), ':', CAST(f.cy AS STRING)))"
+    )
+    return (
+        f"counts AS ({counts}), "
+        f"xs(cx) AS (VALUES {xs}), "
+        f"ys(cy) AS (VALUES {ys}), "
+        f"reps(r) AS (VALUES {reps}), "
+        f"field AS (SELECT l.cx, l.cy, "
+        f"CAST(coalesce(c.cnt, 0) AS BIGINT) AS x "
+        f"FROM (SELECT cx, cy FROM xs CROSS JOIN ys) l "
+        f"LEFT JOIN counts c ON l.cx = c.cx AND l.cy = c.cy), "
+        # canonical position order is closed-form; only the value order
+        # needs a window (ONE window level — DuckDB nested-window safe)
+        f"valr AS (SELECT q.r, f.x, row_number() OVER ("
+        f"PARTITION BY q.r ORDER BY {hv}, f.cx, f.cy) AS rk "
+        f"FROM field f CROSS JOIN reps q), "
+        f"permocc AS (SELECT v.r, "
+        f"CAST((v.rk - 1) % {nx} AS BIGINT) AS cx, "
+        f"CAST({cy0} + ((v.rk - 1) - (v.rk - 1) % {nx}) / {nx} AS BIGINT)"
+        f" AS cy, v.x FROM valr v WHERE v.x > 0)"
+    )
+
+
+def morans_i_p_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    n_reps: int = 199,
+    seed: str = "r5",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Global Moran's I with a deterministic EXACT-permutation pseudo
+    p-value (Anselin's conditional-randomization inference for the
+    global statistic, GeoDa-style: p_sim = (1+M)/(R+1) with M = the
+    replications at least as extreme as the observed I, in its
+    direction vs E[I] = -1/(n-1)).
+
+    The permutation group is exact, not approximated: replication r
+    ranks all n_cells lattice values by md5('mv',seed,r,cx,cy) (cx,cy
+    tiebreak) and zips that order against the canonical position order
+    — a uniformly random bijection of values onto positions under the
+    random-oracle model, with NO RNG state (the repo's hash-uniform
+    contract, sampling.py:25). Σx and Σx² are permutation-invariant, so
+    each replication only recomputes the pair sum (8-offset scatter
+    over its OCCUPIED cells — zeros never join) and the edge-weighted
+    row sum. 100-TB posture: ONE corpus aggregate to the cell table;
+    everything downstream is lattice × n_reps bounded (n_cells·R
+    window rows, K·8·R join rows).
+
+    Output: one row (n_cells, w_sum, n_reps, morans_i, e_null, n_ge,
+    n_le, p_upper, p_lower, p_sim); floats round(.,6). The I_r
+    comparison uses the unrounded doubles — every quantity is rational
+    arithmetic over exact BIGINT sums (no libm), so both dialects
+    compare identical values. Constant surface (den = 0): morans_i and
+    the p columns are NULL.
+    """
+    _perm_reps_check(n_reps)
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    n = f"{n_cells}.0E0"
+    w = f"{w_sum}.0E0"
+    m = f"(CAST(sx AS DOUBLE) / {n})"
+    i_of = (
+        f"(({n} / {w}) * (CAST({{p}} AS DOUBLE) - 2.0E0 * {m} * "
+        f"CAST({{r}} AS DOUBLE) + {m} * {m} * {w}) "
+        f"/ nullif(CAST(sxx AS DOUBLE) - {n} * {m} * {m}, 0.0E0))"
+    )
+    i_obs = i_of.format(p="psum", r="rsum")
+    i_rep = i_of.format(p="psum_r", r="rsum_r")
+    e0 = f"(0.0E0 - 1.0E0 / ({n} - 1.0E0))"
+    return (
+        f"WITH {_perm_prefix_sql(counts, nx, cy0, cy1, n_reps, seed)}, "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat_r AS (SELECT p.r, ((p.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(p.cy + o.dy) AS ty, p.x FROM permocc p CROSS JOIN offs o "
+        f"WHERE (p.cy + o.dy) >= {cy0} AND (p.cy + o.dy) < {cy1}), "
+        f"rep_mom AS (SELECT q.r, "
+        f"CAST(coalesce(pr.psum_r, 0) AS BIGINT) AS psum_r, "
+        f"CAST(coalesce(rs.rsum_r, 0) AS BIGINT) AS rsum_r FROM reps q "
+        f"LEFT JOIN (SELECT s.r, sum(s.x * t.x) AS psum_r FROM scat_r s "
+        f"JOIN permocc t ON s.r = t.r AND s.tx = t.cx AND s.ty = t.cy "
+        f"GROUP BY s.r) pr ON q.r = pr.r "
+        f"LEFT JOIN (SELECT r, sum({rowsum} * x) AS rsum_r "
+        f"FROM permocc GROUP BY r) rs ON q.r = rs.r), "
+        f"mom AS (SELECT CAST(sum(cnt) AS BIGINT) AS sx, "
+        f"CAST(sum(cnt * cnt) AS BIGINT) AS sxx, "
+        f"CAST(sum({rowsum} * cnt) AS BIGINT) AS rsum FROM counts), "
+        f"pair AS (SELECT CAST(coalesce(sum(s.x * t.x), 0) AS BIGINT) "
+        f"AS psum FROM (SELECT ((p.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(p.cy + o.dy) AS ty, p.x FROM "
+        f"(SELECT cx, cy, cnt AS x FROM counts) p CROSS JOIN offs o "
+        f"WHERE (p.cy + o.dy) >= {cy0} AND (p.cy + o.dy) < {cy1}) s "
+        f"JOIN (SELECT cx, cy, cnt AS x FROM counts) t "
+        f"ON s.tx = t.cx AND s.ty = t.cy), "
+        f"tails AS (SELECT "
+        f"CAST(sum(CASE WHEN {i_rep} >= {i_obs} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_ge, "
+        f"CAST(sum(CASE WHEN {i_rep} <= {i_obs} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_le "
+        f"FROM rep_mom CROSS JOIN mom CROSS JOIN pair) "
+        f"SELECT CAST({n_cells} AS BIGINT) AS n_cells, "
+        f"CAST({w_sum} AS BIGINT) AS w_sum, "
+        f"CAST({n_reps} AS BIGINT) AS n_reps, "
+        f"round({i_obs}, 6) AS morans_i, "
+        f"round({e0}, 6) AS e_null, n_ge, n_le, "
+        f"round((1.0E0 + n_ge) / {n_reps + 1}.0E0, 6) AS p_upper, "
+        f"round((1.0E0 + n_le) / {n_reps + 1}.0E0, 6) AS p_lower, "
+        f"round(CASE WHEN {i_obs} IS NULL THEN NULL "
+        f"WHEN {i_obs} >= {e0} "
+        f"THEN (1.0E0 + n_ge) / {n_reps + 1}.0E0 "
+        f"ELSE (1.0E0 + n_le) / {n_reps + 1}.0E0 END, 6) AS p_sim "
+        f"FROM tails CROSS JOIN mom CROSS JOIN pair"
+    )
+
+
+def morans_i_p(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    n_reps: int = 199,
+    seed: str = "r5",
+    lon: str = "lon",
+    lat: str = "lat",
+    view: str = "_morans_i_p_src",
+) -> DataFrame:
+    """DataFrame twin of :func:`morans_i_p_sql` — registers ``df`` as a
+    temp view and runs the SAME dialect-neutral string through Catalyst
+    (shared-CTE oracle; the mandatory second-tier truth is the planted
+    cluster / CSR battery in tests/test_gridstats.py)."""
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        morans_i_p_sql(
+            f"SELECT * FROM {view}", cell_deg, lat0, lat1,
+            n_reps=n_reps, seed=seed, lon=lon, lat=lat,
+        )
+    )
+
+
+def local_morans_i_p_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    n_reps: int = 199,
+    seed: str = "r5",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """Anselin Local Moran's I (LISA) with per-cell permutation pseudo
+    p-values (the GeoDa significance map). Same statistic and cell set
+    as :func:`local_morans_i`; each replication applies ONE global
+    hash-permutation of the lattice values (``_perm_prefix_sql`` — the
+    repo's no-RNG hash-uniform contract) and recomputes every cell's
+    neighbor lag. This is TOTAL randomization: GeoDa's conditional
+    scheme excludes cell i's own value from its neighbor draw, a
+    O(1/n_cells) perturbation of the null per cell (FIDELITY.md) —
+    total keeps all replications on one lattice-bounded plan instead of
+    n_cells separate permutation sets.
+
+    Per-cell bookkeeping stays sparse: a replication contributes a join
+    row only where the permuted 3x3 window is occupied; the (n_reps −
+    present) replications with an empty window all share the SAME lag
+    (−rowsum·m), folded in arithmetically. p_sim = (1 + M)/(n_reps+1)
+    with M = replications whose I_i is at least as extreme as observed,
+    in the observed direction (I >= 0 counts the upper tail). All
+    comparisons are rational arithmetic over exact integers — no libm,
+    so both dialects tally identically.
+
+    Output: (cell_x, cell_y, cnt, nbr_sum, lisa_i, quadrant, n_ge,
+    n_le, p_sim) for cells with >= 1 event in the OBSERVED 3x3 window
+    (the :func:`local_morans_i` contract); lisa_i/p columns NULL for a
+    constant surface.
+    """
+    _perm_reps_check(n_reps)
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
+    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    n = f"{n_cells}.0E0"
+    m = f"(CAST(sx AS DOUBLE) / {n})"
+    den = f"(CAST(sxx AS DOUBLE) - {n} * {m} * {m})"
+    # base-cell expressions (alias b = the observed LISA row)
+    rw_b = (
+        f"(CASE WHEN b.cell_y = {cy0} OR b.cell_y = {cy1 - 1} "
+        f"THEN 5.0E0 ELSE 8.0E0 END)"
+    )
+    dev_b = f"(CAST(b.cnt AS DOUBLE) - {m})"
+    cst = f"({n} / nullif({den}, 0.0E0) * {dev_b})"
+    lag_obs = f"(CAST(b.nbr_sum AS DOUBLE) - {rw_b} * {m})"
+    i_obs = f"({cst} * {lag_obs})"
+    lag_p = f"(CAST(coalesce(wr.nbr_sum_r, 0) AS DOUBLE) - {rw_b} * {m})"
+    i_p = f"({cst} * {lag_p})"
+    lag_0 = f"(0.0E0 - {rw_b} * {m})"
+    i_0 = f"({cst} * {lag_0})"
+    return (
+        f"WITH {_perm_prefix_sql(counts, nx, cy0, cy1, n_reps, seed)}, "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"mm AS (SELECT CAST(sum(cnt) AS BIGINT) AS sx, "
+        f"CAST(sum(cnt * cnt) AS BIGINT) AS sxx FROM counts), "
+        # observed per-cell window sums -> the output cell set
+        f"scat AS (SELECT ((cc.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(cc.cy + o.dy) AS ty, cc.cnt "
+        f"FROM counts cc CROSS JOIN offs o "
+        f"WHERE (cc.cy + o.dy) >= {cy0} AND (cc.cy + o.dy) < {cy1}), "
+        f"win AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS nbr_sum "
+        f"FROM scat GROUP BY tx, ty), "
+        f"base AS (SELECT coalesce(w.tx, c.cx) AS cell_x, "
+        f"coalesce(w.ty, c.cy) AS cell_y, "
+        f"CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt, "
+        f"CAST(coalesce(w.nbr_sum, 0) AS BIGINT) AS nbr_sum "
+        f"FROM win w FULL OUTER JOIN counts c "
+        f"ON c.cx = w.tx AND c.cy = w.ty), "
+        # permuted window sums, sparse: only occupied windows join
+        f"scat_r AS (SELECT p.r, ((p.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(p.cy + o.dy) AS ty, p.x FROM permocc p CROSS JOIN offs o "
+        f"WHERE (p.cy + o.dy) >= {cy0} AND (p.cy + o.dy) < {cy1}), "
+        f"win_r AS (SELECT r, tx, ty, CAST(sum(x) AS BIGINT) "
+        f"AS nbr_sum_r FROM scat_r GROUP BY r, tx, ty), "
+        f"pres AS (SELECT b.cell_x, b.cell_y, "
+        f"CAST(count(wr.r) AS BIGINT) AS n_pres, "
+        # wr.r IS NOT NULL guards the coalesced no-match row of the LEFT
+        # JOIN (a cell with zero occupied-window replications) from
+        # being tallied as one replication
+        f"CAST(coalesce(sum(CASE WHEN wr.r IS NOT NULL "
+        f"AND {i_p} >= {i_obs} THEN 1 ELSE 0 "
+        f"END), 0) AS BIGINT) AS ge_pres, "
+        f"CAST(coalesce(sum(CASE WHEN wr.r IS NOT NULL "
+        f"AND {i_p} <= {i_obs} THEN 1 ELSE 0 "
+        f"END), 0) AS BIGINT) AS le_pres "
+        f"FROM base b CROSS JOIN mm LEFT JOIN win_r wr "
+        f"ON wr.tx = b.cell_x AND wr.ty = b.cell_y "
+        f"GROUP BY b.cell_x, b.cell_y) "
+        f"SELECT b.cell_x, b.cell_y, b.cnt, b.nbr_sum, "
+        f"round({i_obs}, 6) AS lisa_i, "
+        f"(CASE WHEN {dev_b} >= 0.0E0 AND {lag_obs} >= 0.0E0 THEN 'HH' "
+        f"WHEN {dev_b} < 0.0E0 AND {lag_obs} < 0.0E0 THEN 'LL' "
+        f"WHEN {dev_b} >= 0.0E0 THEN 'HL' ELSE 'LH' END) AS quadrant, "
+        f"(p.ge_pres + CASE WHEN {i_0} >= {i_obs} "
+        f"THEN {n_reps} - p.n_pres ELSE 0 END) AS n_ge, "
+        f"(p.le_pres + CASE WHEN {i_0} <= {i_obs} "
+        f"THEN {n_reps} - p.n_pres ELSE 0 END) AS n_le, "
+        f"round(CASE WHEN {i_obs} IS NULL THEN NULL "
+        f"WHEN {i_obs} >= 0.0E0 THEN (1.0E0 + p.ge_pres "
+        f"+ CASE WHEN {i_0} >= {i_obs} THEN {n_reps} - p.n_pres "
+        f"ELSE 0 END) / {n_reps + 1}.0E0 "
+        f"ELSE (1.0E0 + p.le_pres "
+        f"+ CASE WHEN {i_0} <= {i_obs} THEN {n_reps} - p.n_pres "
+        f"ELSE 0 END) / {n_reps + 1}.0E0 END, 6) AS p_sim "
+        f"FROM base b JOIN pres p "
+        f"ON b.cell_x = p.cell_x AND b.cell_y = p.cell_y CROSS JOIN mm"
+    )
+
+
+def local_morans_i_p(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    n_reps: int = 199,
+    seed: str = "r5",
+    lon: str = "lon",
+    lat: str = "lat",
+    view: str = "_lisa_p_src",
+) -> DataFrame:
+    """DataFrame twin of :func:`local_morans_i_p_sql` (shared-CTE
+    oracle; second-tier truth = planted/CSR battery in
+    tests/test_gridstats.py)."""
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        local_morans_i_p_sql(
+            f"SELECT * FROM {view}", cell_deg, lat0, lat1,
+            n_reps=n_reps, seed=seed, lon=lon, lat=lat,
+        )
+    )
+
+
 # ---------------------------------------------- Mann-Kendall trend --
 
 def _mk_params(t0_us: int, bin_us: int, n_bins: int) -> None:
@@ -6690,4 +7006,231 @@ def teleconnection(
     return df.sparkSession.sql(teleconnection_sql(
         f"SELECT * FROM {name}", cell_deg, t0_us, bin_us, n_bins,
         ref_cx, ref_cy, max_lag, ts_us, lon, lat,
+    ))
+
+
+# ------------------- space-time scan Monte-Carlo p-value (SaTScan) --
+
+def spacetime_scan_p_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    w_max: int = 2,
+    min_count: int = 3,
+    n_reps: int = 199,
+    seed: str = "r5",
+    mu_split: float = 20.0,
+    k_max: int = 50,
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+    materialized: bool = False,
+) -> str:
+    """Monte-Carlo p-value for the space-time scan's max-LLR cluster
+    (the 999-replication inference SaTScan reports; Kulldorff 1997 /
+    2005) as ONE bounded plan — the corpus is aggregated ONCE to the
+    (cell, bin) table and every replication lives on that table.
+
+    Null model: POISSONIZED (unconditional) draws n_cb ~
+    Poisson(mu_cb = S_c T_b / N), the standard Poisson-model Monte
+    Carlo; it differs from the exact margin-conditioned permutation
+    null by O(1/sqrt(N)) in the statistic's null law (FIDELITY.md). An
+    exact permutation would need one corpus shuffle PER replication —
+    O(N·R) at 10^12 docs — while this plan is lattice-bounded however
+    large the corpus. Each replication recomputes its OWN margins and
+    total, so the replicated statistic is the same margin-conditioned
+    LLR as the observed one (r = 0 flows through the identical
+    pipeline).
+
+    Draws are deterministic hash-uniforms (md5-slice, sketch.py:257 —
+    no RNG state): mu < mu_split inverts the exact Poisson CDF against
+    a literal ln(k!) table (k <= k_max; truncation mass
+    P[Poisson(mu_split) > k_max] ~ 4e-10 at the defaults); larger mu
+    uses the Box-Muller normal approximation round(mu + z sqrt(mu)),
+    standard at such counts.
+
+    Output: ONE row (n_events, n_reps, max_llr, n_ge, p_value) with
+    p = (1 + #{r >= 1: maxLLR_r >= maxLLR_obs}) / (n_reps + 1);
+    max_llr round(.,6), the comparison on unrounded doubles.
+    ``materialized=True`` adds DuckDB's ``AS MATERIALIZED`` hint on the
+    replication table (DuckDB re-inlines every CTE reference — the
+    draw pipeline is referenced four times); the Spark string omits it
+    (same text otherwise — one source of truth modulo the hint).
+    """
+    from .sketch import md5_slice_int_sql
+
+    _perm_reps_check(n_reps)
+    if not 8 <= k_max <= 120:
+        raise ValueError(f"k_max must be in [8, 120], got {k_max}")
+    if not 1.0 <= mu_split <= k_max / 2.0:
+        raise ValueError(
+            f"mu_split must be in [1, k_max/2] so CDF truncation stays "
+            f"negligible, got {mu_split}"
+        )
+    nx, cy0, cy1 = _scan_params(
+        cell_deg, lat0, lat1, t0_us, bin_us, n_bins, w_max, min_count,
+    )
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    b = _bin_sql(ts_us, t0_us, bin_us)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    wdt = ", ".join(
+        f"({w}, {dt})" for w in range(1, w_max + 1) for dt in range(w)
+    )
+    kf = ", ".join(
+        f"({k}, {_pf(math.lgamma(k + 1))})" for k in range(k_max + 1)
+    )
+    reps = ", ".join(f"({r})" for r in range(1, n_reps + 1))
+    key = (
+        f"concat('sp', '{seed}', ':', CAST(m.cx AS STRING), ':', "
+        f"CAST(m.cy AS STRING), ':', CAST(m.tb AS STRING), ':', "
+        f"CAST(q.r AS STRING))"
+    )
+    u1 = f"((CAST({md5_slice_int_sql(key, 0)} AS DOUBLE) + 1.0E0) / 4294967296.0E0)"
+    u2 = f"((CAST({md5_slice_int_sql(key, 1)} AS DOUBLE) + 1.0E0) / 4294967296.0E0)"
+    # the big-mu branch reads the PRECOMPUTED u1/u2 columns of the u CTE
+    znorm = (
+        "(sqrt(0.0E0 - 2.0E0 * ln(u1)) * cos(2.0E0 * pi() * u2))"
+    )
+    mat = " MATERIALIZED" if materialized else ""
+    # margin-conditioned LLR of a cylinder within replication r
+    e = (
+        "(CAST(s_marg AS DOUBLE) * CAST(t_marg AS DOUBLE) "
+        "/ CAST(n AS DOUBLE))"
+    )
+    o = "CAST(obs AS DOUBLE)"
+    nn = "CAST(n AS DOUBLE)"
+    tail = (
+        f"(CASE WHEN obs = n THEN 0.0E0 ELSE "
+        f"({nn} - {o}) * ln(({nn} - {o}) / ({nn} - {e})) END)"
+    )
+    llr = (
+        f"(CASE WHEN obs >= {int(min_count)} AND {o} > {e} "
+        f"THEN {o} * ln({o} / {e}) + {tail} ELSE 0.0E0 END)"
+    )
+    return (
+        f"WITH counts AS ({_counts_scan_sql(src_sql, cell_deg, cy0, cy1, t0_us, bin_us, n_bins, ts_us, lon, lat)}), "
+        f"cell AS (SELECT cx, cy, CAST(sum(cnt) AS BIGINT) AS cell_tot "
+        f"FROM counts GROUP BY 1, 2), "
+        f"bins AS (SELECT tb, CAST(sum(cnt) AS BIGINT) AS bin_tot "
+        f"FROM counts GROUP BY 1), "
+        f"tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n0 FROM counts), "
+        f"mu AS (SELECT c.cx, c.cy, b.tb, CAST(c.cell_tot AS DOUBLE) "
+        f"* CAST(b.bin_tot AS DOUBLE) / CAST(t.n0 AS DOUBLE) AS mu "
+        f"FROM cell c CROSS JOIN bins b CROSS JOIN tot t), "
+        f"kf(k, lnf) AS (VALUES {kf}), "
+        f"reps(r) AS (VALUES {reps}), "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"wdt(w, dt) AS (VALUES {wdt}), "
+        # exact inverse-CDF draw below mu_split: n = #{k : CDF(k) < u}
+        f"cdf AS (SELECT cx, cy, tb, k, sum(exp(CAST(k AS DOUBLE) "
+        f"* ln(mu) - mu - lnf)) OVER (PARTITION BY cx, cy, tb "
+        f"ORDER BY k) AS cdf FROM (SELECT m.cx, m.cy, m.tb, m.mu, "
+        f"f.k, f.lnf FROM mu m CROSS JOIN kf f "
+        f"WHERE m.mu < {_pf(mu_split)}) mk), "
+        f"u AS (SELECT m.cx, m.cy, m.tb, m.mu, q.r, {u1} AS u1, "
+        f"{u2} AS u2 FROM mu m CROSS JOIN reps q), "
+        f"draws AS{mat} ("
+        f"SELECT u.cx, u.cy, u.tb, u.r, CAST(sum(CASE WHEN c.cdf < u.u1 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS cnt "
+        f"FROM (SELECT * FROM u WHERE mu < {_pf(mu_split)}) u "
+        f"JOIN cdf c ON u.cx = c.cx AND u.cy = c.cy AND u.tb = c.tb "
+        f"GROUP BY 1, 2, 3, 4 "
+        f"UNION ALL "
+        f"SELECT cx, cy, tb, r, CAST(greatest(0.0E0, round(mu "
+        f"+ {znorm} * sqrt(mu), 0)) AS BIGINT) AS cnt "
+        f"FROM u WHERE mu >= {_pf(mu_split)}), "
+        f"alldat AS{mat} (SELECT cx, cy, tb, 0 AS r, cnt FROM counts "
+        f"UNION ALL SELECT cx, cy, tb, r, cnt FROM draws WHERE cnt > 0), "
+        f"cyl AS (SELECT a.r, ((a.cx + o.dx + {nx}) % {nx}) AS cx, "
+        f"(a.cy + o.dy) AS cy, (a.tb - d.dt) AS ts, d.w, "
+        f"CAST(sum(a.cnt) AS BIGINT) AS obs "
+        f"FROM alldat a CROSS JOIN offs o CROSS JOIN wdt d "
+        f"WHERE (a.cy + o.dy) >= {cy0} AND (a.cy + o.dy) < {cy1} "
+        f"AND (a.tb - d.dt) >= 0 AND (a.tb - d.dt) + d.w <= {n_bins} "
+        f"GROUP BY 1, 2, 3, 4, 5), "
+        f"cellr AS (SELECT r, cx, cy, CAST(sum(cnt) AS BIGINT) "
+        f"AS cell_tot FROM alldat GROUP BY 1, 2, 3), "
+        f"smargr AS (SELECT l.r, ((l.cx + o.dx + {nx}) % {nx}) AS cx, "
+        f"(l.cy + o.dy) AS cy, CAST(sum(l.cell_tot) AS BIGINT) AS s_marg "
+        f"FROM cellr l CROSS JOIN offs o "
+        f"WHERE (l.cy + o.dy) >= {cy0} AND (l.cy + o.dy) < {cy1} "
+        f"GROUP BY 1, 2, 3), "
+        f"binsr AS (SELECT r, tb, CAST(sum(cnt) AS BIGINT) AS bin_tot "
+        f"FROM alldat GROUP BY 1, 2), "
+        f"tmargr AS (SELECT b.r, (b.tb - d.dt) AS ts, d.w, "
+        f"CAST(sum(b.bin_tot) AS BIGINT) AS t_marg "
+        f"FROM binsr b CROSS JOIN wdt d "
+        f"WHERE (b.tb - d.dt) >= 0 AND (b.tb - d.dt) + d.w <= {n_bins} "
+        f"GROUP BY 1, 2, 3), "
+        f"totr AS (SELECT r, CAST(sum(cnt) AS BIGINT) AS n "
+        f"FROM alldat GROUP BY 1), "
+        f"mx AS (SELECT y.r, max({llr}) AS max_llr "
+        f"FROM cyl y JOIN smargr m ON y.r = m.r AND y.cx = m.cx "
+        f"AND y.cy = m.cy "
+        f"JOIN tmargr t ON y.r = t.r AND y.ts = t.ts AND y.w = t.w "
+        f"JOIN totr g ON y.r = g.r GROUP BY y.r), "
+        f"obsx AS (SELECT max_llr AS obs_llr FROM mx WHERE r = 0) "
+        f"SELECT t.n0 AS n_events, "
+        f"CAST({n_reps} AS BIGINT) AS n_reps, "
+        f"round(ox.obs_llr, 6) AS max_llr, "
+        f"CAST(coalesce(sum(CASE WHEN m.r > 0 "
+        f"AND m.max_llr >= ox.obs_llr THEN 1 ELSE 0 END), 0) AS BIGINT) "
+        f"AS n_ge, "
+        f"round((1.0E0 + coalesce(sum(CASE WHEN m.r > 0 "
+        f"AND m.max_llr >= ox.obs_llr THEN 1 ELSE 0 END), 0)) "
+        f"/ {n_reps + 1}.0E0, 6) AS p_value "
+        f"FROM mx m CROSS JOIN obsx ox CROSS JOIN tot t "
+        f"GROUP BY t.n0, ox.obs_llr"
+    )
+
+
+def _counts_scan_sql(
+    src_sql: str, cell_deg: float, cy0: int, cy1: int,
+    t0_us: int, bin_us: int, n_bins: int,
+    ts_us: str, lon: str, lat: str,
+) -> str:
+    """(cx, cy, tb, cnt) over the study band and bin clock — the shared
+    corpus-aggregate head of the scan pipelines."""
+    _, cx, cy = cell_id_sql(cell_deg, lon, lat)
+    b = _bin_sql(ts_us, t0_us, bin_us)
+    return (
+        f"SELECT {cx} AS cx, {cy} AS cy, {b} AS tb, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM ({src_sql}) s "
+        f"WHERE {cy} >= {cy0} AND {cy} < {cy1} "
+        f"AND {b} >= 0 AND {b} < {n_bins} GROUP BY 1, 2, 3"
+    )
+
+
+def spacetime_scan_p(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    w_max: int = 2,
+    min_count: int = 3,
+    n_reps: int = 199,
+    seed: str = "r5",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+    view: str = "_stscan_p_src",
+) -> DataFrame:
+    """DataFrame twin of :func:`spacetime_scan_p_sql` — the same
+    dialect-neutral string through Catalyst (shared-CTE oracle; the
+    second-tier truth is the planted-cluster / CSR battery in
+    tests/test_gridstats.py)."""
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(spacetime_scan_p_sql(
+        f"SELECT * FROM {view}", cell_deg, lat0, lat1, t0_us, bin_us,
+        n_bins, w_max=w_max, min_count=min_count, n_reps=n_reps,
+        seed=seed, ts_us=ts_us, lon=lon, lat=lat,
     ))

@@ -2818,3 +2818,183 @@ def test_teleconnection_brute(spark):
     with pytest.raises(ValueError, match="max_lag"):
         GS.teleconnection(
             _mk_events_t(spark, cells), CELL, 0, 1000, T, max_lag=6)
+
+
+# --------------------- permutation / Monte-Carlo inference (r5) --
+
+
+def _hash01(i, tag):
+    """Deterministic fixture uniform (hashlib — test-only; the operators
+    themselves use in-plan md5)."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+    )
+
+
+def _csr_events(spark, n=500, tag="c"):
+    rows = [
+        (
+            _hash01(i, tag + "lo") * 360.0 - 180.0,
+            _hash01(i, tag + "la") * 120.0 - 60.0,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "lon double, lat double")
+
+
+def _planted_events(spark, n_bg=200, n_blob=300):
+    rows = [
+        (10.0 + _hash01(i, "px") * 8.0, 10.0 + _hash01(i, "py") * 8.0)
+        for i in range(n_blob)
+    ]
+    rows += [
+        (
+            _hash01(i, "blo") * 360.0 - 180.0,
+            _hash01(i, "bla") * 120.0 - 60.0,
+        )
+        for i in range(n_bg)
+    ]
+    return spark.createDataFrame(rows, "lon double, lat double")
+
+
+def test_morans_i_p_planted_cluster_significant(spark):
+    out = GS.morans_i_p(
+        _planted_events(spark), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        n_reps=99,
+    ).collect()[0]
+    assert out["morans_i"] > 0.1
+    assert out["p_sim"] <= 0.01  # minimum attainable at 99 reps
+    assert out["n_ge"] == 0
+
+
+def test_morans_i_p_csr_not_significant(spark):
+    # a hash-uniform field should not reject at the 5% level for the
+    # upper (clustering) tail across several independent fixtures
+    ps = []
+    for tag in ("a", "b", "c"):
+        out = GS.morans_i_p(
+            _csr_events(spark, 500, tag), cell_deg=5.0, lat0=-65.0,
+            lat1=65.0, n_reps=99, seed="s" + tag,
+        ).collect()[0]
+        ps.append(out["p_upper"])
+    assert min(ps) > 0.05
+
+
+def test_morans_i_p_matches_morans_i_statistic(spark):
+    """The observed statistic in the _p twin must equal morans_i's."""
+    ev = _planted_events(spark)
+    a = GS.morans_i(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0).collect()[0]
+    b = GS.morans_i_p(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0, n_reps=9
+    ).collect()[0]
+    assert b["morans_i"] == pytest.approx(a["morans_i"], abs=1e-9)
+    assert b["n_cells"] == a["n_cells"] and b["w_sum"] == a["w_sum"]
+
+
+def test_lisa_p_planted_blob_cells_significant(spark):
+    ev = _planted_events(spark)
+    rows = GS.local_morans_i_p(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0, n_reps=99
+    ).collect()
+    base = {
+        (r["cell_x"], r["cell_y"]): r
+        for r in GS.local_morans_i(
+            ev, cell_deg=5.0, lat0=-65.0, lat1=65.0
+        ).collect()
+    }
+    # same cell set and identical statistic values as the plain LISA
+    assert {(r["cell_x"], r["cell_y"]) for r in rows} == set(base)
+    hot = [r for r in rows if r["cnt"] >= 50]
+    assert hot, "planted blob must materialize high-count cells"
+    for r in hot:
+        b = base[(r["cell_x"], r["cell_y"])]
+        assert r["lisa_i"] == pytest.approx(b["lisa_i"], abs=1e-9)
+        assert r["quadrant"] == b["quadrant"] == "HH"
+        assert r["p_sim"] <= 0.01
+
+
+def test_lisa_p_csr_nominal_rate(spark):
+    rows = GS.local_morans_i_p(
+        _csr_events(spark, 500, "z"), cell_deg=5.0, lat0=-65.0,
+        lat1=65.0, n_reps=99,
+    ).collect()
+    frac_sig = sum(1 for r in rows if r["p_sim"] <= 0.05) / len(rows)
+    # nominal 5% with multiple-testing noise; a clustered field gives
+    # 10x this (the planted test's blob cells alone exceed it)
+    assert frac_sig < 0.12
+    # replication bookkeeping: tails must tally every replication
+    for r in rows[:50]:
+        assert r["n_ge"] + r["n_le"] >= 99
+
+
+T0_US = 1_704_067_200_000_000
+BIN_US = 172_800_000_000
+
+
+def _st_events(spark, planted: bool):
+    rows = [
+        (
+            _hash01(i, "lo") * 360.0 - 180.0,
+            _hash01(i, "la") * 120.0 - 60.0,
+            T0_US + int(_hash01(i, "t") * 15 * BIN_US),
+        )
+        for i in range(2000)
+    ]
+    if planted:
+        rows += [
+            (
+                20.0 + _hash01(i, "px") * 30.0,
+                10.0 + _hash01(i, "py") * 20.0,
+                T0_US + int((6.0 + 2.0 * _hash01(i, "pt")) * BIN_US),
+            )
+            for i in range(120)
+        ]
+    return spark.createDataFrame(rows, "lon double, lat double, ts_us bigint")
+
+
+def test_spacetime_scan_p_planted_cylinder_significant(spark):
+    out = GS.spacetime_scan_p(
+        _st_events(spark, True), cell_deg=15.0, lat0=-60.0, lat1=60.0,
+        t0_us=T0_US, bin_us=BIN_US, n_bins=15, w_max=2, n_reps=99,
+    ).collect()[0]
+    assert out["max_llr"] > 20.0
+    assert out["p_value"] <= 0.01
+    assert out["n_events"] == 2120
+
+
+def test_spacetime_scan_p_csr_not_significant(spark):
+    out = GS.spacetime_scan_p(
+        _st_events(spark, False), cell_deg=15.0, lat0=-60.0, lat1=60.0,
+        t0_us=T0_US, bin_us=BIN_US, n_bins=15, w_max=2, n_reps=99,
+    ).collect()[0]
+    assert out["p_value"] > 0.1
+
+
+def test_spacetime_scan_p_matches_scan_max_llr(spark):
+    """The r=0 path must reproduce spacetime_scan's max cylinder LLR."""
+    ev = _st_events(spark, True)
+    cyl = GS.spacetime_scan(
+        ev, cell_deg=15.0, lat0=-60.0, lat1=60.0, t0_us=T0_US,
+        bin_us=BIN_US, n_bins=15, w_max=2, min_count=3, llr_min=0.0,
+    ).agg({"llr": "max"}).collect()[0][0]
+    out = GS.spacetime_scan_p(
+        ev, cell_deg=15.0, lat0=-60.0, lat1=60.0, t0_us=T0_US,
+        bin_us=BIN_US, n_bins=15, w_max=2, n_reps=9,
+    ).collect()[0]
+    assert out["max_llr"] == pytest.approx(cyl, abs=2e-6)
+
+
+def test_perm_inference_param_validation():
+    with pytest.raises(ValueError, match="n_reps"):
+        GS.morans_i_p_sql("SELECT 1", 5.0, -65.0, 65.0, n_reps=0)
+    with pytest.raises(ValueError, match="mu_split"):
+        GS.spacetime_scan_p_sql(
+            "SELECT 1", 15.0, -60.0, 60.0, T0_US, BIN_US, 15,
+            mu_split=0.5,
+        )
+    with pytest.raises(ValueError, match="k_max"):
+        GS.spacetime_scan_p_sql(
+            "SELECT 1", 15.0, -60.0, 60.0, T0_US, BIN_US, 15, k_max=4,
+        )
