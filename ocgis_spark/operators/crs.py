@@ -990,9 +990,23 @@ _PARAM_PROJS = {
 
 
 def _is_geographic(crs) -> bool:
+    """Geographic lon/lat systems, including the reference's `Tripole`
+    tag (/root/reference/src/ocgis/variable/crs.py:836-850): a spherical
+    lon/lat system whose three grid poles are a TOPOLOGY property, not a
+    coordinate transform — the reference transforms Tripole<->Spherical/
+    Cartesian through the same spherical math, so coordinate-wise it IS
+    geographic and composes identically here (`{'proj': 'tripole'}`)."""
     if isinstance(crs, dict):
-        return crs.get("proj") in ("longlat", "latlong")
+        return crs.get("proj") in ("longlat", "latlong", "tripole")
     return _norm_crs(crs) == "EPSG:4326"
+
+
+def is_tripole(crs) -> bool:
+    """True for the tripole marker dict — consumers that care about the
+    three grid singularities (seam handling, regrid weights near the
+    poles) can branch on the tag; everything coordinate-level treats it
+    as geographic."""
+    return isinstance(crs, dict) and crs.get("proj") == "tripole"
 
 
 def transform_param_crs(

@@ -738,3 +738,23 @@ def test_ellipsoid_of_a_with_ellps_keeps_flattening():
     a2, e22 = crs.ellipsoid_of({"proj": "lcc", "ellps": "WGS84", "rf": 300.0})
     f = 1.0 / 300.0
     assert e22 == pytest.approx(f * (2 - f), rel=1e-12)
+
+
+def test_tripole_tag_is_geographic_passthrough(spark):
+    """The reference's Tripole CRS (variable/crs.py:836-850) is a
+    metadata tag on a spherical lon/lat system — transform to/from
+    geographic and parametric CRSs must treat it exactly like
+    EPSG:4326 coordinates, and the tag must stay queryable."""
+    tri = {"proj": "tripole", "R": 6370997.0}
+    assert crs.is_tripole(tri) and not crs.is_tripole({"proj": "longlat"})
+    df = spark.createDataFrame(
+        [(-97.0, 47.5), (10.0, -30.0)], "lon double, lat double"
+    )
+    out = crs.transform_crs(df, tri, "EPSG:4326").collect()
+    for r in out:
+        assert r["x"] == r["lon"] and r["y"] == r["lat"]
+    # composes with a parametric CRS exactly like geographic does
+    lcc = dict(LCC_NARCCAP)
+    a = crs.transform_crs(df, tri, lcc).collect()
+    b = crs.transform_crs(df, "EPSG:4326", lcc).collect()
+    assert [(r["x"], r["y"]) for r in a] == [(r["x"], r["y"]) for r in b]
