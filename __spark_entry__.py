@@ -6485,8 +6485,77 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+#: Round-5 driver window (the correctness gate checks the FIRST 50
+#: entries of queries()). Policy per VERDICT r4 ask #1: 5 slots for
+#: r5-new/changed code (transform_omerc_ell, the three permutation-
+#: inference ops, the fused pii_scan) + 45 never-driver-checked
+#: entries in VERDICT's priority order (see ROTATION.md for the
+#: per-entry last-green manifest; everything outside the window
+#: stays gated by scripts/check_oracles.py + pytest every session).
+R5_WINDOW = [
+    'transform_omerc_ell',
+    'morans_i_p',
+    'lisa_p',
+    'spacetime_scan_p',
+    'pii_scan',
+    'semantic_dedup_e2e',
+    'exact_substr_rewrite',
+    'decontaminate_rewrite',
+    'dsir_sample',
+    'unimax_mix',
+    'grid_cluster',
+    'emerging_hotspots',
+    'spacetime_scan',
+    'mk_trend',
+    'track_resample',
+    'agg_selection_clip_holed',
+    'ivfpq_topk',
+    'feature_hash_embed',
+    'training_sequences',
+    'corpus_rollup',
+    'lang_id_ngram',
+    'zipf_fit',
+    'readability',
+    'length_profile',
+    'benford_screen',
+    'label_agreement',
+    'source_overlap',
+    'semivariogram_st',
+    'variogram_fit_dir',
+    'fmadogram',
+    'triangle_stats',
+    'host_assortativity',
+    'host_kcore',
+    'host_powerlaw',
+    'spatial_markov',
+    'hotspot_gi_field',
+    'lisa_bivariate',
+    'eb_moran',
+    'seasonal_decompose',
+    'teleconnection',
+    'zrange_subset_multi',
+    'paragraph_dedup',
+    'ccnet_buckets',
+    'idw_regrid',
+    'idw_regrid_nonuniform',
+    'tile_pyramid',
+    'radius_join',
+    'knn_geodesic',
+    'track_stats',
+    'tile_pyramid_distinct',
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE: the driver's correctness gate checks the FIRST 50 entries.
+    base = _queries_all()
+    ordered = {k: base[k] for k in R5_WINDOW}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
+
+
+def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE: the driver's correctness gate checks the FIRST 50 entries
+    # of queries() — which reorders THIS dict by R5_WINDOW above.
     # Round-4 window = the 10 new r4 operators (CF projections, custom
     # seasons, tfidf, CMS sketch x2, dup-span dedup) + all 27 entries
     # whose most recent driver-green row was r1 (VERDICT r3 "what's
