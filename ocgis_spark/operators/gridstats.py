@@ -556,6 +556,7 @@ def morans_i_p_sql(
     seed: str = "r5",
     lon: str = "lon",
     lat: str = "lat",
+    counts_override: str | None = None,
 ) -> str:
     """Global Moran's I with a deterministic EXACT-permutation pseudo
     p-value (Anselin's conditional-randomization inference for the
@@ -584,7 +585,9 @@ def morans_i_p_sql(
     """
     _perm_reps_check(n_reps)
     nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
-    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    counts = counts_override or _counts_sql(
+        src_sql, cell_deg, cy0, cy1, lon, lat,
+    )
     offs = ", ".join(
         f"({dx}, {dy})"
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
@@ -660,15 +663,26 @@ def morans_i_p(
     lat: str = "lat",
     view: str = "_morans_i_p_src",
 ) -> DataFrame:
-    """DataFrame twin of :func:`morans_i_p_sql` — registers ``df`` as a
-    temp view and runs the SAME dialect-neutral string through Catalyst
-    (shared-CTE oracle; the mandatory second-tier truth is the planted
-    cluster / CSR battery in tests/test_gridstats.py)."""
+    """DataFrame twin of :func:`morans_i_p_sql` — the same dialect-
+    neutral string through Catalyst (shared-CTE oracle; the mandatory
+    second-tier truth is the planted cluster / CSR battery in
+    tests/test_gridstats.py), with ONE deviation for the 100-TB plan
+    shape: Spark inlines every CTE reference, so the corpus-aggregate
+    ``counts`` table is materialized ONCE via localCheckpoint and the
+    executed string reads the checkpointed view instead of re-deriving
+    it per reference (the oracle keeps the full self-contained
+    derivation — identical text downstream of ``counts``)."""
     df.createOrReplaceTempView(view)
+    _, cy0, cy1, _, _ = _moran_lattice(cell_deg, lat0, lat1)
+    counts = df.sparkSession.sql(_counts_sql(
+        f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
+    )).localCheckpoint()
+    counts.createOrReplaceTempView(view + "_counts")
     return df.sparkSession.sql(
         morans_i_p_sql(
             f"SELECT * FROM {view}", cell_deg, lat0, lat1,
             n_reps=n_reps, seed=seed, lon=lon, lat=lat,
+            counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
         )
     )
 
@@ -682,6 +696,7 @@ def local_morans_i_p_sql(
     seed: str = "r5",
     lon: str = "lon",
     lat: str = "lat",
+    counts_override: str | None = None,
 ) -> str:
     """Anselin Local Moran's I (LISA) with per-cell permutation pseudo
     p-values (the GeoDa significance map). Same statistic and cell set
@@ -710,7 +725,9 @@ def local_morans_i_p_sql(
     """
     _perm_reps_check(n_reps)
     nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
-    counts = _counts_sql(src_sql, cell_deg, cy0, cy1, lon, lat)
+    counts = counts_override or _counts_sql(
+        src_sql, cell_deg, cy0, cy1, lon, lat,
+    )
     offs = ", ".join(
         f"({dx}, {dy})"
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
@@ -804,12 +821,21 @@ def local_morans_i_p(
 ) -> DataFrame:
     """DataFrame twin of :func:`local_morans_i_p_sql` (shared-CTE
     oracle; second-tier truth = planted/CSR battery in
-    tests/test_gridstats.py)."""
+    tests/test_gridstats.py). The corpus-aggregate ``counts`` table is
+    localCheckpoint-materialized once (Spark re-inlines CTEs — see
+    :func:`morans_i_p`); the oracle string keeps the full
+    derivation."""
     df.createOrReplaceTempView(view)
+    _, cy0, cy1, _, _ = _moran_lattice(cell_deg, lat0, lat1)
+    counts = df.sparkSession.sql(_counts_sql(
+        f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
+    )).localCheckpoint()
+    counts.createOrReplaceTempView(view + "_counts")
     return df.sparkSession.sql(
         local_morans_i_p_sql(
             f"SELECT * FROM {view}", cell_deg, lat0, lat1,
             n_reps=n_reps, seed=seed, lon=lon, lat=lat,
+            counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
         )
     )
 
@@ -7029,6 +7055,8 @@ def spacetime_scan_p_sql(
     lon: str = "lon",
     lat: str = "lat",
     materialized: bool = False,
+    alldat_override: str | None = None,
+    head_only: bool = False,
 ) -> str:
     """Monte-Carlo p-value for the space-time scan's max-LLR cluster
     (the 999-replication inference SaTScan reports; Kulldorff 1997 /
@@ -7113,8 +7141,8 @@ def spacetime_scan_p_sql(
         f"(CASE WHEN obs >= {int(min_count)} AND {o} > {e} "
         f"THEN {o} * ln({o} / {e}) + {tail} ELSE 0.0E0 END)"
     )
-    return (
-        f"WITH counts AS ({_counts_scan_sql(src_sql, cell_deg, cy0, cy1, t0_us, bin_us, n_bins, ts_us, lon, lat)}), "
+    head = (
+        f"counts AS ({_counts_scan_sql(src_sql, cell_deg, cy0, cy1, t0_us, bin_us, n_bins, ts_us, lon, lat)}), "
         f"cell AS (SELECT cx, cy, CAST(sum(cnt) AS BIGINT) AS cell_tot "
         f"FROM counts GROUP BY 1, 2), "
         f"bins AS (SELECT tb, CAST(sum(cnt) AS BIGINT) AS bin_tot "
@@ -7146,11 +7174,24 @@ def spacetime_scan_p_sql(
         f"+ {znorm} * sqrt(mu), 0)) AS BIGINT) AS cnt "
         f"FROM u WHERE mu >= {_pf(mu_split)}), "
         f"alldat AS{mat} (SELECT cx, cy, tb, 0 AS r, cnt FROM counts "
-        f"UNION ALL SELECT cx, cy, tb, r, cnt FROM draws WHERE cnt > 0), "
+        f"UNION ALL SELECT cx, cy, tb, r, cnt FROM draws WHERE cnt > 0)"
+    )
+    if head_only:
+        # the draw pipeline alone, for the DataFrame twin to materialize
+        return f"WITH {head} SELECT cx, cy, tb, r, cnt FROM alldat"
+    if alldat_override is not None:
+        # the DataFrame twin materializes the draw pipeline ONCE
+        # (localCheckpoint) — the executed string reads that view; the
+        # oracle keeps the full self-contained head above
+        head = f"alldat AS ({alldat_override})"
+    return (
+        f"WITH {head}, "
+        f"offs2(dx, dy) AS (VALUES {offs}), "
+        f"wdt2(w, dt) AS (VALUES {wdt}), "
         f"cyl AS (SELECT a.r, ((a.cx + o.dx + {nx}) % {nx}) AS cx, "
         f"(a.cy + o.dy) AS cy, (a.tb - d.dt) AS ts, d.w, "
         f"CAST(sum(a.cnt) AS BIGINT) AS obs "
-        f"FROM alldat a CROSS JOIN offs o CROSS JOIN wdt d "
+        f"FROM alldat a CROSS JOIN offs2 o CROSS JOIN wdt2 d "
         f"WHERE (a.cy + o.dy) >= {cy0} AND (a.cy + o.dy) < {cy1} "
         f"AND (a.tb - d.dt) >= 0 AND (a.tb - d.dt) + d.w <= {n_bins} "
         f"GROUP BY 1, 2, 3, 4, 5), "
@@ -7158,14 +7199,14 @@ def spacetime_scan_p_sql(
         f"AS cell_tot FROM alldat GROUP BY 1, 2, 3), "
         f"smargr AS (SELECT l.r, ((l.cx + o.dx + {nx}) % {nx}) AS cx, "
         f"(l.cy + o.dy) AS cy, CAST(sum(l.cell_tot) AS BIGINT) AS s_marg "
-        f"FROM cellr l CROSS JOIN offs o "
+        f"FROM cellr l CROSS JOIN offs2 o "
         f"WHERE (l.cy + o.dy) >= {cy0} AND (l.cy + o.dy) < {cy1} "
         f"GROUP BY 1, 2, 3), "
         f"binsr AS (SELECT r, tb, CAST(sum(cnt) AS BIGINT) AS bin_tot "
         f"FROM alldat GROUP BY 1, 2), "
         f"tmargr AS (SELECT b.r, (b.tb - d.dt) AS ts, d.w, "
         f"CAST(sum(b.bin_tot) AS BIGINT) AS t_marg "
-        f"FROM binsr b CROSS JOIN wdt d "
+        f"FROM binsr b CROSS JOIN wdt2 d "
         f"WHERE (b.tb - d.dt) >= 0 AND (b.tb - d.dt) + d.w <= {n_bins} "
         f"GROUP BY 1, 2, 3), "
         f"totr AS (SELECT r, CAST(sum(cnt) AS BIGINT) AS n "
@@ -7185,7 +7226,8 @@ def spacetime_scan_p_sql(
         f"round((1.0E0 + coalesce(sum(CASE WHEN m.r > 0 "
         f"AND m.max_llr >= ox.obs_llr THEN 1 ELSE 0 END), 0)) "
         f"/ {n_reps + 1}.0E0, 6) AS p_value "
-        f"FROM mx m CROSS JOIN obsx ox CROSS JOIN tot t "
+        f"FROM mx m CROSS JOIN obsx ox "
+        f"CROSS JOIN (SELECT n AS n0 FROM totr WHERE r = 0) t "
         f"GROUP BY t.n0, ox.obs_llr"
     )
 
@@ -7227,10 +7269,26 @@ def spacetime_scan_p(
     """DataFrame twin of :func:`spacetime_scan_p_sql` — the same
     dialect-neutral string through Catalyst (shared-CTE oracle; the
     second-tier truth is the planted-cluster / CSR battery in
-    tests/test_gridstats.py)."""
+    tests/test_gridstats.py), with ONE deviation for the 100-TB plan
+    shape: Spark inlines every CTE reference (the scan tail reads
+    ``alldat`` four times, which re-ran the whole corpus-agg + draw
+    pipeline each time — 47 corpus scans in the executed plan), so the
+    draw table is localCheckpoint-materialized ONCE and the executed
+    tail reads that view. The oracle keeps the full self-contained
+    string (DuckDB gets the AS MATERIALIZED hint instead)."""
     df.createOrReplaceTempView(view)
+    args = dict(
+        w_max=w_max, min_count=min_count, n_reps=n_reps, seed=seed,
+        ts_us=ts_us, lon=lon, lat=lat,
+    )
+    alldat = df.sparkSession.sql(spacetime_scan_p_sql(
+        f"SELECT * FROM {view}", cell_deg, lat0, lat1, t0_us, bin_us,
+        n_bins, head_only=True, **args,
+    )).localCheckpoint()
+    alldat.createOrReplaceTempView(view + "_alldat")
     return df.sparkSession.sql(spacetime_scan_p_sql(
         f"SELECT * FROM {view}", cell_deg, lat0, lat1, t0_us, bin_us,
-        n_bins, w_max=w_max, min_count=min_count, n_reps=n_reps,
-        seed=seed, ts_us=ts_us, lon=lon, lat=lat,
+        n_bins,
+        alldat_override=f"SELECT cx, cy, tb, r, cnt FROM {view}_alldat",
+        **args,
     ))
