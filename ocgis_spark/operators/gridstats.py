@@ -840,6 +840,78 @@ def local_morans_i_p(
     )
 
 
+
+
+def _cte_span(sql: str, target: str) -> tuple[int, int, int]:
+    """(body_start, body_end, with_end) character spans of CTE ``target``
+    in a generated WITH chain: body_start/end delimit the text inside its
+    parentheses, with_end is the index just after 'WITH '. Sequential
+    balanced-paren scan — generated strings only (quoted literals in this
+    module never contain parentheses)."""
+    import re as _re
+
+    m = _re.search(r"\bWITH\s+", sql)
+    if not m:
+        raise ValueError("no WITH chain")
+    pos, with_end = m.end(), m.end()
+    head_re = _re.compile(
+        r"\s*(\w+)\s*(?:\([\w\s,]*\))?\s+AS(?:\s+MATERIALIZED)?\s*\("
+    )
+    while True:
+        hm = head_re.match(sql, pos)
+        if not hm:
+            raise ValueError(f"CTE {target!r} not found")
+        name, open_idx = hm.group(1), hm.end() - 1
+        depth, i = 0, open_idx
+        while True:
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if name == target:
+            return open_idx + 1, i, with_end
+        pos = i + 1
+        cm = _re.compile(r"\s*,").match(sql, pos)
+        if not cm:
+            raise ValueError(f"CTE {target!r} not found before chain end")
+        pos = cm.end()
+
+
+def _exec_with_materialized_cte(spark, sql: str, cte: str, view: str):
+    """Execute a shared-CTE string with its corpus-aggregate CTE
+    materialized ONCE: Spark inlines every CTE reference, so a chain
+    whose bounded aggregate is referenced k times re-scans the corpus k
+    times (eb_moran's executed plan had 12 parquet scans). The
+    aggregate (plus any prefix CTEs it reads) runs standalone, is
+    pinned with localCheckpoint, and the original string executes with
+    the aggregate's body swapped for a view read — identical text
+    everywhere else, so oracle parity is untouched (the oracle runs the
+    full self-contained string; DuckDB materialization is handled by
+    its own hints where needed)."""
+    b0, b1, w0 = _cte_span(sql, cte)
+    prefix = sql[w0:b0 - len(cte) - 1]
+    # locate the exact start of this CTE's definition to strip it from
+    # the standalone prefix: everything before "<cte> AS (" belongs to
+    # earlier CTEs
+    import re as _re
+
+    dm = _re.search(
+        rf"{cte}\s*(?:\([\w\s,]*\))?\s+AS(?:\s+MATERIALIZED)?\s*\($",
+        sql[:b0],
+    )
+    def_start = dm.start()
+    pre = sql[w0:def_start].rstrip().rstrip(",")
+    body = sql[b0:b1]
+    standalone = f"WITH {pre} {body}" if pre.strip() else body
+    spark.sql(standalone).localCheckpoint().createOrReplaceTempView(view)
+    new_sql = sql[:b0] + f"SELECT * FROM {view}" + sql[b1:]
+    return spark.sql(new_sql)
+
+
 # ---------------------------------------------- Mann-Kendall trend --
 
 def _mk_params(t0_us: int, bin_us: int, n_bins: int) -> None:
@@ -6425,7 +6497,10 @@ def spatial_markov(
         f"SELECT * FROM {name}", cell_deg, lat0, lat1, split_us, k,
         value, ts_us, lon, lat,
     )
-    return df.sparkSession.sql(f"WITH {ctes} {_SMKV_OUT}")
+    return _exec_with_materialized_cte(
+        df.sparkSession, f"WITH {ctes} {_SMKV_OUT}", "cells",
+        name + "_mat",
+    )
 
 
 # ------------------------------------- field Getis-Ord Gi* (values) --
@@ -6532,9 +6607,12 @@ def hotspot_gi_field(
     lattice-bounded scatter + join + a broadcast 1-row moment dim)."""
     name = "_gif_src"
     df.createOrReplaceTempView(name)
-    return df.sparkSession.sql(hotspot_gi_field_sql(
-        f"SELECT * FROM {name}", value, cell_deg, lat0, lat1, lon, lat
-    ))
+    return _exec_with_materialized_cte(
+        df.sparkSession, hotspot_gi_field_sql(
+            f"SELECT * FROM {name}", value, cell_deg, lat0, lat1,
+            lon, lat,
+        ), "cells", name + "_mat",
+    )
 
 
 # -------------------------------- bivariate local Moran (cross-LISA) --
@@ -6647,9 +6725,12 @@ def lisa_bivariate(
     moments)."""
     name = "_lisab_src"
     df.createOrReplaceTempView(name)
-    return df.sparkSession.sql(lisa_bivariate_sql(
-        f"SELECT * FROM {name}", value, cell_deg, lat0, lat1, lon, lat
-    ))
+    return _exec_with_materialized_cte(
+        df.sparkSession, lisa_bivariate_sql(
+            f"SELECT * FROM {name}", value, cell_deg, lat0, lat1,
+            lon, lat,
+        ), "cells", name + "_mat",
+    )
 
 
 # --------------------------- EB-standardized Moran (Assunção-Reis) --
@@ -6754,10 +6835,12 @@ def eb_moran(
     lattice-bounded transforms, scatter, and a 1-row inference)."""
     name = "_ebm_src"
     df.createOrReplaceTempView(name)
-    return df.sparkSession.sql(eb_moran_sql(
-        f"SELECT * FROM {name}", cat, case_value, cell_deg,
-        lat0, lat1, lon, lat,
-    ))
+    return _exec_with_materialized_cte(
+        df.sparkSession, eb_moran_sql(
+            f"SELECT * FROM {name}", cat, case_value, cell_deg,
+            lat0, lat1, lon, lat,
+        ), "c", name + "_mat",
+    )
 
 
 # ------------------------------------- seasonal decomposition (MA) --
@@ -6871,10 +6954,12 @@ def seasonal_decompose(
     phase group-by, one lattice-bounded join back)."""
     name = "_sdec_src"
     df.createOrReplaceTempView(name)
-    return df.sparkSession.sql(seasonal_decompose_sql(
-        f"SELECT * FROM {name}", cell_deg, t0_us, bin_us, n_bins,
-        period, ts_us, lon, lat,
-    ))
+    return _exec_with_materialized_cte(
+        df.sparkSession, seasonal_decompose_sql(
+            f"SELECT * FROM {name}", cell_deg, t0_us, bin_us, n_bins,
+            period, ts_us, lon, lat,
+        ), "c", name + "_mat",
+    )
 
 
 # --------------------------------- lagged teleconnection map --
@@ -7029,10 +7114,12 @@ def teleconnection(
     <= T rows)."""
     name = "_tele_src"
     df.createOrReplaceTempView(name)
-    return df.sparkSession.sql(teleconnection_sql(
-        f"SELECT * FROM {name}", cell_deg, t0_us, bin_us, n_bins,
-        ref_cx, ref_cy, max_lag, ts_us, lon, lat,
-    ))
+    return _exec_with_materialized_cte(
+        df.sparkSession, teleconnection_sql(
+            f"SELECT * FROM {name}", cell_deg, t0_us, bin_us, n_bins,
+            ref_cx, ref_cy, max_lag, ts_us, lon, lat,
+        ), "c", name + "_mat",
+    )
 
 
 # ------------------- space-time scan Monte-Carlo p-value (SaTScan) --
