@@ -1476,6 +1476,27 @@ def _spacetime_scan_p_sql() -> str:
     )
 
 
+def q_global_autocorr_p(spark, sf_dir):
+    """All three global autocorrelation statistics (Moran's I, Geary's
+    C, Getis-Ord General G) with pseudo p-values from ONE shared set of
+    199 exact hash-rank permutations (operators/gridstats.py
+    global_autocorr_p): C adds one replication moment over Moran, G
+    reuses the pair sum with an invariant denominator. One corpus
+    aggregation (localCheckpoint-pinned); everything else lattice ×
+    n_reps bounded. Truth tier 2: statistic equality vs the standalone
+    operators + planted/CSR battery in tests/test_gridstats.py."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.global_autocorr_p(ev, cell_deg=5.0, lat0=-65.0,
+                                lat1=65.0, n_reps=199)
+
+
+def _global_autocorr_p_sql() -> str:
+    return GS.global_autocorr_p_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        n_reps=199,
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging hot spot analysis (operators/gridstats.py
     emerging_hotspots — the ArcGIS space-time-cube method): per-2-day-
@@ -6270,6 +6291,7 @@ def oracle_sql() -> dict[str, str]:
         "gpd_tail": _gpd_tail_sql(),
         "morans_i": _morans_i_sql(),
         "morans_i_p": _morans_i_p_sql(),
+        "global_autocorr_p": _global_autocorr_p_sql(),
         "gyration_radius": _gyration_radius_sql(),
         "mk_trend": _mk_trend_sql(),
         "pair_sync_distance": _pair_sync_distance_sql(),
@@ -6497,6 +6519,7 @@ R5_WINDOW = [
     'morans_i_p',
     'lisa_p',
     'spacetime_scan_p',
+    'global_autocorr_p',
     'pii_scan',
     'semantic_dedup_e2e',
     'exact_substr_rewrite',
@@ -6788,6 +6811,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpd_tail": q_gpd_tail,
         "morans_i": q_morans_i,
         "morans_i_p": q_morans_i_p,
+        "global_autocorr_p": q_global_autocorr_p,
         "gyration_radius": q_gyration_radius,
         "mk_trend": q_mk_trend,
         "pair_sync_distance": q_pair_sync_distance,

@@ -652,6 +652,171 @@ def morans_i_p_sql(
     )
 
 
+def global_autocorr_p_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    n_reps: int = 199,
+    seed: str = "r5",
+    lon: str = "lon",
+    lat: str = "lat",
+    counts_override: str | None = None,
+) -> str:
+    """The three global autocorrelation statistics — Moran's I, Geary's
+    C, Getis-Ord General G — with pseudo p-values from ONE shared set of
+    exact hash-rank permutations (the :func:`morans_i_p` group). The
+    marginal cost over Moran alone is a single extra replication moment:
+
+        I_r needs (psum_r, rsum_r);  C_r adds rs2_r = Σ rowsum·x²;
+        G_r needs only psum_r (its denominator Σ_{i≠j} x_i x_j =
+        sx² − sxx is permutation-INVARIANT).
+
+    Formula conventions match the engine's own :func:`morans_i` /
+    :func:`gearys_c` / :func:`general_g` exactly (pinned by pytest):
+    C = (n−1)(rsum2 − psum)/(W(sxx − n·m²)), G = psum/(sx² − sxx).
+    Directional p per statistic: Moran vs E[I] = −1/(n−1); Geary vs
+    E[C] = 1 (C < 1 = clustering → lower tail); G vs its permutation
+    mean (p_g_upper counts G_r >= G_obs when G_obs >= mean of G_r, else
+    the lower tail). All comparisons are rational arithmetic over exact
+    BIGINT sums — cross-engine tallies identical. One corpus aggregate;
+    everything downstream lattice × n_reps bounded.
+
+    Output: one row (n_cells, w_sum, n_reps, morans_i, p_moran,
+    gearys_c, p_geary, general_g, p_g); floats round(.,6); NULL
+    statistics (constant surface / all-zero G denominator) yield NULL
+    p columns.
+    """
+    _perm_reps_check(n_reps)
+    nx, cy0, cy1, n_cells, w_sum = _moran_lattice(cell_deg, lat0, lat1)
+    counts = counts_override or _counts_sql(
+        src_sql, cell_deg, cy0, cy1, lon, lat,
+    )
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    rowsum = (
+        f"(CASE WHEN cy = {cy0} OR cy = {cy1 - 1} THEN 5 ELSE 8 END)"
+    )
+    n = f"{n_cells}.0E0"
+    w = f"{w_sum}.0E0"
+    m = f"(CAST(sx AS DOUBLE) / {n})"
+    den = f"nullif(CAST(sxx AS DOUBLE) - {n} * {m} * {m}, 0.0E0)"
+    i_of = (
+        f"(({n} / {w}) * (CAST({{p}} AS DOUBLE) - 2.0E0 * {m} * "
+        f"CAST({{r}} AS DOUBLE) + {m} * {m} * {w}) / {den})"
+    )
+    c_of = (
+        f"({_pf(float(n_cells - 1))} * (CAST({{r2}} AS DOUBLE) "
+        f"- CAST({{p}} AS DOUBLE)) / ({w} * {den}))"
+    )
+    g_of = (
+        f"(CAST({{p}} AS DOUBLE) / nullif(CAST(sx AS DOUBLE) "
+        f"* CAST(sx AS DOUBLE) - CAST(sxx AS DOUBLE), 0.0E0))"
+    )
+    i_obs = i_of.format(p="psum", r="rsum")
+    i_rep = i_of.format(p="psum_r", r="rsum_r")
+    c_obs = c_of.format(p="psum", r2="rsum2")
+    c_rep = c_of.format(p="psum_r", r2="rs2_r")
+    g_obs = g_of.format(p="psum")
+    g_rep = g_of.format(p="psum_r")
+    e0 = f"(0.0E0 - 1.0E0 / ({n} - 1.0E0))"
+    eg = f"({w} / ({n} * ({n} - 1.0E0)))"
+    R1 = f"{n_reps + 1}.0E0"
+    return (
+        f"WITH {_perm_prefix_sql(counts, nx, cy0, cy1, n_reps, seed)}, "
+        f"offs(dx, dy) AS (VALUES {offs}), "
+        f"scat_r AS (SELECT p.r, ((p.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(p.cy + o.dy) AS ty, p.x FROM permocc p CROSS JOIN offs o "
+        f"WHERE (p.cy + o.dy) >= {cy0} AND (p.cy + o.dy) < {cy1}), "
+        f"rep_mom AS (SELECT q.r, "
+        f"CAST(coalesce(pr.psum_r, 0) AS BIGINT) AS psum_r, "
+        f"CAST(coalesce(rs.rsum_r, 0) AS BIGINT) AS rsum_r, "
+        f"CAST(coalesce(rs.rs2_r, 0) AS BIGINT) AS rs2_r FROM reps q "
+        f"LEFT JOIN (SELECT s.r, sum(s.x * t.x) AS psum_r FROM scat_r s "
+        f"JOIN permocc t ON s.r = t.r AND s.tx = t.cx AND s.ty = t.cy "
+        f"GROUP BY s.r) pr ON q.r = pr.r "
+        f"LEFT JOIN (SELECT r, sum({rowsum} * x) AS rsum_r, "
+        f"sum({rowsum} * x * x) AS rs2_r "
+        f"FROM permocc GROUP BY r) rs ON q.r = rs.r), "
+        f"mom AS (SELECT CAST(sum(cnt) AS BIGINT) AS sx, "
+        f"CAST(sum(cnt * cnt) AS BIGINT) AS sxx, "
+        f"CAST(sum({rowsum} * cnt) AS BIGINT) AS rsum, "
+        f"CAST(sum({rowsum} * cnt * cnt) AS BIGINT) AS rsum2 "
+        f"FROM counts), "
+        f"pair AS (SELECT CAST(coalesce(sum(s.x * t.x), 0) AS BIGINT) "
+        f"AS psum FROM (SELECT ((p.cx + o.dx + {nx}) % {nx}) AS tx, "
+        f"(p.cy + o.dy) AS ty, p.x FROM "
+        f"(SELECT cx, cy, cnt AS x FROM counts) p CROSS JOIN offs o "
+        f"WHERE (p.cy + o.dy) >= {cy0} AND (p.cy + o.dy) < {cy1}) s "
+        f"JOIN (SELECT cx, cy, cnt AS x FROM counts) t "
+        f"ON s.tx = t.cx AND s.ty = t.cy), "
+        f"tails AS (SELECT "
+        f"CAST(sum(CASE WHEN {i_rep} >= {i_obs} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS i_ge, "
+        f"CAST(sum(CASE WHEN {i_rep} <= {i_obs} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS i_le, "
+        f"CAST(sum(CASE WHEN {c_rep} >= {c_obs} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS c_ge, "
+        f"CAST(sum(CASE WHEN {c_rep} <= {c_obs} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS c_le, "
+        f"CAST(sum(CASE WHEN {g_rep} >= {g_obs} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS g_ge, "
+        f"CAST(sum(CASE WHEN {g_rep} <= {g_obs} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS g_le "
+        f"FROM rep_mom CROSS JOIN mom CROSS JOIN pair) "
+        f"SELECT CAST({n_cells} AS BIGINT) AS n_cells, "
+        f"CAST({w_sum} AS BIGINT) AS w_sum, "
+        f"CAST({n_reps} AS BIGINT) AS n_reps, "
+        f"round({i_obs}, 6) AS morans_i, "
+        f"round(CASE WHEN {i_obs} IS NULL THEN NULL "
+        f"WHEN {i_obs} >= {e0} THEN (1.0E0 + i_ge) / {R1} "
+        f"ELSE (1.0E0 + i_le) / {R1} END, 6) AS p_moran, "
+        f"round({c_obs}, 6) AS gearys_c, "
+        f"round(CASE WHEN {c_obs} IS NULL THEN NULL "
+        f"WHEN {c_obs} <= 1.0E0 THEN (1.0E0 + c_le) / {R1} "
+        f"ELSE (1.0E0 + c_ge) / {R1} END, 6) AS p_geary, "
+        f"round({g_obs}, 6) AS general_g, "
+        f"round(CASE WHEN {g_obs} IS NULL THEN NULL "
+        f"WHEN {g_obs} >= {eg} THEN (1.0E0 + g_ge) / {R1} "
+        f"ELSE (1.0E0 + g_le) / {R1} END, 6) AS p_g "
+        f"FROM tails CROSS JOIN mom CROSS JOIN pair"
+    )
+
+
+def global_autocorr_p(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    n_reps: int = 199,
+    seed: str = "r5",
+    lon: str = "lon",
+    lat: str = "lat",
+    view: str = "_autoc_p_src",
+) -> DataFrame:
+    """DataFrame twin of :func:`global_autocorr_p_sql` — counts
+    localCheckpoint-materialized once (Spark re-inlines CTEs; see
+    :func:`morans_i_p`); second-tier truth: statistic equality with the
+    engine's own morans_i/gearys_c/general_g + the planted/CSR battery
+    in tests/test_gridstats.py."""
+    df.createOrReplaceTempView(view)
+    _, cy0, cy1, _, _ = _moran_lattice(cell_deg, lat0, lat1)
+    counts = df.sparkSession.sql(_counts_sql(
+        f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
+    )).localCheckpoint()
+    counts.createOrReplaceTempView(view + "_counts")
+    return df.sparkSession.sql(
+        global_autocorr_p_sql(
+            f"SELECT * FROM {view}", cell_deg, lat0, lat1,
+            n_reps=n_reps, seed=seed, lon=lon, lat=lat,
+            counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
+        )
+    )
+
+
 def morans_i_p(
     df: DataFrame,
     cell_deg: float,

@@ -2998,3 +2998,34 @@ def test_perm_inference_param_validation():
         GS.spacetime_scan_p_sql(
             "SELECT 1", 15.0, -60.0, 60.0, T0_US, BIN_US, 15, k_max=4,
         )
+
+
+def test_global_autocorr_p_matches_individual_statistics(spark):
+    """The combined operator's three statistics must equal the engine's
+    standalone morans_i / gearys_c / general_g on the same field."""
+    ev = _planted_events(spark)
+    out = GS.global_autocorr_p(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0, n_reps=9
+    ).collect()[0]
+    mi = GS.morans_i(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0).collect()[0]
+    gc = GS.gearys_c(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0).collect()[0]
+    gg = GS.general_g(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0).collect()[0]
+    assert out["morans_i"] == pytest.approx(mi["morans_i"], abs=1e-9)
+    assert out["gearys_c"] == pytest.approx(gc["gearys_c"], abs=1e-9)
+    assert out["general_g"] == pytest.approx(gg["general_g"], abs=1e-9)
+
+
+def test_global_autocorr_p_planted_vs_csr(spark):
+    hot = GS.global_autocorr_p(
+        _planted_events(spark), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        n_reps=99,
+    ).collect()[0]
+    # a planted blob clusters on all three: I high, C < 1, G high
+    assert hot["p_moran"] <= 0.01
+    assert hot["gearys_c"] < 1.0 and hot["p_geary"] <= 0.01
+    assert hot["p_g"] <= 0.01
+    csr = GS.global_autocorr_p(
+        _csr_events(spark, 500, "q"), cell_deg=5.0, lat0=-65.0,
+        lat1=65.0, n_reps=99,
+    ).collect()[0]
+    assert min(csr["p_moran"], csr["p_geary"], csr["p_g"]) > 0.02
