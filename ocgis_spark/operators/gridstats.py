@@ -7309,6 +7309,7 @@ def spacetime_scan_p_sql(
     materialized: bool = False,
     alldat_override: str | None = None,
     head_only: bool = False,
+    counts_override: str | None = None,
 ) -> str:
     """Monte-Carlo p-value for the space-time scan's max-LLR cluster
     (the 999-replication inference SaTScan reports; Kulldorff 1997 /
@@ -7393,8 +7394,12 @@ def spacetime_scan_p_sql(
         f"(CASE WHEN obs >= {int(min_count)} AND {o} > {e} "
         f"THEN {o} * ln({o} / {e}) + {tail} ELSE 0.0E0 END)"
     )
+    counts_body = counts_override or _counts_scan_sql(
+        src_sql, cell_deg, cy0, cy1, t0_us, bin_us, n_bins, ts_us,
+        lon, lat,
+    )
     head = (
-        f"counts AS ({_counts_scan_sql(src_sql, cell_deg, cy0, cy1, t0_us, bin_us, n_bins, ts_us, lon, lat)}), "
+        f"counts AS ({counts_body}), "
         f"cell AS (SELECT cx, cy, CAST(sum(cnt) AS BIGINT) AS cell_tot "
         f"FROM counts GROUP BY 1, 2), "
         f"bins AS (SELECT tb, CAST(sum(cnt) AS BIGINT) AS bin_tot "
