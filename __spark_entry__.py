@@ -1497,6 +1497,32 @@ def _global_autocorr_p_sql() -> str:
     )
 
 
+def q_spacetime_scan_top(spark, sf_dir):
+    """SaTScan's primary + secondary cluster report
+    (operators/gridstats.py spacetime_scan_top): top-3 non-overlapping
+    cylinders by LLR, each with a Monte-Carlo p against the SAME
+    Poissonized max-LLR null as q_spacetime_scan_p (Kulldorff's
+    conservative secondary-cluster inference); greedy selection
+    unrolled as literal CTE stages with a deterministic total order.
+    Truth tier 2: two-planted-cluster recovery + non-overlap invariant
+    + primary==scan_p pins in tests/test_gridstats.py."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.spacetime_scan_top(
+        ev, cell_deg=15.0, lat0=-60.0, lat1=60.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, w_max=2, min_count=3, n_reps=199, k=3,
+    )
+
+
+def _spacetime_scan_top_sql() -> str:
+    return GS.spacetime_scan_top_sql(
+        FX.events_geo_sql(), cell_deg=15.0, lat0=-60.0, lat1=60.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, w_max=2, min_count=3, n_reps=199, k=3,
+        materialized=True,
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging hot spot analysis (operators/gridstats.py
     emerging_hotspots — the ArcGIS space-time-cube method): per-2-day-
@@ -6312,6 +6338,7 @@ def oracle_sql() -> dict[str, str]:
         "std_ellipse": _std_ellipse_sql(),
         "spacetime_scan": _spacetime_scan_sql(),
         "spacetime_scan_p": _spacetime_scan_p_sql(),
+        "spacetime_scan_top": _spacetime_scan_top_sql(),
         "general_g": _general_g_sql(),
         "ripley_cross_k": _ripley_cross_k_sql(),
         "cell_acf": _cell_acf_sql(),
@@ -6520,6 +6547,7 @@ R5_WINDOW = [
     'lisa_p',
     'spacetime_scan_p',
     'global_autocorr_p',
+    'spacetime_scan_top',
     'pii_scan',
     'semantic_dedup_e2e',
     'exact_substr_rewrite',
@@ -6832,6 +6860,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "std_ellipse": q_std_ellipse,
         "spacetime_scan": q_spacetime_scan,
         "spacetime_scan_p": q_spacetime_scan_p,
+        "spacetime_scan_top": q_spacetime_scan_top,
         "general_g": q_general_g,
         "ripley_cross_k": q_ripley_cross_k,
         "cell_acf": q_cell_acf,

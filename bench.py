@@ -317,6 +317,21 @@ def main() -> None:
             )
         ),
     )
+    # permutation-inference panel over the SAME replicated stream (NEW
+    # in r5): all three global autocorrelation statistics + pseudo-p
+    # from 199 exact hash-rank permutations — ONE corpus agg
+    # (localCheckpoint-pinned), then lattice x 199 bounded work. The
+    # corpus-scan floor plus a fixed lattice-sized replication cost is
+    # the 100-TB posture: the permutation work does NOT grow with the
+    # corpus.
+    timed(
+        "autocorr_p_scaled",
+        lambda: _materialize(
+            gridstats.global_autocorr_p(
+                ev_geo, cell_deg=5.0, lat0=-65.0, lat1=65.0, n_reps=199,
+            )
+        ),
+    )
     ev_geo.unpersist()
 
     total = round(sum(timings.values()), 3)

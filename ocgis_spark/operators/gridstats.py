@@ -7549,3 +7549,165 @@ def spacetime_scan_p(
         alldat_override=f"SELECT cx, cy, tb, r, cnt FROM {view}_alldat",
         **args,
     ))
+
+
+def spacetime_scan_top_sql(
+    src_sql: str,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    w_max: int = 2,
+    min_count: int = 3,
+    n_reps: int = 199,
+    k: int = 3,
+    seed: str = "r5",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+    materialized: bool = False,
+    counts_override: str | None = None,
+    alldat_override: str | None = None,
+) -> str:
+    """SaTScan's primary + secondary cluster report: the top-``k``
+    NON-OVERLAPPING cylinders by LLR, each with its Monte-Carlo p-value
+    against the max-LLR null distribution (the standard secondary-
+    cluster inference — Kulldorff 1997 §secondary clusters: every
+    cluster's LLR is compared to the SAME null max-LLR law the primary
+    uses, so secondary p-values are conservative by construction).
+
+    Greedy selection is unrolled as ``k`` literal CTE stages (k is
+    small and fixed): stage j picks the max-LLR cylinder (llr DESC,
+    then cx/cy/ts/w — a total order, deterministic in both dialects)
+    among cylinders overlapping NONE of stages < j. Two cylinders
+    overlap when their 3x3 bases share a cell (wrapped |dcx| <= 2 and
+    |dcy| <= 2) AND their bin windows intersect. Null replications
+    reuse the :func:`spacetime_scan_p_sql` Poissonized machinery
+    verbatim (same seed => same draws).
+
+    Output: ``k`` rows (rank, cx, cy, t_start, w_bins, obs, expected,
+    llr, n_ge, p_value), fewer if the observed data has fewer
+    qualifying non-overlapping cylinders; floats round(.,6).
+    """
+    if not 1 <= k <= 10:
+        raise ValueError(f"k must be in [1, 10] (literal unroll), got {k}")
+    nx, cy0, cy1 = _scan_params(
+        cell_deg, lat0, lat1, t0_us, bin_us, n_bins, w_max, min_count,
+    )
+    base = spacetime_scan_p_sql(
+        src_sql, cell_deg, lat0, lat1, t0_us, bin_us, n_bins,
+        w_max=w_max, min_count=min_count, n_reps=n_reps, seed=seed,
+        ts_us=ts_us, lon=lon, lat=lat, materialized=materialized,
+        counts_override=counts_override, alldat_override=alldat_override,
+    )
+    # reuse everything up to (and including) the mx CTE of the p
+    # pipeline, then graft the observed-cylinder ranking + greedy
+    # selection on top. The final SELECT of the base string is dropped.
+    cut = base.rindex(", obsx AS ")
+    prefix = base[:cut]
+    e = (
+        "(CAST(c.s_marg AS DOUBLE) * CAST(c.t_marg AS DOUBLE) "
+        "/ CAST(c.n AS DOUBLE))"
+    )
+    o = "CAST(c.obs AS DOUBLE)"
+    nn = "CAST(c.n AS DOUBLE)"
+    tail = (
+        f"(CASE WHEN c.obs = c.n THEN 0.0E0 ELSE "
+        f"({nn} - {o}) * ln(({nn} - {o}) / ({nn} - {e})) END)"
+    )
+    llr = f"({o} * ln({o} / {e}) + {tail})"
+    order = "ORDER BY y.llr DESC, y.cx, y.cy, y.ts, y.w LIMIT 1"
+
+    def no_overlap(prev: str) -> str:
+        # wrapped |dcx| <= 2 OR |dcy| <= 2 fails -> disjoint bases;
+        # bin windows [ts, ts+w) must also intersect to overlap
+        return (
+            f"NOT (least((y.cx - {prev}.cx + {nx}) % {nx}, "
+            f"({prev}.cx - y.cx + {nx}) % {nx}) <= 2 "
+            f"AND abs(y.cy - {prev}.cy) <= 2 "
+            f"AND y.ts < {prev}.ts + {prev}.w "
+            f"AND {prev}.ts < y.ts + y.w)"
+        )
+
+    stages = [
+        f"cobs AS (SELECT c.r, c.cx, c.cy, c.ts, c.w, c.obs, "
+        f"{e} AS expected, {llr} AS llr FROM ("
+        f"SELECT y.*, m.s_marg, t.t_marg, g.n FROM cyl y "
+        f"JOIN smargr m ON y.r = m.r AND y.cx = m.cx AND y.cy = m.cy "
+        f"JOIN tmargr t ON y.r = t.r AND y.ts = t.ts AND y.w = t.w "
+        f"JOIN totr g ON y.r = g.r WHERE y.r = 0 "
+        f"AND y.obs >= {int(min_count)}) c "
+        f"WHERE {o} > {e})",
+        "c0 AS (SELECT y.* FROM cobs y " + order + ")",
+    ]
+    for j in range(1, k):
+        conds = " AND ".join(no_overlap(f"c{i}") for i in range(j))
+        crosses = " ".join(f"CROSS JOIN c{i}" for i in range(j))
+        stages.append(
+            f"c{j} AS (SELECT y.* FROM cobs y {crosses} "
+            f"WHERE {conds} {order})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {j + 1} AS rnk, cx, cy, ts, w, obs, expected, llr "
+        f"FROM c{j}"
+        for j in range(k)
+    )
+    return (
+        prefix + ", "
+        + ", ".join(stages)
+        + f", sel AS ({sel}) "
+        f"SELECT s.rnk AS rank_no, s.cx, s.cy, s.ts AS t_start, s.w AS w_bins, "
+        f"s.obs, round(s.expected, 6) AS expected, "
+        f"round(s.llr, 6) AS llr, "
+        f"CAST(coalesce(sum(CASE WHEN m.r > 0 AND m.max_llr >= s.llr "
+        f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge, "
+        f"round((1.0E0 + coalesce(sum(CASE WHEN m.r > 0 "
+        f"AND m.max_llr >= s.llr THEN 1 ELSE 0 END), 0)) "
+        f"/ {n_reps + 1}.0E0, 6) AS p_value "
+        f"FROM sel s CROSS JOIN mx m "
+        f"GROUP BY s.rnk, s.cx, s.cy, s.ts, s.w, s.obs, s.expected, "
+        f"s.llr"
+    )
+
+
+def spacetime_scan_top(
+    df: DataFrame,
+    cell_deg: float,
+    lat0: float,
+    lat1: float,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    w_max: int = 2,
+    min_count: int = 3,
+    n_reps: int = 199,
+    k: int = 3,
+    seed: str = "r5",
+    ts_us: str = "ts_us",
+    lon: str = "lon",
+    lat: str = "lat",
+    view: str = "_stscan_top_src",
+) -> DataFrame:
+    """DataFrame twin of :func:`spacetime_scan_top_sql` — the draw
+    pipeline localCheckpoint-materialized once (see
+    :func:`spacetime_scan_p`); second-tier truth: primary row ==
+    spacetime_scan_p, non-overlap invariants, planted two-cluster
+    recovery (tests/test_gridstats.py)."""
+    df.createOrReplaceTempView(view)
+    args = dict(
+        w_max=w_max, min_count=min_count, n_reps=n_reps, seed=seed,
+        ts_us=ts_us, lon=lon, lat=lat,
+    )
+    alldat = df.sparkSession.sql(spacetime_scan_p_sql(
+        f"SELECT * FROM {view}", cell_deg, lat0, lat1, t0_us, bin_us,
+        n_bins, head_only=True, **args,
+    )).localCheckpoint()
+    alldat.createOrReplaceTempView(view + "_alldat")
+    return df.sparkSession.sql(spacetime_scan_top_sql(
+        f"SELECT * FROM {view}", cell_deg, lat0, lat1, t0_us, bin_us,
+        n_bins, k=k,
+        alldat_override=f"SELECT cx, cy, tb, r, cnt FROM {view}_alldat",
+        **args,
+    ))

@@ -3029,3 +3029,65 @@ def test_global_autocorr_p_planted_vs_csr(spark):
         lat1=65.0, n_reps=99,
     ).collect()[0]
     assert min(csr["p_moran"], csr["p_geary"], csr["p_g"]) > 0.02
+
+
+def _st2_events(spark):
+    """CSR background + TWO disjoint planted space-time clusters."""
+    rows = [
+        (
+            _hash01(i, "lo") * 360.0 - 180.0,
+            _hash01(i, "la") * 120.0 - 60.0,
+            T0_US + int(_hash01(i, "t") * 15 * BIN_US),
+        )
+        for i in range(2000)
+    ]
+    rows += [
+        (20.0 + _hash01(i, "px") * 30.0, 10.0 + _hash01(i, "py") * 20.0,
+         T0_US + int((6.0 + 2.0 * _hash01(i, "pt")) * BIN_US))
+        for i in range(120)
+    ]
+    rows += [
+        (-120.0 + _hash01(i, "qx") * 30.0,
+         -40.0 + _hash01(i, "qy") * 20.0,
+         T0_US + int((11.0 + 2.0 * _hash01(i, "qt")) * BIN_US))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "lon double, lat double, ts_us bigint")
+
+
+def test_spacetime_scan_top_recovers_both_planted_clusters(spark):
+    out = {r["rank_no"]: r for r in GS.spacetime_scan_top(
+        _st2_events(spark), cell_deg=15.0, lat0=-60.0, lat1=60.0,
+        t0_us=T0_US, bin_us=BIN_US, n_bins=15, w_max=2, n_reps=99, k=3,
+    ).collect()}
+    # primary = the strong cluster (bins 6-7), secondary = the weaker
+    # one (bins 11-12); both significant, the noise rank-3 is not
+    assert out[1]["t_start"] == 6 and out[1]["p_value"] <= 0.01
+    assert out[2]["t_start"] == 11 and out[2]["p_value"] <= 0.01
+    assert out[3]["llr"] < out[2]["llr"] < out[1]["llr"]
+    assert out[3]["p_value"] > 0.1
+    # non-overlap invariant: 3x3 bases disjoint OR bin windows disjoint
+    nx = 24
+    for a in (1, 2):
+        for b in range(a + 1, 4):
+            ra, rb = out[a], out[b]
+            dcx = min((ra["cx"] - rb["cx"]) % nx, (rb["cx"] - ra["cx"]) % nx)
+            spatial = dcx <= 2 and abs(ra["cy"] - rb["cy"]) <= 2
+            temporal = (ra["t_start"] < rb["t_start"] + rb["w_bins"]
+                        and rb["t_start"] < ra["t_start"] + ra["w_bins"])
+            assert not (spatial and temporal)
+
+
+def test_spacetime_scan_top_primary_matches_scan_p(spark):
+    ev = _st_events(spark, True)
+    top = GS.spacetime_scan_top(
+        ev, cell_deg=15.0, lat0=-60.0, lat1=60.0, t0_us=T0_US,
+        bin_us=BIN_US, n_bins=15, w_max=2, n_reps=19, k=2,
+    ).collect()
+    p = GS.spacetime_scan_p(
+        ev, cell_deg=15.0, lat0=-60.0, lat1=60.0, t0_us=T0_US,
+        bin_us=BIN_US, n_bins=15, w_max=2, n_reps=19,
+    ).collect()[0]
+    primary = [r for r in top if r["rank_no"] == 1][0]
+    assert primary["llr"] == pytest.approx(p["max_llr"], abs=2e-6)
+    assert primary["p_value"] == pytest.approx(p["p_value"], abs=1e-9)
