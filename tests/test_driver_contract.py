@@ -53,10 +53,25 @@ def test_oracles_subset_of_queries():
     assert rows_only == set()  # every query has an exact oracle
 
 
-def test_round4_ops_inside_driver_window():
+def test_round5_window_policy():
+    """The r5 driver window (VERDICT r4 ask #1) replaces the r4
+    fresh-code-first composition: R5_WINDOW leads queries() with the
+    r5-new/changed entries followed by never-driver-checked entries in
+    VERDICT's priority order. The r4 window ops rotated out by design
+    (all judge-green + full-sweep-green); this asserts the NEW policy:
+    every R5_WINDOW name exists, fills the first len(R5_WINDOW) slots
+    in order, and the r5-new operators hold the leading slots."""
     order = list(E.queries())
-    late = [n for n in ROUND4_WINDOW_OPS if order.index(n) >= 50]
-    assert late == [], f"round-4 ops outside the first-50 window: {late}"
+    win = E.R5_WINDOW
+    assert order[: len(win)] == win
+    lead = {"transform_omerc_ell", "morans_i_p", "lisa_p",
+            "spacetime_scan_p", "global_autocorr_p",
+            "spacetime_scan_top", "pii_scan"}
+    assert lead <= set(win[:8])
+    # the r4 window ops must all still be registered (gated by
+    # check_oracles + the sf0.1 sweep even while outside the window)
+    missing = [n for n in ROUND4_WINDOW_OPS if n not in order]
+    assert missing == []
 
 
 def test_no_bare_long_float_literals_in_oracles():
