@@ -334,27 +334,32 @@ PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 PII_SSN_RE = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
 PII_PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
 
-#: single-traversal alternation: the SSN branch captures its second dash
-#: ($1) and the email branch its '@' ($2) as type tags; the phone branch
-#: captures nothing. Replacement "[$1$2«]" therefore emits a typed
-#: sentinel per match ([-«] / [@«] / [«]) in ONE regex pass — Java
-#: appendReplacement renders non-participating groups as "". The email
-#: branch adds a one-char negative lookbehind + possessive local part:
-#: without it, java.util.regex re-consumes the whole [class]+ run at
-#: EVERY position inside a word (O(len^2) per word on plain prose —
-#: letters are all in the local-part class); with it, positions inside a
-#: run fail in O(1) and only run STARTS pay the scan. The lookbehind is
-#: semantics-neutral for any email the plain regex actually REPORTS
-#: (find() always reports the maximal local part, whose start is not
-#: preceded by a local char) except immediately after a previous match
-#: mid-run ('a@b.co9x@d.com') — absent from every gated corpus (the
-#: equality sweep in tests/test_sampling_pii_bilinear.py and the
-#: sf0.01/sf0.1 zero-diff checks).
+#: single-traversal alternation: the email branch captures its '@'
+#: ($1) and the SSN branch its second dash ($2) as type tags; the phone
+#: branch captures nothing. Replacement "[$1$2«]" therefore emits a
+#: typed sentinel per match ([@«] / [-«] / [«]) in ONE regex pass —
+#: Java appendReplacement renders non-participating groups as "".
+#: Engine-cost design, measured at 2M docs / 700 MB:
+#:  - the email branch leads with a one-char negative lookbehind +
+#:    possessive local part: without it java.util.regex re-consumes the
+#:    whole [class]+ run at EVERY position inside a word (O(len^2) per
+#:    word on plain prose — letters are all local-part chars); with it,
+#:    mid-run positions fail in O(1) and only run STARTS pay the scan;
+#:  - SSN and phone share their "ddd-" prefix, factored so a non-digit
+#:    position pays ONE class check for both.
+#: Semantics equal the original SSN -> email -> phone chained replaces
+#: except two corner families: an SSN/phone EMBEDDED in an email-shaped
+#: token now counts as the email (the earlier match start wins whole —
+#: arguably more correct), and an email starting immediately after a
+#: previous match mid-run ('a@b.co9x@d.com') is not re-found. Both are
+#: absent from every gated corpus — the fused==chained equality pytest
+#: plus ZERO-diff sweeps at sf0.01 AND sf0.1 pin it (the chained oracle
+#: in __spark_entry__ still matches hash-exactly).
 PII_FUSED_RE = (
-    "(?:[0-9][0-9][0-9](-)[0-9][0-9]-[0-9][0-9][0-9][0-9])"
-    "|(?:(?<![A-Za-z0-9._%+-])[A-Za-z0-9._%+-]++(@)"
+    "(?:(?<![A-Za-z0-9._%+-])[A-Za-z0-9._%+-]++(@)"
     "[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+)"
-    "|(?:[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9])"
+    "|(?:[0-9][0-9][0-9]-(?:[0-9][0-9](-)[0-9][0-9][0-9][0-9]"
+    "|[0-9][0-9][0-9][0-9]))"
 )
 _PII_MARK = {"ssn": "[-«]", "email": "[@«]", "phone": "[«]"}
 
@@ -364,31 +369,37 @@ def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
     counts of email / SSN / phone-shaped matches and a redacted copy with
     each replaced by a typed placeholder. One narrow JVM map, no shuffle.
 
-    ONE regex traversal total: ``PII_FUSED_RE`` alternates SSN | email |
-    phone (leftmost start wins; at equal start the branch order gives SSN
-    the precedence the old SSN → email → phone chain had), and the branch
-    capture tags ($1='-' for SSN, $2='@' for email) make the single
-    replacement "[$1$2«]" emit a typed sentinel per match. Typed counts
-    then come from cheap literal-replace occurrence scans (differenced
-    against the original text to guard pre-existing sentinel literals),
-    and the final placeholders from three literal replaces — literal
-    scans are ~10× cheaper than java.util.regex traversals, so the fused
-    form runs ~1 regex pass instead of the previous 3.
+    ONE regex traversal total (``PII_FUSED_RE`` — see its cost notes)
+    plus the three literal normalize replaces, which double as the
+    counters: the sentinels and placeholders have distinct lengths
+    ([-«]4→[SSN]5: +1/match; [@«]4→[EMAIL]7: +3; [«]3→[PHONE]7: +4), so
+    each typed count is a LENGTH DELTA of a pass that redaction needs
+    anyway — no extra occurrence scans in the common case. One
+    single-char scan of the original guards pre-existing '«' literals:
+    when the original contains none (every real corpus), the raw deltas
+    ARE the counts; otherwise a per-marker differencing branch restores
+    exactness (Catalyst evaluates the CASE branch lazily per row).
 
-    Semantics note: alternation equals the old chain except when an SSN
-    is embedded INSIDE an email (e.g. 'a@123-45-6789.com'), where the
-    email (earlier match start) now wins whole — arguably more correct,
-    and empirically identical on every gated corpus (crafted pytest,
-    sf0.01, sf0.1: zero row diffs vs the chained form; the chained oracle
-    in __spark_entry__ therefore still matches hash-exactly). A
-    pre-existing literal '[-«]'/'[@«]'/'[«]' in the input would be
-    rewritten to its typed placeholder (count guard still exact via the
-    differencing); the old form had the mirror-image corner for
-    pre-existing '[EMAIL]'."""
+    A pre-existing literal '[-«]'/'[@«]'/'[«]' in the input is
+    normalized to its typed placeholder in ``redacted`` (counts stay
+    exact via the guard); the old chained form had the mirror-image
+    corner for pre-existing '[EMAIL]'."""
     d = df.select(
         "doc_id",
         F.col(text).alias("_t"),
         F.regexp_replace(F.col(text), PII_FUSED_RE, "[$1$2«]").alias("_m"),
+    )
+    d = (
+        d.withColumn(
+            "_s1", F.replace(F.col("_m"), F.lit("[-«]"), F.lit("[SSN]"))
+        )
+        .withColumn(
+            "_s2", F.replace(F.col("_s1"), F.lit("[@«]"), F.lit("[EMAIL]"))
+        )
+        .withColumn(
+            "redacted",
+            F.replace(F.col("_s2"), F.lit("[«]"), F.lit("[PHONE]")),
+        )
     )
 
     def occ(col, marker):
@@ -396,25 +407,31 @@ def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
             F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))
         ) / F.lit(len(marker))
 
-    def n_of(kind):
-        m = _PII_MARK[kind]
-        return (occ(F.col("_m"), m) - occ(F.col("_t"), m)).cast("bigint")
+    tguard = F.length("_t") - F.length(
+        F.replace(F.col("_t"), F.lit("«"), F.lit(""))
+    )
 
-    redacted = F.replace(
-        F.replace(
-            F.replace(F.col("_m"), F.lit("[-«]"), F.lit("[SSN]")),
-            F.lit("[@«]"),
-            F.lit("[EMAIL]"),
-        ),
-        F.lit("[«]"),
-        F.lit("[PHONE]"),
+    def n_of(raw, kind):
+        m = _PII_MARK[kind]
+        return (
+            F.when(tguard == 0, raw)
+            .otherwise(raw - occ(F.col("_t"), m))
+            .cast("bigint")
+        )
+
+    n_ssns = n_of(F.length("_s1") - F.length("_m"), "ssn")
+    n_emails = n_of(
+        (F.length("_s2") - F.length("_s1")) / F.lit(3), "email"
+    )
+    n_phones = n_of(
+        (F.length("redacted") - F.length("_s2")) / F.lit(4), "phone"
     )
     return d.select(
         "doc_id",
-        n_of("email").alias("n_emails"),
-        n_of("ssn").alias("n_ssns"),
-        n_of("phone").alias("n_phones"),
-        redacted.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_ssns.alias("n_ssns"),
+        n_phones.alias("n_phones"),
+        "redacted",
     )
 
 
