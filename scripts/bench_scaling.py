@@ -423,8 +423,19 @@ def main() -> None:
         "See the driver-recorded `BENCH_r{N}.json` (bench.py at local[32],",
         "sf0.1): per-query wall-clock for the full operator suite.",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve hand-appended evidence sections (anything after the
+    # marker survives regeneration — e.g. the skew-stress table)
+    path = os.path.join(REPO, "BENCH.md")
+    keep = ""
+    marker = "<!-- appended-evidence -->"
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            keep = prev[prev.index(marker):]
+    with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+        if keep:
+            f.write("\n" + keep)
     print("\n".join(lines))
 
 
