@@ -172,18 +172,28 @@ def triangle_stats(
     Output: one row per node: (node, degree, triangles, clustering);
     clustering = 2T/(d(d−1)), NULL for degree < 2 nodes; self-loops
     and duplicate/reverse edges are collapsed first."""
+    # und/deg/o feed MANY downstream branches (degree lookups x2, the
+    # wedge self-join x2, the closure probe, the final join); Spark
+    # re-derives an uncached DataFrame PER REFERENCE, which re-ran the
+    # whole upstream edge derivation — 47 corpus scans in the executed
+    # plan of the registry fixture (r5 read-amplification audit).
+    # persist() pins each bounded table (edges after distinct; the node
+    # dim) lazily: computed once at first action, every later branch
+    # reads the cache — the 100-TB posture materializes these anyway.
     und = (
         df.selectExpr(
             f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
         )
         .filter("u <> v AND u IS NOT NULL AND v IS NOT NULL")
         .distinct()
+        .persist()
     )
     deg = (
         und.selectExpr("u AS node")
         .unionAll(und.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .persist()
     )
     # orient each edge from the smaller (degree, id) endpoint
     du = deg.selectExpr("node AS u", "degree AS dg_u")
@@ -197,6 +207,7 @@ def triangle_stats(
         "(CASE WHEN dg_u < dg_v OR (dg_u = dg_v AND u < v) "
         "THEN dg_v ELSE dg_u END) AS dg_b",
     )
+    o = o.persist()
     e1 = o.selectExpr("a", "b", "dg_b")
     e2 = o.selectExpr("a", "b AS c", "dg_b AS dg_c")
     wedges = e1.join(e2, "a").filter(
@@ -303,18 +314,22 @@ def assortativity(
     degree variance) -> NULL.
 
     Output: one row (n_nodes, n_edges, assortativity)."""
+    # bounded edge/node tables persist()-pinned — multi-referenced
+    # downstream; see triangle_stats (r5 read-amplification audit)
     und = (
         df.selectExpr(
             f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
         )
         .filter("u <> v AND u IS NOT NULL AND v IS NOT NULL")
         .distinct()
+        .persist()
     )
     deg = (
         und.selectExpr("u AS node")
         .unionAll(und.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .persist()
     )
     stubs = (
         und.join(deg.selectExpr("node AS u", "degree AS da"), "u")
@@ -507,18 +522,22 @@ def powerlaw_alpha(
     alpha, alpha_se), round(.,6); empty tail -> NULL alpha."""
     if not int(dmin) >= 2:
         raise ValueError(f"dmin must be >= 2, got {dmin}")
+    # bounded edge/node tables persist()-pinned — multi-referenced
+    # downstream; see triangle_stats (r5 read-amplification audit)
     und = (
         df.selectExpr(
             f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
         )
         .filter("u <> v AND u IS NOT NULL AND v IS NOT NULL")
         .distinct()
+        .persist()
     )
     deg = (
         und.selectExpr("u AS node")
         .unionAll(und.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .persist()
     )
     s = f"{_PL_SCALE}.0E0"
     dm = f"(CAST({int(dmin)} AS DOUBLE) - 0.5E0)"
