@@ -1523,6 +1523,27 @@ def _spacetime_scan_top_sql() -> str:
     )
 
 
+def q_lisa_p_fdr(spark, sf_dir):
+    """FDR-corrected LISA cluster map (operators/gridstats.py
+    lisa_p_fdr — GeoDa's recommended multiple-testing cutoff):
+    Benjamini-Hochberg step-up over the 999-replication permutation
+    pseudo p-values of q_lisa_p's cells; labels keep the LISA quadrant
+    for FDR-significant cells. All ranked quantities are round-6
+    rationals (engine-identical ranks). Truth tier 2: multi-blob
+    planted recovery + step-up invariants + CSR-rejects-nothing in
+    tests/test_gridstats.py."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.lisa_p_fdr(ev, cell_deg=5.0, lat0=-65.0, lat1=65.0,
+                         n_reps=999, q=0.05)
+
+
+def _lisa_p_fdr_sql() -> str:
+    return GS.lisa_p_fdr_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        n_reps=999, q=0.05,
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging hot spot analysis (operators/gridstats.py
     emerging_hotspots — the ArcGIS space-time-cube method): per-2-day-
@@ -6329,6 +6350,7 @@ def oracle_sql() -> dict[str, str]:
         "emerging_hotspots": _emerging_hotspots_sql(),
         "lisa": _lisa_sql(),
         "lisa_p": _lisa_p_sql(),
+        "lisa_p_fdr": _lisa_p_fdr_sql(),
         "focal_value_mean": _focal_value_mean_sql(),
         "knox_test": _knox_test_sql(),
         "quadrat_csr": _quadrat_csr_sql(),
@@ -6548,6 +6570,7 @@ R5_WINDOW = [
     'spacetime_scan_p',
     'global_autocorr_p',
     'spacetime_scan_top',
+    'lisa_p_fdr',
     'pii_scan',
     'semantic_dedup_e2e',
     'exact_substr_rewrite',
@@ -6851,6 +6874,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,
         "lisa": q_lisa,
         "lisa_p": q_lisa_p,
+        "lisa_p_fdr": q_lisa_p_fdr,
         "focal_value_mean": q_focal_value_mean,
         "knox_test": q_knox_test,
         "quadrat_csr": q_quadrat_csr,

@@ -3091,3 +3091,68 @@ def test_spacetime_scan_top_primary_matches_scan_p(spark):
     primary = [r for r in top if r["rank_no"] == 1][0]
     assert primary["llr"] == pytest.approx(p["max_llr"], abs=2e-6)
     assert primary["p_value"] == pytest.approx(p["p_value"], abs=1e-9)
+
+
+def _multi_blob_events(spark):
+    """Four separated dense blobs + background: enough floor-p cells
+    for the BH step-up to clear the discrete pseudo-p floor."""
+    rows = []
+    for bi, (lx, ly) in enumerate([(10.0, 10.0), (-120.0, -40.0),
+                                   (60.0, 40.0), (-60.0, 20.0)]):
+        rows += [
+            (lx + _hash01(i, f"bx{bi}") * 12.0,
+             ly + _hash01(i, f"by{bi}") * 12.0)
+            for i in range(250)
+        ]
+    rows += [
+        (_hash01(i, "mlo") * 360.0 - 180.0,
+         _hash01(i, "mla") * 120.0 - 60.0)
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "lon double, lat double")
+
+
+def test_lisa_p_fdr_planted_and_stepup_invariants(spark):
+    """BH over pseudo-p is conservative by construction: the rejection
+    floor is the rank where i*q/m clears 1/(n_reps+1), so the fixture
+    plants FOUR blobs (enough floor-p cells) and runs 999 reps."""
+    ev = _multi_blob_events(spark)
+    rows = GS.lisa_p_fdr(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0, n_reps=999, q=0.05,
+    ).collect()
+    m = rows[0]["m_tests"]
+    assert m == len(rows)
+    sig = [r for r in rows if r["label"] != "not significant"]
+    assert sig, "four planted blobs must clear the BH floor at 999 reps"
+    # every high-count blob core is FDR-significant HH (the blobs
+    # spread ~250 events over ~9 cells -> cores around 40-50)
+    hot = [r for r in rows if r["cnt"] >= 40]
+    assert hot and all(r["label"] == "HH" for r in hot)
+    # BH step-up invariants: rejected set = ranks 1..i_max; the
+    # boundary rank satisfies its own threshold
+    imax = max(r["p_rank"] for r in sig)
+    assert {r["p_rank"] for r in sig} == set(range(1, imax + 1))
+    bound = [r for r in rows if r["p_rank"] == imax][0]
+    assert bound["p_sim"] <= imax * 0.05 / m
+    # significant labels keep their LISA quadrant
+    base = {
+        (r["cell_x"], r["cell_y"]): r["quadrant"]
+        for r in GS.local_morans_i_p(
+            ev, cell_deg=5.0, lat0=-65.0, lat1=65.0, n_reps=999,
+        ).collect()
+    }
+    for r in sig:
+        assert r["label"] == base[(r["cell_x"], r["cell_y"])]
+
+
+def test_lisa_p_fdr_csr_rejects_nothing(spark):
+    rows = GS.lisa_p_fdr(
+        _csr_events(spark, 500, "f"), cell_deg=5.0, lat0=-65.0,
+        lat1=65.0, n_reps=199, q=0.05,
+    ).collect()
+    frac = sum(
+        1 for r in rows if r["label"] != "not significant"
+    ) / len(rows)
+    # FDR on a null field admits essentially nothing (vs the raw 5%
+    # cut's ~5% false clusters)
+    assert frac < 0.01
