@@ -1544,6 +1544,31 @@ def _lisa_p_fdr_sql() -> str:
     )
 
 
+def q_spacetime_scan_prosp(spark, sf_dir):
+    """PROSPECTIVE space-time scan (operators/gridstats.py
+    spacetime_scan(prospective=True) — SaTScan's live-surveillance
+    mode): only cylinders whose window ends at the LATEST bin are
+    scored, so historical clusters never alert; same marginal-
+    conditioned LLR as q_spacetime_scan otherwise. Truth tier 2:
+    active-vs-historical planted test in tests/test_gridstats.py."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.spacetime_scan(
+        ev, cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, w_max=4, min_count=3, llr_min=0.5,
+        prospective=True,
+    )
+
+
+def _spacetime_scan_prosp_sql() -> str:
+    return GS.spacetime_scan_sql(
+        FX.events_geo_sql(), cell_deg=5.0, lat0=-65.0, lat1=65.0,
+        t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, w_max=4, min_count=3, llr_min=0.5,
+        prospective=True,
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging hot spot analysis (operators/gridstats.py
     emerging_hotspots — the ArcGIS space-time-cube method): per-2-day-
@@ -6361,6 +6386,7 @@ def oracle_sql() -> dict[str, str]:
         "spacetime_scan": _spacetime_scan_sql(),
         "spacetime_scan_p": _spacetime_scan_p_sql(),
         "spacetime_scan_top": _spacetime_scan_top_sql(),
+        "spacetime_scan_prosp": _spacetime_scan_prosp_sql(),
         "general_g": _general_g_sql(),
         "ripley_cross_k": _ripley_cross_k_sql(),
         "cell_acf": _cell_acf_sql(),
@@ -6571,6 +6597,7 @@ R5_WINDOW = [
     'global_autocorr_p',
     'spacetime_scan_top',
     'lisa_p_fdr',
+    'spacetime_scan_prosp',
     'pii_scan',
     'semantic_dedup_e2e',
     'exact_substr_rewrite',
@@ -6885,6 +6912,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacetime_scan": q_spacetime_scan,
         "spacetime_scan_p": q_spacetime_scan_p,
         "spacetime_scan_top": q_spacetime_scan_top,
+        "spacetime_scan_prosp": q_spacetime_scan_prosp,
         "general_g": q_general_g,
         "ripley_cross_k": q_ripley_cross_k,
         "cell_acf": q_cell_acf,

@@ -2724,6 +2724,7 @@ def spacetime_scan_sql(
     ts_us: str = "ts_us",
     lon: str = "lon",
     lat: str = "lat",
+    prospective: bool = False,
 ) -> str:
     """Space-time permutation scan statistic (Kulldorff et al. 2005 —
     the SaTScan prospective outbreak detector; the inferential
@@ -2760,6 +2761,9 @@ def spacetime_scan_sql(
         f"({w}, {dt})" for w in range(1, w_max + 1) for dt in range(w)
     )
     keep, proj = _scan_out_sql(min_count, llr_min)
+    # prospective (SaTScan surveillance mode): only cylinders ACTIVE at
+    # the latest bin — the window must END exactly at n_bins
+    wop = "=" if prospective else "<="
     return (
         f"WITH counts AS (SELECT {cx} AS cx, {cy} AS cy, {b} AS tb, "
         f"CAST(count(*) AS BIGINT) AS cnt FROM ({src_sql}) s "
@@ -2772,7 +2776,7 @@ def spacetime_scan_sql(
         f"CAST(sum(c.cnt) AS BIGINT) AS obs "
         f"FROM counts c CROSS JOIN offs o CROSS JOIN wdt d "
         f"WHERE (c.cy + o.dy) >= {cy0} AND (c.cy + o.dy) < {cy1} "
-        f"AND (c.tb - d.dt) >= 0 AND (c.tb - d.dt) + d.w <= {n_bins} "
+        f"AND (c.tb - d.dt) >= 0 AND (c.tb - d.dt) + d.w {wop} {n_bins} "
         f"GROUP BY 1, 2, 3, 4), "
         f"cell AS (SELECT cx, cy, CAST(sum(cnt) AS BIGINT) AS cell_tot "
         f"FROM counts GROUP BY 1, 2), "
@@ -2786,7 +2790,7 @@ def spacetime_scan_sql(
         f"tmarg AS (SELECT (b.tb - d.dt) AS ts, d.w, "
         f"CAST(sum(b.bin_tot) AS BIGINT) AS t_marg "
         f"FROM bins b CROSS JOIN wdt d "
-        f"WHERE (b.tb - d.dt) >= 0 AND (b.tb - d.dt) + d.w <= {n_bins} "
+        f"WHERE (b.tb - d.dt) >= 0 AND (b.tb - d.dt) + d.w {wop} {n_bins} "
         f"GROUP BY 1, 2), "
         f"tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts) "
         f"SELECT y.cx, y.cy, y.ts AS t_start, y.w AS w_bins, y.obs, "
@@ -2812,6 +2816,7 @@ def spacetime_scan(
     ts_us: str = "ts_us",
     lon: str = "lon",
     lat: str = "lat",
+    prospective: bool = False,
 ) -> DataFrame:
     """Space-time permutation scan (see :func:`spacetime_scan_sql`).
     Plan: ONE corpus hash-aggregate to the (cell, bin) table; the
@@ -2823,6 +2828,7 @@ def spacetime_scan(
     nx, cy0, cy1 = _scan_params(
         cell_deg, lat0, lat1, t0_us, bin_us, n_bins, w_max, min_count,
     )
+    wop = "=" if prospective else "<="
     _, cx, cy = cell_id_sql(cell_deg, lon, lat)
     b = _bin_sql(ts_us, t0_us, bin_us)
     counts = (
@@ -2856,7 +2862,7 @@ def spacetime_scan(
         .selectExpr(
             "ccx", "ccy", "(tb - d.dt) AS ts", "d.w AS w", "cnt"
         )
-        .filter(f"ts >= 0 AND ts + w <= {n_bins}")
+        .filter(f"ts >= 0 AND ts + w {wop} {n_bins}")
         .groupBy("ccx", "ccy", "ts", "w")
         .agg(F.sum("cnt").cast("bigint").alias("obs"))
     )
@@ -2881,7 +2887,7 @@ def spacetime_scan(
     tmarg = (
         bins.selectExpr(f"explode(array({wdt})) AS d", "tb", "bin_tot")
         .selectExpr("(tb - d.dt) AS tts", "d.w AS tw", "bin_tot")
-        .filter(f"tts >= 0 AND tts + tw <= {n_bins}")
+        .filter(f"tts >= 0 AND tts + tw {wop} {n_bins}")
         .groupBy("tts", "tw")
         .agg(F.sum("bin_tot").cast("bigint").alias("t_marg"))
     )
@@ -7310,6 +7316,7 @@ def spacetime_scan_p_sql(
     alldat_override: str | None = None,
     head_only: bool = False,
     counts_override: str | None = None,
+    prospective: bool = False,
 ) -> str:
     """Monte-Carlo p-value for the space-time scan's max-LLR cluster
     (the 999-replication inference SaTScan reports; Kulldorff 1997 /
@@ -7379,6 +7386,7 @@ def spacetime_scan_p_sql(
         "(sqrt(0.0E0 - 2.0E0 * ln(u1)) * cos(2.0E0 * pi() * u2))"
     )
     mat = " MATERIALIZED" if materialized else ""
+    wop = "=" if prospective else "<="
     # margin-conditioned LLR of a cylinder within replication r
     e = (
         "(CAST(s_marg AS DOUBLE) * CAST(t_marg AS DOUBLE) "
@@ -7450,7 +7458,7 @@ def spacetime_scan_p_sql(
         f"CAST(sum(a.cnt) AS BIGINT) AS obs "
         f"FROM alldat a CROSS JOIN offs2 o CROSS JOIN wdt2 d "
         f"WHERE (a.cy + o.dy) >= {cy0} AND (a.cy + o.dy) < {cy1} "
-        f"AND (a.tb - d.dt) >= 0 AND (a.tb - d.dt) + d.w <= {n_bins} "
+        f"AND (a.tb - d.dt) >= 0 AND (a.tb - d.dt) + d.w {wop} {n_bins} "
         f"GROUP BY 1, 2, 3, 4, 5), "
         f"cellr AS (SELECT r, cx, cy, CAST(sum(cnt) AS BIGINT) "
         f"AS cell_tot FROM alldat GROUP BY 1, 2, 3), "
@@ -7464,7 +7472,7 @@ def spacetime_scan_p_sql(
         f"tmargr AS (SELECT b.r, (b.tb - d.dt) AS ts, d.w, "
         f"CAST(sum(b.bin_tot) AS BIGINT) AS t_marg "
         f"FROM binsr b CROSS JOIN wdt2 d "
-        f"WHERE (b.tb - d.dt) >= 0 AND (b.tb - d.dt) + d.w <= {n_bins} "
+        f"WHERE (b.tb - d.dt) >= 0 AND (b.tb - d.dt) + d.w {wop} {n_bins} "
         f"GROUP BY 1, 2, 3), "
         f"totr AS (SELECT r, CAST(sum(cnt) AS BIGINT) AS n "
         f"FROM alldat GROUP BY 1), "
@@ -7522,6 +7530,7 @@ def spacetime_scan_p(
     lon: str = "lon",
     lat: str = "lat",
     view: str = "_stscan_p_src",
+    prospective: bool = False,
 ) -> DataFrame:
     """DataFrame twin of :func:`spacetime_scan_p_sql` — the same
     dialect-neutral string through Catalyst (shared-CTE oracle; the
@@ -7536,7 +7545,7 @@ def spacetime_scan_p(
     df.createOrReplaceTempView(view)
     args = dict(
         w_max=w_max, min_count=min_count, n_reps=n_reps, seed=seed,
-        ts_us=ts_us, lon=lon, lat=lat,
+        ts_us=ts_us, lon=lon, lat=lat, prospective=prospective,
     )
     alldat = df.sparkSession.sql(spacetime_scan_p_sql(
         f"SELECT * FROM {view}", cell_deg, lat0, lat1, t0_us, bin_us,

@@ -3156,3 +3156,51 @@ def test_lisa_p_fdr_csr_rejects_nothing(spark):
     # FDR on a null field admits essentially nothing (vs the raw 5%
     # cut's ~5% false clusters)
     assert frac < 0.01
+
+
+def test_spacetime_scan_prospective_only_active_clusters(spark):
+    """SaTScan's prospective surveillance mode: only cylinders whose
+    window ends at the LATEST bin are scanned — a historical (mid-
+    series) cluster must NOT alert, an active (end-of-series) one
+    must."""
+    rows = [
+        (
+            _hash01(i, "lo") * 360.0 - 180.0,
+            _hash01(i, "la") * 120.0 - 60.0,
+            T0_US + int(_hash01(i, "t") * 15 * BIN_US),
+        )
+        for i in range(2000)
+    ]
+    # historical cluster: bins 5-6; active cluster: bins 13-14 (ending
+    # at n_bins=15)
+    rows += [
+        (20.0 + _hash01(i, "px") * 30.0, 10.0 + _hash01(i, "py") * 20.0,
+         T0_US + int((5.0 + 2.0 * _hash01(i, "pt")) * BIN_US))
+        for i in range(120)
+    ]
+    rows += [
+        (-120.0 + _hash01(i, "qx") * 30.0,
+         -40.0 + _hash01(i, "qy") * 20.0,
+         T0_US + int((13.0 + 2.0 * _hash01(i, "qt")) * BIN_US))
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(rows, "lon double, lat double, ts_us bigint")
+    kw = dict(cell_deg=15.0, lat0=-60.0, lat1=60.0, t0_us=T0_US,
+              bin_us=BIN_US, n_bins=15, w_max=2, min_count=3)
+    prosp = GS.spacetime_scan(ev, llr_min=10.0, prospective=True, **kw)
+    rows_p = prosp.collect()
+    # every prospective cylinder ends at the last bin
+    assert rows_p and all(
+        r["t_start"] + r["w_bins"] == 15 for r in rows_p
+    )
+    # the active cluster alerts, the historical one is invisible
+    assert any(r["t_start"] == 13 for r in rows_p)
+    retro = GS.spacetime_scan(ev, llr_min=10.0, **kw).collect()
+    assert any(r["t_start"] == 5 for r in retro)
+    assert not any(r["t_start"] == 5 for r in rows_p)
+    # prospective Monte-Carlo p: the active cluster is significant
+    # against the prospective null (max over ACTIVE cylinders only)
+    p = GS.spacetime_scan_p(
+        ev, n_reps=99, prospective=True, **kw
+    ).collect()[0]
+    assert p["p_value"] <= 0.01 and p["max_llr"] > 20.0
