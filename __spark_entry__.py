@@ -6583,12 +6583,16 @@ def oracle_sql() -> dict[str, str]:
 
 
 #: Round-5 driver window (the correctness gate checks the FIRST 50
-#: entries of queries()). Policy per VERDICT r4 ask #1: 5 slots for
-#: r5-new/changed code (transform_omerc_ell, the three permutation-
-#: inference ops, the fused pii_scan) + 45 never-driver-checked
-#: entries in VERDICT's priority order (see ROTATION.md for the
-#: per-entry last-green manifest; everything outside the window
-#: stays gated by scripts/check_oracles.py + pytest every session).
+#: entries of queries()). Policy per VERDICT r4 ask #1 + the
+#: established fresh-code-first precedent: 8 slots for r5-new/changed
+#: code (transform_omerc_ell, the permutation-inference family
+#: morans_i_p/lisa_p/spacetime_scan_p/global_autocorr_p/
+#: spacetime_scan_top/lisa_p_fdr/spacetime_scan_prosp, the rewritten
+#: pii_scan) + 42 never-driver-checked entries in VERDICT's priority
+#: order (see ROTATION.md for the per-entry last-green manifest;
+#: everything outside the window stays gated by scripts/
+#: check_oracles.py — 266/266 at sf0.01, 247/247 at sf0.1 — and
+#: pytest every session).
 R5_WINDOW = [
     'transform_omerc_ell',
     'morans_i_p',
