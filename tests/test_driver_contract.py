@@ -66,8 +66,9 @@ def test_round5_window_policy():
     assert order[: len(win)] == win
     lead = {"transform_omerc_ell", "morans_i_p", "lisa_p",
             "spacetime_scan_p", "global_autocorr_p",
-            "spacetime_scan_top", "pii_scan"}
-    assert lead <= set(win[:8])
+            "spacetime_scan_top", "lisa_p_fdr",
+            "spacetime_scan_prosp", "pii_scan"}
+    assert lead <= set(win[:9])
     # the r4 window ops must all still be registered (gated by
     # check_oracles + the sf0.1 sweep even while outside the window)
     missing = [n for n in ROUND4_WINDOW_OPS if n not in order]
