@@ -1569,6 +1569,31 @@ def _spacetime_scan_prosp_sql() -> str:
     )
 
 
+def q_temporal_scan_p(spark, sf_dir):
+    """Purely temporal scan with Monte-Carlo p (operators/gridstats.py
+    temporal_scan_p — Kulldorff's 1-D burst detector, the complement
+    of the space-time permutation scan whose marginal conditioning
+    nulls corpus-wide bursts by design; the crawl/ingest anomaly
+    alarm). ONE corpus aggregation to n_bins rows; replications are
+    bins x n_reps bounded. Truth tier 2: planted-burst / uniform /
+    prospective / complementarity battery in tests/test_gridstats.py.
+    NOTE: registered OUTSIDE the driver window (slots reserved for the
+    never-checked backlog) — gated by check_oracles at both SFs."""
+    ev = FX.register_events_geo(spark, sf_dir)
+    return GS.temporal_scan_p(
+        ev, t0_us=1_704_067_200_000_000, bin_us=172_800_000_000,
+        n_bins=15, w_max=4, min_count=3, n_reps=199,
+    )
+
+
+def _temporal_scan_p_sql() -> str:
+    return GS.temporal_scan_p_sql(
+        FX.events_geo_sql(), t0_us=1_704_067_200_000_000,
+        bin_us=172_800_000_000, n_bins=15, w_max=4, min_count=3,
+        n_reps=199,
+    )
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging hot spot analysis (operators/gridstats.py
     emerging_hotspots — the ArcGIS space-time-cube method): per-2-day-
@@ -6387,6 +6412,7 @@ def oracle_sql() -> dict[str, str]:
         "spacetime_scan_p": _spacetime_scan_p_sql(),
         "spacetime_scan_top": _spacetime_scan_top_sql(),
         "spacetime_scan_prosp": _spacetime_scan_prosp_sql(),
+        "temporal_scan_p": _temporal_scan_p_sql(),
         "general_g": _general_g_sql(),
         "ripley_cross_k": _ripley_cross_k_sql(),
         "cell_acf": _cell_acf_sql(),
@@ -6917,6 +6943,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacetime_scan_p": q_spacetime_scan_p,
         "spacetime_scan_top": q_spacetime_scan_top,
         "spacetime_scan_prosp": q_spacetime_scan_prosp,
+        "temporal_scan_p": q_temporal_scan_p,
         "general_g": q_general_g,
         "ripley_cross_k": q_ripley_cross_k,
         "cell_acf": q_cell_acf,

@@ -7799,3 +7799,186 @@ def lisa_p_fdr(
         n_reps=n_reps, q=q, seed=seed, lon=lon, lat=lat,
         counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
     ))
+
+
+# ------------------------- purely temporal scan (burst detection) --
+
+def temporal_scan_p_sql(
+    src_sql: str,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    w_max: int = 4,
+    min_count: int = 3,
+    n_reps: int = 199,
+    seed: str = "r5",
+    mu_split: float = 20.0,
+    k_max: int = 50,
+    prospective: bool = False,
+    ts_us: str = "ts_us",
+    counts_override: str | None = None,
+) -> str:
+    """Purely TEMPORAL scan statistic with Monte-Carlo p (Kulldorff's
+    1-D scan — the burst detector): the space-time permutation scan
+    conditions on the time marginal, so a corpus-wide burst scores
+    ZERO there by design; this operator is its complement, asking "did
+    overall volume burst in some window of consecutive bins?" — the
+    crawl/ingest anomaly alarm of a training-data pipeline.
+
+    Window score: Poisson GLR of the observed window count against the
+    uniform-rate expectation E = N·w/n_bins (the standard discrete-
+    time-scan null; a covariate baseline belongs upstream as a
+    per-bin weight). Monte Carlo: the same deterministic md5-slice
+    Poissonized machinery as :func:`spacetime_scan_p_sql` (exact
+    inverse-CDF below mu_split against the literal ln k! table,
+    Box-Muller above), drawing n_b ~ Poisson(N/n_bins) per (bin, r)
+    and re-conditioning each replication on its OWN total N_r.
+    ``prospective=True`` scores only windows ending at the latest bin
+    (surveillance mode). Everything after the ONE corpus aggregation
+    is n_bins x n_reps bounded — microscopic.
+
+    Output: ONE row (n_events, n_reps, t_start, w_bins, obs, expected,
+    llr, n_ge, p_value) for the max-LLR window (llr DESC, ts, w total
+    order); p = (1 + #{r: maxLLR_r >= maxLLR_obs})/(n_reps+1).
+    """
+    from .sketch import md5_slice_int_sql
+
+    _perm_reps_check(n_reps)
+    _mk_params(t0_us, bin_us, n_bins)
+    if not 1 <= w_max <= n_bins:
+        raise ValueError(f"w_max must be in [1, n_bins], got {w_max}")
+    if not 8 <= k_max <= 120:
+        raise ValueError(f"k_max must be in [8, 120], got {k_max}")
+    if not 1.0 <= mu_split <= k_max / 2.0:
+        raise ValueError(
+            f"mu_split must be in [1, k_max/2], got {mu_split}"
+        )
+    b = _bin_sql(ts_us, t0_us, bin_us)
+    counts_body = counts_override or (
+        f"SELECT {b} AS tb, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM ({src_sql}) s WHERE {b} >= 0 AND {b} < {n_bins} "
+        f"GROUP BY 1"
+    )
+    wdt = ", ".join(
+        f"({w}, {dt})" for w in range(1, w_max + 1) for dt in range(w)
+    )
+    kf = ", ".join(
+        f"({k}, {_pf(math.lgamma(k + 1))})" for k in range(k_max + 1)
+    )
+    reps = ", ".join(f"({r})" for r in range(1, n_reps + 1))
+    wop = "=" if prospective else "<="
+    key = (
+        f"concat('tsc', '{seed}', ':', CAST(m.tb AS STRING), ':', "
+        f"CAST(q.r AS STRING))"
+    )
+    u1 = (
+        f"((CAST({md5_slice_int_sql(key, 0)} AS DOUBLE) + 1.0E0) "
+        f"/ 4294967296.0E0)"
+    )
+    u2 = (
+        f"((CAST({md5_slice_int_sql(key, 1)} AS DOUBLE) + 1.0E0) "
+        f"/ 4294967296.0E0)"
+    )
+    znorm = "(sqrt(0.0E0 - 2.0E0 * ln(u1)) * cos(2.0E0 * pi() * u2))"
+    e = (
+        f"(CAST(n AS DOUBLE) * CAST(w AS DOUBLE) / {n_bins}.0E0)"
+    )
+    o = "CAST(obs AS DOUBLE)"
+    nn = "CAST(n AS DOUBLE)"
+    tail = (
+        f"(CASE WHEN obs = n THEN 0.0E0 ELSE "
+        f"({nn} - {o}) * ln(({nn} - {o}) / ({nn} - {e})) END)"
+    )
+    llr = (
+        f"(CASE WHEN obs >= {int(min_count)} AND {o} > {e} "
+        f"THEN {o} * ln({o} / {e}) + {tail} ELSE 0.0E0 END)"
+    )
+    return (
+        f"WITH counts AS ({counts_body}), "
+        f"tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n0 FROM counts), "
+        # the uniform-rate null intensity covers ALL n_bins bins,
+        # including empty ones — generate the bin axis from wdt's
+        # dt=0 rows is wrong (w_max-bounded); use a literal bin table
+        f"binax(tb) AS (VALUES "
+        + ", ".join(f"({i})" for i in range(n_bins))
+        + "), "
+        f"mu AS (SELECT x.tb, CAST(t.n0 AS DOUBLE) / {n_bins}.0E0 "
+        f"AS mu FROM binax x CROSS JOIN tot t), "
+        f"kf(k, lnf) AS (VALUES {kf}), "
+        f"reps(r) AS (VALUES {reps}), "
+        f"wdt(w, dt) AS (VALUES {wdt}), "
+        f"cdf AS (SELECT tb, k, sum(exp(CAST(k AS DOUBLE) * ln(mu) "
+        f"- mu - lnf)) OVER (PARTITION BY tb ORDER BY k) AS cdf "
+        f"FROM (SELECT m.tb, m.mu, f.k, f.lnf FROM mu m CROSS JOIN "
+        f"kf f WHERE m.mu < {_pf(mu_split)}) mk), "
+        f"u AS (SELECT m.tb, m.mu, q.r, {u1} AS u1, {u2} AS u2 "
+        f"FROM mu m CROSS JOIN reps q), "
+        f"draws AS (SELECT u.tb, u.r, CAST(sum(CASE WHEN c.cdf < u.u1 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS cnt "
+        f"FROM (SELECT * FROM u WHERE mu < {_pf(mu_split)}) u "
+        f"JOIN cdf c ON u.tb = c.tb GROUP BY 1, 2 "
+        f"UNION ALL "
+        f"SELECT tb, r, CAST(greatest(0.0E0, round(mu + {znorm} "
+        f"* sqrt(mu), 0)) AS BIGINT) AS cnt "
+        f"FROM u WHERE mu >= {_pf(mu_split)}), "
+        f"alldat AS (SELECT tb, 0 AS r, cnt FROM counts "
+        f"UNION ALL SELECT tb, r, cnt FROM draws WHERE cnt > 0), "
+        f"win AS (SELECT a.r, (a.tb - d.dt) AS ts, d.w, "
+        f"CAST(sum(a.cnt) AS BIGINT) AS obs "
+        f"FROM alldat a CROSS JOIN wdt d "
+        f"WHERE (a.tb - d.dt) >= 0 AND (a.tb - d.dt) + d.w {wop} "
+        f"{n_bins} GROUP BY 1, 2, 3), "
+        f"totr AS (SELECT r, CAST(sum(cnt) AS BIGINT) AS n "
+        f"FROM alldat GROUP BY 1), "
+        f"scored AS (SELECT y.r, y.ts, y.w, y.obs, g.n, {llr} AS llr "
+        f"FROM win y JOIN totr g ON y.r = g.r), "
+        f"mx AS (SELECT r, max(llr) AS max_llr FROM scored GROUP BY r), "
+        f"best AS (SELECT s.ts, s.w, s.obs, s.n, s.llr FROM scored s "
+        f"WHERE s.r = 0 ORDER BY s.llr DESC, s.ts, s.w LIMIT 1) "
+        f"SELECT (SELECT n0 FROM tot) AS n_events, "
+        f"CAST({n_reps} AS BIGINT) AS n_reps, "
+        f"b.ts AS t_start, b.w AS w_bins, b.obs, "
+        f"round(CAST(b.n AS DOUBLE) * CAST(b.w AS DOUBLE) "
+        f"/ {n_bins}.0E0, 6) AS expected, "
+        f"round(b.llr, 6) AS llr, "
+        f"CAST(coalesce(sum(CASE WHEN m.r > 0 AND m.max_llr >= b.llr "
+        f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge, "
+        f"round((1.0E0 + coalesce(sum(CASE WHEN m.r > 0 "
+        f"AND m.max_llr >= b.llr THEN 1 ELSE 0 END), 0)) "
+        f"/ {n_reps + 1}.0E0, 6) AS p_value "
+        f"FROM best b CROSS JOIN mx m "
+        f"GROUP BY b.ts, b.w, b.obs, b.n, b.llr"
+    )
+
+
+def temporal_scan_p(
+    df: DataFrame,
+    t0_us: int,
+    bin_us: int,
+    n_bins: int,
+    w_max: int = 4,
+    min_count: int = 3,
+    n_reps: int = 199,
+    seed: str = "r5",
+    prospective: bool = False,
+    ts_us: str = "ts_us",
+    view: str = "_tscan_p_src",
+) -> DataFrame:
+    """DataFrame twin of :func:`temporal_scan_p_sql` — the bin-count
+    aggregate is localCheckpoint-materialized once (n_bins rows);
+    second-tier truth: planted-burst / uniform battery in
+    tests/test_gridstats.py."""
+    df.createOrReplaceTempView(view)
+    b = _bin_sql(ts_us, t0_us, bin_us)
+    counts = df.sparkSession.sql(
+        f"SELECT {b} AS tb, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM (SELECT * FROM {view}) s "
+        f"WHERE {b} >= 0 AND {b} < {n_bins} GROUP BY 1"
+    ).localCheckpoint()
+    counts.createOrReplaceTempView(view + "_counts")
+    return df.sparkSession.sql(temporal_scan_p_sql(
+        f"SELECT * FROM {view}", t0_us, bin_us, n_bins, w_max=w_max,
+        min_count=min_count, n_reps=n_reps, seed=seed,
+        prospective=prospective, ts_us=ts_us,
+        counts_override=f"SELECT tb, cnt FROM {view}_counts",
+    ))

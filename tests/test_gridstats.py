@@ -3204,3 +3204,67 @@ def test_spacetime_scan_prospective_only_active_clusters(spark):
         ev, n_reps=99, prospective=True, **kw
     ).collect()[0]
     assert p["p_value"] <= 0.01 and p["max_llr"] > 20.0
+
+
+def test_temporal_scan_p_burst_vs_uniform(spark):
+    uni = [
+        (0.0, 0.0, T0_US + int(_hash01(i, "t") * 15 * BIN_US))
+        for i in range(3000)
+    ]
+    burst = uni + [
+        (0.0, 0.0, T0_US + int((8.0 + 2.0 * _hash01(i, "b")) * BIN_US))
+        for i in range(600)
+    ]
+    dfb = spark.createDataFrame(
+        burst, "lon double, lat double, ts_us bigint"
+    )
+    out = GS.temporal_scan_p(
+        dfb, T0_US, BIN_US, 15, w_max=4, n_reps=99
+    ).collect()[0]
+    # the planted burst window is found exactly and is significant
+    assert (out["t_start"], out["w_bins"]) == (8, 2)
+    assert out["obs"] > out["expected"]
+    assert out["p_value"] <= 0.01
+    dfu = spark.createDataFrame(uni, "lon double, lat double, ts_us bigint")
+    outu = GS.temporal_scan_p(
+        dfu, T0_US, BIN_US, 15, w_max=4, n_reps=99
+    ).collect()[0]
+    assert outu["p_value"] > 0.1
+    # the SPACE-TIME permutation scan conditions the burst away — the
+    # complementarity this operator exists for: same burst corpus,
+    # spread over space, max LLR stays noise-level
+    spread = [
+        (
+            _hash01(i, "lo") * 360.0 - 180.0,
+            _hash01(i, "la") * 100.0 - 50.0,
+            t,
+        )
+        for i, (_, _, t) in enumerate(burst)
+    ]
+    dfs = spark.createDataFrame(
+        spread, "lon double, lat double, ts_us bigint"
+    )
+    st = GS.spacetime_scan_p(
+        dfs, cell_deg=15.0, lat0=-60.0, lat1=60.0, t0_us=T0_US,
+        bin_us=BIN_US, n_bins=15, w_max=2, n_reps=99,
+    ).collect()[0]
+    assert st["p_value"] > 0.05
+
+
+def test_temporal_scan_p_prospective(spark):
+    rows = [
+        (0.0, 0.0, T0_US + int(_hash01(i, "t") * 15 * BIN_US))
+        for i in range(3000)
+    ]
+    rows += [
+        (0.0, 0.0, T0_US + int((7.0 + 1.0 * _hash01(i, "b")) * BIN_US))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double, ts_us bigint")
+    out = GS.temporal_scan_p(
+        df, T0_US, BIN_US, 15, w_max=4, n_reps=99, prospective=True
+    ).collect()[0]
+    # surveillance mode: the mid-series burst (bin 7) is historical —
+    # only windows ending at bin 15 are scored, none significant
+    assert out["t_start"] + out["w_bins"] == 15
+    assert out["p_value"] > 0.1
