@@ -23,6 +23,9 @@ posture as ``jobs/run_dedup.py`` / ``run_mobility.py``):
      from one shared permutation set (1 row),
    - ``morans_i_p`` (1 row, kept for its richer tail columns),
    - ``spacetime_scan_p`` — SaTScan max-LLR Monte-Carlo p (1 row),
+   - ``spacetime_scan_top`` — primary + secondary clusters with p,
+   - ``temporal_scan_p`` — the 1-D burst alarm over the SAME bin
+     marginal (derived from the materialized (cell, bin) table),
    - ``local_morans_i_p`` — the per-cell LISA significance map, written
      per hash shard through ``CheckpointManager.run_stage`` with the
      cell-table lineage fingerprint (killed mid-write, committed shards
@@ -118,6 +121,17 @@ def run(
         n_reps=n_reps, counts_override=sco,
     )).collect()[0].asDict()
     scalars.append(("spacetime_scan_p", scan))
+    top = [r.asDict() for r in spark.sql(GS.spacetime_scan_top_sql(
+        src, scan_cell_deg, -scan_lat, scan_lat, t0_us, bin_us, n_bins,
+        n_reps=n_reps, k=3, counts_override=sco,
+    )).collect()]
+    scalars.append(("spacetime_scan_top", top))
+    tburst = spark.sql(GS.temporal_scan_p_sql(
+        src, t0_us, bin_us, n_bins, n_reps=n_reps,
+        counts_override=f"SELECT tb, CAST(sum(cnt) AS BIGINT) AS cnt "
+        f"FROM _inf_stc GROUP BY 1",
+    )).collect()[0].asDict()
+    scalars.append(("temporal_scan_p", tburst))
     sc_rows = [
         (name, json.dumps(d, default=str)) for name, d in scalars
     ]

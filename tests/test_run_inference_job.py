@@ -52,7 +52,8 @@ def test_run_inference_end_to_end_and_resume(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "scalars")).collect()
     }
     assert set(sc) == {"global_autocorr_p", "morans_i_p",
-                       "spacetime_scan_p"}
+                       "spacetime_scan_p", "spacetime_scan_top",
+                       "temporal_scan_p"}
 
     # resume: corpus pass skipped, committed shards never re-run
     res2 = run_inference.run(spark, SF, out, **kw)
