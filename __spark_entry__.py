@@ -6670,10 +6670,6 @@ R5_WINDOW = [
     'idw_regrid',
     'idw_regrid_nonuniform',
     'tile_pyramid',
-    'radius_join',
-    'knn_geodesic',
-    'track_stats',
-    'tile_pyramid_distinct',
 ]
 
 
