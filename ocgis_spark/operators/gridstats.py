@@ -808,12 +808,19 @@ def global_autocorr_p(
         f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
     )).localCheckpoint()
     counts.createOrReplaceTempView(view + "_counts")
-    return df.sparkSession.sql(
+    # r6: pin the permutation table too — permocc feeds three
+    # aggregates (pair-sum s side, t side, rowsum moments), so without
+    # this the lattice x n_reps window pipeline (cross join, md5 rank,
+    # shuffle, sort) executes once PER reference (~3x; measured 29 s of
+    # executor time for the duplicated stage alone at sf0.1).
+    return _exec_with_materialized_cte(
+        df.sparkSession,
         global_autocorr_p_sql(
             f"SELECT * FROM {view}", cell_deg, lat0, lat1,
             n_reps=n_reps, seed=seed, lon=lon, lat=lat,
             counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
-        )
+        ),
+        "permocc", view + "_perm",
     )
 
 
@@ -843,12 +850,16 @@ def morans_i_p(
         f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
     )).localCheckpoint()
     counts.createOrReplaceTempView(view + "_counts")
-    return df.sparkSession.sql(
+    # r6: permocc pinned once as well (3 references — see
+    # :func:`global_autocorr_p`).
+    return _exec_with_materialized_cte(
+        df.sparkSession,
         morans_i_p_sql(
             f"SELECT * FROM {view}", cell_deg, lat0, lat1,
             n_reps=n_reps, seed=seed, lon=lon, lat=lat,
             counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
-        )
+        ),
+        "permocc", view + "_perm",
     )
 
 
@@ -996,12 +1007,16 @@ def local_morans_i_p(
         f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
     )).localCheckpoint()
     counts.createOrReplaceTempView(view + "_counts")
-    return df.sparkSession.sql(
+    # r6: permocc pinned once as well (multiple references — see
+    # :func:`global_autocorr_p`).
+    return _exec_with_materialized_cte(
+        df.sparkSession,
         local_morans_i_p_sql(
             f"SELECT * FROM {view}", cell_deg, lat0, lat1,
             n_reps=n_reps, seed=seed, lon=lon, lat=lat,
             counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
-        )
+        ),
+        "permocc", view + "_perm",
     )
 
 
@@ -1046,7 +1061,9 @@ def _cte_span(sql: str, target: str) -> tuple[int, int, int]:
         pos = cm.end()
 
 
-def _exec_with_materialized_cte(spark, sql: str, cte: str, view: str):
+def _exec_with_materialized_cte(
+    spark, sql: str, cte: str, view: str, parts: int | None = None,
+):
     """Execute a shared-CTE string with its corpus-aggregate CTE
     materialized ONCE: Spark inlines every CTE reference, so a chain
     whose bounded aggregate is referenced k times re-scans the corpus k
@@ -1072,7 +1089,15 @@ def _exec_with_materialized_cte(spark, sql: str, cte: str, view: str):
     pre = sql[w0:def_start].rstrip().rstrip(",")
     body = sql[b0:b1]
     standalone = f"WITH {pre} {body}" if pre.strip() else body
-    spark.sql(standalone).localCheckpoint().createOrReplaceTempView(view)
+    mat = spark.sql(standalone)
+    if parts:
+        # r6: AQE coalesces the pipeline's small-byte shuffle to a
+        # handful of partitions; when the materialized table feeds
+        # CPU-heavy per-row work (permutation joins), re-spread it so
+        # downstream stages use the full core count. Round-robin is
+        # safe here: every consumer is an exact-integer aggregate.
+        mat = mat.repartition(parts)
+    mat.localCheckpoint().createOrReplaceTempView(view)
     new_sql = sql[:b0] + f"SELECT * FROM {view}" + sql[b1:]
     return spark.sql(new_sql)
 
@@ -2838,6 +2863,13 @@ def spacetime_scan(
         )
         .groupBy("cx", "cy", "tb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # r6: pin the corpus aggregate ONCE. counts feeds four subtrees
+        # (cyl, smarg, tmarg, tot); without this Spark re-runs the
+        # corpus scan + hash-aggregate per reference (the executed plan
+        # had 4 InMemoryTableScans of the event cache — the CTE
+        # re-inlining defect class from the r5 read-amplification
+        # audit). The table is lattice x bins bounded (< 30k rows).
+        .localCheckpoint()
     )
     offs = ", ".join(
         f"struct({dx} AS dx, {dy} AS dy)"
@@ -7794,6 +7826,9 @@ def lisa_p_fdr(
         f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
     )).localCheckpoint()
     counts.createOrReplaceTempView(view + "_counts")
+    # (permocc here sits inside the nested `lp AS (WITH ...)` block, out
+    # of _exec_with_materialized_cte's top-level-CTE reach — left as-is;
+    # the entry is lattice-bounded and not on the bench path.)
     return df.sparkSession.sql(lisa_p_fdr_sql(
         f"SELECT * FROM {view}", cell_deg, lat0, lat1,
         n_reps=n_reps, q=q, seed=seed, lon=lon, lat=lat,
