@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..geo.cellindex import GridSpec
+from ..session import local_df
 
 
 def knn_join(
@@ -164,7 +165,7 @@ def knn_join(
             r *= 2
         if shared is not None:
             shared.unpersist()
-        return points.sparkSession.createDataFrame(rows, schema=sel.schema)
+        return local_df(points.sparkSession, rows, sel.schema)
     prev = None
     while True:
         # persist the pass: the exhaustiveness count below fully computes
@@ -326,7 +327,7 @@ def knn_join_vector(
             r *= 2
         if shared is not None:
             shared.unpersist()
-        return spark.createDataFrame(rows, schema=sel.schema).select(
+        return local_df(spark, rows, sel.schema).select(
             qid, F.col("cell_y").alias("vcy"), F.col("cell_x").alias("vcx"),
             "dist", "rank",
         )
@@ -377,8 +378,9 @@ def knn_cells(
     collect-per-iteration loop from the driver: a full Spark job per ring
     expansion, seconds of latency per probe on a shared cluster.)"""
     spark = df.sparkSession
-    pts = spark.createDataFrame(
-        [(0, float(qlon), float(qlat))], "qid int, qlon double, qlat double"
+    pts = local_df(
+        spark, [(0, float(qlon), float(qlat))],
+        "qid int, qlon double, qlat double",
     )
     cells = df.select(
         F.col(cell_y).alias("cell_y"), F.col(cell_x).alias("cell_x")
@@ -472,8 +474,8 @@ def radius_join(
 
     spark = df.sparkSession
     rows = _disk_windows(queries, radius_m)
-    win = spark.createDataFrame(
-        rows,
+    win = local_df(
+        spark, rows,
         "qid int, q_lon double, q_lat double, lat_lo double, "
         "lat_hi double, lon_lo double, lon_hi double",
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..geo.cellindex import GridSpec
+from ..session import local_df
 
 BUFFER_RESOLUTION_MODIFIER = 2.0  # constants.py:512
 
@@ -51,8 +52,8 @@ def tile_schema_df(
                     grid.lat0 + y1 * grid.res + buffer_res,
                 )
             )
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "tile_id int, y_start int, y_stop int, x_start int, x_stop int, "
         "buffered_minx double, buffered_miny double, buffered_maxx double, "
         "buffered_maxy double",
@@ -98,8 +99,8 @@ def tile_schema_vector_df(
                     float(xb[x1]) + buffer_res, float(yb[y1]) + buffer_res,
                 )
             )
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "tile_id int, y_start int, y_stop int, x_start int, x_stop int, "
         "buffered_minx double, buffered_miny double, buffered_maxx double, "
         "buffered_maxy double",

@@ -14,6 +14,34 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Small NULL-FREE local relation via the Arrow/pandas path.
+
+    ``createDataFrame(list_of_tuples)`` builds a Python RDD: EVERY
+    evaluation (a collect, a broadcast build, a final action) launches
+    ``defaultParallelism`` Python-worker tasks just to re-emit the
+    literal rows — measured ~330 ms per evaluation on local[32] vs
+    ~45 ms for the same rows shipped as one Arrow batch (guide §4: the
+    row-pickle boundary is the cost, not the data). The Arrow batch is
+    serialized once driver-side and each evaluation is a single JVM
+    task.
+
+    Callers must guarantee rows contain no None/NaN: pandas would
+    coerce them per-column (None -> NaN for floats), which the pickled
+    row path does not. Empty input falls back to the exact list path.
+    """
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    import pandas as pd
+
+    names = (
+        schema.names if hasattr(schema, "names")
+        else [f.split()[0] for f in schema.split(",")]
+    )
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def get_spark(
     app_name: str = "ocgis_spark",
     cpus: int | None = None,
