@@ -383,22 +383,53 @@ def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
     A pre-existing literal '[-«]'/'[@«]'/'[«]' in the input is
     normalized to its typed placeholder in ``redacted`` (counts stay
     exact via the guard); the old chained form had the mirror-image
-    corner for pre-existing '[EMAIL]'."""
+    corner for pre-existing '[EMAIL]'.
+
+    r6 fast path: a row with no '@', no "ddd-" digit-dash run and no
+    '«' provably cannot match any branch of the fused regex (the email
+    branch requires a literal '@', SSN/phone require three digits then
+    '-') and cannot hit the '«'-normalization corner, so its outputs
+    are exactly (0, 0, 0, text). Those rows pay three cheap JVM scans
+    (two ``contains``, one 4-state ``rlike``) instead of the full PII
+    automaton — the dominant per-position cost (guide §1.2 step 2: make
+    the per-task work proportional to matches, not to text). Rows that
+    pass the gate take the unchanged fused path, so the output is
+    row-for-row identical to the ungated form on every input."""
+    gate = (
+        F.col(text).contains("@")
+        | F.col(text).contains("«")
+        | F.col(text).rlike("[0-9][0-9][0-9]-")
+    )
     d = df.select(
         "doc_id",
         F.col(text).alias("_t"),
-        F.regexp_replace(F.col(text), PII_FUSED_RE, "[$1$2«]").alias("_m"),
+        gate.alias("_g"),
+        F.when(
+            gate,
+            F.regexp_replace(F.col(text), PII_FUSED_RE, "[$1$2«]"),
+        ).otherwise(F.col(text)).alias("_m"),
     )
     d = (
         d.withColumn(
-            "_s1", F.replace(F.col("_m"), F.lit("[-«]"), F.lit("[SSN]"))
+            "_s1",
+            F.when(
+                F.col("_g"),
+                F.replace(F.col("_m"), F.lit("[-«]"), F.lit("[SSN]")),
+            ).otherwise(F.col("_m")),
         )
         .withColumn(
-            "_s2", F.replace(F.col("_s1"), F.lit("[@«]"), F.lit("[EMAIL]"))
+            "_s2",
+            F.when(
+                F.col("_g"),
+                F.replace(F.col("_s1"), F.lit("[@«]"), F.lit("[EMAIL]")),
+            ).otherwise(F.col("_s1")),
         )
         .withColumn(
             "redacted",
-            F.replace(F.col("_s2"), F.lit("[«]"), F.lit("[PHONE]")),
+            F.when(
+                F.col("_g"),
+                F.replace(F.col("_s2"), F.lit("[«]"), F.lit("[PHONE]")),
+            ).otherwise(F.col("_s2")),
         )
     )
 
@@ -414,7 +445,8 @@ def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
     def n_of(raw, kind):
         m = _PII_MARK[kind]
         return (
-            F.when(tguard == 0, raw)
+            F.when(~F.col("_g"), F.lit(0))
+            .when(tguard == 0, raw)
             .otherwise(raw - occ(F.col("_t"), m))
             .cast("bigint")
         )

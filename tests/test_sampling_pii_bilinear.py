@@ -1128,3 +1128,78 @@ def test_length_profile_brute(spark):
     plan = textops.length_profile(df)._jdf.queryExecution(
     ).executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan
+
+
+def test_pii_scan_gate_equals_ungated(spark):
+    """The r6 cheap-gate fast path (rows with no '@' / '«' / ddd- skip
+    the fused automaton) must be row-for-row identical to the ungated
+    fused pipeline on BOTH gate classes, including the documented
+    '«'-literal normalization corners that force the slow path."""
+    rows = [
+        (0, "plain prose with no contact info at all"),
+        (1, "digits 12-34 and 1234 but never three then dash"),
+        (2, "gate-true but matchless: version 123-x and a @ alone"),
+        (3, "ssn 078-05-1120 email bob_99@example.org phone 800-1234"),
+        (4, "pre-existing sentinel [«] and marker [-«] plus [@«] here"),
+        (5, "mixed: a@b.io then literal [«] then 555-0199"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # ungated reference: the pre-r6 fused pipeline, inlined
+    d = docs.select(
+        "doc_id",
+        F.col("text").alias("_t"),
+        F.regexp_replace(
+            F.col("text"), textops.PII_FUSED_RE, "[$1$2«]"
+        ).alias("_m"),
+    )
+    d = (
+        d.withColumn(
+            "_s1", F.replace(F.col("_m"), F.lit("[-«]"), F.lit("[SSN]"))
+        )
+        .withColumn(
+            "_s2", F.replace(F.col("_s1"), F.lit("[@«]"), F.lit("[EMAIL]"))
+        )
+        .withColumn(
+            "redacted",
+            F.replace(F.col("_s2"), F.lit("[«]"), F.lit("[PHONE]")),
+        )
+    )
+
+    def occ(col, marker):
+        return (
+            F.length(col)
+            - F.length(F.replace(col, F.lit(marker), F.lit("")))
+        ) / F.lit(len(marker))
+
+    tguard = F.length("_t") - F.length(
+        F.replace(F.col("_t"), F.lit("«"), F.lit(""))
+    )
+
+    def n_of(raw, marker):
+        return (
+            F.when(tguard == 0, raw)
+            .otherwise(raw - occ(F.col("_t"), marker))
+            .cast("bigint")
+        )
+
+    ref = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            n_of(
+                (F.length("_s2") - F.length("_s1")) / F.lit(3), "[@«]"
+            ).alias("n_emails"),
+            n_of(F.length("_s1") - F.length("_m"), "[-«]").alias("n_ssns"),
+            n_of(
+                (F.length("redacted") - F.length("_s2")) / F.lit(4), "[«]"
+            ).alias("n_phones"),
+            "redacted",
+        ).collect()
+    }
+    got = {r["doc_id"]: r for r in textops.pii_scan(docs).collect()}
+    assert set(got) == set(ref)
+    for k in ref:
+        for c in ("n_emails", "n_ssns", "n_phones", "redacted"):
+            assert got[k][c] == ref[k][c], (k, c, got[k][c], ref[k][c])
