@@ -472,44 +472,59 @@ def dwell_segments(
     antimeridian averages to ±180-ish, not to ~0. Segments shorter than
     ``min_duration_us`` are dropped (a single fix has duration 0).
 
-    100-TB posture: the lag window (entity), the first-value window
-    (entity, run) and the final aggregate (entity, run) all accept
-    ``hashpartitioning(entity)`` — ONE exchange total (plan-asserted);
-    per-partition cost is the window sorts, bounded by track length.
+    100-TB posture: the lag window, the run-id running sum and the
+    anchor window all share ONE (entity, ts, seq) sort under ONE
+    ``hashpartitioning(entity)`` exchange, and the final aggregate
+    accepts the same partitioning — one exchange, ONE full-stream sort
+    total (plan-asserted; the pre-r6 form paid three full sorts because
+    the anchor was a (entity, run)-partitioned first_value whose
+    ordering Spark cannot derive from the run-id cumsum). The anchor is
+    instead the most recent break row's longitude — last_value
+    (ignorenulls) over the shared sort — which IS the run's first row
+    by construction: run_id increments exactly at _brk = 1 rows, so
+    every run starts at its break row and downstream values are
+    unchanged (with the fixtures' per-entity unique timestamps the
+    per-group row order feeding the double averages is identical too,
+    keeping them bit-exact; pinned by the dwell/od oracle rows and
+    tests/test_trajectory.py).
     The step comparison runs on the MM-ROUNDED distance (engine-stable
     branch, the geodesic-family convention).
     """
     step = F.round(
         F.expr(haversine_m_sql("plon", "plat", lon, lat)), _ND)
-    w = Window.partitionBy(entity).orderBy(ts_us, seq)
-    lagged = df.select(
-        entity, F.col(ts_us).alias("_us"), lon, lat,
+    d0 = df.select(
+        entity, F.col(ts_us).alias("_us"), F.col(seq).alias("_sq"),
+        lon, lat,
+    )
+    w = Window.partitionBy(entity).orderBy("_us", "_sq")
+    lagged = d0.select(
+        entity, "_us", "_sq", lon, lat,
         F.lag(lon).over(w).alias("plon"),
         F.lag(lat).over(w).alias("plat"),
     ).select(
-        entity, "_us", lon, lat,
+        entity, "_us", "_sq", lon, lat,
         F.when(F.col("plon").isNull() | (step > float(max_step_m)),
                F.lit(1)).otherwise(F.lit(0)).alias("_brk"),
     )
-    runs = lagged.select(
-        entity, "_us", lon, lat,
+    # run_id keeps its original ORDER BY _us frame (the oracle's); its
+    # required [entity, _us] ordering is a prefix of the shared
+    # [entity, _us, _sq] sort, so no re-sort is inserted for either
+    # window below.
+    anchored = lagged.select(
+        entity, "_us", lat, F.col(lon).alias("_lon"),
         F.sum("_brk").over(
-            w.orderBy("_us").rowsBetween(
+            Window.partitionBy(entity).orderBy("_us").rowsBetween(
                 Window.unboundedPreceding, Window.currentRow)
         ).cast("bigint").alias("run_id"),
-    )
-    # re-derive the (ts, seq) order for the run window: _us alone can
-    # tie, but first_value only anchors the wrap — ANY in-run point
-    # works, so ordering by _us is sufficient and keeps the frame narrow
-    wr = Window.partitionBy(entity, "run_id").orderBy("_us")
-    anchored = runs.select(
+        F.last(
+            F.when(F.col("_brk") == 1, F.col(lon)), ignorenulls=True
+        ).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_anchor"),
+    ).select(
         entity, "run_id", "_us", lat,
-        F.expr(_wrap_lon_sql(
-            f"{lon} - first_value({lon}) OVER "
-            f"(PARTITION BY {entity}, run_id ORDER BY _us "
-            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-        )).alias("_rel"),
-        F.first(lon).over(wr).alias("_anchor"),
+        F.expr(_wrap_lon_sql("_lon - _anchor")).alias("_rel"),
+        "_anchor",
     )
     agg = anchored.groupBy(entity, "run_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
