@@ -116,10 +116,55 @@ _INTERMEDIATE = tuple(
 
 def canonicalize(df: DataFrame, url: str = "url") -> DataFrame:
     """Add `canon_url`, `host`, `domain` columns. Pure narrow projection:
-    0 exchanges, 0 Python (plan-asserted in tests/test_urls.py)."""
+    0 exchanges, 0 Python (plan-asserted in tests/test_urls.py).
+
+    r6, Spark side only (the oracle keeps :func:`canon_stage_exprs`'s
+    self-contained strings byte-identical): the fragment regex and the
+    five tracking-param regexes are gated behind ``instr`` containment
+    checks, so a row pays a regex invocation only for markers it
+    actually contains. Equality is universal, not corpus-dependent: no
+    '#' means the fragment pattern cannot match, and a UTM deletion
+    span always extends to the next '&' or end-of-string, so a
+    deletion can never splice a tracking-name literal into existence —
+    ``instr(_u0, name) = 0`` implies no stage of the chain can match
+    that name (gated == ungated pytest in tests/test_urls.py)."""
+    utm_base = "substr(_u0, length(_shp) + 1)"
+    gated: list[tuple[str, str]] = []
     for name, expr in canon_stage_exprs(url):
+        if name == "_u0":
+            expr = (
+                f"CASE WHEN instr({url}, '#') > 0 THEN {expr} "
+                f"ELSE {url} END"
+            )
+            gated.append((name, expr))
+        elif name == "_r1":
+            # unroll the shared 5-regex chain into per-name gated
+            # stages (linear expression size; one codegen projection)
+            prev = "_g0"
+            gated.append(("_g0", utm_base))
+            for i, p in enumerate(TRACKING_PARAMS):
+                nm = f"_g{i + 1}"
+                gated.append((nm, (
+                    f"CASE WHEN instr(_u0, '{p}') > 0 THEN "
+                    f"regexp_replace({prev}, '[?&]{p}=[^&]*', '') "
+                    f"ELSE {prev} END"
+                )))
+                prev = nm
+            gated.append((name, prev))
+        elif name == "_l3":
+            # _l3 is consumed only when _l2 is a multi-part suffix
+            # (domain's CASE) — skip its regex otherwise
+            sfx = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
+            gated.append((name, (
+                f"CASE WHEN _l2 IN ({sfx}) THEN {expr} ELSE '' END"
+            )))
+        else:
+            gated.append((name, expr))
+    for name, expr in gated:
         df = df.withColumn(name, F.expr(expr))
-    return df.drop(*_INTERMEDIATE)
+    return df.drop(
+        *_INTERMEDIATE, *(f"_g{i}" for i in range(len(TRACKING_PARAMS) + 1))
+    )
 
 
 def url_dedup(

@@ -191,3 +191,45 @@ def test_canonicalization_invariants_fuzz(spark):
     }
     for c, c2 in again.items():
         assert c2 == c, (c, c2)
+
+
+def test_canonicalize_gated_equals_staged_strings(spark):
+    """The r6 instr-gated Spark pipeline must equal the ungated
+    canon_stage_exprs strings row-for-row — including adversarial
+    inputs engineered so a UTM deletion would have to splice a
+    tracking-name literal into existence for the gate to be wrong."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "HTTPS://WWW.Host1.Ex2.COM:443/p/3?utm_source=a&utm_medium=b#f",
+        "http://h.ex.co.uk/p?id=1",
+        "http://h.ex.com/p?utm_campaign=z",
+        "http://h.ex.com/p/?utm_source=news&id=2",
+        "http://h.ex.com/p?id=ut&utm_medium=Xm_source=1",
+        "http://h.ex.com/p?xutm_sour&ce=1&utm_term=t",
+        "http://h.ex.com/p?utm_source=a?utm_medium=b",
+        "http://h.ex.com/p?utm_term=&utm_content=z",
+        "http://utm_source.ex.com/p#frag#frag2",
+        "not-a-url-no-scheme utm_source=x # y",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "doc_id long, url string"
+    )
+    ref = docs
+    for name, expr in urls.canon_stage_exprs("url"):
+        ref = ref.withColumn(name, F.expr(expr))
+    want = {
+        r["doc_id"]: r
+        for r in ref.select("doc_id", "canon_url", "host", "domain")
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in urls.canonicalize(docs)
+        .select("doc_id", "canon_url", "host", "domain").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("canon_url", "host", "domain"):
+            assert got[k][c] == want[k][c], (k, c, got[k][c], want[k][c])
