@@ -6829,6 +6829,7 @@ def lisa_bivariate_sql(
     lat1: float,
     lon: str = "lon",
     lat: str = "lat",
+    signed_zero: bool = False,
 ) -> str:
     """Bivariate local Moran (Anselin's cross-LISA; GeoDa 'Bivariate
     Local Moran') between the cell's event DENSITY (x = count) and the
@@ -6879,6 +6880,24 @@ def lisa_bivariate_sql(
         f"({n} * {devx} * {lagy} "
         f"/ nullif(sqrt({denx} * {deny}), 0.0E0))"
     )
+    ib_out = f"round({ib}, 6)"
+    if signed_zero:
+        # SPARK SIDE ONLY (the oracle keeps the bare round, its text is
+        # the frozen fingerprint): DuckDB's round preserves the sign of
+        # zero — round(-0.0, 6) and round(-1e-9, 6) are both -0.0 —
+        # while Spark's normalizes to +0.0 (the r5 driver red: 9 rows
+        # differing only in the sign bit of ib_i). The unrounded ib is
+        # bit-identical in both engines (one shared double expression
+        # over exact BIGINT aggregates), so re-signing Spark's rounded
+        # zero from the unrounded value reproduces DuckDB exactly:
+        # negative input (or a literal -0.0, detectable only via its
+        # string form — Spark's 1/0.0 is NULL under ANSI-off) rounding
+        # to zero emits -0.0, everything else keeps round's result.
+        ib_out = (
+            f"CASE WHEN round({ib}, 6) = 0.0E0 AND ({ib} < 0.0E0 "
+            f"OR CAST({ib} AS STRING) = '-0.0') "
+            f"THEN CAST('-0.0' AS DOUBLE) ELSE round({ib}, 6) END"
+        )
     return (
         f"WITH pts AS (SELECT {cx} AS cx, {cy} AS cy, "
         f"CAST(round(({value}) * {s}.0E0, 0) AS BIGINT) AS qv "
@@ -6905,7 +6924,7 @@ def lisa_bivariate_sql(
         f"ON s.tx = t.cx AND s.ty = t.cy GROUP BY 1, 2, 3) "
         f"SELECT cx AS cell_x, cy AS cell_y, cnt, "
         f"CAST(wi AS BIGINT) AS n_neighbors, "
-        f"round({ib}, 6) AS ib_i, "
+        f"{ib_out} AS ib_i, "
         f"(CASE WHEN {devx} >= 0.0E0 AND {lagy} >= 0.0E0 THEN 'HH' "
         f"WHEN {devx} < 0.0E0 AND {lagy} < 0.0E0 THEN 'LL' "
         f"WHEN {devx} >= 0.0E0 THEN 'HL' ELSE 'LH' END) AS quadrant "
@@ -6931,7 +6950,7 @@ def lisa_bivariate(
     return _exec_with_materialized_cte(
         df.sparkSession, lisa_bivariate_sql(
             f"SELECT * FROM {name}", value, cell_deg, lat0, lat1,
-            lon, lat,
+            lon, lat, signed_zero=True,
         ), "cells", name + "_mat",
     )
 
@@ -7076,6 +7095,7 @@ def seasonal_decompose_sql(
     ts_us: str = "ts_us",
     lon: str = "lon",
     lat: str = "lat",
+    signed_zero: bool = False,
 ) -> str:
     """Classical additive seasonal decomposition of each cell's binned
     count series (Macaulay 1931 ratio-to-moving-average lineage; the
@@ -7108,6 +7128,25 @@ def seasonal_decompose_sql(
     binx = _bin_sql(ts_us, t0_us, bin_us)
     bvals = ", ".join(f"({b})" for b in range(T))
     pd_ = f"CAST({P} AS DOUBLE)"
+
+    def _r6(expr: str) -> str:
+        # SPARK SIDE ONLY (oracle keeps the bare round): DuckDB's round
+        # maps a tiny-negative input to -0.0, Spark's to +0.0 — the r5
+        # driver red's 2 resid rows. Re-sign Spark's rounded zero from
+        # the unrounded value (string form catches a literal -0.0;
+        # Spark's 1/0.0 is NULL under ANSI-off). NOTE the oracle itself
+        # stays thread-nondeterministic at threads>=8 (raw-double avg;
+        # measured a 16/14 coin flip between the -0.0 and +0.0 variants
+        # at threads=32) — this makes Spark match the deterministic
+        # threads=1 variant, which is also the majority threaded draw.
+        if not signed_zero:
+            return f"round({expr}, 6)"
+        return (
+            f"CASE WHEN round({expr}, 6) = 0.0E0 AND (({expr}) < 0.0E0 "
+            f"OR CAST(({expr}) AS STRING) = '-0.0') "
+            f"THEN CAST('-0.0' AS DOUBLE) ELSE round({expr}, 6) END"
+        )
+
     return (
         f"WITH ev AS (SELECT {cx} AS cx, {cy} AS cy, {binx} AS b "
         f"FROM ({src_sql}) s), "
@@ -7133,8 +7172,8 @@ def seasonal_decompose_sql(
         f"FROM se) "
         f"SELECT tr.cx AS cell_x, tr.cy AS cell_y, tr.b, tr.x, "
         f"round(tr.trend, 6) AS trend, "
-        f"round(sc.seas, 6) AS seasonal, "
-        f"round(CAST(tr.x AS DOUBLE) - tr.trend - sc.seas, 6) AS resid "
+        f"{_r6('sc.seas')} AS seasonal, "
+        f"{_r6('CAST(tr.x AS DOUBLE) - tr.trend - sc.seas')} AS resid "
         f"FROM tr LEFT JOIN sc ON sc.cx = tr.cx AND sc.cy = tr.cy "
         f"AND sc.ph = (tr.b % {P})"
     )
@@ -7160,7 +7199,7 @@ def seasonal_decompose(
     return _exec_with_materialized_cte(
         df.sparkSession, seasonal_decompose_sql(
             f"SELECT * FROM {name}", cell_deg, t0_us, bin_us, n_bins,
-            period, ts_us, lon, lat,
+            period, ts_us, lon, lat, signed_zero=True,
         ), "c", name + "_mat",
     )
 
