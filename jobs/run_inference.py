@@ -170,9 +170,21 @@ def main() -> None:
     ap.add_argument("--bins", type=int, default=15)
     ap.add_argument("--shards", type=int, default=16)
     args = ap.parse_args()
-    from ocgis_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("run_inference")
+    # engine-required confs only — the master comes from spark-submit
+    # (get_spark pins local[N], which would silently run a submitted
+    # cluster job entirely on the driver; ADVICE r5). Same pattern as
+    # jobs/run_dedup.py / run_mobility.py.
+    spark = (
+        SparkSession.builder.appName("run_inference")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
     res = run(
         spark, args.input, args.output, cell_deg=args.cell_deg,
         lat0=args.lat0, lat1=args.lat1, n_reps=args.n_reps,

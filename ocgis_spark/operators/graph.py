@@ -177,23 +177,27 @@ def triangle_stats(
     # re-derives an uncached DataFrame PER REFERENCE, which re-ran the
     # whole upstream edge derivation — 47 corpus scans in the executed
     # plan of the registry fixture (r5 read-amplification audit).
-    # persist() pins each bounded table (edges after distinct; the node
-    # dim) lazily: computed once at first action, every later branch
-    # reads the cache — the 100-TB posture materializes these anyway.
+    # localCheckpoint() pins each bounded table (edges after distinct;
+    # the node dim) eagerly: computed once, every branch reads the
+    # materialized blocks, and — unlike persist(), which r5's ADVICE
+    # flagged as accumulating cached tables across repeated calls in a
+    # long session — the blocks are owned by this call's lineage and
+    # freed with it (the gridstats-twin pattern). The 100-TB posture
+    # materializes these bounded tables anyway.
     und = (
         df.selectExpr(
             f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
         )
         .filter("u <> v AND u IS NOT NULL AND v IS NOT NULL")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     deg = (
         und.selectExpr("u AS node")
         .unionAll(und.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        .persist()
+        .localCheckpoint()
     )
     # orient each edge from the smaller (degree, id) endpoint
     du = deg.selectExpr("node AS u", "degree AS dg_u")
@@ -207,7 +211,7 @@ def triangle_stats(
         "(CASE WHEN dg_u < dg_v OR (dg_u = dg_v AND u < v) "
         "THEN dg_v ELSE dg_u END) AS dg_b",
     )
-    o = o.persist()
+    o = o.localCheckpoint()
     e1 = o.selectExpr("a", "b", "dg_b")
     e2 = o.selectExpr("a", "b AS c", "dg_b AS dg_c")
     wedges = e1.join(e2, "a").filter(
@@ -314,7 +318,7 @@ def assortativity(
     degree variance) -> NULL.
 
     Output: one row (n_nodes, n_edges, assortativity)."""
-    # bounded edge/node tables persist()-pinned — multi-referenced
+    # bounded edge/node tables localCheckpoint-pinned — multi-referenced
     # downstream; see triangle_stats (r5 read-amplification audit)
     und = (
         df.selectExpr(
@@ -322,14 +326,14 @@ def assortativity(
         )
         .filter("u <> v AND u IS NOT NULL AND v IS NOT NULL")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     deg = (
         und.selectExpr("u AS node")
         .unionAll(und.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        .persist()
+        .localCheckpoint()
     )
     stubs = (
         und.join(deg.selectExpr("node AS u", "degree AS da"), "u")
@@ -522,7 +526,7 @@ def powerlaw_alpha(
     alpha, alpha_se), round(.,6); empty tail -> NULL alpha."""
     if not int(dmin) >= 2:
         raise ValueError(f"dmin must be >= 2, got {dmin}")
-    # bounded edge/node tables persist()-pinned — multi-referenced
+    # bounded edge/node tables localCheckpoint-pinned — multi-referenced
     # downstream; see triangle_stats (r5 read-amplification audit)
     und = (
         df.selectExpr(
@@ -530,14 +534,14 @@ def powerlaw_alpha(
         )
         .filter("u <> v AND u IS NOT NULL AND v IS NOT NULL")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     deg = (
         und.selectExpr("u AS node")
         .unionAll(und.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        .persist()
+        .localCheckpoint()
     )
     s = f"{_PL_SCALE}.0E0"
     dm = f"(CAST({int(dmin)} AS DOUBLE) - 0.5E0)"
