@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .crs import haversine_m_sql
+from ..duckround import duck_round_sql
 
 #: millimeter rounding — the geodesic-family parity contract (libm drift
 #: between Spark and DuckDB is ~1e-9 relative; mm rounding absorbs it)
@@ -1126,10 +1127,15 @@ def od_flows_from_dwells(
         F.sum("trip_mm").cast("bigint").alias("_mm"),
     ).selectExpr(
         "o_cx", "o_cy", "d_cx", "d_cy", "n_trips", "sum_travel_us",
-        "round(CAST(sum_travel_us AS DOUBLE) / CAST(n_trips AS DOUBLE), 6) "
+        # r6: avg_travel_us reaches ~1e11 micros, where |x|*1e6 > 2^53
+        # and DuckDB's lossy multiply-round-divide differs from Spark's
+        # decimal-exact round by an ulp (13 rows at sf0.01 — caught by
+        # the strict gate; od_flows has never had a driver row, so this
+        # was a latent exact-hash red). Emulate DuckDB's arithmetic.
+        f"{duck_round_sql('CAST(sum_travel_us AS DOUBLE) / CAST(n_trips AS DOUBLE)')} "
         "AS avg_travel_us",
-        "round(CAST(_mm AS DOUBLE) / 1000.0E0 "
-        "/ CAST(n_trips AS DOUBLE), 6) AS mean_trip_m",
+        f"{duck_round_sql('CAST(_mm AS DOUBLE) / 1000.0E0 / CAST(n_trips AS DOUBLE)')} "
+        "AS mean_trip_m",
     )
 
 
