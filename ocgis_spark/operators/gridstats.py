@@ -808,19 +808,20 @@ def global_autocorr_p(
         f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
     )).localCheckpoint()
     counts.createOrReplaceTempView(view + "_counts")
-    # r6: pin the permutation table too — permocc feeds three
-    # aggregates (pair-sum s side, t side, rowsum moments), so without
-    # this the lattice x n_reps window pipeline (cross join, md5 rank,
-    # shuffle, sort) executes once PER reference (~3x; measured 29 s of
-    # executor time for the duplicated stage alone at sf0.1).
-    return _exec_with_materialized_cte(
-        df.sparkSession,
+    # r6 note: materializing permocc too (its window pipeline feeds
+    # three aggregates) halves executor time (60 s -> 31 s of stage
+    # time at sf0.1) but LOSES wall on an idle box — the checkpoint
+    # barrier serializes subtrees AQE otherwise runs concurrently as
+    # broadcast futures, and the duplicated work is lattice x n_reps
+    # BOUNDED (a fixed cost at any corpus size), unlike a duplicated
+    # corpus scan. Measured 2.21 s -> 2.62 s in-suite, so the r5 shape
+    # stays: only the corpus aggregate is pinned.
+    return df.sparkSession.sql(
         global_autocorr_p_sql(
             f"SELECT * FROM {view}", cell_deg, lat0, lat1,
             n_reps=n_reps, seed=seed, lon=lon, lat=lat,
             counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
-        ),
-        "permocc", view + "_perm",
+        )
     )
 
 
@@ -850,16 +851,12 @@ def morans_i_p(
         f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
     )).localCheckpoint()
     counts.createOrReplaceTempView(view + "_counts")
-    # r6: permocc pinned once as well (3 references — see
-    # :func:`global_autocorr_p`).
-    return _exec_with_materialized_cte(
-        df.sparkSession,
+    return df.sparkSession.sql(
         morans_i_p_sql(
             f"SELECT * FROM {view}", cell_deg, lat0, lat1,
             n_reps=n_reps, seed=seed, lon=lon, lat=lat,
             counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
-        ),
-        "permocc", view + "_perm",
+        )
     )
 
 
@@ -1007,16 +1004,12 @@ def local_morans_i_p(
         f"SELECT * FROM {view}", cell_deg, cy0, cy1, lon, lat,
     )).localCheckpoint()
     counts.createOrReplaceTempView(view + "_counts")
-    # r6: permocc pinned once as well (multiple references — see
-    # :func:`global_autocorr_p`).
-    return _exec_with_materialized_cte(
-        df.sparkSession,
+    return df.sparkSession.sql(
         local_morans_i_p_sql(
             f"SELECT * FROM {view}", cell_deg, lat0, lat1,
             n_reps=n_reps, seed=seed, lon=lon, lat=lat,
             counts_override=f"SELECT cx, cy, cnt FROM {view}_counts",
-        ),
-        "permocc", view + "_perm",
+        )
     )
 
 
