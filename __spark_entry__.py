@@ -6673,9 +6673,79 @@ R5_WINDOW = [
 ]
 
 
+#: Round-6 driver window (correctness gate = FIRST 50 entries of
+#: queries()). Composition per VERDICT r5 ask #3, adapted to an
+#: optimization round that also changed code: slots 1-2 are the two r5
+#: driver reds with their Spark-side signed-zero fixes (VERDICT ask #1
+#: — the round's proof obligation); slots 3-8 are r6-CHANGED but
+#: previously-green entries (pii gate, spacetime counts checkpoint,
+#: knn/tile local relations, url instr gates, graph localCheckpoint) so
+#: any optimization regression is driver-visible, not hidden outside
+#: the window; the remaining 42 slots are never-driver-checked backlog
+#: in ROTATION.md manifest order, which includes the other r6-changed
+#: never-checked entries (radius_join, dwell_segments, od_flows — the
+#: last carrying the r6 duck-round fix for its latent exact-hash
+#: divergence). Every window entry is strict-green locally
+#: (scripts/check_strict.py, exact bytes incl. the sign of zero);
+#: seasonal_decompose remains a documented oracle-side coin flip at
+#: DuckDB threads>=8 (OPTIMIZATION_r06.md).
+R6_WINDOW = [
+    'lisa_bivariate',
+    'seasonal_decompose',
+    'pii_scan',
+    'spacetime_scan',
+    'knn_point',
+    'tile_source_assign',
+    'url_canon',
+    'triangle_stats',
+    'radius_join',
+    'knn_geodesic',
+    'track_stats',
+    'tile_pyramid_distinct',
+    'geohash_rollup',
+    'geohash_cells',
+    'route_proximity',
+    'route_locate',
+    'dwell_segments',
+    'track_kinematics',
+    'weighted_sample',
+    'colocation_pairs',
+    'od_flows',
+    'hotspot_gi',
+    'hotspot_fdr',
+    'lacunarity',
+    'moran_correlogram',
+    'morisita_index',
+    'spatial_concentration',
+    'local_join_counts',
+    'eb_rates',
+    'morans_i_field',
+    'gpd_tail',
+    'morans_i',
+    'gyration_radius',
+    'pair_sync_distance',
+    'burstiness',
+    'daily_rhythm',
+    'route_usage',
+    'moran_bivariate',
+    'cell_transitions',
+    'lisa',
+    'focal_value_mean',
+    'knox_test',
+    'quadrat_csr',
+    'gearys_c',
+    'ripley_k',
+    'pair_correlation',
+    'std_ellipse',
+    'temporal_scan_p',
+    'general_g',
+    'ripley_cross_k',
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_all()
-    ordered = {k: base[k] for k in R5_WINDOW}
+    ordered = {k: base[k] for k in R6_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 

@@ -243,6 +243,8 @@ def main():
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
             print(f"wrote {path}", file=sys.stderr)
+        if args.reps == 0:
+            continue
         samples = []
         for i in range(args.reps):
             spark.sparkContext.setJobDescription(f"{name} rep{i}")

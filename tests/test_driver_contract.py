@@ -53,26 +53,27 @@ def test_oracles_subset_of_queries():
     assert rows_only == set()  # every query has an exact oracle
 
 
-def test_round5_window_policy():
-    """The r5 driver window (VERDICT r4 ask #1) replaces the r4
-    fresh-code-first composition: R5_WINDOW leads queries() with the
-    r5-new/changed entries followed by never-driver-checked entries in
-    VERDICT's priority order. The r4 window ops rotated out by design
-    (all judge-green + full-sweep-green); this asserts the NEW policy:
-    every R5_WINDOW name exists, fills the first len(R5_WINDOW) slots
-    in order, and the r5-new operators hold the leading slots."""
+def test_round6_window_policy():
+    """The r6 driver window (VERDICT r5 ask #3, adapted to the
+    optimization round): the two r5 driver reds lead (their Spark-side
+    signed-zero fixes are the round's proof obligation), the r6-changed
+    previously-green entries follow (optimization regressions must be
+    driver-visible), and the rest is never-driver-checked backlog in
+    manifest order. Every R5_WINDOW / r4-window name must still be
+    registered (gated by check_oracles/check_strict + pytest while
+    outside the window)."""
     order = list(E.queries())
-    win = E.R5_WINDOW
+    win = E.R6_WINDOW
+    assert len(win) == 50
     assert order[: len(win)] == win
-    lead = {"transform_omerc_ell", "morans_i_p", "lisa_p",
-            "spacetime_scan_p", "global_autocorr_p",
-            "spacetime_scan_top", "lisa_p_fdr",
-            "spacetime_scan_prosp", "pii_scan"}
-    assert lead <= set(win[:9])
-    # the r4 window ops must all still be registered (gated by
-    # check_oracles + the sf0.1 sweep even while outside the window)
-    missing = [n for n in ROUND4_WINDOW_OPS if n not in order]
-    assert missing == []
+    assert win[:2] == ["lisa_bivariate", "seasonal_decompose"]
+    changed = {"pii_scan", "spacetime_scan", "knn_point",
+               "tile_source_assign", "url_canon", "triangle_stats",
+               "radius_join", "dwell_segments", "od_flows"}
+    assert changed <= set(win)
+    for prev in (E.R5_WINDOW, ROUND4_WINDOW_OPS):
+        missing = [n for n in prev if n not in order]
+        assert missing == []
 
 
 def test_no_bare_long_float_literals_in_oracles():

@@ -929,9 +929,18 @@ def test_spacetime_scan_plan(spark):
         )._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
-        # marginals and cylinders all reuse the one counts aggregation;
-        # the marginal joins broadcast
-        assert "ReusedExchange" in plan
+        # r6: the counts aggregation is localCheckpoint-pinned, so the
+        # cylinder and both marginals read the materialized table
+        # (Scan ExistingRDD) instead of depending on runtime
+        # ReusedExchange to dedupe re-inlined corpus aggregations —
+        # the plan must contain NO (cx, cy, tb) grouping at all (it ran
+        # once, before this plan) and several reads of the pinned RDD
+        assert "ReusedExchange" not in plan
+        assert plan.count("Scan ExistingRDD") >= 3
+        # corpus agg (the only count(1) grouping) absent from the plan —
+        # every in-plan aggregate is a lattice-bounded sum over the
+        # pinned counts table
+        assert "count(1)" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
